@@ -1,38 +1,1116 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship pricing-summary query at sf0.001.
+`queries()` — one callable per implemented operator (SURVEY.md §2B).
+`oracle_sql()` — DuckDB-equivalent ANSI SQL per query (omitted only
+for genuinely non-portable ops: approx sketches, hash-seeded LSH).
+
+Conventions keeping Spark and DuckDB hash-identical (SURVEY.md §7):
+- every computed column aliased the same on both sides;
+- doubles rounded in BOTH engines (sum→2dp, avg/ratio→4dp+);
+- timestamps projected as formatted strings (parquet ns vs us
+  precision would otherwise drift);
+- every top-k / limit has a unique-column total order.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from azure_data_engineering_spark.catalog import load_table
+from azure_data_engineering_spark.functions.sanitize import sanitize_cell, sanitize_filename
+from azure_data_engineering_spark.functions.datetime_utils import retention_match
+from azure_data_engineering_spark.functions.text import (
+    whitespace_token_count,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    punct_ratio,
+    stopword_ratio,
+    detect_lang,
+)
+from azure_data_engineering_spark.operators.relational import (
+    asof_join,
+    range_join,
+    top_k,
+    top_k_per_group,
+    dedup_keep_first,
+    string_agg,
+)
+from azure_data_engineering_spark.operators.upsert import merge_upsert
+from azure_data_engineering_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from azure_data_engineering_spark.operators.similarity import brute_force_top_k, lsh_bucketed_top_k
+from azure_data_engineering_spark.operators.window_ops import sessionize, running_aggregates
+from azure_data_engineering_spark.sources.multimodal import with_binary_payload, decode_metadata
+from azure_data_engineering_spark.streaming.windows import tumbling_counts, run_stream_to_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- flagship
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan→filter→project→partial/final
+    hash agg→sort. Filter + column pruning push into the parquet scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                           AS sum_qty,
+       round(sum(l_extendedprice), 2)                                      AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
+       round(avg(l_quantity), 4)                                           AS avg_qty,
+       round(avg(l_extendedprice), 4)                                      AS avg_price,
+       round(avg(l_discount), 4)                                           AS avg_disc,
+       count(*)                                                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------- projection/filter
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection; both push into the parquet scan
+    (PushedFilters / ReadSchema)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_totalprice") > 200000) & (F.col("o_orderstatus") == "O"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            # no round(): both engines compute the identical IEEE754
+            # product on identical input doubles — rounding rules
+            # differ at half-way points, raw arithmetic does not
+            (F.col("o_totalprice") * 0.9).alias("discounted_price"),
+        )
+    )
+
+
+Q_FILTER_PROJECT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice * 0.9 AS discounted_price
+FROM orders WHERE o_totalprice > 200000 AND o_orderstatus = 'O'
+"""
+
+
+# ------------------------------------------------------------------- joins
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + deterministic top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    l = _t(spark, sf_dir, "lineitem")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return top_k(joined, [F.col("revenue").desc(), F.col("o_orderkey").asc()], 10)
+
+
+Q_TOP_ORDERS_SQL = """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-joins through customer→nation dim chain; dims
+    broadcast."""
+    c, n, o = (_t(spark, sf_dir, t) for t in ("customer", "nation", "orders"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("n_name")
+    )
+
+
+Q_ORDERS_PER_NATION_SQL = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders
+    (reference uses LEFT JOIN at PGHelperFunction.py:28,54)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+Q_LEFT_JOIN_SQL = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers with ≥1 finished order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+Q_SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — the reference's not-matched branch
+    (`LEFT JOIN … WHERE pk IS NULL`, PGHelperFunction.py:54-55)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+Q_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈broadcast(dim): part is tiny vs lineitem at every SF; the
+    explicit hint keeps it map-side at 100 TB (no fact shuffle)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy("p_brand")
+    )
+
+
+Q_BROADCAST_JOIN_SQL = """
+SELECT p_brand, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join (dims only — 5×25 rows)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+Q_CROSS_JOIN_SQL = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join: lineitem quantities into broadcast band dim."""
+    l = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [(i * 10.0, (i + 1) * 10.0, f"band_{i}") for i in range(6)],
+        "lo double, hi double, band string",
+    )
+    cond = (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi"))
+    return (
+        range_join(l, bands, cond)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .orderBy("band")
+    )
+
+
+Q_RANGE_JOIN_SQL = """
+WITH bands AS (
+  SELECT i * 10.0 AS lo, (i + 1) * 10.0 AS hi, 'band_' || i AS band
+  FROM (SELECT unnest(range(6)) AS i)
+)
+SELECT band, count(*) AS n_items, round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band ORDER BY band
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the latest daily order-price index
+    at-or-before its timestamp. Index dim derives from orders (tiny →
+    broadcast); implemented as range join + keep-first
+    (operators/relational.asof_join)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    o = _t(spark, sf_dir, "orders")
+    # effective-dated dim: one row per orderdate-day modulo-mapped into
+    # the events' time range (2024-01), deterministic in both engines
+    idx = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.avg("o_totalprice"), 2).alias("price_index"))
+        .withColumn(
+            "effective_ts",
+            F.to_timestamp(F.concat(F.lit("2024-01-"), F.lpad((F.dayofmonth(F.to_date("day")) % 28 + 1).cast("string"), 2, "0"))),
+        )
+        .groupBy("effective_ts")
+        .agg(F.round(F.avg("price_index"), 2).alias("price_index"))
+    )
+    out = asof_join(e, idx, left_id="event_id", left_on="ts", right_on="effective_ts")
+    return out.select(
+        F.col("event_id"),
+        F.date_format("effective_ts", "yyyy-MM-dd").alias("effective_day"),
+        F.col("price_index"),
+    )
+
+
+Q_ASOF_JOIN_SQL = """
+WITH idx0 AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, round(avg(o_totalprice), 2) AS price_index
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT CAST('2024-01-' || lpad(CAST(date_part('day', CAST(day AS DATE)) % 28 + 1 AS VARCHAR), 2, '0') AS TIMESTAMP) AS effective_ts,
+         round(avg(price_index), 2) AS price_index
+  FROM idx0 GROUP BY 1
+)
+SELECT e.event_id, strftime(i.effective_ts, '%Y-%m-%d') AS effective_day, i.price_index
+FROM (SELECT * FROM events WHERE event_id < 500) e
+ASOF LEFT JOIN idx i ON i.effective_ts <= e.ts
+"""
+
+
+# ------------------------------------------------------------- aggregation
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scalar-agg suite incl. exact count-distinct."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_AGG_STATS_SQL = """
+SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_customers,
+       round(sum(o_totalprice), 2) AS sum_price, round(avg(o_totalprice), 4) AS avg_price,
+       round(min(o_totalprice), 2) AS min_price, round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres string_agg equivalent (PGHelperFunction.py:12-15) with
+    deterministic ordering (array_sort — SURVEY.md §7)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return string_agg(joined, ["r_name"], "n_name", ",", "nations").orderBy("r_name")
+
+
+Q_STRING_AGG_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_dedup_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PK-dedup (replaces the reference's arbitrary
+    GROUP BY s_pk, PGHelperFunction.py:56): keep the highest-price
+    order per customer, orderkey tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return dedup_keep_first(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    ).select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+Q_DEDUP_PK_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (subtotal + grand total rows)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+Q_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approx count-distinct — the 100 TB substitute for
+    exact distinct (no oracle: sketch estimates are engine-specific;
+    accuracy is covered by tests/test_relational.py against exact)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders")
+    ).orderBy("l_returnflag")
+
+
+# ------------------------------------------------------------ window / sort
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per market segment (window rank with
+    WindowGroupLimit pushdown)."""
+    c = _t(spark, sf_dir, "customer")
+    return top_k_per_group(
+        c, ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey").asc()], 3, rank_col="rank"
+    ).select("c_mktsegment", "rank", "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+Q_TOPK_PER_GROUP_SQL = """
+SELECT c_mktsegment, rank, c_custkey, round(c_acctbal, 2) AS c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank
+  FROM customer) WHERE rank <= 3
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag per user over event time (frame specs)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = running_aggregates(e, "user_id", [F.col("ts").asc(), F.col("event_id").asc()], "value")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("running_sum", 2).alias("running_sum"),
+        F.round("prev_value", 2).alias("prev_value"),
+        F.col("row_in_key"),
+    )
+
+
+Q_WINDOW_RUNNING_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w_frame, 2) AS running_sum,
+       round(lag(value, 1) OVER w_order, 2) AS prev_value,
+       row_number() OVER w_order AS row_in_key
+FROM events WHERE user_id < 50
+WINDOW w_frame AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
+       w_order AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic top-20 (TakeOrderedAndProject)."""
+    o = _t(spark, sf_dir, "orders")
+    return top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 20).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+Q_SORT_LIMIT_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands; batch twin of the
+    streaming session_window)."""
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+Q_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# ----------------------------------------------------------------- set ops
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except distinct over customer key sets."""
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        big.union(urgent).distinct().withColumn("set_op", F.lit("union"))
+        .unionByName(big.intersect(urgent).withColumn("set_op", F.lit("intersect")))
+        .unionByName(big.distinct().exceptAll(urgent.distinct()).withColumn("set_op", F.lit("except")))
+        .select("set_op", "o_custkey")
+    )
+
+
+Q_SET_OPS_SQL = """
+SELECT 'union' AS set_op, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+  UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'intersect', o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+  INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'except', o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000
+  EXCEPT ALL SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+# ------------------------------------------------------------- scalar fns
+
+def q_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's destructive sanitize chain
+    (HelperFunction.py:36-41) over text decorated with every char class
+    it touches."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    decorated = F.concat(F.col("text"), F.lit(", it's a\\test/of\nsanitize é"))
+    return d.select("doc_id", sanitize_cell(decorated).alias("clean"))
+
+
+Q_SANITIZE_SQL = r"""
+SELECT doc_id,
+  regexp_replace(
+    replace(replace(replace(replace(replace(
+      text || ', it''s a\test/of' || chr(10) || 'sanitize é',
+      ',', ''), '''', ''), chr(10), ' '), '\', ' '), '/', '-'),
+    '[^\x00-\x7F]', '', 'g') AS clean
+FROM documents WHERE doc_id < 100
+"""
+
+
+def q_filename_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filename sanitization `re.sub('[^A-Za-z0-9]+','')`
+    (HelperFunction.py:18-19)."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.col("source"), F.lit("/doc-"), F.col("doc_id").cast("string"), F.lit(".txt"))
+    return d.select("doc_id", sanitize_filename(raw).alias("clean_name"))
+
+
+Q_FILENAME_SANITIZE_SQL = """
+SELECT doc_id, regexp_replace(source || '/doc-' || CAST(doc_id AS VARCHAR) || '.txt', '[^A-Za-z0-9]+', '', 'g') AS clean_name
+FROM documents
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CheckHDInsightContainer retention predicate
+    (HelperFunction.py:94-109): 14-digit timestamp in name vs integer
+    day-window bounds; non-matching names silently filtered (the
+    reference's implicit-None quirk)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    named = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("adfmyfactory-ls-hdi-"),
+            F.date_format("o_orderdate", "yyyyMMddHHmmss"),
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("-foreign")).otherwise(F.lit("")),
+        ).alias("container_name"),
+    ).withColumn(
+        "container_name",
+        F.when(F.col("o_orderkey") % 7 == 0, F.regexp_replace("container_name", "myfactory", "otherfactory")).otherwise(F.col("container_name")),
+    )
+    keep = retention_match(
+        F.col("container_name"),
+        linkedservice="-ls-",
+        datafactory="myfactory",
+        reference_date=F.lit("2000-06-01").cast("date"),
+        daydiff=-5,
+        window_days=60,
+    )
+    return named.filter(keep).select("o_orderkey", "container_name")
+
+
+Q_RETENTION_SQL = """
+WITH named AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN replace(base, 'myfactory', 'otherfactory') ELSE base END AS container_name
+  FROM (SELECT o_orderkey,
+               'adfmyfactory-ls-hdi-' || strftime(o_orderdate, '%Y%m%d%H%M%S') ||
+               CASE WHEN o_orderkey % 10 = 0 THEN '-foreign' ELSE '' END AS base
+        FROM orders WHERE o_orderkey < 2000)
+)
+SELECT o_orderkey, container_name FROM named
+WHERE contains(container_name, '-ls-') AND contains(container_name, 'myfactory')
+  AND regexp_extract(container_name, '(\\d{14})', 1) <> ''
+  AND CAST(regexp_extract(container_name, '(\\d{14})', 1) AS BIGINT)
+      BETWEEN CAST(strftime(DATE '2000-06-01' + INTERVAL (-65) DAY, '%Y%m%d') || '000000' AS BIGINT)
+          AND CAST(strftime(DATE '2000-06-01' + INTERVAL (-5) DAY, '%Y%m%d') || '999999' AS BIGINT)
+"""
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_format / date_add / between (archive-naming + retention
+    date math, HelperFunction.py:52-55,99-104)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderdate").between(
+                F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyyMMddHHmm").alias("archive_stamp"),
+            F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("due_date"),
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("order_month"),
+        )
+    )
+
+
+Q_DATE_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y%m%d%H%M') AS archive_stamp,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over events.props (reference parses request
+    JSON at __init__.py:239-244)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+Q_JSON_EXTRACT_SQL = """
+SELECT event_type, sum(CAST(props ->> '$.k' AS INTEGER)) AS sum_k, count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode + count: top-20 corpus words (array ops)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return top_k(counts, [F.col("n").desc(), F.col("word").asc()], 20)
+
+
+Q_WORD_EXPLODE_SQL = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""
+
+
+# ------------------------------------------------------------------ upsert
+
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics end-to-end (PGHelperFunction.py:44-67): target =
+    odd-key orders; source = updated even+odd subset with price bump +
+    brand-new keys; update-matched, insert-not-matched."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    target = o.filter(F.col("o_orderkey") % 2 == 1)
+    # +1000.0 is exact in IEEE754 at these magnitudes — no rounding
+    # convention needed between engines
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    ).withColumn("o_orderstatus", F.lit("U"))
+    inserts = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    ).withColumn("o_orderstatus", F.lit("N"))
+    source = updates.unionByName(inserts)
+    merged = merge_upsert(target, source, ["o_orderkey"])
+    return merged.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+Q_UPSERT_MERGE_SQL = """
+WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+target AS (SELECT * FROM base WHERE o_orderkey % 2 = 1),
+source AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+  FROM base WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice FROM base WHERE o_orderkey % 5 = 0
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM source
+UNION ALL
+SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice
+FROM target t WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+"""
+
+
+# ------------------------------------------------------- LLM pipeline: dedup
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text over a corpus with injected
+    duplicates (documents has none naturally): canonical id = min,
+    dup_count per text."""
+    d = _t(spark, sf_dir, "documents")
+    dupes = d.filter(F.col("doc_id") % 7 == 0).withColumn("doc_id", F.col("doc_id") + 10_000)
+    corpus = d.unionByName(dupes)
+    return exact_dedup(corpus, "text", "doc_id")
+
+
+Q_DEDUP_EXACT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM corpus
+GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shingle inverted index
+    (explode+join — never O(n²) pairwise) over a corpus with injected
+    truncated near-duplicates."""
+    d = _t(spark, sf_dir, "documents")
+    near = (
+        d.filter((F.col("doc_id") % 11 == 0) & (F.col("n_chars") > 120))
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
+    )
+    corpus = d.unionByName(near)
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.6, k=3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+Q_NGRAM_JACCARD_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text || ' extra tail words' FROM documents
+  WHERE doc_id % 11 = 0 AND n_chars > 120
+), norm AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM corpus
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS shingle_list
+  FROM norm
+), ex AS (
+  SELECT doc_id, len(shingle_list) AS n_sh, unnest(shingle_list) AS s FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
+FROM inter WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.6
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (64 hashes, 16 bands — the linear-
+    scaling near-dup path). No oracle: xxhash64-seeded signatures are
+    engine-specific; recall vs exact Jaccard is covered in
+    tests/test_dedup.py."""
+    d = _t(spark, sf_dir, "documents")
+    near = (
+        d.filter((F.col("doc_id") % 11 == 0) & (F.col("n_chars") > 120))
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
+    )
+    corpus = d.unionByName(near)
+    return minhash_lsh_candidates(corpus, "text", "doc_id", num_hashes=64, bands=16)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (no oracle: xxhash64-based;
+    Hamming-locality is covered in tests/test_dedup.py)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash(d, "text").select("doc_id", "simhash")
+
+
+# -------------------------------------------------- LLM pipeline: similarity
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 5 query vectors against the
+    corpus. Ranking on cosine rounded to 6dp (deterministic under float
+    summation-order differences between engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_top_k(q, emb, k=5, round_digits=6)
+    return out.select("query_id", "rank", "neighbor_id", "cosine")
+
+
+Q_EMBEDDING_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (hyperplane sign buckets) — the
+    100 TB ANN path: equi-join on bucket instead of cartesian. No
+    oracle (bucket membership depends on float sign boundaries); recall
+    vs brute force is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucketed_top_k(q, emb, dim=64, k=5, planes=4).select(
+        "query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+# ------------------------------------------------- LLM pipeline: text stats
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus quality stats: token counts, char lengths,
+    punctuation + stopword ratios."""
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        whitespace_token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        punct_ratio(F.col("text")).alias("p_ratio"),
+        stopword_ratio(F.col("text")).alias("sw_ratio"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("p_ratio"), 6).alias("avg_punct_ratio"),
+            F.round(F.avg("sw_ratio"), 6).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_TEXT_STATS_SQL = """
+WITH per_doc AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         length(text) AS n_chars,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text) END AS p_ratio,
+         CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS sw_ratio
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(n_chars), 4) AS avg_chars, round(avg(p_ratio), 6) AS avg_punct_ratio,
+       round(avg(sw_ratio), 6) AS avg_stopword_ratio
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+Q_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable document fingerprint: md5 of normalized text (identical
+    across engines by construction)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+Q_FINGERPRINT_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language-ID heuristic (argmax with alphabetical
+    tiebreak, 'und' when scoreless)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", detect_lang(F.col("text")).alias("detected_lang"))
+
+
+Q_LANG_ID_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+), scores AS (
+  SELECT doc_id,
+         len(list_filter(t, x -> x IN ('der', 'die', 'das', 'und', 'zu')))  AS s_de,
+         len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to')))    AS s_en,
+         len(list_filter(t, x -> x IN ('el', 'la', 'de', 'y', 'que')))     AS s_es,
+         len(list_filter(t, x -> x IN ('le', 'la', 'de', 'et', 'les')))    AS s_fr,
+         len(list_filter(t, x -> x IN ('de', 'le', 'shi', 'bu', 'wo')))    AS s_zh
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS detected_lang
+FROM scores
+"""
+
+
+# ---------------------------------------------------- multimodal plumbing
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: text→binary→mapInPandas fake-decode →
+    typed metadata. The decode formula is deterministic, so the oracle
+    reproduces it from octet_length (ASCII corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    binary = with_binary_payload(d, "text", "doc_id")
+    return decode_metadata(binary).select("id", "media_type", "n_bytes", "width", "height")
+
+
+Q_MULTIMODAL_META_SQL = """
+SELECT doc_id AS id, 'image/fake' AS media_type,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 48 + 1 AS INTEGER) AS height
+FROM documents
+"""
+
+
+# ----------------------------------------------------------------- streaming
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run (availableNow over the events
+    parquet, memory sink, watermark + tumbling window) — oracle is the
+    batch SQL equivalent, proving stream/batch semantic equivalence."""
+    import os
+
+    result = run_stream_to_table(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        lambda s: tumbling_counts(s, "1 hour", "2 hours"),
+        table_name="stream_tumbling_sink",
+        output_mode="complete",
+    )
+    return result.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+Q_STREAM_TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_batch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same windowed aggregation on the batch frame (the transform is
+    shared code — Structured Streaming's batch/stream contract)."""
+    e = _t(spark, sf_dir, "events")
+    return tumbling_counts(e).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q_filter_project": q_filter_project,
+        "q_top_orders": q_top_orders,
+        "q_orders_per_nation": q_orders_per_nation,
+        "q_left_join_counts": q_left_join_counts,
+        "q_semi_join": q_semi_join,
+        "q_anti_join": q_anti_join,
+        "q_broadcast_join": q_broadcast_join,
+        "q_cross_join": q_cross_join,
+        "q_range_join": q_range_join,
+        "q_asof_join": q_asof_join,
+        "q_agg_stats": q_agg_stats,
+        "q_string_agg": q_string_agg,
+        "q_dedup_pk": q_dedup_pk,
+        "q_rollup": q_rollup,
+        "q_cube": q_cube,
+        "q_approx_distinct": q_approx_distinct,
+        "q_topk_per_group": q_topk_per_group,
+        "q_window_running": q_window_running,
+        "q_sort_limit": q_sort_limit,
+        "q_sessionize": q_sessionize,
+        "q_set_ops": q_set_ops,
+        "q_sanitize": q_sanitize,
+        "q_filename_sanitize": q_filename_sanitize,
+        "q_retention": q_retention,
+        "q_date_functions": q_date_functions,
+        "q_json_extract": q_json_extract,
+        "q_word_explode": q_word_explode,
+        "q_upsert_merge": q_upsert_merge,
+        "q_dedup_exact": q_dedup_exact,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_simhash": q_simhash,
+        "q_embedding_topk": q_embedding_topk,
+        "q_ann_lsh": q_ann_lsh,
+        "q_text_stats": q_text_stats,
+        "q_token_count": q_token_count,
+        "q_fingerprint": q_fingerprint,
+        "q_lang_id": q_lang_id,
+        "q_multimodal_meta": q_multimodal_meta,
+        "q_stream_tumbling": q_stream_tumbling,
+        "q_batch_tumbling": q_batch_tumbling,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q_filter_project": Q_FILTER_PROJECT_SQL,
+        "q_top_orders": Q_TOP_ORDERS_SQL,
+        "q_orders_per_nation": Q_ORDERS_PER_NATION_SQL,
+        "q_left_join_counts": Q_LEFT_JOIN_SQL,
+        "q_semi_join": Q_SEMI_JOIN_SQL,
+        "q_anti_join": Q_ANTI_JOIN_SQL,
+        "q_broadcast_join": Q_BROADCAST_JOIN_SQL,
+        "q_cross_join": Q_CROSS_JOIN_SQL,
+        "q_range_join": Q_RANGE_JOIN_SQL,
+        "q_asof_join": Q_ASOF_JOIN_SQL,
+        "q_agg_stats": Q_AGG_STATS_SQL,
+        "q_string_agg": Q_STRING_AGG_SQL,
+        "q_dedup_pk": Q_DEDUP_PK_SQL,
+        "q_rollup": Q_ROLLUP_SQL,
+        "q_cube": Q_CUBE_SQL,
+        "q_topk_per_group": Q_TOPK_PER_GROUP_SQL,
+        "q_window_running": Q_WINDOW_RUNNING_SQL,
+        "q_sort_limit": Q_SORT_LIMIT_SQL,
+        "q_sessionize": Q_SESSIONIZE_SQL,
+        "q_set_ops": Q_SET_OPS_SQL,
+        "q_sanitize": Q_SANITIZE_SQL,
+        "q_filename_sanitize": Q_FILENAME_SANITIZE_SQL,
+        "q_retention": Q_RETENTION_SQL,
+        "q_date_functions": Q_DATE_FUNCTIONS_SQL,
+        "q_json_extract": Q_JSON_EXTRACT_SQL,
+        "q_word_explode": Q_WORD_EXPLODE_SQL,
+        "q_upsert_merge": Q_UPSERT_MERGE_SQL,
+        "q_dedup_exact": Q_DEDUP_EXACT_SQL,
+        "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+        "q_embedding_topk": Q_EMBEDDING_TOPK_SQL,
+        "q_text_stats": Q_TEXT_STATS_SQL,
+        "q_token_count": Q_TOKEN_COUNT_SQL,
+        "q_fingerprint": Q_FINGERPRINT_SQL,
+        "q_lang_id": Q_LANG_ID_SQL,
+        "q_multimodal_meta": Q_MULTIMODAL_META_SQL,
+        "q_stream_tumbling": Q_STREAM_TUMBLING_SQL,
+        "q_batch_tumbling": Q_STREAM_TUMBLING_SQL,
+    }

@@ -1,0 +1,69 @@
+"""Typed table registry over the test-data star schema.
+
+The reference's only "catalog" is runtime introspection of the Postgres
+sink (SharedCode/PGHelperFunction.py:12-34) — schema authority lives
+outside the app. Here the authority is the parquet footer schema; this
+module is the single place that maps logical table names to paths and
+registers them as SQL views.
+
+At 100 TB these would be partitioned external tables (or a metastore);
+the name→path indirection below is the seam where that swaps in.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar vectorized parquet scan; Catalyst prunes columns and
+    pushes predicates into this scan automatically."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # TIMESTAMP(NANOS) columns arrive as bigint nanos (see session.py
+    # nanosAsLong); restore timestamp semantics at microsecond
+    # precision (Spark's native resolution).
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    nano_cols = {"events": ["ts"]}.get(name, [])
+    for c in nano_cols:
+        if isinstance(df.schema[c].dataType, LongType):
+            # integer `div`: double division would lose precision on
+            # ~1.7e18 nano values (> 2^53)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES if os.path.exists(table_path(sf_dir, name))}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` (the
+    engine's full-SQL entry point, cf. the reference's stored-proc
+    escape hatch adffunction/__init__.py:216) can see them."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

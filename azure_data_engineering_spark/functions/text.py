@@ -1,0 +1,97 @@
+"""Text-analysis Column functions for the LLM-data-pipeline surface.
+
+All JVM-side built-ins (no Python UDFs): at 100 TB these run inside
+whole-stage codegen over the parquet scan, with only the projected
+`text` column read (column pruning).
+
+North-star ops from BASELINE.json: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language scorer. Public knowledge (most-frequent function words).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Tokens by whitespace split; empty/blank text counts 0."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish regex token count: runs of letters, runs of digits, and
+    single non-alphanumeric-non-space chars each count as one token."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), F.lit(1)))
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace, trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+
+    md5 (not murmur/xxhash) so fingerprints are portable across engines
+    and stable across Spark versions — they may be persisted as dedup
+    keys."""
+    return F.md5(normalize_text(col))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Quality signal: fraction of characters that are punctuation."""
+    n = F.length(col)
+    p = F.length(F.regexp_replace(col, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p / n)
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = LANG_PROFILES["en"]) -> Column:
+    """Quality signal: fraction of whitespace tokens that are stopwords."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    hits = F.size(F.filter(toks, _isin_pred(stopwords)))
+    total = F.size(toks)
+    return F.when(total == 0, F.lit(0.0)).otherwise(hits / total)
+
+
+def _isin_pred(words: tuple[str, ...]):
+    # single-arity lambda factory: PySpark higher-order functions
+    # require the lambda signature to match exactly (no default args)
+    return lambda t: t.isin(*words)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the language-ID heuristic).
+
+    Returns a dict lang -> integer score column; argmax (with a fixed
+    alphabetical tiebreak) is the detected language. Composable so the
+    caller can build either a struct or a CASE ladder."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    return {lang: F.size(F.filter(toks, _isin_pred(sw))) for lang, sw in LANG_PROFILES.items()}
+
+
+def detect_lang(col: Column) -> Column:
+    """Argmax of lang_scores with deterministic alphabetical tiebreak;
+    'und' (undetermined) when every score is 0."""
+    scores = lang_scores(col)
+    langs = sorted(scores)  # alphabetical tiebreak: first max wins
+    best = F.greatest(*[scores[lang] for lang in langs])
+    out = F.lit("und")
+    # build CASE from last to first so earlier (alphabetical) langs win ties
+    for lang in reversed(langs):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out

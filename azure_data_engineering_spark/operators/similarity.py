@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k (exact). Scale path: random-
+hyperplane LSH bucketing (sign-bit sketch) so each query compares only
+against its bucket — the standard public ANN recipe (Charikar '02;
+Indyk-Motwani '98), expressed as DataFrame ops.
+
+All vector math is Catalyst higher-order functions (functions/
+vectors.py) — JVM codegen, no Python boundary. The broadcast side is
+always the *query* set (assumed small); the corpus side streams.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from azure_data_engineering_spark.functions.vectors import cosine_similarity
+
+
+def _topk_pairs(scored: DataFrame, query_id: str, k: int, round_digits: int | None) -> DataFrame:
+    """Deterministic per-query top-k: order by (rounded) similarity
+    desc, then neighbor id — rounding before ranking keeps the selected
+    set stable under float summation-order differences."""
+    sim = F.round(F.col("cosine"), round_digits) if round_digits else F.col("cosine")
+    w = Window.partitionBy(query_id).orderBy(sim.desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is broadcast (small set); the corpus scan is a single pass
+    with the dot product in codegen — O(|Q|·|C|·d) flops but only one
+    shuffle (the per-query top-k window on |Q|·|C| rows; with the
+    WindowGroupLimit push-down each partition keeps k rows per query).
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return _topk_pairs(scored, "query_id", k, round_digits)
+
+
+def hyperplane_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Sign-bit LSH bucket id: planes pseudo-random hyperplanes with
+    deterministic coefficients h[p][i] = sin(p*dim + i) (fixed, seed-
+    free, reproducible across runs/engines). Returns int bucket."""
+    bucket = F.lit(0)
+    for p in range(planes):
+        coeffs = F.array(*[F.lit(math.sin(p * dim + i)) for i in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: compare each query only against corpus rows in
+    the same hyperplane-sign bucket. 2^planes buckets → ~|C|/2^planes
+    candidates per query; recall is tunable by lowering `planes` or
+    multi-probing. The join is a hash equi-join on bucket (shuffle on
+    the bucket key) instead of a cartesian — this is the 100 TB path.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return _topk_pairs(scored, "query_id", k, round_digits)

@@ -1,0 +1,57 @@
+"""PK-based MERGE/upsert with the reference's exact semantics.
+
+The reference's most query-engine-like code is the generated Postgres
+upsert (SharedCode/PGHelperFunction.py:44-67):
+
+  WITH updates AS (UPDATE target t SET <non-pk cols> FROM source s
+                   WHERE t.pk = s.pk RETURNING s.pk)
+  INSERT INTO target SELECT s.* FROM source s
+  LEFT JOIN updates USING (pk) WHERE updates.pk IS NULL GROUP BY s.pk
+
+i.e. MERGE semantics: update-matched, insert-not-matched, with the
+source deduplicated on PK. The reference's `GROUP BY s_pk` picks an
+*arbitrary* surviving row (PGHelperFunction.py:56); we make that
+deterministic via an explicit order (SURVEY.md §7 hard-parts).
+
+Spark-first implementation: one shuffle on the PK for each side —
+  merged = source-winners ∪ (target ⟕anti source)
+which is exactly `whenMatchedUpdateAll / whenNotMatchedInsertAll`.
+On a Delta/Iceberg table this becomes a metadata-transactional
+`MERGE INTO` (see sources/jdbc.py for the JDBC staging variant that
+mirrors the reference's temp-table COPY at PGHelperFunction.py:74-75).
+
+Scale: both inputs shuffle-hash/sort-merge on pk; AQE handles skewed
+PKs. No broadcast assumption — target is the 100 TB side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+
+from azure_data_engineering_spark.operators.relational import dedup_keep_first
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    pk: Sequence[str],
+    dedup_order: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Return target MERGE source on pk (update-matched,
+    insert-not-matched, source deduped on pk).
+
+    dedup_order: explicit total order for which source row wins per PK
+    (deterministic replacement for PGHelperFunction.py:56's arbitrary
+    `GROUP BY s_pk`). None = source is already unique on pk.
+    """
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"schema mismatch: target={target.columns} source={source.columns}"
+        )
+    source = source.select(*target.columns)  # align column order
+    if dedup_order is not None:
+        source = dedup_keep_first(source, pk, dedup_order)
+    keep_from_target = target.join(source, on=list(pk), how="left_anti")
+    return source.unionByName(keep_from_target)

@@ -1,0 +1,134 @@
+"""Pipeline facade — the engine's public API surface (SURVEY.md §2C).
+
+The reference exposes four HTTP steps routed by `?step=`
+(adffunction/__init__.py:231-307): exceltocsv, blobtopostgres,
+callstoredproc, cleanup. This facade is the same surface as a library:
+
+  ingest_excel(...)   <- step=exceltocsv  (__init__.py:253-267)
+  load_table(...)     <- step=blobtopostgres (__init__.py:237-251)
+  run_sql(...)        <- step=callstoredproc (__init__.py:282-293)
+  maintain(...)       <- step=cleanup (__init__.py:269-280)
+
+Each returns the reference's result contract — status, elapsed
+seconds, counts (cf. `"success. Time Taken- {t2-t1}."`,
+adffunction/__init__.py:106-113) — as a structured dict instead of a
+substring-matched string.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_data_engineering_spark.functions.datetime_utils import retention_match
+from azure_data_engineering_spark.sources.csv_pipe import write_pipe_csv
+from azure_data_engineering_spark.sources.excel import ingest_excel as _ingest_workbook
+from azure_data_engineering_spark.operators.upsert import merge_upsert
+
+
+@dataclass
+class StepResult:
+    """Reference result contract (status + elapsed + counts),
+    structured."""
+
+    status: str
+    seconds: float
+    detail: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def ok(self) -> bool:
+        return self.status == "success"
+
+
+def _timed(fn: Callable[[], dict[str, Any]]) -> StepResult:
+    t1 = time.perf_counter()
+    try:
+        detail = fn()
+    except Exception as exc:  # mirror the reference's Error-string contract
+        return StepResult("error", time.perf_counter() - t1, {"error": repr(exc)})
+    return StepResult("success", time.perf_counter() - t1, detail)
+
+
+def ingest_excel(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    sheet_list: str = "all",
+    overwrite: bool = False,
+    sanitize: bool = True,
+    workbook_loader=None,
+) -> StepResult:
+    """step=exceltocsv: workbook → one pipe-CSV folder per sheet, named
+    `{sanitized_basename}_{sheet}` (HelperFunction.py:30-31); overwrite
+    reproduces remove_file_in_to_blob pre-truncate
+    (__init__.py:78-80)."""
+
+    def run() -> dict[str, Any]:
+        frames = _ingest_workbook(spark, src_path, sheet_list, sanitize, workbook_loader)
+        for name, df in frames.items():
+            write_pipe_csv(df, f"{dst_path}/{name}", mode="overwrite" if overwrite else "error")
+        return {"sheets": sorted(frames), "files": len(frames)}
+
+    return _timed(run)
+
+
+def load_table(
+    target: DataFrame,
+    source: DataFrame,
+    pk: list[str],
+    mode: str = "upsert",
+) -> StepResult:
+    """step=blobtopostgres semantics on DataFrames: append or PK-upsert
+    (insert → COPY append, __init__.py:166-168; upsert →
+    PGHelperFunction.py MERGE). Returns the merged frame in detail
+    (caller writes it to its sink — JDBC via sources/jdbc.py)."""
+
+    def run() -> dict[str, Any]:
+        if mode == "append":
+            out = target.unionByName(source)
+        elif mode == "upsert":
+            out = merge_upsert(target, source, pk, dedup_order=[F.col(c) for c in pk])
+        else:
+            raise ValueError(f"mode must be append|upsert, got {mode!r}")
+        return {"result": out, "rows": out.count()}
+
+    return _timed(run)
+
+
+def maintain(
+    listing: DataFrame,
+    name_col: str,
+    linkedservice: str,
+    datafactory: str,
+    reference_date,
+    daydiff: int = -5,
+) -> StepResult:
+    """step=cleanup: retention sweep — returns the doomed names
+    (HelperFunction.py:112-123 deletes them; deletion is the caller's
+    side effect, selection is the engine's job)."""
+
+    def run() -> dict[str, Any]:
+        doomed = listing.filter(
+            retention_match(F.col(name_col), linkedservice, datafactory, reference_date, daydiff)
+        )
+        names = [r[0] for r in doomed.select(name_col).collect()]
+        return {"to_delete": names, "n": len(names)}
+
+    return _timed(run)
+
+
+def run_sql(spark: SparkSession, sql: str) -> StepResult:
+    """step=callstoredproc: the reference delegates arbitrary relational
+    SQL to Postgres (__init__.py:216); our engine owns that surface —
+    full Spark SQL over the registered views."""
+
+    def run() -> dict[str, Any]:
+        df = spark.sql(sql)
+        return {"result": df, "rows": df.count()}
+
+    return _timed(run)

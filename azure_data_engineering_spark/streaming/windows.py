@@ -1,0 +1,129 @@
+"""Structured Streaming surface over the events stream.
+
+The reference has no streaming (its closest analog is the ADF-triggered
+batch pipeline); this is north-star surface from BASELINE.json. Design:
+`readStream` → event-time windowed aggregation with watermarks for late
+data → sink. Each transform takes/returns a DataFrame so the SAME
+function works on a batch frame (oracle-checkable) and a streaming
+frame (incremental) — Structured Streaming's core contract.
+
+Scale: stateful aggregation state is partitioned by (group keys,
+window); watermarks bound state size — without them a 100 TB stream
+accumulates unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per (event_type, tumbling window): count + sum(value). Works on
+    batch and streaming frames identically."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), window_len).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.col("sum_value"),
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in len/slide
+    windows)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), window_len, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows (gap-based) per user — the streaming twin of
+    operators/window_ops.sessionize (same boundaries)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "2 hours", ts_col: str = "ts") -> DataFrame:
+    """Stateful streaming dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps only in-watermark keys."""
+    src = events.withWatermark(ts_col, watermark)
+    return src.dropDuplicatesWithinWatermark(keys)
+
+
+def run_stream_to_table(
+    spark: SparkSession,
+    parquet_path: str,
+    transform,
+    table_name: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Run a streaming transform over a parquet folder with
+    trigger=availableNow into an in-memory sink table, blocking until
+    the backlog drains; returns the result as a batch DataFrame.
+
+    This executes the REAL incremental engine (micro-batches, state
+    store, watermarks) over file input — the pattern for oracle-
+    checking streaming semantics against batch SQL."""
+    import os
+    import tempfile
+
+    batch = spark.read.parquet(parquet_path)
+    # the file stream source requires a directory; for a single-file
+    # table, stream a scratch dir holding a symlink to it
+    if os.path.isfile(parquet_path):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(os.path.abspath(parquet_path), os.path.join(d, os.path.basename(parquet_path)))
+        parquet_path = d
+    stream = spark.readStream.schema(batch.schema).parquet(parquet_path)
+    # TIMESTAMP(NANOS) parquet arrives as bigint nanos (see
+    # session.py nanosAsLong); restore event-time semantics so
+    # watermarks/windows see a timestamp column
+    from pyspark.sql.types import LongType
+
+    for field in batch.schema:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)

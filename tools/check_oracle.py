@@ -1,0 +1,124 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every `queries()` entry on Spark and its `oracle_sql()` on DuckDB
+over the same sf dir, then compares row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted). Floats
+are compared exactly AND with tolerance — an exact mismatch with tiny
+diff means a rounding convention is missing somewhere.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from azure_data_engineering_spark.catalog import TABLES, table_path
+from azure_data_engineering_spark.session import get_spark
+
+
+def canon(df_pandas):
+    cols = sorted(df_pandas.columns)
+    out = df_pandas[cols]
+    rows = []
+    for row in out.itertuples(index=False):
+        rows.append(tuple(_c(v) for v in row))
+    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def _c(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def values_equal(a, b):
+    if type(a) is float and type(b) is float:
+        return a == b or math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if "/" not in a)
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+
+    import time
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark query raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        elapsed = f"{time.time() - t0:.1f}s"
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows (no oracle) [{elapsed}]")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"FAIL {name}: oracle SQL raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        scols, srows = canon(sdf)
+        ocols, orows = canon(odf)
+        if scols != ocols:
+            print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+            n_fail += 1
+            continue
+        bad = exact_bad = 0
+        first = None
+        for sr, orr in zip(srows, orows):
+            for sv, ov in zip(sr, orr):
+                if not values_equal(sv, ov):
+                    bad += 1
+                    if first is None:
+                        first = (sr, orr)
+                elif sv != ov and not (isinstance(sv, float) and isinstance(ov, float) and math.isnan(sv)):
+                    exact_bad += 1
+                    if first is None:
+                        first = (sr, orr)
+        if bad:
+            print(f"FAIL {name}: {bad} value mismatches; first: spark={first[0]} oracle={first[1]}")
+            n_fail += 1
+        elif exact_bad:
+            print(f"WARN {name}: exact-equality drift on {exact_bad} values (driver hash may fail); first: spark={first[0]} oracle={first[1]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows [{elapsed}]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
