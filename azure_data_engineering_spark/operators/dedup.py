@@ -152,6 +152,12 @@ def ngram_jaccard_pairs(
     ex = base.select("id", "n_sh", *(["blk"] if block_col else []), F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
+    # length-ratio prune (exact, not heuristic): J >= t implies
+    # min(|A|,|B|)/max(|A|,|B|) >= t, so pairs violating
+    # t*max <= min can never reach the threshold — cuts the inverted-
+    # index pair blowup before the intersection groupBy shuffle
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    cond = cond & (F.greatest(na, nb) * threshold <= F.least(na, nb))
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
     inter = (

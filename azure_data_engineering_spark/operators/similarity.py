@@ -60,13 +60,13 @@ def brute_force_top_k(
     return _topk_pairs(scored, "query_id", k, round_digits)
 
 
-def hyperplane_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
-    """Sign-bit LSH bucket id: planes pseudo-random hyperplanes with
-    deterministic coefficients h[p][i] = sin(p*dim + i) (fixed, seed-
-    free, reproducible across runs/engines). Returns int bucket."""
+def hyperplane_bucket(vec: Column, dim: int, planes: int = 8, table: int = 0) -> Column:
+    """Sign-bit LSH bucket id: `planes` pseudo-random hyperplanes with
+    deterministic coefficients h[p][i] = sin((table*planes + p)*dim + i)
+    (fixed, seed-free, reproducible across runs). Returns int bucket."""
     bucket = F.lit(0)
     for p in range(planes):
-        coeffs = F.array(*[F.lit(math.sin(p * dim + i)) for i in range(dim)])
+        coeffs = F.array(*[F.lit(math.sin((table * planes + p) * dim + i)) for i in range(dim)])
         proj = F.aggregate(
             F.zip_with(vec, coeffs, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
@@ -84,29 +84,38 @@ def lsh_bucketed_top_k(
     vec_col: str = "embedding",
     k: int = 10,
     planes: int = 8,
+    tables: int = 4,
     round_digits: int | None = 6,
 ) -> DataFrame:
-    """Approximate top-k: compare each query only against corpus rows in
-    the same hyperplane-sign bucket. 2^planes buckets → ~|C|/2^planes
-    candidates per query; recall is tunable by lowering `planes` or
-    multi-probing. The join is a hash equi-join on bucket (shuffle on
-    the bucket key) instead of a cartesian — this is the 100 TB path.
+    """Approximate top-k via multi-table hyperplane LSH: `tables`
+    independent hash tables of 2^planes buckets each; a pair is a
+    candidate if it collides in ANY table (standard (planes, tables)
+    LSH amplification — recall rises with tables, candidate count with
+    1/2^planes). The join is a hash equi-join on (table, bucket)
+    instead of a cartesian — this is the 100 TB path; candidates per
+    query ≈ tables·|C|/2^planes.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        hyperplane_bucket(F.col(vec_col), dim, planes).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        hyperplane_bucket(F.col(vec_col), dim, planes).alias("bucket"),
-    )
-    scored = (
+
+    def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        buckets = F.array(
+            *[hyperplane_bucket(F.col(vec_col), dim, planes, t) for t in range(tables)]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.posexplode(buckets).alias("table", "bucket"),
+        )
+
+    q = banded(queries, "query_id", "q_vec")
+    c = banded(corpus, "neighbor_id", "c_vec")
+    candidates = (
         F.broadcast(q)
-        .join(c, ["bucket"])
+        .join(c, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
-        .select("query_id", "neighbor_id", "cosine")
+        # a pair colliding in several tables appears several times;
+        # cosine is identical, so dedupe by key
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cosine").alias("cosine"))
     )
-    return _topk_pairs(scored, "query_id", k, round_digits)
+    return _topk_pairs(candidates, "query_id", k, round_digits)

@@ -1,0 +1,101 @@
+"""Dedup operator tests: exact, minhash recall, simhash locality,
+jaccard correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azure_data_engineering_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+
+
+def _corpus_with_near_dups(spark, sf_dir, tail=" tiny tail"):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    near = (
+        d.filter((F.col("doc_id") % 5 == 0) & (F.col("n_chars") > 150))
+        .withColumn("doc_id", F.col("doc_id") + 50_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(tail)))
+    )
+    return d.unionByName(near), near.count()
+
+
+class TestExactDedup:
+    def test_injected_duplicates_collapse(self, spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        dup = d.withColumn("doc_id", F.col("doc_id") + 100_000)
+        out = exact_dedup(d.unionByName(dup), "text", "doc_id")
+        rows = out.collect()
+        assert len(rows) == d.count()
+        assert all(r["dup_count"] == 2 for r in rows)
+        # canonical id is the min — original ids survive
+        assert all(r["doc_id"] < 100_000 for r in rows)
+
+    def test_normalization_collapses_case_and_punct(self, spark):
+        df = spark.createDataFrame([(1, "Hello, World"), (2, "hello world!")], "doc_id int, text string")
+        assert exact_dedup(df, "text", "doc_id").count() == 1
+
+
+class TestShingles:
+    def test_values(self, spark):
+        out = spark.range(1).select(shingles(F.lit("a b c d"), 3).alias("s")).collect()[0]["s"]
+        assert sorted(out) == ["a b c", "b c d"]
+
+    def test_short_doc_partial(self, spark):
+        out = spark.range(1).select(shingles(F.lit("a b"), 3).alias("s")).collect()[0]["s"]
+        assert out == ["a b"]
+
+
+class TestMinhashRecall:
+    def test_finds_injected_near_dups(self, spark, sf_dir):
+        corpus, n_pairs = _corpus_with_near_dups(spark, sf_dir)
+        truth = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(corpus, "text", "doc_id", 0.7).collect()
+            if r["id_b"] == r["id_a"] + 50_000
+        }
+        assert truth, "fixture should produce high-jaccard pairs"
+        cand = {
+            (r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(corpus, "text", "doc_id").collect()
+        }
+        recall = len(truth & cand) / len(truth)
+        assert recall >= 0.9, f"LSH recall {recall} too low (truth={len(truth)})"
+
+
+class TestSimhash:
+    def test_near_dups_have_small_hamming_distance(self, spark, sf_dir):
+        corpus, _ = _corpus_with_near_dups(spark, sf_dir)
+        sh = simhash(corpus, "text").select("doc_id", "simhash")
+        orig = sh.filter(F.col("doc_id") < 50_000).withColumnRenamed("simhash", "h1")
+        near = sh.filter(F.col("doc_id") >= 50_000).withColumn(
+            "doc_id", F.col("doc_id") - 50_000
+        ).withColumnRenamed("simhash", "h2")
+        joined = orig.join(near, "doc_id").select(
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("ham")
+        )
+        avg_near = joined.agg(F.avg("ham")).collect()[0][0]
+        # random 64-bit pairs differ in ~32 bits; near-dups far less
+        assert avg_near < 16, f"near-dup avg hamming {avg_near}"
+
+    def test_deterministic(self, spark):
+        df = spark.createDataFrame([(1, "some stable text here")], "doc_id int, text string")
+        a = simhash(df, "text").collect()[0]["simhash"]
+        b = simhash(df, "text").collect()[0]["simhash"]
+        assert a == b
+
+
+class TestJaccard:
+    def test_exact_value(self, spark):
+        # shingle sets: {a b c, b c d} vs {a b c} -> J = 1/2
+        df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], "doc_id int, text string")
+        rows = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.4).collect()
+        assert len(rows) == 1
+        assert abs(rows[0]["jaccard"] - 0.5) < 1e-9
+
+    def test_threshold_filters(self, spark):
+        df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], "doc_id int, text string")
+        assert ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.6).count() == 0

@@ -1,0 +1,53 @@
+"""Plan-shape tests — the 100 TB discipline enforced via .explain
+(pushdown, broadcast, no cartesian where not intended)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from azure_data_engineering_spark.plans.inspect import (
+    assert_no_cartesian,
+    assert_pushed_filters,
+    formatted_plan,
+)
+
+
+def test_filter_pushes_into_parquet_scan(spark, sf_dir):
+    df = entrymod.q_filter_project(spark, sf_dir)
+    assert_pushed_filters(df, "o_totalprice")
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    df = entrymod.q_filter_project(spark, sf_dir)
+    plan = formatted_plan(df)
+    # ReadSchema should not include unused columns like o_orderdate
+    assert "o_orderdate" not in plan
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_broadcast_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert_no_cartesian(entrymod.q_broadcast_join(spark, sf_dir))
+
+
+def test_anti_join_strategy(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_anti_join(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_top_k_uses_take_ordered(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_sort_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_group_has_window_group_limit(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_topk_per_group(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_minhash_has_no_cartesian(spark, sf_dir):
+    assert_no_cartesian(entrymod.q_dedup_minhash(spark, sf_dir))
+
+
+def test_asof_dim_is_broadcast(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_asof_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

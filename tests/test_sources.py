@@ -1,0 +1,92 @@
+"""Connector tests: pipe-CSV round trip, Excel ingest fan-out,
+file listing, multimodal plumbing."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from azure_data_engineering_spark.sources.csv_pipe import read_pipe_csv, write_pipe_csv
+from azure_data_engineering_spark.sources.excel import ingest_excel, sanitize_basename, select_sheets
+from azure_data_engineering_spark.sources.listing import list_files
+from azure_data_engineering_spark.sources.multimodal import decode_metadata, with_binary_payload
+
+
+class TestPipeCsv:
+    def test_round_trip_all_string(self, spark, tmp_path):
+        df = spark.createDataFrame([("a", "1"), ("b", "2")], "c0 string, c1 string")
+        path = str(tmp_path / "out")
+        write_pipe_csv(df, path)
+        back = read_pipe_csv(spark, path)
+        assert sorted(map(tuple, back.collect())) == [("a", "1"), ("b", "2")]
+        # reference semantics: headerless, all-string
+        assert all(f.dataType.simpleString() == "string" for f in back.schema)
+
+    def test_overwrite_truncates(self, spark, tmp_path):
+        path = str(tmp_path / "out")
+        write_pipe_csv(spark.createDataFrame([("x",)], "c string"), path)
+        write_pipe_csv(spark.createDataFrame([("y",)], "c string"), path, mode="overwrite")
+        assert [r["_c0"] for r in read_pipe_csv(spark, path).collect()] == ["y"]
+
+
+FAKE_BOOK = {
+    "Data": [["h1", "h2"], ["a,b", "c'd"], ["x/y", "é"]],
+    "Other": [["1"]],
+}
+
+
+class TestExcelIngest:
+    def test_basename_sanitization(self):
+        # HelperFunction.py:18-19
+        assert sanitize_basename("/tmp/My Book-2024 (v2).xlsx") == "MyBook2024v2"
+
+    def test_sheet_selection(self):
+        # HelperFunction.py:22-25
+        assert select_sheets(["A", "B", "C"], "all") == ["A", "B", "C"]
+        assert select_sheets(["A", "B", "C"], "B, C") == ["B", "C"]
+        assert select_sheets(["A"], "missing") == []
+
+    def test_fan_out_naming_and_content(self, spark):
+        out = ingest_excel(spark, "/x/Src Book.xlsx", workbook_loader=lambda p: FAKE_BOOK)
+        assert set(out) == {"SrcBook_Data", "SrcBook_Other"}
+        rows = [tuple(r) for r in out["SrcBook_Data"].collect()]
+        # no header handling: the header row is data (HelperFunction.py:34-42)
+        assert ("h1", "h2") in rows
+
+    def test_sanitize_opt_in(self, spark):
+        out = ingest_excel(spark, "/x/b.xlsx", sanitize=True, workbook_loader=lambda p: FAKE_BOOK)
+        rows = sorted(tuple(r) for r in out["b_Data"].collect())
+        assert ("ab", "cd") in rows  # comma and quote deleted
+        assert ("x-y", "") in rows  # slash->dash, non-ascii stripped
+
+    def test_ragged_rows_padded(self, spark):
+        book = {"S": [["a"], ["b", "c"]]}
+        out = ingest_excel(spark, "/x/r.xlsx", workbook_loader=lambda p: book)
+        rows = sorted(tuple(r) for r in out["r_S"].collect())
+        assert rows == [("a", ""), ("b", "c")]
+
+
+class TestListing:
+    def test_lists_metadata(self, spark, sf_dir):
+        df = list_files(spark, sf_dir, glob="*.parquet")
+        names = {r["name"] for r in df.collect()}
+        assert "lineitem.parquet" in names
+        assert df.filter(F.col("length") <= 0).count() == 0
+
+    def test_name_predicates_like_reference(self, spark, sf_dir):
+        # skip placeholder / non-xls filters (__init__.py:97-102) as
+        # pushed-down DataFrame filters over the listing
+        df = list_files(spark, sf_dir)
+        kept = df.filter(~F.col("name").startswith("placeholder") & F.col("name").endswith(".parquet"))
+        assert kept.count() == df.count()
+
+
+class TestMultimodal:
+    def test_plumbing_schema_and_determinism(self, spark):
+        df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id bigint, text string")
+        out = decode_metadata(with_binary_payload(df, "text", "doc_id"))
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[1]["n_bytes"] == 3 and rows[1]["width"] == 4 and rows[1]["height"] == 4
+        assert rows[2]["n_bytes"] == 0
+        assert rows[1]["media_type"] == "image/fake"
