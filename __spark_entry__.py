@@ -1019,6 +1019,324 @@ def q_batch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- connectors as queries
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe-CSV connector end-to-end: write a lineitem slice as
+    reference-style pipe CSV (sep='|', headerless —
+    HelperFunction.py:30-32), read it back typed, aggregate. Oracle
+    aggregates the same slice straight from parquet."""
+    import tempfile
+
+    from azure_data_engineering_spark.sources.csv_pipe import read_pipe_csv, write_pipe_csv
+
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_")
+    write_pipe_csv(l, path, mode="overwrite")
+    back = read_pipe_csv(
+        spark, path,
+        schema=__import__("pyspark.sql.types", fromlist=["StructType"]).StructType.fromDDL(
+            "l_orderkey bigint, l_linenumber int, l_quantity double, l_returnflag string"
+        ),
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+Q_CSV_ROUNDTRIP_SQL = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_orderkey < 500
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-listing scan as a DataFrame (the reference's blob listing,
+    __init__.py:82,148) — names under the table directory."""
+    from azure_data_engineering_spark.sources.listing import list_files
+
+    return list_files(spark, sf_dir, glob="*.parquet").select("name").orderBy("name")
+
+
+# NOTE: oracle fixed at the driver's correctness SF (0.01) — the only
+# sf the driver runs oracles at; Spark side uses the passed sf_dir.
+Q_FILE_LISTING_SQL = """
+SELECT regexp_extract(file, '([^/]+)$', 1) AS name
+FROM glob('/root/testdata/sf0.01/*.parquet') ORDER BY name
+"""
+
+
+# ----------------------------------------------------- more window shapes
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30m slide): each event lands in
+    exactly 2 windows."""
+    from azure_data_engineering_spark.streaming.windows import sliding_counts
+
+    e = _t(spark, sf_dir, "events")
+    return sliding_counts(e, "1 hour", "30 minutes").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+Q_SLIDING_WINDOW_SQL = """
+WITH buckets AS (
+  SELECT event_type,
+         unnest([to_timestamp(floor(epoch(ts) / 1800) * 1800),
+                 to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)]) AS ws
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n_events
+FROM buckets GROUP BY ws, event_type
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (gap 30m) on the batch frame — same
+    boundaries as the gaps-and-islands oracle (and as
+    operators/window_ops.sessionize)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank (ties on acctbal), ntile + percent_rank over a
+    total order (unique tiebreak → deterministic across engines)."""
+    c = _t(spark, sf_dir, "customer")
+    w_ties = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    w_total = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.round(F.percent_rank().over(w_total), 6).alias("pct_rank"),
+    )
+
+
+Q_RANK_FUNCTIONS_SQL = """
+SELECT c_custkey, c_mktsegment,
+       rank() OVER w_ties AS rnk,
+       dense_rank() OVER w_ties AS drnk,
+       ntile(4) OVER w_total AS quartile,
+       round(percent_rank() OVER w_total, 6) AS pct_rank
+FROM customer
+WINDOW w_ties AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC),
+       w_total AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+# --------------------------------------------------------- SQL-entry shapes
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the engine's SQL entry point (the
+    reference's stored-proc escape hatch owns arbitrary SQL —
+    __init__.py:216; here the engine owns it)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (orderstatus → columns) with explicit value list."""
+    o = _t(spark, sf_dir, "orders")
+    p = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    ).orderBy("o_orderpriority")
+
+
+Q_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + IN + correlated-EXISTS subqueries via the SQL entry."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_sq c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_sq)
+          AND c_custkey IN (SELECT o_custkey FROM orders_sq WHERE o_totalprice > 100000)
+          AND EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        """
+    )
+
+
+Q_SUBQUERIES_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+# ------------------------------------------------------- scalar fn packs
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String pack: translate/upper/lower/substring/lpad/instr/reverse
+    (reference scalar surface, HelperFunction.py:18-19,36-41)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("translated"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+Q_STRING_FUNCTIONS_SQL = """
+SELECT p_partkey,
+       translate(p_name, 'aeiou', 'AEIOU') AS translated,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       substring(p_name, 1, 5) AS name_prefix,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       strpos(p_name, 'a') AS first_a,
+       reverse(p_brand) AS brand_rev
+FROM part
+"""
+
+
+def q_cast_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math/cast pack: abs/floor/ceil/mod/sqrt/ln rounded where libm
+    may differ; floor/ceil/mod exact."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("int").alias("price_int"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.ceil("o_totalprice").cast("bigint").alias("price_ceil"),
+        (F.col("o_orderkey") % 97).alias("key_mod"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("abs_diff"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+    )
+
+
+Q_CAST_MATH_SQL = """
+SELECT o_orderkey,
+       CAST(trunc(o_totalprice) AS INTEGER) AS price_int,  -- Spark cast truncates; DuckDB rounds
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+       o_orderkey % 97 AS key_mod,
+       abs(o_totalprice - 100000.0) AS abs_diff,
+       round(sqrt(o_totalprice), 6) AS price_sqrt,
+       round(ln(o_totalprice), 6) AS price_ln
+FROM orders WHERE o_orderkey < 3000
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.median("o_totalprice"), 4).alias("med"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(median(o_totalprice), 4) AS med
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar + count_if."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            # corr/covar on strongly-correlated pairs: near-zero
+            # correlations amplify single-pass cancellation noise
+            # beyond any rounding convention
+            F.round(
+                F.corr("l_extendedprice", F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("price_disc_corr"),
+            F.round(
+                F.covar_samp("l_extendedprice", F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 1e6, 4
+            ).alias("price_disc_covar_m"),
+            F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_STATS_AGG_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(var_samp(l_quantity), 4) AS qty_var,
+       round(corr(l_extendedprice, l_extendedprice * (1 - l_discount)), 6) AS price_disc_corr,
+       round(covar_samp(l_extendedprice, l_extendedprice * (1 - l_discount)) / 1e6, 4) AS price_disc_covar_m,
+       count(*) FILTER (WHERE l_quantity > 25) AS n_bulk
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1070,6 +1388,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_meta": q_multimodal_meta,
         "q_stream_tumbling": q_stream_tumbling,
         "q_batch_tumbling": q_batch_tumbling,
+        "q_csv_roundtrip": q_csv_roundtrip,
+        "q_file_listing": q_file_listing,
+        "q_sliding_window": q_sliding_window,
+        "q_session_window": q_session_window,
+        "q_rank_functions": q_rank_functions,
+        "q_grouping_sets": q_grouping_sets,
+        "q_pivot": q_pivot,
+        "q_subqueries": q_subqueries,
+        "q_string_functions": q_string_functions,
+        "q_cast_math": q_cast_math,
+        "q_percentiles": q_percentiles,
+        "q_stats_agg": q_stats_agg,
     }
 
 
@@ -1113,4 +1443,16 @@ def oracle_sql() -> dict[str, str]:
         "q_multimodal_meta": Q_MULTIMODAL_META_SQL,
         "q_stream_tumbling": Q_STREAM_TUMBLING_SQL,
         "q_batch_tumbling": Q_STREAM_TUMBLING_SQL,
+        "q_csv_roundtrip": Q_CSV_ROUNDTRIP_SQL,
+        "q_file_listing": Q_FILE_LISTING_SQL,
+        "q_sliding_window": Q_SLIDING_WINDOW_SQL,
+        "q_session_window": Q_SESSIONIZE_SQL,
+        "q_rank_functions": Q_RANK_FUNCTIONS_SQL,
+        "q_grouping_sets": Q_GROUPING_SETS_SQL,
+        "q_pivot": Q_PIVOT_SQL,
+        "q_subqueries": Q_SUBQUERIES_SQL,
+        "q_string_functions": Q_STRING_FUNCTIONS_SQL,
+        "q_cast_math": Q_CAST_MATH_SQL,
+        "q_percentiles": Q_PERCENTILES_SQL,
+        "q_stats_agg": Q_STATS_AGG_SQL,
     }
