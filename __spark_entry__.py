@@ -1337,6 +1337,195 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# --------------------------------------------- more LLM-pipeline operators
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: corpus gets planted
+    exact-duplicate vectors; pairs with cosine >= 0.99 are dups.
+    Brute-force pair scan bounded to a deterministic sample (the scale
+    path is lsh_bucketed_top_k / q_ann_lsh)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    planted = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    corpus = emb.unionByName(planted)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from azure_data_engineering_spark.functions.vectors import cosine_similarity
+
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= 0.99)
+    )
+    return pairs.select("id_a", "id_b", "cos")
+
+
+Q_EMBEDDING_NEARDUP_SQL = """
+WITH sample_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id % 5 = 0),
+corpus AS (
+  SELECT vec_id, v FROM sample_emb
+  UNION ALL SELECT vec_id + 100000, v FROM sample_emb WHERE vec_id % 25 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (token count, char length,
+    punct + stopword ratios) with a keep/drop verdict — the filter
+    stage of a training-data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = whitespace_token_count(F.col("text"))
+    score = (
+        F.when(n_tok.between(20, 1000), 0.4).otherwise(0.0)
+        + F.when(F.length("text").between(100, 10000), 0.3).otherwise(0.0)
+        + F.when(punct_ratio(F.col("text")) < 0.1, 0.2).otherwise(0.0)
+        + F.when(stopword_ratio(F.col("text")) > 0.01, 0.1).otherwise(0.0)
+    )
+    return d.select(
+        "doc_id",
+        F.round(score, 2).alias("quality"),
+        (F.round(score, 2) >= 0.7).alias("keep"),
+    )
+
+
+Q_QUALITY_SCORE_SQL = """
+WITH feats AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+         length(text) AS n_chars,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+                   / length(text) END AS p_ratio,
+         CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS sw_ratio
+  FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN p_ratio < 0.1 THEN 0.2 ELSE 0.0 END
+           + CASE WHEN sw_ratio > 0.01 THEN 0.1 ELSE 0.0 END, 2) AS quality,
+       round(CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN p_ratio < 0.1 THEN 0.2 ELSE 0.0 END
+           + CASE WHEN sw_ratio > 0.01 THEN 0.1 ELSE 0.0 END, 2) >= 0.7 AS keep
+FROM feats
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: each binary payload yields
+    n_bytes div 100 'frames' (deterministic fake — a real build swaps
+    in ffmpeg) exploded to one row per sampled frame via mapInPandas."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    binary = with_binary_payload(d, "text", "doc_id", media_type="video/fake")
+
+    def sample_frames(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                n_frames = len(row["payload"]) // 100
+                for i in range(n_frames):
+                    out.append((row["id"], i, len(row["payload"]), i * 100))
+            yield pd.DataFrame(out, columns=["id", "frame_no", "n_bytes", "offset"])
+
+    return binary.mapInPandas(
+        sample_frames, schema="id bigint, frame_no int, n_bytes int, offset int"
+    )
+
+
+Q_MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id AS id,
+       CAST(unnest(range(octet_length(encode(text)) // 100)) AS INTEGER) AS frame_no,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(unnest(range(octet_length(encode(text)) // 100)) * 100 AS INTEGER) AS offset
+FROM documents WHERE doc_id < 200
+"""
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array op pack over tokenized text: size/contains/distinct/sorted
+    head."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias("first_token"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), -1).alias("last_token"),
+    )
+
+
+Q_ARRAY_FUNCTIONS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+       len(list_distinct(string_split(text, ' '))) AS n_unique,
+       list_sort(list_distinct(string_split(text, ' ')))[1] AS first_token,
+       list_sort(list_distinct(string_split(text, ' ')))[-1] AS last_token
+FROM documents
+"""
+
+
+def q_maxby_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax) aggregates — pick the row attribute at the
+    group's extreme."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_MAXBY_SQL = """
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice) AS biggest_order,
+       arg_min(o_orderkey, o_totalprice) AS smallest_order,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows through the REAL streaming engine (availableNow,
+    complete mode) — oracle = batch sliding SQL."""
+    import os
+
+    from azure_data_engineering_spark.streaming.windows import sliding_counts
+
+    result = run_stream_to_table(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        lambda s: sliding_counts(s, "1 hour", "30 minutes", "2 hours"),
+        table_name="stream_sliding_sink",
+        output_mode="complete",
+    )
+    return result.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1400,6 +1589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cast_math": q_cast_math,
         "q_percentiles": q_percentiles,
         "q_stats_agg": q_stats_agg,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_quality_score": q_quality_score,
+        "q_multimodal_frames": q_multimodal_frames,
+        "q_array_functions": q_array_functions,
+        "q_maxby_aggregates": q_maxby_aggregates,
+        "q_stream_sliding": q_stream_sliding,
     }
 
 
@@ -1455,4 +1650,10 @@ def oracle_sql() -> dict[str, str]:
         "q_cast_math": Q_CAST_MATH_SQL,
         "q_percentiles": Q_PERCENTILES_SQL,
         "q_stats_agg": Q_STATS_AGG_SQL,
+        "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
+        "q_quality_score": Q_QUALITY_SCORE_SQL,
+        "q_multimodal_frames": Q_MULTIMODAL_FRAMES_SQL,
+        "q_array_functions": Q_ARRAY_FUNCTIONS_SQL,
+        "q_maxby_aggregates": Q_MAXBY_SQL,
+        "q_stream_sliding": Q_SLIDING_WINDOW_SQL,
     }
