@@ -1526,6 +1526,100 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- pandas-UDF surface
+
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF (Arrow-batched, vectorized) — same semantics
+    as the JVM-side whitespace_token_count, proving the UDF infra
+    against the same oracle."""
+    from azure_data_engineering_spark.operators.pandas_ops import vectorized_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", vectorized_token_count(F.col("text")).alias("ws_tokens"))
+
+
+Q_PANDAS_UDF_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens
+FROM documents
+"""
+
+
+def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-user event profile (count, value
+    sum, mean inter-event gap) — per-group pandas logic after one
+    shuffle on user_id."""
+    from azure_data_engineering_spark.operators.pandas_ops import user_event_profile
+
+    e = _t(spark, sf_dir, "events")
+    return user_event_profile(e)
+
+
+Q_GROUPED_MAP_SQL = """
+WITH gaps AS (
+  SELECT user_id, value,
+         epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+  FROM events
+)
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+       round(avg(gap), 1) AS mean_gap_sec
+FROM gaps GROUP BY user_id
+"""
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage salted aggregation — identical results to a
+    direct groupBy (the oracle IS the direct groupBy), with a hot key
+    spread over 16 reducers in stage 1."""
+    from azure_data_engineering_spark.operators.relational import salted_aggregate
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        l,
+        ["l_returnflag"],
+        {
+            "n": ("count", "l_quantity"),
+            "sum_qty": ("sum", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "min_price",
+        "max_price",
+    ).orderBy("l_returnflag")
+
+
+Q_SALTED_AGG_SQL = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    lifetime per-user totals accumulated in the state store. Rows-only
+    check (update-mode emission per micro-batch isn't SQL-expressible);
+    single-batch equivalence to groupBy is tested in
+    tests/test_streaming.py."""
+    import os
+
+    from azure_data_engineering_spark.streaming.stateful import running_user_totals
+
+    return run_stream_to_table(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        running_user_totals,
+        table_name="stateful_totals_sink",
+        output_mode="update",
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1595,6 +1689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_functions": q_array_functions,
         "q_maxby_aggregates": q_maxby_aggregates,
         "q_stream_sliding": q_stream_sliding,
+        "q_pandas_udf": q_pandas_udf,
+        "q_grouped_map": q_grouped_map,
+        "q_salted_agg": q_salted_agg,
+        "q_stateful_stream": q_stateful_stream,
     }
 
 
@@ -1656,4 +1754,7 @@ def oracle_sql() -> dict[str, str]:
         "q_array_functions": Q_ARRAY_FUNCTIONS_SQL,
         "q_maxby_aggregates": Q_MAXBY_SQL,
         "q_stream_sliding": Q_SLIDING_WINDOW_SQL,
+        "q_pandas_udf": Q_PANDAS_UDF_SQL,
+        "q_grouped_map": Q_GROUPED_MAP_SQL,
+        "q_salted_agg": Q_SALTED_AGG_SQL,
     }

@@ -1,0 +1,61 @@
+"""Pandas-UDF operator surface (SURVEY.md §2B "UDF surface").
+
+The rule for this engine: built-ins first, Pandas UDFs only where the
+semantics genuinely need Python (here: demonstrating the Arrow-batched
+infrastructure the multimodal/text extensions plug into). Every entry
+is Arrow-batched — never row-at-a-time Python UDFs (10-100x slower).
+
+- scalar pandas_udf: vectorized column → column, executed per Arrow
+  batch inside the stage (no shuffle).
+- applyInPandas (grouped map): one pandas frame per group after a
+  hash shuffle on the keys — the escape hatch for per-group logic the
+  built-ins can't express. Groups must fit in executor memory; at
+  100 TB that means high-cardinality keys only (user_id, doc_id), or
+  pre-aggregation first.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def vectorized_token_count(col):
+    """Scalar Pandas UDF: whitespace token count, vectorized over the
+    Arrow batch (blank → 0, matching functions/text.py semantics).
+    The udf is constructed lazily — the DDL type parse needs an active
+    SparkSession, so module import must stay session-free."""
+
+    @pandas_udf("int")
+    def _count(text: pd.Series) -> pd.Series:
+        stripped = text.fillna("").str.strip()
+        return (
+            stripped.str.split(r"\s+", regex=True).map(len).where(stripped != "", 0).astype("int32")
+        )
+
+    return _count(col)
+
+
+def user_event_profile(events: DataFrame) -> DataFrame:
+    """Grouped-map (applyInPandas): per-user event profile — count,
+    value sum, mean inter-event gap in seconds. One group = one user's
+    events as a pandas frame (shuffle on user_id)."""
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        gaps = pdf["ts"].diff().dt.total_seconds().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "total_value": [round(float(pdf["value"].sum()), 2)],
+                "mean_gap_sec": [round(float(gaps.mean()), 1) if len(gaps) else None],
+            }
+        )
+
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
+        profile, schema="user_id bigint, n_events bigint, total_value double, mean_gap_sec double"
+    )

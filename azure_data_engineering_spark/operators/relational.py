@@ -62,6 +62,36 @@ def string_agg(df: DataFrame, group_by: Sequence[str], value: str, sep: str = ",
     )
 
 
+def salted_aggregate(
+    df: DataFrame,
+    group_by: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation: stage 1 aggregates on
+    (keys, salt) spreading a hot key over `salt_buckets` reducers;
+    stage 2 merges partials on the keys alone. Results are identical to
+    a direct groupBy — this is the manual fallback when AQE skew
+    handling isn't available (e.g. fixed at-rest partitioning).
+
+    aggs: output_name -> (function, column) with function in
+    {sum, count, min, max}; mergeable aggregates only (avg = sum/count
+    composed by the caller).
+    """
+    mergers = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    firsts = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+    for fn, _ in aggs.values():
+        if fn not in mergers:
+            raise ValueError(f"non-mergeable aggregate {fn!r}")
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*[F.col(c) for c in group_by], F.monotonically_increasing_id()), F.lit(salt_buckets)))
+    partial = salted.groupBy(*group_by, "__salt").agg(
+        *[firsts[fn](col).alias(name) for name, (fn, col) in aggs.items()]
+    )
+    return partial.groupBy(*group_by).agg(
+        *[mergers[fn](name).alias(name) for name, (fn, _) in aggs.items()]
+    )
+
+
 def range_join(
     fact: DataFrame,
     dim: DataFrame,
