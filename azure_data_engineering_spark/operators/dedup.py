@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 from azure_data_engineering_spark.functions.text import normalize_text
 
 
+def _ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """CPU-heavy per-row stages (shingling, hashing) need enough input
+    partitions. A 100 TB table has thousands of file splits so this is
+    a no-op; a small local file arrives as ONE partition and would pin
+    the whole map stage to one core (measured 3x on sf0.1)."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: canonical row = min(id) per normalized text.
     One hash-shuffle on the (normalized) text; map-side partial
@@ -68,7 +80,7 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: in
     interpreted in Spark and measured ~50x slower). The groupBy
     shuffles only (id, 64 longs) after map-side partial min-combine."""
     seeds = _mix_seeds(num_hashes)
-    ex = df.select(
+    ex = _ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__s")
     ).withColumn("__h", F.xxhash64("__s"))
     aggs = [
@@ -145,7 +157,9 @@ def ngram_jaccard_pairs(
     or use minhash_lsh_candidates as the pre-filter and this as the
     verify stage on candidates only.
     """
-    base = df.select(
+    base = _ensure_parallelism(
+        df.select(id_col, text_col, *([block_col] if block_col else []))
+    ).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     ).withColumn("n_sh", F.size("sh"))
@@ -190,6 +204,7 @@ def simhash(df: DataFrame, text_col: str, bits: int = 64) -> DataFrame:
     masks = F.array(
         *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("bigint") for i in range(bits)]
     )
+    df = _ensure_parallelism(df)
     toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     votes = F.aggregate(
