@@ -1526,6 +1526,61 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING): customers with >15 orders."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .filter(F.col("n_orders") > 15)
+    )
+
+
+Q_HAVING_SQL = """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_custkey HAVING count(*) > 15
+"""
+
+
+def q_tpch_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume: 6-way join through both
+    dim chains (customer→nation→region and supplier→nation) with the
+    same-nation constraint; Catalyst orders the joins, dims broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+Q_TPCH_Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 # ---------------------------------------------------- pandas-UDF surface
 
 def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,6 +1744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_functions": q_array_functions,
         "q_maxby_aggregates": q_maxby_aggregates,
         "q_stream_sliding": q_stream_sliding,
+        "q_having": q_having,
+        "q_tpch_q5_style": q_tpch_q5_style,
         "q_pandas_udf": q_pandas_udf,
         "q_grouped_map": q_grouped_map,
         "q_salted_agg": q_salted_agg,
@@ -1754,6 +1811,8 @@ def oracle_sql() -> dict[str, str]:
         "q_array_functions": Q_ARRAY_FUNCTIONS_SQL,
         "q_maxby_aggregates": Q_MAXBY_SQL,
         "q_stream_sliding": Q_SLIDING_WINDOW_SQL,
+        "q_having": Q_HAVING_SQL,
+        "q_tpch_q5_style": Q_TPCH_Q5_SQL,
         "q_pandas_udf": Q_PANDAS_UDF_SQL,
         "q_grouped_map": Q_GROUPED_MAP_SQL,
         "q_salted_agg": Q_SALTED_AGG_SQL,

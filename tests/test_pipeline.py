@@ -1,0 +1,76 @@
+"""Pipeline facade tests (§2C surface: the reference's four HTTP
+steps as a library)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azure_data_engineering_spark import pipeline as P
+from azure_data_engineering_spark.catalog import register_views
+from azure_data_engineering_spark.sources.csv_pipe import read_pipe_csv
+
+FAKE_BOOK = {"S1": [["a,b", "x"], ["c", "y"]], "S2": [["1"]]}
+
+
+class TestIngestExcel:
+    def test_writes_one_csv_dir_per_sheet(self, spark, tmp_path):
+        res = P.ingest_excel(
+            spark, "/x/My Wb.xlsx", str(tmp_path), overwrite=True, workbook_loader=lambda p: FAKE_BOOK
+        )
+        assert res.ok and res.detail["files"] == 2
+        rows = sorted(tuple(r) for r in read_pipe_csv(spark, str(tmp_path / "MyWb_S1")).collect())
+        # sanitize on by default: comma deleted
+        assert rows == [("ab", "x"), ("c", "y")]
+
+    def test_sheet_selection(self, spark, tmp_path):
+        res = P.ingest_excel(
+            spark, "/x/wb.xlsx", str(tmp_path), sheet_list="S2", overwrite=True,
+            workbook_loader=lambda p: FAKE_BOOK,
+        )
+        assert res.detail["sheets"] == ["wb_S2"]
+
+    def test_error_contract(self, spark, tmp_path):
+        def boom(path):
+            raise IOError("blob download failed")
+
+        res = P.ingest_excel(spark, "/x/wb.xlsx", str(tmp_path), workbook_loader=boom)
+        # mirror of the reference's "Error -..." string contract
+        # (adffunction/__init__.py:110-113): status, not an exception
+        assert not res.ok and "blob download failed" in res.detail["error"]
+
+
+class TestLoadTable:
+    def test_append_and_upsert(self, spark):
+        t = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        s = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+        assert P.load_table(t, s, ["k"], mode="append").detail["rows"] == 4
+        up = P.load_table(t, s, ["k"], mode="upsert")
+        assert up.detail["rows"] == 3
+        assert {r["k"]: r["v"] for r in up.detail["result"].collect()} == {1: "a", 2: "B", 3: "c"}
+
+
+class TestMaintain:
+    def test_retention_selection(self, spark):
+        listing = spark.createDataFrame(
+            [
+                ("adffact-ls-20240101120000",),
+                ("adffact-ls-20300101120000",),  # future: outside window
+                ("other-20240101120000",),  # foreign: silently skipped
+            ],
+            "name string",
+        )
+        res = P.maintain(
+            listing, "name", "-ls-", "fact", F.lit("2024-03-01").cast("date"), daydiff=-5
+        )
+        assert res.ok and res.detail["to_delete"] == ["adffact-ls-20240101120000"]
+
+
+class TestRunSql:
+    def test_full_sql_surface(self, spark, sf_dir):
+        register_views(spark, sf_dir)
+        res = P.run_sql(spark, "SELECT count(*) AS n FROM orders")
+        assert res.ok and res.detail["result"].collect()[0]["n"] == 1500
+
+    def test_sql_error_contract(self, spark):
+        res = P.run_sql(spark, "SELECT FROM nonsense !!")
+        assert not res.ok and "error" in res.detail
