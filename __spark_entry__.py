@@ -1675,6 +1675,21 @@ def q_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: KMeans cells (fixed seed) + nprobe cell probing —
+    the second similarity scale path next to hyperplane LSH. Rows-only
+    (KMeans centroids aren't SQL-portable); recall vs brute force is
+    asserted in tests/test_ivf.py."""
+    from azure_data_engineering_spark.operators.ivf import ivf_top_k, train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb, "embedding", nlist=8)
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_top_k(q, emb, centroids, k=5, nprobe=4).select(
+        "query_id", "rank", "neighbor_id", "cosine"
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1750,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_map": q_grouped_map,
         "q_salted_agg": q_salted_agg,
         "q_stateful_stream": q_stateful_stream,
+        "q_ann_ivf": q_ann_ivf,
     }
 
 
