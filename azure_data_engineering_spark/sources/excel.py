@@ -24,6 +24,7 @@ import re
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from azure_data_engineering_spark.functions.sanitize import sanitize_cell
 
@@ -67,6 +68,73 @@ def _default_loader(path: str) -> dict[str, list[list[str]]]:
         ws.title: [["" if c is None else str(c) for c in row] for row in ws.iter_rows(values_only=True)]
         for ws in wb.worksheets
     }
+
+
+def ingest_excel_distributed(
+    spark: SparkSession,
+    dir_path: str,
+    glob: str = "*.xls*",
+    sheet_list: str = "all",
+    sanitize: bool = False,
+    bytes_loader=None,
+) -> DataFrame:
+    """Many-files ingest (the 100 TB shape): `binaryFile` scan over the
+    folder → mapInPandas fans each workbook's sheets out ON EXECUTORS —
+    the driver never holds file bytes (vs the reference's one-at-a-time
+    driver loop, adffunction/__init__.py:91-104).
+
+    Returns one long DataFrame: (source_name, sheet, row_idx, cells
+    array<string>) — cells stay schema-less all-string like the
+    reference's CSV stage. bytes_loader(name, payload) -> {sheet:
+    rows}; defaults to openpyxl (gated), tests inject a fake.
+    """
+    import io
+    import re as _re
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if bytes_loader is None:
+        if not _HAVE_XLSX:
+            raise NotImplementedError(
+                "xlsx parsing requires openpyxl; pass bytes_loader (tests use a fake)"
+            )
+
+        def bytes_loader(name: str, payload: bytes):  # pragma: no cover - needs openpyxl
+            wb = openpyxl.load_workbook(io.BytesIO(payload), read_only=True, data_only=True)
+            return {
+                ws.title: [["" if c is None else str(c) for c in row] for row in ws.iter_rows(values_only=True)]
+                for ws in wb.worksheets
+            }
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(dir_path)
+        .select("path", "content")
+    )
+
+    def fan_out(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                base = _re.sub(r"[^A-Za-z0-9]+", "", os.path.splitext(os.path.basename(row["path"]))[0])
+                book = bytes_loader(row["path"], row["content"])
+                for sheet in select_sheets(book.keys(), sheet_list):
+                    for i, cells in enumerate(book[sheet]):
+                        out.append((f"{base}_{sheet}", sheet, i, [str(c) for c in cells]))
+            yield pd.DataFrame(out, columns=["source_name", "sheet", "row_idx", "cells"])
+
+    df = files.mapInPandas(
+        fan_out, schema="source_name string, sheet string, row_idx int, cells array<string>"
+    )
+    if sanitize:
+        df = df.withColumn(
+            "cells", F.transform(F.col("cells"), lambda c: sanitize_cell(c))
+        )
+    return df
 
 
 def ingest_excel(

@@ -37,6 +37,10 @@ HEADLINE = [
     "q_text_stats",
     "q_multimodal_meta",
     "q_stream_tumbling",
+    "q_tpch_q5_style",
+    "q_grouped_map",
+    "q_salted_agg",
+    "q_ann_lsh",
 ]
 
 

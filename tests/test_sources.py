@@ -67,6 +67,43 @@ class TestExcelIngest:
         assert rows == [("a", ""), ("b", "c")]
 
 
+class TestExcelDistributed:
+    def test_executor_side_fan_out(self, spark, tmp_path):
+        # fake "workbooks": content bytes drive the fake parser
+        (tmp_path / "Book One.xlsx").write_bytes(b"12")
+        (tmp_path / "book2.xlsx").write_bytes(b"1")
+        (tmp_path / "skip.txt").write_bytes(b"zz")
+
+        def fake_loader(name, payload):
+            # one sheet per byte of content, two rows each
+            return {
+                f"S{i}": [["h1", "h2"], [f"v{i},x", "y/z"]] for i in range(len(payload))
+            }
+
+        from azure_data_engineering_spark.sources.excel import ingest_excel_distributed
+
+        out = ingest_excel_distributed(
+            spark, str(tmp_path), glob="*.xls*", bytes_loader=fake_loader, sanitize=True
+        )
+        rows = out.collect()
+        names = {r["source_name"] for r in rows}
+        # reference naming {sanitized_basename}_{sheet}; .txt filtered by glob
+        assert names == {"BookOne_S0", "BookOne_S1", "book2_S0"}
+        # sanitize applied inside the cells array (comma gone, slash->dash)
+        cells = {tuple(r["cells"]) for r in rows if r["row_idx"] == 1}
+        assert ("v0x", "y-z") in cells
+
+    def test_sheet_selection_distributed(self, spark, tmp_path):
+        (tmp_path / "b.xlsx").write_bytes(b"123")
+        from azure_data_engineering_spark.sources.excel import ingest_excel_distributed
+
+        out = ingest_excel_distributed(
+            spark, str(tmp_path), sheet_list="S1",
+            bytes_loader=lambda n, p: {f"S{i}": [["x"]] for i in range(3)},
+        )
+        assert {r["sheet"] for r in out.collect()} == {"S1"}
+
+
 class TestListing:
     def test_lists_metadata(self, spark, sf_dir):
         df = list_files(spark, sf_dir, glob="*.parquet")
