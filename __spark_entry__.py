@@ -437,7 +437,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     return top_k_per_group(
         c, ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey").asc()], 3, rank_col="rank"
-    ).select("c_mktsegment", "rank", "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+    ).select("c_mktsegment", F.col("rank").cast("long").alias("rank"), "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
 
 
 Q_TOPK_PER_GROUP_SQL = """
@@ -457,7 +457,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round("running_sum", 2).alias("running_sum"),
         F.round("prev_value", 2).alias("prev_value"),
-        F.col("row_in_key"),
+        F.col("row_in_key").cast("long").alias("row_in_key"),
     )
 
 
@@ -668,7 +668,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_JSON_EXTRACT_SQL = """
-SELECT event_type, sum(CAST(props ->> '$.k' AS INTEGER)) AS sum_k, count(*) AS n
+SELECT event_type, CAST(sum(CAST(props ->> '$.k' AS INTEGER)) AS BIGINT) AS sum_k, count(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -818,7 +818,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     out = brute_force_top_k(q, emb, k=5, round_digits=6)
-    return out.select("query_id", "rank", "neighbor_id", "cosine")
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine")
 
 
 Q_EMBEDDING_TOPK_SQL = """
@@ -846,7 +846,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return lsh_bucketed_top_k(q, emb, dim=64, k=5, planes=4).select(
-        "query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine")
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", F.round("cosine", 4).alias("cosine")
     )
 
 
@@ -901,8 +901,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        whitespace_token_count(F.col("text")).alias("ws_tokens"),
-        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
     )
 
 
@@ -1123,9 +1123,9 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_mktsegment",
-        F.rank().over(w_ties).alias("rnk"),
-        F.dense_rank().over(w_ties).alias("drnk"),
-        F.ntile(4).over(w_total).alias("quartile"),
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        F.ntile(4).over(w_total).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w_total), 6).alias("pct_rank"),
     )
 
@@ -1231,7 +1231,7 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_type").alias("type_lower"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
         F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
-        F.instr("p_name", "a").alias("first_a"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
         F.reverse("p_brand").alias("brand_rev"),
     )
 
@@ -1462,9 +1462,9 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
         F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias("first_token"),
         F.element_at(F.array_sort(F.array_distinct(toks)), -1).alias("last_token"),
     )
@@ -1686,7 +1686,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_centroids(emb, "embedding", nlist=8)
     q = emb.filter(F.col("vec_id") < 5)
     return ivf_top_k(q, emb, centroids, k=5, nprobe=4).select(
-        "query_id", "rank", "neighbor_id", "cosine"
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine"
     )
 
 

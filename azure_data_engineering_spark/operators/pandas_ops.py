@@ -29,11 +29,11 @@ def vectorized_token_count(col):
     The udf is constructed lazily — the DDL type parse needs an active
     SparkSession, so module import must stay session-free."""
 
-    @pandas_udf("int")
+    @pandas_udf("long")
     def _count(text: pd.Series) -> pd.Series:
         stripped = text.fillna("").str.strip()
         return (
-            stripped.str.split(r"\s+", regex=True).map(len).where(stripped != "", 0).astype("int32")
+            stripped.str.split(r"\s+", regex=True).map(len).where(stripped != "", 0).astype("int64")
         )
 
     return _count(col)
