@@ -101,15 +101,26 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """LSH banding: split each signature into `bands` rows of
-    rows-per-band hashes, hash each band, and self-join on
-    (band_index, band_hash). Returns candidate pairs (id_a < id_b).
+    """LSH banding: split each signature into `bands` groups of
+    rows-per-band hashes, hash each band, and emit all id pairs within
+    each (band, band_hash) bucket. Returns candidate pairs
+    (id_a < id_b).
 
-    The only shuffle is the groupBy/join on the band-bucket key —
-    candidate generation is linear in corpus size, never O(n²). With
+    Shape: ONE signature computation → ONE shuffle (groupBy on the
+    band-bucket key) → in-bucket pair expansion. (A self-join
+    formulation computes the signature pipeline twice — Catalyst does
+    not reuse the exchange across the a.id<b.id asymmetry.) Candidate
+    generation is linear in corpus size, never O(n²). With
     num_hashes=64, bands=16 (r=4) the S-curve threshold is
     (1/16)^(1/4) ≈ 0.5 Jaccard.
+
+    max_bucket guards the quadratic in-bucket expansion: a bucket of
+    exact duplicates yields |bucket|² pairs — run exact_dedup FIRST,
+    and mega-buckets beyond the cap are dropped as stop-buckets (the
+    standard skew guard; at 100 TB a hot bucket is a stop-shingle
+    analog, not signal).
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
@@ -124,16 +135,24 @@ def minhash_lsh_candidates(
         ]
     )
     banded = sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    n = F.size(F.col("ids"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 

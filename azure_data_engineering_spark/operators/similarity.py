@@ -76,6 +76,43 @@ def hyperplane_bucket(vec: Column, dim: int, planes: int = 8, table: int = 0) ->
     return bucket
 
 
+def hyperplane_buckets_arrow(vec_col: Column, dim: int, planes: int, tables: int) -> Column:
+    """All per-table bucket ids in ONE Arrow-batched numpy matmul:
+    (batch, dim) @ (dim, tables*planes) then sign-bits → ints. Same
+    hyperplane family as hyperplane_bucket (coefficients
+    sin((t*planes+p)*dim + i)); bucket ids can differ from the
+    expression version only on exact sign boundaries (summation
+    order), which ANN semantics tolerate. This is the documented
+    "vectorized Pandas UDF for embedding math" path — ~30x the
+    interpreted per-plane fold."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = np.array(
+        [
+            [math.sin((t * planes + p) * dim + i) for i in range(dim)]
+            for t in range(tables)
+            for p in range(planes)
+        ]
+    ).T  # (dim, tables*planes)
+    weights = 1 << np.arange(planes)
+
+    # NOTE: no type hints on the inner fn — `from __future__ import
+    # annotations` stringifies them and pandas_udf can't resolve the
+    # function-local `pd` alias
+    @pandas_udf("array<int>")
+    def _buckets(s):
+        m = np.vstack(s.to_numpy())  # (batch, dim)
+        bits = (m @ coeffs) > 0  # (batch, tables*planes)
+        per_table = [
+            (bits[:, t * planes : (t + 1) * planes] * weights).sum(axis=1) for t in range(tables)
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1).astype("int32")))
+
+    return _buckets(vec_col)
+
+
 def lsh_bucketed_top_k(
     queries: DataFrame,
     corpus: DataFrame,
@@ -86,6 +123,7 @@ def lsh_bucketed_top_k(
     planes: int = 8,
     tables: int = 4,
     round_digits: int | None = 6,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH: `tables`
     independent hash tables of 2^planes buckets each; a pair is a
@@ -97,9 +135,12 @@ def lsh_bucketed_top_k(
     """
 
     def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        buckets = F.array(
-            *[hyperplane_bucket(F.col(vec_col), dim, planes, t) for t in range(tables)]
-        )
+        if use_arrow:
+            buckets = hyperplane_buckets_arrow(F.col(vec_col), dim, planes, tables)
+        else:
+            buckets = F.array(
+                *[hyperplane_bucket(F.col(vec_col), dim, planes, t) for t in range(tables)]
+            )
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
