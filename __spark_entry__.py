@@ -673,6 +673,26 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing (from_json → struct access), vs
+    q_json_extract's path extraction."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10 == 0).alias("k_round"),
+    )
+
+
+Q_FROM_JSON_SQL = """
+SELECT event_id,
+       CAST(props ->> '$.k' AS INTEGER) AS k,
+       CAST(props ->> '$.k' AS INTEGER) % 10 = 0 AS k_round
+FROM events
+"""
+
+
 def q_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """split + explode + count: top-20 corpus words (array ops)."""
     d = _t(spark, sf_dir, "documents")
@@ -1726,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention": q_retention,
         "q_date_functions": q_date_functions,
         "q_json_extract": q_json_extract,
+        "q_from_json": q_from_json,
         "q_word_explode": q_word_explode,
         "q_upsert_merge": q_upsert_merge,
         "q_dedup_exact": q_dedup_exact,
@@ -1797,6 +1818,7 @@ def oracle_sql() -> dict[str, str]:
         "q_retention": Q_RETENTION_SQL,
         "q_date_functions": Q_DATE_FUNCTIONS_SQL,
         "q_json_extract": Q_JSON_EXTRACT_SQL,
+        "q_from_json": Q_FROM_JSON_SQL,
         "q_word_explode": Q_WORD_EXPLODE_SQL,
         "q_upsert_merge": Q_UPSERT_MERGE_SQL,
         "q_dedup_exact": Q_DEDUP_EXACT_SQL,

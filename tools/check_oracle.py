@@ -91,6 +91,13 @@ def main() -> int:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
             n_fail += 1
             continue
+        dt_mismatch = [
+            (c, str(sdf[c].dtype), str(odf[c].dtype))
+            for c in scols
+            if str(sdf[c].dtype) != str(odf[c].dtype)
+        ]
+        if dt_mismatch:
+            print(f"DTYPE {name}: {dt_mismatch}")
         if len(srows) != len(orows):
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
             n_fail += 1
