@@ -60,6 +60,21 @@ class TestSaltedAggregate:
         b = sorted((r["l_returnflag"], r["n"], round(r["s"], 6)) for r in direct.collect())
         assert a == b
 
+    def test_skewed_hot_key(self, spark):
+        # 50k rows on one hot key + 200 cold keys: results must still
+        # match a direct groupBy exactly
+        from pyspark.sql import functions as FF
+
+        df = spark.range(50_200).select(
+            FF.when(FF.col("id") < 50_000, FF.lit("hot")).otherwise(FF.col("id").cast("string")).alias("k"),
+            (FF.col("id") % 7).alias("v"),
+        )
+        salted = salted_aggregate(df, ["k"], {"n": ("count", "v"), "s": ("sum", "v"), "mx": ("max", "v")}, salt_buckets=8)
+        direct = df.groupBy("k").agg(
+            FF.count("*").alias("n"), FF.sum("v").alias("s"), FF.max("v").alias("mx")
+        )
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, direct.collect()))
+
     def test_rejects_non_mergeable(self, spark, sf_dir):
         import pytest
 
