@@ -472,6 +472,31 @@ WINDOW w_frame AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRE
 """
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs q_window_running's ROWS frame):
+    per status, count and sum of orders within 5000 price units below
+    each order's price."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice")).rangeBetween(-5000, 0)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.count(F.lit(1)).over(w).alias("n_in_band"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("band_sum"),
+    )
+
+
+Q_WINDOW_RANGE_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       count(*) OVER w AS n_in_band,
+       round(sum(o_totalprice) OVER w, 2) AS band_sum
+FROM orders
+WHERE o_orderkey < 3000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global deterministic top-20 (TakeOrderedAndProject)."""
     o = _t(spark, sf_dir, "orders")
@@ -1738,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct": q_approx_distinct,
         "q_topk_per_group": q_topk_per_group,
         "q_window_running": q_window_running,
+        "q_window_range_frame": q_window_range_frame,
         "q_sort_limit": q_sort_limit,
         "q_sessionize": q_sessionize,
         "q_set_ops": q_set_ops,
@@ -1810,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cube": Q_CUBE_SQL,
         "q_topk_per_group": Q_TOPK_PER_GROUP_SQL,
         "q_window_running": Q_WINDOW_RUNNING_SQL,
+        "q_window_range_frame": Q_WINDOW_RANGE_SQL,
         "q_sort_limit": Q_SORT_LIMIT_SQL,
         "q_sessionize": Q_SESSIONIZE_SQL,
         "q_set_ops": Q_SET_OPS_SQL,
