@@ -1720,6 +1720,55 @@ def q_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join (two file streams, watermarks
+    on both sides, state-store buffered): signup events joined to the
+    user's purchases within 30 minutes. Oracle = the batch interval
+    join in SQL (epoch_us comparisons pin both engines to Spark's
+    microsecond timestamp resolution)."""
+    import os
+    import tempfile
+
+    from azure_data_engineering_spark.streaming.joins import interval_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix="ssj_")
+    os.symlink(os.path.abspath(path), os.path.join(d, "events.parquet"))
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    )
+    signup = raw.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("signup_id")
+    )
+    purchase = raw.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("purchase_id")
+    )
+    q = (
+        interval_join(signup, purchase, ["user_id"])
+        .select("user_id", "signup_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName("ssj_gate_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("ssj_gate_sink")
+
+
+Q_STREAM_STREAM_JOIN_SQL = """
+SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+FROM events s JOIN events p
+  ON s.user_id = p.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(s.ts)
+ AND epoch_us(p.ts) <= epoch_us(s.ts) + 1800 * 1000000
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: KMeans cells (fixed seed) + nprobe cell probing —
     the second similarity scale path next to hyperplane LSH. Rows-only
@@ -1812,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_map": q_grouped_map,
         "q_salted_agg": q_salted_agg,
         "q_stateful_stream": q_stateful_stream,
+        "q_stream_stream_join": q_stream_stream_join,
         "q_ann_ivf": q_ann_ivf,
     }
 
@@ -1881,4 +1931,5 @@ def oracle_sql() -> dict[str, str]:
         "q_pandas_udf": Q_PANDAS_UDF_SQL,
         "q_grouped_map": Q_GROUPED_MAP_SQL,
         "q_salted_agg": Q_SALTED_AGG_SQL,
+        "q_stream_stream_join": Q_STREAM_STREAM_JOIN_SQL,
     }
