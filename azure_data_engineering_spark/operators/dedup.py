@@ -45,6 +45,20 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Character k-grams of normalized text, distinct — the
+    word-shingle alternative for languages without whitespace
+    tokenization (zh/ja) or very short texts. Same zip_with O(n)
+    construction over the character array."""
+    chars = F.split(normalize_text(text), "")
+    n = F.size(chars)
+    m = F.greatest(n - (k - 1), F.lit(1))
+    out = F.slice(chars, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(out, F.slice(chars, j + 1, m), lambda x, y: F.concat_ws("", x, y))
+    return F.array_distinct(out)
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-shingles of normalized text, distinct, as array<string>.
 
