@@ -832,6 +832,69 @@ FROM inter WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.6
 """
 
 
+def q_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram Jaccard near-dup pairs (the whitespace-free-
+    language variant) over a sample with injected near-duplicates
+    (natural max char-jaccard in the corpus is ~0.29)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    near = d.filter(F.col("n_chars") > 150).withColumn(
+        "doc_id", F.col("doc_id") + 30_000
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" small tail here")))
+    corpus = d.unionByName(near)
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.55, k=5, unit="char")
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+Q_CHAR_JACCARD_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 30000, text || ' small tail here'
+  FROM documents WHERE doc_id % 10 = 0 AND n_chars > 150
+), norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM corpus
+), sh AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 5) for i in range(1, greatest(length(t) - 4, 1) + 1)]) AS shingle_list
+  FROM norm
+), ex AS (
+  SELECT doc_id, len(shingle_list) AS n_sh, unnest(shingle_list) AS s FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
+FROM inter WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.55
+"""
+
+
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe parsing (try_cast → null instead of ANSI error) —
+    the ingest-boundary pattern for dirty all-string CSV data
+    (the reference lets Postgres COPY throw instead)."""
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.when(F.col("doc_id") % 3 == 0, F.lit("not_a_number")).otherwise(
+        F.col("n_chars").cast("string")
+    )
+    return d.select(
+        "doc_id",
+        dirty.try_cast("int").alias("parsed"),
+        dirty.try_cast("int").isNull().alias("is_bad"),
+    )
+
+
+Q_TRY_CAST_SQL = """
+SELECT doc_id,
+       TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN 'not_a_number'
+                     ELSE CAST(n_chars AS VARCHAR) END AS INTEGER) AS parsed,
+       TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN 'not_a_number'
+                     ELSE CAST(n_chars AS VARCHAR) END AS INTEGER) IS NULL AS is_bad
+FROM documents
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (64 hashes, 16 bands — the linear-
     scaling near-dup path). No oracle: xxhash64-seeded signatures are
@@ -1826,6 +1889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_upsert_merge": q_upsert_merge,
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_char_jaccard": q_char_jaccard,
+        "q_try_cast": q_try_cast,
         "q_dedup_minhash": q_dedup_minhash,
         "q_simhash": q_simhash,
         "q_embedding_topk": q_embedding_topk,
@@ -1900,6 +1965,8 @@ def oracle_sql() -> dict[str, str]:
         "q_upsert_merge": Q_UPSERT_MERGE_SQL,
         "q_dedup_exact": Q_DEDUP_EXACT_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+        "q_char_jaccard": Q_CHAR_JACCARD_SQL,
+        "q_try_cast": Q_TRY_CAST_SQL,
         "q_embedding_topk": Q_EMBEDDING_TOPK_SQL,
         "q_text_stats": Q_TEXT_STATS_SQL,
         "q_token_count": Q_TOKEN_COUNT_SQL,

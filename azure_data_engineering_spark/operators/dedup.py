@@ -178,6 +178,7 @@ def ngram_jaccard_pairs(
     threshold: float,
     k: int = 3,
     block_col: str | None = None,
+    unit: str = "word",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     explode shingles, self-join on shingle (optionally within a
@@ -190,10 +191,11 @@ def ngram_jaccard_pairs(
     or use minhash_lsh_candidates as the pre-filter and this as the
     verify stage on candidates only.
     """
+    mk = shingles if unit == "word" else char_shingles
     base = _ensure_parallelism(
         df.select(id_col, text_col, *([block_col] if block_col else []))
     ).select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"),
+        F.col(id_col).alias("id"), mk(F.col(text_col), k).alias("sh"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     ).withColumn("n_sh", F.size("sh"))
     ex = base.select("id", "n_sh", *(["blk"] if block_col else []), F.explode("sh").alias("s"))
