@@ -917,6 +917,74 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, "text").select("doc_id", "simhash")
 
 
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs via pigeonhole segment
+    blocking (Manku WWW'07). Rows-only (xxhash-seeded signatures);
+    recovery of injected near-dups is tested in tests/test_dedup.py."""
+    from azure_data_engineering_spark.operators.dedup import simhash_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    near = (
+        d.filter((F.col("doc_id") % 9 == 0) & (F.col("n_chars") > 200))
+        .withColumn("doc_id", F.col("doc_id") + 40_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tailword")))
+    )
+    return simhash_candidates(d.unionByName(near), "text", "doc_id", max_hamming=3)
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics pack: injected nulls through coalesce/nullif,
+    null-safe equality (<=> vs IS NOT DISTINCT FROM), and null-aware
+    aggregation (count skips nulls, count(*) doesn't)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    with_nulls = o.withColumn(
+        "maybe_price", F.when(F.col("o_orderkey") % 4 == 0, F.lit(None)).otherwise(F.col("o_totalprice"))
+    )
+    return with_nulls.select(
+        "o_orderkey",
+        F.coalesce("maybe_price", F.lit(-1.0)).alias("price_or_default"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_not_open"),
+        F.col("maybe_price").eqNullSafe(F.col("o_totalprice")).alias("nullsafe_eq"),
+        F.col("maybe_price").isNull().alias("is_null"),
+    )
+
+
+Q_NULL_HANDLING_SQL = """
+WITH w AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_totalprice END AS maybe_price
+  FROM orders WHERE o_orderkey < 2000
+)
+SELECT o_orderkey,
+       coalesce(maybe_price, -1.0) AS price_or_default,
+       nullif(o_orderstatus, 'O') AS status_not_open,
+       maybe_price IS NOT DISTINCT FROM o_totalprice AS nullsafe_eq,
+       maybe_price IS NULL AS is_null
+FROM w
+"""
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two projections with different column
+    sets merged by NAME with nulls for the missing columns."""
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_orderstatus")
+    return v1.unionByName(v2.withColumn("o_totalprice", F.lit(None).cast("double")).drop("o_orderstatus"), allowMissingColumns=True).unionByName(
+        v2, allowMissingColumns=True
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+Q_UNION_BY_NAME_SQL = """
+SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, NULL, NULL FROM orders WHERE o_orderkey % 2 = 1
+UNION ALL
+SELECT o_orderkey, NULL, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
 # -------------------------------------------------- LLM pipeline: similarity
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1893,6 +1961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_try_cast": q_try_cast,
         "q_dedup_minhash": q_dedup_minhash,
         "q_simhash": q_simhash,
+        "q_simhash_candidates": q_simhash_candidates,
+        "q_null_handling": q_null_handling,
+        "q_union_by_name": q_union_by_name,
         "q_embedding_topk": q_embedding_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_text_stats": q_text_stats,
@@ -1967,6 +2038,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_char_jaccard": Q_CHAR_JACCARD_SQL,
         "q_try_cast": Q_TRY_CAST_SQL,
+        "q_null_handling": Q_NULL_HANDLING_SQL,
+        "q_union_by_name": Q_UNION_BY_NAME_SQL,
         "q_embedding_topk": Q_EMBEDDING_TOPK_SQL,
         "q_text_stats": Q_TEXT_STATS_SQL,
         "q_token_count": Q_TOKEN_COUNT_SQL,

@@ -226,6 +226,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    segments: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole blocking (Manku et al., WWW'07 near-duplicate
+    detection): split the 64-bit simhash into `segments` equal bit
+    segments; any pair within Hamming distance < segments must agree
+    exactly on at least one segment. Join only on (segment index,
+    segment value) — linear candidate generation — then verify with
+    bit_count(xor). Requires max_hamming < segments.
+    Returns (id_a, id_b, hamming).
+    """
+    if max_hamming >= segments:
+        raise ValueError("pigeonhole requires max_hamming < segments")
+    width = 64 // segments
+    sig = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    seg_exprs = []
+    for si in range(segments):
+        # unsigned segment extraction via shift+mask (shiftrightunsigned
+        # keeps the top segment positive)
+        seg = F.shiftrightunsigned(F.col("simhash"), si * width).bitwiseAND(
+            F.lit((1 << width) - 1).cast("bigint")
+        )
+        seg_exprs.append(F.struct(F.lit(si).alias("seg_idx"), seg.alias("seg_val")))
+    segged = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*seg_exprs)).alias("seg")
+    ).select(id_col, "simhash", "seg.seg_idx", "seg.seg_val")
+    a, b = segged.alias("a"), segged.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand
+
+
 def simhash(df: DataFrame, text_col: str, bits: int = 64) -> DataFrame:
     """Append `simhash: bigint` (Charikar): per bit position, sum +1/-1
     votes of xxhash64(token) bits across tokens; sign -> bit. Near-dups

@@ -87,6 +87,29 @@ class TestSimhash:
         b = simhash(df, "text").collect()[0]["simhash"]
         assert a == b
 
+    def test_candidate_search_finds_injected_near_dups(self, spark, sf_dir):
+        from azure_data_engineering_spark.operators.dedup import simhash_candidates
+
+        corpus, n_injected = _corpus_with_near_dups(spark, sf_dir, tail=" x")
+        pairs = simhash_candidates(corpus, "text", "doc_id", max_hamming=6, segments=8)
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in pairs.collect()
+            if r["id_b"] == r["id_a"] + 50_000
+        }
+        # a tiny tail barely shifts token votes: most planted pairs land
+        # within the Hamming ball
+        assert len(found) >= n_injected * 0.8, f"{len(found)}/{n_injected}"
+
+    def test_candidate_search_pigeonhole_guard(self, spark):
+        import pytest
+
+        from azure_data_engineering_spark.operators.dedup import simhash_candidates
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simhash_candidates(df, "text", "doc_id", max_hamming=4, segments=4)
+
 
 class TestJaccard:
     def test_exact_value(self, spark):
