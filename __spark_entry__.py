@@ -698,6 +698,34 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array pipeline: filter → transform → aggregate
+    over token arrays (lambda expressions both engines support)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    long_toks = F.filter(toks, lambda t: F.length(t) >= 5)
+    return d.select(
+        "doc_id",
+        F.size(long_toks).cast("long").alias("n_long"),
+        F.aggregate(
+            F.transform(long_toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("long_chars"),
+        F.exists(toks, lambda t: t == F.lit("spark")).alias("mentions_spark"),
+    )
+
+
+Q_ARRAY_HOF_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 5)) AS BIGINT) AS n_long,
+       CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), t -> length(t) >= 5),
+                                             t -> length(t))), 0) AS BIGINT) AS long_chars,
+       list_contains(string_split(text, ' '), 'spark') AS mentions_spark
+FROM documents
+"""
+
+
 def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-full JSON parsing (from_json → struct access), vs
     q_json_extract's path extraction."""
@@ -1953,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_functions": q_date_functions,
         "q_json_extract": q_json_extract,
         "q_from_json": q_from_json,
+        "q_array_hof": q_array_hof,
         "q_word_explode": q_word_explode,
         "q_upsert_merge": q_upsert_merge,
         "q_dedup_exact": q_dedup_exact,
@@ -2032,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
         "q_date_functions": Q_DATE_FUNCTIONS_SQL,
         "q_json_extract": Q_JSON_EXTRACT_SQL,
         "q_from_json": Q_FROM_JSON_SQL,
+        "q_array_hof": Q_ARRAY_HOF_SQL,
         "q_word_explode": Q_WORD_EXPLODE_SQL,
         "q_upsert_merge": Q_UPSERT_MERGE_SQL,
         "q_dedup_exact": Q_DEDUP_EXACT_SQL,
