@@ -1211,6 +1211,28 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on the REAL streaming engine (state-store
+    merged sessions, availableNow) — oracle is the batch
+    gaps-and-islands SQL, proving streaming session semantics match."""
+    import os
+
+    from azure_data_engineering_spark.streaming.windows import session_counts
+
+    result = run_stream_to_table(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        lambda s: session_counts(s, gap="30 minutes", watermark="2 hours"),
+        table_name="stream_session_sink",
+        output_mode="complete",
+    )
+    return result.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
 def q_batch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same windowed aggregation on the batch frame (the transform is
     shared code — Structured Streaming's batch/stream contract)."""
@@ -2001,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_multimodal_meta": q_multimodal_meta,
         "q_stream_tumbling": q_stream_tumbling,
+        "q_stream_session": q_stream_session,
         "q_batch_tumbling": q_batch_tumbling,
         "q_csv_roundtrip": q_csv_roundtrip,
         "q_file_listing": q_file_listing,
@@ -2077,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": Q_LANG_ID_SQL,
         "q_multimodal_meta": Q_MULTIMODAL_META_SQL,
         "q_stream_tumbling": Q_STREAM_TUMBLING_SQL,
+        "q_stream_session": Q_SESSIONIZE_SQL,
         "q_batch_tumbling": Q_STREAM_TUMBLING_SQL,
         "q_csv_roundtrip": Q_CSV_ROUNDTRIP_SQL,
         "q_file_listing": Q_FILE_LISTING_SQL,
