@@ -313,6 +313,61 @@ ASOF LEFT JOIN idx i ON i.effective_ts <= e.ts
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event picks the EARLIEST index row
+    at-or-after its timestamp (oracle via window rank — DuckDB's ASOF
+    is backward-only)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    dim = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 00:00:00", float(d)) for d in range(1, 32, 3)],
+        "eff string, idx double",
+    ).select(F.to_timestamp("eff").alias("effective_ts"), "idx")
+    out = asof_join(e, dim, left_id="event_id", left_on="ts", right_on="effective_ts", direction="forward")
+    return out.select(
+        "event_id",
+        F.date_format("effective_ts", "yyyy-MM-dd").alias("effective_day"),
+        "idx",
+    )
+
+
+Q_ASOF_FORWARD_SQL = """
+WITH dim AS (
+  SELECT CAST('2024-01-' || lpad(CAST(d AS VARCHAR), 2, '0') || ' 00:00:00' AS TIMESTAMP) AS effective_ts,
+         CAST(d AS DOUBLE) AS idx
+  FROM (SELECT unnest(range(1, 32, 3)) AS d)
+), ranked AS (
+  SELECT e.event_id, d.effective_ts, d.idx,
+         row_number() OVER (PARTITION BY e.event_id ORDER BY d.effective_ts) AS rn
+  FROM (SELECT * FROM events WHERE event_id < 300) e
+  LEFT JOIN dim d ON d.effective_ts >= e.ts
+)
+SELECT event_id, strftime(effective_ts, '%Y-%m-%d') AS effective_day, idx
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode: docs whose filtered token array is
+    empty survive with a null token (vs plain explode dropping them)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    rare = F.filter(F.split(F.col("text"), " "), _rare_token_pred())
+    return d.select("doc_id", F.explode_outer(rare).alias("rare_token"))
+
+
+def _rare_token_pred():
+    return lambda t: F.length(t) >= 8
+
+
+Q_EXPLODE_OUTER_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) >= 8) AS rare
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, unnest(CASE WHEN len(rare) = 0 THEN [NULL] ELSE rare END) AS rare_token
+FROM toks
+"""
+
+
 # ------------------------------------------------------------- aggregation
 
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1985,6 +2040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cross_join": q_cross_join,
         "q_range_join": q_range_join,
         "q_asof_join": q_asof_join,
+        "q_asof_forward": q_asof_forward,
+        "q_explode_outer": q_explode_outer,
         "q_agg_stats": q_agg_stats,
         "q_string_agg": q_string_agg,
         "q_dedup_pk": q_dedup_pk,
@@ -2067,6 +2124,8 @@ def oracle_sql() -> dict[str, str]:
         "q_cross_join": Q_CROSS_JOIN_SQL,
         "q_range_join": Q_RANGE_JOIN_SQL,
         "q_asof_join": Q_ASOF_JOIN_SQL,
+        "q_asof_forward": Q_ASOF_FORWARD_SQL,
+        "q_explode_outer": Q_EXPLODE_OUTER_SQL,
         "q_agg_stats": Q_AGG_STATS_SQL,
         "q_string_agg": Q_STRING_AGG_SQL,
         "q_dedup_pk": Q_DEDUP_PK_SQL,
