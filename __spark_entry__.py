@@ -978,6 +978,31 @@ FROM documents
 """
 
 
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs over short strings (part names),
+    blocked by brand so the pair space stays bounded — the
+    edit-distance member of the near-dup family (exact integer DP in
+    both engines)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(F.col("p_brand"), F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_brand"), F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, ["p_brand"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 4)
+        .select("p_brand", "key_a", "key_b", "dist")
+    )
+
+
+Q_EDIT_DISTANCE_SQL = """
+SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (64 hashes, 16 bands — the linear-
     scaling near-dup path). No oracle: xxhash64-seeded signatures are
@@ -2066,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_char_jaccard": q_char_jaccard,
+        "q_edit_distance": q_edit_distance,
         "q_try_cast": q_try_cast,
         "q_dedup_minhash": q_dedup_minhash,
         "q_simhash": q_simhash,
@@ -2149,6 +2175,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": Q_DEDUP_EXACT_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_char_jaccard": Q_CHAR_JACCARD_SQL,
+        "q_edit_distance": Q_EDIT_DISTANCE_SQL,
         "q_try_cast": Q_TRY_CAST_SQL,
         "q_null_handling": Q_NULL_HANDLING_SQL,
         "q_union_by_name": Q_UNION_BY_NAME_SQL,
