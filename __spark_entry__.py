@@ -1990,8 +1990,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from azure_data_engineering_spark.catalog import ensure_session_defaults
     from azure_data_engineering_spark.streaming.joins import interval_join
 
+    ensure_session_defaults(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     d = tempfile.mkdtemp(prefix="ssj_")

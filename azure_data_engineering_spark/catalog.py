@@ -36,11 +36,22 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Make an EXTERNALLY-created session (e.g. the driver's) safe for
+    this catalog: TIMESTAMP(NANOS) parquet support, UTC timestamp
+    semantics (oracle parity), Arrow batches. All runtime-settable SQL
+    confs — cheap to re-apply per load."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar vectorized parquet scan; Catalyst prunes columns and
     pushes predicates into this scan automatically."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_defaults(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     # TIMESTAMP(NANOS) columns arrive as bigint nanos (see session.py
     # nanosAsLong); restore timestamp semantics at microsecond

@@ -101,6 +101,9 @@ def run_stream_to_table(
     import os
     import tempfile
 
+    from azure_data_engineering_spark.catalog import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     batch = spark.read.parquet(parquet_path)
     # the file stream source requires a directory; for a single-file
     # table, stream a scratch dir holding a symlink to it
