@@ -24,7 +24,7 @@ def _topk_pairs(scored: DataFrame, query_id: str, k: int, round_digits: int | No
     """Deterministic per-query top-k: order by (rounded) similarity
     desc, then neighbor id — rounding before ranking keeps the selected
     set stable under float summation-order differences."""
-    sim = F.round(F.col("cosine"), round_digits) if round_digits else F.col("cosine")
+    sim = F.round(F.col("cosine"), round_digits) if round_digits is not None else F.col("cosine")
     w = Window.partitionBy(query_id).orderBy(sim.desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("cosine", sim)

@@ -29,8 +29,24 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from azure_data_engineering_spark.operators.relational import dedup_keep_first
+
+
+def default_dedup_order(columns: Sequence[str], pk: Sequence[str]) -> list[Column]:
+    """A real total order for PK-dedup when the caller has no domain
+    order: descending struct over the non-PK payload columns. Ordering
+    by the PK itself is a no-op inside a window already partitioned by
+    that PK — duplicate PKs with different payloads would survive
+    arbitrarily, the exact nondeterminism this module exists to remove
+    (PGHelperFunction.py:56). Struct comparison is field-wise, so any
+    payload difference yields a defined winner; identical payloads are
+    interchangeable by construction."""
+    payload = [c for c in columns if c not in set(pk)]
+    if not payload:
+        return [F.lit(1)]  # rows per PK are fully identical
+    return [F.struct(*[F.col(c) for c in payload]).desc()]
 
 
 def merge_upsert(

@@ -46,7 +46,13 @@ def sessionize(
     session_end, n_events, total_value-if-present).
 
     Batch equivalent of Structured Streaming's session_window
-    (streaming/windows.py) — same session boundaries.
+    (streaming/windows.py) — same session boundaries, INCLUDING the
+    exact-boundary case: session_window assigns each event the interval
+    [ts, ts+gap) and MERGES sessions whose intervals overlap OR touch
+    (new start == current end), so an event arriving exactly `gap`
+    after the previous one CONTINUES the session. Hence strictly `>`
+    below — pinned empirically against the native operator in
+    tests/test_streaming.py (exact-gap case).
     """
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
     gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double"), 1).over(w)

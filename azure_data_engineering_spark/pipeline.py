@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from azure_data_engineering_spark.functions.datetime_utils import retention_match
 from azure_data_engineering_spark.sources.csv_pipe import write_pipe_csv
 from azure_data_engineering_spark.sources.excel import ingest_excel as _ingest_workbook
-from azure_data_engineering_spark.operators.upsert import merge_upsert
+from azure_data_engineering_spark.operators.upsert import default_dedup_order, merge_upsert
 
 
 @dataclass
@@ -82,17 +82,22 @@ def load_table(
     source: DataFrame,
     pk: list[str],
     mode: str = "upsert",
+    dedup_order: list | None = None,
 ) -> StepResult:
     """step=blobtopostgres semantics on DataFrames: append or PK-upsert
     (insert → COPY append, __init__.py:166-168; upsert →
     PGHelperFunction.py MERGE). Returns the merged frame in detail
-    (caller writes it to its sink — JDBC via sources/jdbc.py)."""
+    (caller writes it to its sink — JDBC via sources/jdbc.py).
+
+    dedup_order defaults to a real total order over the non-PK payload
+    (ordering by the PK inside a PK-partitioned window is a no-op)."""
 
     def run() -> dict[str, Any]:
         if mode == "append":
             out = target.unionByName(source)
         elif mode == "upsert":
-            out = merge_upsert(target, source, pk, dedup_order=[F.col(c) for c in pk])
+            order = dedup_order if dedup_order is not None else default_dedup_order(source.columns, pk)
+            out = merge_upsert(target, source, pk, dedup_order=order)
         else:
             raise ValueError(f"mode must be append|upsert, got {mode!r}")
         return {"result": out, "rows": out.count()}

@@ -35,6 +35,55 @@ def test_two_batches_merge_into_target(spark, tmp_path):
     assert final == {1: ("a", 1), 2: ("B", 2), 3: ("c_new", 2)}
 
 
+def test_sink_never_collects_to_driver(spark, tmp_path, monkeypatch):
+    """Scale contract: the CDC sink must write the merged target
+    distributed — a target bigger than driver memory must not round-trip
+    through collect()/toPandas()/toLocalIterator()."""
+    from pyspark.sql import DataFrame
+
+    src = tmp_path / "nc_src"
+    src.mkdir()
+    target = str(tmp_path / "nc_target")
+    pd.DataFrame({"k": [1, 2, 2], "v": [10, 20, 21]}).to_parquet(src / "b0.parquet")
+
+    def boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("sink materialized the target on the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", boom)
+
+    schema = spark.read.schema("k long, v long").parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = stream_upsert_to_parquet(stream, target, pk=["k"])
+    q.awaitTermination()
+    monkeypatch.undo()
+    # default dedup_order = desc struct over payload → v=21 wins for k=2
+    final = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert final == {1: 10, 2: 21}
+
+
+def test_sink_recovers_interrupted_swap(spark, tmp_path):
+    """Crash between 'rename target→old' and 'rename tmp→target' leaves
+    only an __old_epoch_* dir; the next batch must roll it back before
+    merging so no committed data is lost."""
+    import os
+
+    from azure_data_engineering_spark.streaming.sinks import _recover_target
+
+    target = str(tmp_path / "rec_target")
+    pd.DataFrame({"k": [7], "v": [70]}).to_parquet(tmp_path / "seed.parquet")
+    spark.read.parquet(str(tmp_path / "seed.parquet")).write.parquet(target)
+    # simulate the crash window: target renamed away, tmp left behind
+    os.rename(target, target + ".__old_epoch_3")
+    os.makedirs(target + ".__tmp_epoch_3")
+    _recover_target(target)
+    assert os.path.exists(target)
+    assert not os.path.exists(target + ".__old_epoch_3")
+    assert not os.path.exists(target + ".__tmp_epoch_3")
+    assert [r["k"] for r in spark.read.parquet(target).collect()] == [7]
+
+
 def test_char_shingles(spark):
     from pyspark.sql import functions as F
 

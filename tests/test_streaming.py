@@ -49,6 +49,31 @@ class TestBatchStreamEquivalence:
         b = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect())
         assert a == b
 
+    def test_exact_gap_boundary_continues_session(self, spark):
+        """Pin the exact-boundary semantics against the native operator:
+        session_window merges sessions whose [ts, ts+gap) intervals
+        overlap OR touch, so an event arriving EXACTLY gap after the
+        previous one CONTINUES the session — batch sessionize must use
+        strictly `>` to match (verified empirically here)."""
+        rows = [
+            ("u", "2024-01-01 00:00:00"),
+            ("u", "2024-01-01 00:30:00"),  # exactly 30m later → still same session
+            ("u", "2024-01-01 01:30:01"),  # 30m01s later → new session
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts_s string").select(
+            "user_id", F.to_timestamp("ts_s").alias("ts")
+        )
+        batch = sessionize(df, "user_id", "ts", gap_minutes=30)
+        native = (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        )
+        a = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect())
+        b = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in native.collect())
+        assert a == b
+        assert [x[2] for x in a] == [2, 1]  # exact-boundary event merged into session 1
+
 
 class TestStreamDedup:
     def test_duplicates_dropped_within_watermark(self, spark, sf_dir):
