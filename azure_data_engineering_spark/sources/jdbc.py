@@ -8,16 +8,27 @@ Mirrors the reference's Postgres surface:
 
 Spark's JDBC writer has no upsert mode, so upsert is implemented the
 way the reference does it — stage, then one set-based server-side
-statement — but distributed: every partition COPYs into a staging
+statement — but distributed: every partition appends into a staging
 table concurrently, then ONE merge statement flips it in
-(SURVEY.md §4). No JDBC server exists in this environment, so
-execution paths raise unless a driver URL is supplied; SQL generation
-is pure and fully tested.
+(SURVEY.md §4). Server-side statements execute through py4j's
+`java.sql.DriverManager` on the driver JVM (`_execute_statement`);
+with no server/driver reachable (this environment) that raises a
+RuntimeError naming the cause, while SQL generation stays pure and
+fully tested. `tests/test_jdbc_exec.py` proves the end-to-end
+statement ordering (staging DDL -> distributed append -> MERGE ->
+DROP) against a mocked gateway.
 
-Note: the reference's setter introspection joins key_column_usage on
-column_name alone, wrongly excluding columns that are keys in *other*
-tables (PGHelperFunction.py:28-29) — fixed here by qualifying the
-table (documented divergence, SURVEY.md §2A quirks).
+Two introspection fixes over the reference (documented divergences,
+SURVEY.md §2A quirks):
+- the reference joins key_column_usage on column_name alone, wrongly
+  excluding columns that are keys in *other* tables
+  (PGHelperFunction.py:28-29) — fixed by qualifying the table;
+- key_column_usage also lists UNIQUE and FOREIGN KEY constraint
+  columns, so anti-joining it directly drops non-PK columns under a
+  unique/FK constraint from the UPDATE SET list (their matched rows
+  would silently keep stale values) — fixed by restricting the
+  anti-join to constraint_type = 'PRIMARY KEY' via table_constraints,
+  exactly as PK_INTROSPECTION_SQL already does.
 """
 
 from __future__ import annotations
@@ -39,9 +50,15 @@ GROUP BY tc.constraint_name
 SETTER_INTROSPECTION_SQL = """
 SELECT c.column_name
 FROM information_schema.columns c
-LEFT JOIN information_schema.key_column_usage k
-  ON k.column_name = c.column_name AND k.table_name = c.table_name
-WHERE c.table_name = '{table}' AND k.constraint_name IS NULL
+LEFT JOIN (
+  SELECT kcu.table_name, kcu.column_name
+  FROM information_schema.key_column_usage kcu
+  JOIN information_schema.table_constraints tc
+    ON tc.constraint_name = kcu.constraint_name
+   AND tc.table_name = kcu.table_name
+  WHERE tc.constraint_type = 'PRIMARY KEY'
+) p ON p.column_name = c.column_name AND p.table_name = c.table_name
+WHERE c.table_name = '{table}' AND p.column_name IS NULL
 ORDER BY c.ordinal_position
 """.strip()
 
@@ -67,9 +84,16 @@ def generate_merge_sql(table: str, staging: str, pk: Sequence[str], setters: Seq
     )
 
 
-def generate_staging_ddl(table: str, staging: str) -> str:
-    """Staging table like the target (PGHelperFunction.py:74)."""
-    return f"CREATE TEMP TABLE {staging} (LIKE {table} INCLUDING ALL) ON COMMIT DROP"
+def generate_staging_ddl(table: str, staging: str, temp: bool = True) -> str:
+    """Staging table like the target (PGHelperFunction.py:74). The
+    reference stages in a TEMP table ON COMMIT DROP — valid for its
+    single-connection COPY, but a distributed append opens one
+    connection per partition and temp tables are per-session, so the
+    distributed path uses a real table (temp=False) dropped after the
+    merge."""
+    if temp:
+        return f"CREATE TEMP TABLE {staging} (LIKE {table} INCLUDING ALL) ON COMMIT DROP"
+    return f"CREATE TABLE IF NOT EXISTS {staging} (LIKE {table} INCLUDING ALL)"
 
 
 def jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str, str]) -> None:
@@ -87,22 +111,64 @@ def jdbc_upsert(
     properties: dict[str, str],
     staging: str | None = None,
 ) -> str:
-    """Distributed staged upsert: append df into a staging table, then
-    execute ONE merge statement server-side. Returns the merge SQL (for
-    logging/tests). Raises if no JDBC server is reachable."""
+    """Distributed staged upsert, end-to-end: create the staging table,
+    append df into it distributed, execute ONE merge statement
+    server-side, drop the staging table. Returns the merge SQL (for
+    logging/tests). Raises RuntimeError if no JDBC server is reachable
+    (nothing is half-applied in that case: the connection attempt for
+    the staging DDL is the first server contact)."""
     staging = staging or f"{table}__stage"
     setters = [c for c in df.columns if c not in set(pk)]
     merge_sql = generate_merge_sql(table, staging, pk, setters)
     # Stage distributed, merge once — the scalable version of
     # PGHelperFunction.py:74-77's single-connection COPY+merge.
-    df.write.jdbc(url=url, table=staging, mode="append", properties=properties)
-    _execute_statement(url, merge_sql, properties)
+    _execute_statement(url, generate_staging_ddl(table, staging, temp=False), properties, spark)
+    try:
+        df.write.jdbc(url=url, table=staging, mode="append", properties=properties)
+        _execute_statement(url, merge_sql, properties, spark)
+    finally:
+        _execute_statement(url, f"DROP TABLE IF EXISTS {staging}", properties, spark)
     return merge_sql
 
 
-def _execute_statement(url: str, sql: str, properties: dict[str, str]) -> None:
-    raise NotImplementedError(
-        "no JDBC server in this environment; executing server-side statements "
-        "requires a live connection (py4j DriverManager). SQL generation above "
-        "is the tested surface."
-    )
+def _get_connection(url: str, properties: dict[str, str], spark: SparkSession | None):
+    """Open a java.sql.Connection on the driver JVM via py4j.
+
+    Raises RuntimeError (with the underlying cause) when no JVM driver
+    class or server is reachable — the only circumstance in which the
+    execution path is unavailable."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession — a JVM is required for JDBC execution")
+    jvm = spark.sparkContext._jvm
+    try:
+        driver = properties.get("driver")
+        if driver:
+            # register the driver class with DriverManager (same effect
+            # as Spark's own JDBCOptions driverClass load)
+            jvm.java.lang.Class.forName(driver)
+        props = jvm.java.util.Properties()
+        for k, v in properties.items():
+            props.setProperty(k, str(v))
+        return jvm.java.sql.DriverManager.getConnection(url, props)
+    except Exception as exc:
+        raise RuntimeError(
+            f"JDBC connection to {url!r} failed (driver missing or server unreachable): {exc}"
+        ) from exc
+
+
+def _execute_statement(
+    url: str, sql: str, properties: dict[str, str], spark: SparkSession | None = None
+) -> None:
+    """Execute one server-side statement via java.sql.DriverManager
+    (py4j) — the reference's cur.execute of generated SQL
+    (PGHelperFunction.py:74-77, adffunction/__init__.py:166-172)."""
+    conn = _get_connection(url, properties, spark)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
