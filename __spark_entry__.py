@@ -1986,6 +1986,16 @@ FROM gaps GROUP BY user_id
 """
 
 
+def q_user_profile_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in twin of q_grouped_map (lag window + hash agg, all
+    whole-stage codegen) — same result, ~10x cheaper; see the crossover
+    rule in operators/pandas_ops.py."""
+    from azure_data_engineering_spark.operators.pandas_ops import user_event_profile_builtin
+
+    e = _t(spark, sf_dir, "events")
+    return user_event_profile_builtin(e)
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage salted aggregation — identical results to a
     direct groupBy (the oracle IS the direct groupBy), with a hot key
@@ -2207,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q5_style": q_tpch_q5_style,
         "q_pandas_udf": q_pandas_udf,
         "q_grouped_map": q_grouped_map,
+        "q_user_profile_builtin": q_user_profile_builtin,
         "q_salted_agg": q_salted_agg,
         "q_stateful_stream": q_stateful_stream,
         "q_stream_stream_join": q_stream_stream_join,
@@ -2290,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q5_style": Q_TPCH_Q5_SQL,
         "q_pandas_udf": Q_PANDAS_UDF_SQL,
         "q_grouped_map": Q_GROUPED_MAP_SQL,
+        "q_user_profile_builtin": Q_GROUPED_MAP_SQL,
         "q_salted_agg": Q_SALTED_AGG_SQL,
         "q_stream_stream_join": Q_STREAM_STREAM_JOIN_SQL,
     }

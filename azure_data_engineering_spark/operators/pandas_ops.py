@@ -59,3 +59,29 @@ def user_event_profile(events: DataFrame) -> DataFrame:
     return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
         profile, schema="user_id bigint, n_events bigint, total_value double, mean_gap_sec double"
     )
+
+
+def user_event_profile_builtin(events: DataFrame) -> DataFrame:
+    """The built-in twin of user_event_profile: lag window + hash
+    aggregate, whole-stage codegen end-to-end — identical output,
+    roughly an order of magnitude cheaper (no Arrow transfer, no
+    per-group pandas frame).
+
+    Crossover rule: prefer THIS plan whenever the per-group logic is
+    expressible with window functions + aggregates — i.e. any
+    fold/scan over a sorted group. Reach for applyInPandas only when
+    the group logic needs real Python (iterative model fitting,
+    dynamic-programming passes, third-party libs); then keys must be
+    high-cardinality so groups fit in executor memory."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = events.select("user_id", "ts", "value").withColumn(
+        "gap",
+        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("gap"), 1).alias("mean_gap_sec"),
+    )

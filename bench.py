@@ -39,6 +39,7 @@ HEADLINE = [
     "q_stream_tumbling",
     "q_tpch_q5_style",
     "q_grouped_map",
+    "q_user_profile_builtin",
     "q_salted_agg",
     "q_ann_lsh",
 ]

@@ -46,6 +46,17 @@ class TestGroupedMap:
             assert prof[uid]["n_events"] == row["n"]
             assert abs(prof[uid]["total_value"] - row["tv"]) < 1e-6
 
+    def test_builtin_twin_matches_pandas_version(self, spark, sf_dir):
+        """user_event_profile_builtin (lag window + hash agg) must be
+        row-identical to the applyInPandas version — it's the plan the
+        crossover rule says to prefer."""
+        from azure_data_engineering_spark.operators.pandas_ops import user_event_profile_builtin
+
+        e = load_table(spark, sf_dir, "events")
+        a = sorted(map(tuple, user_event_profile(e).collect()))
+        b = sorted(map(tuple, user_event_profile_builtin(e).collect()))
+        assert a == b
+
 
 class TestSaltedAggregate:
     def test_equals_direct_groupby(self, spark, sf_dir):
