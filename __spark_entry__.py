@@ -33,6 +33,7 @@ from azure_data_engineering_spark.functions.text import (
 )
 from azure_data_engineering_spark.operators.relational import (
     asof_join,
+    asof_join_big,
     range_join,
     top_k,
     top_k_per_group,
@@ -343,6 +344,38 @@ WITH dim AS (
 )
 SELECT event_id, strftime(effective_ts, '%Y-%m-%d') AS effective_day, idx
 FROM ranked WHERE rn = 1
+"""
+
+
+def q_asof_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x fact as-of: every event picks the most recent purchase
+    value at-or-before its timestamp for the same user, via the
+    union-merge plan (one shuffle on user_id, NO join operator — see
+    operators/relational.asof_join_big; plan asserted join-free in
+    tests/test_relational.py)."""
+    e = _t(spark, sf_dir, "events")
+    left = e.select("user_id", "ts", "value")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("ref_ts"))
+        .agg(F.max("value").alias("ref_value"))
+    )
+    out = asof_join_big(left, right, "ts", "ref_ts", ["user_id"])
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+        "ref_value",
+    )
+
+
+Q_ASOF_BIG_SQL = """
+WITH r AS (
+  SELECT user_id, ts AS ref_ts, max(value) AS ref_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, l.value, r.ref_value
+FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ref_ts
 """
 
 
@@ -2153,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_asof_join": q_asof_join,
         "q_asof_forward": q_asof_forward,
+        "q_asof_big": q_asof_big,
         "q_explode_outer": q_explode_outer,
         "q_agg_stats": q_agg_stats,
         "q_string_agg": q_string_agg,
@@ -2239,6 +2273,7 @@ def oracle_sql() -> dict[str, str]:
         "q_range_join": Q_RANGE_JOIN_SQL,
         "q_asof_join": Q_ASOF_JOIN_SQL,
         "q_asof_forward": Q_ASOF_FORWARD_SQL,
+        "q_asof_big": Q_ASOF_BIG_SQL,
         "q_explode_outer": Q_EXPLODE_OUTER_SQL,
         "q_agg_stats": Q_AGG_STATS_SQL,
         "q_string_agg": Q_STRING_AGG_SQL,

@@ -140,3 +140,84 @@ def asof_join(
     order = rcol.desc_nulls_last() if direction == "backward" else rcol.asc_nulls_last()
     w = Window.partitionBy(F.col(f"l.{left_id}")).orderBy(order)
     return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def asof_join_big(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    partition_keys: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """Fact x fact as-of join — the scale path when NEITHER side is
+    broadcastable (asof_join above assumes a small right side).
+
+    Union-merge plan instead of any join: tag both sides, union, then
+    per partition key fill each left row's right-payload columns with
+    `last(..., ignorenulls)` over the time-ordered window (backward;
+    `first` over the following window for forward). ONE shuffle on the
+    partition keys, zero BroadcastNestedLoopJoin, no pair explosion —
+    the plan a 100 TB fact x fact as-of needs (plan shape asserted in
+    tests/test_relational.py). Same tie semantics as asof_join: a right
+    row at exactly left_on matches in both directions.
+
+    Requirements: non-empty partition_keys (the window would otherwise
+    be single-partition); right payload column names must not collide
+    with left columns (rename before calling); for deterministic output
+    right should be unique per (partition_keys, right_on) — pre-
+    aggregate duplicates away.
+
+    Reference parity: extends the MERGE-style temporal lookup of the
+    reference's load path (PGHelperFunction.py:44-67 has no temporal
+    variant); semantics follow the standard ASOF JOIN (DuckDB/Pandas
+    merge_asof definition).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    if not partition_keys:
+        raise ValueError("asof_join_big requires partition_keys; use asof_join for global as-of")
+    keys = list(partition_keys)
+    right_payload = [c for c in right.columns if c not in set(keys) | {right_on}]
+    overlap = set(right_payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+    left_only = [c for c in left.columns if c not in keys]
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+
+    l_side = left.select(
+        *keys,
+        *left_only,
+        F.col(left_on).alias("__t"),
+        F.lit(1).alias("__src"),
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_payload],
+    )
+    r_side = right.select(
+        *keys,
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_only],
+        F.col(right_on).alias("__t"),
+        F.lit(0).alias("__src"),
+        *right_payload,
+    )
+    u = l_side.unionByName(r_side)
+    if direction == "backward":
+        # right rows (__src=0) sort before left rows at the same __t,
+        # so an exactly-equal right timestamp is inside the window
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__src").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = [F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload]
+    else:
+        # left rows first at equal __t so the following window sees an
+        # exactly-equal right timestamp
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__src").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        filled = [F.first(c, ignorenulls=True).over(w).alias(c) for c in right_payload]
+    out = u.select(*keys, *left_only, F.col("__src"), *filled)
+    return out.filter(F.col("__src") == 1).drop("__src")

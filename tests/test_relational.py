@@ -4,8 +4,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from azure_data_engineering_spark.operators.relational import (
     asof_join,
+    asof_join_big,
     dedup_keep_first,
     string_agg,
     top_k,
@@ -46,6 +49,52 @@ class TestAsofJoin:
         out = asof_join(ev, dim, "eid", "t", "eff", partition_keys=["g"])
         got = {r["eid"]: r["v"] for r in out.collect()}
         assert got == {1: "da", 2: "db"}
+
+
+class TestAsofJoinBig:
+    """Fact x fact as-of via the union-merge plan."""
+
+    def _sides(self, spark):
+        left = spark.createDataFrame(
+            [("a", 10, 1.0), ("a", 25, 2.0), ("a", 4, 3.0), ("b", 10, 4.0)],
+            "g string, t int, val double",
+        )
+        right = spark.createDataFrame(
+            [("a", 0, "v0"), ("a", 20, "v20"), ("a", 25, "v25"), ("b", 30, "v30")],
+            "g string, rt int, ver string",
+        )
+        return left, right
+
+    def test_backward_matches_asof_join(self, spark):
+        left, right = self._sides(spark)
+        out = asof_join_big(left, right, "t", "rt", ["g"])
+        got = {(r["g"], r["t"]): r["ver"] for r in out.collect()}
+        # exact-equal right timestamp matches (t=25 -> v25); no earlier
+        # right row for b -> null
+        assert got == {("a", 10): "v0", ("a", 25): "v25", ("a", 4): "v0", ("b", 10): None}
+
+    def test_forward(self, spark):
+        left, right = self._sides(spark)
+        out = asof_join_big(left, right, "t", "rt", ["g"], direction="forward")
+        got = {(r["g"], r["t"]): r["ver"] for r in out.collect()}
+        assert got == {("a", 10): "v20", ("a", 25): "v25", ("a", 4): "v20", ("b", 10): "v30"}
+
+    def test_plan_has_no_join(self, spark):
+        """The whole point of the big-big variant: the physical plan
+        must contain NO join operator at all (in particular no
+        BroadcastNestedLoopJoin) — just one shuffle for the window."""
+        left, right = self._sides(spark)
+        plan = asof_join_big(left, right, "t", "rt", ["g"])._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan
+        assert "Join" not in plan
+        assert "Window" in plan
+
+    def test_rejects_empty_partition_keys_and_collisions(self, spark):
+        left, right = self._sides(spark)
+        with pytest.raises(ValueError, match="partition_keys"):
+            asof_join_big(left, right, "t", "rt", [])
+        with pytest.raises(ValueError, match="collide"):
+            asof_join_big(left, right.withColumnRenamed("ver", "val"), "t", "rt", ["g"])
 
 
 class TestDedupAndRank:
