@@ -1452,6 +1452,43 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_excel_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel connector end-to-end on a REAL .xlsx file: nation rows are
+    written as a genuine OOXML workbook (stdlib writer), then ingested
+    through the engine's auto-selected parser (openpyxl if installed,
+    else the stdlib OOXML reader — sources/excel.py), producing the
+    reference's all-string sheet frame named
+    {sanitized_basename}_{sheet} (HelperFunction.py:9-43). Oracle reads
+    the same rows straight from parquet, stringified."""
+    import os
+    import tempfile
+
+    from azure_data_engineering_spark.sources.excel import ingest_excel as _ingest
+    from azure_data_engineering_spark.sources.excel import write_minimal_xlsx
+
+    n = _t(spark, sf_dir, "nation")
+    rows = [
+        [str(r["n_nationkey"]), r["n_name"], str(r["n_regionkey"])]
+        for r in n.orderBy("n_nationkey").collect()  # 25-row bounded dim
+    ]
+    path = os.path.join(tempfile.mkdtemp(prefix="xlsx_gate_"), "Nation Data-2024.xlsx")
+    write_minimal_xlsx(path, {"nations": rows})
+    frames = _ingest(spark, path, sheet_list="all")
+    df = frames["NationData2024_nations"]  # reference naming: sanitized base + sheet
+    return df.select(
+        F.col("c0").alias("n_nationkey"),
+        F.col("c1").alias("n_name"),
+        F.col("c2").alias("n_regionkey"),
+    )
+
+
+Q_EXCEL_INGEST_SQL = """
+SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+       CAST(n_regionkey AS VARCHAR) AS n_regionkey
+FROM nation
+"""
+
+
 def q_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-listing scan as a DataFrame (the reference's blob listing,
     __init__.py:82,148) — names under the table directory."""
@@ -2230,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_session": q_stream_session,
         "q_batch_tumbling": q_batch_tumbling,
         "q_csv_roundtrip": q_csv_roundtrip,
+        "q_excel_ingest": q_excel_ingest,
         "q_file_listing": q_file_listing,
         "q_sliding_window": q_sliding_window,
         "q_session_window": q_session_window,
@@ -2315,6 +2353,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_session": Q_SESSIONIZE_SQL,
         "q_batch_tumbling": Q_STREAM_TUMBLING_SQL,
         "q_csv_roundtrip": Q_CSV_ROUNDTRIP_SQL,
+        "q_excel_ingest": Q_EXCEL_INGEST_SQL,
         "q_file_listing": Q_FILE_LISTING_SQL,
         "q_sliding_window": Q_SLIDING_WINDOW_SQL,
         "q_session_window": Q_SESSIONIZE_SQL,

@@ -11,14 +11,17 @@ Spark-first design:
   over the folder, then mapInPandas fans each workbook's sheets out on
   executors — the driver never holds file bytes.
 
-openpyxl/xlrd are NOT installed in this environment, so both paths are
-gated: the plumbing (naming, sheet selection, sanitize application) is
-real and tested via a deterministic fake workbook loader; the byte-
-level xlsx parse raises unless an engine is available.
+Byte-level parsing auto-selects an engine at runtime: openpyxl when
+installed, else the built-in stdlib reader below (zipfile + ElementTree
+over the public OOXML package format — ECMA-376: xl/workbook.xml for
+sheet order, xl/_rels for sheet targets, xl/sharedStrings.xml, and
+shared/inline/numeric/boolean cell types). No pip dependency needed to
+ingest real .xlsx files.
 """
 
 from __future__ import annotations
 
+import io
 import os
 import re
 from collections.abc import Callable, Iterable
@@ -28,12 +31,167 @@ from pyspark.sql import functions as F
 
 from azure_data_engineering_spark.functions.sanitize import sanitize_cell
 
-try:  # gated optional dependency
+try:  # preferred engine when available
     import openpyxl  # type: ignore  # noqa: F401
 
-    _HAVE_XLSX = True
+    _HAVE_OPENPYXL = True
 except ImportError:
-    _HAVE_XLSX = False
+    _HAVE_OPENPYXL = False
+
+
+# ------------------------------------------------------------------
+# Stdlib OOXML reader/writer (public format, ECMA-376 SpreadsheetML).
+# Reader handles shared strings, inline strings, numbers, booleans,
+# sparse cells (A1 references with gaps), and multi-run rich text.
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _col_to_idx(ref: str) -> int:
+    """'A'->0, 'Z'->25, 'AA'->26 (column part of an A1 reference)."""
+    n = 0
+    for ch in ref:
+        n = n * 26 + (ord(ch) - ord("A") + 1)
+    return n - 1
+
+
+def _text_of(elem) -> str:
+    """Concatenated <t> runs under an <si>/<is> (rich text safe)."""
+    return "".join(t.text or "" for t in elem.iter() if _local(t.tag) == "t")
+
+
+def parse_xlsx_bytes(payload: bytes) -> dict[str, list[list[str]]]:
+    """Parse an .xlsx workbook from bytes with the stdlib only —
+    zipfile + ElementTree over the OOXML package. Returns the loader
+    contract shape: {sheet_name: rows of stringified cells}, sheets in
+    workbook order (HelperFunction.py:27's sheet iteration)."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    names = set(zf.namelist())
+
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        for si in ET.fromstring(zf.read("xl/sharedStrings.xml")):
+            if _local(si.tag) == "si":
+                shared.append(_text_of(si))
+
+    rel_map: dict[str, str] = {}
+    if "xl/_rels/workbook.xml.rels" in names:
+        for rel in ET.fromstring(zf.read("xl/_rels/workbook.xml.rels")):
+            rel_map[rel.get("Id", "")] = rel.get("Target", "")
+
+    book: dict[str, list[list[str]]] = {}
+    sheet_no = 0
+    for elem in ET.fromstring(zf.read("xl/workbook.xml")).iter():
+        if _local(elem.tag) != "sheet":
+            continue
+        sheet_no += 1
+        sheet_name = elem.get("name", f"sheet{sheet_no}")
+        rid = next((v for k, v in elem.attrib.items() if _local(k) == "id"), None)
+        target = rel_map.get(rid or "", f"worksheets/sheet{sheet_no}.xml")
+        target = target if target.startswith("xl/") else "xl/" + target.lstrip("/")
+        rows: list[list[str]] = []
+        for row in ET.fromstring(zf.read(target)).iter():
+            if _local(row.tag) != "row":
+                continue
+            cells: dict[int, str] = {}
+            for c in row:
+                if _local(c.tag) != "c":
+                    continue
+                ref = c.get("r")
+                m = re.match(r"[A-Z]+", ref) if ref else None
+                idx = _col_to_idx(m.group()) if m else len(cells)
+                ctype = c.get("t", "n")
+                v = next((ch for ch in c if _local(ch.tag) == "v"), None)
+                is_elem = next((ch for ch in c if _local(ch.tag) == "is"), None)
+                if ctype == "s" and v is not None:
+                    cells[idx] = shared[int(v.text or "0")]
+                elif ctype == "inlineStr" and is_elem is not None:
+                    cells[idx] = _text_of(is_elem)
+                elif ctype == "b" and v is not None:
+                    cells[idx] = "TRUE" if (v.text or "").strip() == "1" else "FALSE"
+                else:  # n / str / d — take the raw stored text
+                    cells[idx] = (v.text or "") if v is not None else ""
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i, "") for i in range(width)])
+        book[sheet_name] = rows
+    return book
+
+
+def write_minimal_xlsx(path: str, sheets: dict[str, list[list[str]]]) -> None:
+    """Write a minimal valid .xlsx (inline-string cells only) with the
+    stdlib — fixture support so Excel ingest is testable end-to-end
+    without any Excel library installed. Not a general writer."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    sheet_names = list(sheets)
+    ct_overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+        f'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        for i in range(len(sheet_names))
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        f"{ct_overrides}</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    wb_sheets = "".join(
+        f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, n in enumerate(sheet_names)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{wb_sheets}</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheet_names))
+        )
+        + "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, name in enumerate(sheet_names):
+            body = "".join(
+                "<row>"
+                + "".join(
+                    f'<c t="inlineStr"><is><t xml:space="preserve">{escape(str(cell))}</t></is></c>'
+                    for cell in row
+                )
+                + "</row>"
+                for row in sheets[name]
+            )
+            zf.writestr(
+                f"xl/worksheets/sheet{i + 1}.xml",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                f"<sheetData>{body}</sheetData></worksheet>",
+            )
 
 # (sheet_name -> list of rows, each row a list of cells) — the minimal
 # workbook shape the reference iterates (HelperFunction.py:27,34-35).
@@ -57,17 +215,22 @@ def select_sheets(all_sheets: Iterable[str], sheet_list: str = "all") -> list[st
     return [s for s in names if s in wanted]
 
 
-def _default_loader(path: str) -> dict[str, list[list[str]]]:
-    if not _HAVE_XLSX:
-        raise NotImplementedError(
-            "xlsx parsing requires openpyxl, which is not installed in this "
-            "environment; pass a workbook_loader (tests use a deterministic fake)"
-        )
-    wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
+def _openpyxl_parse(stream) -> dict[str, list[list[str]]]:  # pragma: no cover - needs openpyxl
+    wb = openpyxl.load_workbook(stream, read_only=True, data_only=True)
     return {
         ws.title: [["" if c is None else str(c) for c in row] for row in ws.iter_rows(values_only=True)]
         for ws in wb.worksheets
     }
+
+
+def _default_loader(path: str) -> dict[str, list[list[str]]]:
+    """Engine auto-selection: openpyxl when installed (richer format
+    coverage: .xlsm, formulas-as-values), else the stdlib OOXML parser
+    above — real .xlsx files ingest either way."""
+    if _HAVE_OPENPYXL:  # pragma: no cover - openpyxl absent in test env
+        return _openpyxl_parse(path)
+    with open(path, "rb") as fh:
+        return parse_xlsx_bytes(fh.read())
 
 
 def ingest_excel_distributed(
@@ -88,7 +251,6 @@ def ingest_excel_distributed(
     reference's CSV stage. bytes_loader(name, payload) -> {sheet:
     rows}; defaults to openpyxl (gated), tests inject a fake.
     """
-    import io
     import re as _re
 
     from collections.abc import Iterator
@@ -96,17 +258,13 @@ def ingest_excel_distributed(
     import pandas as pd
 
     if bytes_loader is None:
-        if not _HAVE_XLSX:
-            raise NotImplementedError(
-                "xlsx parsing requires openpyxl; pass bytes_loader (tests use a fake)"
-            )
 
-        def bytes_loader(name: str, payload: bytes):  # pragma: no cover - needs openpyxl
-            wb = openpyxl.load_workbook(io.BytesIO(payload), read_only=True, data_only=True)
-            return {
-                ws.title: [["" if c is None else str(c) for c in row] for row in ws.iter_rows(values_only=True)]
-                for ws in wb.worksheets
-            }
+        def bytes_loader(name: str, payload: bytes):
+            # engine auto-selection per executor: openpyxl if the
+            # workers have it, else the stdlib OOXML parser
+            if _HAVE_OPENPYXL:  # pragma: no cover - openpyxl absent in test env
+                return _openpyxl_parse(io.BytesIO(payload))
+            return parse_xlsx_bytes(payload)
 
     files = (
         spark.read.format("binaryFile")

@@ -104,6 +104,79 @@ class TestExcelDistributed:
         assert {r["sheet"] for r in out.collect()} == {"S1"}
 
 
+class TestStdlibXlsx:
+    """Real .xlsx bytes through the stdlib OOXML reader — no openpyxl,
+    no injected loader: the auto-selected default engine path."""
+
+    def test_roundtrip_and_escaping(self, tmp_path):
+        from azure_data_engineering_spark.sources.excel import parse_xlsx_bytes, write_minimal_xlsx
+
+        p = str(tmp_path / "t.xlsx")
+        sheets = {"S1": [["a", "b <&> \"q\"", ""], ["1", "2.5", "x|y"]], "S2": [["only"]]}
+        write_minimal_xlsx(p, sheets)
+        assert parse_xlsx_bytes(open(p, "rb").read()) == sheets
+
+    def test_shared_strings_and_sparse_cells(self):
+        """Hand-built workbook exercising shared strings, numeric and
+        boolean cells, and a sparse row (cell C skipped via A1 refs) —
+        the shapes real Excel writers emit."""
+        import io
+        import zipfile
+
+        from azure_data_engineering_spark.sources.excel import parse_xlsx_bytes
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr(
+                "xl/workbook.xml",
+                '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+                'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+                '<sheets><sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>',
+            )
+            zf.writestr(
+                "xl/_rels/workbook.xml.rels",
+                '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>',
+            )
+            zf.writestr(
+                "xl/sharedStrings.xml",
+                '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                "<si><t>hello</t></si><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>",
+            )
+            zf.writestr(
+                "xl/worksheets/sheet1.xml",
+                '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+                '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>42</v></c>'
+                '<c r="D1" t="b"><v>1</v></c></row>'
+                '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+                "</sheetData></worksheet>",
+            )
+        book = parse_xlsx_bytes(buf.getvalue())
+        # sparse row padded through skipped C; rich-text runs concatenated
+        assert book == {"Data": [["hello", "42", "", "TRUE"], ["rich"]]}
+
+    def test_driver_ingest_real_file(self, spark, tmp_path):
+        from azure_data_engineering_spark.sources.excel import write_minimal_xlsx
+
+        p = str(tmp_path / "Real Book.xlsx")
+        write_minimal_xlsx(p, {"Data": [["h1", "h2"], ["v1", "v2"]]})
+        out = ingest_excel(spark, p)  # no loader injected
+        rows = sorted(tuple(r) for r in out["RealBook_Data"].collect())
+        assert rows == [("h1", "h2"), ("v1", "v2")]
+
+    def test_distributed_ingest_real_files(self, spark, tmp_path):
+        from azure_data_engineering_spark.sources.excel import (
+            ingest_excel_distributed,
+            write_minimal_xlsx,
+        )
+
+        write_minimal_xlsx(str(tmp_path / "a.xlsx"), {"S": [["1"], ["2"]]})
+        write_minimal_xlsx(str(tmp_path / "b.xlsx"), {"S": [["3"]]})
+        out = ingest_excel_distributed(spark, str(tmp_path))  # no loader injected
+        got = {(r["source_name"], r["row_idx"], tuple(r["cells"])) for r in out.collect()}
+        assert got == {("a_S", 0, ("1",)), ("a_S", 1, ("2",)), ("b_S", 0, ("3",))}
+
+
 class TestListing:
     def test_lists_metadata(self, spark, sf_dir):
         df = list_files(spark, sf_dir, glob="*.parquet")
