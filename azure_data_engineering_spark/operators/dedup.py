@@ -26,10 +26,17 @@ def _ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     """CPU-heavy per-row stages (shingling, hashing) need enough input
     partitions. A 100 TB table has thousands of file splits so this is
     a no-op; a small local file arrives as ONE partition and would pin
-    the whole map stage to one core (measured 3x on sf0.1)."""
+    the whole map stage to one core (measured 3x on sf0.1).
+
+    Partition estimate = leaf input file count (plan metadata only —
+    touching df.rdd would force a Python-RDD conversion plan per call).
+    Fewer files than cores -> repartition; shuffled/in-memory inputs
+    (no leaf files) are already sized by spark.sql.shuffle.partitions /
+    parallelize and pass through."""
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n_files = len(df.inputFiles())
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

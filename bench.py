@@ -45,6 +45,42 @@ HEADLINE = [
 ]
 
 
+PROBE_QUERIES = ["q1_pricing_summary", "q_dedup_minhash", "q_tpch_q5_style"]
+
+
+def _probe_partner(sf_dir: str) -> str | None:
+    """Scaling-probe partner dir: the largest sibling sf above the
+    bench sf if one exists (e.g. sf1 next to sf0.1), else the largest
+    below it — so the probe always spans a real data-size ratio."""
+    import glob as _glob
+
+    base = os.path.dirname(sf_dir.rstrip("/"))
+    me = float(sf_dir.rstrip("/").split("sf")[-1])
+    sibs = []
+    for d in _glob.glob(os.path.join(base, "sf*")):
+        try:
+            sibs.append((float(d.rstrip("/").split("sf")[-1]), d))
+        except ValueError:
+            continue
+    above = sorted((s, d) for s, d in sibs if s > me)
+    below = sorted((s, d) for s, d in sibs if s < me)
+    if above:
+        return above[-1][1]
+    if below:
+        return below[-1][1]
+    return None
+
+
+def _time_query(qs, name, spark, sf_dir: str, runs: int = 2) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -63,14 +99,34 @@ def main() -> None:
         # codegen; steady-state throughput is what scales to the
         # cluster. Construction is timed too — q_stream_tumbling
         # executes its streaming query inside the constructor.
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+        timings[name] = round(_time_query(qs, name, spark, sf_dir), 3)
+
+    # Scaling probe: time 3 representative queries at a second sf and
+    # record the time ratio vs the data-size ratio — super-linear drift
+    # (time_ratio >> sf_ratio) flags a scaling regression in the diff
+    # between BENCH rounds, not in prose.
+    probe: dict[str, object] = {}
+    partner = _probe_partner(sf_dir)
+    if partner is not None:
+        p_sf = float(partner.rstrip("/").split("sf")[-1])
+        small_dir, big_dir = (sf_dir, partner) if p_sf > float(sf) else (partner, sf_dir)
+        small_sf = min(float(sf), p_sf)
+        big_sf = max(float(sf), p_sf)
+        probe = {"small_sf": small_sf, "big_sf": big_sf, "sf_ratio": round(big_sf / small_sf, 3), "queries": {}}
+        for name in PROBE_QUERIES:
+            small_sec = (
+                timings[name] if small_dir == sf_dir and name in timings
+                else _time_query(qs, name, spark, small_dir)
+            )
+            big_sec = (
+                timings[name] if big_dir == sf_dir and name in timings
+                else _time_query(qs, name, spark, big_dir)
+            )
+            probe["queries"][name] = {
+                "small_sec": round(small_sec, 3),
+                "big_sec": round(big_sec, 3),
+                "time_ratio": round(big_sec / small_sec, 3) if small_sec > 0 else None,
+            }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +137,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "probe": probe,
+                "notes": {
+                    "q_ann_lsh": "since r2 includes brute-force recall verification "
+                    "(oracle upgrade), not just the ANN path",
+                },
             }
         )
     )

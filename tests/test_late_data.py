@@ -82,6 +82,58 @@ def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
     assert rows["10:00"]["sum_value"] == 2.0
 
 
+def test_late_row_bridges_two_sessions(spark, tmp_path):
+    """Session merge on late data: two sessions 40 minutes apart (gap
+    30m) become ONE when a late within-watermark row lands between
+    them. Checked against the batch gaps-and-islands plan (sessionize)
+    over the same rows — streaming state-store session merge must equal
+    the batch computation."""
+    from azure_data_engineering_spark.operators.window_ops import sessionize
+    from azure_data_engineering_spark.streaming.windows import session_counts
+
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+    batches = [
+        # session A (10:00, 10:10) and session B (10:50, 11:00): the
+        # 10:10 -> 10:50 gap is 40m > 30m -> two sessions so far
+        (["2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 10:50", "2024-01-01 11:00"],),
+        # late bridging row: every gap through it is < 30m -> sessions merge
+        (["2024-01-01 10:25"],),
+    ]
+    for i, (stamps,) in enumerate(batches):
+        pd.DataFrame(
+            {"user_id": [7] * len(stamps), "ts": pd.to_datetime(stamps)}
+        ).to_parquet(d / f"b{i}.parquet", coerce_timestamps="us")
+        time.sleep(1.05)
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        session_counts(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sess_merge_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = [
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("sess_merge_sink").collect()
+    ]
+    batch_df = spark.read.parquet(str(d)).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = [
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize(batch_df, "user_id", "ts", gap_minutes=30).collect()
+    ]
+    assert sorted(streamed) == sorted(batch)
+    assert len(streamed) == 1 and streamed[0][2] == 5  # one merged session of 5
+
+
 def test_in_watermark_late_rows_are_kept(spark, tmp_path):
     path = _write_batches(
         tmp_path,
