@@ -2202,6 +2202,167 @@ SELECT count(*) AS n_true, TRUE AS recall_ok FROM ranked WHERE rank <= 3
 """
 
 
+# ---------------------------- LLM pipeline: sampling / chunking / clusters
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (pure function of the key, stable
+    under repartitioning/retries — unlike df.sample's per-partition
+    RNG). The oracle reproduces the EXACT row set from the same md5
+    arithmetic."""
+    from azure_data_engineering_spark.operators.sampling import deterministic_sample
+
+    l = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    out = deterministic_sample(l, key, 0.1, salt="s1")
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+Q_HASH_SAMPLE_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM lineitem
+WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || 's1'), 1, 8) AS BIGINT)
+      / 4294967296.0 < 0.1
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by hashed
+    doc_id) — split sizes per (split, lang). The 0.9000000000000001
+    threshold in the oracle is the float-exact cumulative sum Python
+    computes for 0.8 + 0.1."""
+    from azure_data_engineering_spark.operators.sampling import split_assign
+
+    d = _t(spark, sf_dir, "documents")
+    sp = split_assign(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split1")
+    return sp.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+Q_DATASET_SPLIT_SQL = """
+WITH u AS (
+  SELECT lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split1'), 1, 8) AS BIGINT)
+           / 4294967296.0 AS h
+  FROM documents
+)
+SELECT CASE WHEN h < 0.8 THEN 'train'
+            WHEN h < 0.9000000000000001 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM u GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, chosen by deterministic hash order
+    (uniform within stratum, id tiebreak) — the oracle reproduces the
+    exact selection."""
+    from azure_data_engineering_spark.operators.sampling import stratified_sample_exact
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample_exact(d, ["lang"], "doc_id", k=20, salt="st")
+    return out.select("lang", "doc_id")
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'st'), 1, 8) AS BIGINT)
+                      / 4294967296.0, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking: each doc becomes ceil(n/40) contiguous
+    40-token chunks (projection + explode, no shuffle, no Python) —
+    chunk text compared verbatim against the SQL twin."""
+    from azure_data_engineering_spark.operators.chunking import chunk_by_tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return chunk_by_tokens(d, "doc_id", "text", max_tokens=40)
+
+
+Q_CHUNK_DOCUMENTS_SQL = """
+WITH docs AS (SELECT doc_id, trim(text) AS text FROM documents WHERE doc_id < 300),
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS n
+  FROM docs
+), ex AS (
+  SELECT doc_id, toks, n,
+         greatest(CAST(ceil(n / 40.0) AS INTEGER), 1) AS n_chunks,
+         unnest(range(greatest(CAST(ceil(n / 40.0) AS INTEGER), 1))) AS chunk_id
+  FROM base
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, n_chunks,
+       CAST(chunk_id * 40 AS INTEGER) AS token_start,
+       CAST(greatest(least(40, n - chunk_id * 40), 0) AS INTEGER) AS token_len,
+       array_to_string(toks[CAST(chunk_id * 40 + 1 AS INTEGER) :
+                            CAST(chunk_id * 40 + greatest(least(40, n - chunk_id * 40), 0) AS INTEGER)],
+                       ' ') AS chunk_text
+FROM ex
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components (min-
+    label propagation, operators/clustering.py) over the exact 3-gram
+    Jaccard candidate pairs of q_ngram_jaccard, singletons included.
+    Oracle walks the same pair graph with a recursive CTE."""
+    from azure_data_engineering_spark.operators.clustering import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    near = (
+        d.filter((F.col("doc_id") % 11 == 0) & (F.col("n_chars") > 120))
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
+    )
+    corpus = d.unionByName(near)
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.6, k=3)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), "id_a", "id_b", nodes=corpus.select("doc_id")
+    )
+    return comp.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+Q_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text || ' extra tail words' FROM documents
+  WHERE doc_id % 11 = 0 AND n_chars > 120
+), norm AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM corpus
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS shingle_list
+  FROM norm
+), ex AS (
+  SELECT doc_id, len(shingle_list) AS n_sh, unnest(shingle_list) AS s FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.6
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node
+)
+SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2301,6 +2462,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_functions": q_array_functions,
         "q_maxby_aggregates": q_maxby_aggregates,
         "q_having": q_having,
+        "q_hash_sample": q_hash_sample,
+        "q_dataset_split": q_dataset_split,
+        "q_stratified_sample": q_stratified_sample,
+        "q_chunk_documents": q_chunk_documents,
+        "q_dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -2385,4 +2551,9 @@ def oracle_sql() -> dict[str, str]:
         "q_user_profile_builtin": Q_GROUPED_MAP_SQL,
         "q_salted_agg": Q_SALTED_AGG_SQL,
         "q_stream_stream_join": Q_STREAM_STREAM_JOIN_SQL,
+        "q_hash_sample": Q_HASH_SAMPLE_SQL,
+        "q_dataset_split": Q_DATASET_SPLIT_SQL,
+        "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+        "q_chunk_documents": Q_CHUNK_DOCUMENTS_SQL,
+        "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     }

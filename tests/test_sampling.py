@@ -1,0 +1,119 @@
+"""Training-data pipeline operators: deterministic sampling/splits,
+token chunking, near-dup cluster resolution (connected components)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_data_engineering_spark.operators.chunking import chunk_by_tokens
+from azure_data_engineering_spark.operators.clustering import connected_components
+from azure_data_engineering_spark.operators.sampling import (
+    deterministic_sample,
+    split_assign,
+    stratified_sample_exact,
+)
+
+
+class TestDeterministicSample:
+    def test_stable_under_repartitioning(self, spark):
+        """The core contract vs df.sample(): the selected row set is a
+        pure function of the key — identical at any partitioning."""
+        df = spark.range(2000).withColumnRenamed("id", "k")
+        a = {r["k"] for r in deterministic_sample(df, "k", 0.2).collect()}
+        b = {r["k"] for r in deterministic_sample(df.repartition(17), "k", 0.2).collect()}
+        c = {r["k"] for r in deterministic_sample(df.coalesce(1), "k", 0.2).collect()}
+        assert a == b == c
+        assert 0.15 < len(a) / 2000 < 0.25
+
+    def test_salt_draws_independent_sample(self, spark):
+        df = spark.range(2000).withColumnRenamed("id", "k")
+        a = {r["k"] for r in deterministic_sample(df, "k", 0.2, salt="x").collect()}
+        b = {r["k"] for r in deterministic_sample(df, "k", 0.2, salt="y").collect()}
+        assert a != b
+        # independent draws overlap ~ fraction^2
+        assert len(a & b) < 0.1 * 2000
+
+
+class TestSplitAssign:
+    def test_disjoint_exhaustive_and_sized(self, spark):
+        df = spark.range(5000).withColumnRenamed("id", "k")
+        sp = split_assign(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in sp.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 5000  # exhaustive, disjoint by construction
+        assert abs(counts["train"] / 5000 - 0.8) < 0.03
+        assert abs(counts["val"] / 5000 - 0.1) < 0.02
+        assert abs(counts["test"] / 5000 - 0.1) < 0.02
+
+    def test_weights_must_sum_to_one(self, spark):
+        df = spark.range(10)
+        with pytest.raises(ValueError, match="sum to 1"):
+            split_assign(df, "id", {"a": 0.5, "b": 0.4})
+
+
+class TestStratifiedSample:
+    def test_exact_k_per_stratum(self, spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = stratified_sample_exact(d, ["lang"], "doc_id", k=7)
+        counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts == {lang: min(7, n) for lang, n in sizes.items()}
+
+    def test_deterministic(self, spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = {r["doc_id"] for r in stratified_sample_exact(d, ["lang"], "doc_id", 5).collect()}
+        b = {r["doc_id"] for r in stratified_sample_exact(d.repartition(13), ["lang"], "doc_id", 5).collect()}
+        assert a == b
+
+
+class TestChunking:
+    def test_chunk_shapes_and_text(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, ""), (3, "x y")], "id long, text string"
+        )
+        rows = {
+            (r["id"], r["chunk_id"]): r
+            for r in chunk_by_tokens(docs, "id", "text", max_tokens=2).collect()
+        }
+        assert rows[(1, 0)]["chunk_text"] == "a b" and rows[(1, 0)]["token_len"] == 2
+        assert rows[(1, 2)]["chunk_text"] == "e" and rows[(1, 2)]["token_len"] == 1
+        assert rows[(1, 0)]["n_chunks"] == 3
+        # empty doc survives as one empty chunk
+        assert rows[(2, 0)]["token_len"] == 0 and rows[(2, 0)]["chunk_text"] == ""
+        assert rows[(3, 0)]["chunk_text"] == "x y" and (3, 1) not in rows
+
+    def test_reassembly_identity(self, spark, sf_dir):
+        """Concatenating a doc's chunks reproduces the document — no
+        token lost or duplicated at any boundary."""
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 100)
+        chunks = chunk_by_tokens(d, "doc_id", "text", max_tokens=7)
+        glued = (
+            chunks.orderBy("doc_id", "chunk_id")
+            .groupBy("doc_id")
+            .agg(F.array_join(F.collect_list("chunk_text"), " ").alias("glued"))
+        )
+        joined = d.select("doc_id", F.trim("text").alias("text")).join(glued, "doc_id")
+        assert joined.filter(F.col("text") != F.col("glued")).count() == 0
+
+    def test_rejects_bad_max_tokens(self, spark):
+        with pytest.raises(ValueError, match="max_tokens"):
+            chunk_by_tokens(spark.range(1).withColumn("text", F.lit("a")), "id", "text", 0)
+
+
+class TestConnectedComponents:
+    def test_chain_star_isolated(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13)], "src long, dst long"
+        )
+        nodes = spark.createDataFrame([(n,) for n in [1, 2, 3, 4, 10, 11, 12, 13, 99]], "n long")
+        out = {r["node"]: r["component"] for r in connected_components(edges, nodes=nodes).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
+
+    def test_bridge_merges_components(self, spark):
+        edges = spark.createDataFrame([(1, 2), (3, 4), (2, 3)], "src long, dst long")
+        out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+        assert set(out.values()) == {1}
+
+    def test_direction_irrelevant(self, spark):
+        a = connected_components(spark.createDataFrame([(5, 1)], "src long, dst long"))
+        assert {r["component"] for r in a.collect()} == {1}
