@@ -2202,6 +2202,68 @@ SELECT count(*) AS n_true, TRUE AS recall_ok FROM ranked WHERE rank <= 3
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: aspect-preserving fit of each decoded payload
+    into a 32x32 box via mapInPandas (deterministic fake decode — a
+    real build swaps in PIL; the Arrow batch shape is the product)."""
+    from azure_data_engineering_spark.sources.multimodal import resize_metadata
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    binary = with_binary_payload(d, "text", "doc_id")
+    return resize_metadata(binary, target_w=32, target_h=32)
+
+
+Q_MULTIMODAL_RESIZE_SQL = """
+WITH meta AS (
+  SELECT doc_id AS id,
+         CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
+         CAST(octet_length(encode(text)) % 48 + 1 AS INTEGER) AS height
+  FROM documents WHERE doc_id < 300
+), scaled AS (
+  SELECT id, width, height,
+         least(32.0 / width, 32.0 / height, 1.0) AS scale
+  FROM meta
+)
+SELECT id, width, height,
+       greatest(CAST(trunc(width * scale) AS INTEGER), 1) AS new_width,
+       greatest(CAST(trunc(height * scale) AS INTEGER), 1) AS new_height
+FROM scaled
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing: payload -> dense array<double> via
+    mapInPandas (fake char-class kernel; a real build plugs a CNN/CLAP
+    embedding in the same batch shape)."""
+    from azure_data_engineering_spark.sources.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    binary = with_binary_payload(d, "text", "doc_id")
+    feat = extract_features(binary)
+    # project the vector to scalar columns for the cross-engine compare
+    # (the operator's array<double> output is covered in tests)
+    return feat.select(
+        "id",
+        "n_bytes",
+        F.col("features")[0].alias("f_vowel"),
+        F.col("features")[1].alias("f_space"),
+        F.col("features")[2].alias("f_digit"),
+    )
+
+
+Q_MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) * 1.0
+         / greatest(octet_length(encode(text)), 1) AS f_vowel,
+       (length(text) - length(replace(text, ' ', ''))) * 1.0
+         / greatest(octet_length(encode(text)), 1) AS f_space,
+       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+         / greatest(octet_length(encode(text)), 1) AS f_digit
+FROM documents WHERE doc_id < 300
+"""
+
+
 # ---------------------------- LLM pipeline: sampling / chunking / clusters
 
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2467,6 +2529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_chunk_documents": q_chunk_documents,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_multimodal_resize": q_multimodal_resize,
+        "q_multimodal_features": q_multimodal_features,
     }
 
 
@@ -2556,4 +2620,6 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
         "q_chunk_documents": Q_CHUNK_DOCUMENTS_SQL,
         "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
+        "q_multimodal_resize": Q_MULTIMODAL_RESIZE_SQL,
+        "q_multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
     }

@@ -67,3 +67,67 @@ def decode_metadata(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = "id bigint, width int, height int, new_width int, new_height int"
+
+
+def resize_metadata(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """mapInPandas resize: aspect-preserving fit of each decoded image
+    into (target_w, target_h). The decode kernel is the same
+    deterministic fake as decode_metadata (real build: PIL thumbnail on
+    the payload and re-encode); the batch plumbing — Arrow in, Arrow
+    out, executors only — is the production shape."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(_fake_decode)
+            w = meta.map(lambda m: m[1])
+            h = meta.map(lambda m: m[2])
+            scale = pd.concat([target_w / w, target_h / h], axis=1).min(axis=1).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": w,
+                    "height": h,
+                    "new_width": (w * scale).astype(int).clip(lower=1),
+                    "new_height": (h * scale).astype(int).clip(lower=1),
+                }
+            )
+
+    return df.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = "id bigint, n_bytes int, features array<double>"
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: each payload becomes a small
+    dense vector (array<double>) — the plumbing a real image/audio
+    embedding model (CNN/CLAP) plugs into. The fake kernel derives
+    character-class ratios from the payload bytes, deterministic and
+    reproducible in SQL for the oracle. Ratios are left UNROUNDED: a
+    single int/int division is bit-identical across engines, while
+    rounding diverges at exact midpoints (e.g. 41/128 at 6dp —
+    banker's vs half-away)."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                b = row["payload"]
+                n = max(len(b), 1)
+                text = b.decode("utf-8", errors="replace")
+                vowels = sum(text.count(c) for c in "aeiou")
+                spaces = text.count(" ")
+                digits = sum(text.count(c) for c in "0123456789")
+                rows.append(
+                    (
+                        row["id"],
+                        len(b),
+                        [vowels / n, spaces / n, digits / n],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["id", "n_bytes", "features"])
+
+    return df.mapInPandas(feature_batches, schema=FEATURES_SCHEMA)

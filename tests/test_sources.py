@@ -200,3 +200,25 @@ class TestMultimodal:
         assert rows[1]["n_bytes"] == 3 and rows[1]["width"] == 4 and rows[1]["height"] == 4
         assert rows[2]["n_bytes"] == 0
         assert rows[1]["media_type"] == "image/fake"
+
+    def test_resize_aspect_fit(self, spark):
+        from azure_data_engineering_spark.sources.multimodal import resize_metadata
+
+        # 130 bytes -> fake decode (w=3, h=35); fit into 16x16 scales by
+        # 16/35, shrink-only, floor, min 1
+        df = spark.createDataFrame([(1, "x" * 130), (2, "y")], "doc_id bigint, text string")
+        out = {r["id"]: r for r in resize_metadata(
+            with_binary_payload(df, "text", "doc_id"), 16, 16).collect()}
+        r = out[1]
+        assert (r["width"], r["height"]) == (3, 35)
+        assert (r["new_width"], r["new_height"]) == (max(int(3 * 16 / 35), 1), 16)
+        small = out[2]  # 1 byte -> 2x2, already inside the box: unchanged
+        assert (small["new_width"], small["new_height"]) == (small["width"], small["height"])
+
+    def test_feature_vector_shape(self, spark):
+        from azure_data_engineering_spark.sources.multimodal import extract_features
+
+        df = spark.createDataFrame([(1, "aa 12")], "doc_id bigint, text string")
+        r = extract_features(with_binary_payload(df, "text", "doc_id")).collect()[0]
+        assert r["n_bytes"] == 5
+        assert r["features"] == [2 / 5, 1 / 5, 2 / 5]  # vowels, spaces, digits

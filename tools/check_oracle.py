@@ -40,6 +40,11 @@ def _c(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # canonicalize array-valued cells (Spark lists vs DuckDB ndarrays)
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(_c(x) for x in v)
     return v
 
 
