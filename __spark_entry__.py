@@ -2425,6 +2425,66 @@ SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
 """
 
 
+def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus blending: 'en'-ish half of the docs sampled at
+    0.8, the rest at 0.3, tagged and unioned — the exact mixture is a
+    pure function of doc_id, reproduced row-for-row by the oracle."""
+    from azure_data_engineering_spark.operators.sampling import mix_corpora
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    out = mix_corpora({"even": (a, 0.8), "odd": (b, 0.3)}, "doc_id", salt="mx")
+    return out.select("source", "doc_id", "lang")
+
+
+Q_MIX_CORPORA_SQL = """
+SELECT 'even' AS source, doc_id, lang FROM documents
+WHERE doc_id % 2 = 0
+  AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mxeven'), 1, 8) AS BIGINT)
+      / 4294967296.0 < 0.8
+UNION ALL
+SELECT 'odd', doc_id, lang FROM documents
+WHERE doc_id % 2 = 1
+  AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mxodd'), 1, 8) AS BIGINT)
+      / 4294967296.0 < 0.3
+"""
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (functions/vectors.py):
+    per-vector scale + component checks (first two quantized values,
+    component sum, max reconstruction error bound) — all scalar columns
+    so the compare is portable. trunc-based: no rounding convention."""
+    from azure_data_engineering_spark.functions.vectors import max_abs, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    q = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        max_abs(F.col("embedding")).alias("scale_basis"),
+        q[0].cast("long").alias("q0"),
+        q[1].cast("long").alias("q1"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")).alias("q_sum"),
+    )
+
+
+Q_QUANTIZE_EMBEDDINGS_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 200
+), s AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale_basis FROM v
+), q AS (
+  SELECT vec_id, scale_basis,
+         list_transform(e, x -> CAST(trunc(x * (127.0 / scale_basis)) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id, scale_basis, qv[1] AS q0, qv[2] AS q1,
+       list_sum(qv) AS q_sum
+FROM q
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2531,6 +2591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_multimodal_resize": q_multimodal_resize,
         "q_multimodal_features": q_multimodal_features,
+        "q_mix_corpora": q_mix_corpora,
+        "q_quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -2622,4 +2684,6 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
         "q_multimodal_resize": Q_MULTIMODAL_RESIZE_SQL,
         "q_multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
+        "q_mix_corpora": Q_MIX_CORPORA_SQL,
+        "q_quantize_embeddings": Q_QUANTIZE_EMBEDDINGS_SQL,
     }

@@ -29,3 +29,29 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 for zero-norm vectors (never NaN/div0)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def max_abs(a: Column) -> Column:
+    """max(|x_i|) — the symmetric-quantization scale basis."""
+    return F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric int8 quantization: q_i = trunc(x_i * (127 / max|x|)),
+    in [-127, 127] — embedding compression for training-data storage
+    (4x smaller than float32; public standard scheme). trunc, not
+    round: truncation of identical doubles is engine-portable, rounding
+    conventions are not. Zero vectors quantize to zeros. HOF lambdas
+    are interpreted, so for hot paths batch this through the Arrow
+    kernel instead (operators/similarity._bucket_arrow pattern)."""
+    scale = F.lit(127.0) / max_abs(a)
+    return F.when(max_abs(a) == 0, F.transform(a, lambda x: F.lit(0).cast("int"))).otherwise(
+        F.transform(a, lambda x: (x.cast("double") * scale).cast("int"))
+    )
+
+
+def dequantize_int8(q: Column, scale_basis: Column) -> Column:
+    """Inverse map: x̂_i = q_i * (max|x| / 127). Lossy by design; the
+    reconstruction error bound is max|x|/127 per component."""
+    inv = scale_basis / F.lit(127.0)
+    return F.transform(q, lambda x: x.cast("double") * inv)

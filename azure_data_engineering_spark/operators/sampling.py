@@ -70,6 +70,29 @@ def split_assign(
     return df.withColumn(split_col, expr)
 
 
+def mix_corpora(
+    sources: Mapping[str, tuple[DataFrame, float]],
+    id_col: str,
+    salt: str = "",
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted corpus mixture: keep each source's rows at its own
+    rate (deterministic per-source Bernoulli; the source name salts
+    the hash so draws are independent across sources), tag with the
+    source name, union by name. The standard recipe for blending
+    training corpora at fixed sampling rates; fully reproducible, so
+    a re-run (or another engine) yields the identical mixture."""
+    out = None
+    for name, (df, rate) in sources.items():
+        part = deterministic_sample(df, id_col, rate, salt=salt + name).withColumn(
+            source_col, F.lit(name)
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("mix_corpora needs at least one source")
+    return out
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata: Sequence[str],

@@ -51,6 +51,59 @@ class TestSplitAssign:
             split_assign(df, "id", {"a": 0.5, "b": 0.4})
 
 
+class TestMixCorpora:
+    def test_rates_and_tags(self, spark):
+        from azure_data_engineering_spark.operators.sampling import mix_corpora
+
+        a = spark.range(2000).withColumnRenamed("id", "k")
+        b = spark.range(2000, 4000).withColumnRenamed("id", "k")
+        out = mix_corpora({"a": (a, 0.9), "b": (b, 0.1)}, "k")
+        counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert abs(counts["a"] / 2000 - 0.9) < 0.05
+        assert abs(counts["b"] / 2000 - 0.1) < 0.03
+
+    def test_reproducible(self, spark):
+        from azure_data_engineering_spark.operators.sampling import mix_corpora
+
+        a = spark.range(500).withColumnRenamed("id", "k")
+        m1 = {(r["source"], r["k"]) for r in mix_corpora({"a": (a, 0.5)}, "k").collect()}
+        m2 = {(r["source"], r["k"]) for r in mix_corpora({"a": (a.repartition(7), 0.5)}, "k").collect()}
+        assert m1 == m2
+
+    def test_empty_sources_raise(self, spark):
+        from azure_data_engineering_spark.operators.sampling import mix_corpora
+
+        with pytest.raises(ValueError, match="at least one"):
+            mix_corpora({}, "k")
+
+
+class TestQuantization:
+    def test_roundtrip_error_bound(self, spark):
+        from azure_data_engineering_spark.functions.vectors import (
+            dequantize_int8,
+            max_abs,
+            quantize_int8,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = df.select(
+            "vec_id",
+            "embedding",
+            quantize_int8(F.col("embedding")).alias("q"),
+            max_abs(F.col("embedding")).alias("m"),
+        ).select(
+            "vec_id", "embedding", "q", dequantize_int8(F.col("q"), F.col("m")).alias("back")
+        )
+        rows = {r["vec_id"]: r for r in out.collect()}
+        assert rows[1]["q"] == [63, -127, 31, 0]  # trunc(x * 127/max|x|)
+        err = max(abs(a - b) for a, b in zip(rows[1]["embedding"], rows[1]["back"]))
+        assert err <= 1.0 / 127  # one quantization step of max|x|=1.0
+        assert rows[2]["q"] == [0, 0, 0, 0]  # zero vector stays zero
+
+
 class TestStratifiedSample:
     def test_exact_k_per_stratum(self, spark, sf_dir):
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
