@@ -2425,6 +2425,98 @@ SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
 """
 
 
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert sink end-to-end on the REAL streaming engine: two
+    micro-batches of per-user event rows MERGE into a parquet target
+    (update-matched / insert-unmatched / in-batch dedup, latest (ts,
+    value) wins) through the distributed atomic-swap commit
+    (streaming/sinks.py). Oracle replays batch0-then-batch1 MERGE
+    algebra in SQL over the same slices."""
+    import os
+    import tempfile
+    import time as _time
+
+    from azure_data_engineering_spark.streaming.sinks import stream_upsert_to_parquet
+
+    import glob as _glob
+    import shutil as _shutil
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    work = tempfile.mkdtemp(prefix="cdc_gate_")
+    src = os.path.join(work, "src")
+    target = os.path.join(work, "target")
+    os.makedirs(src)
+    # two deterministic batches as single files (the stream source
+    # needs a flat file list); distinct mtimes fix micro-batch order
+    for i, pred in enumerate([F.col("event_id") % 3 != 0, F.col("event_id") % 3 == 0]):
+        staging = os.path.join(work, f"stage{i}")
+        e.filter(pred).drop("event_id").coalesce(1).write.parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        _shutil.move(part, os.path.join(src, f"b{i}.parquet"))
+        if i == 0:
+            _time.sleep(1.05)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_upsert_to_parquet(stream, target, pk=["user_id"])
+    q.awaitTermination()
+    final = spark.read.parquet(target)
+    return final.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"), "value"
+    )
+
+
+Q_STREAM_CDC_SQL = """
+WITH b0 AS (
+  SELECT user_id, ts, value FROM events WHERE event_id % 3 <> 0
+), b1 AS (
+  SELECT user_id, ts, value FROM events WHERE event_id % 3 = 0
+), s0 AS (
+  SELECT user_id, ts, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn
+    FROM b0) WHERE rn = 1
+), s1 AS (
+  SELECT user_id, ts, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn
+    FROM b1) WHERE rn = 1
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value FROM s1
+UNION ALL
+SELECT s0.user_id, strftime(s0.ts, '%Y-%m-%d %H:%M:%S'), s0.value
+FROM s0 LEFT JOIN s1 USING (user_id) WHERE s1.user_id IS NULL
+"""
+
+
+def q_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned archive sink round-trip: write order slices
+    under archive_date partitions (reference's {folder}_{yyyyMMddHHmm}
+    naming as a partition column, HelperFunction.py:51-60), then read
+    back ONLY the retention window via partition pruning."""
+    import tempfile
+
+    from azure_data_engineering_spark.sources.archive import archive_prune, archive_write
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="archive_gate_") + "/arch"
+    for stamp, mod in [("202401010900", 0), ("202402011000", 1), ("202403011100", 2)]:
+        archive_write(
+            o.filter(F.col("o_orderkey") % 3 == mod),
+            path,
+            archive_ts=F.to_timestamp(F.lit(f"{stamp[:4]}-{stamp[4:6]}-{stamp[6:8]} {stamp[8:10]}:{stamp[10:]}:00")),
+        )
+    pruned = archive_prune(spark, path, "202402010000", "202403312359")
+    return pruned.groupBy(
+        F.col("archive_date").cast("string").alias("archive_date")  # partition col inferred int
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+Q_ARCHIVE_ROUNDTRIP_SQL = """
+SELECT CASE WHEN o_orderkey % 3 = 1 THEN '202402011000' ELSE '202403011100' END AS archive_date,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_orderkey % 3 IN (1, 2)
+GROUP BY 1
+"""
+
+
 def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted corpus blending: 'en'-ish half of the docs sampled at
     0.8, the rest at 0.3, tagged and unioned — the exact mixture is a
@@ -2593,6 +2685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": q_multimodal_features,
         "q_mix_corpora": q_mix_corpora,
         "q_quantize_embeddings": q_quantize_embeddings,
+        "q_stream_cdc": q_stream_cdc,
+        "q_archive_roundtrip": q_archive_roundtrip,
     }
 
 
@@ -2686,4 +2780,6 @@ def oracle_sql() -> dict[str, str]:
         "q_multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
         "q_mix_corpora": Q_MIX_CORPORA_SQL,
         "q_quantize_embeddings": Q_QUANTIZE_EMBEDDINGS_SQL,
+        "q_stream_cdc": Q_STREAM_CDC_SQL,
+        "q_archive_roundtrip": Q_ARCHIVE_ROUNDTRIP_SQL,
     }
