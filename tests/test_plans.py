@@ -51,3 +51,28 @@ def test_minhash_has_no_cartesian(spark, sf_dir):
 def test_asof_dim_is_broadcast(spark, sf_dir):
     plan = formatted_plan(entrymod.q_asof_join(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunking must stream through the scan stage: projection +
+    explode, zero Exchange."""
+    plan = formatted_plan(entrymod.q_chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_hash_sample_is_shuffle_free_and_prunes(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_hash_sample(spark, sf_dir))
+    assert "Exchange" not in plan
+    # only the 3 projected columns reach the scan
+    assert "l_extendedprice" not in plan
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_stratified_sample(spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # one hash exchange (+ AQE read)
+    assert "WindowGroupLimit" in plan  # k rows per stratum kept pre-sort
+
+
+def test_asof_big_plan_is_join_free(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_asof_big(spark, sf_dir))
+    assert "Join" not in plan and "Window" in plan
