@@ -2370,6 +2370,56 @@ FROM ex
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing over 40-token chunks: per-bucket
+    running token sums bin chunks into ~256-token training sequences
+    (one shuffle on the bucket key; every bucket packs in parallel).
+    Oracle replays the identical running-sum algebra; bucketing uses
+    the portable md5 hash so DuckDB reproduces the bucket assignment."""
+    from azure_data_engineering_spark.operators.chunking import chunk_by_tokens, pack_sequences
+    from azure_data_engineering_spark.operators.sampling import hash_unit
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    chunks = chunk_by_tokens(d, "doc_id", "text", max_tokens=40, chunk_text=False)
+    bucket = F.floor(hash_unit(F.col("doc_id"), "pk") * 8).cast("long")
+    packed = pack_sequences(
+        chunks, "doc_id", "chunk_id", "token_len", max_tokens=256, buckets=8, bucket_expr=bucket
+    )
+    return packed.groupBy("bucket", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("token_len").cast("long").alias("seq_tokens"),
+    )
+
+
+Q_PACK_SEQUENCES_SQL = """
+WITH docs AS (SELECT doc_id, trim(text) AS text FROM documents WHERE doc_id < 300),
+base AS (
+  SELECT doc_id,
+         CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS n
+  FROM docs
+), ex AS (
+  SELECT doc_id, n,
+         greatest(CAST(ceil(n / 40.0) AS INTEGER), 1) AS n_chunks,
+         unnest(range(greatest(CAST(ceil(n / 40.0) AS INTEGER), 1))) AS chunk_id
+  FROM base
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         CAST(greatest(least(40, n - chunk_id * 40), 0) AS INTEGER) AS token_len,
+         CAST(floor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pk'), 1, 8) AS BIGINT)
+                    / 4294967296.0 * 8) AS BIGINT) AS bucket
+  FROM ex
+), runs AS (
+  SELECT bucket, doc_id, chunk_id, token_len,
+         sum(token_len) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_id
+                              ROWS UNBOUNDED PRECEDING) - token_len AS tokens_before
+  FROM chunks
+)
+SELECT bucket, CAST(floor(tokens_before / 256.0) AS BIGINT) AS seq_id,
+       count(*) AS n_chunks, sum(token_len) AS seq_tokens
+FROM runs GROUP BY 1, 2
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: connected components (min-
     label propagation, operators/clustering.py) over the exact 3-gram
@@ -2687,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_stream_cdc": q_stream_cdc,
         "q_archive_roundtrip": q_archive_roundtrip,
+        "q_pack_sequences": q_pack_sequences,
     }
 
 
@@ -2782,4 +2833,5 @@ def oracle_sql() -> dict[str, str]:
         "q_quantize_embeddings": Q_QUANTIZE_EMBEDDINGS_SQL,
         "q_stream_cdc": Q_STREAM_CDC_SQL,
         "q_archive_roundtrip": Q_ARCHIVE_ROUNDTRIP_SQL,
+        "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
     }

@@ -13,7 +13,7 @@ ANSI SQL (list_slice / array_to_string in the DuckDB oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -66,3 +66,47 @@ def chunk_by_tokens(
         ),
     )
     return out
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    id_col: str,
+    order_col: str,
+    token_len_col: str,
+    max_tokens: int,
+    buckets: int = 64,
+    bucket_expr=None,
+) -> DataFrame:
+    """Token-budget sequence packing: assign chunks to training
+    sequences of ~max_tokens by running token count.
+
+    seq = floor(tokens_before / max_tokens) within a bucket, where
+    tokens_before is the running sum over a deterministic (id, order)
+    order — budget binning: a chunk whose tokens straddle a boundary
+    joins the earlier sequence, so sequences can overflow by at most
+    one chunk (the standard streaming approximation; exact greedy
+    packing is sequential by nature).
+
+    Scale: packing is per-BUCKET (deterministic hash of the doc id into
+    `buckets` groups), so the running-sum window shuffles once on the
+    bucket key and every bucket packs in parallel — never a global
+    single-partition window. Sequence ids are (bucket, seq_in_bucket),
+    unique across the corpus. bucket_expr overrides the default
+    xxhash64 bucketing (e.g. an md5-based bucket when the result must
+    be reproducible outside the JVM).
+    """
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(buckets))
+    bucket = bucket_expr.alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col).asc(), F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_run = chunks.withColumn("bucket", bucket).withColumn(
+        "__tokens_through", F.sum(token_len_col).over(w)
+    )
+    tokens_before = F.col("__tokens_through") - F.col(token_len_col)
+    return with_run.withColumn(
+        "seq_id", F.floor(tokens_before / F.lit(max_tokens)).cast("long")
+    ).drop("__tokens_through")

@@ -152,6 +152,32 @@ class TestChunking:
         with pytest.raises(ValueError, match="max_tokens"):
             chunk_by_tokens(spark.range(1).withColumn("text", F.lit("a")), "id", "text", 0)
 
+    def test_pack_sequences_budget_binning(self, spark, sf_dir):
+        """Every chunk lands in exactly one sequence; each sequence's
+        token total stays within max_tokens + one chunk's overflow; the
+        assignment is deterministic under repartitioning."""
+        from azure_data_engineering_spark.operators.chunking import pack_sequences
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 200)
+        chunks = chunk_by_tokens(d, "doc_id", "text", max_tokens=30, chunk_text=False)
+        packed = pack_sequences(chunks, "doc_id", "chunk_id", "token_len", max_tokens=100, buckets=4)
+        assert packed.count() == chunks.count()  # nothing lost or duplicated
+        seqs = packed.groupBy("bucket", "seq_id").agg(
+            F.sum("token_len").alias("t"), F.max("token_len").alias("biggest")
+        )
+        over = seqs.filter(F.col("t") > 100 + F.col("biggest")).count()
+        assert over == 0  # overflow bounded by one straddling chunk
+        a = sorted(map(tuple, packed.select("doc_id", "chunk_id", "bucket", "seq_id").collect()))
+        b = sorted(
+            map(
+                tuple,
+                pack_sequences(
+                    chunks.repartition(11), "doc_id", "chunk_id", "token_len", 100, 4
+                ).select("doc_id", "chunk_id", "bucket", "seq_id").collect(),
+            )
+        )
+        assert a == b
+
 
 class TestConnectedComponents:
     def test_chain_star_isolated(self, spark):
