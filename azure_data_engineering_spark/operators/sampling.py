@@ -93,6 +93,72 @@ def mix_corpora(
     return out
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Frequency capping: at most `cap` rows per group (e.g. per source
+    domain), chosen by deterministic hash order so the survivors are a
+    uniform, reproducible draw rather than 'whichever rows came first'.
+
+    The standard guard against a handful of mega-domains dominating a
+    pretraining mixture. Same plan shape as stratified_sample_exact:
+    one shuffle on the group keys, WindowGroupLimit prunes to `cap`
+    rows per group during the sort, so the shuffle output — not the
+    input — is what's bounded per group."""
+    return stratified_sample_exact(df, group_cols, id_col, cap, salt=salt)
+
+
+def shuffle_key(col: Column, salt: str = "train-order") -> Column:
+    """Deterministic pseudo-random sort key for training-order
+    shuffling. `df.orderBy(shuffle_key(...))` is Spark's scalable
+    global sort (range-partitioned via sampling), giving a reproducible
+    corpus-wide shuffle without a single-partition bottleneck."""
+    return hash_unit(col, salt)
+
+
+def global_sorted_index(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "train-order",
+    buckets: int = 256,
+    index_col: str = "train_pos",
+) -> DataFrame:
+    """Assign each row its 0-based position in the deterministic
+    global shuffle order — without a global single-partition window.
+
+    A naive `row_number() OVER (ORDER BY key)` collapses 100 TB into
+    one task. Instead: bucket rows by the leading bits of the shuffle
+    key (bucket order == key order because the key is uniform in
+    [0,1)), take per-bucket row_numbers in parallel, and add each
+    bucket's starting offset (exclusive running sum of bucket counts —
+    a `buckets`-row aggregate, broadcast back). One shuffle on the
+    bucket key; every stage is parallel."""
+    key = shuffle_key(F.col(id_col), salt)
+    with_key = df.withColumn("__key", key).withColumn(
+        "__bucket", F.floor(F.col("__key") * buckets).cast("int")
+    )
+    counts = with_key.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    offsets = counts.select(
+        "__bucket",
+        (
+            F.sum("__cnt").over(
+                Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("__offset"),
+    ).fillna({"__offset": 0})
+    w = Window.partitionBy("__bucket").orderBy(F.col("__key").asc(), F.col(id_col).asc())
+    return (
+        with_key.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "__bucket")
+        .withColumn(index_col, (F.col("__offset") + F.col("__rn") - 1).cast("bigint"))
+        .drop("__key", "__bucket", "__rn", "__offset")
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata: Sequence[str],
