@@ -2627,6 +2627,313 @@ FROM q
 """
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/pii.py): deterministic synthetic PII is
+    appended to each doc (pure function of doc_id, reproduced verbatim
+    by the oracle), then per-class counts + the redacted text's md5
+    prove Spark's Java-regex redaction and DuckDB's RE2 agree
+    match-for-match."""
+    from azure_data_engineering_spark.functions.pii import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    injected = F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    di = d.select("doc_id", injected.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return di.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["ssn"].cast("long").alias("n_ssn"),
+        counts["phone"].cast("long").alias("n_phone"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
+        F.length(redact_pii(F.col("t"))).cast("long").alias("redacted_len"),
+    )
+
+
+Q_PII_REDACTION_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-867-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' ssn 123-45-6789 from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+  FROM documents WHERE doc_id < 2000
+), r AS (
+  SELECT doc_id, t,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+      '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g') AS red
+  FROM t
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+  len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone,
+  len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+  md5(red) AS redacted_md5, length(red) AS redacted_len
+FROM r
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/quality.py): fraction
+    of duplicate sentences (pure array algebra, no shuffle) and the
+    most frequent word 2-gram with its character share (word-count-
+    shaped explode + two map-combining aggregations). Fractions are
+    emitted UNROUNDED: single int/int divisions are bit-identical
+    across engines, while round() is not (banker's vs half-away on
+    exact .xx5 — e.g. 1/128)."""
+    from azure_data_engineering_spark.operators.quality import (
+        duplicate_unit_fraction,
+        top_ngram_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", duplicate_unit_fraction(F.col("text")).alias("dup_sent_frac"))
+    top = top_ngram_stats(d, "text", "doc_id", n=2)
+    return base.join(top, "doc_id").select(
+        "doc_id", "dup_sent_frac", "top_gram", "top_gram_count", "top_gram_char_frac"
+    )
+
+
+Q_REPETITION_STATS_SQL = """
+WITH units AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\.\\s*'), u -> trim(u) <> '') AS us
+  FROM documents
+), dup AS (
+  SELECT doc_id,
+         CASE WHEN len(us) = 0 THEN 0.0
+              ELSE CAST(len(us) - len(list_distinct(us)) AS DOUBLE) / len(us) END AS dup_sent_frac
+  FROM units
+), toks AS (
+  SELECT doc_id, length(text) AS n_chars, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, n_chars, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM toks WHERE len(w) >= 2
+), counted AS (
+  SELECT doc_id, n_chars, gram, count(*) AS gram_count FROM grams GROUP BY 1, 2, 3
+), top AS (
+  SELECT doc_id, gram, gram_count, n_chars,
+         row_number() OVER (PARTITION BY doc_id ORDER BY gram_count DESC, gram ASC) AS rn
+  FROM counted
+)
+SELECT d.doc_id, d.dup_sent_frac,
+       t.gram AS top_gram,
+       coalesce(t.gram_count, 0) AS top_gram_count,
+       CASE WHEN t.gram IS NULL OR t.n_chars = 0 THEN 0.0
+            ELSE t.gram_count * length(t.gram) / t.n_chars END AS top_gram_char_frac
+FROM dup d LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): docs
+    with doc_id % 53 = 0 play the eval set; any other doc sharing a
+    word 8-gram with them is contaminated. Eval shingles broadcast —
+    the corpus is scanned once, no corpus-side shuffle."""
+    from azure_data_engineering_spark.operators.decontaminate import contaminated_ids
+
+    d = _t(spark, sf_dir, "documents")
+    eval_set = d.filter(F.col("doc_id") % 53 == 0)
+    train = d.filter(F.col("doc_id") % 53 != 0)
+    return contaminated_ids(train, eval_set, k=8)
+
+
+Q_DECONTAMINATE_SQL = """
+WITH norm AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+7], ' ')
+                        for i in range(1, greatest(len(words) - 7, 1) + 1)]) AS sl
+  FROM norm
+), ev AS (
+  SELECT DISTINCT unnest(sl) AS s FROM sh WHERE doc_id % 53 = 0
+), tr AS (
+  SELECT doc_id, unnest(sl) AS s FROM sh WHERE doc_id % 53 <> 0
+)
+SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (s)
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/tfidf.py) — two
+    word-count-shaped aggregations joined on term, WindowGroupLimit
+    top-k, deterministic (tfidf desc, term asc) rank."""
+    from azure_data_engineering_spark.operators.tfidf import top_terms_per_doc
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return top_terms_per_doc(d, "text", "doc_id", k=3)
+
+
+Q_TFIDF_TOPK_SQL = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+n AS (SELECT count(*) AS n_docs FROM docs),
+tok AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM docs
+), tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+), dfc AS (
+  SELECT term, count(*) AS df_count FROM tfc GROUP BY 1
+)
+SELECT doc_id, term, tf, df_count, round(tfidf, 6) AS tfidf, term_rank FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df_count,
+         t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df_count) AS tfidf,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df_count) DESC,
+                                     t.term ASC) AS term_rank
+  FROM tfc t JOIN dfc d USING (term) CROSS JOIN n
+) WHERE term_rank <= 3
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency capping (operators/sampling.cap_per_group): at most
+    25 docs per source, survivors chosen by deterministic hash order —
+    the anti-mega-domain guard for corpus mixing."""
+    from azure_data_engineering_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_group(d, ["source"], "doc_id", cap=25, salt="cap").select("source", "doc_id")
+
+
+Q_DOMAIN_CAP_SQL = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 8) AS BIGINT)
+                      / 4294967296.0, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 25
+"""
+
+
+def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order index
+    (operators/sampling.global_sorted_index): every row's 0-based
+    position in the corpus-wide hash shuffle, computed WITHOUT a
+    single-partition window (bucketed row_numbers + broadcast offsets).
+    The oracle is the naive global row_number the operator must equal."""
+    from azure_data_engineering_spark.operators.sampling import global_sorted_index
+
+    d = _t(spark, sf_dir, "documents")
+    return global_sorted_index(d, "doc_id").select("doc_id", "train_pos")
+
+
+Q_TRAIN_ORDER_SQL = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'train-order'), 1, 8) AS BIGINT)
+                    / 4294967296.0, doc_id
+       ) - 1 AS train_pos
+FROM documents
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 normalized tokens by occurrence
+    (count desc, term asc — a total order, so the limit is stable).
+    The canonical word-count plan: explode + map-combining hash agg."""
+    from azure_data_engineering_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(200)
+    )
+
+
+Q_VOCAB_TOPK_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+)
+SELECT term, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM t WHERE term <> ''
+GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT 200
+"""
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source (sources/jsonl.py): write the document
+    metadata as ndjson, read it back FAILFAST with an explicit schema,
+    aggregate — the oracle aggregates the original table, so any
+    serialization drift breaks the hash."""
+    import tempfile
+
+    from azure_data_engineering_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    write_jsonl(d, path)
+    back = read_jsonl(
+        spark, path, schema="doc_id long, lang string, source string, n_chars long", strict=True
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+Q_JSONL_ROUNDTRIP_SQL = """
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources/compaction.py): fragment the
+    document metadata into 24 tiny parquet files, compact to
+    block-sized files via the atomic-swap rewrite, and aggregate the
+    compacted table — values must survive the rewrite byte-for-byte."""
+    import tempfile
+
+    from azure_data_engineering_spark.sources.compaction import compact_parquet
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="compact_rt_") + "/tbl"
+    d.repartition(24).write.parquet(path)
+    n_files = compact_parquet(spark, path, target_bytes=128 * 1024 * 1024)
+    assert n_files < 24
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+Q_COMPACT_ROUNDTRIP_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2738,6 +3045,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_cdc": q_stream_cdc,
         "q_archive_roundtrip": q_archive_roundtrip,
         "q_pack_sequences": q_pack_sequences,
+        "q_pii_redaction": q_pii_redaction,
+        "q_repetition_stats": q_repetition_stats,
+        "q_decontaminate": q_decontaminate,
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_domain_cap": q_domain_cap,
+        "q_train_order": q_train_order,
+        "q_vocab_topk": q_vocab_topk,
+        "q_jsonl_roundtrip": q_jsonl_roundtrip,
+        "q_compact_roundtrip": q_compact_roundtrip,
     }
 
 
@@ -2834,4 +3150,13 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_cdc": Q_STREAM_CDC_SQL,
         "q_archive_roundtrip": Q_ARCHIVE_ROUNDTRIP_SQL,
         "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
+        "q_pii_redaction": Q_PII_REDACTION_SQL,
+        "q_repetition_stats": Q_REPETITION_STATS_SQL,
+        "q_decontaminate": Q_DECONTAMINATE_SQL,
+        "q_tfidf_topk": Q_TFIDF_TOPK_SQL,
+        "q_domain_cap": Q_DOMAIN_CAP_SQL,
+        "q_train_order": Q_TRAIN_ORDER_SQL,
+        "q_vocab_topk": Q_VOCAB_TOPK_SQL,
+        "q_jsonl_roundtrip": Q_JSONL_ROUNDTRIP_SQL,
+        "q_compact_roundtrip": Q_COMPACT_ROUNDTRIP_SQL,
     }
