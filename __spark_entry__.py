@@ -2742,19 +2742,34 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontaminate.py): docs
     with doc_id % 53 = 0 play the eval set; any other doc sharing a
     word 8-gram with them is contaminated. Eval shingles broadcast —
-    the corpus is scanned once, no corpus-side shuffle."""
+    the corpus is scanned once, no corpus-side shuffle. A canary
+    sentence is appended to eval docs AND to train docs with
+    doc_id % 7 = 3 (same pure function of doc_id in the oracle), so
+    the detector provably fires: the result is exactly those train
+    docs plus any natural overlaps, and both engines must agree."""
     from azure_data_engineering_spark.operators.decontaminate import contaminated_ids
 
     d = _t(spark, sf_dir, "documents")
-    eval_set = d.filter(F.col("doc_id") % 53 == 0)
-    train = d.filter(F.col("doc_id") % 53 != 0)
+    canary = F.lit(" shared canary alpha beta gamma delta epsilon zeta eta theta")
+    tainted = (F.col("doc_id") % 53 == 0) | (F.col("doc_id") % 7 == 3)
+    seeded = d.withColumn(
+        "text", F.when(tainted, F.concat(F.col("text"), canary)).otherwise(F.col("text"))
+    )
+    eval_set = seeded.filter(F.col("doc_id") % 53 == 0)
+    train = seeded.filter(F.col("doc_id") % 53 != 0)
     return contaminated_ids(train, eval_set, k=8)
 
 
 Q_DECONTAMINATE_SQL = """
-WITH norm AS (
-  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 53 = 0 OR doc_id % 7 = 3
+                      THEN ' shared canary alpha beta gamma delta epsilon zeta eta theta'
+                      ELSE '' END AS text
   FROM documents
+), norm AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM seeded
 ), sh AS (
   SELECT doc_id,
          list_distinct([array_to_string(words[i:i+7], ' ')
