@@ -2949,6 +2949,128 @@ FROM documents GROUP BY 1
 """
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning pipeline — the flagship composition:
+    quality filter (q_quality_score's scoring) → exact dedup on
+    normalized text (dedup_keep_first, min-id survivor) → per-source
+    frequency cap (cap_per_group, deterministic hash draw), all ONE
+    declarative plan: Catalyst fuses the score+filter into the scan,
+    then one shuffle per stage (dedup key, cap key). Duplicates are
+    injected (doc_id % 7, shifted ids) so the dedup stage provably
+    drops rows. Mirrors the reference's clean→dedupe→load pipeline
+    shape (adffunction/__init__.py step chain) at corpus scale."""
+    from azure_data_engineering_spark.functions.text import normalize_text
+    from azure_data_engineering_spark.operators.relational import dedup_keep_first
+    from azure_data_engineering_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    dupes = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = d.unionByName(dupes)
+    n_tok = whitespace_token_count(F.col("text"))
+    score = (
+        F.when(n_tok.between(20, 1000), 0.4).otherwise(0.0)
+        + F.when(F.length("text").between(100, 10000), 0.3).otherwise(0.0)
+        + F.when(punct_ratio(F.col("text")) < 0.1, 0.2).otherwise(0.0)
+        + F.when(stopword_ratio(F.col("text")) > 0.01, 0.1).otherwise(0.0)
+    )
+    passed = corpus.filter(F.round(score, 2) >= 0.7)
+    deduped = (
+        dedup_keep_first(
+            passed.withColumn("__norm", normalize_text(F.col("text"))),
+            ["__norm"],
+            [F.col("doc_id").asc()],
+        )
+        .drop("__norm")
+    )
+    capped = cap_per_group(deduped, ["source"], "doc_id", cap=40, salt="clean")
+    return capped.select("source", "lang", "doc_id")
+
+
+Q_CLEAN_CORPUS_SQL = """
+WITH corpus AS (
+  SELECT doc_id, source, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source, lang, text FROM documents WHERE doc_id % 7 = 0
+), scored AS (
+  SELECT doc_id, source, lang, text,
+         round(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) BETWEEN 20 AND 1000
+                    THEN 0.4 ELSE 0.0 END
+             + CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+                               / length(text) END) < 0.1 THEN 0.2 ELSE 0.0 END
+             + CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                                    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                               / len(regexp_split_to_array(trim(lower(text)), '\\s+')) END) > 0.01
+                    THEN 0.1 ELSE 0.0 END, 2) AS q
+  FROM corpus
+), passed AS (
+  SELECT doc_id, source, lang, text FROM scored WHERE q >= 0.7
+), deduped AS (
+  SELECT doc_id, source, lang FROM (
+    SELECT doc_id, source, lang,
+           row_number() OVER (
+             PARTITION BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM passed
+  ) WHERE rn = 1
+)
+SELECT source, lang, doc_id FROM (
+  SELECT source, lang, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'clean'), 1, 8) AS BIGINT)
+                      / 4294967296.0, doc_id
+         ) AS rn
+  FROM deduped
+) WHERE rn <= 40
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via DataFrame.unpivot (SQL UNPIVOT / stack):
+    three lineitem measures become (measure, value) rows — the shape
+    normalization step before generic per-measure aggregation. Stays
+    narrow in the scan (only the 4 projected columns are read)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") < 1000) & (F.col("l_linenumber") == 1)
+    )
+    melted = li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    ).unpivot(["l_orderkey"], ["quantity", "extendedprice", "discount"], "measure", "value")
+    return melted.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+Q_UNPIVOT_SQL = """
+WITH src AS (
+  SELECT l_orderkey,
+         CAST(l_quantity AS DOUBLE) AS quantity,
+         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+         CAST(l_discount AS DOUBLE) AS discount
+  FROM lineitem WHERE l_orderkey < 1000 AND l_linenumber = 1
+), melted AS (
+  SELECT l_orderkey, 'quantity' AS measure, quantity AS value FROM src
+  UNION ALL SELECT l_orderkey, 'extendedprice', extendedprice FROM src
+  UNION ALL SELECT l_orderkey, 'discount', discount FROM src
+)
+SELECT measure, count(*) AS n_rows, sum(value) AS total,
+       min(value) AS min_value, max(value) AS max_value
+FROM melted GROUP BY measure
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3069,6 +3191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_topk": q_vocab_topk,
         "q_jsonl_roundtrip": q_jsonl_roundtrip,
         "q_compact_roundtrip": q_compact_roundtrip,
+        "q_clean_corpus": q_clean_corpus,
+        "q_unpivot": q_unpivot,
     }
 
 
@@ -3174,4 +3298,6 @@ def oracle_sql() -> dict[str, str]:
         "q_vocab_topk": Q_VOCAB_TOPK_SQL,
         "q_jsonl_roundtrip": Q_JSONL_ROUNDTRIP_SQL,
         "q_compact_roundtrip": Q_COMPACT_ROUNDTRIP_SQL,
+        "q_clean_corpus": Q_CLEAN_CORPUS_SQL,
+        "q_unpivot": Q_UNPIVOT_SQL,
     }
