@@ -42,6 +42,9 @@ HEADLINE = [
     "q_user_profile_builtin",
     "q_salted_agg",
     "q_ann_lsh",
+    "q_clean_corpus",
+    "q_tfidf_topk",
+    "q_train_order",
 ]
 
 

@@ -76,3 +76,22 @@ def test_stratified_sample_single_shuffle(spark, sf_dir):
 def test_asof_big_plan_is_join_free(spark, sf_dir):
     plan = formatted_plan(entrymod.q_asof_big(spark, sf_dir))
     assert "Join" not in plan and "Window" in plan
+
+
+def test_clean_corpus_two_shuffles_pruned_scan(spark, sf_dir):
+    """The composite cleaning pipeline must stay a two-shuffle plan
+    (dedup key, cap key), with the quality filter fused into the scan
+    stage and only the 4 needed columns read."""
+    plan = formatted_plan(entrymod.q_clean_corpus(spark, sf_dir))
+    assert plan.count("+- Exchange") <= 2
+    assert "WindowGroupLimit" in plan  # cap pruned on both sides of the shuffle
+    assert "n_tokens" not in plan  # untouched documents columns never scanned
+
+
+def test_train_order_window_is_bucketed(spark, sf_dir):
+    """global_sorted_index must not run a corpus-wide single-partition
+    window: the per-row row_number windows are partitioned by bucket
+    (PartitionSpec present); the only unpartitioned window is over the
+    256-row bucket-count aggregate."""
+    plan = formatted_plan(entrymod.q_train_order(spark, sf_dir))
+    assert "__bucket" in plan  # bucketed window partition key survives into the plan
