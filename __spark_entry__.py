@@ -3071,6 +3071,100 @@ FROM melted GROUP BY measure
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per-user daily rollup, a date
+    spine from each user's first to last active day (sequence+explode —
+    generated distributedly, never a driver loop), zero-filled counts,
+    and last-observation-carried-forward interpolation of the daily
+    value via last(ignorenulls) over an unbounded-preceding frame. The
+    spine join is key-on-key (user_id, day) so AQE plans it against
+    the rollup without a cartesian."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("day_value"),
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    filled = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("day_value", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("day_value").isNull().alias("gap_filled"),
+    )
+
+
+Q_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+         round(sum(value), 4) AS day_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+       coalesce(d.n_events, 0) AS n_events,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+       d.day_value IS NULL AS gap_filled
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bucket index from pure
+    floor arithmetic (identical across engines — no width_bucket
+    boundary-convention risk), one map-combining aggregation, bucket
+    bounds reconstructed from the index."""
+    o = _t(spark, sf_dir, "orders")
+    lo, hi, nb = 0.0, 600_000.0, 12
+    width = (hi - lo) / nb
+    bucket = (
+        F.when(F.col("o_totalprice") >= hi, nb - 1)
+        .otherwise(F.floor((F.col("o_totalprice") - lo) / width))
+        .cast("int")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+        .withColumn("lo_bound", (F.col("bucket") * width).cast("double"))
+        .withColumn("hi_bound", ((F.col("bucket") + 1) * width).cast("double"))
+    )
+
+
+Q_HISTOGRAM_SQL = """
+SELECT bucket, count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS bucket_min,
+       round(max(o_totalprice), 2) AS bucket_max,
+       CAST(bucket * 50000.0 AS DOUBLE) AS lo_bound,
+       CAST((bucket + 1) * 50000.0 AS DOUBLE) AS hi_bound
+FROM (
+  SELECT o_totalprice,
+         CAST(CASE WHEN o_totalprice >= 600000.0 THEN 11
+                   ELSE floor(o_totalprice / 50000.0) END AS INTEGER) AS bucket
+  FROM orders
+) GROUP BY bucket
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3193,6 +3287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compact_roundtrip": q_compact_roundtrip,
         "q_clean_corpus": q_clean_corpus,
         "q_unpivot": q_unpivot,
+        "q_gap_fill": q_gap_fill,
+        "q_histogram": q_histogram,
     }
 
 
@@ -3300,4 +3396,6 @@ def oracle_sql() -> dict[str, str]:
         "q_compact_roundtrip": Q_COMPACT_ROUNDTRIP_SQL,
         "q_clean_corpus": Q_CLEAN_CORPUS_SQL,
         "q_unpivot": Q_UNPIVOT_SQL,
+        "q_gap_fill": Q_GAP_FILL_SQL,
+        "q_histogram": Q_HISTOGRAM_SQL,
     }
