@@ -3165,6 +3165,60 @@ FROM (
 """
 
 
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional snapshot table (sources/snapshot.py): commit v1,
+    MERGE a second commit (update-matched / insert-unmatched) through
+    the manifest + atomic-pointer protocol, then read BOTH snapshots —
+    the current one and the time-traveled pre-merge one. The oracle
+    replays the algebra: v1 must be byte-identical to the original
+    target even after the merge rewrote the table (commit isolation),
+    v2 must equal MERGE(target, source)."""
+    import tempfile
+
+    from azure_data_engineering_spark.sources import snapshot as sn
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    table = tempfile.mkdtemp(prefix="snap_gate_") + "/tbl"
+    target = o.filter(F.col("o_orderkey") % 2 == 1)
+    v1 = sn.snapshot_write(target, table)
+    updates = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    sn.snapshot_merge(updates.unionByName(inserts), table, pk=["o_orderkey"])
+    cur = sn.snapshot_read(spark, table).withColumn("snapshot", F.lit("v2"))
+    old = sn.snapshot_read(spark, table, version=v1).withColumn("snapshot", F.lit("v1"))
+    return cur.unionByName(old).select(
+        "snapshot", "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+Q_SNAPSHOT_MERGE_SQL = """
+WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+target AS (SELECT * FROM base WHERE o_orderkey % 2 = 1),
+source AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+  FROM base WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice FROM base WHERE o_orderkey % 5 = 0
+)
+SELECT 'v2' AS snapshot, o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM source
+UNION ALL
+SELECT 'v2', t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice
+FROM target t WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT 'v1', o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM target
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3289,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot": q_unpivot,
         "q_gap_fill": q_gap_fill,
         "q_histogram": q_histogram,
+        "q_snapshot_merge": q_snapshot_merge,
     }
 
 
@@ -3398,4 +3453,5 @@ def oracle_sql() -> dict[str, str]:
         "q_unpivot": Q_UNPIVOT_SQL,
         "q_gap_fill": Q_GAP_FILL_SQL,
         "q_histogram": Q_HISTOGRAM_SQL,
+        "q_snapshot_merge": Q_SNAPSHOT_MERGE_SQL,
     }

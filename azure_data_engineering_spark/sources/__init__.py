@@ -2,6 +2,12 @@ from azure_data_engineering_spark.sources.csv_pipe import read_pipe_csv, write_p
 from azure_data_engineering_spark.sources.listing import list_files
 from azure_data_engineering_spark.sources.excel import ingest_excel
 from azure_data_engineering_spark.sources.multimodal import with_binary_payload, decode_metadata
+from azure_data_engineering_spark.sources.snapshot import (
+    snapshot_merge,
+    snapshot_read,
+    snapshot_write,
+    vacuum,
+)
 
 __all__ = [
     "read_pipe_csv",
@@ -10,4 +16,8 @@ __all__ = [
     "ingest_excel",
     "with_binary_payload",
     "decode_metadata",
+    "snapshot_write",
+    "snapshot_read",
+    "snapshot_merge",
+    "vacuum",
 ]
