@@ -97,3 +97,36 @@ def stream_upsert_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_upsert_to_snapshot(
+    stream: DataFrame,
+    table: str,
+    pk: Sequence[str],
+    dedup_order: Sequence | None = None,
+    query_name: str = "stream_upsert_snapshot",
+):
+    """The CDC sink on a manifest-committed snapshot table
+    (sources/snapshot.py): each micro-batch becomes ONE atomic
+    snapshot_merge commit, so readers flip between consistent table
+    versions at batch boundaries and every pre-batch state stays
+    time-travelable. This is the object-store-safe variant of
+    stream_upsert_to_parquet — the commit point is a single pointer
+    rename, not a directory swap — and the closest filesystem analogue
+    of MERGE-per-batch on Delta/Iceberg."""
+    from azure_data_engineering_spark.sources.snapshot import snapshot_merge
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        order = (
+            list(dedup_order)
+            if dedup_order is not None
+            else default_dedup_order(batch_df.columns, pk)
+        )
+        snapshot_merge(batch_df, table, pk, dedup_order=order)
+
+    return (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -98,3 +98,39 @@ class TestCrashAndVacuum:
         assert removed == len(orphans)
         got = {(r.k, r.v) for r in sn.snapshot_read(spark, table).collect()}
         assert got == {(1, "a")}
+
+
+class TestStreamingSink:
+    def test_stream_merges_each_batch_as_one_commit(self, spark, table, tmp_path):
+        """Two single-file micro-batches -> two snapshot versions; the
+        final table equals batch0-then-batch1 MERGE algebra and the
+        post-batch0 state is still time-travelable."""
+        import shutil
+        import time
+
+        from azure_data_engineering_spark.streaming.sinks import stream_upsert_to_snapshot
+        from azure_data_engineering_spark.sources import snapshot as sn
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        b0 = _df(spark, [(1, "a"), (2, "b")])
+        b1 = _df(spark, [(2, "B"), (3, "c")])
+        for i, b in enumerate([b0, b1]):
+            stage = str(tmp_path / f"stage{i}")
+            b.coalesce(1).write.parquet(stage)
+            import glob as g
+
+            part = g.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(src, f"b{i}.parquet"))
+            if i == 0:
+                time.sleep(1.05)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = stream_upsert_to_snapshot(stream, table, pk=["k"])
+        q.awaitTermination()
+        versions = sn.snapshot_versions(table)
+        assert len(versions) == 2
+        final = {(r.k, r.v) for r in sn.snapshot_read(spark, table).collect()}
+        assert final == {(1, "a"), (2, "B"), (3, "c")}
+        mid = {(r.k, r.v) for r in sn.snapshot_read(spark, table, version=versions[0]).collect()}
+        assert mid == {(1, "a"), (2, "b")}
