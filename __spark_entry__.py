@@ -1058,10 +1058,14 @@ WHERE levenshtein(a.p_name, b.p_name) <= 4
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (64 hashes, 16 bands — the linear-
-    scaling near-dup path). No oracle: xxhash64-seeded signatures are
-    engine-specific; recall vs exact Jaccard is covered in
-    tests/test_dedup.py."""
+    """MinHash+LSH candidates (64 hashes, 16 bands — the linear-scaling
+    near-dup path), gated the same way as the ANN queries: xxhash64-
+    seeded signatures aren't portable, so the query emits the exact
+    word-3-gram Jaccard >= 0.7 truth-pair count (DuckDB recomputes it
+    independently) plus `recall_ok` — LSH must recover >= 0.9 of the
+    truth pairs (measured 1.0 / 0.996 at sf0.01 / sf0.1). A banding
+    regression now fails the driver gate instead of hiding behind a
+    rows-only check."""
     d = _t(spark, sf_dir, "documents")
     near = (
         d.filter((F.col("doc_id") % 11 == 0) & (F.col("n_chars") > 120))
@@ -1069,20 +1073,102 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
     )
     corpus = d.unionByName(near)
-    return minhash_lsh_candidates(corpus, "text", "doc_id", num_hashes=64, bands=16)
+    cand = minhash_lsh_candidates(corpus, "text", "doc_id", num_hashes=64, bands=16).select(
+        "id_a", "id_b"
+    )
+    truth = ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.7, k=3).select(
+        "id_a", "id_b"
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = truth.join(cand, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return n_true.crossJoin(n_hit).select(
+        "n_true", (F.col("n_hit") / F.col("n_true") >= 0.9).alias("recall_ok")
+    )
+
+
+Q_DEDUP_MINHASH_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text || ' extra tail words' FROM documents
+  WHERE doc_id % 11 = 0 AND n_chars > 120
+), norm AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM corpus
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS shingle_list
+  FROM norm
+), ex AS (
+  SELECT doc_id, len(shingle_list) AS n_sh, unnest(shingle_list) AS s FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT count(*) AS n_true, TRUE AS recall_ok
+FROM inter WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.7
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (no oracle: xxhash64-based;
-    Hamming-locality is covered in tests/test_dedup.py)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return simhash(d, "text").select("doc_id", "simhash")
+    """SimHash locality property, oracle-gated: for each doc with an
+    injected near-duplicate (one appended word), the 64-bit signatures
+    must be close. Emits the portable injected-pair count,
+    `locality_ok` (avg Hamming of true pairs < 16; measured ~5.4) and
+    `separation_ok` (avg Hamming of MISMATCHED doc pairings strictly
+    exceeds the true-pair average; measured ~11.5 vs ~5.4 — the
+    synthetic docs are template-correlated, so the random-pair ~32-bit
+    expectation doesn't apply, but ordering must). The signature bits
+    are xxhash-seeded; these properties are what SimHash exists to
+    provide — a hashing regression flips a boolean and fails the
+    gate."""
+    d = _t(spark, sf_dir, "documents")
+    near = (
+        d.filter((F.col("doc_id") % 9 == 0) & (F.col("n_chars") > 200))
+        .withColumn("doc_id", F.col("doc_id") + 40_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tailword")))
+    )
+    sh = simhash(d.unionByName(near), "text").select("doc_id", "simhash")
+    orig = sh.filter(F.col("doc_id") < 40_000).withColumnRenamed("simhash", "h1")
+    twin = (
+        sh.filter(F.col("doc_id") >= 40_000)
+        .withColumn("doc_id", F.col("doc_id") - 40_000)
+        .withColumnRenamed("simhash", "h2")
+    )
+    pairs = orig.join(twin, "doc_id")
+    # mismatched pairing: each doc against the NEXT doc's twin — a tiny
+    # frame (one row per injected pair), so the global window is fine
+    w = Window.orderBy("doc_id")
+    shifted = pairs.withColumn("h2_next", F.lead("h2").over(w)).filter(
+        F.col("h2_next").isNotNull()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    ham_next = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2_next")))
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.avg(ham).alias("avg_near")
+    ).crossJoin(shifted.agg(F.avg(ham_next).alias("avg_far")))
+    return stats.select(
+        "n_pairs",
+        (F.col("avg_near") < 16.0).alias("locality_ok"),
+        (F.col("avg_far") > F.col("avg_near")).alias("separation_ok"),
+    )
+
+
+Q_SIMHASH_SQL = """
+SELECT count(*) AS n_pairs, TRUE AS locality_ok, TRUE AS separation_ok
+FROM documents WHERE doc_id % 9 = 0 AND n_chars > 200
+"""
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-ball near-dup pairs via pigeonhole segment
-    blocking (Manku WWW'07). Rows-only (xxhash-seeded signatures);
-    recovery of injected near-dups is tested in tests/test_dedup.py."""
+    """SimHash Hamming-ball search via pigeonhole segment blocking
+    (Manku WWW'07), oracle-gated on its two contracts: (a) recovery —
+    blocking at ham<=7 (8 segments) finds >= 0.75 of injected
+    one-word-appended near-dups (measured 0.88 / 0.83 at sf0.01 /
+    sf0.1); (b) completeness — on a bounded sub-corpus, the blocked
+    candidate set EQUALS the brute-force all-pairs set within the ball,
+    the exactness pigeonholing guarantees (any pair with < segments
+    differing bits agrees on >= 1 segment). n_injected is portable."""
     from azure_data_engineering_spark.operators.dedup import simhash_candidates
 
     d = _t(spark, sf_dir, "documents")
@@ -1091,7 +1177,50 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id") + 40_000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" tailword")))
     )
-    return simhash_candidates(d.unionByName(near), "text", "doc_id", max_hamming=3)
+    corpus = d.unionByName(near)
+    cand = simhash_candidates(corpus, "text", "doc_id", max_hamming=7, segments=8)
+    n_inj = near.agg(F.count(F.lit(1)).alias("n_injected"))
+    found = (
+        cand.filter(F.col("id_b") == F.col("id_a") + 40_000)
+        .select("id_a")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    # completeness check on a bounded sub-corpus (quadratic is fine there)
+    sub = corpus.filter((F.col("doc_id") % 40_000) < 300)
+    sub_cand = simhash_candidates(sub, "text", "doc_id", max_hamming=7, segments=8).select(
+        "id_a", "id_b"
+    )
+    sig = simhash(sub, "text").select("doc_id", "simhash")
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("ham"),
+        )
+        .filter(F.col("ham") <= 7)
+        .select("id_a", "id_b")
+    )
+    n_miss = brute.exceptAll(sub_cand).unionAll(sub_cand.exceptAll(brute)).agg(
+        F.count(F.lit(1)).alias("n_miss")
+    )
+    return (
+        n_inj.crossJoin(found)
+        .crossJoin(n_miss)
+        .select(
+            "n_injected",
+            (F.col("n_found") / F.col("n_injected") >= 0.75).alias("recovery_ok"),
+            (F.col("n_miss") == 0).alias("blocking_complete"),
+        )
+    )
+
+
+Q_SIMHASH_CANDIDATES_SQL = """
+SELECT count(*) AS n_injected, TRUE AS recovery_ok, TRUE AS blocking_complete
+FROM documents WHERE doc_id % 9 = 0 AND n_chars > 200
+"""
 
 
 def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3385,6 +3514,9 @@ def oracle_sql() -> dict[str, str]:
         "q_word_explode": Q_WORD_EXPLODE_SQL,
         "q_upsert_merge": Q_UPSERT_MERGE_SQL,
         "q_dedup_exact": Q_DEDUP_EXACT_SQL,
+        "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
+        "q_simhash": Q_SIMHASH_SQL,
+        "q_simhash_candidates": Q_SIMHASH_CANDIDATES_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_char_jaccard": Q_CHAR_JACCARD_SQL,
         "q_edit_distance": Q_EDIT_DISTANCE_SQL,

@@ -144,6 +144,8 @@ def main() -> None:
                 "notes": {
                     "q_ann_lsh": "since r2 includes brute-force recall verification "
                     "(oracle upgrade), not just the ANN path",
+                    "q_dedup_minhash": "since r2 includes the exact-Jaccard truth "
+                    "pass for recall gating (oracle upgrade), not just LSH banding",
                 },
             }
         )
