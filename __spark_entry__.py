@@ -2231,21 +2231,59 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 def q_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    lifetime per-user totals accumulated in the state store. Rows-only
-    check (update-mode emission per micro-batch isn't SQL-expressible);
-    single-batch equivalence to groupBy is tested in
-    tests/test_streaming.py."""
+    lifetime per-user totals accumulated in the state store across TWO
+    deterministic micro-batches (event_id % 3 splits the file;
+    maxFilesPerTrigger=1 pins the boundary). The update-mode memory
+    sink keeps every emission, so the result is the full emission
+    history: each user's running totals after batch 0 (users seen in
+    b0) and the lifetime totals after batch 1 (users seen in b1, state
+    carrying their b0 contribution). That history IS SQL-expressible
+    once batch boundaries are deterministic — the oracle replays both
+    prefixes with plain GROUP BYs, gating state carry-over itself."""
+    import glob as _glob
     import os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
 
     from azure_data_engineering_spark.streaming.stateful import running_user_totals
 
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    work = tempfile.mkdtemp(prefix="stateful_gate_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i, pred in enumerate([F.col("event_id") % 3 != 0, F.col("event_id") % 3 == 0]):
+        staging = os.path.join(work, f"stage{i}")
+        e.filter(pred).coalesce(1).write.parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        _shutil.move(part, os.path.join(src, f"b{i}.parquet"))
+        if i == 0:
+            _time.sleep(1.05)
     return run_stream_to_table(
         spark,
-        os.path.join(sf_dir, "events.parquet"),
+        src,
         running_user_totals,
         table_name="stateful_totals_sink",
         output_mode="update",
+        max_files_per_trigger=1,
     )
+
+
+Q_STATEFUL_STREAM_SQL = """
+WITH b0 AS (
+  SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+  FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+), lifetime AS (
+  SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+  FROM events GROUP BY user_id
+), b1_users AS (
+  SELECT DISTINCT user_id FROM events WHERE event_id % 3 = 0
+)
+SELECT user_id, n_events, total_value FROM b0
+UNION ALL
+SELECT l.user_id, l.n_events, l.total_value
+FROM lifetime l JOIN b1_users USING (user_id)
+"""
 
 
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3570,6 +3608,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mix_corpora": Q_MIX_CORPORA_SQL,
         "q_quantize_embeddings": Q_QUANTIZE_EMBEDDINGS_SQL,
         "q_stream_cdc": Q_STREAM_CDC_SQL,
+        "q_stateful_stream": Q_STATEFUL_STREAM_SQL,
         "q_archive_roundtrip": Q_ARCHIVE_ROUNDTRIP_SQL,
         "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
         "q_pii_redaction": Q_PII_REDACTION_SQL,

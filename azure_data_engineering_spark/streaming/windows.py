@@ -90,6 +90,7 @@ def run_stream_to_table(
     transform,
     table_name: str,
     output_mode: str = "append",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Run a streaming transform over a parquet folder with
     trigger=availableNow into an in-memory sink table, blocking until
@@ -111,7 +112,12 @@ def run_stream_to_table(
         d = tempfile.mkdtemp(prefix="stream_src_")
         os.symlink(os.path.abspath(parquet_path), os.path.join(d, os.path.basename(parquet_path)))
         parquet_path = d
-    stream = spark.readStream.schema(batch.schema).parquet(parquet_path)
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        # deterministic micro-batch boundaries: one file per batch,
+        # ordered by file modification time (the file source's order)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_path)
     # TIMESTAMP(NANOS) parquet arrives as bigint nanos (see
     # session.py nanosAsLong); restore event-time semantics so
     # watermarks/windows see a timestamp column
