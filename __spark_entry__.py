@@ -3386,6 +3386,120 @@ SELECT 'v1', o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM target
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    by distinct week offsets they return in. Two aggregations — the
+    per-user first day (min, map-combining) joined back key-on-key,
+    then the cohort × offset distinct count. Day arithmetic only (no
+    engine-specific week truncation conventions)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("day0"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            F.col("day0").cast("string").alias("cohort_day"),
+            F.floor(F.datediff(F.col("day"), F.col("day0")) / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+Q_COHORT_RETENTION_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, min(day) AS day0 FROM ev GROUP BY user_id)
+SELECT CAST(f.day0 AS VARCHAR) AS cohort_day,
+       CAST(floor(date_diff('day', f.day0, e.day) / 7) AS INTEGER) AS week_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per user,
+    the deepest stage reached IN ORDER — a click only counts after the
+    first view, a purchase only after that click. One conditional
+    min-timestamp aggregation per user (no self-joins, no explode of
+    the event sequence), then a count per stage. Events are sparsified
+    (event_id % 17) so users genuinely spread across all four stages —
+    on the full stream every user completes the funnel."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 17 == 0)
+        .select("user_id", "event_type", "ts")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    # ordered-stage timestamps: the first click AFTER the first view
+    # isn't directly available from min(); use min-over-threshold aggs
+    ordered = ev.alias("e").join(per_user.alias("p"), "user_id").groupBy("user_id").agg(
+        F.min("p.t_view").alias("t_view"),
+        F.min(
+            F.when(
+                (F.col("e.event_type") == "click") & (F.col("e.ts") > F.col("p.t_view")),
+                F.col("e.ts"),
+            )
+        ).alias("t_click_after_view"),
+    )
+    with_purchase = (
+        ev.alias("e2")
+        .join(ordered.alias("o"), "user_id")
+        .groupBy("user_id", "o.t_view", "o.t_click_after_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("e2.event_type") == "purchase")
+                    & (F.col("e2.ts") > F.col("o.t_click_after_view")),
+                    F.col("e2.ts"),
+                )
+            ).alias("t_purchase_after_click")
+        )
+    )
+    stage = (
+        F.when(F.col("t_purchase_after_click").isNotNull(), 3)
+        .when(F.col("t_click_after_view").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        with_purchase.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+Q_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, ts FROM events WHERE event_id % 17 = 0
+), t1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM ev GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, t1.t_view,
+         min(CASE WHEN e.event_type = 'click' AND e.ts > t1.t_view THEN e.ts END) AS t_click_after_view
+  FROM ev e JOIN t1 USING (user_id)
+  GROUP BY 1, 2
+), t3 AS (
+  SELECT e.user_id, t2.t_view, t2.t_click_after_view,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.t_click_after_view THEN e.ts END)
+           AS t_purchase_after_click
+  FROM ev e JOIN t2 USING (user_id)
+  GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN t_purchase_after_click IS NOT NULL THEN 3
+            WHEN t_click_after_view IS NOT NULL THEN 2
+            WHEN t_view IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage,
+       count(*) AS n_users
+FROM t3 GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3511,6 +3625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gap_fill": q_gap_fill,
         "q_histogram": q_histogram,
         "q_snapshot_merge": q_snapshot_merge,
+        "q_cohort_retention": q_cohort_retention,
+        "q_funnel": q_funnel,
     }
 
 
@@ -3625,4 +3741,6 @@ def oracle_sql() -> dict[str, str]:
         "q_gap_fill": Q_GAP_FILL_SQL,
         "q_histogram": Q_HISTOGRAM_SQL,
         "q_snapshot_merge": Q_SNAPSHOT_MERGE_SQL,
+        "q_cohort_retention": Q_COHORT_RETENTION_SQL,
+        "q_funnel": Q_FUNNEL_SQL,
     }
