@@ -3500,6 +3500,62 @@ FROM t3 GROUP BY 1
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (dropDuplicatesWithinWatermark) on the
+    real engine: batch 0 carries ~60% of events, batch 1 carries the
+    rest PLUS a re-emission of every seventh batch-0 event — exact
+    duplicates the state store must drop. The watermark is wider than
+    the data's time span, so eviction can't race the duplicates and the
+    outcome is deterministic: exactly one row per original event. The
+    oracle is simply the full events slice — if any duplicate leaked
+    through, Spark would return extra rows and the hash would fail."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from azure_data_engineering_spark.streaming.windows import (
+        run_stream_to_table,
+        stream_dedup,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    b0 = e.filter(F.col("event_id") % 5 < 3)
+    b1 = e.filter(F.col("event_id") % 5 >= 3).unionByName(
+        b0.filter(F.col("event_id") % 7 == 0)  # re-emitted duplicates
+    )
+    work = tempfile.mkdtemp(prefix="sdedup_gate_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i, b in enumerate([b0, b1]):
+        staging = os.path.join(work, f"stage{i}")
+        b.coalesce(1).write.parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        _shutil.move(part, os.path.join(src, f"b{i}.parquet"))
+        if i == 0:
+            _time.sleep(1.05)
+    out = run_stream_to_table(
+        spark,
+        src,
+        lambda s: stream_dedup(s, keys=["event_id"], watermark="90 days"),
+        table_name="stream_dedup_sink",
+        max_files_per_trigger=1,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+    )
+
+
+Q_STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type
+FROM events
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3627,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_merge": q_snapshot_merge,
         "q_cohort_retention": q_cohort_retention,
         "q_funnel": q_funnel,
+        "q_stream_dedup": q_stream_dedup,
     }
 
 
@@ -3743,4 +3800,5 @@ def oracle_sql() -> dict[str, str]:
         "q_snapshot_merge": Q_SNAPSHOT_MERGE_SQL,
         "q_cohort_retention": Q_COHORT_RETENTION_SQL,
         "q_funnel": Q_FUNNEL_SQL,
+        "q_stream_dedup": Q_STREAM_DEDUP_SQL,
     }
