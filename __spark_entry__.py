@@ -3556,6 +3556,50 @@ FROM events
 """
 
 
+def q_tpch_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective filters on both
+    fact sides pushed into the scans, customer dim broadcast, revenue
+    agg, top-10 by revenue with a deterministic tiebreak. The classic
+    scan→filter→join→agg→topk pipeline whose plan should read: pruned
+    scans, one broadcast, one shuffle for the aggregation, TakeOrdered."""
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q_TPCH_Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1995-03-15'
+  AND l_shipdate > '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3684,6 +3728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": q_cohort_retention,
         "q_funnel": q_funnel,
         "q_stream_dedup": q_stream_dedup,
+        "q_tpch_q3_style": q_tpch_q3_style,
     }
 
 
@@ -3801,4 +3846,5 @@ def oracle_sql() -> dict[str, str]:
         "q_cohort_retention": Q_COHORT_RETENTION_SQL,
         "q_funnel": Q_FUNNEL_SQL,
         "q_stream_dedup": Q_STREAM_DEDUP_SQL,
+        "q_tpch_q3_style": Q_TPCH_Q3_SQL,
     }
