@@ -95,3 +95,17 @@ def test_train_order_window_is_bucketed(spark, sf_dir):
     256-row bucket-count aggregate."""
     plan = formatted_plan(entrymod.q_train_order(spark, sf_dir))
     assert "__bucket" in plan  # bucketed window partition key survives into the plan
+
+
+def test_tpch_q3_broadcasts_dim_and_pushes_filters(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_tpch_q3_style(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "IsNotNull" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 never globally sorts
+
+
+def test_funnel_and_cohort_have_no_cartesian(spark, sf_dir):
+    from azure_data_engineering_spark.plans.inspect import assert_no_cartesian
+
+    assert_no_cartesian(entrymod.q_funnel(spark, sf_dir))
+    assert_no_cartesian(entrymod.q_cohort_retention(spark, sf_dir))
