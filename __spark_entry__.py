@@ -3600,6 +3600,70 @@ LIMIT 10
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (operators/quality.
+    drop_repeated_units — the CCNet/RefinedWeb line-dedup stage).
+    The corpus has no sentence structure, so sentence-shaped docs are
+    constructed deterministically (same pure function of doc_id in the
+    oracle): a 50-char prefix, a footer in every 4th doc, a unique
+    tail, a newsletter plug in every 6th doc. Units appearing in >= 3
+    distinct docs (the injected boilerplate, plus any naturally shared
+    prefix) must be dropped and the survivors reassembled in order —
+    both engines must agree on the rebuilt text byte-for-byte (md5)."""
+    from azure_data_engineering_spark.operators.quality import drop_repeated_units
+
+    d = _t(spark, sf_dir, "documents")
+    doc = d.select(
+        "doc_id",
+        F.concat_ws(
+            ". ",
+            F.substring("text", 1, 50),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("standard footer boilerplate")),
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" unique tail")),
+            F.when(F.col("doc_id") % 6 == 0, F.lit("subscribe newsletter now")),
+        ).alias("text"),
+    )
+    out = drop_repeated_units(doc, "text", "doc_id", min_docs=3)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("text_len"),
+        "n_units",
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
+Q_LINE_DEDUP_SQL = """
+WITH doc AS (
+  SELECT doc_id,
+         concat_ws('. ', substr(text, 1, 50),
+                   CASE WHEN doc_id % 4 = 0 THEN 'standard footer boilerplate' END,
+                   'doc ' || CAST(doc_id AS VARCHAR) || ' unique tail',
+                   CASE WHEN doc_id % 6 = 0 THEN 'subscribe newsletter now' END) AS text
+  FROM documents
+), raw AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\.\\s*') AS arr FROM doc
+), u AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS unit FROM raw
+), uf AS (
+  SELECT doc_id, pos, unit, lower(trim(unit)) AS norm FROM u WHERE trim(unit) <> ''
+), freq AS (
+  SELECT norm, count(DISTINCT doc_id) AS nd FROM uf GROUP BY 1
+), kept AS (
+  SELECT uf.doc_id, uf.pos, uf.unit FROM uf JOIN freq USING (norm) WHERE nd < 3
+), rebuilt AS (
+  SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS text, count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_units FROM uf GROUP BY doc_id
+)
+SELECT t.doc_id, md5(coalesce(r.text, '')) AS text_md5,
+       length(coalesce(r.text, '')) AS text_len,
+       t.n_units, coalesce(r.n_kept, 0) AS n_kept
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3729,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_stream_dedup": q_stream_dedup,
         "q_tpch_q3_style": q_tpch_q3_style,
+        "q_line_dedup": q_line_dedup,
     }
 
 
@@ -3847,4 +3912,5 @@ def oracle_sql() -> dict[str, str]:
         "q_funnel": Q_FUNNEL_SQL,
         "q_stream_dedup": Q_STREAM_DEDUP_SQL,
         "q_tpch_q3_style": Q_TPCH_Q3_SQL,
+        "q_line_dedup": Q_LINE_DEDUP_SQL,
     }

@@ -75,3 +75,58 @@ def top_ngram_stats(df: DataFrame, text_col: str, id_col: str, n: int = 2) -> Da
         F.when(F.col("gram").isNull(), F.lit(0)).otherwise(F.col("gram_count")).alias("top_gram_count"),
         frac.alias("top_gram_char_frac"),
     )
+
+
+def drop_repeated_units(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 3,
+    sep_regex: str = r"\.\s*",
+    joiner: str = ". ",
+) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet / RefinedWeb line-
+    dedup stage): split each document into units (sentences by default),
+    drop every unit whose normalized form appears in >= `min_docs`
+    distinct documents, and reassemble the survivors in their original
+    order.
+
+    Scale shape: posexplode keeps (doc, position) lineage; the global
+    unit-frequency table is a word-count-style hash aggregation (map-
+    side combined, the shuffle carries distinct normalized units, not
+    raw text); membership is one equi-join on the normalized unit; and
+    reassembly is sort_array(collect_list(struct(pos, unit))) per doc —
+    one shuffle on the doc id, no driver materialization. Returns
+    (id_col, text_col (rebuilt), n_units, n_kept).
+    """
+    units = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep_regex)).alias("__pos", "__unit"),
+        )
+        .filter(F.trim(F.col("__unit")) != "")
+        .withColumn("__norm", F.lower(F.trim(F.col("__unit"))))
+    )
+    freq = units.groupBy("__norm").agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+    kept = units.join(freq, "__norm").filter(F.col("__nd") < min_docs)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__unit"))),
+                lambda s: s["__unit"],
+            ),
+            joiner,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = units.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_units"))
+    # left join back so fully-boilerplate docs survive with empty text
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+            "n_units",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -218,3 +218,35 @@ class TestCompaction:
         os.rename(p, p + ".__compact_old")  # simulate crash after target rename
         recover_compaction(p)
         assert spark.read.parquet(p).count() == 100
+
+
+class TestLineDedup:
+    def test_drops_cross_doc_units_keeps_order(self, spark):
+        from azure_data_engineering_spark.operators.quality import drop_repeated_units
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha first. shared boiler. alpha last"),
+                (2, "beta only. shared boiler"),
+                (3, "gamma one. shared boiler. gamma two"),
+                (4, "all boiler here. shared boiler"),
+            ],
+            "doc_id int, text string",
+        )
+        out = {r.doc_id: r for r in drop_repeated_units(df, "text", "doc_id", min_docs=3).collect()}
+        assert out[1].text == "alpha first. alpha last"  # order preserved
+        assert out[2].text == "beta only"
+        assert (out[1].n_units, out[1].n_kept) == (3, 2)
+        # 'all boiler here' is unique so it survives; the shared unit is gone
+        assert out[4].text == "all boiler here"
+
+    def test_fully_boilerplate_doc_survives_empty(self, spark):
+        from azure_data_engineering_spark.operators.quality import drop_repeated_units
+
+        df = spark.createDataFrame(
+            [(1, "same. same"), (2, "same"), (3, "same"), (4, "same. unique bit")],
+            "doc_id int, text string",
+        )
+        out = {r.doc_id: r for r in drop_repeated_units(df, "text", "doc_id", min_docs=3).collect()}
+        assert out[1].text == "" and out[1].n_kept == 0 and out[1].n_units == 2
+        assert out[4].text == "unique bit"
