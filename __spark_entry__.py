@@ -3664,6 +3664,99 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join on the real engine: the events stream is
+    enriched per micro-batch against a static user-profile dim (each
+    user's lifetime order of first appearance — computed once, batch
+    side). Static sides of stream joins never shuffle the stream: Spark
+    plans them as a broadcast per micro-batch. Oracle = the same join
+    in batch SQL."""
+    import os
+
+    from azure_data_engineering_spark.streaming.windows import run_stream_to_table
+
+    e_static = _t(spark, sf_dir, "events")
+    profile = (
+        e_static.groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"), F.count(F.lit(1)).alias("lifetime_events"))
+    )
+
+    def enrich(stream: DataFrame) -> DataFrame:
+        joined = stream.join(F.broadcast(profile), "user_id")
+        return joined.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "lifetime_events",
+            F.date_format("first_seen", "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        )
+
+    out = run_stream_to_table(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        enrich,
+        table_name="stream_static_sink",
+    )
+    return out.filter(F.col("event_id") % 9 == 0)
+
+
+Q_STREAM_STATIC_JOIN_SQL = """
+WITH profile AS (
+  SELECT user_id, min(ts) AS first_seen, count(*) AS lifetime_events
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.event_type, p.lifetime_events,
+       strftime(p.first_seen, '%Y-%m-%d %H:%M:%S') AS first_seen
+FROM events e JOIN profile p USING (user_id)
+WHERE e.event_id % 9 = 0
+"""
+
+
+def q_stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-output-mode streaming aggregation: per-event-type
+    global counts re-emitted in full every micro-batch; after the
+    backlog drains the memory sink holds exactly the batch GROUP BY.
+    Two deterministic micro-batches prove the aggregation state folds
+    batch 1 into batch 0's counts rather than starting over."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from azure_data_engineering_spark.streaming.windows import run_stream_to_table
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="complete_gate_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i, pred in enumerate([F.col("event_id") % 4 != 0, F.col("event_id") % 4 == 0]):
+        staging = os.path.join(work, f"stage{i}")
+        e.filter(pred).coalesce(1).write.parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        _shutil.move(part, os.path.join(src, f"b{i}.parquet"))
+        if i == 0:
+            _time.sleep(1.05)
+    out = run_stream_to_table(
+        spark,
+        src,
+        lambda s: s.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ),
+        table_name="stream_complete_sink",
+        output_mode="complete",
+        max_files_per_trigger=1,
+    )
+    return out
+
+
+Q_STREAM_COMPLETE_SQL = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3794,6 +3887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_tpch_q3_style": q_tpch_q3_style,
         "q_line_dedup": q_line_dedup,
+        "q_stream_static_join": q_stream_static_join,
+        "q_stream_complete_mode": q_stream_complete_mode,
     }
 
 
@@ -3913,4 +4008,6 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_dedup": Q_STREAM_DEDUP_SQL,
         "q_tpch_q3_style": Q_TPCH_Q3_SQL,
         "q_line_dedup": Q_LINE_DEDUP_SQL,
+        "q_stream_static_join": Q_STREAM_STATIC_JOIN_SQL,
+        "q_stream_complete_mode": Q_STREAM_COMPLETE_SQL,
     }
