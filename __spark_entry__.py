@@ -3757,6 +3757,81 @@ FROM events GROUP BY event_type
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability quality score — the self-contained
+    stand-in for CCNet's LM-perplexity filter: build the corpus unigram
+    distribution (one word-count agg), then score each document by the
+    mean log-probability of its tokens (token join + per-doc avg).
+    Low-probability word soup scores far below template-conforming
+    text. ln is bit-identical across engines for the same double; the
+    per-doc mean is rounded at the emission point only."""
+    from azure_data_engineering_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    totals = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("logp", F.log(F.col("n_term") / F.col("n_total")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("logp"), 6).alias("avg_logprob"),
+    )
+
+
+Q_UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), toks_f AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), totals AS (SELECT count(*) AS n_total FROM toks_f),
+vocab AS (SELECT term, count(*) AS n_term FROM toks_f GROUP BY term)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(ln(CAST(v.n_term AS DOUBLE) / n.n_total)), 6) AS avg_logprob
+FROM toks_f t JOIN vocab v USING (term) CROSS JOIN totals n
+GROUP BY t.doc_id
+"""
+
+
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter sketch (DataFrame.freqItems — the Karp/
+    Misra-Gries-style single-pass algorithm) gated on its contract:
+    the returned set must CONTAIN every event_type whose frequency
+    exceeds the support threshold (false positives allowed, false
+    negatives never). Emits the portable exact heavy-hitter count and
+    the containment boolean."""
+    e = _t(spark, sf_dir, "events")
+    support = 0.15
+    sketch_items = set(e.freqItems(["event_type"], support=support).collect()[0][0])
+    n_rows = e.count()
+    exact = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > support * n_rows)
+    )
+    exact_set = {r["event_type"] for r in exact.collect()}
+    covered = exact_set <= sketch_items
+    return spark.createDataFrame(
+        [(len(exact_set), bool(covered))], "n_exact_heavy int, sketch_covers boolean"
+    )
+
+
+Q_FREQ_ITEMS_SQL = """
+SELECT CAST(count(*) AS INTEGER) AS n_exact_heavy, TRUE AS sketch_covers
+FROM (
+  SELECT event_type FROM events GROUP BY event_type
+  HAVING count(*) > 0.15 * (SELECT count(*) FROM events)
+)
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3889,6 +3964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_edit_distance": q_edit_distance,
         "q_stream_static_join": q_stream_static_join,
         "q_stream_complete_mode": q_stream_complete_mode,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_freq_items": q_freq_items,
     }
 
 
@@ -4010,4 +4087,6 @@ def oracle_sql() -> dict[str, str]:
         "q_line_dedup": Q_LINE_DEDUP_SQL,
         "q_stream_static_join": Q_STREAM_STATIC_JOIN_SQL,
         "q_stream_complete_mode": Q_STREAM_COMPLETE_SQL,
+        "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
+        "q_freq_items": Q_FREQ_ITEMS_SQL,
     }
