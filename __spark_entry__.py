@@ -3832,6 +3832,81 @@ FROM (
 """
 
 
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics on the real engine, oracle-gated:
+    four deterministic micro-batches — early-window rows, a watermark
+    advancer, a propagation batch (the late filter uses the PREVIOUS
+    batch's watermark), then deliberately-late rows (early rows moved
+    to the final batch, now weeks behind the watermark). Append mode
+    emits each window once, finalized WITHOUT the late rows; the late
+    rows' windows were already emitted and evicted, so they are
+    dropped. The oracle aggregates all on-time rows, restricted to
+    windows closed by the final watermark (window end <= max ts - 2h).
+    If the engine merged a late row, that window's count would differ
+    and the value hash would fail."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from azure_data_engineering_spark.streaming.windows import (
+        run_stream_to_table,
+        tumbling_counts,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    late_pred = (F.col("ts") < "2024-01-10") & (F.col("event_id") % 31 == 0)
+    batches = [
+        e.filter((F.col("ts") < "2024-01-10") & ~(F.col("event_id") % 31 == 0)),
+        e.filter((F.col("ts") >= "2024-01-10") & (F.col("event_id") % 2 == 0)),
+        e.filter((F.col("ts") >= "2024-01-10") & (F.col("event_id") % 2 == 1)),
+        e.filter(late_pred),  # weeks behind the watermark by now
+    ]
+    work = tempfile.mkdtemp(prefix="late_gate_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        staging = os.path.join(work, f"stage{i}")
+        b.coalesce(1).write.parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        _shutil.move(part, os.path.join(src, f"b{i}.parquet"))
+        if i < len(batches) - 1:
+            _time.sleep(1.05)
+    out = run_stream_to_table(
+        spark,
+        src,
+        lambda s: tumbling_counts(s, "1 hour", "2 hours"),
+        table_name="stream_late_sink",
+        output_mode="append",
+        max_files_per_trigger=1,
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+Q_STREAM_LATE_SQL = """
+WITH on_time AS (
+  SELECT * FROM events
+  WHERE NOT (ts < TIMESTAMP '2024-01-10' AND event_id % 31 = 0)
+), wm AS (
+  SELECT max(ts) - INTERVAL 2 HOUR AS w FROM on_time
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, n_events, sum_value
+FROM (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM on_time GROUP BY 1, 2
+) g CROSS JOIN wm
+WHERE g.window_start + INTERVAL 1 HOUR <= wm.w
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3966,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_complete_mode": q_stream_complete_mode,
         "q_unigram_logprob": q_unigram_logprob,
         "q_freq_items": q_freq_items,
+        "q_stream_late_drop": q_stream_late_drop,
     }
 
 
@@ -4089,4 +4165,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_complete_mode": Q_STREAM_COMPLETE_SQL,
         "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "q_freq_items": Q_FREQ_ITEMS_SQL,
+        "q_stream_late_drop": Q_STREAM_LATE_SQL,
     }
