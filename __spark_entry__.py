@@ -3907,6 +3907,92 @@ WHERE g.window_start + INTERVAL 1 HOUR <= wm.w
 """
 
 
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps — the third member of the
+    resample family (zero-fill, LOCF, linear): per missing day, the
+    value is prev + (next - prev) * elapsed/gap_span from the nearest
+    known observations on each side (edges fall back to the available
+    side). Two window passes per user (last/first with ignorenulls over
+    opposite unbounded frames) — no self-joins. The arithmetic is a
+    single expression evaluated identically by both engines on the
+    same rounded daily inputs."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("day_value")
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select("user_id", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"))
+    filled = spine.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev_v = F.last("day_value", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_v = F.first("day_value", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    prev_d = F.last(known_day, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_d = F.first(known_day, ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    interp = (
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v) * (F.datediff(F.col("day"), prev_d) / F.datediff(next_d, prev_d))
+        )
+    )
+    return filled.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        interp.alias("value_interp"),
+        F.col("day_value").isNull().alias("was_gap"),
+    )
+
+
+Q_INTERPOLATE_LINEAR_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 4) AS day_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), filled AS (
+  SELECT s.user_id, s.day, d.day_value FROM spine s
+  LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+), f2 AS (
+  SELECT user_id, day, day_value,
+    last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    first_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+    first_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM filled
+)
+SELECT user_id, CAST(day AS VARCHAR) AS day,
+  CASE WHEN day_value IS NOT NULL THEN day_value
+       WHEN prev_v IS NULL THEN next_v
+       WHEN next_v IS NULL THEN prev_v
+       ELSE prev_v + (next_v - prev_v) *
+            (CAST(date_diff('day', prev_d, day) AS DOUBLE) / date_diff('day', prev_d, next_d))
+  END AS value_interp,
+  day_value IS NULL AS was_gap
+FROM f2
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4042,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_logprob": q_unigram_logprob,
         "q_freq_items": q_freq_items,
         "q_stream_late_drop": q_stream_late_drop,
+        "q_interpolate_linear": q_interpolate_linear,
     }
 
 
@@ -4166,4 +4253,5 @@ def oracle_sql() -> dict[str, str]:
         "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "q_freq_items": Q_FREQ_ITEMS_SQL,
         "q_stream_late_drop": Q_STREAM_LATE_SQL,
+        "q_interpolate_linear": Q_INTERPOLATE_LINEAR_SQL,
     }
