@@ -3993,6 +3993,46 @@ FROM f2
 """
 
 
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2C facade's SQL entry point end-to-end: catalog views are
+    registered and an ANSI query string goes through pipeline.run_sql
+    (the reference's callstoredproc step, __init__.py:216, owned by
+    Spark SQL instead of delegated to Postgres). The SAME text runs on
+    DuckDB — the query is written in the ANSI intersection, so this
+    gates dialect-portable SQL execution, not just the DataFrame API."""
+    from azure_data_engineering_spark.catalog import register_views
+    from azure_data_engineering_spark.pipeline import run_sql
+
+    register_views(spark, sf_dir)
+    sql = """
+        SELECT n.n_name, o.o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_totalprice > 150000
+        GROUP BY n.n_name, o.o_orderstatus
+        HAVING count(*) > 2
+    """
+    step = run_sql(spark, sql)
+    assert step.ok, step
+    return step.detail["result"]
+
+
+Q_SQL_API_SQL = """
+SELECT n.n_name, o.o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_totalprice > 150000
+GROUP BY n.n_name, o.o_orderstatus
+HAVING count(*) > 2
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4129,6 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_freq_items": q_freq_items,
         "q_stream_late_drop": q_stream_late_drop,
         "q_interpolate_linear": q_interpolate_linear,
+        "q_sql_api": q_sql_api,
     }
 
 
@@ -4254,4 +4295,5 @@ def oracle_sql() -> dict[str, str]:
         "q_freq_items": Q_FREQ_ITEMS_SQL,
         "q_stream_late_drop": Q_STREAM_LATE_SQL,
         "q_interpolate_linear": Q_INTERPOLATE_LINEAR_SQL,
+        "q_sql_api": Q_SQL_API_SQL,
     }
