@@ -4033,6 +4033,43 @@ HAVING count(*) > 2
 """
 
 
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (percentile_approx, Greenwald-Khanna) gated on
+    its actual guarantee: with accuracy=100 the rank error is bounded
+    by 1%, so the true rank of each approximate quantile must land
+    within ±2% of the target. Rank-based checking is robust to the
+    sketch's partition-merge-order nondeterminism, which the raw
+    values are not. n_rows is the portable anchor."""
+    o = _t(spark, sf_dir, "orders")
+    qs = [0.5, 0.9, 0.99]
+    appx = o.agg(
+        F.percentile_approx("o_totalprice", qs, 100).alias("ap"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    exploded = appx.select(
+        "n_rows", F.posexplode("ap").alias("idx", "ap_value")
+    ).withColumn("q", F.element_at(F.array(*[F.lit(x) for x in qs]), F.col("idx") + 1))
+    ranked = (
+        o.crossJoin(F.broadcast(exploded))
+        .groupBy("q", "n_rows")
+        .agg(
+            (F.sum((F.col("o_totalprice") <= F.col("ap_value")).cast("long")) / F.first("n_rows"))
+            .alias("true_rank")
+        )
+    )
+    return ranked.select(
+        "q",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.abs(F.col("true_rank") - F.col("q")) <= 0.02).alias("rank_ok"),
+    )
+
+
+Q_APPROX_PERCENTILE_SQL = """
+SELECT q, (SELECT count(*) FROM orders) AS n_rows, TRUE AS rank_ok
+FROM (VALUES (0.5), (0.9), (0.99)) t(q)
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4170,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_late_drop": q_stream_late_drop,
         "q_interpolate_linear": q_interpolate_linear,
         "q_sql_api": q_sql_api,
+        "q_approx_percentile": q_approx_percentile,
     }
 
 
@@ -4296,4 +4334,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_late_drop": Q_STREAM_LATE_SQL,
         "q_interpolate_linear": Q_INTERPOLATE_LINEAR_SQL,
         "q_sql_api": Q_SQL_API_SQL,
+        "q_approx_percentile": Q_APPROX_PERCENTILE_SQL,
     }
