@@ -4070,6 +4070,144 @@ FROM (VALUES (0.5), (0.9), (0.99)) t(q)
 """
 
 
+def q_tpch_q4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS with a
+    non-equi predicate (l_shipdate > o_orderdate) turned into a LEFT SEMI
+    join on the order key — Spark evaluates the inequality as a join
+    residual, so the plan is one pruned scan per side, one semi join, one
+    small agg. No decorrelation UDF, no driver loop; the semi join
+    shuffles on the key and scales linearly."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q12_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional aggregation over a fact-fact join):
+    lineitems shipped in 1997 joined to orders, CASE-split counts of
+    high- vs low-priority lines per return flag. The CASE stays inside
+    the hash aggregate (map-side partial), so the only shuffle is the
+    final group-by on the 3-value flag."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_TPCH_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (Spark-native columnar format beside parquet):
+    write document metadata as ORC, read it back, aggregate per source.
+    The oracle aggregates the original parquet table, so any value or
+    type drift through the ORC writer/reader breaks the hash. DuckDB
+    cannot read ORC, which is exactly why the oracle pins the semantics
+    from the untouched source table."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/docs"
+    d.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+Q_ORC_ROUNDTRIP_SQL = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-order histogram of return flags
+    built with map_from_entries, probed with element_at, filtered with
+    map_filter (higher-order lambda). The map is constructed from a
+    sort_array'd entry list so its iteration order is deterministic.
+    The oracle re-expresses every probe as conditional aggregation —
+    maps are a Spark-side representation choice, not a semantic one."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per_flag.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_returnflag", "cnt")))
+        ).alias("flag_map")
+    )
+    return m.select(
+        "l_orderkey",
+        F.size("flag_map").cast("long").alias("n_flags"),
+        F.coalesce(F.element_at("flag_map", "R"), F.lit(0)).cast("long").alias("r_lines"),
+        F.coalesce(F.element_at("flag_map", "A"), F.lit(0)).cast("long").alias("a_lines"),
+        F.coalesce(F.element_at("flag_map", "N"), F.lit(0)).cast("long").alias("n_lines"),
+        F.size(F.map_filter("flag_map", lambda k, v: v >= 2)).cast("long").alias("n_flags_ge2"),
+    )
+
+
+Q_MAP_FUNCTIONS_SQL = """
+SELECT l_orderkey,
+       count(DISTINCT l_returnflag) AS n_flags,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN cnt ELSE 0 END) AS BIGINT) AS r_lines,
+       CAST(sum(CASE WHEN l_returnflag = 'A' THEN cnt ELSE 0 END) AS BIGINT) AS a_lines,
+       CAST(sum(CASE WHEN l_returnflag = 'N' THEN cnt ELSE 0 END) AS BIGINT) AS n_lines,
+       CAST(count(DISTINCT CASE WHEN cnt >= 2 THEN l_returnflag END) AS BIGINT) AS n_flags_ge2
+FROM (
+  SELECT l_orderkey, l_returnflag, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+)
+GROUP BY l_orderkey
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4208,6 +4346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interpolate_linear": q_interpolate_linear,
         "q_sql_api": q_sql_api,
         "q_approx_percentile": q_approx_percentile,
+        "q_tpch_q4_style": q_tpch_q4_style,
+        "q_tpch_q12_style": q_tpch_q12_style,
+        "q_orc_roundtrip": q_orc_roundtrip,
+        "q_map_functions": q_map_functions,
     }
 
 
@@ -4335,4 +4477,8 @@ def oracle_sql() -> dict[str, str]:
         "q_interpolate_linear": Q_INTERPOLATE_LINEAR_SQL,
         "q_sql_api": Q_SQL_API_SQL,
         "q_approx_percentile": Q_APPROX_PERCENTILE_SQL,
+        "q_tpch_q4_style": Q_TPCH_Q4_SQL,
+        "q_tpch_q12_style": Q_TPCH_Q12_SQL,
+        "q_orc_roundtrip": Q_ORC_ROUNDTRIP_SQL,
+        "q_map_functions": Q_MAP_FUNCTIONS_SQL,
     }
