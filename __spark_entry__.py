@@ -4208,6 +4208,51 @@ GROUP BY l_orderkey
 """
 
 
+def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches surface (Spark 4 built-ins): per-status HLL
+    distinct-count and KLL median, each gated on its published error
+    bound (HLL lgK=14 → ~0.8% std err, gated at ±5%; KLL k=400 → ~0.9%
+    rank error, gated at ±2% TRUE rank — rank-gating is robust to
+    merge-order nondeterminism, raw sketch values are not). These
+    sketches are mergeable monoids: Spark combines per-partition
+    partials map-side, the exact property that lets 1000 executors
+    sketch 100 TB with one tiny shuffle. Oracle pins the exact
+    anchors and asserts the bounds hold."""
+    o = _t(spark, sf_dir, "orders")
+    sk = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(14))).alias("hll_est"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double(F.col("o_totalprice").cast("double"), F.lit(400)),
+            F.lit(0.5),
+        ).alias("kll_med"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ranked = (
+        o.join(F.broadcast(sk), "o_orderstatus")
+        .groupBy("o_orderstatus", "n_exact", "hll_est", "kll_med", "n_rows")
+        .agg(
+            (
+                F.sum((F.col("o_totalprice") <= F.col("kll_med")).cast("long"))
+                / F.first("n_rows")
+            ).alias("true_rank")
+        )
+    )
+    return ranked.select(
+        "o_orderstatus",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact") <= 0.05).alias("hll_ok"),
+        (F.abs(F.col("true_rank") - 0.5) <= 0.02).alias("kll_rank_ok"),
+    )
+
+
+Q_SKETCHES_SQL = """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact,
+       TRUE AS hll_ok, TRUE AS kll_rank_ok
+FROM orders GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4350,6 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q12_style": q_tpch_q12_style,
         "q_orc_roundtrip": q_orc_roundtrip,
         "q_map_functions": q_map_functions,
+        "q_sketches": q_sketches,
     }
 
 
@@ -4481,4 +4527,5 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q12_style": Q_TPCH_Q12_SQL,
         "q_orc_roundtrip": Q_ORC_ROUNDTRIP_SQL,
         "q_map_functions": Q_MAP_FUNCTIONS_SQL,
+        "q_sketches": Q_SKETCHES_SQL,
     }
