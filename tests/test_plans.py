@@ -109,3 +109,30 @@ def test_funnel_and_cohort_have_no_cartesian(spark, sf_dir):
 
     assert_no_cartesian(entrymod.q_funnel(spark, sf_dir))
     assert_no_cartesian(entrymod.q_cohort_retention(spark, sf_dir))
+
+
+def test_q4_semi_join_no_cartesian(spark, sf_dir):
+    """The correlated EXISTS must become a LeftSemi equi-join with the
+    date inequality as residual — never a nested-loop over all pairs."""
+    df = entrymod.q_tpch_q4_style(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert_no_cartesian(df)
+    assert_pushed_filters(df, "o_orderdate")
+
+
+def test_q12_case_stays_in_aggregate(spark, sf_dir):
+    """Conditional counts run inside the hash aggregate (partial
+    map-side), with the ship-date filter pushed to the scan."""
+    df = entrymod.q_tpch_q12_style(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_sketches_single_shuffle(spark, sf_dir):
+    """The sketch build is one partial+final aggregate: exactly one
+    Exchange before the sketch agg feeds the (broadcast) rank join."""
+    plan = formatted_plan(entrymod.q_sketches(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
