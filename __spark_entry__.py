@@ -4253,6 +4253,41 @@ FROM orders GROUP BY 1
 """
 
 
+def q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted write layout (sources/layout.py): range-cluster the
+    documents table on (lang, doc_id), then run a filtered scan over
+    the clustered copy. Values must be byte-identical to filtering the
+    original — clustering is a pure layout change — while the layout
+    makes the pushed doc_id/lang predicates skip whole row groups via
+    parquet min/max stats (the disjointness property is asserted in
+    tests/test_sources.py)."""
+    import tempfile
+
+    from azure_data_engineering_spark.sources.layout import cluster_write, scan_clustered
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="clustered_") + "/docs"
+    cluster_write(d, path, ["lang", "doc_id"], n_files=8)
+    back = scan_clustered(spark, path).filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % 7 == 0)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+Q_CLUSTERED_SCAN_SQL = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+WHERE lang = 'en' AND doc_id % 7 = 0
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4396,6 +4431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orc_roundtrip": q_orc_roundtrip,
         "q_map_functions": q_map_functions,
         "q_sketches": q_sketches,
+        "q_clustered_scan": q_clustered_scan,
     }
 
 
@@ -4528,4 +4564,5 @@ def oracle_sql() -> dict[str, str]:
         "q_orc_roundtrip": Q_ORC_ROUNDTRIP_SQL,
         "q_map_functions": Q_MAP_FUNCTIONS_SQL,
         "q_sketches": Q_SKETCHES_SQL,
+        "q_clustered_scan": Q_CLUSTERED_SCAN_SQL,
     }

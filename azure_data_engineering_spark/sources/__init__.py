@@ -2,6 +2,7 @@ from azure_data_engineering_spark.sources.csv_pipe import read_pipe_csv, write_p
 from azure_data_engineering_spark.sources.listing import list_files
 from azure_data_engineering_spark.sources.excel import ingest_excel
 from azure_data_engineering_spark.sources.multimodal import with_binary_payload, decode_metadata
+from azure_data_engineering_spark.sources.layout import cluster_write, scan_clustered
 from azure_data_engineering_spark.sources.snapshot import (
     snapshot_merge,
     snapshot_read,
@@ -16,6 +17,8 @@ __all__ = [
     "ingest_excel",
     "with_binary_payload",
     "decode_metadata",
+    "cluster_write",
+    "scan_clustered",
     "snapshot_write",
     "snapshot_read",
     "snapshot_merge",

@@ -222,3 +222,45 @@ class TestMultimodal:
         r = extract_features(with_binary_payload(df, "text", "doc_id")).collect()[0]
         assert r["n_bytes"] == 5
         assert r["features"] == [2 / 5, 1 / 5, 2 / 5]  # vowels, spaces, digits
+
+
+class TestClusterWrite:
+    def test_files_cover_disjoint_key_ranges(self, spark, sf_dir):
+        """The point of cluster_write: each output file owns a narrow,
+        non-overlapping slice of the cluster-key space, so parquet
+        min/max stats can skip everything outside a filter's range.
+        Assert pairwise disjointness of per-file (lang, doc_id) ranges."""
+        import glob
+        import tempfile
+
+        from azure_data_engineering_spark.catalog import load_table
+        from azure_data_engineering_spark.sources.layout import cluster_write
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        path = tempfile.mkdtemp(prefix="layout_") + "/docs"
+        cluster_write(d, path, ["lang", "doc_id"], n_files=6)
+
+        ranges = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            part = spark.read.parquet(f)
+            row = part.selectExpr(
+                "min(struct(lang, doc_id)) AS lo", "max(struct(lang, doc_id)) AS hi"
+            ).collect()[0]
+            if row["lo"] is not None:
+                ranges.append((tuple(row["lo"]), tuple(row["hi"])))
+        assert len(ranges) >= 2  # range partitioner actually split the data
+        ranges.sort()
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi <= lo, f"overlapping file ranges: {hi} > {lo}"
+
+    def test_clustered_values_identical(self, spark, sf_dir):
+        from azure_data_engineering_spark.catalog import load_table
+        from azure_data_engineering_spark.sources.layout import cluster_write, scan_clustered
+        import tempfile
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        path = tempfile.mkdtemp(prefix="layout_eq_") + "/docs"
+        cluster_write(d, path, ["doc_id"])
+        back = scan_clustered(spark, path)
+        assert back.count() == d.count()
+        assert back.exceptAll(d).count() == 0
