@@ -4288,6 +4288,44 @@ GROUP BY 1
 """
 
 
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: parse events.props into the binary
+    semi-structured type once, then probe it with typed variant_get /
+    try_variant_get paths. VARIANT is the scale answer to repeated
+    get_json_object calls — the text is parsed a single time into a
+    shreddable binary encoding instead of once per path. The oracle
+    re-expresses every probe as DuckDB JSON operators; the inferred
+    per-row schema is gated as a boolean."""
+    e = _t(spark, sf_dir, "events")
+    v = e.withColumn("v", F.parse_json("props"))
+    return (
+        v.select(
+            "event_type",
+            F.variant_get("v", "$.k", "int").alias("k"),
+            F.try_variant_get("v", "$.missing", "int").alias("miss"),
+            (F.schema_of_variant("v") == "OBJECT<k: BIGINT>").alias("schema_ok"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max(F.col("k") % 100).cast("long").alias("max_k_mod"),
+            F.count("miss").cast("long").alias("n_missing_nonnull"),
+            F.min("schema_ok").alias("schema_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_VARIANT_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(props ->> '$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(props ->> '$.k' AS INTEGER) % 100) AS BIGINT) AS max_k_mod,
+       CAST(0 AS BIGINT) AS n_missing_nonnull,
+       TRUE AS schema_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4432,6 +4470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_map_functions": q_map_functions,
         "q_sketches": q_sketches,
         "q_clustered_scan": q_clustered_scan,
+        "q_variant": q_variant,
     }
 
 
@@ -4565,4 +4604,5 @@ def oracle_sql() -> dict[str, str]:
         "q_map_functions": Q_MAP_FUNCTIONS_SQL,
         "q_sketches": Q_SKETCHES_SQL,
         "q_clustered_scan": Q_CLUSTERED_SCAN_SQL,
+        "q_variant": Q_VARIANT_SQL,
     }
