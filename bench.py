@@ -45,6 +45,9 @@ HEADLINE = [
     "q_clean_corpus",
     "q_tfidf_topk",
     "q_train_order",
+    "q_tpch_q4_style",
+    "q_sketches",
+    "q_clustered_scan",
 ]
 
 
