@@ -4326,6 +4326,50 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (operators/expectations.py):
+    PK uniqueness, non-null, range, accepted-values, and referential
+    integrity over orders→customer, all folded into ONE aggregate scan
+    plus one broadcast anti-join. The price range is deliberately
+    tight so the violation counter is exercised on real nonzero
+    counts, and `passed` correctly reports False. Oracle re-derives
+    every count in SQL."""
+    from azure_data_engineering_spark.operators.expectations import Suite, check
+
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    suite = (
+        Suite()
+        .unique("o_orderkey")
+        .not_null("o_custkey")
+        .in_range("o_totalprice", 0, 100000)
+        .accepted_values("o_orderstatus", ["O", "F", "P"])
+        .foreign_key(["o_custkey"], cu, ["c_custkey"])
+    )
+    return check(o, suite)
+
+
+Q_EXPECTATIONS_SQL = """
+WITH agg AS (
+  SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS o_orderkey_unique_violations,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_not_null_violations,
+         CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 100000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_in_range_violations,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_accepted_violations
+  FROM orders
+), fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS o_custkey_fk_violations
+  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT agg.*, fk.*,
+       (o_orderkey_unique_violations = 0 AND o_custkey_not_null_violations = 0
+        AND o_totalprice_in_range_violations = 0 AND o_orderstatus_accepted_violations = 0
+        AND o_custkey_fk_violations = 0) AS passed
+FROM agg, fk
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4471,6 +4515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sketches": q_sketches,
         "q_clustered_scan": q_clustered_scan,
         "q_variant": q_variant,
+        "q_expectations": q_expectations,
     }
 
 
@@ -4605,4 +4650,5 @@ def oracle_sql() -> dict[str, str]:
         "q_sketches": Q_SKETCHES_SQL,
         "q_clustered_scan": Q_CLUSTERED_SCAN_SQL,
         "q_variant": Q_VARIANT_SQL,
+        "q_expectations": Q_EXPECTATIONS_SQL,
     }
