@@ -4370,6 +4370,55 @@ FROM agg, fk
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup refresh (operators/incremental.py): build the
+    per-status rollup from a 'historical' partition, aggregate only the
+    'new' partition, and monoid-merge the partials — the refresh never
+    re-reads history. The oracle aggregates the full table directly, so
+    the merge algebra must be exactly lossless (sum/count/min/max merge,
+    avg finalized from sum÷count)."""
+    from azure_data_engineering_spark.operators.incremental import (
+        finalize_avg,
+        merge_partials,
+        partial_agg,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    measures = {
+        "n_orders": ("count", "*"),
+        "sum_price": ("sum", "o_totalprice"),
+        "min_price": ("min", "o_totalprice"),
+        "max_price": ("max", "o_totalprice"),
+    }
+    base = partial_agg(
+        o.filter(F.col("o_orderdate") < "1999-01-01"), ["o_orderstatus"], measures
+    )
+    delta = partial_agg(
+        o.filter(F.col("o_orderdate") >= "1999-01-01"), ["o_orderstatus"], measures
+    )
+    merged = merge_partials(base, delta, ["o_orderstatus"], measures)
+    out = finalize_avg(merged, "avg_price", "sum_price", "n_orders")
+    # merge order differs from a full-table scan, so the float sums
+    # drift in the last bits — round the multi-row aggregates (prices
+    # carry 2 decimals; drift is ~1e-6)
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("sum_price", 2).alias("sum_price"),
+        "min_price",
+        "max_price",
+        F.round("avg_price", 4).alias("avg_price"),
+    ).orderBy("o_orderstatus")
+
+
+Q_INCREMENTAL_AGG_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       round(sum(o_totalprice) / count(*), 4) AS avg_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4516,6 +4565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clustered_scan": q_clustered_scan,
         "q_variant": q_variant,
         "q_expectations": q_expectations,
+        "q_incremental_agg": q_incremental_agg,
     }
 
 
@@ -4651,4 +4701,5 @@ def oracle_sql() -> dict[str, str]:
         "q_clustered_scan": Q_CLUSTERED_SCAN_SQL,
         "q_variant": Q_VARIANT_SQL,
         "q_expectations": Q_EXPECTATIONS_SQL,
+        "q_incremental_agg": Q_INCREMENTAL_AGG_SQL,
     }

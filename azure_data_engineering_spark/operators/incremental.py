@@ -1,0 +1,63 @@
+"""Incremental aggregate maintenance (materialized-view refresh).
+
+At 100 TB you never recompute a rollup from scratch because a day of
+data arrived: you keep the rollup in *partial-aggregate* form — a
+mergeable monoid per measure — aggregate only the delta, and fold the
+two. Same algebra Spark uses internally for map-side partial
+aggregation and streaming state, lifted to table level so a nightly
+pipeline can refresh a year-spanning rollup by touching one day.
+
+Partial form per measure: sum → (sum), count → (count), avg →
+(sum, count) [finalized at read], min/max → (min/max). All of these
+merge with the same groupBy over the union of partial states, so a
+refresh costs one shuffle over |rollup| + |delta-partials| rows —
+independent of base-table size.
+
+Reference parity: the reference recomputes by re-running its stored
+procedure over the full staging load each call
+(adffunction/__init__.py:208-229); this module is the bounded-cost
+alternative Spark's algebra makes natural.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# measure name -> (partial builder, merge fn)
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def partial_agg(df: DataFrame, keys: list[str], measures: dict[str, tuple[str, str]]) -> DataFrame:
+    """Aggregate ``df`` into partial (mergeable) form.
+
+    ``measures`` maps output column -> (op, source column) with op in
+    {sum, count, min, max}. avg is deliberately absent: keep (sum_x,
+    count_x) partials and finalize with ``finalize_avg``."""
+    aggs = []
+    for out, (op, col) in measures.items():
+        if op == "count":
+            aggs.append(F.count(F.lit(1) if col == "*" else F.col(col)).alias(out))
+        elif op in ("sum", "min", "max"):
+            aggs.append(getattr(F, op)(col).alias(out))
+        else:
+            raise ValueError(f"non-mergeable op {op!r}; express avg as sum+count")
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_partials(
+    base: DataFrame, delta: DataFrame, keys: list[str], measures: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Fold a delta's partials into the base rollup: union + one
+    groupBy using each measure's merge function (sum/count merge by
+    sum; min/max by min/max). Cost is independent of the size of the
+    data that produced ``base``."""
+    aggs = [
+        _MERGE[op](out).alias(out) for out, (op, _col) in measures.items()
+    ]
+    return base.unionByName(delta).groupBy(*keys).agg(*aggs)
+
+
+def finalize_avg(df: DataFrame, out: str, sum_col: str, count_col: str) -> DataFrame:
+    """Finalize an average from its (sum, count) partial pair."""
+    return df.withColumn(out, F.col(sum_col) / F.col(count_col))
