@@ -4419,6 +4419,46 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (operators/profiling.py) over four
+    orders columns: null count, exact distinct count, stringified
+    min/max — all from a single aggregate scan, unpivoted to one row
+    per column. Oracle re-derives each column's row with a UNION ALL.
+    Timestamps are excluded (their string renderings differ between
+    engines); ints and ASCII strings format identically."""
+    from azure_data_engineering_spark.operators.profiling import profile
+
+    o = _t(spark, sf_dir, "orders")
+    return profile(o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"])
+
+
+Q_PROFILE_SQL = """
+SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4566,6 +4606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_variant": q_variant,
         "q_expectations": q_expectations,
         "q_incremental_agg": q_incremental_agg,
+        "q_profile": q_profile,
     }
 
 
@@ -4702,4 +4743,5 @@ def oracle_sql() -> dict[str, str]:
         "q_variant": Q_VARIANT_SQL,
         "q_expectations": Q_EXPECTATIONS_SQL,
         "q_incremental_agg": Q_INCREMENTAL_AGG_SQL,
+        "q_profile": Q_PROFILE_SQL,
     }

@@ -136,3 +136,11 @@ def test_sketches_single_shuffle(spark, sf_dir):
     plan = formatted_plan(entrymod.q_sketches(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
+
+
+def test_profile_is_one_scan(spark, sf_dir):
+    """The profiler folds every column's stats into a single aggregate
+    pass — exactly one parquet scan regardless of column count."""
+    plan = formatted_plan(entrymod.q_profile(spark, sf_dir))
+    scans = [ln for ln in plan.splitlines() if ln.startswith("(") and "Scan parquet" in ln]
+    assert len(scans) == 1
