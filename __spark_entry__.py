@@ -4459,6 +4459,46 @@ FROM orders
 """
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension maintenance (operators/scd.py): seed the
+    customer dimension as open rows, apply an update snapshot where a
+    deterministic third of the keys change segment (and another third
+    arrive identical — must be a no-op), and return the full history.
+    Every changed key yields a closed old row + an open new row; dates
+    are carried as strings so both engines agree on rendering. Oracle
+    constructs the same history with UNION ALL."""
+    from azure_data_engineering_spark.operators.scd import scd2_apply
+
+    cu = _t(spark, sf_dir, "customer")
+    current = cu.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = cu.filter(F.col("c_custkey") % 3 != 2).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.concat(F.col("c_mktsegment"), F.lit("_V2"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    return scd2_apply(
+        current, updates, ["c_custkey"], ["segment"], effective="2021-06-01"
+    )
+
+
+Q_SCD2_SQL = """
+SELECT c_custkey, c_mktsegment AS segment, '2020-01-01' AS valid_from,
+       CASE WHEN c_custkey % 3 = 0 THEN '2021-06-01' END AS valid_to
+FROM customer
+UNION ALL
+SELECT c_custkey, c_mktsegment || '_V2', '2021-06-01', NULL
+FROM customer WHERE c_custkey % 3 = 0
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4607,6 +4647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_expectations": q_expectations,
         "q_incremental_agg": q_incremental_agg,
         "q_profile": q_profile,
+        "q_scd2": q_scd2,
     }
 
 
@@ -4744,4 +4785,5 @@ def oracle_sql() -> dict[str, str]:
         "q_expectations": Q_EXPECTATIONS_SQL,
         "q_incremental_agg": Q_INCREMENTAL_AGG_SQL,
         "q_profile": Q_PROFILE_SQL,
+        "q_scd2": Q_SCD2_SQL,
     }
