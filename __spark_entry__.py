@@ -4499,6 +4499,41 @@ FROM customer WHERE c_custkey % 3 = 0
 """
 
 
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout (sources/layout.z_order_write): Morton-interleave
+    (doc_id, n_chars), write documents clustered on the Z-curve, then
+    run a two-dimensional box filter over the rewritten table. Layout
+    is a pure physical choice — values must match filtering the
+    original exactly — while both box predicates now map to bounded
+    z-ranges for row-group skipping (locality tested in
+    tests/test_sources.py)."""
+    import tempfile
+
+    from azure_data_engineering_spark.sources.layout import scan_clustered, z_order_write
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="zorder_") + "/docs"
+    z_order_write(d, path, ("doc_id", "n_chars"), n_files=8)
+    back = scan_clustered(spark, path).filter(
+        (F.col("doc_id") % 5 == 1) & (F.col("n_chars") >= 200) & (F.col("n_chars") < 2000)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+Q_ZORDER_SCAN_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+WHERE doc_id % 5 = 1 AND n_chars >= 200 AND n_chars < 2000
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4648,6 +4683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_agg": q_incremental_agg,
         "q_profile": q_profile,
         "q_scd2": q_scd2,
+        "q_zorder_scan": q_zorder_scan,
     }
 
 
@@ -4786,4 +4822,5 @@ def oracle_sql() -> dict[str, str]:
         "q_incremental_agg": Q_INCREMENTAL_AGG_SQL,
         "q_profile": Q_PROFILE_SQL,
         "q_scd2": Q_SCD2_SQL,
+        "q_zorder_scan": Q_ZORDER_SCAN_SQL,
     }

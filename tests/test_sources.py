@@ -264,3 +264,48 @@ class TestClusterWrite:
         back = scan_clustered(spark, path)
         assert back.count() == d.count()
         assert back.exceptAll(d).count() == 0
+
+
+class TestZOrder:
+    def test_z_value_matches_reference_interleave(self, spark):
+        from azure_data_engineering_spark.sources.layout import z_value
+
+        def ref(x, y, bits=16):
+            z = 0
+            for i in range(bits):
+                z |= ((x >> i) & 1) << (2 * i + 1) | ((y >> i) & 1) << (2 * i)
+            return z
+
+        import pyspark.sql.functions as F
+
+        pairs = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 1), (65535, 65535), (12345, 54321)]
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = df.select("x", "y", z_value("x", "y").alias("z")).collect()
+        for r in got:
+            assert r["z"] == ref(r["x"], r["y"]), (r["x"], r["y"])
+
+    def test_zorder_files_are_2d_local(self, spark, sf_dir):
+        """Each Z-ordered file must cover a bounded box in BOTH
+        dimensions — the whole point vs linear sort, where the
+        trailing column spans its full range in every file. Assert the
+        mean per-file n_chars span is well below the global span."""
+        import glob
+        import tempfile
+
+        from azure_data_engineering_spark.catalog import load_table
+        from azure_data_engineering_spark.sources.layout import z_order_write
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        glob_span = d.selectExpr("max(n_chars) - min(n_chars) AS s").collect()[0]["s"]
+        path = tempfile.mkdtemp(prefix="zorder_loc_") + "/docs"
+        z_order_write(d, path, ("doc_id", "n_chars"), n_files=8)
+
+        spans = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            r = spark.read.parquet(f).selectExpr(
+                "max(n_chars) - min(n_chars) AS s", "count(*) AS n"
+            ).collect()[0]
+            if r["n"] and r["n"] > 10:
+                spans.append(r["s"])
+        assert len(spans) >= 4
+        assert sum(spans) / len(spans) < 0.8 * glob_span
