@@ -4534,6 +4534,65 @@ GROUP BY 1
 """
 
 
+def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact enrichment over an SCD2 dimension: rebuild
+    the versioned customer dimension (as in q_scd2), then join orders
+    to the dimension version that was valid ON the order date —
+    `valid_from <= day < valid_to` with an open upper bound. This is
+    the consumption side of Type 2 history: facts see the attribute as
+    it was, not as it is. Implemented as an equi-join on the key with
+    the interval predicate as residual (never a cross product); the
+    oracle expresses the same interval join in SQL."""
+    from azure_data_engineering_spark.operators.scd import scd2_apply
+
+    cu = _t(spark, sf_dir, "customer")
+    current = cu.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = cu.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment")
+    )
+    dim = scd2_apply(current, updates, ["c_custkey"], ["segment"], effective="1998-06-01")
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    )
+    j = o.join(
+        dim,
+        (o.o_custkey == dim.c_custkey)
+        & (F.col("valid_from") <= F.col("day"))
+        & (F.col("valid_to").isNull() | (F.col("day") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.count_distinct("o_custkey").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+Q_SCD2_POINTINTIME_SQL = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment, '1990-01-01' AS valid_from,
+         CASE WHEN c_custkey % 3 = 0 THEN '1998-06-01' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_V2', '1998-06-01', NULL
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT segment, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
+FROM orders
+JOIN dim ON o_custkey = c_custkey
+        AND valid_from <= strftime(o_orderdate, '%Y-%m-%d')
+        AND (valid_to IS NULL OR strftime(o_orderdate, '%Y-%m-%d') < valid_to)
+GROUP BY segment ORDER BY segment
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4684,6 +4743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile": q_profile,
         "q_scd2": q_scd2,
         "q_zorder_scan": q_zorder_scan,
+        "q_scd2_pointintime": q_scd2_pointintime,
     }
 
 
@@ -4823,4 +4883,5 @@ def oracle_sql() -> dict[str, str]:
         "q_profile": Q_PROFILE_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_zorder_scan": Q_ZORDER_SCAN_SQL,
+        "q_scd2_pointintime": Q_SCD2_POINTINTIME_SQL,
     }
