@@ -48,6 +48,8 @@ HEADLINE = [
     "q_tpch_q4_style",
     "q_sketches",
     "q_clustered_scan",
+    "q_expectations",
+    "q_scd2",
 ]
 
 
