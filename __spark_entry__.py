@@ -4593,6 +4593,37 @@ GROUP BY segment ORDER BY segment
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/relational.salted_join): the
+    lineitem fact side is salted per-row, orders is replicated across
+    the salt space, and the join runs on (orderkey, salt) — a hot
+    order key would spread over 16 reducers instead of one. The
+    result must be identical to the plain join, which is exactly what
+    the oracle computes."""
+    from azure_data_engineering_spark.operators.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    j = salted_join(li, o, ["l_orderkey"], how="inner", salt_buckets=16)
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_SALTED_JOIN_SQL = """
+SELECT o_orderstatus, count(*) AS n_lines, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4744,6 +4775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2": q_scd2,
         "q_zorder_scan": q_zorder_scan,
         "q_scd2_pointintime": q_scd2_pointintime,
+        "q_salted_join": q_salted_join,
     }
 
 
@@ -4884,4 +4916,5 @@ def oracle_sql() -> dict[str, str]:
         "q_scd2": Q_SCD2_SQL,
         "q_zorder_scan": Q_ZORDER_SCAN_SQL,
         "q_scd2_pointintime": Q_SCD2_POINTINTIME_SQL,
+        "q_salted_join": Q_SALTED_JOIN_SQL,
     }

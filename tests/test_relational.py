@@ -126,3 +126,39 @@ class TestApproxDistinct:
         exact = l.select(F.countDistinct("l_orderkey")).collect()[0][0]
         approx = l.select(F.approx_count_distinct("l_orderkey", 0.02)).collect()[0][0]
         assert abs(approx - exact) / exact < 0.05
+
+
+class TestSaltedJoin:
+    def _skewed(self, spark):
+        # key 1 owns half of all fact rows — the melt-one-reducer case
+        rows = [(1 if i % 2 == 0 else i % 50 + 2, float(i)) for i in range(2000)]
+        fact = spark.createDataFrame(rows, "k bigint, v double")
+        dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 40)], "k bigint, attr string")
+        return fact, dim
+
+    def test_inner_equals_plain_join(self, spark):
+        from azure_data_engineering_spark.operators.relational import salted_join
+
+        fact, dim = self._skewed(spark)
+        got = salted_join(fact, dim, ["k"], "inner", salt_buckets=8)
+        want = fact.join(dim, ["k"], "inner")
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    def test_left_keeps_unmatched_fact_rows(self, spark):
+        from azure_data_engineering_spark.operators.relational import salted_join
+
+        fact, dim = self._skewed(spark)
+        got = salted_join(fact, dim, ["k"], "left", salt_buckets=8)
+        want = fact.join(dim, ["k"], "left")
+        assert got.count() == want.count() == fact.count()
+        assert got.exceptAll(want).count() == 0
+
+    def test_rejects_right_join(self, spark):
+        import pytest
+
+        from azure_data_engineering_spark.operators.relational import salted_join
+
+        fact, dim = self._skewed(spark)
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, ["k"], "right")
