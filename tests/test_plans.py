@@ -144,3 +144,26 @@ def test_profile_is_one_scan(spark, sf_dir):
     plan = formatted_plan(entrymod.q_profile(spark, sf_dir))
     scans = [ln for ln in plan.splitlines() if ln.startswith("(") and "Scan parquet" in ln]
     assert len(scans) == 1
+
+
+def test_dynamic_partition_pruning(spark, sf_dir):
+    """A dim-filtered join against a partitioned fact must prune fact
+    partitions at runtime (dynamicpruningexpression in the partition
+    filters) — at 100 TB this is the difference between scanning one
+    partition's files and all of them."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from azure_data_engineering_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="dpp_") + "/docs"
+    d.write.partitionBy("lang").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("en", "keep"), ("fr", "keep"), ("de", "drop")], "lang string, tag string"
+    ).filter(F.col("tag") == "keep")
+    q = fact.join(F.broadcast(dim), "lang").groupBy("lang").agg(F.sum("n_chars").alias("s"))
+    plan = formatted_plan(q)
+    assert "dynamicpruning" in plan
