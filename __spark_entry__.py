@@ -4624,6 +4624,38 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sampling
+    (operators/sampling.weighted_bernoulli): draw ~500 documents with
+    probability proportional to n_chars. Selection is a pure function
+    of (doc_id, salt) through the md5-unit hash, so DuckDB reproduces
+    the exact row set: the oracle re-evaluates the same threshold
+    arithmetic. Returns per-lang membership aggregates over the
+    sampled set."""
+    from azure_data_engineering_spark.operators.sampling import weighted_bernoulli
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    s = weighted_bernoulli(d, "doc_id", "n_chars", expected_k=500.0, salt="wsample")
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+Q_WEIGHTED_SAMPLE_SQL = """
+WITH t AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS total_w FROM documents)
+SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents, t
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsample'), 1, 8) AS BIGINT)
+        / 4294967296.0
+      < LEAST(500.0 * n_chars / total_w, 1.0)
+GROUP BY lang
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4776,6 +4808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_scan": q_zorder_scan,
         "q_scd2_pointintime": q_scd2_pointintime,
         "q_salted_join": q_salted_join,
+        "q_weighted_sample": q_weighted_sample,
     }
 
 
@@ -4917,4 +4950,5 @@ def oracle_sql() -> dict[str, str]:
         "q_zorder_scan": Q_ZORDER_SCAN_SQL,
         "q_scd2_pointintime": Q_SCD2_POINTINTIME_SQL,
         "q_salted_join": Q_SALTED_JOIN_SQL,
+        "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     }

@@ -45,6 +45,35 @@ def deterministic_sample(df: DataFrame, id_col: str | Column, fraction: float, s
     return df.filter(hash_unit(col, salt) < fraction)
 
 
+def weighted_bernoulli(
+    df: DataFrame,
+    id_col: str | Column,
+    weight_col: str,
+    expected_k: float,
+    salt: str = "",
+) -> DataFrame:
+    """Weight-proportional deterministic sample with ``expected_k``
+    expected rows: keep a row iff
+    ``hash_unit(id) < expected_k * weight / total_weight`` (capped at
+    1). Heavier rows are proportionally likelier, the selected set is
+    a pure function of (id, salt) — stable under repartition, retry,
+    and engine — and the total-weight scalar joins in via one
+    broadcast, so the operator is one agg + one scan at any scale.
+    This is Poisson/Bernoulli weighted sampling (expected size, not
+    exact size); for exact-k unweighted strata use
+    ``stratified_sample_exact``."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    total = df.agg(F.sum(weight_col).alias("__total_w"))
+    return (
+        df.crossJoin(F.broadcast(total))
+        .filter(
+            hash_unit(col, salt)
+            < F.least(F.lit(expected_k) * F.col(weight_col) / F.col("__total_w"), F.lit(1.0))
+        )
+        .drop("__total_w")
+    )
+
+
 def split_assign(
     df: DataFrame,
     id_col: str | Column,

@@ -196,3 +196,37 @@ class TestConnectedComponents:
     def test_direction_irrelevant(self, spark):
         a = connected_components(spark.createDataFrame([(5, 1)], "src long, dst long"))
         assert {r["component"] for r in a.collect()} == {1}
+
+
+class TestWeightedBernoulli:
+    def test_inclusion_tracks_weight(self, spark):
+        """Rows with 9x the weight must be sampled ~9x as often, and
+        the realized size must track expected_k."""
+        from azure_data_engineering_spark.operators.sampling import weighted_bernoulli
+        import pyspark.sql.functions as F
+
+        rows = [(i, 90 if i % 10 == 0 else 10) for i in range(20000)]
+        df = spark.createDataFrame(rows, "id bigint, w bigint")
+        k = 1000.0
+        s = weighted_bernoulli(df, "id", "w", expected_k=k, salt="t")
+        got = {r["heavy"]: r["n"] for r in
+               s.groupBy((F.col("w") == 90).alias("heavy")).agg(F.count(F.lit(1)).alias("n")).collect()}
+        n_heavy, n_light = got.get(True, 0), got.get(False, 0)
+        total = n_heavy + n_light
+        assert abs(total - k) < 0.15 * k
+        # heavy rows: 2000 rows at p=k*90/360000=0.25 -> ~500;
+        # light rows: 18000 at p~0.0278 -> ~500; ratio of RATES ~9
+        rate_heavy = n_heavy / 2000
+        rate_light = n_light / 18000
+        assert 6 < rate_heavy / rate_light < 12
+
+    def test_deterministic_under_repartition(self, spark):
+        from azure_data_engineering_spark.operators.sampling import weighted_bernoulli
+
+        rows = [(i, i % 7 + 1) for i in range(5000)]
+        df = spark.createDataFrame(rows, "id bigint, w bigint")
+        a = sorted(r["id"] for r in weighted_bernoulli(df, "id", "w", 300.0).collect())
+        b = sorted(
+            r["id"] for r in weighted_bernoulli(df.repartition(13), "id", "w", 300.0).collect()
+        )
+        assert a == b and len(a) > 0
