@@ -4656,6 +4656,69 @@ GROUP BY lang
 """
 
 
+def q_tpch_q7_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): the nation dimension joins the
+    plan TWICE under different aliases (supplier's nation and
+    customer's nation), with a symmetric OR pair-filter and a year
+    extraction in the group key. Both nation sides are broadcast; the
+    fact chain joins key-on-key; the OR filter evaluates post-join on
+    the two broadcast attributes — the standard way to express
+    pair-of-dims analysis without a cross join."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.s_nkey)
+        .join(F.broadcast(n2), cu.c_nationkey == n2.c_nkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q_TPCH_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue,
+       count(*) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1.0 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4809,6 +4872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_pointintime": q_scd2_pointintime,
         "q_salted_join": q_salted_join,
         "q_weighted_sample": q_weighted_sample,
+        "q_tpch_q7_style": q_tpch_q7_style,
     }
 
 
@@ -4951,4 +5015,5 @@ def oracle_sql() -> dict[str, str]:
         "q_scd2_pointintime": Q_SCD2_POINTINTIME_SQL,
         "q_salted_join": Q_SALTED_JOIN_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
+        "q_tpch_q7_style": Q_TPCH_Q7_SQL,
     }
