@@ -4719,6 +4719,67 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface (bit_and / bit_or / bit_xor): fold
+    per-event-type user-id bitmasks — the primitive behind bitmap-index
+    style set algebra (membership unions/intersections as integer ops).
+    All three are mergeable monoids, so Spark combines them map-side
+    exactly like sums."""
+    e = _t(spark, sf_dir, "events")
+    m = (F.col("user_id") % 4096).cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.bit_and(m).alias("mask_and"),
+            F.bit_or(m).alias("mask_or"),
+            F.bit_xor(m).alias("mask_xor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_BITWISE_AGG_SQL = """
+SELECT event_type, bit_and(user_id % 4096) AS mask_and, bit_or(user_id % 4096) AS mask_or,
+       bit_xor(user_id % 4096) AS mask_xor, count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope / regr_intercept /
+    regr_r2 / corr) of order totalprice against customer key bucket,
+    per order status — the one-pass sufficient-statistics form (sums
+    of x, y, xy, x², y²) that parallelizes like any sum. Rounded to 6
+    decimals: both engines accumulate the same statistics but in
+    different partition orders."""
+    o = _t(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 1000).cast("double")
+    y = F.col("o_totalprice")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.corr(y, x), 6).alias("corr_yx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_REGR_AGG_SQL = """
+SELECT o_orderstatus,
+       round(regr_slope(o_totalprice, CAST(o_custkey % 1000 AS DOUBLE)), 6) AS slope,
+       round(regr_intercept(o_totalprice, CAST(o_custkey % 1000 AS DOUBLE)), 6) AS intercept,
+       round(regr_r2(o_totalprice, CAST(o_custkey % 1000 AS DOUBLE)), 6) AS r2,
+       round(corr(o_totalprice, CAST(o_custkey % 1000 AS DOUBLE)), 6) AS corr_yx,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4873,6 +4934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": q_salted_join,
         "q_weighted_sample": q_weighted_sample,
         "q_tpch_q7_style": q_tpch_q7_style,
+        "q_bitwise_agg": q_bitwise_agg,
+        "q_regr_agg": q_regr_agg,
     }
 
 
@@ -5016,4 +5079,6 @@ def oracle_sql() -> dict[str, str]:
         "q_salted_join": Q_SALTED_JOIN_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_tpch_q7_style": Q_TPCH_Q7_SQL,
+        "q_bitwise_agg": Q_BITWISE_AGG_SQL,
+        "q_regr_agg": Q_REGR_AGG_SQL,
     }
