@@ -4780,6 +4780,73 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_grouping_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers over a rollup: subtotal rows carry NULL group
+    keys, and only the grouping bit distinguishes 'subtotal' from 'the
+    key really was NULL' — the correctness detail naive rollup
+    consumers get wrong. Emits the marker bits and a derived level
+    label; both engines agree bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    g_status = F.grouping("o_orderstatus").cast("long")
+    g_prio = F.grouping("o_orderpriority").cast("long")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            g_status.alias("g_status"),
+            g_prio.alias("g_prio"),
+            F.when(g_status + g_prio == 2, "grand_total")
+            .when(g_prio == 1, "status_subtotal")
+            .otherwise("detail")
+            .alias("level"),
+        )
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+Q_GROUPING_MARKER_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+       CASE WHEN GROUPING(o_orderstatus) + GROUPING(o_orderpriority) = 2 THEN 'grand_total'
+            WHEN GROUPING(o_orderpriority) = 1 THEN 'status_subtotal'
+            ELSE 'detail' END AS level
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+"""
+
+
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed COUNT(DISTINCT): Spark's window aggregates reject
+    DISTINCT, so the engine ships the standard rewrite — dense_rank
+    over the partition ordered by the value, then max(dense_rank) over
+    the same partition equals the distinct count (nulls excluded by a
+    guard). The oracle uses DuckDB's native COUNT(DISTINCT) OVER,
+    pinning that the rewrite is exactly equivalent."""
+    e = _t(spark, sf_dir, "events")
+    w_order = Window.partitionBy("event_type").orderBy("user_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_id",
+        "event_type",
+        F.dense_rank().over(w_order).alias("dr"),
+    )
+    return (
+        ranked.withColumn("n_distinct_users", F.max("dr").over(w_all).cast("long"))
+        .select("event_id", "event_type", "n_distinct_users")
+        .filter(F.col("event_id") % 97 == 0)
+    )
+
+
+Q_WINDOW_COUNT_DISTINCT_SQL = """
+SELECT event_id, event_type,
+       count(DISTINCT user_id) OVER (PARTITION BY event_type) AS n_distinct_users
+FROM events
+QUALIFY event_id % 97 = 0
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4936,6 +5003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q7_style": q_tpch_q7_style,
         "q_bitwise_agg": q_bitwise_agg,
         "q_regr_agg": q_regr_agg,
+        "q_grouping_marker": q_grouping_marker,
+        "q_window_count_distinct": q_window_count_distinct,
     }
 
 
@@ -5081,4 +5150,6 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q7_style": Q_TPCH_Q7_SQL,
         "q_bitwise_agg": Q_BITWISE_AGG_SQL,
         "q_regr_agg": Q_REGR_AGG_SQL,
+        "q_grouping_marker": Q_GROUPING_MARKER_SQL,
+        "q_window_count_distinct": Q_WINDOW_COUNT_DISTINCT_SQL,
     }
