@@ -4847,6 +4847,61 @@ QUALIFY event_id % 97 = 0
 """
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog application with deletes (operators/upsert.apply_cdc):
+    fold a Debezium-style I/U/D batch into a base table — inserts add
+    new keys, updates replace the payload (+10% price here), deletes
+    remove the key — then aggregate the final state. The oracle
+    constructs the same final state with CASE/WHERE directly, so every
+    mis-applied op class changes the hash."""
+    from azure_data_engineering_spark.operators.upsert import apply_cdc
+
+    o = _t(spark, sf_dir, "orders")
+    tag = F.col("o_custkey") % 10
+    base = o.filter(tag < 8)
+    changes = (
+        o.filter(tag.isin(0, 1, 2, 8))
+        .withColumn(
+            "op",
+            F.when(tag == 8, "I").when(tag == 2, "D").otherwise("U"),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("op") == "U", F.col("o_totalprice") * 1.1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    final = apply_cdc(base, changes, ["o_orderkey"])
+    # sum in exact integer cents: the per-row double chain (x*1.1, then
+    # *100, then round) is bit-identical across engines, while a float
+    # SUM in different orders drifts in the last bits and can straddle
+    # a 2-decimal rounding boundary
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_CDC_APPLY_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM (
+  SELECT o_orderstatus,
+         CASE WHEN o_custkey % 10 IN (0, 1) THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE (o_custkey % 10 < 8 AND o_custkey % 10 <> 2) OR o_custkey % 10 = 8
+)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5005,6 +5060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regr_agg": q_regr_agg,
         "q_grouping_marker": q_grouping_marker,
         "q_window_count_distinct": q_window_count_distinct,
+        "q_cdc_apply": q_cdc_apply,
     }
 
 
@@ -5152,4 +5208,5 @@ def oracle_sql() -> dict[str, str]:
         "q_regr_agg": Q_REGR_AGG_SQL,
         "q_grouping_marker": Q_GROUPING_MARKER_SQL,
         "q_window_count_distinct": Q_WINDOW_COUNT_DISTINCT_SQL,
+        "q_cdc_apply": Q_CDC_APPLY_SQL,
     }

@@ -71,3 +71,37 @@ def merge_upsert(
         source = dedup_keep_first(source, pk, dedup_order)
     keep_from_target = target.join(source, on=list(pk), how="left_anti")
     return source.unionByName(keep_from_target)
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    pk: Sequence[str],
+    op_col: str = "op",
+    dedup_order: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Apply a Debezium-style changelog to a table: ``changes`` carries
+    the target schema plus ``op_col`` in {'I','U','D'}. Inserts and
+    updates merge exactly as merge_upsert; delete rows remove the key.
+    When one key appears multiple times in the batch, ``dedup_order``
+    picks the surviving change (latest-wins order recommended) and its
+    op decides the outcome — so an upsert followed by a delete in the
+    same batch deletes, matching log-compaction semantics.
+
+    Plan shape: one dedup window over the changes, one anti-join to
+    drop deleted/replaced target rows, one union — all shuffles hash
+    on the PK, no driver round-trip."""
+    ops = {"I", "U", "D"}
+    payload_cols = [c for c in changes.columns if c != op_col]
+    if dedup_order is not None:
+        changes = dedup_keep_first(changes, pk, dedup_order)
+    changes = changes.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin(*ops), F.col(op_col)).otherwise(
+            F.raise_error(F.concat(F.lit("apply_cdc: bad op "), F.col(op_col)))
+        ),
+    )
+    upserts = changes.filter(F.col(op_col) != "D").select(*payload_cols)
+    touched = changes.select(*pk)  # deleted OR replaced keys leave target
+    keep_from_target = target.join(touched, on=list(pk), how="left_anti")
+    return upserts.select(*target.columns).unionByName(keep_from_target)

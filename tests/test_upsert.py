@@ -70,3 +70,46 @@ class TestGeneratedSql:
             generate_staging_ddl("tgt", "stage")
             == "CREATE TEMP TABLE stage (LIKE tgt INCLUDING ALL) ON COMMIT DROP"
         )
+
+
+class TestApplyCdc:
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "pk bigint, v string, x double"
+        )
+
+    def test_iud_classes(self, spark):
+        from azure_data_engineering_spark.operators.upsert import apply_cdc
+
+        changes = spark.createDataFrame(
+            [(2, "b2", 21.0, "U"), (3, "c", 30.0, "D"), (4, "d", 40.0, "I")],
+            "pk bigint, v string, x double, op string",
+        )
+        out = {r["pk"]: (r["v"], r["x"]) for r in apply_cdc(self._base(spark), changes, ["pk"]).collect()}
+        assert out == {1: ("a", 10.0), 2: ("b2", 21.0), 4: ("d", 40.0)}
+
+    def test_latest_wins_then_delete_compacts(self, spark):
+        import pyspark.sql.functions as F
+
+        from azure_data_engineering_spark.operators.upsert import apply_cdc
+
+        # same key updated then deleted within one batch: delete wins
+        changes = spark.createDataFrame(
+            [(2, "b2", 21.0, "U", 1), (2, "b3", 22.0, "D", 2), (5, "e", 50.0, "I", 1)],
+            "pk bigint, v string, x double, op string, seq bigint",
+        )
+        out = apply_cdc(
+            self._base(spark), changes.select("pk", "v", "x", "op"), ["pk"],
+            dedup_order=[F.col("v").desc()],  # b3 (the delete) wins
+        )
+        pks = sorted(r["pk"] for r in out.collect())
+        assert pks == [1, 3, 5]
+
+    def test_bad_op_raises(self, spark):
+        import pytest
+
+        from azure_data_engineering_spark.operators.upsert import apply_cdc
+
+        changes = spark.createDataFrame([(2, "b", 1.0, "X")], "pk bigint, v string, x double, op string")
+        with pytest.raises(Exception):
+            apply_cdc(self._base(spark), changes, ["pk"]).collect()
