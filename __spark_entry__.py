@@ -4902,6 +4902,73 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_stream_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-capable changelog streaming on the REAL engine
+    (streaming/sinks.stream_cdc_to_snapshot): batch 0 inserts a
+    per-user profile for three quarters of the users; batch 1 updates
+    one quarter (+100 events), deletes another, and inserts the held-
+    out quarter. Each micro-batch is one atomic snapshot commit. The
+    oracle computes the resulting final state directly — a leaked
+    delete or dropped insert changes both row count and sums."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from azure_data_engineering_spark.sources.snapshot import snapshot_read
+    from azure_data_engineering_spark.streaming.sinks import stream_cdc_to_snapshot
+
+    e = _t(spark, sf_dir, "events")
+    prof = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value")
+    )
+    tag = F.col("user_id") % 4
+    b0 = prof.filter(tag != 3).withColumn("op", F.lit("I"))
+    b1 = (
+        prof.filter(tag.isin(1, 2, 3))
+        .withColumn("op", F.when(tag == 1, "U").when(tag == 2, "D").otherwise("I"))
+        .withColumn(
+            "n_events",
+            F.when(F.col("op") == "U", F.col("n_events") + 100).otherwise(F.col("n_events")),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="cdc_del_gate_")
+    src = os.path.join(work, "src")
+    table = os.path.join(work, "table")
+    os.makedirs(src)
+    for i, b in enumerate([b0, b1]):
+        staging = os.path.join(work, f"stage{i}")
+        b.coalesce(1).write.parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        _shutil.move(part, os.path.join(src, f"b{i}.parquet"))
+        if i == 0:
+            _time.sleep(1.05)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_cdc_to_snapshot(stream, table, pk=["user_id"])
+    q.awaitTermination()
+    final = snapshot_read(spark, table)
+    return final.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("sum_events"),
+    )
+
+
+Q_STREAM_CDC_DELETE_SQL = """
+WITH prof AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+), final AS (
+  SELECT user_id,
+         CASE WHEN user_id % 4 = 1 THEN n_events + 100 ELSE n_events END AS n_events
+  FROM prof WHERE user_id % 4 <> 2
+)
+SELECT user_id % 10 AS bucket, count(*) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS sum_events
+FROM final GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5061,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_marker": q_grouping_marker,
         "q_window_count_distinct": q_window_count_distinct,
         "q_cdc_apply": q_cdc_apply,
+        "q_stream_cdc_delete": q_stream_cdc_delete,
     }
 
 
@@ -5209,4 +5277,5 @@ def oracle_sql() -> dict[str, str]:
         "q_grouping_marker": Q_GROUPING_MARKER_SQL,
         "q_window_count_distinct": Q_WINDOW_COUNT_DISTINCT_SQL,
         "q_cdc_apply": Q_CDC_APPLY_SQL,
+        "q_stream_cdc_delete": Q_STREAM_CDC_DELETE_SQL,
     }

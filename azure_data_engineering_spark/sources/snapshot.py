@@ -155,6 +155,32 @@ def snapshot_merge(
     return snapshot_write(merged, table, mode="overwrite")
 
 
+def snapshot_apply_cdc(
+    changes: DataFrame,
+    table: str,
+    pk: Sequence[str],
+    op_col: str = "op",
+    dedup_order: Sequence | None = None,
+) -> int:
+    """Apply an I/U/D changelog batch to the table as one atomic
+    commit (operators/upsert.apply_cdc semantics: upserts merge,
+    deletes remove the key, same-batch conflicts resolve by
+    dedup_order with the winner's op deciding). The delete-capable
+    sibling of snapshot_merge; an all-delete first batch on an empty
+    table commits an empty snapshot."""
+    from azure_data_engineering_spark.operators.upsert import apply_cdc
+
+    spark = changes.sparkSession
+    payload = [c for c in changes.columns if c != op_col]
+    order = list(dedup_order) if dedup_order is not None else default_dedup_order(payload, pk)
+    if current_version(table) is None:
+        target = spark.createDataFrame([], changes.select(*payload).schema)
+    else:
+        target = snapshot_read(spark, table)
+    applied = apply_cdc(target, changes, pk, op_col=op_col, dedup_order=order)
+    return snapshot_write(applied, table, mode="overwrite")
+
+
 def vacuum(table: str, keep_last: int = 1) -> int:
     """Drop manifests older than the newest `keep_last` (never the
     current pointer's) and every data file no kept manifest references

@@ -130,3 +130,30 @@ def stream_upsert_to_snapshot(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cdc_to_snapshot(
+    stream: DataFrame,
+    table: str,
+    pk: Sequence[str],
+    op_col: str = "op",
+    dedup_order: Sequence | None = None,
+    query_name: str = "stream_cdc_snapshot",
+):
+    """Full changelog streaming (inserts, updates, AND deletes) into a
+    snapshot table: each micro-batch folds through snapshot_apply_cdc
+    as one atomic commit, so a delete that arrives in batch N is
+    absent from version N but still visible when time-traveling to
+    N-1. This is the Debezium-consumer shape: upstream row images
+    tagged I/U/D, downstream table always a consistent version."""
+    from azure_data_engineering_spark.sources.snapshot import snapshot_apply_cdc
+
+    def cdc_batch(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_apply_cdc(batch_df, table, pk, op_col=op_col, dedup_order=dedup_order)
+
+    return (
+        stream.writeStream.foreachBatch(cdc_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

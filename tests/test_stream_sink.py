@@ -93,3 +93,37 @@ def test_char_shingles(spark):
     assert sorted(out) == ["abcde", "bcdef"]
     short = spark.range(1).select(char_shingles(F.lit("ab"), 5).alias("s")).collect()[0]["s"]
     assert short == ["ab"]
+
+
+def test_stream_cdc_deletes_and_time_travel(spark, tmp_path):
+    """Changelog stream with deletes: batch 1 inserts 1-3; batch 2
+    updates 2, deletes 3, inserts 4. The final snapshot version must
+    reflect the delete, and time travel to the pre-delete version must
+    still show key 3."""
+    from azure_data_engineering_spark.sources.snapshot import (
+        current_version,
+        snapshot_read,
+    )
+    from azure_data_engineering_spark.streaming.sinks import stream_cdc_to_snapshot
+
+    src = tmp_path / "cdcd_src"
+    src.mkdir()
+    table = str(tmp_path / "cdcd_table")
+    pd.DataFrame(
+        {"k": [1, 2, 3], "v": ["a", "b", "c"], "op": ["I", "I", "I"]}
+    ).to_parquet(src / "b0.parquet")
+    time.sleep(1.05)
+    pd.DataFrame(
+        {"k": [2, 3, 4], "v": ["B", "c", "d"], "op": ["U", "D", "I"]}
+    ).to_parquet(src / "b1.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = stream_cdc_to_snapshot(stream, table, pk=["k"])
+    q.awaitTermination()
+
+    final = {r["k"]: r["v"] for r in snapshot_read(spark, table).collect()}
+    assert final == {1: "a", 2: "B", 4: "d"}
+    v = current_version(table)
+    prev = {r["k"]: r["v"] for r in snapshot_read(spark, table, version=v - 1).collect()}
+    assert prev == {1: "a", 2: "b", 3: "c"}
