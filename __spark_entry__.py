@@ -4969,6 +4969,75 @@ FROM final GROUP BY 1
 """
 
 
+def q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (Spark 4 DataSketches): estimate the
+    union, intersection, and difference cardinalities of two customer
+    audiences (open-order vs fulfilled-order customers) from two tiny
+    mergeable sketches — no join, no shuffle of the raw key sets. At
+    100 TB this is how audience overlap is computed: sketch each side
+    in one pass, combine the fixed-size sketches. Estimates are gated
+    at ±10% of the exact values, which the oracle pins."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").agg(
+        F.theta_sketch_agg("o_custkey").alias("sk_a"),
+        F.count_distinct("o_custkey").alias("exact_a"),
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").agg(
+        F.theta_sketch_agg("o_custkey").alias("sk_b"),
+        F.count_distinct("o_custkey").alias("exact_b"),
+    )
+    both = a.crossJoin(b)
+    est = both.select(
+        "exact_a",
+        "exact_b",
+        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias("est_union"),
+        F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b")).alias("est_inter"),
+        F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b")).alias("est_diff"),
+    )
+    exact = (
+        o.filter(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max((F.col("o_orderstatus") == "O").cast("int")).alias("in_a"),
+            F.max((F.col("o_orderstatus") == "F").cast("int")).alias("in_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias("exact_inter"),
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")).alias("exact_diff"),
+        )
+    )
+    j = est.crossJoin(F.broadcast(exact))
+    ok = lambda e, x: (F.abs(F.col(e) - F.col(x)) / F.greatest(F.col(x), F.lit(1)) <= 0.10)
+    return j.select(
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        F.col("exact_diff").cast("long").alias("exact_diff"),
+        ok("est_union", "exact_union").alias("union_ok"),
+        ok("est_inter", "exact_inter").alias("inter_ok"),
+        ok("est_diff", "exact_diff").alias("diff_ok"),
+    )
+
+
+Q_THETA_SETOPS_SQL = """
+WITH m AS (
+  SELECT o_custkey,
+         max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_b
+  FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY o_custkey
+)
+SELECT (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderstatus = 'O') AS exact_a,
+       (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderstatus = 'F') AS exact_b,
+       count(*) AS exact_union,
+       CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter,
+       CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_diff,
+       TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
+FROM m
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5129,6 +5198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_count_distinct": q_window_count_distinct,
         "q_cdc_apply": q_cdc_apply,
         "q_stream_cdc_delete": q_stream_cdc_delete,
+        "q_theta_setops": q_theta_setops,
     }
 
 
@@ -5278,4 +5348,5 @@ def oracle_sql() -> dict[str, str]:
         "q_window_count_distinct": Q_WINDOW_COUNT_DISTINCT_SQL,
         "q_cdc_apply": Q_CDC_APPLY_SQL,
         "q_stream_cdc_delete": Q_STREAM_CDC_DELETE_SQL,
+        "q_theta_setops": Q_THETA_SETOPS_SQL,
     }
