@@ -5038,6 +5038,42 @@ FROM m
 """
 
 
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk a synthetic
+    customer hierarchy where each key's parent is key DIV 10 — roots
+    are keys < 10 — and aggregate node counts per depth. Spark
+    executes the recursion as iterative union steps (each level one
+    distributed join), the same loop shape as the connected-components
+    operator; DuckDB runs its native recursive CTE as the oracle."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(custkey, depth) AS (
+          SELECT c_custkey, 0 FROM customer_rc WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, w.depth + 1
+          FROM customer_rc c JOIN walk w ON c.c_custkey DIV 10 = w.custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth, count(*) AS n_nodes, sum(custkey) AS sum_keys
+        FROM walk GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+Q_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE walk(custkey, depth) AS (
+  SELECT c_custkey, 0 FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, w.depth + 1
+  FROM customer c JOIN walk w ON c.c_custkey // 10 = w.custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT depth, count(*) AS n_nodes, CAST(sum(custkey) AS BIGINT) AS sum_keys
+FROM walk GROUP BY depth ORDER BY depth
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5199,6 +5235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_apply": q_cdc_apply,
         "q_stream_cdc_delete": q_stream_cdc_delete,
         "q_theta_setops": q_theta_setops,
+        "q_recursive_cte": q_recursive_cte,
     }
 
 
@@ -5349,4 +5386,5 @@ def oracle_sql() -> dict[str, str]:
         "q_cdc_apply": Q_CDC_APPLY_SQL,
         "q_stream_cdc_delete": Q_STREAM_CDC_DELETE_SQL,
         "q_theta_setops": Q_THETA_SETOPS_SQL,
+        "q_recursive_cte": Q_RECURSIVE_CTE_SQL,
     }
