@@ -5074,6 +5074,38 @@ FROM walk GROUP BY depth ORDER BY depth
 """
 
 
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: per customer, the top-2 orders by
+    price via a LATERAL subquery with ORDER BY ... LIMIT — the ANSI
+    spelling of top-k-per-group. Catalyst decorrelates this into the
+    same window/limit machinery as the DataFrame top_k_per_group
+    operator; DuckDB runs its native LATERAL as the oracle."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM customer_lat c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+        WHERE c.c_custkey % 50 = 7
+        """
+    )
+
+
+Q_LATERAL_JOIN_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t
+WHERE c.c_custkey % 50 = 7
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5236,6 +5268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_cdc_delete": q_stream_cdc_delete,
         "q_theta_setops": q_theta_setops,
         "q_recursive_cte": q_recursive_cte,
+        "q_lateral_join": q_lateral_join,
     }
 
 
@@ -5387,4 +5420,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_cdc_delete": Q_STREAM_CDC_DELETE_SQL,
         "q_theta_setops": Q_THETA_SETOPS_SQL,
         "q_recursive_cte": Q_RECURSIVE_CTE_SQL,
+        "q_lateral_join": Q_LATERAL_JOIN_SQL,
     }
