@@ -5106,6 +5106,59 @@ WHERE c.c_custkey % 50 = 7
 """
 
 
+def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregations (Spark ≥3.4 multiple
+    stateful operators): a 1-hour tumbling count per event type feeds
+    a second 4-hour window aggregation — window-over-window, both
+    stages incremental with their own state, append mode. Emitted
+    rows are the 4-hour windows closed by the final watermark
+    (window end <= max ts - 2h); the oracle computes the same two-
+    level rollup in batch SQL under that close condition."""
+    import os
+
+    from azure_data_engineering_spark.streaming.windows import run_stream_to_table
+
+    def transform(s):
+        inner = (
+            s.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n1"))
+        )
+        return (
+            inner.groupBy(F.window(F.col("w1"), "4 hours").alias("w4"), "event_type")
+            .agg(F.sum("n1").alias("n_events"))
+            .select(
+                F.date_format("w4.start", "yyyy-MM-dd HH:mm:ss").alias("w4_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    return run_stream_to_table(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        transform,
+        table_name="stream_chain_sink",
+        output_mode="append",
+    )
+
+
+Q_STREAM_CHAINED_SQL = """
+WITH inner_agg AS (
+  SELECT date_trunc('hour', ts) AS h1, event_type, count(*) AS n1
+  FROM events GROUP BY 1, 2
+),
+outer_agg AS (
+  SELECT to_timestamp(floor(epoch(h1) / 14400) * 14400) AS w4, event_type,
+         CAST(sum(n1) AS BIGINT) AS n_events
+  FROM inner_agg GROUP BY 1, 2
+)
+SELECT strftime(w4, '%Y-%m-%d %H:%M:%S') AS w4_start, event_type, n_events
+FROM outer_agg
+WHERE w4 + INTERVAL 4 HOUR <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5269,6 +5322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_theta_setops": q_theta_setops,
         "q_recursive_cte": q_recursive_cte,
         "q_lateral_join": q_lateral_join,
+        "q_stream_chained_agg": q_stream_chained_agg,
     }
 
 
@@ -5421,4 +5475,5 @@ def oracle_sql() -> dict[str, str]:
         "q_theta_setops": Q_THETA_SETOPS_SQL,
         "q_recursive_cte": Q_RECURSIVE_CTE_SQL,
         "q_lateral_join": Q_LATERAL_JOIN_SQL,
+        "q_stream_chained_agg": Q_STREAM_CHAINED_SQL,
     }
