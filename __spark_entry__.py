@@ -5159,6 +5159,41 @@ WHERE w4 + INTERVAL 4 HOUR <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
 """
 
 
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API
+    (sources/pydatasource.SequenceSource): read 20,000 generated rows
+    through the registered "sequence" format — the partition plan
+    fans out as real executor tasks — and aggregate by residue class.
+    DuckDB's generate_series reproduces the source cell-for-cell, so
+    the oracle hash proves the custom connector is deterministic and
+    complete."""
+    from azure_data_engineering_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("sequence")
+        .option("n", "20000")
+        .option("parts", "16")
+        .option("mod", "97")
+        .load()
+    )
+    return df.groupBy((F.col("i") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("sq").alias("sum_sq"),
+        F.min("i").alias("min_i"),
+        F.max("i").alias("max_i"),
+    )
+
+
+Q_PYTHON_DATASOURCE_SQL = """
+SELECT i % 7 AS bucket, count(*) AS n_rows,
+       CAST(sum((i * i) % 97) AS BIGINT) AS sum_sq,
+       min(i) AS min_i, max(i) AS max_i
+FROM (SELECT CAST(unnest(generate_series(0, 19999)) AS BIGINT) AS i)
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5323,6 +5358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recursive_cte": q_recursive_cte,
         "q_lateral_join": q_lateral_join,
         "q_stream_chained_agg": q_stream_chained_agg,
+        "q_python_datasource": q_python_datasource,
     }
 
 
@@ -5476,4 +5512,5 @@ def oracle_sql() -> dict[str, str]:
         "q_recursive_cte": Q_RECURSIVE_CTE_SQL,
         "q_lateral_join": Q_LATERAL_JOIN_SQL,
         "q_stream_chained_agg": Q_STREAM_CHAINED_SQL,
+        "q_python_datasource": Q_PYTHON_DATASOURCE_SQL,
     }
