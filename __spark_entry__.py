@@ -5194,6 +5194,41 @@ GROUP BY 1
 """
 
 
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight QC metrics via df.observe(): row count, null count,
+    and value bounds are accumulated ON the pass that does the real
+    work (here a filtered write-shaped projection), not by a second
+    scan — the zero-extra-cost monitoring hook a 100 TB pipeline
+    attaches to every stage. The observed metrics (a driver-side
+    handful of scalars) are re-emitted as a one-row frame; the oracle
+    recomputes them declaratively."""
+    from pyspark.sql import Observation
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    obs = Observation("qc")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_cust"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "real" pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_null_cust"], m["min_key"], m["max_key"])],
+        "n_rows bigint, n_null_cust bigint, min_key bigint, max_key bigint",
+    )
+
+
+Q_OBSERVE_METRICS_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_cust,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders WHERE o_totalprice > 50000
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5359,6 +5394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lateral_join": q_lateral_join,
         "q_stream_chained_agg": q_stream_chained_agg,
         "q_python_datasource": q_python_datasource,
+        "q_observe_metrics": q_observe_metrics,
     }
 
 
@@ -5513,4 +5549,5 @@ def oracle_sql() -> dict[str, str]:
         "q_lateral_join": Q_LATERAL_JOIN_SQL,
         "q_stream_chained_agg": Q_STREAM_CHAINED_SQL,
         "q_python_datasource": Q_PYTHON_DATASOURCE_SQL,
+        "q_observe_metrics": Q_OBSERVE_METRICS_SQL,
     }
