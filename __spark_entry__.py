@@ -5229,6 +5229,53 @@ FROM orders WHERE o_totalprice > 50000
 """
 
 
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 3.5+ udtf): a
+    row-to-rows tokenizer applied via LATERAL — the API for custom
+    set-returning logic when explode over an expression isn't enough
+    (stateful per-row expansion, external library calls). UDTFs run
+    Python-side; the engine's guidance stands (built-ins first — this
+    exact tokenization IS expressible as explode(regexp) and the
+    hot-path text operators use that form), so the gate pins the API's
+    correctness, not its speed. Oracle: DuckDB regexp split + unnest."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, n_chars int")
+    class Tokenize:
+        def eval(self, text: str):
+            for t in _re.findall(r"[a-z0-9]+", (text or "").lower()):
+                yield (t, len(t))
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+        SELECT t.token, count(*) AS n_occurrences,
+               CAST(sum(t.n_chars) AS BIGINT) AS total_chars
+        FROM documents_udtf d, LATERAL tokenize_udtf(d.text) t
+        WHERE d.doc_id % 11 = 0
+        GROUP BY t.token
+        ORDER BY n_occurrences DESC, t.token ASC
+        LIMIT 100
+        """
+    )
+
+
+Q_UDTF_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT token, count(*) AS n_occurrences,
+       CAST(sum(length(token)) AS BIGINT) AS total_chars
+FROM toks GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 100
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5395,6 +5442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_chained_agg": q_stream_chained_agg,
         "q_python_datasource": q_python_datasource,
         "q_observe_metrics": q_observe_metrics,
+        "q_udtf": q_udtf,
     }
 
 
@@ -5550,4 +5598,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_chained_agg": Q_STREAM_CHAINED_SQL,
         "q_python_datasource": Q_PYTHON_DATASOURCE_SQL,
         "q_observe_metrics": Q_OBSERVE_METRICS_SQL,
+        "q_udtf": Q_UDTF_SQL,
     }
