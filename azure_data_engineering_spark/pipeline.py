@@ -137,3 +137,38 @@ def run_sql(spark: SparkSession, sql: str) -> StepResult:
         return {"result": df, "rows": df.count()}
 
     return _timed(run)
+
+
+def validate(df: DataFrame, suite) -> StepResult:
+    """Publish gate: evaluate a data-quality Suite
+    (operators/expectations.py) against a frame; status reflects the
+    suite outcome, detail carries the per-expectation violation
+    counts. The step a load_table caller runs between staging and
+    commit — the declarative front door to what the reference leaves
+    to Postgres COPY errors (__init__.py:168-176)."""
+
+    def run() -> dict[str, Any]:
+        from azure_data_engineering_spark.operators.expectations import check
+
+        row = check(df, suite).collect()[0].asDict()
+        passed = bool(row.pop("passed"))
+        return {"passed": passed, "violations": row}
+
+    res = _timed(run)
+    if res.ok and not res.detail["passed"]:
+        return StepResult("error", res.seconds, res.detail)
+    return res
+
+
+def profile_table(df: DataFrame, cols=None, approx: bool = False) -> StepResult:
+    """First-contact triage: one-scan column profile
+    (operators/profiling.py) as a pipeline step; detail carries the
+    per-column stats rows."""
+
+    def run() -> dict[str, Any]:
+        from azure_data_engineering_spark.operators.profiling import profile
+
+        rows = [r.asDict() for r in profile(df, cols, approx=approx).collect()]
+        return {"columns": rows, "n_columns": len(rows)}
+
+    return _timed(run)

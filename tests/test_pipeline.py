@@ -74,3 +74,28 @@ class TestRunSql:
     def test_sql_error_contract(self, spark):
         res = P.run_sql(spark, "SELECT FROM nonsense !!")
         assert not res.ok and "error" in res.detail
+
+
+class TestValidateAndProfile:
+    def test_validate_green_and_red(self, spark, sf_dir):
+        from azure_data_engineering_spark.catalog import load_table as cat_load
+        from azure_data_engineering_spark.operators.expectations import Suite
+        from azure_data_engineering_spark.pipeline import validate
+
+        o = cat_load(spark, sf_dir, "orders")
+        good = validate(o, Suite().unique("o_orderkey").not_null("o_custkey"))
+        assert good.ok and good.detail["passed"] is True
+        bad = validate(o, Suite().in_range("o_totalprice", 0, 1))
+        assert not bad.ok and bad.detail["passed"] is False
+        assert bad.detail["violations"]["o_totalprice_in_range_violations"] > 0
+
+    def test_profile_step(self, spark, sf_dir):
+        from azure_data_engineering_spark.catalog import load_table as cat_load
+        from azure_data_engineering_spark.pipeline import profile_table
+
+        o = cat_load(spark, sf_dir, "orders")
+        r = profile_table(o, ["o_orderkey", "o_orderstatus"])
+        assert r.ok and r.detail["n_columns"] == 2
+        stats = {c["column"]: c for c in r.detail["columns"]}
+        assert stats["o_orderkey"]["n_null"] == 0
+        assert stats["o_orderstatus"]["n_distinct"] == 3
