@@ -167,3 +167,14 @@ def test_dynamic_partition_pruning(spark, sf_dir):
     q = fact.join(F.broadcast(dim), "lang").groupBy("lang").agg(F.sum("n_chars").alias("s"))
     plan = formatted_plan(q)
     assert "dynamicpruning" in plan
+
+
+def test_new_join_queries_avoid_nested_loops(spark, sf_dir):
+    """The SCD2 point-in-time interval join and the Q7 nation-pair
+    query must ride equi-joins (interval/OR conditions as residuals),
+    never BroadcastNestedLoop or cartesian products."""
+    for q in (entrymod.q_scd2_pointintime, entrymod.q_tpch_q7_style):
+        plan = formatted_plan(q(spark, sf_dir))
+        assert "BroadcastNestedLoop" not in plan
+        assert "Cartesian" not in plan
+        assert "HashJoin" in plan
