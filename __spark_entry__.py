@@ -5276,6 +5276,75 @@ LIMIT 100
 """
 
 
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join on the real engine:
+    signups left-joined to purchases within 30 minutes. Matches emit
+    as they arrive; an unmatched signup emits null-extended only when
+    the global watermark (min of both sides' max event time, minus the
+    2h delay) passes its join-window end — i.e. when the state store
+    can prove no match can still arrive. The oracle reproduces both
+    populations: the batch interval join plus the NOT EXISTS rows
+    whose window closed (l_ts + 30min <= watermark), pinned
+    empirically to the engine's eviction boundary."""
+    import os
+    import tempfile
+
+    from azure_data_engineering_spark.catalog import ensure_session_defaults
+    from azure_data_engineering_spark.streaming.joins import interval_join
+
+    ensure_session_defaults(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix="ssjl_")
+    os.symlink(os.path.abspath(path), os.path.join(d, "events.parquet"))
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    )
+    signup = raw.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("signup_id")
+    )
+    purchase = raw.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("purchase_id")
+    )
+    q = (
+        interval_join(signup, purchase, ["user_id"], how="leftOuter")
+        .select("user_id", "signup_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName("ssjl_gate_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("ssjl_gate_sink")
+
+
+Q_STREAM_LEFT_JOIN_SQL = """
+WITH wm AS (
+  SELECT least(max(CASE WHEN event_type = 'signup' THEN ts END),
+               max(CASE WHEN event_type = 'purchase' THEN ts END)) - INTERVAL 2 HOUR AS w
+  FROM events
+)
+SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+FROM events s JOIN events p
+  ON s.user_id = p.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(s.ts)
+ AND epoch_us(p.ts) <= epoch_us(s.ts) + 1800 * 1000000
+UNION ALL
+SELECT s.user_id, s.event_id AS signup_id, CAST(NULL AS BIGINT) AS purchase_id
+FROM events s, wm
+WHERE s.event_type = 'signup'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+      AND epoch_us(p.ts) >= epoch_us(s.ts)
+      AND epoch_us(p.ts) <= epoch_us(s.ts) + 1800 * 1000000)
+  AND s.ts + INTERVAL 30 MINUTE <= wm.w
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5443,6 +5512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_python_datasource": q_python_datasource,
         "q_observe_metrics": q_observe_metrics,
         "q_udtf": q_udtf,
+        "q_stream_left_join": q_stream_left_join,
     }
 
 
@@ -5599,4 +5669,5 @@ def oracle_sql() -> dict[str, str]:
         "q_python_datasource": Q_PYTHON_DATASOURCE_SQL,
         "q_observe_metrics": Q_OBSERVE_METRICS_SQL,
         "q_udtf": Q_UDTF_SQL,
+        "q_stream_left_join": Q_STREAM_LEFT_JOIN_SQL,
     }

@@ -31,15 +31,20 @@ def interval_join(
     the watermark; the range condition lets Spark bound join state."""
     l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    # rename the right-side keys BEFORE the join: on outer joins the
+    # surviving key must be the left one (the right key is NULL for
+    # unmatched rows), and when both streams derive from the same
+    # source, post-join drop(r[k]) is ambiguous (self-join lineage)
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
     cond = None
     for k in keys:
-        c = l[k] == r[k]
+        c = l[k] == F.col(f"__r_{k}")
         cond = c if cond is None else cond & c
     cond = (
         cond
-        & (r[right_ts] >= l[left_ts])
-        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+        & (F.col(right_ts) >= l[left_ts])
+        & (F.col(right_ts) <= l[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
     joined = l.join(r, cond, how)
-    # drop the duplicated key columns from the right side
-    return joined.drop(*[r[k] for k in keys])
+    return joined.drop(*[f"__r_{k}" for k in keys])
