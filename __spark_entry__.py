@@ -5345,6 +5345,46 @@ WHERE s.event_type = 'signup'
 """
 
 
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair counting: parts bought together on one
+    order, by self-joining lineitem on the order key with a strict
+    part-key ordering (each unordered pair counted once, no diagonal).
+    The pair blow-up is bounded by lines-per-order (TPC-H ≤7), the
+    single shuffle hashes the order key, and the top-20 runs through
+    TakeOrdered — the shape that survives a 100 TB basket table as
+    long as basket size stays bounded. Oracle: the same self-join in
+    SQL with a deterministic (count, pair) total order."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+Q_COPURCHASE_SQL = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5513,6 +5553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_observe_metrics": q_observe_metrics,
         "q_udtf": q_udtf,
         "q_stream_left_join": q_stream_left_join,
+        "q_copurchase": q_copurchase,
     }
 
 
@@ -5670,4 +5711,5 @@ def oracle_sql() -> dict[str, str]:
         "q_observe_metrics": Q_OBSERVE_METRICS_SQL,
         "q_udtf": Q_UDTF_SQL,
         "q_stream_left_join": Q_STREAM_LEFT_JOIN_SQL,
+        "q_copurchase": Q_COPURCHASE_SQL,
     }
