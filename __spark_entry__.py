@@ -5385,6 +5385,45 @@ LIMIT 20
 """
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over a 100-row moving frame: Spark's
+    median/percentile reject ordered frames, so the engine ships the
+    standard rewrite — collect_list over the frame, array_sort, and
+    middle-element interpolation, exact because the frame is bounded.
+    DuckDB's native windowed median (same linear interpolation on the
+    even case) is the oracle. Frame order (ts, event_id) is a total
+    order, so frame membership is deterministic on both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-99, 0)
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.when(n % 2 == 1, odd).otherwise(even).alias("rolling_median"),
+        )
+        .filter(F.col("event_id") % 199 == 0)
+    )
+
+
+Q_ROLLING_MEDIAN_SQL = """
+SELECT event_id, event_type, rolling_median
+FROM (
+  SELECT event_id, event_type,
+         median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS rolling_median
+  FROM events
+)
+WHERE event_id % 199 = 0
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5554,6 +5593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udtf": q_udtf,
         "q_stream_left_join": q_stream_left_join,
         "q_copurchase": q_copurchase,
+        "q_rolling_median": q_rolling_median,
     }
 
 
@@ -5712,4 +5752,5 @@ def oracle_sql() -> dict[str, str]:
         "q_udtf": Q_UDTF_SQL,
         "q_stream_left_join": Q_STREAM_LEFT_JOIN_SQL,
         "q_copurchase": Q_COPURCHASE_SQL,
+        "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
     }
