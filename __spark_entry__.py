@@ -5424,6 +5424,38 @@ WHERE event_id % 199 = 0
 """
 
 
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    duplicates count — a customer with three big orders and one urgent
+    order contributes min(3,1)=1 row to the intersection and 3-1=2 to
+    the difference. The multiplicity algebra is the part naive
+    distinct-based rewrites get wrong; both engines implement the ANSI
+    bag rules and must agree on every multiplicity."""
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    inter = big.intersectAll(urgent).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("multiplicity")
+    ).withColumn("set_op", F.lit("intersect_all"))
+    exc = big.exceptAll(urgent).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("multiplicity")
+    ).withColumn("set_op", F.lit("except_all"))
+    return inter.unionByName(exc).select("set_op", "o_custkey", "multiplicity")
+
+
+Q_SET_OPS_ALL_SQL = """
+SELECT 'intersect_all' AS set_op, o_custkey, count(*) AS multiplicity FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+  INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY 2
+UNION ALL
+SELECT 'except_all', o_custkey, count(*) FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+  EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY 2
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5594,6 +5626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_left_join": q_stream_left_join,
         "q_copurchase": q_copurchase,
         "q_rolling_median": q_rolling_median,
+        "q_set_ops_all": q_set_ops_all,
     }
 
 
@@ -5753,4 +5786,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_left_join": Q_STREAM_LEFT_JOIN_SQL,
         "q_copurchase": Q_COPURCHASE_SQL,
         "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
+        "q_set_ops_all": Q_SET_OPS_ALL_SQL,
     }
