@@ -5456,6 +5456,41 @@ GROUP BY 2
 """
 
 
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set functions (array_union / array_intersect /
+    array_except) over each order's distinct return-flag set, emitted
+    as sorted comma-joined strings (scalar columns — portable across
+    the compare harness). The oracle re-expresses each as DuckDB list
+    algebra (list_filter/list_contains), pinning dedup and membership
+    semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    flags = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags")
+    )
+    probe = F.array(F.lit("R"), F.lit("N"))
+    return flags.select(
+        "l_orderkey",
+        F.concat_ws(",", F.col("flags")).alias("flags_str"),
+        F.concat_ws(",", F.sort_array(F.array_union("flags", F.array(F.lit("X"))))).alias("union_x"),
+        F.concat_ws(",", F.sort_array(F.array_intersect(F.col("flags"), probe))).alias("inter_rn"),
+        F.concat_ws(",", F.sort_array(F.array_except(F.col("flags"), F.array(F.lit("R"))))).alias("except_r"),
+    ).filter(F.col("l_orderkey") % 13 == 0)
+
+
+Q_ARRAY_SETOPS_SQL = """
+WITH f AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_returnflag)) AS flags
+  FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey,
+       COALESCE(array_to_string(flags, ','), '') AS flags_str,
+       COALESCE(array_to_string(list_sort(list_distinct(list_concat(flags, ['X']))), ','), '') AS union_x,
+       COALESCE(array_to_string(list_sort(list_filter(flags, x -> list_contains(['R','N'], x))), ','), '') AS inter_rn,
+       COALESCE(array_to_string(list_sort(list_filter(flags, x -> x <> 'R')), ','), '') AS except_r
+FROM f WHERE l_orderkey % 13 = 0
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5627,6 +5662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_copurchase": q_copurchase,
         "q_rolling_median": q_rolling_median,
         "q_set_ops_all": q_set_ops_all,
+        "q_array_setops": q_array_setops,
     }
 
 
@@ -5787,4 +5823,5 @@ def oracle_sql() -> dict[str, str]:
         "q_copurchase": Q_COPURCHASE_SQL,
         "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
         "q_set_ops_all": Q_SET_OPS_ALL_SQL,
+        "q_array_setops": Q_ARRAY_SETOPS_SQL,
     }
