@@ -5491,6 +5491,44 @@ FROM f WHERE l_orderkey % 13 = 0
 """
 
 
+def q_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function convention pinning: ISO week number, day
+    numbering, quarter, last-day-of-month, month-end flags. Day-of-
+    week is the classic cross-engine trap — Spark's dayofweek is
+    1=Sunday while DuckDB's is 0=Sunday — so the oracle maps
+    explicitly (+1) and any convention drift in either engine breaks
+    the hash."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mo"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofweek(d).alias("dow_sun1"),
+        F.dayofyear(d).alias("doy"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_last_day"),
+        (F.dayofmonth(d) == F.dayofmonth(F.last_day(d))).alias("is_month_end"),
+        F.date_format(d, "MMMM").alias("month_name"),
+    )
+
+
+Q_CALENDAR_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_last_day,
+       day(o_orderdate) = day(last_day(o_orderdate)) AS is_month_end,
+       monthname(o_orderdate) AS month_name
+FROM orders WHERE o_orderkey % 17 = 0
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5663,6 +5701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_median": q_rolling_median,
         "q_set_ops_all": q_set_ops_all,
         "q_array_setops": q_array_setops,
+        "q_calendar": q_calendar,
     }
 
 
@@ -5824,4 +5863,5 @@ def oracle_sql() -> dict[str, str]:
         "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
         "q_set_ops_all": Q_SET_OPS_ALL_SQL,
         "q_array_setops": Q_ARRAY_SETOPS_SQL,
+        "q_calendar": Q_CALENDAR_SQL,
     }
