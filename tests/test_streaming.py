@@ -89,3 +89,38 @@ class TestStreamDedup:
         # dedups per watermark state; result must be <= total and >= unique
         total = load_table(spark, sf_dir, "events").count()
         assert n_unique <= out.count() <= total
+
+
+class TestCheckpointResume:
+    def test_second_run_processes_only_new_files(self, spark, tmp_path):
+        """Exactly-once across restarts: an availableNow run with a
+        checkpoint drains the source; a second run with the SAME
+        checkpoint after one more file arrives must process only that
+        file (offset log resume), never reprocess the old ones."""
+        import pandas as pd
+
+        src = tmp_path / "ckpt_src"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        out_dir = str(tmp_path / "ckpt_out")
+        pd.DataFrame({"k": [1, 2, 3]}).to_parquet(src / "f0.parquet")
+
+        def run_once():
+            stream = spark.readStream.schema("k long").parquet(str(src))
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        assert spark.read.parquet(out_dir).count() == 3
+
+        pd.DataFrame({"k": [4, 5]}).to_parquet(src / "f1.parquet")
+        run_once()
+        rows = sorted(r["k"] for r in spark.read.parquet(out_dir).collect())
+        assert rows == [1, 2, 3, 4, 5]  # no duplicates from reprocessing
