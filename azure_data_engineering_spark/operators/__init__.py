@@ -6,7 +6,17 @@ from azure_data_engineering_spark.operators.relational import (
     dedup_keep_first,
     string_agg,
 )
-from azure_data_engineering_spark.operators.upsert import merge_upsert
+from azure_data_engineering_spark.operators.upsert import apply_cdc, merge_upsert
+from azure_data_engineering_spark.operators.relational import salted_aggregate, salted_join
+from azure_data_engineering_spark.operators.expectations import Suite, check
+from azure_data_engineering_spark.operators.incremental import (
+    finalize_avg,
+    merge_partials,
+    partial_agg,
+)
+from azure_data_engineering_spark.operators.profiling import profile
+from azure_data_engineering_spark.operators.scd import scd2_apply
+from azure_data_engineering_spark.operators.sampling import weighted_bernoulli
 from azure_data_engineering_spark.operators.dedup import (
     exact_dedup,
     shingles,
@@ -26,6 +36,17 @@ __all__ = [
     "dedup_keep_first",
     "string_agg",
     "merge_upsert",
+    "apply_cdc",
+    "salted_aggregate",
+    "salted_join",
+    "Suite",
+    "check",
+    "partial_agg",
+    "merge_partials",
+    "finalize_avg",
+    "profile",
+    "scd2_apply",
+    "weighted_bernoulli",
     "exact_dedup",
     "shingles",
     "minhash_signatures",
