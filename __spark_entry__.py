@@ -5529,6 +5529,41 @@ FROM orders WHERE o_orderkey % 17 = 0
 """
 
 
+def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic):
+    seed a lang-partitioned table, then overwrite ONLY the 'en'
+    partition with doubled char counts — every other partition must
+    survive untouched, which static overwrite mode would have
+    truncated. This is the idempotent daily-partition reload pattern;
+    the oracle states the expected end state with a CASE."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="dpo_") + "/docs"
+    d.write.partitionBy("lang").parquet(path)
+    en_fixed = d.filter(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    (
+        en_fixed.write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+Q_DYNAMIC_PARTITION_OVERWRITE_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5702,6 +5737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops_all": q_set_ops_all,
         "q_array_setops": q_array_setops,
         "q_calendar": q_calendar,
+        "q_dynamic_partition_overwrite": q_dynamic_partition_overwrite,
     }
 
 
@@ -5864,4 +5900,5 @@ def oracle_sql() -> dict[str, str]:
         "q_set_ops_all": Q_SET_OPS_ALL_SQL,
         "q_array_setops": Q_ARRAY_SETOPS_SQL,
         "q_calendar": Q_CALENDAR_SQL,
+        "q_dynamic_partition_overwrite": Q_DYNAMIC_PARTITION_OVERWRITE_SQL,
     }
