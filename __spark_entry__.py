@@ -5564,6 +5564,37 @@ FROM documents GROUP BY lang
 """
 
 
+def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL arithmetic: prices cast to DECIMAL(12,2) and
+    summed — no float drift by construction, the correct treatment of
+    money. Both engines' fixed-point sums must agree digit-for-digit
+    at any aggregation order (unlike the double sums elsewhere that
+    need rounding conventions); results stringify to pin scale
+    rendering too."""
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.sum(dec).cast("decimal(18,2)").cast("string").alias("sum_price"),
+            F.avg(dec).cast("decimal(18,4)").cast("string").alias("avg_price"),
+            F.max(dec).cast("string").alias("max_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_DECIMAL_AGG_SQL = """
+SELECT o_orderstatus,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price,
+       CAST(CAST(avg(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS VARCHAR) AS avg_price,
+       CAST(CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS VARCHAR) AS max_price,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5738,6 +5769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_setops": q_array_setops,
         "q_calendar": q_calendar,
         "q_dynamic_partition_overwrite": q_dynamic_partition_overwrite,
+        "q_decimal_agg": q_decimal_agg,
     }
 
 
@@ -5901,4 +5933,5 @@ def oracle_sql() -> dict[str, str]:
         "q_array_setops": Q_ARRAY_SETOPS_SQL,
         "q_calendar": Q_CALENDAR_SQL,
         "q_dynamic_partition_overwrite": Q_DYNAMIC_PARTITION_OVERWRITE_SQL,
+        "q_decimal_agg": Q_DECIMAL_AGG_SQL,
     }
