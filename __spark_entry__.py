@@ -5595,6 +5595,31 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_month_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable month arithmetic with end-of-month clamping: each
+    order's date shifted by a data-dependent month count (including
+    negative shifts); Jan 31 + 1 month must clamp to Feb 29/28 the
+    same way on both engines (verified convention: both clamp).
+    Plus day-granularity datediff against a fixed anchor."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 23 == 0)
+    shift = (F.col("o_custkey") % 6 - 2).cast("int")
+    return o.select(
+        "o_orderkey",
+        shift.alias("month_shift"),
+        F.date_format(F.add_months(F.col("o_orderdate"), shift), "yyyy-MM-dd").alias("shifted"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_y2k"),
+    )
+
+
+Q_MONTH_ARITH_SQL = """
+SELECT o_orderkey,
+       CAST(o_custkey % 6 - 2 AS INTEGER) AS month_shift,
+       strftime(o_orderdate + to_months(CAST(o_custkey % 6 - 2 AS INT)), '%Y-%m-%d') AS shifted,
+       CAST(date_diff('day', o_orderdate, DATE '2000-01-01') AS INTEGER) AS days_to_y2k
+FROM orders WHERE o_orderkey % 23 = 0
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5770,6 +5795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_calendar": q_calendar,
         "q_dynamic_partition_overwrite": q_dynamic_partition_overwrite,
         "q_decimal_agg": q_decimal_agg,
+        "q_month_arith": q_month_arith,
     }
 
 
@@ -5934,4 +5960,5 @@ def oracle_sql() -> dict[str, str]:
         "q_calendar": Q_CALENDAR_SQL,
         "q_dynamic_partition_overwrite": Q_DYNAMIC_PARTITION_OVERWRITE_SQL,
         "q_decimal_agg": Q_DECIMAL_AGG_SQL,
+        "q_month_arith": Q_MONTH_ARITH_SQL,
     }
