@@ -5620,6 +5620,41 @@ FROM orders WHERE o_orderkey % 23 = 0
 """
 
 
+def q_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL-ordering semantics: Spark sorts nulls FIRST on
+    ascending by default while DuckDB sorts them LAST, so any query
+    that lets the default leak across engines silently reorders.
+    Every sort here (window rank + final order) pins NULLS LAST
+    explicitly; a synthetic nullable column (every 3rd priority
+    nulled) exercises the boundary."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 29 == 0)
+    prio = F.when(F.col("o_custkey") % 3 == 0, None).otherwise(F.col("o_orderpriority"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        prio.asc_nulls_last(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            prio.alias("prio_nullable"),
+            F.row_number().over(w).alias("rn_nulls_last"),
+        )
+        .orderBy(F.col("prio_nullable").asc_nulls_last(), F.col("o_orderkey").asc())
+    )
+
+
+Q_NULL_ORDERING_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_custkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS prio_nullable,
+       row_number() OVER (PARTITION BY o_orderstatus
+                          ORDER BY (CASE WHEN o_custkey % 3 = 0 THEN NULL ELSE o_orderpriority END)
+                                   ASC NULLS LAST,
+                                   o_orderkey ASC) AS rn_nulls_last
+FROM orders WHERE o_orderkey % 29 = 0
+ORDER BY prio_nullable ASC NULLS LAST, o_orderkey ASC
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5796,6 +5831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dynamic_partition_overwrite": q_dynamic_partition_overwrite,
         "q_decimal_agg": q_decimal_agg,
         "q_month_arith": q_month_arith,
+        "q_null_ordering": q_null_ordering,
     }
 
 
@@ -5961,4 +5997,5 @@ def oracle_sql() -> dict[str, str]:
         "q_dynamic_partition_overwrite": Q_DYNAMIC_PARTITION_OVERWRITE_SQL,
         "q_decimal_agg": Q_DECIMAL_AGG_SQL,
         "q_month_arith": Q_MONTH_ARITH_SQL,
+        "q_null_ordering": Q_NULL_ORDERING_SQL,
     }
