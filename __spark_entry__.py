@@ -5655,6 +5655,38 @@ ORDER BY prio_nullable ASC NULLS LAST, o_orderkey ASC
 """
 
 
+def q_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated sketch re-merge (the sketch-cube pattern): build
+    one HLL sketch per (status, priority) cell — the granularity you'd
+    persist — then answer the coarser per-status distinct-customer
+    question by hll_union_agg over the STORED sketches, never re-
+    touching the raw data. This two-level mergeability is what makes
+    sketch cubes answer any rollup in O(cells); the estimate is gated
+    at ±5% of the exact count the oracle pins."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk")
+    )
+    merged = cells.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_exact")
+    )
+    j = merged.join(exact, "o_orderstatus")
+    return j.select(
+        "o_orderstatus",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact") <= 0.05).alias("est_ok"),
+    ).orderBy("o_orderstatus")
+
+
+Q_HLL_UNION_MERGE_SQL = """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact, TRUE AS est_ok
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5832,6 +5864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decimal_agg": q_decimal_agg,
         "q_month_arith": q_month_arith,
         "q_null_ordering": q_null_ordering,
+        "q_hll_union_merge": q_hll_union_merge,
     }
 
 
@@ -5998,4 +6031,5 @@ def oracle_sql() -> dict[str, str]:
         "q_decimal_agg": Q_DECIMAL_AGG_SQL,
         "q_month_arith": Q_MONTH_ARITH_SQL,
         "q_null_ordering": Q_NULL_ORDERING_SQL,
+        "q_hll_union_merge": Q_HLL_UNION_MERGE_SQL,
     }
