@@ -5687,6 +5687,31 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql named-parameter binding): the
+    injection-safe way to template a query — values bind as literals
+    through the parser, never string-spliced. Same analytics as the
+    spliced text would produce; the oracle inlines the constants."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_par")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_par
+        WHERE o_totalprice > :floor AND o_orderpriority = :prio
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        args={"floor": 100000, "prio": "1-URGENT"},
+    )
+
+
+Q_SQL_PARAMS_SQL = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_totalprice > 100000 AND o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5865,6 +5890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_month_arith": q_month_arith,
         "q_null_ordering": q_null_ordering,
         "q_hll_union_merge": q_hll_union_merge,
+        "q_sql_params": q_sql_params,
     }
 
 
@@ -6032,4 +6058,5 @@ def oracle_sql() -> dict[str, str]:
         "q_month_arith": Q_MONTH_ARITH_SQL,
         "q_null_ordering": Q_NULL_ORDERING_SQL,
         "q_hll_union_merge": Q_HLL_UNION_MERGE_SQL,
+        "q_sql_params": Q_SQL_PARAMS_SQL,
     }
