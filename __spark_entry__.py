@@ -5712,6 +5712,35 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: under ANSI mode (Spark 4 default) a
+    divide-by-zero THROWS, so pipelines guard hot arithmetic with
+    try_divide/try_multiply — null-on-error, job survives. A
+    synthetic zero denominator every 7th row exercises the null path;
+    the oracle re-expresses the guards as CASE (DuckDB integer
+    division by zero also errors, so the CASE is load-bearing there
+    too)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 19 == 0)
+    denom = F.col("o_custkey") % 7
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), denom.cast("double")).alias("price_per_bucket"),
+        F.try_divide(F.lit(1.0), denom.cast("double")).alias("inv_bucket"),
+        F.try_multiply(F.col("o_orderkey"), F.lit(3)).alias("key_x3"),
+    )
+
+
+Q_TRY_ARITH_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_custkey % 7 = 0 THEN NULL
+            ELSE o_totalprice / CAST(o_custkey % 7 AS DOUBLE) END AS price_per_bucket,
+       CASE WHEN o_custkey % 7 = 0 THEN NULL
+            ELSE 1.0 / CAST(o_custkey % 7 AS DOUBLE) END AS inv_bucket,
+       o_orderkey * 3 AS key_x3
+FROM orders WHERE o_orderkey % 19 = 0
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5891,6 +5920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_null_ordering": q_null_ordering,
         "q_hll_union_merge": q_hll_union_merge,
         "q_sql_params": q_sql_params,
+        "q_try_arith": q_try_arith,
     }
 
 
@@ -6059,4 +6089,5 @@ def oracle_sql() -> dict[str, str]:
         "q_null_ordering": Q_NULL_ORDERING_SQL,
         "q_hll_union_merge": Q_HLL_UNION_MERGE_SQL,
         "q_sql_params": Q_SQL_PARAMS_SQL,
+        "q_try_arith": Q_TRY_ARITH_SQL,
     }
