@@ -2295,7 +2295,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from azure_data_engineering_spark.catalog import ensure_session_defaults
+    from azure_data_engineering_spark.catalog import ensure_session_defaults, restore_event_time
     from azure_data_engineering_spark.streaming.joins import interval_join
 
     ensure_session_defaults(spark)
@@ -2306,8 +2306,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(schema)
         .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
     )
+    raw = restore_event_time(raw, "ts")
     signup = raw.filter(F.col("event_type") == "signup").select(
         "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("signup_id")
     )
@@ -2377,7 +2377,12 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     binary = with_binary_payload(d, "text", "doc_id")
-    return resize_metadata(binary, target_w=32, target_h=32)
+    return resize_metadata(binary, target_w=32, target_h=32).withColumns(
+        {
+            "new_width": F.col("new_width").cast("long"),
+            "new_height": F.col("new_height").cast("long"),
+        }
+    )
 
 
 Q_MULTIMODAL_RESIZE_SQL = """
@@ -2512,7 +2517,9 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_data_engineering_spark.operators.chunking import chunk_by_tokens
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return chunk_by_tokens(d, "doc_id", "text", max_tokens=40)
+    return chunk_by_tokens(d, "doc_id", "text", max_tokens=40).withColumn(
+        "n_chunks", F.col("n_chunks").cast("long")
+    )
 
 
 Q_CHUNK_DOCUMENTS_SQL = """
@@ -2582,7 +2589,7 @@ base AS (
   FROM chunks
 )
 SELECT bucket, CAST(floor(tokens_before / 256.0) AS BIGINT) AS seq_id,
-       count(*) AS n_chunks, sum(token_len) AS seq_tokens
+       count(*) AS n_chunks, CAST(sum(token_len) AS BIGINT) AS seq_tokens
 FROM runs GROUP BY 1, 2
 """
 
@@ -2789,7 +2796,7 @@ WITH v AS (
   FROM s
 )
 SELECT vec_id, scale_basis, qv[1] AS q0, qv[2] AS q1,
-       list_sum(qv) AS q_sum
+       CAST(list_sum(qv) AS BIGINT) AS q_sum
 FROM q
 """
 
@@ -2958,7 +2965,9 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_data_engineering_spark.operators.tfidf import top_terms_per_doc
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    return top_terms_per_doc(d, "text", "doc_id", k=3)
+    return top_terms_per_doc(d, "text", "doc_id", k=3).withColumn(
+        "term_rank", F.col("term_rank").cast("long")
+    )
 
 
 Q_TFIDF_TOPK_SQL = """
@@ -5289,7 +5298,7 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from azure_data_engineering_spark.catalog import ensure_session_defaults
+    from azure_data_engineering_spark.catalog import ensure_session_defaults, restore_event_time
     from azure_data_engineering_spark.streaming.joins import interval_join
 
     ensure_session_defaults(spark)
@@ -5300,8 +5309,8 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(schema)
         .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
     )
+    raw = restore_event_time(raw, "ts")
     signup = raw.filter(F.col("event_type") == "signup").select(
         "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("signup_id")
     )
@@ -5637,7 +5646,7 @@ def q_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderstatus",
             prio.alias("prio_nullable"),
-            F.row_number().over(w).alias("rn_nulls_last"),
+            F.row_number().over(w).cast("long").alias("rn_nulls_last"),
         )
         .orderBy(F.col("prio_nullable").asc_nulls_last(), F.col("o_orderkey").asc())
     )

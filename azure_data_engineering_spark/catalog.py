@@ -53,18 +53,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_defaults(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    # TIMESTAMP(NANOS) columns arrive as bigint nanos (see session.py
-    # nanosAsLong); restore timestamp semantics at microsecond
-    # precision (Spark's native resolution).
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    for c in {"events": ["ts"]}.get(name, []):
+        df = restore_event_time(df, c)
+    return df
 
-    nano_cols = {"events": ["ts"]}.get(name, [])
-    for c in nano_cols:
-        if isinstance(df.schema[c].dataType, LongType):
-            # integer `div`: double division would lose precision on
-            # ~1.7e18 nano values (> 2^53)
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+
+def restore_event_time(df, col: str):
+    """Normalize an event-time column to TIMESTAMP regardless of how the
+    parquet writer encoded it:
+
+    - TIMESTAMP(NANOS) arrives as bigint nanos under nanosAsLong (see
+      ensure_session_defaults) -> integer `div 1000` to micros (double
+      division would lose precision on ~1.7e18 nano values > 2^53);
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ,
+      which watermarks/event-time ops reject -> cast to TIMESTAMP (the
+      session timezone is pinned to UTC, so the instant is unchanged);
+    - TIMESTAMP arrives ready -> no-op.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

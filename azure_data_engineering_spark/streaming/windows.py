@@ -118,14 +118,12 @@ def run_stream_to_table(
         # ordered by file modification time (the file source's order)
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(parquet_path)
-    # TIMESTAMP(NANOS) parquet arrives as bigint nanos (see
-    # session.py nanosAsLong); restore event-time semantics so
-    # watermarks/windows see a timestamp column
-    from pyspark.sql.types import LongType
+    # normalize the event-time encoding (bigint nanos / TIMESTAMP_NTZ /
+    # TIMESTAMP) so watermarks and windows see a TIMESTAMP column
+    from azure_data_engineering_spark.catalog import restore_event_time
 
-    for field in batch.schema:
-        if field.name == "ts" and isinstance(field.dataType, LongType):
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    if any(f.name == "ts" for f in batch.schema):
+        stream = restore_event_time(stream, "ts")
     q = (
         transform(stream)
         .writeStream.format("memory")

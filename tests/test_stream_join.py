@@ -7,7 +7,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from azure_data_engineering_spark.catalog import load_table
+from azure_data_engineering_spark.catalog import load_table, restore_event_time
 from azure_data_engineering_spark.streaming.joins import interval_join
 
 
@@ -35,8 +35,8 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     raw = (
         spark.readStream.schema(schema)
         .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
     )
+    raw = restore_event_time(raw, "ts")
     s_l, s_r = _sides(raw)
     q = (
         interval_join(s_l, s_r, ["user_id"])
