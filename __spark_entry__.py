@@ -907,6 +907,59 @@ FROM target t WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_
 """
 
 
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE JDBC round-trip against embedded Derby (on Spark's
+    classpath): create target with a real PRIMARY KEY, distributed
+    jdbc_append of the base rows (reference: COPY,
+    adffunction/__init__.py:166-168), live PK introspection via
+    DatabaseMetaData (reference: information_schema,
+    PGHelperFunction.py:12-22), staged ANSI-MERGE upsert
+    (PGHelperFunction.py:44-77), then read the table back through
+    spark.read.jdbc. The oracle replays the same upsert algebra over
+    the parquet source — proving the server round-trip is lossless."""
+    from azure_data_engineering_spark.sources import jdbc as J
+
+    url = "jdbc:derby:memory:qrt;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    c = _t(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_custkey") % 3 != 0).select("c_custkey", "c_name", "c_acctbal")
+    delta = (
+        c.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            "c_custkey",
+            F.upper(F.col("c_name")).alias("c_name"),
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        )
+    )
+    J.drop_table_if_exists(url, "customers_rt", props, spark)
+    J._execute_statement(
+        url,
+        'CREATE TABLE customers_rt ("c_custkey" BIGINT NOT NULL, "c_name" VARCHAR(64), '
+        '"c_acctbal" DOUBLE, PRIMARY KEY ("c_custkey"))',
+        props,
+        spark,
+    )
+    J.jdbc_append(base, url, "customers_rt", props)
+    pk = J.introspect_pk_live(url, "customers_rt", props, spark)
+    assert pk == ["c_custkey"], pk
+    J.jdbc_upsert(spark, delta, url, "customers_rt", pk, props, dialect="ansi")
+    return spark.read.jdbc(url, "customers_rt", properties=props)
+
+
+Q_JDBC_ROUNDTRIP_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+), delta AS (
+  SELECT c_custkey, upper(c_name) AS c_name, c_acctbal + 1000.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT c_custkey, c_name, c_acctbal FROM delta
+UNION ALL
+SELECT b.c_custkey, b.c_name, b.c_acctbal FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = b.c_custkey)
+"""
+
+
 # ------------------------------------------------------- LLM pipeline: dedup
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5789,6 +5842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_array_hof": q_array_hof,
         "q_upsert_merge": q_upsert_merge,
+        "q_jdbc_roundtrip": q_jdbc_roundtrip,
         "q_try_cast": q_try_cast,
         "q_rank_functions": q_rank_functions,
         "q_salted_agg": q_salted_agg,
@@ -5970,6 +6024,7 @@ def oracle_sql() -> dict[str, str]:
         "q_array_hof": Q_ARRAY_HOF_SQL,
         "q_word_explode": Q_WORD_EXPLODE_SQL,
         "q_upsert_merge": Q_UPSERT_MERGE_SQL,
+        "q_jdbc_roundtrip": Q_JDBC_ROUNDTRIP_SQL,
         "q_dedup_exact": Q_DEDUP_EXACT_SQL,
         "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
         "q_simhash": Q_SIMHASH_SQL,

@@ -12,11 +12,17 @@ statement — but distributed: every partition appends into a staging
 table concurrently, then ONE merge statement flips it in
 (SURVEY.md §4). Server-side statements execute through py4j's
 `java.sql.DriverManager` on the driver JVM (`_execute_statement`);
-with no server/driver reachable (this environment) that raises a
-RuntimeError naming the cause, while SQL generation stays pure and
-fully tested. `tests/test_jdbc_exec.py` proves the end-to-end
-statement ordering (staging DDL -> distributed append -> MERGE ->
-DROP) against a mocked gateway.
+with no server/driver reachable that raises a RuntimeError naming the
+cause. `tests/test_jdbc_exec.py` proves the end-to-end statement
+ordering (staging DDL -> distributed append -> MERGE -> DROP) against
+a mocked gateway, and `tests/test_jdbc_live.py` + the
+`q_jdbc_roundtrip` oracle entry prove the whole loop LIVE against
+embedded Derby (bundled on Spark's classpath): two dialects are
+generated — 'postgres' (the reference's CTE upsert + LIKE staging)
+and 'ansi' (standard MERGE + CTAS staging; Derby >=10.11, SQL Server,
+Oracle, Postgres 15+). Live PK/setter introspection goes through
+java.sql.DatabaseMetaData (engine-portable), with the
+information_schema SQL kept for Postgres parity.
 
 Two introspection fixes over the reference (documented divergences,
 SURVEY.md §2A quirks):
@@ -63,6 +69,36 @@ ORDER BY c.ordinal_position
 """.strip()
 
 
+def quote_ident(name: str) -> str:
+    """Double-quote an identifier (ANSI). Needed because Spark's JDBC
+    writer creates columns with quoted (exact-case) names, so generated
+    server-side SQL must quote them too or the server would fold the
+    unquoted reference to upper/lower case and miss the column."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+def generate_merge_sql_ansi(
+    table: str, staging: str, pk: Sequence[str], setters: Sequence[str]
+) -> str:
+    """ANSI MERGE equivalent of generate_merge_sql — runs on Derby
+    (>=10.11), SQL Server, Oracle, and Postgres 15+. Same semantics as
+    the reference's CTE upsert (PGHelperFunction.py:44-67): matched
+    target rows take the staged values, unmatched staged rows insert.
+    The source must be pk-unique (ANSI MERGE errors on a target row
+    matched twice); jdbc_upsert dedupes the staged frame first."""
+    q = quote_ident
+    on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in pk)
+    set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in setters)
+    all_cols = list(pk) + list(setters)
+    insert_cols = ", ".join(q(c) for c in all_cols)
+    insert_vals = ", ".join(f"s.{q(c)}" for c in all_cols)
+    sql = f"MERGE INTO {table} t USING {staging} s ON ({on})\n"
+    if set_clause:
+        sql += f"WHEN MATCHED THEN UPDATE SET {set_clause}\n"
+    sql += f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    return sql
+
+
 def generate_merge_sql(table: str, staging: str, pk: Sequence[str], setters: Sequence[str]) -> str:
     """One set-based statement with the reference's MERGE semantics
     (PGHelperFunction.py:44-67): CTE UPDATE matched rows RETURNING pk,
@@ -96,6 +132,13 @@ def generate_staging_ddl(table: str, staging: str, temp: bool = True) -> str:
     return f"CREATE TABLE IF NOT EXISTS {staging} (LIKE {table} INCLUDING ALL)"
 
 
+def generate_staging_ddl_ansi(table: str, staging: str) -> str:
+    """ANSI/Derby staging DDL — Derby has no `(LIKE t)` clause; CTAS
+    `WITH NO DATA` copies the column list and types exactly (including
+    Spark-created quoted column names)."""
+    return f"CREATE TABLE {staging} AS SELECT * FROM {table} WITH NO DATA"
+
+
 def jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str, str]) -> None:
     """Distributed append — each partition opens its own connection
     (reference: single-threaded COPY per file, __init__.py:150-178)."""
@@ -110,25 +153,115 @@ def jdbc_upsert(
     pk: Sequence[str],
     properties: dict[str, str],
     staging: str | None = None,
+    dialect: str = "postgres",
 ) -> str:
     """Distributed staged upsert, end-to-end: create the staging table,
     append df into it distributed, execute ONE merge statement
     server-side, drop the staging table. Returns the merge SQL (for
     logging/tests). Raises RuntimeError if no JDBC server is reachable
     (nothing is half-applied in that case: the connection attempt for
-    the staging DDL is the first server contact)."""
+    the staging DDL is the first server contact).
+
+    dialect='postgres' (default) uses the reference's CTE upsert and
+    LIKE-clause staging; dialect='ansi' uses standard MERGE + CTAS
+    staging and runs live against Derby/SQL Server/Oracle/Postgres 15+.
+    The ANSI path dedupes the staged frame on pk first (deterministic
+    keep-first, mirroring the reference's DISTINCT ON) because ANSI
+    MERGE errors when one target row matches two source rows."""
     staging = staging or f"{table}__stage"
     setters = [c for c in df.columns if c not in set(pk)]
-    merge_sql = generate_merge_sql(table, staging, pk, setters)
+    if dialect == "ansi":
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        merge_sql = generate_merge_sql_ansi(table, staging, pk, setters)
+        w = Window.partitionBy(*pk).orderBy(*[F.col(c) for c in df.columns])
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        staging_ddl = generate_staging_ddl_ansi(table, staging)
+    else:
+        merge_sql = generate_merge_sql(table, staging, pk, setters)
+        staging_ddl = generate_staging_ddl(table, staging, temp=False)
     # Stage distributed, merge once — the scalable version of
     # PGHelperFunction.py:74-77's single-connection COPY+merge.
-    _execute_statement(url, generate_staging_ddl(table, staging, temp=False), properties, spark)
+    if dialect == "ansi":
+        drop_table_if_exists(url, staging, properties, spark)
+    _execute_statement(url, staging_ddl, properties, spark)
     try:
         df.write.jdbc(url=url, table=staging, mode="append", properties=properties)
         _execute_statement(url, merge_sql, properties, spark)
     finally:
-        _execute_statement(url, f"DROP TABLE IF EXISTS {staging}", properties, spark)
+        if dialect == "ansi":
+            drop_table_if_exists(url, staging, properties, spark)
+        else:
+            _execute_statement(url, f"DROP TABLE IF EXISTS {staging}", properties, spark)
     return merge_sql
+
+
+def drop_table_if_exists(
+    url: str, table: str, properties: dict[str, str], spark: SparkSession | None = None
+) -> None:
+    """Portable `DROP TABLE IF EXISTS` — Derby lacks the IF EXISTS
+    clause, so issue a plain DROP and swallow only the
+    object-does-not-exist SQLSTATE (42Y55 Derby, 42P01 Postgres)."""
+    try:
+        _execute_statement(url, f"DROP TABLE {table}", properties, spark)
+    except Exception as exc:  # py4j surfaces server errors as Py4JJavaError
+        msg = str(exc)
+        if "42Y55" in msg or "42P01" in msg or "does not exist" in msg:
+            return
+        raise
+
+
+def introspect_pk_live(
+    url: str, table: str, properties: dict[str, str], spark: SparkSession | None = None
+) -> list[str]:
+    """Primary-key column names in ordinal order from the live server
+    via java.sql.DatabaseMetaData.getPrimaryKeys — the engine-portable
+    equivalent of PK_INTROSPECTION_SQL (the reference's
+    information_schema query, PGHelperFunction.py:12-22). Falls back to
+    the server's case-folded name (Derby/Oracle store unquoted
+    identifiers uppercase) when the exact name has no PK rows."""
+    conn = _get_connection(url, properties, spark)
+    try:
+        meta = conn.getMetaData()
+        for candidate in (table, table.upper(), table.lower()):
+            rs = meta.getPrimaryKeys(None, None, candidate)
+            cols: list[tuple[int, str]] = []
+            while rs.next():
+                cols.append((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+            rs.close()
+            if cols:
+                return [c for _, c in sorted(cols)]
+        return []
+    finally:
+        conn.close()
+
+
+def introspect_columns_live(
+    url: str, table: str, properties: dict[str, str], spark: SparkSession | None = None
+) -> list[str]:
+    """All column names in ordinal order via DatabaseMetaData.getColumns
+    — with introspect_pk_live this reproduces SETTER_INTROSPECTION_SQL
+    (non-PK update-set list, PGHelperFunction.py:24-34) against any
+    live JDBC server."""
+    conn = _get_connection(url, properties, spark)
+    try:
+        meta = conn.getMetaData()
+        for candidate in (table, table.upper(), table.lower()):
+            rs = meta.getColumns(None, None, candidate, None)
+            cols: list[tuple[int, str]] = []
+            while rs.next():
+                cols.append((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME")))
+            rs.close()
+            if cols:
+                return [c for _, c in sorted(cols)]
+        return []
+    finally:
+        conn.close()
 
 
 def _get_connection(url: str, properties: dict[str, str], spark: SparkSession | None):
