@@ -105,6 +105,41 @@ def load_table(
     return _timed(run)
 
 
+def load_table_jdbc(
+    spark: SparkSession,
+    source: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    mode: str = "upsert",
+    dialect: str = "ansi",
+) -> StepResult:
+    """step=blobtopostgres against a LIVE JDBC sink — the reference's
+    actual loop (adffunction/__init__.py:117-194): append mode is the
+    distributed COPY equivalent (:166-168); upsert mode introspects the
+    PK from the live server (PGHelperFunction.py:12-22 — and like the
+    reference, errors when the target has none, :22-23) then runs the
+    staged server-side MERGE (:44-77). `tests/test_pipeline_e2e.py`
+    drives this against embedded Derby."""
+
+    def run() -> dict[str, Any]:
+        from azure_data_engineering_spark.sources import jdbc as J
+
+        n = source.count()
+        if mode == "append":
+            J.jdbc_append(source, url, table, properties)
+            return {"mode": "append", "table": table, "rows": n}
+        if mode != "upsert":
+            raise ValueError(f"mode must be append|upsert, got {mode!r}")
+        pk = J.introspect_pk_live(url, table, properties, spark)
+        if not pk:
+            raise ValueError(f"no primary key found for table {table!r}")
+        merge_sql = J.jdbc_upsert(spark, source, url, table, pk, properties, dialect=dialect)
+        return {"mode": "upsert", "table": table, "pk": pk, "rows": n, "merge_sql": merge_sql}
+
+    return _timed(run)
+
+
 def maintain(
     listing: DataFrame,
     name_col: str,
