@@ -60,6 +60,7 @@ def stream_upsert_to_parquet(
     pk: Sequence[str],
     dedup_order: Sequence | None = None,
     query_name: str = "stream_upsert",
+    checkpoint: str | None = None,
 ):
     """Run a streaming query that MERGEs every micro-batch into the
     parquet table at target_path (update-matched / insert-unmatched /
@@ -91,12 +92,12 @@ def stream_upsert_to_parquet(
         merged.write.mode("overwrite").parquet(tmp)
         _atomic_swap(target_path, tmp, batch_id)
 
-    return (
-        stream.writeStream.foreachBatch(upsert_batch)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.writeStream.foreachBatch(upsert_batch).queryName(query_name)
+    if checkpoint:
+        # durable progress log: a restarted query resumes from the
+        # first unprocessed micro-batch instead of re-ingesting
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()
 
 
 def stream_upsert_to_snapshot(
@@ -105,6 +106,7 @@ def stream_upsert_to_snapshot(
     pk: Sequence[str],
     dedup_order: Sequence | None = None,
     query_name: str = "stream_upsert_snapshot",
+    checkpoint: str | None = None,
 ):
     """The CDC sink on a manifest-committed snapshot table
     (sources/snapshot.py): each micro-batch becomes ONE atomic
@@ -124,12 +126,12 @@ def stream_upsert_to_snapshot(
         )
         snapshot_merge(batch_df, table, pk, dedup_order=order)
 
-    return (
-        stream.writeStream.foreachBatch(upsert_batch)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.writeStream.foreachBatch(upsert_batch).queryName(query_name)
+    if checkpoint:
+        # durable progress log: a restarted query resumes from the
+        # first unprocessed micro-batch instead of re-ingesting
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()
 
 
 def stream_cdc_to_snapshot(
@@ -139,6 +141,7 @@ def stream_cdc_to_snapshot(
     op_col: str = "op",
     dedup_order: Sequence | None = None,
     query_name: str = "stream_cdc_snapshot",
+    checkpoint: str | None = None,
 ):
     """Full changelog streaming (inserts, updates, AND deletes) into a
     snapshot table: each micro-batch folds through snapshot_apply_cdc
@@ -151,9 +154,7 @@ def stream_cdc_to_snapshot(
     def cdc_batch(batch_df: DataFrame, batch_id: int) -> None:
         snapshot_apply_cdc(batch_df, table, pk, op_col=op_col, dedup_order=dedup_order)
 
-    return (
-        stream.writeStream.foreachBatch(cdc_batch)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.writeStream.foreachBatch(cdc_batch).queryName(query_name)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()
