@@ -53,19 +53,33 @@ HEADLINE = [
 ]
 
 
-PROBE_QUERIES = ["q1_pricing_summary", "q_dedup_minhash", "q_tpch_q5_style"]
+# the heaviest headline queries (r2 plan-audit list) + the classic
+# agg/join shapes — where shuffle and skew behavior shows at 10x data
+PROBE_QUERIES = [
+    "q1_pricing_summary",
+    "q_tpch_q5_style",
+    "q_dedup_minhash",
+    "q_ngram_jaccard",
+    "q_grouped_map",
+    "q_ann_lsh",
+    "q_stream_tumbling",
+]
 
 
 def _probe_partner(sf_dir: str) -> str | None:
     """Scaling-probe partner dir: the largest sibling sf above the
     bench sf if one exists (e.g. sf1 next to sf0.1), else the largest
-    below it — so the probe always spans a real data-size ratio."""
+    below it — so the probe always spans a real data-size ratio.
+    Siblings are searched next to sf_dir AND in the repo-local
+    ./benchdata tier (where tools/gen_sf1.py writes sf1, because
+    /root/testdata is read-only)."""
     import glob as _glob
 
     base = os.path.dirname(sf_dir.rstrip("/"))
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchdata")
     me = float(sf_dir.rstrip("/").split("sf")[-1])
     sibs = []
-    for d in _glob.glob(os.path.join(base, "sf*")):
+    for d in _glob.glob(os.path.join(base, "sf*")) + _glob.glob(os.path.join(local, "sf*")):
         try:
             sibs.append((float(d.rstrip("/").split("sf")[-1]), d))
         except ValueError:
@@ -77,6 +91,24 @@ def _probe_partner(sf_dir: str) -> str | None:
     if below:
         return below[-1][1]
     return None
+
+
+def _canary(spark) -> float:
+    """Machine-speed canary: a fixed pure-JVM workload independent of
+    any engine code (range scan + hash + sum in whole-stage codegen).
+    Cross-round bench comparisons divide by this — if every query AND
+    the canary shift by the same factor, the machine changed speed,
+    not the code (observed: round-3 VM ran ~1.7x slower than round-2
+    on byte-identical r2 queries)."""
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS s"  # xor-agg: overflow-free under ANSI
+        ).write.format("noop").mode("overwrite").save()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    return best
 
 
 def _time_query(qs, name, spark, sf_dir: str, runs: int = 2) -> float:
@@ -146,7 +178,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "probe": probe,
+                "canary_sec": round(_canary(spark), 3),
                 "notes": {
+                    "canary_sec": "fixed pure-JVM workload (range+hash+sum, no "
+                    "engine code); divide cross-round timings by it to cancel "
+                    "machine-speed drift. Round-3 measured byte-identical r2 "
+                    "queries uniformly ~1.7x slower than BENCH_r02 before any "
+                    "code diff — VM speed, not regression.",
                     "q_ann_lsh": "since r2 includes brute-force recall verification "
                     "(oracle upgrade), not just the ANN path",
                     "q_dedup_minhash": "since r2 includes the exact-Jaccard truth "
