@@ -2071,6 +2071,97 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec end-to-end on executors (sources/media_codecs.py
+    — pure stdlib zlib, no PIL): synthesize a deterministic grayscale
+    image per doc (pixel i = (id*7+i) % 256, size id%31+1 x id%23+1),
+    encode it as a genuine PNG with filter type id%5 — so all five
+    PNG scanline filters flow through the decoder's unfilter path —
+    then image_pixel_stats zlib-inflates + unfilters the bytes back
+    and aggregates. The oracle recomputes the pixel aggregates from
+    the generating formula: any codec bug (filter math, stride,
+    signature) breaks the hash match."""
+    import pandas as pd
+
+    from azure_data_engineering_spark.sources.media_codecs import png_encode
+    from azure_data_engineering_spark.sources.multimodal import image_pixel_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def make_pngs(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                i = int(row["doc_id"])
+                w, h = i % 31 + 1, i % 23 + 1
+                px = bytes((i * 7 + k) % 256 for k in range(w * h))
+                rows.append((i, png_encode(px, w, h, channels=1, filter_type=i % 5)))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = d.mapInPandas(make_pngs, schema="id bigint, payload binary")
+    return image_pixel_stats(payloads)
+
+
+Q_IMAGE_DECODE_SQL = """
+WITH d AS (
+  SELECT doc_id AS id, doc_id % 31 + 1 AS width, doc_id % 23 + 1 AS height
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT id, width, height, (id * 7 + i) % 256 AS v
+  FROM d, LATERAL unnest(range(width * height)) AS t(i)
+)
+SELECT id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       count(*) AS n_pixels, CAST(sum(v) AS BIGINT) AS sum_px,
+       CAST(min(v) AS BIGINT) AS min_px, CAST(max(v) AS BIGINT) AS max_px
+FROM px GROUP BY id, width, height
+"""
+
+
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV codec end-to-end on executors (stdlib wave): per doc, a
+    deterministic mono 16-bit PCM clip (frame i = (id*31 + i*7) % 4001
+    - 2000, n_frames = id%500+10 at 8kHz) is encoded to genuine WAV
+    bytes and decode_audio_metadata parses them back — channel/rate/
+    frame metadata plus the sample sum, all recomputed arithmetically
+    by the oracle."""
+    import struct as _struct
+
+    import pandas as pd
+
+    from azure_data_engineering_spark.sources.media_codecs import wav_encode
+    from azure_data_engineering_spark.sources.multimodal import decode_audio_metadata
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def make_wavs(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                i = int(row["doc_id"])
+                n = i % 500 + 10
+                samples = [(i * 31 + k * 7) % 4001 - 2000 for k in range(n)]
+                raw = _struct.pack(f"<{n}h", *samples)
+                rows.append((i, wav_encode(raw, 8000, channels=1)))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = d.mapInPandas(make_wavs, schema="id bigint, payload binary")
+    return decode_audio_metadata(payloads)
+
+
+Q_AUDIO_DECODE_SQL = """
+WITH d AS (
+  SELECT doc_id AS id, doc_id % 500 + 10 AS n FROM documents WHERE doc_id < 200
+), s AS (
+  SELECT id, n, (id * 31 + k * 7) % 4001 - 2000 AS v
+  FROM d, LATERAL unnest(range(n)) AS t(k)
+)
+SELECT id, CAST(1 AS BIGINT) AS n_channels, CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_frames, CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(sum(v) AS BIGINT) AS sum_amp
+FROM s GROUP BY id, n
+"""
+
+
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array op pack over tokenized text: size/contains/distinct/sorted
     head."""
@@ -5900,6 +5991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stats_agg": q_stats_agg,
         "q_quality_score": q_quality_score,
         "q_multimodal_frames": q_multimodal_frames,
+        "q_image_decode": q_image_decode,
+        "q_audio_decode": q_audio_decode,
         "q_array_functions": q_array_functions,
         "q_maxby_aggregates": q_maxby_aggregates,
         "q_having": q_having,
@@ -6062,6 +6155,8 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "q_quality_score": Q_QUALITY_SCORE_SQL,
         "q_multimodal_frames": Q_MULTIMODAL_FRAMES_SQL,
+        "q_image_decode": Q_IMAGE_DECODE_SQL,
+        "q_audio_decode": Q_AUDIO_DECODE_SQL,
         "q_array_functions": Q_ARRAY_FUNCTIONS_SQL,
         "q_maxby_aggregates": Q_MAXBY_SQL,
         "q_stream_sliding": Q_SLIDING_WINDOW_SQL,

@@ -6,11 +6,17 @@ extract / resize / frame-sample run as Arrow-batched Pandas UDFs via
 mapInPandas so the bytes never round-trip through the driver and each
 executor processes columnar batches.
 
-The real media codecs (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the decode kernel is a clearly-marked deterministic fake
-(metadata derived from the payload bytes); the Spark-side plumbing —
-schema, batch iteration, partitioning — is real and is what the tests
-cover. Swap `_fake_decode` for a real codec in production.
+PIL/ffmpeg/torchaudio are NOT in this container (and installs are
+off-limits), so decode is two-tier:
+
+- REAL pure-stdlib codecs (sources/media_codecs.py) for PNG / BMP /
+  WAV — decode_image_metadata / image_pixel_stats /
+  decode_audio_metadata below genuinely parse+inflate the payload
+  bytes on executors;
+- the clearly-marked deterministic fake (`_fake_decode`) for every
+  other format, kept so the original metadata surface stays
+  reproducible and oracle-checkable. Swap in PIL/ffmpeg for the long
+  tail in production; the Arrow batch plumbing is identical.
 """
 
 from __future__ import annotations
@@ -96,6 +102,123 @@ def resize_metadata(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             )
 
     return df.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+IMAGE_META_SCHEMA = "id bigint, format string, width long, height long, channels long"
+
+
+def decode_image_metadata(df: DataFrame) -> DataFrame:
+    """REAL image metadata decode (PNG IHDR / BMP header parse — no
+    full inflate) via mapInPandas; unknown formats fall back to the
+    deterministic fake with format='fake'. Input: (id, payload)."""
+    from azure_data_engineering_spark.sources.media_codecs import (
+        bmp_header,
+        png_header,
+        sniff,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                b = bytes(row["payload"])
+                fmt = sniff(b)
+                try:
+                    if fmt == "png":
+                        w, h, _depth, color = png_header(b)
+                        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color, 0)
+                    elif fmt == "bmp":
+                        w, h, bpp = bmp_header(b)
+                        channels = max(bpp // 8, 1)
+                    else:
+                        raise ValueError("unknown format")
+                except (ValueError, IndexError, KeyError):
+                    _n, w, h, _cs = _fake_decode(b)
+                    fmt, channels = "fake", 1
+                rows.append((row["id"], fmt, w, h, channels))
+            yield pd.DataFrame(rows, columns=["id", "format", "width", "height", "channels"])
+
+    return df.mapInPandas(kernel, schema=IMAGE_META_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = (
+    "id bigint, width long, height long, n_pixels long, "
+    "sum_px long, min_px long, max_px long"
+)
+
+
+def image_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL full PNG decode on executors: zlib-inflate + unfilter every
+    scanline (media_codecs.png_decode), then per-image pixel
+    aggregates. This is the feature-extraction seam with the codec
+    genuinely wired in — numpy does the per-image reduction so the
+    Python cost is per-image, not per-pixel. Non-PNG payloads raise:
+    route only sniffed PNGs here (decode_image_metadata first)."""
+    import numpy as np
+
+    from azure_data_engineering_spark.sources.media_codecs import png_decode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                w, h, bpp, px = png_decode(bytes(row["payload"]))
+                a = np.frombuffer(bytes(px), dtype=np.uint8)
+                rows.append(
+                    (
+                        row["id"],
+                        w,
+                        h,
+                        w * h,
+                        int(a.sum(dtype=np.int64)),
+                        int(a.min()),
+                        int(a.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "n_pixels", "sum_px", "min_px", "max_px"],
+            )
+
+    return df.mapInPandas(kernel, schema=PIXEL_STATS_SCHEMA)
+
+
+AUDIO_META_SCHEMA = (
+    "id bigint, n_channels long, sample_rate long, n_frames long, "
+    "duration_ms long, sum_amp long"
+)
+
+
+def decode_audio_metadata(df: DataFrame) -> DataFrame:
+    """REAL WAV decode (stdlib wave) via mapInPandas: channel/rate/
+    frame metadata plus the sum of 16-bit sample values — the hook a
+    real loudness/VAD kernel replaces. Input: (id, payload)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from azure_data_engineering_spark.sources.media_codecs import wav_decode
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                ch, rate, n, width, frames = wav_decode(bytes(row["payload"]))
+                a = np.frombuffer(frames, dtype=np.int16 if width == 2 else np.uint8)
+                rows.append(
+                    (
+                        row["id"],
+                        ch,
+                        rate,
+                        n,
+                        n * 1000 // rate,
+                        int(a.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "n_channels", "sample_rate", "n_frames", "duration_ms", "sum_amp"],
+            )
+
+    return df.mapInPandas(kernel, schema=AUDIO_META_SCHEMA)
 
 
 FEATURES_SCHEMA = "id bigint, n_bytes int, features array<double>"

@@ -1,0 +1,108 @@
+"""Pure-stdlib media codecs (sources/media_codecs.py) + their
+mapInPandas kernels (sources/multimodal.py): real PNG/BMP/WAV parsing
+on executors, deterministic-fake fallback for unknown formats."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pandas as pd
+import pytest
+
+from azure_data_engineering_spark.sources import media_codecs as M
+
+
+class TestPng:
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    def test_roundtrip_every_filter_and_colortype(self, channels, filter_type):
+        rng = random.Random(channels * 10 + filter_type)
+        w, h = 13, 9
+        px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        enc = M.png_encode(px, w, h, channels=channels, filter_type=filter_type)
+        assert M.sniff(enc) == "png"
+        W, H, C, out = M.png_decode(enc)
+        assert (W, H, C) == (w, h, channels)
+        assert bytes(out) == px
+
+    def test_header_only_no_inflate(self):
+        enc = M.png_encode(bytes(20), 5, 4, channels=1)
+        # corrupt the IDAT body: header parse must still succeed
+        broken = bytearray(enc)
+        broken[40] ^= 0xFF
+        assert M.png_header(bytes(broken)) == (5, 4, 8, 0)
+
+    def test_rejects_non_png(self):
+        with pytest.raises(ValueError):
+            M.png_decode(b"plainly not a png")
+        with pytest.raises(ValueError):
+            M.png_header(b"BMnot a png either")
+
+    def test_rejects_wrong_buffer_size(self):
+        with pytest.raises(ValueError):
+            M.png_encode(bytes(7), 4, 2, channels=1)
+
+
+class TestBmpWav:
+    def test_bmp_header_including_topdown(self):
+        bmp = b"BM" + bytes(16) + struct.pack("<ii", 17, -22) + bytes(2) + struct.pack("<H", 24)
+        assert M.sniff(bmp) == "bmp"
+        assert M.bmp_header(bmp) == (17, 22, 24)
+
+    def test_wav_roundtrip(self):
+        samples = struct.pack("<6h", 100, -100, 200, -200, 300, -300)
+        wv = M.wav_encode(samples, 8000, channels=1)
+        assert M.sniff(wv) == "wav"
+        ch, rate, n, width, frames = M.wav_decode(wv)
+        assert (ch, rate, n, width) == (1, 8000, 6, 2)
+        assert frames == samples
+
+    def test_sniff_unknown(self):
+        assert M.sniff(b"hello world, just text") is None
+
+
+class TestSparkKernels:
+    def test_decode_image_metadata_mixed_formats(self, spark):
+        """One Arrow batch mixing real PNG, real BMP, and unknown bytes:
+        the kernel parses the real ones and falls back to the documented
+        fake for the rest — per row, not per partition."""
+        from azure_data_engineering_spark.sources.multimodal import decode_image_metadata
+
+        png = M.png_encode(bytes(range(12)) * 3, 6, 2, channels=3)
+        bmp = (
+            b"BM" + bytes(16) + struct.pack("<ii", 9, 7) + bytes(2) + struct.pack("<H", 8)
+        )
+        junk = b"not an image at all"
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2, 3], "payload": [png, bmp, junk]})
+        )
+        rows = {r.id: r for r in decode_image_metadata(df).collect()}
+        assert (rows[1].format, rows[1].width, rows[1].height, rows[1].channels) == ("png", 6, 2, 3)
+        assert (rows[2].format, rows[2].width, rows[2].height, rows[2].channels) == ("bmp", 9, 7, 1)
+        assert rows[3].format == "fake"  # deterministic fallback
+        assert rows[3].width == len(junk) % 64 + 1
+
+    def test_image_pixel_stats_matches_source_pixels(self, spark):
+        from azure_data_engineering_spark.sources.multimodal import image_pixel_stats
+
+        px = bytes((3 * k + 1) % 256 for k in range(15 * 4))
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [7], "payload": [M.png_encode(px, 15, 4, filter_type=4)]})
+        )
+        r = image_pixel_stats(df).collect()[0]
+        assert (r.width, r.height, r.n_pixels) == (15, 4, 60)
+        assert r.sum_px == sum(px) and r.min_px == min(px) and r.max_px == max(px)
+
+    def test_decode_audio_metadata(self, spark):
+        from azure_data_engineering_spark.sources.multimodal import decode_audio_metadata
+
+        samples = [(i * 7) % 300 - 150 for i in range(4000)]
+        raw = struct.pack(f"<{len(samples)}h", *samples)
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [1], "payload": [M.wav_encode(raw, 16000, channels=1)]})
+        )
+        r = decode_audio_metadata(df).collect()[0]
+        assert (r.n_channels, r.sample_rate, r.n_frames) == (1, 16000, 4000)
+        assert r.duration_ms == 250
+        assert r.sum_amp == sum(samples)
