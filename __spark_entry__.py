@@ -2117,6 +2117,58 @@ FROM px GROUP BY id, width, height
 """
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: the synthetic PNGs of
+    q_image_decode go through decode -> aspect-preserving nearest-
+    neighbor resample (numpy, vectorized) -> PNG re-encode -> re-decode
+    on executors (sources/multimodal.resize_images); the emitted
+    resampled-pixel sum is recomputed by the oracle from the generating
+    formula and the same nearest-neighbor index arithmetic
+    (src = (dst*src_extent) // dst_extent)."""
+    import pandas as pd
+
+    from azure_data_engineering_spark.sources.media_codecs import png_encode
+    from azure_data_engineering_spark.sources.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def make_pngs(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                i = int(row["doc_id"])
+                w, h = i % 31 + 1, i % 23 + 1
+                px = bytes((i * 7 + k) % 256 for k in range(w * h))
+                rows.append((i, png_encode(px, w, h, channels=1, filter_type=i % 5)))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = d.mapInPandas(make_pngs, schema="id bigint, payload binary")
+    return resize_images(payloads, target_w=8, target_h=8)
+
+
+Q_IMAGE_RESIZE_SQL = """
+WITH d AS (
+  SELECT doc_id AS id, doc_id % 31 + 1 AS w, doc_id % 23 + 1 AS h
+  FROM documents WHERE doc_id < 200
+), dims AS (
+  SELECT id, w, h,
+         greatest(CAST(trunc(w * least(8.0 / w, 8.0 / h, 1.0)) AS BIGINT), 1) AS nw,
+         greatest(CAST(trunc(h * least(8.0 / w, 8.0 / h, 1.0)) AS BIGINT), 1) AS nh
+  FROM d
+), px AS (
+  SELECT id, w, h, nw, nh,
+         (id * 7 + ((y * h) // nh) * w + ((x * w) // nw)) % 256 AS v
+  FROM dims,
+       LATERAL unnest(range(nh)) AS ty(y),
+       LATERAL unnest(range(nw)) AS tx(x)
+)
+SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       nw AS new_width, nh AS new_height,
+       CAST(sum(v) AS BIGINT) AS out_sum
+FROM px GROUP BY id, w, h, nw, nh
+"""
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV codec end-to-end on executors (stdlib wave): per doc, a
     deterministic mono 16-bit PCM clip (frame i = (id*31 + i*7) % 4001
@@ -5992,6 +6044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_multimodal_frames": q_multimodal_frames,
         "q_image_decode": q_image_decode,
+        "q_image_resize": q_image_resize,
         "q_audio_decode": q_audio_decode,
         "q_array_functions": q_array_functions,
         "q_maxby_aggregates": q_maxby_aggregates,
@@ -6156,6 +6209,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_score": Q_QUALITY_SCORE_SQL,
         "q_multimodal_frames": Q_MULTIMODAL_FRAMES_SQL,
         "q_image_decode": Q_IMAGE_DECODE_SQL,
+        "q_image_resize": Q_IMAGE_RESIZE_SQL,
         "q_audio_decode": Q_AUDIO_DECODE_SQL,
         "q_array_functions": Q_ARRAY_FUNCTIONS_SQL,
         "q_maxby_aggregates": Q_MAXBY_SQL,

@@ -183,6 +183,62 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, schema=PIXEL_STATS_SCHEMA)
 
 
+RESIZE_REAL_SCHEMA = (
+    "id bigint, width long, height long, new_width long, new_height long, out_sum long"
+)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL image resize on executors: full PNG decode (zlib inflate +
+    unfilter), aspect-preserving nearest-neighbor resample via numpy
+    fancy indexing (vectorized — no per-pixel Python), re-encode to a
+    valid PNG, and emit the resampled-pixel sum so the whole
+    decode->resample->re-encode->re-decode loop is verifiable
+    arithmetically. Grayscale 8-bit; scale = min(tw/w, th/h, 1) with
+    floor + 1-pixel floor clamp, matching resize_metadata's fake-path
+    formula so both paths share one oracle convention."""
+    import numpy as np
+
+    from azure_data_engineering_spark.sources.media_codecs import png_decode, png_encode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                w, h, bpp, px = png_decode(bytes(row["payload"]))
+                if bpp != 1:
+                    raise ValueError("resize_images expects grayscale PNG")
+                a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w)
+                scale = min(target_w / w, target_h / h, 1.0)
+                nw = max(int(w * scale), 1)
+                nh = max(int(h * scale), 1)
+                iy = (np.arange(nh) * h) // nh
+                ix = (np.arange(nw) * w) // nw
+                out = a[np.ix_(iy, ix)]
+                # re-encode and re-decode: the emitted stats cover the
+                # full codec loop, not just the resample
+                rt_w, rt_h, _, rt_px = png_decode(
+                    png_encode(out.tobytes(), nw, nh, channels=1)
+                )
+                assert (rt_w, rt_h) == (nw, nh)
+                rows.append(
+                    (
+                        row["id"],
+                        w,
+                        h,
+                        nw,
+                        nh,
+                        int(np.frombuffer(bytes(rt_px), dtype=np.uint8).sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "new_width", "new_height", "out_sum"],
+            )
+
+    return df.mapInPandas(kernel, schema=RESIZE_REAL_SCHEMA)
+
+
 AUDIO_META_SCHEMA = (
     "id bigint, n_channels long, sample_rate long, n_frames long, "
     "duration_ms long, sum_amp long"

@@ -106,3 +106,32 @@ class TestSparkKernels:
         assert (r.n_channels, r.sample_rate, r.n_frames) == (1, 16000, 4000)
         assert r.duration_ms == 250
         assert r.sum_amp == sum(samples)
+
+
+class TestResizeImages:
+    def test_nearest_neighbor_resample_roundtrip(self, spark):
+        """Known 4x2 gradient fit into 2x2: scale=0.5, nearest picks
+        src index (dst*src)//new — verify exact output pixels."""
+        from azure_data_engineering_spark.sources.multimodal import resize_images
+
+        px = bytes([0, 10, 20, 30, 100, 110, 120, 130])  # 4 wide, 2 tall
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [1], "payload": [M.png_encode(px, 4, 2, channels=1)]})
+        )
+        r = resize_images(df, target_w=2, target_h=2).collect()[0]
+        # scale = min(2/4, 2/2, 1) = 0.5 -> 2x1; ix = [0,2], iy = [0]
+        assert (r.width, r.height, r.new_width, r.new_height) == (4, 2, 2, 1)
+        assert r.out_sum == 0 + 20
+
+    def test_upscale_is_clamped(self, spark):
+        """Images already inside the box pass through (scale capped at
+        1.0) — sum equals the source sum."""
+        from azure_data_engineering_spark.sources.multimodal import resize_images
+
+        px = bytes([5, 6, 7, 8])
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [1], "payload": [M.png_encode(px, 2, 2, channels=1)]})
+        )
+        r = resize_images(df, target_w=32, target_h=32).collect()[0]
+        assert (r.new_width, r.new_height) == (2, 2)
+        assert r.out_sum == 26
