@@ -135,3 +135,42 @@ class TestResizeImages:
         r = resize_images(df, target_w=32, target_h=32).collect()[0]
         assert (r.new_width, r.new_height) == (2, 2)
         assert r.out_sum == 26
+
+
+class TestCodecProperties:
+    """Property-based round-trips: ANY pixel/sample buffer survives
+    encode->decode bit-exactly, for every filter type and channel
+    count hypothesis picks."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 16),
+        channels=st.integers(1, 4),
+        filter_type=st.integers(0, 4),
+        seed=st.integers(0, 2**31),
+    )
+    def test_png_roundtrip_property(self, w, h, channels, filter_type, seed):
+        rng = random.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        W, H, C, out = M.png_decode(M.png_encode(px, w, h, channels, filter_type))
+        assert (W, H, C, bytes(out)) == (w, h, channels, px)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 500),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        channels=st.integers(1, 2),
+        seed=st.integers(0, 2**31),
+    )
+    def test_wav_roundtrip_property(self, n, rate, channels, seed):
+        rng = random.Random(seed)
+        raw = struct.pack(
+            f"<{n * channels}h",
+            *[rng.randrange(-32768, 32768) for _ in range(n * channels)],
+        )
+        ch, r, frames, width, data = M.wav_decode(M.wav_encode(raw, rate, channels))
+        assert (ch, r, frames, width, data) == (channels, rate, n, 2, raw)
