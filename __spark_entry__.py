@@ -1163,6 +1163,119 @@ FROM inter WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.7
 """
 
 
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous near-dup dedup against a PERSISTED signature store
+    (streaming/dedup_stream.py) — a real availableNow streaming run
+    over two deterministic micro-batches: batch 1 seeds the store with
+    distinct docs; batch 2 mixes fresh docs with EXACT copies of 50
+    batch-1 survivors. Copies of survivors share identical minhash
+    signatures, so every band bucket collides with the store and all
+    50 MUST drop (deterministic); fresh docs are gated at >= 0.9 kept
+    (the synthetic corpus has natural near-dups that can legitimately
+    collide). The store advances one atomic snapshot version per
+    micro-batch."""
+    import os
+    import tempfile
+    import time as _time
+
+    from azure_data_engineering_spark.sources.snapshot import snapshot_versions
+    from azure_data_engineering_spark.streaming.dedup_stream import (
+        band_buckets,
+        stream_neardup_filter,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    # batch-1 survivors under the SAME banding algebra the stream
+    # applies (intra-batch min-id wins) — determines which copies are
+    # guaranteed history hits
+    from azure_data_engineering_spark.operators.dedup import minhash_lsh_candidates
+
+    intra = minhash_lsh_candidates(b1, "text", "doc_id").select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    s1 = b1.join(intra, ["doc_id"], "left_anti")
+    copy_src = s1.orderBy("doc_id").limit(50)
+    copies = copy_src.select((F.col("doc_id") + 30_000).alias("doc_id"), "text")
+    fresh = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250)).select(
+        "doc_id", "text"
+    )
+    b2 = fresh.unionByName(copies)
+
+    root = tempfile.mkdtemp(prefix="neardup_q_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    b1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    _time.sleep(1.05)  # distinct mtimes => deterministic batch order
+    b2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+    # flatten: the file source streams files, one dir level
+    import glob as _glob
+    import shutil as _shutil
+
+    flat = os.path.join(root, "flat")
+    os.makedirs(flat)
+    for i, sub in enumerate(["b1", "b2"]):
+        part = _glob.glob(os.path.join(src, sub, "part-*.parquet"))[0]
+        _shutil.copy(part, os.path.join(flat, f"batch{i}.parquet"))
+        os.utime(os.path.join(flat, f"batch{i}.parquet"), (_time.time() + i, _time.time() + i))
+
+    store = os.path.join(root, "store")
+    out = os.path.join(root, "out")
+    schema = spark.read.parquet(flat).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    q = stream_neardup_filter(stream, store, out, "text", "doc_id")
+    q.awaitTermination()
+
+    kept = spark.read.parquet(out)
+    n_b1 = b1.count()
+    n_s1 = s1.count()
+    n_fresh = fresh.count()
+    n_copies_kept = kept.filter(F.col("doc_id") >= 30_000).count()
+    n_fresh_kept = kept.filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 250)
+    ).count()
+    n_versions = len(snapshot_versions(store))
+    # LSH S-curve bound for the intra-batch drop set: everything with
+    # exact Jaccard >= 0.7 MUST have dropped (measured recall 1.0
+    # there), nothing below 0.5 should have — so survivors lie in
+    # [n_b1 - |J>=0.5 higher ids|, n_b1 - |J>=0.7 higher ids|]; both
+    # bounds are exact-Jaccard counts the oracle recomputes.
+    from azure_data_engineering_spark.operators.dedup import ngram_jaccard_pairs
+
+    drop_hi = (
+        ngram_jaccard_pairs(b1, "text", "doc_id", threshold=0.7)
+        .select("id_b").distinct().count()
+    )
+    drop_lo = (
+        ngram_jaccard_pairs(b1, "text", "doc_id", threshold=0.5)
+        .select("id_b").distinct().count()
+    )
+    survivors_in_bounds = (n_b1 - drop_lo) <= n_s1 <= (n_b1 - drop_hi)
+    return spark.createDataFrame(
+        [
+            (
+                n_b1,
+                n_copies_kept,
+                survivors_in_bounds,
+                n_fresh_kept / n_fresh >= 0.9,
+                n_versions,
+            )
+        ],
+        "n_batch1 long, n_copies_kept long, survivors_in_bounds boolean, "
+        "fresh_keep_ok boolean, n_versions long",
+    )
+
+
+Q_STREAM_NEARDUP_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_batch1,
+       CAST(0 AS BIGINT) AS n_copies_kept,
+       TRUE AS survivors_in_bounds,
+       TRUE AS fresh_keep_ok,
+       CAST(2 AS BIGINT) AS n_versions
+FROM documents WHERE doc_id < 150
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash locality property, oracle-gated: for each doc with an
     injected near-duplicate (one appended word), the 64-bit signatures
@@ -5995,6 +6108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_file_listing": q_file_listing,
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_dedup": q_stream_dedup,
+        "q_stream_neardup": q_stream_neardup,
         "q_stream_session": q_stream_session,
         "q_stream_stream_join": q_stream_stream_join,
         "q_stateful_stream": q_stateful_stream,
@@ -6251,6 +6365,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cohort_retention": Q_COHORT_RETENTION_SQL,
         "q_funnel": Q_FUNNEL_SQL,
         "q_stream_dedup": Q_STREAM_DEDUP_SQL,
+        "q_stream_neardup": Q_STREAM_NEARDUP_SQL,
         "q_tpch_q3_style": Q_TPCH_Q3_SQL,
         "q_line_dedup": Q_LINE_DEDUP_SQL,
         "q_stream_static_join": Q_STREAM_STATIC_JOIN_SQL,
