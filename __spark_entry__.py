@@ -2105,6 +2105,101 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
 """
 
 
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-preprocessing HTML -> text (functions/text.strip_html):
+    each doc is wrapped in deterministic HTML — attributes, a script
+    subtree containing a '<' that must NOT terminate tag-stripping, a
+    style subtree, and escaped entities in content — then stripped
+    entirely in codegen regexps. The oracle applies the identical
+    pattern chain in DuckDB (RE2): md5 of the recovered text must
+    match byte-for-byte."""
+    from azure_data_engineering_spark.functions.text import strip_html
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    html = F.concat(
+        F.lit('<html><body data-id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><h1>Title</h1><script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit("<style>p { color: red; }</style><p>"),
+        F.col("text"),
+        F.lit(" &amp; tail &lt;kept&gt;</p></body></html>"),
+    )
+    clean = strip_html(html)
+    return d.select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
+
+
+Q_STRIP_HTML_SQL = """
+WITH wrapped AS (
+  SELECT doc_id,
+         '<html><body data-id="' || CAST(doc_id AS VARCHAR)
+         || '"><h1>Title</h1><script type="text/javascript">var x = 1 < 2;</script>'
+         || '<style>p { color: red; }</style><p>' || text
+         || ' &amp; tail &lt;kept&gt;</p></body></html>' AS h
+  FROM documents WHERE doc_id < 1500
+), stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<[^>]+>', ' ', 'g'),
+           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', ''''),
+           '\\s+', ' ', 'g')) AS clean
+  FROM wrapped
+)
+SELECT doc_id, md5(clean) AS clean_md5, CAST(length(clean) AS BIGINT) AS clean_len
+FROM stripped
+"""
+
+
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/text.normalize_nfc, the
+    sanctioned Arrow-batched Python seam — no JVM built-in exists):
+    decomposed sequences (e+U+0301, o+U+0308) are appended to each doc
+    and normalized; DuckDB's utf8proc nfc_normalize must produce the
+    identical byte sequence (md5) and the composed forms must be
+    SHORTER in code points than the raw concatenation — proving real
+    composition happened, not a pass-through."""
+    from azure_data_engineering_spark.functions.text import normalize_nfc
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    raw = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" café naïve élève"),
+    )
+    nfc = normalize_nfc(raw)
+    return d.select(
+        "doc_id",
+        F.md5(nfc).alias("nfc_md5"),
+        F.length(nfc).cast("long").alias("nfc_len"),
+        F.length(raw).cast("long").alias("raw_len"),
+        (F.length(nfc) < F.length(raw)).alias("composed"),
+    )
+
+
+Q_UNICODE_NFC_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' cafe' || chr(769) || ' nai' || chr(776)
+         || 've e' || chr(769) || 'le' || chr(768) || 've' AS r
+  FROM documents WHERE doc_id < 1500
+)
+SELECT doc_id,
+       md5(nfc_normalize(r)) AS nfc_md5,
+       CAST(length(nfc_normalize(r)) AS BIGINT) AS nfc_len,
+       CAST(length(r) AS BIGINT) AS raw_len,
+       length(nfc_normalize(r)) < length(r) AS composed
+FROM raw
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document quality score (token count, char length,
     punct + stopword ratios) with a keep/drop verdict — the filter
@@ -6145,6 +6240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_by_name": q_union_by_name,
         "q_token_count": q_token_count,
         "q_fingerprint": q_fingerprint,
+        "q_strip_html": q_strip_html,
+        "q_unicode_nfc": q_unicode_nfc,
         "q_lang_id": q_lang_id,
         "q_batch_tumbling": q_batch_tumbling,
         "q_sliding_window": q_sliding_window,
@@ -6301,6 +6398,8 @@ def oracle_sql() -> dict[str, str]:
         "q_text_stats": Q_TEXT_STATS_SQL,
         "q_token_count": Q_TOKEN_COUNT_SQL,
         "q_fingerprint": Q_FINGERPRINT_SQL,
+        "q_strip_html": Q_STRIP_HTML_SQL,
+        "q_unicode_nfc": Q_UNICODE_NFC_SQL,
         "q_lang_id": Q_LANG_ID_SQL,
         "q_multimodal_meta": Q_MULTIMODAL_META_SQL,
         "q_stream_tumbling": Q_STREAM_TUMBLING_SQL,

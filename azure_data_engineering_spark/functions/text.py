@@ -95,3 +95,46 @@ def detect_lang(col: Column) -> Column:
     for lang in reversed(langs):
         out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
     return out
+
+
+def strip_html(col: Column) -> Column:
+    """HTML -> text for crawl preprocessing, entirely in codegen
+    regexps (no parser dependency): drop script/style subtrees, strip
+    tags, unescape the common entities LAST (so '&lt;b&gt;' in content
+    survives as literal text, never re-parsed as a tag), collapse
+    whitespace. Patterns avoid lookaround so Java regex (Spark) and
+    RE2 (DuckDB oracle) agree byte-for-byte."""
+    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def normalize_nfc(col: Column) -> Column:
+    """Unicode NFC normalization (decomposed e+U+0301 -> é etc.) — an
+    LLM-corpus must-have (mixed-form text double-counts vocabulary and
+    dodges exact dedup). No JVM built-in exists, so this is the one
+    sanctioned Python seam: an Arrow-batched pandas UDF over
+    unicodedata.normalize — vectorized transfer, per-batch Python,
+    ~identical cost to a string copy at corpus scale."""
+    import pandas as pd  # noqa: F401 — needed at module-eval time for the UDF type hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda v: None if v is None else unicodedata.normalize("NFC", v))
+
+    # annotate explicitly so pandas_udf's type-hint inference sees real
+    # classes (string hints from a local import don't resolve)
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")(col)

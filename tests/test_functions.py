@@ -104,3 +104,42 @@ class TestTextFunctions:
         assert _one(spark, detect_lang(F.lit("zzz qqq"))) == "und"
         # tiebreak: 'de' before 'zh' alphabetically when scores equal
         assert _one(spark, detect_lang(F.lit("und wo shi"))) in ("de", "zh")
+
+
+class TestHtmlAndUnicode:
+    def test_strip_html_drops_subtrees_and_unescapes_last(self, spark):
+        from azure_data_engineering_spark.functions.text import strip_html
+        from pyspark.sql import functions as F
+
+        html = (
+            '<div class="x"><script>if (1 < 2) alert("hi");</script>'
+            "<style>a { b: c; }</style><p>Hello  <b>world</b></p>"
+            " &lt;tag&gt; &amp; &quot;q&quot;</div>"
+        )
+        df = spark.createDataFrame([(html,)], ["h"])
+        out = df.select(strip_html(F.col("h")).alias("t")).collect()[0].t
+        # entities unescape AFTER tag stripping: '<tag>' survives as text
+        assert out == 'Hello world <tag> & "q"'
+
+    def test_strip_html_none_and_plain(self, spark):
+        from azure_data_engineering_spark.functions.text import strip_html
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("no tags here",), (None,)], ["h"])
+        rows = df.select(strip_html(F.col("h")).alias("t")).collect()
+        assert rows[0].t == "no tags here" and rows[1].t is None
+
+    def test_normalize_nfc_composes_and_is_idempotent(self, spark):
+        import unicodedata
+
+        from azure_data_engineering_spark.functions.text import normalize_nfc
+        from pyspark.sql import functions as F
+
+        decomposed = "café naïve"
+        composed = unicodedata.normalize("NFC", decomposed)
+        assert decomposed != composed  # the fixture genuinely decomposes
+        df = spark.createDataFrame([(decomposed,), (composed,), (None,)], ["s"])
+        rows = df.select(normalize_nfc(F.col("s")).alias("n")).collect()
+        assert rows[0].n == composed
+        assert rows[1].n == composed  # idempotent
+        assert rows[2].n is None
