@@ -2105,6 +2105,84 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
 """
 
 
+def q_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width file round-trip (sources/fixed_width.py): orders →
+    padded text lines on disk → substring/trim/cast parse back (all
+    whole-stage codegen — no Python per row), aggregated per status.
+    Totalprice travels as exact integer cents so the round-trip is
+    bit-checkable; the oracle recomputes straight from the table."""
+    import tempfile
+
+    from azure_data_engineering_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    out = o.select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="fw_") + "/orders_fw"
+    write_fixed_width(out, path, {"o_orderkey": 12, "o_orderstatus": 3, "cents": 15})
+    back = read_fixed_width(
+        spark,
+        path,
+        [
+            ("o_orderkey", 1, 12, "long"),
+            ("o_orderstatus", 13, 3, "string"),
+            ("cents", 16, 15, "long"),
+        ],
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+Q_FIXED_WIDTH_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM orders WHERE o_orderkey % 7 = 0
+GROUP BY o_orderstatus
+"""
+
+
+def q_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (quartiles of extendedprice per returnflag)
+    via Spark's percentile aggregate — the deterministic complement of
+    q_approx_percentile's KLL sketch. Linear interpolation over the
+    two adjacent sorted values is the standard percentile_cont
+    formula, bit-reproducible across engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile(F.col("l_extendedprice"), F.lit([0.25, 0.5, 0.75]))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(pct.alias("q"))
+        .select(
+            "l_returnflag",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+        )
+    )
+
+
+Q_EXACT_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.50) AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-preprocessing HTML -> text (functions/text.strip_html):
     each doc is wrapped in deterministic HTML — attributes, a script
@@ -6240,6 +6318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_by_name": q_union_by_name,
         "q_token_count": q_token_count,
         "q_fingerprint": q_fingerprint,
+        "q_fixed_width": q_fixed_width,
+        "q_exact_percentile": q_exact_percentile,
         "q_strip_html": q_strip_html,
         "q_unicode_nfc": q_unicode_nfc,
         "q_lang_id": q_lang_id,
@@ -6398,6 +6478,8 @@ def oracle_sql() -> dict[str, str]:
         "q_text_stats": Q_TEXT_STATS_SQL,
         "q_token_count": Q_TOKEN_COUNT_SQL,
         "q_fingerprint": Q_FINGERPRINT_SQL,
+        "q_fixed_width": Q_FIXED_WIDTH_SQL,
+        "q_exact_percentile": Q_EXACT_PERCENTILE_SQL,
         "q_strip_html": Q_STRIP_HTML_SQL,
         "q_unicode_nfc": Q_UNICODE_NFC_SQL,
         "q_lang_id": Q_LANG_ID_SQL,

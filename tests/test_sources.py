@@ -309,3 +309,54 @@ class TestZOrder:
                 spans.append(r["s"])
         assert len(spans) >= 4
         assert sum(spans) / len(spans) < 0.8 * glob_span
+
+
+class TestFixedWidth:
+    def test_roundtrip_with_truncation_and_nulls(self, spark, tmp_path):
+        """Values wider than their field hard-truncate (no column
+        shift); malformed numerics parse to NULL, not errors."""
+        from pyspark.sql import functions as F
+
+        from azure_data_engineering_spark.sources.fixed_width import (
+            read_fixed_width,
+            write_fixed_width,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "ABCDEFGH", 10), (22, "xy", 999999)], ["k", "name", "v"]
+        )
+        path = str(tmp_path / "fw")
+        write_fixed_width(df, path, {"k": 4, "name": 5, "v": 4})
+        back = read_fixed_width(
+            spark,
+            path,
+            [("k", 1, 4, "long"), ("name", 5, 5, "string"), ("v", 10, 4, "long")],
+        )
+        rows = {r.k: (r.name, r.v) for r in back.collect()}
+        assert rows[1] == ("ABCDE", 10)  # name truncated to width 5
+        assert rows[22] == ("xy", 9999)  # v truncated: 999999 -> '9999'
+
+        # malformed numeric field -> NULL (permissive parse)
+        (tmp_path / "fw" / "bad.txt").write_text("12  oops ????\n")
+        back2 = read_fixed_width(
+            spark,
+            path,
+            [("k", 1, 4, "long"), ("name", 5, 5, "string"), ("v", 10, 4, "long")],
+        )
+        bad = [r for r in back2.collect() if r.name == "oops"][0]
+        assert bad.k == 12 and bad.v is None
+
+    def test_parse_is_codegen_only(self, spark, tmp_path):
+        """The read plan must be scan+project — no Python eval node."""
+        from azure_data_engineering_spark.sources.fixed_width import (
+            read_fixed_width,
+            write_fixed_width,
+        )
+
+        df = spark.createDataFrame([(5, "a")], ["k", "s"])
+        path = str(tmp_path / "fw2")
+        write_fixed_width(df, path, {"k": 3, "s": 2})
+        plan = read_fixed_width(
+            spark, path, [("k", 1, 3, "long"), ("s", 4, 2, "string")]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
