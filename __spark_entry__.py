@@ -2105,6 +2105,88 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
 """
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a growing lake table: an old batch written
+    WITHOUT the `lang` column coexists with a new batch that has it;
+    `mergeSchema` reconciles the footers and old rows surface
+    NULL-lang. The oracle rebuilds the union with explicit NULLs —
+    counts and id sums must agree per lang group (NULL group
+    included)."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 200).select("doc_id", "n_chars")
+    new = (
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.concat(F.lit("lang_"), (F.col("doc_id") % 3).cast("string")).alias("lang"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="evo_") + "/docs"
+    old.write.mode("overwrite").parquet(root + "/batch=0")
+    new.write.mode("overwrite").parquet(root + "/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
+Q_SCHEMA_EVOLUTION_SQL = """
+WITH unioned AS (
+  SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS lang
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id, n_chars, 'lang_' || CAST(doc_id % 3 AS VARCHAR)
+  FROM documents WHERE doc_id >= 200 AND doc_id < 400
+)
+SELECT lang, count(*) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM unioned GROUP BY lang
+"""
+
+
+def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — THE star-join scan killer at 100 TB:
+    the fact table is laid out partitioned on its join key
+    (month bucket); the dim side carries the selective filter; at run
+    time Spark builds the dim's key set first and skips every fact
+    partition outside it (plan shows `dynamicpruningexpression`,
+    asserted in tests/test_plans.py). Here 12 month-partitions exist
+    and only 3 survive the dim filter — at warehouse scale that is a
+    4x scan reduction for free. Oracle recomputes the filtered join."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    fact_dir = tempfile.mkdtemp(prefix="dpp_") + "/orders_by_month"
+    o.withColumn("o_month", F.month("o_orderdate")).write.partitionBy(
+        "o_month"
+    ).mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.range(1, 13).select(
+        F.col("id").cast("int").alias("o_month"),
+        F.when(F.col("id") <= 3, "Q1").otherwise("rest").alias("quarter"),
+    )
+    j = fact.join(dim.filter(F.col("quarter") == "Q1"), "o_month")
+    return j.groupBy("o_month").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+
+
+Q_DYNAMIC_PARTITION_PRUNING_SQL = """
+SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders WHERE month(o_orderdate) <= 3
+GROUP BY 1
+"""
+
+
 def q_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width file round-trip (sources/fixed_width.py): orders →
     padded text lines on disk → substring/trim/cast parse back (all
@@ -6319,6 +6401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": q_token_count,
         "q_fingerprint": q_fingerprint,
         "q_fixed_width": q_fixed_width,
+        "q_schema_evolution": q_schema_evolution,
+        "q_dynamic_partition_pruning": q_dynamic_partition_pruning,
         "q_exact_percentile": q_exact_percentile,
         "q_strip_html": q_strip_html,
         "q_unicode_nfc": q_unicode_nfc,
@@ -6479,6 +6563,8 @@ def oracle_sql() -> dict[str, str]:
         "q_token_count": Q_TOKEN_COUNT_SQL,
         "q_fingerprint": Q_FINGERPRINT_SQL,
         "q_fixed_width": Q_FIXED_WIDTH_SQL,
+        "q_schema_evolution": Q_SCHEMA_EVOLUTION_SQL,
+        "q_dynamic_partition_pruning": Q_DYNAMIC_PARTITION_PRUNING_SQL,
         "q_exact_percentile": Q_EXACT_PERCENTILE_SQL,
         "q_strip_html": Q_STRIP_HTML_SQL,
         "q_unicode_nfc": Q_UNICODE_NFC_SQL,

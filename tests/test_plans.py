@@ -178,3 +178,23 @@ def test_new_join_queries_avoid_nested_loops(spark, sf_dir):
         assert "BroadcastNestedLoop" not in plan
         assert "Cartesian" not in plan
         assert "HashJoin" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The star-join fact scan must carry a dynamicpruningexpression
+    PartitionFilter — i.e. fact partitions outside the dim's surviving
+    key set are skipped at run time, not scanned and discarded."""
+    import __spark_entry__ as em
+
+    df = em.q_dynamic_partition_pruning(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+
+
+def test_schema_evolution_merges_footers(spark, sf_dir):
+    """mergeSchema must surface the late-added column as NULL for old
+    files instead of failing or silently dropping it."""
+    import __spark_entry__ as em
+
+    out = {r.lang: r.n for r in em.q_schema_evolution(spark, sf_dir).collect()}
+    assert None in out and any(k is not None for k in out)
