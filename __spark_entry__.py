@@ -2187,6 +2187,58 @@ GROUP BY 1
 """
 
 
+def q_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — the shuffle-join sibling of
+    dynamic partition pruning: the selective dim side builds a
+    bloom_filter_agg at run time and the fact scan drops non-matching
+    rows BEFORE the shuffle (at 100 TB this is the difference between
+    shuffling the whole fact and shuffling the ~selectivity fraction).
+    Local thresholds are production-scaled (app side >= 10 GB), so the
+    query scopes two confs down, captures the optimized plan to prove
+    `bloom_filter_agg` was injected, restores the confs, and emits the
+    join aggregate plus that boolean — values are bloom-independent,
+    so the oracle recomputes them directly."""
+    fact = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    j = (
+        fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+        )
+    )
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        bloom_used = "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    return j.withColumn("bloom_injected", F.lit(bool(bloom_used)))
+
+
+Q_RUNTIME_BLOOM_JOIN_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       TRUE AS bloom_injected
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 400000
+GROUP BY l_returnflag
+"""
+
+
 def q_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width file round-trip (sources/fixed_width.py): orders →
     padded text lines on disk → substring/trim/cast parse back (all
@@ -6402,6 +6454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_fixed_width": q_fixed_width,
         "q_schema_evolution": q_schema_evolution,
+        "q_runtime_bloom_join": q_runtime_bloom_join,
         "q_dynamic_partition_pruning": q_dynamic_partition_pruning,
         "q_exact_percentile": q_exact_percentile,
         "q_strip_html": q_strip_html,
@@ -6564,6 +6617,7 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": Q_FINGERPRINT_SQL,
         "q_fixed_width": Q_FIXED_WIDTH_SQL,
         "q_schema_evolution": Q_SCHEMA_EVOLUTION_SQL,
+        "q_runtime_bloom_join": Q_RUNTIME_BLOOM_JOIN_SQL,
         "q_dynamic_partition_pruning": Q_DYNAMIC_PARTITION_PRUNING_SQL,
         "q_exact_percentile": Q_EXACT_PERCENTILE_SQL,
         "q_strip_html": Q_STRIP_HTML_SQL,

@@ -198,3 +198,43 @@ def test_schema_evolution_merges_footers(spark, sf_dir):
 
     out = {r.lang: r.n for r in em.q_schema_evolution(spark, sf_dir).collect()}
     assert None in out and any(k is not None for k in out)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """A 95%-hot join key must trigger AQE's runtime skew split
+    (SortMergeJoin(skew=true) + 'coalesced and skewed' shuffle read):
+    the straggler reducer is divided across tasks instead of serializing
+    the stage. Thresholds are scoped down from their production sizes
+    (256MB) to fire at test scale; the plan is read from the SAME
+    query execution that ran (a separate action would re-plan)."""
+    from pyspark.sql import functions as F
+
+    c = spark.conf
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.shuffle.partitions",
+    ]
+    saved = {k: c.get(k) for k in keys}
+    try:
+        c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        # enough reducers that the non-hot median stays small relative
+        # to the hot partition — the skew detector compares against it
+        c.set("spark.sql.shuffle.partitions", "32")
+        left = spark.range(0, 1_000_000).select(
+            F.when(F.col("id") % 20 < 19, 0).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("p1"),
+        )
+        right = spark.range(0, 50).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = left.join(right, "k").groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+        rows = j.collect()
+        assert rows == [("dim", 950_002)] or rows[0]["n"] == 950_002
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead coalesced and skewed
+    finally:
+        for k, v in saved.items():
+            c.set(k, v)
