@@ -2187,6 +2187,42 @@ GROUP BY 1
 """
 
 
+def q_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct columns on disk: documents are re-laid-out with a
+    meta struct (source, n_chars) + a tags array, round-tripped
+    through parquet, and aggregated BY a nested field. Catalyst's
+    nested-schema pruning means reading meta.n_chars alone never
+    materializes the sibling subfield (asserted in
+    tests/test_plans.py::test_nested_schema_pruning); the oracle
+    recomputes from the flat table."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    nested = d.select(
+        "doc_id",
+        F.struct(
+            F.col("source").alias("source"), F.col("n_chars").alias("n_chars")
+        ).alias("meta"),
+        F.array(F.lit("t1"), (F.col("doc_id") % 5).cast("string")).alias("tags"),
+    )
+    path = tempfile.mkdtemp(prefix="nested_") + "/docs_nested"
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("meta.source").alias("source")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("meta.n_chars").alias("chars_sum"),
+        F.count_distinct(F.col("tags")[1]).alias("n_tag_values"),
+    )
+
+
+Q_NESTED_STRUCT_SQL = """
+SELECT source, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       CAST(count(DISTINCT CAST(doc_id % 5 AS VARCHAR)) AS BIGINT) AS n_tag_values
+FROM documents GROUP BY source
+"""
+
+
 def q_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom-filter join pruning — the shuffle-join sibling of
     dynamic partition pruning: the selective dim side builds a
@@ -6455,6 +6491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fixed_width": q_fixed_width,
         "q_schema_evolution": q_schema_evolution,
         "q_runtime_bloom_join": q_runtime_bloom_join,
+        "q_nested_struct": q_nested_struct,
         "q_dynamic_partition_pruning": q_dynamic_partition_pruning,
         "q_exact_percentile": q_exact_percentile,
         "q_strip_html": q_strip_html,
@@ -6618,6 +6655,7 @@ def oracle_sql() -> dict[str, str]:
         "q_fixed_width": Q_FIXED_WIDTH_SQL,
         "q_schema_evolution": Q_SCHEMA_EVOLUTION_SQL,
         "q_runtime_bloom_join": Q_RUNTIME_BLOOM_JOIN_SQL,
+        "q_nested_struct": Q_NESTED_STRUCT_SQL,
         "q_dynamic_partition_pruning": Q_DYNAMIC_PARTITION_PRUNING_SQL,
         "q_exact_percentile": Q_EXACT_PERCENTILE_SQL,
         "q_strip_html": Q_STRIP_HTML_SQL,

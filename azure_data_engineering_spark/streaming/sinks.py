@@ -158,3 +158,35 @@ def stream_cdc_to_snapshot(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.trigger(availableNow=True).start()
+
+
+def stream_upsert_to_jdbc(
+    stream: DataFrame,
+    url: str,
+    table: str,
+    pk: Sequence[str],
+    properties: dict[str, str],
+    dialect: str = "ansi",
+    query_name: str = "stream_upsert_jdbc",
+    checkpoint: str | None = None,
+):
+    """Streaming CDC into a LIVE relational sink: every micro-batch
+    runs the staged server-side MERGE (sources/jdbc.jdbc_upsert —
+    distributed append into staging, ONE set-based statement, drop).
+    This is the reference's blob→Postgres loop
+    (adffunction/__init__.py:117-194) with the blob poll replaced by a
+    real stream; per batch the server sees exactly one transaction-
+    shaped statement, so a crashed batch re-MERGEs idempotently on
+    checkpoint replay (MERGE of the same rows is a no-op).
+    tests/test_stream_jdbc.py drives it against embedded Derby."""
+    from azure_data_engineering_spark.sources.jdbc import jdbc_upsert
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        jdbc_upsert(
+            batch_df.sparkSession, batch_df, url, table, pk, properties, dialect=dialect
+        )
+
+    writer = stream.writeStream.foreachBatch(merge_batch).queryName(query_name)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()

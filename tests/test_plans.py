@@ -238,3 +238,22 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             c.set(k, v)
+
+
+def test_nested_schema_pruning(spark, tmp_path):
+    """Selecting one struct subfield must prune its siblings out of the
+    parquet ReadSchema — at scale the difference between reading one
+    int column and deserializing every struct payload."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, ("a", 10, "heavy" * 100))], "id long, meta struct<source:string,n:long,blob:string>")
+    path = str(tmp_path / "nested")
+    df.write.parquet(path)
+    back = spark.read.parquet(path).select("id", F.col("meta.n"))
+    scan = [
+        l
+        for l in back._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "ReadSchema" in l
+    ][0]
+    assert "n:bigint" in scan.replace(" ", "")
+    assert "blob" not in scan and "source" not in scan
