@@ -131,3 +131,30 @@ class TestLiveAppendUpsert:
         )
         back = spark.read.jdbc(URL, "t_auto", properties=PROPS)
         assert sorted((r.id, r.v) for r in back.collect()) == [(7, 7.5), (8, 8.5)]
+
+
+class TestFailureCleanup:
+    def test_staging_dropped_when_merge_fails(self, spark):
+        """A failed server-side MERGE (CHECK-constraint violation) must
+        not leak the staging table or mutate the target — the finally
+        clause drops staging whatever the statement outcome."""
+        J.drop_table_if_exists(URL, "t_chk", PROPS, spark)
+        J._execute_statement(
+            URL,
+            'CREATE TABLE t_chk ("id" BIGINT NOT NULL, "v" BIGINT CHECK ("v" >= 0), '
+            'PRIMARY KEY ("id"))',
+            PROPS,
+            spark,
+        )
+        J.jdbc_append(
+            spark.createDataFrame([(1, 5)], "id long, v long"), URL, "t_chk", PROPS
+        )
+        bad = spark.createDataFrame([(1, -7)], "id long, v long")
+        with pytest.raises(Exception):
+            J.jdbc_upsert(spark, bad, URL, "t_chk", ["id"], PROPS, dialect="ansi")
+        # staging gone
+        with pytest.raises(Exception):
+            spark.read.jdbc(URL, "t_chk__stage", properties=PROPS).collect()
+        # target untouched
+        back = spark.read.jdbc(URL, "t_chk", properties=PROPS)
+        assert [(r.id, r.v) for r in back.collect()] == [(1, 5)]
