@@ -3301,6 +3301,88 @@ SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/test split (operators/clustering.
+    split_by_cluster): documents split by the hash of their NEAR-DUP
+    CLUSTER, so a test doc's near-copy can never sit in train — the
+    leak that quietly inflates evals. Same corpus + exact-Jaccard
+    cluster construction as q_dedup_clusters; the oracle rebuilds the
+    clusters with a recursive CTE and applies the identical md5
+    threshold to the cluster label. n_leaky (clusters spanning both
+    splits) is computed from the data, not assumed."""
+    from azure_data_engineering_spark.operators.clustering import split_by_cluster
+
+    d = _t(spark, sf_dir, "documents")
+    near = (
+        d.filter((F.col("doc_id") % 11 == 0) & (F.col("n_chars") > 120))
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
+    )
+    corpus = d.unionByName(near).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.6, k=3).select(
+        "id_a", "id_b"
+    )
+    sp = split_by_cluster(
+        corpus, pairs, "doc_id", {"train": 0.8, "test": 0.2}, salt="leak"
+    )
+    leaky = (
+        sp.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaky"))
+    )
+    per_split = sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    )
+    return per_split.crossJoin(leaky)
+
+
+Q_LEAKAGE_SAFE_SPLIT_SQL = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text || ' extra tail words' FROM documents
+  WHERE doc_id % 11 = 0 AND n_chars > 120
+), norm AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM corpus
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS shingle_list
+  FROM norm
+), ex AS (
+  SELECT doc_id, len(shingle_list) AS n_sh, unnest(shingle_list) AS s FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.6
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node
+), clusters AS (
+  SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+), assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || 'leak'), 1, 8) AS BIGINT)
+                   / 4294967296.0 < 0.8
+              THEN 'train' ELSE 'test' END AS split
+  FROM clusters
+)
+SELECT split, count(*) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(0 AS BIGINT) AS n_leaky
+FROM assigned GROUP BY split
+"""
+
+
 def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC upsert sink end-to-end on the REAL streaming engine: two
     micro-batches of per-user event rows MERGE into a parquet target
@@ -6519,6 +6601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_chunk_documents": q_chunk_documents,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_leakage_safe_split": q_leakage_safe_split,
         "q_multimodal_resize": q_multimodal_resize,
         "q_multimodal_features": q_multimodal_features,
         "q_mix_corpora": q_mix_corpora,
@@ -6699,6 +6782,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
         "q_chunk_documents": Q_CHUNK_DOCUMENTS_SQL,
         "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
+        "q_leakage_safe_split": Q_LEAKAGE_SAFE_SPLIT_SQL,
         "q_multimodal_resize": Q_MULTIMODAL_RESIZE_SQL,
         "q_multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
         "q_mix_corpora": Q_MIX_CORPORA_SQL,

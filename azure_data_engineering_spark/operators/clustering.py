@@ -80,3 +80,32 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def split_by_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe dataset split: rows are assigned to train/val/test
+    by the HASH OF THEIR NEAR-DUP CLUSTER, not their own id, so two
+    near-duplicate documents can never land on opposite sides of a
+    train/eval boundary (the classic contamination leak: a test doc's
+    near-copy in train). Clusters come from connected_components over
+    the candidate `pairs`; singletons are their own cluster and split
+    i.i.d. as usual. Returns df + (cluster_id, split).
+
+    Scale: components is the iterative join (lineage-truncated); the
+    split itself is one hash expression on the cluster label — no
+    extra shuffle beyond the component join-back."""
+    from azure_data_engineering_spark.operators.sampling import split_assign
+
+    comp = connected_components(pairs, "id_a", "id_b", nodes=df.select(F.col(id_col)))
+    labeled = df.join(
+        comp.select(F.col("node").alias(id_col), F.col("component").alias("cluster_id")),
+        [id_col],
+    )
+    return split_assign(labeled, "cluster_id", weights, salt=salt, split_col=split_col)

@@ -230,3 +230,36 @@ class TestWeightedBernoulli:
             r["id"] for r in weighted_bernoulli(df.repartition(13), "id", "w", 300.0).collect()
         )
         assert a == b and len(a) > 0
+
+
+class TestSplitByCluster:
+    def test_near_dups_never_cross_the_boundary(self, spark):
+        """Pairs (a,b) near-dup => same split, whatever the hash says
+        about the individual ids; singletons split independently."""
+        from pyspark.sql import functions as F
+
+        from azure_data_engineering_spark.operators.clustering import split_by_cluster
+
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i}") for i in range(40)], ["doc_id", "text"]
+        )
+        # chain 0-1-2 one cluster; 10-11 another; rest singletons
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], ["id_a", "id_b"]
+        )
+        sp = split_by_cluster(docs, pairs, "doc_id", {"train": 0.5, "test": 0.5}, salt="t")
+        rows = {r.doc_id: (r.cluster_id, r.split) for r in sp.collect()}
+        assert len(rows) == 40  # every doc assigned exactly once
+        assert rows[0] == rows[1] == rows[2]  # whole chain moves together
+        assert rows[10] == rows[11]
+        # no cluster spans splits
+        spans = (
+            sp.groupBy("cluster_id")
+            .agg(F.count_distinct("split").alias("ns"))
+            .filter(F.col("ns") > 1)
+            .count()
+        )
+        assert spans == 0
+        # both splits non-trivially populated (50/50 over ~37 clusters)
+        by_split = {r.split: r.n for r in sp.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(by_split) == {"train", "test"}
