@@ -174,3 +174,37 @@ class TestCodecProperties:
         )
         ch, r, frames, width, data = M.wav_decode(M.wav_encode(raw, rate, channels))
         assert (ch, r, frames, width, data) == (channels, rate, n, 2, raw)
+
+
+class TestBinaryFileSource:
+    def test_binaryfile_scan_feeds_the_decoder(self, spark, tmp_path):
+        """The production path end-to-end: a directory of real .png
+        files read through Spark's binaryFile source (path + content
+        columns on executors) straight into the codec kernels — no
+        synthetic payload column."""
+        from pyspark.sql import functions as F
+
+        from azure_data_engineering_spark.sources.multimodal import (
+            decode_image_metadata,
+            image_pixel_stats,
+        )
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        expect = {}
+        for i in range(1, 6):
+            w, h = 3 + i, 2 + i
+            px = bytes((i * 11 + k) % 256 for k in range(w * h))
+            (d / f"img_{i}.png").write_bytes(M.png_encode(px, w, h, filter_type=i % 5))
+            expect[i] = (w, h, sum(px))
+
+        raw = spark.read.format("binaryFile").load(str(d))
+        payloads = raw.select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.png", 1).cast("long").alias("id"),
+            F.col("content").alias("payload"),
+        )
+        meta = {r.id: (r.format, r.width, r.height) for r in decode_image_metadata(payloads).collect()}
+        stats = {r.id: (r.width, r.height, r.sum_px) for r in image_pixel_stats(payloads).collect()}
+        for i, (w, h, s) in expect.items():
+            assert meta[i] == ("png", w, h)
+            assert stats[i] == (w, h, s)
