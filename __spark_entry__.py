@@ -1179,10 +1179,7 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     from azure_data_engineering_spark.sources.snapshot import snapshot_versions
-    from azure_data_engineering_spark.streaming.dedup_stream import (
-        band_buckets,
-        stream_neardup_filter,
-    )
+    from azure_data_engineering_spark.streaming.dedup_stream import stream_neardup_filter
 
     d = _t(spark, sf_dir, "documents")
     b1 = d.filter(F.col("doc_id") < 150).select("doc_id", "text")

@@ -114,6 +114,37 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: in
     )
 
 
+def band_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band, band_hash) — each doc's minhash signature split into
+    `bands` groups of num_hashes/bands lanes, each group hashed to one
+    bucket key. The shared banding step behind minhash_lsh_candidates
+    (in-corpus pairs) and streaming/dedup_stream (probe vs a persisted
+    store): both MUST use identical band math or history probes would
+    miss what batch candidates find. Band hashes are unrolled
+    statically (getItem + concat_ws + xxhash64 stay in codegen; a
+    transform/sequence lambda would be interpreted)."""
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", *[F.col("signature")[b * r + i].cast("string") for i in range(r)])
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col).alias("id"), F.posexplode(band_hashes).alias("band", "band_hash")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -142,22 +173,10 @@ def minhash_lsh_candidates(
     standard skew guard; at 100 TB a hot bucket is a stop-shingle
     analog, not signal).
     """
-    r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    # band hashes unrolled statically (getItem + concat_ws + xxhash64
-    # stay in codegen; a transform/sequence lambda would be interpreted)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(",", *[F.col("signature")[b * r + i].cast("string") for i in range(r)])
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash"))
+    banded = band_buckets(df, text_col, id_col, num_hashes, bands, k)
     buckets = (
         banded.groupBy("band", "band_hash")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     n = F.size(F.col("ids"))

@@ -39,42 +39,18 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from azure_data_engineering_spark.operators.dedup import (
+    band_buckets,
     minhash_lsh_candidates,
-    minhash_signatures,
 )
 from azure_data_engineering_spark.sources.snapshot import (
     current_version,
     snapshot_read,
     snapshot_write,
 )
-
-
-def band_buckets(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_hashes: int = 64,
-    bands: int = 16,
-    k: int = 3,
-) -> DataFrame:
-    """(id, band, band_hash) — the exploded LSH banding of each doc's
-    minhash signature; same band math as minhash_lsh_candidates so the
-    store and the in-batch candidate pass agree exactly."""
-    r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(",", *[F.col("signature")[b * r + i].cast("string") for i in range(r)])
-            )
-            for b in range(bands)
-        ]
-    )
-    return sig.select(F.col(id_col).alias("id"), F.posexplode(band_hashes).alias("band", "band_hash"))
 
 
 def dedup_batch_against_store(
