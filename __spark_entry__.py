@@ -1182,7 +1182,7 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_data_engineering_spark.streaming.dedup_stream import stream_neardup_filter
 
     d = _t(spark, sf_dir, "documents")
-    b1 = d.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    b1 = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
     # batch-1 survivors under the SAME banding algebra the stream
     # applies (intra-batch min-id wins) — determines which copies are
     # guaranteed history hits
@@ -1192,9 +1192,9 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("doc_id")
     ).distinct()
     s1 = b1.join(intra, ["doc_id"], "left_anti")
-    copy_src = s1.orderBy("doc_id").limit(50)
+    copy_src = s1.orderBy("doc_id").limit(30)
     copies = copy_src.select((F.col("doc_id") + 30_000).alias("doc_id"), "text")
-    fresh = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250)).select(
+    fresh = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 160)).select(
         "doc_id", "text"
     )
     b2 = fresh.unionByName(copies)
@@ -1229,7 +1229,7 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_fresh = fresh.count()
     n_copies_kept = kept.filter(F.col("doc_id") >= 30_000).count()
     n_fresh_kept = kept.filter(
-        (F.col("doc_id") >= 150) & (F.col("doc_id") < 250)
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 160)
     ).count()
     n_versions = len(snapshot_versions(store))
     # LSH S-curve bound for the intra-batch drop set: everything with
@@ -1269,7 +1269,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_batch1,
        TRUE AS survivors_in_bounds,
        TRUE AS fresh_keep_ok,
        CAST(2 AS BIGINT) AS n_versions
-FROM documents WHERE doc_id < 150
+FROM documents WHERE doc_id < 100
 """
 
 
