@@ -34,7 +34,12 @@ Scale notes:
 - crash safety = the snapshot commit protocol: a batch that dies
   before its pointer swap leaves the store on the previous version and
   the checkpoint replays the batch (tests/test_stream_recovery.py
-  proves the pattern for the CDC sink).
+  proves the pattern for the CDC sink);
+- maintenance: append commits add O(1) files per batch, so after many
+  batches the store accumulates small files and old manifests — run
+  sources/compaction.compact_parquet on a re-snapshot plus
+  sources/snapshot.vacuum(keep_last=N) periodically, exactly like any
+  log-structured table.
 """
 
 from __future__ import annotations
