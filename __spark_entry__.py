@@ -2757,7 +2757,13 @@ FROM orders GROUP BY o_custkey HAVING count(*) > 15
 def q_tpch_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style local-supplier volume: 6-way join through both
     dim chains (customer→nation→region and supplier→nation) with the
-    same-nation constraint; Catalyst orders the joins, dims broadcast."""
+    same-nation constraint; Catalyst orders the joins, dims broadcast.
+
+    Revenue aggregates in EXACT DECIMAL (cast at the scan, sum exact):
+    a double sum drifts with accumulation order — measured at sf1 the
+    two engines' 2dp-rounded revenues differed by one cent on one
+    nation — while decimal is bit-identical at any scale and partition
+    count. TPC-H itself specifies decimal money columns."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").between(
@@ -2775,13 +2781,27 @@ def q_tpch_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            # exact decimal sum at full 4dp product scale, then a
+            # lossless decimal->double conversion; re-rounding to 2dp
+            # would hit HALF_UP (Spark) vs HALF_EVEN (DuckDB) on exact
+            # .xx5 boundaries
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
         .orderBy("n_name")
     )
 
 
 Q_TPCH_Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
