@@ -189,6 +189,9 @@ def main() -> None:
                     "(oracle upgrade), not just the ANN path",
                     "q_dedup_minhash": "since r2 includes the exact-Jaccard truth "
                     "pass for recall gating (oracle upgrade), not just LSH banding",
+                    "q_tpch_q5_style": "since r3 aggregates revenue in exact "
+                    "decimal (double sums drifted 1 cent at sf1 from "
+                    "accumulation order) — deliberate correctness-over-speed",
                 },
             }
         )
