@@ -103,7 +103,13 @@ def strip_html(col: Column) -> Column:
     tags, unescape the common entities LAST (so '&lt;b&gt;' in content
     survives as literal text, never re-parsed as a tag), collapse
     whitespace. Patterns avoid lookaround so Java regex (Spark) and
-    RE2 (DuckDB oracle) agree byte-for-byte."""
+    RE2 (DuckDB oracle) agree byte-for-byte.
+
+    Known regex-parser boundary (same as every regex HTML stripper):
+    a literal '>' inside a quoted attribute value (<a title="a>b">)
+    terminates the tag match early and leaks the remainder as text.
+    Real crawls rarely emit that; a full parser belongs behind
+    mapInPandas if a corpus needs it."""
     out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
     out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
     out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
