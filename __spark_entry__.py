@@ -884,7 +884,7 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", F.col("o_totalprice") + 1000.0
     ).withColumn("o_orderstatus", F.lit("U"))
     inserts = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 10_000_000
+        "o_orderkey", F.col("o_orderkey") + 10_000_000_000
     ).withColumn("o_orderstatus", F.lit("N"))
     source = updates.unionByName(inserts)
     merged = merge_upsert(target, source, ["o_orderkey"])
@@ -898,7 +898,7 @@ source AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
   FROM base WHERE o_orderkey % 3 = 0
   UNION ALL
-  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice FROM base WHERE o_orderkey % 5 = 0
+  SELECT o_orderkey + 10000000000, o_custkey, 'N', o_totalprice FROM base WHERE o_orderkey % 5 = 0
 )
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM source
 UNION ALL
@@ -967,7 +967,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates (documents has none naturally): canonical id = min,
     dup_count per text."""
     d = _t(spark, sf_dir, "documents")
-    dupes = d.filter(F.col("doc_id") % 7 == 0).withColumn("doc_id", F.col("doc_id") + 10_000)
+    dupes = d.filter(F.col("doc_id") % 7 == 0).withColumn("doc_id", F.col("doc_id") + 1_000_000_000)
     corpus = d.unionByName(dupes)
     return exact_dedup(corpus, "text", "doc_id")
 
@@ -975,7 +975,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_DEDUP_EXACT_SQL = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
-  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 7 = 0
 )
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM corpus
@@ -990,7 +990,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     near = (
         d.filter((F.col("doc_id") % 11 == 0) & (F.col("n_chars") > 120))
-        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000_000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
     )
     corpus = d.unionByName(near)
@@ -1002,7 +1002,7 @@ Q_NGRAM_JACCARD_SQL = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 20000, text || ' extra tail words' FROM documents
+  SELECT doc_id + 1000000000, text || ' extra tail words' FROM documents
   WHERE doc_id % 11 = 0 AND n_chars > 120
 ), norm AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
@@ -1028,7 +1028,7 @@ def q_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (natural max char-jaccard in the corpus is ~0.29)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     near = d.filter(F.col("n_chars") > 150).withColumn(
-        "doc_id", F.col("doc_id") + 30_000
+        "doc_id", F.col("doc_id") + 1_000_000_000
     ).withColumn("text", F.concat(F.col("text"), F.lit(" small tail here")))
     corpus = d.unionByName(near)
     pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.55, k=5, unit="char")
@@ -1039,7 +1039,7 @@ Q_CHAR_JACCARD_SQL = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
   UNION ALL
-  SELECT doc_id + 30000, text || ' small tail here'
+  SELECT doc_id + 1000000000, text || ' small tail here'
   FROM documents WHERE doc_id % 10 = 0 AND n_chars > 150
 ), norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
@@ -1122,7 +1122,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     near = (
         d.filter((F.col("doc_id") % 11 == 0) & (F.col("n_chars") > 120))
-        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000_000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
     )
     corpus = d.unionByName(near)
@@ -1143,7 +1143,7 @@ Q_DEDUP_MINHASH_SQL = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 20000, text || ' extra tail words' FROM documents
+  SELECT doc_id + 1000000000, text || ' extra tail words' FROM documents
   WHERE doc_id % 11 = 0 AND n_chars > 120
 ), norm AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
@@ -1193,7 +1193,7 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     s1 = b1.join(intra, ["doc_id"], "left_anti")
     copy_src = s1.orderBy("doc_id").limit(30)
-    copies = copy_src.select((F.col("doc_id") + 30_000).alias("doc_id"), "text")
+    copies = copy_src.select((F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
     fresh = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 160)).select(
         "doc_id", "text"
     )
@@ -1227,7 +1227,7 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_b1 = b1.count()
     n_s1 = s1.count()
     n_fresh = fresh.count()
-    n_copies_kept = kept.filter(F.col("doc_id") >= 30_000).count()
+    n_copies_kept = kept.filter(F.col("doc_id") >= 1_000_000_000).count()
     n_fresh_kept = kept.filter(
         (F.col("doc_id") >= 100) & (F.col("doc_id") < 160)
     ).count()
@@ -1288,14 +1288,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     near = (
         d.filter((F.col("doc_id") % 9 == 0) & (F.col("n_chars") > 200))
-        .withColumn("doc_id", F.col("doc_id") + 40_000)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000_000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" tailword")))
     )
     sh = simhash(d.unionByName(near), "text").select("doc_id", "simhash")
-    orig = sh.filter(F.col("doc_id") < 40_000).withColumnRenamed("simhash", "h1")
+    orig = sh.filter(F.col("doc_id") < 1_000_000_000).withColumnRenamed("simhash", "h1")
     twin = (
-        sh.filter(F.col("doc_id") >= 40_000)
-        .withColumn("doc_id", F.col("doc_id") - 40_000)
+        sh.filter(F.col("doc_id") >= 1_000_000_000)
+        .withColumn("doc_id", F.col("doc_id") - 1_000_000_000)
         .withColumnRenamed("simhash", "h2")
     )
     pairs = orig.join(twin, "doc_id")
@@ -1337,20 +1337,20 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     near = (
         d.filter((F.col("doc_id") % 9 == 0) & (F.col("n_chars") > 200))
-        .withColumn("doc_id", F.col("doc_id") + 40_000)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000_000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" tailword")))
     )
     corpus = d.unionByName(near)
     cand = simhash_candidates(corpus, "text", "doc_id", max_hamming=7, segments=8)
     n_inj = near.agg(F.count(F.lit(1)).alias("n_injected"))
     found = (
-        cand.filter(F.col("id_b") == F.col("id_a") + 40_000)
+        cand.filter(F.col("id_b") == F.col("id_a") + 1_000_000_000)
         .select("id_a")
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_found"))
     )
     # completeness check on a bounded sub-corpus (quadratic is fine there)
-    sub = corpus.filter((F.col("doc_id") % 40_000) < 300)
+    sub = corpus.filter((F.col("doc_id") % 1_000_000_000) < 300)
     sub_cand = simhash_candidates(sub, "text", "doc_id", max_hamming=7, segments=8).select(
         "id_a", "id_b"
     )
@@ -2072,7 +2072,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is lsh_bucketed_top_k / q_ann_lsh)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     planted = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 100_000
+        "vec_id", F.col("vec_id") + 1_000_000_000
     )
     corpus = emb.unionByName(planted)
     a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
@@ -2093,7 +2093,7 @@ WITH sample_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings WHERE vec_id % 5 = 0),
 corpus AS (
   SELECT vec_id, v FROM sample_emb
-  UNION ALL SELECT vec_id + 100000, v FROM sample_emb WHERE vec_id % 25 = 0
+  UNION ALL SELECT vec_id + 1000000000, v FROM sample_emb WHERE vec_id % 25 = 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cos
@@ -3273,7 +3273,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     near = (
         d.filter((F.col("doc_id") % 11 == 0) & (F.col("n_chars") > 120))
-        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000_000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
     )
     corpus = d.unionByName(near)
@@ -3288,7 +3288,7 @@ Q_DEDUP_CLUSTERS_SQL = """
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 20000, text || ' extra tail words' FROM documents
+  SELECT doc_id + 1000000000, text || ' extra tail words' FROM documents
   WHERE doc_id % 11 = 0 AND n_chars > 120
 ), norm AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
@@ -3332,7 +3332,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     near = (
         d.filter((F.col("doc_id") % 11 == 0) & (F.col("n_chars") > 120))
-        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000_000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
     )
     corpus = d.unionByName(near).select("doc_id", "text")
@@ -3359,7 +3359,7 @@ Q_LEAKAGE_SAFE_SPLIT_SQL = """
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 20000, text || ' extra tail words' FROM documents
+  SELECT doc_id + 1000000000, text || ' extra tail words' FROM documents
   WHERE doc_id % 11 = 0 AND n_chars > 120
 ), norm AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
@@ -3892,7 +3892,7 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     dupes = d.filter(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1_000_000
+        "doc_id", F.col("doc_id") + 1_000_000_000
     )
     corpus = d.unionByName(dupes)
     n_tok = whitespace_token_count(F.col("text"))
@@ -3919,7 +3919,7 @@ Q_CLEAN_CORPUS_SQL = """
 WITH corpus AS (
   SELECT doc_id, source, lang, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, source, lang, text FROM documents WHERE doc_id % 7 = 0
+  SELECT doc_id + 1000000000, source, lang, text FROM documents WHERE doc_id % 7 = 0
 ), scored AS (
   SELECT doc_id, source, lang, text,
          round(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
@@ -4117,7 +4117,7 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inserts = (
         o.filter(F.col("o_orderkey") % 5 == 0)
-        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000_000)
         .withColumn("o_orderstatus", F.lit("N"))
     )
     sn.snapshot_merge(updates.unionByName(inserts), table, pk=["o_orderkey"])
@@ -4135,7 +4135,7 @@ source AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
   FROM base WHERE o_orderkey % 3 = 0
   UNION ALL
-  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice FROM base WHERE o_orderkey % 5 = 0
+  SELECT o_orderkey + 10000000000, o_custkey, 'N', o_totalprice FROM base WHERE o_orderkey % 5 = 0
 )
 SELECT 'v2' AS snapshot, o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM source
 UNION ALL
