@@ -2667,6 +2667,45 @@ FROM s GROUP BY id, n
 """
 
 
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling over decoded PCM audio (the keyframe-
+    extraction shape): the synthetic WAV clips of q_audio_decode are
+    decoded on executors and every 100th frame's sample value becomes
+    one row. Frame values follow the generating formula, so the oracle
+    enumerates the identical (id, frame_no, sample_value) rows."""
+    import struct as _struct
+
+    import pandas as pd
+
+    from azure_data_engineering_spark.sources.media_codecs import wav_encode
+    from azure_data_engineering_spark.sources.multimodal import sample_audio_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def make_wavs(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                i = int(row["doc_id"])
+                n = i % 500 + 10
+                samples = [(i * 31 + k * 7) % 4001 - 2000 for k in range(n)]
+                rows.append((i, wav_encode(_struct.pack(f"<{n}h", *samples), 8000)))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = d.mapInPandas(make_wavs, schema="id bigint, payload binary")
+    return sample_audio_frames(payloads, every_n=100)
+
+
+Q_AUDIO_FRAMES_SQL = """
+WITH d AS (
+  SELECT doc_id AS id, doc_id % 500 + 10 AS n FROM documents WHERE doc_id < 200
+)
+SELECT id, CAST(f AS BIGINT) AS frame_no,
+       CAST((id * 31 + f * 100 * 7) % 4001 - 2000 AS BIGINT) AS sample_value
+FROM d, LATERAL unnest(range(CAST(ceil(n / 100.0) AS BIGINT))) AS t(f)
+"""
+
+
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array op pack over tokenized text: size/contains/distinct/sorted
     head."""
@@ -6610,6 +6649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_decode": q_image_decode,
         "q_image_resize": q_image_resize,
         "q_audio_decode": q_audio_decode,
+        "q_audio_frames": q_audio_frames,
         "q_array_functions": q_array_functions,
         "q_maxby_aggregates": q_maxby_aggregates,
         "q_having": q_having,
@@ -6784,6 +6824,7 @@ def oracle_sql() -> dict[str, str]:
         "q_image_decode": Q_IMAGE_DECODE_SQL,
         "q_image_resize": Q_IMAGE_RESIZE_SQL,
         "q_audio_decode": Q_AUDIO_DECODE_SQL,
+        "q_audio_frames": Q_AUDIO_FRAMES_SQL,
         "q_array_functions": Q_ARRAY_FUNCTIONS_SQL,
         "q_maxby_aggregates": Q_MAXBY_SQL,
         "q_stream_sliding": Q_SLIDING_WINDOW_SQL,

@@ -277,6 +277,34 @@ def decode_audio_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, schema=AUDIO_META_SCHEMA)
 
 
+AUDIO_FRAMES_SCHEMA = "id bigint, frame_no long, sample_value long"
+
+
+def sample_audio_frames(df: DataFrame, every_n: int = 100) -> DataFrame:
+    """REAL audio frame sampling: decode the PCM payload (stdlib wave)
+    and emit every `every_n`-th frame's sample value — one output row
+    per sampled frame via mapInPandas (the video keyframe-extraction
+    shape, on the one media type this container can truly decode).
+    numpy slicing does the stride; Python cost is per-clip."""
+    import numpy as np
+
+    from azure_data_engineering_spark.sources.media_codecs import wav_decode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                ch, _rate, _n, width, frames = wav_decode(bytes(row["payload"]))
+                a = np.frombuffer(frames, dtype=np.int16 if width == 2 else np.uint8)
+                # first channel of each sampled frame
+                sampled = a[:: every_n * ch]
+                for i, v in enumerate(sampled):
+                    rows.append((row["id"], i, int(v)))
+            yield pd.DataFrame(rows, columns=["id", "frame_no", "sample_value"])
+
+    return df.mapInPandas(kernel, schema=AUDIO_FRAMES_SCHEMA)
+
+
 FEATURES_SCHEMA = "id bigint, n_bytes int, features array<double>"
 
 

@@ -208,3 +208,23 @@ class TestBinaryFileSource:
         for i, (w, h, s) in expect.items():
             assert meta[i] == ("png", w, h)
             assert stats[i] == (w, h, s)
+
+
+class TestAudioFrameSampling:
+    def test_every_nth_frame_first_channel(self, spark):
+        from azure_data_engineering_spark.sources.multimodal import sample_audio_frames
+
+        # stereo: frames interleave L,R — sampling must stride by
+        # every_n FRAMES and keep channel 0
+        samples = []
+        for f in range(10):
+            samples += [f * 10, -(f * 10 + 1)]  # L=f*10, R=-(f*10+1)
+        raw = struct.pack(f"<{len(samples)}h", *samples)
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [1], "payload": [M.wav_encode(raw, 8000, channels=2)]})
+        )
+        rows = sorted(
+            (r.frame_no, r.sample_value)
+            for r in sample_audio_frames(df, every_n=4).collect()
+        )
+        assert rows == [(0, 0), (1, 40), (2, 80)]  # frames 0,4,8 left channel
