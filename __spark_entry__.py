@@ -2667,6 +2667,55 @@ FROM s GROUP BY id, n
 """
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction: the synthetic PNGs of
+    q_image_decode are decoded on executors and reduced to a 16-bin
+    intensity histogram (integer counts — exactly reproducible). The
+    oracle re-derives every bin count from the pixel formula
+    (id*7+k) % 256 over a generated index range."""
+    import pandas as pd
+
+    from azure_data_engineering_spark.sources.media_codecs import png_encode
+    from azure_data_engineering_spark.sources.multimodal import image_histogram_features
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def make_pngs(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                i = int(row["doc_id"])
+                w, h = i % 31 + 1, i % 23 + 1
+                px = bytes((i * 7 + k) % 256 for k in range(w * h))
+                rows.append((i, png_encode(px, w, h, channels=1, filter_type=i % 5)))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = d.mapInPandas(make_pngs, schema="id bigint, payload binary")
+    feats = image_histogram_features(payloads, bins=16)
+    # project bins to scalar columns for a portable value compare
+    return feats.select(
+        "id",
+        "n_pixels",
+        *[F.col("hist")[b].alias(f"bin_{b:02d}") for b in range(16)],
+    )
+
+
+Q_IMAGE_FEATURES_SQL = """
+WITH d AS (
+  SELECT doc_id AS id, (doc_id % 31 + 1) * (doc_id % 23 + 1) AS n
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT id, n, ((id * 7 + k) % 256) // 16 AS bin
+  FROM d, LATERAL unnest(range(n)) AS t(k)
+)
+SELECT id, CAST(any_value(n) AS BIGINT) AS n_pixels,
+       """ + ",\n       ".join(
+    f"CAST(count(*) FILTER (WHERE bin = {b}) AS BIGINT) AS bin_{b:02d}" for b in range(16)
+) + """
+FROM px GROUP BY id
+"""
+
+
 def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling over decoded PCM audio (the keyframe-
     extraction shape): the synthetic WAV clips of q_audio_decode are
@@ -6650,6 +6699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_resize": q_image_resize,
         "q_audio_decode": q_audio_decode,
         "q_audio_frames": q_audio_frames,
+        "q_image_features": q_image_features,
         "q_array_functions": q_array_functions,
         "q_maxby_aggregates": q_maxby_aggregates,
         "q_having": q_having,
@@ -6825,6 +6875,7 @@ def oracle_sql() -> dict[str, str]:
         "q_image_resize": Q_IMAGE_RESIZE_SQL,
         "q_audio_decode": Q_AUDIO_DECODE_SQL,
         "q_audio_frames": Q_AUDIO_FRAMES_SQL,
+        "q_image_features": Q_IMAGE_FEATURES_SQL,
         "q_array_functions": Q_ARRAY_FUNCTIONS_SQL,
         "q_maxby_aggregates": Q_MAXBY_SQL,
         "q_stream_sliding": Q_SLIDING_WINDOW_SQL,
