@@ -2782,14 +2782,22 @@ FROM documents
 
 
 def q_maxby_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by (argmax) aggregates — pick the row attribute at the
-    group's extreme."""
+    """max_by/min_by (argmax) aggregates — pick the row attribute at
+    the group's extreme. Ties are broken DETERMINISTICALLY via a
+    lexicographic struct extreme ((price, key) max → max key among
+    tied prices): bare max_by picks an arbitrary tied row, which
+    diverged between engines the moment sf1's replicated data
+    contained duplicate extreme prices."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.max(F.struct(F.col("o_totalprice"), F.col("o_orderkey")))[
+                "o_orderkey"
+            ].alias("biggest_order"),
+            F.min(F.struct(F.col("o_totalprice"), F.col("o_orderkey")))[
+                "o_orderkey"
+            ].alias("smallest_order"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
         .orderBy("o_orderstatus")
@@ -2797,11 +2805,16 @@ def q_maxby_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_MAXBY_SQL = """
-SELECT o_orderstatus,
-       arg_max(o_orderkey, o_totalprice) AS biggest_order,
-       arg_min(o_orderkey, o_totalprice) AS smallest_order,
-       round(max(o_totalprice), 2) AS max_price
-FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+WITH ext AS (
+  SELECT o_orderstatus, max(o_totalprice) AS mx, min(o_totalprice) AS mn
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       max(o_orderkey) FILTER (WHERE o_totalprice = mx) AS biggest_order,
+       min(o_orderkey) FILTER (WHERE o_totalprice = mn) AS smallest_order,
+       round(max(mx), 2) AS max_price
+FROM orders o JOIN ext ON o.o_orderstatus = ext.o_orderstatus
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
 """
 
 
