@@ -29,6 +29,9 @@ SWEEP = [
     "q_pack_sequences",
     "q_domain_cap",
     "q_mix_corpora",
+    # argmax ties are the canonical partition-order-dependent result:
+    # guarded since the struct-extreme tie-break fix
+    "q_maxby_aggregates",
 ]
 
 
