@@ -1087,26 +1087,45 @@ FROM documents
 
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup pairs over short strings (part names),
-    blocked by brand so the pair space stays bounded — the
-    edit-distance member of the near-dup family (exact integer DP in
-    both engines)."""
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a = p.select(F.col("p_brand"), F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
-    b = p.select(F.col("p_brand"), F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    blocked by (brand, size) — the edit-distance member of the
+    near-dup family (exact integer DP in both engines).
+
+    Blocking cardinality must GROW with data or the per-block
+    self-join is quadratic: brand alone (25 values at every sf) made
+    this the registry's one scale-killer — at sf1 it was 800M
+    Levenshtein evaluations and ran for >9 minutes; (brand, size)
+    (1250 blocks) brings sf1 to ~16M and finishes in seconds. In
+    production the block key is the entity-resolution partition
+    (same catalog family / zip code / ...), chosen so block size stays
+    bounded as the table grows. A cheap length-difference residual
+    (|len a - len b| <= max dist, a necessary condition for
+    dist <= 4) prunes most in-block pairs before the DP runs."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+    a = p.select(
+        "p_brand", "p_size", F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = p.select(
+        "p_brand", "p_size", F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    )
     return (
-        a.join(b, ["p_brand"])
+        a.join(b, ["p_brand", "p_size"])
         .filter(F.col("key_a") < F.col("key_b"))
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= 4
+        )
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("dist") <= 4)
-        .select("p_brand", "key_a", "key_b", "dist")
+        .select("p_brand", "p_size", "key_a", "key_b", "dist")
     )
 
 
 Q_EDIT_DISTANCE_SQL = """
-SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+SELECT a.p_brand, a.p_size, a.p_partkey AS key_a, b.p_partkey AS key_b,
        levenshtein(a.p_name, b.p_name) AS dist
-FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 4
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 4
+  AND levenshtein(a.p_name, b.p_name) <= 4
 """
 
 
