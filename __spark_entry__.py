@@ -6623,6 +6623,550 @@ FROM orders WHERE o_orderkey % 19 = 0
 
 # ------------------------------------------------------------------ contract
 
+# ------------------------------------------- TPC-H analytic shape suite
+# The remaining TPC-H query shapes expressible on the driver tables.
+# No partsupp table exists in the test data, so Q2/Q11/Q16/Q20 cannot
+# be posed at all and Q9 loses its ps_supplycost term (adapted to a
+# revenue proxy below). Together with the Q1/Q3/Q4/Q5/Q7/Q12 shapes
+# above this covers 18 of the 22 TPC-H shapes; each exercises a
+# distinct optimizer feature, called out per query.
+
+
+def q_tpch_q6_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue-change: the pure scan-side shape.
+    All three predicates (date range, discount band, quantity cap) and
+    the 2-column projection push into the parquet reader — at 100 TB
+    this query's cost is pure pruned IO; the only exchange moves one
+    partial-agg row per task. Revenue in exact decimal so the result
+    is identical at any accumulation order / partition count."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q_TPCH_Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q8_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national-market-share: revenue in region-ASIA customer
+    markets, the share supplied by NATION_7 suppliers, per order year.
+    Two independent dim chains hang off the fact (customer→nation→
+    region restricts it; supplier→nation labels it) — all four dims
+    broadcast, so the fact never shuffles for the joins; the share is
+    a conditional-over-total aggregate computed in ONE pass, not a
+    self-join of two filtered aggregates."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_regionkey"))
+    n_supp = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_regionkey") == r.r_regionkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q_TPCH_Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(CAST(sum(CASE WHEN ns.n_name = 'NATION_7'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region   ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_tpch_q9_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit, adapted: the test data has no
+    partsupp table, so the ps_supplycost term is dropped — profit
+    proxy = discounted revenue over parts whose name contains 'red',
+    grouped by supplier nation × order year. The selective part filter
+    reaches the fact through a BROADCAST join (at 100 TB the 'red'
+    part list is still dim-sized), so only matching lineitems survive
+    to the wider joins."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("profit_proxy")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q_TPCH_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit_proxy
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, year(o_orderdate) ORDER BY 1, 2 DESC
+"""
+
+
+def q_tpch_q10_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: top 20 customers by revenue
+    lost to returns in 1996-Q4. Exercises a selective fact-fact join
+    (quarter-filtered orders × returnflag-filtered lineitem) followed
+    by a wide-key aggregate and a TakeOrderedAndProject top-k — the
+    limit means only 20 rows per partition ever reach the driver.
+    Total order: (revenue DESC, c_custkey) — revenue is exact decimal
+    so the boundary is engine-independent."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q_TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_tpch_q13_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer-order-count distribution: LEFT OUTER join
+    with a predicate ON THE JOIN CONDITION (not a WHERE — customers
+    whose only orders are 'P'-status must still appear with count 0),
+    then two stacked aggregations (per-customer count → histogram of
+    counts). The second agg's input is one row per customer, so the
+    second shuffle is already dim-sized at any fact scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q_TPCH_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q14_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion-effect: percentage of one month's revenue
+    from PROMO-type parts. One broadcast join + ONE conditional
+    aggregate pass (CASE inside sum), not two filtered scans. Both
+    numerator and denominator are exact decimal; only the final ratio
+    is a rounded double."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q_TPCH_Q14_SQL = """
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                   THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             4) AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def q_tpch_q15_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: per-supplier revenue over one quarter,
+    keep the supplier(s) equal to the global max. The max is a 1-row
+    aggregate of the already-aggregated (dim-sized) revenue frame,
+    combined back via a broadcast 1-row cross join — the fact is
+    scanned ONCE; revenue stays exact decimal through the equality
+    comparison so the argmax set is engine-independent."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("total_revenue_dec")
+    )
+    mx = rev.agg(F.max("total_revenue_dec").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue_dec") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q_TPCH_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue_dec AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_dec = (SELECT max(total_revenue_dec) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q17_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: lineitems of one
+    brand's small parts whose quantity is below half that part's
+    average quantity. The correlated scalar subquery decorrelates to a
+    per-part aggregate joined back to the (already part-filtered)
+    fact. The threshold compare is INTEGER-EXACT cross-engine:
+    `2*count*qty < sum_qty` in decimals, never `qty < 0.5*avg` in
+    accumulation-order-dependent doubles."""
+    p = _t(spark, sf_dir, "part").filter((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10))
+    l = _t(spark, sf_dir, "lineitem")
+    li = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.count(F.lit(1)).alias("part_cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("part_sum_qty"),
+    )
+    return (
+        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * 2 * F.col("part_cnt")
+            < F.col("part_sum_qty")
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q_TPCH_Q17_SQL = """
+WITH li AS (
+  SELECT l.* FROM lineitem l JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12' AND p_size <= 10
+), per_part AS (
+  SELECT l_partkey AS ap_partkey, count(*) AS part_cnt,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS part_sum_qty
+  FROM li GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM li JOIN per_part ON l_partkey = ap_partkey
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * part_cnt < part_sum_qty
+"""
+
+
+def q_tpch_q18_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds 280 (top ~0.5%), joined back to orders+customer. The
+    HAVING pre-aggregate runs on the fact FIRST, so the expensive
+    3-way join only sees the qualifying order keys — the Spark plan
+    this compiles to is exactly the semi-join-on-aggregate a hand
+    optimizer would pick."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 280)
+    )
+    return (
+        big.join(o, F.col("b_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q_TPCH_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey AS b_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 280
+)
+JOIN orders ON b_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_tpch_q19_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted-revenue: a disjunction of three
+    (brand × size × quantity-band) conjuncts as the JOIN residual.
+    Catalyst keeps the equi-key (partkey) as the hash condition and
+    evaluates the OR as a post-join filter; the part side broadcasts.
+    The OR cannot be pushed to either scan alone — this is the
+    canonical 'complex residual predicate' shape."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q_TPCH_Q19_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q21_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting, adapted: the test
+    data has no commit/receipt dates, so 'late' = shipped more than
+    1500 days after the order date. For finalized ('F') orders, count
+    per supplier the late lineitems where ANOTHER supplier shipped in
+    the same order (EXISTS → left-semi with a non-equi residual) but
+    NO other supplier was also late (NOT EXISTS → left-anti). Both
+    correlations are hash joins on l_orderkey with the supplier
+    inequality as residual — never a cartesian."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 1500 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = l.select(F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey"))
+    late_others = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    return (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("x_orderkey")) & (F.col("l_suppkey") != F.col("x_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("y_orderkey")) & (F.col("l_suppkey") != F.col("y_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+Q_TPCH_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 1500 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND o3.o_orderstatus = 'F'
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 1500 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+def q_tpch_q22_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity, adapted: customers with
+    above-average positive balances and no RECENT orders (the data has
+    no customer without any orders), grouped by nation. The global
+    average is a 1-row broadcast; the threshold compare is
+    integer-exact (`bal*n > total` in decimals) so no boundary row can
+    flip between engines; the 'no recent orders' is a left-anti join
+    on the date-filtered fact."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+    )
+    n = _t(spark, sf_dir, "nation")
+    avg_frame = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_pos"),
+    )
+    return (
+        c.join(F.broadcast(avg_frame))
+        .filter(F.col("c_acctbal").cast("decimal(18,2)") * F.col("n_pos") > F.col("sum_pos"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q_TPCH_Q22_SQL = """
+WITH thresh AS (
+  SELECT count(*) AS n_pos, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, thresh
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6817,6 +7361,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_union_merge": q_hll_union_merge,
         "q_sql_params": q_sql_params,
         "q_try_arith": q_try_arith,
+        "q_tpch_q6_style": q_tpch_q6_style,
+        "q_tpch_q8_style": q_tpch_q8_style,
+        "q_tpch_q9_style": q_tpch_q9_style,
+        "q_tpch_q10_style": q_tpch_q10_style,
+        "q_tpch_q13_style": q_tpch_q13_style,
+        "q_tpch_q14_style": q_tpch_q14_style,
+        "q_tpch_q15_style": q_tpch_q15_style,
+        "q_tpch_q17_style": q_tpch_q17_style,
+        "q_tpch_q18_style": q_tpch_q18_style,
+        "q_tpch_q19_style": q_tpch_q19_style,
+        "q_tpch_q21_style": q_tpch_q21_style,
+        "q_tpch_q22_style": q_tpch_q22_style,
     }
 
 
@@ -7002,4 +7558,16 @@ def oracle_sql() -> dict[str, str]:
         "q_hll_union_merge": Q_HLL_UNION_MERGE_SQL,
         "q_sql_params": Q_SQL_PARAMS_SQL,
         "q_try_arith": Q_TRY_ARITH_SQL,
+        "q_tpch_q6_style": Q_TPCH_Q6_SQL,
+        "q_tpch_q8_style": Q_TPCH_Q8_SQL,
+        "q_tpch_q9_style": Q_TPCH_Q9_SQL,
+        "q_tpch_q10_style": Q_TPCH_Q10_SQL,
+        "q_tpch_q13_style": Q_TPCH_Q13_SQL,
+        "q_tpch_q14_style": Q_TPCH_Q14_SQL,
+        "q_tpch_q15_style": Q_TPCH_Q15_SQL,
+        "q_tpch_q17_style": Q_TPCH_Q17_SQL,
+        "q_tpch_q18_style": Q_TPCH_Q18_SQL,
+        "q_tpch_q19_style": Q_TPCH_Q19_SQL,
+        "q_tpch_q21_style": Q_TPCH_Q21_SQL,
+        "q_tpch_q22_style": Q_TPCH_Q22_SQL,
     }
