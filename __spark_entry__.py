@@ -7167,6 +7167,110 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al., ACL 2022): per-doc
+    fraction of tokens inside an 8-token window that repeats anywhere
+    else in the corpus (first occurrence kept). Exact — the gram key
+    is a portable md5, so the oracle replays the identical algebra;
+    no recall gate. See operators/dedup.duplicated_span_stats for the
+    one-shuffle skew-safe plan."""
+    from azure_data_engineering_spark.operators.dedup import duplicated_span_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        duplicated_span_stats(d, k=8)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "dup_tokens",
+            "dup_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_SUBSTRING_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS pos, t FROM toks
+), hashed AS (
+  SELECT doc_id, pos, md5(array_to_string(t[pos:pos+7], ' ')) AS gh FROM grams
+), per_gram AS (
+  SELECT gh, min(ROW(doc_id, pos)) AS first_occ
+  FROM hashed GROUP BY gh HAVING count(*) > 1
+), dup_starts AS (
+  SELECT h.doc_id, h.pos
+  FROM hashed h JOIN per_gram g USING (gh)
+  WHERE ROW(h.doc_id, h.pos) <> g.first_occ
+), covered AS (
+  SELECT doc_id, count(*) AS dup_tokens
+  FROM (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS cp FROM dup_starts)
+  GROUP BY doc_id
+)
+SELECT toks.doc_id, len(t) AS n_tokens,
+       coalesce(dup_tokens, 0) AS dup_tokens,
+       round(coalesce(dup_tokens, 0) / len(t), 4) AS dup_frac
+FROM toks LEFT JOIN covered ON toks.doc_id = covered.doc_id
+ORDER BY toks.doc_id
+"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al., NeurIPS 2023): score
+    every document by the log-likelihood ratio of its hashed
+    unigram+bigram features under a target distribution (here: the
+    English slice) vs the raw corpus, then resample with a
+    deterministic md5-unit draw proportional to rate·sigmoid(score).
+    The feature hash and the draw are portable md5 arithmetic, so the
+    ENTIRE selection — scores and the selected set — replays exactly
+    in ANSI SQL. See operators/dsir.py for the broadcast-delta plan."""
+    from azure_data_engineering_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        d, F.col("lang") == "en", n_buckets=256, rate=0.5, salt="dsir"
+    ).orderBy("doc_id")
+
+
+Q_DSIR_SELECT_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT doc_id, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+), counts AS (
+  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 256 AS bucket, count(*) AS c
+  FROM grams GROUP BY doc_id, bucket
+), labeled AS (
+  SELECT counts.*, (d.lang = 'en') AS is_target
+  FROM counts JOIN documents d USING (doc_id)
+), tc AS (
+  SELECT bucket, sum(c) AS c_t FROM labeled WHERE is_target GROUP BY bucket
+), qc AS (
+  SELECT bucket, sum(c) AS c_q FROM labeled GROUP BY bucket
+), tot AS (
+  SELECT sum(CASE WHEN is_target THEN c ELSE 0 END) AS tot_t, sum(c) AS tot_q FROM labeled
+), delta AS (
+  SELECT qc.bucket,
+         ln(CAST(coalesce(c_t, 0) + 1 AS DOUBLE) / CAST(tot_t + 256 AS DOUBLE))
+       - ln(CAST(c_q + 1 AS DOUBLE) / CAST(tot_q + 256 AS DOUBLE)) AS log_ratio
+  FROM qc LEFT JOIN tc USING (bucket), tot
+), scores AS (
+  SELECT doc_id, sum(c * log_ratio) AS score
+  FROM counts JOIN delta USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS dsir_score,
+       (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'dsir'), 1, 8) AS BIGINT) / 4294967296.0)
+         < 0.5 * (1.0 / (1.0 + exp(-score))) AS selected
+FROM scores ORDER BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7373,6 +7477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q19_style": q_tpch_q19_style,
         "q_tpch_q21_style": q_tpch_q21_style,
         "q_tpch_q22_style": q_tpch_q22_style,
+        "q_substring_dedup": q_substring_dedup,
+        "q_dsir_select": q_dsir_select,
     }
 
 
@@ -7570,4 +7676,6 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q19_style": Q_TPCH_Q19_SQL,
         "q_tpch_q21_style": Q_TPCH_Q21_SQL,
         "q_tpch_q22_style": Q_TPCH_Q22_SQL,
+        "q_substring_dedup": Q_SUBSTRING_DEDUP_SQL,
+        "q_dsir_select": Q_DSIR_SELECT_SQL,
     }

@@ -122,3 +122,41 @@ class TestJaccard:
     def test_threshold_filters(self, spark):
         df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], "doc_id int, text string")
         assert ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.6).count() == 0
+
+
+class TestSubstringDedup:
+    def _stats(self, spark, rows, k=3):
+        from azure_data_engineering_spark.operators.dedup import duplicated_span_stats
+
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return {
+            r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+            for r in duplicated_span_stats(df, k=k).collect()
+        }
+
+    def test_first_occurrence_kept(self, spark):
+        # doc 1 and doc 2 share the 3-gram "x y z"; doc 1 is the min
+        # (doc,pos) occurrence, so only doc 2 is flagged
+        got = self._stats(
+            spark, [(1, "x y z a b"), (2, "c d x y z"), (3, "p q r s t")]
+        )
+        assert got[1] == (5, 0, 0.0)
+        assert got[2] == (5, 3, 0.6)
+        assert got[3] == (5, 0, 0.0)
+
+    def test_overlapping_spans_count_once(self, spark):
+        # doc 2 repeats a 4-token span -> two overlapping dup 3-grams
+        # covering 4 distinct positions, not 6
+        got = self._stats(spark, [(1, "a b c d"), (2, "a b c d")])
+        assert got[2] == (4, 4, 1.0)
+
+    def test_intra_document_repeat_flagged(self, spark):
+        # the second copy of a span inside ONE doc is also a duplicate
+        got = self._stats(spark, [(1, "m n o q q m n o")])
+        n_tokens, dup_tokens, _ = got[1]
+        assert n_tokens == 8
+        assert dup_tokens == 3  # positions 6,7,8 ("m n o" again)
+
+    def test_short_docs_have_no_grams(self, spark):
+        got = self._stats(spark, [(1, "a b"), (2, "a b")])
+        assert got[1] == (2, 0, 0.0) and got[2] == (2, 0, 0.0)
