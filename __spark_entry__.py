@@ -7271,6 +7271,75 @@ FROM scores ORDER BY doc_id
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, drop
+    near-duplicates (cosine ≥ 0.99) within each cluster, earlier id
+    wins. Cluster assignment depends on seeded KMeans, so the kept SET
+    isn't portable; the gate follows the q_ann_lsh pattern — the
+    oracle independently recomputes the exact droppable set (points
+    with an earlier ≥0.99 neighbor, brute force) and the query proves
+    (a) soundness: every row semdedup dropped IS truly droppable
+    (guaranteed by construction — its witness pair is a true pair);
+    (b) recall ≥ 0.8: planted exact copies land in their original's
+    cell, so misses can come only from rare boundary pairs."""
+    from azure_data_engineering_spark.operators.ivf import train_centroids
+    from azure_data_engineering_spark.operators.semdedup import semdedup
+    from azure_data_engineering_spark.functions.vectors import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    planted = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000_000
+    )
+    corpus = emb.unionByName(planted)
+    centroids = train_centroids(corpus, "embedding", nlist=8, seed=42)
+    kept = semdedup(corpus, centroids, threshold=0.99)
+
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    droppable = (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= 0.99)
+        .select("id_b")
+        .distinct()
+    )
+    dropped = corpus.select("vec_id").join(
+        kept.select(F.col("id").alias("vec_id")), "vec_id", "left_anti"
+    )
+    viol = dropped.join(droppable.select(F.col("id_b").alias("vec_id")), "vec_id", "left_anti")
+    return (
+        corpus.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(droppable.agg(F.count(F.lit(1)).alias("n_droppable")))
+        .crossJoin(dropped.agg(F.count(F.lit(1)).alias("n_dropped")))
+        .crossJoin(viol.agg(F.count(F.lit(1)).alias("n_viol")))
+        .select(
+            "n_input",
+            "n_droppable",
+            (F.col("n_viol") == 0).alias("sound_ok"),
+            F.when(F.col("n_droppable") == 0, F.lit(True))
+            .otherwise(F.col("n_dropped") / F.col("n_droppable") >= 0.8)
+            .alias("recall_ok"),
+        )
+    )
+
+
+Q_SEMDEDUP_SQL = """
+WITH sample_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id % 5 = 0),
+corpus AS (
+  SELECT vec_id, v FROM sample_emb
+  UNION ALL SELECT vec_id + 1000000000, v FROM sample_emb WHERE vec_id % 25 = 0
+),
+droppable AS (
+  SELECT DISTINCT b.vec_id FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+)
+SELECT (SELECT count(*) FROM corpus) AS n_input,
+       (SELECT count(*) FROM droppable) AS n_droppable,
+       TRUE AS sound_ok, TRUE AS recall_ok
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7479,6 +7548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q22_style": q_tpch_q22_style,
         "q_substring_dedup": q_substring_dedup,
         "q_dsir_select": q_dsir_select,
+        "q_semdedup": q_semdedup,
     }
 
 
@@ -7678,4 +7748,5 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q22_style": Q_TPCH_Q22_SQL,
         "q_substring_dedup": Q_SUBSTRING_DEDUP_SQL,
         "q_dsir_select": Q_DSIR_SELECT_SQL,
+        "q_semdedup": Q_SEMDEDUP_SQL,
     }
