@@ -7198,12 +7198,12 @@ WITH toks AS (
 ), hashed AS (
   SELECT doc_id, pos, md5(array_to_string(t[pos:pos+7], ' ')) AS gh FROM grams
 ), per_gram AS (
-  SELECT gh, min(ROW(doc_id, pos)) AS first_occ
+  SELECT gh, min(doc_id * 10000000 + pos) AS first_packed
   FROM hashed GROUP BY gh HAVING count(*) > 1
 ), dup_starts AS (
   SELECT h.doc_id, h.pos
   FROM hashed h JOIN per_gram g USING (gh)
-  WHERE ROW(h.doc_id, h.pos) <> g.first_occ
+  WHERE h.doc_id * 10000000 + h.pos <> g.first_packed
 ), covered AS (
   SELECT doc_id, count(*) AS dup_tokens
   FROM (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS cp FROM dup_starts)

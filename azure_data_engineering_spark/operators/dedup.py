@@ -369,7 +369,12 @@ def duplicated_span_stats(
     across engines, so the whole statistic is exactly replayable in
     ANSI SQL (no recall gate needed — this operator is exact).
     """
-    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    t_raw = F.split(F.trim(F.col(text_col)), r"\s+")
+    # one cheap per-doc guard backing the packed-key bound below — in
+    # the expression itself so column pruning cannot elide it
+    t = F.when(F.size(t_raw) < 10_000_000, t_raw).otherwise(
+        F.raise_error(F.lit("duplicated_span_stats: doc exceeds 10M tokens"))
+    )
     toks = df.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col).alias("doc_id"), t.alias("t")
     )
@@ -381,17 +386,24 @@ def duplicated_span_stats(
         F.explode(starts).alias("pos"),
         F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("pos"), k))).alias("gh"),
     )
+    # first-occurrence key packed into ONE bigint: doc_id*1e7 + pos is
+    # lexicographic (doc, pos) order as long as a document has < 10^7
+    # tokens (a 10M-token doc is ~40MB of text — far beyond any sane
+    # training document; assert the bound instead of corrupting).
+    # Packing matters twice: a plain-integer min keeps the aggregate
+    # HASH-based (a struct min forces SortAggregate in Spark and is
+    # pathologically slow in some engines), and the packed compare
+    # replays bit-identically in ANSI SQL.
+    packed = (F.col("doc_id") * F.lit(10_000_000) + F.col("pos")).cast("bigint")
     per_gram = (
         hashed.groupBy("gh")
         .agg(
             F.count(F.lit(1)).alias("occ"),
-            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+            F.min(packed).alias("first_packed"),
         )
         .filter(F.col("occ") > 1)
     )
-    dup_starts = hashed.join(per_gram, "gh").filter(
-        F.struct("doc_id", "pos") != F.col("first_occ")
-    )
+    dup_starts = hashed.join(per_gram, "gh").filter(packed != F.col("first_packed"))
     covered = (
         dup_starts.select(
             "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cp")

@@ -50,6 +50,13 @@ HEADLINE = [
     "q_clustered_scan",
     "q_expectations",
     "q_scd2",
+    # round-3 additions: scan-bound TPC-H shape, having+top-k shape,
+    # disjunctive-residual join, substring dedup, DSIR selection
+    "q_tpch_q6_style",
+    "q_tpch_q18_style",
+    "q_tpch_q19_style",
+    "q_substring_dedup",
+    "q_dsir_select",
 ]
 
 
