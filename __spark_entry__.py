@@ -7286,25 +7286,45 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_data_engineering_spark.operators.semdedup import semdedup
     from azure_data_engineering_spark.functions.vectors import cosine_similarity
 
+    from azure_data_engineering_spark.functions.vectors import dot, l2_norm
+
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     planted = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
         "vec_id", F.col("vec_id") + 1_000_000_000
     )
-    corpus = emb.unionByName(planted)
+    # materialized once: corpus feeds KMeans, semdedup, the brute-force
+    # truth pass, and the count — without the checkpoint each consumer
+    # re-executes the union subtree
+    corpus = emb.unionByName(planted).localCheckpoint(eager=True)
     centroids = train_centroids(corpus, "embedding", nlist=8, seed=42)
     kept = semdedup(corpus, centroids, threshold=0.99)
 
-    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # brute-force truth: pre-normalize ONCE PER ROW so each of the
+    # O(n^2) pair probes is a single dot product — computing the two
+    # norms inside every pair multiplies the hot-loop cost ~3x
+    norm = l2_norm(F.col("embedding"))
+    normed = corpus.select(
+        "vec_id",
+        F.when(norm == 0, F.col("embedding"))
+        .otherwise(F.transform(F.col("embedding"), lambda x: x.cast("double") / norm))
+        .alias("vn"),
+    )
+    a = normed.select(F.col("vec_id").alias("id_a"), F.col("vn").alias("va"))
+    b = normed.select(F.col("vec_id").alias("id_b"), F.col("vn").alias("vb"))
+    # droppable and dropped are id-set-sized; checkpoint them so the
+    # four 1-row gate aggregates below don't re-run the quadratic pass
     droppable = (
         F.broadcast(a)
         .join(b, F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= 0.99)
+        .filter(F.round(dot(F.col("va"), F.col("vb")), 6) >= 0.99)
         .select("id_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    dropped = corpus.select("vec_id").join(
-        kept.select(F.col("id").alias("vec_id")), "vec_id", "left_anti"
+    dropped = (
+        corpus.select("vec_id")
+        .join(kept.select(F.col("id").alias("vec_id")), "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
     )
     viol = dropped.join(droppable.select(F.col("id_b").alias("vec_id")), "vec_id", "left_anti")
     return (
@@ -7338,6 +7358,162 @@ SELECT (SELECT count(*) FROM corpus) AS n_input,
        (SELECT count(*) FROM droppable) AS n_droppable,
        TRUE AS sound_ok, TRUE AS recall_ok
 """
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source (built into Spark 4 — the spark-xml package
+    moved into core): write an orders slice as XML rows, read it back
+    with an explicit schema, aggregate. The oracle aggregates the
+    untouched parquet table, so any value/type drift through the XML
+    writer/reader (escaping, numeric formatting, timestamp text)
+    breaks the hash. Money stays decimal-exact through the text
+    format."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_day"),
+    )
+    path = tempfile.mkdtemp(prefix="xml_rt_") + "/orders"
+    o.write.format("xml").option("rowTag", "order").mode("overwrite").save(path)
+    back = spark.read.format("xml").option("rowTag", "order").schema(o.schema).load(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("total_price"),
+            F.min("o_day").alias("first_day"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_XML_ROUNDTRIP_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+       max(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 CREATE FUNCTION ...
+    RETURN expr): user logic declared IN SQL, inlined by Catalyst into
+    the calling plan — unlike Python UDFs there is no serialization
+    boundary, so the function body optimizes like any expression
+    (pushdown, codegen). Two functions compose: net revenue and a
+    banded classification. The oracle inlines the same bodies."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_udf_src")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_rev(p DOUBLE, d DOUBLE) "
+        "RETURNS DECIMAL(28,4) RETURN CAST(p AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(d AS DECIMAL(18,2)))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN q < 10 THEN 'low' WHEN q < 30 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT qty_band(l_quantity) AS band,
+               count(*) AS n_lines,
+               CAST(sum(net_rev(l_extendedprice, l_discount)) AS DOUBLE) AS revenue
+        FROM li_udf_src GROUP BY band ORDER BY band
+        """
+    )
+
+
+Q_SQL_SCALAR_UDF_SQL = """
+SELECT CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY band ORDER BY band
+"""
+
+
+def q_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (Spark 4 CREATE FUNCTION ... RETURNS
+    TABLE) applied per-row via correlated LATERAL — the set-returning
+    cousin of q_sql_scalar_udf and the pure-SQL twin of the Python
+    UDTF in q_udtf. The body inlines into the plan as a generator
+    (explode), so there is no function-call boundary at runtime. The
+    oracle re-expresses the call as a LATERAL unnest."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_tf_src")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_units(q DOUBLE) RETURNS TABLE(unit INT) "
+        "RETURN SELECT explode(sequence(1, CAST(least(q, 5.0) AS INT)))"
+    )
+    return spark.sql(
+        """
+        SELECT unit, count(*) AS n_lines, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM li_tf_src, LATERAL qty_units(l_quantity)
+        GROUP BY unit ORDER BY unit
+        """
+    ).select("unit", "n_lines", F.col("sum_qty").cast("double").alias("sum_qty"))
+
+
+Q_SQL_TABLE_UDF_SQL = """
+SELECT unit, count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem, LATERAL (SELECT unnest(generate_series(1, CAST(least(l_quantity, 5.0) AS INT))) AS unit)
+GROUP BY unit ORDER BY unit
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph (parts that share an
+    order, both directions): 4 fixed damped iterations, dangling mass
+    redistributed. The operator (operators/graph.pagerank) is the
+    iterative-fixed-point pattern — one join + one aggregate per
+    round, scalars as 1-row broadcast frames, localCheckpoint lineage
+    truncation. Fixed iterations make the result a pure algebraic
+    function of the edges, so the oracle UNROLLS the same four rounds
+    in chained CTEs; ranks rounded 6dp absorb double accumulation-
+    order drift (~1e-14 after 4 rounds)."""
+    from azure_data_engineering_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=4, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def _pagerank_oracle_sql(iters: int = 4, d: float = 0.85) -> str:
+    """Unroll the fixed PageRank rounds as chained CTEs (recursive
+    CTEs cannot aggregate in the recursive term, and a fixed unroll is
+    the exact algebraic mirror of the operator's loop anyway)."""
+    sql = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""
+    for i in range(iters):
+        sql += f""",
+d{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r{i} WHERE node NOT IN (SELECT src FROM deg)),
+c{i} AS (SELECT e.dst, sum(r.rank / g.out_deg) AS in_mass
+         FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg g ON e.src = g.src GROUP BY e.dst),
+r{i + 1} AS (SELECT nodes.node,
+             (1.0 - {d}) / n + {d} * (coalesce(c.in_mass, 0.0) + dm / n) AS rank
+             FROM nodes LEFT JOIN c{i} c ON nodes.node = c.dst, nn, d{i})"""
+    sql += f"\nSELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node"
+    return sql
+
+
+Q_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7549,6 +7725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_substring_dedup": q_substring_dedup,
         "q_dsir_select": q_dsir_select,
         "q_semdedup": q_semdedup,
+        "q_xml_roundtrip": q_xml_roundtrip,
+        "q_sql_scalar_udf": q_sql_scalar_udf,
+        "q_sql_table_udf": q_sql_table_udf,
+        "q_pagerank": q_pagerank,
     }
 
 
@@ -7749,4 +7929,8 @@ def oracle_sql() -> dict[str, str]:
         "q_substring_dedup": Q_SUBSTRING_DEDUP_SQL,
         "q_dsir_select": Q_DSIR_SELECT_SQL,
         "q_semdedup": Q_SEMDEDUP_SQL,
+        "q_xml_roundtrip": Q_XML_ROUNDTRIP_SQL,
+        "q_sql_scalar_udf": Q_SQL_SCALAR_UDF_SQL,
+        "q_sql_table_udf": Q_SQL_TABLE_UDF_SQL,
+        "q_pagerank": Q_PAGERANK_SQL,
     }

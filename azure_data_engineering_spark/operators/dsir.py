@@ -89,38 +89,36 @@ def dsir_select(
     """
     counts = _doc_bucket_counts(df, text_col, id_col, n_buckets)
     ids = df.select(F.col(id_col).alias("doc_id"), target_pred.alias("is_target"))
-    labeled = counts.join(ids, "doc_id")
-
-    def _dist(frame: DataFrame, name: str) -> DataFrame:
-        per_bucket = frame.groupBy("bucket").agg(F.sum("c").alias(f"c_{name}"))
-        return per_bucket
-
-    target_counts = _dist(labeled.filter(F.col("is_target")), "t")
-    raw_counts = _dist(labeled, "q")
-    # totals are 1-row frames; combine into the n_buckets-row delta table
-    totals = labeled.agg(
-        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias("tot_t"),
-        F.sum("c").alias("tot_q"),
-    )
-    # every bucket id must appear even if unseen in the target (add-1
-    # smoothing gives it mass); seed from the raw side which contains
-    # every observed bucket, and left-join the target side onto it
-    delta = (
-        raw_counts.join(target_counts, "bucket", "left")
-        .join(F.broadcast(totals))
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tot_t") + n_buckets).cast("double")
-                )
-                - F.log(
-                    (F.col("c_q") + 1).cast("double")
-                    / (F.col("tot_q") + n_buckets).cast("double")
-                )
-            ).alias("log_ratio"),
+    # BOTH distribution estimates in ONE conditional-aggregate pass
+    # over the doc-bucket counts (not a pass per distribution — the
+    # gram explosion is the expensive subtree and Spark re-executes
+    # unreferenced subtrees per consumer); totals then derive from the
+    # n_buckets-row frame, not from another corpus pass
+    bucket_stats = (
+        counts.join(ids, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum("c").alias("c_q"),
+            F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias("c_t"),
         )
+    )
+    totals = bucket_stats.agg(
+        F.sum("c_t").alias("tot_t"), F.sum("c_q").alias("tot_q")
+    )
+    # every observed bucket appears in bucket_stats (seeded from the
+    # raw side); add-1 smoothing gives target-unseen buckets mass
+    delta = bucket_stats.join(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("c_t") + 1).cast("double")
+                / (F.col("tot_t") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("c_q") + 1).cast("double")
+                / (F.col("tot_q") + n_buckets).cast("double")
+            )
+        ).alias("log_ratio"),
     )
     scores = (
         counts.join(F.broadcast(delta), "bucket")
