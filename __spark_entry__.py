@@ -7516,6 +7516,92 @@ r{i + 1} AS (SELECT nodes.node,
 Q_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
+def q_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC): boundaries anchored on token
+    hashes instead of positions, so an early insertion leaves later
+    chunks byte-identical — the dedup-store/incremental-sync chunking.
+    Portable md5 boundary hash → the whole chunk layout (ids, sizes,
+    chunk md5s) replays exactly in SQL. See
+    operators/chunking.chunk_by_content for the one-window plan."""
+    from azure_data_engineering_spark.operators.chunking import chunk_by_content
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        chunk_by_content(d, "doc_id", "text", boundary_mod=32)
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            "chunk_tokens",
+            "chunk_md5",
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+Q_CHUNK_CONTENT_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tk AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t FROM toks
+), flagged AS (
+  SELECT doc_id, pos, t[pos] AS tok,
+         CASE WHEN CAST('0x' || substr(md5(t[pos]), 1, 8) AS BIGINT) % 32 = 0 THEN 1 ELSE 0 END AS b
+  FROM tk
+), assigned AS (
+  SELECT doc_id, pos, tok,
+         CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+  FROM flagged
+)
+SELECT doc_id, chunk_id, count(*) AS chunk_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+FROM assigned GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id
+"""
+
+
+def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus diversity stats: unigram Shannon entropy,
+    vocabulary size, token count — the standard low-diversity /
+    template-spam signal beside repetition stats. One explode + two
+    keyed aggregations; entropy is -Σ p·ln p over the source's token
+    distribution, computed from exact counts so only the final double
+    fold needs rounding."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.filter(F.trim("text") != "").select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    per_tok = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = per_tok.groupBy("source").agg(F.sum("c").alias("nt"))
+    p = F.col("c") / F.col("nt").cast("double")
+    return (
+        per_tok.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_CORPUS_ENTROPY_SQL = """
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), per_tok AS (
+  SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok
+), tot AS (
+  SELECT source, sum(c) AS nt FROM per_tok GROUP BY source
+)
+SELECT p.source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+       round(-sum((c / CAST(nt AS DOUBLE)) * ln(c / CAST(nt AS DOUBLE))), 6) AS entropy_nats
+FROM per_tok p JOIN tot USING (source)
+GROUP BY p.source ORDER BY p.source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7729,6 +7815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_scalar_udf": q_sql_scalar_udf,
         "q_sql_table_udf": q_sql_table_udf,
         "q_pagerank": q_pagerank,
+        "q_chunk_content_defined": q_chunk_content_defined,
+        "q_corpus_entropy": q_corpus_entropy,
     }
 
 
@@ -7933,4 +8021,6 @@ def oracle_sql() -> dict[str, str]:
         "q_sql_scalar_udf": Q_SQL_SCALAR_UDF_SQL,
         "q_sql_table_udf": Q_SQL_TABLE_UDF_SQL,
         "q_pagerank": Q_PAGERANK_SQL,
+        "q_chunk_content_defined": Q_CHUNK_CONTENT_SQL,
+        "q_corpus_entropy": Q_CORPUS_ENTROPY_SQL,
     }

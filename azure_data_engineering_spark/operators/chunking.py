@@ -110,3 +110,61 @@ def pack_sequences(
     return with_run.withColumn(
         "seq_id", F.floor(tokens_before / F.lit(max_tokens)).cast("long")
     ).drop("__tokens_through")
+
+
+def chunk_by_content(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    boundary_mod: int = 32,
+) -> DataFrame:
+    """Content-defined chunking: a chunk boundary falls AFTER every
+    token whose hash ≡ 0 (mod boundary_mod), giving chunks of
+    boundary_mod expected tokens whose boundaries are a function of
+    the CONTENT, not the position — inserting one token early in a
+    document shifts every fixed-window chunk but leaves all later
+    content-defined chunks byte-identical, which is what makes CDC
+    the standard chunking for dedup stores and incremental sync
+    (Muthitacharoen et al., "A Low-Bandwidth Network File System",
+    SOSP 2001 — the rolling-hash anchoring idea; a per-token hash is
+    its whitespace-tokenized analog).
+
+    Plan: posexplode tokens → codegen md5-derived boundary flag → ONE
+    per-document running-sum window assigns chunk ids → groupBy
+    (doc, chunk) reassembles. Both shuffles are keyed by doc id; the
+    window is per-document so its state is bounded by document
+    length. The boundary hash is the repo's portable md5 arithmetic —
+    the whole chunking replays exactly in ANSI SQL.
+
+    Output: (id, chunk_id, chunk_tokens, chunk_md5) with chunk_id
+    0-based in document order.
+    """
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc_id"), F.posexplode(t).alias("pos", "tok")
+    )
+    is_boundary = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % boundary_mod
+        == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum(is_boundary).over(w), F.lit(0)).alias("chunk_id"),
+    )
+    return (
+        assigned.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.array_sort(
+                F.collect_list(F.struct("pos", "tok"))
+            ).getField("tok"))).alias("chunk_md5"),
+        )
+    )

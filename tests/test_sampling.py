@@ -263,3 +263,43 @@ class TestSplitByCluster:
         # both splits non-trivially populated (50/50 over ~37 clusters)
         by_split = {r.split: r.n for r in sp.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
         assert set(by_split) == {"train", "test"}
+
+
+class TestContentDefinedChunking:
+    def _chunks(self, spark, rows, mod=4):
+        from azure_data_engineering_spark.operators.chunking import chunk_by_content
+
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = chunk_by_content(df, "doc_id", "text", boundary_mod=mod).collect()
+        by_doc: dict[int, list] = {}
+        for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+            by_doc.setdefault(r["doc_id"], []).append((r["chunk_tokens"], r["chunk_md5"]))
+        return by_doc
+
+    def test_insertion_leaves_later_chunks_identical(self, spark):
+        base = " ".join(f"w{i}" for i in range(200))
+        edited = "INSERTED " + base  # one token prepended
+        got = self._chunks(spark, [(1, base), (2, edited)])
+        # fixed-window chunking would shift every chunk; CDC must keep
+        # the suffix chunk stream identical once past the edit
+        tail1 = [md5 for _, md5 in got[1][1:]]
+        tail2 = [md5 for _, md5 in got[2][-len(tail1):]]
+        assert len(got[1]) > 3  # sanity: the doc actually chunked
+        assert tail1 == tail2
+
+    def test_reassembly_covers_every_token(self, spark):
+        text = " ".join(f"t{i}" for i in range(57))
+        got = self._chunks(spark, [(9, text)])
+        assert sum(n for n, _ in got[9]) == 57
+
+    def test_chunk_ids_contiguous_from_zero(self, spark):
+        from azure_data_engineering_spark.operators.chunking import chunk_by_content
+
+        df = spark.createDataFrame(
+            [(3, " ".join(f"x{i}" for i in range(100)))], "doc_id int, text string"
+        )
+        ids = sorted(
+            r["chunk_id"]
+            for r in chunk_by_content(df, "doc_id", "text", boundary_mod=4).collect()
+        )
+        assert ids == list(range(len(ids)))
