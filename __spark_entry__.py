@@ -7493,20 +7493,24 @@ def _pagerank_oracle_sql(iters: int = 4, d: float = 0.85) -> str:
     """Unroll the fixed PageRank rounds as chained CTEs (recursive
     CTEs cannot aggregate in the recursive term, and a fixed unroll is
     the exact algebraic mirror of the operator's loop anyway)."""
+    # every multiply-referenced CTE is MATERIALIZED: each unrolled
+    # round references r{i} twice, so a plain (inlinable) CTE chain
+    # re-expands the whole prefix ~2^k times — at sf1 that spilled an
+    # inlined 24M-row edge join to disk until the volume filled
     sql = """
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
-r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""
+deg AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""
     for i in range(iters):
         sql += f""",
 d{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r{i} WHERE node NOT IN (SELECT src FROM deg)),
 c{i} AS (SELECT e.dst, sum(r.rank / g.out_deg) AS in_mass
          FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg g ON e.src = g.src GROUP BY e.dst),
-r{i + 1} AS (SELECT nodes.node,
+r{i + 1} AS MATERIALIZED (SELECT nodes.node,
              (1.0 - {d}) / n + {d} * (coalesce(c.in_mass, 0.0) + dm / n) AS rank
              FROM nodes LEFT JOIN c{i} c ON nodes.node = c.dst, nn, d{i})"""
     sql += f"\nSELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node"
