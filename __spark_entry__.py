@@ -7606,6 +7606,57 @@ GROUP BY p.source ORDER BY p.source
 """
 
 
+def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom connector (Spark 4 Python DataSource stream
+    reader, sources/pydatasource.SequenceStreamSource): a real
+    readStream through the registered "sequence_stream" format —
+    engine-checkpointed offsets, partition-parallel micro-batch reads
+    — drained with availableNow into a memory sink, then aggregated
+    by residue class. Same cell values as the batch connector, so the
+    generate_series oracle proves the streaming path delivers the
+    complete, exactly-once row set (the restart-drains-nothing proof
+    lives in tests/test_sources)."""
+    import tempfile
+
+    from azure_data_engineering_spark.catalog import ensure_session_defaults
+    from azure_data_engineering_spark.sources.pydatasource import register
+
+    ensure_session_defaults(spark)
+    register(spark)
+    stream = (
+        spark.readStream.format("sequence_stream")
+        .option("n", "20000")
+        .option("parts", "16")
+        .option("mod", "97")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pyds_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    df = spark.table("pyds_stream_sink")
+    return df.groupBy((F.col("i") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("sq").alias("sum_sq"),
+        F.min("i").alias("min_i"),
+        F.max("i").alias("max_i"),
+    )
+
+
+Q_STREAM_PYTHON_DATASOURCE_SQL = """
+SELECT i % 7 AS bucket, count(*) AS n_rows,
+       CAST(sum((i * i) % 97) AS BIGINT) AS sum_sq,
+       min(i) AS min_i, max(i) AS max_i
+FROM (SELECT unnest(generate_series(0, 19999)) AS i)
+GROUP BY bucket
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7821,6 +7872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_chunk_content_defined": q_chunk_content_defined,
         "q_corpus_entropy": q_corpus_entropy,
+        "q_stream_python_datasource": q_stream_python_datasource,
     }
 
 
@@ -8027,4 +8079,5 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank": Q_PAGERANK_SQL,
         "q_chunk_content_defined": Q_CHUNK_CONTENT_SQL,
         "q_corpus_entropy": Q_CORPUS_ENTROPY_SQL,
+        "q_stream_python_datasource": Q_STREAM_PYTHON_DATASOURCE_SQL,
     }

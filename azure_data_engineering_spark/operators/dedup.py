@@ -394,7 +394,9 @@ def duplicated_span_stats(
     # HASH-based (a struct min forces SortAggregate in Spark and is
     # pathologically slow in some engines), and the packed compare
     # replays bit-identically in ANSI SQL.
-    packed = (F.col("doc_id") * F.lit(10_000_000) + F.col("pos")).cast("bigint")
+    # cast BEFORE the multiply: an int id column would overflow the
+    # int product under ANSI mode before any outer cast applies
+    packed = F.col("doc_id").cast("bigint") * F.lit(10_000_000) + F.col("pos").cast("bigint")
     per_gram = (
         hashed.groupBy("gh")
         .agg(

@@ -19,7 +19,12 @@ custom connector end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class _SequenceReader(DataSourceReader):
@@ -57,6 +62,66 @@ class SequenceSource(DataSource):
         return _SequenceReader(self.options)
 
 
+class _SeqStreamReader(DataSourceStreamReader):
+    """Streaming half of the connector API: offset-tracked,
+    partition-parallel micro-batch reads.
+
+    Offsets are dicts checkpointed by the engine; `partitions(start,
+    end)` splits each micro-batch's offset range into executor tasks,
+    so a custom stream scales out like the file source. The source is
+    bounded (option `n`), which gives streaming EXACTLY-ONCE a clean
+    proof shape: a first availableNow run drains rows [0, n); a
+    restart from the same checkpoint sees its committed offset equal
+    to the latest offset and emits ZERO new rows (tests/test_sources).
+    """
+
+    def __init__(self, options):
+        self.total = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 8))
+        self.mod = int(options.get("mod", 97))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        return {"i": self.total}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["i"]), int(end["i"])
+        if hi <= lo:
+            return [InputPartition((lo, lo))]
+        step = (hi - lo + self.parts - 1) // self.parts
+        return [
+            InputPartition((lo + k * step, min(lo + (k + 1) * step, hi)))
+            for k in range(self.parts)
+            if lo + k * step < hi
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield (i, (i * i) % self.mod)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SequenceStreamSource(DataSource):
+    """``spark.readStream.format("sequence_stream")`` — the streaming
+    twin of SequenceSource, same schema and cell values."""
+
+    @classmethod
+    def name(cls):
+        return "sequence_stream"
+
+    def schema(self):
+        return "i bigint, sq bigint"
+
+    def streamReader(self, schema):
+        return _SeqStreamReader(self.options)
+
+
 def register(spark) -> None:
     """Idempotently register the shipped custom sources."""
     spark.dataSource.register(SequenceSource)
+    spark.dataSource.register(SequenceStreamSource)

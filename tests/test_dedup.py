@@ -160,3 +160,31 @@ class TestSubstringDedup:
     def test_short_docs_have_no_grams(self, spark):
         got = self._stats(spark, [(1, "a b"), (2, "a b")])
         assert got[1] == (2, 0, 0.0) and got[2] == (2, 0, 0.0)
+
+
+class TestSubstringDedupSkew:
+    def test_hot_gram_corpus_stays_linear(self, spark):
+        """2000 identical docs: EVERY gram is a hot key (occ=2000).
+        The per-gram aggregate partial-combines before the exchange
+        (plan-asserted in test_plans), so the shuffle carries one
+        partial row per task per gram, and the occurrence join fans
+        back out LINEARLY (one row per occurrence, never per pair —
+        a pairwise formulation would be 2000x2000 per gram). AQE's
+        skew handling splits the hot join partitions at runtime.
+        Asserts exact survivorship: the min-id doc keeps everything,
+        every other copy is 100% duplicated span."""
+        import time
+
+        from azure_data_engineering_spark.operators.dedup import duplicated_span_stats
+
+        text = " ".join(f"tok{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [(i, text) for i in range(2000)], "doc_id int, text string"
+        )
+        t0 = time.perf_counter()
+        rows = {r["doc_id"]: r for r in duplicated_span_stats(df, k=8).collect()}
+        elapsed = time.perf_counter() - t0
+        assert rows[0]["dup_tokens"] == 0
+        assert all(rows[i]["dup_frac"] == 1.0 for i in range(1, 2000))
+        # linear-work bound: 2000 docs x 40 tokens must stay interactive
+        assert elapsed < 120

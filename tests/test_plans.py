@@ -257,3 +257,50 @@ def test_nested_schema_pruning(spark, tmp_path):
     ][0]
     assert "n:bigint" in scan.replace(" ", "")
     assert "blob" not in scan and "source" not in scan
+
+
+def test_q6_all_predicates_pushed_scan_pruned(spark, sf_dir):
+    # the pure-IO TPC-H shape: every predicate reaches the reader and
+    # the scan carries only the 4 referenced columns
+    plan = formatted_plan(entrymod.q_tpch_q6_style(spark, sf_dir))
+    assert_pushed_filters(entrymod.q_tpch_q6_style(spark, sf_dir), "l_shipdate")
+    for col in ("l_returnflag", "l_tax", "l_orderkey"):
+        assert col not in plan
+
+
+def test_q19_disjunctive_residual_pushes_per_side_ors(spark, sf_dir):
+    # Catalyst must derive each side's OR-of-ANDs projection and push
+    # it into that side's scan; the join itself broadcasts
+    plan = formatted_plan(entrymod.q_tpch_q19_style(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("PushedFilters: [") >= 2
+    assert "Or(Or(" in plan  # the derived per-side disjunction reached a scan
+
+
+def test_q17_threshold_join_is_broadcast_no_cartesian(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_tpch_q17_style(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert_no_cartesian(entrymod.q_tpch_q17_style(spark, sf_dir))
+
+
+def test_q21_correlations_compile_to_semi_and_anti(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_tpch_q21_style(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert_no_cartesian(entrymod.q_tpch_q21_style(spark, sf_dir))
+
+
+def test_substring_dedup_gram_agg_is_hash_partial(spark, sf_dir):
+    # the packed-bigint first-occurrence key must keep the per-gram
+    # aggregate HASH-based (struct min would force SortAggregate) and
+    # partial (a combine before the exchange collapses stop-grams)
+    plan = formatted_plan(entrymod.q_substring_dedup(spark, sf_dir))
+    assert "SortAggregate" not in plan
+    assert "partial_min" in plan or "partial" in plan
+
+
+def test_dsir_delta_table_broadcasts(spark, sf_dir):
+    # the n_buckets-row log-ratio table must reach the scoring join as
+    # a broadcast, never a shuffle of the corpus side
+    plan = formatted_plan(entrymod.q_dsir_select(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

@@ -360,3 +360,54 @@ class TestFixedWidth:
             spark, path, [("k", 1, 3, "long"), ("s", 4, 2, "string")]
         )._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestStreamingPythonDataSource:
+    def test_offsets_survive_restart_exactly_once(self, spark, tmp_path):
+        """First availableNow run drains the bounded stream; a restart
+        from the same checkpoint must see committed == latest offset
+        and emit ZERO rows — the connector-level exactly-once proof."""
+        from azure_data_engineering_spark.sources.pydatasource import register
+
+        register(spark)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+
+        def run():
+            # file sink: the one that actually supports checkpoint
+            # recovery (memory sink refuses to resume)
+            q = (
+                spark.readStream.format("sequence_stream")
+                .option("n", "500")
+                .option("parts", "4")
+                .load()
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return spark.read.parquet(out)
+
+        first = run()
+        assert first.count() == 500
+        assert first.agg({"i": "min"}).collect()[0][0] == 0
+        assert first.agg({"i": "max"}).collect()[0][0] == 499
+        # restart from the same checkpoint: committed == latest offset,
+        # so the resumed query must append NOTHING
+        second = run()
+        assert second.count() == 500
+
+    def test_partition_parallel_batch_read(self, spark):
+        from azure_data_engineering_spark.sources.pydatasource import register
+
+        register(spark)
+        df = (
+            spark.readStream.format("sequence_stream")
+            .option("n", "64")
+            .option("parts", "8")
+            .load()
+        )
+        assert df.isStreaming
