@@ -7657,6 +7657,102 @@ GROUP BY bucket
 """
 
 
+def q_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine — the schema-drift survival pattern
+    for semi-structured feeds: parse with PERMISSIVE from_json and a
+    columnNameOfCorruptRecord, so malformed payloads surface as rows
+    in a quarantine column instead of failing the batch or silently
+    nulling. A deterministic 1-in-7 of the events props are mangled;
+    the result books per-type valid/corrupt counts plus the typed sum
+    extracted from the valid side only."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    payload = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("corrupt:"), F.col("props"))
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(
+        payload,
+        "k int, _corrupt string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    return (
+        e.select("event_type", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("p._corrupt").isNull(), 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(F.col("p._corrupt").isNotNull(), 1).otherwise(0)).alias("n_corrupt"),
+            F.sum(F.when(F.col("p._corrupt").isNull(), F.col("p.k"))).cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_CORRUPT_QUARANTINE_SQL = """
+SELECT event_type,
+       sum(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS n_valid,
+       sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
+       CAST(sum(CASE WHEN event_id % 7 <> 0 THEN CAST(props->>'$.k' AS INT) END) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative mining: for each anchor embedding, pick 3
+    DETERMINISTIC hard-negative candidates — dissimilar (cosine <
+    0.5) but chosen by a reproducible md5 draw over the (anchor,
+    candidate) pair, so the training pairs are identical across
+    engines, retries, and repartitions (the property random .sample()
+    draws lack). One broadcast of the anchor slice against the
+    corpus; per-anchor ranking is a WindowGroupLimit top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from azure_data_engineering_spark.functions.vectors import cosine_similarity
+
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_vec")
+    )
+    cand = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("n_vec"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("anchor_id").cast("string"), F.lit(":"), F.col("neg_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("anchor_id").orderBy(F.col("draw").asc(), F.col("neg_id").asc())
+    return (
+        F.broadcast(anchors)
+        .join(cand, F.col("anchor_id") != F.col("neg_id"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("a_vec"), F.col("n_vec")), 6))
+        .filter(F.col("cos") < 0.5)
+        .withColumn("draw", u)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("anchor_id", "neg_id", "rank", "cos")
+        .orderBy("anchor_id", "rank")
+    )
+
+
+Q_CONTRASTIVE_NEGATIVES_SQL = """
+WITH anchors AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS a_vec
+                 FROM embeddings WHERE vec_id < 20),
+cand AS (SELECT vec_id AS neg_id, CAST(embedding AS DOUBLE[]) AS n_vec FROM embeddings),
+scored AS (
+  SELECT anchor_id, neg_id,
+         round(list_cosine_similarity(a_vec, n_vec), 6) AS cos,
+         CAST('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)), 1, 8) AS BIGINT) AS draw
+  FROM anchors JOIN cand ON anchor_id <> neg_id
+  WHERE round(list_cosine_similarity(a_vec, n_vec), 6) < 0.5
+), ranked AS (
+  SELECT anchor_id, neg_id, cos,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY draw, neg_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, neg_id, rank, cos FROM ranked WHERE rank <= 3
+ORDER BY anchor_id, rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7873,6 +7969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_content_defined": q_chunk_content_defined,
         "q_corpus_entropy": q_corpus_entropy,
         "q_stream_python_datasource": q_stream_python_datasource,
+        "q_corrupt_quarantine": q_corrupt_quarantine,
+        "q_contrastive_negatives": q_contrastive_negatives,
     }
 
 
@@ -8080,4 +8178,6 @@ def oracle_sql() -> dict[str, str]:
         "q_chunk_content_defined": Q_CHUNK_CONTENT_SQL,
         "q_corpus_entropy": Q_CORPUS_ENTROPY_SQL,
         "q_stream_python_datasource": Q_STREAM_PYTHON_DATASOURCE_SQL,
+        "q_corrupt_quarantine": Q_CORRUPT_QUARANTINE_SQL,
+        "q_contrastive_negatives": Q_CONTRASTIVE_NEGATIVES_SQL,
     }

@@ -1,0 +1,68 @@
+"""Property tests (hypothesis) for the round-3 text operators.
+
+Driving randomized corpora through a local[*] JVM per example is too
+slow, so each property generates MANY small corpora and runs them
+through ONE Spark job as a batch: the property holds iff it holds for
+every generated document in the batch.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# small alphabet → collisions and repeats are actually likely
+_word = st.sampled_from(["a", "b", "c", "ab", "x1", "zz"])
+_doc = st.lists(_word, min_size=0, max_size=30).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+class TestSubstringDedupProperties:
+    @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(corpus=_corpus)
+    def test_bounds_and_self_consistency(self, spark, corpus):
+        from azure_data_engineering_spark.operators.dedup import duplicated_span_stats
+
+        rows = [(i, t) for i, t in enumerate(corpus)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = duplicated_span_stats(df, k=3).collect()
+        nonblank = {i for i, t in rows if t.strip()}
+        assert {r["doc_id"] for r in out} == nonblank
+        for r in out:
+            # dup span tokens can never exceed the document length,
+            # and the fraction must be the rounded ratio of the counts
+            assert 0 <= r["dup_tokens"] <= r["n_tokens"]
+            assert abs(r["dup_frac"] - round(r["dup_tokens"] / r["n_tokens"], 4)) < 1e-12
+            assert r["n_tokens"] == len(corpus[r["doc_id"]].split())
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(doc=_doc.filter(lambda t: len(t.split()) >= 3))
+    def test_exact_copy_is_fully_duplicated(self, spark, doc):
+        from azure_data_engineering_spark.operators.dedup import duplicated_span_stats
+
+        df = spark.createDataFrame([(0, doc), (1, doc)], "doc_id int, text string")
+        out = {r["doc_id"]: r for r in duplicated_span_stats(df, k=3).collect()}
+        assert out[0]["dup_tokens"] == 0  # first occurrence keeps everything
+        assert out[1]["dup_frac"] == 1.0  # the copy is entirely repeated span
+
+
+class TestCdcChunkingProperties:
+    @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(corpus=_corpus)
+    def test_partition_of_tokens(self, spark, corpus):
+        from azure_data_engineering_spark.operators.chunking import chunk_by_content
+
+        rows = [(i, t) for i, t in enumerate(corpus) if t.strip()]
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = chunk_by_content(df, "doc_id", "text", boundary_mod=4).collect()
+        per_doc: dict[int, list] = {}
+        for r in out:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        for i, t in rows:
+            chunks = per_doc[i]
+            # chunks partition the token stream: sizes sum to doc length,
+            # ids are contiguous from 0
+            assert sum(c["chunk_tokens"] for c in chunks) == len(t.split())
+            assert sorted(c["chunk_id"] for c in chunks) == list(range(len(chunks)))
