@@ -7753,6 +7753,57 @@ ORDER BY anchor_id, rank
 """
 
 
+def q_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 State Data Source: read a streaming query's CHECKPOINTED
+    STATE back as a DataFrame — the operational introspection surface
+    for debugging stateful pipelines (what does the store believe
+    right now?) without replaying the stream. A per-user count+sum
+    aggregation runs once with availableNow; the state store is then
+    opened with spark.read.format("statestore") and its (key, value)
+    structs projected. Because the stream drained completely, the
+    store's belief must equal the batch aggregate — which is exactly
+    what the oracle recomputes."""
+    import os
+    import tempfile
+
+    from azure_data_engineering_spark.catalog import ensure_session_defaults, restore_event_time
+
+    ensure_session_defaults(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix="ssread_")
+    os.symlink(os.path.abspath(path), os.path.join(d, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(d)
+    stream = restore_event_time(stream, "ts")
+    ckpt = tempfile.mkdtemp(prefix="ssread_ckpt_")
+    q = (
+        stream.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .writeStream.format("memory")
+        .queryName("ssread_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = spark.read.format("statestore").load(ckpt)
+    return (
+        state.select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.count").alias("n_events"),
+            F.round(F.col("value.sum"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_STATESTORE_READ_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7971,6 +8022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_python_datasource": q_stream_python_datasource,
         "q_corrupt_quarantine": q_corrupt_quarantine,
         "q_contrastive_negatives": q_contrastive_negatives,
+        "q_statestore_read": q_statestore_read,
     }
 
 
@@ -8180,4 +8232,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_python_datasource": Q_STREAM_PYTHON_DATASOURCE_SQL,
         "q_corrupt_quarantine": Q_CORRUPT_QUARANTINE_SQL,
         "q_contrastive_negatives": Q_CONTRASTIVE_NEGATIVES_SQL,
+        "q_statestore_read": Q_STATESTORE_READ_SQL,
     }
