@@ -207,3 +207,47 @@ def profile_table(df: DataFrame, cols=None, approx: bool = False) -> StepResult:
         return {"columns": rows, "n_columns": len(rows)}
 
     return _timed(run)
+
+
+def clean_corpus(
+    df: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_tokens: int = 5,
+    cap_per_source: int = 100,
+) -> StepResult:
+    """LLM-corpus cleaning as a pipeline step: quality floor → exact
+    dedup (normalized text, keep-first) → per-source frequency cap,
+    written to parquet. The same one-plan/two-shuffle composition the
+    engine gates as `q_clean_corpus`, surfaced through the reference's
+    step/StepResult contract so a scheduler can call it exactly like
+    ingest_excel/load_table. Detail books the row counts at every
+    stage — the numbers a curation run has to log."""
+
+    def run() -> dict[str, Any]:
+        from pyspark.sql import functions as F
+
+        from azure_data_engineering_spark.functions.text import (
+            normalize_text,
+            whitespace_token_count,
+        )
+        from azure_data_engineering_spark.operators.relational import dedup_keep_first
+        from azure_data_engineering_spark.operators.sampling import cap_per_group
+
+        n_in = df.count()
+        filtered = df.filter(whitespace_token_count(F.col(text_col)) >= min_tokens)
+        # keep-first survivor per normalized text: retains ALL columns
+        # (exact_dedup's aggregate form keeps only id + count)
+        deduped = dedup_keep_first(
+            filtered.withColumn("__norm", normalize_text(F.col(text_col))),
+            ["__norm"],
+            [id_col],
+        ).drop("__norm")
+        capped = cap_per_group(deduped, [group_col], id_col, cap_per_source)
+        capped.write.mode("overwrite").parquet(out_path)
+        n_out = capped.sparkSession.read.parquet(out_path).count()
+        return {"rows_in": n_in, "rows_out": n_out, "path": out_path}
+
+    return _timed(run)

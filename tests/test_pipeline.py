@@ -99,3 +99,39 @@ class TestValidateAndProfile:
         stats = {c["column"]: c for c in r.detail["columns"]}
         assert stats["o_orderkey"]["n_null"] == 0
         assert stats["o_orderstatus"]["n_distinct"] == 3
+
+
+class TestCleanCorpusStep:
+    def test_filters_dedups_caps_and_books_counts(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from azure_data_engineering_spark.catalog import load_table
+        from azure_data_engineering_spark.pipeline import clean_corpus
+
+        d = load_table(spark, sf_dir, "documents")
+        # plant exact duplicates so the dedup stage provably drops rows
+        dupes = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000_000
+        )
+        corpus = d.unionByName(dupes)
+        out = str(tmp_path / "clean")
+        res = clean_corpus(corpus, out, min_tokens=3, cap_per_source=4)
+        assert res.ok, res.detail
+        assert res.detail["rows_in"] == corpus.count()
+        assert 0 < res.detail["rows_out"] < res.detail["rows_in"]
+        back = spark.read.parquet(out)
+        # planted copies must be gone (keep-first: original id survives)
+        assert back.filter(F.col("doc_id") >= 1_000_000_000).count() == 0
+        # cap respected per source
+        per_src = back.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+        assert per_src <= 4
+        # full column set retained through the step
+        assert set(back.columns) == set(corpus.columns)
+
+    def test_error_contract_on_bad_input(self, spark, tmp_path):
+        from azure_data_engineering_spark.pipeline import clean_corpus
+
+        df = spark.createDataFrame([(1, "hello world")], "doc_id int, text string")
+        res = clean_corpus(df, str(tmp_path / "x"), group_col="missing_col")
+        assert res.status == "error"
+        assert "error" in res.detail
