@@ -7804,6 +7804,491 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+# ------------------------- graph / stats / spatial / retrieval additions
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the co-purchase part graph via
+    degree-ordered edge orientation (operators/graph.triangle_count —
+    Suri & Vassilvitskii WWW'11). The orientation bounds every node's
+    out-degree by O(sqrt(m)), so the wedge join is m^1.5 total work
+    spread evenly instead of deg^2 piling onto the hottest part — the
+    'curse of the last reducer' fix that matters on a 100 TB basket
+    graph. Oracle: a<b<c three-way self-join enumeration, each
+    triangle exploded to its three corners."""
+    from azure_data_engineering_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .distinct()
+    )
+    return triangle_count(edges, src="part_a", dst="part_b")
+
+
+Q_TRIANGLE_COUNT_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM e e1
+  JOIN e e2 ON e1.y = e2.x
+  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+corners AS (SELECT unnest([a, b, c]) AS node FROM tri)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM corners GROUP BY node
+"""
+
+
+def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed running engagement score
+    (operators/window_ops.time_decay_sum, half-life 7 days). The
+    naive per-pair weight needs O(frame) work per row; the algebraic
+    rewrite sum x_i 2^(-(t-t_i)/h) = 2^(-t/h) * running_sum(x_i
+    2^(t_i/h)) makes it a plain one-shuffle running sum in codegen,
+    with per-key timestamp rebasing for overflow safety. The RANGE
+    frame keeps tied timestamps deterministic. Oracle replays the
+    identical rewrite."""
+    from azure_data_engineering_spark.operators.window_ops import time_decay_sum
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    r = time_decay_sum(e, "user_id", "ts", "value", half_life_days=7.0)
+    return r.select(
+        "user_id", "event_id", F.round("decayed_sum", 6).alias("decayed_sum")
+    )
+
+
+Q_TIME_DECAY_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) / 1000000.0 AS t, value
+  FROM events WHERE user_id < 20
+), m AS (
+  SELECT user_id, event_id, t, value, min(t) OVER (PARTITION BY user_id) AS t0
+  FROM e
+), s AS (
+  SELECT user_id, event_id, t, t0,
+         sum(value * pow(2.0, (t - t0) / 604800.0))
+           OVER (PARTITION BY user_id ORDER BY t) AS acc
+  FROM m
+)
+SELECT user_id, event_id,
+       round(pow(2.0, -((t - t0) / 604800.0)) * acc, 6) AS decayed_sum
+FROM s
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier screen (operators/stats.mad_outliers):
+    modified z-score 0.6745*(x-median)/MAD, flag at |z|>3.5 (Iglewicz
+    & Hoaglin). Median/MAD resist the outliers being hunted, unlike
+    mean/stddev. Two exact-percentile aggs + broadcast joins of the
+    KB-sized per-group stat frames; no window over the fat table.
+    Emitted per group: row count, outlier count, max |z|."""
+    from azure_data_engineering_spark.operators.stats import mad_outliers
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    r = mad_outliers(e, "event_type", "value", threshold=3.5)
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.round(F.max(F.abs(F.col("mod_z"))), 6).alias("max_abs_z"),
+    )
+
+
+Q_MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS grp_median
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.grp_median,
+         abs(e.value - m.grp_median) AS absdev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, any_value(grp_median) AS grp_median,
+         quantile_cont(absdev, 0.5) AS grp_mad
+  FROM dev GROUP BY event_type
+), scored AS (
+  SELECT e.event_type,
+         CASE WHEN m.grp_mad > 0
+              THEN (0.6745 * (e.value - m.grp_median)) / m.grp_mad END AS mod_z
+  FROM events e JOIN mad m USING (event_type)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE abs(mod_z) > 3.5) AS BIGINT) AS n_outliers,
+       round(max(abs(mod_z)), 6) AS max_abs_z
+FROM scored GROUP BY event_type
+"""
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility spatial join (operators/spatial.spatial_nearest):
+    customers and suppliers get deterministic pseudo-coordinates, and
+    each customer finds its nearest supplier within 150 km. The grid
+    trick — bucket both sides into cells sized >= the radius and
+    replicate only the SMALL side into its 3x3 neighborhood — turns
+    the naive cross join into a plain equi-join on the cell key, so
+    the plan Catalyst runs is a hash join (AQE skew-split applicable),
+    never a CartesianProduct. Oracle brute-forces the same haversine
+    over the full cross product (feasible at oracle scale only)."""
+    from azure_data_engineering_spark.operators.spatial import spatial_nearest
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (30.0 + (F.col("c_custkey") * 7919 % 2000) / 100.0).alias("lat"),
+        (-120.0 + (F.col("c_custkey") * 104729 % 4000) / 100.0).alias("lon"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (30.0 + (F.col("s_suppkey") * 6151 % 2000) / 100.0).alias("lat"),
+        (-120.0 + (F.col("s_suppkey") * 3571 % 4000) / 100.0).alias("lon"),
+    )
+    r = spatial_nearest(c, s, radius_km=150.0)
+    return r.select(
+        "c_custkey",
+        F.col("s_suppkey_f").alias("nearest_supp"),
+        F.round("dist_km", 6).alias("dist_km"),
+    )
+
+
+Q_SPATIAL_JOIN_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+         30.0 + (c_custkey * 7919 % 2000) / 100.0 AS lat,
+         -120.0 + (c_custkey * 104729 % 4000) / 100.0 AS lon
+  FROM customer
+), s AS (
+  SELECT s_suppkey,
+         30.0 + (s_suppkey * 6151 % 2000) / 100.0 AS lat,
+         -120.0 + (s_suppkey * 3571 % 4000) / 100.0 AS lon
+  FROM supplier
+), d AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (2.0 * 6371.0088) * asin(sqrt(
+             pow(sin(radians(s.lat - c.lat) / 2), 2)
+             + cos(radians(c.lat)) * cos(radians(s.lat))
+               * pow(sin(radians(s.lon - c.lon) / 2), 2)
+         )) AS dist_km
+  FROM c CROSS JOIN s
+), f AS (SELECT * FROM d WHERE dist_km <= 150.0),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey
+                               ORDER BY dist_km, s_suppkey) AS rn
+  FROM f
+)
+SELECT c_custkey, s_suppkey AS nearest_supp, round(dist_km, 6) AS dist_km
+FROM r WHERE rn = 1
+"""
+
+
+def q_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/window_ops.markov_transitions): P(next event
+    type | current), maximum-likelihood from one lead-window pass +
+    one pair-count agg; the per-state normalizer re-aggregates from
+    the |states|^2 pair counts, never from raw events. Ties on ts
+    break by event_id so the sequence is canonical under any
+    partition layout."""
+    from azure_data_engineering_spark.operators.window_ops import markov_transitions
+
+    e = _t(spark, sf_dir, "events")
+    r = markov_transitions(e, "user_id", "ts", "event_type", order_tiebreak="event_id")
+    return r.select("from_state", "to_state", "n", F.round("p", 6).alias("p"))
+
+
+Q_MARKOV_CHAIN_SQL = """
+WITH nxt AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_state
+  FROM events
+), pairs AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM nxt WHERE to_state IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT from_state, sum(n) AS from_n FROM pairs GROUP BY 1)
+SELECT p.from_state, p.to_state, CAST(p.n AS BIGINT) AS n,
+       round(CAST(p.n AS DOUBLE) / CAST(t.from_n AS DOUBLE), 6) AS p
+FROM pairs p JOIN tot t USING (from_state)
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (operators/tfidf.bm25_search) for a
+    3-term query over the documents corpus: per-query cost is the
+    postings of the query terms (the tf table is filtered BEFORE any
+    join), corpus stats ride as a 1-row broadcast frame, and the
+    top-k is TakeOrderedAndProject. Oracle replays the exact RSJ-idf
+    / length-normalized formula with matched float op order."""
+    from azure_data_engineering_spark.operators.tfidf import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    r = bm25_search(d, ["spark", "join", "window"], "text", "doc_id", k=15)
+    return r.select("doc_id", F.round("bm25", 6).alias("bm25"))
+
+
+Q_BM25_SEARCH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf_all AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+), lens AS (
+  SELECT d.doc_id, CAST(coalesce(sum(t.tf), 0) AS DOUBLE) AS dl
+  FROM documents d LEFT JOIN tf_all t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl FROM lens
+), tf AS (
+  SELECT * FROM tf_all WHERE term IN ('spark', 'join', 'window')
+), df_t AS (
+  SELECT term, count(*) AS df_count FROM tf GROUP BY term
+), idf AS (
+  SELECT term,
+         ln(1.0 + (n_docs - df_count + 0.5) / (df_count + 0.5)) AS idf,
+         avg_dl
+  FROM df_t CROSS JOIN stats
+), scored AS (
+  SELECT tf.doc_id,
+         idf.idf * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + (0.75 * l.dl) / idf.avg_dl)) AS term_score
+  FROM tf JOIN idf USING (term) JOIN lens l ON tf.doc_id = l.doc_id
+)
+SELECT doc_id, round(sum(term_score), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY sum(term_score) DESC, doc_id ASC LIMIT 15
+"""
+
+
+def q_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence + Cramer's V between the
+    documents table's lang and source fields (operators/stats.
+    chi_squared) — the categorical drift/association monitor. The
+    contingency table is built in ONE pass over the data; marginals,
+    expected counts, and the statistic all derive from the
+    |langs| x |sources| table (broadcast-sized at any corpus scale)."""
+    from azure_data_engineering_spark.operators.stats import chi_squared
+
+    d = _t(spark, sf_dir, "documents")
+    r = chi_squared(d, "lang", "source")
+    return r.select(
+        F.round("chi2", 6).alias("chi2"),
+        "dof",
+        F.round("cramers_v", 6).alias("cramers_v"),
+        "n",
+    )
+
+
+Q_CHI_SQUARED_SQL = """
+WITH cont AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS DOUBLE) AS obs
+  FROM documents GROUP BY 1, 2
+), row_m AS (SELECT a, sum(obs) AS row_n FROM cont GROUP BY a),
+col_m AS (SELECT b, sum(obs) AS col_n FROM cont GROUP BY b),
+tot AS (
+  SELECT sum(obs) AS n,
+         CAST(count(DISTINCT a) AS DOUBLE) AS ka,
+         CAST(count(DISTINCT b) AS DOUBLE) AS kb
+  FROM cont
+), cells AS (
+  SELECT r.a, c.b,
+         pow(coalesce(o.obs, 0.0) - (r.row_n * c.col_n / t.n), 2)
+           / (r.row_n * c.col_n / t.n) AS cell
+  FROM row_m r CROSS JOIN col_m c
+  LEFT JOIN cont o ON o.a = r.a AND o.b = c.b
+  CROSS JOIN tot t
+)
+SELECT round(sum(cell), 6) AS chi2,
+       CAST((t.ka - 1) * (t.kb - 1) AS BIGINT) AS dof,
+       round(sqrt(sum(cell) / (t.n * least(t.ka - 1, t.kb - 1))), 6) AS cramers_v,
+       CAST(t.n AS BIGINT) AS n
+FROM cells CROSS JOIN tot t
+GROUP BY t.n, t.ka, t.kb
+"""
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring with stupid backoff (Brants et al.,
+    EMNLP 2007) — the cross-corpus upgrade of q_unigram_logprob's
+    CCNet-style filter: the LM counts come from a REFERENCE slice
+    (sources src0-src4) and every document is scored against them, so
+    unseen bigrams genuinely back off (0.4 * unigram), and doubly
+    unseen tokens hit the floor. Bigrams are built shuffle-free by
+    zip_with over adjacent array slices (no posexplode self-join);
+    scoring is two left joins against the reference count tables +
+    one broadcast total."""
+    from azure_data_engineering_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda t: t != ""
+    )
+    docs = d.select("doc_id", "source", toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    bigrams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", "bg.w1", "bg.w2")
+
+    ref_sources = ["src0", "src1", "src2", "src3", "src4"]
+    ref_docs = docs.filter(F.col("source").isin(ref_sources))
+    uni_ref = (
+        ref_docs.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni_ref.agg(F.sum("c").alias("n_total"))
+    big_ref = (
+        bigrams.filter(F.col("source").isin(ref_sources))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bc"))
+    )
+    u1 = uni_ref.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni_ref.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bigrams.join(big_ref, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "logp",
+            F.when(F.col("bc").isNotNull(), F.log(F.col("bc") / F.col("c1"))).otherwise(
+                F.when(
+                    F.col("c2").isNotNull(),
+                    F.log((F.lit(0.4) * F.col("c2")) / F.col("n_total")),
+                ).otherwise(F.log(F.lit(0.2) / F.col("n_total")))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logprob"),
+    )
+
+
+Q_BIGRAM_LOGPROB_SQL = """
+WITH docs AS (
+  SELECT doc_id, source,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS arr
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, source, arr[k + 1] AS w1, arr[k + 2] AS w2
+  FROM docs, LATERAL unnest(range(len(arr) - 1)) AS t(k)
+), uni AS (
+  SELECT u.term, count(*) AS c
+  FROM docs, LATERAL unnest(arr) AS u(term)
+  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+  GROUP BY u.term
+), tot AS (SELECT sum(c) AS n_total FROM uni),
+big_ref AS (
+  SELECT w1, w2, count(*) AS bc FROM bigrams
+  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+  GROUP BY 1, 2
+)
+SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(CASE
+         WHEN b.bc IS NOT NULL THEN ln(b.bc / u1.c)
+         WHEN u2.c IS NOT NULL THEN ln((0.4 * u2.c) / t.n_total)
+         ELSE ln(0.2 / t.n_total) END), 6) AS avg_logprob
+FROM bigrams tb
+LEFT JOIN big_ref b ON tb.w1 = b.w1 AND tb.w2 = b.w2
+LEFT JOIN uni u1 ON tb.w1 = u1.term
+LEFT JOIN uni u2 ON tb.w2 = u2.term
+CROSS JOIN tot t
+GROUP BY tb.doc_id
+"""
+
+
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual average-hash: REAL
+    PNG encode on generation, REAL decode inside
+    sources/multimodal.image_ahash, then the SAME pigeonhole-blocked
+    Hamming self-join as text SimHash (operators/dedup.
+    hamming_near_dups — one equi-join on (segment, value), linear
+    candidates, never all-pairs). 40 groups of 5 near-identical
+    images (one perturbed pixel each) are planted; the hash is an
+    integer-exact mean-threshold signature, so the oracle replays
+    pixel -> bit -> pack -> all-pairs Hamming in plain SQL and the
+    pigeonhole completeness guarantee makes both sides return the
+    identical pair set."""
+    import pandas as pd
+
+    from azure_data_engineering_spark.operators.dedup import hamming_near_dups
+    from azure_data_engineering_spark.sources.media_codecs import png_encode
+    from azure_data_engineering_spark.sources.multimodal import image_ahash
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def make_pngs(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                i = int(row["doc_id"])
+                g = i // 5
+                w, h = g % 13 + 4, g % 11 + 4
+                npx = w * h
+                px = bytes(
+                    ((g * 37 + k * 11) + (i % 5 if k == i % npx else 0)) % 256
+                    for k in range(npx)
+                )
+                rows.append((i, png_encode(px, w, h, channels=1, filter_type=i % 5)))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = d.mapInPandas(make_pngs, schema="id bigint, payload binary")
+    sig = image_ahash(payloads)
+    pairs = hamming_near_dups(sig, "ahash", "id", max_hamming=3, segments=4)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+Q_IMAGE_PHASH_SQL = """
+WITH d AS (
+  SELECT doc_id AS i, doc_id // 5 AS g FROM documents WHERE doc_id < 200
+), dims AS (
+  SELECT i, g, (g % 13 + 4) * (g % 11 + 4) AS n FROM d
+), samp AS (
+  SELECT i, g, n, j, (j * n) // 64 AS k
+  FROM dims, LATERAL unnest(range(64)) AS t(j)
+), pxv AS (
+  SELECT i, j,
+         ((g * 37 + k * 11) + CASE WHEN k = i % n THEN i % 5 ELSE 0 END) % 256 AS px
+  FROM samp
+), tot AS (SELECT i, sum(px) AS total FROM pxv GROUP BY i),
+bits AS (
+  SELECT p.i, p.j, CASE WHEN 64 * p.px > t.total THEN 1 ELSE 0 END AS bit
+  FROM pxv p JOIN tot t ON p.i = t.i
+), hashes AS (
+  SELECT i,
+         CAST(sum(CASE WHEN bit = 1 THEN
+               CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                    ELSE (1::BIGINT << CAST(j AS INTEGER)) END
+             ELSE 0 END) AS BIGINT) AS ahash
+  FROM bits GROUP BY i
+)
+SELECT a.i AS id_a, b.i AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.i < b.i
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8023,6 +8508,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corrupt_quarantine": q_corrupt_quarantine,
         "q_contrastive_negatives": q_contrastive_negatives,
         "q_statestore_read": q_statestore_read,
+        "q_triangle_count": q_triangle_count,
+        "q_time_decay": q_time_decay,
+        "q_mad_outliers": q_mad_outliers,
+        "q_spatial_join": q_spatial_join,
+        "q_markov_chain": q_markov_chain,
+        "q_bm25_search": q_bm25_search,
+        "q_chi_squared": q_chi_squared,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_image_phash": q_image_phash,
     }
 
 
@@ -8233,4 +8727,13 @@ def oracle_sql() -> dict[str, str]:
         "q_corrupt_quarantine": Q_CORRUPT_QUARANTINE_SQL,
         "q_contrastive_negatives": Q_CONTRASTIVE_NEGATIVES_SQL,
         "q_statestore_read": Q_STATESTORE_READ_SQL,
+        "q_triangle_count": Q_TRIANGLE_COUNT_SQL,
+        "q_time_decay": Q_TIME_DECAY_SQL,
+        "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
+        "q_spatial_join": Q_SPATIAL_JOIN_SQL,
+        "q_markov_chain": Q_MARKOV_CHAIN_SQL,
+        "q_bm25_search": Q_BM25_SEARCH_SQL,
+        "q_chi_squared": Q_CHI_SQUARED_SQL,
+        "q_bigram_logprob": Q_BIGRAM_LOGPROB_SQL,
+        "q_image_phash": Q_IMAGE_PHASH_SQL,
     }

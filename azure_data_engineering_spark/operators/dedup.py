@@ -268,21 +268,40 @@ def simhash_candidates(
     bit_count(xor). Requires max_hamming < segments.
     Returns (id_a, id_b, hamming).
     """
+    sig = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    return hamming_near_dups(sig, "simhash", id_col, max_hamming, segments)
+
+
+def hamming_near_dups(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    segments: int = 4,
+) -> DataFrame:
+    """Pairs whose 64-bit signatures differ in <= max_hamming bits —
+    the generic pigeonhole-blocked Hamming self-join behind BOTH text
+    SimHash (simhash_candidates) and image perceptual-hash dedup
+    (sources/multimodal.image_ahash): any pair within Hamming distance
+    < segments agrees exactly on >= 1 of the `segments` equal bit
+    segments, so joining on (segment index, segment value) generates
+    candidates LINEAR in input size (vs the quadratic all-pairs), then
+    bit_count(xor) verifies exactly. Returns (id_a, id_b, hamming)."""
     if max_hamming >= segments:
         raise ValueError("pigeonhole requires max_hamming < segments")
     width = 64 // segments
-    sig = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    sig = df.select(F.col(id_col), F.col(hash_col).alias("_sig"))
     seg_exprs = []
     for si in range(segments):
         # unsigned segment extraction via shift+mask (shiftrightunsigned
         # keeps the top segment positive)
-        seg = F.shiftrightunsigned(F.col("simhash"), si * width).bitwiseAND(
+        seg = F.shiftrightunsigned(F.col("_sig"), si * width).bitwiseAND(
             F.lit((1 << width) - 1).cast("bigint")
         )
         seg_exprs.append(F.struct(F.lit(si).alias("seg_idx"), seg.alias("seg_val")))
     segged = sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*seg_exprs)).alias("seg")
-    ).select(id_col, "simhash", "seg.seg_idx", "seg.seg_val")
+        F.col(id_col), F.col("_sig"), F.explode(F.array(*seg_exprs)).alias("seg")
+    ).select(id_col, "_sig", "seg.seg_idx", "seg.seg_val")
     a, b = segged.alias("a"), segged.alias("b")
     cand = (
         a.join(
@@ -294,7 +313,7 @@ def simhash_candidates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

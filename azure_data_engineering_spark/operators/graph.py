@@ -25,6 +25,103 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_closure: bool = False,
+) -> DataFrame:
+    """Per-node triangle counts on an undirected graph, via
+    degree-ordered edge orientation (Suri & Vassilvitskii, WWW 2011
+    "Counting Triangles and the Curse of the Last Reducer").
+
+    Why orientation matters at 100 TB: the naive open-wedge join
+    generates deg(v)^2 candidate wedges at every node, so one celebrity
+    node with 10M followers creates 10^14 wedges on a single reducer.
+    Orienting every edge from the lower-(degree, id) endpoint to the
+    higher one makes the out-degree of EVERY node O(sqrt(m)) — the
+    wedge join is then bounded by m^1.5 total work, spread evenly:
+    the curse of the last reducer is gone by construction, no salting
+    needed.
+
+    Plan shape: degree agg (1 shuffle) → broadcast-or-shuffle join of
+    degrees onto edges → wedge self-join on the low endpoint (1
+    shuffle) → closure check = semi-join-shaped inner join against the
+    oriented edge set (1 shuffle) → explode each triangle to its 3
+    corners → per-node count. Input edges may list either direction or
+    both; duplicates and self-loops are dropped first.
+    """
+    # canonical undirected edge set: a < b, dedup, no self-loops.
+    # localCheckpoint: e is consumed twice (degrees + orientation) and
+    # `oriented` three times (both wedge sides + closure) — without
+    # materialization Spark re-executes the whole upstream edge
+    # derivation once per consumer (6x for a derived graph like
+    # co-purchase), which dominates runtime at every scale.
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # orient low-(deg, id) -> high-(deg, id)
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("edge")
+        )
+        .select("edge.u", "edge.v")
+        .localCheckpoint(eager=True)
+    )
+    # spread the wedge-probe side across the cluster: the checkpointed
+    # edge set inherits AQE's final (few, size-targeted) partitions,
+    # but wedge generation fans out outdeg(u) rows per probe row — a
+    # row-count-balanced round-robin layout keeps every core busy
+    # (and per-row fanout is already bounded by the orientation at
+    # O(sqrt m), so no single row can straggle)
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    probe = oriented.repartition(n_parts)
+    w1 = probe.select(F.col("u").alias("pivot"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("y"))
+    # each unordered out-neighbor pair once: x < y
+    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    # closure join strategy: measured on local[32] at m=1.2M edges /
+    # 41M wedges, the AQE shuffle join beats a forced broadcast (8.1s
+    # vs 10.5s — every task paying to build the m-row hash map costs
+    # more than shuffling the wedge stream it saves). The hint stays
+    # available for topologies where wedges >> edges by a much larger
+    # factor (very flat degree distributions).
+    if broadcast_closure:
+        closing = F.broadcast(closing)
+    triangles = wedges.join(closing, ["x", "y"])
+    corners = triangles.select(
+        F.explode(F.array("pivot", "x", "y")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

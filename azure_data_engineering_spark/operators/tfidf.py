@@ -63,3 +63,76 @@ def top_terms_per_doc(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> 
         .filter(F.col("__rn") <= k)
         .select(id_col, "term", "tf", "df_count", F.round("tfidf", 6).alias("tfidf"), F.col("__rn").alias("term_rank"))
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranking (Robertson & Walker, SIGIR 1994): the k
+    best-matching documents for a bag-of-terms query. The default
+    sparse-retrieval scorer everywhere TF-IDF has been retired —
+    in curation pipelines it backs targeted corpus search and
+    quality-probe retrieval.
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len_d/avg_len))
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (the standard
+    non-negative Robertson-Sparck-Jones form).
+
+    Scale plan: the (doc, term) tf table is filtered to the query's
+    terms BEFORE any join — the per-query work is |postings of query
+    terms|, not |corpus| (the filter pushes into the tf aggregation's
+    output; at 100 TB you'd serve this from a materialized tf table,
+    which is exactly the `term_frequencies` output). Doc lengths ride
+    along from one token-count projection; corpus stats (N, avg_len)
+    are a 1-row broadcast frame, never a collect. Final top-k is a
+    TakeOrderedAndProject, no full sort.
+    """
+    from ..functions.text import normalize_text as _norm
+
+    toks = F.split(_norm(F.col(text_col)), " ")
+    lens = df.select(
+        F.col(id_col),
+        F.size(F.filter(toks, lambda t: t != "")).cast("double").alias("dl"),
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    tf = term_frequencies(df, text_col, id_col).filter(
+        F.col("term").isin([t.lower() for t in query_terms])
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    idf = docfreq.join(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df_count") + 0.5) / (F.col("df_count") + 0.5)
+        ).alias("idf"),
+        "avg_dl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, id_col)
+        .select(
+            F.col(id_col),
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avg_dl"))
+                )
+            ).alias("term_score"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)

@@ -66,3 +66,98 @@ def sessionize(
         F.count(F.lit(1)).alias("n_events"),
     ]
     return marked.groupBy(user_col, "__session_id").agg(*aggs).drop("__session_id")
+
+
+def time_decay_sum(
+    df: DataFrame,
+    partition_by: str,
+    ts_col: str,
+    value_col: str,
+    half_life_days: float,
+    out_col: str = "decayed_sum",
+) -> DataFrame:
+    """Exponentially time-decayed running sum per key: at each event,
+    sum of all values so far for the key, each weighted by
+    2^(-age / half_life) where age = current event's ts minus the
+    contributing event's ts. The standard recency-weighted engagement
+    / trending score (each half_life_days, old contributions halve).
+
+    Scale-first formulation: the naive definition needs a weight that
+    depends on BOTH the frame row and the current row, which Spark
+    windows cannot express without collect_list (O(frame) memory per
+    row, Python-side). Instead use the algebraic identity
+
+        sum_i x_i * 2^(-(t - t_i)/h)  =  2^(-t/h) * sum_i x_i * 2^(t_i/h)
+
+    which turns the decayed sum into a PLAIN running sum of
+    pre-scaled values — one shuffle on the key, whole-stage codegen,
+    O(1) state per row, identical to running_sum cost.
+
+    Numeric stability: 2^(t_i/h) overflows double once t_i/h > 1023,
+    so t_i is re-based to the key's own minimum timestamp first (one
+    extra window min, same shuffle). Safe whenever one key's history
+    spans < 1023 half-lives — e.g. 19 years of data at h = 7 days —
+    and the rebasing makes the guarantee depend on the DATA WINDOW
+    length, never on the epoch.
+    """
+    w = Window.partitionBy(partition_by).orderBy(F.col(ts_col).asc())
+    wkey = Window.partitionBy(partition_by)
+    # RANGE (not ROWS) frame: rows tied on ts all enter the sum
+    # together, so the result is deterministic under any tie order /
+    # partition layout (a ROWS frame would make tied rows' running
+    # values depend on shuffle order)
+    frame = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    t = F.col(ts_col).cast("double")
+    t0 = F.min(t).over(wkey)
+    rel_hl = (t - t0) / F.lit(half_life_days * 86400.0)
+    scaled = F.col(value_col) * F.pow(F.lit(2.0), rel_hl)
+    return df.withColumn(
+        out_col, F.pow(F.lit(2.0), -rel_hl) * F.sum(scaled).over(frame)
+    )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition estimates over per-key ordered
+    event sequences: (from_state, to_state, n, p) where p is the
+    row-conditional probability P(to | from). The classic "user
+    journey" / next-action model behind funnel diagnostics and
+    session simulators.
+
+    One window (lead over the per-key time order — the same single
+    shuffle every sequence operator here pays) followed by a
+    count aggregation over (from, to) pairs, then the per-from
+    normalizer is re-aggregated FROM THE PAIR COUNTS (|states|^2
+    rows), never from the raw events — so the fat table is touched
+    once. Terminal events (no successor) are excluded from the
+    numerator and denominator alike, matching the maximum-likelihood
+    estimator for transition probabilities.
+
+    Determinism: ties on ts are broken by order_tiebreak (pass a
+    unique column, e.g. the event id) so `lead` sees one canonical
+    order per key under any partition layout.
+    """
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.withColumn("_next", F.lead(F.col(state_col)).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"), F.col("_next").alias("to_state")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("from_n"))
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") / F.col("from_n")).alias("p"),
+    )

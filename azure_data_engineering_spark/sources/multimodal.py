@@ -364,3 +364,43 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id", "n_bytes", "features"])
 
     return df.mapInPandas(feature_batches, schema=FEATURES_SCHEMA)
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """REAL perceptual average-hash over decoded pixels: (id, ahash
+    bigint). The image-dedup primitive — near-identical images (
+    re-encodes, tiny overlays, brightness-preserving noise) land
+    within a few Hamming bits; pair search is then
+    operators/dedup.hamming_near_dups, the SAME pigeonhole-blocked
+    self-join the text SimHash path uses (one equi-join, linear
+    candidates — never all-pairs over a 100 TB image corpus).
+
+    Hash definition (kept integer-exact so the oracle can replay it):
+    sample 64 evenly spaced pixels k_j = floor(j*n/64) from the
+    row-major grayscale pixel stream, then bit j = 1 iff
+    64*px[k_j] > sum(sampled). Even sampling stands in for the usual
+    8x8 area resize; both are mean-threshold signatures, and the
+    integer comparison avoids any float rounding between engines.
+    Packing uses two's complement for bit 63 to fit Spark's signed
+    bigint.
+    """
+    from azure_data_engineering_spark.sources.media_codecs import png_decode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                _w, _h, _bpp, px = png_decode(bytes(row["payload"]))
+                n = len(px)
+                sampled = [px[(j * n) // 64] for j in range(64)]
+                total = sum(sampled)
+                v = 0
+                for j, p in enumerate(sampled):
+                    if 64 * p > total:
+                        v |= 1 << j
+                if v & (1 << 63):
+                    v -= 1 << 64
+                rows.append((row["id"], v))
+            yield pd.DataFrame(rows, columns=["id", "ahash"])
+
+    return df.mapInPandas(kernel, schema="id bigint, ahash bigint")

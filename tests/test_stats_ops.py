@@ -1,0 +1,209 @@
+"""Behavioral tests for the round-3 analytic additions: triangle
+counting, time-decay sums, Markov transitions, MAD outliers,
+chi-squared association, spatial nearest join, and BM25 — each pinned
+on hand-built fixtures with known closed-form answers (the oracle
+gate checks them against DuckDB at data scale; these pin the
+semantics a SQL oracle can't isolate, e.g. plan shape and edge
+cases)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_data_engineering_spark.operators.graph import triangle_count
+from azure_data_engineering_spark.operators.spatial import spatial_nearest
+from azure_data_engineering_spark.operators.stats import chi_squared, mad_outliers
+from azure_data_engineering_spark.operators.tfidf import bm25_search
+from azure_data_engineering_spark.operators.window_ops import (
+    markov_transitions,
+    time_decay_sum,
+)
+
+
+class TestTriangleCount:
+    def test_k4_every_node_in_three_triangles(self, spark):
+        """K4 has C(4,3)=4 triangles; every node sits in exactly 3."""
+        edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_direction_duplicates_and_self_loops_ignored(self, spark):
+        """Both directions listed + dup rows + a self loop: still one
+        triangle."""
+        rows = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (0, 2), (2, 2)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+        assert got == {0: 1, 1: 1, 2: 1}
+
+    def test_star_graph_has_no_triangles(self, spark):
+        df = spark.createDataFrame(
+            [(0, i) for i in range(1, 8)], "src long, dst long"
+        )
+        assert triangle_count(df).count() == 0
+
+    def test_hot_node_orientation_bounds_fanout(self, spark):
+        """A 500-leaf star plus one closing edge: the naive wedge join
+        would put C(500,2)≈125k wedges on the hub; orientation points
+        every spoke AWAY from high-degree hub, leaving only the two
+        closed wedges. Assert correctness (1 triangle) — the bound is
+        structural."""
+        rows = [(0, i) for i in range(1, 501)] + [(1, 2)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+        assert got == {0: 1, 1: 1, 2: 1}
+
+
+class TestTimeDecay:
+    def test_half_life_algebra(self, spark):
+        """Second event exactly one half-life later: decayed sum =
+        x1/2 + x2; third one more half-life: x1/4 + x2/2 + x3."""
+        day = 86400
+        rows = [
+            (1, 0 * day, 10.0),
+            (1, 7 * day, 4.0),
+            (1, 14 * day, 1.0),
+        ]
+        df = spark.createDataFrame(rows, "k long, t long, v double").select(
+            "k", F.timestamp_seconds("t").alias("ts"), "v"
+        )
+        r = time_decay_sum(df, "k", "ts", "v", half_life_days=7.0)
+        vals = [x.decayed_sum for x in r.orderBy("ts").collect()]
+        assert vals[0] == pytest.approx(10.0)
+        assert vals[1] == pytest.approx(9.0)  # 10/2 + 4
+        assert vals[2] == pytest.approx(5.5)  # 10/4 + 4/2 + 1
+
+    def test_tied_timestamps_deterministic(self, spark):
+        """RANGE frame: both tied rows see the full tied sum, under
+        any partition layout."""
+        rows = [(1, 0, 3.0), (1, 0, 5.0)]
+        df = spark.createDataFrame(rows, "k long, t long, v double").select(
+            "k", F.timestamp_seconds("t").alias("ts"), "v"
+        )
+        r = time_decay_sum(df, "k", "ts", "v", half_life_days=1.0)
+        assert [x.decayed_sum for x in r.collect()] == [8.0, 8.0]
+
+
+class TestMarkovTransitions:
+    def test_known_sequence(self, spark):
+        """a->b, b->a, a->b for one user: P(b|a)=1, P(a|b)=1, counts
+        2 and 1; terminal event contributes nothing."""
+        rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b")]
+        df = spark.createDataFrame(rows, "u long, t long, s string").select(
+            "u", F.timestamp_seconds("t").alias("ts"), "s", F.col("t").alias("eid")
+        )
+        r = markov_transitions(df, "u", "ts", "s", order_tiebreak="eid")
+        got = {(x.from_state, x.to_state): (x.n, x.p) for x in r.collect()}
+        assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+    def test_probabilities_sum_to_one_per_state(self, spark, sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        r = markov_transitions(e, "user_id", "ts", "event_type", "event_id")
+        sums = r.groupBy("from_state").agg(F.sum("p").alias("sp")).collect()
+        assert all(abs(x.sp - 1.0) < 1e-9 for x in sums)
+
+
+class TestMadOutliers:
+    def test_plants_single_spike(self, spark):
+        """49 values in [0,1] plus one at 100: only the spike flags."""
+        rows = [(i, "g", (i % 7) / 7.0) for i in range(49)] + [(99, "g", 100.0)]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        r = mad_outliers(df, "g", "v")
+        flagged = [x.id for x in r.filter("is_outlier").collect()]
+        assert flagged == [99]
+
+    def test_zero_mad_yields_no_flags(self, spark):
+        """>=50% identical values => MAD 0 => null scores, no flags,
+        no division error."""
+        rows = [(i, "g", 5.0) for i in range(10)] + [(10, "g", 6.0)]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        r = mad_outliers(df, "g", "v")
+        assert r.filter("is_outlier").count() == 0
+        assert r.filter(F.col("mod_z").isNotNull()).count() == 0
+
+
+class TestChiSquared:
+    def test_perfect_independence(self, spark):
+        """Uniform 2x2 grid: chi2 = 0, V = 0."""
+        rows = [(a, b) for a in "xy" for b in "uv" for _ in range(10)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi_squared(df, "a", "b").collect()[0]
+        assert r.chi2 == pytest.approx(0.0)
+        assert r.cramers_v == pytest.approx(0.0)
+        assert r.dof == 1 and r.n == 40
+
+    def test_perfect_association(self, spark):
+        """Deterministic mapping a->b: chi2 = n, Cramer's V = 1."""
+        rows = [("x", "u")] * 10 + [("y", "v")] * 10
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi_squared(df, "a", "b").collect()[0]
+        assert r.chi2 == pytest.approx(20.0)
+        assert r.cramers_v == pytest.approx(1.0)
+
+
+class TestSpatialNearest:
+    def test_planted_nearest_and_radius_cutoff(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 40.0, -100.0), (2, 48.0, -80.0)], "pid long, lat double, lon double"
+        )
+        fac = spark.createDataFrame(
+            [
+                (10, 40.1, -100.0),   # ~11 km from point 1
+                (11, 41.0, -100.0),   # ~111 km from point 1
+                (12, 0.0, 0.0),       # nowhere near anything
+            ],
+            "fid long, lat double, lon double",
+        )
+        r = spatial_nearest(pts, fac, radius_km=50.0)
+        rows = r.collect()
+        assert len(rows) == 1  # point 2 has nothing in range
+        assert rows[0].pid == 1 and rows[0].fid_f == 10
+        assert rows[0].dist_km == pytest.approx(11.12, abs=0.05)
+
+    def test_no_cartesian_product_in_plan(self, spark):
+        pts = spark.createDataFrame(
+            [(i, 40.0 + i / 100.0, -100.0) for i in range(20)],
+            "pid long, lat double, lon double",
+        )
+        fac = spark.createDataFrame(
+            [(i, 40.0 + i / 50.0, -100.0) for i in range(10)],
+            "fid long, lat double, lon double",
+        )
+        plan = spatial_nearest(pts, fac, radius_km=25.0)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_neighbor_cell_match_found(self, spark):
+        """Point and facility 1 km apart but in different grid cells
+        (straddling a cell boundary): the 3x3 replication still finds
+        the pair."""
+        cell = 150.0 / 111.19 / math.cos(math.radians(75.0))  # operator's cell edge
+        lat_lo = math.floor(40.0 / cell) * cell
+        pts = spark.createDataFrame(
+            [(1, lat_lo - 0.004, -100.0)], "pid long, lat double, lon double"
+        )
+        fac = spark.createDataFrame(
+            [(7, lat_lo + 0.004, -100.0)], "fid long, lat double, lon double"
+        )
+        r = spatial_nearest(pts, fac, radius_km=150.0).collect()
+        assert len(r) == 1 and r[0].fid_f == 7
+
+
+class TestBm25:
+    def test_tf_and_length_normalization(self, spark):
+        """Same tf: shorter doc scores higher; higher tf (same length)
+        scores higher; docs without the term don't appear."""
+        docs = [
+            (1, "spark spark filler filler filler filler"),
+            (2, "spark spark"),
+            (3, "spark filler"),
+            (4, "nothing here"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        r = {x.doc_id: x.bm25 for x in bm25_search(df, ["spark"], "text", "doc_id", k=10).collect()}
+        assert set(r) == {1, 2, 3}
+        assert r[2] > r[1]      # same tf=2, doc 2 much shorter
+        assert r[2] > r[3]      # same length-2 doc, higher tf
