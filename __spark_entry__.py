@@ -8289,6 +8289,52 @@ WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 """
 
 
+def q_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via PPJoin prefix+position
+    filtering (operators/dedup.ppjoin_pairs, Xiao et al. WWW'08) —
+    candidates come only from each document's RAREST shingles (the
+    p = n-ceil(t*n)+1 frequency-ordered prefix), so hot boilerplate
+    shingles are never posted; the position filter prunes further
+    before the exact verify join. Output provably identical to the
+    full inverted index (tests/test_dedup_ppjoin.py); the oracle
+    computes the same exact pair set from the full index in SQL."""
+    from azure_data_engineering_spark.operators.dedup import ppjoin_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    near = (
+        d.filter((F.col("doc_id") % 7 == 0) & (F.col("n_chars") > 120))
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tiny tail")))
+    )
+    corpus = d.unionByName(near)
+    pairs = ppjoin_pairs(corpus, "text", "doc_id", threshold=0.6, k=3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+Q_PPJOIN_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000, text || ' tiny tail' FROM documents
+  WHERE doc_id % 7 = 0 AND n_chars > 120
+), norm AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM corpus
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS shingle_list
+  FROM norm
+), ex AS (
+  SELECT doc_id, len(shingle_list) AS n_sh, unnest(shingle_list) AS s FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
+FROM inter WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.6
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8517,6 +8563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chi_squared": q_chi_squared,
         "q_bigram_logprob": q_bigram_logprob,
         "q_image_phash": q_image_phash,
+        "q_ppjoin": q_ppjoin,
     }
 
 
@@ -8736,4 +8783,5 @@ def oracle_sql() -> dict[str, str]:
         "q_chi_squared": Q_CHI_SQUARED_SQL,
         "q_bigram_logprob": Q_BIGRAM_LOGPROB_SQL,
         "q_image_phash": Q_IMAGE_PHASH_SQL,
+        "q_ppjoin": Q_PPJOIN_SQL,
     }

@@ -16,7 +16,7 @@ the band-bucket key.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from azure_data_engineering_spark.functions.text import normalize_text
@@ -445,3 +445,93 @@ def duplicated_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int = 3,
+    unit: str = "word",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via PPJoin prefix+position
+    filtering (Xiao, Wang, Lin & Yu, WWW 2008) — the at-scale upgrade
+    of ngram_jaccard_pairs' full inverted index.
+
+    Why it matters at 100 TB: the full inverted index posts EVERY
+    shingle of every document, so candidate volume is driven by the
+    most common shingles (boilerplate). PPJoin orders each document's
+    shingle set by ascending GLOBAL frequency and posts only the
+    PREFIX — the p = n - ceil(t*n) + 1 rarest shingles — which is
+    provably sufficient: two sets with Jaccard >= t must overlap in
+    >= ceil(t*(na+nb)/(1+t)) elements, and missing every prefix
+    element of either side caps the overlap below that. Candidates
+    therefore come only from RARE-shingle buckets (the frequency
+    ordering makes the hot boilerplate shingles precisely the ones
+    never posted), typically orders of magnitude fewer pairs through
+    the shuffle. The position filter tightens further: a prefix match
+    at ranks (i, j) caps the total overlap at min(na-i, nb-j)+1,
+    pruning before the verify join.
+
+    Verification is exact — surviving candidate pairs re-join the
+    full (distinct) shingle arrays and compute true Jaccard — so the
+    OUTPUT is identical to ngram_jaccard_pairs (asserted in
+    tests/test_dedup_ppjoin.py); only the candidate-generation cost
+    differs. Float-safe prefix math: ceil(x - 1e-6) never shortens a
+    prefix through rounding (a longer prefix is always sound).
+
+    Plan: shingle-frequency agg (1 shuffle) -> per-doc frequency rank
+    (1 shuffle on id) -> prefix self-join on shingle (1 shuffle)
+    -> distinct candidate pairs -> verify join against the shingle
+    arrays (1 shuffle). Returns (id_a, id_b, jaccard).
+    """
+    mk = shingles if unit == "word" else char_shingles
+    base = (
+        _ensure_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("id"), mk(F.col(text_col), k).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+    )
+    ex = base.select("id", "n_sh", F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    ranked = ex.join(freq, "s").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("df_s").asc(), F.col("s").asc())
+        ),
+    )
+    t = float(threshold)
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh") - 1e-6) + 1
+    prefix = ranked.filter(F.col("rnk") <= prefix_len).select("id", "n_sh", "s", "rnk")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    alpha = F.ceil((F.lit(t) / (1.0 + t)) * (na + nb) - 1e-6)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length-ratio prune: J >= t forces t*max(n) <= min(n)
+            & (F.greatest(na, nb) * t <= F.least(na, nb))
+            # position filter: overlap can't exceed what's left after
+            # each side's matched prefix position
+            & (
+                F.least(na - F.col("a.rnk"), nb - F.col("b.rnk")) + 1 >= alpha
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
