@@ -8335,6 +8335,54 @@ FROM inter WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.6
 """
 
 
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus
+    (operators/stats.token_distribution_drift): KL(source||corpus) +
+    Jensen-Shannon divergence. One tokenize pass to (source, term)
+    counts; all marginals re-aggregate from that table; absent-term JS
+    mass folds into a closed form so no source x vocabulary cross
+    join exists. The drift monitor a 100 TB curation pipeline runs
+    per-shard/per-day."""
+    from azure_data_engineering_spark.operators.stats import token_distribution_drift
+
+    d = _t(spark, sf_dir, "documents")
+    r = token_distribution_drift(d, "text", "source")
+    return r.select(
+        F.col("grp").alias("source"),
+        "n_tokens",
+        F.round("kl", 6).alias("kl"),
+        F.round("js", 6).alias("js"),
+    )
+
+
+Q_SOURCE_DRIFT_SQL = """
+WITH toks AS (
+  SELECT source AS grp,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), pairs AS (
+  SELECT grp, term, count(*) AS c_gt FROM toks WHERE term <> '' GROUP BY 1, 2
+), grp_tot AS (SELECT grp, sum(c_gt) AS c_g FROM pairs GROUP BY grp),
+term_tot AS (SELECT term, sum(c_gt) AS c_t FROM pairs GROUP BY term),
+corpus_tot AS (SELECT sum(c_g) AS c_all FROM grp_tot),
+per_term AS (
+  SELECT p.grp, g.c_g,
+         (p.c_gt / g.c_g) * ln((p.c_gt / g.c_g) / (t.c_t / c.c_all)) AS kl_term,
+         (p.c_gt / g.c_g) * ln((2.0 * (p.c_gt / g.c_g)) / ((p.c_gt / g.c_g) + (t.c_t / c.c_all)))
+           + (t.c_t / c.c_all) * ln((2.0 * (t.c_t / c.c_all)) / ((p.c_gt / g.c_g) + (t.c_t / c.c_all))) AS js_present,
+         (t.c_t / c.c_all) AS q_term
+  FROM pairs p
+  JOIN grp_tot g USING (grp)
+  JOIN term_tot t USING (term)
+  CROSS JOIN corpus_tot c
+)
+SELECT grp AS source, CAST(max(c_g) AS BIGINT) AS n_tokens,
+       round(sum(kl_term), 6) AS kl,
+       round(0.5 * sum(js_present) + (0.5 * 0.6931471805599453) * (1.0 - sum(q_term)), 6) AS js
+FROM per_term GROUP BY grp
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8564,6 +8612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_logprob": q_bigram_logprob,
         "q_image_phash": q_image_phash,
         "q_ppjoin": q_ppjoin,
+        "q_source_drift": q_source_drift,
     }
 
 
@@ -8784,4 +8833,5 @@ def oracle_sql() -> dict[str, str]:
         "q_bigram_logprob": Q_BIGRAM_LOGPROB_SQL,
         "q_image_phash": Q_IMAGE_PHASH_SQL,
         "q_ppjoin": Q_PPJOIN_SQL,
+        "q_source_drift": Q_SOURCE_DRIFT_SQL,
     }

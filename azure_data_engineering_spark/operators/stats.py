@@ -108,3 +108,64 @@ def chi_squared(
         ).alias("cramers_v"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+def token_distribution_drift(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group token-distribution drift against the whole corpus:
+    KL(P_group || P_corpus) and Jensen-Shannon divergence — the
+    standard monitors for 'did this source/shard/day drift from the
+    mix' in corpus curation (JS is symmetric, bounded by ln 2, and
+    finite even for disjoint vocabularies).
+
+    Scale shape: ONE tokenize+count pass to (group, term) counts;
+    every marginal (per-group totals, global term counts, corpus
+    total) re-aggregates from that pair table, so the raw text is
+    read exactly once. Per-group work is |terms present in the
+    group|: the JS contribution of corpus terms ABSENT from the group
+    folds into the closed form 0.5*ln(2)*(1 - sum_present q) — no
+    group x vocabulary cross join anywhere.
+
+    KL(group||corpus) is always finite because the corpus
+    distribution dominates every group (q > 0 wherever p > 0).
+    """
+    from ..functions.text import normalize_text
+
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term")
+    pairs = (
+        df.select(F.col(group_col).alias("grp"), toks)
+        .filter(F.col("term") != "")
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("c_gt"))
+    )
+    grp_tot = pairs.groupBy("grp").agg(F.sum("c_gt").alias("c_g"))
+    term_tot = pairs.groupBy("term").agg(F.sum("c_gt").alias("c_t"))
+    corpus_tot = grp_tot.agg(F.sum("c_g").alias("c_all"))
+    p = F.col("c_gt") / F.col("c_g")
+    q = F.col("c_t") / F.col("c_all")
+    per_term = (
+        pairs.join(F.broadcast(grp_tot), "grp")
+        .join(term_tot, "term")
+        .join(F.broadcast(corpus_tot))
+        .select(
+            "grp",
+            F.col("c_g"),
+            (p * F.log(p / q)).alias("kl_term"),
+            (
+                p * F.log((2.0 * p) / (p + q)) + q * F.log((2.0 * q) / (p + q))
+            ).alias("js_present"),
+            q.alias("q_term"),
+        )
+    )
+    ln2 = 0.6931471805599453
+    return per_term.groupBy("grp").agg(
+        F.max("c_g").cast("long").alias("n_tokens"),
+        F.sum("kl_term").alias("kl"),
+        (
+            0.5 * F.sum("js_present")
+            + 0.5 * ln2 * (1.0 - F.sum("q_term"))
+        ).alias("js"),
+    )

@@ -207,3 +207,36 @@ class TestBm25:
         assert set(r) == {1, 2, 3}
         assert r[2] > r[1]      # same tf=2, doc 2 much shorter
         assert r[2] > r[3]      # same length-2 doc, higher tf
+
+
+class TestTokenDrift:
+    def test_identical_groups_have_zero_divergence(self, spark):
+        from azure_data_engineering_spark.operators.stats import (
+            token_distribution_drift,
+        )
+
+        rows = [(g, "alpha beta gamma") for g in ("a", "b") for _ in range(5)]
+        df = spark.createDataFrame(rows, "src string, text string")
+        r = token_distribution_drift(df, "text", "src").collect()
+        assert all(abs(x.kl) < 1e-12 and abs(x.js) < 1e-12 for x in r)
+
+    def test_disjoint_vocab_js_is_half_ln2_kl_ln2(self, spark):
+        """Two equal-size groups with disjoint vocabularies: corpus
+        dist gives each term q = p/2, so KL(group||corpus) = ln 2 and
+        JS(group, corpus) = 0.5*ln(2) - ... closed form: each present
+        term has p, q=p/2 => js_present = p*ln(4/3) + (p/2)*ln(2/3);
+        absent mass = 1/2 => js = 0.5*(ln(4/3) + 0.5*ln(2/3)) +
+        0.25*ln2. Pin both numerically."""
+        import math
+
+        from azure_data_engineering_spark.operators.stats import (
+            token_distribution_drift,
+        )
+
+        rows = [("a", "one two three four")] * 4 + [("b", "five six seven eight")] * 4
+        df = spark.createDataFrame(rows, "src string, text string")
+        r = {x.grp: x for x in token_distribution_drift(df, "text", "src").collect()}
+        expected_js = 0.5 * (math.log(4 / 3) + 0.5 * math.log(2 / 3)) + 0.25 * math.log(2)
+        for g in ("a", "b"):
+            assert r[g].kl == pytest.approx(math.log(2), abs=1e-12)
+            assert r[g].js == pytest.approx(expected_js, abs=1e-12)
