@@ -57,6 +57,14 @@ HEADLINE = [
     "q_tpch_q19_style",
     "q_substring_dedup",
     "q_dsir_select",
+    # round-3 continuation: graph, spatial, retrieval, drift, PPJoin,
+    # image-phash dedup — new surfaces, no prior-round comparison
+    "q_triangle_count",
+    "q_spatial_join",
+    "q_ppjoin",
+    "q_source_drift",
+    "q_bigram_logprob",
+    "q_image_phash",
 ]
 
 
@@ -199,6 +207,12 @@ def main() -> None:
                     "q_tpch_q5_style": "since r3 aggregates revenue in exact "
                     "decimal (double sums drifted 1 cent at sf1 from "
                     "accumulation order) — deliberate correctness-over-speed",
+                    "q_triangle_count": "new in r3: exact per-node triangles "
+                    "over the 1.2M-edge co-purchase graph (41M wedges at "
+                    "sf0.1) — the heavy headline entry by design",
+                    "new_in_r3": "q_triangle_count q_spatial_join q_ppjoin "
+                    "q_source_drift q_bigram_logprob q_image_phash have no "
+                    "prior-round comparison",
                 },
             }
         )
