@@ -32,6 +32,17 @@ SWEEP = [
     # argmax ties are the canonical partition-order-dependent result:
     # guarded since the struct-extreme tie-break fix
     "q_maxby_aggregates",
+    # round-3 additions with explicit determinism mechanisms under
+    # test: RANGE-frame tie grouping (time decay), event_id tiebreak
+    # (markov), prefix-rank candidate set + exact verify (ppjoin),
+    # min-struct nearest tie-break (spatial), wedge/corner counting
+    # (triangle)
+    "q_time_decay",
+    "q_markov_chain",
+    "q_ppjoin",
+    "q_spatial_join",
+    "q_triangle_count",
+    "q_source_drift",
 ]
 
 
