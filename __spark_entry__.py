@@ -8383,6 +8383,68 @@ FROM per_term GROUP BY grp
 """
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-distributed Lloyd k-means over the embeddings table
+    (operators/kmeans.lloyd_kmeans, k=8, 3 fixed rounds): unlike
+    IVF's driver-sampled pyspark.ml fit, the full training loop runs
+    as join+agg rounds with executor-resident data only — the
+    clustering a SemDeDup/diversity-sampling stack runs over billions
+    of embeddings. Deterministic init (k smallest ids), per-round
+    centroid rounding pins doubles across engines, squared distances
+    use y*y (never libm pow). Oracle unrolls the identical rounds as
+    chained CTEs over dim-exploded vectors."""
+    from azure_data_engineering_spark.operators.kmeans import lloyd_kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    r = lloyd_kmeans(e, "embedding", "vec_id", k=8, iterations=3)
+    return r.select(F.col("id").alias("vec_id"), "cid", "dist")
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    parts = [
+        """WITH ex AS (
+  SELECT vec_id AS id, t.pos, CAST(embedding[t.pos + 1] AS DOUBLE) AS x
+  FROM embeddings, LATERAL unnest(range(len(embedding))) AS t(pos)
+), init AS (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS cid
+  FROM (SELECT DISTINCT id FROM ex ORDER BY id LIMIT %d)
+), c0 AS (
+  SELECT i.cid, e.pos, round(e.x, 6) AS c FROM ex e JOIN init i USING (id)
+)""" % k
+    ]
+    for n in range(1, iters + 1):
+        parts.append(
+            """, d%d AS (
+  SELECT e.id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS dist
+  FROM ex e JOIN c%d c USING (pos) GROUP BY e.id, c.cid
+), a%d AS (
+  SELECT id, cid FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+    FROM d%d
+  ) WHERE rn = 1
+), c%d AS (
+  SELECT a.cid, e.pos, round(avg(e.x), 6) AS c
+  FROM ex e JOIN a%d a USING (id) GROUP BY a.cid, e.pos
+)"""
+            % (n, n - 1, n, n, n, n)
+        )
+    parts.append(
+        """, df AS (
+  SELECT e.id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS dist
+  FROM ex e JOIN c%d c USING (pos) GROUP BY e.id, c.cid
+)
+SELECT id AS vec_id, cid, round(dist, 6) AS dist FROM (
+  SELECT id, cid, dist, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+  FROM df
+) WHERE rn = 1"""
+        % iters
+    )
+    return "".join(parts)
+
+
+Q_KMEANS_SQL = _kmeans_oracle_sql(8, 3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8613,6 +8675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_phash": q_image_phash,
         "q_ppjoin": q_ppjoin,
         "q_source_drift": q_source_drift,
+        "q_kmeans": q_kmeans,
     }
 
 
@@ -8834,4 +8897,5 @@ def oracle_sql() -> dict[str, str]:
         "q_image_phash": Q_IMAGE_PHASH_SQL,
         "q_ppjoin": Q_PPJOIN_SQL,
         "q_source_drift": Q_SOURCE_DRIFT_SQL,
+        "q_kmeans": Q_KMEANS_SQL,
     }

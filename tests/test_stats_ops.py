@@ -240,3 +240,33 @@ class TestTokenDrift:
         for g in ("a", "b"):
             assert r[g].kl == pytest.approx(math.log(2), abs=1e-12)
             assert r[g].js == pytest.approx(expected_js, abs=1e-12)
+
+
+class TestLloydKmeans:
+    def test_two_obvious_clusters(self, spark):
+        """Points at ~(0,0) and ~(10,10): 2-means separates them and
+        every point lands with its own blob regardless of init."""
+        from azure_data_engineering_spark.operators.kmeans import lloyd_kmeans
+
+        rows = [(i, [0.0 + i / 100.0, 0.0]) for i in range(10)] + [
+            (100 + i, [10.0, 10.0 + i / 100.0]) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        r = lloyd_kmeans(df, "embedding", "vec_id", k=2, iterations=3)
+        got = {x.id: x.cid for x in r.collect()}
+        blob_a = {got[i] for i in range(10)}
+        blob_b = {got[100 + i] for i in range(10)}
+        assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+    def test_converged_fixture_distances(self, spark):
+        """A symmetric fixture where the final centroids are the blob
+        means: per-point dist equals the hand-computed value."""
+        from azure_data_engineering_spark.operators.kmeans import lloyd_kmeans
+
+        rows = [(0, [0.0]), (1, [2.0]), (10, [10.0]), (11, [12.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        r = lloyd_kmeans(df, "embedding", "vec_id", k=2, iterations=3)
+        got = {x.id: (x.cid, x.dist) for x in r.collect()}
+        # centroids converge to 1.0 and 11.0; every point is 1 away
+        assert all(d == 1.0 for _, d in got.values())
+        assert got[0][0] == got[1][0] != got[10][0] == got[11][0]
