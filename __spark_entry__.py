@@ -8445,6 +8445,64 @@ SELECT id AS vec_id, cid, round(dist, 6) AS dist FROM (
 Q_KMEANS_SQL = _kmeans_oracle_sql(8, 3)
 
 
+def q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 `udf(useArrow=True)`)
+    — the last UDF surface beside pandas UDF, UDTF, and grouped-map:
+    row-at-a-time Python semantics with Arrow-batched (not pickled)
+    transfer. Engine guidance stands: UDFs are the slow path — this
+    exists for logic that genuinely needs Python per-row; the oracle
+    (and the JVM twin inside this query) replicate it relationally,
+    and the query ASSERTS udf-vs-twin equality inside the plan by
+    emitting a mismatch count that must be zero."""
+    from pyspark.sql.functions import udf
+
+    @udf("string", useArrow=True)
+    def shape_label(text: str) -> str:
+        # split(" ") (not split()): keeps empty tokens exactly like
+        # Spark's split(text, ' ') and DuckDB's string_split, so the
+        # twin equality is a real per-row contract, not a fixture
+        # accident of single-spaced text
+        n = len(text.split(" "))
+        if n < 20:
+            return "short"
+        if n < 60:
+            return "medium"
+        return "long"
+
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    twin = (
+        F.when(n_words < 20, F.lit("short"))
+        .when(n_words < 60, F.lit("medium"))
+        .otherwise(F.lit("long"))
+    )
+    labeled = d.select(
+        "doc_id",
+        shape_label(F.col("text")).alias("label"),
+        twin.alias("label_twin"),
+    )
+    return labeled.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("label") != F.col("label_twin")).cast("long")).alias(
+            "n_twin_mismatch"
+        ),
+    )
+
+
+Q_ARROW_UDF_SQL = """
+WITH labeled AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) < 20 THEN 'short'
+              WHEN len(string_split(text, ' ')) < 60 THEN 'medium'
+              ELSE 'long' END AS label
+  FROM documents
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_twin_mismatch
+FROM labeled GROUP BY label
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8676,6 +8734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppjoin": q_ppjoin,
         "q_source_drift": q_source_drift,
         "q_kmeans": q_kmeans,
+        "q_arrow_udf": q_arrow_udf,
     }
 
 
@@ -8898,4 +8957,5 @@ def oracle_sql() -> dict[str, str]:
         "q_ppjoin": Q_PPJOIN_SQL,
         "q_source_drift": Q_SOURCE_DRIFT_SQL,
         "q_kmeans": Q_KMEANS_SQL,
+        "q_arrow_udf": Q_ARROW_UDF_SQL,
     }
