@@ -8503,6 +8503,49 @@ FROM labeled GROUP BY label
 """
 
 
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view under appends to BOTH
+    sides (operators/incremental.incremental_join_delta): the stored
+    orders x customer view is refreshed with dJ = dA JOIN B_new UNION
+    A_old JOIN dB — the delta-propagation rule that counts the dAxdB
+    cross term exactly once. The query emits stored-view UNION delta;
+    the oracle recomputes the whole join from scratch — any double
+    count or miss (the classic IVM bugs) breaks the match."""
+    from azure_data_engineering_spark.operators.incremental import (
+        incremental_join_delta,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    a_old = o.filter(F.col("o_orderkey") % 10 != 0)
+    a_delta = o.filter(F.col("o_orderkey") % 10 == 0)
+    b_old = c.filter(F.col("c_custkey") % 20 != 0)
+    b_delta = c.filter(F.col("c_custkey") % 20 == 0)
+    view_old = a_old.join(b_old, a_old.o_custkey == b_old.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_nationkey", "o_totalprice"
+    )
+    ao = a_old.withColumn("k", F.col("o_custkey"))
+    ad = a_delta.withColumn("k", F.col("o_custkey"))
+    bo = b_old.withColumn("k", F.col("c_custkey"))
+    bd = b_delta.withColumn("k", F.col("c_custkey"))
+    delta = incremental_join_delta(ao, bo, ad, bd, on=["k"]).select(
+        "o_orderkey", "c_custkey", "c_nationkey", "o_totalprice"
+    )
+    return view_old.unionByName(delta).select(
+        "o_orderkey",
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+Q_INCREMENTAL_JOIN_SQL = """
+SELECT o.o_orderkey, c.c_custkey, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       round(o.o_totalprice, 2) AS o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8735,6 +8778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_drift": q_source_drift,
         "q_kmeans": q_kmeans,
         "q_arrow_udf": q_arrow_udf,
+        "q_incremental_join": q_incremental_join,
     }
 
 
@@ -8958,4 +9002,5 @@ def oracle_sql() -> dict[str, str]:
         "q_source_drift": Q_SOURCE_DRIFT_SQL,
         "q_kmeans": Q_KMEANS_SQL,
         "q_arrow_udf": Q_ARROW_UDF_SQL,
+        "q_incremental_join": Q_INCREMENTAL_JOIN_SQL,
     }

@@ -61,3 +61,38 @@ def merge_partials(
 def finalize_avg(df: DataFrame, out: str, sum_col: str, count_col: str) -> DataFrame:
     """Finalize an average from its (sum, count) partial pair."""
     return df.withColumn(out, F.col(sum_col) / F.col(count_col))
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    b_old: DataFrame,
+    a_delta: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """The insert-delta of an inner-join view J = A JOIN B when both
+    inputs receive appends: the classic delta-propagation rule of
+    incremental view maintenance (e.g. Gupta & Mumick's survey,
+    SIGMOD Record 1995)
+
+        dJ = dA JOIN B_new  UNION ALL  A_old JOIN dB
+           (B_new = B_old UNION dB; the asymmetric split counts the
+            dA JOIN dB cross term exactly once)
+
+    so refreshing the view costs |dA| x fanout + |dB| x fanout — the
+    deltas drive both joins and the big stored sides are only probed,
+    never rescanned as a whole when the join keys are bucketed or the
+    stored sides are broadcast-small. At 100 TB this is the difference
+    between touching a day's rows and recomputing a year.
+
+    Returns rows to APPEND to the stored view (insert-only workloads;
+    for updates/deletes compose with apply_cdc upstream). Verified in
+    tests against the full-recompute diff, and in the registry oracle
+    by rebuilding the whole view as old-view UNION delta and matching
+    a from-scratch recompute.
+    """
+    b_new = b_old.unionByName(b_delta)
+    return a_delta.join(b_new, on).unionByName(
+        a_old.join(b_delta, on),
+        allowMissingColumns=False,
+    )

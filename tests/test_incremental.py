@@ -43,3 +43,34 @@ class TestIncremental:
         )
         out = {r["g"]: r for r in merged.collect()}
         assert out[2]["n"] == 2 and out[2]["avg"] == 6.0 and out[1]["avg"] == 10.0
+
+
+class TestIncrementalJoinDelta:
+    def test_cross_delta_counted_once(self, spark):
+        """A delta order matching a delta customer must appear exactly
+        once in dJ (the classic IVM double-count bug)."""
+        from pyspark.sql import functions as F
+
+        from azure_data_engineering_spark.operators.incremental import (
+            incremental_join_delta,
+        )
+
+        a_old = spark.createDataFrame([(1, 100)], "oid long, k long")
+        b_old = spark.createDataFrame([(100, "x")], "k long, tag string")
+        a_delta = spark.createDataFrame([(2, 100), (3, 200)], "oid long, k long")
+        b_delta = spark.createDataFrame([(200, "y")], "k long, tag string")
+        d = incremental_join_delta(a_old, b_old, a_delta, b_delta, on=["k"])
+        got = sorted((r.oid, r.tag) for r in d.collect())
+        # delta rows: order 2 -> old cust 100; order 3 -> NEW cust 200
+        # (cross term, once); old order 1 -> new cust 200: no key match
+        assert got == [(2, "x"), (3, "y")]
+        # stored view + delta == full recompute
+        full = (
+            a_old.unionByName(a_delta)
+            .join(b_old.unionByName(b_delta), "k")
+            .select("oid", "tag")
+        )
+        view = a_old.join(b_old, "k").select("oid", "tag").unionByName(
+            d.select("oid", "tag")
+        )
+        assert sorted(map(tuple, view.collect())) == sorted(map(tuple, full.collect()))
