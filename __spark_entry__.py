@@ -8546,6 +8546,58 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface: case-insensitive grouping AND join
+    via UTF8_LCASE-collated columns — the engine-level answer to
+    lower()-wrapping every comparison (collation rides the type, so
+    every comparison/group/join on the column inherits it and
+    codegen stays tight). Mixed-case lang codes are injected
+    deterministically; the group representative is normalized at the
+    emission point (a collated groupBy may surface any case variant —
+    partition-order-dependent — so emitting lower() is the
+    determinism contract). Oracle replays with explicit lower()."""
+    d = _t(spark, sf_dir, "documents")
+    mixed = d.withColumn(
+        "lang_mixed",
+        F.when(F.col("doc_id") % 3 == 0, F.upper("lang"))
+        .when(F.col("doc_id") % 3 == 1, F.initcap("lang"))
+        .otherwise(F.col("lang")),
+    )
+    dim = spark.createDataFrame(
+        [("EN", "english"), ("DE", "german"), ("FR", "french"),
+         ("ES", "spanish"), ("ZH", "chinese")],
+        "code string, label string",
+    )
+    coll = F.collate(F.col("lang_mixed"), "UTF8_LCASE")
+    grouped = mixed.groupBy(coll.alias("lang_c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    joined = grouped.join(
+        dim, F.col("lang_c") == F.collate(F.col("code"), "UTF8_LCASE")
+    )
+    return joined.select(
+        F.lower(F.col("lang_c").cast("string")).alias("lang"), "n_docs", "label"
+    )
+
+
+Q_COLLATION_SQL = """
+WITH mixed AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+              WHEN doc_id % 3 = 1 THEN upper(lang[1]) || lang[2:]
+              ELSE lang END AS lang_mixed
+  FROM documents
+), grouped AS (
+  SELECT lower(lang_mixed) AS lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM mixed GROUP BY 1
+), dim AS (
+  SELECT * FROM (VALUES ('EN','english'),('DE','german'),('FR','french'),
+                        ('ES','spanish'),('ZH','chinese')) t(code, label)
+)
+SELECT g.lang, g.n_docs, d.label
+FROM grouped g JOIN dim d ON g.lang = lower(d.code)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8779,6 +8831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_arrow_udf": q_arrow_udf,
         "q_incremental_join": q_incremental_join,
+        "q_collation": q_collation,
     }
 
 
@@ -9003,4 +9056,5 @@ def oracle_sql() -> dict[str, str]:
         "q_kmeans": Q_KMEANS_SQL,
         "q_arrow_udf": Q_ARROW_UDF_SQL,
         "q_incremental_join": Q_INCREMENTAL_JOIN_SQL,
+        "q_collation": Q_COLLATION_SQL,
     }

