@@ -304,3 +304,54 @@ def test_dsir_delta_table_broadcasts(spark, sf_dir):
     # a broadcast, never a shuffle of the corpus side
     plan = formatted_plan(entrymod.q_dsir_select(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_spatial_join_is_skew_splittable(spark):
+    """The spatial_nearest docstring claims a hot grid cell (urban
+    core) is an ordinary hot join key that AQE can split — prove it:
+    95% of points in ONE cell must yield SortMergeJoin(skew=true) on
+    the cell-key join, with correct nearest results from the split
+    plan. Thresholds scoped down to fire at test scale."""
+    from pyspark.sql import functions as F
+
+    from azure_data_engineering_spark.operators.spatial import spatial_nearest
+
+    c = spark.conf
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.shuffle.partitions",
+    ]
+    saved = {k: c.get(k) for k in keys}
+    try:
+        c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        c.set("spark.sql.shuffle.partitions", "32")
+        # 200k points: 95% jammed into one ~0.05-degree blob (one grid
+        # cell at radius 150km), the rest spread wide
+        pts = spark.range(0, 200_000).select(
+            F.col("id").alias("pid"),
+            F.when(F.col("id") % 20 < 19, 40.0 + (F.col("id") % 97) / 2000.0)
+            .otherwise(-30.0 + (F.col("id") % 1000) / 10.0)
+            .alias("lat"),
+            F.when(F.col("id") % 20 < 19, -100.0 + (F.col("id") % 89) / 2000.0)
+            .otherwise(-170.0 + (F.col("id") % 1400) / 10.0)
+            .alias("lon"),
+        )
+        fac = spark.createDataFrame(
+            [(1, 40.02, -99.98), (2, 41.5, -101.5), (3, -20.0, -120.0)],
+            "fid long, lat double, lon double",
+        )
+        r = spatial_nearest(pts, fac, radius_km=150.0)
+        agg = r.groupBy("fid_f").agg(F.count(F.lit(1)).alias("n"))
+        rows = {x.fid_f: x.n for x in agg.collect()}
+        # every hot-blob point is ~within 5km of facility 1 (a few of
+        # the scattered points also fall in facility 1's radius)
+        assert rows[1] >= 190_000
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            c.set(k, v)
