@@ -8598,6 +8598,87 @@ FROM grouped g JOIN dim d ON g.lang = lower(d.code)
 """
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data preparation as ONE composed plan:
+    quality floor (>= 30 whitespace tokens) -> exact keep-first dedup
+    on normalized text -> 40-token chunking (explode, shuffle-free)
+    -> 256-token sequence packing (one shuffle on the md5 bucket key)
+    -> per-bucket packing summary. The full documents->training-
+    sequences story q_clean_corpus starts: every stage is an already-
+    gated operator, and composing them keeps the whole pipeline at
+    TWO shuffles (dedup window + packing bucket) before the final
+    8-row aggregate. Oracle replays the identical four-stage algebra
+    in chained CTEs."""
+    from azure_data_engineering_spark.functions.text import (
+        normalize_text,
+        whitespace_token_count,
+    )
+    from azure_data_engineering_spark.operators.chunking import (
+        chunk_by_tokens,
+        pack_sequences,
+    )
+    from azure_data_engineering_spark.operators.relational import dedup_keep_first
+    from azure_data_engineering_spark.operators.sampling import hash_unit
+
+    d = _t(spark, sf_dir, "documents")
+    flt = d.filter(whitespace_token_count(F.col("text")) >= 30)
+    ded = dedup_keep_first(
+        flt.withColumn("__norm", normalize_text(F.col("text"))),
+        ["__norm"],
+        [F.col("doc_id").asc()],
+    ).drop("__norm")
+    chunks = chunk_by_tokens(ded, "doc_id", "text", max_tokens=40, chunk_text=False)
+    bucket = F.floor(hash_unit(F.col("doc_id"), "pk") * 8).cast("long")
+    packed = pack_sequences(
+        chunks, "doc_id", "chunk_id", "token_len",
+        max_tokens=256, buckets=8, bucket_expr=bucket,
+    )
+    return packed.groupBy("bucket").agg(
+        F.countDistinct("seq_id").alias("n_seqs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("token_len").cast("long").alias("total_tokens"),
+    )
+
+
+Q_TRAINING_PIPELINE_SQL = """
+WITH flt AS (
+  SELECT doc_id, trim(text) AS text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+  WHERE CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 30
+), ded AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+    FROM flt
+  ) WHERE rn = 1
+), base AS (
+  SELECT doc_id,
+         CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS n
+  FROM ded
+), ex AS (
+  SELECT doc_id, n,
+         unnest(range(greatest(CAST(ceil(n / 40.0) AS INTEGER), 1))) AS chunk_id
+  FROM base
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         CAST(greatest(least(40, n - chunk_id * 40), 0) AS INTEGER) AS token_len,
+         CAST(floor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pk'), 1, 8) AS BIGINT)
+                    / 4294967296.0 * 8) AS BIGINT) AS bucket
+  FROM ex
+), runs AS (
+  SELECT bucket, token_len,
+         sum(token_len) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_id
+                              ROWS UNBOUNDED PRECEDING) - token_len AS tokens_before
+  FROM chunks
+)
+SELECT bucket, CAST(count(DISTINCT CAST(floor(tokens_before / 256.0) AS BIGINT)) AS BIGINT) AS n_seqs,
+       CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(token_len) AS BIGINT) AS total_tokens
+FROM runs GROUP BY bucket
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8832,6 +8913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_arrow_udf": q_arrow_udf,
         "q_incremental_join": q_incremental_join,
         "q_collation": q_collation,
+        "q_training_pipeline": q_training_pipeline,
     }
 
 
@@ -9057,4 +9139,5 @@ def oracle_sql() -> dict[str, str]:
         "q_arrow_udf": Q_ARROW_UDF_SQL,
         "q_incremental_join": Q_INCREMENTAL_JOIN_SQL,
         "q_collation": Q_COLLATION_SQL,
+        "q_training_pipeline": Q_TRAINING_PIPELINE_SQL,
     }
