@@ -355,3 +355,19 @@ def test_spatial_join_is_skew_splittable(spark):
     finally:
         for k, v in saved.items():
             c.set(k, v)
+
+
+def test_training_pipeline_two_exchanges_no_cartesian(spark, sf_dir):
+    """q_training_pipeline's composition claim, pinned: quality floor
+    -> dedup -> chunk -> pack -> summary executes with exactly TWO
+    exchanges (dedup window partitioning + packing bucket key; the
+    final 8-row bucket agg reuses the packing partitioning) and no
+    cartesian anywhere."""
+    import __spark_entry__ as em
+
+    df = em.queries()["q_training_pipeline"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
