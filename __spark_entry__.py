@@ -8699,10 +8699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_join": q_semi_join,
         "q_anti_join": q_anti_join,
         "q_broadcast_join": q_broadcast_join,
-        "q_cross_join": q_cross_join,
         "q_range_join": q_range_join,
         "q_asof_join": q_asof_join,
-        "q_asof_big": q_asof_big,
         "q_string_agg": q_string_agg,
         "q_dedup_pk": q_dedup_pk,
         "q_rollup": q_rollup,
@@ -8726,7 +8724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_file_listing": q_file_listing,
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_dedup": q_stream_dedup,
-        "q_stream_neardup": q_stream_neardup,
         "q_stream_session": q_stream_session,
         "q_stream_stream_join": q_stream_stream_join,
         "q_stateful_stream": q_stateful_stream,
@@ -8737,14 +8734,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash": q_dedup_minhash,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
-        "q_line_dedup": q_line_dedup,
         "q_embedding_topk": q_embedding_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_snapshot_merge": q_snapshot_merge,
         "q_text_stats": q_text_stats,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_triangle_count": q_triangle_count,
+        "q_kmeans": q_kmeans,
+        "q_spatial_join": q_spatial_join,
+        "q_image_phash": q_image_phash,
+        "q_ppjoin": q_ppjoin,
+        "q_source_drift": q_source_drift,
+        "q_training_pipeline": q_training_pipeline,
         # ---- entries past the driver's ~50-entry CORRECTNESS window ----
+        "q_asof_big": q_asof_big,
+        "q_cross_join": q_cross_join,
+        "q_stream_neardup": q_stream_neardup,
+        "q_line_dedup": q_line_dedup,
         "q_orders_per_nation": q_orders_per_nation,
         "q_asof_forward": q_asof_forward,
         "q_explode_outer": q_explode_outer,
@@ -8898,22 +8905,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corrupt_quarantine": q_corrupt_quarantine,
         "q_contrastive_negatives": q_contrastive_negatives,
         "q_statestore_read": q_statestore_read,
-        "q_triangle_count": q_triangle_count,
         "q_time_decay": q_time_decay,
         "q_mad_outliers": q_mad_outliers,
-        "q_spatial_join": q_spatial_join,
         "q_markov_chain": q_markov_chain,
         "q_bm25_search": q_bm25_search,
         "q_chi_squared": q_chi_squared,
         "q_bigram_logprob": q_bigram_logprob,
-        "q_image_phash": q_image_phash,
-        "q_ppjoin": q_ppjoin,
-        "q_source_drift": q_source_drift,
-        "q_kmeans": q_kmeans,
         "q_arrow_udf": q_arrow_udf,
         "q_incremental_join": q_incremental_join,
         "q_collation": q_collation,
-        "q_training_pipeline": q_training_pipeline,
     }
 
 
