@@ -8679,6 +8679,42 @@ FROM runs GROUP BY bucket
 """
 
 
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation/distribution functions not covered elsewhere:
+    nth_value (2nd event value in the full frame), cume_dist (relative
+    rank including ties), and first/last over an explicit full-frame
+    window, per user — one shuffle on the partition key like every
+    window operator here. The order is total (ts, event_id) — the
+    determinism contract every navigation function needs, since a
+    frame's 2nd value under a tied order is partition-layout
+    luck."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.nth_value("value", 2).over(full), 2).alias("second_value"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.first("value").over(full), 2).alias("first_value"),
+        F.round(F.last("value").over(full), 2).alias("last_value"),
+    )
+
+
+Q_WINDOW_NAVIGATION_SQL = """
+SELECT user_id, event_id,
+       round(nth_value(value, 2) OVER w_full, 2) AS second_value,
+       round(cume_dist() OVER w_ord, 6) AS cd,
+       round(first_value(value) OVER w_full, 2) AS first_value,
+       round(last_value(value) OVER w_full, 2) AS last_value
+FROM events
+WHERE user_id < 30
+WINDOW w_ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8752,6 +8788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cross_join": q_cross_join,
         "q_stream_neardup": q_stream_neardup,
         "q_line_dedup": q_line_dedup,
+        "q_window_navigation": q_window_navigation,
         "q_orders_per_nation": q_orders_per_nation,
         "q_asof_forward": q_asof_forward,
         "q_explode_outer": q_explode_outer,
@@ -9139,5 +9176,6 @@ def oracle_sql() -> dict[str, str]:
         "q_arrow_udf": Q_ARROW_UDF_SQL,
         "q_incremental_join": Q_INCREMENTAL_JOIN_SQL,
         "q_collation": Q_COLLATION_SQL,
+        "q_window_navigation": Q_WINDOW_NAVIGATION_SQL,
         "q_training_pipeline": Q_TRAINING_PIPELINE_SQL,
     }
