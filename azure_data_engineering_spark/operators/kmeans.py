@@ -44,7 +44,13 @@ def lloyd_kmeans(
 ) -> DataFrame:
     """Run `iterations` Lloyd rounds; return the final assignment
     (id, cid, dist) with dist = squared euclidean distance to the
-    assigned centroid, rounded to round_decimals."""
+    assigned centroid, rounded to round_decimals.
+
+    The dim-exploded input is re-derived from the source per round
+    (2 consumers x iterations) — a deliberate recompute-over-persist
+    default since the scan is a single projected parquet column;
+    callers looping many iterations over slow storage should
+    .persist() the input DataFrame first."""
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )

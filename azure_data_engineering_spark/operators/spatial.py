@@ -63,6 +63,10 @@ def spatial_nearest(
     points with no facility in range are dropped (left-join semantics
     are one `.join(..., 'left')` away and intentionally not baked in).
 
+    The nearest-pick aggregates on the FULL point row, so byte-equal
+    duplicate point rows collapse to one output row — give points a
+    unique id column if duplicates must survive.
+
     Grid cells are sized so one cell spans >= radius_km in BOTH axes
     at any latitude up to max_abs_lat (longitude degrees shrink by
     cos(lat), so the cell edge divides by cos(max_abs_lat)); the
