@@ -42,7 +42,14 @@ class TestSubstringDedupProperties:
 
         df = spark.createDataFrame([(0, doc), (1, doc)], "doc_id int, text string")
         out = {r["doc_id"]: r for r in duplicated_span_stats(df, k=3).collect()}
-        assert out[0]["dup_tokens"] == 0  # first occurrence keeps everything
+        # the first occurrence's duplication is exactly its own
+        # INTERNAL self-repetition (hypothesis found 'a a a a': the
+        # second 'a a a' k-gram repeats the first inside one doc, and
+        # Lee et al. substring dedup rightly counts it) — zero only
+        # for docs whose k-grams are internally unique
+        single = spark.createDataFrame([(0, doc)], "doc_id int, text string")
+        self_dup = duplicated_span_stats(single, k=3).collect()[0]["dup_tokens"]
+        assert out[0]["dup_tokens"] == self_dup
         assert out[1]["dup_frac"] == 1.0  # the copy is entirely repeated span
 
 
