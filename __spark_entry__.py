@@ -8715,6 +8715,60 @@ WINDOW w_ord AS (PARTITION BY user_id ORDER BY ts, event_id),
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring at corpus scale — the
+    fastText-style learned filter (cf. CCNet/GPT-3 quality
+    classifiers) as pure plan arithmetic: engineered features
+    (log token count, stopword ratio, punctuation ratio) dotted with
+    FIXED literal weights + sigmoid, entirely in codegen — model
+    inference with no model server, no UDF, no shuffle. Weights ship
+    as literals (trained offline); the keep label compares the
+    UNROUNDED probability so both engines decide from identical
+    doubles."""
+    from azure_data_engineering_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+        whitespace_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    n_tok = whitespace_token_count(F.col("text")).cast("double")
+    logit = (
+        F.lit(-2.0)
+        + F.lit(0.8) * F.log(F.lit(1.0) + n_tok)
+        + F.lit(3.0) * stopword_ratio(F.col("text"))
+        - F.lit(12.0) * punct_ratio(F.col("text"))
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return d.select(
+        "doc_id",
+        F.round(prob, 6).alias("p_keep"),
+        (prob > 0.5).alias("keep"),
+    )
+
+
+Q_QUALITY_CLASSIFIER_SQL = """
+WITH feats AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+                   / length(text) END AS p_ratio,
+         CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS sw_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-(-2.0 + 0.8 * ln(1.0 + n_tok) + 3.0 * sw_ratio - 12.0 * p_ratio))) AS prob
+  FROM feats
+)
+SELECT doc_id, round(prob, 6) AS p_keep, prob > 0.5 AS keep FROM scored
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8789,6 +8843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_neardup": q_stream_neardup,
         "q_line_dedup": q_line_dedup,
         "q_window_navigation": q_window_navigation,
+        "q_quality_classifier": q_quality_classifier,
         "q_orders_per_nation": q_orders_per_nation,
         "q_asof_forward": q_asof_forward,
         "q_explode_outer": q_explode_outer,
@@ -9177,5 +9232,6 @@ def oracle_sql() -> dict[str, str]:
         "q_incremental_join": Q_INCREMENTAL_JOIN_SQL,
         "q_collation": Q_COLLATION_SQL,
         "q_window_navigation": Q_WINDOW_NAVIGATION_SQL,
+        "q_quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
         "q_training_pipeline": Q_TRAINING_PIPELINE_SQL,
     }
