@@ -43,6 +43,12 @@ SWEEP = [
     "q_spatial_join",
     "q_triangle_count",
     "q_source_drift",
+    # rounded-centroid rounds (kmeans), exact signatures (phash),
+    # count-ratio scoring (bigram LM), filtered-postings ranking (bm25)
+    "q_kmeans",
+    "q_image_phash",
+    "q_bigram_logprob",
+    "q_bm25_search",
 ]
 
 
