@@ -4092,9 +4092,13 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("double").alias("extendedprice"),
         F.col("l_discount").cast("double").alias("discount"),
     ).unpivot(["l_orderkey"], ["quantity", "extendedprice", "discount"], "measure", "value")
+    # total in exact decimal: a raw double sum drifted in the last ulp
+    # at sf1 from accumulation order (caught by the full-tier sweep);
+    # per-row decimal(18,6) quantization is identical in both engines,
+    # so the sum is order-independent and the final double cast exact
     return melted.groupBy("measure").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("value").alias("total"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
@@ -4112,7 +4116,8 @@ WITH src AS (
   UNION ALL SELECT l_orderkey, 'extendedprice', extendedprice FROM src
   UNION ALL SELECT l_orderkey, 'discount', discount FROM src
 )
-SELECT measure, count(*) AS n_rows, sum(value) AS total,
+SELECT measure, count(*) AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
        min(value) AS min_value, max(value) AS max_value
 FROM melted GROUP BY measure
 """
