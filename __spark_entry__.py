@@ -8774,7 +8774,235 @@ SELECT doc_id, round(prob, 6) AS p_keep, prob > 0.5 AS keep FROM scored
 """
 
 
+PARTSUPP_NOTE = """Synthesized partsupp: the driver's star schema omits TPC-H's
+partsupp table, so the four shapes that need it (Q2/Q11/Q16/Q20)
+derive it DETERMINISTICALLY from part x supplier — per part, 4
+suppliers at (p*67 + i*31) mod |supplier| (distinct for i<4), integer
+availqty and exact two-decimal supplycost from modular arithmetic.
+Both engines build the identical table from the identical inputs, so
+the derivation is part of the query under test, not a fixture file."""
+
+
+def _synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    ns = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("n"))
+    i = spark.range(4).select(F.col("id").alias("i"))
+    return (
+        p.crossJoin(F.broadcast(i))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 67 + F.col("i") * 31) % F.col("n")).alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7 + F.col("i") * 13) % 9999 + 1).cast("long").alias("ps_availqty"),
+            (
+                ((F.col("p_partkey") * 13 + F.col("i") * 17) % 100000).cast("double") / 100.0 + 1.0
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+PARTSUPP_SQL_CTE = """partsupp AS (
+  SELECT p.p_partkey AS ps_partkey,
+         (p.p_partkey * 67 + i.i * 31) % ns.n AS ps_suppkey,
+         CAST((p.p_partkey * 7 + i.i * 13) % 9999 + 1 AS BIGINT) AS ps_availqty,
+         CAST((p.p_partkey * 13 + i.i * 17) % 100000 AS DOUBLE) / 100.0 + 1.0 AS ps_supplycost
+  FROM part p
+  CROSS JOIN (SELECT unnest(range(4)) AS i) i
+  CROSS JOIN (SELECT count(*) AS n FROM supplier) ns
+)"""
+
+
+def _ps_views(spark: SparkSession, sf_dir: str) -> None:
+    _synth_partsupp(spark, sf_dir).createOrReplaceTempView("partsupp_ps")
+    for t in ("part", "supplier", "nation", "region", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_ps")
+
+
+def q_tpch_q2_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for ECONOMY parts of
+    one size, the EUROPE supplier(s) matching the per-part MINIMUM
+    supply cost — the correlated-scalar-subquery-over-a-join shape,
+    decorrelated by Catalyst into an aggregate + rejoin. partsupp is
+    synthesized (see PARTSUPP_NOTE); cost equality compares exact
+    modular-arithmetic doubles, so ties reproduce identically across
+    engines."""
+    _ps_views(spark, sf_dir)
+    return spark.sql("""
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, ps.ps_supplycost
+FROM part_ps p
+JOIN partsupp_ps ps ON p.p_partkey = ps.ps_partkey
+JOIN supplier_ps s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation_ps n ON s.s_nationkey = n.n_nationkey
+JOIN region_ps r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size < 15 AND p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+    SELECT min(ps2.ps_supplycost)
+    FROM partsupp_ps ps2
+    JOIN supplier_ps s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation_ps n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region_ps r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+""")
+
+
+Q_TPCH_Q2_STYLE_SQL = """
+WITH """ + PARTSUPP_SQL_CTE + """
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, ps.ps_supplycost
+FROM part p
+JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size < 15 AND p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+    SELECT min(ps2.ps_supplycost)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q11_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part stock value for one
+    nation's suppliers, HAVING value > a fraction of the nation's
+    total — the scalar-subquery-threshold-over-aggregates shape. The
+    fraction scales with 1/|parts| (TPC-H scales it 1/SF for the same
+    reason: a fixed fraction returns nothing at large SF). Stock
+    value aggregates in exact DECIMAL (supplycost is two-decimal by
+    construction), so the global threshold compares order-independent
+    numbers."""
+    _ps_views(spark, sf_dir)
+    return spark.sql("""
+SELECT ps.ps_partkey,
+       CAST(sum(CAST(ps.ps_supplycost AS DECIMAL(12,2)) * ps.ps_availqty) AS DOUBLE) AS stock_value
+FROM partsupp_ps ps
+JOIN supplier_ps s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation_ps n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = (SELECT min(n_name) FROM nation_ps)
+GROUP BY ps.ps_partkey
+HAVING sum(CAST(ps.ps_supplycost AS DECIMAL(12,2)) * ps.ps_availqty) > (
+  SELECT sum(CAST(ps2.ps_supplycost AS DECIMAL(12,2)) * ps2.ps_availqty)
+         * (1.10 / (SELECT count(DISTINCT ps_partkey) FROM partsupp_ps))
+  FROM partsupp_ps ps2
+  JOIN supplier_ps s2 ON s2.s_suppkey = ps2.ps_suppkey
+  JOIN nation_ps n2 ON s2.s_nationkey = n2.n_nationkey
+  WHERE n2.n_name = (SELECT min(n_name) FROM nation_ps)
+)
+""")
+
+
+Q_TPCH_Q11_STYLE_SQL = """
+WITH """ + PARTSUPP_SQL_CTE + """
+SELECT ps.ps_partkey,
+       CAST(sum(CAST(ps.ps_supplycost AS DECIMAL(12,2)) * ps.ps_availqty) AS DOUBLE) AS stock_value
+FROM partsupp ps
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = (SELECT min(n_name) FROM nation)
+GROUP BY ps.ps_partkey
+HAVING sum(CAST(ps.ps_supplycost AS DECIMAL(12,2)) * ps.ps_availqty) > (
+  SELECT sum(CAST(ps2.ps_supplycost AS DECIMAL(12,2)) * ps2.ps_availqty)
+         * (1.10 / (SELECT count(DISTINCT ps_partkey) FROM partsupp))
+  FROM partsupp ps2
+  JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+  WHERE n2.n_name = (SELECT min(n_name) FROM nation)
+)
+"""
+
+
+def q_tpch_q16_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier relationship): distinct supplier
+    count per (brand, type, size) for non-Brand#2 parts, EXCLUDING
+    blacklisted suppliers (negative account balance stands in for the
+    'complaints' comment scan) — the NOT-IN-subquery + count-distinct
+    rollup shape."""
+    _ps_views(spark, sf_dir)
+    return spark.sql("""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM partsupp_ps ps
+JOIN part_ps p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#2' AND p.p_size IN (11, 14, 23, 28, 35, 41, 2, 9)
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier_ps WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+LIMIT 100
+""")
+
+
+Q_TPCH_Q16_STYLE_SQL = """
+WITH """ + PARTSUPP_SQL_CTE + """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#2' AND p.p_size IN (11, 14, 23, 28, 35, 41, 2, 9)
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+LIMIT 100
+"""
+
+
+def q_tpch_q20_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers whose
+    stock of some part exceeds half the quantity they shipped of it
+    in one year — the doubly-nested correlated-IN shape over the fact
+    table. l_quantity is integral, so the half-sum threshold is exact
+    in both engines."""
+    _ps_views(spark, sf_dir)
+    return spark.sql("""
+SELECT s.s_name, s.s_acctbal
+FROM supplier_ps s
+WHERE s.s_suppkey IN (
+  SELECT ps.ps_suppkey
+  FROM partsupp_ps ps
+  WHERE ps.ps_availqty > (
+    SELECT 0.5 * coalesce(sum(l.l_quantity), 0)
+    FROM lineitem_ps l
+    WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  )
+)
+ORDER BY s.s_name
+""")
+
+
+Q_TPCH_Q20_STYLE_SQL = """
+WITH """ + PARTSUPP_SQL_CTE + """
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT ps.ps_suppkey
+  FROM partsupp ps
+  WHERE ps.ps_availqty > (
+    SELECT 0.5 * coalesce(sum(l.l_quantity), 0)
+    FROM lineitem l
+    WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  )
+)
+ORDER BY s.s_name
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
+
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
@@ -8850,6 +9078,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_window_navigation": q_window_navigation,
         "q_quality_classifier": q_quality_classifier,
+        "q_tpch_q2_style": q_tpch_q2_style,
+        "q_tpch_q11_style": q_tpch_q11_style,
+        "q_tpch_q16_style": q_tpch_q16_style,
+        "q_tpch_q20_style": q_tpch_q20_style,
         "q_orders_per_nation": q_orders_per_nation,
         "q_asof_forward": q_asof_forward,
         "q_explode_outer": q_explode_outer,
@@ -9239,5 +9471,9 @@ def oracle_sql() -> dict[str, str]:
         "q_collation": Q_COLLATION_SQL,
         "q_window_navigation": Q_WINDOW_NAVIGATION_SQL,
         "q_quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
+        "q_tpch_q2_style": Q_TPCH_Q2_STYLE_SQL,
+        "q_tpch_q11_style": Q_TPCH_Q11_STYLE_SQL,
+        "q_tpch_q16_style": Q_TPCH_Q16_STYLE_SQL,
+        "q_tpch_q20_style": Q_TPCH_Q20_STYLE_SQL,
         "q_training_pipeline": Q_TRAINING_PIPELINE_SQL,
     }
