@@ -6703,7 +6703,7 @@ def q_tpch_q8_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("cn_regionkey") == r.r_regionkey)
         .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn_key"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
                 F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
@@ -6752,7 +6752,7 @@ def q_tpch_q9_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
@@ -7458,11 +7458,15 @@ def q_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM li_tf_src, LATERAL qty_units(l_quantity)
         GROUP BY unit ORDER BY unit
         """
-    ).select("unit", "n_lines", F.col("sum_qty").cast("double").alias("sum_qty"))
+    ).select(
+        F.col("unit").cast("long").alias("unit"),
+        "n_lines",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+    )
 
 
 Q_SQL_TABLE_UDF_SQL = """
-SELECT unit, count(*) AS n_lines,
+SELECT CAST(unit AS BIGINT) AS unit, count(*) AS n_lines,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem, LATERAL (SELECT unnest(generate_series(1, CAST(least(l_quantity, 5.0) AS INT))) AS unit)
 GROUP BY unit ORDER BY unit
@@ -7693,8 +7697,8 @@ def q_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_CORRUPT_QUARANTINE_SQL = """
 SELECT event_type,
-       sum(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS n_valid,
-       sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
+       CAST(sum(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
        CAST(sum(CASE WHEN event_id % 7 <> 0 THEN CAST(props->>'$.k' AS INT) END) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type ORDER BY event_type
 """

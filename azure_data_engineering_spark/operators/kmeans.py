@@ -94,7 +94,7 @@ def lloyd_kmeans(
         .agg(F.min(F.struct(F.col("dist"), F.col("cid"))).alias("best"))
         .select(
             "id",
-            F.col("best.cid").alias("cid"),
+            F.col("best.cid").cast("long").alias("cid"),
             F.round(F.col("best.dist"), round_decimals).alias("dist"),
         )
     )
