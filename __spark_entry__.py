@@ -9005,6 +9005,81 @@ ORDER BY s.s_name
 """
 
 
+def q_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join on the real engine —
+    completing the join-mode matrix (inner `q_stream_stream_join`,
+    left `q_stream_left_join`): BOTH sides null-extend when the state
+    store can prove no match can arrive. Eviction boundaries differ
+    per side and are pinned empirically: an unmatched signup emits
+    once the watermark passes its window END (l_ts + 30min); an
+    unmatched purchase emits once the watermark passes its own
+    event time (r_ts — the max l_ts that could still match it). The
+    oracle reproduces all three populations."""
+    import os
+    import tempfile
+
+    from azure_data_engineering_spark.catalog import ensure_session_defaults, restore_event_time
+    from azure_data_engineering_spark.streaming.joins import interval_join
+
+    ensure_session_defaults(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix="ssjf_")
+    os.symlink(os.path.abspath(path), os.path.join(d, "events.parquet"))
+    raw = spark.readStream.schema(schema).parquet(d)
+    raw = restore_event_time(raw, "ts")
+    signup = raw.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("signup_id")
+    )
+    purchase = raw.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("purchase_id")
+    )
+    q = (
+        interval_join(signup, purchase, ["user_id"], how="fullOuter")
+        .select("user_id", "signup_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName("ssjf_gate_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("ssjf_gate_sink")
+
+
+Q_STREAM_FULL_JOIN_SQL = """
+WITH wm AS (
+  SELECT least(max(CASE WHEN event_type = 'signup' THEN ts END),
+               max(CASE WHEN event_type = 'purchase' THEN ts END)) - INTERVAL 2 HOUR AS w
+  FROM events
+)
+SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+FROM events s JOIN events p
+  ON s.user_id = p.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(s.ts)
+ AND epoch_us(p.ts) <= epoch_us(s.ts) + 1800 * 1000000
+UNION ALL
+SELECT s.user_id, s.event_id AS signup_id, CAST(NULL AS BIGINT) AS purchase_id
+FROM events s, wm
+WHERE s.event_type = 'signup'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+      AND epoch_us(p.ts) >= epoch_us(s.ts)
+      AND epoch_us(p.ts) <= epoch_us(s.ts) + 1800 * 1000000)
+  AND s.ts + INTERVAL 30 MINUTE <= wm.w
+UNION ALL
+SELECT p.user_id, CAST(NULL AS BIGINT) AS signup_id, p.event_id AS purchase_id
+FROM events p, wm
+WHERE p.event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events s WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+      AND epoch_us(p.ts) >= epoch_us(s.ts)
+      AND epoch_us(p.ts) <= epoch_us(s.ts) + 1800 * 1000000)
+  AND p.ts <= wm.w
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
 
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -9086,6 +9161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q11_style": q_tpch_q11_style,
         "q_tpch_q16_style": q_tpch_q16_style,
         "q_tpch_q20_style": q_tpch_q20_style,
+        "q_stream_full_join": q_stream_full_join,
         "q_orders_per_nation": q_orders_per_nation,
         "q_asof_forward": q_asof_forward,
         "q_explode_outer": q_explode_outer,
@@ -9479,5 +9555,6 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q11_style": Q_TPCH_Q11_STYLE_SQL,
         "q_tpch_q16_style": Q_TPCH_Q16_STYLE_SQL,
         "q_tpch_q20_style": Q_TPCH_Q20_STYLE_SQL,
+        "q_stream_full_join": Q_STREAM_FULL_JOIN_SQL,
         "q_training_pipeline": Q_TRAINING_PIPELINE_SQL,
     }

@@ -47,4 +47,10 @@ def interval_join(
         & (F.col(right_ts) <= l[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
     joined = l.join(r, cond, how)
+    if how in ("fullOuter", "full_outer", "full", "outer"):
+        # unmatched RIGHT rows carry a NULL left key — surface the
+        # surviving key as coalesce(left, right) so both null-extended
+        # populations keep their join key
+        for k in keys:
+            joined = joined.withColumn(k, F.coalesce(l[k], F.col(f"__r_{k}")))
     return joined.drop(*[f"__r_{k}" for k in keys])
