@@ -7735,7 +7735,7 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", F.round(cosine_similarity(F.col("a_vec"), F.col("n_vec")), 6))
         .filter(F.col("cos") < 0.5)
         .withColumn("draw", u)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("anchor_id", "neg_id", "rank", "cos")
         .orderBy("anchor_id", "rank")
