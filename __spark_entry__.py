@@ -9080,6 +9080,51 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def q_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance via the hidden `_metadata` file column (Spark's
+    built-in lineage surface — file path + intra-file position,
+    resolved at scan time with no extra I/O): lineitem is laid out
+    into three hive partitions, read back, and audited per SOURCE
+    FILE by parsing the partition label out of _metadata.file_path —
+    the debugging/audit query every lake pipeline runs when a bad
+    file ships. Deterministic across engines because the label (not
+    the engine-generated file name) keys the output; the oracle
+    recomputes the per-slice stats relationally."""
+    import os
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    tmp = tempfile.mkdtemp(prefix="fmeta_")
+    (
+        li.withColumn("slice", (F.col("l_orderkey") % 3).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("slice")
+        .parquet(tmp)
+    )
+    rd = spark.read.parquet(tmp)
+    return (
+        rd.select(
+            F.regexp_extract(F.col("_metadata.file_path"), "slice=([0-9]+)", 1)
+            .cast("long")
+            .alias("slice"),
+            "l_orderkey",
+        )
+        .groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+    )
+
+
+Q_FILE_METADATA_SQL = """
+SELECT l_orderkey % 3 AS slice, count(*) AS n_rows,
+       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+FROM lineitem GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
 
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -9162,6 +9207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q16_style": q_tpch_q16_style,
         "q_tpch_q20_style": q_tpch_q20_style,
         "q_stream_full_join": q_stream_full_join,
+        "q_file_metadata": q_file_metadata,
         "q_orders_per_nation": q_orders_per_nation,
         "q_asof_forward": q_asof_forward,
         "q_explode_outer": q_explode_outer,
@@ -9556,5 +9602,6 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q16_style": Q_TPCH_Q16_STYLE_SQL,
         "q_tpch_q20_style": Q_TPCH_Q20_STYLE_SQL,
         "q_stream_full_join": Q_STREAM_FULL_JOIN_SQL,
+        "q_file_metadata": Q_FILE_METADATA_SQL,
         "q_training_pipeline": Q_TRAINING_PIPELINE_SQL,
     }
