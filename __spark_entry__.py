@@ -8037,11 +8037,14 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings of the query terms (the tf table is filtered BEFORE any
     join), corpus stats ride as a 1-row broadcast frame, and the
     top-k is TakeOrderedAndProject. Oracle replays the exact RSJ-idf
-    / length-normalized formula with matched float op order."""
+    / length-normalized formula with matched float op order. The
+    query is deliberately messy — mixed case plus a duplicated term —
+    to pin the query-side normalization (same pipeline as the index)
+    and bag-of-terms duplicate weighting (qtf=2 for 'join')."""
     from azure_data_engineering_spark.operators.tfidf import bm25_search
 
     d = _t(spark, sf_dir, "documents")
-    r = bm25_search(d, ["spark", "join", "window"], "text", "doc_id", k=15)
+    r = bm25_search(d, ["Spark", "JOIN", "window", "join"], "text", "doc_id", k=15)
     return r.select("doc_id", F.round("bm25", 6).alias("bm25"))
 
 
@@ -8067,11 +8070,15 @@ WITH toks AS (
          ln(1.0 + (n_docs - df_count + 0.5) / (df_count + 0.5)) AS idf,
          avg_dl
   FROM df_t CROSS JOIN stats
+), qw AS (
+  SELECT * FROM (VALUES ('spark', 1.0), ('join', 2.0), ('window', 1.0))
+           AS q(term, qtf)
 ), scored AS (
   SELECT tf.doc_id,
-         idf.idf * tf.tf * 2.2
+         qw.qtf * idf.idf * tf.tf * 2.2
            / (tf.tf + 1.2 * (0.25 + (0.75 * l.dl) / idf.avg_dl)) AS term_score
-  FROM tf JOIN idf USING (term) JOIN lens l ON tf.doc_id = l.doc_id
+  FROM tf JOIN idf USING (term) JOIN qw USING (term)
+       JOIN lens l ON tf.doc_id = l.doc_id
 )
 SELECT doc_id, round(sum(term_score), 6) AS bm25
 FROM scored GROUP BY doc_id
@@ -8424,7 +8431,7 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
     for n in range(1, iters + 1):
         parts.append(
             """, d%d AS (
-  SELECT e.id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS dist
+  SELECT e.id, c.cid, round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
   FROM ex e JOIN c%d c USING (pos) GROUP BY e.id, c.cid
 ), a%d AS (
   SELECT id, cid FROM (
@@ -8439,7 +8446,7 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
         )
     parts.append(
         """, df AS (
-  SELECT e.id, c.cid, sum((e.x - c.c) * (e.x - c.c)) AS dist
+  SELECT e.id, c.cid, round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
   FROM ex e JOIN c%d c USING (pos) GROUP BY e.id, c.cid
 )
 SELECT id AS vec_id, cid, round(dist, 6) AS dist FROM (

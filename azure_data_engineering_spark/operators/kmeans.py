@@ -70,10 +70,19 @@ def lloyd_kmeans(
         .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
+        # round BEFORE the argmin struct: partial-agg accumulation order
+        # can differ across partitions/engines at the ulp level, and an
+        # unrounded double in the min-struct key would let that flip the
+        # assignment of near-equidistant points (cross-engine flake).
         dists = (
             ex.join(F.broadcast(cents), "pos")
             .groupBy("id", "cid")
-            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+            .agg(
+                F.round(
+                    F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))),
+                    round_decimals,
+                ).alias("dist")
+            )
         )
         assigned = (
             dists.groupBy("id")
@@ -89,13 +98,18 @@ def lloyd_kmeans(
     final = (
         ex.join(F.broadcast(cents), "pos")
         .groupBy("id", "cid")
-        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))),
+                round_decimals,
+            ).alias("dist")
+        )
         .groupBy("id")
         .agg(F.min(F.struct(F.col("dist"), F.col("cid"))).alias("best"))
         .select(
             "id",
             F.col("best.cid").cast("long").alias("cid"),
-            F.round(F.col("best.dist"), round_decimals).alias("dist"),
+            F.col("best.dist").alias("dist"),
         )
     )
     return final

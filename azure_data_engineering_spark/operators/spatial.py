@@ -42,10 +42,30 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 
-def _cell(lat: Column, lon: Column, cell_deg: float) -> tuple[Column, Column]:
+def _cell(
+    lat: Column, lon: Column, cell_deg: float, n_lon: int, max_abs_lat: float
+) -> tuple[Column, Column]:
+    """Grid cell of a coordinate. Longitude cells tile the full 360°
+    circle with exactly n_lon cells (each 360/n_lon >= cell_deg wide)
+    so the index wraps modulo n_lon at the antimeridian — a facility
+    at lon 179.9° and a point at -179.9° share a (wrapped) neighbor
+    cell. Latitude is range-guarded lazily: assert_true fires inside
+    the executors during the scan, so inputs beyond max_abs_lat fail
+    loudly instead of silently missing neighbors (longitude cells
+    narrower than the radius)."""
+    ok = F.assert_true(
+        F.abs(lat) <= F.lit(max_abs_lat),
+        F.lit(
+            f"spatial_nearest: |lat| exceeds max_abs_lat={max_abs_lat}; "
+            "raise max_abs_lat (cells widen accordingly) or filter the input"
+        ),
+    )
+    guarded_lat = F.when(ok.isNull(), lat)
+    lon_cell_deg = 360.0 / n_lon
+    lon_cell = F.floor((lon + F.lit(180.0)) / F.lit(lon_cell_deg)).cast("long")
     return (
-        F.floor(lat / F.lit(cell_deg)).cast("long"),
-        F.floor(lon / F.lit(cell_deg)).cast("long"),
+        F.floor(guarded_lat / F.lit(cell_deg)).cast("long"),
+        ((lon_cell % n_lon) + n_lon) % n_lon,
     )
 
 
@@ -74,17 +94,28 @@ def spatial_nearest(
     row blowup on the SMALL side only), the point side is never
     replicated. Ties on distance break deterministically by the
     facility's first column ascending.
+
+    Edge handling: longitude cells tile the full circle and wrap
+    modulo the cell count, so neighbor pairs straddling the ±180°
+    antimeridian DO share a cell key. Rows with |lat| > max_abs_lat
+    raise at execution time (executor-side assert_true) rather than
+    silently dropping true neighbors — polar workloads should raise
+    max_abs_lat (cells widen as 1/cos) or use a polar-cap strategy.
     """
     # one degree of latitude ~ 111.19 km; widen for longitude shrink
     deg_per_km = 1.0 / (math.pi / 180.0 * EARTH_RADIUS_KM)
     cell_deg = radius_km * deg_per_km / math.cos(math.radians(max_abs_lat))
+    # exactly n_lon cells of width 360/n_lon >= cell_deg tile the circle,
+    # so wrapping the index modulo n_lon never produces an undersized seam
+    # cell (ceil would); n_lon >= 3 keeps the 3x3 neighborhood well-defined
+    n_lon = max(3, int(360.0 // cell_deg))
 
     plat, plon = point_cols
     flat, flon = facility_cols
-    pcx, pcy = _cell(F.col(plat), F.col(plon), cell_deg)
+    pcx, pcy = _cell(F.col(plat), F.col(plon), cell_deg, n_lon, max_abs_lat)
     p = points.withColumn("_cx", pcx).withColumn("_cy", pcy)
 
-    fcx, fcy = _cell(F.col(flat), F.col(flon), cell_deg)
+    fcx, fcy = _cell(F.col(flat), F.col(flon), cell_deg, n_lon, max_abs_lat)
     off = F.sequence(F.lit(-1), F.lit(1))
     fac = (
         facilities.withColumn("_fx", fcx)
@@ -92,7 +123,7 @@ def spatial_nearest(
         .withColumn("_dx", F.explode(off))
         .withColumn("_dy", F.explode(off))
         .withColumn("_cx", F.col("_fx") + F.col("_dx"))
-        .withColumn("_cy", F.col("_fy") + F.col("_dy"))
+        .withColumn("_cy", ((F.col("_fy") + F.col("_dy")) % n_lon + n_lon) % n_lon)
         .drop("_fx", "_fy", "_dx", "_dy")
     )
 

@@ -93,8 +93,28 @@ def bm25_search(
     along from one token-count projection; corpus stats (N, avg_len)
     are a 1-row broadcast frame, never a collect. Final top-k is a
     TakeOrderedAndProject, no full sort.
+
+    Query terms go through the SAME normalization pipeline as the
+    index (lowercase, non-alphanumerics to spaces — a raw term like
+    "Spark-SQL" splits into the two index terms it actually produces;
+    plain lowercasing would make it unmatchable forever). Duplicate
+    query terms contribute multiplicatively: each term's score is
+    weighted by its query-term frequency, the standard bag-of-terms
+    BM25 treatment.
     """
+    import re as _re
+
     from ..functions.text import normalize_text as _norm
+
+    # normalize the query with the exact pipeline the index uses
+    qtf: dict[str, int] = {}
+    for raw in query_terms:
+        for t in _re.sub(r"[^a-z0-9]+", " ", raw.lower()).split():
+            qtf[t] = qtf.get(t, 0) + 1
+    if not qtf:
+        return df.select(id_col).limit(0).withColumn(
+            "bm25", F.lit(None).cast("double")
+        )
 
     toks = F.split(_norm(F.col(text_col)), " ")
     lens = df.select(
@@ -106,7 +126,7 @@ def bm25_search(
         F.avg("dl").alias("avg_dl"),
     )
     tf = term_frequencies(df, text_col, id_col).filter(
-        F.col("term").isin([t.lower() for t in query_terms])
+        F.col("term").isin(list(qtf))
     )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
     idf = docfreq.join(F.broadcast(stats)).select(
@@ -117,13 +137,18 @@ def bm25_search(
         ).alias("idf"),
         "avg_dl",
     )
+    # query-term multiplicity as a tiny literal map (broadcast by value)
+    qtf_map = F.create_map(
+        *[F.lit(x) for t, n in sorted(qtf.items()) for x in (t, float(n))]
+    )
     scored = (
         tf.join(F.broadcast(idf), "term")
         .join(lens, id_col)
         .select(
             F.col(id_col),
             (
-                F.col("idf")
+                qtf_map[F.col("term")]
+                * F.col("idf")
                 * F.col("tf")
                 * (k1 + 1.0)
                 / (

@@ -270,3 +270,80 @@ class TestLloydKmeans:
         # centroids converge to 1.0 and 11.0; every point is 1 away
         assert all(d == 1.0 for _, d in got.values())
         assert got[0][0] == got[1][0] != got[10][0] == got[11][0]
+
+
+class TestSpatialEdges:
+    def test_antimeridian_pair_found(self, spark):
+        """Point at lon -179.95 and facility at lon +179.95 are ~11 km
+        apart across the dateline; wrapped lon cells must pair them."""
+        pts = spark.createDataFrame(
+            [(1, 0.0, -179.95)], "pid long, lat double, lon double"
+        )
+        fac = spark.createDataFrame(
+            [(7, 0.0, 179.95), (8, 0.0, 150.0)],
+            "fid long, lat double, lon double",
+        )
+        r = spatial_nearest(pts, fac, radius_km=50.0).collect()
+        assert len(r) == 1 and r[0].fid_f == 7
+        assert r[0].dist_km == pytest.approx(11.12, abs=0.1)
+
+    def test_lat_beyond_bound_raises(self, spark):
+        """|lat| > max_abs_lat would silently shrink lon cells below
+        the radius; the operator must fail loudly at execution time."""
+        pts = spark.createDataFrame(
+            [(1, 80.0, 0.0)], "pid long, lat double, lon double"
+        )
+        fac = spark.createDataFrame(
+            [(7, 80.0, 0.1)], "fid long, lat double, lon double"
+        )
+        with pytest.raises(Exception, match="max_abs_lat"):
+            spatial_nearest(pts, fac, radius_km=50.0).collect()
+
+    def test_polar_pair_found_with_raised_bound(self, spark):
+        """Same polar pair succeeds once max_abs_lat covers it (cells
+        widen as 1/cos)."""
+        pts = spark.createDataFrame(
+            [(1, 80.0, 0.0)], "pid long, lat double, lon double"
+        )
+        fac = spark.createDataFrame(
+            [(7, 80.0, 0.1)], "fid long, lat double, lon double"
+        )
+        r = spatial_nearest(pts, fac, radius_km=50.0, max_abs_lat=85.0).collect()
+        assert len(r) == 1 and r[0].fid_f == 7
+
+
+class TestBm25QueryNormalization:
+    def test_messy_query_matches_index_terms(self, spark):
+        """'Spark-SQL' must split into the index terms ('spark','sql');
+        plain lowercasing would make it unmatchable."""
+        docs = [(1, "spark sql engine"), (2, "unrelated words")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        r = bm25_search(df, ["Spark-SQL"], "text", "doc_id", k=10).collect()
+        assert [x.doc_id for x in r] == [1]
+
+    def test_duplicate_terms_weight_double(self, spark):
+        """A term repeated in the query contributes with qtf=2: the
+        score equals exactly 2x the single-term score."""
+        docs = [
+            (1, "spark engine engine filler"),
+            (2, "engine spark spark filler"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        single = {
+            x.doc_id: x.bm25
+            for x in bm25_search(df, ["spark"], "text", "doc_id", k=10).collect()
+        }
+        double = {
+            x.doc_id: x.bm25
+            for x in bm25_search(
+                df, ["spark", "spark"], "text", "doc_id", k=10
+            ).collect()
+        }
+        for d in (1, 2):
+            assert double[d] == pytest.approx(2.0 * single[d], rel=1e-12)
+
+    def test_empty_normalized_query_returns_empty(self, spark):
+        docs = [(1, "spark sql engine")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        r = bm25_search(df, ["!!!", "---"], "text", "doc_id", k=10)
+        assert r.columns == ["doc_id", "bm25"] and r.count() == 0
