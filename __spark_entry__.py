@@ -9139,15 +9139,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so that one oracle-backed representative of EVERY
-    operator FAMILY (relational, streaming, pandas, dedup, ANN,
-    multimodal, graph, stats, spatial, retrieval, k-means, pipeline
-    compositions) sits in the leading ~55 entries — the driver's
-    CORRECTNESS file samples ~50, so a prefix-biased sample spans the
-    surface. Pure variants of covered rows follow after the marker;
+    """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
+    the prefix holds 8 cross-family representatives that stay pinned
+    every round (relational, live-JDBC, streaming, pandas, dedup, ANN,
+    snapshot, k-means) plus 42 entries the r1-r3 windows never
+    sampled, rotated per ADVICE r3 so external verification
+    accumulates across rounds instead of re-checking the same prefix.
     tools/check_oracle.py verifies the FULL registry every round."""
     return {
+        # ---- driver sampling window (first 50): 8 cross-family
+        # ---- representatives re-pinned each round + 42 entries the
+        # ---- r1-r3 windows never sampled (ADVICE r3: rotate so the
+        # ---- external gate audits fresh queries; full registry is
+        # ---- still swept by tools/check_oracle.py every round)
         "q1_pricing_summary": q1_pricing_summary,
+        "q_jdbc_roundtrip": q_jdbc_roundtrip,
+        "q_stream_tumbling": q_stream_tumbling,
+        "q_pandas_udf": q_pandas_udf,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_ann_lsh": q_ann_lsh,
+        "q_snapshot_merge": q_snapshot_merge,
+        "q_kmeans": q_kmeans,
+        "q_spatial_join": q_spatial_join,
+        "q_image_phash": q_image_phash,
+        "q_ppjoin": q_ppjoin,
+        "q_source_drift": q_source_drift,
+        "q_training_pipeline": q_training_pipeline,
+        "q_stream_neardup": q_stream_neardup,
+        "q_window_navigation": q_window_navigation,
+        "q_tpch_q2_style": q_tpch_q2_style,
+        "q_stream_full_join": q_stream_full_join,
+        "q_file_metadata": q_file_metadata,
+        "q_grouping_sets": q_grouping_sets,
+        "q_fixed_width": q_fixed_width,
+        "q_schema_evolution": q_schema_evolution,
+        "q_runtime_bloom_join": q_runtime_bloom_join,
+        "q_nested_struct": q_nested_struct,
+        "q_dynamic_partition_pruning": q_dynamic_partition_pruning,
+        "q_exact_percentile": q_exact_percentile,
+        "q_strip_html": q_strip_html,
+        "q_unicode_nfc": q_unicode_nfc,
+        "q_pivot": q_pivot,
+        "q_subqueries": q_subqueries,
+        "q_quality_classifier": q_quality_classifier,
+        "q_image_decode": q_image_decode,
+        "q_audio_decode": q_audio_decode,
+        "q_hash_sample": q_hash_sample,
+        "q_dataset_split": q_dataset_split,
+        "q_chunk_documents": q_chunk_documents,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_mix_corpora": q_mix_corpora,
+        "q_quantize_embeddings": q_quantize_embeddings,
+        "q_stream_cdc": q_stream_cdc,
+        "q_archive_roundtrip": q_archive_roundtrip,
+        "q_pack_sequences": q_pack_sequences,
+        "q_pii_redaction": q_pii_redaction,
+        "q_decontaminate": q_decontaminate,
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_jsonl_roundtrip": q_jsonl_roundtrip,
+        "q_gap_fill": q_gap_fill,
+        "q_cohort_retention": q_cohort_retention,
+        "q_funnel": q_funnel,
+        "q_substring_dedup": q_substring_dedup,
+        "q_dsir_select": q_dsir_select,
+        # ---- end of sampling window; remaining entries in r3 order ----
         "q_filter_project": q_filter_project,
         "q_top_orders": q_top_orders,
         "q_left_join_counts": q_left_join_counts,
@@ -9169,7 +9224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_array_hof": q_array_hof,
         "q_upsert_merge": q_upsert_merge,
-        "q_jdbc_roundtrip": q_jdbc_roundtrip,
         "q_try_cast": q_try_cast,
         "q_rank_functions": q_rank_functions,
         "q_salted_agg": q_salted_agg,
@@ -9177,50 +9231,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_csv_roundtrip": q_csv_roundtrip,
         "q_excel_ingest": q_excel_ingest,
         "q_file_listing": q_file_listing,
-        "q_stream_tumbling": q_stream_tumbling,
         "q_stream_dedup": q_stream_dedup,
         "q_stream_session": q_stream_session,
         "q_stream_stream_join": q_stream_stream_join,
         "q_stateful_stream": q_stateful_stream,
-        "q_pandas_udf": q_pandas_udf,
         "q_grouped_map": q_grouped_map,
         "q_clean_corpus": q_clean_corpus,
         "q_dedup_exact": q_dedup_exact,
-        "q_dedup_minhash": q_dedup_minhash,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embedding_topk": q_embedding_topk,
-        "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
-        "q_snapshot_merge": q_snapshot_merge,
         "q_text_stats": q_text_stats,
         "q_multimodal_meta": q_multimodal_meta,
         "q_triangle_count": q_triangle_count,
-        "q_kmeans": q_kmeans,
-        "q_spatial_join": q_spatial_join,
-        "q_image_phash": q_image_phash,
-        "q_ppjoin": q_ppjoin,
-        "q_source_drift": q_source_drift,
-        "q_training_pipeline": q_training_pipeline,
-        # ---- entries past the driver's ~50-entry CORRECTNESS window ----
         "q_asof_big": q_asof_big,
         "q_cross_join": q_cross_join,
-        "q_stream_neardup": q_stream_neardup,
         "q_line_dedup": q_line_dedup,
-        "q_window_navigation": q_window_navigation,
-        "q_quality_classifier": q_quality_classifier,
-        "q_tpch_q2_style": q_tpch_q2_style,
         "q_tpch_q11_style": q_tpch_q11_style,
         "q_tpch_q16_style": q_tpch_q16_style,
         "q_tpch_q20_style": q_tpch_q20_style,
-        "q_stream_full_join": q_stream_full_join,
-        "q_file_metadata": q_file_metadata,
         "q_orders_per_nation": q_orders_per_nation,
         "q_asof_forward": q_asof_forward,
         "q_explode_outer": q_explode_outer,
         "q_agg_stats": q_agg_stats,
         "q_cube": q_cube,
-        "q_grouping_sets": q_grouping_sets,
         "q_window_range_frame": q_window_range_frame,
         "q_sort_limit": q_sort_limit,
         "q_retention": q_retention,
@@ -9233,61 +9268,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_by_name": q_union_by_name,
         "q_token_count": q_token_count,
         "q_fingerprint": q_fingerprint,
-        "q_fixed_width": q_fixed_width,
-        "q_schema_evolution": q_schema_evolution,
-        "q_runtime_bloom_join": q_runtime_bloom_join,
-        "q_nested_struct": q_nested_struct,
-        "q_dynamic_partition_pruning": q_dynamic_partition_pruning,
-        "q_exact_percentile": q_exact_percentile,
-        "q_strip_html": q_strip_html,
-        "q_unicode_nfc": q_unicode_nfc,
         "q_lang_id": q_lang_id,
         "q_batch_tumbling": q_batch_tumbling,
         "q_sliding_window": q_sliding_window,
         "q_session_window": q_session_window,
-        "q_pivot": q_pivot,
-        "q_subqueries": q_subqueries,
         "q_string_functions": q_string_functions,
         "q_cast_math": q_cast_math,
         "q_percentiles": q_percentiles,
         "q_stats_agg": q_stats_agg,
         "q_quality_score": q_quality_score,
         "q_multimodal_frames": q_multimodal_frames,
-        "q_image_decode": q_image_decode,
         "q_image_resize": q_image_resize,
-        "q_audio_decode": q_audio_decode,
         "q_audio_frames": q_audio_frames,
         "q_image_features": q_image_features,
         "q_array_functions": q_array_functions,
         "q_maxby_aggregates": q_maxby_aggregates,
         "q_having": q_having,
-        "q_hash_sample": q_hash_sample,
-        "q_dataset_split": q_dataset_split,
         "q_stratified_sample": q_stratified_sample,
-        "q_chunk_documents": q_chunk_documents,
-        "q_dedup_clusters": q_dedup_clusters,
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_multimodal_resize": q_multimodal_resize,
         "q_multimodal_features": q_multimodal_features,
-        "q_mix_corpora": q_mix_corpora,
-        "q_quantize_embeddings": q_quantize_embeddings,
-        "q_stream_cdc": q_stream_cdc,
-        "q_archive_roundtrip": q_archive_roundtrip,
-        "q_pack_sequences": q_pack_sequences,
-        "q_pii_redaction": q_pii_redaction,
         "q_repetition_stats": q_repetition_stats,
-        "q_decontaminate": q_decontaminate,
-        "q_tfidf_topk": q_tfidf_topk,
         "q_domain_cap": q_domain_cap,
         "q_train_order": q_train_order,
         "q_vocab_topk": q_vocab_topk,
-        "q_jsonl_roundtrip": q_jsonl_roundtrip,
         "q_compact_roundtrip": q_compact_roundtrip,
         "q_unpivot": q_unpivot,
-        "q_gap_fill": q_gap_fill,
         "q_histogram": q_histogram,
-        "q_cohort_retention": q_cohort_retention,
-        "q_funnel": q_funnel,
         "q_tpch_q3_style": q_tpch_q3_style,
         "q_user_profile_builtin": q_user_profile_builtin,
         "q_embedding_neardup": q_embedding_neardup,
@@ -9355,8 +9362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q19_style": q_tpch_q19_style,
         "q_tpch_q21_style": q_tpch_q21_style,
         "q_tpch_q22_style": q_tpch_q22_style,
-        "q_substring_dedup": q_substring_dedup,
-        "q_dsir_select": q_dsir_select,
         "q_semdedup": q_semdedup,
         "q_xml_roundtrip": q_xml_roundtrip,
         "q_sql_scalar_udf": q_sql_scalar_udf,
