@@ -454,6 +454,7 @@ def ppjoin_pairs(
     threshold: float,
     k: int = 3,
     unit: str = "word",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via PPJoin prefix+position
     filtering (Xiao, Wang, Lin & Yu, WWW 2008) — the at-scale upgrade
@@ -485,6 +486,20 @@ def ppjoin_pairs(
     (1 shuffle on id) -> prefix self-join on shingle (1 shuffle)
     -> distinct candidate pairs -> verify join against the shingle
     arrays (1 shuffle). Returns (id_a, id_b, jaccard).
+
+    max_bucket (stop-shingle guard, default off): frequency ordering
+    already keeps globally-hot boilerplate shingles out of prefixes,
+    but a corpus with thousands of BYTE-IDENTICAL documents makes
+    even each doc's rarest shingles hot — their shared prefix buckets
+    go quadratic exactly like LSH mega-buckets. With max_bucket set,
+    prefix-posting buckets holding more than max_bucket entries are
+    dropped before the self-join, bounding per-bucket pair expansion
+    at C(max_bucket, 2). Output becomes a SUBSET: a pair co-occurring
+    ONLY in stopped buckets is missed — at that bucket size such
+    pairs are overwhelmingly exact/boilerplate copies, which
+    exact_dedup catches upstream (run it first, as q_clean_corpus
+    does). Pairs sharing any sub-max_bucket prefix shingle are
+    unaffected (tests/test_dedup_skew.TestPpjoinStopShingle).
     """
     mk = shingles if unit == "word" else char_shingles
     base = (
@@ -504,6 +519,12 @@ def ppjoin_pairs(
     t = float(threshold)
     prefix_len = F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh") - 1e-6) + 1
     prefix = ranked.filter(F.col("rnk") <= prefix_len).select("id", "n_sh", "s", "rnk")
+    if max_bucket is not None:
+        bucket_n = prefix.groupBy("s").agg(F.count(F.lit(1)).alias("_bn"))
+        prefix = (
+            prefix.join(bucket_n.filter(F.col("_bn") <= int(max_bucket)), "s")
+            .drop("_bn")
+        )
     a, b = prefix.alias("a"), prefix.alias("b")
     na, nb = F.col("a.n_sh"), F.col("b.n_sh")
     alpha = F.ceil((F.lit(t) / (1.0 + t)) * (na + nb) - 1e-6)

@@ -97,3 +97,63 @@ class TestStopBucketGuard:
         unguarded = minhash_lsh_candidates(corpus, "text", "doc_id", max_bucket=100000).count()
         assert guarded == 0
         assert unguarded == 200 * 199 // 2
+
+
+class TestPpjoinStopShingle:
+    """Same 100 TB boilerplate scenario for the PPJoin path: 5000
+    byte-identical docs make even each doc's RAREST shingles hot, so
+    the shared prefix buckets would emit C(5000,2) pairs through the
+    self-join. The stop-shingle guard (ppjoin_pairs max_bucket) drops
+    oversized prefix buckets; exact copies are exact_dedup's job."""
+
+    def test_hot_corpus_bounded_and_planted_pairs_survive(self, spark):
+        from azure_data_engineering_spark.operators.dedup import ppjoin_pairs
+
+        corpus = _corpus(spark)
+        pairs = ppjoin_pairs(
+            corpus, "text", "doc_id", threshold=0.8, max_bucket=100
+        ).cache()
+        try:
+            hot_hot = pairs.filter(
+                (F.col("id_a") < 100000) & (F.col("id_b") < 100000)
+            ).count()
+            assert hot_hot == 0, (
+                f"guard leaked {hot_hot} hot-pair outputs (quadratic path)"
+            )
+            assert pairs.count() < 10_000
+            # planted near-dups (J ~ 0.86 via df=2 'animal{i}' shingles,
+            # which sit in size-2 prefix buckets) must be UNAFFECTED:
+            # PPJoin is exact, so unlike the LSH probabilistic gate we
+            # require ALL 40 pairs, not recall >= 0.9
+            got = {
+                (r.id_a, r.id_b)
+                for r in pairs.filter(F.col("id_a") >= 100000).collect()
+            }
+            want = {(100000 + 2 * i, 100000 + 2 * i + 1) for i in range(40)}
+            assert want <= got, f"guard cost planted pairs: {sorted(want - got)[:5]}"
+        finally:
+            pairs.unpersist()
+
+    def test_guard_is_identity_on_unskewed_corpus(self, spark):
+        """On a corpus with no oversized prefix buckets the guarded
+        output is byte-identical to the unguarded one."""
+        from azure_data_engineering_spark.operators.dedup import ppjoin_pairs
+
+        rows = []
+        for i in range(30):
+            words = BASE.replace("fox", f"animal{i}").split()
+            rows.append((2 * i, " ".join(words)))
+            words[10 + (i % 20)] = f"changed{i}"
+            rows.append((2 * i + 1, " ".join(words)))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        plain = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ppjoin_pairs(df, "text", "doc_id", threshold=0.7).collect()
+        }
+        guarded = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ppjoin_pairs(
+                df, "text", "doc_id", threshold=0.7, max_bucket=100
+            ).collect()
+        }
+        assert plain == guarded and plain
