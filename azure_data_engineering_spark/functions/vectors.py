@@ -55,3 +55,14 @@ def dequantize_int8(q: Column, scale_basis: Column) -> Column:
     reconstruction error bound is max|x|/127 per component."""
     inv = scale_basis / F.lit(127.0)
     return F.transform(q, lambda x: x.cast("double") * inv)
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize (double); zero vectors pass through as zeros so
+    downstream dot products stay 0 instead of NaN. Normalizing first
+    turns inner product into cosine — the standard precondition for
+    product-quantized similarity search (operators/ivf.ivfpq_top_k)."""
+    n = l2_norm(a)
+    return F.when(n == 0, F.transform(a, lambda x: x.cast("double"))).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n)
+    )
