@@ -3075,6 +3075,95 @@ FROM lifetime l JOIN b1_users USING (user_id)
 """
 
 
+def q_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE transformWithStateInPandas run (Spark 4 arbitrary-state
+    API, streaming/stateful.UserTypeTotalsProcessor): map-typed +
+    value-typed state across TWO deterministic micro-batches
+    (event_id % 3 file split, maxFilesPerTrigger=1), per-(user, type)
+    running totals plus a lifetime counter, under the RocksDB state
+    store (transformWithState keeps each state variable in its own
+    column family, which HDFSBacked rejects). The Python worker talks
+    protobuf to the JVM state server; absent a protobuf install the
+    bundled pure-Python wire shim (compat/purepb) is used — same gate
+    either way. Update-mode memory sink retains the full emission
+    history; deterministic batch boundaries make that history plain
+    SQL (two replayed prefixes), like q_stateful_stream."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from azure_data_engineering_spark.compat import ensure_protobuf
+    from azure_data_engineering_spark.streaming.stateful import (
+        running_user_type_totals,
+    )
+
+    ensure_protobuf(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="tws_gate_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i, pred in enumerate([F.col("event_id") % 3 != 0, F.col("event_id") % 3 == 0]):
+        staging = os.path.join(work, f"stage{i}")
+        e.filter(pred).coalesce(1).write.parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        _shutil.move(part, os.path.join(src, f"b{i}.parquet"))
+        if i == 0:
+            _time.sleep(1.05)
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_conf, None)
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_stream_to_table(
+            spark,
+            src,
+            running_user_type_totals,
+            table_name="tws_gate_sink",
+            output_mode="update",
+            max_files_per_trigger=1,
+        ).cache()
+        out.count()
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old_provider)
+    return out
+
+
+Q_TRANSFORM_WITH_STATE_SQL = """
+WITH b0 AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS total_value
+  FROM events WHERE event_id % 3 <> 0 GROUP BY 1, 2
+), b0_life AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS lifetime_events
+  FROM events WHERE event_id % 3 <> 0 GROUP BY 1
+), life AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1, 2
+), life_cnt AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS lifetime_events
+  FROM events GROUP BY 1
+), b1_users AS (
+  SELECT DISTINCT user_id FROM events WHERE event_id % 3 = 0
+)
+SELECT b0.user_id, b0.event_type, b0.n_events, b0.total_value,
+       b0_life.lifetime_events
+FROM b0 JOIN b0_life USING (user_id)
+UNION ALL
+SELECT l.user_id, l.event_type, l.n_events, l.total_value, c.lifetime_events
+FROM life l JOIN b1_users USING (user_id) JOIN life_cnt c ON l.user_id = c.user_id
+"""
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-stream interval join (two file streams, watermarks
     on both sides, state-store buffered): signup events joined to the
@@ -9486,6 +9575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": q_bpe_encode,
         "q_training_pipeline_bpe": q_training_pipeline_bpe,
         "q_ann_ivfpq": q_ann_ivfpq,
+        "q_transform_with_state": q_transform_with_state,
         "q_spatial_join": q_spatial_join,
         "q_image_phash": q_image_phash,
         "q_ppjoin": q_ppjoin,
@@ -9522,9 +9612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redaction": q_pii_redaction,
         "q_decontaminate": q_decontaminate,
         "q_tfidf_topk": q_tfidf_topk,
-        "q_jsonl_roundtrip": q_jsonl_roundtrip,
         "q_cohort_retention": q_cohort_retention,
         # ---- end of sampling window; remaining entries in r3 order ----
+        "q_jsonl_roundtrip": q_jsonl_roundtrip,
         "q_gap_fill": q_gap_fill,
         "q_dsir_select": q_dsir_select,
         "q_substring_dedup": q_substring_dedup,
@@ -9821,6 +9911,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mix_corpora": Q_MIX_CORPORA_SQL,
         "q_quantize_embeddings": Q_QUANTIZE_EMBEDDINGS_SQL,
         "q_stream_cdc": Q_STREAM_CDC_SQL,
+        "q_transform_with_state": Q_TRANSFORM_WITH_STATE_SQL,
         "q_stateful_stream": Q_STATEFUL_STREAM_SQL,
         "q_archive_roundtrip": Q_ARCHIVE_ROUNDTRIP_SQL,
         "q_pack_sequences": Q_PACK_SEQUENCES_SQL,

@@ -118,9 +118,21 @@ class TestProcessorSemantics:
 
 class TestLiveEngine:
     def test_two_microbatch_run(self, spark, sf_dir, tmp_path):
-        pytest.importorskip(
-            "google.protobuf",
-            reason="transformWithStateInPandas worker requires protobuf",
+        # the worker speaks protobuf to the JVM state server; with no
+        # protobuf installed the bundled pure-Python wire shim
+        # (compat/purepb) drives the REAL engine end-to-end
+        from azure_data_engineering_spark.compat import ensure_protobuf
+
+        ensure_protobuf(spark)
+        # transformWithState keeps each state variable in its own
+        # column family — RocksDB only (HDFSBacked rejects it); see
+        # tests/test_rocksdb_state.py for the provider validation
+        provider_conf = "spark.sql.streaming.stateStore.providerClass"
+        old_provider = spark.conf.get(provider_conf, None)
+        spark.conf.set(
+            provider_conf,
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
         )
         import glob
         import shutil
@@ -148,14 +160,21 @@ class TestLiveEngine:
             shutil.move(part, str(src / f"b{i}.parquet"))
             if i == 0:
                 time.sleep(1.05)
-        got = run_stream_to_table(
-            spark,
-            str(src),
-            running_user_type_totals,
-            table_name="tws_live_sink",
-            output_mode="update",
-            max_files_per_trigger=1,
-        )
+        try:
+            got = run_stream_to_table(
+                spark,
+                str(src),
+                running_user_type_totals,
+                table_name="tws_live_sink",
+                output_mode="update",
+                max_files_per_trigger=1,
+            ).cache()
+            got.count()
+        finally:
+            if old_provider is None:
+                spark.conf.unset(provider_conf)
+            else:
+                spark.conf.set(provider_conf, old_provider)
         # replay both batch prefixes in batch SQL
         b0 = (
             e.filter(F.col("event_id") % 3 != 0)
