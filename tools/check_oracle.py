@@ -55,8 +55,19 @@ def values_equal(a, b):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if "/" not in a)
+    """Usage: check_oracle.py [sf_dir] [--out artifact.json] [query ...]
+
+    --out writes a CORRECTNESS-style JSON artifact (one entry per
+    query: rows/schema/hash match + row counts + err) so full-registry
+    sweeps at the scale tiers are auditable files, not prose claims."""
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = set(a for a in args if "/" not in a)
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -67,33 +78,47 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
+    report: dict[str, dict] = {}
+
+    def record(name, *, rows=False, schema=False, hash_=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows, "schema_match": schema, "hash_match": hash_,
+            "spark_rows": spark_rows, "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
-        except Exception:
+        except Exception as e:
             print(f"FAIL {name}: spark query raised")
             traceback.print_exc()
+            record(name, err=f"spark: {e}")
             n_fail += 1
             continue
         elapsed = f"{time.time() - t0:.1f}s"
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows (no oracle) [{elapsed}]")
+            record(name, rows=True, spark_rows=len(sdf), err="rows-only")
             n_rowsonly += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
-        except Exception:
+        except Exception as e:
             print(f"FAIL {name}: oracle SQL raised")
             traceback.print_exc()
+            record(name, err=f"oracle: {e}")
             n_fail += 1
             continue
         scols, srows = canon(sdf)
         ocols, orows = canon(odf)
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            record(name, spark_rows=len(srows), oracle_rows=len(orows),
+                   err=f"columns spark={scols} oracle={ocols}")
             n_fail += 1
             continue
         dt_mismatch = [
@@ -105,6 +130,8 @@ def main() -> int:
             print(f"DTYPE {name}: {dt_mismatch}")
         if len(srows) != len(orows):
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+            record(name, schema=True, spark_rows=len(srows), oracle_rows=len(orows),
+                   err="row count mismatch")
             n_fail += 1
             continue
         bad = exact_bad = 0
@@ -121,14 +148,26 @@ def main() -> int:
                         first = (sr, orr)
         if bad:
             print(f"FAIL {name}: {bad} value mismatches; first: spark={first[0]} oracle={first[1]}")
+            record(name, rows=True, schema=True, spark_rows=len(srows),
+                   oracle_rows=len(orows), err=f"{bad} value mismatches")
             n_fail += 1
         elif exact_bad:
             print(f"WARN {name}: exact-equality drift on {exact_bad} values (driver hash may fail); first: spark={first[0]} oracle={first[1]}")
+            record(name, rows=True, schema=True, spark_rows=len(srows),
+                   oracle_rows=len(orows), err=f"exact drift on {exact_bad} values")
             n_fail += 1
         else:
             print(f"PASS {name}: {len(srows)} rows [{elapsed}]")
+            record(name, rows=True, schema=True, hash_=True,
+                   spark_rows=len(srows), oracle_rows=len(orows))
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"artifact written: {out_path}")
     return 1 if n_fail else 0
 
 
