@@ -8132,6 +8132,107 @@ FROM r WHERE rn = 1
 """
 
 
+def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-facilities spatial join (operators/spatial.spatial_knn):
+    the general form of q_spatial_join — every customer's 3 nearest
+    suppliers within 150 km, via the same grid equi-join (3x3
+    replication on the small side, antimeridian-wrapped lon cells, no
+    cartesian) and ONE WindowGroupLimit-pruned window per point.
+    dist_km rounds BEFORE ranking so haversine ulp drift can't flip
+    ranks cross-engine. Oracle brute-forces the cross product."""
+    from azure_data_engineering_spark.operators.spatial import spatial_knn
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (30.0 + (F.col("c_custkey") * 7919 % 2000) / 100.0).alias("lat"),
+        (-120.0 + (F.col("c_custkey") * 104729 % 4000) / 100.0).alias("lon"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (30.0 + (F.col("s_suppkey") * 6151 % 2000) / 100.0).alias("lat"),
+        (-120.0 + (F.col("s_suppkey") * 3571 % 4000) / 100.0).alias("lon"),
+    )
+    r = spatial_knn(c, s, radius_km=150.0, k=3)
+    return r.select(
+        "c_custkey",
+        F.col("s_suppkey_f").alias("supp"),
+        "dist_km",
+        "knn_rank",
+    )
+
+
+Q_SPATIAL_KNN_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+         30.0 + (c_custkey * 7919 % 2000) / 100.0 AS lat,
+         -120.0 + (c_custkey * 104729 % 4000) / 100.0 AS lon
+  FROM customer
+), s AS (
+  SELECT s_suppkey,
+         30.0 + (s_suppkey * 6151 % 2000) / 100.0 AS lat,
+         -120.0 + (s_suppkey * 3571 % 4000) / 100.0 AS lon
+  FROM supplier
+), d AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         round((2.0 * 6371.0088) * asin(sqrt(
+             pow(sin(radians(s.lat - c.lat) / 2), 2)
+             + cos(radians(c.lat)) * cos(radians(s.lat))
+               * pow(sin(radians(s.lon - c.lon) / 2), 2)
+         )), 6) AS dist_km
+  FROM c CROSS JOIN s
+), f AS (SELECT * FROM d WHERE dist_km <= 150.0),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey
+                               ORDER BY dist_km, s_suppkey) AS rn
+  FROM f
+)
+SELECT c_custkey, s_suppkey AS supp, dist_km, CAST(rn AS INTEGER) AS knn_rank
+FROM r WHERE rn <= 3
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha-temperature corpus re-weighting (operators/sampling.
+    temperature_mix, the mT5/Pile multilingual recipe, alpha=0.5):
+    per-source keep-rate (n_s/n_min)^(alpha-1) — smallest source keeps
+    everything, larger sources thin toward the n^alpha share — drawn
+    by the deterministic md5 unit hash, so the sampled row SET is an
+    exact cross-engine function of (corpus, alpha, salt). Output pins
+    that exact set compactly: per-source kept-count, keep_rate, and
+    the doc_id sum/min/max of the survivors."""
+    from azure_data_engineering_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = temperature_mix(d, "source", "doc_id", alpha=0.5, salt="tmix")
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.first("keep_rate").alias("keep_rate"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.min("doc_id").alias("id_min"),
+        F.max("doc_id").alias("id_max"),
+    )
+
+
+Q_TEMPERATURE_MIX_SQL = """
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), nmin AS (SELECT min(n) AS n_min FROM counts),
+rates AS (
+  SELECT source, round(pow(CAST(n AS DOUBLE) / n_min, 0.5 - 1.0), 12) AS keep_rate
+  FROM counts CROSS JOIN nmin
+), kept AS (
+  SELECT d.source, d.doc_id, r.keep_rate
+  FROM documents d JOIN rates r USING (source)
+  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'tmix'), 1, 8) AS BIGINT)
+        / 4294967296.0 < r.keep_rate
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept, keep_rate,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       min(doc_id) AS id_min, max(doc_id) AS id_max
+FROM kept GROUP BY source, keep_rate
+"""
+
+
 def q_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (operators/window_ops.markov_transitions): P(next event
@@ -9576,6 +9677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_training_pipeline_bpe": q_training_pipeline_bpe,
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_transform_with_state": q_transform_with_state,
+        "q_spatial_knn": q_spatial_knn,
+        "q_temperature_mix": q_temperature_mix,
         "q_spatial_join": q_spatial_join,
         "q_image_phash": q_image_phash,
         "q_ppjoin": q_ppjoin,
@@ -9609,11 +9712,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_cdc": q_stream_cdc,
         "q_archive_roundtrip": q_archive_roundtrip,
         "q_pack_sequences": q_pack_sequences,
-        "q_pii_redaction": q_pii_redaction,
         "q_decontaminate": q_decontaminate,
         "q_tfidf_topk": q_tfidf_topk,
         "q_cohort_retention": q_cohort_retention,
         # ---- end of sampling window; remaining entries in r3 order ----
+        "q_pii_redaction": q_pii_redaction,
+        "q_compact_roundtrip": q_compact_roundtrip,
         "q_jsonl_roundtrip": q_jsonl_roundtrip,
         "q_gap_fill": q_gap_fill,
         "q_dsir_select": q_dsir_select,
@@ -9708,7 +9812,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_cap": q_domain_cap,
         "q_train_order": q_train_order,
         "q_vocab_topk": q_vocab_topk,
-        "q_compact_roundtrip": q_compact_roundtrip,
         "q_unpivot": q_unpivot,
         "q_histogram": q_histogram,
         "q_tpch_q3_style": q_tpch_q3_style,
@@ -10013,6 +10116,8 @@ def oracle_sql() -> dict[str, str]:
         "q_triangle_count": Q_TRIANGLE_COUNT_SQL,
         "q_time_decay": Q_TIME_DECAY_SQL,
         "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
+        "q_spatial_knn": Q_SPATIAL_KNN_SQL,
+        "q_temperature_mix": Q_TEMPERATURE_MIX_SQL,
         "q_spatial_join": Q_SPATIAL_JOIN_SQL,
         "q_markov_chain": Q_MARKOV_CHAIN_SQL,
         "q_bm25_search": Q_BM25_SEARCH_SQL,

@@ -325,3 +325,27 @@ def bpe_encode(
         )
     )
     return df.join(toks, id_col)
+
+
+def save_merges(merges: DataFrame, path: str) -> None:
+    """Persist the learned merge table as the tokenizer artifact —
+    a single parquet file (coalesce(1): the table is num_merges rows,
+    KBs even at 32k merges). Training once and reusing the artifact
+    across pipeline runs is the production contract; retraining per
+    run would silently shift every token budget downstream."""
+    merges.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> DataFrame:
+    """Load a saved merge table, ordered by merge_rank (ready for
+    bpe_encode_replay or, collected, for bpe_encode's merge_list)."""
+    return spark.read.parquet(path).orderBy("merge_rank")
+
+
+def merge_list(merges: DataFrame) -> list[tuple[str, str]]:
+    """The applied merges as the ordered driver-side list bpe_encode
+    consumes — bounded by num_merges (a 32k-merge table is ~1 MB)."""
+    return [
+        (r.lhs, r.rhs)
+        for r in merges.filter(F.col("applied")).orderBy("merge_rank").collect()
+    ]

@@ -207,3 +207,48 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float,
+    salt: str = "",
+    rate_decimals: int = 12,
+) -> DataFrame:
+    """alpha-temperature corpus re-weighting — the standard
+    multilingual/multi-source pretraining recipe (mT5, the Pile):
+    re-balance sources so the sampled share of source s tends toward
+    n_s^alpha / sum(n^alpha). alpha=1 keeps natural proportions;
+    alpha->0 approaches uniform-per-source; alpha in (0.2, 0.7) is
+    the published sweet spot for low-resource up-weighting.
+
+    Realized as a per-source keep-rate (n_s / n_min)^(alpha-1), where
+    n_min is the SMALLEST source: the smallest source keeps 100% of
+    its rows (never oversampled — this operator only downsamples) and
+    every larger source is thinned toward the target share. Rows are
+    kept by the same deterministic md5 unit-interval draw as
+    deterministic_sample, so the mixture is an exact, replayable
+    function of (corpus, alpha, salt) — identical across engines,
+    retries, and partitionings. Rates are rounded to rate_decimals
+    before the comparison so cross-engine pow() ulp drift cannot flip
+    a row at the boundary.
+
+    Plan: one count agg over the corpus (tiny |sources|-row result),
+    one 1-row min, a broadcast join of the rates back onto the corpus,
+    one filter — no shuffle of the corpus itself beyond the count's
+    partial agg. Returns the input rows + `keep_rate`."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        F.round(
+            F.pow(F.col("__n") / F.col("__n_min"), F.lit(float(alpha) - 1.0)),
+            rate_decimals,
+        ).alias("keep_rate"),
+    )
+    out = df.join(F.broadcast(rates), source_col)
+    return out.filter(
+        hash_unit(F.col(id_col), salt) < F.col("keep_rate")
+    )

@@ -69,6 +69,53 @@ def _cell(
     )
 
 
+def _radius_candidates(
+    points: DataFrame,
+    facilities: DataFrame,
+    radius_km: float,
+    point_cols: tuple[str, str],
+    facility_cols: tuple[str, str],
+    max_abs_lat: float,
+) -> DataFrame:
+    """Shared candidate stage for spatial_nearest/spatial_knn: grid
+    cells sized >= radius (both axes), 3x3 replication on the facility
+    side only, lon cells wrapped at the antimeridian, then the exact
+    haversine radius filter. Returns all point columns + facility
+    columns suffixed `_f` + `dist_km`."""
+    deg_per_km = 1.0 / (math.pi / 180.0 * EARTH_RADIUS_KM)
+    cell_deg = radius_km * deg_per_km / math.cos(math.radians(max_abs_lat))
+    # exactly n_lon cells of width 360/n_lon >= cell_deg tile the circle,
+    # so wrapping the index modulo n_lon never produces an undersized seam
+    # cell (ceil would); n_lon >= 3 keeps the 3x3 neighborhood well-defined
+    n_lon = max(3, int(360.0 // cell_deg))
+
+    plat, plon = point_cols
+    flat, flon = facility_cols
+    pcx, pcy = _cell(F.col(plat), F.col(plon), cell_deg, n_lon, max_abs_lat)
+    p = points.withColumn("_cx", pcx).withColumn("_cy", pcy)
+
+    fcx, fcy = _cell(F.col(flat), F.col(flon), cell_deg, n_lon, max_abs_lat)
+    off = F.sequence(F.lit(-1), F.lit(1))
+    fac = (
+        facilities.withColumn("_fx", fcx)
+        .withColumn("_fy", fcy)
+        .withColumn("_dx", F.explode(off))
+        .withColumn("_dy", F.explode(off))
+        .withColumn("_cx", F.col("_fx") + F.col("_dx"))
+        .withColumn("_cy", ((F.col("_fy") + F.col("_dy")) % n_lon + n_lon) % n_lon)
+        .drop("_fx", "_fy", "_dx", "_dy")
+    )
+
+    fac_lat, fac_lon = F.col(flat + "_f"), F.col(flon + "_f")
+    fac = fac.select(
+        *[F.col(c).alias(c + "_f") for c in facilities.columns], "_cx", "_cy"
+    )
+    cand = p.join(fac, ["_cx", "_cy"]).withColumn(
+        "dist_km", haversine_km(F.col(plat), F.col(plon), fac_lat, fac_lon)
+    )
+    return cand.filter(F.col("dist_km") <= F.lit(float(radius_km))).drop("_cx", "_cy")
+
+
 def spatial_nearest(
     points: DataFrame,
     facilities: DataFrame,
@@ -102,39 +149,9 @@ def spatial_nearest(
     silently dropping true neighbors — polar workloads should raise
     max_abs_lat (cells widen as 1/cos) or use a polar-cap strategy.
     """
-    # one degree of latitude ~ 111.19 km; widen for longitude shrink
-    deg_per_km = 1.0 / (math.pi / 180.0 * EARTH_RADIUS_KM)
-    cell_deg = radius_km * deg_per_km / math.cos(math.radians(max_abs_lat))
-    # exactly n_lon cells of width 360/n_lon >= cell_deg tile the circle,
-    # so wrapping the index modulo n_lon never produces an undersized seam
-    # cell (ceil would); n_lon >= 3 keeps the 3x3 neighborhood well-defined
-    n_lon = max(3, int(360.0 // cell_deg))
-
-    plat, plon = point_cols
-    flat, flon = facility_cols
-    pcx, pcy = _cell(F.col(plat), F.col(plon), cell_deg, n_lon, max_abs_lat)
-    p = points.withColumn("_cx", pcx).withColumn("_cy", pcy)
-
-    fcx, fcy = _cell(F.col(flat), F.col(flon), cell_deg, n_lon, max_abs_lat)
-    off = F.sequence(F.lit(-1), F.lit(1))
-    fac = (
-        facilities.withColumn("_fx", fcx)
-        .withColumn("_fy", fcy)
-        .withColumn("_dx", F.explode(off))
-        .withColumn("_dy", F.explode(off))
-        .withColumn("_cx", F.col("_fx") + F.col("_dx"))
-        .withColumn("_cy", ((F.col("_fy") + F.col("_dy")) % n_lon + n_lon) % n_lon)
-        .drop("_fx", "_fy", "_dx", "_dy")
+    cand = _radius_candidates(
+        points, facilities, radius_km, point_cols, facility_cols, max_abs_lat
     )
-
-    fac_lat, fac_lon = F.col(flat + "_f"), F.col(flon + "_f")
-    fac = fac.select(
-        *[F.col(c).alias(c + "_f") for c in facilities.columns], "_cx", "_cy"
-    )
-    cand = p.join(fac, ["_cx", "_cy"]).withColumn(
-        "dist_km", haversine_km(F.col(plat), F.col(plon), fac_lat, fac_lon)
-    )
-    cand = cand.filter(F.col("dist_km") <= F.lit(float(radius_km)))
     # nearest per point: min_by over (dist, tiebreak) — one partial+final
     # agg keyed on the point's columns, no window over the fat side
     tie = F.col(facilities.columns[0] + "_f")
@@ -155,3 +172,49 @@ def spatial_nearest(
         )
     )
     return best
+
+
+def spatial_knn(
+    points: DataFrame,
+    facilities: DataFrame,
+    radius_km: float,
+    k: int,
+    point_cols: tuple[str, str] = ("lat", "lon"),
+    facility_cols: tuple[str, str] = ("lat", "lon"),
+    max_abs_lat: float = 75.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The k nearest facilities within radius_km for every point —
+    the general form of spatial_nearest (same grid equi-join, same
+    antimeridian wrap and latitude guard), ranked per point by
+    (dist_km, facility first column) with row_number, so ties are
+    total and the result is engine-portable. Points with fewer than k
+    facilities in range return what exists; points with none are
+    dropped.
+
+    Scale shape: identical candidate stage (linear in points when
+    facility density is bounded), then ONE window over the candidate
+    set keyed by the point — WindowGroupLimit prunes to k rows per
+    point during the shuffle sort, so the window output is bounded by
+    k * |points| regardless of density. dist_km is rounded BEFORE
+    ranking so ulp-level haversine differences cannot flip the order
+    across engines (same discipline as lloyd_kmeans argmin)."""
+    cand = _radius_candidates(
+        points, facilities, radius_km, point_cols, facility_cols, max_abs_lat
+    ).withColumn("dist_km", F.round(F.col("dist_km"), round_digits))
+    from pyspark.sql import Window
+
+    tie = F.col(facilities.columns[0] + "_f")
+    w = Window.partitionBy(*[F.col(c) for c in points.columns]).orderBy(
+        F.col("dist_km").asc(), tie.asc()
+    )
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= int(k))
+        .select(
+            *points.columns,
+            *[F.col(c + "_f") for c in facilities.columns],
+            "dist_km",
+            "knn_rank",
+        )
+    )

@@ -208,3 +208,28 @@ class TestBpeEncode:
             words = _norm_words(r.text)
             assert n >= len(words)
             assert n <= sum(len(w) for w in words)
+
+
+class TestMergeArtifact:
+    def test_save_load_roundtrip_and_encode_parity(self, spark, tmp_path):
+        """The persisted merge table is the tokenizer artifact: a
+        loaded table must reproduce byte-identical encodings."""
+        from azure_data_engineering_spark.operators.bpe import (
+            load_merges,
+            merge_list,
+            save_merges,
+        )
+
+        df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        m = bpe_train(df, "text", num_merges=8)
+        path = str(tmp_path / "merges")
+        save_merges(m, path)
+        m2 = load_merges(spark, path)
+        assert [tuple(r) for r in m.orderBy("merge_rank").collect()] == [
+            tuple(r) for r in m2.collect()
+        ]
+        enc1 = {r.doc_id: r.bpe_tokens
+                for r in bpe_encode_replay(df, "text", m, num_merges=8).collect()}
+        enc2 = {r.doc_id: r.bpe_tokens
+                for r in bpe_encode(df, "text", "doc_id", merge_list(m2)).collect()}
+        assert enc1 == enc2

@@ -347,3 +347,94 @@ class TestBm25QueryNormalization:
         df = spark.createDataFrame(docs, "doc_id long, text string")
         r = bm25_search(df, ["!!!", "---"], "text", "doc_id", k=10)
         assert r.columns == ["doc_id", "bm25"] and r.count() == 0
+
+
+class TestSpatialKnn:
+    def test_k_nearest_ordering_and_radius(self, spark):
+        from azure_data_engineering_spark.operators.spatial import spatial_knn
+
+        pts = spark.createDataFrame(
+            [(1, 40.0, -100.0)], "pid long, lat double, lon double"
+        )
+        fac = spark.createDataFrame(
+            [
+                (10, 40.1, -100.0),   # ~11 km
+                (11, 40.3, -100.0),   # ~33 km
+                (12, 40.6, -100.0),   # ~67 km
+                (13, 41.0, -100.0),   # ~111 km — beyond radius 100
+                (14, 0.0, 0.0),
+            ],
+            "fid long, lat double, lon double",
+        )
+        rows = spatial_knn(pts, fac, radius_km=100.0, k=3).orderBy("knn_rank").collect()
+        assert [r.fid_f for r in rows] == [10, 11, 12]
+        assert [r.knn_rank for r in rows] == [1, 2, 3]
+        assert rows[0].dist_km < rows[1].dist_km < rows[2].dist_km
+
+    def test_fewer_than_k_returns_what_exists(self, spark):
+        from azure_data_engineering_spark.operators.spatial import spatial_knn
+
+        pts = spark.createDataFrame(
+            [(1, 40.0, -100.0), (2, -40.0, 100.0)], "pid long, lat double, lon double"
+        )
+        fac = spark.createDataFrame(
+            [(10, 40.1, -100.0)], "fid long, lat double, lon double"
+        )
+        rows = spatial_knn(pts, fac, radius_km=100.0, k=5).collect()
+        assert len(rows) == 1 and rows[0].pid == 1  # point 2 drops
+
+    def test_matches_nearest_at_k1(self, spark):
+        from azure_data_engineering_spark.operators.spatial import (
+            spatial_knn,
+            spatial_nearest,
+        )
+
+        pts = spark.createDataFrame(
+            [(i, 40.0 + i / 50.0, -100.0 + i / 80.0) for i in range(30)],
+            "pid long, lat double, lon double",
+        )
+        fac = spark.createDataFrame(
+            [(i, 40.0 + i / 30.0, -100.0 + i / 60.0) for i in range(12)],
+            "fid long, lat double, lon double",
+        )
+        knn1 = {
+            (r.pid, r.fid_f)
+            for r in spatial_knn(pts, fac, radius_km=120.0, k=1).collect()
+        }
+        near = {
+            (r.pid, r.fid_f)
+            for r in spatial_nearest(pts, fac, radius_km=120.0).collect()
+        }
+        assert knn1 == near
+
+
+class TestTemperatureMix:
+    def test_smallest_source_keeps_everything(self, spark):
+        from azure_data_engineering_spark.operators.sampling import temperature_mix
+
+        rows = [(i, "big") for i in range(900)] + [
+            (10000 + i, "small") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        mixed = temperature_mix(df, "source", "doc_id", alpha=0.5)
+        got = {r.source: r.cnt for r in
+               mixed.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        assert got["small"] == 100  # rate exactly 1.0
+        # big thins by (900/100)^(-0.5) = 1/3: expect ~300, binomial sd ~14
+        assert 230 <= got["big"] <= 370
+
+    def test_alpha_one_is_identity(self, spark):
+        from azure_data_engineering_spark.operators.sampling import temperature_mix
+
+        rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        assert temperature_mix(df, "source", "doc_id", alpha=1.0).count() == 300
+
+    def test_deterministic_across_runs(self, spark):
+        from azure_data_engineering_spark.operators.sampling import temperature_mix
+
+        rows = [(i, "x" if i % 4 else "y") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        a = sorted(r.doc_id for r in temperature_mix(df, "source", "doc_id", 0.3).collect())
+        b = sorted(r.doc_id for r in temperature_mix(df, "source", "doc_id", 0.3).collect())
+        assert a == b and 0 < len(a) < 400
