@@ -8233,6 +8233,112 @@ FROM kept GROUP BY source, keep_rate
 """
 
 
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (operators/chunking.
+    chunk_by_tokens_overlap, window 40 / stride 20 — 50% overlap, the
+    retrieval/RAG chunking mode): shuffle-free explode over generated
+    window starts, every token covered, only the last window short.
+    Chunk content is pinned compactly via md5(chunk_text) so the
+    oracle verifies the exact text of every window, not just its
+    geometry."""
+    from azure_data_engineering_spark.operators.chunking import (
+        chunk_by_tokens_overlap,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    r = chunk_by_tokens_overlap(d, "doc_id", "text", max_tokens=40, stride=20)
+    return r.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunks",
+        "token_start",
+        "token_len",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+Q_CHUNK_OVERLAP_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split(trim(text), ' ')) END AS n,
+         string_split(trim(text), ' ') AS toks
+  FROM documents
+), ex AS (
+  SELECT doc_id, n, toks,
+         CAST(ceil(greatest(n - 40, 0) / 20.0) + 1 AS INTEGER) AS n_chunks
+  FROM base
+), e2 AS (
+  SELECT doc_id, n, toks, n_chunks,
+         unnest(range(n_chunks)) AS chunk_id
+  FROM ex
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, n_chunks,
+       CAST(chunk_id * 20 AS INTEGER) AS token_start,
+       CAST(greatest(least(40, n - chunk_id * 20), 0) AS INTEGER) AS token_len,
+       md5(array_to_string(
+           list_slice(toks, chunk_id * 20 + 1,
+                      chunk_id * 20 + greatest(least(40, n - chunk_id * 20), 0)),
+           ' ')) AS chunk_md5
+FROM e2
+"""
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution (operators/window_ops.
+    multi_touch_attribution): purchases credit the user's click/view
+    touches within a 72h lookback under first-touch, last-touch, and
+    linear models in ONE pass — a user-keyed equi-join with the range
+    as a residual (range_join shape, no cartesian) plus one window
+    over candidate pairs. Credit sums aggregate in exact
+    DECIMAL(18,6) so accumulation order can't drift them
+    cross-engine."""
+    from azure_data_engineering_spark.operators.window_ops import (
+        multi_touch_attribution,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    r = multi_touch_attribution(
+        e, "purchase", ["click", "view"], lookback_hours=72, exact_decimals=6
+    )
+    return r.select(
+        "touch_type",
+        "n_conversions",
+        F.col("first_touch_value").cast("double").alias("first_touch_value"),
+        F.col("last_touch_value").cast("double").alias("last_touch_value"),
+        F.col("linear_value").cast("double").alias("linear_value"),
+    )
+
+
+Q_ATTRIBUTION_SQL = """
+WITH conv AS (
+  SELECT user_id AS u, ts AS cts, value AS cval, event_id AS cid
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS u, ts AS tts, event_type AS touch_type, event_id AS tid
+  FROM events WHERE event_type IN ('click', 'view')
+), pairs AS (
+  SELECT c.cid, c.cval, t.touch_type, t.tts, t.tid
+  FROM conv c JOIN touch t ON c.u = t.u
+  WHERE t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 72 HOUR
+), scored AS (
+  SELECT cid, cval, touch_type,
+         count(*) OVER (PARTITION BY cid) AS n,
+         row_number() OVER (PARTITION BY cid ORDER BY tts ASC, tid ASC) AS rn_first,
+         row_number() OVER (PARTITION BY cid ORDER BY tts DESC, tid DESC) AS rn_last
+  FROM pairs
+)
+SELECT touch_type,
+       CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+       CAST(sum(CASE WHEN rn_first = 1 THEN CAST(round(cval, 6) AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS first_touch_value,
+       CAST(sum(CASE WHEN rn_last = 1 THEN CAST(round(cval, 6) AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS last_touch_value,
+       CAST(sum(CAST(round(cval / n, 6) AS DECIMAL(18,6))) AS DOUBLE) AS linear_value
+FROM scored GROUP BY touch_type
+"""
+
+
 def q_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (operators/window_ops.markov_transitions): P(next event
@@ -9679,6 +9785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transform_with_state": q_transform_with_state,
         "q_spatial_knn": q_spatial_knn,
         "q_temperature_mix": q_temperature_mix,
+        "q_chunk_overlap": q_chunk_overlap,
+        "q_attribution": q_attribution,
         "q_spatial_join": q_spatial_join,
         "q_image_phash": q_image_phash,
         "q_ppjoin": q_ppjoin,
@@ -9712,10 +9820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_cdc": q_stream_cdc,
         "q_archive_roundtrip": q_archive_roundtrip,
         "q_pack_sequences": q_pack_sequences,
-        "q_decontaminate": q_decontaminate,
-        "q_tfidf_topk": q_tfidf_topk,
         "q_cohort_retention": q_cohort_retention,
         # ---- end of sampling window; remaining entries in r3 order ----
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_decontaminate": q_decontaminate,
         "q_pii_redaction": q_pii_redaction,
         "q_compact_roundtrip": q_compact_roundtrip,
         "q_jsonl_roundtrip": q_jsonl_roundtrip,
@@ -10116,6 +10224,8 @@ def oracle_sql() -> dict[str, str]:
         "q_triangle_count": Q_TRIANGLE_COUNT_SQL,
         "q_time_decay": Q_TIME_DECAY_SQL,
         "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
+        "q_chunk_overlap": Q_CHUNK_OVERLAP_SQL,
+        "q_attribution": Q_ATTRIBUTION_SQL,
         "q_spatial_knn": Q_SPATIAL_KNN_SQL,
         "q_temperature_mix": Q_TEMPERATURE_MIX_SQL,
         "q_spatial_join": Q_SPATIAL_JOIN_SQL,

@@ -168,3 +168,72 @@ def chunk_by_content(
             ).getField("tok"))).alias("chunk_md5"),
         )
     )
+
+
+def chunk_by_tokens_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int,
+    stride: int,
+    chunk_text: bool = True,
+) -> DataFrame:
+    """Overlapping (sliding-window) token chunking — the retrieval/RAG
+    chunking mode, where adjacent chunks share max_tokens - stride
+    tokens so no semantic unit is split across a hard boundary.
+    Windows start at 0, stride, 2*stride, ... up to the first start
+    that still reaches the end of the document:
+    n_chunks = ceil(max(n - max_tokens, 0) / stride) + 1 (empty and
+    short documents yield exactly one chunk), so every token is
+    covered and only the final window may be short.
+
+    Same plan shape as chunk_by_tokens: projection + one explode over
+    a generated index sequence — narrow, shuffle-free, codegen; at
+    100 TB it streams through the scan stage. The overlap multiplies
+    output tokens by ~max_tokens/stride — that redundancy is the
+    caller's explicit retrieval-recall budget, visible in the plan as
+    plain row expansion rather than hidden state.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 < stride <= max_tokens:
+        raise ValueError("stride must be in [1, max_tokens]")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    n_chunks = (
+        F.ceil(F.greatest(n - F.lit(max_tokens), F.lit(0)) / F.lit(stride)) + 1
+    ).cast("int")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("__n"),
+        n_chunks.alias("n_chunks"),
+    )
+    exploded = base.select(
+        id_col,
+        "__toks",
+        "__n",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    length = F.least(F.lit(max_tokens), F.col("__n") - start)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        "n_chunks",
+        start.cast("int").alias("token_start"),
+        F.greatest(length, F.lit(0)).cast("int").alias("token_len"),
+        *(
+            [
+                F.array_join(
+                    F.slice(
+                        F.col("__toks"), start + 1, F.greatest(length, F.lit(0))
+                    ),
+                    " ",
+                ).alias("chunk_text")
+            ]
+            if chunk_text
+            else []
+        ),
+    )

@@ -161,3 +161,89 @@ def markov_transitions(
         F.col("n").cast("long").alias("n"),
         (F.col("n") / F.col("from_n")).alias("p"),
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_hours: int = 72,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    exact_decimals: int | None = None,
+) -> DataFrame:
+    """Multi-touch conversion attribution over an event stream: every
+    conversion event credits the same user's touch events inside the
+    lookback window under the three standard models at once —
+    first-touch (earliest touch gets 100%), last-touch (latest gets
+    100%), and linear (1/n each). Conversions with no in-window touch
+    are unattributed and drop (count them upstream if needed).
+
+    Plan shape: conversions equi-join touches on the USER key (the
+    range predicate rides as a join residual — never a cartesian; the
+    same shuffle shape as range_join, AQE-skew-splittable on hot
+    users), then ONE window over the candidate pairs keyed by the
+    conversion id computes n, first-rank, and last-rank in a single
+    pass. Ties on touch timestamp break by the touch event id, so
+    first/last credit is total and engine-portable.
+
+    Returns per touch channel (`touch_type`): n_conversions (distinct
+    conversions the channel participated in), first_touch_value,
+    last_touch_value, linear_value — each the sum of conversion
+    `value` credited under that model.
+
+    exact_decimals: when set, each credit term is rounded to that many
+    decimals and aggregated in DECIMAL(18, exact_decimals) — the
+    engine's exact-decimal discipline (cf. q_tpch_q5_style) making the
+    sums independent of partial-aggregation accumulation order, hence
+    bit-identical across engines and partitionings.
+    """
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__cts"),
+        F.col(value_col).alias("__cval"),
+        F.col(id_col).alias("__cid"),
+    )
+    touch = events.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__tts"),
+        F.col(type_col).alias("touch_type"),
+        F.col(id_col).alias("__tid"),
+    )
+    pairs = conv.join(touch, "__u").filter(
+        (F.col("__tts") <= F.col("__cts"))
+        & (F.col("__tts") >= F.col("__cts") - F.expr(f"INTERVAL {int(lookback_hours)} HOURS"))
+    )
+    w = Window.partitionBy("__cid")
+    w_first = w.orderBy(F.col("__tts").asc(), F.col("__tid").asc())
+    w_last = w.orderBy(F.col("__tts").desc(), F.col("__tid").desc())
+    scored = pairs.select(
+        "__cid",
+        "__cval",
+        "touch_type",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.row_number().over(w_first).alias("__rn_first"),
+        F.row_number().over(w_last).alias("__rn_last"),
+    )
+    if exact_decimals is None:
+        full = F.col("__cval")
+        lin = F.col("__cval") / F.col("__n")
+        zero = F.lit(0.0)
+    else:
+        dt = f"decimal(18,{int(exact_decimals)})"
+        full = F.round(F.col("__cval"), exact_decimals).cast(dt)
+        lin = F.round(F.col("__cval") / F.col("__n"), exact_decimals).cast(dt)
+        zero = F.lit(0).cast(dt)
+    return scored.groupBy("touch_type").agg(
+        F.countDistinct("__cid").alias("n_conversions"),
+        F.sum(F.when(F.col("__rn_first") == 1, full).otherwise(zero)).alias(
+            "first_touch_value"
+        ),
+        F.sum(F.when(F.col("__rn_last") == 1, full).otherwise(zero)).alias(
+            "last_touch_value"
+        ),
+        F.sum(lin).alias("linear_value"),
+    )

@@ -162,3 +162,120 @@ class TestSaltedJoin:
         fact, dim = self._skewed(spark)
         with pytest.raises(ValueError):
             salted_join(fact, dim, ["k"], "right")
+
+
+class TestChunkOverlap:
+    def test_coverage_and_overlap(self, spark):
+        """window 5 / stride 2 over 10 tokens: 4 chunks at starts
+        0,2,4,6; every token covered; adjacent chunks share 3."""
+        from azure_data_engineering_spark.operators.chunking import (
+            chunk_by_tokens_overlap,
+        )
+
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = (
+            chunk_by_tokens_overlap(df, "doc_id", "text", max_tokens=5, stride=2)
+            .orderBy("chunk_id")
+            .collect()
+        )
+        assert [r.token_start for r in rows] == [0, 2, 4, 6]
+        assert [r.token_len for r in rows] == [5, 5, 5, 4]
+        covered = set()
+        for r in rows:
+            covered.update(range(r.token_start, r.token_start + r.token_len))
+        assert covered == set(range(10))
+        assert rows[0].chunk_text.split()[2:] == rows[1].chunk_text.split()[:3]
+
+    def test_short_and_empty_docs_one_chunk(self, spark):
+        from azure_data_engineering_spark.operators.chunking import (
+            chunk_by_tokens_overlap,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "")], "doc_id long, text string"
+        )
+        rows = chunk_by_tokens_overlap(df, "doc_id", "text", 5, 2).collect()
+        got = {r.doc_id: (r.n_chunks, r.token_len) for r in rows}
+        assert got == {1: (1, 2), 2: (1, 0)}
+
+    def test_stride_equal_window_matches_disjoint(self, spark):
+        """stride == window degenerates to chunk_by_tokens geometry."""
+        from azure_data_engineering_spark.operators.chunking import (
+            chunk_by_tokens,
+            chunk_by_tokens_overlap,
+        )
+
+        text = " ".join(f"w{i}" for i in range(23))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        a = sorted(
+            (r.chunk_id, r.token_start, r.token_len)
+            for r in chunk_by_tokens_overlap(df, "doc_id", "text", 5, 5).collect()
+        )
+        b = sorted(
+            (r.chunk_id, r.token_start, r.token_len)
+            for r in chunk_by_tokens(df, "doc_id", "text", 5).collect()
+        )
+        assert a == b
+
+
+class TestAttribution:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, value double, ts_s string"
+        ).select("event_id", "user_id", "event_type", "value",
+                 F.to_timestamp("ts_s").alias("ts"))
+
+    def test_three_models_credit_correctly(self, spark):
+        from azure_data_engineering_spark.operators.window_ops import (
+            multi_touch_attribution,
+        )
+
+        rows = [
+            (1, 7, "click", 0.0, "2024-01-01 00:00:00"),
+            (2, 7, "view", 0.0, "2024-01-01 10:00:00"),
+            (3, 7, "click", 0.0, "2024-01-02 00:00:00"),
+            (4, 7, "purchase", 30.0, "2024-01-02 12:00:00"),
+            (5, 8, "view", 0.0, "2024-01-05 00:00:00"),
+            (6, 8, "purchase", 10.0, "2024-01-05 01:00:00"),
+            # out-of-window touch: 100h before its user's purchase
+            (7, 9, "click", 0.0, "2024-01-01 00:00:00"),
+            (8, 9, "purchase", 99.0, "2024-01-05 04:00:00"),
+        ]
+        r = {
+            x.touch_type: x
+            for x in multi_touch_attribution(
+                self._events(spark, rows), "purchase", ["click", "view"], 72
+            ).collect()
+        }
+        # purchase 4: first=click#1, last=click#3, linear 10 each
+        # purchase 6: view only; purchase 8: unattributed
+        assert r["click"].first_touch_value == 30.0
+        assert r["click"].last_touch_value == 30.0
+        assert r["click"].linear_value == pytest.approx(20.0)
+        assert r["view"].first_touch_value == 10.0
+        assert r["view"].last_touch_value == 10.0
+        assert r["view"].linear_value == pytest.approx(20.0)
+        assert r["click"].n_conversions == 1 and r["view"].n_conversions == 2
+
+    def test_linear_credit_sums_to_conversion_value(self, spark):
+        """Conservation: total linear credit across channels equals
+        the total value of attributed conversions."""
+        from azure_data_engineering_spark.operators.window_ops import (
+            multi_touch_attribution,
+        )
+
+        rows = []
+        eid = 0
+        for u in range(20):
+            for i in range(u % 5 + 1):
+                eid += 1
+                rows.append((eid, u, "click" if i % 2 else "view", 0.0,
+                             f"2024-01-01 0{i}:00:00"))
+            eid += 1
+            rows.append((eid, u, "purchase", 7.0, "2024-01-01 09:00:00"))
+        r = multi_touch_attribution(
+            self._events(spark, rows), "purchase", ["click", "view"], 72
+        )
+        total = r.agg(F.sum("linear_value")).first()[0]
+        assert total == pytest.approx(20 * 7.0)
