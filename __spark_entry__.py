@@ -8339,6 +8339,53 @@ FROM scored GROUP BY touch_type
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations (operators/quality.pmi_collocations,
+    Church & Hanks 1990) over the documents corpus, window 2,
+    min_count 5: skip-gram pairs via a DOC-keyed self-join with the
+    position window as a residual (candidate volume linear in corpus
+    tokens, never per-doc quadratic), unigram joins left to AQE (the
+    vocab is not broadcastable at web scale), scalars on 1-row
+    broadcast frames. Ordering is total on the rounded score."""
+    from azure_data_engineering_spark.operators.quality import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, "text", "doc_id", window=2, min_count=5, k=50)
+
+
+Q_PMI_COLLOCATIONS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(fws) AS w, generate_subscripts(fws, 1) - 1 AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+             x -> x <> '') AS fws
+    FROM documents
+  )
+), pairs AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 2
+), pc AS (
+  SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2
+), np_total AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS np_t FROM pc),
+uni AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w),
+nw_total AS (SELECT CAST(sum(n_w) AS DOUBLE) AS nw_t FROM uni),
+scored AS (
+  SELECT pc.w1, pc.w2, pc.n_pair,
+         round(ln((pc.n_pair / np_t) / ((u1.n_w / nw_t) * (u2.n_w / nw_t))), 6) AS pmi
+  FROM pc
+  JOIN uni u1 ON pc.w1 = u1.w
+  JOIN uni u2 ON pc.w2 = u2.w
+  CROSS JOIN np_total CROSS JOIN nw_total
+  WHERE pc.n_pair >= 5
+)
+SELECT w1, w2, n_pair, pmi FROM scored
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
+"""
+
+
 def q_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (operators/window_ops.markov_transitions): P(next event
@@ -9787,6 +9834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_mix": q_temperature_mix,
         "q_chunk_overlap": q_chunk_overlap,
         "q_attribution": q_attribution,
+        "q_pmi_collocations": q_pmi_collocations,
         "q_spatial_join": q_spatial_join,
         "q_image_phash": q_image_phash,
         "q_ppjoin": q_ppjoin,
@@ -9818,10 +9866,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mix_corpora": q_mix_corpora,
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_stream_cdc": q_stream_cdc,
-        "q_archive_roundtrip": q_archive_roundtrip,
         "q_pack_sequences": q_pack_sequences,
         "q_cohort_retention": q_cohort_retention,
         # ---- end of sampling window; remaining entries in r3 order ----
+        "q_archive_roundtrip": q_archive_roundtrip,
         "q_tfidf_topk": q_tfidf_topk,
         "q_decontaminate": q_decontaminate,
         "q_pii_redaction": q_pii_redaction,
@@ -10224,6 +10272,7 @@ def oracle_sql() -> dict[str, str]:
         "q_triangle_count": Q_TRIANGLE_COUNT_SQL,
         "q_time_decay": Q_TIME_DECAY_SQL,
         "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
+        "q_pmi_collocations": Q_PMI_COLLOCATIONS_SQL,
         "q_chunk_overlap": Q_CHUNK_OVERLAP_SQL,
         "q_attribution": Q_ATTRIBUTION_SQL,
         "q_spatial_knn": Q_SPATIAL_KNN_SQL,

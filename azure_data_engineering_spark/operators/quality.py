@@ -130,3 +130,86 @@ def drop_repeated_units(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 2,
+    min_count: int = 5,
+    k: int = 50,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks, 1990): ordered word pairs co-occurring within `window`
+    positions, scored PMI = ln(p(a,b) / (p(a) p(b))) with pair
+    probabilities over the skip-gram pair space and unigram
+    probabilities over the token space. The standard corpus-analysis
+    lens for multi-word expressions and boilerplate discovery
+    (a curation signal: top PMI pairs that are template fragments
+    flag machine-generated text).
+
+    Scale shape: posexplode tokens, self-join ON THE DOCUMENT KEY with
+    the position window as a join residual — candidate volume is
+    O(corpus_tokens * window), linear in the corpus, never the O(L^2)
+    all-pairs-within-document blowup. One pair-count agg with map-side
+    combine; unigram totals and the two corpus scalars ride 1-row
+    broadcast frames. min_count filters BEFORE the top-k (PMI's
+    low-frequency pathology: a pair seen once between two hapaxes
+    maxes the score). Output ordering is total: (pmi DESC, w1, w2)
+    on the ROUNDED score, so the top-k set is engine-portable."""
+    from ..functions.text import normalize_text
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
+            )
+        ).alias("__pos", "__w"),
+    )
+    a = toks.select(
+        F.col("__id"), F.col("__pos").alias("__pa"), F.col("__w").alias("w1")
+    )
+    b = toks.select(
+        F.col("__id"), F.col("__pos").alias("__pb"), F.col("__w").alias("w2")
+    )
+    pairs = a.join(b, "__id").filter(
+        (F.col("__pb") > F.col("__pa"))
+        & (F.col("__pb") - F.col("__pa") <= int(window))
+    )
+    pair_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    total_pairs = pair_counts.agg(
+        F.sum("n_pair").cast("double").alias("__np_total")
+    )
+    uni = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("n_w"))
+    total_words = uni.agg(F.sum("n_w").cast("double").alias("__nw_total"))
+    # unigram joins stay plain equi-joins: the vocabulary is NOT
+    # broadcastable at corpus scale (100M+ distinct words on the web);
+    # AQE broadcasts it when it is small, shuffles when it isn't
+    scored = (
+        pair_counts.filter(F.col("n_pair") >= int(min_count))
+        .join(uni.select(F.col("__w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("__w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(total_pairs))
+        .crossJoin(F.broadcast(total_words))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("__np_total"))
+                    / (
+                        (F.col("n_w1") / F.col("__nw_total"))
+                        * (F.col("n_w2") / F.col("__nw_total"))
+                    )
+                ),
+                round_digits,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(int(k))

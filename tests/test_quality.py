@@ -250,3 +250,41 @@ class TestLineDedup:
         out = {r.doc_id: r for r in drop_repeated_units(df, "text", "doc_id", min_docs=3).collect()}
         assert out[1].text == "" and out[1].n_kept == 0 and out[1].n_units == 2
         assert out[4].text == "unique bit"
+
+
+class TestPmiCollocations:
+    def test_planted_collocation_tops(self, spark):
+        """'hong kong' always adjacent + both words rare elsewhere ->
+        highest PMI; frequent independent words score low."""
+        from azure_data_engineering_spark.operators.quality import pmi_collocations
+
+        filler = "the of and to in for on at by it"
+        rows = [(i, f"{filler} hong kong {filler}") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = pmi_collocations(df, "text", "doc_id", window=2, min_count=5, k=5).collect()
+        assert (r[0].w1, r[0].w2) == ("hong", "kong")
+        assert r[0].n_pair == 10
+
+    def test_window_bounds_pairs(self, spark):
+        """window=1 admits only adjacent pairs."""
+        from azure_data_engineering_spark.operators.quality import pmi_collocations
+
+        rows = [(i, "a b c") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        w1 = {(r.w1, r.w2) for r in
+              pmi_collocations(df, "text", "doc_id", window=1, min_count=5, k=10).collect()}
+        w2 = {(r.w1, r.w2) for r in
+              pmi_collocations(df, "text", "doc_id", window=2, min_count=5, k=10).collect()}
+        assert w1 == {("a", "b"), ("b", "c")}
+        assert w2 == {("a", "b"), ("b", "c"), ("a", "c")}
+
+    def test_min_count_filters_hapax_pairs(self, spark):
+        from azure_data_engineering_spark.operators.quality import pmi_collocations
+
+        rows = [(1, "unique singleton pair here")] + [
+            (10 + i, "common common words words") for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.w1, r.w2) for r in
+               pmi_collocations(df, "text", "doc_id", window=2, min_count=5, k=50).collect()}
+        assert ("unique", "singleton") not in got and got
