@@ -9604,9 +9604,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized document — word boundaries are spaces no merge pattern
     can cross, so the whole encode is JVM-side string work, no
     Python. Output: per-doc BPE token count vs whitespace token count
-    plus the first-3-token preview. The production pandas-UDF twin
-    for large merge tables (bpe_encode) is proven byte-identical in
-    tests/test_bpe.py."""
+    plus the first-3-token preview, space-joined to a SCALAR string —
+    the driver's canonicalizer pandas-sorts raw result columns and
+    cannot hash array cells (r4 lesson; tests/test_registry_contract.py
+    guards the whole registry against non-scalar outputs). The
+    production pandas-UDF twin for large merge tables (bpe_encode) is
+    proven byte-identical in tests/test_bpe.py."""
     from azure_data_engineering_spark.functions.text import normalize_text
     from azure_data_engineering_spark.operators.bpe import (
         bpe_encode_replay,
@@ -9623,7 +9626,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("bpe_tokens").alias("n_bpe_tokens"),
         nws.alias("n_ws_tokens"),
-        F.slice("bpe_tokens", 1, 3).alias("preview"),
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 3)).alias("preview"),
     )
 
 
@@ -9662,7 +9665,7 @@ def _bpe_encode_oracle_sql(iters: int = 12, min_freq: int = 2) -> str:
 SELECT doc_id,
        CAST(len(t) AS INTEGER) AS n_bpe_tokens,
        CAST(len(list_filter(string_split(norm, ' '), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
-       list_slice(t, 1, 3) AS preview
+       array_to_string(list_slice(t, 1, 3), ' ') AS preview
 FROM toks"""
 
 

@@ -202,6 +202,30 @@ def bpe_encode_replay(
     budget needs; use bpe_encode for large vocabularies."""
     if num_merges is None:
         num_merges = merges.agg(F.max("merge_rank")).first()[0] + 1
+    # Validate the merge table up front (ADVICE r4): each rank in
+    # range(num_merges) must appear EXACTLY once — a missing rank
+    # would make that round's broadcast frame empty and the crossJoin
+    # would silently drop every input row; a duplicate rank would
+    # silently multiply rows. One bounded driver-side agg (the merge
+    # table is a vocab-sized artifact, never corpus-sized).
+    n_rows, n_ranks, lo, hi = (
+        merges.filter(F.col("merge_rank") < F.lit(int(num_merges)))
+        .agg(
+            F.count("*"),
+            F.countDistinct("merge_rank"),
+            F.min("merge_rank"),
+            F.max("merge_rank"),
+        )
+        .first()
+    )
+    if n_ranks != num_merges or n_rows != num_merges:
+        raise ValueError(
+            f"bpe_encode_replay: merges table must carry exactly one row per "
+            f"merge_rank in 0..{num_merges - 1}; got {n_rows} rows over "
+            f"{n_ranks} distinct ranks (min={lo}, max={hi}). Pass the full "
+            f"table bpe_train returns (including applied=false rows), not a "
+            f"filtered or concatenated one."
+        )
     from ..functions.text import normalize_text
 
     out = df.withColumn("__seq", _wrap_chars(normalize_text(F.col(text_col))))

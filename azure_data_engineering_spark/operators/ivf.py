@@ -122,12 +122,18 @@ def train_pq_codebooks(
 
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
+    if id_col is None:
+        # ADVICE r4: limit() without an ordering is nondeterministic
+        # across runs/partitionings, which would silently break the
+        # module's determinism discipline (codebooks differ run to run).
+        raise ValueError(
+            "train_pq_codebooks requires id_col: the bounded driver sample "
+            "must be ordered to be deterministic across partitionings"
+        )
     sel = corpus.select(
         l2_normalize(F.col(vec_col)).alias("v"),
-        *([F.col(id_col).alias("__id")] if id_col else []),
-    )
-    if id_col:
-        sel = sel.orderBy("__id")
+        F.col(id_col).alias("__id"),
+    ).orderBy("__id")
     rows = sel.limit(int(max_train)).collect()
     X = np.array([r.v for r in rows], dtype=np.float64)
     sub = dim // m

@@ -50,13 +50,17 @@ def _cell(
     so the index wraps modulo n_lon at the antimeridian — a facility
     at lon 179.9° and a point at -179.9° share a (wrapped) neighbor
     cell. Latitude is range-guarded lazily: assert_true fires inside
-    the executors during the scan, so inputs beyond max_abs_lat fail
-    loudly instead of silently missing neighbors (longitude cells
-    narrower than the radius)."""
+    the executors during the scan, so non-NULL inputs beyond
+    max_abs_lat fail loudly instead of silently missing neighbors
+    (longitude cells narrower than the radius). NULL coordinates are
+    exempt from the assert (assert_true raises on NULL conditions
+    too, with a misleading message — ADVICE r4): they produce a NULL
+    cell, which the inner cell equi-join drops — the same silent-drop
+    semantics NULL join keys get everywhere else in the engine."""
     ok = F.assert_true(
-        F.abs(lat) <= F.lit(max_abs_lat),
+        lat.isNull() | (F.abs(lat) <= F.lit(max_abs_lat)),
         F.lit(
-            f"spatial_nearest: |lat| exceeds max_abs_lat={max_abs_lat}; "
+            f"spatial grid: |lat| exceeds max_abs_lat={max_abs_lat}; "
             "raise max_abs_lat (cells widen accordingly) or filter the input"
         ),
     )

@@ -80,12 +80,39 @@ def main() -> int:
     n_pass = n_fail = n_rowsonly = 0
     report: dict[str, dict] = {}
 
-    def record(name, *, rows=False, schema=False, hash_=False,
+    def record(name, *, status, rows=False, schema=False, hash_=False,
                spark_rows=None, oracle_rows=None, err=None):
+        # status is the authoritative field ('pass'/'fail'/'rows-only');
+        # rows_match is None (not True) for rows-only entries so a
+        # consumer counting rows_match never overstates verified
+        # coverage (ADVICE r4).
         report[name] = {
-            "rows_match": rows, "schema_match": schema, "hash_match": hash_,
+            "status": status,
+            "rows_match": None if status == "rows-only" else rows,
+            "schema_match": schema, "hash_match": hash_,
             "spark_rows": spark_rows, "oracle_rows": oracle_rows, "err": err,
         }
+
+    def nonscalar_cols(df_pandas):
+        """Columns whose cells the DRIVER's canonicalizer cannot hash
+        (pandas sort_values over raw cells dies on list/ndarray/map
+        values — the r4 q_bpe_encode failure). Local tooling is
+        otherwise more lenient than the gate (canon() .tolist()s
+        arrays), so surface these loudly."""
+        bad = []
+        for c in df_pandas.columns:
+            col = df_pandas[c]
+            if str(col.dtype) != "object":
+                continue
+            for v in col:
+                if v is None:
+                    continue
+                if isinstance(v, (list, tuple, dict, set)) or (
+                    hasattr(v, "tolist") and not isinstance(v, (str, bytes))
+                ):
+                    bad.append(c)
+                break
+        return bad
 
     for name, fn in qs.items():
         if only and name not in only:
@@ -96,13 +123,23 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark query raised")
             traceback.print_exc()
-            record(name, err=f"spark: {e}")
+            record(name, status="fail", err=f"spark: {e}")
             n_fail += 1
             continue
         elapsed = f"{time.time() - t0:.1f}s"
+        ns = nonscalar_cols(sdf)
+        if ns:
+            print(f"FAIL {name}: non-scalar output column(s) {ns} — the "
+                  f"driver's canonicalizer cannot hash array/map/struct "
+                  f"cells; stringify (concat_ws/md5) before returning")
+            record(name, status="fail", spark_rows=len(sdf),
+                   err=f"non-scalar output columns: {ns}")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows (no oracle) [{elapsed}]")
-            record(name, rows=True, spark_rows=len(sdf), err="rows-only")
+            record(name, status="rows-only", spark_rows=len(sdf),
+                   err="rows-only")
             n_rowsonly += 1
             continue
         try:
@@ -110,14 +147,15 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: oracle SQL raised")
             traceback.print_exc()
-            record(name, err=f"oracle: {e}")
+            record(name, status="fail", err=f"oracle: {e}")
             n_fail += 1
             continue
         scols, srows = canon(sdf)
         ocols, orows = canon(odf)
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
-            record(name, spark_rows=len(srows), oracle_rows=len(orows),
+            record(name, status="fail", spark_rows=len(srows),
+                   oracle_rows=len(orows),
                    err=f"columns spark={scols} oracle={ocols}")
             n_fail += 1
             continue
@@ -130,8 +168,8 @@ def main() -> int:
             print(f"DTYPE {name}: {dt_mismatch}")
         if len(srows) != len(orows):
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
-            record(name, schema=True, spark_rows=len(srows), oracle_rows=len(orows),
-                   err="row count mismatch")
+            record(name, status="fail", schema=True, spark_rows=len(srows),
+                   oracle_rows=len(orows), err="row count mismatch")
             n_fail += 1
             continue
         bad = exact_bad = 0
@@ -148,17 +186,19 @@ def main() -> int:
                         first = (sr, orr)
         if bad:
             print(f"FAIL {name}: {bad} value mismatches; first: spark={first[0]} oracle={first[1]}")
-            record(name, rows=True, schema=True, spark_rows=len(srows),
-                   oracle_rows=len(orows), err=f"{bad} value mismatches")
+            record(name, status="fail", rows=True, schema=True,
+                   spark_rows=len(srows), oracle_rows=len(orows),
+                   err=f"{bad} value mismatches")
             n_fail += 1
         elif exact_bad:
             print(f"WARN {name}: exact-equality drift on {exact_bad} values (driver hash may fail); first: spark={first[0]} oracle={first[1]}")
-            record(name, rows=True, schema=True, spark_rows=len(srows),
-                   oracle_rows=len(orows), err=f"exact drift on {exact_bad} values")
+            record(name, status="fail", rows=True, schema=True,
+                   spark_rows=len(srows), oracle_rows=len(orows),
+                   err=f"exact drift on {exact_bad} values")
             n_fail += 1
         else:
             print(f"PASS {name}: {len(srows)} rows [{elapsed}]")
-            record(name, rows=True, schema=True, hash_=True,
+            record(name, status="pass", rows=True, schema=True, hash_=True,
                    spark_rows=len(srows), oracle_rows=len(orows))
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
