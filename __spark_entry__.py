@@ -3290,6 +3290,152 @@ SELECT count(*) AS n_true, TRUE AS recall_ok FROM ranked WHERE rank <= 3
 """
 
 
+def q_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (operators/ivf.ivf_index_build
+    / ivf_index_append / ivfpq_search_index) — the operational gap in
+    the 100 TB embedding-search story closed: a continuous-crawl
+    corpus appends vectors daily, so the IVF-PQ index lives in a
+    persisted snapshot table and each new batch is assigned + encoded
+    against the FROZEN centroids/codebooks and committed atomically in
+    O(batch), no index rebuild. Here: build the index from 80% of the
+    corpus, append the held-out 20% as the 'new crawl' batch, then
+    search the full corpus THROUGH the two-commit index — appended
+    rows must be findable and aggregate recall vs brute force must
+    clear the same 0.6 floor as q_ann_ivfpq (the oracle recomputes
+    the brute-force pair count independently; codebook floats aren't
+    SQL-portable)."""
+    import tempfile
+
+    from azure_data_engineering_spark.operators.ivf import (
+        ivf_index_append,
+        ivf_index_build,
+        ivfpq_search_index,
+        train_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    centroids = train_centroids(base, "embedding", nlist=8)
+    books = train_pq_codebooks(
+        base, "embedding", dim=64, id_col="vec_id", m=16, ksub=32
+    )
+    table = tempfile.mkdtemp(prefix="ivfidx_gate_") + "/index"
+    ivf_index_build(base, centroids, books, table)
+    ivf_index_append(batch, centroids, books, table)
+    q = emb.filter(F.col("vec_id") < 20)
+    ann = ivfpq_search_index(
+        q, emb, centroids, books, table, k=3, nprobe=4, refine_factor=8
+    )
+    bf = brute_force_top_k(q, emb, k=3, round_digits=6)
+    return _ann_recall_frame(ann, bf, floor=0.6)
+
+
+Q_ANN_APPEND_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT count(*) AS n_true, TRUE AS recall_ok FROM ranked WHERE rank <= 3
+"""
+
+
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval dashboard (operators/retrieval_eval.py): IVF-Flat
+    ANN results for a 20-query panel scored against in-plan brute-force
+    truth — recall@{1,3,5} and MRR of the true nearest neighbor. The
+    raw metric values depend on KMeans cell boundaries (not
+    SQL-portable), so like the other ANN gates the oracle recomputes
+    the per-k truth pair count independently and asserts the
+    floor booleans are literally TRUE (measured recall 0.70-1.0 and
+    MRR 0.75-1.0 across sf0.001-sf1; floors 0.6/0.6 leave margin)."""
+    from azure_data_engineering_spark.operators.ivf import (
+        ivf_top_k,
+        train_centroids,
+    )
+    from azure_data_engineering_spark.operators.retrieval_eval import (
+        retrieval_metrics,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    centroids = train_centroids(emb, "embedding", nlist=8)
+    ann = ivf_top_k(q, emb, centroids, k=5, nprobe=4)
+    bf = brute_force_top_k(q, emb, k=5, round_digits=6)
+    m = retrieval_metrics(ann, bf, ks=(1, 3, 5))
+    return m.select(
+        F.col("k").cast("long").alias("k"),
+        "n_true",
+        (F.col("recall") >= 0.6).alias("recall_ok"),
+        (F.col("mrr") >= 0.6).alias("mrr_ok"),
+    ).orderBy("k")
+
+
+Q_RETRIEVAL_METRICS_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+), ks AS (SELECT CAST(unnest([1, 3, 5]) AS BIGINT) AS k)
+SELECT k, count(*) AS n_true, TRUE AS recall_ok, TRUE AS mrr_ok
+FROM ks JOIN ranked ON ranked.rank <= ks.k
+GROUP BY k ORDER BY k
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (operators/heavy_hitters.py, Misra-Gries 1982):
+    tokens whose count exceeds N/k found WITHOUT a full-vocabulary
+    aggregation — per-partition k-counter MG summaries (mapInPandas,
+    value_counts-prereduced), a KB-scale candidate union, then exact
+    counts of ONLY the candidate set (broadcast semi-join prunes the
+    shuffle). MG guarantees no false negatives above N/(k+1), exact
+    verification removes false positives, so the output is EXACTLY
+    {token : count > N/40} — partitioning-independent and
+    oracle-checkable. tests/test_heavy_hitters.py asserts the MG
+    error bound itself."""
+    from azure_data_engineering_spark.functions.text import normalize_text
+    from azure_data_engineering_spark.operators.heavy_hitters import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(normalize_text(F.col("text")), " "), lambda w: w != "")
+        ).alias("token")
+    )
+    return heavy_hitters(toks, "token", k=40).select(
+        "token", "cnt", "n_total"
+    )
+
+
+Q_HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           x -> x <> '')) AS token
+  FROM documents
+), tot AS (SELECT count(*) AS n_total FROM toks)
+SELECT token, count(*) AS cnt, max(n_total) AS n_total
+FROM toks CROSS JOIN tot
+GROUP BY token
+HAVING count(*) * 40 > max(n_total)
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: aspect-preserving fit of each decoded payload
     into a 32x32 box via mapInPandas (deterministic fake decode — a
@@ -9830,6 +9976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_bpe_train": q_bpe_train,
         "q_bpe_encode": q_bpe_encode,
+        "q_ann_append": q_ann_append,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_retrieval_metrics": q_retrieval_metrics,
         "q_training_pipeline_bpe": q_training_pipeline_bpe,
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_transform_with_state": q_transform_with_state,
@@ -10066,6 +10215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": Q1_SQL,
+        "q_ann_append": Q_ANN_APPEND_SQL,
+        "q_heavy_hitters": Q_HEAVY_HITTERS_SQL,
+        "q_retrieval_metrics": Q_RETRIEVAL_METRICS_SQL,
         "q_filter_project": Q_FILTER_PROJECT_SQL,
         "q_top_orders": Q_TOP_ORDERS_SQL,
         "q_orders_per_nation": Q_ORDERS_PER_NATION_SQL,

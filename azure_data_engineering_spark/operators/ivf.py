@@ -270,3 +270,149 @@ def ivfpq_top_k(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ------------------------------------------------- incremental index
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    index_table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Materialize the IVF-PQ index as a persisted SNAPSHOT TABLE
+    (sources/snapshot.py) of (id, cell, codes) rows — the artifact a
+    continuous-crawl corpus maintains incrementally instead of
+    re-deriving cell assignments and PQ codes from raw vectors on
+    every search. Returns the committed snapshot version.
+
+    100 TB shape: the index is ~17 bytes/vector (1 cell + m codes) —
+    the only thing searches scan; raw vectors stay in the corpus
+    table and are touched per-query only for the k' refine rows."""
+    from azure_data_engineering_spark.functions.vectors import l2_normalize
+    from azure_data_engineering_spark.sources.snapshot import snapshot_write
+
+    enc = _pq_encode_udf(codebooks)
+    idx = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+        enc(l2_normalize(F.col(vec_col))).alias("codes"),
+    )
+    return snapshot_write(idx, index_table, mode="overwrite")
+
+
+def ivf_index_append(
+    new_rows: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    index_table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance for a corpus that appends vectors
+    continuously: assign + PQ-encode ONLY the new batch against the
+    FROZEN centroids/codebooks and commit it as one atomic `append`
+    snapshot — O(batch) work and an O(batch) commit, no rewrite of
+    the existing index (same pattern as the streaming near-dup
+    signature store, streaming/dedup_stream.py). Ids already present
+    in the index are anti-joined away first, so replaying a batch
+    after a crash is a no-op (idempotent restart, like the CDC sink).
+
+    Codebook staleness is the operational trade: appended vectors from
+    a drifted distribution still land in their nearest FROZEN cell and
+    quantize against frozen codewords, so recall degrades gracefully
+    rather than failing (tests/test_ivf.py asserts the floor holds on
+    a deliberately drifted batch); the periodic re-train + rebuild is
+    an offline job that swaps in a fresh index via an `overwrite`
+    snapshot commit without pausing readers (time travel keeps the old
+    version readable until vacuum).
+
+    Returns the committed snapshot version."""
+    from azure_data_engineering_spark.functions.vectors import l2_normalize
+    from azure_data_engineering_spark.sources.snapshot import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    enc = _pq_encode_udf(codebooks)
+    spark = new_rows.sparkSession
+    existing = snapshot_read(spark, index_table).select("vec_id")
+    batch = (
+        new_rows.select(
+            F.col(id_col).alias("vec_id"),
+            _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+            enc(l2_normalize(F.col(vec_col))).alias("codes"),
+        )
+        .join(existing, "vec_id", "left_anti")
+    )
+    return snapshot_write(batch, index_table, mode="append")
+
+
+def ivfpq_search_index(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    index_table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    refine_factor: int = 8,
+    round_digits: int = 6,
+    version: int | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k against the PERSISTED index (ivf_index_build /
+    ivf_index_append): queries broadcast-equi-join the index on cell,
+    rank by Arrow-batched ADC, then the refine_factor*k shortlist —
+    and only it — joins back to the corpus BY ID for the exact
+    full-precision re-rank. Identical ranking math to ivfpq_top_k
+    (same ADC + refine), but the candidate side scans 17-byte index
+    rows instead of recomputing codes from raw vectors, which is the
+    whole point of maintaining the index incrementally."""
+    from azure_data_engineering_spark.functions.vectors import (
+        cosine_similarity,
+        l2_normalize,
+    )
+    from azure_data_engineering_spark.sources.snapshot import snapshot_read
+
+    adc = _adc_score_udf(codebooks)
+    idx = snapshot_read(queries.sparkSession, index_table, version=version).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "codes"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_normalize(F.col(vec_col)).alias("qn"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(idx, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc(F.col("qn"), F.col("codes")))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = cand.withColumn("__r", F.row_number().over(w1)).filter(
+        F.col("__r") <= int(refine_factor) * k
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    refined = shortlist.join(vecs, "neighbor_id").withColumn(
+        "cosine",
+        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), round_digits),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,95 @@
+"""Retrieval-quality evaluation: recall@k and MRR for ANN results.
+
+Closes the loop on the ANN family (similarity.py, ivf.py): an
+embedding-search migration is only safe when the approximate index is
+continuously scored against exact truth on a bounded query set — this
+module is that dashboard. Truth comes from the existing brute-force
+pass (similarity.brute_force_top_k) over the SAME query set, computed
+in-plan; at 100 TB the query panel is a few thousand rows, so the truth
+pass is panel x corpus work batched through the same broadcast
+machinery the ANN paths use, while the metrics themselves aggregate a
+panel-sized join — negligible next to the index it audits.
+
+Metrics (standard IR definitions):
+- recall@k: |ANN top-k  ∩  true top-k| / |true top-k|, aggregated over
+  the panel (per-query recall on weakly-clustered embeddings is
+  high-variance by nature — same argument as _ann_recall_frame).
+- MRR: mean over queries of 1/rank of the TRUE nearest neighbor within
+  the ANN list (0 when the true NN is absent) — "how high does the one
+  right answer sit".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def retrieval_metrics(
+    ann: DataFrame,
+    truth: DataFrame,
+    ks: Sequence[int] = (1, 3, 5),
+    round_digits: int = 6,
+) -> DataFrame:
+    """One row per k in `ks`: (k, n_true, recall, mrr). `ann` and
+    `truth` both carry (query_id, neighbor_id, rank) with rank 1-based
+    and dense per query (the shape every top-k operator in the engine
+    returns). MRR is k-independent and repeated on each row for a
+    self-contained dashboard frame.
+
+    Plan: ONE equi-join of the two panel-sized frames on
+    (query_id, neighbor_id), then conditional aggregation per k over a
+    literal-exploded k column — no shuffle touches anything
+    corpus-sized."""
+    kcol = F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
+    a = ann.select(
+        "query_id", "neighbor_id", F.col("rank").alias("ann_rank")
+    )
+    t = truth.select(
+        "query_id", "neighbor_id", F.col("rank").alias("true_rank")
+    )
+    hits = t.join(a, ["query_id", "neighbor_id"], "left")
+
+    n_queries = truth.select("query_id").distinct().count()
+    mrr_frame = (
+        hits.filter(F.col("true_rank") == 1)
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("ann_rank").isNotNull(), 1.0 / F.col("ann_rank")
+                    ).otherwise(0.0)
+                )
+                / F.lit(float(n_queries))
+            ).alias("mrr")
+        )
+        .select(F.round("mrr", round_digits).alias("mrr"))
+    )
+
+    per_k = (
+        hits.select("true_rank", "ann_rank", kcol)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("_n_pairs"),
+            F.sum(
+                F.when(F.col("true_rank") <= F.col("k"), F.lit(1)).otherwise(0)
+            ).alias("n_true"),
+            F.sum(
+                F.when(
+                    (F.col("true_rank") <= F.col("k"))
+                    & (F.col("ann_rank") <= F.col("k")),
+                    F.lit(1),
+                ).otherwise(0)
+            ).alias("_n_hit"),
+        )
+        .select(
+            "k",
+            "n_true",
+            F.round(F.col("_n_hit") / F.col("n_true"), round_digits).alias(
+                "recall"
+            ),
+        )
+    )
+    return per_k.crossJoin(F.broadcast(mrr_frame))
