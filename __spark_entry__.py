@@ -3436,6 +3436,266 @@ HAVING count(*) * 40 > max(n_total)
 """
 
 
+def q_cms_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries (operators/heavy_hitters.
+    cms_build/cms_estimate, Cormode & Muthukrishnan 2005): one corpus
+    pass collapses all token occurrences into a 3x256-cell sketch
+    (the shuffle carries <= depth*width keys however large the
+    vocabulary), then every distinct token is estimated as the min
+    over its 3 addressed buckets. md5-based bucket hashing is
+    engine-portable, so the oracle rebuilds the SAME sketch in SQL
+    and the estimates compare exactly — estimate >= true always;
+    the epsilon bound is asserted in tests/test_heavy_hitters.py."""
+    from azure_data_engineering_spark.functions.text import normalize_text
+    from azure_data_engineering_spark.operators.heavy_hitters import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(normalize_text(F.col("text")), " "), lambda w: w != "")
+        ).alias("token")
+    )
+    sketch = cms_build(toks, "token", width=256, depth=3)
+    probes = toks.distinct()
+    est = cms_estimate(sketch, probes, "token", width=256, depth=3)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return est.join(exact, "token").select(
+        "token", "est_cnt", "exact_cnt",
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("no_undercount"),
+    )
+
+
+Q_CMS_COUNT_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           x -> x <> '')) AS token
+  FROM documents
+), rs AS (SELECT unnest([0, 1, 2]) AS r),
+cells AS (
+  SELECT r,
+         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token), 1, 8) AS BIGINT) % 256 AS bucket,
+         count(*) AS cnt
+  FROM toks CROSS JOIN rs
+  GROUP BY 1, 2
+), probes AS (SELECT DISTINCT token FROM toks),
+addr AS (
+  SELECT token, r,
+         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token), 1, 8) AS BIGINT) % 256 AS bucket
+  FROM probes CROSS JOIN rs
+), est AS (
+  SELECT token, min(coalesce(cnt, 0)) AS est_cnt
+  FROM addr LEFT JOIN cells USING (r, bucket)
+  GROUP BY token
+), exact AS (SELECT token, count(*) AS exact_cnt FROM toks GROUP BY token)
+SELECT token, est_cnt, exact_cnt, est_cnt >= exact_cnt AS no_undercount
+FROM est JOIN exact USING (token)
+"""
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query (operators/skyline.pareto_frontier_2d, Börzsönyi
+    ICDE'01): parts no other part strictly dominates on (cheaper
+    retail price, larger size) — computed without the quadratic
+    NOT-EXISTS self-join OR a corpus-sized global sort: collapse to
+    distinct prices, banded parallel running-max windows (the only
+    serial window is 64 band rows), broadcast the surviving (x, y)
+    frontier back. The oracle runs the textbook NOT EXISTS dominance
+    predicate — same rows, different plan class."""
+    from azure_data_engineering_spark.operators.skyline import pareto_frontier_2d
+
+    p = _t(spark, sf_dir, "part")
+    return pareto_frontier_2d(p, "p_retailprice", "p_size").select(
+        "p_partkey", "p_name", F.col("p_size").cast("long").alias("p_size"),
+        "p_retailprice",
+    )
+
+
+Q_PARETO_FRONTIER_SQL = """
+SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size, p_retailprice
+FROM part y
+WHERE NOT EXISTS (
+  SELECT 1 FROM part x
+  WHERE x.p_retailprice <= y.p_retailprice AND x.p_size >= y.p_size
+    AND (x.p_retailprice < y.p_retailprice OR x.p_size > y.p_size)
+)
+"""
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.blocked_fuzzy_join, Fellegi &
+    Sunter 1969): a 'dirty' feed of part names (last character
+    truncated) is resolved back against the catalog — candidates from
+    TWO blocking passes (first word; name length) unioned and deduped,
+    verified with JVM-side levenshtein <= 2, best match per dirty row
+    by (distance, partkey). Never an all-pairs join: pair volume is
+    bounded by the blocking-key cardinality and guarded by max_block,
+    the same skew discipline as the LSH dedup buckets."""
+    from azure_data_engineering_spark.operators.linkage import blocked_fuzzy_join
+
+    p = _t(spark, sf_dir, "part")
+    dirty = p.select(
+        (F.col("p_partkey") + 5_000_000).alias("feed_id"),
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("feed_name"),
+    )
+    linked = blocked_fuzzy_join(
+        p.select("p_partkey", "p_name"),
+        dirty,
+        left_id="p_partkey",
+        right_id="feed_id",
+        left_text="p_name",
+        right_text="feed_name",
+        block_keys=[
+            lambda c: F.substring_index(c, " ", 1),
+            lambda c: F.length(c).cast("string"),
+        ],
+        max_distance=2,
+        k=1,
+    )
+    return linked.select(
+        "feed_id", "p_partkey", F.col("distance").cast("long").alias("distance")
+    )
+
+
+Q_RECORD_LINKAGE_SQL = """
+WITH l AS (SELECT p_partkey, p_name FROM part),
+r AS (SELECT p_partkey + 5000000 AS feed_id,
+             substr(p_name, 1, length(p_name) - 1) AS feed_name
+      FROM part),
+cand AS (
+  SELECT DISTINCT r.feed_id, r.feed_name, l.p_partkey, l.p_name
+  FROM r JOIN l ON split_part(r.feed_name, ' ', 1) = split_part(l.p_name, ' ', 1)
+  UNION
+  SELECT DISTINCT r.feed_id, r.feed_name, l.p_partkey, l.p_name
+  FROM r JOIN l ON length(r.feed_name) = length(l.p_name)
+), scored AS (
+  SELECT feed_id, p_partkey,
+         CAST(levenshtein(p_name, feed_name) AS BIGINT) AS distance
+  FROM cand
+  WHERE levenshtein(p_name, feed_name) <= 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY feed_id
+                               ORDER BY distance, p_partkey) AS rn
+  FROM scored
+)
+SELECT feed_id, p_partkey, distance FROM ranked WHERE rn = 1
+"""
+
+
+def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning: order value deciles WITHIN each
+    order priority (ntile over a per-group window — parallel across
+    groups, no global sort) with per-bin count / min / max / mean —
+    the binned-feature profile a training pipeline feeds a monotonic
+    model or uses for drift baselines. Deterministic under the
+    (totalprice, orderkey) total order; mean rounded to 4dp in both
+    engines (accumulation-order drift)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("bin", F.ntile(10).over(w))
+        .groupBy("o_orderpriority", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+        )
+        .withColumn("bin", F.col("bin").cast("long"))
+    )
+
+
+Q_QUANTILE_BINNING_SQL = """
+WITH binned AS (
+  SELECT o_orderpriority,
+         ntile(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS bin,
+         o_totalprice
+  FROM orders
+)
+SELECT o_orderpriority, CAST(bin AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(avg(o_totalprice), 4) AS mean_price
+FROM binned
+GROUP BY o_orderpriority, bin
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between snapshot versions (sources/snapshot.
+    snapshot_diff): commit v1, apply an I/U/D changelog batch
+    (snapshot_apply_cdc) to make v2, then DIFF the two manifests into
+    the exact changelog a downstream consumer replays — inserts carry
+    the new payload, deletes the old row, updates only where a payload
+    column actually changed (null-safe struct compare), unchanged keys
+    emit nothing. One pk full-outer join between the two file sets.
+    The oracle replays the same algebra from the raw orders table."""
+    import tempfile
+
+    from azure_data_engineering_spark.sources import snapshot as sn
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    table = tempfile.mkdtemp(prefix="snapdiff_gate_") + "/tbl"
+    v1 = sn.snapshot_write(o.filter(F.col("o_orderkey") % 2 == 1), table)
+    updates = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("op", F.lit("I"))
+    )
+    deletes = (
+        o.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 3 != 0))
+        .withColumn("op", F.lit("D"))
+    )
+    changes = updates.unionByName(inserts).unionByName(deletes)
+    v2 = sn.snapshot_apply_cdc(changes, table, pk=["o_orderkey"])
+    return sn.snapshot_diff(spark, table, v1, v2, pk=["o_orderkey"])
+
+
+Q_SNAPSHOT_DIFF_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 1
+), u AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+), ins AS (
+  SELECT o_orderkey + 10000000000 AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0
+), del AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+)
+SELECT 'U' AS op, o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM u WHERE o_orderkey % 2 = 1
+UNION ALL
+SELECT 'I', o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM u WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 'I', o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM ins
+UNION ALL
+SELECT 'D', v1.o_orderkey, v1.o_custkey, v1.o_orderstatus, v1.o_totalprice
+FROM v1 JOIN del USING (o_orderkey)
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: aspect-preserving fit of each decoded payload
     into a 32x32 box via mapInPandas (deterministic fake decode — a
@@ -9979,6 +10239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_append": q_ann_append,
         "q_heavy_hitters": q_heavy_hitters,
         "q_retrieval_metrics": q_retrieval_metrics,
+        "q_cms_count": q_cms_count,
+        "q_pareto_frontier": q_pareto_frontier,
+        "q_record_linkage": q_record_linkage,
+        "q_quantile_binning": q_quantile_binning,
+        "q_snapshot_diff": q_snapshot_diff,
         "q_training_pipeline_bpe": q_training_pipeline_bpe,
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_transform_with_state": q_transform_with_state,
@@ -10218,6 +10483,11 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_append": Q_ANN_APPEND_SQL,
         "q_heavy_hitters": Q_HEAVY_HITTERS_SQL,
         "q_retrieval_metrics": Q_RETRIEVAL_METRICS_SQL,
+        "q_cms_count": Q_CMS_COUNT_SQL,
+        "q_pareto_frontier": Q_PARETO_FRONTIER_SQL,
+        "q_record_linkage": Q_RECORD_LINKAGE_SQL,
+        "q_quantile_binning": Q_QUANTILE_BINNING_SQL,
+        "q_snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
         "q_filter_project": Q_FILTER_PROJECT_SQL,
         "q_top_orders": Q_TOP_ORDERS_SQL,
         "q_orders_per_nation": Q_ORDERS_PER_NATION_SQL,

@@ -97,3 +97,79 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int) -> DataFrame:
         .filter(F.col("cnt") * k > F.col("n_total"))
         .select(col, "cnt", "n_total")
     )
+
+
+# --------------------------------------------------- count-min sketch
+
+
+def _cms_bucket(col, row: int, width: int):
+    """Portable bucket hash for CMS row `row`: first 8 hex chars of
+    md5(row|item) as an integer, mod width — md5 (not murmur/xxhash)
+    so a persisted sketch is reproducible across engines, the same
+    convention as sampling.hash_unit (DuckDB:
+    CAST('0x'||substr(md5(...),1,8) AS BIGINT) % width)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{row}|"), col)), 1, 8), 16, 10)
+    return (h.cast("long") % width).alias(f"b{row}")
+
+
+def cms_build(tokens: DataFrame, col: str, width: int, depth: int) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+    as a DataFrame of (row, bucket, cnt): depth hash rows of width
+    buckets each. ONE corpus pass — the depth buckets per item are
+    computed map-side and exploded before a single groupBy, so the
+    shuffle carries at most depth*width distinct keys regardless of
+    vocabulary size (the whole point vs an exact full-vocab agg: a
+    web-scale URL column aggregates into depth*width cells, KBs).
+    Sketches over different corpora MERGE by unioning and re-summing
+    (row, bucket) — the mergeability the sketch family promises."""
+    pairs = tokens.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col(col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return (
+        pairs.select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, col: str, width: int, depth: int
+) -> DataFrame:
+    """Point-frequency estimates for `probes[col]` from a built
+    sketch: min over the depth rows of the addressed bucket counts.
+    The sketch is depth*width rows — broadcast; estimating N probes
+    is N*depth lookups via an equi-join, never a scan of the corpus.
+    Guarantee: estimate >= true count always (only overcounts from
+    collisions); estimate <= true + eps*N with probability 1-delta
+    for width = ceil(e/eps), depth = ceil(ln 1/delta) — asserted
+    against exact counts in tests/test_heavy_hitters.py."""
+    addressed = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col(col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(col, "rb.row", "rb.bucket")
+    return (
+        addressed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .fillna({"cnt": 0})
+        .groupBy(col)
+        .agg(F.min("cnt").alias("est_cnt"))
+    )

@@ -1,0 +1,93 @@
+"""Record linkage: blocked fuzzy matching with edit-distance verify.
+
+The standard two-stage entity-resolution recipe (Fellegi & Sunter,
+JASA 1969, operationalized as blocking + pairwise comparison, e.g.
+Christen, "Data Matching", Springer 2012): an all-pairs fuzzy join is
+O(n·m) and impossible at scale, so candidate pairs come from an
+EQUI-join on cheap blocking keys (only records sharing a block are
+compared), then an exact similarity predicate (Levenshtein here —
+JVM-side `levenshtein`, no UDF) verifies candidates, and a per-record
+top-1 window keeps the best match.
+
+100 TB shape: one hash shuffle on the blocking key; pair volume is
+sum over blocks of |L_b|·|R_b|, controlled by blocking-key
+cardinality — the `max_block` guard fails loudly when a hot block
+would blow that up (same discipline as dedup.py's LSH max_bucket),
+because silently quadratic blocks are how linkage jobs die at scale.
+Multi-pass blocking (union of several key functions) raises recall:
+pass a list of key expressions and candidates are deduplicated across
+passes before scoring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def blocked_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    block_keys: Sequence[Callable[[Column], Column]],
+    max_distance: int,
+    k: int = 1,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Best `k` matches in `left` for every `right` row: candidates
+    from an equi-join on each blocking key (multi-pass union, deduped),
+    verified with levenshtein(left_text, right_text) <= max_distance,
+    ranked (distance asc, left_id asc — deterministic tiebreak).
+
+    Returns (right_id, left_id, distance, rank). Right rows with no
+    surviving candidate are absent (inner semantics — count them with
+    an anti-join if needed)."""
+    l_sel = left.select(
+        F.col(left_id).alias("__lid"), F.col(left_text).alias("__ltext")
+    )
+    r_sel = right.select(
+        F.col(right_id).alias("__rid"), F.col(right_text).alias("__rtext")
+    )
+    cands = None
+    for i, keyfn in enumerate(block_keys):
+        lb = l_sel.withColumn("__block", keyfn(F.col("__ltext")))
+        rb = r_sel.withColumn("__block", keyfn(F.col("__rtext")))
+        if max_block is not None:
+            counts = lb.groupBy("__block").agg(F.count(F.lit(1)).alias("__n"))
+            lb = lb.join(F.broadcast(counts), "__block").withColumn(
+                "__ok",
+                F.assert_true(
+                    F.col("__n") <= F.lit(int(max_block)),
+                    F.lit(
+                        f"blocked_fuzzy_join: blocking pass {i} produced a "
+                        f"block larger than max_block={max_block}; use a more "
+                        "selective key or raise max_block"
+                    ),
+                ),
+            )
+            lb = lb.filter(F.col("__ok").isNull()).drop("__n", "__ok")
+        pair = rb.join(lb, "__block").drop("__block")
+        cands = pair if cands is None else cands.unionByName(pair)
+    scored = (
+        cands.dropDuplicates(["__rid", "__lid"])
+        .withColumn("__dist", F.levenshtein(F.col("__ltext"), F.col("__rtext")))
+        .filter(F.col("__dist") <= F.lit(int(max_distance)))
+    )
+    w = Window.partitionBy("__rid").orderBy(
+        F.col("__dist").asc(), F.col("__lid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("__rid").alias(right_id),
+            F.col("__lid").alias(left_id),
+            F.col("__dist").alias("distance"),
+            "rank",
+        )
+    )

@@ -39,6 +39,7 @@ import tempfile
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from azure_data_engineering_spark.operators.upsert import default_dedup_order, merge_upsert
 
@@ -179,6 +180,73 @@ def snapshot_apply_cdc(
         target = snapshot_read(spark, table)
     applied = apply_cdc(target, changes, pk, op_col=op_col, dedup_order=order)
     return snapshot_write(applied, table, mode="overwrite")
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int,
+    pk: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Change-data-feed between two committed snapshots: the I/U/D
+    changelog that replays `from_version` into `to_version` — the
+    inverse of snapshot_apply_cdc, and the piece that lets a
+    downstream consumer (another table, a JDBC sink, a cache)
+    incrementally follow a snapshot table it cannot tail.
+
+    One full outer join on pk: keys only in `to` emit I with the new
+    payload; only in `from` emit D (payload = old row, matching the
+    delete rows streaming/sinks.py produces); present in both emit U
+    iff any payload column differs — compared as a struct equality,
+    which is null-safe per field and needs no per-column codegen
+    explosion. Unchanged keys emit nothing, so the feed is O(changed)
+    rows regardless of table size; the join shuffles on pk exactly
+    like the MERGE that produced the versions."""
+    old = snapshot_read(spark, table, version=from_version)
+    new = snapshot_read(spark, table, version=to_version)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot_diff: schema changed between v{from_version} and "
+            f"v{to_version}; diff requires a stable column set"
+        )
+    payload = [c for c in new.columns if c not in pk]
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in old.columns],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in new.columns],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for c in pk:
+        eq = o[f"__o_{c}"].eqNullSafe(n[f"__n_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    changed = ~F.struct(*[F.col(f"__o_{c}") for c in payload]).eqNullSafe(
+        F.struct(*[F.col(f"__n_{c}") for c in payload])
+    )
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c)
+        for c in pk
+    ] + [
+        F.when(F.col("__in_new").isNull(), F.col(f"__o_{c}"))
+        .otherwise(F.col(f"__n_{c}"))
+        .alias(c)
+        for c in payload
+    ]
+    return (
+        joined.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(op_col, *out_cols)
+    )
 
 
 def vacuum(table: str, keep_last: int = 1) -> int:

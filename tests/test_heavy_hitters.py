@@ -79,3 +79,47 @@ class TestMisraGries:
                 for r in heavy_hitters(toks.repartition(parts), "token", k=k).collect()
             }
             assert got == expected
+
+
+class TestCountMin:
+    def test_never_undercounts_and_epsilon_bound(self, spark, sf_dir):
+        """CMS guarantees: est >= true always; est <= true + eps*N with
+        width=256 -> eps = e/256 ~ 0.0106 per-row, and the min over
+        depth=3 rows makes the bound hold comfortably on this corpus —
+        assert the deterministic per-row Markov bound eps*N directly."""
+        from azure_data_engineering_spark.operators.heavy_hitters import (
+            cms_build,
+            cms_estimate,
+        )
+
+        toks = _tokens(spark, sf_dir)
+        n = toks.count()
+        sketch = cms_build(toks, "token", width=256, depth=3)
+        est = cms_estimate(sketch, toks.distinct(), "token", width=256, depth=3)
+        exact = toks.groupBy("token").agg(F.count("*").alias("c"))
+        joined = est.join(exact, "token").collect()
+        eps_n = 2.718281828 / 256 * n
+        for r in joined:
+            assert r.est_cnt >= r.c, (r.token, r.est_cnt, r.c)
+            assert r.est_cnt <= r.c + eps_n, (r.token, r.est_cnt, r.c, eps_n)
+
+    def test_sketches_merge(self, spark, sf_dir):
+        """Union + re-sum of two half-corpus sketches == the sketch of
+        the whole corpus (the mergeability contract)."""
+        from azure_data_engineering_spark.operators.heavy_hitters import cms_build
+
+        toks = _tokens(spark, sf_dir)
+        t1 = toks.filter(F.crc32("token") % 2 == 0)
+        t2 = toks.filter(F.crc32("token") % 2 == 1)
+        s1 = cms_build(t1, "token", width=64, depth=2)
+        s2 = cms_build(t2, "token", width=64, depth=2)
+        merged = (
+            s1.unionByName(s2)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        whole = cms_build(toks, "token", width=64, depth=2)
+        diff = merged.join(whole, ["row", "bucket"], "full_outer").filter(
+            ~merged["cnt"].eqNullSafe(whole["cnt"])
+        )
+        assert diff.count() == 0

@@ -1,0 +1,62 @@
+"""blocked_fuzzy_join: match quality, determinism, hot-block guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import SparkUpgradeException  # noqa: F401
+
+from azure_data_engineering_spark.catalog import load_table
+from azure_data_engineering_spark.operators.linkage import blocked_fuzzy_join
+
+BLOCKS = [
+    lambda c: F.substring_index(c, " ", 1),
+    lambda c: F.length(c).cast("string"),
+]
+
+
+class TestBlockedFuzzyJoin:
+    def test_truncated_names_all_link_at_distance_one(self, spark, sf_dir):
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+        dirty = p.select(
+            (F.col("p_partkey") + 5_000_000).alias("feed_id"),
+            F.expr("substring(p_name, 1, length(p_name) - 1)").alias("feed_name"),
+        )
+        linked = blocked_fuzzy_join(
+            p, dirty, "p_partkey", "feed_id", "p_name", "feed_name",
+            block_keys=BLOCKS, max_distance=2, k=1,
+        )
+        rows = linked.collect()
+        assert len(rows) == dirty.count()  # every dirty row resolves
+        assert all(r.distance == 1 for r in rows)
+        # deterministic best-match: re-run equals first run
+        again = blocked_fuzzy_join(
+            p, dirty, "p_partkey", "feed_id", "p_name", "feed_name",
+            block_keys=BLOCKS, max_distance=2, k=1,
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_unmatchable_rows_absent(self, spark):
+        left = spark.createDataFrame(
+            [(1, "alpha beta")], "id long, name string"
+        )
+        right = spark.createDataFrame(
+            [(10, "alpha bet"), (11, "zzzzz qqqqqqq")], "rid long, name string"
+        )
+        out = blocked_fuzzy_join(
+            left, right, "id", "rid", "name", "name",
+            block_keys=BLOCKS, max_distance=2, k=1,
+        ).collect()
+        assert {r.rid for r in out} == {10}
+
+    def test_hot_block_guard_fires(self, spark):
+        left = spark.createDataFrame(
+            [(i, f"same {i:04d}") for i in range(50)], "id long, name string"
+        )
+        right = spark.createDataFrame([(99, "same 0001")], "rid long, name string")
+        with pytest.raises(Exception, match="max_block"):
+            blocked_fuzzy_join(
+                left, right, "id", "rid", "name", "name",
+                block_keys=[lambda c: F.substring_index(c, " ", 1)],
+                max_distance=2, k=1, max_block=10,
+            ).collect()
