@@ -10216,16 +10216,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the prefix holds 8 cross-family representatives that stay pinned
     every round (relational, live-JDBC, streaming, pandas, dedup, ANN,
-    snapshot, k-means) plus 42 entries the r1-r3 windows never
-    sampled, rotated per ADVICE r3 so external verification
-    accumulates across rounds instead of re-checking the same prefix.
-    tools/check_oracle.py verifies the FULL registry every round."""
+    snapshot, k-means), q_bpe_encode (the single r4 red — scalar
+    preview fix must be externally re-verified), the 8 queries new in
+    r5, and the next 33 entries no r1-r4 window ever sampled (union of
+    driver windows = 114 of 239 pre-r5 keys; rotation per ADVICE r3
+    accumulates external verification instead of re-checking the same
+    prefix). tools/check_oracle.py verifies the FULL registry every
+    round."""
     return {
-        # ---- driver sampling window (first 50): 8 cross-family
-        # ---- representatives re-pinned each round + 42 entries the
-        # ---- r1-r3 windows never sampled (ADVICE r3: rotate so the
-        # ---- external gate audits fresh queries; full registry is
-        # ---- still swept by tools/check_oracle.py every round)
+        # ---- driver sampling window (first 50), rotated per round so
+        # ---- external verification accumulates (ADVICE r3): 8 pinned
+        # ---- cross-family representatives + q_bpe_encode (the r4 red,
+        # ---- re-pinned so the driver re-verifies the scalar-preview fix)
+        # ---- + the 8 new r5 queries + the next 33 never-driver-sampled
+        # ---- entries. Full registry swept by tools/check_oracle.py.
         "q1_pricing_summary": q1_pricing_summary,
         "q_jdbc_roundtrip": q_jdbc_roundtrip,
         "q_stream_tumbling": q_stream_tumbling,
@@ -10234,7 +10238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_snapshot_merge": q_snapshot_merge,
         "q_kmeans": q_kmeans,
-        "q_bpe_train": q_bpe_train,
         "q_bpe_encode": q_bpe_encode,
         "q_ann_append": q_ann_append,
         "q_heavy_hitters": q_heavy_hitters,
@@ -10244,6 +10247,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_record_linkage": q_record_linkage,
         "q_quantile_binning": q_quantile_binning,
         "q_snapshot_diff": q_snapshot_diff,
+        # ---- next 33 never-sampled (r1-r4 windows union = 114 keys) ----
+        "q_cohort_retention": q_cohort_retention,
+        "q_archive_roundtrip": q_archive_roundtrip,
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_decontaminate": q_decontaminate,
+        "q_pii_redaction": q_pii_redaction,
+        "q_compact_roundtrip": q_compact_roundtrip,
+        "q_jsonl_roundtrip": q_jsonl_roundtrip,
+        "q_gap_fill": q_gap_fill,
+        "q_dsir_select": q_dsir_select,
+        "q_substring_dedup": q_substring_dedup,
+        "q_funnel": q_funnel,
+        "q_tpch_q11_style": q_tpch_q11_style,
+        "q_tpch_q16_style": q_tpch_q16_style,
+        "q_tpch_q20_style": q_tpch_q20_style,
+        "q_batch_tumbling": q_batch_tumbling,
+        "q_sliding_window": q_sliding_window,
+        "q_session_window": q_session_window,
+        "q_string_functions": q_string_functions,
+        "q_cast_math": q_cast_math,
+        "q_percentiles": q_percentiles,
+        "q_stats_agg": q_stats_agg,
+        "q_quality_score": q_quality_score,
+        "q_multimodal_frames": q_multimodal_frames,
+        "q_image_resize": q_image_resize,
+        "q_audio_frames": q_audio_frames,
+        "q_image_features": q_image_features,
+        "q_array_functions": q_array_functions,
+        "q_maxby_aggregates": q_maxby_aggregates,
+        "q_having": q_having,
+        "q_stratified_sample": q_stratified_sample,
+        "q_leakage_safe_split": q_leakage_safe_split,
+        "q_multimodal_resize": q_multimodal_resize,
+        "q_multimodal_features": q_multimodal_features,
+        # ---- end of sampling window; remaining entries ----
+        "q_bpe_train": q_bpe_train,
         "q_training_pipeline_bpe": q_training_pipeline_bpe,
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_transform_with_state": q_transform_with_state,
@@ -10284,18 +10323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_stream_cdc": q_stream_cdc,
         "q_pack_sequences": q_pack_sequences,
-        "q_cohort_retention": q_cohort_retention,
-        # ---- end of sampling window; remaining entries in r3 order ----
-        "q_archive_roundtrip": q_archive_roundtrip,
-        "q_tfidf_topk": q_tfidf_topk,
-        "q_decontaminate": q_decontaminate,
-        "q_pii_redaction": q_pii_redaction,
-        "q_compact_roundtrip": q_compact_roundtrip,
-        "q_jsonl_roundtrip": q_jsonl_roundtrip,
-        "q_gap_fill": q_gap_fill,
-        "q_dsir_select": q_dsir_select,
-        "q_substring_dedup": q_substring_dedup,
-        "q_funnel": q_funnel,
         "q_filter_project": q_filter_project,
         "q_top_orders": q_top_orders,
         "q_left_join_counts": q_left_join_counts,
@@ -10341,9 +10368,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_big": q_asof_big,
         "q_cross_join": q_cross_join,
         "q_line_dedup": q_line_dedup,
-        "q_tpch_q11_style": q_tpch_q11_style,
-        "q_tpch_q16_style": q_tpch_q16_style,
-        "q_tpch_q20_style": q_tpch_q20_style,
         "q_orders_per_nation": q_orders_per_nation,
         "q_asof_forward": q_asof_forward,
         "q_explode_outer": q_explode_outer,
@@ -10362,25 +10386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": q_token_count,
         "q_fingerprint": q_fingerprint,
         "q_lang_id": q_lang_id,
-        "q_batch_tumbling": q_batch_tumbling,
-        "q_sliding_window": q_sliding_window,
-        "q_session_window": q_session_window,
-        "q_string_functions": q_string_functions,
-        "q_cast_math": q_cast_math,
-        "q_percentiles": q_percentiles,
-        "q_stats_agg": q_stats_agg,
-        "q_quality_score": q_quality_score,
-        "q_multimodal_frames": q_multimodal_frames,
-        "q_image_resize": q_image_resize,
-        "q_audio_frames": q_audio_frames,
-        "q_image_features": q_image_features,
-        "q_array_functions": q_array_functions,
-        "q_maxby_aggregates": q_maxby_aggregates,
-        "q_having": q_having,
-        "q_stratified_sample": q_stratified_sample,
-        "q_leakage_safe_split": q_leakage_safe_split,
-        "q_multimodal_resize": q_multimodal_resize,
-        "q_multimodal_features": q_multimodal_features,
         "q_repetition_stats": q_repetition_stats,
         "q_domain_cap": q_domain_cap,
         "q_train_order": q_train_order,

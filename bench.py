@@ -75,7 +75,15 @@ HEADLINE = [
     "q_bpe_encode",
     "q_training_pipeline_bpe",
     "q_ann_ivfpq",
+    # round-5 additions: Misra-Gries heavy hitters, count-min sketch,
+    # Pareto frontier, blocked record linkage
+    "q_heavy_hitters",
+    "q_cms_count",
+    "q_pareto_frontier",
+    "q_record_linkage",
 ]
+
+ROUND = 5
 
 
 # the heaviest headline queries (r2 plan-audit list) + the classic
@@ -88,6 +96,10 @@ PROBE_QUERIES = [
     "q_grouped_map",
     "q_ann_lsh",
     "q_stream_tumbling",
+    # round-5 (judge r4 ask 5): the r4 operators get sf ratios too
+    "q_ann_ivfpq",
+    "q_bpe_encode",
+    "q_attribution",
 ]
 
 
@@ -207,6 +219,34 @@ def _operator_only(spark, sf_dir: str) -> dict[str, float]:
         ),
         3,
     )
+    # ENCODE-ONLY BPE against a persisted merge artifact (judge r4
+    # ask 5): q_bpe_encode's headline cost is dominated by re-running
+    # the 12 TRAINING rounds inside the query; production encodes load
+    # the trained artifact (save_merges/load_merges) and pay only the
+    # codegen replace chain. Train once per sf into benchdata/ (not
+    # billed — it's the one-time artifact build), then time the encode.
+    from azure_data_engineering_spark.operators.bpe import (
+        bpe_encode_replay,
+        bpe_train,
+        load_merges,
+        save_merges,
+    )
+
+    sf_tag = sf_dir.rstrip("/").split("sf")[-1].replace("/", "_")
+    art = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchdata",
+        f"bpe_merges_sf{sf_tag}",
+    )
+    if not os.path.exists(art):
+        save_merges(bpe_train(d, "text", num_merges=12, min_freq=2), art)
+    merges = load_merges(spark, art)
+    out["bpe_encode_op"] = round(
+        _time_df(
+            lambda: bpe_encode_replay(d, "text", merges, num_merges=12)
+        ),
+        3,
+    )
     return out
 
 
@@ -258,9 +298,7 @@ def main() -> None:
             }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
@@ -293,15 +331,35 @@ def main() -> None:
                     "q_ngram_jaccard headline slot moved to q_ppjoin (its "
                     "documented at-scale replacement; still oracle-gated in "
                     "the registry)",
+                    "new_in_r5": "q_heavy_hitters q_cms_count "
+                    "q_pareto_frontier q_record_linkage have no prior-round "
+                    "comparison",
                     "operator_only": "production-path timings for the "
                     "recall-gated approximate operators WITHOUT their "
                     "in-query exact-truth passes — what a 100 TB run "
                     "actually executes (judge r3 ask 7a); ivfpq excludes "
-                    "one-time codebook training",
+                    "one-time codebook training; bpe_encode_op encodes "
+                    "against the persisted benchdata/ merge artifact — the "
+                    "production path (q_bpe_encode's headline cost is "
+                    "dominated by re-running the 12 training rounds in-plan)",
                 },
             }
-        )
+    print(json.dumps(payload))
+    # Durable full record (judge r4 ask 4): the driver's BENCH_r{N}.json
+    # preserves only a ~2 KB stdout tail, so ALSO write the full JSON to
+    # a committed in-tree artifact for cross-round per-query comparison.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_LOCAL_r{ROUND}.json",
+        ),
     )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout line is still the contract
 
 
 if __name__ == "__main__":
