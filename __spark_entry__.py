@@ -10067,15 +10067,112 @@ def _bpe_encode_oracle_sql(iters: int = 12, min_freq: int = 2) -> str:
          CASE WHEN g = '' THEN CAST([] AS VARCHAR[])
               ELSE string_split(substr(g, 2, length(g)-2), {s2}) END AS t
   FROM fin
-)
+)"""
+
+
+Q_BPE_ENCODE_SQL = (
+    _bpe_encode_oracle_sql(12, 2)
+    + """
 SELECT doc_id,
        CAST(len(t) AS INTEGER) AS n_bpe_tokens,
        CAST(len(list_filter(string_split(norm, ' '), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
        array_to_string(list_slice(t, 1, 3), ' ') AS preview
 FROM toks"""
+)
 
 
-Q_BPE_ENCODE_SQL = _bpe_encode_oracle_sql(12, 2)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language (BPE tokens per whitespace
+    word) — the dashboard a multilingual tokenizer build watches:
+    high fertility on a language means its text costs more sequence
+    budget per word, the standard argument for vocabulary re-balancing
+    (mT5/BLOOM-style). Reuses the in-plan trained merges + codegen
+    replace-chain encode of q_bpe_encode; fertility aggregates as
+    total-tokens / total-words per language (exact integer sums, one
+    deterministic division). The oracle replays the full train+encode
+    CTE chain and joins `lang` back by doc_id."""
+    from azure_data_engineering_spark.functions.text import normalize_text
+    from azure_data_engineering_spark.operators.bpe import (
+        bpe_encode_replay,
+        bpe_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", num_merges=12, min_freq=2)
+    enc = bpe_encode_replay(d, "text", merges, num_merges=12)
+    nws = F.size(
+        F.filter(F.split(normalize_text(F.col("text")), " "), lambda w: w != "")
+    )
+    return (
+        enc.select("lang", F.size("bpe_tokens").alias("__nb"), nws.alias("__nw"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("__nb") / F.sum("__nw"), 4).alias("fertility"),
+        )
+    )
+
+
+Q_TOKENIZER_FERTILITY_SQL = (
+    _bpe_encode_oracle_sql(12, 2)
+    + """
+SELECT d.lang, count(*) AS n_docs,
+       round(CAST(sum(len(t)) AS DOUBLE)
+             / sum(len(list_filter(string_split(norm, ' '), x -> x <> ''))),
+             4) AS fertility
+FROM toks JOIN documents d USING (doc_id)
+GROUP BY d.lang"""
+)
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean order value (operators/stats.
+    poisson_bootstrap_ci, Chamandy et al. 2012): the bootstrap that
+    works at 100 TB — no replicate ever resamples n rows globally;
+    each row draws its own Poisson(1) multiplicity per replicate from
+    the engine's portable md5 unit draw, so all 64 replicates reduce
+    in ONE aggregation pass and the CI is a percentile over 64 rows.
+    Fully deterministic across runs, partitionings, and engines — the
+    oracle replays every weight."""
+    from azure_data_engineering_spark.operators.stats import poisson_bootstrap_ci
+
+    o = _t(spark, sf_dir, "orders")
+    return poisson_bootstrap_ci(
+        o, "o_totalprice", "o_orderkey", n_resamples=64
+    )
+
+
+_POISSON_W_SQL = " + ".join(
+    f"(CASE WHEN u >= {c!r} THEN 1 ELSE 0 END)"
+    for c in (
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238462,
+        0.9963401531726563,
+        0.9994058151824183,
+        0.999916758850712,
+        0.9999897508033253,
+    )
+)
+
+Q_BOOTSTRAP_CI_SQL = f"""
+WITH draws AS (
+  SELECT o_totalprice AS x, b,
+         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|boot|' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM orders CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+), weighted AS (
+  SELECT b, x, {_POISSON_W_SQL} AS w FROM draws
+), reps AS (
+  SELECT b, round(sum(w * x) / sum(w), 4) AS mean_b FROM weighted GROUP BY b
+)
+SELECT count(*) AS n_resamples,
+       (SELECT round(avg(o_totalprice), 4) FROM orders) AS point_mean,
+       round(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
+       round(quantile_cont(mean_b, 0.975), 4) AS ci_hi
+FROM reps
+"""
 
 
 def q_training_pipeline_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10247,7 +10344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_record_linkage": q_record_linkage,
         "q_quantile_binning": q_quantile_binning,
         "q_snapshot_diff": q_snapshot_diff,
-        # ---- next 33 never-sampled (r1-r4 windows union = 114 keys) ----
+        "q_tokenizer_fertility": q_tokenizer_fertility,
+        "q_bootstrap_ci": q_bootstrap_ci,
+        # ---- next 31 never-sampled (r1-r4 windows union = 114 keys) ----
         "q_cohort_retention": q_cohort_retention,
         "q_archive_roundtrip": q_archive_roundtrip,
         "q_tfidf_topk": q_tfidf_topk,
@@ -10279,9 +10378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_having": q_having,
         "q_stratified_sample": q_stratified_sample,
         "q_leakage_safe_split": q_leakage_safe_split,
+        # ---- end of sampling window; remaining entries ----
         "q_multimodal_resize": q_multimodal_resize,
         "q_multimodal_features": q_multimodal_features,
-        # ---- end of sampling window; remaining entries ----
         "q_bpe_train": q_bpe_train,
         "q_training_pipeline_bpe": q_training_pipeline_bpe,
         "q_ann_ivfpq": q_ann_ivfpq,
@@ -10493,6 +10592,8 @@ def oracle_sql() -> dict[str, str]:
         "q_record_linkage": Q_RECORD_LINKAGE_SQL,
         "q_quantile_binning": Q_QUANTILE_BINNING_SQL,
         "q_snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
+        "q_tokenizer_fertility": Q_TOKENIZER_FERTILITY_SQL,
+        "q_bootstrap_ci": Q_BOOTSTRAP_CI_SQL,
         "q_filter_project": Q_FILTER_PROJECT_SQL,
         "q_top_orders": Q_TOP_ORDERS_SQL,
         "q_orders_per_nation": Q_ORDERS_PER_NATION_SQL,

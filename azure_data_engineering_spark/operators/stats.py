@@ -169,3 +169,103 @@ def token_distribution_drift(
             + 0.5 * ln2 * (1.0 - F.sum("q_term"))
         ).alias("js"),
     )
+
+
+# Cumulative Poisson(1) probabilities P(X <= k) for k = 0..7: a row's
+# bootstrap weight in resample b is the count of thresholds at or
+# below its deterministic md5 unit draw (inverse-CDF lookup, capped
+# at 8 — P(X > 8) < 1.2e-6, negligible against B*n draws).
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_resamples: int = 64,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    salt: str = "boot",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Bootstrap confidence interval for the mean of `value_col`, via
+    the POISSON bootstrap (Chamandy, Muralidharan, Najmi & Naidu,
+    "Estimating Uncertainty for Massive Data Streams", Google TR 2012;
+    also Kleiner et al.'s scalable-bootstrap line of work): classical
+    resampling draws n rows WITH replacement per replicate — impossible
+    to coordinate across a 100 TB table — but each row's multiplicity
+    in a replicate is asymptotically independent Poisson(1), so every
+    row can draw its own weight locally. One map-side pass computes all
+    B replicates (explode over the replicate index), one aggregation
+    reduces to B weighted means, and the percentile CI is an agg over
+    B rows. No global resample, no second scan, no driver state.
+
+    Weights come from an inverse-CDF lookup on the engine's portable
+    md5 unit draw (same primitive as sampling.hash_unit), so replicas
+    are deterministic across runs, partitionings, AND engines — the
+    oracle replays them exactly. Returns one row:
+    (n_resamples, point_mean, ci_lo, ci_hi)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(f"|{salt}|"),
+                        F.col("__b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = None
+    for c in _POISSON1_CDF:
+        term = (u >= F.lit(c)).cast("int")
+        w = term if w is None else (w + term)
+    reps = (
+        df.select(
+            F.col(id_col),
+            F.col(value_col).cast("double").alias("__x"),
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_resamples) - 1))).alias(
+                "__b"
+            ),
+        )
+        .withColumn("__w", w)
+        .groupBy("__b")
+        .agg(
+            F.round(
+                F.sum(F.col("__w") * F.col("__x")) / F.sum("__w"), round_digits
+            ).alias("__mean_b")
+        )
+    )
+    point = df.agg(
+        F.round(F.avg(F.col(value_col).cast("double")), round_digits).alias(
+            "point_mean"
+        )
+    )
+    ci = reps.agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.round(F.expr(f"percentile(__mean_b, {lo_q})"), round_digits).alias(
+            "ci_lo"
+        ),
+        F.round(F.expr(f"percentile(__mean_b, {hi_q})"), round_digits).alias(
+            "ci_hi"
+        ),
+    )
+    return ci.crossJoin(F.broadcast(point)).select(
+        "n_resamples", "point_mean", "ci_lo", "ci_hi"
+    )

@@ -438,3 +438,46 @@ class TestTemperatureMix:
         a = sorted(r.doc_id for r in temperature_mix(df, "source", "doc_id", 0.3).collect())
         b = sorted(r.doc_id for r in temperature_mix(df, "source", "doc_id", 0.3).collect())
         assert a == b and 0 < len(a) < 400
+
+
+class TestPoissonBootstrap:
+    def test_ci_brackets_point_and_is_partition_invariant(self, spark, sf_dir):
+        from azure_data_engineering_spark.catalog import load_table
+        from azure_data_engineering_spark.operators.stats import (
+            poisson_bootstrap_ci,
+        )
+
+        o = load_table(spark, sf_dir, "orders")
+        r = poisson_bootstrap_ci(o, "o_totalprice", "o_orderkey", n_resamples=64).first()
+        assert r.n_resamples == 64
+        assert r.ci_lo < r.point_mean < r.ci_hi
+        # width sane: within +-10% of the mean for this n
+        assert (r.ci_hi - r.ci_lo) < 0.2 * r.point_mean
+        again = poisson_bootstrap_ci(
+            o.repartition(7), "o_totalprice", "o_orderkey", n_resamples=64
+        ).first()
+        assert (r.ci_lo, r.ci_hi, r.point_mean) == (again.ci_lo, again.ci_hi, again.point_mean)
+
+    def test_weights_mean_one(self, spark, sf_dir):
+        """Poisson(1) weights must average ~1 so replicate sample sizes
+        concentrate around n (the bootstrap's validity condition)."""
+        from pyspark.sql import functions as F
+
+        from azure_data_engineering_spark.catalog import load_table
+        from azure_data_engineering_spark.operators.stats import _POISSON1_CDF
+
+        o = load_table(spark, sf_dir, "orders").limit(2000)
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("|boot|0"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("double") / F.lit(4294967296.0)
+        )
+        w = None
+        for c in _POISSON1_CDF:
+            t = (u >= F.lit(c)).cast("int")
+            w = t if w is None else w + t
+        mean_w = o.select(w.alias("w")).agg(F.avg("w")).first()[0]
+        assert 0.9 < mean_w < 1.1
