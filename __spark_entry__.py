@@ -10303,6 +10303,571 @@ Q_TRAINING_PIPELINE_BPE_SQL = _training_pipeline_bpe_oracle_sql(8, 2)
 
 
 
+# ---------------------------------------------------------------- round 5b:
+# survival / forensic / eval / affinity / graph-distance analytics
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes derived from
+    the events stream: duration = days between a user's first and
+    last event; a user whose last event predates the global max
+    timestamp by >7 days is an observed churn (event=1), otherwise
+    right-censored. operators/stats.kaplan_meier collapses the
+    subject table to its distinct-duration histogram in one agg;
+    every window runs over that KB-sized frame (docstring there for
+    the 100 TB argument). Oracle replays the same risk-set prefix
+    sums and log-product windows."""
+    from azure_data_engineering_spark.operators.stats import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    per_u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__first"), F.max("ts").alias("__last")
+    )
+    ref = ev.agg(F.max("ts").alias("__ref"))
+    subj = per_u.join(F.broadcast(ref)).select(
+        F.datediff(F.col("__last"), F.col("__first")).cast("long").alias("duration"),
+        (F.col("__last") < F.col("__ref") - F.expr("INTERVAL 7 DAYS"))
+        .cast("int")
+        .alias("churned"),
+    )
+    return kaplan_meier(subj, "duration", "churned")
+
+
+Q_KAPLAN_MEIER_SQL = """
+WITH per_u AS MATERIALIZED (
+  SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+), ref AS (SELECT max(ts) AS r FROM events),
+subj AS MATERIALIZED (
+  SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS duration,
+         CASE WHEN l < r - INTERVAL 7 DAY THEN 1 ELSE 0 END AS ev
+  FROM per_u, ref
+), per_t AS MATERIALIZED (
+  SELECT duration, sum(ev) AS d, count(*) AS c FROM subj GROUP BY 1
+), n AS (SELECT count(*) AS nn FROM subj),
+km AS MATERIALIZED (
+  SELECT duration, d, c,
+         nn - sum(c) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) + c AS n_risk
+  FROM per_t, n
+), km2 AS MATERIALIZED (
+  SELECT duration, n_risk, d, c,
+         CASE WHEN d < n_risk THEN ln(1 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END AS ln_f,
+         max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS dead
+  FROM km
+)
+SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+       CAST(c - d AS BIGINT) AS n_censored,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE round(exp(sum(ln_f) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)), 6)
+       END AS survival
+FROM km2
+"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen on lineitem extended
+    prices (operators/stats.benford_digit_test): 9-row digit
+    histogram vs log10(1+1/d) with chi-squared cell terms — the
+    classic fabricated-data / truncation forensic for ingested
+    numeric columns. Digit extracted lexically (first [1-9] of the
+    decimal string) to dodge double log10/pow edge cases at exact
+    powers of ten."""
+    from azure_data_engineering_spark.operators.stats import benford_digit_test
+
+    return benford_digit_test(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+Q_BENFORD_SQL = """
+WITH v AS (
+  SELECT substr(regexp_replace(CAST(abs(l_extendedprice) AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS ds
+  FROM lineitem WHERE l_extendedprice > 0
+), obs AS MATERIALIZED (
+  SELECT CAST(ds AS INTEGER) AS digit, count(*) AS n_obs FROM v GROUP BY 1
+), tot AS (SELECT sum(n_obs) AS nn FROM obs),
+digits AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit)
+SELECT d.digit,
+       CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+       round(coalesce(o.n_obs, 0) / nn, 6) AS obs_p,
+       round(log10(1 + 1.0 / d.digit), 6) AS exp_p,
+       round(pow(coalesce(o.n_obs, 0) - log10(1 + 1.0 / d.digit) * nn, 2)
+             / (log10(1 + 1.0 / d.digit) * nn), 6) AS chi_cell
+FROM digits d LEFT JOIN obs o USING (digit), tot
+"""
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event-count series
+    (operators/stats.cusum_changepoint): the raw stream collapses to
+    one row per day in ONE aggregation, then the centered prefix-sum
+    statistic and its argmax run over the tiny series frame. |C_t|
+    is pre-rounded before the argmax so float ties resolve
+    identically in every engine (ADVICE-r3 argmin discipline)."""
+    from azure_data_engineering_spark.operators.stats import cusum_changepoint
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    )
+    cp = cusum_changepoint(daily, "day", "n_events")
+    return cp.select(
+        F.date_format("cp_key", "yyyy-MM-dd HH:mm:ss").alias("cp_key"),
+        "max_abs_cusum",
+        "n_points",
+        "z_stat",
+    )
+
+
+Q_CHANGEPOINT_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1
+), st AS MATERIALIZED (
+  SELECT avg(x) AS m, stddev_pop(x) AS sd, CAST(count(*) AS DOUBLE) AS n FROM daily
+), c AS (
+  SELECT day, round(abs(sum(x - m) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 4) AS ac
+  FROM daily, st
+)
+SELECT strftime(day, '%Y-%m-%d %H:%M:%S') AS cp_key, ac AS max_abs_cusum, CAST(n AS BIGINT) AS n_points,
+       round(ac / (sd * sqrt(n)), 4) AS z_stat
+FROM c, st
+ORDER BY ac DESC, cp_key ASC
+LIMIT 1
+"""
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-scale ROC AUC via the Mann-Whitney rank-sum
+    identity with tied-score midranks (operators/stats.roc_auc):
+    does order value separate finished orders? The corpus collapses
+    to its distinct-score histogram in one agg; midranks are a
+    prefix sum over that histogram. Every intermediate is an exact
+    multiple of 0.5, so the statistic is bit-identical across
+    engines with no rounding tricks."""
+    from azure_data_engineering_spark.operators.stats import roc_auc
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return roc_auc(o, "score", "label")
+
+
+Q_ROC_AUC_SQL = """
+WITH h AS MATERIALIZED (
+  SELECT o_totalprice AS s, CAST(count(*) AS DOUBLE) AS c,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS p
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT p, c,
+         sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - c + (c + 1) / 2.0 AS mr
+  FROM h
+)
+SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       CAST(sum(c) - sum(p) AS BIGINT) AS n_neg,
+       round((sum(p * mr) - sum(p) * (sum(p) + 1) / 2.0)
+             / (sum(p) * (sum(c) - sum(p))), 6) AS auc
+FROM r
+"""
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation of customers from the orders fact
+    (operators/window_ops.rfm_scores): one groupBy collapses facts to
+    one row per customer, ntile runs over the entity frame with a
+    total (metric, entity) order so tile boundaries replay on any
+    engine, and monetary accumulates in exact DECIMAL before the
+    ntile ORDER BY sees it. Output: per-segment census."""
+    from azure_data_engineering_spark.operators.window_ops import rfm_scores
+
+    rfm = rfm_scores(_t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice")
+    # total (not mean): a division would land on .xx5 half-boundaries
+    # where Spark's BigDecimal HALF_UP and DuckDB's binary-double round
+    # disagree; the decimal sum cast to double is exact below 2^53
+    return rfm.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias(
+            "total_monetary"
+        ),
+    )
+
+
+Q_RFM_SEGMENTATION_SQL = """
+WITH per_e AS MATERIALIZED (
+  SELECT o_custkey AS e, max(o_orderdate) AS l, CAST(count(*) AS BIGINT) AS f,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS m
+  FROM orders GROUP BY 1
+), ref AS (SELECT max(o_orderdate) AS r FROM orders),
+base AS MATERIALIZED (
+  SELECT e, date_diff('day', CAST(l AS DATE), CAST(r AS DATE)) AS rec, f, m
+  FROM per_e, ref
+), sc AS (
+  SELECT e, m,
+         ntile(5) OVER (ORDER BY rec DESC, e ASC) AS r_score,
+         ntile(5) OVER (ORDER BY f ASC, e ASC) AS f_score,
+         ntile(5) OVER (ORDER BY m ASC, e ASC) AS m_score
+  FROM base
+)
+SELECT CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR) || '-' || CAST(m_score AS VARCHAR) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(m AS DECIMAL(18,2))) AS DOUBLE) AS total_monetary
+FROM sc GROUP BY 1
+"""
+
+
+def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) OHLC downsample of the events stream
+    (operators/window_ops.ohlc_resample): one min_by/max_by
+    aggregation pass, open/close keyed by a TOTAL (timestamp, event
+    id) order packed into a zero-padded sortable string so
+    same-timestamp events resolve identically everywhere; totals
+    accumulate in exact DECIMAL."""
+    from azure_data_engineering_spark.operators.window_ops import ohlc_resample
+
+    bars = ohlc_resample(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value", "event_id"
+    )
+    return bars.withColumn(
+        "bucket_ts", F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
+Q_OHLC_RESAMPLE_SQL = """
+WITH e AS (
+  SELECT event_type AS key, strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts, value AS v,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+         lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord
+  FROM events
+)
+SELECT key, bucket_ts,
+       arg_min(v, ord) AS open,
+       max(v) AS high,
+       min(v) AS low,
+       arg_max(v, ord) AS close,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM e GROUP BY 1, 2
+"""
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances over the co-purchase part
+    graph (operators/graph.bfs_hops, source = min part key):
+    frontier-only expansion — each round joins just the NEW nodes
+    onto the edge list, so total traversal work is O(m) across all
+    rounds; localCheckpoint truncates lineage per round. Fixed
+    max_hops=3 keeps the result algebraic; the oracle replays it as
+    a bounded recursive CTE with a min-hop rollup."""
+    from azure_data_engineering_spark.operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    source = li.agg(F.min("l_partkey")).first()[0]
+    return bfs_hops(edges, source, max_hops=3)
+
+
+Q_BFS_HOPS_SQL = """
+WITH RECURSIVE li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), bfs AS (
+  SELECT (SELECT min(l_partkey) FROM lineitem) AS node, 0 AS hop
+  UNION
+  SELECT e.dst, b.hop + 1 FROM bfs b JOIN edges e ON e.src = b.node WHERE b.hop < 3
+)
+SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM bfs GROUP BY node
+"""
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities on the
+    co-purchase part graph (operators/graph.label_propagation,
+    3 synchronous rounds, ties toward the smallest label): per round
+    one edge join + one (dst, label) count + one max_by argmax —
+    the PageRank cost envelope. Output: community size census.
+    Oracle unrolls the same rounds with a row_number argmax."""
+    from azure_data_engineering_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    labels = label_propagation(edges, iterations=3)
+    return labels.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+def _label_propagation_oracle_sql(iters: int = 3) -> str:
+    sql = """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""
+    for i in range(iters):
+        sql += f""",
+cnt{i} AS MATERIALIZED (
+  SELECT e.dst AS node, l.label, count(*) AS c
+  FROM edges e JOIN l{i} l ON e.src = l.node GROUP BY 1, 2
+), best{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM cnt{i}
+  ) WHERE rn = 1
+), l{i + 1} AS MATERIALIZED (
+  SELECT n.node, coalesce(b.label, p.label) AS label
+  FROM nodes n LEFT JOIN best{i} b ON n.node = b.node
+  JOIN l{i} p ON n.node = p.node
+)"""
+    sql += f"\nSELECT label, CAST(count(*) AS BIGINT) AS n_nodes FROM l{iters} GROUP BY 1"
+    return sql
+
+
+Q_LABEL_PROPAGATION_SQL = _label_propagation_oracle_sql()
+
+
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs |A∩B|/|A| >= 0.9 on
+    word 3-shingles (operators/dedup.containment_pairs) over a
+    corpus with injected quote docs (each doc_id % 9 == 0 doc's
+    first 15 words become a new short doc): catches
+    short-doc-inside-long-doc redundancy that Jaccard passes are
+    structurally blind to. Stop-shingle guard max_df=500 (mirrored
+    exactly by the oracle) bounds inverted-index hot buckets."""
+    from azure_data_engineering_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    quotes = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 15)).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(quotes)
+    return containment_pairs(
+        corpus, "text", "doc_id", threshold=0.9, k=3, max_df=500
+    )
+
+
+Q_CONTAINMENT_JOIN_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000000,
+         array_to_string(string_split(text, ' ')[1:15], ' ')
+  FROM documents WHERE doc_id % 9 = 0
+), norm AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM corpus
+), sh AS MATERIALIZED (
+  SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                                for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS shingle_list
+  FROM norm
+), ex0 AS MATERIALIZED (
+  SELECT doc_id, len(shingle_list) AS n_sh, unnest(shingle_list) AS s FROM sh
+), keepers AS MATERIALIZED (
+  SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 500
+), ex AS MATERIALIZED (
+  SELECT ex0.* FROM ex0 JOIN keepers USING (s)
+), inter AS MATERIALIZED (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, a.n_sh AS na, b.n_sh AS nb, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), oriented AS (
+  SELECT CASE WHEN na < nb OR (na = nb AND ia < ib) THEN ia ELSE ib END AS id_small,
+         CASE WHEN na < nb OR (na = nb AND ia < ib) THEN ib ELSE ia END AS id_big,
+         CASE WHEN na < nb OR (na = nb AND ia < ib) THEN na ELSE nb END AS n_small,
+         n_common
+  FROM inter
+)
+SELECT id_small, id_big, round(CAST(n_common AS DOUBLE) / n_small, 6) AS containment
+FROM oriented
+WHERE round(CAST(n_common AS DOUBLE) / n_small, 6) >= 0.9
+"""
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed categorical encoding audit over customer
+    (c_mktsegment, c_nationkey) into 32 buckets
+    (operators/features.feature_hashing): the vocabulary-free
+    encoder for unbounded categorical domains — md5-namespaced
+    bucket assignment, one explode + one bounded-key groupBy, fully
+    replayed by the oracle via the same md5 arithmetic."""
+    from azure_data_engineering_spark.operators.features import feature_hashing
+
+    return feature_hashing(
+        _t(spark, sf_dir, "customer"),
+        "c_custkey",
+        ["c_mktsegment", "c_nationkey"],
+        n_buckets=32,
+    )
+
+
+Q_FEATURE_HASHING_SQL = """
+WITH ex AS (
+  SELECT CAST(CAST('0x' || substr(md5('c_mktsegment=' || c_mktsegment), 1, 8) AS BIGINT) % 32 AS INTEGER) AS bucket,
+         'c_mktsegment=' || c_mktsegment AS feat
+  FROM customer
+  UNION ALL
+  SELECT CAST(CAST('0x' || substr(md5('c_nationkey=' || CAST(c_nationkey AS VARCHAR)), 1, 8) AS BIGINT) % 32 AS INTEGER),
+         'c_nationkey=' || CAST(c_nationkey AS VARCHAR)
+  FROM customer
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT feat) AS BIGINT) AS n_distinct_values
+FROM ex GROUP BY 1
+"""
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-estimate smoothed target encoding of order priority against
+    order value (operators/features.target_encode, m=20): rare
+    categories shrink toward the global mean. One category groupBy +
+    a 1-row broadcast global frame; sums accumulate in exact DECIMAL
+    and surface as DOUBLE so the encoding replays bit-identically."""
+    from azure_data_engineering_spark.operators.features import target_encode
+
+    return target_encode(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice", m=20.0
+    )
+
+
+Q_TARGET_ENCODE_SQL = """
+WITH g AS (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS gm
+  FROM orders
+), c AS (
+  SELECT o_orderpriority AS category, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+  FROM orders GROUP BY 1
+)
+SELECT category, n, round(s / n, 4) AS raw_mean,
+       round((s + 20.0 * gm) / (n + 20.0), 4) AS encoded
+FROM c, g
+"""
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over order baskets
+    (operators/affinity.association_rules): support / confidence /
+    lift for part pairs co-occurring in >= 3 orders, both rule
+    directions. Pair volume is bounded by basket size (never catalog
+    size); all statistics are exact integer ratios so round(.,6) is
+    engine-identical."""
+    from azure_data_engineering_spark.operators.affinity import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(li, "l_orderkey", "l_partkey", min_pair_count=3)
+
+
+Q_ASSOCIATION_RULES_SQL = """
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+), nb AS (SELECT CAST(count(DISTINCT bk) AS DOUBLE) AS n FROM bi),
+singles AS MATERIALIZED (SELECT item, count(*) AS n_item FROM bi GROUP BY 1),
+pairs AS MATERIALIZED (
+  SELECT a.item AS ia, b.item AS ib, count(*) AS n_pair
+  FROM bi a JOIN bi b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), rules AS (
+  SELECT ia AS antecedent, ib AS consequent, n_pair FROM pairs
+  UNION ALL
+  SELECT ib, ia, n_pair FROM pairs
+)
+SELECT r.antecedent, r.consequent, CAST(r.n_pair AS BIGINT) AS n_pair,
+       round(r.n_pair / n, 6) AS support,
+       round(CAST(r.n_pair AS DOUBLE) / sa.n_item, 6) AS confidence,
+       round((CAST(r.n_pair AS DOUBLE) / sa.n_item) / (sb.n_item / n), 6) AS lift
+FROM rules r
+JOIN singles sa ON r.antecedent = sa.item
+JOIN singles sb ON r.consequent = sb.item, nb
+"""
+
+
+def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking audit over part names
+    (operators/linkage.consonant_skeleton_key): group names by
+    consonant skeleton, report blocks holding >= 2 distinct names
+    with the count of close pairs (levenshtein <= 2) inside each —
+    the blocking-quality diagnostic run before a linkage pass. The
+    key is a pure lower/regexp/substr chain chosen over Soundex
+    precisely because RE2-based engines can replay it (no regex
+    backreferences)."""
+    from azure_data_engineering_spark.operators.linkage import consonant_skeleton_key
+
+    p = _t(spark, sf_dir, "part")
+    # inject single-char typo variants (suffix noise) for every 7th
+    # part — the corpus has no natural near-identical names, same
+    # injection discipline as the dedup queries
+    variants = p.filter(F.col("p_partkey") % 7 == 0).select(
+        F.concat(F.col("p_name"), F.lit("x")).alias("name")
+    )
+    names = (
+        p.select(F.col("p_name").alias("name"))
+        .unionByName(variants)
+        .distinct()
+        .withColumn("blk", consonant_skeleton_key(F.col("name")))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    close = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2)
+        .groupBy(F.col("a.blk").alias("blk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_close_pairs"))
+    )
+    blocks = names.groupBy("blk").agg(
+        F.countDistinct("name").cast("long").alias("n_names")
+    )
+    return (
+        blocks.filter(F.col("n_names") >= 2)
+        .join(close, "blk", "left")
+        .select(
+            F.col("blk").alias("block_key"),
+            "n_names",
+            F.coalesce(F.col("n_close_pairs"), F.lit(0)).cast("long").alias("n_close_pairs"),
+        )
+    )
+
+
+Q_PHONETIC_BLOCKING_SQL = """
+WITH names AS MATERIALIZED (
+  SELECT DISTINCT name FROM (
+    SELECT p_name AS name FROM part
+    UNION ALL
+    SELECT p_name || 'x' FROM part WHERE p_partkey % 7 = 0
+  )
+), keyed AS MATERIALIZED (
+  SELECT name,
+         substr(substr(s, 1, 1) || regexp_replace(substr(s, 2), '[aeiouhwy]', '', 'g'), 1, 6) AS blk
+  FROM (SELECT name, regexp_replace(lower(name), '[^a-z]', '', 'g') AS s FROM names)
+), close AS (
+  SELECT a.blk, CAST(count(*) AS BIGINT) AS n_close_pairs
+  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 2
+  GROUP BY 1
+), blocks AS (
+  SELECT blk, CAST(count(DISTINCT name) AS BIGINT) AS n_names FROM keyed GROUP BY 1
+)
+SELECT b.blk AS block_key, b.n_names, coalesce(c.n_close_pairs, 0) AS n_close_pairs
+FROM blocks b LEFT JOIN close c ON b.blk = c.blk
+WHERE b.n_names >= 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
 
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -10578,6 +11143,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_arrow_udf": q_arrow_udf,
         "q_incremental_join": q_incremental_join,
         "q_collation": q_collation,
+        # ---- round-5b additions (appended AFTER the 50-entry driver
+        # ---- sampling window so the promised r5 rotation stays intact;
+        # ---- verified by the full-registry check_oracle sweeps and due
+        # ---- for driver rotation next round)
+        "q_kaplan_meier": q_kaplan_meier,
+        "q_benford": q_benford,
+        "q_changepoint": q_changepoint,
+        "q_roc_auc": q_roc_auc,
+        "q_rfm_segmentation": q_rfm_segmentation,
+        "q_ohlc_resample": q_ohlc_resample,
+        "q_bfs_hops": q_bfs_hops,
+        "q_label_propagation": q_label_propagation,
+        "q_containment_join": q_containment_join,
+        "q_feature_hashing": q_feature_hashing,
+        "q_target_encode": q_target_encode,
+        "q_association_rules": q_association_rules,
+        "q_phonetic_blocking": q_phonetic_blocking,
     }
 
 
@@ -10832,4 +11414,17 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_full_join": Q_STREAM_FULL_JOIN_SQL,
         "q_file_metadata": Q_FILE_METADATA_SQL,
         "q_training_pipeline": Q_TRAINING_PIPELINE_SQL,
+        "q_kaplan_meier": Q_KAPLAN_MEIER_SQL,
+        "q_benford": Q_BENFORD_SQL,
+        "q_changepoint": Q_CHANGEPOINT_SQL,
+        "q_roc_auc": Q_ROC_AUC_SQL,
+        "q_rfm_segmentation": Q_RFM_SEGMENTATION_SQL,
+        "q_ohlc_resample": Q_OHLC_RESAMPLE_SQL,
+        "q_bfs_hops": Q_BFS_HOPS_SQL,
+        "q_label_propagation": Q_LABEL_PROPAGATION_SQL,
+        "q_containment_join": Q_CONTAINMENT_JOIN_SQL,
+        "q_feature_hashing": Q_FEATURE_HASHING_SQL,
+        "q_target_encode": Q_TARGET_ENCODE_SQL,
+        "q_association_rules": Q_ASSOCIATION_RULES_SQL,
+        "q_phonetic_blocking": Q_PHONETIC_BLOCKING_SQL,
     }

@@ -1,0 +1,83 @@
+"""Market-basket affinity: association rules over co-occurrence.
+
+Classic support / confidence / lift rule mining (Agrawal, Imielinski
+& Swami, SIGMOD 1993) restricted to pairwise rules — the 2-itemset
+slice of Apriori, which is the part that matters for
+recommendation-style "bought X -> consider Y" surfaces and is the
+only part with a tractable exact plan at warehouse scale (longer
+itemsets explode combinatorially and are mined on samples).
+
+Scale shape: the pair generation is a self-join of the (basket,
+item) table on the basket key — pair volume is sum over baskets of
+C(|basket|, 2), bounded by basket size (TPC-H ≤ 7 lines; retail
+carts tens), never by item-catalog size. One shuffle hashes the
+basket key; item-level marginals reuse the same (basket, item)
+table. min_support prunes before the rule join, so the rules frame
+is small enough that the singles marginals broadcast onto it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise association rules a -> b (BOTH directions emitted)
+    with:
+
+        support(a,b) = n_ab / n_baskets
+        confidence(a->b) = n_ab / n_a
+        lift(a->b) = confidence / (n_b / n_baskets)
+
+    over distinct (basket, item) pairs (multiplicity within a basket
+    does not count). Returns (antecedent, consequent, n_pair,
+    support, confidence, lift) for pairs with n_ab >= min_pair_count.
+    """
+    bi = baskets.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = bi.agg(F.countDistinct("bk").cast("double").alias("__nb"))
+    singles = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = bi.alias("a"), bi.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    # both rule directions from each unordered pair
+    rules = pairs.select(
+        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"), "n_pair"
+    ).unionByName(
+        pairs.select(
+            F.col("ib").alias("antecedent"), F.col("ia").alias("consequent"), "n_pair"
+        )
+    )
+    sa = singles.select(F.col("item").alias("antecedent"), F.col("n_item").alias("n_a"))
+    sb = singles.select(F.col("item").alias("consequent"), F.col("n_item").alias("n_b"))
+    return (
+        rules.join(sa, "antecedent")
+        .join(sb, "consequent")
+        .join(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(F.col("n_pair") / F.col("__nb"), round_digits).alias("support"),
+            F.round(F.col("n_pair") / F.col("n_a"), round_digits).alias("confidence"),
+            F.round(
+                (F.col("n_pair") / F.col("n_a")) / (F.col("n_b") / F.col("__nb")),
+                round_digits,
+            ).alias("lift"),
+        )
+    )

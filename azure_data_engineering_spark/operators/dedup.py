@@ -556,3 +556,78 @@ def ppjoin_pairs(
         .filter(F.col("jaccard") >= t)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    k: int = 1,
+    unit: str = "word",
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by set containment
+    C(A -> B) = |A ∩ B| / |A| >= threshold, where A is the doc with
+    the SMALLER distinct-shingle set (ties toward the smaller id).
+
+    Why containment and not Jaccard: a short document fully embedded
+    in a long one (quoted article inside an aggregator page, a README
+    pasted into a mega-repo dump) has near-zero Jaccard — the union
+    is dominated by the long side — yet is exactly the redundancy a
+    training-corpus dedup wants to catch. Jaccard-based passes
+    (minhash/ppjoin) are blind to it by construction; containment is
+    the standard complement (Broder's "containment" in the original
+    resemblance paper, SEQUENCES 1997).
+
+    Plan: one shingle explode -> optional stop-shingle drop (global
+    document-frequency > max_df, the same hot-key guard as LSH
+    max_bucket / PPJoin stop-shingles: ubiquitous boilerplate tokens
+    would otherwise go quadratic in the inverted index; dropping them
+    means containment is measured over the non-stop vocabulary, which
+    the oracle mirrors exactly) -> inverted-index self-join on
+    shingle -> intersection count groupBy -> threshold filter with
+    the containment computed against the smaller side. No length
+    prune applies (the big side may be arbitrarily large — that is
+    the point). Returns (id_small, id_big, containment).
+    """
+    mk = shingles if unit == "word" else char_shingles
+    base = (
+        _ensure_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("id"), mk(F.col(text_col), k).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+    ex = base.select("id", "n_sh", F.explode("sh").alias("s"))
+    if max_df is not None:
+        dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        ex = (
+            ex.join(dfreq.filter(F.col("__df") <= max_df).select("s"), "s")
+        )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # orient: small side is the contained candidate (tie -> lower id)
+    small_first = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("ia") < F.col("ib"))
+    )
+    oriented = inter.select(
+        F.when(small_first, F.col("ia")).otherwise(F.col("ib")).alias("id_small"),
+        F.when(small_first, F.col("ib")).otherwise(F.col("ia")).alias("id_big"),
+        F.when(small_first, F.col("na")).otherwise(F.col("nb")).alias("n_small"),
+        F.col("n_common"),
+    )
+    return (
+        oriented.withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n_small"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_small", "id_big", "containment")
+    )

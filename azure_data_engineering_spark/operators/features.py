@@ -1,0 +1,117 @@
+"""Feature-engineering operators for model-training pipelines.
+
+The two standard categorical encoders that survive web-scale
+cardinality, both as pure aggregation plans:
+
+- feature hashing ("the hashing trick", Weinberger et al., ICML 2009):
+  project unbounded categorical vocabularies into a FIXED bucket
+  space via a hash — no vocabulary dictionary to build, broadcast, or
+  keep consistent between training runs. The encoder every ad-scale
+  pipeline uses, because a vocabulary over 100 TB of URLs/user-agents
+  is unboundable and a dictionary join is a shuffle the hash avoids.
+- target (mean) encoding with m-estimate smoothing (Micci-Barreca,
+  SIGKDD Explorations 2001): replace a category with the smoothed
+  mean of the target, shrinking rare categories toward the global
+  prior so they don't memorize noise.
+
+Both use the engine's portable md5 primitive / plain aggregations, so
+they are deterministic across runs, partitionings, and engines — the
+oracle replays them exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col_name: str, value: Column, n_buckets: int) -> Column:
+    """Deterministic feature-hash bucket of one (column, value) pair:
+    first 8 hex chars of md5('col=value') mod n_buckets. Namespacing
+    the column name into the hash input keeps identical values in
+    different columns from colliding systematically (the standard
+    vowpal-style namespace trick). DuckDB twin:
+    CAST('0x' || substr(md5(name || '=' || CAST(v AS VARCHAR)), 1, 8)
+    AS BIGINT) % n_buckets."""
+    s = F.concat(F.lit(col_name + "="), value.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    ).cast("int")
+
+
+def feature_hashing(
+    df: DataFrame,
+    id_col: str,
+    categorical_cols: Sequence[str],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Hashed one-hot encoding summary: every (row, column) pair
+    lands in one of `n_buckets` hash buckets; the output is the
+    bucket occupancy histogram (bucket, n_rows, n_distinct_values) —
+    the artifact used to audit collision load before training, and
+    the exact aggregation a hashed-feature trainer performs.
+
+    One explode (width = |categorical_cols|, a constant) and one
+    groupBy over an int key bounded by n_buckets — map-side combine
+    collapses everything before the shuffle, so the plan is a single
+    cheap pass at any corpus size. Buckets with no occupants are
+    absent (count them against range(n_buckets) if a dense vector is
+    needed)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                hash_bucket(c, F.col(c), n_buckets).alias("bucket"),
+                F.concat(F.lit(c + "="), F.col(c).cast("string")).alias("feat"),
+            )
+            for c in categorical_cols
+        ]
+    )
+    ex = df.select(F.explode(pairs).alias("p")).select("p.bucket", "p.feat")
+    return ex.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("feat").cast("long").alias("n_distinct_values"),
+    )
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    m: float = 20.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """m-estimate smoothed target encoding:
+
+        enc(c) = (sum_target(c) + m * global_mean) / (count(c) + m)
+
+    Rare categories shrink toward the global mean (a category with
+    count << m is mostly prior; count >> m is mostly its own mean) —
+    the leakage-light variant every tabular pipeline uses instead of
+    raw per-category means.
+
+    ONE groupBy over the category plus a 1-row broadcast global frame;
+    output is |categories| rows. Returns (category, n, raw_mean,
+    encoded)."""
+    # exact decimal accumulation (cast to double only after the sum):
+    # float sums drift with accumulation order across engines, and the
+    # smoothed encoding divides two of them
+    dec = F.col(target_col).cast("decimal(18,2)")
+    glob = df.agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("__gm")
+    )
+    per_c = df.groupBy(F.col(category_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).cast("double").alias("__s"),
+    )
+    return per_c.join(F.broadcast(glob)).select(
+        "category",
+        "n",
+        F.round(F.col("__s") / F.col("n"), round_digits).alias("raw_mean"),
+        F.round(
+            (F.col("__s") + F.lit(m) * F.col("__gm")) / (F.col("n") + F.lit(m)),
+            round_digits,
+        ).alias("encoded"),
+    )

@@ -122,6 +122,112 @@ def triangle_count(
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Single-source breadth-first search: minimum hop count from
+    `source` to every node reachable within `max_hops` edges —
+    frontier-expansion BFS, the standard "how far is everything from
+    X" primitive (link-distance crawl priors, blast-radius analysis
+    on dependency/entity graphs).
+
+    Spark-first iteration discipline (module docstring): each round
+    is ONE join (current frontier onto edges, shuffle on src) and ONE
+    anti-join (drop already-visited destinations) + distinct;
+    localCheckpoint(eager) truncates lineage per round. The frontier
+    only ever holds NEW nodes, so total work across rounds is O(m)
+    edge traversals regardless of hop count — no re-expansion of the
+    visited set. A FIXED max_hops keeps the result an algebraic
+    function of the edge set, so the oracle replays it as a bounded
+    recursive CTE with a min() rollup.
+
+    Directed semantics: follows src -> dst only; pass both directions
+    for an undirected graph. Returns (node, hop), hop 0 = source."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    visited = e.sparkSession.createDataFrame(
+        [(source, 0)], schema="node long, hop int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation community detection (Raghavan,
+    Albert & Kumara, Phys. Rev. E 2007): every node starts as its own
+    community and each round adopts the most frequent label among its
+    in-neighbors, ties broken toward the SMALLEST label so the update
+    is deterministic (the original algorithm breaks ties randomly,
+    which is neither reproducible nor oracle-checkable). A fixed
+    iteration count makes the result a pure algebraic function of the
+    edge set — the oracle unrolls the same rounds as chained CTEs.
+
+    Per round: ONE join (labels onto edges, shuffle on src), ONE
+    count aggregate on (dst, label), ONE deterministic argmax via
+    max_by over the (count, -label) order, and a left join back onto
+    the node universe (isolated/in-degree-0 nodes keep their label).
+    localCheckpoint(eager) per round truncates lineage. At 100 TB
+    the per-round cost is one shuffle of the edge list — the same
+    bound as a PageRank round; hot (celebrity) destination nodes are
+    plain aggregation keys, handled by partial aggregation + AQE.
+
+    Directed semantics: labels flow src -> dst; pass both directions
+    for undirected. Returns (node, label)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        neigh = (
+            e.join(labels, e.src == labels.node)
+            .select(F.col("dst"), F.col("label"))
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # deterministic mode: max count, then smallest label
+        best = neigh.groupBy("dst").agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+            ).alias("new_label")
+        )
+        labels = (
+            nodes.join(best, nodes.node == best.dst, "left")
+            .join(labels.withColumnRenamed("label", "old_label"), "node")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("old_label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

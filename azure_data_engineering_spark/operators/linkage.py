@@ -91,3 +91,28 @@ def blocked_fuzzy_join(
             "rank",
         )
     )
+
+
+def consonant_skeleton_key(col: Column, length: int = 6) -> Column:
+    """Phonetic-ish blocking key: lowercase, letters only, keep the
+    first letter, drop the near-silent class [aeiouhwy] from the
+    rest, truncate to `length` — the "consonant skeleton" blocking
+    function of the record-linkage literature (Christen 2012 §4.2
+    lists it beside Soundex). 'jonathan'/'jonothan', 'smith'/'smyth'
+    collapse to one block; most unrelated names do not.
+
+    Chosen over classic Soundex deliberately: Soundex's
+    repeated-code collapse needs regex backreferences, which RE2
+    engines (DuckDB, Go) lack — this key is a pure
+    lower/regexp_replace/substr chain that evaluates IDENTICALLY in
+    Spark codegen and any SQL oracle, keeping blocked joins
+    cross-engine replayable. DuckDB twin:
+    substr(s,1,1) || regexp_replace(substr(s,2), '[aeiouhwy]', '', 'g')
+    over s = regexp_replace(lower(x), '[^a-z]', '', 'g'), then
+    substr(.., 1, length)."""
+    s = F.regexp_replace(F.lower(col), "[^a-z]", "")
+    key = F.concat(
+        F.substring(s, 1, 1),
+        F.regexp_replace(F.substring(s, 2, 1_000_000), "[aeiouhwy]", ""),
+    )
+    return F.substring(key, 1, length)

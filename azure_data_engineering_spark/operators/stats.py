@@ -171,6 +171,218 @@ def token_distribution_drift(
     )
 
 
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier,
+    JASA 1958) over right-censored durations: at each distinct event
+    time t_i with d_i events out of n_i subjects still at risk,
+
+        S(t) = prod_{t_i <= t} (1 - d_i / n_i)
+
+    Censored subjects (event=0) leave the risk set at their duration
+    without contributing an event — the estimator the churn/retention
+    and reliability dashboards of a 100 TB event store need, because
+    most subjects are still alive (censored) at observation time and
+    naive "fraction churned by day t" is biased by them.
+
+    Scale shape: ONE aggregation collapses the subject table to its
+    distinct-duration histogram (d_i = events, c_i = departures of
+    any kind per duration); every downstream step — the at-risk
+    prefix sum n_i = N - cum(c) + c_i and the cumulative log-product
+    — is a window over that histogram, whose cardinality is the
+    number of DISTINCT durations (days/weeks), not subjects. The
+    single-partition window is deliberate and safe: it runs over a
+    KB-sized frame regardless of corpus size. The product is computed
+    as exp(sum ln(1 - d/n)) with an exact-zero guard (d_i = n_i
+    drives survival to 0; ln would NULL out) so the result is a pure
+    algebraic function the oracle replays with the same windows.
+
+    Returns one row per distinct duration with an event or departure:
+    (duration, n_risk, n_events, n_censored, survival)."""
+    from pyspark.sql import Window
+
+    per_t = df.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.count(F.lit(1)).alias("n_leaving"),
+    )
+    n_total = df.agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    km = (
+        per_t.join(F.broadcast(n_total))
+        .withColumn(
+            "n_risk", F.col("__n") - F.sum("n_leaving").over(w) + F.col("n_leaving")
+        )
+        .withColumn(
+            "__ln_factor",
+            F.when(
+                F.col("n_events") < F.col("n_risk"),
+                F.log(1.0 - F.col("n_events") / F.col("n_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("__dead", F.max((F.col("n_events") == F.col("n_risk")).cast("int")).over(w))
+        .withColumn(
+            "survival",
+            F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum("__ln_factor").over(w)), round_digits)
+            ),
+        )
+    )
+    return km.select(
+        "duration",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("n_leaving") - F.col("n_events")).cast("long").alias("n_censored"),
+        "survival",
+    )
+
+
+def benford_digit_test(
+    df: DataFrame,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law
+    (Benford 1938; Nigrini's fraud-screening usage): P(d) =
+    log10(1 + 1/d). The classic cheap screen for fabricated or
+    truncated numeric columns in ingested financial/metric data —
+    natural multi-magnitude data follows it, hand-entered or
+    clipped data does not.
+
+    The first significant digit is extracted lexically (first char in
+    [1-9] of the decimal string) rather than via log10/pow, which at
+    double precision misassigns exact powers of ten (log10(1000) can
+    evaluate just below 3). One aggregation to 9 rows; chi-squared
+    cell terms computed on the 9-row frame. Non-positive and NULL
+    values are excluded (Benford applies to positive magnitudes).
+
+    Returns 9 rows: (digit, n_obs, obs_p, exp_p, chi_cell)."""
+    digit = F.substring(
+        F.regexp_replace(F.abs(F.col(value_col)).cast("string"), "[^1-9]", ""), 1, 1
+    ).cast("int")
+    obs = (
+        df.filter(F.col(value_col) > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").alias("__n"))
+    digits = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    exp_p = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        digits.join(obs, "digit", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.round(F.coalesce(F.col("n_obs"), F.lit(0)) / F.col("__n"), round_digits).alias("obs_p"),
+            F.round(exp_p, round_digits).alias("exp_p"),
+            F.round(
+                F.pow(F.coalesce(F.col("n_obs"), F.lit(0)) - exp_p * F.col("__n"), 2)
+                / (exp_p * F.col("__n")),
+                round_digits,
+            ).alias("chi_cell"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Single change-point detection on an ordered metric series via
+    the cumulative-sum statistic (Page, Biometrika 1954; Taylor's
+    change-point analysis formulation): C_t = sum_{i<=t} (x_i - mean),
+    and the estimated change point is the argmax of |C_t| — where the
+    series' level shifts, the centered prefix sum peaks.
+
+    Intended use at 100 TB: the input is an already-aggregated series
+    (e.g. a metric per day/hour from one groupBy over the raw events),
+    so the window here runs over hundreds-to-thousands of rows — the
+    single-partition global-order window is over the SERIES, never the
+    raw table. The argmax is a deterministic TakeOrdered(1) with
+    |C_t| pre-rounded before comparison so float ties resolve the
+    same way in every engine, breaking ties on the earliest point.
+
+    Returns one row: (cp_key, max_abs_cusum, n_points, z_stat) where
+    z_stat = max|C| / (stddev_pop * sqrt(n)) — a scale-free strength
+    score (> ~1.36 is the 95% Kolmogorov-style threshold)."""
+    from pyspark.sql import Window
+
+    stats = df.agg(
+        F.avg(F.col(value_col).cast("double")).alias("__mean"),
+        F.stddev_pop(F.col(value_col).cast("double")).alias("__sd"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    )
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    cus = (
+        df.join(F.broadcast(stats))
+        .withColumn(
+            "__c", F.sum(F.col(value_col).cast("double") - F.col("__mean")).over(w)
+        )
+        .withColumn("__abs_c", F.round(F.abs("__c"), round_digits))
+    )
+    return (
+        cus.orderBy(F.col("__abs_c").desc(), F.col(order_col).asc())
+        .limit(1)
+        .select(
+            F.col(order_col).alias("cp_key"),
+            F.col("__abs_c").alias("max_abs_cusum"),
+            F.col("__n").cast("long").alias("n_points"),
+            F.round(F.col("__abs_c") / (F.col("__sd") * F.sqrt("__n")), round_digits).alias(
+                "z_stat"
+            ),
+        )
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact ROC AUC of a numeric score against a binary label via
+    the Mann-Whitney rank-sum identity (AUC = U / (n_pos * n_neg),
+    Hanley & McNeil 1982), with midranks for tied scores — the
+    evaluation primitive for quality-classifier / reranker triage
+    over a full corpus, where sklearn-on-the-driver cannot run.
+
+    Scale shape: ONE aggregation collapses the corpus to its distinct
+    score histogram (count + positives per score); midranks are a
+    prefix sum over that histogram, so the global-order window runs
+    over |distinct scores| rows, not corpus rows. When scores are
+    near-unique reals, pass a quantized score column (e.g.
+    round(score, 3)) — the estimator degrades gracefully to binned
+    AUC, which is what every large-scale eval does anyway.
+
+    Returns one row: (n_pos, n_neg, auc)."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).cast("double").alias("__c"),
+        F.sum(F.col(label_col).cast("double")).alias("__p"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = hist.withColumn(
+        "__midrank", F.sum("__c").over(w) - F.col("__c") + (F.col("__c") + 1.0) / 2.0
+    )
+    return ranked.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        (F.sum("__c") - F.sum("__p")).cast("long").alias("n_neg"),
+        F.round(
+            (F.sum(F.col("__p") * F.col("__midrank")) - F.sum("__p") * (F.sum("__p") + 1.0) / 2.0)
+            / (F.sum("__p") * (F.sum("__c") - F.sum("__p"))),
+            round_digits,
+        ).alias("auc"),
+    )
+
+
 # Cumulative Poisson(1) probabilities P(X <= k) for k = 0..7: a row's
 # bootstrap weight in resample b is the count of thresholds at or
 # below its deterministic md5 unit draw (inverse-CDF lookup, capped

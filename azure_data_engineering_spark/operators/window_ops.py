@@ -116,6 +116,119 @@ def time_decay_sum(
     )
 
 
+def ohlc_resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Downsample a (key, timestamp, value) stream to per-bucket OHLC
+    bars — open / high / low / close / count / sum — the classic
+    time-series resample (financial candlesticks; equally the shape
+    of "first/last reading per sensor per hour" telemetry rollups).
+
+    Pure single-aggregation plan: date_trunc the timestamp, then ONE
+    groupBy(key, bucket) with min_by/max_by for open/close and
+    min/max for low/high — no window function, no secondary shuffle,
+    so at 100 TB this is exactly one map-side-combinable pass whose
+    output is |keys| x |buckets| rows. Open/close use a TOTAL
+    event order (timestamp, then unique event id, packed into one
+    zero-padded sortable string) so concurrent same-timestamp events
+    resolve identically on every engine — min_by over a merely
+    partial order is nondeterministic under retries.
+
+    Returns (key, bucket_ts, open, high, low, close, n, total)."""
+    order_key = F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+            F.col(value_col).alias("v"),
+            order_key.alias("__ord"),
+        )
+        .groupBy("key", "bucket_ts")
+        .agg(
+            F.min_by("v", "__ord").alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max_by("v", "__ord").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            # exact decimal accumulation, surfaced as double: float sums
+            # drift with accumulation order across engines/partitionings
+            F.round(F.sum(F.col("v").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total"
+            ),
+        )
+    )
+
+
+def rfm_scores(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation (Hughes,
+    "Strategic Database Marketing" 1994): quintile scores per entity,
+    5 = most recent / most frequent / highest spend. The workhorse
+    customer-value segmentation every warehouse runs; here as a
+    deterministic two-aggregation plan.
+
+    Scale shape: ONE groupBy collapses the fact table to one row per
+    entity (recency = days from the entity's last event to the global
+    max, frequency = count, monetary = sum); the global reference
+    date rides in as a 1-row broadcast frame. ntile then runs over
+    the ENTITY frame — |entities| rows, not |facts| — with a total
+    order (metric, then entity id) so tile boundaries are identical
+    on every engine and run. For entity counts too large for one
+    ntile window, swap ntile for the percentile-bucket formulation
+    (quantile_binning) — same output contract.
+
+    Returns (entity, recency_days, frequency, monetary, r_score,
+    f_score, m_score, segment)."""
+    per_e = df.groupBy(F.col(entity_col).alias("entity")).agg(
+        F.max(F.col(ts_col)).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        # exact decimal sum: monetary feeds an ntile ORDER BY, so float
+        # accumulation-order drift would move tile boundaries
+        F.round(
+            F.sum(F.col(amount_col).cast("decimal(18,2)")).cast("double"), 2
+        ).alias("monetary"),
+    )
+    ref = df.agg(F.max(F.col(ts_col)).alias("__ref"))
+    base = per_e.join(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff(F.col("__ref"), F.col("__last")).cast("long")
+    )
+    # 5 = best: most recent (smallest recency), most frequent, highest spend
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("entity").asc())
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("entity").asc())
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("entity").asc())
+    return base.select(
+        "entity",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(w_r).alias("r_score"),
+        F.ntile(n_tiles).over(w_f).alias("f_score"),
+        F.ntile(n_tiles).over(w_m).alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
 def markov_transitions(
     df: DataFrame,
     key_col: str,

@@ -1,0 +1,295 @@
+"""Closed-form fixture tests for the round-5b analytics additions:
+Kaplan-Meier survival, Benford screen, CUSUM change-point, ROC AUC,
+BFS hops, label propagation, containment pairs, feature hashing,
+target encoding, association rules, phonetic blocking key, OHLC
+resample, and RFM scores. The oracle gate checks these against
+DuckDB at data scale; these pin the semantics on hand-built inputs
+with known answers."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_data_engineering_spark.operators.affinity import association_rules
+from azure_data_engineering_spark.operators.dedup import containment_pairs
+from azure_data_engineering_spark.operators.features import (
+    feature_hashing,
+    target_encode,
+)
+from azure_data_engineering_spark.operators.graph import bfs_hops, label_propagation
+from azure_data_engineering_spark.operators.linkage import consonant_skeleton_key
+from azure_data_engineering_spark.operators.stats import (
+    benford_digit_test,
+    cusum_changepoint,
+    kaplan_meier,
+    roc_auc,
+)
+from azure_data_engineering_spark.operators.window_ops import ohlc_resample, rfm_scores
+
+
+class TestKaplanMeier:
+    def test_textbook_curve(self, spark):
+        """3 subjects: event@1, censored@2, event@3.
+        S(1)=2/3; S(2)=2/3 (censoring leaves the curve flat);
+        S(3)=0 (last at-risk subject dies: d=n)."""
+        df = spark.createDataFrame(
+            [(1, 1), (2, 0), (3, 1)], "duration long, churned int"
+        )
+        rows = {r.duration: r for r in kaplan_meier(df, "duration", "churned").collect()}
+        assert rows[1].n_risk == 3 and rows[1].n_events == 1
+        assert rows[1].survival == pytest.approx(2 / 3, abs=1e-6)
+        assert rows[2].n_censored == 1 and rows[2].survival == pytest.approx(2 / 3, abs=1e-6)
+        assert rows[3].n_risk == 1 and rows[3].survival == 0.0
+
+    def test_no_events_flat_curve(self, spark):
+        df = spark.createDataFrame([(5, 0), (9, 0)], "duration long, churned int")
+        out = kaplan_meier(df, "duration", "churned").collect()
+        assert all(r.survival == 1.0 for r in out)
+
+
+class TestBenford:
+    def test_digit_histogram(self, spark):
+        df = spark.createDataFrame(
+            [(1.0,), (1.5,), (20.0,), (300.0,), (-4.0,), (0.0,)], "v double"
+        )
+        out = {r.digit: r for r in benford_digit_test(df, "v").collect()}
+        assert len(out) == 9  # dense 1..9 even when unobserved
+        # -4 and 0 excluded: n = 4 positive values
+        assert sum(r.n_obs for r in out.values()) == 4
+        assert out[1].n_obs == 2 and out[1].obs_p == pytest.approx(0.5)
+        assert out[2].exp_p == pytest.approx(0.176091, abs=1e-6)
+        assert out[9].n_obs == 0 and out[9].chi_cell > 0
+
+    def test_first_digit_is_lexical_not_log(self, spark):
+        """0.042 -> 4; 1000.0 -> 1 (no log10 boundary hazard)."""
+        df = spark.createDataFrame([(0.042,), (1000.0,)], "v double")
+        out = {r.digit: r.n_obs for r in benford_digit_test(df, "v").collect()}
+        assert out[4] == 1 and out[1] == 1
+
+
+class TestCusumChangepoint:
+    def test_level_shift_located(self, spark):
+        """[1,1,1,5,5,5]: mean 3, C = [-2,-4,-6,-4,-2,0] -> argmax |C|
+        at the 3rd point, the last pre-shift observation."""
+        df = spark.createDataFrame(
+            [(i + 1, v) for i, v in enumerate([1.0, 1.0, 1.0, 5.0, 5.0, 5.0])],
+            "k int, v double",
+        )
+        r = cusum_changepoint(df, "k", "v").collect()[0]
+        assert r.cp_key == 3
+        assert r.max_abs_cusum == pytest.approx(6.0)
+        assert r.n_points == 6
+        # z = 6 / (stddev_pop=2 * sqrt(6))
+        assert r.z_stat == pytest.approx(1.2247, abs=1e-4)
+
+    def test_tie_breaks_to_earliest(self, spark):
+        """Symmetric series: |C| ties resolve to the earliest point."""
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 3.0), (3, 1.0), (4, 3.0)], "k int, v double"
+        )
+        r = cusum_changepoint(df, "k", "v").collect()[0]
+        assert r.cp_key == 1  # |C|=1 at k=1 and k=3; earliest wins
+
+
+class TestRocAuc:
+    def test_hand_counted_auc(self, spark):
+        """neg scores {1,2}, pos scores {2,3}: U = 1 + 0.5 + 1 + 1 =
+        3.5 -> AUC = 3.5/4 = 0.875 (midrank tie handling)."""
+        df = spark.createDataFrame(
+            [(1.0, 0), (2.0, 0), (2.0, 1), (3.0, 1)], "score double, label int"
+        )
+        r = roc_auc(df, "score", "label").collect()[0]
+        assert (r.n_pos, r.n_neg) == (2, 2)
+        assert r.auc == pytest.approx(0.875)
+
+    def test_perfect_and_inverted(self, spark):
+        perfect = spark.createDataFrame(
+            [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "score double, label int"
+        )
+        assert roc_auc(perfect, "score", "label").collect()[0].auc == 1.0
+        inverted = spark.createDataFrame(
+            [(4.0, 0), (3.0, 0), (2.0, 1), (1.0, 1)], "score double, label int"
+        )
+        assert roc_auc(inverted, "score", "label").collect()[0].auc == 0.0
+
+
+class TestBfsHops:
+    def test_path_graph_bounded(self, spark):
+        """0-1-2-3-4 path (both directions), source 0, max_hops 3:
+        node 4 unreached."""
+        und = [(i, i + 1) for i in range(4)] + [(i + 1, i) for i in range(4)]
+        df = spark.createDataFrame(und, "src long, dst long")
+        got = {r.node: r.hop for r in bfs_hops(df, 0, max_hops=3).collect()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_min_hop_on_shortcut(self, spark):
+        """Triangle 0-1-2 plus chain 0-3-2: node 2 is hop 1 via the
+        direct edge, not 2 via the chain."""
+        edges = [(0, 1), (1, 2), (0, 2), (0, 3), (3, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.hop for r in bfs_hops(df, 0, max_hops=3).collect()}
+        assert got[2] == 1 and got[3] == 1
+
+    def test_early_stop_on_empty_frontier(self, spark):
+        df = spark.createDataFrame([(0, 1)], "src long, dst long")
+        got = {r.node: r.hop for r in bfs_hops(df, 0, max_hops=10).collect()}
+        assert got == {0: 0, 1: 1}
+
+
+class TestLabelPropagation:
+    def test_two_components_two_communities(self, spark):
+        """Two disjoint triangles converge to one label each."""
+        tri = lambda o: [(o + a, o + b) for a in range(3) for b in range(3) if a != b]
+        df = spark.createDataFrame(tri(0) + tri(10), "src long, dst long")
+        out = label_propagation(df, iterations=3).collect()
+        by_label = {}
+        for r in out:
+            by_label.setdefault(r.label, set()).add(r.node)
+        assert len(by_label) == 2
+        assert {frozenset(v) for v in by_label.values()} == {
+            frozenset({0, 1, 2}),
+            frozenset({10, 11, 12}),
+        }
+
+    def test_pendant_absorbed(self, spark):
+        """Triangle 0,1,2 with pendant 3-2 (both directions): all four
+        nodes converge to label 0 after 3 deterministic rounds."""
+        e = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0), (2, 3), (3, 2)]
+        df = spark.createDataFrame(e, "src long, dst long")
+        out = label_propagation(df, iterations=3).collect()
+        assert {r.label for r in out} == {0}
+        assert len(out) == 4
+
+
+class TestContainmentPairs:
+    def test_full_containment_oriented(self, spark):
+        docs = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta"),  # subset of 1
+            (3, "iota kappa lam mu"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = containment_pairs(df, "text", "doc_id", threshold=0.9, k=1).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.id_small, r.id_big) == (2, 1)
+        assert r.containment == 1.0
+
+    def test_asymmetry_vs_jaccard(self, spark):
+        """Small-in-big pair passes containment but has low Jaccard."""
+        big = " ".join(f"w{i}" for i in range(40))
+        docs = [(1, big), (2, "w0 w1 w2 w3")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = containment_pairs(df, "text", "doc_id", threshold=0.9, k=1).collect()
+        assert len(out) == 1 and out[0].containment == 1.0  # jaccard would be 0.1
+
+    def test_stop_shingle_guard_drops_hot_tokens(self, spark):
+        """With max_df=1 every shared token is stopped: no pairs."""
+        docs = [(1, "a b c"), (2, "a b c")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = containment_pairs(df, "text", "doc_id", threshold=0.5, k=1, max_df=1)
+        assert out.count() == 0
+
+
+class TestFeatures:
+    def test_feature_hashing_conservation(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 10)], "id long, c1 string, c2 long"
+        )
+        out = feature_hashing(df, "id", ["c1", "c2"], n_buckets=8).collect()
+        assert sum(r.n_rows for r in out) == 6  # 3 rows x 2 columns
+        assert all(0 <= r.bucket < 8 for r in out)
+        # 4 distinct (col,value) features total
+        assert sum(r.n_distinct_values for r in out) >= 4
+
+    def test_target_encode_shrinks_to_prior(self, spark):
+        """cats a:[1,1], b:[3]; m=1 -> gm=5/3;
+        enc(a)=(2+5/3)/3, enc(b)=(3+5/3)/2."""
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("b", 3.0)], "cat string, y double"
+        )
+        out = {r.category: r for r in target_encode(df, "cat", "y", m=1.0).collect()}
+        assert out["a"].raw_mean == pytest.approx(1.0)
+        assert out["a"].encoded == pytest.approx(round((2 + 5 / 3) / 3, 4))
+        assert out["b"].encoded == pytest.approx(round((3 + 5 / 3) / 2, 4))
+        # rare category pulled toward gm more than the frequent one
+        assert abs(out["b"].encoded - out["b"].raw_mean) > abs(
+            out["a"].encoded - out["a"].raw_mean
+        )
+
+
+class TestAssociationRules:
+    def test_support_confidence_lift(self, spark):
+        rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")]
+        df = spark.createDataFrame(rows, "bk long, item string")
+        out = {
+            (r.antecedent, r.consequent): r
+            for r in association_rules(df, "bk", "item", min_pair_count=2).collect()
+        }
+        assert set(out) == {("x", "y"), ("y", "x")}
+        xy = out[("x", "y")]
+        assert xy.support == pytest.approx(round(2 / 3, 6))
+        assert xy.confidence == pytest.approx(round(2 / 3, 6))
+        assert xy.lift == pytest.approx(1.0)
+        yx = out[("y", "x")]
+        assert yx.confidence == pytest.approx(1.0) and yx.lift == pytest.approx(1.0)
+
+    def test_multiplicity_within_basket_ignored(self, spark):
+        rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y")]
+        df = spark.createDataFrame(rows, "bk long, item string")
+        out = association_rules(df, "bk", "item", min_pair_count=2).collect()
+        assert {r.n_pair for r in out} == {2}
+
+
+class TestPhoneticKey:
+    def test_variants_collapse(self, spark):
+        df = spark.createDataFrame(
+            [("Jonathan",), ("Jonothon",), ("smith",), ("smyth",), ("widget",)],
+            "name string",
+        )
+        out = df.select(
+            "name", consonant_skeleton_key(F.col("name")).alias("k")
+        ).collect()
+        keys = {r.name: r.k for r in out}
+        assert keys["Jonathan"] == keys["Jonothon"]
+        assert keys["smith"] == keys["smyth"] == "smt"  # h/y in drop class
+        assert keys["widget"] != keys["smith"]
+
+
+class TestOhlcResample:
+    def test_total_order_tiebreak(self, spark):
+        """Two ticks at the identical timestamp: the lower event id is
+        the open, the higher the close."""
+        t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            ("k", t, 5.0, 2),
+            ("k", t, 9.0, 1),
+            ("k", t + datetime.timedelta(hours=1), 1.0, 3),
+        ]
+        df = spark.createDataFrame(rows, "key string, ts timestamp, v double, id long")
+        r = ohlc_resample(df, "key", "ts", "v", "id").collect()[0]
+        assert (r.open, r.close) == (9.0, 1.0)  # id 1 first, id 3 last
+        assert (r.high, r.low) == (9.0, 1.0)
+        assert r.n == 3 and r.total == pytest.approx(15.0)
+
+
+class TestRfmScores:
+    def test_quintile_orientation(self, spark):
+        """5 customers with strictly increasing recency/frequency/
+        monetary: the best customer scores 5-5-5."""
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for c in range(5):
+            # customer c: c+1 orders, last order c days before the ref
+            for i in range(c + 1):
+                rows.append((c, base + datetime.timedelta(days=c - 4 + i * 0), 100.0 * (c + 1)))
+        df = spark.createDataFrame(rows, "cust long, ts timestamp, amt double")
+        out = {r.entity: r for r in rfm_scores(df, "cust", "ts", "amt").collect()}
+        best = out[4]  # most orders, most recent, biggest spend
+        assert (best.r_score, best.f_score, best.m_score) == (5, 5, 5)
+        assert best.segment == "5-5-5"
+        worst = out[0]
+        assert (worst.r_score, worst.f_score, worst.m_score) == (1, 1, 1)
