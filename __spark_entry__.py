@@ -10868,6 +10868,241 @@ WHERE b.n_names >= 2
 """
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peeling (operators/graph.k_core_prune, k=2,
+    3 rounds) on the SPARSE co-purchase graph (part pairs sharing
+    >= 2 orders): the dense-core extraction used as a graph-quality
+    prior. Each round = one degree agg + two semi-joins; the oracle
+    unrolls the same peels."""
+    from azure_data_engineering_spark.operators.graph import k_core_prune
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+    return k_core_prune(edges, k=2, rounds=3)
+
+
+def _k_core_oracle_sql(k: int = 2, rounds: int = 3) -> str:
+    sql = """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)"""
+    for i in range(rounds):
+        sql += f""",
+deg{i} AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}
+  ) GROUP BY 1
+), keep{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE degree >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i} e
+  JOIN keep{i} ka ON e.a = ka.node
+  JOIN keep{i} kb ON e.b = kb.node
+)"""
+    sql += f"""
+SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+) GROUP BY 1"""
+    return sql
+
+
+Q_K_CORE_SQL = _k_core_oracle_sql()
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 behavioral path trigrams (operators/window_ops.
+    path_ngrams): consecutive event-type runs per user under a total
+    (ts, event_id) order — one window pass + one count agg, the
+    generalization of markov_transitions to longer motifs. Exact
+    integer counts with a full-column tiebreak make the top-25
+    deterministic on every engine."""
+    from azure_data_engineering_spark.operators.window_ops import path_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    grams = path_ngrams(ev, "user_id", "ts", "event_id", "event_type", n=3)
+    return grams.orderBy(
+        F.col("n_paths").desc(), F.col("s1"), F.col("s2"), F.col("s3")
+    ).limit(25)
+
+
+Q_EVENT_PATHS_SQL = """
+WITH seq AS (
+  SELECT event_type AS s1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+  FROM events
+)
+SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n_paths
+FROM seq WHERE s3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, s1, s2, s3
+LIMIT 25
+"""
+
+
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of event values: per-weekday mean
+    over global mean — the naive seasonal decomposition every metric
+    dashboard starts from. Two aggregations (weekday frame + 1-row
+    global), value sums in exact DECIMAL surfaced as DOUBLE so both
+    divisions replay bit-identically; weekday numbering pinned to
+    Spark's dayofweek (1 = Sunday) with the oracle mapping strftime
+    '%w' accordingly."""
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    per_d = ev.groupBy(F.dayofweek("ts").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(dec).cast("double").alias("__s"),
+    )
+    glob = ev.agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("__gmean")
+    )
+    return per_d.join(F.broadcast(glob)).select(
+        "dow",
+        "n_events",
+        F.round(F.col("__s") / F.col("n_events"), 4).alias("dow_avg"),
+        F.round((F.col("__s") / F.col("n_events")) / F.col("__gmean"), 6).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+Q_SEASONALITY_SQL = """
+WITH per_d AS MATERIALIZED (
+  SELECT CAST(strftime(ts, '%w') AS INTEGER) + 1 AS dow,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+  FROM events GROUP BY 1
+), g AS (
+  SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS gmean
+  FROM events
+)
+SELECT dow, n_events, round(s / n_events, 4) AS dow_avg,
+       round((s / n_events) / gmean, 6) AS seasonal_index
+FROM per_d, g
+"""
+
+
+def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space k-NN label eval (operators/similarity.
+    knn_classify): every 20th vector is held out and classified by
+    the 5-NN cosine majority vote of the rest (ties toward the
+    smaller label); output is per-true-label accuracy — the standard
+    "do neighborhoods predict labels" probe run before trusting an
+    embedding space for retrieval or clustering. Neighbor selection
+    is the deterministic round-then-rank discipline of
+    q_embedding_topk; the vote argmax minimizes (-votes, label)."""
+    from azure_data_engineering_spark.operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    c = emb.filter(F.col("vec_id") % 20 != 0)
+    pred = knn_classify(q, c, "label", k=5)
+    truth = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    joined = pred.join(truth, "query_id")
+    return joined.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum((F.col("predicted_label") == F.col("true_label")).cast("long"))
+        .cast("long")
+        .alias("n_correct"),
+    ).withColumn(
+        "accuracy", F.round(F.col("n_correct") / F.col("n_queries"), 6)
+    )
+
+
+Q_KNN_CLASSIFIER_SQL = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec, label AS true_label
+  FROM embeddings WHERE vec_id % 20 = 0
+), c AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS c_vec, label
+  FROM embeddings WHERE vec_id % 20 <> 0
+), scored AS (
+  SELECT q.query_id, c.neighbor_id, c.label,
+         round(list_cosine_similarity(q.q_vec, c.c_vec), 6) AS cosine
+  FROM q JOIN c ON c.neighbor_id <> q.query_id
+), nn AS MATERIALIZED (
+  SELECT query_id, label FROM (
+    SELECT query_id, label, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 5
+), votes AS (
+  SELECT query_id, label, count(*) AS n_votes FROM nn GROUP BY 1, 2
+), pred AS MATERIALIZED (
+  SELECT query_id, label AS predicted_label FROM (
+    SELECT query_id, label,
+           row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT q.true_label, CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN p.predicted_label = q.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN p.predicted_label = q.true_label THEN 1 ELSE 0 END) / count(*), 6) AS accuracy
+FROM pred p JOIN q ON p.query_id = q.query_id
+GROUP BY 1
+"""
+
+
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars computed by the REAL incremental engine
+    (streaming/windows.ohlc_bars over availableNow micro-batches,
+    O(1) state per open bar via declarative min_by/max_by) — oracle
+    is the batch SQL, proving the stream/batch bar equivalence
+    including same-timestamp tie handling via the total (ts, id)
+    order."""
+    import os
+
+    from azure_data_engineering_spark.streaming.windows import (
+        ohlc_bars,
+        run_stream_to_table,
+    )
+
+    result = run_stream_to_table(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        lambda s: ohlc_bars(s, window_len="1 day", watermark="2 hours"),
+        table_name="stream_ohlc_sink",
+        output_mode="complete",
+    )
+    return result.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "open", "high", "low", "close", "n", "total",
+    )
+
+
+Q_STREAM_OHLC_SQL = """
+WITH e AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         value AS v,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+         lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord
+  FROM events
+)
+SELECT window_start, event_type,
+       arg_min(v, ord) AS open,
+       max(v) AS high,
+       min(v) AS low,
+       arg_max(v, ord) AS close,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM e GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
 
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -11160,6 +11395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_target_encode": q_target_encode,
         "q_association_rules": q_association_rules,
         "q_phonetic_blocking": q_phonetic_blocking,
+        "q_k_core": q_k_core,
+        "q_event_paths": q_event_paths,
+        "q_seasonality": q_seasonality,
+        "q_knn_classifier": q_knn_classifier,
+        "q_stream_ohlc": q_stream_ohlc,
     }
 
 
@@ -11427,4 +11667,9 @@ def oracle_sql() -> dict[str, str]:
         "q_target_encode": Q_TARGET_ENCODE_SQL,
         "q_association_rules": Q_ASSOCIATION_RULES_SQL,
         "q_phonetic_blocking": Q_PHONETIC_BLOCKING_SQL,
+        "q_k_core": Q_K_CORE_SQL,
+        "q_event_paths": Q_EVENT_PATHS_SQL,
+        "q_seasonality": Q_SEASONALITY_SQL,
+        "q_knn_classifier": Q_KNN_CLASSIFIER_SQL,
+        "q_stream_ohlc": Q_STREAM_OHLC_SQL,
     }

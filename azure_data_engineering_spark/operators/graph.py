@@ -285,3 +285,56 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def k_core_prune(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core pruning (Seidman, Social Networks 1983;
+    distributed peeling à la Montresor et al.): each round drops
+    every node whose CURRENT degree is < k together with its incident
+    edges, then recomputes degrees. After enough rounds the surviving
+    subgraph is exactly the k-core; a FIXED round count keeps the
+    result an algebraic function of the edge set (oracle unrolls the
+    same rounds), and in curation practice 2-3 peels already isolate
+    the dense core used as a graph-quality prior.
+
+    Per round: one degree aggregate + two semi-joins of the edge list
+    against the survivor set — the PageRank cost envelope — with
+    localCheckpoint lineage truncation. Input may list either or both
+    directions; the graph is canonicalized undirected (a<b, distinct,
+    no self-loops) first. Returns (node, degree) of the surviving
+    subgraph after `rounds` peels (nodes below k that would fall in a
+    LATER peel may remain — documented fixed-round semantics)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

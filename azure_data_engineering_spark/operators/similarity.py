@@ -160,3 +160,52 @@ def lsh_bucketed_top_k(
         .agg(F.first("cosine").alias("cosine"))
     )
     return _topk_pairs(candidates, "query_id", k, round_digits)
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    label_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """k-NN majority-vote classification of query vectors against a
+    labeled corpus — the standard embedding-space eval (probe a
+    labeled held-out set, report how well neighborhoods predict
+    labels) and the simplest production labeler for "tag this new
+    document like its nearest labeled neighbors".
+
+    Built on brute_force_top_k (exact cosine, deterministic
+    round-then-rank), then one count aggregate per (query, label) and
+    a deterministic argmax (most votes, ties toward the SMALLEST
+    label — the same total-order discipline as label_propagation).
+    Per-query cost is the brute-force scan; swap the neighbor source
+    for ivf_topk/lsh_bucketed_top_k at corpus scale — the vote logic
+    is neighbor-source-agnostic. Returns (query_id, predicted_label,
+    n_votes)."""
+    nn = brute_force_top_k(
+        queries, corpus, id_col=id_col, vec_col=vec_col, k=k,
+        round_digits=round_digits,
+    )
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lbl")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "__lbl")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    # deterministic argmax for ANY orderable label type: minimize
+    # (-votes, label) — most votes first, then smallest label
+    return votes.groupBy("query_id").agg(
+        F.min_by(
+            F.struct(F.col("__lbl").alias("predicted_label"), F.col("n_votes")),
+            F.struct((-F.col("n_votes")).alias("nv"), F.col("__lbl")),
+        ).alias("win")
+    ).select(
+        "query_id",
+        "win.predicted_label",
+        F.col("win.n_votes").cast("long").alias("n_votes"),
+    )

@@ -360,3 +360,35 @@ def multi_touch_attribution(
         ),
         F.sum(lin).alias("linear_value"),
     )
+
+
+def path_ngrams(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    state_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Ordered path n-gram mining: for each key's event sequence
+    (total order: timestamp, then unique id — same-timestamp events
+    must resolve identically on every engine), count every run of
+    `n` consecutive states — the "what do users do next" path
+    analytics that generalizes markov_transitions (its n=2 case) to
+    longer behavioral motifs.
+
+    One window pass (n-1 chained leads over the per-key order) + one
+    count aggregate; no self-joins, no explosion beyond one row per
+    event. At 100 TB the window shuffles once on the key and a hot
+    key costs O(its events), not O(events²). Returns
+    (s1..s{n}, n_paths)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    cur = df.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), F.col(state_col).alias("s1")
+    )
+    for i in range(1, n):
+        cur = cur.withColumn(f"s{i + 1}", F.lead("s1", i).over(w))
+    grams = cur.filter(F.col(f"s{n}").isNotNull())
+    return grams.groupBy(*[f"s{i + 1}" for i in range(n)]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )

@@ -134,3 +134,48 @@ def run_stream_to_table(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def ohlc_bars(
+    events: DataFrame,
+    window_len: str = "1 day",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per (key, tumbling window) OHLC bars on batch OR streaming
+    frames — the incremental twin of operators/window_ops.
+    ohlc_resample, with the same TOTAL (timestamp, id) event order
+    for open/close so stream and batch produce identical bars even
+    for same-timestamp ticks. min_by/max_by are declarative
+    aggregates, so the streaming state per open window is O(1)
+    (current extremes + their order keys), not a buffer of events —
+    the property that lets a 100 TB/day tick stream keep thousands
+    of live bars in the state store."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    order_key = F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
+    return (
+        src.withColumn("__ord", order_key)
+        .groupBy(F.window(F.col(ts_col), window_len).alias("w"), F.col(key_col))
+        .agg(
+            F.min_by(value_col, "__ord").alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, "__ord").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            "open", "high", "low", "close", "n", "total",
+        )
+    )

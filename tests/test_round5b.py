@@ -293,3 +293,129 @@ class TestRfmScores:
         assert best.segment == "5-5-5"
         worst = out[0]
         assert (worst.r_score, worst.f_score, worst.m_score) == (1, 1, 1)
+
+
+from azure_data_engineering_spark.operators.graph import k_core_prune
+from azure_data_engineering_spark.operators.similarity import knn_classify
+from azure_data_engineering_spark.operators.window_ops import path_ngrams
+
+
+class TestKCore:
+    def test_pendant_chain_peeled(self, spark):
+        """Triangle 0,1,2 + chain 2-3-4: degree-1 nodes peel away
+        round by round; the 2-core is exactly the triangle."""
+        e = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+        df = spark.createDataFrame(e, "src long, dst long")
+        out = {r.node: r.degree for r in k_core_prune(df, k=2, rounds=3).collect()}
+        assert out == {0: 2, 1: 2, 2: 2}
+
+    def test_fixed_rounds_stop_early_peels_only(self, spark):
+        """Path 0-1-2-3-4-5 with k=2: each round removes the two
+        endpoints; after exactly 1 round nodes 0 and 5 are gone but
+        1 and 4 (now degree-1) remain."""
+        e = [(i, i + 1) for i in range(5)]
+        df = spark.createDataFrame(e, "src long, dst long")
+        out = {r.node for r in k_core_prune(df, k=2, rounds=1).collect()}
+        assert out == {1, 2, 3, 4}
+        # full peel empties the path (no 2-core exists)
+        assert k_core_prune(df, k=2, rounds=3).count() == 0
+
+    def test_direction_duplicates_canonicalized(self, spark):
+        e = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 1)]
+        df = spark.createDataFrame(e, "src long, dst long")
+        out = {r.node: r.degree for r in k_core_prune(df, k=2, rounds=2).collect()}
+        assert out == {0: 2, 1: 2, 2: 2}
+
+
+class TestPathNgrams:
+    def test_trigram_counts_with_total_order(self, spark):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, "a"),
+            (1, t0, 2, "b"),  # same ts: id breaks the tie
+            (1, t0 + datetime.timedelta(seconds=1), 3, "c"),
+            (1, t0 + datetime.timedelta(seconds=2), 4, "a"),
+            (2, t0, 5, "a"),
+            (2, t0 + datetime.timedelta(seconds=1), 6, "b"),
+        ]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, id long, s string")
+        out = {
+            (r.s1, r.s2, r.s3): r.n_paths
+            for r in path_ngrams(df, "u", "ts", "id", "s", n=3).collect()
+        }
+        # user 1 sequence a,b,c,a -> trigrams (a,b,c), (b,c,a);
+        # user 2 has only 2 events -> none
+        assert out == {("a", "b", "c"): 1, ("b", "c", "a"): 1}
+
+    def test_bigram_matches_markov_shape(self, spark):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [(1, t0 + datetime.timedelta(seconds=i), i, s)
+                for i, s in enumerate(["x", "y", "x", "y"])]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, id long, s string")
+        out = {
+            (r.s1, r.s2): r.n_paths
+            for r in path_ngrams(df, "u", "ts", "id", "s", n=2).collect()
+        }
+        assert out == {("x", "y"): 2, ("y", "x"): 1}
+
+
+class TestKnnClassify:
+    def test_majority_vote_and_tiebreak(self, spark):
+        """Query at origin-ish; 2 neighbors labeled 1, 2 labeled 0 at
+        equal distance -> 2-2 vote tie at k=4 resolves to label 0."""
+        rows = [
+            (100, [1.0, 0.0], 9),  # query; own label irrelevant
+            (1, [1.0, 0.1], 1),
+            (2, [1.0, -0.1], 1),
+            (3, [1.0, 0.1], 0),
+            (4, [1.0, -0.1], 0),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+        q = df.filter(F.col("vec_id") == 100)
+        c = df.filter(F.col("vec_id") != 100)
+        r = knn_classify(q, c, "label", k=4).collect()[0]
+        assert r.predicted_label == 0  # tie -> smallest label
+        assert r.n_votes == 2
+
+    def test_clear_majority(self, spark):
+        rows = [
+            (100, [1.0, 0.0], 9),
+            (1, [0.9, 0.1], 1),
+            (2, [0.9, -0.1], 1),
+            (3, [-1.0, 0.0], 0),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+        q = df.filter(F.col("vec_id") == 100)
+        c = df.filter(F.col("vec_id") != 100)
+        r = knn_classify(q, c, "label", k=2).collect()[0]
+        assert r.predicted_label == 1 and r.n_votes == 2
+
+
+class TestStreamingOhlc:
+    def test_stream_matches_batch_bars(self, spark, sf_dir):
+        """ohlc_bars on the real incremental engine == the same
+        transform on the batch frame (stream/batch contract),
+        including same-timestamp tie resolution."""
+        import os
+
+        from azure_data_engineering_spark.catalog import load_table
+        from azure_data_engineering_spark.streaming.windows import (
+            ohlc_bars,
+            run_stream_to_table,
+        )
+
+        streamed = run_stream_to_table(
+            spark,
+            os.path.join(sf_dir, "events.parquet"),
+            lambda s: ohlc_bars(s, window_len="1 day", watermark="2 hours"),
+            table_name="t_stream_ohlc_test",
+            output_mode="complete",
+        )
+        batch = ohlc_bars(load_table(spark, sf_dir, "events"), window_len="1 day")
+        got = {tuple(r) for r in streamed.collect()}
+        want = {tuple(r) for r in batch.collect()}
+        assert got == want and len(got) > 0
