@@ -3533,19 +3533,32 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with JVM-side levenshtein <= 2, best match per dirty row
     by (distance, partkey). Never an all-pairs join: pair volume is
     bounded by the blocking-key cardinality and guarded by max_block,
-    the same skew discipline as the LSH dedup buckets."""
+    the same skew discipline as the LSH dedup buckets.
+
+    The fuzzy join runs on the DISTINCT-NAME frames with min-key
+    representatives, and matches fan back onto the row-level feed by
+    name afterwards — the collapse that makes linkage tractable at
+    100 TB (and here): real feeds repeat names heavily, so block
+    sizes must depend on the NAME VOCABULARY, not the row count.
+    Blocking the raw rows tripped the max_block=10000 guard at sf1
+    (r5 finding: ~200k rows over a bounded name vocabulary put every
+    row-level block over the cap); the name-level rank by (distance,
+    representative=min partkey) provably selects the same winner the
+    row-level rank by (distance, partkey) would."""
     from azure_data_engineering_spark.operators.linkage import blocked_fuzzy_join
 
     p = _t(spark, sf_dir, "part")
+    lnames = p.groupBy("p_name").agg(F.min("p_partkey").alias("p_partkey"))
     dirty = p.select(
         (F.col("p_partkey") + 5_000_000).alias("feed_id"),
         F.expr("substring(p_name, 1, length(p_name) - 1)").alias("feed_name"),
     )
+    rnames = dirty.groupBy("feed_name").agg(F.min("feed_id").alias("rep_id"))
     linked = blocked_fuzzy_join(
-        p.select("p_partkey", "p_name"),
-        dirty,
+        lnames,
+        rnames,
         left_id="p_partkey",
-        right_id="feed_id",
+        right_id="rep_id",
         left_text="p_name",
         right_text="feed_name",
         block_keys=[
@@ -3555,33 +3568,41 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distance=2,
         k=1,
     )
-    return linked.select(
+    by_name = linked.join(rnames, "rep_id").select(
+        "feed_name", "p_partkey", "distance"
+    )
+    return dirty.join(by_name, "feed_name").select(
         "feed_id", "p_partkey", F.col("distance").cast("long").alias("distance")
     )
 
 
 Q_RECORD_LINKAGE_SQL = """
-WITH l AS (SELECT p_partkey, p_name FROM part),
-r AS (SELECT p_partkey + 5000000 AS feed_id,
-             substr(p_name, 1, length(p_name) - 1) AS feed_name
-      FROM part),
-cand AS (
-  SELECT DISTINCT r.feed_id, r.feed_name, l.p_partkey, l.p_name
+WITH l AS MATERIALIZED (
+  SELECT p_name, min(p_partkey) AS p_partkey FROM part GROUP BY 1
+), rrows AS MATERIALIZED (
+  SELECT p_partkey + 5000000 AS feed_id,
+         substr(p_name, 1, length(p_name) - 1) AS feed_name
+  FROM part
+), r AS MATERIALIZED (
+  SELECT feed_name, min(feed_id) AS rep_id FROM rrows GROUP BY 1
+), cand AS (
+  SELECT DISTINCT r.rep_id, r.feed_name, l.p_partkey, l.p_name
   FROM r JOIN l ON split_part(r.feed_name, ' ', 1) = split_part(l.p_name, ' ', 1)
   UNION
-  SELECT DISTINCT r.feed_id, r.feed_name, l.p_partkey, l.p_name
+  SELECT DISTINCT r.rep_id, r.feed_name, l.p_partkey, l.p_name
   FROM r JOIN l ON length(r.feed_name) = length(l.p_name)
 ), scored AS (
-  SELECT feed_id, p_partkey,
+  SELECT rep_id, feed_name, p_partkey,
          CAST(levenshtein(p_name, feed_name) AS BIGINT) AS distance
   FROM cand
   WHERE levenshtein(p_name, feed_name) <= 2
-), ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY feed_id
+), ranked AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY rep_id
                                ORDER BY distance, p_partkey) AS rn
   FROM scored
 )
-SELECT feed_id, p_partkey, distance FROM ranked WHERE rn = 1
+SELECT rr.feed_id, rk.p_partkey, rk.distance
+FROM rrows rr JOIN ranked rk ON rr.feed_name = rk.feed_name AND rk.rn = 1
 """
 
 
