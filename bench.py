@@ -81,6 +81,14 @@ HEADLINE = [
     "q_cms_count",
     "q_pareto_frontier",
     "q_record_linkage",
+    # round-5b additions: frontier BFS over the co-purchase graph,
+    # containment near-dup (inverted index + stop-shingle guard),
+    # basket association rules, RFM segmentation, k-NN label eval
+    "q_bfs_hops",
+    "q_containment_join",
+    "q_association_rules",
+    "q_rfm_segmentation",
+    "q_knn_classifier",
 ]
 
 ROUND = 5
@@ -100,6 +108,8 @@ PROBE_QUERIES = [
     "q_ann_ivfpq",
     "q_bpe_encode",
     "q_attribution",
+    # round-5b: pair-density-sensitive containment join
+    "q_containment_join",
 ]
 
 
