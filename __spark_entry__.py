@@ -11124,6 +11124,272 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty vs a reference slice (operators/quality.
+    novelty_score): 1 - (fraction of the doc's distinct 3-shingles
+    present anywhere in the reference) — the continuous complement
+    of decontamination, used to boost novel documents in mixing. The
+    reference collapses to one distinct gram set; docs LEFT-join it
+    on the gram key — never a doc x ref pair join."""
+    from azure_data_engineering_spark.operators.quality import novelty_score
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 10 == 0)
+    rest = d.filter(F.col("doc_id") % 10 != 0)
+    return novelty_score(rest, "text", "doc_id", ref, "text", k=3)
+
+
+Q_NOVELTY_SCORE_SQL = """
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM documents
+), sh AS MATERIALIZED (
+  SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                                for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS shingle_list
+  FROM norm
+), refg AS MATERIALIZED (
+  SELECT DISTINCT unnest(shingle_list) AS g FROM sh WHERE doc_id % 10 = 0
+), docg AS (
+  SELECT doc_id AS id, unnest(shingle_list) AS g FROM sh WHERE doc_id % 10 <> 0
+)
+SELECT d.id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       round(1.0 - sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS novelty
+FROM docg d LEFT JOIN refg r ON d.g = r.g
+GROUP BY d.id
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit (operators/stats.winsorize): per return
+    flag, clip extended prices at the exact [p05, p95] group
+    percentiles and report clip counts — heavy-tail taming for
+    feature pipelines. Percentile parity Spark percentile() ==
+    DuckDB quantile_cont() (both linear interpolation at p*(n-1)) is
+    the convention established by q_exact_percentile; boundary
+    comparisons are safe because an interpolated cut either lies
+    strictly between two data values or equals a repeated value
+    exactly in both engines."""
+    from azure_data_engineering_spark.operators.stats import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_returnflag", "l_extendedprice", lo=0.05, hi=0.95)
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.max("p_lo"), 4).alias("p_lo"),
+        F.round(F.max("p_hi"), 4).alias("p_hi"),
+        F.sum((F.col("l_extendedprice") < F.col("p_lo")).cast("long"))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum((F.col("l_extendedprice") > F.col("p_hi")).cast("long"))
+        .cast("long")
+        .alias("n_clipped_high"),
+    )
+
+
+Q_WINSORIZE_SQL = """
+WITH pct AS MATERIALIZED (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS p_lo,
+         quantile_cont(l_extendedprice, 0.95) AS p_hi
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(max(p.p_lo), 4) AS p_lo, round(max(p.p_hi), 4) AS p_hi,
+       CAST(sum(CASE WHEN l.l_extendedprice < p.p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN l.l_extendedprice > p.p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+FROM lineitem l JOIN pct p ON l.l_returnflag = p.l_returnflag
+GROUP BY 1
+"""
+
+
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering cosine over order baskets
+    (operators/affinity.item_similarity, Sarwar WWW'01): the
+    neighborhood-CF similarity table behind "customers also bought".
+    Pair volume bounded by basket size; exact integer counts under a
+    single sqrt make round(.,6) engine-identical."""
+    from azure_data_engineering_spark.operators.affinity import item_similarity
+
+    li = _t(spark, sf_dir, "lineitem")
+    return item_similarity(li, "l_orderkey", "l_partkey", min_pair_count=3)
+
+
+Q_ITEM_CF_SQL = """
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+), singles AS MATERIALIZED (SELECT item, count(*) AS n_item FROM bi GROUP BY 1),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_pair
+  FROM bi a JOIN bi b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT p.item_a, p.item_b, CAST(p.n_pair AS BIGINT) AS n_pair,
+       round(p.n_pair / sqrt(sa.n_item * sb.n_item), 6) AS cosine
+FROM pairs p
+JOIN singles sa ON p.item_a = sa.item
+JOIN singles sb ON p.item_b = sb.item
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document (functions/text.
+    flesch_reading_ease): whitespace words, vowel-group syllables
+    (regexp_count, RE2-safe), terminal-punctuation sentences floored
+    at 1. All counts exact integers, so the score is two IEEE
+    divisions — identical on every engine; the classic difficulty
+    prior next to the stopword/punct quality signals."""
+    from azure_data_engineering_spark.functions.text import (
+        flesch_reading_ease,
+        sentence_count,
+        syllable_count,
+        whitespace_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("long").alias("n_words"),
+        syllable_count(F.col("text")).cast("long").alias("n_syllables"),
+        sentence_count(F.col("text")).cast("long").alias("n_sentences"),
+        F.round(flesch_reading_ease(F.col("text")), 4).alias("flesch"),
+    )
+
+
+Q_READABILITY_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+FROM c
+"""
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.hits, 4 sum-
+    normalized rounds) on the bipartite customer -> part purchase
+    graph: mutually-reinforcing 'good buyers point at good products'
+    scores. Same join+agg-per-round, 1-row-broadcast-scalar,
+    localCheckpoint discipline as pagerank; scores rounded 6dp absorb
+    double accumulation-order drift; oracle unrolls the rounds."""
+    from azure_data_engineering_spark.operators.graph import hits
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") + 10_000_000).alias("src"),
+            F.col("l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    h = hits(edges, iterations=4)
+    return h.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
+def _hits_oracle_sql(iters: int = 4) -> str:
+    sql = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey + 10000000 AS src, l.l_partkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""
+    for i in range(iters):
+        sql += f""",
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub) AS a_raw FROM e JOIN h{i} h ON e.src = h.node GROUP BY 1
+), at{i} AS (SELECT sum(a_raw) AS s FROM ar{i}),
+a{i + 1} AS MATERIALIZED (
+  SELECT n.node, coalesce(ar.a_raw, 0.0) / s AS authority
+  FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node, at{i}
+), hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.authority) AS h_raw
+  FROM e JOIN a{i + 1} a ON e.dst = a.node GROUP BY 1
+), ht{i} AS (SELECT sum(h_raw) AS s FROM hr{i}),
+h{i + 1} AS MATERIALIZED (
+  SELECT n.node, coalesce(hr.h_raw, 0.0) / s AS hub
+  FROM nodes n LEFT JOIN hr{i} hr ON n.node = hr.node, ht{i}
+)"""
+    sql += f"""
+SELECT h.node, round(h.hub, 6) AS hub, round(a.authority, 6) AS authority
+FROM h{iters} h JOIN a{iters} a ON h.node = a.node"""
+    return sql
+
+
+Q_HITS_SQL = _hits_oracle_sql()
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/linkage.golden_record)
+    over a customer feed with injected duplicates (every 3rd customer
+    gains a stale copy; every 6th additionally a segment-corrupted
+    copy): categorical columns survive by deterministic mode (the
+    2-vote true segment beats the 1-vote corruption), numeric by MAX.
+    Two shuffles on the cluster key regardless of column count — the
+    merge step every entity-resolution pipeline runs after matching."""
+    from azure_data_engineering_spark.operators.linkage import golden_record
+
+    c = _t(spark, sf_dir, "customer")
+    dup1 = c.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") - 100.0, 2)
+    )
+    dup2 = (
+        c.filter(F.col("c_custkey") % 6 == 0)
+        .withColumn("c_mktsegment", F.concat(F.lit("X-"), F.col("c_mktsegment")))
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") - 50.0, 2))
+    )
+    feed = c.unionByName(dup1).unionByName(dup2)
+    return golden_record(
+        feed, "c_custkey", ["c_mktsegment", "c_name"], ["c_acctbal"]
+    )
+
+
+Q_GOLDEN_RECORD_SQL = """
+WITH feed AS MATERIALIZED (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+  UNION ALL
+  SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal - 100.0, 2)
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, 'X-' || c_mktsegment, round(c_acctbal - 50.0, 2)
+  FROM customer WHERE c_custkey % 6 = 0
+), seg AS MATERIALIZED (
+  SELECT c_custkey, val AS c_mktsegment FROM (
+    SELECT c_custkey, c_mktsegment AS val,
+           row_number() OVER (PARTITION BY c_custkey
+                              ORDER BY count(*) DESC, c_mktsegment ASC) AS rn
+    FROM feed WHERE c_mktsegment IS NOT NULL GROUP BY c_custkey, c_mktsegment
+  ) WHERE rn = 1
+), nm AS MATERIALIZED (
+  SELECT c_custkey, val AS c_name FROM (
+    SELECT c_custkey, c_name AS val,
+           row_number() OVER (PARTITION BY c_custkey
+                              ORDER BY count(*) DESC, c_name ASC) AS rn
+    FROM feed WHERE c_name IS NOT NULL GROUP BY c_custkey, c_name
+  ) WHERE rn = 1
+)
+SELECT f.c_custkey AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+       max(s.c_mktsegment) AS c_mktsegment, max(n.c_name) AS c_name,
+       max(f.c_acctbal) AS c_acctbal
+FROM feed f
+JOIN seg s ON f.c_custkey = s.c_custkey
+JOIN nm n ON f.c_custkey = n.c_custkey
+GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
 
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -11421,6 +11687,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonality": q_seasonality,
         "q_knn_classifier": q_knn_classifier,
         "q_stream_ohlc": q_stream_ohlc,
+        "q_novelty_score": q_novelty_score,
+        "q_winsorize": q_winsorize,
+        "q_item_cf": q_item_cf,
+        "q_readability": q_readability,
+        "q_hits": q_hits,
+        "q_golden_record": q_golden_record,
     }
 
 
@@ -11693,4 +11965,10 @@ def oracle_sql() -> dict[str, str]:
         "q_seasonality": Q_SEASONALITY_SQL,
         "q_knn_classifier": Q_KNN_CLASSIFIER_SQL,
         "q_stream_ohlc": Q_STREAM_OHLC_SQL,
+        "q_novelty_score": Q_NOVELTY_SCORE_SQL,
+        "q_winsorize": Q_WINSORIZE_SQL,
+        "q_item_cf": Q_ITEM_CF_SQL,
+        "q_readability": Q_READABILITY_SQL,
+        "q_hits": Q_HITS_SQL,
+        "q_golden_record": Q_GOLDEN_RECORD_SQL,
     }

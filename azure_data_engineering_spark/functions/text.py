@@ -144,3 +144,37 @@ def normalize_nfc(col: Column) -> Column:
     # classes (string hints from a local import don't resolve)
     _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_nfc, "string")(col)
+
+
+def syllable_count(col: Column) -> Column:
+    """Heuristic syllable count: the number of vowel GROUPS
+    ([aeiouy]+ runs) in the lowercased text — the standard cheap
+    approximation under readability formulas (each vowel cluster ≈
+    one syllable nucleus). Pure regexp_count, RE2-safe, identical in
+    any SQL oracle via len(regexp_extract_all(s, '[aeiouy]+'))."""
+    return F.regexp_count(F.lower(col), F.lit("[aeiouy]+"))
+
+
+def sentence_count(col: Column) -> Column:
+    """Sentence count as terminal-punctuation runs ([.!?]+), floored
+    at 1 so unpunctuated text counts as one sentence."""
+    return F.greatest(F.regexp_count(col, F.lit("[.!?]+")), F.lit(1))
+
+
+def flesch_reading_ease(col: Column) -> Column:
+    """Flesch reading ease (Flesch 1948):
+
+        206.835 - 1.015 * words/sentences - 84.6 * syllables/words
+
+    from whitespace words, vowel-group syllables, and terminal-
+    punctuation sentences — the classic text-difficulty prior used
+    as a quality/audience signal in corpus curation (alongside the
+    stopword/punct ratios in quality_score). All three counts are
+    exact integers, so the formula is two IEEE divisions — identical
+    on every engine."""
+    words = whitespace_token_count(col)
+    return (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentence_count(col))
+        - F.lit(84.6) * (syllable_count(col) / words)
+    )

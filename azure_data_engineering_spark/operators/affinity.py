@@ -81,3 +81,51 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def item_similarity(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Item-item co-occurrence cosine — the classic neighborhood
+    collaborative-filtering similarity (Sarwar et al., WWW 2001):
+
+        sim(a, b) = n_ab / sqrt(n_a * n_b)
+
+    over distinct (basket, item) incidence. Same bounded pair
+    generation as association_rules (pair volume scales with basket
+    size, never catalog size); the statistic is a single sqrt over
+    exact integer counts, so round(., 6) is engine-identical.
+    Returns one row per unordered pair (item_a < item_b):
+    (item_a, item_b, n_pair, cosine)."""
+    bi = baskets.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+    ).distinct()
+    singles = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = bi.alias("a"), bi.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    sa = singles.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    sb = singles.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(sa, "item_a")
+        .join(sb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(
+                F.col("n_pair") / F.sqrt(F.col("n_a") * F.col("n_b")), round_digits
+            ).alias("cosine"),
+        )
+    )

@@ -338,3 +338,69 @@ def k_core_prune(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+) -> DataFrame:
+    """Fixed-iteration HITS hubs & authorities (Kleinberg, JACM
+    1999): per round, authority(v) = sum of hub scores over in-edges,
+    hub(u) = sum of authority scores over out-edges, each
+    SUM-normalized (divide by the total, carried as a 1-row broadcast
+    frame) — sum normalization instead of the classical L2 because it
+    is exactly SQL-replayable and changes only the scale, not the
+    ranking. On a bipartite incidence graph (e.g. customers -> parts)
+    this is the classic "good buyers point at good products" mutual
+    reinforcement.
+
+    Same iteration discipline as pagerank: one join + one aggregate
+    per half-step, no driver state, localCheckpoint per round, fixed
+    rounds so the oracle unrolls the algebra. Returns (node, hub,
+    authority) over the full node universe (sources get authority 0
+    if nothing points at them, and vice versa)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint(eager=True)
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs, e.src == hubs.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_tot = a_raw.agg(F.sum("a_raw").alias("a_sum"))
+        auths = (
+            nodes.join(a_raw, "node", "left")
+            .join(F.broadcast(a_tot))
+            .select(
+                "node",
+                (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("a_sum")).alias(
+                    "authority"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auths, e.dst == auths.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("h_raw"))
+        )
+        h_tot = h_raw.agg(F.sum("h_raw").alias("h_sum"))
+        hubs = (
+            nodes.join(h_raw, "node", "left")
+            .join(F.broadcast(h_tot))
+            .select(
+                "node",
+                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("h_sum")).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return hubs.join(auths, "node")

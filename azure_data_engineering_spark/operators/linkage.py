@@ -116,3 +116,63 @@ def consonant_skeleton_key(col: Column, length: int = 6) -> Column:
         F.regexp_replace(F.substring(s, 2, 1_000_000), "[aeiouhwy]", ""),
     )
     return F.substring(key, 1, length)
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    mode_cols: Sequence[str],
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Survivorship / golden-record construction — the step AFTER
+    matching in every entity-resolution pipeline (Christen 2012
+    ch.2: merge matched records into one canonical row): per cluster,
+    categorical columns survive by deterministic MODE (most frequent
+    non-NULL value, ties toward the smallest value) and numeric
+    columns by MAX; NULLs never beat a non-NULL vote.
+
+    Scale shape: categorical columns melt into ONE (cluster, column,
+    value) frame (constant fan-out = |mode_cols|), a single count
+    aggregate + min_by argmax picks each winner, and a conditional-
+    aggregation pivot folds winners back to one row per cluster; the
+    numeric maxes ride a second plain aggregate joined by cluster.
+    Two shuffles total on the cluster key regardless of column count
+    or corpus size. Mode-column values are surfaced as STRINGS (the
+    melt needs one common type); cast back at the call site if
+    needed. Returns (cluster, n_members, <mode_cols...>,
+    <max_cols...>)."""
+    melted = df.select(
+        F.col(cluster_col).alias("cluster"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in mode_cols
+                ]
+            )
+        ).alias("p"),
+    ).select("cluster", "p.col", "p.val").filter(F.col("val").isNotNull())
+    counts = melted.groupBy("cluster", "col", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    winners = counts.groupBy("cluster", "col").agg(
+        F.min_by("val", F.struct((-F.col("cnt")).alias("nc"), F.col("val"))).alias(
+            "win"
+        )
+    )
+    pivoted = winners.groupBy("cluster").agg(
+        *[
+            F.max(F.when(F.col("col") == c, F.col("win"))).alias(c)
+            for c in mode_cols
+        ]
+    )
+    base = df.groupBy(F.col(cluster_col).alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        *[F.max(F.col(c)).alias(c) for c in max_cols],
+    )
+    return base.join(pivoted, "cluster", "left").select(
+        "cluster", "n_members", *mode_cols, *max_cols
+    )

@@ -213,3 +213,53 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(int(k))
+
+
+def novelty_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    reference: DataFrame,
+    ref_text_col: str,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction
+    of the doc's distinct word k-shingles that do NOT occur anywhere
+    in the reference —
+
+        novelty = 1 - |grams(doc) ∩ grams(ref)| / |grams(doc)|
+
+    The continuous complement of benchmark decontamination
+    (operators/decontaminate.py drops docs over an overlap threshold;
+    this SCORES overlap for mixing/sampling decisions — e.g. boost
+    novel documents, de-weight near-paraphrases of an existing
+    corpus).
+
+    Scale shape: the reference collapses to its DISTINCT gram set
+    once (one agg); docs explode to (id, gram) and LEFT-join that set
+    on the gram key — an equi-join shuffle bounded by gram counts,
+    never a doc x ref pair join. Hot boilerplate grams are plain join
+    keys handled by AQE. Returns (id, n_grams, n_seen, novelty)."""
+    from .dedup import shingles
+
+    ref_grams = (
+        reference.select(F.explode(shingles(F.col(ref_text_col), k)).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("g")
+    )
+    per_doc = (
+        doc_grams.join(ref_grams, "g", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_seen"),
+        )
+    )
+    return per_doc.withColumn(
+        "novelty",
+        F.round(1.0 - F.col("n_seen") / F.col("n_grams"), round_digits),
+    )

@@ -481,3 +481,33 @@ def poisson_bootstrap_ci(
     return ci.crossJoin(F.broadcast(point)).select(
         "n_resamples", "point_mean", "ci_lo", "ci_hi"
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Winsorization: clip values to their group's [lo, hi] exact
+    percentiles — the standard heavy-tail taming before means/
+    regressions (a trimmed-mean relative that keeps row count).
+
+    One exact-percentile aggregation per group (single pass, same
+    machinery as mad_outliers) broadcast back onto the rows; the clip
+    itself is codegen `least(greatest(...))`. Adds columns p_lo,
+    p_hi, <value>_wins, is_clipped without dropping any row, so the
+    operator composes into feature pipelines. At 100 TB the per-group
+    percentile frame is KB-sized and the join back is always a
+    broadcast."""
+    pct = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("p_hi"),
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(pct), group_col)
+        .withColumn(f"{value_col}_wins", F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi")))
+        .withColumn("is_clipped", (v < F.col("p_lo")) | (v > F.col("p_hi")))
+    )

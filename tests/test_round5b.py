@@ -419,3 +419,110 @@ class TestStreamingOhlc:
         got = {tuple(r) for r in streamed.collect()}
         want = {tuple(r) for r in batch.collect()}
         assert got == want and len(got) > 0
+
+
+from azure_data_engineering_spark.functions.text import (
+    flesch_reading_ease,
+    sentence_count,
+    syllable_count,
+)
+from azure_data_engineering_spark.operators.affinity import item_similarity
+from azure_data_engineering_spark.operators.graph import hits
+from azure_data_engineering_spark.operators.linkage import golden_record
+from azure_data_engineering_spark.operators.quality import novelty_score
+from azure_data_engineering_spark.operators.stats import winsorize
+
+
+class TestNoveltyScore:
+    def test_fractions(self, spark):
+        ref = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(10, "a b c d"), (11, "x y z w")], "doc_id long, text string"
+        )
+        out = {r.id: r for r in novelty_score(docs, "text", "doc_id", ref, "text", k=2).collect()}
+        assert out[10].novelty == 0.0  # every 2-gram seen in ref
+        assert out[11].novelty == 1.0  # nothing shared
+        assert out[10].n_grams == 3 and out[10].n_seen == 3
+
+
+class TestWinsorize:
+    def test_clip_bounds_and_flags(self, spark):
+        rows = [("g", float(v)) for v in range(1, 11)]  # 1..10
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = winsorize(df, "g", "v", lo=0.1, hi=0.9).collect()
+        # p10 = 1.9, p90 = 9.1 (linear interpolation at p*(n-1))
+        assert out[0].p_lo == pytest.approx(1.9)
+        assert out[0].p_hi == pytest.approx(9.1)
+        clipped = {r.v: (r.v_wins, r.is_clipped) for r in out}
+        assert clipped[1.0] == (pytest.approx(1.9), True)
+        assert clipped[10.0] == (pytest.approx(9.1), True)
+        assert clipped[5.0] == (5.0, False)
+        assert len(out) == 10  # no rows dropped
+
+
+class TestItemSimilarity:
+    def test_cosine_values(self, spark):
+        rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x")]
+        df = spark.createDataFrame(rows, "bk long, item string")
+        out = item_similarity(df, "bk", "item", min_pair_count=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        # n_xy=2, n_x=3, n_y=2 -> 2/sqrt(6)
+        assert (r.item_a, r.item_b) == ("x", "y")
+        assert r.cosine == pytest.approx(round(2 / (6 ** 0.5), 6))
+
+
+class TestReadability:
+    def test_counts_and_formula(self, spark):
+        df = spark.createDataFrame([("The cat sat. It ran!",)], "t string")
+        r = df.select(
+            syllable_count(F.col("t")).alias("syl"),
+            sentence_count(F.col("t")).alias("sen"),
+            F.round(flesch_reading_ease(F.col("t")), 4).alias("f"),
+        ).collect()[0]
+        # vowel groups: e(The) a(cat) a(sat) i(It) a(ran) = 5; 2 sentences
+        assert r.syl == 5
+        assert r.sen == 2
+        words = 5
+        expect = 206.835 - 1.015 * (words / 2) - 84.6 * (5 / words)
+        assert r.f == pytest.approx(round(expect, 4))
+
+    def test_unpunctuated_is_one_sentence(self, spark):
+        df = spark.createDataFrame([("no punctuation here",)], "t string")
+        assert df.select(sentence_count(F.col("t")).alias("s")).collect()[0].s == 1
+
+
+class TestHits:
+    def test_bipartite_authority_ordering(self, spark):
+        """Two hubs both point at part 100; only one points at 101:
+        100 must out-rank 101 in authority; scores sum to ~1."""
+        e = [(1, 100), (2, 100), (2, 101)]
+        df = spark.createDataFrame(e, "src long, dst long")
+        out = {r.node: r for r in hits(df, iterations=3).collect()}
+        assert out[100].authority > out[101].authority
+        a_sum = sum(r.authority for r in out.values())
+        h_sum = sum(r.hub for r in out.values())
+        assert a_sum == pytest.approx(1.0) and h_sum == pytest.approx(1.0)
+        # pure-source nodes have authority 0
+        assert out[1].authority == 0.0
+
+
+class TestGoldenRecord:
+    def test_survivorship_rules(self, spark):
+        rows = [
+            (1, "Ann", "AUTO", 50.0),
+            (1, "Ann", "AUTO", 40.0),   # stale dup: same segment, lower bal
+            (1, "Ann", "X-AUTO", 45.0), # corrupted dup: 1 vote loses 2-1
+            (2, "Bob", None, 10.0),     # NULL never beats a non-null...
+            (2, "Bob", "BIKE", 9.0),
+        ]
+        df = spark.createDataFrame(rows, "ck long, name string, seg string, bal double")
+        out = {r.cluster: r for r in golden_record(df, "ck", ["seg", "name"], ["bal"]).collect()}
+        assert out[1].seg == "AUTO" and out[1].bal == 50.0 and out[1].n_members == 3
+        assert out[2].seg == "BIKE" and out[2].name == "Bob"
+
+    def test_mode_tie_breaks_to_smallest(self, spark):
+        rows = [(1, "B"), (1, "A")]
+        df = spark.createDataFrame(rows, "ck long, seg string")
+        out = golden_record(df, "ck", ["seg"]).collect()[0]
+        assert out.seg == "A"
