@@ -423,3 +423,78 @@ def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
     df = chunk_by_tokens_overlap(d, "doc_id", "text", 40, 20)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1500]
+
+
+# ---- round-5b operators: the same 100 TB plan discipline ----
+
+
+def test_containment_join_no_cartesian(spark, sf_dir):
+    """Containment candidates come from the shingle inverted index —
+    an equi-join on the gram key, never an all-pairs product."""
+    assert_no_cartesian(entrymod.q_containment_join(spark, sf_dir))
+
+
+def test_association_rules_no_cartesian_and_pair_join_on_basket(spark, sf_dir):
+    """Pair generation must be the basket-key EQUI self-join (pair
+    volume bounded by basket size), never a product over the catalog.
+    At test scale AQE broadcasts the hash joins; the only
+    nested-loop join allowed is the 1-row n_baskets scalar frame."""
+    df = entrymod.q_association_rules(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+
+
+def test_knn_classifier_broadcasts_queries(spark, sf_dir):
+    """The held-out query set rides a broadcast; the corpus is
+    scanned once — no shuffle of the big side for the scoring join."""
+    plan = formatted_plan(entrymod.q_knn_classifier(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_topk_uses_window_group_limit(spark, sf_dir):
+    """Per-query top-k must be rank-limited inside the window
+    (WindowGroupLimit pushdown), not a full sort + filter."""
+    assert "WindowGroupLimit" in formatted_plan(
+        entrymod.q_knn_classifier(spark, sf_dir)
+    )
+
+
+def test_ohlc_is_single_aggregation(spark, sf_dir):
+    """OHLC must be ONE map-side-combinable aggregate: exactly one
+    Exchange (the groupBy shuffle), no window operator."""
+    plan = formatted_plan(entrymod.q_ohlc_resample(spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # agg shuffle (+ AQE read)
+    assert "Window" not in plan
+
+
+def test_rfm_ntile_runs_on_entity_frame(spark, sf_dir):
+    """The fact table collapses to one row per entity BEFORE any
+    ntile window: the plan's windows must sit above the entity
+    aggregate (HashAggregate appears below Window in the tree)."""
+    plan = formatted_plan(entrymod.q_rfm_segmentation(spark, sf_dir))
+    assert "Window" in plan and "HashAggregate" in plan
+    assert_no_cartesian(entrymod.q_rfm_segmentation(spark, sf_dir))
+
+
+def test_kaplan_meier_histogram_first(spark, sf_dir):
+    """KM windows must run over the distinct-duration histogram: the
+    Window operator consumes an aggregate (formatted plans print
+    top-down, so Window appears BEFORE the HashAggregate feeding it)."""
+    plan = formatted_plan(entrymod.q_kaplan_meier(spark, sf_dir))
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+def test_novelty_no_cartesian(spark, sf_dir):
+    assert_no_cartesian(entrymod.q_novelty_score(spark, sf_dir))
+
+
+def test_winsorize_percentile_frame_is_broadcast(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_winsorize(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
