@@ -11390,6 +11390,155 @@ GROUP BY 1
 """
 
 
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial Naive Bayes, trained AND applied in
+    one declarative plan (operators/nbayes.naive_bayes_predict):
+    fit on 80% of documents (doc_id % 5 != 0), classify the held-out
+    20%, report per-true-language accuracy. Training is ONE
+    tokenize+count pass; prediction is a token-keyed left join with
+    smoothed back-off for unseen tokens and a rounded-score argmax —
+    real ML training inside Catalyst, no driver-side fit, every count
+    replayed by the oracle."""
+    from azure_data_engineering_spark.operators.nbayes import naive_bayes_predict
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    pred = naive_bayes_predict(train, test, "text", "lang", "doc_id", alpha=1.0)
+    truth = test.select(F.col("doc_id").alias("id"), F.col("lang").alias("true_label"))
+    return (
+        pred.join(truth, "id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("predicted_label") == F.col("true_label")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .withColumn("accuracy", F.round(F.col("n_correct") / F.col("n_docs"), 6))
+    )
+
+
+Q_NAIVE_BAYES_SQL = """
+WITH tr AS MATERIALIZED (
+  SELECT lang AS cls,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE doc_id % 5 <> 0
+), counts AS MATERIALIZED (
+  SELECT cls, token, count(*) AS c FROM tr WHERE token <> '' GROUP BY 1, 2
+), ct AS MATERIALIZED (SELECT cls, sum(c) AS n_c FROM counts GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM counts),
+dc AS MATERIALIZED (
+  SELECT lang AS cls, count(*) AS nd FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+), pri AS MATERIALIZED (
+  SELECT cls, ln(nd / (SELECT CAST(sum(nd) AS DOUBLE) FROM dc)) AS ln_prior FROM dc
+), classes AS MATERIALIZED (
+  SELECT p.cls, p.ln_prior, t.n_c, v.v FROM pri p JOIN ct t USING (cls), v
+), te AS MATERIALIZED (
+  SELECT doc_id AS id,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE doc_id % 5 = 0
+), sc AS (
+  SELECT t.id, c.cls, c.ln_prior,
+         ln((coalesce(k.c, 0) + 1.0) / (c.n_c + 1.0 * c.v)) AS lp
+  FROM (SELECT * FROM te WHERE token <> '') t
+  CROSS JOIN classes c
+  LEFT JOIN counts k ON k.token = t.token AND k.cls = c.cls
+), pc AS MATERIALIZED (
+  SELECT id, cls, round(ln_prior + sum(lp), 6) AS score
+  FROM sc GROUP BY id, cls, ln_prior
+), pred AS MATERIALIZED (
+  SELECT id, cls AS predicted FROM (
+    SELECT id, cls,
+           row_number() OVER (PARTITION BY id ORDER BY score DESC, cls ASC) AS rn
+    FROM pc
+  ) WHERE rn = 1
+)
+SELECT d.lang AS true_label, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p.predicted = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN p.predicted = d.lang THEN 1 ELSE 0 END) / count(*), 6) AS accuracy
+FROM pred p JOIN documents d ON p.id = d.doc_id
+GROUP BY 1
+"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test on the events stream: users split by
+    user_id parity, conversion = any 'purchase' event; pooled
+    z-statistic for the rate difference — the experiment-analysis
+    primitive beside chi-squared (effect on a 2x2) and the Poisson
+    bootstrap (CIs). Everything derives from four exact integers, so
+    the statistic is pure IEEE arithmetic — identical on every
+    engine with no rounding tricks beyond the output format."""
+    ev = _t(spark, sf_dir, "events")
+    # conversion must be SCARCE for the test to be non-degenerate
+    # (every user has some purchase at this event density): a
+    # high-value purchase. The z denominator is nullif-guarded for
+    # the all-or-none pool (p_pool in {0,1} -> z undefined, NULL).
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 199.0)).cast(
+                "int"
+            )
+        ).alias("conv")
+    )
+    grp = per_user.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("conv").cast("double").alias("c"),
+    )
+    a = grp.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = grp.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    p_pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    den = F.nullif(
+        F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+        F.lit(0.0),
+    )
+    z = (F.col("conv_a") / F.col("n_a") - F.col("conv_b") / F.col("n_b")) / den
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(F.col("conv_a") / F.col("n_a"), 6).alias("rate_a"),
+        F.round(F.col("conv_b") / F.col("n_b"), 6).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.959963984540054).alias("significant_95"),
+    )
+
+
+Q_AB_TEST_SQL = """
+WITH pu AS MATERIALIZED (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 199.0 THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), g AS MATERIALIZED (
+  SELECT user_id % 2 AS variant, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(conv) AS DOUBLE) AS c
+  FROM pu GROUP BY 1
+), a AS (SELECT n AS n_a, c AS conv_a FROM g WHERE variant = 0),
+b AS (SELECT n AS n_b, c AS conv_b FROM g WHERE variant = 1),
+j AS (
+  SELECT *,
+         (conv_a + conv_b) / (n_a + n_b) AS p_pool
+  FROM a, b
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+       round(conv_a / n_a, 6) AS rate_a,
+       round(conv_b / n_b, 6) AS rate_b,
+       round((conv_a / n_a - conv_b / n_b)
+             / nullif(sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 0.0), 4) AS z_stat,
+       abs((conv_a / n_a - conv_b / n_b)
+           / nullif(sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 0.0)) > 1.959963984540054 AS significant_95
+FROM j
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
 
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -11693,6 +11842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_readability": q_readability,
         "q_hits": q_hits,
         "q_golden_record": q_golden_record,
+        "q_naive_bayes": q_naive_bayes,
+        "q_ab_test": q_ab_test,
     }
 
 
@@ -11971,4 +12122,6 @@ def oracle_sql() -> dict[str, str]:
         "q_readability": Q_READABILITY_SQL,
         "q_hits": Q_HITS_SQL,
         "q_golden_record": Q_GOLDEN_RECORD_SQL,
+        "q_naive_bayes": Q_NAIVE_BAYES_SQL,
+        "q_ab_test": Q_AB_TEST_SQL,
     }

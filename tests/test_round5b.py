@@ -526,3 +526,51 @@ class TestGoldenRecord:
         df = spark.createDataFrame(rows, "ck long, seg string")
         out = golden_record(df, "ck", ["seg"]).collect()[0]
         assert out.seg == "A"
+
+
+from azure_data_engineering_spark.operators.nbayes import naive_bayes_predict
+
+
+class TestNaiveBayes:
+    def test_separable_classes(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "apple banana apple", "fruit"),
+                (2, "banana apple fruit salad", "fruit"),
+                (3, "bolt wrench hammer", "tool"),
+                (4, "hammer bolt screwdriver", "tool"),
+            ],
+            "doc_id long, text string, lbl string",
+        )
+        test = spark.createDataFrame(
+            [(10, "apple banana"), (11, "hammer bolt bolt")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.id: r.predicted_label
+            for r in naive_bayes_predict(train, test, "text", "lbl", "doc_id").collect()
+        }
+        assert out == {10: "fruit", 11: "tool"}
+
+    def test_unseen_tokens_back_off_not_crash(self, spark):
+        train = spark.createDataFrame(
+            [(1, "aa bb", "x"), (2, "cc dd cc", "y")], "doc_id long, text string, lbl string"
+        )
+        test = spark.createDataFrame(
+            [(10, "zz qq")], "doc_id long, text string"
+        )
+        out = naive_bayes_predict(train, test, "text", "lbl", "doc_id").collect()
+        # all tokens unseen: likelihoods equal per token count, prior
+        # ties (1 doc each) -> deterministic smallest label wins
+        assert out[0].predicted_label == "x"
+
+    def test_prior_breaks_blank_likelihood(self, spark):
+        """Class imbalance shows up through the prior when the
+        likelihoods tie."""
+        train = spark.createDataFrame(
+            [(1, "aa", "maj"), (2, "aa", "maj"), (3, "aa", "min")],
+            "doc_id long, text string, lbl string",
+        )
+        test = spark.createDataFrame([(10, "aa")], "doc_id long, text string")
+        out = naive_bayes_predict(train, test, "text", "lbl", "doc_id").collect()
+        assert out[0].predicted_label == "maj"
