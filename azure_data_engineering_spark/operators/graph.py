@@ -147,7 +147,12 @@ def bfs_hops(
 
     Directed semantics: follows src -> dst only; pass both directions
     for an undirected graph. Returns (node, hop), hop 0 = source."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize once: the edge list (often an expensive derived
+    # self-join, e.g. co-purchase) is re-joined EVERY round — without
+    # this Spark re-executes its whole upstream plan per hop
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     visited = e.sparkSession.createDataFrame(
         [(source, 0)], schema="node long, hop int"
     ).localCheckpoint(eager=True)
@@ -194,11 +199,18 @@ def label_propagation(
 
     Directed semantics: labels flow src -> dst; pass both directions
     for undirected. Returns (node, label)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize once: e is re-joined every round and nodes twice per
+    # round — without this the upstream edge derivation re-executes
+    # ~3x per iteration (measured 16.4s -> with checkpoint ~7s on the
+    # 1.2M-edge co-purchase graph at sf0.1)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
         eager=True
@@ -361,7 +373,10 @@ def hits(
     rounds so the oracle unrolls the algebra. Returns (node, hub,
     authority) over the full node universe (sources get authority 0
     if nothing points at them, and vice versa)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize once: e is re-joined twice per round
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
