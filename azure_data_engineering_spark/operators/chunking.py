@@ -237,3 +237,56 @@ def chunk_by_tokens_overlap(
             else []
         ),
     )
+
+
+def fim_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle"): split each
+    document into prefix | middle | suffix at two DETERMINISTIC
+    pivots and re-serialize as <PRE>prefix<SUF>suffix<MID>middle —
+    the PSM order FIM-trained code models consume.
+
+    Pivots come from the engine's md5 unit-interval draw
+    (operators/sampling.hash_unit) keyed on the document id, so the
+    transform is a pure function of the row — identical on every
+    run, partitioning, and engine (the oracle replays the same md5
+    arithmetic). Text is first canonicalized to printable ASCII so
+    both engines index the same character positions. Shuffle-free:
+    one narrow projection, embarrassingly parallel at any scale.
+
+    Output is schema-stable and scalar-only: (id, n_chars, split_a,
+    split_b, fim_md5) with the reassembled string carried as an md5
+    fingerprint, matching the registry's scalar-output contract.
+    """
+    from azure_data_engineering_spark.operators.sampling import hash_unit
+
+    s = F.regexp_replace(F.col(text_col), "[^ -~]", "")
+    d = df.select(
+        F.col(id_col).alias("id"), s.alias("s"), F.length(s).alias("n")
+    ).filter(F.col("n") >= min_len)
+    u1 = hash_unit(F.col("id"), "fim-a")
+    u2 = hash_unit(F.col("id"), "fim-b")
+    a = (F.lit(1) + F.floor(u1 * (F.col("n") - 2))).cast("long")
+    d = d.select("id", "s", "n", a.alias("a"))
+    b = (F.col("a") + 1 + F.floor(u2 * (F.col("n") - F.col("a") - 1))).cast("long")
+    d = d.select("id", "s", "n", "a", b.alias("b"))
+    fim = F.concat(
+        F.lit("<PRE>"),
+        F.substring(F.col("s"), F.lit(1), F.col("a")),
+        F.lit("<SUF>"),
+        F.substring(F.col("s"), F.col("b") + 1, F.col("n") - F.col("b")),
+        F.lit("<MID>"),
+        F.substring(F.col("s"), F.col("a") + 1, F.col("b") - F.col("a")),
+    )
+    return d.select(
+        "id",
+        F.col("n").alias("n_chars"),
+        F.col("a").alias("split_a"),
+        F.col("b").alias("split_b"),
+        F.md5(fim).alias("fim_md5"),
+    )

@@ -1,0 +1,422 @@
+"""In-plan classical ML: PCA, ridge regression, logistic GD, decision
+stumps, calibration — all trained INSIDE Catalyst, no driver-side fit.
+
+The reference pipeline (ref adffunction/__init__.py:57-117) stops at
+"load and validate"; a training-data engine also needs the classical
+statistics that gate corpora (dominant components for diversity
+sampling, linear probes for quality, calibration for the classifier
+that decides what 100 TB keeps). Everything here follows the engine's
+iterative-operator discipline (operators/kmeans.py, graph.py):
+
+- model state lives in TINY row sets (a 64x64 Gram frame, a 1-row
+  weight frame), updated per round with broadcast joins and
+  localCheckpoint lineage truncation — the corpus never leaves
+  executors and is touched once per pass;
+- FIXED iteration counts + per-round rounding pin the whole run to a
+  deterministic algebraic function of the input, so a SQL oracle can
+  replay the exact rounds as chained MATERIALIZED CTEs;
+- heavy reductions use map-side partial aggregation; the only Python
+  is the Arrow-batched Gram partials in pca_power (one 64x64 matrix
+  emitted per Arrow batch — output size is independent of row count,
+  the canonical 100 TB reduction shape).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _gram_partials(vec_col: str, dim: int):
+    """mapInPandas kernel: per Arrow batch, emit the dim x dim upper
+    triangle of X^T X plus per-dim sums and the row count — a
+    fixed-size partial state per batch (the 100 TB shape: a 1 B-row
+    partition still emits ~dim^2/2 rows)."""
+    import numpy as np
+
+    def fn(batches):
+        for pdf in batches:
+            x = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            if x.size == 0:
+                continue
+            g = x.T @ x
+            s = x.sum(axis=0)
+            i, j = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([i, np.arange(dim), [-1]]),
+                    "j": np.concatenate([j, np.full(dim, -1), [-1]]),
+                    "s": np.concatenate([g[i, j], s, [float(len(pdf))]]),
+                }
+            )
+
+    return fn
+
+
+def pca_power(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    iterations: int = 8,
+    cov_decimals: int = 6,
+    vec_decimals: int = 9,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """First principal component by power iteration, end to end in
+    one plan; returns (id, pc1) scores plus the Rayleigh-quotient
+    variance estimate on every row.
+
+    Stage 1 — covariance: Arrow-batched Gram partials (see
+    _gram_partials) are summed into a dim x dim frame; C = (S -
+    m m^T / n) / n is assembled from raw moments and rounded to
+    cov_decimals so both engines power-iterate IDENTICAL doubles
+    (accumulation-order drift dies here, before it can compound).
+    Stage 2 — power iteration: v_{t+1} = round(C v_t / |C v_t|,
+    vec_decimals), `iterations` fixed rounds; each round is a
+    dim^2-row broadcast join + a scalar-norm crossJoin on frames of
+    at most dim^2 rows, localCheckpoint-ed. Deterministic init
+    v_0 = 1/sqrt(dim).
+    Stage 3 — projection: one broadcast join of the dim-row
+    component against the pos-exploded corpus; pc1 = (x - mu) . v.
+
+    The oracle replays stages 1-3 as MATERIALIZED CTEs (covariance
+    from the same raw moments, the same rounded rounds), so this is
+    hash-exact cross-engine, not a recall-gated approximation.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    moments = (
+        base.mapInPandas(_gram_partials("v", dim), schema="i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    n = moments.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    mean = (
+        moments.filter((F.col("i") >= 0) & (F.col("j") == -1))
+        .crossJoin(F.broadcast(n))
+        .select(F.col("i").alias("pos"), (F.col("s") / F.col("n")).alias("mu"))
+    )
+    # mirror the upper triangle so C is a full dim x dim row set
+    upper = moments.filter((F.col("i") >= 0) & (F.col("j") >= 0))
+    sym = upper.union(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s"
+        )
+    )
+    mu_i = mean.select(F.col("pos").alias("i"), F.col("mu").alias("mu_i"))
+    mu_j = mean.select(F.col("pos").alias("j"), F.col("mu").alias("mu_j"))
+    cov = (
+        sym.join(F.broadcast(mu_i), "i")
+        .join(F.broadcast(mu_j), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("s") - F.col("mu_i") * F.col("mu_j") * F.col("n")) / F.col("n"),
+                cov_decimals,
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = cov.select(F.col("j").alias("pos")).distinct().select(
+        "pos", (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("vv")
+    )
+    for _ in range(iterations):
+        w = (
+            cov.join(F.broadcast(v.withColumnRenamed("pos", "j")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vv")).alias("w"))
+        )
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select(
+                F.col("i").alias("pos"),
+                F.round(F.col("w") / F.col("nrm"), vec_decimals).alias("vv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    lam = (
+        cov.join(F.broadcast(v.select(F.col("pos").alias("i"), F.col("vv").alias("vi"))), "i")
+        .join(F.broadcast(v.select(F.col("pos").alias("j"), F.col("vv").alias("vj"))), "j")
+        .agg(F.round(F.sum(F.col("c") * F.col("vi") * F.col("vj")), out_decimals).alias("variance_pc1"))
+    )
+    ex = base.select("id", F.posexplode("v").alias("pos", "x"))
+    proj = (
+        ex.join(F.broadcast(mean), "pos")
+        .join(F.broadcast(v), "pos")
+        .groupBy("id")
+        .agg(F.round(F.sum((F.col("x") - F.col("mu")) * F.col("vv")), out_decimals).alias("pc1"))
+    )
+    return proj.crossJoin(F.broadcast(lam))
+
+
+def ridge_closed_form(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    scale1: int = 1,
+    scale2: int = 1,
+    scale_y: int = 1,
+    lam: float = 1.0,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Two-feature ridge regression solved in closed form inside the
+    plan: ONE aggregation over the fact table collects the 3x3
+    normal-equation moments, then Cramer's rule on the 1-row moment
+    frame yields (w0, w1, w2) — no iterations, no driver math, no
+    second pass. R^2 comes from the same moment row.
+
+    Exactness contract: inputs are fixed-point reals stored as
+    float64 (TPC-H money/quantity columns); each is converted to
+    integer units via round(x * scale) and the moments are summed as
+    DECIMAL(38,0) — EXACT integers, so both engines cast the SAME
+    doubles into the Cramer arithmetic and the coefficients match to
+    the last bit before the final display rounding. This is the same
+    exact-decimal discipline as the engine's money aggregates
+    (q_decimal_agg), applied to second-order moments.
+
+    At 100 TB the plan is a single map-side-combined aggregate to a
+    1-row frame: the cheapest possible distributed shape.
+    """
+    d = df.select(
+        F.round(F.col(x1) * scale1, 0).cast("decimal(38,0)").alias("a"),
+        F.round(F.col(x2) * scale2, 0).cast("decimal(38,0)").alias("b"),
+        F.round(F.col(y) * scale_y, 0).cast("decimal(38,0)").alias("t"),
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("a").cast("double") / scale1).alias("s1"),
+        (F.sum("b").cast("double") / scale2).alias("s2"),
+        (F.sum(F.col("a") * F.col("a")).cast("double") / (scale1 * scale1)).alias("s11"),
+        (F.sum(F.col("a") * F.col("b")).cast("double") / (scale1 * scale2)).alias("s12"),
+        (F.sum(F.col("b") * F.col("b")).cast("double") / (scale2 * scale2)).alias("s22"),
+        (F.sum(F.col("t")).cast("double") / scale_y).alias("sy"),
+        (F.sum(F.col("a") * F.col("t")).cast("double") / (scale1 * scale_y)).alias("s1y"),
+        (F.sum(F.col("b") * F.col("t")).cast("double") / (scale2 * scale_y)).alias("s2y"),
+        (F.sum(F.col("t") * F.col("t")).cast("double") / (scale_y * scale_y)).alias("syy"),
+    )
+    # normal equations (A + lam*diag(0,1,1)) w = r, A = [[n,s1,s2],
+    # [s1,s11+lam,s12],[s2,s12,s22+lam]] — intercept not penalized
+    a11, a12, a13 = F.col("n"), F.col("s1"), F.col("s2")
+    a22 = F.col("s11") + lam
+    a23 = F.col("s12")
+    a33 = F.col("s22") + lam
+    r1, r2, r3 = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    w0 = (
+        r1 * (a22 * a33 - a23 * a23)
+        - a12 * (r2 * a33 - a23 * r3)
+        + a13 * (r2 * a23 - a22 * r3)
+    ) / det
+    w1 = (
+        a11 * (r2 * a33 - r3 * a23)
+        - r1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * r3 - r2 * a13)
+    ) / det
+    w2 = (
+        a11 * (a22 * r3 - a23 * r2)
+        - a12 * (a12 * r3 - r2 * a13)
+        + r1 * (a12 * a23 - a22 * a13)
+    ) / det
+    sse = (
+        F.col("syy")
+        + w0 * w0 * F.col("n")
+        + w1 * w1 * F.col("s11")
+        + w2 * w2 * F.col("s22")
+        - 2 * w0 * F.col("sy")
+        - 2 * w1 * F.col("s1y")
+        - 2 * w2 * F.col("s2y")
+        + 2 * w0 * w1 * F.col("s1")
+        + 2 * w0 * w2 * F.col("s2")
+        + 2 * w1 * w2 * F.col("s12")
+    )
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(w0, out_decimals).alias("w0"),
+        F.round(w1, out_decimals).alias("w1"),
+        F.round(w2, out_decimals).alias("w2"),
+        F.round(F.lit(1.0) - sse / sst, out_decimals).alias("r2"),
+    )
+
+
+def logistic_gd(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    iterations: int = 6,
+    lr: float = 1.0,
+    grad_decimals: int = 9,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Full-batch logistic regression by fixed-round gradient descent,
+    entirely in-plan: the weight vector is a 1-ROW frame, each round
+    broadcasts it over the corpus, aggregates the mean gradient
+    map-side, rounds it to grad_decimals (pinning the trajectory to
+    identical doubles in every engine — the kmeans/pagerank rounding
+    discipline applied to SGD), and crossJoins the update. One corpus
+    pass per round, lineage truncated per round; at 100 TB each round
+    is a single scan + 3-number reduce.
+
+    Returns 1 row: (w0, w1, w2, accuracy, log_loss) at the final
+    weights (one extra scoring pass).
+    """
+    base = df.select(
+        F.col(x1).cast("double").alias("x1"),
+        F.col(x2).cast("double").alias("x2"),
+        F.col(y).cast("double").alias("t"),
+    )
+    spark = df.sparkSession
+    w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
+    for _ in range(iterations):
+        z = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = (
+            base.crossJoin(F.broadcast(w))
+            .agg(
+                F.round(F.avg(p - F.col("t")), grad_decimals).alias("g0"),
+                F.round(F.avg((p - F.col("t")) * F.col("x1")), grad_decimals).alias("g1"),
+                F.round(F.avg((p - F.col("t")) * F.col("x2")), grad_decimals).alias("g2"),
+            )
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                (F.col("w0") - lr * F.col("g0")).alias("w0"),
+                (F.col("w1") - lr * F.col("g1")).alias("w1"),
+                (F.col("w2") - lr * F.col("g2")).alias("w2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    z = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # clamp for log-loss: p can hit exactly 0/1 in double at large |z|
+    pc = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    return (
+        base.crossJoin(F.broadcast(w))
+        .agg(
+            F.round(F.first("w0"), out_decimals).alias("w0"),
+            F.round(F.first("w1"), out_decimals).alias("w1"),
+            F.round(F.first("w2"), out_decimals).alias("w2"),
+            F.round(
+                F.avg(((p >= 0.5).cast("double") == F.col("t")).cast("double")),
+                out_decimals,
+            ).alias("accuracy"),
+            F.round(
+                F.avg(
+                    -(F.col("t") * F.log(pc) + (F.lit(1.0) - F.col("t")) * F.log(F.lit(1.0) - pc))
+                ),
+                out_decimals,
+            ).alias("log_loss"),
+        )
+    )
+
+
+def decision_stump(
+    df: DataFrame,
+    feature: str,
+    label: str,
+    feature_decimals: int = 2,
+    gain_decimals: int = 9,
+) -> DataFrame:
+    """Best single-feature threshold split by information gain, as one
+    sort-free aggregation + one window pass over the DISTINCT feature
+    values: candidate thresholds collapse to the value histogram
+    (bounded by cardinality, not row count — the same collapse
+    bpe_train uses on words), cumulative class counts come from a
+    running-sum window, and the argmax is a 1-row TakeOrdered.
+
+    Entropies are computed from EXACT integer counts, so the only
+    float work is log2 on identical operands — cross-engine safe
+    after gain rounding. Returns 1 row: threshold (split is x <=
+    threshold), gain_bits, left/right row and positive counts.
+
+    The single-partition window over distinct values is bounded by
+    the feature's cardinality (fixed-point-rounded via
+    feature_decimals); for truly continuous features pre-bucket with
+    quantile_binning first.
+    """
+    d = df.select(
+        F.round(F.col(feature), feature_decimals).alias("x"),
+        F.col(label).cast("long").alias("t"),
+    )
+    hist = d.groupBy("x").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("t").alias("pos")
+    )
+    win = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = hist.agg(
+        F.sum("cnt").alias("n_all"), F.sum("pos").alias("p_all")
+    )
+    cum = (
+        hist.select(
+            "x",
+            F.sum("cnt").over(win).alias("n_l"),
+            F.sum("pos").over(win).alias("p_l"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_l") < F.col("n_all"))  # rightmost value: no split
+    )
+
+    def ent(p, n):
+        # binary entropy in bits from exact counts; 0*log(0) -> 0
+        frac = p.cast("double") / n.cast("double")
+        return -(
+            F.when(frac > 0, frac * F.log2(frac)).otherwise(F.lit(0.0))
+            + F.when(frac < 1, (1 - frac) * F.log2(1 - frac)).otherwise(F.lit(0.0))
+        )
+
+    n_r = F.col("n_all") - F.col("n_l")
+    p_r = F.col("p_all") - F.col("p_l")
+    gain = ent(F.col("p_all"), F.col("n_all")) - (
+        F.col("n_l") / F.col("n_all") * ent(F.col("p_l"), F.col("n_l"))
+        + n_r / F.col("n_all") * ent(p_r, n_r)
+    )
+    scored = cum.select(
+        F.col("x").alias("threshold"),
+        F.round(gain, gain_decimals).alias("gain_bits"),
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("p_l").cast("long").alias("pos_left"),
+        n_r.cast("long").alias("n_right"),
+        p_r.cast("long").alias("pos_right"),
+    )
+    return scored.orderBy(F.col("gain_bits").desc(), F.col("threshold").asc()).limit(1)
+
+
+def calibration_bins(
+    df: DataFrame,
+    score: str,
+    label: str,
+    bins: int = 10,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier: fixed-width
+    probability bins, per-bin (n, mean predicted, observed rate,
+    |gap|) — the calibration evidence a corpus-gating classifier
+    needs before its threshold is trusted at 100 TB. One group-by
+    over the scored frame; bin ids from exact arithmetic
+    (floor(p * bins) clamped to bins-1).
+    """
+    d = df.select(F.col(score).cast("double").alias("p"), F.col(label).cast("double").alias("t"))
+    b = F.least(F.floor(F.col("p") * bins).cast("int"), F.lit(bins - 1))
+    return (
+        d.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("p"), out_decimals).alias("mean_predicted"),
+            F.round(F.avg("t"), out_decimals).alias("observed_rate"),
+            F.round(F.abs(F.avg("p") - F.avg("t")), out_decimals).alias("abs_gap"),
+        )
+    )

@@ -209,3 +209,59 @@ def knn_classify(
         "win.predicted_label",
         F.col("win.n_votes").cast("long").alias("n_votes"),
     )
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    out_dim: int = 16,
+    salt: str = "rp",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection (Achlioptas, JCSS
+    2003): y_j = sum_i x_i * r_ij with r_ij = +-1/sqrt(out_dim), the
+    dimensionality-reduction front-end that cuts ANN/cluster cost
+    4x here (64 -> 16 dims) while preserving pairwise distances to
+    1 +- eps with high probability.
+
+    The projection matrix is NEVER materialized driver-side: it is a
+    dim x out_dim row set generated IN-PLAN from the engine's md5
+    unit draw keyed on (i * 1000 + j), so any engine regenerates the
+    exact same matrix — the oracle replays it symbolically. Plan:
+    2-row-set crossJoin (dim x out_dim, trivially broadcast) joined
+    onto the pos-exploded vectors, then one (id, j) aggregation —
+    a single shuffle whose width is out_dim/dim of the input's.
+
+    Returns long-form (id, j, y) with y rounded so downstream
+    distance sums are accumulation-order-safe.
+    """
+    from azure_data_engineering_spark.operators.sampling import hash_unit
+
+    spark = df.sparkSession
+    rows = spark.range(dim).select(F.col("id").cast("int").alias("pos"))
+    cols = spark.range(out_dim).select(F.col("id").cast("int").alias("j"))
+    r = rows.crossJoin(cols).select(
+        "pos",
+        "j",
+        F.when(
+            hash_unit(F.col("pos") * 1000 + F.col("j"), salt) < 0.5, -1.0
+        )
+        .otherwise(1.0)
+        .alias("sgn"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    ex = base.select("id", F.posexplode("v").alias("pos", "x"))
+    inv_sqrt = 1.0 / math.sqrt(float(out_dim))
+    return (
+        ex.join(F.broadcast(r), "pos")
+        .groupBy("id", "j")
+        .agg(
+            F.round(F.sum(F.col("x") * F.col("sgn") * inv_sqrt), round_decimals).alias(
+                "y"
+            )
+        )
+    )
