@@ -595,14 +595,22 @@ def containment_pairs(
     base = (
         _ensure_parallelism(df.select(id_col, text_col))
         .select(F.col(id_col).alias("id"), mk(F.col(text_col), k).alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
     )
-    ex = base.select("id", "n_sh", F.explode("sh").alias("s"))
+    ex = base.select("id", F.explode("sh").alias("s"))
     if max_df is not None:
         dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
         ex = (
             ex.join(dfreq.filter(F.col("__df") <= max_df).select("s"), "s")
         )
+    # denominator AFTER the stop-shingle drop (ADVICE r5): both the
+    # intersection and |A| count only surviving shingles, so
+    # containment really is measured over the non-stop vocabulary —
+    # counting stop shingles in |A| alone would deflate scores for
+    # stop-heavy docs below threshold. One window on the already-
+    # shuffled id key, no extra exchange beyond the size lookup.
+    ex = ex.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))

@@ -53,24 +53,32 @@ def blocked_fuzzy_join(
     r_sel = right.select(
         F.col(right_id).alias("__rid"), F.col(right_text).alias("__rtext")
     )
+    def _guarded(frame: DataFrame, i: int, side: str) -> DataFrame:
+        """Fail loudly when any block exceeds max_block. Audited on
+        BOTH sides (ADVICE r5): pair volume is |L_b|·|R_b|, so a hot
+        block on either frame goes quadratic — guarding only the left
+        left right-side skew silently unbounded."""
+        counts = frame.groupBy("__block").agg(F.count(F.lit(1)).alias("__n"))
+        out = frame.join(F.broadcast(counts), "__block").withColumn(
+            "__ok",
+            F.assert_true(
+                F.col("__n") <= F.lit(int(max_block)),
+                F.lit(
+                    f"blocked_fuzzy_join: blocking pass {i} produced a "
+                    f"{side}-side block larger than max_block={max_block}; "
+                    "use a more selective key or raise max_block"
+                ),
+            ),
+        )
+        return out.filter(F.col("__ok").isNull()).drop("__n", "__ok")
+
     cands = None
     for i, keyfn in enumerate(block_keys):
         lb = l_sel.withColumn("__block", keyfn(F.col("__ltext")))
         rb = r_sel.withColumn("__block", keyfn(F.col("__rtext")))
         if max_block is not None:
-            counts = lb.groupBy("__block").agg(F.count(F.lit(1)).alias("__n"))
-            lb = lb.join(F.broadcast(counts), "__block").withColumn(
-                "__ok",
-                F.assert_true(
-                    F.col("__n") <= F.lit(int(max_block)),
-                    F.lit(
-                        f"blocked_fuzzy_join: blocking pass {i} produced a "
-                        f"block larger than max_block={max_block}; use a more "
-                        "selective key or raise max_block"
-                    ),
-                ),
-            )
-            lb = lb.filter(F.col("__ok").isNull()).drop("__n", "__ok")
+            lb = _guarded(lb, i, "left")
+            rb = _guarded(rb, i, "right")
         pair = rb.join(lb, "__block").drop("__block")
         cands = pair if cands is None else cands.unionByName(pair)
     scored = (

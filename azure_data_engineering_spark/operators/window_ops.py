@@ -116,6 +116,38 @@ def time_decay_sum(
     )
 
 
+def total_order_key(ts_col: str, id_col: str) -> Column:
+    """Sortable-string TOTAL order over (timestamp, unique id):
+    zero-padded unix_micros || '|' || zero-padded id — the tie-break
+    key that makes min_by/max_by open/close deterministic for
+    same-timestamp events.
+
+    Preconditions asserted IN-PLAN (ADVICE r5): the zero-pad encoding
+    silently breaks outside ts >= 1970-01-01 (negative unix_micros
+    sort AFTER all zero-padded positives) and for ids longer than 20
+    chars (lpad TRUNCATES, collapsing distinct ids into one key) —
+    both would make open/close nondeterministic again, so they fail
+    loudly instead of corrupting bars."""
+    micros = F.unix_micros(F.col(ts_col))
+    ids = F.col(id_col).cast("string")
+    guard = F.assert_true(
+        (micros >= 0) & (F.length(ids) <= 20),
+        F.lit(
+            f"total_order_key: requires {ts_col} >= 1970-01-01 and "
+            f"string length of {id_col} <= 20 chars (zero-pad encoding "
+            "would silently mis-sort / collapse keys otherwise)"
+        ),
+    )
+    # assert_true yields NULL when the predicate holds (and raises
+    # otherwise), so the when() both forces its evaluation and leaves
+    # the key value untouched
+    return F.concat(
+        F.when(guard.isNull(), F.lpad(micros.cast("string"), 20, "0")),
+        F.lit("|"),
+        F.lpad(ids, 20, "0"),
+    )
+
+
 def ohlc_resample(
     df: DataFrame,
     key_col: str,
@@ -140,11 +172,7 @@ def ohlc_resample(
     partial order is nondeterministic under retries.
 
     Returns (key, bucket_ts, open, high, low, close, n, total)."""
-    order_key = F.concat(
-        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
-        F.lit("|"),
-        F.lpad(F.col(id_col).cast("string"), 20, "0"),
-    )
+    order_key = total_order_key(ts_col, id_col)
     return (
         df.select(
             F.col(key_col).alias("key"),

@@ -155,11 +155,11 @@ def ohlc_bars(
     the property that lets a 100 TB/day tick stream keep thousands
     of live bars in the state store."""
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
-    order_key = F.concat(
-        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
-        F.lit("|"),
-        F.lpad(F.col(id_col).cast("string"), 20, "0"),
-    )
+    # shared precondition-guarded key (ts >= 1970, id <= 20 chars —
+    # see operators/window_ops.total_order_key, ADVICE r5)
+    from azure_data_engineering_spark.operators.window_ops import total_order_key
+
+    order_key = total_order_key(ts_col, id_col)
     return (
         src.withColumn("__ord", order_key)
         .groupBy(F.window(F.col(ts_col), window_len).alias("w"), F.col(key_col))

@@ -275,6 +275,28 @@ class TestOhlcResample:
         assert (r.high, r.low) == (9.0, 1.0)
         assert r.n == 3 and r.total == pytest.approx(15.0)
 
+    def test_pre_epoch_timestamp_fails_loudly(self, spark):
+        """ADVICE r5: the zero-pad order key silently mis-sorts
+        pre-1970 timestamps (negative unix_micros) — the shared
+        total_order_key now asserts the precondition in-plan."""
+        t = datetime.datetime(1969, 12, 31, 23, 0, 0)
+        df = spark.createDataFrame(
+            [("k", t, 1.0, 1)], "key string, ts timestamp, v double, id long"
+        )
+        with pytest.raises(Exception, match="total_order_key"):
+            ohlc_resample(df, "key", "ts", "v", "id").collect()
+
+    def test_overlong_id_fails_loudly(self, spark):
+        """lpad TRUNCATES ids beyond 20 chars, collapsing distinct
+        keys — asserted instead of silently nondeterministic."""
+        t = datetime.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("k", t, 1.0, "x" * 21)],
+            "key string, ts timestamp, v double, id string",
+        )
+        with pytest.raises(Exception, match="total_order_key"):
+            ohlc_resample(df, "key", "ts", "v", "id").collect()
+
 
 class TestRfmScores:
     def test_quintile_orientation(self, spark):
