@@ -11573,6 +11573,424 @@ FROM j
 """
 
 
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component of the embedding corpus by in-plan
+    power iteration (operators/mlplan.pca_power): Arrow-batched Gram
+    partials reduce the corpus to a 64x64 covariance frame (output
+    size independent of row count — the canonical 100 TB reduction),
+    then 8 fixed rounds of v <- round(Cv/|Cv|, 9) on broadcast-sized
+    frames, then one broadcast join projects every vector onto the
+    component. The diversity-sampling / drift-detection primitive a
+    curation stack runs before clustering. Oracle replays covariance
+    from raw moments and the identical rounded rounds."""
+    from azure_data_engineering_spark.operators.mlplan import pca_power
+
+    e = _t(spark, sf_dir, "embeddings")
+    r = pca_power(e, "embedding", "vec_id", dim=64, iterations=8)
+    return r.select(F.col("id").alias("vec_id"), "pc1", "variance_pc1")
+
+
+def _pca_oracle_sql(dim: int = 64, iters: int = 8) -> str:
+    parts = [
+        """WITH ex AS MATERIALIZED (
+  SELECT vec_id AS id, t.pos, CAST(embedding[t.pos + 1] AS DOUBLE) AS x
+  FROM embeddings, LATERAL unnest(range(len(embedding))) AS t(pos)
+), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+mean AS MATERIALIZED (
+  SELECT pos, sum(x) / (SELECT n FROM nn) AS mu FROM ex GROUP BY pos
+), cov AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j,
+         round((sum(a.x * b.x) - ma.mu * mb.mu * (SELECT n FROM nn))
+               / (SELECT n FROM nn), 6) AS c
+  FROM ex a JOIN ex b USING (id)
+  JOIN mean ma ON ma.pos = a.pos JOIN mean mb ON mb.pos = b.pos
+  GROUP BY a.pos, b.pos, ma.mu, mb.mu
+), v0 AS MATERIALIZED (
+  SELECT DISTINCT j AS pos, 1.0 / sqrt(%d.0) AS vv FROM cov
+)"""
+        % dim
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            """, w%d AS MATERIALIZED (
+  SELECT c.i AS pos, sum(c.c * v.vv) AS w
+  FROM cov c JOIN v%d v ON c.j = v.pos GROUP BY c.i
+), v%d AS MATERIALIZED (
+  SELECT pos, round(w / (SELECT sqrt(sum(w * w)) FROM w%d), 9) AS vv FROM w%d
+)"""
+            % (r, r - 1, r, r, r)
+        )
+    parts.append(
+        """, lam AS MATERIALIZED (
+  SELECT round(sum(c.c * vi.vv * vj.vv), 6) AS variance_pc1
+  FROM cov c JOIN v%d vi ON c.i = vi.pos JOIN v%d vj ON c.j = vj.pos
+), proj AS (
+  SELECT e.id, round(sum((e.x - m.mu) * v.vv), 6) AS pc1
+  FROM ex e JOIN mean m USING (pos) JOIN v%d v ON e.pos = v.pos
+  GROUP BY e.id
+)
+SELECT p.id AS vec_id, p.pc1, l.variance_pc1 FROM proj p, lam l"""
+        % (iters, iters, iters)
+    )
+    return "".join(parts)
+
+
+Q_PCA_POWER_SQL = _pca_oracle_sql(64, 8)
+
+
+def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ridge regression (operators/mlplan.ridge_closed_form)
+    predicting l_extendedprice from (l_quantity, l_discount): ONE
+    map-side-combined aggregation collects the 3x3 normal-equation
+    moments as EXACT decimal integers (the q_decimal_agg money
+    discipline applied to second-order moments), then Cramer's rule on
+    the 1-row frame yields (w0, w1, w2, r2) — bit-exact cross-engine
+    before the display rounding because both engines cast the SAME
+    exact integers into the SAME double expression tree."""
+    from azure_data_engineering_spark.operators.mlplan import ridge_closed_form
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ridge_closed_form(
+        li, "l_quantity", "l_discount", "l_extendedprice",
+        scale1=100, scale2=100, scale_y=100, lam=1.0,
+    )
+
+
+Q_RIDGE_REGRESSION_SQL = """
+WITH d AS (
+  SELECT CAST(round(l_quantity * 100, 0) AS HUGEINT) AS a,
+         CAST(round(l_discount * 100, 0) AS HUGEINT) AS b,
+         CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS t
+  FROM lineitem
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(a) AS DOUBLE) / 100 AS s1,
+         CAST(sum(b) AS DOUBLE) / 100 AS s2,
+         CAST(sum(a * a) AS DOUBLE) / 10000 AS s11,
+         CAST(sum(a * b) AS DOUBLE) / 10000 AS s12,
+         CAST(sum(b * b) AS DOUBLE) / 10000 AS s22,
+         CAST(sum(t) AS DOUBLE) / 100 AS sy,
+         CAST(sum(a * t) AS DOUBLE) / 10000 AS s1y,
+         CAST(sum(b * t) AS DOUBLE) / 10000 AS s2y,
+         CAST(sum(t * t) AS DOUBLE) / 10000 AS syy
+  FROM d
+), c AS (
+  SELECT m.*,
+         n * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s12 - (s11 + 1.0) * s2) AS det
+  FROM m
+), w AS (
+  SELECT c.*,
+         (sy * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1y * (s22 + 1.0) - s12 * s2y)
+           + s2 * (s1y * s12 - (s11 + 1.0) * s2y)) / det AS w0,
+         (n * (s1y * (s22 + 1.0) - s2y * s12)
+           - sy * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2)) / det AS w1,
+         (n * ((s11 + 1.0) * s2y - s12 * s1y)
+           - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - (s11 + 1.0) * s2)) / det AS w2
+  FROM c
+), fit AS (
+  SELECT w.*,
+         syy + w0 * w0 * n + w1 * w1 * s11 + w2 * w2 * s22
+             - 2 * w0 * sy - 2 * w1 * s1y - 2 * w2 * s2y
+             + 2 * w0 * w1 * s1 + 2 * w0 * w2 * s2 + 2 * w1 * w2 * s12 AS sse,
+         syy - sy * sy / n AS sst
+  FROM w
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(w0, 6) AS w0, round(w1, 6) AS w1, round(w2, 6) AS w2,
+       round(1.0 - sse / sst, 6) AS r2
+FROM fit
+"""
+
+
+def q_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan full-batch logistic regression (operators/mlplan.
+    logistic_gd): predict returns (l_returnflag = 'R') from scaled
+    (quantity, discount), 6 fixed gradient rounds with the weight
+    vector as a broadcast 1-row frame — one corpus scan + 3-number
+    reduce per round, gradients rounded to 9 dp so both engines walk
+    IDENTICAL trajectories (the kmeans/pagerank rounding discipline
+    applied to GD). Output: final weights + accuracy + log-loss."""
+    from azure_data_engineering_spark.operators.mlplan import logistic_gd
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        (F.col("l_returnflag") == "R").cast("double").alias("t"),
+    )
+    return logistic_gd(d, "x1", "x2", "t", iterations=6, lr=1.0)
+
+
+def _logistic_oracle_sql(iters: int = 6, lr: float = 1.0) -> str:
+    parts = [
+        """WITH base AS MATERIALIZED (
+  SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS t
+  FROM lineitem
+), w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""", g{r} AS MATERIALIZED (
+  SELECT round(avg(p - t), 9) AS g0,
+         round(avg((p - t) * x1), 9) AS g1,
+         round(avg((p - t) * x2), 9) AS g2
+  FROM (SELECT b.t, b.x1, b.x2,
+               1.0 / (1.0 + exp(-(w.w0 + w.w1 * b.x1 + w.w2 * b.x2))) AS p
+        FROM base b, w{r - 1} w)
+), w{r} AS MATERIALIZED (
+  SELECT w.w0 - {lr} * g.g0 AS w0, w.w1 - {lr} * g.g1 AS w1,
+         w.w2 - {lr} * g.g2 AS w2
+  FROM w{r - 1} w, g{r} g
+)"""
+        )
+    parts.append(
+        f""", scored AS (
+  SELECT b.t, w.w0, w.w1, w.w2,
+         1.0 / (1.0 + exp(-(w.w0 + w.w1 * b.x1 + w.w2 * b.x2))) AS p
+  FROM base b, w{iters} w
+), clamped AS (
+  SELECT t, w0, w1, w2, p,
+         least(greatest(p, 1e-12), 1.0 - 1e-12) AS pc
+  FROM scored
+)
+SELECT round(max(w0), 6) AS w0, round(max(w1), 6) AS w1,
+       round(max(w2), 6) AS w2,
+       round(avg(CASE WHEN (CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END) = t
+                      THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+       round(avg(-(t * ln(pc) + (1.0 - t) * ln(1.0 - pc))), 6) AS log_loss
+FROM clamped"""
+    )
+    return "".join(parts)
+
+
+Q_LOGISTIC_GD_SQL = _logistic_oracle_sql(6, 1.0)
+
+
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best information-gain threshold on l_extendedprice (rounded to
+    hundreds) predicting returns — operators/mlplan.decision_stump:
+    candidate thresholds collapse to the ~1k-value price histogram
+    (bounded by CARDINALITY, not row count — the bpe_train word
+    collapse), cumulative class counts from one running-sum window,
+    entropies from exact integer counts, 1-row argmax. The
+    feature-screening primitive of every tree ensemble."""
+    from azure_data_engineering_spark.operators.mlplan import decision_stump
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_extendedprice").alias("px"),
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    )
+    return decision_stump(d, "px", "ret", feature_decimals=-2)
+
+
+Q_DECISION_STUMP_SQL = """
+WITH d AS (
+  SELECT round(l_extendedprice, -2) AS x,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t
+  FROM lineitem
+), hist AS MATERIALIZED (
+  SELECT x, count(*) AS cnt, sum(t) AS pos FROM d GROUP BY x
+), tot AS MATERIALIZED (
+  SELECT sum(cnt) AS n_all, sum(pos) AS p_all FROM hist
+), cum AS (
+  SELECT * FROM (
+    SELECT x, sum(cnt) OVER (ORDER BY x) AS n_l,
+           sum(pos) OVER (ORDER BY x) AS p_l, t.n_all, t.p_all
+    FROM hist, tot t
+  ) WHERE n_l < n_all
+), scored AS (
+  SELECT x AS threshold,
+         round(
+           -((CASE WHEN p_all / n_all > 0 THEN (p_all / n_all) * log2(p_all / n_all) ELSE 0.0 END)
+             + (CASE WHEN p_all / n_all < 1 THEN (1 - p_all / n_all) * log2(1 - p_all / n_all) ELSE 0.0 END))
+           - (n_l / n_all *
+              -((CASE WHEN p_l / n_l > 0 THEN (p_l / n_l) * log2(p_l / n_l) ELSE 0.0 END)
+                + (CASE WHEN p_l / n_l < 1 THEN (1 - p_l / n_l) * log2(1 - p_l / n_l) ELSE 0.0 END))
+              + (n_all - n_l) / n_all *
+              -((CASE WHEN (p_all - p_l) / (n_all - n_l) > 0 THEN ((p_all - p_l) / (n_all - n_l)) * log2((p_all - p_l) / (n_all - n_l)) ELSE 0.0 END)
+                + (CASE WHEN (p_all - p_l) / (n_all - n_l) < 1 THEN (1 - (p_all - p_l) / (n_all - n_l)) * log2(1 - (p_all - p_l) / (n_all - n_l)) ELSE 0.0 END))),
+           9) AS gain_bits,
+         CAST(n_l AS BIGINT) AS n_left, CAST(p_l AS BIGINT) AS pos_left,
+         CAST(n_all - n_l AS BIGINT) AS n_right,
+         CAST(p_all - p_l AS BIGINT) AS pos_right
+  FROM cum
+)
+SELECT * FROM scored ORDER BY gain_bits DESC, threshold ASC LIMIT 1
+"""
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (operators/mlplan.calibration_bins) for a
+    deterministic linear score (discount+tax blend in [0, 0.9])
+    against the observed return label: fixed-width probability bins,
+    per-bin (n, mean predicted, observed rate, |gap|) from ONE
+    group-by — the calibration evidence a corpus-gating classifier
+    needs before its threshold is trusted at 100 TB. Bin ids come
+    from exact identical double arithmetic in both engines, so the
+    binning is drift-free by construction."""
+    from azure_data_engineering_spark.operators.mlplan import calibration_bins
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_discount") * 5.0 + F.col("l_tax") * 5.0).alias("p"),
+        (F.col("l_returnflag") == "R").cast("double").alias("t"),
+    )
+    return calibration_bins(d, "p", "t", bins=10)
+
+
+Q_CALIBRATION_BINS_SQL = """
+WITH d AS (
+  SELECT l_discount * 5.0 + l_tax * 5.0 AS p,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS t
+  FROM lineitem
+)
+SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(p), 6) AS mean_predicted,
+       round(avg(t), 6) AS observed_rate,
+       round(abs(avg(p) - avg(t)), 6) AS abs_gap
+FROM d GROUP BY 1
+"""
+
+
+def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform over the documents corpus
+    (operators/chunking.fim_split — Bavarian et al. 2022): each doc
+    splits at two deterministic md5-derived pivots and re-serializes
+    as <PRE>prefix<SUF>suffix<MID>middle, the PSM order FIM-trained
+    code models consume. Pure per-row function — shuffle-free,
+    embarrassingly parallel at 100 TB; the reassembled string rides
+    as an md5 fingerprint to honor the scalar-output contract."""
+    from azure_data_engineering_spark.operators.chunking import fim_split
+
+    d = _t(spark, sf_dir, "documents")
+    return fim_split(d, "text", "doc_id").withColumnRenamed("id", "doc_id")
+
+
+Q_FIM_SPLIT_SQL = """
+WITH s AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s
+  FROM documents
+), d AS (
+  SELECT doc_id, s, CAST(length(s) AS BIGINT) AS n FROM s
+  WHERE length(s) >= 8
+), u AS (
+  SELECT doc_id, s, n,
+         CAST(1 + floor((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fim-a'), 1, 8) AS BIGINT) / 4294967296.0) * (n - 2)) AS BIGINT) AS a,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fim-b'), 1, 8) AS BIGINT) / 4294967296.0 AS u2
+  FROM d
+), ab AS (
+  SELECT doc_id, s, n, a,
+         CAST(a + 1 + floor(u2 * (n - a - 1)) AS BIGINT) AS b
+  FROM u
+)
+SELECT doc_id, CAST(n AS INT) AS n_chars, a AS split_a, b AS split_b,
+       md5('<PRE>' || substr(s, 1, CAST(a AS INT))
+           || '<SUF>' || substr(s, CAST(b + 1 AS INT), CAST(n - b AS INT))
+           || '<MID>' || substr(s, CAST(a + 1 AS INT), CAST(b - a AS INT))) AS fim_md5
+FROM ab
+"""
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction on the co-purchase
+    part graph (operators/graph.link_prediction — Liben-Nowell &
+    Kleinberg 2003): open-wedge candidates (the triangle_count wedge
+    join WITHOUT closure), hub centers excluded by an explicit degree
+    cap (their deg^2 wedge fan-out is the 100 TB killer and
+    hub-mediated recommendations carry no signal), Jaccard from exact
+    degree counts, top-20 by (rounded score, a, b). The
+    people-you-may-know / also-bought primitive."""
+    from azure_data_engineering_spark.operators.graph import link_prediction
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .distinct()
+    )
+    return link_prediction(edges, src="part_a", dst="part_b", max_degree=1000, top_k=20)
+
+
+Q_LINK_PREDICTION_SQL = """
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 3 = 0
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), und AS MATERIALIZED (
+  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+), deg AS MATERIALIZED (
+  SELECT a AS node, count(*) AS deg FROM und GROUP BY 1
+), centers AS MATERIALIZED (
+  SELECT u.a AS v, u.b AS n FROM und u JOIN deg d ON d.node = u.a AND d.deg <= 1000
+), cand AS MATERIALIZED (
+  SELECT l.n AS a, r.n AS b, count(*) AS cn
+  FROM centers l JOIN centers r ON l.v = r.v AND l.n < r.n
+  GROUP BY 1, 2
+), nonedge AS MATERIALIZED (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.a AND e.b = c.b)
+)
+SELECT c.a, c.b, CAST(c.cn AS BIGINT) AS common_neighbors,
+       CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+       round(c.cn / CAST(da.deg + db.deg - c.cn AS DOUBLE), 6) AS jaccard
+FROM nonedge c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
+ORDER BY jaccard DESC, c.a ASC, c.b ASC LIMIT 20
+"""
+
+
+def q_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection of the embedding
+    corpus 64 -> 8 dims (operators/similarity.random_project —
+    Achlioptas 2003): the +-1/sqrt(8) projection matrix is generated
+    IN-PLAN from the engine's md5 unit draw (never materialized
+    driver-side), broadcast onto the pos-exploded vectors, one
+    (id, j) aggregation. The dimensionality-reduction front-end that
+    cuts ANN/cluster cost while preserving pairwise distances."""
+    from azure_data_engineering_spark.operators.similarity import random_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    r = random_project(e, "embedding", "vec_id", dim=64, out_dim=8, round_decimals=6)
+    return r.select(F.col("id").alias("vec_id"), "j", "y")
+
+
+Q_RANDOM_PROJECT_SQL = """
+WITH ex AS (
+  SELECT vec_id AS id, t.pos, CAST(embedding[t.pos + 1] AS DOUBLE) AS x
+  FROM embeddings, LATERAL unnest(range(len(embedding))) AS t(pos)
+), r AS (
+  SELECT p.pos, j.j,
+         CASE WHEN CAST('0x' || substr(md5(CAST(p.pos * 1000 + j.j AS VARCHAR) || 'rp'), 1, 8) AS BIGINT) / 4294967296.0 < 0.5
+              THEN -1.0 ELSE 1.0 END AS sgn
+  FROM (SELECT CAST(unnest(range(64)) AS INT) AS pos) p,
+       (SELECT CAST(unnest(range(8)) AS INT) AS j) j
+)
+SELECT e.id AS vec_id, r.j, round(sum(e.x * r.sgn * (1.0 / sqrt(8.0))), 6) AS y
+FROM ex e JOIN r USING (pos)
+GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
 
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -11583,20 +12001,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the prefix holds 8 cross-family representatives that stay pinned
     every round (relational, live-JDBC, streaming, pandas, dedup, ANN,
-    snapshot, k-means), q_bpe_encode (the single r4 red — scalar
-    preview fix must be externally re-verified), the 8 queries new in
-    r5, and the next 33 entries no r1-r4 window ever sampled (union of
-    driver windows = 114 of 239 pre-r5 keys; rotation per ADVICE r3
-    accumulates external verification instead of re-checking the same
-    prefix). tools/check_oracle.py verifies the FULL registry every
-    round."""
+    snapshot, k-means), the 2 queries whose logic CHANGED this round
+    (q_knn_classifier fixed-panel de-quadratic fix, q_record_linkage
+    consonant-skeleton blocking — external re-verification), the 8
+    queries new in r6 (in-plan classical ML, FIM, link prediction, JL
+    projection), and the next 32 entries no r1-r5 window ever sampled
+    (union of driver windows = 155 of 275 pre-r6 keys; rotation per
+    ADVICE r3 accumulates external verification instead of re-checking
+    the same prefix). tools/check_oracle.py verifies the FULL registry
+    every round."""
     return {
         # ---- driver sampling window (first 50), rotated per round so
         # ---- external verification accumulates (ADVICE r3): 8 pinned
-        # ---- cross-family representatives + q_bpe_encode (the r4 red,
-        # ---- re-pinned so the driver re-verifies the scalar-preview fix)
-        # ---- + the 8 new r5 queries + the next 33 never-driver-sampled
-        # ---- entries. Full registry swept by tools/check_oracle.py.
+        # ---- cross-family representatives + the 2 queries whose logic
+        # ---- CHANGED this round (q_knn_classifier fixed-panel fix,
+        # ---- q_record_linkage consonant-skeleton blocking) + the 8 new
+        # ---- r6 queries (in-plan classical ML, FIM, link prediction,
+        # ---- JL projection) + the next 32 never-driver-sampled entries
+        # ---- (union r1-r5 = 155 of 275 keys). Full registry swept every
+        # ---- round by tools/check_oracle.py.
         "q1_pricing_summary": q1_pricing_summary,
         "q_jdbc_roundtrip": q_jdbc_roundtrip,
         "q_stream_tumbling": q_stream_tumbling,
@@ -11605,18 +12028,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_snapshot_merge": q_snapshot_merge,
         "q_kmeans": q_kmeans,
+        "q_knn_classifier": q_knn_classifier,
+        "q_record_linkage": q_record_linkage,
+        # ---- 8 new in r6 ----
+        "q_pca_power": q_pca_power,
+        "q_ridge_regression": q_ridge_regression,
+        "q_logistic_gd": q_logistic_gd,
+        "q_decision_stump": q_decision_stump,
+        "q_calibration_bins": q_calibration_bins,
+        "q_fim_split": q_fim_split,
+        "q_link_prediction": q_link_prediction,
+        "q_random_project": q_random_project,
+        # ---- next 32 never-driver-sampled ----
+        "q_multimodal_resize": q_multimodal_resize,
+        "q_multimodal_features": q_multimodal_features,
+        "q_repetition_stats": q_repetition_stats,
+        "q_domain_cap": q_domain_cap,
+        "q_train_order": q_train_order,
+        "q_vocab_topk": q_vocab_topk,
+        "q_unpivot": q_unpivot,
+        "q_histogram": q_histogram,
+        "q_tpch_q3_style": q_tpch_q3_style,
+        "q_user_profile_builtin": q_user_profile_builtin,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_stream_sliding": q_stream_sliding,
+        "q_stream_static_join": q_stream_static_join,
+        "q_stream_complete_mode": q_stream_complete_mode,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_freq_items": q_freq_items,
+        "q_stream_late_drop": q_stream_late_drop,
+        "q_interpolate_linear": q_interpolate_linear,
+        "q_sql_api": q_sql_api,
+        "q_approx_percentile": q_approx_percentile,
+        "q_tpch_q4_style": q_tpch_q4_style,
+        "q_tpch_q12_style": q_tpch_q12_style,
+        "q_orc_roundtrip": q_orc_roundtrip,
+        "q_map_functions": q_map_functions,
+        "q_sketches": q_sketches,
+        "q_clustered_scan": q_clustered_scan,
+        "q_variant": q_variant,
+        "q_expectations": q_expectations,
+        "q_incremental_agg": q_incremental_agg,
+        "q_profile": q_profile,
+        "q_scd2": q_scd2,
+        "q_zorder_scan": q_zorder_scan,
+        # ---- end of sampling window; remaining entries ----
         "q_bpe_encode": q_bpe_encode,
         "q_ann_append": q_ann_append,
         "q_heavy_hitters": q_heavy_hitters,
         "q_retrieval_metrics": q_retrieval_metrics,
         "q_cms_count": q_cms_count,
         "q_pareto_frontier": q_pareto_frontier,
-        "q_record_linkage": q_record_linkage,
         "q_quantile_binning": q_quantile_binning,
         "q_snapshot_diff": q_snapshot_diff,
         "q_tokenizer_fertility": q_tokenizer_fertility,
         "q_bootstrap_ci": q_bootstrap_ci,
-        # ---- next 31 never-sampled (r1-r4 windows union = 114 keys) ----
         "q_cohort_retention": q_cohort_retention,
         "q_archive_roundtrip": q_archive_roundtrip,
         "q_tfidf_topk": q_tfidf_topk,
@@ -11648,9 +12114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_having": q_having,
         "q_stratified_sample": q_stratified_sample,
         "q_leakage_safe_split": q_leakage_safe_split,
-        # ---- end of sampling window; remaining entries ----
-        "q_multimodal_resize": q_multimodal_resize,
-        "q_multimodal_features": q_multimodal_features,
         "q_bpe_train": q_bpe_train,
         "q_training_pipeline_bpe": q_training_pipeline_bpe,
         "q_ann_ivfpq": q_ann_ivfpq,
@@ -11755,37 +12218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": q_token_count,
         "q_fingerprint": q_fingerprint,
         "q_lang_id": q_lang_id,
-        "q_repetition_stats": q_repetition_stats,
-        "q_domain_cap": q_domain_cap,
-        "q_train_order": q_train_order,
-        "q_vocab_topk": q_vocab_topk,
-        "q_unpivot": q_unpivot,
-        "q_histogram": q_histogram,
-        "q_tpch_q3_style": q_tpch_q3_style,
-        "q_user_profile_builtin": q_user_profile_builtin,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_stream_sliding": q_stream_sliding,
         "q_edit_distance": q_edit_distance,
-        "q_stream_static_join": q_stream_static_join,
-        "q_stream_complete_mode": q_stream_complete_mode,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_freq_items": q_freq_items,
-        "q_stream_late_drop": q_stream_late_drop,
-        "q_interpolate_linear": q_interpolate_linear,
-        "q_sql_api": q_sql_api,
-        "q_approx_percentile": q_approx_percentile,
-        "q_tpch_q4_style": q_tpch_q4_style,
-        "q_tpch_q12_style": q_tpch_q12_style,
-        "q_orc_roundtrip": q_orc_roundtrip,
-        "q_map_functions": q_map_functions,
-        "q_sketches": q_sketches,
-        "q_clustered_scan": q_clustered_scan,
-        "q_variant": q_variant,
-        "q_expectations": q_expectations,
-        "q_incremental_agg": q_incremental_agg,
-        "q_profile": q_profile,
-        "q_scd2": q_scd2,
-        "q_zorder_scan": q_zorder_scan,
         "q_scd2_pointintime": q_scd2_pointintime,
         "q_salted_join": q_salted_join,
         "q_weighted_sample": q_weighted_sample,
@@ -11848,10 +12281,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_arrow_udf": q_arrow_udf,
         "q_incremental_join": q_incremental_join,
         "q_collation": q_collation,
-        # ---- round-5b additions (appended AFTER the 50-entry driver
-        # ---- sampling window so the promised r5 rotation stays intact;
-        # ---- verified by the full-registry check_oracle sweeps and due
-        # ---- for driver rotation next round)
         "q_kaplan_meier": q_kaplan_meier,
         "q_benford": q_benford,
         "q_changepoint": q_changepoint,
@@ -11868,7 +12297,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k_core": q_k_core,
         "q_event_paths": q_event_paths,
         "q_seasonality": q_seasonality,
-        "q_knn_classifier": q_knn_classifier,
         "q_stream_ohlc": q_stream_ohlc,
         "q_novelty_score": q_novelty_score,
         "q_winsorize": q_winsorize,
@@ -12158,4 +12586,12 @@ def oracle_sql() -> dict[str, str]:
         "q_golden_record": Q_GOLDEN_RECORD_SQL,
         "q_naive_bayes": Q_NAIVE_BAYES_SQL,
         "q_ab_test": Q_AB_TEST_SQL,
+        "q_pca_power": Q_PCA_POWER_SQL,
+        "q_ridge_regression": Q_RIDGE_REGRESSION_SQL,
+        "q_logistic_gd": Q_LOGISTIC_GD_SQL,
+        "q_decision_stump": Q_DECISION_STUMP_SQL,
+        "q_calibration_bins": Q_CALIBRATION_BINS_SQL,
+        "q_fim_split": Q_FIM_SPLIT_SQL,
+        "q_link_prediction": Q_LINK_PREDICTION_SQL,
+        "q_random_project": Q_RANDOM_PROJECT_SQL,
     }

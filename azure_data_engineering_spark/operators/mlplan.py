@@ -420,3 +420,136 @@ def calibration_bins(
             F.round(F.abs(F.avg("p") - F.avg("t")), out_decimals).alias("abs_gap"),
         )
     )
+
+
+def _cramer_weights(n, s1, s2, s11, s12, s22, sy, s1y, s2y, lam: float):
+    """Cramer's-rule solution of the 2-feature ridge normal equations
+    (A + lam*diag(0,1,1)) w = r over column expressions — the shared
+    arithmetic of ridge_closed_form and ridge_cv. Expression STRUCTURE
+    is part of the cross-engine contract: the SQL oracles mirror this
+    exact parenthesization so both engines execute the same IEEE op
+    sequence on the same exact-decimal-derived doubles."""
+    a22 = s11 + lam
+    a23 = s12
+    a33 = s22 + lam
+    det = (
+        n * (a22 * a33 - a23 * a23)
+        - s1 * (s1 * a33 - a23 * s2)
+        + s2 * (s1 * a23 - a22 * s2)
+    )
+    w0 = (
+        sy * (a22 * a33 - a23 * a23)
+        - s1 * (s1y * a33 - a23 * s2y)
+        + s2 * (s1y * a23 - a22 * s2y)
+    ) / det
+    w1 = (
+        n * (s1y * a33 - s2y * a23)
+        - sy * (s1 * a33 - a23 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    ) / det
+    w2 = (
+        n * (a22 * s2y - a23 * s1y)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * a23 - a22 * s2)
+    ) / det
+    return det, w0, w1, w2
+
+
+def _sse_from_moments(n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy, w0, w1, w2):
+    """Residual sum of squares expanded in moment space:
+    sse = sum (y - w0 - w1 x1 - w2 x2)^2 — evaluated WITHOUT touching
+    the rows again. This is what lets k-fold CV run in ONE corpus
+    scan: any row subset's fit quality is a pure function of its
+    10-number moment row."""
+    return (
+        syy
+        + w0 * w0 * n + w1 * w1 * s11 + w2 * w2 * s22
+        - 2 * w0 * sy - 2 * w1 * s1y - 2 * w2 * s2y
+        + 2 * w0 * w1 * s1 + 2 * w0 * w2 * s2 + 2 * w1 * w2 * s12
+    )
+
+
+def ridge_cv(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    fold_col: str,
+    scale1: int = 1,
+    scale2: int = 1,
+    scale_y: int = 1,
+    lam: float = 1.0,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """k-fold cross-validated ridge regression in ONE corpus scan via
+    moment subtraction: per-fold normal-equation moments are collected
+    as EXACT decimal integers in a single groupBy(fold), the total is
+    their (exact) sum, and each fold's TRAINING moments are simply
+    total - fold — so k models train and evaluate with zero extra
+    passes. Holdout RMSE comes from the same moment algebra
+    (_sse_from_moments on the held-out fold's row), never a second
+    scan. At 100 TB: one map-side-combined aggregate to k rows, then
+    arithmetic on a broadcast-sized frame — the cheapest possible
+    distributed CV.
+
+    Exactness: integer-unit moments subtract exactly, so both engines
+    cast the SAME integers into the SAME Cramer/sse expression trees;
+    results are bit-identical before display rounding. Returns one
+    row per fold: (fold, n_train, n_test, w0, w1, w2, rmse)."""
+    d = df.select(
+        F.col(fold_col).cast("int").alias("fold"),
+        F.round(F.col(x1) * scale1, 0).cast("decimal(38,0)").alias("a"),
+        F.round(F.col(x2) * scale2, 0).cast("decimal(38,0)").alias("b"),
+        F.round(F.col(y) * scale_y, 0).cast("decimal(38,0)").alias("t"),
+    )
+    per = d.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
+        F.sum("a").alias("ra"), F.sum("b").alias("rb"), F.sum("t").alias("rt"),
+        F.sum(F.col("a") * F.col("a")).alias("raa"),
+        F.sum(F.col("a") * F.col("b")).alias("rab"),
+        F.sum(F.col("b") * F.col("b")).alias("rbb"),
+        F.sum(F.col("a") * F.col("t")).alias("rat"),
+        F.sum(F.col("b") * F.col("t")).alias("rbt"),
+        F.sum(F.col("t") * F.col("t")).alias("rtt"),
+    )
+    tot = per.agg(
+        *[F.sum(c).alias("T" + c) for c in
+          ("cnt", "ra", "rb", "rt", "raa", "rab", "rbb", "rat", "rbt", "rtt")]
+    )
+    j = per.crossJoin(F.broadcast(tot))
+
+    def dbl(expr, scale):
+        return expr.cast("double") / scale
+
+    # training moments: exact integer total-minus-fold, THEN to double
+    n = dbl(F.col("Tcnt") - F.col("cnt"), 1)
+    s1 = dbl(F.col("Tra") - F.col("ra"), scale1)
+    s2 = dbl(F.col("Trb") - F.col("rb"), scale2)
+    sy = dbl(F.col("Trt") - F.col("rt"), scale_y)
+    s11 = dbl(F.col("Traa") - F.col("raa"), scale1 * scale1)
+    s12 = dbl(F.col("Trab") - F.col("rab"), scale1 * scale2)
+    s22 = dbl(F.col("Trbb") - F.col("rbb"), scale2 * scale2)
+    s1y = dbl(F.col("Trat") - F.col("rat"), scale1 * scale_y)
+    s2y = dbl(F.col("Trbt") - F.col("rbt"), scale2 * scale_y)
+    _, w0, w1, w2 = _cramer_weights(n, s1, s2, s11, s12, s22, sy, s1y, s2y, lam)
+    # holdout moments: the fold's own row
+    hn = dbl(F.col("cnt"), 1)
+    h1 = dbl(F.col("ra"), scale1)
+    h2 = dbl(F.col("rb"), scale2)
+    hy = dbl(F.col("rt"), scale_y)
+    h11 = dbl(F.col("raa"), scale1 * scale1)
+    h12 = dbl(F.col("rab"), scale1 * scale2)
+    h22 = dbl(F.col("rbb"), scale2 * scale2)
+    h1y = dbl(F.col("rat"), scale1 * scale_y)
+    h2y = dbl(F.col("rbt"), scale2 * scale_y)
+    hyy = dbl(F.col("rtt"), scale_y * scale_y)
+    sse = _sse_from_moments(hn, h1, h2, h11, h12, h22, hy, h1y, h2y, hyy, w0, w1, w2)
+    return j.select(
+        "fold",
+        (F.col("Tcnt") - F.col("cnt")).cast("long").alias("n_train"),
+        F.col("cnt").cast("long").alias("n_test"),
+        F.round(w0, out_decimals).alias("w0"),
+        F.round(w1, out_decimals).alias("w1"),
+        F.round(w2, out_decimals).alias("w2"),
+        F.round(F.sqrt(sse / hn), out_decimals).alias("rmse"),
+    )

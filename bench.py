@@ -89,9 +89,16 @@ HEADLINE = [
     "q_association_rules",
     "q_rfm_segmentation",
     "q_knn_classifier",
+    # round-6 additions: in-plan classical ML (PCA power iteration,
+    # full-batch logistic GD), link prediction on the co-purchase
+    # graph, fill-in-the-middle transform
+    "q_pca_power",
+    "q_logistic_gd",
+    "q_link_prediction",
+    "q_fim_split",
 ]
 
-ROUND = 5
+ROUND = 6
 
 
 # the heaviest headline queries (r2 plan-audit list) + the classic
@@ -110,6 +117,19 @@ PROBE_QUERIES = [
     "q_attribution",
     # round-5b: pair-density-sensitive containment join
     "q_containment_join",
+    # round-6 (judge r5 asks 1 & 6): the de-quadratic'd knn eval panel
+    # tracked by ratio so a corpus-proportional regression is caught by
+    # artifact, plus the heaviest iterative-graph / distinct-gram
+    # queries from the builder's sf1 sweep (q_hits 18.9 s,
+    # q_novelty_score 8.5 s, q_k_core 6.8 s, q_item_cf 6.5 s) —
+    # cross-tier timings now live in BENCH, not in /tmp logs that die
+    # with the VM. q_link_prediction's wedge join is the new r6 heavy.
+    "q_knn_classifier",
+    "q_hits",
+    "q_novelty_score",
+    "q_k_core",
+    "q_item_cf",
+    "q_link_prediction",
 ]
 
 
@@ -260,7 +280,43 @@ def _operator_only(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def regen_tiers() -> int:
+    """`python bench.py --tiers` (judge r5 ask 7): regenerate ALL
+    committed correctness-tier artifacts from one entry point —
+    CORRECTNESS_sf0.01/sf0.1/sf1.json over the FULL registry — then
+    run the normal bench. One command, so end-of-round snapshots can
+    never commit half-regenerated artifacts again (the r5 failure
+    mode: the sf1 sweep predated a fix and the passing evidence lived
+    only in /tmp). Each sweep is a subprocess because check_oracle
+    owns its own Spark session/config."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    tiers = [
+        ("/root/testdata/sf0.01", "CORRECTNESS_sf0.01.json"),
+        ("/root/testdata/sf0.1", "CORRECTNESS_sf0.1.json"),
+        (os.path.join(here, "benchdata", "sf1"), "CORRECTNESS_sf1.json"),
+    ]
+    rc = 0
+    for sf_dir, out in tiers:
+        if not os.path.isdir(sf_dir):
+            print(f"[tiers] SKIP {sf_dir} (missing — run tools/gen_sf1.py first)")
+            rc = rc or 2
+            continue
+        print(f"[tiers] sweeping {sf_dir} -> {out}", flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "check_oracle.py"),
+             sf_dir, "--out", os.path.join(here, out)],
+        )
+        rc = rc or r.returncode
+    return rc
+
+
 def main() -> None:
+    if "--tiers" in sys.argv:
+        rc = regen_tiers()
+        if rc:
+            sys.exit(rc)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
@@ -344,6 +400,12 @@ def main() -> None:
                     "new_in_r5": "q_heavy_hitters q_cms_count "
                     "q_pareto_frontier q_record_linkage have no prior-round "
                     "comparison",
+                    "new_in_r6": "q_pca_power q_logistic_gd "
+                    "q_link_prediction q_fim_split have no prior-round "
+                    "comparison; q_knn_classifier's panel is now fixed-size "
+                    "(512 md5-sampled queries, Arrow pair kernel) so its "
+                    "timing is not comparable to the r5 corpus-proportional "
+                    "holdout",
                     "operator_only": "production-path timings for the "
                     "recall-gated approximate operators WITHOUT their "
                     "in-query exact-truth passes — what a 100 TB run "
