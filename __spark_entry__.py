@@ -11991,6 +11991,636 @@ GROUP BY 1, 2
 """
 
 
+def q_cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated ridge in ONE corpus scan
+    (operators/mlplan.ridge_cv): per-fold normal-equation moments as
+    exact decimal integers, each fold's TRAINING moments = total -
+    fold (exact subtraction — no second pass), Cramer weights + the
+    held-out fold's RMSE from pure moment algebra. Fold assignment is
+    the engine's md5 unit draw on the (orderkey, linenumber) row id,
+    so the partition is a pure function of the row. The honest
+    generalization estimate a 100 TB regression probe needs, at the
+    cost of one map-side-combined aggregate."""
+    from azure_data_engineering_spark.operators.mlplan import ridge_cv
+    from azure_data_engineering_spark.operators.sampling import hash_unit
+
+    li = _t(spark, sf_dir, "lineitem")
+    rid = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    d = li.select(
+        F.floor(hash_unit(rid, "cv") * 5).cast("int").alias("fold"),
+        "l_quantity", "l_discount", "l_extendedprice",
+    )
+    return ridge_cv(
+        d, "l_quantity", "l_discount", "l_extendedprice", "fold",
+        scale1=100, scale2=100, scale_y=100, lam=1.0,
+    )
+
+
+Q_CV_RIDGE_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT CAST(floor((CAST('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) || 'cv'), 1, 8) AS BIGINT) / 4294967296.0) * 5) AS INT) AS fold,
+         CAST(round(l_quantity * 100, 0) AS HUGEINT) AS a,
+         CAST(round(l_discount * 100, 0) AS HUGEINT) AS b,
+         CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS t
+  FROM lineitem
+), per AS MATERIALIZED (
+  SELECT fold, CAST(count(*) AS HUGEINT) AS cnt,
+         sum(a) AS ra, sum(b) AS rb, sum(t) AS rt,
+         sum(a * a) AS raa, sum(a * b) AS rab, sum(b * b) AS rbb,
+         sum(a * t) AS rat, sum(b * t) AS rbt, sum(t * t) AS rtt
+  FROM d GROUP BY fold
+), tot AS MATERIALIZED (
+  SELECT sum(cnt) AS Tcnt, sum(ra) AS Tra, sum(rb) AS Trb, sum(rt) AS Trt,
+         sum(raa) AS Traa, sum(rab) AS Trab, sum(rbb) AS Trbb,
+         sum(rat) AS Trat, sum(rbt) AS Trbt, sum(rtt) AS Trtt
+  FROM per
+), tm AS (
+  SELECT p.fold,
+         CAST(t.Tcnt - p.cnt AS DOUBLE) AS n,
+         CAST(t.Tra - p.ra AS DOUBLE) / 100 AS s1,
+         CAST(t.Trb - p.rb AS DOUBLE) / 100 AS s2,
+         CAST(t.Trt - p.rt AS DOUBLE) / 100 AS sy,
+         CAST(t.Traa - p.raa AS DOUBLE) / 10000 AS s11,
+         CAST(t.Trab - p.rab AS DOUBLE) / 10000 AS s12,
+         CAST(t.Trbb - p.rbb AS DOUBLE) / 10000 AS s22,
+         CAST(t.Trat - p.rat AS DOUBLE) / 10000 AS s1y,
+         CAST(t.Trbt - p.rbt AS DOUBLE) / 10000 AS s2y,
+         CAST(p.cnt AS DOUBLE) AS hn,
+         CAST(p.ra AS DOUBLE) / 100 AS h1,
+         CAST(p.rb AS DOUBLE) / 100 AS h2,
+         CAST(p.rt AS DOUBLE) / 100 AS hy,
+         CAST(p.raa AS DOUBLE) / 10000 AS h11,
+         CAST(p.rab AS DOUBLE) / 10000 AS h12,
+         CAST(p.rbb AS DOUBLE) / 10000 AS h22,
+         CAST(p.rat AS DOUBLE) / 10000 AS h1y,
+         CAST(p.rbt AS DOUBLE) / 10000 AS h2y,
+         CAST(p.rtt AS DOUBLE) / 10000 AS hyy,
+         CAST(t.Tcnt - p.cnt AS BIGINT) AS n_train,
+         CAST(p.cnt AS BIGINT) AS n_test
+  FROM per p, tot t
+), wts AS (
+  SELECT tm.*,
+         (sy * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1y * (s22 + 1.0) - s12 * s2y)
+           + s2 * (s1y * s12 - (s11 + 1.0) * s2y))
+         / (n * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s12 - (s11 + 1.0) * s2)) AS w0,
+         (n * (s1y * (s22 + 1.0) - s2y * s12)
+           - sy * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2))
+         / (n * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s12 - (s11 + 1.0) * s2)) AS w1,
+         (n * ((s11 + 1.0) * s2y - s12 * s1y)
+           - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - (s11 + 1.0) * s2))
+         / (n * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s12 - (s11 + 1.0) * s2)) AS w2
+  FROM tm
+)
+SELECT fold, n_train, n_test,
+       round(w0, 6) AS w0, round(w1, 6) AS w1, round(w2, 6) AS w2,
+       round(sqrt((hyy
+         + w0 * w0 * hn + w1 * w1 * h11 + w2 * w2 * h22
+         - 2 * w0 * hy - 2 * w1 * h1y - 2 * w2 * h2y
+         + 2 * w0 * w1 * h1 + 2 * w0 * w2 * h2 + 2 * w1 * w2 * h12) / hn), 6) AS rmse
+FROM wts
+"""
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the in-plan ridge model
+    (operators/mlplan.conformal_interval — Vovk 2005 / Lei 2018):
+    calibration panel = the 2000 smallest md5(row-id) draws (fixed
+    size, so the residual rank is bounded regardless of corpus size;
+    train split is a broadcast anti-join), weights from the one-scan
+    exact-moment ridge, q_hat = the ceil((n+1)·0.9)-th calibration
+    residual by deterministic (residual, id) order. The
+    distribution-free uncertainty gate for prediction-driven
+    filtering."""
+    from azure_data_engineering_spark.operators.mlplan import conformal_interval
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_quantity", "l_discount", "l_extendedprice",
+    )
+    return conformal_interval(
+        d, "l_quantity", "l_discount", "l_extendedprice", "rid",
+        calib_size=2000, alpha=0.1,
+        scale1=100, scale2=100, scale_y=100, lam=1.0,
+    )
+
+
+Q_CONFORMAL_INTERVAL_SQL = """
+WITH ids AS MATERIALIZED (
+  SELECT l_orderkey * 10 + l_linenumber AS id,
+         l_quantity AS x1, l_discount AS x2, l_extendedprice AS y
+  FROM lineitem
+), calib_ids AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT id,
+           CAST('0x' || substr(md5(CAST(id AS VARCHAR) || 'conformal'), 1, 8) AS BIGINT) / 4294967296.0 AS u
+    FROM ids
+  ) ORDER BY u, id LIMIT 2000
+), train AS MATERIALIZED (
+  SELECT i.* FROM ids i
+  WHERE NOT EXISTS (SELECT 1 FROM calib_ids c WHERE c.id = i.id)
+), calib AS MATERIALIZED (
+  SELECT i.* FROM ids i JOIN calib_ids c ON c.id = i.id
+), dd AS (
+  SELECT CAST(round(x1 * 100, 0) AS HUGEINT) AS a,
+         CAST(round(x2 * 100, 0) AS HUGEINT) AS b,
+         CAST(round(y * 100, 0) AS HUGEINT) AS t
+  FROM train
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(a) AS DOUBLE) / 100 AS s1,
+         CAST(sum(b) AS DOUBLE) / 100 AS s2,
+         CAST(sum(a * a) AS DOUBLE) / 10000 AS s11,
+         CAST(sum(a * b) AS DOUBLE) / 10000 AS s12,
+         CAST(sum(b * b) AS DOUBLE) / 10000 AS s22,
+         CAST(sum(t) AS DOUBLE) / 100 AS sy,
+         CAST(sum(a * t) AS DOUBLE) / 10000 AS s1y,
+         CAST(sum(b * t) AS DOUBLE) / 10000 AS s2y
+  FROM dd
+), w AS (
+  SELECT CAST(n AS BIGINT) AS n_train,
+         round((sy * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1y * (s22 + 1.0) - s12 * s2y)
+           + s2 * (s1y * s12 - (s11 + 1.0) * s2y))
+         / (n * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s12 - (s11 + 1.0) * s2)), 6) AS w0,
+         round((n * (s1y * (s22 + 1.0) - s2y * s12)
+           - sy * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2))
+         / (n * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s12 - (s11 + 1.0) * s2)), 6) AS w1,
+         round((n * ((s11 + 1.0) * s2y - s12 * s1y)
+           - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - (s11 + 1.0) * s2))
+         / (n * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s12 - (s11 + 1.0) * s2)), 6) AS w2
+  FROM m
+), res AS MATERIALIZED (
+  SELECT c.id AS rid, abs(c.y - (w.w0 + w.w1 * c.x1 + w.w2 * c.x2)) AS r,
+         w.n_train, w.w0, w.w1, w.w2
+  FROM calib c, w
+), nc AS (SELECT count(*) AS n_calib FROM res),
+ranked AS (
+  SELECT res.*, nc.n_calib,
+         row_number() OVER (ORDER BY r, rid) AS rn
+  FROM res, nc
+), kth AS (
+  SELECT n_train, w0, w1, w2, CAST(n_calib AS BIGINT) AS n_calib,
+         CAST(rn AS BIGINT) AS k, r AS q_hat
+  FROM ranked
+  WHERE rn = least(CAST(ceil((n_calib + 1) * 0.9) AS INT), CAST(n_calib AS INT))
+)
+SELECT k2.n_train, k2.n_calib, k2.k, round(k2.q_hat, 6) AS q_hat,
+       round(avg(CASE WHEN abs(t.y - (k2.w0 + k2.w1 * t.x1 + k2.w2 * t.x2)) <= k2.q_hat
+                      THEN 1.0 ELSE 0.0 END), 6) AS coverage_train
+FROM train t, kth k2
+GROUP BY k2.n_train, k2.n_calib, k2.k, k2.q_hat
+"""
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking against the 3-class return
+    flag (operators/features.mutual_information): four candidate
+    features (binned quantity, discount pct, tax pct, line status)
+    melt through ONE stack() scan into (feature, value, label)
+    counts; MI and H(X) in bits re-aggregate from the joint table
+    with exact integer count ratios feeding log2. The model-free
+    screen run before committing 100 TB to a training matrix — ~0 MI
+    drops a feature, suspiciously high MI flags label leakage."""
+    from azure_data_engineering_spark.operators.features import mutual_information
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.floor(F.col("l_quantity") / 5).cast("string").alias("qbin"),
+        F.round(F.col("l_discount") * 100, 0).cast("int").cast("string").alias("dpct"),
+        F.round(F.col("l_tax") * 100, 0).cast("int").cast("string").alias("tpct"),
+        F.col("l_linestatus").alias("lstat"),
+        F.col("l_returnflag").alias("label"),
+    )
+    melted = base.select(
+        F.expr(
+            "stack(4, 'quantity_bin', qbin, 'discount_pct', dpct, "
+            "'tax_pct', tpct, 'line_status', lstat) AS (feature, value)"
+        ),
+        "label",
+    )
+    return mutual_information(melted)
+
+
+Q_MUTUAL_INFO_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(CAST(floor(l_quantity / 5) AS BIGINT) AS VARCHAR) AS qbin,
+         CAST(CAST(round(l_discount * 100, 0) AS INT) AS VARCHAR) AS dpct,
+         CAST(CAST(round(l_tax * 100, 0) AS INT) AS VARCHAR) AS tpct,
+         l_linestatus AS lstat, l_returnflag AS label
+  FROM lineitem
+), melted AS MATERIALIZED (
+  SELECT 'quantity_bin' AS feature, qbin AS value, label FROM base
+  UNION ALL SELECT 'discount_pct', dpct, label FROM base
+  UNION ALL SELECT 'tax_pct', tpct, label FROM base
+  UNION ALL SELECT 'line_status', lstat, label FROM base
+), joint AS MATERIALIZED (
+  SELECT feature, value, label, CAST(count(*) AS BIGINT) AS c_vl
+  FROM melted GROUP BY 1, 2, 3
+), f_tot AS (SELECT feature, CAST(sum(c_vl) AS BIGINT) AS n FROM joint GROUP BY 1),
+v_marg AS (SELECT feature, value, CAST(sum(c_vl) AS BIGINT) AS c_v FROM joint GROUP BY 1, 2),
+l_marg AS (SELECT feature, label, CAST(sum(c_vl) AS BIGINT) AS c_l FROM joint GROUP BY 1, 2)
+SELECT j.feature, CAST(max(t.n) AS BIGINT) AS n,
+       round(sum((j.c_vl / t.n) * log2((j.c_vl * t.n) / (v.c_v * l.c_l))), 9) AS mi_bits,
+       round(-sum((j.c_vl / t.n) * log2(v.c_v / t.n)), 9) AS h_bits
+FROM joint j
+JOIN v_marg v USING (feature, value)
+JOIN l_marg l USING (feature, label)
+JOIN f_tot t USING (feature)
+GROUP BY j.feature
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity audit of the customer table under
+    (nation, market segment, balance band) quasi-identifiers with the
+    in-debt flag as the sensitive attribute (operators/privacy.
+    k_anonymity_audit — Sweeney 2002, Machanavajjhala 2006): one
+    groupBy over the QI tuple, one 1-row summary — k_min,
+    singletons, rows needing suppression below k=5, minimum
+    sensitive-value diversity. The release guardrail the reference's
+    extract pipeline was missing."""
+    from azure_data_engineering_spark.operators.privacy import k_anonymity_audit
+
+    c = _t(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey", "c_mktsegment",
+        F.round(F.col("c_acctbal"), -3).alias("bal_band"),
+        (F.col("c_acctbal") < 0).alias("in_debt"),
+    )
+    return k_anonymity_audit(
+        qi, ["c_nationkey", "c_mktsegment", "bal_band"], "in_debt", k=5
+    )
+
+
+Q_K_ANONYMITY_SQL = """
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment, round(c_acctbal, -3) AS bal_band,
+         c_acctbal < 0 AS in_debt
+  FROM customer
+), g AS MATERIALIZED (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         count(*) AS g_n, count(DISTINCT in_debt) AS g_l
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT CAST(sum(g_n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(g_n) AS BIGINT) AS k_min,
+       CAST(sum(CASE WHEN g_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+       CAST(sum(CASE WHEN g_n < 5 THEN g_n ELSE 0 END) AS BIGINT) AS rows_below_k,
+       round(sum(CASE WHEN g_n < 5 THEN g_n ELSE 0 END) / sum(g_n), 6) AS pct_below_k,
+       CAST(min(g_l) AS BIGINT) AS min_l_diversity
+FROM g
+"""
+
+
+def q_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row additive feature attribution for the in-plan ridge
+    model: for a linear model the Shapley value of feature i is
+    EXACTLY w_i · (x_i − mean_i) (Lundberg & Lee 2017, linear SHAP) —
+    no sampling, no surrogate. Weights come from the one-scan
+    exact-moment ridge; feature means from the same exact decimal
+    sums (both pinned at 6 dp so the attributions replay
+    bit-identically); a fixed 20-row md5 panel keeps the output
+    audit-sized. The per-decision explanation layer a prediction-
+    driven corpus filter owes its auditors."""
+    from azure_data_engineering_spark.operators.mlplan import ridge_closed_form
+    from azure_data_engineering_spark.operators.sampling import hash_unit
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = ridge_closed_form(
+        li, "l_quantity", "l_discount", "l_extendedprice",
+        scale1=100, scale2=100, scale_y=100, lam=1.0,
+    ).select("w0", "w1", "w2")
+    mu = li.agg(
+        F.round(
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("decimal(38,0)"))
+            .cast("double") / 100 / F.count(F.lit(1)),
+            6,
+        ).alias("mu1"),
+        F.round(
+            F.sum(F.round(F.col("l_discount") * 100, 0).cast("decimal(38,0)"))
+            .cast("double") / 100 / F.count(F.lit(1)),
+            6,
+        ).alias("mu2"),
+    )
+    rid = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    panel = (
+        li.select(
+            rid.alias("rid"), "l_quantity", "l_discount",
+            hash_unit(rid, "shap").alias("__u"),
+        )
+        .orderBy("__u", "rid")
+        .limit(20)
+        .drop("__u")
+    )
+    c1 = F.round(F.col("w1") * (F.col("l_quantity") - F.col("mu1")), 6)
+    c2 = F.round(F.col("w2") * (F.col("l_discount") - F.col("mu2")), 6)
+    return (
+        panel.crossJoin(F.broadcast(w))
+        .crossJoin(F.broadcast(mu))
+        .select(
+            "rid",
+            F.round(
+                F.col("w0") + F.col("w1") * F.col("l_quantity")
+                + F.col("w2") * F.col("l_discount"),
+                6,
+            ).alias("pred"),
+            c1.alias("contrib_quantity"),
+            c2.alias("contrib_discount"),
+            F.when(F.abs(c1) >= F.abs(c2), F.lit("quantity"))
+            .otherwise(F.lit("discount"))
+            .alias("top_feature"),
+        )
+    )
+
+
+Q_LINEAR_SHAP_SQL = """
+WITH dd AS (
+  SELECT CAST(round(l_quantity * 100, 0) AS HUGEINT) AS a,
+         CAST(round(l_discount * 100, 0) AS HUGEINT) AS b,
+         CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS t
+  FROM lineitem
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(a) AS DOUBLE) / 100 AS s1,
+         CAST(sum(b) AS DOUBLE) / 100 AS s2,
+         CAST(sum(a * a) AS DOUBLE) / 10000 AS s11,
+         CAST(sum(a * b) AS DOUBLE) / 10000 AS s12,
+         CAST(sum(b * b) AS DOUBLE) / 10000 AS s22,
+         CAST(sum(t) AS DOUBLE) / 100 AS sy,
+         CAST(sum(a * t) AS DOUBLE) / 10000 AS s1y,
+         CAST(sum(b * t) AS DOUBLE) / 10000 AS s2y
+  FROM dd
+), w AS (
+  SELECT round((sy * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1y * (s22 + 1.0) - s12 * s2y)
+           + s2 * (s1y * s12 - (s11 + 1.0) * s2y))
+         / (n * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s12 - (s11 + 1.0) * s2)), 6) AS w0,
+         round((n * (s1y * (s22 + 1.0) - s2y * s12)
+           - sy * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2))
+         / (n * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s12 - (s11 + 1.0) * s2)), 6) AS w1,
+         round((n * ((s11 + 1.0) * s2y - s12 * s1y)
+           - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - (s11 + 1.0) * s2))
+         / (n * ((s11 + 1.0) * (s22 + 1.0) - s12 * s12)
+           - s1 * (s1 * (s22 + 1.0) - s12 * s2)
+           + s2 * (s1 * s12 - (s11 + 1.0) * s2)), 6) AS w2,
+         round(s1 / n, 6) AS mu1, round(s2 / n, 6) AS mu2
+  FROM m
+), panel AS MATERIALIZED (
+  SELECT rid, l_quantity, l_discount FROM (
+    SELECT l_orderkey * 10 + l_linenumber AS rid, l_quantity, l_discount,
+           CAST('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) || 'shap'), 1, 8) AS BIGINT) / 4294967296.0 AS u
+    FROM lineitem
+  ) ORDER BY u, rid LIMIT 20
+)
+SELECT p.rid,
+       round(w.w0 + w.w1 * p.l_quantity + w.w2 * p.l_discount, 6) AS pred,
+       round(w.w1 * (p.l_quantity - w.mu1), 6) AS contrib_quantity,
+       round(w.w2 * (p.l_discount - w.mu2), 6) AS contrib_discount,
+       CASE WHEN abs(round(w.w1 * (p.l_quantity - w.mu1), 6))
+                 >= abs(round(w.w2 * (p.l_discount - w.mu2), 6))
+            THEN 'quantity' ELSE 'discount' END AS top_feature
+FROM panel p, w
+"""
+
+
+def q_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted regression stumps predicting price from
+    quantity (operators/mlplan.gbm_stumps — Friedman 2001), 3 rounds,
+    lr 0.5, trained entirely in-plan with EXACT integer residuals:
+    integer-cent leaf values keep every residual an exact integer
+    through all rounds, so split gains are deterministic in any
+    engine without a float-rounding treaty. Per round: one histogram
+    aggregation of the corpus (thresholds bounded by feature
+    CARDINALITY), a 1-row argmax, a broadcast residual update. The
+    output rows ARE the training curve (sse_pre per round)."""
+    from azure_data_engineering_spark.operators.mlplan import gbm_stumps
+
+    li = _t(spark, sf_dir, "lineitem")
+    return gbm_stumps(
+        li, "l_quantity", "l_extendedprice", rounds=3, lr=0.5, y_scale=100
+    )
+
+
+def _gbm_oracle_sql(rounds: int = 3, lr: float = 0.5) -> str:
+    parts = [
+        """WITH base AS MATERIALIZED (
+  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS xv,
+         CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS t
+  FROM lineitem
+), f0 AS (
+  SELECT CAST(round(CAST(sum(t) AS DOUBLE) / count(*), 0) AS BIGINT) AS f0 FROM base
+), cur0 AS MATERIALIZED (
+  SELECT xv, CAST(t AS BIGINT) - f.f0 AS e FROM base, f0 f
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", hist{r} AS MATERIALIZED (
+  SELECT xv, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(e) AS BIGINT) AS s,
+         sum(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) AS ss
+  FROM cur{r - 1} GROUP BY xv
+), tot{r} AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_all, CAST(sum(s) AS BIGINT) AS s_all,
+         CAST(sum(ss) AS DOUBLE) AS ss_all
+  FROM hist{r}
+), cum{r} AS (
+  SELECT * FROM (
+    SELECT h.xv, t.n_all, t.s_all, t.ss_all,
+           sum(h.cnt) OVER (ORDER BY h.xv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_l,
+           sum(h.s) OVER (ORDER BY h.xv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_l
+    FROM hist{r} h, tot{r} t
+  ) WHERE n_l < n_all
+), stump{r} AS MATERIALIZED (
+  SELECT round, threshold, add_left, add_right, n_left, n_right, sse_pre,
+         CASE WHEN sse_pre <> 0.0 THEN round(g / sse_pre, 4) ELSE 0.0 END AS gain_frac
+  FROM (
+    SELECT {r} AS round, xv AS threshold,
+           CAST(round({lr} * (CAST(s_l AS DOUBLE) / n_l), 0) AS BIGINT) AS add_left,
+           CAST(round({lr} * (CAST(s_all - s_l AS DOUBLE) / (n_all - n_l)), 0) AS BIGINT) AS add_right,
+           CAST(n_l AS BIGINT) AS n_left, CAST(n_all - n_l AS BIGINT) AS n_right,
+           ss_all AS sse_pre,
+           CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / n_l
+             + CAST(s_all - s_l AS DOUBLE) * CAST(s_all - s_l AS DOUBLE) / (n_all - n_l)
+             - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_all AS g
+    FROM cum{r}
+    ORDER BY g DESC, threshold ASC LIMIT 1
+  )
+), cur{r} AS MATERIALIZED (
+  SELECT c.xv,
+         c.e - (CASE WHEN c.xv <= s.threshold THEN s.add_left ELSE s.add_right END) AS e
+  FROM cur{r - 1} c, stump{r} s
+)"""
+        )
+    sel = " UNION ALL ".join(f"SELECT * FROM stump{r}" for r in range(1, rounds + 1))
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+Q_GBM_STUMPS_SQL = _gbm_oracle_sql(3, 0.5)
+
+
+def q_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gain / lift chart for the deterministic linear score
+    (discount+tax blend) against the return label (operators/features.
+    gain_chart): rows are NEVER globally sorted — the score collapses
+    to its distinct-value histogram, deciles assign over that bounded
+    grid by exact cumulative counts, and per-decile capture/lift
+    re-aggregate from the histogram. The campaign-targeting
+    evaluation beside q_calibration_bins' reliability diagram."""
+    from azure_data_engineering_spark.operators.features import gain_chart
+
+    li = _t(spark, sf_dir, "lineitem")
+    scored = li.select(
+        (F.col("l_discount") * 5.0 + F.col("l_tax") * 5.0).alias("score"),
+        (F.col("l_returnflag") == "R").cast("long").alias("lab"),
+    )
+    return gain_chart(scored, "score", "lab", deciles=10)
+
+
+Q_GAIN_CHART_SQL = """
+WITH sc AS (
+  SELECT l_discount * 5.0 + l_tax * 5.0 AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS lab
+  FROM lineitem
+), h AS MATERIALIZED (
+  SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(lab) AS BIGINT) AS resp
+  FROM sc GROUP BY s
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_all, CAST(sum(resp) AS BIGINT) AS r_all FROM h
+), cum AS (
+  SELECT *, least(CAST(ceil(CAST(cum_n * 10 AS DOUBLE) / n_all) AS INT), 10) AS decile
+  FROM (
+    SELECT h.s, h.cnt, h.resp, t.n_all, t.r_all,
+           sum(h.cnt) OVER (ORDER BY h.s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+    FROM h, tot t
+  )
+), per AS (
+  SELECT decile, CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(resp) AS BIGINT) AS responders,
+         max(n_all) AS n_all, max(r_all) AS r_all
+  FROM cum GROUP BY decile
+)
+SELECT decile, n, responders,
+       round(responders / n, 6) AS resp_rate,
+       round(CAST(sum(responders) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / r_all, 6) AS cum_capture,
+       round((responders / n) / (CAST(r_all AS DOUBLE) / n_all), 6) AS lift
+FROM per
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event month (operators/stats.population_stability_index —
+    the credit-scorecard drift gate, Siddiqi 2006): fixed 50-unit
+    value bins, +1 Laplace smoothing keeps empty bins finite and the
+    statistic a pure function of exact integers. The numeric-score
+    companion to q_source_drift's token KL/JS."""
+    from azure_data_engineering_spark.operators.stats import (
+        population_stability_index,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    base = e.filter(F.dayofmonth("ts") <= 15)
+    cur = e.filter(F.dayofmonth("ts") > 15)
+    return population_stability_index(base, cur, "value", 50.0, 10)
+
+
+Q_PSI_DRIFT_SQL = """
+WITH e AS (SELECT day(ts) AS d, value FROM events),
+bb AS (
+  SELECT least(CAST(floor(value / 50.0) AS INT), 9) AS bin, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE d <= 15 GROUP BY 1
+), cc AS (
+  SELECT least(CAST(floor(value / 50.0) AS INT), 9) AS bin, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE d > 15 GROUP BY 1
+), bins AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+j AS (
+  SELECT b.bin, coalesce(bb.c, 0) AS c_base, coalesce(cc.c, 0) AS c_cur
+  FROM bins b LEFT JOIN bb USING (bin) LEFT JOIN cc USING (bin)
+), tot AS (
+  SELECT CAST(sum(c_base) AS BIGINT) AS n_base, CAST(sum(c_cur) AS BIGINT) AS n_cur FROM j
+), terms AS (
+  SELECT j.bin, t.n_base, t.n_cur,
+         (CAST(c_base + 1 AS DOUBLE) / (n_base + 10)
+          - CAST(c_cur + 1 AS DOUBLE) / (n_cur + 10))
+         * ln((CAST(c_base + 1 AS DOUBLE) / (n_base + 10))
+              / (CAST(c_cur + 1 AS DOUBLE) / (n_cur + 10))) AS term
+  FROM j, tot t
+)
+SELECT CAST(max(n_base) AS BIGINT) AS n_baseline,
+       CAST(max(n_cur) AS BIGINT) AS n_current,
+       round(sum(term), 9) AS psi,
+       CAST(sum(CASE WHEN round(term, 9) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_shifted_bins
+FROM terms
+"""
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: are purchase and click
+    value distributions the same? (operators/stats.ks_two_sample.)
+    D = max ECDF gap over the DISTINCT 2-dp value grid — bounded by
+    value range x precision, never by row count; cumulative counts
+    are exact integers so D is an exact rational; the alpha=0.05
+    bound 1.358*sqrt((n_a+n_b)/(n_a*n_b)) decides reject_95. The
+    pooling gate run before merging two corpora."""
+    from azure_data_engineering_spark.operators.stats import ks_two_sample
+
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "purchase")
+    b = e.filter(F.col("event_type") == "click")
+    return ks_two_sample(a, b, "value")
+
+
+Q_KS_TEST_SQL = """
+WITH av AS (SELECT round(value, 2) AS v FROM events WHERE event_type = 'purchase'),
+bv AS (SELECT round(value, 2) AS v FROM events WHERE event_type = 'click'),
+ha AS (SELECT v, CAST(count(*) AS BIGINT) AS na FROM av GROUP BY v),
+hb AS (SELECT v, CAST(count(*) AS BIGINT) AS nb FROM bv GROUP BY v),
+grid AS MATERIALIZED (
+  SELECT v, coalesce(na, 0) AS ca, coalesce(nb, 0) AS cb
+  FROM ha FULL JOIN hb USING (v)
+), cum AS (
+  SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM grid
+), tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM grid),
+d AS (
+  SELECT abs(CAST(cum_a AS DOUBLE) / t.n_a - CAST(cum_b AS DOUBLE) / t.n_b) AS diff,
+         t.n_a, t.n_b
+  FROM cum, tot t
+)
+SELECT n_a, n_b,
+       round(max(diff), 9) AS d_stat,
+       round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)), 9) AS d_crit,
+       round(max(diff), 9) > round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)), 9) AS reject_95
+FROM d GROUP BY n_a, n_b
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
 
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -12003,23 +12633,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every round (relational, live-JDBC, streaming, pandas, dedup, ANN,
     snapshot, k-means), the 2 queries whose logic CHANGED this round
     (q_knn_classifier fixed-panel de-quadratic fix, q_record_linkage
-    consonant-skeleton blocking — external re-verification), the 8
-    queries new in r6 (in-plan classical ML, FIM, link prediction, JL
-    projection), and the next 32 entries no r1-r5 window ever sampled
-    (union of driver windows = 155 of 275 pre-r6 keys; rotation per
-    ADVICE r3 accumulates external verification instead of re-checking
-    the same prefix). tools/check_oracle.py verifies the FULL registry
+    consonant-skeleton blocking — external re-verification), the 17
+    queries new in r6 (in-plan classical ML with CV, conformal
+    intervals, MI ranking, linear SHAP, boosted stumps, gain chart,
+    PSI + KS drift gates, privacy audit, FIM, link prediction, JL
+    projection), and the next 23 entries no r1-r5 window ever
+    sampled
+    (union of driver windows = 155 of 275 pre-r6 keys; rotation
+    accumulates external verification instead of re-checking the same
+    prefix). tools/check_oracle.py verifies the FULL registry
     every round."""
     return {
         # ---- driver sampling window (first 50), rotated per round so
         # ---- external verification accumulates (ADVICE r3): 8 pinned
         # ---- cross-family representatives + the 2 queries whose logic
         # ---- CHANGED this round (q_knn_classifier fixed-panel fix,
-        # ---- q_record_linkage consonant-skeleton blocking) + the 8 new
-        # ---- r6 queries (in-plan classical ML, FIM, link prediction,
-        # ---- JL projection) + the next 32 never-driver-sampled entries
-        # ---- (union r1-r5 = 155 of 275 keys). Full registry swept every
-        # ---- round by tools/check_oracle.py.
+        # ---- q_record_linkage consonant-skeleton blocking) + the 17 new
+        # ---- r6 queries (in-plan classical ML with CV/conformal/MI/
+        # ---- SHAP/GBM, gain chart, PSI + KS drift gates, privacy audit,
+        # ---- FIM, link prediction, JL projection) + the next 23
+        # ---- never-driver-sampled entries (union r1-r5 = 155 of 275
+        # ---- pre-r6 keys). Full registry swept every round by
+        # ---- tools/check_oracle.py.
         "q1_pricing_summary": q1_pricing_summary,
         "q_jdbc_roundtrip": q_jdbc_roundtrip,
         "q_stream_tumbling": q_stream_tumbling,
@@ -12030,7 +12665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_knn_classifier": q_knn_classifier,
         "q_record_linkage": q_record_linkage,
-        # ---- 8 new in r6 ----
+        # ---- 17 new in r6 ----
         "q_pca_power": q_pca_power,
         "q_ridge_regression": q_ridge_regression,
         "q_logistic_gd": q_logistic_gd,
@@ -12039,7 +12674,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fim_split": q_fim_split,
         "q_link_prediction": q_link_prediction,
         "q_random_project": q_random_project,
-        # ---- next 32 never-driver-sampled ----
+        "q_cv_ridge": q_cv_ridge,
+        "q_conformal_interval": q_conformal_interval,
+        "q_mutual_info": q_mutual_info,
+        "q_k_anonymity": q_k_anonymity,
+        "q_linear_shap": q_linear_shap,
+        "q_gbm_stumps": q_gbm_stumps,
+        "q_gain_chart": q_gain_chart,
+        "q_psi_drift": q_psi_drift,
+        "q_ks_test": q_ks_test,
+        # ---- next 23 never-driver-sampled ----
         "q_multimodal_resize": q_multimodal_resize,
         "q_multimodal_features": q_multimodal_features,
         "q_repetition_stats": q_repetition_stats,
@@ -12063,15 +12707,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q4_style": q_tpch_q4_style,
         "q_tpch_q12_style": q_tpch_q12_style,
         "q_orc_roundtrip": q_orc_roundtrip,
-        "q_map_functions": q_map_functions,
-        "q_sketches": q_sketches,
-        "q_clustered_scan": q_clustered_scan,
-        "q_variant": q_variant,
-        "q_expectations": q_expectations,
-        "q_incremental_agg": q_incremental_agg,
-        "q_profile": q_profile,
-        "q_scd2": q_scd2,
-        "q_zorder_scan": q_zorder_scan,
         # ---- end of sampling window; remaining entries ----
         "q_bpe_encode": q_bpe_encode,
         "q_ann_append": q_ann_append,
@@ -12219,6 +12854,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_lang_id": q_lang_id,
         "q_edit_distance": q_edit_distance,
+        "q_map_functions": q_map_functions,
+        "q_sketches": q_sketches,
+        "q_clustered_scan": q_clustered_scan,
+        "q_variant": q_variant,
+        "q_expectations": q_expectations,
+        "q_incremental_agg": q_incremental_agg,
+        "q_profile": q_profile,
+        "q_scd2": q_scd2,
+        "q_zorder_scan": q_zorder_scan,
         "q_scd2_pointintime": q_scd2_pointintime,
         "q_salted_join": q_salted_join,
         "q_weighted_sample": q_weighted_sample,
@@ -12594,4 +13238,13 @@ def oracle_sql() -> dict[str, str]:
         "q_fim_split": Q_FIM_SPLIT_SQL,
         "q_link_prediction": Q_LINK_PREDICTION_SQL,
         "q_random_project": Q_RANDOM_PROJECT_SQL,
+        "q_cv_ridge": Q_CV_RIDGE_SQL,
+        "q_conformal_interval": Q_CONFORMAL_INTERVAL_SQL,
+        "q_mutual_info": Q_MUTUAL_INFO_SQL,
+        "q_k_anonymity": Q_K_ANONYMITY_SQL,
+        "q_linear_shap": Q_LINEAR_SHAP_SQL,
+        "q_gbm_stumps": Q_GBM_STUMPS_SQL,
+        "q_gain_chart": Q_GAIN_CHART_SQL,
+        "q_psi_drift": Q_PSI_DRIFT_SQL,
+        "q_ks_test": Q_KS_TEST_SQL,
     }

@@ -115,3 +115,126 @@ def target_encode(
             round_digits,
         ).alias("encoded"),
     )
+
+
+def mutual_information(
+    melted: DataFrame,
+    feature_col: str = "feature",
+    value_col: str = "value",
+    label_col: str = "label",
+    out_decimals: int = 9,
+) -> DataFrame:
+    """Mutual information I(X; Y) in bits between each candidate
+    feature and a label, from ONE (feature, value, label) count
+    aggregation — the model-free feature-ranking screen run before
+    committing 100 TB to a training matrix (features with ~0 MI are
+    dropped; suspiciously HIGH MI flags leakage).
+
+    The input is the melted long frame (one row per original row per
+    feature — stack() in the caller keeps it one scan); all marginals
+    re-aggregate from the joint count table, so the plan is one
+    shuffle on (feature, value, label) plus broadcast-sized joins of
+    the per-feature and per-label marginals. MI terms use EXACT
+    integer counts — log2((c_vl * n) / (c_v * c_l)) sees an exact
+    integer product ratio, so both engines feed libm identical
+    doubles; the sum is rounded to out_decimals to absorb
+    accumulation-order drift. Also emits H(X) bits (the normalizer
+    for an information-gain-ratio view).
+
+    Returns one row per feature: (feature, n, mi_bits, h_bits)."""
+    joint = melted.groupBy(
+        F.col(feature_col).alias("feature"),
+        F.col(value_col).alias("value"),
+        F.col(label_col).alias("label"),
+    ).agg(F.count(F.lit(1)).alias("c_vl"))
+    f_tot = joint.groupBy("feature").agg(F.sum("c_vl").alias("n"))
+    v_marg = joint.groupBy("feature", "value").agg(F.sum("c_vl").alias("c_v"))
+    l_marg = joint.groupBy("feature", "label").agg(F.sum("c_vl").alias("c_l"))
+    terms = (
+        joint.join(v_marg, ["feature", "value"])
+        .join(l_marg, ["feature", "label"])
+        .join(F.broadcast(f_tot), "feature")
+    )
+    mi_term = (F.col("c_vl") / F.col("n")) * F.log2(
+        (F.col("c_vl") * F.col("n")) / (F.col("c_v") * F.col("c_l"))
+    )
+    hx_term = (F.col("c_vl") / F.col("n")) * F.log2(F.col("c_v") / F.col("n"))
+    return (
+        terms.groupBy("feature")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(F.sum(mi_term), out_decimals).alias("mi_bits"),
+            F.round(-F.sum(hx_term), out_decimals).alias("h_bits"),
+        )
+    )
+
+
+def gain_chart(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    deciles: int = 10,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Cumulative gain / lift chart by score decile — the campaign-
+    targeting evaluation: sort by score DESCENDING, cut into
+    population deciles, and report how much of the total response
+    each cumulative slice captures (capture rate) and how much better
+    than random each slice is (lift).
+
+    Scale shape: rows are never globally sorted. The score collapses
+    to its DISTINCT-value histogram (counts + responders per score),
+    a running-sum window over that bounded grid assigns each score
+    value a decile = ceil(deciles * cum_n / N) (ties share a decile —
+    deterministic, no row-order dependence), and per-decile stats
+    re-aggregate from the histogram. Exact integer counts feed every
+    ratio. Returns one row per non-empty decile: (decile, n,
+    responders, resp_rate, cum_capture, lift)."""
+    from pyspark.sql import Window
+
+    h = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("resp"),
+    )
+    win = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = h.agg(F.sum("cnt").alias("n_all"), F.sum("resp").alias("r_all"))
+    cum = (
+        h.select(
+            "s", "cnt", "resp", F.sum("cnt").over(win).alias("cum_n")
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "decile",
+            F.least(
+                F.ceil((F.col("cum_n") * deciles).cast("double") / F.col("n_all"))
+                .cast("int"),
+                F.lit(deciles),
+            ),
+        )
+    )
+    per = cum.groupBy("decile").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("resp").cast("long").alias("responders"),
+        F.max("n_all").alias("n_all"),
+        F.max("r_all").alias("r_all"),
+    )
+    win2 = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "decile",
+        "n",
+        "responders",
+        F.round(F.col("responders") / F.col("n"), out_decimals).alias("resp_rate"),
+        F.round(
+            F.sum("responders").over(win2).cast("double") / F.col("r_all"),
+            out_decimals,
+        ).alias("cum_capture"),
+        F.round(
+            (F.col("responders") / F.col("n"))
+            / (F.col("r_all").cast("double") / F.col("n_all")),
+            out_decimals,
+        ).alias("lift"),
+    )

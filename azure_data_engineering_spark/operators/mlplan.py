@@ -553,3 +553,260 @@ def ridge_cv(
         F.round(w2, out_decimals).alias("w2"),
         F.round(F.sqrt(sse / hn), out_decimals).alias("rmse"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    id_col: str,
+    calib_size: int = 2000,
+    alpha: float = 0.1,
+    scale1: int = 1,
+    scale2: int = 1,
+    scale_y: int = 1,
+    lam: float = 1.0,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al. 2005; Lei et
+    al. JASA 2018) for the in-plan ridge model: hold out a FIXED-SIZE
+    calibration panel, train on the rest, and return the residual
+    quantile q_hat such that [pred - q_hat, pred + q_hat] covers new
+    points with probability >= 1 - alpha under exchangeability — the
+    distribution-free uncertainty a corpus-gating regressor needs
+    before its predictions drive filtering.
+
+    Scale discipline: the calibration panel is the `calib_size`
+    smallest md5(id) draws (the q_retrieval_metrics fixed-panel rule)
+    — a distributed TakeOrdered, NOT a corpus fraction, so the
+    single-partition residual rank below is bounded by a constant
+    regardless of corpus size; the train split is a broadcast
+    anti-join against the panel ids. Training is the one-scan exact-
+    moment ridge (ridge_closed_form), so weights are pinned 6-dp
+    doubles and calibration residuals are bit-identical cross-engine;
+    the conformal rank k = ceil((n_calib + 1)(1 - alpha)) selects
+    q_hat deterministically by (residual, id).
+
+    Returns ONE row: (n_train, n_calib, k, q_hat, coverage_train) —
+    coverage_train is the empirical fraction of TRAINING rows inside
+    +-q_hat, a sanity metric that should sit near 1 - alpha."""
+    from azure_data_engineering_spark.operators.sampling import hash_unit
+
+    u = hash_unit(F.col(id_col), "conformal")
+    calib_ids = (
+        df.select(F.col(id_col).alias("__cid"), u.alias("__u"))
+        .orderBy("__u", "__cid")
+        .limit(calib_size)
+        .select("__cid")
+    )
+    calib = df.join(
+        F.broadcast(calib_ids), df[id_col] == F.col("__cid"), "inner"
+    ).drop("__cid")
+    train = df.join(
+        F.broadcast(calib_ids), df[id_col] == F.col("__cid"), "left_anti"
+    )
+    w = (
+        ridge_closed_form(
+            train, x1, x2, y,
+            scale1=scale1, scale2=scale2, scale_y=scale_y, lam=lam,
+        )
+        .select(
+            F.col("n").alias("n_train"), "w0", "w1", "w2"
+        )
+        # fail loudly when the panel swallowed the whole corpus: an
+        # empty training split yields NULL moments, which would
+        # otherwise propagate into a silent all-NULL output row
+        .withColumn(
+            "__ok",
+            F.assert_true(
+                F.col("n_train") > 0,
+                F.lit(
+                    "conformal_interval: training split is empty — "
+                    "calib_size >= corpus size; shrink the panel"
+                ),
+            ),
+        )
+        .filter(F.col("__ok").isNull())
+        .drop("__ok")
+        .localCheckpoint(eager=True)
+    )
+    pred = F.col("w0") + F.col("w1") * F.col(x1) + F.col("w2") * F.col(x2)
+    res = (
+        calib.crossJoin(F.broadcast(w))
+        .select(
+            F.col(id_col).alias("rid"),
+            F.abs(F.col(y) - pred).alias("r"),
+            "n_train", "w0", "w1", "w2",
+        )
+    )
+    nc = res.agg(F.count(F.lit(1)).alias("n_calib"))
+    ranked = res.crossJoin(F.broadcast(nc)).withColumn(
+        "rn", F.row_number().over(Window.orderBy("r", "rid"))
+    )
+    kth = ranked.filter(
+        F.col("rn")
+        == F.least(
+            F.ceil((F.col("n_calib") + 1) * (1.0 - alpha)).cast("int"),
+            F.col("n_calib").cast("int"),
+        )
+    ).select(
+        "n_train", "w0", "w1", "w2", "n_calib",
+        F.col("rn").cast("long").alias("k"),
+        F.col("r").alias("q_hat"),
+    )
+    cov = (
+        train.crossJoin(F.broadcast(kth))
+        .agg(
+            F.first("n_train").alias("n_train"),
+            F.first("n_calib").cast("long").alias("n_calib"),
+            F.first("k").alias("k"),
+            F.round(F.first("q_hat"), out_decimals).alias("q_hat"),
+            F.round(
+                F.avg(
+                    (F.abs(F.col(y) - pred) <= F.col("q_hat")).cast("double")
+                ),
+                out_decimals,
+            ).alias("coverage_train"),
+        )
+    )
+    return cov
+
+
+def gbm_stumps(
+    df: DataFrame,
+    x: str,
+    y: str,
+    rounds: int = 3,
+    lr: float = 0.5,
+    y_scale: int = 100,
+    gain_decimals: int = 4,
+) -> DataFrame:
+    """Gradient-boosted regression stumps (Friedman 2001), trained
+    entirely in-plan with EXACT integer residuals: the target is
+    converted to integer units (y_scale), the base prediction and
+    every leaf value are rounded to integer units, so residuals stay
+    exact integers through all rounds — per-round split scoring sums
+    are therefore exact, and the argmax is deterministic in any
+    engine without a rounding treaty on accumulated floats (the
+    ridge/decision_stump exactness discipline extended to an
+    iterative learner).
+
+    Per round: candidate thresholds collapse to the feature-value
+    histogram (bounded by CARDINALITY, not rows — pre-bucket truly
+    continuous features first), cumulative residual sums give the
+    variance-reduction gain S_l^2/n_l + S_r^2/n_r - S^2/n from exact
+    integers, a 1-row argmax (gain desc, threshold asc) picks the
+    stump, and the corpus residual updates through a broadcast join
+    of that 1-row frame. Only the 1-row stump frames are
+    checkpointed — the corpus is re-derived lazily, so each round
+    costs exactly one histogram aggregation of the corpus.
+
+    Returns one row per round: (round, threshold, add_left,
+    add_right, n_left, n_right, sse_pre, gain_frac) — add_* are the
+    lr-scaled leaf increments in integer units; sse_pre is the exact
+    squared-residual total entering the round and gain_frac the
+    fraction of it the split removes, so the row sequence IS the
+    training curve."""
+    base = df.select(
+        F.round(F.col(x), 0).cast("long").alias("xv"),
+        F.round(F.col(y) * y_scale, 0).cast("decimal(38,0)").alias("t"),
+    )
+    f0 = (
+        base.agg(
+            F.round(F.sum("t").cast("double") / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("f0")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cur = base.crossJoin(F.broadcast(f0)).select(
+        "xv", (F.col("t").cast("long") - F.col("f0")).alias("e")
+    )
+    out = None
+    spark = df.sparkSession
+    for r in range(1, rounds + 1):
+        # ss as exact decimal: sum of e^2 exceeds long range on a
+        # billion-row corpus; s (signed residual sum) stays in long
+        hist = cur.groupBy("xv").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("e").alias("s"),
+            F.sum((F.col("e") * F.col("e")).cast("decimal(38,0)")).alias("ss"),
+        )
+        win = Window.orderBy("xv").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tot = hist.agg(
+            F.sum("cnt").alias("n_all"), F.sum("s").alias("s_all"),
+            F.sum("ss").alias("ss_all"),
+        )
+        cum = (
+            hist.select(
+                "xv",
+                F.sum("cnt").over(win).alias("n_l"),
+                F.sum("s").over(win).alias("s_l"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .filter(F.col("n_l") < F.col("n_all"))
+        )
+        n_r_ = F.col("n_all") - F.col("n_l")
+        s_r_ = F.col("s_all") - F.col("s_l")
+        # square in DOUBLE: s^2 overflows long for partial sums past
+        # ~3e9 units; exact-int inputs cast to identical doubles first.
+        # The argmax ranks the RAW gain — it is a pure function of
+        # exact integers, so it is bit-identical in any engine; a
+        # rounded gain would NOT be (round() algorithms diverge in the
+        # last ulp at 1e13+ magnitudes). The reported gain_frac is
+        # gain/sse_pre — O(1), where rounding is stable.
+        s_ld = F.col("s_l").cast("double")
+        s_rd = s_r_.cast("double")
+        s_ad = F.col("s_all").cast("double")
+        gain = (
+            s_ld * s_ld / F.col("n_l")
+            + s_rd * s_rd / n_r_
+            - s_ad * s_ad / F.col("n_all")
+        )
+        stump = (
+            cum.select(
+                F.lit(r).alias("round"),
+                F.col("xv").alias("threshold"),
+                F.round(
+                    F.lit(lr) * (F.col("s_l").cast("double") / F.col("n_l")), 0
+                ).cast("long").alias("add_left"),
+                F.round(
+                    F.lit(lr) * (s_r_.cast("double") / n_r_), 0
+                ).cast("long").alias("add_right"),
+                F.col("n_l").cast("long").alias("n_left"),
+                n_r_.cast("long").alias("n_right"),
+                F.col("ss_all").cast("double").alias("sse_pre"),
+                gain.alias("__g"),
+                # residuals can be EXACTLY zero once the model fits
+                # (integer leaves make that reachable): 0/0-guard
+                F.when(
+                    F.col("ss_all").cast("double") != 0.0,
+                    F.round(
+                        gain / F.col("ss_all").cast("double"), gain_decimals
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("gain_frac"),
+            )
+            .orderBy(F.col("__g").desc(), F.col("threshold").asc())
+            .limit(1)
+            .drop("__g")
+            .localCheckpoint(eager=True)
+        )
+        out = stump if out is None else out.unionByName(stump)
+        upd = stump.select(
+            F.col("threshold").alias("__t"),
+            F.col("add_left").alias("__al"),
+            F.col("add_right").alias("__ar"),
+        )
+        cur = cur.crossJoin(F.broadcast(upd)).select(
+            "xv",
+            (
+                F.col("e")
+                - F.when(F.col("xv") <= F.col("__t"), F.col("__al")).otherwise(
+                    F.col("__ar")
+                )
+            ).alias("e"),
+        )
+    return out

@@ -511,3 +511,125 @@ def winsorize(
         .withColumn(f"{value_col}_wins", F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi")))
         .withColumn("is_clipped", (v < F.col("p_lo")) | (v > F.col("p_hi")))
     )
+
+
+def population_stability_index(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    bin_width: float,
+    n_bins: int,
+    out_decimals: int = 9,
+) -> DataFrame:
+    """Population Stability Index (the credit-scorecard drift metric;
+    Siddiqi 2006): PSI = sum_i (p_i - q_i) * ln(p_i / q_i) over fixed-
+    width value bins, between a baseline and a current window.
+    PSI < 0.1 reads "stable", 0.1-0.25 "investigate", > 0.25 "shifted"
+    — the monitoring gate run per-shard/per-day beside the KL/JS
+    token drift (token_distribution_drift) for numeric score columns.
+
+    Bins are FIXED (floor(value / bin_width), clamped to n_bins-1), so
+    the two sides aggregate independently — one groupBy each, then a
+    tiny n_bins-row join; nothing is corpus-proportional. Counts get
+    +1 Laplace smoothing so empty bins stay finite AND the statistic
+    remains a pure function of exact integers — both engines feed ln
+    identical rationals. Returns ONE row: (n_baseline, n_current,
+    psi, n_shifted_bins) where n_shifted_bins counts bins
+    contributing more than 0.01 each."""
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        b = F.least(
+            F.floor(F.col(value_col) / bin_width).cast("int"), F.lit(n_bins - 1)
+        )
+        return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias(name))
+
+    spark = baseline.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        bins.join(binned(baseline, "c_base"), "bin", "left")
+        .join(binned(current, "c_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("c_base"), F.lit(0)).alias("c_base"),
+            F.coalesce(F.col("c_cur"), F.lit(0)).alias("c_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("c_base").alias("n_base"), F.sum("c_cur").alias("n_cur")
+    )
+    t = joined.crossJoin(F.broadcast(tot))
+    p = (F.col("c_base") + 1).cast("double") / (F.col("n_base") + n_bins)
+    q = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + n_bins)
+    term = (p - q) * F.log(p / q)
+    return t.agg(
+        F.first("n_base").cast("long").alias("n_baseline"),
+        F.first("n_cur").cast("long").alias("n_current"),
+        F.round(F.sum(term), out_decimals).alias("psi"),
+        F.sum((F.round(term, out_decimals) > 0.01).cast("long"))
+        .cast("long")
+        .alias("n_shifted_bins"),
+    )
+
+
+def ks_two_sample(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    value_decimals: int = 2,
+    out_decimals: int = 9,
+    alpha_c: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: D = max over v of
+    |ECDF_a(v) - ECDF_b(v)|, with the alpha=0.05 rejection bound
+    c * sqrt((n_a + n_b) / (n_a * n_b)) (c = 1.358). The
+    distribution-equality test run before pooling two corpora or
+    trusting a holdout split.
+
+    Scale shape: values round to value_decimals, so the ECDF window
+    runs over the DISTINCT value grid — bounded by the value range x
+    precision (the decision_stump histogram collapse), never by row
+    count; cumulative counts are exact integers, so D is an exact
+    rational identical in any engine. Returns ONE row: (n_a, n_b,
+    d_stat, d_crit, reject_95)."""
+    from pyspark.sql import Window
+
+    av = a.select(F.round(F.col(value_col), value_decimals).alias("v"))
+    bv = b.select(F.round(F.col(value_col), value_decimals).alias("v"))
+    ca = av.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
+    cb = bv.groupBy("v").agg(F.count(F.lit(1)).alias("cb"))
+    grid = (
+        ca.join(cb, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    win = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grid.select(
+        F.sum("ca").over(win).alias("cum_a"),
+        F.sum("cb").over(win).alias("cum_b"),
+    )
+    tot = grid.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("n_a")
+                - F.col("cum_b").cast("double") / F.col("n_b")
+            ).alias("diff"),
+            "n_a",
+            "n_b",
+        )
+    )
+    crit = F.lit(alpha_c) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double") / (F.col("n_a") * F.col("n_b"))
+    )
+    return d.groupBy("n_a", "n_b").agg(
+        F.round(F.max("diff"), out_decimals).alias("d_stat")
+    ).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "d_stat",
+        F.round(crit, out_decimals).alias("d_crit"),
+        (F.col("d_stat") > F.round(crit, out_decimals)).alias("reject_95"),
+    )

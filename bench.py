@@ -90,12 +90,16 @@ HEADLINE = [
     "q_rfm_segmentation",
     "q_knn_classifier",
     # round-6 additions: in-plan classical ML (PCA power iteration,
-    # full-batch logistic GD), link prediction on the co-purchase
-    # graph, fill-in-the-middle transform
+    # full-batch logistic GD, one-scan k-fold CV ridge), link
+    # prediction on the co-purchase graph, fill-in-the-middle
+    # transform, MI feature ranking
     "q_pca_power",
     "q_logistic_gd",
     "q_link_prediction",
     "q_fim_split",
+    "q_cv_ridge",
+    "q_mutual_info",
+    "q_gbm_stumps",
 ]
 
 ROUND = 6

@@ -213,3 +213,232 @@ class TestRandomProject:
         mean_proj = proj.agg(F.avg("nrm2")).first()[0]
         mean_orig = float(np.mean([sum(x * x for x in v) for _, v in rng]))
         assert mean_proj == pytest.approx(mean_orig, rel=0.35)
+
+
+class TestRidgeCv:
+    def test_folds_train_on_complement(self, spark):
+        # exact linear data: every fold's model recovers the truth and
+        # holdout rmse ~ 0 (lam tiny relative to signal)
+        rows = [
+            (i % 5, float(i % 11), float((i * 7) % 13),
+             1.0 + 2.0 * (i % 11) + 3.0 * ((i * 7) % 13))
+            for i in range(200)
+        ]
+        from azure_data_engineering_spark.operators.mlplan import ridge_cv
+
+        df = spark.createDataFrame(rows, "fold int, x1 double, x2 double, y double")
+        out = ridge_cv(df, "x1", "x2", "y", "fold", lam=0.0).collect()
+        assert len(out) == 5
+        for r in out:
+            assert r["n_train"] + r["n_test"] == 200
+            assert r["w1"] == pytest.approx(2.0, abs=1e-4)
+            assert r["rmse"] == pytest.approx(0.0, abs=1e-3)
+
+    def test_moment_subtraction_matches_direct_fit(self, spark):
+        # CV fold-0 weights == ridge_closed_form trained directly on
+        # the fold!=0 subset (the subtraction is exact, not approximate)
+        from azure_data_engineering_spark.operators.mlplan import ridge_cv
+
+        rows = [
+            (i % 3, float(i % 11), float((i * 5) % 7), float((i * i) % 97))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "fold int, x1 double, x2 double, y double")
+        cv0 = {r["fold"]: r for r in ridge_cv(df, "x1", "x2", "y", "fold", lam=1.0).collect()}[0]
+        direct = ridge_closed_form(
+            df.filter(F.col("fold") != 0), "x1", "x2", "y", lam=1.0
+        ).first()
+        assert (cv0["w0"], cv0["w1"], cv0["w2"]) == (
+            direct["w0"], direct["w1"], direct["w2"]
+        )
+
+
+class TestConformalInterval:
+    def test_coverage_and_quantile_on_known_noise(self, spark):
+        # y = 10*x1 + e with |e| <= 1: q_hat must be <= ~1 and train
+        # coverage >= 0.9 (exchangeable by construction)
+        from azure_data_engineering_spark.operators.mlplan import conformal_interval
+
+        rows = [
+            (i, float(i % 50), 0.0,
+             10.0 * (i % 50) + (((i * 31) % 200) - 100) / 100.0)
+            for i in range(2000)
+        ]
+        df = spark.createDataFrame(rows, "rid long, x1 double, x2 double, y double")
+        r = conformal_interval(
+            df, "x1", "x2", "y", "rid", calib_size=400, alpha=0.1
+        ).first()
+        assert r["n_calib"] == 400
+        assert r["n_train"] == 1600
+        assert r["k"] == math.ceil(401 * 0.9)
+        assert 0.5 <= r["q_hat"] <= 1.5
+        assert r["coverage_train"] >= 0.85
+
+    def test_panel_smaller_than_corpus_guard(self, spark):
+        # corpus smaller than calib_size: every row lands in calib,
+        # train is empty -> ridge det division fails loudly rather
+        # than emitting silent garbage
+        from azure_data_engineering_spark.operators.mlplan import conformal_interval
+
+        rows = [(i, float(i), float(i % 3), float(i * 2)) for i in range(10)]
+        df = spark.createDataFrame(rows, "rid long, x1 double, x2 double, y double")
+        with pytest.raises(Exception):
+            conformal_interval(df, "x1", "x2", "y", "rid", calib_size=100).collect()
+
+
+class TestMutualInformation:
+    def test_perfect_predictor_equals_label_entropy(self, spark):
+        from azure_data_engineering_spark.operators.features import mutual_information
+
+        # feature 'copy' IS the label; feature 'noise' is constant
+        rows = []
+        for i in range(100):
+            lab = "A" if i % 4 == 0 else "B"  # H(Y) = H(0.25)
+            rows.append(("copy", lab, lab))
+            rows.append(("noise", "x", lab))
+        df = spark.createDataFrame(rows, "feature string, value string, label string")
+        out = {r["feature"]: r for r in mutual_information(df).collect()}
+        h_y = -(0.25 * math.log2(0.25) + 0.75 * math.log2(0.75))
+        assert out["copy"]["mi_bits"] == pytest.approx(h_y, abs=1e-9)
+        assert out["copy"]["h_bits"] == pytest.approx(h_y, abs=1e-9)
+        assert out["noise"]["mi_bits"] == pytest.approx(0.0, abs=1e-9)
+        assert out["noise"]["h_bits"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_independent_feature_near_zero(self, spark):
+        from azure_data_engineering_spark.operators.features import mutual_information
+
+        rows = [("f", str(i % 2), "A" if (i // 2) % 2 == 0 else "B") for i in range(400)]
+        df = spark.createDataFrame(rows, "feature string, value string, label string")
+        r = mutual_information(df).first()
+        assert r["mi_bits"] == pytest.approx(0.0, abs=1e-9)
+        assert r["h_bits"] == pytest.approx(1.0, abs=1e-9)
+
+
+class TestKAnonymityAudit:
+    def test_known_group_structure(self, spark):
+        from azure_data_engineering_spark.operators.privacy import k_anonymity_audit
+
+        # groups: (a: 6 rows, 2 sensitive values), (b: 3 rows, 1 value),
+        # (c: 1 row) -> k_min=1, singletons=1, rows_below_5=4, min_l=1
+        rows = (
+            [("a", i % 2 == 0) for i in range(6)]
+            + [("b", True)] * 3
+            + [("c", False)]
+        )
+        df = spark.createDataFrame(rows, "qi string, s boolean")
+        r = k_anonymity_audit(df, ["qi"], "s", k=5).first()
+        assert r["n_rows"] == 10
+        assert r["n_groups"] == 3
+        assert r["k_min"] == 1
+        assert r["n_singletons"] == 1
+        assert r["rows_below_k"] == 4
+        assert r["pct_below_k"] == pytest.approx(0.4)
+        assert r["min_l_diversity"] == 1
+
+    def test_null_qi_forms_own_group(self, spark):
+        from azure_data_engineering_spark.operators.privacy import k_anonymity_audit
+
+        df = spark.createDataFrame(
+            [(None, True), (None, False), ("x", True)], "qi string, s boolean"
+        )
+        r = k_anonymity_audit(df, ["qi"], "s", k=2).first()
+        assert r["n_groups"] == 2
+        assert r["k_min"] == 1
+
+
+class TestGbmStumps:
+    def test_step_function_learned_in_one_round(self, spark):
+        from azure_data_engineering_spark.operators.mlplan import gbm_stumps
+
+        # y = 100 for x<=5, 300 for x>5: round 1 must split at 5 and
+        # (with lr=1) the leaf increments recover the two levels
+        rows = [(float(i % 10 + 1), 100.0 if i % 10 + 1 <= 5 else 300.0)
+                for i in range(100)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = gbm_stumps(df, "x", "y", rounds=2, lr=1.0, y_scale=1).collect()
+        r1 = out[0]
+        assert r1["round"] == 1 and r1["threshold"] == 5
+        # base = 200; left leaf -100, right leaf +100 (integer units)
+        assert (r1["add_left"], r1["add_right"]) == (-100, 100)
+        assert r1["gain_frac"] == pytest.approx(1.0, abs=1e-3)
+        # round 2 enters with ~zero residual
+        assert out[1]["sse_pre"] == pytest.approx(0.0, abs=1.0)
+
+    def test_training_curve_monotone(self, spark):
+        from azure_data_engineering_spark.operators.mlplan import gbm_stumps
+
+        rows = [(float(i % 20), float((i * i) % 500)) for i in range(300)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = gbm_stumps(df, "x", "y", rounds=3, lr=0.5, y_scale=100).collect()
+        sses = [r["sse_pre"] for r in out]
+        assert sses == sorted(sses, reverse=True)  # boosting reduces SSE
+
+
+class TestPsi:
+    def test_identical_distributions_near_zero(self, spark):
+        from azure_data_engineering_spark.operators.stats import (
+            population_stability_index,
+        )
+
+        rows = [(float(i % 500),) for i in range(5000)]
+        df = spark.createDataFrame(rows, "value double")
+        r = population_stability_index(df, df, "value", 50.0, 10).first()
+        assert r["psi"] == pytest.approx(0.0, abs=1e-9)
+        assert r["n_shifted_bins"] == 0
+
+    def test_shifted_distribution_flags(self, spark):
+        from azure_data_engineering_spark.operators.stats import (
+            population_stability_index,
+        )
+
+        base = spark.createDataFrame([(float(i % 100),) for i in range(2000)], "value double")
+        cur = spark.createDataFrame([(float(400 + i % 100),) for i in range(2000)], "value double")
+        r = population_stability_index(base, cur, "value", 50.0, 10).first()
+        assert r["psi"] > 0.25  # "shifted" per the scorecard convention
+        assert r["n_shifted_bins"] >= 2
+
+
+class TestKsTwoSample:
+    def test_identical_samples_d_zero(self, spark):
+        from azure_data_engineering_spark.operators.stats import ks_two_sample
+
+        df = spark.createDataFrame([(float(i % 37),) for i in range(1000)], "value double")
+        r = ks_two_sample(df, df, "value").first()
+        assert r["d_stat"] == 0.0
+        assert not r["reject_95"]
+
+    def test_disjoint_supports_d_one(self, spark):
+        from azure_data_engineering_spark.operators.stats import ks_two_sample
+
+        a = spark.createDataFrame([(float(i % 10),) for i in range(200)], "value double")
+        b = spark.createDataFrame([(float(100 + i % 10),) for i in range(200)], "value double")
+        r = ks_two_sample(a, b, "value").first()
+        assert r["d_stat"] == 1.0
+        assert r["reject_95"]
+        assert r["d_crit"] == pytest.approx(1.358 * math.sqrt(400 / (200 * 200)), abs=1e-9)
+
+
+class TestGainChart:
+    def test_perfect_score_captures_everything_in_top_decile(self, spark):
+        from azure_data_engineering_spark.operators.features import gain_chart
+
+        # 10% responders, all with the highest score
+        rows = [(1.0 if i < 100 else 0.0, 1 if i < 100 else 0) for i in range(1000)]
+        df = spark.createDataFrame(rows, "score double, lab long")
+        out = {r["decile"]: r for r in gain_chart(df, "score", "lab").collect()}
+        assert out[1]["responders"] == 100
+        assert out[1]["cum_capture"] == pytest.approx(1.0)
+        assert out[1]["lift"] == pytest.approx(10.0)
+        assert out[10]["cum_capture"] == pytest.approx(1.0)
+
+    def test_ties_share_a_decile_row_order_independent(self, spark):
+        from azure_data_engineering_spark.operators.features import gain_chart
+
+        rows = [(float(i % 3), i % 2) for i in range(300)]
+        df = spark.createDataFrame(rows, "score double, lab long")
+        a = sorted(map(tuple, gain_chart(df, "score", "lab").collect()))
+        b = sorted(map(tuple, gain_chart(df.repartition(7), "score", "lab").collect()))
+        assert a == b
+        # 3 distinct scores of 100 rows each -> deciles land on 4, 7, 10
+        deciles = {r[0] for r in a}
+        assert deciles == {4, 7, 10}

@@ -498,3 +498,110 @@ def test_novelty_no_cartesian(spark, sf_dir):
 def test_winsorize_percentile_frame_is_broadcast(spark, sf_dir):
     plan = formatted_plan(entrymod.q_winsorize(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+# ---- round 6: in-plan classical ML family ----
+
+
+def test_ridge_is_single_aggregate_pruned_scan(spark, sf_dir):
+    """ridge_closed_form must be ONE map-side-combined aggregate: a
+    single shuffle to the 1-row moment frame, scanning only the three
+    model columns."""
+    plan = formatted_plan(entrymod.q_ridge_regression(spark, sf_dir))
+    assert plan.count("+- Exchange") <= 1
+    assert "CartesianProduct" not in plan
+    assert "l_partkey" not in plan  # untouched lineitem columns pruned
+
+
+def test_cv_ridge_two_shuffles_no_second_pass(spark, sf_dir):
+    """k-fold CV via moment subtraction: groupBy(fold), the totals
+    re-aggregate, and the final projection are the only shuffles —
+    holdout RMSE comes from moment algebra, never a residual join
+    back to the corpus (no join against lineitem appears at all;
+    the only joins are the broadcast of the 1-row totals frame)."""
+    plan = formatted_plan(entrymod.q_cv_ridge(spark, sf_dir))
+    assert plan.count("+- Exchange") <= 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fim_split_shuffle_free(spark, sf_dir):
+    """FIM is a pure per-row transform: zero exchanges."""
+    plan = formatted_plan(entrymod.q_fim_split(spark, sf_dir))
+    assert plan.count("+- Exchange") == 0
+
+
+def test_random_project_broadcasts_matrix_single_shuffle(spark, sf_dir):
+    """The JL matrix joins the exploded vectors broadcast-side; the
+    only shuffle is the (id, j) aggregation."""
+    plan = formatted_plan(entrymod.q_random_project(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("+- Exchange") <= 1
+
+
+def test_k_anonymity_no_joins(spark, sf_dir):
+    """The privacy audit is groupBy + 1-row summary: no join operator
+    of any kind in the plan."""
+    plan = formatted_plan(entrymod.q_k_anonymity(spark, sf_dir))
+    assert "Join" not in plan
+    # 3 exchanges: count(DISTINCT sensitive) expands to a (QI,
+    # sensitive) pre-aggregate before the QI group and 1-row summary
+    assert plan.count("+- Exchange") <= 3
+
+
+def test_conformal_train_split_is_broadcast_anti_join(spark, sf_dir):
+    """The fixed-size panel must reach the corpus as a broadcast
+    anti-join (panel ids broadcast), never a shuffled anti join; the
+    only BroadcastNestedLoopJoins are the 1-row scalar frames
+    (weights, n_calib, q_hat) — bounded by construction."""
+    plan = formatted_plan(entrymod.q_conformal_interval(spark, sf_dir))
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_top_k_never_global_sorts(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_link_prediction(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mutual_info_no_cartesian_no_row_explosion_joins(spark, sf_dir):
+    """Marginals re-aggregate from the joint count table and join back
+    on (feature, value/label) keys — never a cartesian; the broadcast
+    of the 4-row per-feature totals is the only nested-loop risk and
+    it is hash-joinable."""
+    plan = formatted_plan(entrymod.q_mutual_info(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gbm_per_round_is_histogram_plus_broadcast(spark, sf_dir):
+    """Each boosting round must reach the corpus only through a
+    histogram aggregation and a broadcast 1-row stump update — no
+    shuffle join of the corpus against anything."""
+    plan = formatted_plan(entrymod.q_gbm_stumps(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gain_chart_never_globally_sorts_rows(spark, sf_dir):
+    """Deciles come from the distinct-score histogram: no Sort over
+    the corpus (the only windows run over the bounded score grid)."""
+    plan = formatted_plan(entrymod.q_gain_chart(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the corpus reaches the plan only via the score group-by
+    assert "l_orderkey" not in plan
+
+
+def test_psi_sides_aggregate_independently(spark, sf_dir):
+    """PSI joins only the 10-row bin frames — nothing
+    corpus-proportional crosses a join."""
+    plan = formatted_plan(entrymod.q_psi_drift(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ks_window_runs_on_distinct_value_grid(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_ks_test(spark, sf_dir))
+    assert "CartesianProduct" not in plan
