@@ -12621,6 +12621,383 @@ FROM d GROUP BY n_a, n_b
 """
 
 
+# ---------------------------------------------------------------------------
+# round 6b: distribution diagnostics, privacy release, scaling laws,
+# retrieval NDCG, time-series screens
+# ---------------------------------------------------------------------------
+
+
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private event-type histogram (operators/
+    privacy.dp_noisy_counts — Dwork et al. 2006): per-type counts plus
+    Laplace(1/ε) noise from the engine's deterministic md5 unit draw
+    pushed through the Laplace inverse CDF, ε = 1. ONE map-side
+    groupBy; noise applied on the 5-row group frame. The release
+    mechanism a platform applies before publishing usage counts; the
+    oracle replays draw, CDF, and clamp bit-for-bit."""
+    from azure_data_engineering_spark.operators.privacy import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return dp_noisy_counts(ev, ["event_type"], epsilon=1.0, salt="dph")
+
+
+Q_DP_HISTOGRAM_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS true_n FROM events GROUP BY 1
+), u AS (
+  SELECT event_type, true_n,
+         CAST('0x' || substr(md5(CAST(event_type AS VARCHAR) || 'dph'), 1, 8) AS BIGINT)
+           / 4294967296.0 - 0.5 AS t
+  FROM g
+), n AS (
+  SELECT event_type, true_n,
+         round(-1.0 * (CASE WHEN t < 0 THEN -1.0 WHEN t > 0 THEN 1.0 ELSE 0.0 END)
+               * ln(1.0 - 2.0 * least(abs(t), 0.5 - 1.0e-12)), 6) AS noise
+  FROM u
+)
+SELECT event_type, true_n, noise,
+       round(greatest(0.0, true_n + noise), 6) AS released,
+       CAST(1.0 AS DOUBLE) AS epsilon
+FROM n
+"""
+
+
+def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight on lineitem.l_suppkey (operators/
+    diagnostics.key_skew_report): ONE-row report — key counts, hottest
+    key shares, max/mean straggler ratio, and the Gini concentration
+    of the key histogram (Glasser 1962 identity on exact-integer
+    rank·freq sums). The evidence to read BEFORE shipping a 100 TB
+    shuffle on this key; the only window runs on the key frame."""
+    from azure_data_engineering_spark.operators.diagnostics import key_skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_report(li, "l_suppkey", top_n=10)
+
+
+Q_SKEW_DIAGNOSTICS_SQL = """
+WITH f AS MATERIALIZED (
+  SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS f FROM lineitem GROUP BY 1
+), r AS (
+  SELECT f,
+         row_number() OVER (ORDER BY f ASC, k ASC) AS i,
+         row_number() OVER (ORDER BY f DESC, k DESC) AS j
+  FROM f
+)
+SELECT CAST(sum(f) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(f) AS BIGINT) AS max_freq,
+       round(max(f) / sum(f), 6) AS top1_share,
+       round(sum(CASE WHEN j <= 10 THEN f ELSE 0 END) / sum(f), 6) AS top10_share,
+       round(CAST(max(f) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE), 6) AS skew_ratio,
+       round(2.0 * CAST(sum(CAST(i AS HUGEINT) * CAST(f AS HUGEINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * CAST(sum(f) AS DOUBLE))
+             - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE), 6) AS gini
+FROM r
+"""
+
+
+def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Lorenz curve (operators/diagnostics.
+    lorenz_deciles): customers ranked ascending by exact-decimal
+    order revenue, cut into 10 equal-count deciles; per decile the
+    revenue share and cumulative share — "the bottom half of the
+    customer base carries N% of revenue". One groupBy to the customer
+    frame, one vocabulary-sized ntile window, shares divided once."""
+    from azure_data_engineering_spark.operators.diagnostics import lorenz_deciles
+
+    o = _t(spark, sf_dir, "orders")
+    return lorenz_deciles(
+        o, "o_custkey", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+
+
+Q_LORENZ_GINI_SQL = """
+WITH pe AS MATERIALIZED (
+  SELECT o_custkey AS id, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT v, ntile(10) OVER (ORDER BY v ASC, id ASC) AS decile FROM pe
+), pd AS MATERIALIZED (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_entities, sum(v) AS dv
+  FROM d GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_entities,
+       round(CAST(dv AS DOUBLE) / CAST((SELECT sum(dv) FROM pd) AS DOUBLE), 6) AS value_share,
+       round(CAST(sum(dv) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST((SELECT sum(dv) FROM pd) AS DOUBLE), 6) AS cum_share
+FROM pd ORDER BY decile
+"""
+
+
+def q_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scaling-law fits (operators/scaling_laws): the Zipf
+    rank-frequency exponent over the top-500 terms and the Heaps
+    vocabulary-growth exponent over per-document (tokens, distinct)
+    points — the two numbers that flag templated/synthetic text before
+    it enters a training mix (natural language: s ≈ 1, β ≈ 0.4-0.6).
+    Both OLS fits run on scaled-integer ln() moments (exact decimal
+    sums, summation-order-free); one word-count shuffle feeds both."""
+    from azure_data_engineering_spark.functions.text import normalize_text
+    from azure_data_engineering_spark.operators.scaling_laws import (
+        heaps_fit,
+        zipf_fit,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+    )
+    z = zipf_fit(tf, "term", "n", top_k=500)
+    h = heaps_fit(per_doc, "n_tokens", "n_distinct")
+    return z.crossJoin(F.broadcast(h))
+
+
+Q_ZIPF_HEAPS_SQL = """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+    FROM documents
+  ) WHERE term <> ''
+), tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+), top AS (
+  SELECT * FROM (
+    SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS r FROM tf
+  ) WHERE r <= 500
+), zp AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS HUGEINT) AS x,
+         CAST(round(ln(CAST(n AS DOUBLE)) * 1000000, 0) AS HUGEINT) AS y
+  FROM top
+), zm AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM zp
+), zr AS (
+  SELECT CAST(n AS BIGINT) AS n_terms_fit,
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+  FROM zm
+), zrow AS (
+  SELECT zr.n_terms_fit, round(-slope, 6) AS zipf_s,
+         round((CAST(zm.sy AS DOUBLE) - slope * CAST(zm.sx AS DOUBLE))
+               / CAST(zm.n AS DOUBLE) / 1000000, 6) AS zipf_intercept
+  FROM zr, zm
+), hp AS (
+  SELECT CAST(round(ln(CAST(count(*) AS DOUBLE)) * 1000000, 0) AS HUGEINT) AS x,
+         CAST(round(ln(CAST(count(DISTINCT term) AS DOUBLE)) * 1000000, 0) AS HUGEINT) AS y
+  FROM tok GROUP BY doc_id
+), hm AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM hp
+), hr AS (
+  SELECT CAST(n AS BIGINT) AS n_docs_fit,
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+  FROM hm
+), hrow AS (
+  SELECT hr.n_docs_fit, round(slope, 6) AS heaps_beta,
+         round((CAST(hm.sy AS DOUBLE) - slope * CAST(hm.sx AS DOUBLE))
+               / CAST(hm.n AS DOUBLE) / 1000000, 6) AS heaps_ln_k
+  FROM hr, hm
+)
+SELECT zrow.*, hrow.* FROM zrow, hrow
+"""
+
+
+def q_ndcg_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval degradation from int8 quantization, scored as
+    NDCG@{1,3,5} (operators/retrieval_eval.ndcg_at_k — Järvelin &
+    Kekäläinen 2002): exact cosine top-5 on the full-precision
+    embeddings is truth; the same brute-force search over
+    quantize→dequantize-reconstructed vectors is the candidate
+    ranking. THE go/no-go number before shipping a 4x-smaller
+    quantized index. Gains are rounded-to-9dp decimals so the
+    transcendental log2 over ranks 1-5 cannot drift cross-engine;
+    the oracle replays quantization, both searches, and the metric."""
+    from azure_data_engineering_spark.functions.vectors import (
+        dequantize_int8,
+        max_abs,
+        quantize_int8,
+    )
+    from azure_data_engineering_spark.operators.retrieval_eval import ndcg_at_k
+    from azure_data_engineering_spark.operators.similarity import brute_force_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    deq = emb.select(
+        "vec_id",
+        dequantize_int8(
+            quantize_int8(F.col("embedding")), max_abs(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    truth = brute_force_top_k(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    ann = brute_force_top_k(deq.filter(F.col("vec_id") < 10), deq, k=5)
+    return ndcg_at_k(ann, truth, ks=(1, 3, 5))
+
+
+Q_NDCG_QUANTIZED_SQL = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS sb FROM v
+), dq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(
+           list_transform(e, x -> CAST(trunc(x * (127.0 / sb)) AS BIGINT)),
+           q -> CAST(q AS DOUBLE) * (sb / 127.0)
+         ) AS e
+  FROM s
+), tru AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC, c.vec_id
+           ) AS true_rank
+    FROM (SELECT * FROM v WHERE vec_id < 10) q
+    JOIN v c ON c.vec_id <> q.vec_id
+  ) WHERE true_rank <= 5
+), ann AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC, c.vec_id
+           ) AS ann_rank
+    FROM (SELECT * FROM dq WHERE vec_id < 10) q
+    JOIN dq c ON c.vec_id <> q.vec_id
+  ) WHERE ann_rank <= 5
+), ks AS (SELECT unnest([1, 3, 5]) AS k),
+pairs AS (
+  SELECT a.query_id, a.ann_rank, t.true_rank, ks.k
+  FROM ann a LEFT JOIN tru t
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id, ks
+), per_q AS (
+  SELECT query_id, k,
+         sum(CASE WHEN ann_rank <= k AND true_rank <= k
+                  THEN CAST(round(1.0 / log2(CAST(ann_rank AS DOUBLE) + 1.0), 9) AS DECIMAL(20,9))
+                  ELSE CAST(0 AS DECIMAL(20,9)) END) AS dcg
+  FROM pairs GROUP BY 1, 2
+), idcg AS (
+  SELECT ks.k,
+         sum(CASE WHEN r <= ks.k
+                  THEN CAST(round(1.0 / log2(CAST(r AS DOUBLE) + 1.0), 9) AS DECIMAL(20,9))
+                  ELSE CAST(0 AS DECIMAL(20,9)) END) AS idcg
+  FROM (SELECT DISTINCT true_rank AS r FROM tru), ks GROUP BY 1
+)
+SELECT CAST(p.k AS BIGINT) AS k,
+       round(CAST(sum(CAST(round(CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE)
+             / count(*), 6) AS ndcg
+FROM per_q p JOIN idcg i ON i.k = p.k
+GROUP BY 1
+"""
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly screen over daily event counts per type
+    (operators/timeseries.rolling_zscore_anomalies): each day scored
+    against its trailing 7-day window EXCLUDING itself; mean/variance
+    from exact integer sums so the flags are partition-independent.
+    The monitoring primitive behind every "traffic looks weird today"
+    alert — one groupBy to the day frame, one bounded window."""
+    from azure_data_engineering_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_raw"))
+    return rolling_zscore_anomalies(
+        per, "event_type", "day", "n_raw", window=7, z_threshold=2.5
+    )
+
+
+Q_ROLLING_ANOMALY_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, day, v,
+         count(v) OVER win AS bn, sum(v) OVER win AS bs, sum(v * v) OVER win AS bss
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_type, day, v, bn, bs,
+         CASE WHEN bn >= 3
+                   AND CAST(bn * bss - bs * bs AS DOUBLE) / CAST(bn * (bn - 1) AS DOUBLE) > 0
+              THEN round((CAST(v AS DOUBLE) - CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE))
+                         / sqrt(CAST(bn * bss - bs * bs AS DOUBLE) / CAST(bn * (bn - 1) AS DOUBLE)), 6)
+              END AS zscore
+  FROM w
+)
+SELECT event_type, day, v AS n, CAST(bn AS BIGINT) AS baseline_n,
+       round(CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE), 6) AS baseline_mean,
+       zscore,
+       coalesce(abs(zscore) > 2.5, false) AS is_anomaly
+FROM z
+"""
+
+
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of daily event counts per
+    type (operators/timeseries.holt_linear — Holt 1957): α=0.5, β=0.3,
+    one row per series with final level/trend, the 7-day-ahead
+    forecast, and one-step-ahead SSE. The recurrence runs inside
+    applyInPandas on the calendar-bounded day frame; every step is
+    rounded to 6 dp so the oracle's recursive-CTE replay walks the
+    identical double trajectory (the logistic_gd discipline)."""
+    from azure_data_engineering_spark.operators.timeseries import holt_linear
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_raw"))
+    return holt_linear(
+        per, "event_type", "day", "n_raw", alpha=0.5, beta=0.3, horizon=7
+    ).orderBy("event_type")
+
+
+Q_HOLT_LINEAR_SQL = """
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), idx AS MATERIALIZED (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS nt
+  FROM daily
+), hw(event_type, t, l, tr, sse) AS (
+  SELECT a.event_type, 1, a.y, b.y - a.y, CAST(0.0 AS DOUBLE)
+  FROM idx a JOIN idx b ON b.event_type = a.event_type AND b.t = 2
+  WHERE a.t = 1
+  UNION ALL
+  SELECT event_type, t, newl,
+         round(0.3 * (newl - l) + 0.7 * tr, 6),
+         round(sse + err * err, 6)
+  FROM (
+    SELECT hw.event_type, hw.t + 1 AS t, hw.l AS l, hw.tr AS tr, hw.sse AS sse,
+           round(0.5 * i.y + 0.5 * (hw.l + hw.tr), 6) AS newl,
+           i.y - (hw.l + hw.tr) AS err
+    FROM hw JOIN idx i ON i.event_type = hw.event_type AND i.t = hw.t + 1
+  )
+)
+SELECT hw.event_type, CAST(hw.t AS BIGINT) AS n_periods,
+       round(hw.l, 6) AS level, round(hw.tr, 6) AS trend,
+       round(hw.l + 7 * hw.tr, 6) AS forecast, round(hw.sse, 6) AS sse
+FROM hw JOIN (SELECT event_type, max(nt) AS nt FROM idx GROUP BY 1) n
+  ON n.event_type = hw.event_type AND hw.t = n.nt
+ORDER BY hw.event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
 
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -12950,6 +13327,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_golden_record": q_golden_record,
         "q_naive_bayes": q_naive_bayes,
         "q_ab_test": q_ab_test,
+        "q_dp_histogram": q_dp_histogram,
+        "q_skew_diagnostics": q_skew_diagnostics,
+        "q_lorenz_gini": q_lorenz_gini,
+        "q_zipf_heaps": q_zipf_heaps,
+        "q_ndcg_quantized": q_ndcg_quantized,
+        "q_rolling_anomaly": q_rolling_anomaly,
+        "q_holt_linear": q_holt_linear,
     }
 
 
@@ -13247,4 +13631,11 @@ def oracle_sql() -> dict[str, str]:
         "q_gain_chart": Q_GAIN_CHART_SQL,
         "q_psi_drift": Q_PSI_DRIFT_SQL,
         "q_ks_test": Q_KS_TEST_SQL,
+        "q_dp_histogram": Q_DP_HISTOGRAM_SQL,
+        "q_skew_diagnostics": Q_SKEW_DIAGNOSTICS_SQL,
+        "q_lorenz_gini": Q_LORENZ_GINI_SQL,
+        "q_zipf_heaps": Q_ZIPF_HEAPS_SQL,
+        "q_ndcg_quantized": Q_NDCG_QUANTIZED_SQL,
+        "q_rolling_anomaly": Q_ROLLING_ANOMALY_SQL,
+        "q_holt_linear": Q_HOLT_LINEAR_SQL,
     }

@@ -1,0 +1,133 @@
+"""Pre-flight distribution diagnostics for shuffle-heavy plans.
+
+At 100 TB the difference between a join that finishes and one that
+doesn't is usually ONE hot key: a single reducer receives |L_k|·|R_k|
+work while the rest of the cluster idles. These operators produce the
+evidence a pipeline author needs BEFORE committing to a shuffle — a
+one-row key-skew report (top-key shares, max/mean ratio, Gini
+concentration of the key histogram) and a Lorenz-curve decile frame
+for value concentration (which customers carry the revenue, which
+domains carry the corpus).
+
+Plan shape discipline: every diagnostic first collapses the row-sized
+input to a KEY-sized frequency frame with one map-side-combinable
+groupBy; ranks and cumulative sums then run on that vocabulary-sized
+frame. The only total-order window is over distinct keys — the same
+"vocabulary << rows" bet the BPE trainer and novelty scorer make. All
+intermediate sums are exact integers / decimals so the report is
+bit-identical across engines and partitionings.
+
+Gini from a frequency vector (Lorenz 1905; Glasser 1962 identity):
+with f_1 ≤ … ≤ f_n the sorted frequencies,
+G = (2·Σ i·f_i) / (n·Σ f_i) − (n+1)/n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str | Column,
+    top_n: int = 10,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """ONE-row skew report for a prospective join/aggregation key.
+
+    Columns: n_rows, n_keys, max_freq, top1_share (max_freq/n_rows),
+    topN_share (mass of the `top_n` hottest keys), skew_ratio
+    (max/mean frequency — the straggler multiplier a uniform hash
+    partitioner will see), gini (0 = perfectly uniform keys,
+    →1 = all rows on one key).
+
+    Ranks come from a single window over the KEY frame ordered
+    (freq, key) — a total order, so every share is deterministic
+    under ties. Σ i·f_i is summed as decimal(38,0): exact at any
+    scale (HUGEINT on the SQL side)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    freqs = df.groupBy(key.alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__f")
+    )
+    w = Window.orderBy(F.col("__f").asc(), F.col("__k").asc())
+    wd = Window.orderBy(F.col("__f").desc(), F.col("__k").desc())
+    ranked = freqs.select(
+        "__f",
+        F.row_number().over(w).alias("__i"),
+        F.row_number().over(wd).alias("__j"),
+    )
+    n_keys = F.count(F.lit(1)).cast("long")
+    n_rows = F.sum("__f").cast("long")
+    gini_num = F.sum(
+        (F.col("__i").cast("decimal(38,0)") * F.col("__f").cast("decimal(38,0)"))
+    ).cast("decimal(38,0)")
+    return ranked.agg(
+        n_rows.alias("n_rows"),
+        n_keys.alias("n_keys"),
+        F.max("__f").cast("long").alias("max_freq"),
+        F.round(F.max("__f") / F.sum("__f"), out_decimals).alias("top1_share"),
+        F.round(
+            F.sum(F.when(F.col("__j") <= top_n, F.col("__f")).otherwise(F.lit(0)))
+            / F.sum("__f"),
+            out_decimals,
+        ).alias(f"top{top_n}_share"),
+        F.round(
+            F.max("__f").cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("__f").cast("double"),
+            out_decimals,
+        ).alias("skew_ratio"),
+        F.round(
+            F.lit(2.0) * gini_num.cast("double")
+            / (n_keys.cast("double") * n_rows.cast("double"))
+            - (n_keys.cast("double") + F.lit(1.0)) / n_keys.cast("double"),
+            out_decimals,
+        ).alias("gini"),
+    )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    id_col: str,
+    value_col: Column,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Lorenz-curve concentration frame: entities ranked ascending by
+    total value, cut into 10 equal-count deciles; per decile the value
+    share and cumulative share. The classic "bottom 50% of customers
+    carry 4% of revenue" evidence — run on (customer, revenue),
+    (domain, doc count), (token, occurrences).
+
+    `value_col` must be an EXACT type (decimal/integer) so per-entity
+    totals and decile sums are order-independent; division to shares
+    happens once at the end. ntile runs on the ENTITY frame (one
+    total-order window over n_entities rows — vocabulary-sized), with
+    (total, id) ordering so decile boundaries are deterministic under
+    ties."""
+    per_entity = df.groupBy(F.col(id_col).alias("__id")).agg(
+        F.sum(value_col).alias("__v")
+    )
+    w = Window.orderBy(F.col("__v").asc(), F.col("__id").asc())
+    deciled = per_entity.select(
+        "__v", F.ntile(10).over(w).alias("decile")
+    )
+    per_dec = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum("__v").alias("__dv"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_dec.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_entities",
+        F.round(
+            F.col("__dv").cast("double") / F.sum("__dv").over(wall).cast("double"),
+            out_decimals,
+        ).alias("value_share"),
+        F.round(
+            F.sum("__dv").over(wcum).cast("double")
+            / F.sum("__dv").over(wall).cast("double"),
+            out_decimals,
+        ).alias("cum_share"),
+    ).orderBy("decile")

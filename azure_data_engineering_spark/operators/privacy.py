@@ -65,3 +65,53 @@ def k_anonymity_audit(
         ).alias("pct_below_k"),
         F.min("g_l").cast("long").alias("min_l_diversity"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    salt: str = "dp",
+    out_decimals: int = 6,
+) -> DataFrame:
+    """ε-differentially-private histogram release (Dwork et al., TCC
+    2006): per-group counts plus Laplace(1/ε) noise — the mechanism a
+    data platform applies before publishing group counts derived from
+    user data. Counting queries have L1 sensitivity 1 (one user moves
+    one group's count by 1), so noise scale b = 1/ε gives ε-DP.
+
+    The noise draw is the engine's deterministic md5 unit draw
+    (sampling.hash_unit) pushed through the Laplace inverse CDF
+    ``-b · sign(u−½) · ln(1 − 2|u−½|)`` — a pure function of the group
+    key and salt, so the release is reproducible across runs, engines,
+    and partitionings (a production DP deployment would use a secret
+    seed; the mechanism and calibration are identical). |u−½| is
+    clamped at ½−1e-12 so the u→0 tail cannot produce an infinite
+    draw. Plan: ONE map-side-combinable groupBy, noise applied on the
+    group frame (vocabulary-sized, not row-sized), no joins.
+
+    Returns one row per group: true_n (audit column — drop it for a
+    real release), noise, released (noisy count floored at 0; DP
+    post-processing keeps the guarantee).
+    """
+    b = 1.0 / float(epsilon)
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    from .sampling import hash_unit
+
+    t = hash_unit(key, salt) - F.lit(0.5)
+    a = F.least(F.abs(t), F.lit(0.5 - 1e-12))
+    noise = F.round(
+        F.lit(-b) * F.signum(t) * F.log(F.lit(1.0) - F.lit(2.0) * a),
+        out_decimals,
+    )
+    return g.select(
+        *group_cols,
+        "true_n",
+        noise.alias("noise"),
+        F.round(
+            F.greatest(F.lit(0.0), F.col("true_n") + noise), out_decimals
+        ).alias("released"),
+    ).withColumn("epsilon", F.lit(float(epsilon)))

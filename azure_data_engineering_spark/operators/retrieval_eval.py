@@ -93,3 +93,79 @@ def retrieval_metrics(
         )
     )
     return per_k.crossJoin(F.broadcast(mrr_frame))
+
+
+def ndcg_at_k(
+    ann: DataFrame,
+    truth: DataFrame,
+    ks: Sequence[int] = (1, 3, 5),
+    round_digits: int = 6,
+) -> DataFrame:
+    """NDCG@k with binary relevance (Järvelin & Kekäläinen 2002): an
+    ANN neighbor is relevant iff it appears in the exact top-k for the
+    same query. One row per k: (k, ndcg).
+
+    DCG@k = Σ_{r≤k, relevant} gain(r) with gain(r) = 1/log2(r+1);
+    IDCG@k puts every relevant item at the top, and since truth ranks
+    are dense 1..k, IDCG@k = Σ_{r=1..k} gain(r). NDCG is the
+    panel-mean of per-query DCG/IDCG.
+
+    Determinism discipline: the only transcendental is log2 over the
+    FIXED rank set 1..max(k); each gain is rounded to 9 dp and summed
+    as an exact decimal, so a last-ulp libm difference between engines
+    cannot move the metric. Plan: the same panel-sized
+    (query_id, neighbor_id) equi-join as retrieval_metrics — nothing
+    corpus-sized is touched."""
+    kcol = F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
+    gain = F.round(
+        F.lit(1.0) / F.log2(F.col("ann_rank").cast("double") + 1.0), 9
+    ).cast("decimal(20,9)")
+    a = ann.select("query_id", "neighbor_id", F.col("rank").alias("ann_rank"))
+    t = truth.select("query_id", "neighbor_id", F.col("rank").alias("true_rank"))
+    pairs = a.join(t, ["query_id", "neighbor_id"], "left").select(
+        "query_id", "ann_rank", "true_rank", kcol
+    )
+    per_q = pairs.groupBy("query_id", "k").agg(
+        F.sum(
+            F.when(
+                (F.col("ann_rank") <= F.col("k"))
+                & (F.col("true_rank") <= F.col("k")),
+                gain,
+            ).otherwise(F.lit(0).cast("decimal(20,9)"))
+        ).alias("dcg")
+    )
+    # IDCG is per-QUERY: truth ranks are dense 1..k for every query, so
+    # compute it once from the distinct rank set instead of per query.
+    idcg = (
+        truth.select("rank").distinct()
+        .select(F.col("rank").alias("true_rank"), kcol)
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("true_rank") <= F.col("k"),
+                    F.round(
+                        F.lit(1.0)
+                        / F.log2(F.col("true_rank").cast("double") + 1.0),
+                        9,
+                    ).cast("decimal(20,9)"),
+                ).otherwise(F.lit(0).cast("decimal(20,9)"))
+            ).alias("idcg")
+        )
+    )
+    # per-query NDCG is rounded to 9 dp and averaged as an exact
+    # decimal so the panel mean is summation-order-free.
+    per_q_ndcg = F.round(
+        F.col("dcg").cast("double") / F.col("idcg").cast("double"), 9
+    ).cast("decimal(20,9)")
+    return (
+        per_q.join(F.broadcast(idcg), "k")
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.sum(per_q_ndcg).cast("double") / F.count(F.lit(1)),
+                round_digits,
+            ).alias("ndcg")
+        )
+        .select(F.col("k").cast("long").alias("k"), "ndcg")
+    )

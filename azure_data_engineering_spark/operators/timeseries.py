@@ -1,0 +1,229 @@
+"""Per-series time-series screens: rolling z-score anomalies and
+Holt linear-trend smoothing.
+
+Both operators follow the engine's series discipline: the row-sized
+event stream collapses FIRST to a (series, period) aggregate frame
+with one map-side-combinable groupBy — counts and exact-decimal sums
+— and everything sequential then runs on the period frame, which is
+bounded by series_count · periods (days, hours), not by row count.
+At 100 TB the heavy lifting is the one groupBy; the per-series
+recurrences touch thousands of rows, not billions.
+
+rolling z-score (the SPC / monitoring classic): each period is scored
+against the trailing W-period window EXCLUDING itself (otherwise the
+anomaly dilutes its own baseline). Mean and variance come from exact
+integer sums (n·Σx² − (Σx)²), so the flags are bit-identical across
+engines and partitionings; sqrt is IEEE-correctly-rounded everywhere.
+
+Holt linear smoothing (Holt 1957): level/trend recurrences
+l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1},
+initialized l_1 = y_1, b_1 = y_2 − y_1. A recurrence cannot be
+windowed, so each series runs inside applyInPandas — safe because the
+grouped frame is period-bounded (documented precondition, same as the
+OHLC and attribution operators). Every step is rounded to
+`round_decimals` so the Python trajectory and a SQL recursive-CTE
+replay walk IDENTICAL doubles (the logistic_gd/kmeans discipline).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _round_away(x: float, decimals: int) -> float:
+    """SQL-engine rounding of a double: scale by 10^d, round half
+    AWAY from zero, scale back — the multiply-first convention both
+    Spark's round() and DuckDB's round() implement for doubles.
+    Python's built-in round() instead rounds the EXACT binary value
+    half-even, which disagrees whenever the scaled product lands on a
+    representable .5 (e.g. round(3.5e-6, 6)) — a divergence that
+    compounds through a recurrence. Valid while |x|·10^d < 2^52."""
+    p = 10.0 ** decimals
+    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
+
+def rolling_zscore_anomalies(
+    per_period: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    window: int = 7,
+    z_threshold: float = 3.0,
+    min_periods: int = 3,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Score each (series, period) row against its trailing window.
+
+    `per_period` must already be one row per (series, period) with an
+    integer-valued `value_col` (counts; scale decimals up-front for
+    money). Emits baseline_n / baseline_mean / zscore / is_anomaly;
+    rows with fewer than `min_periods` trailing periods or zero
+    variance get NULL zscore and FALSE is_anomaly (a flat baseline
+    cannot testify)."""
+    v = F.col(value_col).cast("long")
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    n = F.count(v).over(w)
+    s = F.sum(v).over(w)
+    ss = F.sum(v * v).over(w)
+    # exact-integer variance: (n·Σx² − (Σx)²) / (n·(n−1))
+    var = (n * ss - s * s).cast("double") / (n * (n - 1)).cast("double")
+    mean = s.cast("double") / n.cast("double")
+    z = F.when(
+        (n >= min_periods) & (var > 0),
+        F.round((v.cast("double") - mean) / F.sqrt(var), out_decimals),
+    )
+    return per_period.select(
+        series_col,
+        order_col,
+        v.alias("n"),
+        n.cast("long").alias("baseline_n"),
+        F.round(mean, out_decimals).alias("baseline_mean"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def holt_linear(
+    per_period: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 7,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Holt double-exponential smoothing per series; ONE output row per
+    series: n_periods, level, trend, forecast (level + horizon·trend),
+    sse (sum of squared one-step-ahead errors, the fit diagnostic).
+
+    Precondition: the (series, period) frame is bounded — periods per
+    series is calendar-sized. Steps are the OBSERVED periods in
+    `order_col` order (gaps compress, documented). Series with a
+    single period return level = y_1, trend 0, sse 0."""
+    out_schema = (
+        f"{series_col} string, n_periods long, level double, "
+        "trend double, forecast double, sse double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        y = [float(x) for x in pdf[value_col]]
+        key = pdf[series_col].iloc[0]
+        if len(y) == 1:
+            lev, tr, sse = y[0], 0.0, 0.0
+        else:
+            lev, tr, sse = y[0], y[1] - y[0], 0.0
+            for t in range(1, len(y)):
+                pred = lev + tr
+                err = y[t] - pred
+                sse = _round_away(sse + err * err, round_decimals)
+                new_lev = _round_away(
+                    alpha * y[t] + (1.0 - alpha) * (lev + tr), round_decimals
+                )
+                tr = _round_away(
+                    beta * (new_lev - lev) + (1.0 - beta) * tr, round_decimals
+                )
+                lev = new_lev
+        return pd.DataFrame(
+            {
+                series_col: [key],
+                "n_periods": [len(y)],
+                "level": [_round_away(lev, round_decimals)],
+                "trend": [_round_away(tr, round_decimals)],
+                "forecast": [_round_away(lev + horizon * tr, round_decimals)],
+                "sse": [_round_away(sse, round_decimals)],
+            }
+        )
+
+    return per_period.groupBy(series_col).applyInPandas(fit, out_schema)
+
+
+def sax_symbols(
+    per_period: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    n_segments: int = 6,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """SAX symbolic discretization (Lin, Keogh et al., DMKD 2007):
+    z-normalize each series, Piecewise-Aggregate-Approximate it into
+    `n_segments` equal-width segments, and map each segment mean to a
+    4-letter alphabet by the standard N(0,1) breakpoints
+    (−0.6745, 0, 0.6745 — the quartiles). The shape-index every
+    motif/novelty search over metric series starts from.
+
+    All inputs to the z-scores are exact integer sums (Σx, Σx², seg
+    sums), so PAA values are bit-identical across engines; segment
+    assignment floor((t−1)·w/n) is exact because an IEEE quotient of
+    integers can only BE an integer when it is exact. Series with
+    zero variance emit NULL paa_z / symbol (a flat line has no
+    shape). One window for the period index, two vocabulary-sized
+    aggregates; nothing row-scale is sorted globally."""
+    v = F.col(value_col).cast("long")
+    base = per_period.select(
+        F.col(series_col).alias("__s"),
+        v.alias("__v"),
+        F.row_number()
+        .over(Window.partitionBy(series_col).orderBy(order_col))
+        .alias("__t"),
+    )
+    stats = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__v").alias("__sum"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+    )
+    segs = (
+        base.join(stats.select("__s", "__n"), "__s")
+        .withColumn(
+            "segment",
+            (
+                F.floor(
+                    (F.col("__t") - 1) * F.lit(int(n_segments)) / F.col("__n")
+                )
+                + 1
+            ).cast("long"),
+        )
+        .groupBy("__s", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum("__v").alias("__segsum"),
+        )
+    )
+    n, s, ss = F.col("__n"), F.col("__sum"), F.col("__ss")
+    mu = s.cast("double") / n.cast("double")
+    var = (n * ss - s * s).cast("double") / (n * (n - 1)).cast("double")
+    paa = F.when(
+        var > 0,
+        F.round(
+            (
+                F.col("__segsum").cast("double") / F.col("__cnt").cast("double")
+                - mu
+            )
+            / F.sqrt(var),
+            out_decimals,
+        ),
+    )
+    out = segs.join(stats, "__s").select(
+        F.col("__s").alias(series_col),
+        "segment",
+        F.col("__cnt").cast("long").alias("n_obs"),
+        paa.alias("paa_z"),
+        F.when(paa.isNull(), F.lit(None).cast("string"))
+        .when(paa < -0.6745, F.lit("a"))
+        .when(paa < 0.0, F.lit("b"))
+        .when(paa < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("symbol"),
+    )
+    return out

@@ -100,6 +100,14 @@ HEADLINE = [
     "q_cv_ridge",
     "q_mutual_info",
     "q_gbm_stumps",
+    # round-6b additions: corpus scaling-law fits (word-count + exact
+    # ln-moment OLS), join-key skew pre-flight, int8-quantization NDCG
+    # (two brute-force panel passes over HOF-reconstructed vectors),
+    # per-series Holt smoothing through applyInPandas
+    "q_zipf_heaps",
+    "q_skew_diagnostics",
+    "q_ndcg_quantized",
+    "q_holt_linear",
 ]
 
 ROUND = 6

@@ -62,6 +62,14 @@ def main() -> int:
     sweeps at the scale tiers are auditable files, not prose claims."""
     args = sys.argv[1:]
     out_path = None
+    merge = False
+    if "--merge" in args:
+        # With --out and a query subset: update only the entries run,
+        # preserving the rest of the existing artifact — so a few new
+        # registry queries can be patched into the three committed
+        # tier artifacts without a full ~95-min resweep.
+        merge = True
+        args = [a for a in args if a != "--merge"]
     if "--out" in args:
         i = args.index("--out")
         out_path = args[i + 1]
@@ -204,10 +212,16 @@ def main() -> int:
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     if out_path:
         import json
+        import os
 
+        if merge and os.path.exists(out_path):
+            with open(out_path) as f:
+                base = json.load(f)
+            base.update(report)
+            report = base
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
-        print(f"artifact written: {out_path}")
+        print(f"artifact written: {out_path} ({len(report)} entries)")
     return 1 if n_fail else 0
 
 
