@@ -12998,6 +12998,295 @@ ORDER BY hw.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# round 6c: density clustering, in-plan matrix factorization, SAX,
+# graph clustering summary
+# ---------------------------------------------------------------------------
+
+
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-accelerated DBSCAN (operators/dbscan.grid_dbscan — Ester
+    et al. 1996) over supplier pseudo-coordinates: eps=3.0 cells +
+    3x3-neighborhood equi-join for neighbor pairs (hash join, never a
+    CartesianProduct), one degree agg for core points, connected
+    components over core-core edges for clusters, min-neighbor
+    assignment for border points. The panel is capped at the 2000
+    smallest md5 draws (the conformal-panel discipline) so pair
+    volume and component diameter stay bounded as the corpus grows —
+    fixed-eps DBSCAN on growing DENSITY percolates by nature. Output:
+    one row per cluster (cluster_id = min core id, -1 = noise) with
+    point/core counts."""
+    from azure_data_engineering_spark.operators.dbscan import grid_dbscan
+
+    s = _t(spark, sf_dir, "supplier")
+    panel = (
+        s.select("s_suppkey")
+        .orderBy(
+            F.md5(F.concat(F.col("s_suppkey").cast("string"), F.lit("dbscan"))),
+            F.col("s_suppkey"),
+        )
+        .limit(2000)
+    )
+    pts = panel.select(
+        F.col("s_suppkey").alias("pid"),
+        (30.0 + (F.col("s_suppkey") * 6151 % 2000) / 100.0).alias("x"),
+        (-120.0 + (F.col("s_suppkey") * 3571 % 4000) / 100.0).alias("y"),
+    )
+    out = grid_dbscan(pts, "pid", "x", "y", eps=3.0, min_pts=4, max_iter=40)
+    return out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum((F.col("role") == "core").cast("long")).cast("long").alias("n_core"),
+    )
+
+
+Q_GRID_DBSCAN_SQL = """
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT s_suppkey AS pid,
+         30.0 + (s_suppkey * 6151 % 2000) / 100.0 AS x,
+         -120.0 + (s_suppkey * 3571 % 4000) / 100.0 AS y
+  FROM (
+    SELECT s_suppkey FROM supplier
+    ORDER BY md5(CAST(s_suppkey AS VARCHAR) || 'dbscan'), s_suppkey
+    LIMIT 2000
+  )
+), g AS MATERIALIZED (
+  SELECT pid, x, y, floor(x / 3.0) AS cx, floor(y / 3.0) AS cy FROM p
+), nb AS MATERIALIZED (
+  SELECT a.pid AS id_a, b.pid AS id_b
+  FROM g a JOIN g b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.pid <> b.pid
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= CAST(3.0 AS DOUBLE) * CAST(3.0 AS DOUBLE)
+), deg AS (
+  SELECT id_a AS pid, count(*) AS nn FROM nb GROUP BY 1
+), core AS MATERIALIZED (
+  SELECT p.pid FROM p LEFT JOIN deg USING (pid) WHERE coalesce(nn, 0) + 1 >= 4
+), ce AS MATERIALIZED (
+  SELECT id_a, id_b FROM nb
+  WHERE id_a IN (SELECT pid FROM core) AND id_b IN (SELECT pid FROM core)
+), walk(node, comp) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT ce.id_b, walk.comp FROM walk JOIN ce ON ce.id_a = walk.node
+), clu AS MATERIALIZED (
+  SELECT node AS pid, min(comp) AS cluster_id FROM walk GROUP BY 1
+), border AS (
+  SELECT nb.id_a AS pid, min(clu.cluster_id) AS cluster_id
+  FROM nb JOIN clu ON clu.pid = nb.id_b
+  WHERE nb.id_a NOT IN (SELECT pid FROM core)
+  GROUP BY 1
+), lab AS (
+  SELECT pid, cluster_id, 'core' AS role FROM clu
+  UNION ALL
+  SELECT pid, cluster_id, 'border' FROM border
+), all_lab AS (
+  SELECT p.pid, coalesce(l.cluster_id, -1) AS cluster_id,
+         coalesce(l.role, 'noise') AS role
+  FROM p LEFT JOIN lab l USING (pid)
+)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT) AS n_core
+FROM all_lab GROUP BY 1
+"""
+
+
+def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS matrix factorization in the plan (operators/als.
+    als_rank1 — Koren/Bell/Volinsky 2009): user×event-type value
+    sums factorized by two alternating closed-form solves, factors
+    rounded to 6dp decimals after every solve so every ALS round is
+    exact-decimal relational algebra both engines replay identically.
+    Output: the item frame (event_type, n_users, final factor) with
+    the global reconstruction RMSE — the "does one latent taste axis
+    explain this interaction matrix" probe."""
+    from azure_data_engineering_spark.operators.als import als_rank1
+
+    ev = _t(spark, sf_dir, "events")
+    r = ev.groupBy(
+        F.col("user_id").alias("u"), F.col("event_type").alias("i")
+    ).agg(
+        # sum(decimal(18,2)) widens to (28,2); cast back down so the
+        # r·factor products stay inside decimal(38) exactly
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("r")
+    )
+    out = als_rank1(r, "u", "i", "r", rounds=2, lam=0.1)
+    return out.select(
+        F.col("i").alias("event_type"), "n_users", "v", "rmse"
+    ).orderBy("event_type")
+
+
+Q_ALS_RANK1_SQL = """
+WITH r AS MATERIALIZED (
+  SELECT user_id AS u, event_type AS i,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+  FROM events GROUP BY 1, 2
+), u1 AS MATERIALIZED (
+  SELECT u,
+         CAST(round(CAST(sum(r) AS DOUBLE)
+                    / (0.1 + CAST(count(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS uf
+  FROM r GROUP BY 1
+), v1 AS MATERIALIZED (
+  SELECT i,
+         CAST(round(CAST(sum(r.r * CAST(u1.uf AS DECIMAL(28,6))) AS DOUBLE)
+                    / (0.1 + CAST(sum(CAST(u1.uf AS DECIMAL(28,6)) * u1.uf) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS v
+  FROM r JOIN u1 USING (u) GROUP BY 1
+), u2 AS MATERIALIZED (
+  SELECT u,
+         CAST(round(CAST(sum(r.r * CAST(v1.v AS DECIMAL(28,6))) AS DOUBLE)
+                    / (0.1 + CAST(sum(CAST(v1.v AS DECIMAL(28,6)) * v1.v) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS uf
+  FROM r JOIN v1 USING (i) GROUP BY 1
+), v2 AS MATERIALIZED (
+  SELECT i,
+         CAST(round(CAST(sum(r.r * CAST(u2.uf AS DECIMAL(28,6))) AS DOUBLE)
+                    / (0.1 + CAST(sum(CAST(u2.uf AS DECIMAL(28,6)) * u2.uf) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS v
+  FROM r JOIN u2 USING (u) GROUP BY 1
+), resid AS (
+  SELECT CAST(round(
+           (CAST(r.r AS DOUBLE) - CAST(u2.uf AS DOUBLE) * CAST(v2.v AS DOUBLE))
+           * (CAST(r.r AS DOUBLE) - CAST(u2.uf AS DOUBLE) * CAST(v2.v AS DOUBLE)),
+           6) AS DECIMAL(28,6)) AS sq
+  FROM r JOIN u2 USING (u) JOIN v2 USING (i)
+), rm AS (
+  SELECT round(sqrt(CAST(sum(sq) AS DOUBLE) / count(*)), 6) AS rmse FROM resid
+)
+SELECT r.i AS event_type, CAST(count(DISTINCT r.u) AS BIGINT) AS n_users,
+       CAST(max(v2.v) AS DOUBLE) AS v, max(rm.rmse) AS rmse
+FROM r JOIN v2 ON v2.i = r.i, rm
+GROUP BY r.i
+ORDER BY event_type
+"""
+
+
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic discretization of the daily event-count series
+    per type (operators/timeseries.sax_symbols — Lin/Keogh 2007):
+    z-normalize from exact integer sums, PAA into 6 segments, map to
+    the 4-letter N(0,1)-quartile alphabet. Turns every metric series
+    into a comparable shape word for motif search and drift eyeballs;
+    the whole plan is one window + two vocabulary-sized aggregates."""
+    from azure_data_engineering_spark.operators.timeseries import sax_symbols
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_raw"))
+    return sax_symbols(per, "event_type", "day", "n_raw", n_segments=6)
+
+
+Q_SAX_SYMBOLS_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM d
+), st AS MATERIALIZED (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS ss
+  FROM b GROUP BY 1
+), sg AS (
+  SELECT b.event_type,
+         CAST(floor((t - 1) * 6 / st.n) + 1 AS BIGINT) AS segment,
+         CAST(count(*) AS BIGINT) AS cnt, CAST(sum(v) AS BIGINT) AS segsum
+  FROM b JOIN st USING (event_type) GROUP BY 1, 2
+), z AS (
+  SELECT sg.event_type, segment, cnt AS n_obs,
+         CASE WHEN CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) > 0
+              THEN round((CAST(segsum AS DOUBLE) / CAST(cnt AS DOUBLE)
+                          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         / sqrt(CAST(n * ss - s * s AS DOUBLE)
+                                / CAST(n * (n - 1) AS DOUBLE)), 6)
+              END AS paa_z
+  FROM sg JOIN st USING (event_type)
+)
+SELECT event_type, segment, n_obs, paa_z,
+       CASE WHEN paa_z IS NULL THEN NULL
+            WHEN paa_z < -0.6745 THEN 'a'
+            WHEN paa_z < 0.0 THEN 'b'
+            WHEN paa_z < 0.6745 THEN 'c'
+            ELSE 'd' END AS symbol
+FROM z
+"""
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts-Strogatz clustering summary of the co-purchase part
+    graph (operators/graph.clustering_coefficient): node/edge/triangle
+    counts, global transitivity (closed-wedge fraction, exact-integer
+    2ΣT/Σd(d−1)), and the mean local coefficient over degree≥2 nodes
+    (per-node C_v as 9dp decimals — order-free average). Rides the
+    degree-ordered triangle pass, so the summary costs one m^1.5
+    wedge join plus a degree agg — the small-world diagnostic next to
+    q_triangle_count's per-node view."""
+    from azure_data_engineering_spark.operators.graph import clustering_coefficient
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .distinct()
+    )
+    return clustering_coefficient(edges, src="part_a", dst="part_b")
+
+
+Q_CLUSTERING_COEFFICIENT_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY 1
+),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM e e1
+  JOIN e e2 ON e1.y = e2.x
+  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+corners AS (SELECT unnest([a, b, c]) AS node FROM tri),
+tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY node),
+pn AS MATERIALIZED (
+  SELECT deg.node, deg.d, coalesce(tcnt.t, 0) AS t
+  FROM deg LEFT JOIN tcnt USING (node)
+),
+loc AS (
+  SELECT CASE WHEN d >= 2
+              THEN CAST(round(2.0 * CAST(t AS DOUBLE) / CAST(d * (d - 1) AS DOUBLE), 9)
+                        AS DECIMAL(12,9)) END AS c
+  FROM pn
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(CAST(sum(t) AS DOUBLE) / 3 AS BIGINT) AS n_triangles,
+         round(2.0 * CAST(sum(t) AS DOUBLE)
+               / CAST(sum(CAST(d AS HUGEINT) * CAST(d - 1 AS HUGEINT)) AS DOUBLE), 6)
+           AS transitivity
+  FROM pn
+),
+l AS (
+  SELECT round(CAST(sum(c) AS DOUBLE) / CAST(count(c) AS DOUBLE), 6) AS avg_local_cc
+  FROM loc
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT s.n_nodes, ne.n_edges, s.n_triangles, s.transitivity, l.avg_local_cc
+FROM s, l, ne
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
 
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -13334,6 +13623,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ndcg_quantized": q_ndcg_quantized,
         "q_rolling_anomaly": q_rolling_anomaly,
         "q_holt_linear": q_holt_linear,
+        "q_grid_dbscan": q_grid_dbscan,
+        "q_als_rank1": q_als_rank1,
+        "q_sax_symbols": q_sax_symbols,
+        "q_clustering_coefficient": q_clustering_coefficient,
     }
 
 
@@ -13638,4 +13931,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ndcg_quantized": Q_NDCG_QUANTIZED_SQL,
         "q_rolling_anomaly": Q_ROLLING_ANOMALY_SQL,
         "q_holt_linear": Q_HOLT_LINEAR_SQL,
+        "q_grid_dbscan": Q_GRID_DBSCAN_SQL,
+        "q_als_rank1": Q_ALS_RANK1_SQL,
+        "q_sax_symbols": Q_SAX_SYMBOLS_SQL,
+        "q_clustering_coefficient": Q_CLUSTERING_COEFFICIENT_SQL,
     }

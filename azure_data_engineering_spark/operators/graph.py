@@ -495,3 +495,74 @@ def link_prediction(
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("a").asc(), F.col("b").asc()
     ).limit(top_k)
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    out_decimals: int = 6,
+) -> DataFrame:
+    """ONE-row clustering summary of an undirected graph (Watts &
+    Strogatz 1998): n_nodes, n_edges, n_triangles, global
+    transitivity (3·triangles / wedges = ΣT_v / Σ d_v(d_v−1)/2 ... the
+    closed-wedge fraction), and the average LOCAL coefficient
+    C_v = 2·T_v / d_v(d_v−1) over nodes with degree ≥ 2.
+
+    Rides on triangle_count's degree-ordered orientation (the m^1.5
+    wedge join), so the whole summary costs one triangle pass plus a
+    degree aggregate. Per-node C_v is rounded to 9 dp and averaged as
+    an exact decimal — summation-order-free. Duplicate edges /
+    directions / self-loops are normalized away first."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    tri = triangle_count(und, src="a", dst="b")
+    per_node = deg.join(tri, "node", "left").select(
+        "node",
+        "d",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("t"),
+    )
+    local = F.when(
+        F.col("d") >= 2,
+        F.round(
+            F.lit(2.0)
+            * F.col("t").cast("double")
+            / (F.col("d") * (F.col("d") - 1)).cast("double"),
+            9,
+        ).cast("decimal(12,9)"),
+    )
+    summary = per_node.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("t") / 3).cast("long").alias("n_triangles"),
+        # transitivity = ΣT_v / Σ wedges_v = 2·ΣT_v / Σ d_v(d_v−1),
+        # kept as exact integer sums (d(d−1)/2 through a double would
+        # lose exactness past 2^53 at extreme degrees)
+        F.round(
+            F.lit(2.0)
+            * F.sum("t").cast("double")
+            / F.sum(
+                (F.col("d").cast("decimal(38,0)") * (F.col("d") - 1).cast("decimal(38,0)"))
+            ).cast("double"),
+            out_decimals,
+        ).alias("transitivity"),
+        F.round(
+            F.sum(local).cast("double") / F.count(local).cast("double"),
+            out_decimals,
+        ).alias("avg_local_cc"),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return summary.crossJoin(F.broadcast(n_edges)).select(
+        "n_nodes", "n_edges", "n_triangles", "transitivity", "avg_local_cc"
+    )
