@@ -13287,6 +13287,268 @@ FROM s, l, ne
 """
 
 
+# ---------------------------------------------------------------------------
+# round 6d: RAKE keywords, item-CF recommendations, embedding outliers,
+# MMR diverse re-ranking
+# ---------------------------------------------------------------------------
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keywords by RAKE (operators/keywords.rake_keywords —
+    Rose et al. 2010): candidate phrases are maximal non-stopword
+    runs; a word's score is its phrase-co-occurrence degree over its
+    frequency; a phrase scores the sum of its member words. Top-20
+    recurring phrases under a (score desc, phrase) total order — the
+    cheap corpus-topic x-ray next to TF-IDF (which needs a doc focus)
+    and PMI (which needs a pair budget). Word-count plan shape: two
+    explodes, three map-side aggregates, no row-scale joins."""
+    from azure_data_engineering_spark.operators.keywords import rake_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return rake_keywords(d, "doc_id", "text", top_k=20, min_count=2)
+
+
+from azure_data_engineering_spark.operators.keywords import RAKE_STOPWORDS as _RAKE_SW
+
+Q_RAKE_KEYWORDS_SQL = f"""
+WITH ph AS MATERIALIZED (
+  SELECT doc_id, trim(p) AS phrase FROM (
+    SELECT doc_id,
+           unnest(string_split(
+             regexp_replace(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               '\\b({"|".join(_RAKE_SW)})\\b', '|', 'g'),
+             '|')) AS p
+    FROM documents
+  ) WHERE trim(p) <> ''
+), wd AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS w,
+         len(string_split(phrase, ' ')) AS plen
+  FROM ph
+), ws AS MATERIALIZED (
+  SELECT w, CAST(round(CAST(sum(plen) AS DOUBLE) / count(*), 9) AS DECIMAL(20,9)) AS wscore
+  FROM wd GROUP BY 1
+), pc AS MATERIALIZED (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM ph GROUP BY 1 HAVING count(*) >= 2
+), mb AS (
+  SELECT phrase, unnest(list_distinct(string_split(phrase, ' '))) AS w FROM pc
+), ps AS (
+  SELECT phrase, round(CAST(sum(ws.wscore) AS DOUBLE), 6) AS score
+  FROM mb JOIN ws USING (w) GROUP BY 1
+)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, phrase) AS "rank",
+         pc.phrase, pc.n_occurrences, ps.score
+  FROM pc JOIN ps USING (phrase)
+) WHERE "rank" <= 20
+"""
+
+
+def q_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based CF top-3 recommendations per customer (operators/
+    affinity.recommend_top_n over item_similarity's co-purchase
+    cosines): score(u, c) = Σ sim(c, i) over the user's history,
+    seen items excluded, per-user top-3 under a total order. The
+    "customers also bought" last mile: history×sims equi-join bounded
+    by per-item similarity fan-out, one groupBy, one window — every
+    shuffle keys on user or item."""
+    from azure_data_engineering_spark.operators.affinity import (
+        item_similarity,
+        recommend_top_n,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sims = item_similarity(li, "l_orderkey", "l_partkey", min_pair_count=3)
+    hist = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    ).select(F.col("o_custkey"), F.col("l_partkey"))
+    return recommend_top_n(hist, "o_custkey", "l_partkey", sims, n=3)
+
+
+Q_RECOMMENDATIONS_SQL = """
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+), singles AS MATERIALIZED (
+  SELECT item, count(*) AS n_item FROM bi GROUP BY 1
+), pairs AS MATERIALIZED (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_pair
+  FROM bi a JOIN bi b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), sims AS MATERIALIZED (
+  SELECT item_a, item_b,
+         CAST(round(p.n_pair / sqrt(sa.n_item * sb.n_item), 6) AS DECIMAL(18,6)) AS sim
+  FROM pairs p
+  JOIN singles sa ON p.item_a = sa.item
+  JOIN singles sb ON p.item_b = sb.item
+), s2 AS (
+  SELECT item_a AS it, item_b AS cand, sim FROM sims
+  UNION ALL
+  SELECT item_b, item_a, sim FROM sims
+), hist AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), sc AS (
+  SELECT h.u, s2.cand, round(CAST(sum(s2.sim) AS DOUBLE), 6) AS score
+  FROM hist h JOIN s2 USING (it)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hist h2 WHERE h2.u = h.u AND h2.it = s2.cand
+  )
+  GROUP BY 1, 2
+)
+SELECT o_custkey, rec_rank, l_partkey, score FROM (
+  SELECT u AS o_custkey,
+         row_number() OVER (PARTITION BY u ORDER BY score DESC, cand) AS rec_rank,
+         cand AS l_partkey, score
+  FROM sc
+) WHERE rec_rank <= 3
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen (operators/similarity.
+    embedding_outliers): distance to the corpus centroid, z-scored,
+    top-20 — the geometric complement to token-level novelty for
+    surfacing mislabeled-language / garbage-encoding docs before an
+    embedding-led curation pass. Centroid and moments from 9dp-rounded
+    decimal sums (order-free); one posexplode, one 64-row broadcast."""
+    from azure_data_engineering_spark.operators.similarity import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, "vec_id", "embedding", top_k=20)
+
+
+Q_EMBEDDING_OUTLIERS_SQL = """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id AS vid, t.pos,
+         CAST(round(CAST(embedding[t.pos + 1] AS DOUBLE), 9) AS DECIMAL(20,9)) AS v
+  FROM embeddings, LATERAL unnest(range(len(embedding))) AS t(pos)
+), cen AS MATERIALIZED (
+  SELECT pos, CAST(round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS DECIMAL(20,9)) AS c
+  FROM ex GROUP BY 1
+), dist AS MATERIALIZED (
+  SELECT vid, CAST(round(sqrt(CAST(sum(sq) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS dist
+  FROM (
+    SELECT vid,
+           CAST(round((CAST(v AS DOUBLE) - CAST(c AS DOUBLE))
+                      * (CAST(v AS DOUBLE) - CAST(c AS DOUBLE)), 9) AS DECIMAL(20,9)) AS sq
+    FROM ex JOIN cen USING (pos)
+  ) GROUP BY 1
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(dist) AS s,
+         sum(CAST(dist AS DECIMAL(28,6)) * dist) AS ss
+  FROM dist
+)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY zscore DESC, vid) AS "rank",
+         vid AS vec_id, CAST(dist AS DOUBLE) AS dist, zscore
+  FROM (
+    SELECT vid, dist,
+           round((CAST(dist AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                 / sqrt((CAST(m.n AS DOUBLE) * CAST(m.ss AS DOUBLE)
+                         - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                        / (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1))), 6) AS zscore
+    FROM dist, m
+  )
+) WHERE "rank" <= 20
+"""
+
+
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse re-ranking (operators/similarity.mmr_select —
+    Carbonell & Goldstein 1998): the top-50 cosine candidates for one
+    query vector are greedily re-ranked into 10 picks balancing
+    relevance (λ=0.7) against redundancy with what's already picked.
+    The retrieval layer every RAG / dedup-aware search stack wants;
+    pool selection is the distributed brute-force pass, the greedy
+    loop runs on the bounded panel (one-row collects, the BPE merge
+    discipline). Oracle: 10 unrolled argmax CTEs walking the same
+    rounded scores."""
+    from azure_data_engineering_spark.functions.vectors import cosine_similarity
+    from azure_data_engineering_spark.operators.similarity import (
+        brute_force_top_k,
+        mmr_select,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 1)
+    bf = brute_force_top_k(q, emb, k=50)
+    pool = bf.select(
+        F.col("neighbor_id").alias("cand"), F.col("cosine").alias("rel")
+    )
+    ids = pool.select(F.col("cand").alias("vec_id"))
+    pv = emb.join(F.broadcast(ids), "vec_id")
+    a = pv.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = pv.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    sims = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), 6
+            ).alias("sim"),
+        )
+    )
+    out = mmr_select(pool, sims, k=10, lam=0.7)
+    return out.select("rank", F.col("cand").alias("vec_id"), "score")
+
+
+def _mmr_oracle_sql(k: int = 10, lam: float = 0.7) -> str:
+    """Unrolled-recursion MMR oracle (the gbm_stumps technique): step
+    CTEs s1..sk each pick the argmax of the rounded MMR score over the
+    not-yet-picked pool; 1−λ is embedded via repr so the SQL double
+    matches Python's 1.0−λ bit-for-bit."""
+    lam_r, one_minus = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+pool AS MATERIALIZED (
+  SELECT cand, rel FROM (
+    SELECT c.vec_id AS cand,
+           round(list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])), 6) AS rel,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                      c.vec_id
+           ) AS rk
+    FROM q, embeddings c WHERE c.vec_id <> 0
+  ) WHERE rk <= 50
+),
+sims AS MATERIALIZED (
+  SELECT a.cand AS a, b.cand AS b,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+  FROM pool a JOIN pool b ON a.cand <> b.cand
+  JOIN embeddings ea ON ea.vec_id = a.cand
+  JOIN embeddings eb ON eb.vec_id = b.cand
+),
+s1 AS MATERIALIZED (
+  SELECT cand, round({lam_r} * rel, 6) AS score FROM pool
+  ORDER BY score DESC, cand LIMIT 1
+)"""]
+    for step in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT cand FROM s{j}" for j in range(1, step))
+        parts.append(f""",
+s{step} AS MATERIALIZED (
+  SELECT p.cand, round({lam_r} * p.rel - {one_minus} * m.msim, 6) AS score
+  FROM pool p JOIN (
+    SELECT a AS cand, max(sim) AS msim FROM sims
+    WHERE b IN ({prev}) GROUP BY a
+  ) m USING (cand)
+  WHERE p.cand NOT IN ({prev})
+  ORDER BY score DESC, p.cand LIMIT 1
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({j} AS BIGINT) AS \"rank\", cand AS vec_id, score FROM s{j}"
+        for j in range(1, k + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+Q_MMR_SELECT_SQL = _mmr_oracle_sql(10, 0.7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
 
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -13627,6 +13889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_als_rank1": q_als_rank1,
         "q_sax_symbols": q_sax_symbols,
         "q_clustering_coefficient": q_clustering_coefficient,
+        "q_rake_keywords": q_rake_keywords,
+        "q_recommendations": q_recommendations,
+        "q_embedding_outliers": q_embedding_outliers,
+        "q_mmr_select": q_mmr_select,
     }
 
 
@@ -13935,4 +14201,8 @@ def oracle_sql() -> dict[str, str]:
         "q_als_rank1": Q_ALS_RANK1_SQL,
         "q_sax_symbols": Q_SAX_SYMBOLS_SQL,
         "q_clustering_coefficient": Q_CLUSTERING_COEFFICIENT_SQL,
+        "q_rake_keywords": Q_RAKE_KEYWORDS_SQL,
+        "q_recommendations": Q_RECOMMENDATIONS_SQL,
+        "q_embedding_outliers": Q_EMBEDDING_OUTLIERS_SQL,
+        "q_mmr_select": Q_MMR_SELECT_SQL,
     }

@@ -18,7 +18,7 @@ is small enough that the singles marginals broadcast onto it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -127,5 +127,73 @@ def item_similarity(
             F.round(
                 F.col("n_pair") / F.sqrt(F.col("n_a") * F.col("n_b")), round_digits
             ).alias("cosine"),
+        )
+    )
+
+
+def recommend_top_n(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    sims: DataFrame,
+    n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Item-based CF recommendation — the last mile on top of
+    item_similarity (Sarwar et al., WWW 2001 §4): a user's score for
+    candidate item c is the SUM of similarities between c and the
+    items in the user's history; seen items are excluded; top-n per
+    user under a (score desc, item) total order.
+
+    `sims` is the (item_a, item_b, cosine) frame item_similarity
+    emits (each pair once, a < b); it is symmetrized here. Plan: one
+    history×sims equi-join on the history item (volume bounded by the
+    similarity fan-out per item, never catalog²), one groupBy, one
+    left-anti seen filter, one per-user top-n window — every shuffle
+    keys on user or item. Cosines are 6 dp-rounded decimals summed
+    exactly, so scores and ranks are engine-identical."""
+    hist = interactions.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("it")
+    ).distinct()
+    s = sims.select(
+        F.col("item_a").alias("it"),
+        F.col("item_b").alias("cand"),
+        F.col("cosine").alias("sim"),
+    ).unionByName(
+        sims.select(
+            F.col("item_b").alias("it"),
+            F.col("item_a").alias("cand"),
+            F.col("cosine").alias("sim"),
+        )
+    ).select(
+        "it", "cand",
+        F.round(F.col("sim"), round_digits).cast("decimal(18,6)").alias("sim"),
+    )
+    scored = (
+        hist.join(s, "it")
+        .groupBy("u", "cand")
+        .agg(F.sum("sim").alias("__s"))
+        .join(
+            hist.select("u", F.col("it").alias("cand")),
+            ["u", "cand"],
+            "left_anti",
+        )
+        .select(
+            "u",
+            "cand",
+            F.round(F.col("__s").cast("double"), round_digits).alias("score"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= n)
+        .select(
+            F.col("u").alias(user_col),
+            F.col("rec_rank").cast("long").alias("rec_rank"),
+            F.col("cand").alias(item_col),
+            "score",
         )
     )

@@ -1,0 +1,122 @@
+"""RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
+"Automatic Keyword Extraction from Individual Documents") as a
+word-count-shaped plan.
+
+RAKE's insight: content keywords are the maximal runs of non-stopword
+tokens ("candidate phrases"), and a word matters when it appears in
+long phrases (high co-occurrence degree) relative to how often it
+appears at all. Scores:
+
+    deg(w)  = Σ over phrase occurrences containing w of len(phrase)
+    score(w) = deg(w) / freq(w)
+    score(phrase) = Σ score(w) over the phrase's words
+
+The plan is two explodes + three map-side-combinable aggregates —
+exactly the canonical word-count shape, so it scales like q_vocab_topk:
+no joins touch anything bigger than the (word) and (phrase) vocabulary
+frames. Phrase splitting is ONE regexp pass: normalized text has every
+stopword token replaced by a '|' delimiter, then splits — an identical
+RE2-safe expression on both engines.
+
+Determinism: deg and freq are exact integers; per-word scores are
+rounded to 9 dp and summed as exact decimals into phrase scores, so
+the final (score desc, phrase) top-k total order is engine-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text
+
+# the compact English stopword list shipped with the original RAKE
+# evaluation corpora, trimmed to the high-frequency core; a LITERAL so
+# the SQL twin embeds the same alternation
+RAKE_STOPWORDS = (
+    "a an and are as at be by for from has have he her his i in is it "
+    "its my not of on or our she that the their they this to was we "
+    "were will with you your"
+).split()
+
+
+def rake_phrases(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc id, phrase) candidate frame: maximal non-stopword runs of
+    the normalized text, multi-occurrence preserved."""
+    alt = "|".join(RAKE_STOPWORDS)
+    # normalize, then delimit every stopword token; runs of delimiters
+    # and blanks collapse when splitting
+    marked = F.regexp_replace(
+        normalize_text(F.col(text_col)), rf"\b({alt})\b", "|"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(marked, r"\|")).alias("phrase_raw"),
+        )
+        .select("doc_id", F.trim(F.col("phrase_raw")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 20,
+    min_count: int = 2,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Corpus-level RAKE keywords: top_k phrases by summed member-word
+    score (ties broken by phrase), each with its occurrence count.
+    Phrases seen fewer than `min_count` times are dropped first —
+    corpus keywords should recur."""
+    phrases = rake_phrases(df, id_col, text_col)
+    words = phrases.select(
+        "phrase",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+        (F.size(F.split(F.col("phrase"), " "))).alias("plen"),
+    )
+    wscore = (
+        words.groupBy("w")
+        .agg(
+            F.sum("plen").cast("long").alias("deg"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+        )
+        .select(
+            "w",
+            F.round(F.col("deg").cast("double") / F.col("freq").cast("double"), 9)
+            .cast("decimal(20,9)")
+            .alias("wscore"),
+        )
+    )
+    pcount = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    ).filter(F.col("n_occurrences") >= min_count)
+    # distinct member words per phrase (RAKE sums each member once)
+    members = (
+        pcount.select(
+            "phrase", F.explode(F.array_distinct(F.split(F.col("phrase"), " "))).alias("w")
+        )
+    )
+    pscore = (
+        members.join(wscore, "w")
+        .groupBy("phrase")
+        .agg(F.sum("wscore").alias("__s"))
+        .select(
+            "phrase",
+            F.round(F.col("__s").cast("double"), out_decimals).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("phrase").asc())
+    return (
+        pcount.join(pscore, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            "score",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("rank").cast("long").alias("rank"), "phrase", "n_occurrences", "score")
+    )

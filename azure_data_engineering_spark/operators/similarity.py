@@ -365,3 +365,162 @@ def random_project(
             )
         )
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 20,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-space outlier screen: distance to the corpus centroid,
+    z-scored over the corpus — the geometric complement to the
+    token-level novelty scorer (quality.novelty_score). Far-from-
+    centroid documents are the mislabeled-language / garbage-encoding
+    / off-distribution candidates an embedding-led curation pass
+    reviews first.
+
+    Plan and determinism: the centroid comes from ONE posexplode +
+    per-dimension aggregate with component values rounded to 9 dp and
+    summed as exact decimals (order-free); distances join the exploded
+    frame back to the broadcast 64-row centroid; per-doc squared
+    deviations are again 9 dp decimals, so dist — and the z-score
+    moments over (dist rounded 6 dp) — replay bit-identically. Output:
+    top_k (id, dist, zscore) by (z desc, id)."""
+    ex = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select(
+        "vid",
+        "pos",
+        F.round(F.col("val").cast("double"), 9).cast("decimal(20,9)").alias("v"),
+    )
+    centroid = ex.groupBy("pos").agg(
+        F.round(
+            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"), 9
+        )
+        .cast("decimal(20,9)")
+        .alias("c")
+    )
+    dist = (
+        ex.join(F.broadcast(centroid), "pos")
+        .select(
+            "vid",
+            F.round(
+                (F.col("v").cast("double") - F.col("c").cast("double"))
+                * (F.col("v").cast("double") - F.col("c").cast("double")),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("sq"),
+        )
+        .groupBy("vid")
+        .agg(
+            F.round(F.sqrt(F.sum("sq").cast("double")), out_decimals)
+            .cast("decimal(18,6)")
+            .alias("dist")
+        )
+    )
+    m = dist.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dist").alias("s"),
+        F.sum(F.col("dist") * F.col("dist")).alias("ss"),
+    )
+    nd, sd, ssd = (
+        F.col("n").cast("double"),
+        F.col("s").cast("double"),
+        F.col("ss").cast("double"),
+    )
+    stats = m.select(
+        "n",
+        (sd / nd).alias("mean"),
+        F.sqrt((nd * ssd - sd * sd) / (nd * (nd - 1))).alias("std"),
+    )
+    w = Window.orderBy(F.col("zscore").desc(), F.col("vid").asc())
+    return (
+        dist.crossJoin(F.broadcast(stats))
+        .select(
+            "vid",
+            F.col("dist").cast("double").alias("dist"),
+            F.round(
+                (F.col("dist").cast("double") - F.col("mean")) / F.col("std"),
+                out_decimals,
+            ).alias("zscore"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vid").alias("vec_id"),
+            "dist",
+            "zscore",
+        )
+    )
+
+
+def mmr_select(
+    pool: DataFrame,
+    sims: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick k items balancing relevance against
+    redundancy with what's already picked —
+
+        mmr(c) = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+
+    `pool` is (cand, rel) — a BOUNDED candidate frame (top-N by
+    relevance from any retrieval operator; MMR is re-ranking, so the
+    pool is panel-sized by construction). `sims` is (a, b, sim) over
+    pool pairs, both directions. Each greedy step collects exactly ONE
+    row (the bounded-by-construction collect discipline, cf. the BPE
+    merge loop) and feeds the next step's anti-filter; scores are
+    rounded before the (score desc, cand) argmax so an unrolled SQL
+    replay picks identical items."""
+    rel = pool.select("cand", F.round(F.col("rel"), round_digits).alias("rel"))
+    rel = rel.localCheckpoint()
+    s2 = sims.select("a", "b", F.round(F.col("sim"), round_digits).alias("sim"))
+    s2 = s2.localCheckpoint()
+    first = (
+        rel.select(
+            "cand", F.round(F.col("rel") * lam, round_digits).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("cand").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    picked = [(1, first["cand"], float(first["score"]))]
+    for step in range(2, k + 1):
+        sel_ids = [p[1] for p in picked]
+        cand_scores = (
+            rel.filter(~F.col("cand").isin(sel_ids))
+            .join(
+                s2.filter(F.col("b").isin(sel_ids)).groupBy("a").agg(
+                    F.max("sim").alias("msim")
+                ),
+                rel["cand"] == F.col("a"),
+            )
+            .select(
+                "cand",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("msim"),
+                    round_digits,
+                ).alias("mmr"),
+            )
+        )
+        nxt = (
+            cand_scores.orderBy(F.col("mmr").desc(), F.col("cand").asc())
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        picked.append((step, nxt[0]["cand"], float(nxt[0]["mmr"])))
+    spark = pool.sparkSession
+    return spark.createDataFrame(
+        picked, "rank long, cand long, score double"
+    )
