@@ -13549,6 +13549,211 @@ s{step} AS MATERIALIZED (
 Q_MMR_SELECT_SQL = _mmr_oracle_sql(10, 0.7)
 
 
+# ---------------------------------------------------------------------------
+# round 6e: personalized PageRank, term burstiness, join-cardinality
+# pre-flight, portable Bloom filter audit
+# ---------------------------------------------------------------------------
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the co-purchase part graph (operators/
+    graph.personalized_pagerank — Haveliwala 2002): teleport mass
+    concentrated on a deterministic seed set (node % 97 == 1), 4
+    fixed damped rounds, dangling mass back to the seeds — the
+    topic-proximity score behind related-item features, next to the
+    global q_pagerank prior. Same one-join-one-agg round shape;
+    oracle unrolls the identical rounds; 6dp rounding absorbs the
+    ~1e-14 accumulation-order drift."""
+    from azure_data_engineering_spark.operators.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 97 == 1)
+    out = personalized_pagerank(edges, seeds, iterations=4)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_oracle_sql(iters: int = 4, d: float = 0.85) -> str:
+    """Unrolled personalized-PageRank rounds (the _pagerank_oracle_sql
+    technique: recursive CTEs cannot aggregate the recursive term)."""
+    sql = """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seeds AS MATERIALIZED (SELECT node FROM nodes WHERE node % 97 = 1),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
+sv AS MATERIALIZED (SELECT nodes.node,
+        CASE WHEN s.node IS NOT NULL THEN 1.0 / ns ELSE 0.0 END AS s
+        FROM nodes LEFT JOIN seeds s ON s.node = nodes.node, ns),
+deg AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, s AS rank FROM sv)"""
+    for i in range(iters):
+        sql += f""",
+d{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r{i} WHERE node NOT IN (SELECT src FROM deg)),
+c{i} AS (SELECT e.dst, sum(r.rank / g.out_deg) AS in_mass
+         FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg g ON e.src = g.src GROUP BY e.dst),
+r{i + 1} AS MATERIALIZED (SELECT sv.node,
+             (1.0 - {d}) * sv.s + {d} * (coalesce(c.in_mass, 0.0) + dm * sv.s) AS rank
+             FROM sv LEFT JOIN c{i} c ON sv.node = c.dst, d{i})"""
+    sql += f"\nSELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node"
+    return sql
+
+
+Q_PERSONALIZED_PAGERANK_SQL = _ppr_oracle_sql()
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bursty-term screen (operators/quality.term_burstiness — Church
+    & Gale 1995): variance-to-mean ratio of per-doc term counts over
+    the whole corpus, zeros included. Poisson (content-neutral) usage
+    gives VMR ≈ 1; boilerplate/template terms concentrate and blow it
+    up — the screen that catches navigation chrome and legalese before
+    a quality pass. Two map-side aggregates from exact integer sums;
+    top-30 by (vmr desc, term) over terms with df ≥ 5."""
+    from azure_data_engineering_spark.functions.text import normalize_text
+    from azure_data_engineering_spark.operators.quality import term_burstiness
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return term_burstiness(toks, "doc_id", "term", nd, min_df=5, top_k=30)
+
+
+Q_TERM_BURSTINESS_SQL = """
+WITH t AS MATERIALIZED (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+    FROM documents
+  ) WHERE term <> ''
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+per AS (SELECT term, doc_id, count(*) AS c FROM t GROUP BY 1, 2),
+pt AS MATERIALIZED (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM per GROUP BY 1
+)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY vmr DESC, term) AS "rank", term, df, total, vmr
+  FROM (
+    SELECT term, df, total,
+           round(((CAST(ss AS DOUBLE) - CAST(total AS DOUBLE) * CAST(total AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1))
+                 / (CAST(total AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS vmr
+    FROM pt, nd WHERE df >= 5
+  )
+) WHERE "rank" <= 30
+"""
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-join cardinality pre-flight (operators/diagnostics.
+    join_cardinality_estimate): predicts the events×events self-join
+    on user_id — Σ_k l_k·r_k over the key histograms, plus the
+    hottest key's contribution and the expansion factor — WITHOUT
+    running the join. Histogram work is key-sized; the join it
+    predicts is row-sized². The companion to q_skew_diagnostics for
+    any sessionization / stream-join plan review."""
+    from azure_data_engineering_spark.operators.diagnostics import (
+        join_cardinality_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return join_cardinality_estimate(ev, ev, "user_id", "user_id")
+
+
+Q_JOIN_CARDINALITY_SQL = """
+WITH lf AS MATERIALIZED (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS f FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(f) AS BIGINT) AS rows_l, CAST(count(*) AS BIGINT) AS keys_l FROM lf
+), j AS MATERIALIZED (
+  SELECT CAST(a.f AS HUGEINT) * CAST(b.f AS HUGEINT) AS p
+  FROM lf a JOIN lf b ON a.k = b.k
+)
+SELECT rows_l, keys_l, rows_l AS rows_r, keys_l AS keys_r,
+       (SELECT CAST(count(*) AS BIGINT) FROM j) AS n_common_keys,
+       (SELECT CAST(sum(p) AS BIGINT) FROM j) AS est_rows,
+       (SELECT CAST(max(p) AS BIGINT) FROM j) AS max_key_rows,
+       round(CAST((SELECT sum(p) FROM j) AS DOUBLE) / CAST(rows_l AS DOUBLE), 6)
+         AS expansion_factor
+FROM tot
+"""
+
+
+def q_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter build + false-positive audit (operators/
+    bloomfilter — Bloom 1970): the filter's bit positions are pure md5
+    functions of the key, so the bitset built here is rebuildable
+    bit-for-bit by ANY system (the oracle rebuilds it in SQL).
+    Keys = part ids; probes = a disjoint shifted id set; one row of
+    fill/observed-FP/theoretical-FP evidence. m=65536, k=4: the fill
+    ratio deliberately sweeps from sparse (sf0.01) toward saturated
+    (sf1), which is exactly the sizing conversation this audit exists
+    to force."""
+    from azure_data_engineering_spark.operators.bloomfilter import bloom_fp_audit
+
+    p = _t(spark, sf_dir, "part")
+    keys = p.select("p_partkey")
+    probes = p.select((F.col("p_partkey") + 100000000).alias("probe"))
+    return bloom_fp_audit(
+        keys, probes, "p_partkey", "probe", n_bits=65536, n_hashes=4
+    )
+
+
+Q_BLOOM_AUDIT_SQL = """
+WITH keys AS (SELECT DISTINCT p_partkey AS k FROM part),
+idx AS (SELECT unnest([1, 2, 3, 4]) AS i),
+kp AS MATERIALIZED (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+           % 65536 AS pos
+  FROM keys, idx
+), probes AS (SELECT DISTINCT p_partkey + 100000000 AS p FROM part),
+ph AS MATERIALIZED (
+  SELECT DISTINCT CAST(p AS VARCHAR) AS p,
+         CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+           % 65536 AS pos
+  FROM probes, idx
+), hits AS (
+  SELECT h.p
+  FROM (SELECT ph.p, count(*) AS n_hit FROM ph JOIN kp USING (pos) GROUP BY 1) h
+  JOIN (SELECT p, count(*) AS n_pos FROM ph GROUP BY 1) t ON t.p = h.p
+  WHERE h.n_hit = t.n_pos
+), m AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+         (SELECT CAST(count(*) AS BIGINT) FROM kp) AS n_bits_set,
+         (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+         (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_false_positives
+)
+SELECT n_keys, n_bits_set,
+       round(CAST(n_bits_set AS DOUBLE) / 65536.0, 6) AS fill_ratio,
+       n_probes, n_false_positives,
+       round(CAST(n_false_positives AS DOUBLE) / CAST(n_probes AS DOUBLE), 6) AS fp_rate,
+       round((CAST(n_bits_set AS DOUBLE) / 65536.0)
+             * (CAST(n_bits_set AS DOUBLE) / 65536.0)
+             * (CAST(n_bits_set AS DOUBLE) / 65536.0)
+             * (CAST(n_bits_set AS DOUBLE) / 65536.0), 6) AS fp_rate_theoretical
+FROM m
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
 
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -13893,6 +14098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recommendations": q_recommendations,
         "q_embedding_outliers": q_embedding_outliers,
         "q_mmr_select": q_mmr_select,
+        "q_personalized_pagerank": q_personalized_pagerank,
+        "q_term_burstiness": q_term_burstiness,
+        "q_join_cardinality": q_join_cardinality,
+        "q_bloom_audit": q_bloom_audit,
     }
 
 
@@ -14205,4 +14414,8 @@ def oracle_sql() -> dict[str, str]:
         "q_recommendations": Q_RECOMMENDATIONS_SQL,
         "q_embedding_outliers": Q_EMBEDDING_OUTLIERS_SQL,
         "q_mmr_select": Q_MMR_SELECT_SQL,
+        "q_personalized_pagerank": Q_PERSONALIZED_PAGERANK_SQL,
+        "q_term_burstiness": Q_TERM_BURSTINESS_SQL,
+        "q_join_cardinality": Q_JOIN_CARDINALITY_SQL,
+        "q_bloom_audit": Q_BLOOM_AUDIT_SQL,
     }

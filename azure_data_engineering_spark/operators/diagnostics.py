@@ -131,3 +131,72 @@ def lorenz_deciles(
             out_decimals,
         ).alias("cum_share"),
     ).orderBy("decile")
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str | Column,
+    right_key: str | Column,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """EXACT equi-join output cardinality WITHOUT running the join:
+    |L ⋈ R| = Σ_k l_k · r_k over the two key histograms — the System-R
+    estimator computed exactly, because collapsing each side to its
+    key-frequency frame first makes the exact sum as cheap as any
+    sketch. THE pre-flight before a 100 TB join: the histogram join is
+    keys×keys (vocabulary-sized), while the join it predicts might be
+    rows×rows.
+
+    ONE row: rows/keys per side, n_common_keys, est_rows (exact
+    decimal Σ l_k·r_k), max_key_rows (the hottest single key's output
+    — the straggler the skew report warns about), and
+    expansion_factor = est_rows / max(rows_l, rows_r) (>1 means the
+    join EXPANDS — the self-join blowup case)."""
+    lk = F.col(left_key) if isinstance(left_key, str) else left_key
+    rk = F.col(right_key) if isinstance(right_key, str) else right_key
+    lf = left.groupBy(lk.alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__lf")
+    )
+    rf = right.groupBy(rk.alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__rf")
+    )
+    l_tot = lf.agg(
+        F.sum("__lf").cast("long").alias("rows_l"),
+        F.count(F.lit(1)).cast("long").alias("keys_l"),
+    )
+    r_tot = rf.agg(
+        F.sum("__rf").cast("long").alias("rows_r"),
+        F.count(F.lit(1)).cast("long").alias("keys_r"),
+    )
+    joined = lf.join(rf, "__k").select(
+        (F.col("__lf").cast("decimal(38,0)") * F.col("__rf").cast("decimal(38,0)"))
+        .alias("__p")
+    )
+    est = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common_keys"),
+        F.coalesce(F.sum("__p"), F.lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("est_rows"),
+        F.coalesce(F.max("__p"), F.lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("max_key_rows"),
+    )
+    return (
+        est.crossJoin(F.broadcast(l_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "rows_l",
+            "keys_l",
+            "rows_r",
+            "keys_r",
+            "n_common_keys",
+            F.col("est_rows").cast("long").alias("est_rows"),
+            F.col("max_key_rows").cast("long").alias("max_key_rows"),
+            F.round(
+                F.col("est_rows").cast("double")
+                / F.greatest(F.col("rows_l"), F.col("rows_r")).cast("double"),
+                out_decimals,
+            ).alias("expansion_factor"),
+        )
+    )

@@ -263,3 +263,52 @@ def novelty_score(
         "novelty",
         F.round(1.0 - F.col("n_seen") / F.col("n_grams"), round_digits),
     )
+
+
+def term_burstiness(
+    toks: DataFrame,
+    doc_col: str,
+    term_col: str,
+    n_docs_total: DataFrame,
+    min_df: int = 5,
+    top_k: int = 30,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Bursty-term screen via the variance-to-mean ratio of per-doc
+    term counts over the WHOLE corpus, zeros included (Church & Gale
+    1995, "Poisson mixtures"): for Poisson (content-neutral) usage
+    VMR ≈ 1; boilerplate and template terms concentrate in few docs
+    and push VMR far above 1 — the signal that separates navigation
+    chrome and legalese from vocabulary before a dedup/quality pass.
+
+    With T = Σc total occurrences over N docs and Σc² summed over
+    docs containing the term (zero docs contribute zero):
+    mean = T/N, var = (Σc² − T²/N)/(N−1) — all exact integer inputs,
+    one division tree, engine-identical. `toks` is the exploded
+    (doc, term) frame; `n_docs_total` a 1-row frame with column n
+    (include empty docs in it — they dilute every term equally).
+    Output: top_k terms by (vmr desc, term) among terms with
+    document frequency ≥ min_df."""
+    per = toks.groupBy(F.col(term_col).alias("term"), F.col(doc_col).alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_term = per.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    t = F.col("total").cast("double")
+    vmr = F.round(
+        ((F.col("ss").cast("double") - t * t / n) / (n - 1)) / (t / n),
+        out_decimals,
+    )
+    w = Window.orderBy(F.col("vmr").desc(), F.col("term").asc())
+    return (
+        per_term.filter(F.col("df") >= min_df)
+        .join(F.broadcast(n_docs_total))
+        .select("term", "df", "total", vmr.alias("vmr"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("rank").cast("long").alias("rank"), "term", "df", "total", "vmr")
+    )
