@@ -13754,6 +13754,198 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# round 6f: exact-k weighted sampling, k-center coreset, robust trend
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-100 weighted sample of lineitem rows, quantity-
+    proportional (operators/sampling.weighted_sample_exact_k —
+    Efraimidis & Spirakis 2006): per-row exponential race keys
+    −ln(u)/w from the md5 unit draw, k smallest win via a distributed
+    TakeOrdered. The fixed-size complement to q_weighted_sample's
+    expected-k Bernoulli — what an annotation batch or eval panel
+    actually needs. The oracle re-runs the identical race."""
+    from azure_data_engineering_spark.operators.sampling import (
+        weighted_sample_exact_k,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid")
+    picked = weighted_sample_exact_k(
+        li.select(rid, "l_orderkey", "l_linenumber", "l_quantity"),
+        "rid",
+        "l_quantity",
+        k=100,
+        salt="wsk",
+    )
+    return picked.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+Q_WEIGHTED_SAMPLE_K_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         l_orderkey * 10 + l_linenumber AS rid,
+         round(
+           -ln(greatest(
+                 CAST('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) || 'wsk'), 1, 8) AS BIGINT)
+                   / 4294967296.0,
+                 1.0e-12))
+           / l_quantity, 9) AS race
+  FROM lineitem WHERE l_quantity > 0
+)
+ORDER BY race, rid LIMIT 100
+"""
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity coreset over embeddings (operators/
+    similarity.k_center_greedy — Gonzalez 1985; Sener & Savarese 2018
+    use exactly this for training-subset selection): a 200-vector md5
+    panel, cosine-distance pairs, 8 farthest-point picks. Returns the
+    picked centers with their min-distance to prior centers — the
+    last row is the achieved coverage radius. Oracle: 8 unrolled
+    max-min argmax CTEs over the same rounded distances."""
+    from azure_data_engineering_spark.functions.vectors import cosine_similarity
+    from azure_data_engineering_spark.operators.similarity import k_center_greedy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    panel = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("kc"))).alias(
+                "draw"
+            ),
+        )
+        .orderBy("draw", "vec_id")
+        .limit(200)
+    )
+    pool = panel.select(F.col("vec_id").alias("pid"), "draw")
+    a = panel.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = panel.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    dists = a.join(b, F.col("a") != F.col("b")).select(
+        "a",
+        "b",
+        F.round(
+            F.lit(1.0) - cosine_similarity(F.col("va"), F.col("vb")), 6
+        ).alias("dist"),
+    )
+    out = k_center_greedy(pool, dists, k=8)
+    return out.select("rank", F.col("pid").alias("vec_id"), "dist_to_centers")
+
+
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    """Unrolled greedy max-min argmax steps (the mmr/gbm technique)."""
+    parts = ["""
+WITH panel AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         md5(CAST(vec_id AS VARCHAR) || 'kc') AS draw
+  FROM embeddings ORDER BY draw, vec_id LIMIT 200
+),
+dists AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(1.0 - list_cosine_similarity(a.e, b.e), 6) AS dist
+  FROM panel a JOIN panel b ON a.vec_id <> b.vec_id
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id AS pid, CAST(NULL AS DOUBLE) AS md FROM panel
+  ORDER BY draw, vec_id LIMIT 1
+)"""]
+    for step in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT pid FROM s{j}" for j in range(1, step))
+        parts.append(f""",
+s{step} AS MATERIALIZED (
+  SELECT p.vec_id AS pid, m.md
+  FROM panel p JOIN (
+    SELECT a AS pid, min(dist) AS md FROM dists
+    WHERE b IN ({prev}) GROUP BY a
+  ) m ON m.pid = p.vec_id
+  WHERE p.vec_id NOT IN ({prev})
+  ORDER BY m.md DESC, p.vec_id LIMIT 1
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({j} AS BIGINT) AS \"rank\", pid AS vec_id, md AS dist_to_centers FROM s{j}"
+        for j in range(1, k + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+Q_KCENTER_CORESET_SQL = _kcenter_oracle_sql(8)
+
+
+def q_trend_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend per event-type daily series (operators/timeseries.
+    theil_sen_mann_kendall): the Theil-Sen median-of-pairwise-slopes
+    estimator + the tie-corrected Mann-Kendall monotonic-trend z test
+    — one wild day cannot fake or hide a trend, unlike the OLS/Holt
+    fits beside it. Pair enumeration is calendar-bounded per series;
+    slopes are exact-integer quotients ranked under a total order, so
+    the median order statistic replays identically in SQL."""
+    from azure_data_engineering_spark.operators.timeseries import (
+        theil_sen_mann_kendall,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_raw"))
+    return theil_sen_mann_kendall(per, "event_type", "day", "n_raw")
+
+
+Q_TREND_TESTS_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), idx AS MATERIALIZED (
+  SELECT event_type AS s, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM d
+), pr AS MATERIALIZED (
+  SELECT a.s, a.t AS ti, b.t AS tj,
+         CAST(b.v - a.v AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+  FROM idx a JOIN idx b ON b.s = a.s AND a.t < b.t
+), ranked AS (
+  SELECT s, slope,
+         row_number() OVER (PARTITION BY s ORDER BY slope ASC, ti ASC, tj ASC) AS rn
+  FROM pr
+), counts AS MATERIALIZED (
+  SELECT s, CAST(count(*) AS BIGINT) AS np, CAST(sum(sgn) AS BIGINT) AS mk_s
+  FROM pr GROUP BY 1
+), med AS (
+  SELECT r.s, c.np, c.mk_s,
+         round(sum(r.slope) / count(DISTINCT r.rn), 6) AS sen_slope
+  FROM ranked r JOIN counts c ON c.s = r.s
+  WHERE r.rn = floor((c.np + 1) / 2) OR r.rn = floor(c.np / 2) + 1
+  GROUP BY 1, 2, 3
+), ties AS (
+  SELECT s, CAST(sum(tp * (tp - 1) * (2 * tp + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT s, v, count(*) AS tp FROM idx GROUP BY 1, 2) WHERE tp > 1
+  GROUP BY 1
+), nper AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM idx GROUP BY 1)
+SELECT s AS event_type, n AS n_periods, sen_slope, mk_s, mk_z,
+       CASE WHEN mk_z > 1.96 THEN 'increasing'
+            WHEN mk_z < -1.96 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM (
+  SELECT m.s, np.n, m.sen_slope, m.mk_s,
+         round(CASE WHEN (np.n * (np.n - 1) * (2 * np.n + 5) - coalesce(t.tie_term, 0))
+                         / 18.0 > 0
+                    THEN (CASE WHEN m.mk_s > 0 THEN CAST(m.mk_s - 1 AS DOUBLE)
+                               WHEN m.mk_s < 0 THEN CAST(m.mk_s + 1 AS DOUBLE)
+                               ELSE 0.0 END)
+                         / sqrt(CAST(np.n * (np.n - 1) * (2 * np.n + 5)
+                                     - coalesce(t.tie_term, 0) AS DOUBLE) / 18.0)
+                    ELSE 0.0 END, 6) AS mk_z
+  FROM med m JOIN nper np ON np.s = m.s LEFT JOIN ties t ON t.s = m.s
+)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
 
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -14102,6 +14294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_burstiness": q_term_burstiness,
         "q_join_cardinality": q_join_cardinality,
         "q_bloom_audit": q_bloom_audit,
+        "q_weighted_sample_k": q_weighted_sample_k,
+        "q_kcenter_coreset": q_kcenter_coreset,
+        "q_trend_tests": q_trend_tests,
     }
 
 
@@ -14418,4 +14613,7 @@ def oracle_sql() -> dict[str, str]:
         "q_term_burstiness": Q_TERM_BURSTINESS_SQL,
         "q_join_cardinality": Q_JOIN_CARDINALITY_SQL,
         "q_bloom_audit": Q_BLOOM_AUDIT_SQL,
+        "q_weighted_sample_k": Q_WEIGHTED_SAMPLE_K_SQL,
+        "q_kcenter_coreset": Q_KCENTER_CORESET_SQL,
+        "q_trend_tests": Q_TREND_TESTS_SQL,
     }

@@ -252,3 +252,37 @@ def temperature_mix(
     return out.filter(
         hash_unit(F.col(id_col), salt) < F.col("keep_rate")
     )
+
+
+def weighted_sample_exact_k(
+    df: DataFrame,
+    id_col: str | Column,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-k weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    row draws an exponential race key −ln(u)/w from the deterministic
+    md5 unit draw; the k SMALLEST keys win. Inclusion probability is
+    proportional to weight at every prefix, the chosen set is a pure
+    function of (id, salt) — repartition/retry/engine-stable — and
+    selection is a distributed TakeOrdered (orderBy + limit), never a
+    single-partition window. The exact-k complement to
+    weighted_bernoulli's expected-k: use THIS when downstream needs a
+    fixed-size panel (eval sets, annotation batches).
+
+    Rows with weight <= 0 are excluded (they cannot win a race).
+    u is floored at 1e-12 so a zero draw cannot produce an infinite
+    key; race keys are rounded to 9 dp with an id tiebreak so the
+    boundary is engine-identical."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    u = F.greatest(hash_unit(col, salt), F.lit(1e-12))
+    key = F.round(-F.log(u) / F.col(weight_col), 9)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__race", key)
+        .orderBy(F.col("__race").asc(), col.asc())
+        .limit(k)
+        .drop("__race")
+    )

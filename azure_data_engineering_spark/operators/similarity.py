@@ -524,3 +524,49 @@ def mmr_select(
     return spark.createDataFrame(
         picked, "rank long, cand long, score double"
     )
+
+
+def k_center_greedy(
+    pool: DataFrame,
+    dists: DataFrame,
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the 2-approx
+    farthest-point heuristic — the standard diversity-coreset picker
+    for training-data subset selection, cf. Sener & Savarese 2018).
+    `pool` is (pid, draw) — a BOUNDED panel with a deterministic md5
+    draw column fixing the first center; `dists` is (a, b, dist) over
+    pool pairs, both directions, pre-rounded. Each step picks the
+    point FARTHEST from its nearest chosen center (max-min), with a
+    (dist desc, pid) total order; one-row collects per step (the
+    bounded-panel loop discipline shared with mmr_select). Returns
+    (rank, pid, dist_to_centers) — the picked point's min-distance to
+    the previously chosen centers (NULL for the first center); the
+    last row's value is the coverage radius achieved."""
+    p = pool.localCheckpoint()
+    d = dists.localCheckpoint()
+    first = (
+        p.orderBy(F.col("draw").asc(), F.col("pid").asc()).limit(1).collect()[0]
+    )
+    picked = [(1, first["pid"], None)]
+    for step in range(2, k + 1):
+        sel = [x[1] for x in picked]
+        nxt = (
+            p.filter(~F.col("pid").isin(sel))
+            .join(
+                d.filter(F.col("b").isin(sel))
+                .groupBy("a")
+                .agg(F.min("dist").alias("mind")),
+                p["pid"] == F.col("a"),
+            )
+            .orderBy(F.col("mind").desc(), F.col("pid").asc())
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        picked.append((step, nxt[0]["pid"], float(nxt[0]["mind"])))
+    spark = pool.sparkSession
+    return spark.createDataFrame(
+        picked, "rank long, pid long, dist_to_centers double"
+    )

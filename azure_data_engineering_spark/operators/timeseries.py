@@ -227,3 +227,149 @@ def sax_symbols(
         .alias("symbol"),
     )
     return out
+
+
+def theil_sen_mann_kendall(
+    per_period: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Robust trend per series: the Theil-Sen slope estimator (median
+    of all pairwise slopes — Theil 1950, Sen 1968) plus the
+    Mann-Kendall monotonic-trend test (Mann 1945, Kendall 1975) with
+    the standard tie-corrected variance and continuity correction.
+    The outlier-proof companion to Holt: one wild day barely moves
+    either statistic.
+
+    Pair enumeration is per-series over the PERIOD frame (bounded by
+    calendar²/2, e.g. 435 pairs for 30 days — never row-scale), one
+    self-join keyed on the series. Slopes are IEEE quotients of exact
+    integers ranked under a (slope, t_i, t_j) total order, so the
+    median order statistic is engine-identical; S and the tie term
+    are exact integers. Emits per series: n_periods, sen_slope,
+    mk_s, mk_z, and trend in {'increasing','decreasing','none'} at
+    the 5% two-sided level (|z| > 1.96)."""
+    base = per_period.select(
+        F.col(series_col).alias("__s"),
+        F.col(value_col).cast("long").alias("__v"),
+        F.row_number()
+        .over(Window.partitionBy(series_col).orderBy(order_col))
+        .alias("__t"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__t") < F.col("b.__t")),
+    ).select(
+        F.col("a.__s").alias("__s"),
+        F.col("a.__t").alias("ti"),
+        F.col("b.__t").alias("tj"),
+        (
+            (F.col("b.__v") - F.col("a.__v")).cast("double")
+            / (F.col("b.__t") - F.col("a.__t")).cast("double")
+        ).alias("slope"),
+        F.signum((F.col("b.__v") - F.col("a.__v")).cast("double"))
+        .cast("long")
+        .alias("sgn"),
+    )
+    wp = Window.partitionBy("__s").orderBy(
+        F.col("slope").asc(), F.col("ti").asc(), F.col("tj").asc()
+    )
+    ranked = pairs.select(
+        "__s", "slope", "sgn", F.row_number().over(wp).alias("rn")
+    )
+    # median of pairwise slopes: join the two middle order
+    # statistics back onto the ranked frame (avg of the middles;
+    # equal when the pair count is odd)
+    counts = pairs.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("sgn").cast("long").alias("mk_s"),
+    )
+    mid = counts.select(
+        "__s",
+        "np",
+        "mk_s",
+        F.floor((F.col("np") + 1) / 2).cast("int").alias("m1"),
+        (F.floor(F.col("np") / 2) + 1).cast("int").alias("m2"),
+    )
+    med = (
+        ranked.join(mid, "__s")
+        .filter((F.col("rn") == F.col("m1")) | (F.col("rn") == F.col("m2")))
+        .groupBy("__s", "np", "mk_s")
+        .agg(
+            F.round(
+                F.sum("slope") / F.countDistinct("rn").cast("double"),
+                out_decimals,
+            ).alias("sen_slope")
+        )
+    )
+    # tie correction: groups of equal VALUES within a series
+    ties = (
+        base.groupBy("__s", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+        .filter(F.col("tp") > 1)
+        .groupBy("__s")
+        .agg(
+            F.sum(
+                F.col("tp") * (F.col("tp") - 1) * (2 * F.col("tp") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    nper = base.groupBy("__s").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = (
+        med.join(nper, "__s")
+        .join(ties, "__s", "left")
+        .select(
+            F.col("__s").alias(series_col),
+            F.col("n").alias("n_periods"),
+            "sen_slope",
+            "mk_s",
+            (
+                (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.coalesce(F.col("tie_term"), F.lit(0))
+                ).cast("double")
+                / 18.0
+            ).alias("__var"),
+        )
+        .select(
+            series_col,
+            "n_periods",
+            "sen_slope",
+            "mk_s",
+            # fully-tied series have zero variance (every period equal)
+            # — no evidence either way, z pinned to 0
+            F.round(
+                F.when(
+                    F.col("__var") > 0,
+                    (
+                        F.when(
+                            F.col("mk_s") > 0, (F.col("mk_s") - 1).cast("double")
+                        )
+                        .when(
+                            F.col("mk_s") < 0, (F.col("mk_s") + 1).cast("double")
+                        )
+                        .otherwise(F.lit(0.0))
+                    )
+                    / F.sqrt(F.col("__var")),
+                ).otherwise(F.lit(0.0)),
+                out_decimals,
+            ).alias("mk_z"),
+        )
+        .select(
+            series_col,
+            "n_periods",
+            "sen_slope",
+            "mk_s",
+            "mk_z",
+            F.when((F.col("mk_z") > 1.96), F.lit("increasing"))
+            .when((F.col("mk_z") < -1.96), F.lit("decreasing"))
+            .otherwise(F.lit("none"))
+            .alias("trend"),
+        )
+    )
+    return out
