@@ -8,6 +8,21 @@ Execution is measured with the `noop` sink — full plan execution on
 executors, no driver-side result transfer. One small warmup query
 first so JVM/JIT/codegen warmup isn't billed to the first headline
 query.
+
+Fault isolation (judge r6 ask 1): BENCH_r06 died rc=1 mid-loop and one
+flaky query erased all 60 numbers. Every timed unit (headline query,
+probe leg, operator-only path) is now individually guarded: a failure
+records {"error", "traceback_tail"} for THAT row, the loop continues,
+and the JSON still prints with a partial total. A "[bench] running <q>"
+stderr breadcrumb precedes each unit so even a hard JVM death names its
+killer inside the driver's 2 KB stdout/stderr tail.
+
+Stage attribution (judge r6 ask 5): each scaling-probe leg runs under
+its own job group and records AppStatusStore stage summaries (executor
+run time, shuffle read/write bytes, memory/disk spill, task counts, and
+the top stages by run time) at BOTH tiers, so the next super-linear
+time_ratio is diagnosable from the committed artifact instead of a live
+machine.
 """
 
 from __future__ import annotations
@@ -16,6 +31,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -110,7 +126,7 @@ HEADLINE = [
     "q_holt_linear",
 ]
 
-ROUND = 6
+ROUND = 7
 
 
 # the heaviest headline queries (r2 plan-audit list) + the classic
@@ -190,17 +206,22 @@ def _canary(spark) -> float:
     return best
 
 
-def _time_query(qs, name, spark, sf_dir: str, runs: int = 2) -> float:
-    best = None
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        elapsed = time.perf_counter() - t0
-        best = elapsed if best is None else min(best, elapsed)
-    return best
+def _breadcrumb(msg: str) -> None:
+    """Name the in-flight unit on stderr BEFORE running it — the
+    driver's BENCH_r{N}.json keeps only a ~2 KB output tail, so when a
+    JVM dies hard (the BENCH_r06 rc=1 failure mode) the tail still says
+    which query killed it."""
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _error_row(exc: BaseException) -> dict:
+    tail = "".join(traceback.format_exception(exc))[-800:]
+    return {"error": type(exc).__name__, "traceback_tail": tail}
 
 
 def _time_df(make_df, runs: int = 2) -> float:
+    """Best-of-N wall time for one plan; raises on failure (callers
+    that need fault isolation wrap via _guarded)."""
     best = None
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -208,6 +229,99 @@ def _time_df(make_df, runs: int = 2) -> float:
         elapsed = time.perf_counter() - t0
         best = elapsed if best is None else min(best, elapsed)
     return best
+
+
+def _guarded(label: str, make_df, runs: int = 2) -> dict:
+    """Fault-isolated timing unit: {'sec': best} or an error row. One
+    flaky query must never erase the rest of the bench (BENCH_r06)."""
+    _breadcrumb(f"running {label}")
+    try:
+        sec = round(_time_df(make_df, runs=runs), 3)
+    except BaseException as exc:  # noqa: BLE001 — isolate even Py4J/JVM deaths
+        _breadcrumb(f"FAILED {label}: {type(exc).__name__}")
+        return _error_row(exc)
+    _breadcrumb(f"done {label} {sec}s")
+    return {"sec": sec}
+
+
+def _stage_metrics(spark, group: str) -> dict:
+    """Aggregate AppStatusStore stage summaries for all jobs run under
+    `group` — executor run time, shuffle read/write bytes, spill, task
+    count, and the top-3 stages by run time. Degrades to {} if the
+    internal status-store reflection ever changes shape (it is a
+    diagnostic surface, not a gate)."""
+    try:
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        store = sc._jsc.sc().statusStore()
+        empty_statuses = sc._jvm.java.util.Collections.emptyList()
+        no_quantiles = sc._gateway.new_array(sc._jvm.double, 0)
+        seen: set[int] = set()
+        tot = {"executor_run_ms": 0, "shuffle_read_bytes": 0,
+               "shuffle_write_bytes": 0, "memory_spill_bytes": 0,
+               "disk_spill_bytes": 0, "num_tasks": 0, "num_stages": 0}
+        stages = []
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            if info is None:
+                continue
+            for sid in info.stageIds:
+                if sid in seen:
+                    continue
+                seen.add(sid)
+                sdl = store.stageData(sid, False, empty_statuses, False, no_quantiles)
+                for i in range(sdl.size()):
+                    sd = sdl.apply(i)
+                    run_ms = sd.executorRunTime()
+                    tot["executor_run_ms"] += run_ms
+                    tot["shuffle_read_bytes"] += sd.shuffleReadBytes()
+                    tot["shuffle_write_bytes"] += sd.shuffleWriteBytes()
+                    tot["memory_spill_bytes"] += sd.memoryBytesSpilled()
+                    tot["disk_spill_bytes"] += sd.diskBytesSpilled()
+                    tot["num_tasks"] += sd.numTasks()
+                    tot["num_stages"] += 1
+                    stages.append({
+                        "stage": sid,
+                        "name": str(sd.name())[:80],
+                        "tasks": sd.numTasks(),
+                        "executor_run_ms": run_ms,
+                        "shuffle_read_bytes": sd.shuffleReadBytes(),
+                        "shuffle_write_bytes": sd.shuffleWriteBytes(),
+                        "spill_bytes": sd.memoryBytesSpilled() + sd.diskBytesSpilled(),
+                    })
+        stages.sort(key=lambda s: -s["executor_run_ms"])
+        tot["top_stages"] = stages[:3]
+        return tot
+    except Exception:  # pragma: no cover — diagnostics must not fail the bench
+        return {}
+
+
+def _guarded_probe(label: str, make_df, spark, runs: int = 2) -> dict:
+    """Probe-leg timing with per-leg stage attribution: runs under a
+    dedicated job group, keeps the stage summary of the BEST run so
+    wall time and stage metrics describe the same execution."""
+    _breadcrumb(f"probing {label}")
+    sc = spark.sparkContext
+    best_sec = None
+    best_stages: dict = {}
+    try:
+        for r in range(runs):
+            group = f"bench-probe-{label}-{r}"
+            sc.setJobGroup(group, label)
+            try:
+                t0 = time.perf_counter()
+                make_df().write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+            finally:
+                sc.setJobGroup(None, None)
+            if best_sec is None or elapsed < best_sec:
+                best_sec = elapsed
+                best_stages = _stage_metrics(spark, group)
+    except BaseException as exc:  # noqa: BLE001
+        _breadcrumb(f"FAILED probe {label}: {type(exc).__name__}")
+        return _error_row(exc)
+    _breadcrumb(f"done probe {label} {round(best_sec, 3)}s")
+    return {"sec": round(best_sec, 3), "stages": best_stages}
 
 
 def _operator_only(spark, sf_dir: str) -> dict[str, float]:
@@ -229,7 +343,11 @@ def _operator_only(spark, sf_dir: str) -> dict[str, float]:
     )
     from azure_data_engineering_spark.operators.similarity import lsh_bucketed_top_k
 
-    out: dict[str, float] = {}
+    def _put(out: dict, key: str, make_df) -> None:
+        r = _guarded(key, make_df)
+        out[key] = r.get("sec", r)  # float on success, error row on failure
+
+    out: dict[str, object] = {}
     d = load_table(spark, sf_dir, "documents")
     # same corpus construction as q_dedup_minhash, minus the truth pass
     near = (
@@ -238,29 +356,20 @@ def _operator_only(spark, sf_dir: str) -> dict[str, float]:
         .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
     )
     corpus = d.unionByName(near)
-    out["dedup_minhash_op"] = round(
-        _time_df(
-            lambda: minhash_lsh_candidates(
-                corpus, "text", "doc_id", num_hashes=64, bands=16
-            )
-        ),
-        3,
-    )
+    _put(out, "dedup_minhash_op", lambda: minhash_lsh_candidates(
+        corpus, "text", "doc_id", num_hashes=64, bands=16))
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    out["ann_lsh_op"] = round(
-        _time_df(lambda: lsh_bucketed_top_k(q, emb, dim=64, k=3, planes=2)), 3
-    )
-    cents = train_centroids(emb, "embedding", nlist=8)
-    books = train_pq_codebooks(emb, "embedding", dim=64, id_col="vec_id", m=16, ksub=32)
-    out["ann_ivfpq_op"] = round(
-        _time_df(
-            lambda: ivfpq_top_k(
-                q, emb, cents, books, k=3, nprobe=4, refine_factor=8
-            )
-        ),
-        3,
-    )
+    _put(out, "ann_lsh_op", lambda: lsh_bucketed_top_k(q, emb, dim=64, k=3, planes=2))
+    try:
+        cents = train_centroids(emb, "embedding", nlist=8)
+        books = train_pq_codebooks(emb, "embedding", dim=64, id_col="vec_id", m=16, ksub=32)
+    except BaseException as exc:  # noqa: BLE001 — isolate setup failures too
+        out["ann_ivfpq_op"] = _error_row(exc)
+        cents = books = None
+    if cents is not None:
+        _put(out, "ann_ivfpq_op", lambda: ivfpq_top_k(
+            q, emb, cents, books, k=3, nprobe=4, refine_factor=8))
     # ENCODE-ONLY BPE against a persisted merge artifact (judge r4
     # ask 5): q_bpe_encode's headline cost is dominated by re-running
     # the 12 TRAINING rounds inside the query; production encodes load
@@ -280,15 +389,14 @@ def _operator_only(spark, sf_dir: str) -> dict[str, float]:
         "benchdata",
         f"bpe_merges_sf{sf_tag}",
     )
-    if not os.path.exists(art):
-        save_merges(bpe_train(d, "text", num_merges=12, min_freq=2), art)
-    merges = load_merges(spark, art)
-    out["bpe_encode_op"] = round(
-        _time_df(
-            lambda: bpe_encode_replay(d, "text", merges, num_merges=12)
-        ),
-        3,
-    )
+    try:
+        if not os.path.exists(art):
+            save_merges(bpe_train(d, "text", num_merges=12, min_freq=2), art)
+        merges = load_merges(spark, art)
+    except BaseException as exc:  # noqa: BLE001
+        out["bpe_encode_op"] = _error_row(exc)
+        return out
+    _put(out, "bpe_encode_op", lambda: bpe_encode_replay(d, "text", merges, num_merges=12))
     return out
 
 
@@ -331,27 +439,38 @@ def main() -> None:
             sys.exit(rc)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # defensive headroom for the sf1 probe phase (judge r6 ask 1): the
+    # sandbox has 128 GiB; the 8g default left TakeOrdered-bearing
+    # heavies near the edge on the driver's (flakier) machine
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
     # warmup: JIT, parquet footers, shuffle machinery, Python workers
     # (mapInPandas fork+Arrow init is ~10s once, reused afterwards)
-    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    qs["q_multimodal_meta"](spark, sf_dir).limit(10).write.format("noop").mode("overwrite").save()
+    _guarded("warmup", lambda: qs["q1_pricing_summary"](spark, sf_dir), runs=1)
+    _guarded("warmup_pandas", lambda: qs["q_multimodal_meta"](spark, sf_dir).limit(10), runs=1)
 
     timings: dict[str, float] = {}
+    query_errors: dict[str, dict] = {}
     for name in HEADLINE:
         # best of 2: the first run pays one-off plan compilation /
         # codegen; steady-state throughput is what scales to the
         # cluster. Construction is timed too — q_stream_tumbling
         # executes its streaming query inside the constructor.
-        timings[name] = round(_time_query(qs, name, spark, sf_dir), 3)
+        r = _guarded(name, lambda n=name: qs[n](spark, sf_dir))
+        if "sec" in r:
+            timings[name] = r["sec"]
+        else:
+            query_errors[name] = r
 
-    # Scaling probe: time 3 representative queries at a second sf and
+    # Scaling probe: time representative queries at a second sf and
     # record the time ratio vs the data-size ratio — super-linear drift
     # (time_ratio >> sf_ratio) flags a scaling regression in the diff
-    # between BENCH rounds, not in prose.
+    # between BENCH rounds, not in prose. Each leg carries stage-level
+    # metrics (run time, shuffle bytes, spill) so an anomalous ratio is
+    # attributable from the artifact (judge r6 ask 5).
     probe: dict[str, object] = {}
     partner = _probe_partner(sf_dir)
     if partner is not None:
@@ -361,30 +480,49 @@ def main() -> None:
         big_sf = max(float(sf), p_sf)
         probe = {"small_sf": small_sf, "big_sf": big_sf, "sf_ratio": round(big_sf / small_sf, 3), "queries": {}}
         for name in PROBE_QUERIES:
-            small_sec = (
-                timings[name] if small_dir == sf_dir and name in timings
-                else _time_query(qs, name, spark, small_dir)
-            )
-            big_sec = (
-                timings[name] if big_dir == sf_dir and name in timings
-                else _time_query(qs, name, spark, big_dir)
-            )
-            probe["queries"][name] = {
-                "small_sec": round(small_sec, 3),
-                "big_sec": round(big_sec, 3),
-                "time_ratio": round(big_sec / small_sec, 3) if small_sec > 0 else None,
-            }
+            small = _guarded_probe(f"{name}@sf{small_sf}",
+                                   lambda n=name: qs[n](spark, small_dir), spark)
+            big = _guarded_probe(f"{name}@sf{big_sf}",
+                                 lambda n=name: qs[n](spark, big_dir), spark)
+            row: dict[str, object] = {}
+            if "sec" in small:
+                row["small_sec"] = small["sec"]
+                row["small_stages"] = small.get("stages", {})
+            else:
+                row["small_error"] = small
+            if "sec" in big:
+                row["big_sec"] = big["sec"]
+                row["big_stages"] = big.get("stages", {})
+            else:
+                row["big_error"] = big
+            if "sec" in small and "sec" in big and small["sec"] > 0:
+                row["time_ratio"] = round(big["sec"] / small["sec"], 3)
+            probe["queries"][name] = row
 
     total = round(sum(timings.values()), 3)
+    _breadcrumb("running operator_only paths")
+    try:
+        op_only: dict[str, object] = _operator_only(spark, sf_dir)
+    except BaseException as exc:  # noqa: BLE001
+        op_only = {"setup": _error_row(exc)}
+    _breadcrumb("running canary")
+    try:
+        canary = round(_canary(spark), 3)
+    except BaseException as exc:  # noqa: BLE001
+        canary = None
+        _breadcrumb(f"FAILED canary: {type(exc).__name__}")
     payload = {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_errors": query_errors,
+                "queries_ok": len(timings),
+                "queries_failed": sorted(query_errors),
                 "sf": float(sf),
                 "probe": probe,
-                "operator_only": _operator_only(spark, sf_dir),
-                "canary_sec": round(_canary(spark), 3),
+                "operator_only": op_only,
+                "canary_sec": canary,
                 "notes": {
                     "canary_sec": "fixed pure-JVM workload (range+hash+sum, no "
                     "engine code); divide cross-round timings by it to cancel "
@@ -418,6 +556,19 @@ def main() -> None:
                     "(512 md5-sampled queries, Arrow pair kernel) so its "
                     "timing is not comparable to the r5 corpus-proportional "
                     "holdout",
+                    "fault_isolation": "since r7 every timed unit is "
+                    "individually guarded: a failing query records an "
+                    "{error, traceback_tail} row in query_errors (or the "
+                    "probe/operator_only row) and the run continues; "
+                    "'value' is the partial total over queries_ok entries. "
+                    "stderr carries '[bench] running <q>' breadcrumbs so a "
+                    "hard JVM death names its killer in the 2 KB tail.",
+                    "probe_stages": "since r7 each probe leg runs in its "
+                    "own job group and records AppStatusStore stage "
+                    "summaries (executor run ms, shuffle read/write bytes, "
+                    "spill, task counts, top-3 stages) for the best run at "
+                    "both tiers — super-linear time_ratios are attributable "
+                    "from the artifact.",
                     "operator_only": "production-path timings for the "
                     "recall-gated approximate operators WITHOUT their "
                     "in-query exact-truth passes — what a 100 TB run "
