@@ -88,8 +88,24 @@ def brute_force_top_k_arrow(
     The query panel is collected driver-side (bounded: max_queries,
     default 4096 — the PQ-codebook-sample discipline) and closure-
     broadcast into a mapInPandas over the corpus; the corpus never
-    moves. At 100 TB this is one corpus scan emitting |Q| rows per
-    corpus row into the same stage's WindowGroupLimit partial top-k."""
+    moves.
+
+    PER-BATCH TOP-K PRUNING (r7 — the q_knn_classifier 23-29x probe
+    fix): the kernel no longer emits all |Q|·batch scored pairs into
+    the downstream window (at sf1 that was ~10^8 intermediate rows
+    through Arrow serialization — linear work, super-linear wall). Each
+    batch keeps, per query, only rows whose RAW cosine is within
+    2·10^-round_digits of the batch's k-th largest raw cosine. This is
+    provably output-identical to emitting everything: Spark's global
+    ranker orders by (round(cos, d) desc, neighbor_id asc), and
+    round(v) ∈ [v − 0.5·10^-d, v + 0.5·10^-d], so a dropped row
+    (raw < kth_raw − 2·10^-d) has rounded value STRICTLY below the
+    rounded values of ≥ k kept batch rows — it can never enter any
+    top-k that the kept rows contend for, regardless of the engine's
+    rounding convention or tie-breaks. Emitted volume drops from
+    |Q|·batch to ≈ |Q|·k per batch (~2000x at the default 10k Arrow
+    batch), and the existing round-then-rank window stays the single
+    source of ranking truth — the oracle SQL is unchanged."""
     import numpy as np
     import pandas as pd
 
@@ -115,6 +131,11 @@ def brute_force_top_k_arrow(
         q_norm_sq = q_norm_sq + q_mat[:, i] * q_mat[:, i]
     q_norm = np.sqrt(q_norm_sq)
 
+    # conservative prune margin: 2 rounding units under the global
+    # ranker's round_digits (see docstring proof); no pruning when the
+    # caller ranks on raw cosines with margin 0 (>= keeps exact ties)
+    margin = 2.0 * (10.0 ** -round_digits) if round_digits is not None else 0.0
+
     def score(batches):
         for pdf in batches:
             if len(pdf) == 0 or n_q == 0:
@@ -133,14 +154,20 @@ def brute_force_top_k_arrow(
             denom = np.sqrt(c_norm_sq)[:, None] * q_norm[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom == 0, 0.0, dots / denom)
-            qq, cc = np.meshgrid(np.arange(n_q), np.arange(m))
-            qf, cf = qq.ravel(), cc.ravel()
-            keep = q_ids[qf] != c_ids[cf]
+            valid = c_ids[:, None] != q_ids[None, :]  # (m, n_q)
+            if m > k:
+                masked = np.where(valid, cos, -np.inf)
+                # k-th largest raw cosine per query (column)
+                thresh = -np.partition(-masked, k - 1, axis=0)[k - 1, :]
+                keep_mat = valid & (masked >= (thresh - margin)[None, :])
+            else:
+                keep_mat = valid
+            cf, qf = np.nonzero(keep_mat)
             yield pd.DataFrame(
                 {
-                    "query_id": q_ids[qf][keep],
-                    "neighbor_id": c_ids[cf][keep],
-                    "cosine": cos[cf, qf][keep],
+                    "query_id": q_ids[qf],
+                    "neighbor_id": c_ids[cf],
+                    "cosine": cos[cf, qf],
                 }
             )
 
