@@ -460,22 +460,93 @@ def link_prediction(
         .localCheckpoint(eager=True)
     )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    # deg is one row per NODE — orders of magnitude smaller than the
+    # candidate-pair frame it later joins. Materialize it once (it is
+    # referenced three times: the center cap and both endpoint-degree
+    # joins) and take its exact count so the endpoint joins can be
+    # broadcast whenever deg verifiably fits; the SMJ fallback above
+    # the cap sorts the pair frame twice, the second-biggest spiller
+    # at sf1 (~8 GB).
+    deg = (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = deg.count()
+    deg_b = F.broadcast(deg) if n_nodes <= 20_000_000 else deg
     centers = und.select(F.col("a").alias("v"), F.col("b").alias("n"))
     if max_degree is not None:
         ok = deg.filter(F.col("deg") <= max_degree).select(F.col("node").alias("v"))
         centers = centers.join(ok, "v")
+    # EXPLICIT co-partitioning on the wedge key (r7 perf fix): the
+    # adjacency frame is tiny in BYTES (a few MB at sf0.1) so AQE
+    # coalesces every shuffle feeding the self-join down to ONE
+    # partition — but the join's OUTPUT explodes deg(v)^2-fold, so
+    # that single task wrote the entire ~150 MB wedge stream serially
+    # (13 s of a 15 s query; the curse of the last reducer,
+    # manufactured by AQE's input-sized coalescing). A bare
+    # .repartition(n, "v") is not enough: placed downstream of the
+    # degree-cap join it is pruned as redundant against the join's
+    # own coalescible exchange, and placed upstream AQE
+    # broadcast-converts the cap join so the wedge inherits the
+    # OK-side's coalesced partitioning instead. The robust shape is
+    # to SEVER the lineage first (localCheckpoint => RDD scan with
+    # unknown partitioning, nothing to prune against) and put the
+    # REPARTITION_BY_NUM exchange — the one origin AQE is forbidden
+    # to coalesce — directly on top; both wedge sides then reuse that
+    # single full-width exchange. At 100 TB the same reasoning holds
+    # wherever join input bytes are small relative to output bytes
+    # (explosive joins).
+    #
+    # The partition COUNT is sized from the actual explosion, not the
+    # input: the wedge join emits exactly sum_v deg(v)^2 rows, so a
+    # fixed count that is fine at sf0.1 spills tens of GB at sf1
+    # (measured: 58 GB spill at 32 partitions). One cheap scan of the
+    # materialized adjacency computes the exact wedge cardinality and
+    # targets ~2M wedge rows per task, floored at the cluster's core
+    # count and capped at 4096.
+    sc = edges.sparkSession.sparkContext
+    centers = centers.localCheckpoint(eager=True)
+    wedge_rows = (
+        centers.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * F.col("d")).alias("w"))
+        .first()["w"]
+        or 0
+    )
+    n_parts = min(4096, max(sc.defaultParallelism, int(wedge_rows // 2_000_000) + 1))
+    centers = centers.repartition(n_parts, "v")
     l_side = centers.select("v", F.col("n").alias("pa"))
     r_side = centers.select("v", F.col("n").alias("pb"))
+    # The anti-join's LEFT side is the huge candidate-pair frame
+    # (sum deg^2 pairs); its RIGHT side is just the edge list. Letting
+    # Catalyst pick SMJ here sorts the candidate frame — at sf1 that
+    # sort is the single biggest spiller (~25 GB). The edge frame is
+    # already materialized, so an exact row count is one cheap RDD
+    # scan; broadcast the edges whenever they verifiably fit and the
+    # candidate frame streams through a BroadcastHashJoin with no
+    # sort and no exchange. Above the cap (billion-edge graphs) this
+    # degrades to the default SMJ rather than OOMing the executors.
+    e_rows = e.count()
+    anti_right = F.broadcast(e) if e_rows <= 20_000_000 else e
+    # The pair count is aggregated at the SAME wedge-sized partition
+    # count, via an explicit repartition on (pa, pb) rather than
+    # groupBy's own ENSURE_REQUIREMENTS exchange — that exchange is
+    # capped at spark.sql.shuffle.partitions, and its 32-task final
+    # agg was the top sf1 spiller (17 GB). Forgoing the map-side
+    # partial agg costs nothing here: candidate pairs are near-unique
+    # per map task (measured <2x combine ratio), so shuffled bytes
+    # are comparable while both hash-agg spills disappear.
     cand = (
         l_side.join(r_side, "v")
         .filter(F.col("pa") < F.col("pb"))
+        .repartition(n_parts, "pa", "pb")
         .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
         .agg(F.count(F.lit(1)).alias("cn"))
-        .join(e, ["a", "b"], "left_anti")
+        .join(anti_right, ["a", "b"], "left_anti")
     )
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    da = deg_b.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg_b.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     scored = (
         cand.join(da, "a")
         .join(db, "b")
