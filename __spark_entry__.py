@@ -12552,10 +12552,10 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_PSI_DRIFT_SQL = """
 WITH e AS (SELECT day(ts) AS d, value FROM events),
 bb AS (
-  SELECT least(CAST(floor(value / 50.0) AS INT), 9) AS bin, CAST(count(*) AS BIGINT) AS c
+  SELECT greatest(0, least(CAST(floor(value / 50.0) AS INT), 9)) AS bin, CAST(count(*) AS BIGINT) AS c
   FROM e WHERE d <= 15 GROUP BY 1
 ), cc AS (
-  SELECT least(CAST(floor(value / 50.0) AS INT), 9) AS bin, CAST(count(*) AS BIGINT) AS c
+  SELECT greatest(0, least(CAST(floor(value / 50.0) AS INT), 9)) AS bin, CAST(count(*) AS BIGINT) AS c
   FROM e WHERE d > 15 GROUP BY 1
 ), bins AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
 j AS (
@@ -12634,11 +12634,15 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed through the Laplace inverse CDF, ε = 1. ONE map-side
     groupBy; noise applied on the 5-row group frame. The release
     mechanism a platform applies before publishing usage counts; the
-    oracle replays draw, CDF, and clamp bit-for-bit."""
+    oracle replays draw, CDF, and clamp bit-for-bit. The seed is
+    deliberately PUBLIC here (the oracle must recompute the draw), so
+    this query is a reproducible simulation of the mechanism — a real
+    release keeps the seed secret, which is why the operator makes it
+    a required argument."""
     from azure_data_engineering_spark.operators.privacy import dp_noisy_counts
 
     ev = _t(spark, sf_dir, "events")
-    return dp_noisy_counts(ev, ["event_type"], epsilon=1.0, salt="dph")
+    return dp_noisy_counts(ev, ["event_type"], epsilon=1.0, seed="dph")
 
 
 Q_DP_HISTOGRAM_SQL = """
@@ -12646,8 +12650,10 @@ WITH g AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS true_n FROM events GROUP BY 1
 ), u AS (
   SELECT event_type, true_n,
-         CAST('0x' || substr(md5(CAST(event_type AS VARCHAR) || 'dph'), 1, 8) AS BIGINT)
-           / 4294967296.0 - 0.5 AS t
+         CAST('0x' || substr(md5(
+             (CASE WHEN event_type IS NULL THEN 'n'
+                   ELSE 'v' || md5(CAST(event_type AS VARCHAR)) END) || 'dph'
+           ), 1, 8) AS BIGINT) / 4294967296.0 - 0.5 AS t
   FROM g
 ), n AS (
   SELECT event_type, true_n,

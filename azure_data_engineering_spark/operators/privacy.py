@@ -71,7 +71,7 @@ def dp_noisy_counts(
     df: DataFrame,
     group_cols: Sequence[str],
     epsilon: float = 1.0,
-    salt: str = "dp",
+    seed: str | None = None,
     out_decimals: int = 6,
 ) -> DataFrame:
     """ε-differentially-private histogram release (Dwork et al., TCC
@@ -83,25 +83,49 @@ def dp_noisy_counts(
     The noise draw is the engine's deterministic md5 unit draw
     (sampling.hash_unit) pushed through the Laplace inverse CDF
     ``-b · sign(u−½) · ln(1 − 2|u−½|)`` — a pure function of the group
-    key and salt, so the release is reproducible across runs, engines,
-    and partitionings (a production DP deployment would use a secret
-    seed; the mechanism and calibration are identical). |u−½| is
-    clamped at ½−1e-12 so the u→0 tail cannot produce an infinite
-    draw. Plan: ONE map-side-combinable groupBy, noise applied on the
-    group frame (vocabulary-sized, not row-sized), no joins.
+    key and the caller's ``seed``. THE SEED IS THE WHOLE GUARANTEE:
+    the draw is deterministic, so anyone who learns the seed can
+    recompute the noise and subtract it exactly. ``seed`` is therefore
+    REQUIRED (no default — a shared default would be a published
+    seed), must be generated secret per release, and must never be
+    stored or shipped alongside the output; publish the seed and the
+    release degrades to a reproducible simulation of the mechanism
+    (exactly what this repo's oracle-twinned test query does,
+    deliberately). Group keys are encoded injectively — per-column
+    null flag + md5, concatenated — so distinct column tuples can
+    never share a noise draw (a '|' join would collide ('a|b','c')
+    with ('a','b|c') and correlate their cells). |u−½| is clamped at
+    ½−1e-12 so the u→0 tail cannot produce an infinite draw. Plan:
+    ONE map-side-combinable groupBy, noise applied on the group frame
+    (vocabulary-sized, not row-sized), no joins.
 
     Returns one row per group: true_n (audit column — drop it for a
     real release), noise, released (noisy count floored at 0; DP
     post-processing keeps the guarantee).
     """
+    if seed is None:
+        raise ValueError(
+            "dp_noisy_counts requires an explicit per-release secret seed: "
+            "the Laplace draw is a deterministic function of (group key, "
+            "seed), so the ε-DP guarantee holds only against parties who "
+            "cannot learn the seed. Generate it fresh per release and do "
+            "not store or publish it with the output."
+        )
     b = 1.0 / float(epsilon)
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    key = F.concat(
+        *[
+            F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                F.concat(F.lit("v"), F.md5(F.col(c).cast("string")))
+            )
+            for c in group_cols
+        ]
+    )
     g = df.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.count(F.lit(1)).cast("long").alias("true_n")
     )
     from .sampling import hash_unit
 
-    t = hash_unit(key, salt) - F.lit(0.5)
+    t = hash_unit(key, seed) - F.lit(0.5)
     a = F.least(F.abs(t), F.lit(0.5 - 1e-12))
     noise = F.round(
         F.lit(-b) * F.signum(t) * F.log(F.lit(1.0) - F.lit(2.0) * a),

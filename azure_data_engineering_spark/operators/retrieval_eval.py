@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -106,9 +106,11 @@ def ndcg_at_k(
     same query. One row per k: (k, ndcg).
 
     DCG@k = Σ_{r≤k, relevant} gain(r) with gain(r) = 1/log2(r+1);
-    IDCG@k puts every relevant item at the top, and since truth ranks
-    are dense 1..k, IDCG@k = Σ_{r=1..k} gain(r). NDCG is the
-    panel-mean of per-query DCG/IDCG.
+    IDCG@k packs each query's OWN truth rows into the top positions
+    (Σ_{r=1..min(n_truth_q,k)} gain(r)), so short truth lists are
+    normalized correctly. NDCG is the mean of per-query DCG/IDCG over
+    ALL truth queries — a query missing from `ann` scores 0 rather
+    than silently leaving the panel.
 
     Determinism discipline: the only transcendental is log2 over the
     FIXED rank set 1..max(k); each gain is rounded to 9 dp and summed
@@ -134,32 +136,41 @@ def ndcg_at_k(
             ).otherwise(F.lit(0).cast("decimal(20,9)"))
         ).alias("dcg")
     )
-    # IDCG is per-QUERY: truth ranks are dense 1..k for every query, so
-    # compute it once from the distinct rank set instead of per query.
-    idcg = (
-        truth.select("rank").distinct()
-        .select(F.col("rank").alias("true_rank"), kcol)
-        .groupBy("k")
+    # IDCG is computed PER QUERY from that query's own truth rows: the
+    # ideal ordering packs the query's relevant items into positions
+    # 1..min(n_truth_q, k), so a query with fewer than k truth rows is
+    # normalized by its own shorter ideal list, not a global dense-1..k
+    # assumption. The row_number re-rank also tolerates non-dense truth
+    # ranks. The truth frame is panel-sized, so the window is bounded.
+    w = Window.partitionBy("query_id").orderBy("true_rank", "neighbor_id")
+    ideal = (
+        t.withColumn("pos", F.row_number().over(w))
+        .select("query_id", "pos", kcol)
+        .groupBy("query_id", "k")
         .agg(
             F.sum(
                 F.when(
-                    F.col("true_rank") <= F.col("k"),
+                    F.col("pos") <= F.col("k"),
                     F.round(
-                        F.lit(1.0)
-                        / F.log2(F.col("true_rank").cast("double") + 1.0),
+                        F.lit(1.0) / F.log2(F.col("pos").cast("double") + 1.0),
                         9,
                     ).cast("decimal(20,9)"),
                 ).otherwise(F.lit(0).cast("decimal(20,9)"))
             ).alias("idcg")
         )
     )
+    # The panel is anchored on TRUTH queries: a query the ANN index
+    # failed to return at all contributes NDCG 0 to the mean instead
+    # of silently dropping out (which would inflate the metric).
     # per-query NDCG is rounded to 9 dp and averaged as an exact
     # decimal so the panel mean is summation-order-free.
     per_q_ndcg = F.round(
-        F.col("dcg").cast("double") / F.col("idcg").cast("double"), 9
+        F.coalesce(F.col("dcg"), F.lit(0).cast("decimal(20,9)")).cast("double")
+        / F.col("idcg").cast("double"),
+        9,
     ).cast("decimal(20,9)")
     return (
-        per_q.join(F.broadcast(idcg), "k")
+        ideal.join(per_q, ["query_id", "k"], "left")
         .groupBy("k")
         .agg(
             F.round(

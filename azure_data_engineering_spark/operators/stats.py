@@ -528,7 +528,10 @@ def population_stability_index(
     — the monitoring gate run per-shard/per-day beside the KL/JS
     token drift (token_distribution_drift) for numeric score columns.
 
-    Bins are FIXED (floor(value / bin_width), clamped to n_bins-1), so
+    Bins are FIXED (floor(value / bin_width), clamped on BOTH ends to
+    [0, n_bins-1] — without the lower clamp, negative values would
+    fall out of the bin join and silently vanish from the counts AND
+    the totals, skewing PSI with no error), so
     the two sides aggregate independently — one groupBy each, then a
     tiny n_bins-row join; nothing is corpus-proportional. Counts get
     +1 Laplace smoothing so empty bins stay finite AND the statistic
@@ -537,8 +540,12 @@ def population_stability_index(
     psi, n_shifted_bins) where n_shifted_bins counts bins
     contributing more than 0.01 each."""
     def binned(df: DataFrame, name: str) -> DataFrame:
-        b = F.least(
-            F.floor(F.col(value_col) / bin_width).cast("int"), F.lit(n_bins - 1)
+        b = F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor(F.col(value_col) / bin_width).cast("int"),
+                F.lit(n_bins - 1),
+            ),
         )
         return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias(name))
 

@@ -110,8 +110,9 @@ def holt_linear(
     series is calendar-sized. Steps are the OBSERVED periods in
     `order_col` order (gaps compress, documented). Series with a
     single period return level = y_1, trend 0, sse 0."""
+    series_type = per_period.schema[series_col].dataType.simpleString()
     out_schema = (
-        f"{series_col} string, n_periods long, level double, "
+        f"{series_col} {series_type}, n_periods long, level double, "
         "trend double, forecast double, sse double"
     )
 

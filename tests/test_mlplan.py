@@ -397,6 +397,25 @@ class TestPsi:
         assert r["psi"] > 0.25  # "shifted" per the scorecard convention
         assert r["n_shifted_bins"] >= 2
 
+    def test_negative_values_clamp_to_bin_zero(self, spark):
+        from azure_data_engineering_spark.operators.stats import (
+            population_stability_index,
+        )
+
+        # Negative values must land in bin 0 (mirroring the upper
+        # clamp), not silently vanish from counts and totals.
+        base = spark.createDataFrame(
+            [(-25.0,)] * 100 + [(75.0,)] * 100, "value double"
+        )
+        shifted_to_bin0 = spark.createDataFrame(
+            [(25.0,)] * 100 + [(75.0,)] * 100, "value double"
+        )
+        r = population_stability_index(base, shifted_to_bin0, "value", 50.0, 10).first()
+        assert r["n_baseline"] == 200  # negatives counted in the total
+        assert r["n_current"] == 200
+        # -25 and 25 both clamp/floor into bin 0 => identical histograms
+        assert r["psi"] == pytest.approx(0.0, abs=1e-9)
+
 
 class TestKsTwoSample:
     def test_identical_samples_d_zero(self, spark):

@@ -32,8 +32,8 @@ class TestDpNoisyCounts:
     def test_reproducible_and_calibrated(self, spark):
         rows = [(i, "a" if i % 3 else "b") for i in range(90)]
         df = spark.createDataFrame(rows, "id long, grp string")
-        r1 = {r.grp: r for r in dp_noisy_counts(df, ["grp"], epsilon=1.0).collect()}
-        r2 = {r.grp: r for r in dp_noisy_counts(df, ["grp"], epsilon=1.0).collect()}
+        r1 = {r.grp: r for r in dp_noisy_counts(df, ["grp"], epsilon=1.0, seed="t").collect()}
+        r2 = {r.grp: r for r in dp_noisy_counts(df, ["grp"], epsilon=1.0, seed="t").collect()}
         assert {g: v.released for g, v in r1.items()} == {
             g: v.released for g, v in r2.items()
         }
@@ -44,16 +44,32 @@ class TestDpNoisyCounts:
 
     def test_smaller_epsilon_means_larger_noise(self, spark):
         df = spark.createDataFrame([(i, "g") for i in range(10)], "id long, grp string")
-        tight = dp_noisy_counts(df, ["grp"], epsilon=10.0).collect()[0]
-        loose = dp_noisy_counts(df, ["grp"], epsilon=0.1).collect()[0]
+        tight = dp_noisy_counts(df, ["grp"], epsilon=10.0, seed="t").collect()[0]
+        loose = dp_noisy_counts(df, ["grp"], epsilon=0.1, seed="t").collect()[0]
         # identical unit draw, scale differs by exactly eps ratio
         assert abs(loose.noise) == pytest.approx(abs(tight.noise) * 100, rel=1e-4)
 
     def test_salt_changes_draw(self, spark):
         df = spark.createDataFrame([(i, "g") for i in range(10)], "id long, grp string")
-        a = dp_noisy_counts(df, ["grp"], salt="s1").collect()[0].noise
-        b = dp_noisy_counts(df, ["grp"], salt="s2").collect()[0].noise
+        a = dp_noisy_counts(df, ["grp"], seed="s1").collect()[0].noise
+        b = dp_noisy_counts(df, ["grp"], seed="s2").collect()[0].noise
         assert a != b
+
+    def test_seed_is_required(self, spark):
+        df = spark.createDataFrame([(1, "g")], "id long, grp string")
+        with pytest.raises(ValueError, match="secret seed"):
+            dp_noisy_counts(df, ["grp"])
+
+    def test_key_encoding_is_injective_across_tuples(self, spark):
+        # ('a|b', 'c') and ('a', 'b|c') would collide under a plain
+        # '|' join and share a noise draw; the per-column md5
+        # encoding must keep their draws independent.
+        df = spark.createDataFrame(
+            [("a|b", "c"), ("a", "b|c")], "x string, y string"
+        )
+        rows = dp_noisy_counts(df, ["x", "y"], seed="t").collect()
+        assert len(rows) == 2
+        assert rows[0].noise != rows[1].noise
 
 
 class TestKeySkewReport:
