@@ -13167,6 +13167,114 @@ ORDER BY event_type
 """
 
 
+def q_als_rankk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 ALS matrix factorization in the plan (operators/als.
+    als_rank_k — Zhou et al. 2008): the rank-1 demo generalized to a
+    per-entity k=2 ridge normal-equation solve. The k(k+1)/2 Gram
+    sums + k right-hand sides are exact-decimal aggregates collected
+    in ONE groupBy per side; the 2x2 solve is closed-form determinant
+    arithmetic the oracle replays operation-for-operation (k>2 swaps
+    in an Arrow-batched np.linalg.solve over the same moment frame —
+    covered by tests). Item factors initialize from the md5 unit draw
+    (engine-replayable symmetry break). Output: the item frame
+    (event_type, n_users, v0, v1, rmse) — "how many latent taste axes
+    explain this interaction matrix" with a second axis to compare
+    against q_als_rank1's."""
+    from azure_data_engineering_spark.operators.als import als_rank_k
+
+    ev = _t(spark, sf_dir, "events")
+    r = ev.groupBy(
+        F.col("user_id").alias("u"), F.col("event_type").alias("i")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("r")
+    )
+    out = als_rank_k(r, "u", "i", "r", k=2, rounds=2, lam=0.1)
+    return out.select(
+        F.col("i").alias("event_type"), "n_users", "v0", "v1", "rmse"
+    ).orderBy("event_type")
+
+
+Q_ALS_RANKK_SQL = """
+WITH r AS MATERIALIZED (
+  SELECT user_id AS u, event_type AS i,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+  FROM events GROUP BY 1, 2
+), v0 AS MATERIALIZED (
+  SELECT i,
+    CAST(round(0.5 + CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '#0' || 'alsinit'), 1, 8) AS BIGINT) / 4294967296.0, 6) AS DECIMAL(18,6)) AS f0,
+    CAST(round(0.5 + CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '#1' || 'alsinit'), 1, 8) AS BIGINT) / 4294967296.0, 6) AS DECIMAL(18,6)) AS f1
+  FROM (SELECT DISTINCT i FROM r)
+), u1m AS (
+  SELECT u,
+    CAST(sum(CAST(v.f0 AS DECIMAL(28,6)) * v.f0) AS DOUBLE) AS s00,
+    CAST(sum(CAST(v.f0 AS DECIMAL(28,6)) * v.f1) AS DOUBLE) AS s01,
+    CAST(sum(CAST(v.f1 AS DECIMAL(28,6)) * v.f1) AS DOUBLE) AS s11,
+    CAST(sum(r.r * CAST(v.f0 AS DECIMAL(28,6))) AS DOUBLE) AS b0,
+    CAST(sum(r.r * CAST(v.f1 AS DECIMAL(28,6))) AS DOUBLE) AS b1
+  FROM r JOIN v0 v USING (i) GROUP BY 1
+), u1 AS MATERIALIZED (
+  SELECT u,
+    CAST(round((b0 * (0.1 + s11) - b1 * s01) / ((0.1 + s00) * (0.1 + s11) - s01 * s01), 6) AS DECIMAL(18,6)) AS f0,
+    CAST(round((b1 * (0.1 + s00) - b0 * s01) / ((0.1 + s00) * (0.1 + s11) - s01 * s01), 6) AS DECIMAL(18,6)) AS f1
+  FROM u1m
+), v1m AS (
+  SELECT i,
+    CAST(sum(CAST(u.f0 AS DECIMAL(28,6)) * u.f0) AS DOUBLE) AS s00,
+    CAST(sum(CAST(u.f0 AS DECIMAL(28,6)) * u.f1) AS DOUBLE) AS s01,
+    CAST(sum(CAST(u.f1 AS DECIMAL(28,6)) * u.f1) AS DOUBLE) AS s11,
+    CAST(sum(r.r * CAST(u.f0 AS DECIMAL(28,6))) AS DOUBLE) AS b0,
+    CAST(sum(r.r * CAST(u.f1 AS DECIMAL(28,6))) AS DOUBLE) AS b1
+  FROM r JOIN u1 u USING (u) GROUP BY 1
+), v1 AS MATERIALIZED (
+  SELECT i,
+    CAST(round((b0 * (0.1 + s11) - b1 * s01) / ((0.1 + s00) * (0.1 + s11) - s01 * s01), 6) AS DECIMAL(18,6)) AS f0,
+    CAST(round((b1 * (0.1 + s00) - b0 * s01) / ((0.1 + s00) * (0.1 + s11) - s01 * s01), 6) AS DECIMAL(18,6)) AS f1
+  FROM v1m
+), u2m AS (
+  SELECT u,
+    CAST(sum(CAST(v.f0 AS DECIMAL(28,6)) * v.f0) AS DOUBLE) AS s00,
+    CAST(sum(CAST(v.f0 AS DECIMAL(28,6)) * v.f1) AS DOUBLE) AS s01,
+    CAST(sum(CAST(v.f1 AS DECIMAL(28,6)) * v.f1) AS DOUBLE) AS s11,
+    CAST(sum(r.r * CAST(v.f0 AS DECIMAL(28,6))) AS DOUBLE) AS b0,
+    CAST(sum(r.r * CAST(v.f1 AS DECIMAL(28,6))) AS DOUBLE) AS b1
+  FROM r JOIN v1 v USING (i) GROUP BY 1
+), u2 AS MATERIALIZED (
+  SELECT u,
+    CAST(round((b0 * (0.1 + s11) - b1 * s01) / ((0.1 + s00) * (0.1 + s11) - s01 * s01), 6) AS DECIMAL(18,6)) AS f0,
+    CAST(round((b1 * (0.1 + s00) - b0 * s01) / ((0.1 + s00) * (0.1 + s11) - s01 * s01), 6) AS DECIMAL(18,6)) AS f1
+  FROM u2m
+), v2m AS (
+  SELECT i,
+    CAST(sum(CAST(u.f0 AS DECIMAL(28,6)) * u.f0) AS DOUBLE) AS s00,
+    CAST(sum(CAST(u.f0 AS DECIMAL(28,6)) * u.f1) AS DOUBLE) AS s01,
+    CAST(sum(CAST(u.f1 AS DECIMAL(28,6)) * u.f1) AS DOUBLE) AS s11,
+    CAST(sum(r.r * CAST(u.f0 AS DECIMAL(28,6))) AS DOUBLE) AS b0,
+    CAST(sum(r.r * CAST(u.f1 AS DECIMAL(28,6))) AS DOUBLE) AS b1
+  FROM r JOIN u2 u USING (u) GROUP BY 1
+), v2 AS MATERIALIZED (
+  SELECT i,
+    CAST(round((b0 * (0.1 + s11) - b1 * s01) / ((0.1 + s00) * (0.1 + s11) - s01 * s01), 6) AS DECIMAL(18,6)) AS f0,
+    CAST(round((b1 * (0.1 + s00) - b0 * s01) / ((0.1 + s00) * (0.1 + s11) - s01 * s01), 6) AS DECIMAL(18,6)) AS f1
+  FROM v2m
+), resid AS (
+  SELECT CAST(round(
+           (CAST(r.r AS DOUBLE) - (CAST(u2.f0 AS DOUBLE) * CAST(v2.f0 AS DOUBLE) + CAST(u2.f1 AS DOUBLE) * CAST(v2.f1 AS DOUBLE)))
+           * (CAST(r.r AS DOUBLE) - (CAST(u2.f0 AS DOUBLE) * CAST(v2.f0 AS DOUBLE) + CAST(u2.f1 AS DOUBLE) * CAST(v2.f1 AS DOUBLE))),
+           6) AS DECIMAL(28,6)) AS sq
+  FROM r JOIN u2 USING (u) JOIN v2 USING (i)
+), rm AS (
+  SELECT round(sqrt(CAST(sum(sq) AS DOUBLE) / count(*)), 6) AS rmse FROM resid
+)
+SELECT r.i AS event_type, CAST(count(DISTINCT r.u) AS BIGINT) AS n_users,
+       CAST(max(v2.f0) AS DOUBLE) AS v0, CAST(max(v2.f1) AS DOUBLE) AS v1, max(rm.rmse) AS rmse
+FROM r JOIN v2 ON v2.i = r.i, rm
+GROUP BY r.i
+ORDER BY event_type
+"""
+
+
 def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolic discretization of the daily event-count series
     per type (operators/timeseries.sax_symbols — Lin/Keogh 2007):
@@ -14298,6 +14406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_golden_record": q_golden_record,
         "q_naive_bayes": q_naive_bayes,
         "q_ab_test": q_ab_test,
+        "q_als_rankk": q_als_rankk,
     }
 
 
@@ -14617,4 +14726,5 @@ def oracle_sql() -> dict[str, str]:
         "q_weighted_sample_k": Q_WEIGHTED_SAMPLE_K_SQL,
         "q_kcenter_coreset": Q_KCENTER_CORESET_SQL,
         "q_trend_tests": Q_TREND_TESTS_SQL,
+        "q_als_rankk": Q_ALS_RANKK_SQL,
     }

@@ -70,6 +70,51 @@ class TestAlsRank1:
         assert v1 == v2
 
 
+class TestAlsRankK:
+    def _rank2_fixture(self, spark):
+        # r_ij = x_u*a_i + y_u*b_j: genuinely rank 2, so rank-1 cannot
+        # fit it and every higher rank can.
+        rows = []
+        for u in range(30):
+            x, y = (u % 3) + 1.0, ((u * 7) % 5) + 1.0
+            for i in range(12):
+                a, b = (i % 4) + 1.0, ((i * 3) % 6) + 0.5
+                rows.append((u, i, round(x * a + y * b, 2)))
+        return spark.createDataFrame(rows, "u long, i long, r double").select(
+            "u", "i", F.col("r").cast("decimal(18,2)").alias("r")
+        )
+
+    def test_rank2_strictly_beats_rank1(self, spark):
+        from azure_data_engineering_spark.operators.als import als_rank_k
+
+        df = self._rank2_fixture(spark)
+        r1 = float(als_rank1(df, "u", "i", "r", rounds=4).first()["rmse"])
+        r2 = float(als_rank_k(df, "u", "i", "r", k=2, rounds=4).first()["rmse"])
+        assert r2 < r1  # strict improvement on the rank-2 fixture
+        assert r2 < 0.05  # and it actually FITS the rank-2 structure
+
+    def test_rank4_arrow_path_beats_rank1(self, spark):
+        # k>2 exercises the Arrow-batched np.linalg.solve branch
+        from azure_data_engineering_spark.operators.als import als_rank_k
+
+        df = self._rank2_fixture(spark)
+        r1 = float(als_rank1(df, "u", "i", "r", rounds=4).first()["rmse"])
+        out = als_rank_k(df, "u", "i", "r", k=4, rounds=4)
+        row = out.first()
+        assert {"v0", "v1", "v2", "v3"} <= set(out.columns)
+        assert float(row["rmse"]) < r1
+
+    def test_rank_k_deterministic(self, spark):
+        from azure_data_engineering_spark.operators.als import als_rank_k
+
+        df = self._rank2_fixture(spark)
+        a = {r.i: (r.v0, r.v1, r.rmse)
+             for r in als_rank_k(df, "u", "i", "r", k=2).collect()}
+        b = {r.i: (r.v0, r.v1, r.rmse)
+             for r in als_rank_k(df, "u", "i", "r", k=2).collect()}
+        assert a == b
+
+
 class TestSaxSymbols:
     def _run(self, spark, vals, **kw):
         rows = [("s", f"d{i:02d}", v) for i, v in enumerate(vals)]
