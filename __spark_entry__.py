@@ -3137,6 +3137,89 @@ def q_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_tws_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE transformWithState TIMERS (streaming/stateful.
+    SessionTimeoutProcessor): event-time session timeout — per-user
+    (count, sum, first/last ts) state re-arms ONE timer at
+    last_event + 1h after every input batch; the engine fires
+    handleExpiredTimer when the watermark passes it and the closed
+    session is the ONLY emission (Append mode). Two deterministic
+    micro-batches (event_id % 2 file split) + the availableNow
+    trailing batch under RocksDB + the purepb wire shim (timer
+    protocol messages included). Empirically pinned engine semantics
+    the oracle replays: input rows process BEFORE expiry checks (so
+    sessions always merge all of a user's events), timers fire at
+    expiry <= watermark (inclusive — verified at the exact boundary),
+    and the trailing batch fires timers against the final watermark =
+    global max event time (delay 0). Closed sessions are therefore
+    exactly the users whose last event is >= 1h before the corpus
+    max ts."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from azure_data_engineering_spark.compat import ensure_protobuf
+    from azure_data_engineering_spark.streaming.stateful import session_timeouts
+
+    ensure_protobuf(spark)
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    work = tempfile.mkdtemp(prefix="tws_timer_gate_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i, pred in enumerate([F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]):
+        staging = os.path.join(work, f"stage{i}")
+        e.filter(pred).coalesce(1).write.parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        _shutil.move(part, os.path.join(src, f"b{i}.parquet"))
+        if i == 0:
+            _time.sleep(1.05)
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_conf, None)
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_stream_to_table(
+            spark,
+            src,
+            lambda s: session_timeouts(s, gap_ms=3_600_000),
+            table_name="tws_timer_sink",
+            output_mode="append",
+            max_files_per_trigger=1,
+        ).cache()
+        out.count()
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old_provider)
+    return out.orderBy("user_id")
+
+
+Q_TWS_SESSION_TIMEOUT_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT user_id, CAST(floor(epoch_ns(ts) / 1000000.0) AS BIGINT) AS ts_ms, value
+  FROM events
+), wm AS (
+  SELECT max(ts_ms) AS w FROM e
+), sess AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS total_value,
+         CAST(min(ts_ms) AS BIGINT) AS first_ts_ms,
+         CAST(max(ts_ms) AS BIGINT) AS last_ts_ms
+  FROM e GROUP BY 1
+)
+SELECT s.user_id, s.n_events, s.total_value, s.first_ts_ms, s.last_ts_ms
+FROM sess s, wm
+WHERE s.last_ts_ms + 3600000 <= wm.w
+ORDER BY s.user_id
+"""
+
+
 Q_TRANSFORM_WITH_STATE_SQL = """
 WITH b0 AS (
   SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
@@ -14407,6 +14490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_naive_bayes": q_naive_bayes,
         "q_ab_test": q_ab_test,
         "q_als_rankk": q_als_rankk,
+        "q_tws_session_timeout": q_tws_session_timeout,
     }
 
 
@@ -14727,4 +14811,5 @@ def oracle_sql() -> dict[str, str]:
         "q_kcenter_coreset": Q_KCENTER_CORESET_SQL,
         "q_trend_tests": Q_TREND_TESTS_SQL,
         "q_als_rankk": Q_ALS_RANKK_SQL,
+        "q_tws_session_timeout": Q_TWS_SESSION_TIMEOUT_SQL,
     }

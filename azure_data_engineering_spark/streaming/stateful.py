@@ -129,3 +129,102 @@ def running_user_type_totals(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --------------------------------------------------------- TWS timers
+# The half of the arbitrary-state API that EXPIRES state: per-key
+# timers registered against the event-time watermark. The canonical
+# use is the session timeout — emit a user's session summary only
+# when the watermark proves no more of their events can arrive.
+
+SESSION_TIMEOUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, "
+    "first_ts_ms bigint, last_ts_ms bigint"
+)
+
+
+class SessionTimeoutProcessor(StatefulProcessor):
+    """Event-time session timeout via TWS timers: accumulate per-user
+    (count, value sum, first/last event-time) in a ValueState; after
+    every input batch re-arm ONE timer at last_event_time + gap_ms
+    (delete-then-register keeps exactly one pending timer per key —
+    timers are not per-state TTLs, the processor owns their
+    lifecycle). When the watermark passes the pending timer the
+    engine calls handleExpiredTimer: emit the closed session row and
+    clear the state — the only emission this operator makes, so
+    output mode is Append and every row is final.
+
+    Engine ordering contract this relies on (TransformWithStateExec):
+    input rows for a batch are processed BEFORE that batch's expired
+    timers, so a key with fresh input re-arms its timer first and is
+    never closed in the same batch its data arrived."""
+
+    def __init__(self, gap_ms: int):
+        self._gap = int(gap_ms)
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState(
+            "session", "n bigint, total double, first_ms bigint, last_ms bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._sess.exists():
+            n, total, first_ms, last_ms = self._sess.get()
+        else:
+            n, total, first_ms, last_ms = 0, 0.0, None, None
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            ts = pdf["ts_ms"].astype("int64")
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mn, mx = int(ts.min()), int(ts.max())
+            first_ms = mn if first_ms is None else min(first_ms, mn)
+            last_ms = mx if last_ms is None else max(last_ms, mx)
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(last_ms + self._gap)
+        self._sess.update((n, total, first_ms, last_ms))
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._sess.exists():
+            n, total, first_ms, last_ms = self._sess.get()
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [int(n)],
+                    "total_value": [round(float(total), 2)],
+                    "first_ts_ms": [int(first_ms)],
+                    "last_ts_ms": [int(last_ms)],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def session_timeouts(
+    events: DataFrame,
+    gap_ms: int,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming: close per-user sessions `gap_ms` after their last
+    event, proven by the event-time watermark (timeMode EventTime —
+    the TWS timer surface). Input needs `ts_col` (timestamp) and
+    `value`; emits one Append-mode row per closed session."""
+    from pyspark.sql import functions as F
+
+    prepared = (
+        events.withWatermark(ts_col, watermark_delay)
+        .withColumn("ts_ms", (F.unix_micros(F.col(ts_col)) / 1000).cast("bigint"))
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionTimeoutProcessor(gap_ms),
+        outputStructType=SESSION_TIMEOUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

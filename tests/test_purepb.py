@@ -164,3 +164,67 @@ class TestWireGolden:
             back = sm.StateRequest()
             back.ParseFromString(data)
             assert back.SerializeToString() == data
+
+
+class TestTimerWireGolden:
+    """Golden wire bytes for the TIMER protocol messages — the half of
+    the TWS API SessionTimeoutProcessor drives (register / delete /
+    list on the handle; expiry iteration from the engine). Byte
+    layouts hand-derived from the public encoding spec; the same
+    bytes are what the live timer run (TestLiveTimers) exchanged with
+    the JVM state server."""
+
+    def test_register_timer(self, sm):
+        m = sm.StateRequest(
+            statefulProcessorCall=sm.StatefulProcessorCall(
+                timerStateCall=sm.TimerStateCallCommand(
+                    register=sm.RegisterTimer(expiryTimestampMs=62_000)
+                )
+            )
+        )
+        # field2> field5> field1> {field1 varint 62000 = b0 e4 03}
+        assert m.SerializeToString().hex() == "12082a060a0408b0e403"
+
+    def test_delete_timer(self, sm):
+        m = sm.StateRequest(
+            statefulProcessorCall=sm.StatefulProcessorCall(
+                timerStateCall=sm.TimerStateCallCommand(
+                    delete=sm.DeleteTimer(expiryTimestampMs=62_000)
+                )
+            )
+        )
+        assert m.SerializeToString().hex() == "12082a06120408b0e403"
+
+    def test_list_timers(self, sm):
+        m = sm.StateRequest(
+            statefulProcessorCall=sm.StatefulProcessorCall(
+                timerStateCall=sm.TimerStateCallCommand(
+                    list=sm.ListTimers(iteratorId="it1")
+                )
+            )
+        )
+        assert m.SerializeToString().hex() == "12092a071a050a03697431"
+
+    def test_expiry_timer_request(self, sm):
+        m = sm.StateRequest(
+            timerRequest=sm.TimerRequest(
+                expiryTimerRequest=sm.ExpiryTimerRequest(
+                    expiryTimestampMs=1_070_000
+                )
+            )
+        )
+        # field5> field2> {field2 varint 1070000 = b0 a7 41}
+        assert m.SerializeToString().hex() == "2a06120410b0a741"
+
+    def test_timer_roundtrip(self, sm):
+        for ms in (0, 1, 62_000, 2**40):
+            m = sm.StateRequest(
+                statefulProcessorCall=sm.StatefulProcessorCall(
+                    timerStateCall=sm.TimerStateCallCommand(
+                        register=sm.RegisterTimer(expiryTimestampMs=ms)
+                    )
+                )
+            )
+            back = sm.StateRequest()
+            back.ParseFromString(m.SerializeToString())
+            assert back.SerializeToString() == m.SerializeToString()

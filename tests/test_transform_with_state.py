@@ -37,6 +37,9 @@ class _FakeValueState:
     def update(self, v):
         self._v = tuple(v)
 
+    def clear(self):
+        self._v = None
+
 
 class _FakeMapState:
     def __init__(self):
@@ -202,3 +205,118 @@ class TestLiveEngine:
         assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
             map(tuple, want.select(*cols).collect())
         )
+
+
+class _FakeTimerHandle(_FakeHandle):
+    def __init__(self):
+        super().__init__()
+        self.timers: list[int] = []
+
+    def registerTimer(self, ts_ms):
+        self.timers.append(int(ts_ms))
+
+    def deleteTimer(self, ts_ms):
+        self.timers.remove(int(ts_ms))
+
+    def listTimers(self):
+        return iter(list(self.timers))
+
+
+class TestSessionTimeoutProcessor:
+    """Timer half of the TWS API (SessionTimeoutProcessor): state
+    accumulates silently on input, exactly ONE pending timer per key
+    (delete-then-register re-arm), emission + state clear only on
+    expiry. The live engine path is TestLiveEngine.test_timer_run."""
+
+    def _proc(self, gap_ms=60_000):
+        from azure_data_engineering_spark.streaming.stateful import (
+            SessionTimeoutProcessor,
+        )
+
+        p = SessionTimeoutProcessor(gap_ms)
+        h = _FakeTimerHandle()
+        p.init(h)
+        return p, h
+
+    def test_input_accumulates_and_rearms_single_timer(self):
+        p, h = self._proc()
+        b0 = pd.DataFrame({"ts_ms": [1_000, 2_000], "value": [1.0, 2.0]})
+        out = list(p.handleInputRows((7,), iter([b0]), None))
+        assert out == []  # sessions never emit on input
+        assert h.timers == [62_000]  # last_ts + gap
+        b1 = pd.DataFrame({"ts_ms": [5_000], "value": [0.5]})
+        list(p.handleInputRows((7,), iter([b1]), None))
+        assert h.timers == [65_000]  # re-armed, still exactly one
+        assert h.states["session"].get() == (3, 3.5, 1_000, 5_000)
+
+    def test_expiry_emits_and_clears(self):
+        p, h = self._proc()
+        b0 = pd.DataFrame({"ts_ms": [1_000], "value": [4.0]})
+        list(p.handleInputRows((9,), iter([b0]), None))
+        out = list(p.handleExpiredTimer((9,), None, None))
+        assert len(out) == 1
+        row = out[0].iloc[0]
+        assert (row["user_id"], row["n_events"], row["total_value"]) == (9, 1, 4.0)
+        assert (row["first_ts_ms"], row["last_ts_ms"]) == (1_000, 1_000)
+        assert not h.states["session"].exists()
+        # firing again with no state must emit nothing
+        assert list(p.handleExpiredTimer((9,), None, None)) == []
+
+
+class TestLiveTimers:
+    def test_event_time_timer_fires_on_watermark(self, spark, tmp_path):
+        """REAL engine, RocksDB, purepb wire shim, EventTime timers:
+        batch 1's watermark jump past user 1's (last + gap) timer must
+        close user 1's session; user 2 re-arms on fresh input and its
+        timer stays ahead of the final watermark, so it never emits."""
+        import glob
+        import shutil
+        import time
+
+        from pyspark.sql import functions as F
+
+        from azure_data_engineering_spark.compat import ensure_protobuf
+        from azure_data_engineering_spark.streaming.stateful import session_timeouts
+        from azure_data_engineering_spark.streaming.windows import run_stream_to_table
+
+        ensure_protobuf(spark)
+        provider_conf = "spark.sql.streaming.stateStore.providerClass"
+        old_provider = spark.conf.get(provider_conf, None)
+        spark.conf.set(
+            provider_conf,
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        rows0 = [(1, 1000.0, 5.0), (1, 1010.0, 7.0), (2, 1005.0, 3.0)]
+        rows1 = [(2, 5000.0, 2.0)]
+        for i, rows in enumerate([rows0, rows1]):
+            df = spark.createDataFrame(
+                rows, "user_id long, sec double, value double"
+            ).select("user_id", F.timestamp_seconds("sec").alias("ts"), "value")
+            staging = tmp_path / f"stage{i}"
+            df.coalesce(1).write.parquet(str(staging))
+            part = glob.glob(str(staging / "part-*.parquet"))[0]
+            shutil.move(part, str(src / f"b{i}.parquet"))
+            if i == 0:
+                time.sleep(1.05)
+        try:
+            got = run_stream_to_table(
+                spark,
+                str(src),
+                lambda s: session_timeouts(s, gap_ms=60_000),
+                table_name="tws_timer_test_sink",
+                output_mode="append",
+                max_files_per_trigger=1,
+            ).collect()
+        finally:
+            if old_provider is None:
+                spark.conf.unset(provider_conf)
+            else:
+                spark.conf.set(provider_conf, old_provider)
+        assert len(got) == 1
+        r = got[0]
+        # user 1: both events merged, closed by the watermark jump
+        assert (r["user_id"], r["n_events"], r["total_value"]) == (1, 2, 12.0)
+        assert (r["first_ts_ms"], r["last_ts_ms"]) == (1_000_000, 1_010_000)
