@@ -14149,6 +14149,113 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def q_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered signup→view→click→purchase funnel
+    (operators/funnel.funnel_conversion): per step, the earliest
+    event strictly later than the user's previous-step completion;
+    one row per step with exact user counts and conversion rates.
+    s user-keyed aggregations + co-partitioned joins — the event
+    stream collapses to user-sized frames in the first pass."""
+    from azure_data_engineering_spark.operators.funnel import funnel_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev, ["signup", "view", "click", "purchase"]
+    )
+
+
+Q_FUNNEL_RATES_SQL = """
+WITH s1 AS MATERIALIZED (
+  SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1
+), s2 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'view' GROUP BY 1
+), s3 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON s2.u = e.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'click' GROUP BY 1
+), s4 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s3 ON s3.u = e.user_id AND e.ts > s3.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+), counts AS (
+  SELECT 1 AS step, 'signup' AS event_type, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, 'click', CAST(count(*) AS BIGINT) FROM s3
+  UNION ALL SELECT 4, 'purchase', CAST(count(*) AS BIGINT) FROM s4
+)
+SELECT CAST(step AS BIGINT) AS step, event_type, n_users,
+       round(n_users / first_value(n_users) OVER (ORDER BY step), 6) AS pct_of_first,
+       round(n_users / lag(n_users) OVER (ORDER BY step), 6) AS pct_of_previous
+FROM counts
+ORDER BY step
+"""
+
+
+def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/funnel.
+    cohort_retention): users cohorted by first-event week; each
+    (cohort, offset) cell counts distinct members active that many
+    weeks later, with exact cohort sizes and rounded retention. Two
+    groupBys + one user-key join; output is calendar-sized."""
+    from azure_data_engineering_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")
+
+
+Q_COHORT_MATRIX_SQL = """
+WITH firsts AS MATERIALIZED (
+  SELECT user_id AS u, min(date_trunc('week', ts)) AS cohort FROM events GROUP BY 1
+), activity AS MATERIALIZED (
+  SELECT f.cohort, a.p, CAST(count(DISTINCT a.u) AS BIGINT) AS n_active
+  FROM (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p FROM events) a
+  JOIN firsts f ON f.u = a.u
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM firsts GROUP BY 1
+)
+SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_start,
+       CAST((epoch(a.p) - epoch(a.cohort)) / 604800 AS BIGINT) AS period_offset,
+       a.n_active, s.cohort_size,
+       round(a.n_active / s.cohort_size, 6) AS retention
+FROM activity a JOIN sizes s ON s.cohort = a.cohort
+ORDER BY cohort_start, period_offset
+"""
+
+
+def q_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence + information value of order priority
+    against fulfilment (operators/features.woe_encoding — the
+    credit-scorecard categorical transform): smoothed log-odds per
+    category from exact integer counts, one groupBy + a 1-row
+    broadcast totals frame."""
+    from azure_data_engineering_spark.operators.features import woe_encoding
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return woe_encoding(o, "o_orderpriority", "label").orderBy("category")
+
+
+Q_WOE_ENCODING_SQL = """
+WITH per_c AS MATERIALIZED (
+  SELECT o_orderpriority AS category,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS t_pos, CAST(sum(n_neg) AS BIGINT) AS t_neg FROM per_c
+)
+SELECT category, n, n_pos, n_neg,
+       round(ln(((n_pos + 0.5) / (t_pos + 1.0)) / ((n_neg + 0.5) / (t_neg + 1.0))), 6) AS woe,
+       round(((n_pos + 0.5) / (t_pos + 1.0) - (n_neg + 0.5) / (t_neg + 1.0))
+             * ln(((n_pos + 0.5) / (t_pos + 1.0)) / ((n_neg + 0.5) / (t_neg + 1.0))), 6) AS iv
+FROM per_c, tot
+ORDER BY category
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r7 prefix holds 5 pins — core aggregation (q1), streaming
@@ -14491,6 +14598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ab_test": q_ab_test,
         "q_als_rankk": q_als_rankk,
         "q_tws_session_timeout": q_tws_session_timeout,
+        "q_funnel_rates": q_funnel_rates,
+        "q_cohort_matrix": q_cohort_matrix,
+        "q_woe_encoding": q_woe_encoding,
     }
 
 
@@ -14812,4 +14922,7 @@ def oracle_sql() -> dict[str, str]:
         "q_trend_tests": Q_TREND_TESTS_SQL,
         "q_als_rankk": Q_ALS_RANKK_SQL,
         "q_tws_session_timeout": Q_TWS_SESSION_TIMEOUT_SQL,
+        "q_funnel_rates": Q_FUNNEL_RATES_SQL,
+        "q_cohort_matrix": Q_COHORT_MATRIX_SQL,
+        "q_woe_encoding": Q_WOE_ENCODING_SQL,
     }

@@ -1,0 +1,148 @@
+"""Ordered-funnel conversion and cohort retention — the two
+product-analytics aggregates every event warehouse ships.
+
+Scale discipline: both operators collapse the event stream to
+USER-sized frames in their first aggregation and do all subsequent
+work on those (a funnel of s steps is s groupBy passes + s-1
+co-partitioned user-key joins; retention is two groupBys and one
+cohort-sized join). Nothing is ever event²; no windows over the raw
+stream; every join key is the user or the cohort period.
+
+Reference scope: the reference's pipeline lands event exports into
+Postgres for exactly this kind of report (SharedCode/
+PGHelperFunction.py execution of arbitrary report SQL); here they are
+engine-native operators with oracle twins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Strictly-ordered funnel: a user completes step i at their
+    EARLIEST event of type steps[i] that is strictly later than their
+    step i-1 completion time (the classic product funnel — re-ordered
+    arrivals do not count, equal timestamps do not chain). Returns one
+    row per step: (step, event_type, n_users, pct_of_first,
+    pct_of_previous), rates rounded and computed from exact counts.
+
+    Plan: per step, one groupBy over the single-type event slice to a
+    user-sized (user, min ts) frame, joined to the previous step's
+    frame on the user key — s aggregations + s-1 equi-joins, all
+    co-partitioned on the user; the per-step output is one row."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    prev = None
+    counts: list[DataFrame] = []
+    for idx, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if prev is None:
+            cur = ev.groupBy("u").agg(F.min("t").alias("t"))
+        else:
+            cur = (
+                ev.join(prev.select("u", F.col("t").alias("t_prev")), "u")
+                .filter(F.col("t") > F.col("t_prev"))
+                .groupBy("u")
+                .agg(F.min("t").alias("t"))
+            )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(idx + 1).cast("long").alias("step"),
+                F.lit(step).alias("event_type"),
+                "n_users",
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    first = out.filter(F.col("step") == 1).select(
+        F.col("n_users").alias("n_first")
+    )
+    w_prev = out.select(
+        (F.col("step") + 1).alias("step"), F.col("n_users").alias("n_prev")
+    )
+    return (
+        out.crossJoin(F.broadcast(first))
+        .join(F.broadcast(w_prev), "step", "left")
+        .select(
+            "step",
+            "event_type",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n_first"), out_decimals).alias(
+                "pct_of_first"
+            ),
+            F.round(F.col("n_users") / F.col("n_prev"), out_decimals).alias(
+                "pct_of_previous"
+            ),
+        )
+        .orderBy("step")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event; each (cohort, offset) cell counts distinct
+    cohort members active offset periods later. Returns (cohort_start,
+    period_offset, n_active, cohort_size, retention) sorted by
+    (cohort, offset); offset 0 always has retention 1.
+
+    Plan: one groupBy to the user-sized first-activity frame, one
+    join back on the user key (co-partitioned), one (cohort, offset)
+    groupBy — the output is calendar², never user²."""
+    per = F.date_trunc(period, F.col(ts_col))
+    firsts = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(per).alias("cohort")
+    )
+    activity = (
+        events.select(F.col(user_col).alias("u"), per.alias("p"))
+        .distinct()
+        .join(firsts, "u")
+        .groupBy("cohort", "p")
+        .agg(F.countDistinct("u").cast("long").alias("n_active"))
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    unit = {"week": 7 * 86400, "day": 86400}.get(period)
+    if unit is not None:
+        offset = (
+            (F.unix_timestamp("p") - F.unix_timestamp("cohort")) / unit
+        ).cast("long")
+    else:  # month cohorts: calendar arithmetic, not fixed seconds
+        offset = (
+            (F.year("p") - F.year("cohort")) * 12
+            + (F.month("p") - F.month("cohort"))
+        ).cast("long")
+    return (
+        activity.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_start"),
+            offset.alias("period_offset"),
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size"), out_decimals
+            ).alias("retention"),
+        )
+        .orderBy("cohort_start", "period_offset")
+    )
