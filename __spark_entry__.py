@@ -14256,6 +14256,152 @@ ORDER BY category
 """
 
 
+def q_join_size_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS/FastAGMS join-size estimate for orders ⋈ lineitem on the
+    order key (operators/diagnostics.join_size_ams): one map-side
+    ±1-sign bucket sketch per side, estimate = inner product of two
+    256-row frames — the shuffle-free pre-flight for a 100 TB join,
+    next to the exact frequency-frame identity for the gate. Bucket
+    and sign are md5 draws, so the estimate itself is an exact
+    integer the oracle reproduces bit-for-bit."""
+    from azure_data_engineering_spark.operators.diagnostics import join_size_ams
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return join_size_ams(o, li, "o_orderkey", "l_orderkey")
+
+
+Q_JOIN_SIZE_AMS_SQL = """
+WITH sa AS MATERIALIZED (
+  SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'amsb'), 1, 8) AS BIGINT) % 256 AS b,
+         CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'amss'), 1, 8) AS BIGINT) % 2 = 1
+                       THEN 1 ELSE -1 END) AS BIGINT) AS s
+  FROM orders GROUP BY 1
+), sb AS MATERIALIZED (
+  SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || 'amsb'), 1, 8) AS BIGINT) % 256 AS b,
+         CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || 'amss'), 1, 8) AS BIGINT) % 2 = 1
+                       THEN 1 ELSE -1 END) AS BIGINT) AS s
+  FROM lineitem GROUP BY 1
+), est AS (
+  SELECT CAST(coalesce(sum(sa.s * sb.s), 0) AS BIGINT) AS est_rows
+  FROM sa JOIN sb USING (b)
+), lf AS (
+  SELECT o_orderkey AS k, count(*) AS f1 FROM orders GROUP BY 1
+), rf AS (
+  SELECT l_orderkey AS k, count(*) AS f2 FROM lineitem GROUP BY 1
+), exact AS (
+  SELECT CAST(coalesce(sum(f1 * f2), 0) AS BIGINT) AS exact_rows FROM lf JOIN rf USING (k)
+)
+SELECT est_rows, exact_rows,
+       round(abs(est_rows - exact_rows) / greatest(exact_rows, 1), 6) AS rel_error
+FROM est, exact
+"""
+
+
+def q_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS anomaly screen over lineitem (quantity, extendedprice,
+    discount) — operators/stats.hbos_scores (Goldstein-Dengel 2012):
+    equal-width per-feature histograms, score = Σ -ln(bin density),
+    top-20 by (rounded score, id). One min/max agg, one melt, one
+    broadcast histogram join, one per-id sum — no windows over the
+    fat table; per-feature terms are rounded decimals so the
+    cross-feature sum is accumulation-order-free."""
+    from azure_data_engineering_spark.operators.stats import hbos_scores
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    return hbos_scores(
+        li, "rid", ["l_quantity", "l_extendedprice", "l_discount"]
+    ).select(F.col("id").alias("rid"), "score")
+
+
+Q_HBOS_OUTLIERS_SQL = """
+WITH f AS MATERIALIZED (
+  SELECT l_orderkey * 10 + l_linenumber AS id,
+         CAST(l_quantity AS DOUBLE) AS f1,
+         CAST(l_extendedprice AS DOUBLE) AS f2,
+         CAST(l_discount AS DOUBLE) AS f3
+  FROM lineitem
+), r AS (
+  SELECT min(f1) AS mn1, max(f1) AS mx1, min(f2) AS mn2, max(f2) AS mx2,
+         min(f3) AS mn3, max(f3) AS mx3, count(*) AS n FROM f
+), m AS MATERIALIZED (
+  SELECT id, 'l_quantity' AS feature,
+         greatest(0, least(CAST(floor((f1 - mn1) / ((mx1 - mn1) / 10)) AS INT), 9)) AS bin
+  FROM f, r
+  UNION ALL
+  SELECT id, 'l_extendedprice',
+         greatest(0, least(CAST(floor((f2 - mn2) / ((mx2 - mn2) / 10)) AS INT), 9))
+  FROM f, r
+  UNION ALL
+  SELECT id, 'l_discount',
+         greatest(0, least(CAST(floor((f3 - mn3) / ((mx3 - mn3) / 10)) AS INT), 9))
+  FROM f, r
+), h AS MATERIALIZED (
+  SELECT feature, bin, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY 1, 2
+)
+SELECT m.id AS rid,
+       round(CAST(sum(CAST(round(-ln(h.cnt / r.n), 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS score
+FROM m JOIN h USING (feature, bin), r
+GROUP BY m.id
+ORDER BY score DESC, rid ASC
+LIMIT 20
+"""
+
+
+def q_eb_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-supplier return
+    rates (operators/stats.eb_shrunk_rates — Robbins 1956): raw
+    l_returnflag='R' rates shrink toward the pooled mean with
+    strength K fitted from the between-supplier rate spread by method
+    of moments — the leaderboard guardrail against ranking a 3-trial
+    supplier above a 3000-trial one. ONE groupBy + a 1-row broadcast
+    moment frame; rates are 9-dp decimals so the moment sums are
+    exact."""
+    from azure_data_engineering_spark.operators.stats import eb_shrunk_rates
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (F.col("l_returnflag") == "R").cast("int").alias("ret")
+    )
+    return eb_shrunk_rates(li, "l_suppkey", "ret").orderBy("group")
+
+
+Q_EB_RATES_SQL = """
+WITH g AS MATERIALIZED (
+  SELECT l_suppkey AS grp, CAST(count(*) AS BIGINT) AS trials,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS successes
+  FROM lineitem GROUP BY 1
+), gp AS (
+  SELECT grp, trials, successes,
+         CAST(round(successes / trials, 9) AS DECIMAL(18,9)) AS p
+  FROM g
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         sum(p) AS sp,
+         sum(CAST(p AS DECIMAL(28,9)) * p) AS spp
+  FROM gp
+), k AS (
+  SELECT n_groups,
+         CAST(sp AS DOUBLE) / n_groups AS m,
+         CAST(spp AS DOUBLE) / n_groups
+           - (CAST(sp AS DOUBLE) / n_groups) * (CAST(sp AS DOUBLE) / n_groups) AS v
+  FROM mom
+), kk AS (
+  SELECT m, greatest(0.0, CASE WHEN v > 0 THEN m * (1.0 - m) / v - 1.0 ELSE 0.0 END) AS kv
+  FROM k
+)
+SELECT gp.grp AS "group", gp.trials, gp.successes,
+       round(gp.successes / gp.trials, 6) AS raw_rate,
+       round((gp.successes + kk.m * kk.kv) / (gp.trials + kk.kv), 6) AS shrunk_rate
+FROM gp, kk
+ORDER BY "group"
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r7 prefix holds 5 pins — core aggregation (q1), streaming
@@ -14601,6 +14747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel_rates": q_funnel_rates,
         "q_cohort_matrix": q_cohort_matrix,
         "q_woe_encoding": q_woe_encoding,
+        "q_join_size_ams": q_join_size_ams,
+        "q_hbos_outliers": q_hbos_outliers,
+        "q_eb_rates": q_eb_rates,
     }
 
 
@@ -14925,4 +15074,7 @@ def oracle_sql() -> dict[str, str]:
         "q_funnel_rates": Q_FUNNEL_RATES_SQL,
         "q_cohort_matrix": Q_COHORT_MATRIX_SQL,
         "q_woe_encoding": Q_WOE_ENCODING_SQL,
+        "q_join_size_ams": Q_JOIN_SIZE_AMS_SQL,
+        "q_hbos_outliers": Q_HBOS_OUTLIERS_SQL,
+        "q_eb_rates": Q_EB_RATES_SQL,
     }

@@ -200,3 +200,75 @@ def join_cardinality_estimate(
             ).alias("expansion_factor"),
         )
     )
+
+
+def join_size_ams(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_buckets: int = 256,
+    salt: str = "ams",
+    out_decimals: int = 6,
+) -> DataFrame:
+    """AMS / FastAGMS join-size ESTIMATE (Alon-Matias-Szegedy 1996;
+    Cormode-Garofalakis 2005): |A ⋈_k B| = Σ_k f_A(k)·f_B(k) is
+    estimated as Σ_b S_A[b]·S_B[b], where S[b] = Σ_rows sign(key) over
+    the rows hashing to bucket b — E[estimate] is exactly the join
+    size, variance shrinks with the bucket count. Unlike
+    join_cardinality_estimate (which joins the two key-frequency
+    frames — exact, but still a shuffle of the key vocabularies), the
+    sketch needs ONE map-side-combinable pass per side and compares
+    two n_buckets-row frames: at 100 TB it is the pre-flight that
+    costs nothing next to the join it sizes.
+
+    Bucket and sign come from independent md5 draws of the key, so
+    both the sketch and the estimate are exact integers any engine
+    reproduces bit-for-bit. Returns one row: (est_rows, exact_rows,
+    rel_error) — exact_rows comes from the frequency-frame identity
+    for the gate; a production pre-flight reads est_rows only."""
+    def sketch(df: DataFrame, key: str) -> DataFrame:
+        k = F.col(key).cast("string")
+        bucket = (
+            F.conv(F.substring(F.md5(F.concat(k, F.lit(salt + "b"))), 1, 8), 16, 10)
+            .cast("bigint")
+            % n_buckets
+        )
+        sign = (
+            F.conv(F.substring(F.md5(F.concat(k, F.lit(salt + "s"))), 1, 8), 16, 10)
+            .cast("bigint")
+            % 2
+        ) * 2 - 1
+        return df.groupBy(bucket.alias("b")).agg(
+            F.sum(sign).cast("long").alias("s")
+        )
+    sa = sketch(left, left_key)
+    sb = sketch(right, right_key)
+    est = (
+        sa.join(sb.select(F.col("b"), F.col("s").alias("s2")), "b")
+        .agg(
+            F.coalesce(F.sum(F.col("s") * F.col("s2")), F.lit(0))
+            .cast("long")
+            .alias("est_rows")
+        )
+    )
+    lf = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("f1")
+    )
+    rf = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("f2")
+    )
+    exact = lf.join(rf, "k").agg(
+        F.coalesce(F.sum(F.col("f1") * F.col("f2")), F.lit(0))
+        .cast("long")
+        .alias("exact_rows")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_rows",
+        "exact_rows",
+        F.round(
+            F.abs(F.col("est_rows") - F.col("exact_rows"))
+            / F.greatest(F.col("exact_rows"), F.lit(1)).cast("double"),
+            out_decimals,
+        ).alias("rel_error"),
+    )

@@ -15,6 +15,8 @@ the join back is always a broadcast.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -639,4 +641,141 @@ def ks_two_sample(
         "d_stat",
         F.round(crit, out_decimals).alias("d_crit"),
         (F.col("d_stat") > F.round(crit, out_decimals)).alias("reject_95"),
+    )
+
+
+def hbos_scores(
+    df: DataFrame,
+    id_col: str,
+    feature_cols: Sequence[str],
+    n_bins: int = 10,
+    top_n: int = 20,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """HBOS — Histogram-Based Outlier Score (Goldstein & Dengel 2012):
+    per feature, an equal-width histogram over [min, max]; a row's
+    score is Σ_features -ln(bin_density), so rows in thin bins across
+    many features rank highest. The standard cheap unsupervised
+    anomaly screen when an isolation forest is overkill.
+
+    Plan: one min/max agg (1-row broadcast), one stack-explode to
+    (id, feature, bin), one (feature, bin) histogram agg joined back
+    BROADCAST (histogram is features×bins rows), one per-id sum, then
+    TakeOrdered(top_n) on the ROUNDED score with the id tiebreak.
+    Densities are exact integer ratios, so -ln sees identical
+    rationals on every engine. Returns (id, score) for the top_n most
+    anomalous rows."""
+    ranges = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in feature_cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in feature_cols],
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    wide = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+    ).crossJoin(F.broadcast(ranges))
+    def bin_expr(c: str):
+        # degenerate (constant) features collapse to bin 0
+        width = (F.col(f"mx_{c}") - F.col(f"mn_{c}")) / n_bins
+        raw = F.when(width == 0, F.lit(0)).otherwise(
+            F.floor((F.col(c) - F.col(f"mn_{c}")) / width)
+        )
+        return F.greatest(
+            F.lit(0), F.least(raw.cast("int"), F.lit(n_bins - 1))
+        )
+    melted = wide.select(
+        "id",
+        "n_rows",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in feature_cols]),
+                F.array(*[bin_expr(c) for c in feature_cols]),
+            )
+        ).alias("feature", "bin"),
+    )
+    hist = melted.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    # each feature's -ln term is rounded to 9 dp and summed as an
+    # exact decimal: a bare double sum over the k feature rows is
+    # accumulation-order-dependent, and a last-ulp flip at the rounded
+    # 6 dp score could move the top_n cut between engines
+    scored = (
+        melted.join(F.broadcast(hist), ["feature", "bin"])
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(-F.log(F.col("cnt") / F.col("n_rows")), 9).cast(
+                        "decimal(20,9)"
+                    )
+                ).cast("double"),
+                out_decimals,
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(top_n)
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial rate shrinkage (Robbins 1956;
+    the "sort by shrunken rating" estimator): per-group success rates
+    are shrunk toward the pooled mean with strength fitted from the
+    BETWEEN-group rate spread by method of moments —
+
+        K = m(1-m)/v - 1   (clamped at 0; v from the observed rates)
+        shrunk = (x + m·K) / (n + K)
+
+    so small-sample groups pull hard toward m and large samples keep
+    their own rate. The guardrail every CTR / defect-rate leaderboard
+    needs before ranking groups with 3 trials against groups with
+    30 000.
+
+    Determinism: per-group rates are rounded to 9 dp decimals before
+    the moment sums, so m and v are ratios of EXACT decimal sums
+    (order-free) and both engines compute identical K. ONE groupBy +
+    a 1-row broadcast moment frame. Returns (group, trials,
+    successes, raw_rate, shrunk_rate)."""
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("trials"),
+        F.sum(F.col(success_col).cast("long")).cast("long").alias("successes"),
+    )
+    # decimal(18,9): p*p stays at precision 37 — still EXACT in
+    # Spark's 38-digit decimals (a wider p would trigger the
+    # precision-loss scale adjustment and truncate the product)
+    p = F.round(F.col("successes") / F.col("trials"), 9).cast("decimal(18,9)")
+    gp = g.select("grp", "trials", "successes", p.alias("p"))
+    mom = gp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("p").cast("decimal(38,9)").alias("sp"),
+        F.sum(F.col("p") * F.col("p")).cast("decimal(38,18)").alias("spp"),
+    )
+    m = F.col("sp").cast("double") / F.col("n_groups")
+    v = (
+        F.col("spp").cast("double") / F.col("n_groups")
+        - m * m
+    )
+    k_raw = F.when(v > 0, m * (F.lit(1.0) - m) / v - F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    kcol = F.greatest(F.lit(0.0), k_raw)
+    return (
+        gp.crossJoin(F.broadcast(mom))
+        .select(
+            F.col("grp").alias("group"),
+            "trials",
+            "successes",
+            F.round(F.col("successes") / F.col("trials"), out_decimals).alias(
+                "raw_rate"
+            ),
+            F.round(
+                (F.col("successes") + m * kcol) / (F.col("trials") + kcol),
+                out_decimals,
+            ).alias("shrunk_rate"),
+        )
     )

@@ -106,3 +106,90 @@ class TestWoeEncoding:
         df = spark.createDataFrame(rows, "cat string, y int")
         out = {r["category"]: r for r in woe_encoding(df, "cat", "y").collect()}
         assert math.isfinite(out["only_pos"]["woe"])
+
+
+class TestJoinSizeAms:
+    def test_expectation_and_exact_identity(self, spark):
+        from azure_data_engineering_spark.operators.diagnostics import join_size_ams
+
+        left = spark.createDataFrame([(i % 50,) for i in range(500)], "k long")
+        right = spark.createDataFrame([(i % 50,) for i in range(1000)], "k long")
+        r = join_size_ams(left, right, "k", "k").first()
+        # exact_rows is the frequency identity: 50 keys * 10 * 20
+        assert r["exact_rows"] == 50 * 10 * 20
+        # AMS is unbiased with variance ~ exact/sqrt(buckets); allow a
+        # wide but meaningful envelope
+        assert r["est_rows"] == pytest.approx(r["exact_rows"], rel=0.5)
+        assert r["rel_error"] == pytest.approx(
+            abs(r["est_rows"] - r["exact_rows"]) / r["exact_rows"], abs=1e-6
+        )
+
+    def test_disjoint_keys_estimate_near_zero(self, spark):
+        from azure_data_engineering_spark.operators.diagnostics import join_size_ams
+
+        left = spark.createDataFrame([(i,) for i in range(200)], "k long")
+        right = spark.createDataFrame([(10_000 + i,) for i in range(200)], "k long")
+        r = join_size_ams(left, right, "k", "k").first()
+        assert r["exact_rows"] == 0
+        # disjoint keys: signs are independent, estimate stays small
+        assert abs(r["est_rows"]) < 200
+
+    def test_deterministic(self, spark):
+        from azure_data_engineering_spark.operators.diagnostics import join_size_ams
+
+        df = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+        a = join_size_ams(df, df, "k", "k").first()["est_rows"]
+        b = join_size_ams(df, df, "k", "k").first()["est_rows"]
+        assert a == b
+
+
+class TestHbosScores:
+    def test_planted_outlier_ranks_first(self, spark):
+        from azure_data_engineering_spark.operators.stats import hbos_scores
+
+        rows = [(i, float(50 + i % 5), float(100 + i % 3)) for i in range(200)]
+        rows.append((999, 10_000.0, -5_000.0))  # alone in its bins
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        top = hbos_scores(df, "id", ["x", "y"], top_n=3).collect()
+        assert top[0]["id"] == 999
+        assert top[0]["score"] > top[1]["score"]
+
+    def test_constant_feature_is_neutral(self, spark):
+        from azure_data_engineering_spark.operators.stats import hbos_scores
+
+        rows = [(i, float(i % 10), 7.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, x double, c double")
+        out = hbos_scores(df, "id", ["x", "c"], top_n=100).collect()
+        # constant feature: every row in bin 0, density 1, -ln(1)=0 —
+        # scores must equal the x-only screen (all equal here)
+        assert len({r["score"] for r in out}) == 1
+
+
+class TestEbShrunkRates:
+    def test_small_samples_shrink_harder(self, spark):
+        from azure_data_engineering_spark.operators.stats import eb_shrunk_rates
+
+        rows = (
+            [("big_hi", 1)] * 900 + [("big_hi", 0)] * 100     # 0.9 on 1000
+            + [("small_hi", 1)] * 9 + [("small_hi", 0)]       # 0.9 on 10
+            + [("mid", 1)] * 50 + [("mid", 0)] * 50           # 0.5 on 100
+            + [("small_lo", 1)] + [("small_lo", 0)] * 9       # 0.1 on 10
+            + [("big_lo", 1)] * 100 + [("big_lo", 0)] * 900   # 0.1 on 1000
+        )
+        df = spark.createDataFrame(rows, "g string, y int")
+        out = {r["group"]: r for r in eb_shrunk_rates(df, "g", "y").collect()}
+        m = sum(v["raw_rate"] for v in out.values()) / 5  # pooled mean 0.5
+        # both high-rate groups shrink toward m, the small one harder
+        assert out["small_hi"]["shrunk_rate"] < out["big_hi"]["shrunk_rate"]
+        assert out["small_lo"]["shrunk_rate"] > out["big_lo"]["shrunk_rate"]
+        # shrinkage never crosses the pooled mean
+        assert out["small_hi"]["shrunk_rate"] > m > out["small_lo"]["shrunk_rate"]
+
+    def test_zero_variance_means_no_shrink_target_shift(self, spark):
+        from azure_data_engineering_spark.operators.stats import eb_shrunk_rates
+
+        rows = [("a", 1), ("a", 0), ("b", 1), ("b", 0)]
+        df = spark.createDataFrame(rows, "g string, y int")
+        out = eb_shrunk_rates(df, "g", "y").collect()
+        for r in out:  # v == 0 -> K = 0 -> raw rate preserved
+            assert r["shrunk_rate"] == r["raw_rate"] == 0.5
