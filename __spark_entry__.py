@@ -14402,6 +14402,104 @@ ORDER BY "group"
 """
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing of the daily event
+    count per type (operators/timeseries.holt_winters_additive —
+    Winters 1960): two-season textbook init, then the triple
+    (level, trend, 7-slot season) recurrence with every state write
+    rounded half-away to 6 dp, so the DuckDB recursive CTE walks the
+    IDENTICAL double trajectory — including writing (1.0 - gamma) as
+    a subtraction in both engines, because the literal 0.7 is a
+    different double than 1.0 - 0.3. The weekly-rhythm upgrade of
+    q_holt_linear, on the same per-(type, day) frame."""
+    from azure_data_engineering_spark.operators.timeseries import (
+        holt_winters_additive,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return holt_winters_additive(
+        daily, "event_type", "day", "y", season_len=7
+    ).orderBy("event_type")
+
+
+Q_HOLT_WINTERS_SQL = """
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), idx AS MATERIALIZED (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS nt
+  FROM daily
+), init AS MATERIALIZED (
+  SELECT event_type,
+         round(sum(CASE WHEN t <= 7 THEN y END) / 7, 6) AS mean1,
+         round(sum(CASE WHEN t BETWEEN 8 AND 14 THEN y END) / 7, 6) AS mean2
+  FROM idx WHERE t <= 14 GROUP BY 1 HAVING count(*) = 14
+), s_init AS MATERIALIZED (
+  SELECT i.event_type,
+         max(CASE WHEN t = 1 THEN round(y - mean1, 6) END) AS s0,
+         max(CASE WHEN t = 2 THEN round(y - mean1, 6) END) AS s1,
+         max(CASE WHEN t = 3 THEN round(y - mean1, 6) END) AS s2,
+         max(CASE WHEN t = 4 THEN round(y - mean1, 6) END) AS s3,
+         max(CASE WHEN t = 5 THEN round(y - mean1, 6) END) AS s4,
+         max(CASE WHEN t = 6 THEN round(y - mean1, 6) END) AS s5,
+         max(CASE WHEN t = 7 THEN round(y - mean1, 6) END) AS s6
+  FROM idx i JOIN init USING (event_type) WHERE t <= 7 GROUP BY 1
+), hw(event_type, t, l, tr, s0, s1, s2, s3, s4, s5, s6, sse) AS (
+  SELECT init.event_type, 7, init.mean1,
+         round((init.mean2 - init.mean1) / 7, 6),
+         s0, s1, s2, s3, s4, s5, s6, CAST(0.0 AS DOUBLE)
+  FROM init JOIN s_init USING (event_type)
+  UNION ALL
+  SELECT event_type, t, newl,
+         round(0.3 * (newl - l) + (1.0 - 0.3) * tr, 6),
+         CASE WHEN slot = 0 THEN news ELSE s0 END,
+         CASE WHEN slot = 1 THEN news ELSE s1 END,
+         CASE WHEN slot = 2 THEN news ELSE s2 END,
+         CASE WHEN slot = 3 THEN news ELSE s3 END,
+         CASE WHEN slot = 4 THEN news ELSE s4 END,
+         CASE WHEN slot = 5 THEN news ELSE s5 END,
+         CASE WHEN slot = 6 THEN news ELSE s6 END,
+         round(sse + err * err, 6)
+  FROM (
+    SELECT q.*,
+           round(0.3 * (q.yt - q.newl) + (1.0 - 0.3) * q.sc, 6) AS news,
+           q.yt - (q.l + q.tr + q.sc) AS err
+    FROM (
+      SELECT z.*,
+             round(0.5 * (z.yt - z.sc) + (1.0 - 0.5) * (z.l + z.tr), 6) AS newl
+      FROM (
+        SELECT hw.event_type, hw.t + 1 AS t, hw.l, hw.tr,
+               hw.s0, hw.s1, hw.s2, hw.s3, hw.s4, hw.s5, hw.s6, hw.sse,
+               hw.t % 7 AS slot,
+               CASE hw.t % 7 WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1
+                             WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3
+                             WHEN 4 THEN hw.s4 WHEN 5 THEN hw.s5
+                             ELSE hw.s6 END AS sc,
+               i.y AS yt
+        FROM hw JOIN idx i ON i.event_type = hw.event_type AND i.t = hw.t + 1
+      ) z
+    ) q
+  )
+)
+SELECT hw.event_type, CAST(hw.t AS BIGINT) AS n_periods,
+       hw.l AS level, hw.tr AS trend,
+       round(hw.l + hw.tr
+             + CASE hw.t % 7 WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1
+                             WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3
+                             WHEN 4 THEN hw.s4 WHEN 5 THEN hw.s5
+                             ELSE hw.s6 END, 6) AS forecast_1,
+       hw.sse AS sse
+FROM hw JOIN (SELECT event_type, max(nt) AS nt FROM idx GROUP BY 1) n
+  ON n.event_type = hw.event_type AND hw.t = n.nt
+ORDER BY hw.event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r7 prefix holds 5 pins — core aggregation (q1), streaming
@@ -14750,6 +14848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_size_ams": q_join_size_ams,
         "q_hbos_outliers": q_hbos_outliers,
         "q_eb_rates": q_eb_rates,
+        "q_holt_winters": q_holt_winters,
     }
 
 
@@ -15077,4 +15176,5 @@ def oracle_sql() -> dict[str, str]:
         "q_join_size_ams": Q_JOIN_SIZE_AMS_SQL,
         "q_hbos_outliers": Q_HBOS_OUTLIERS_SQL,
         "q_eb_rates": Q_EB_RATES_SQL,
+        "q_holt_winters": Q_HOLT_WINTERS_SQL,
     }

@@ -374,3 +374,99 @@ def theil_sen_mann_kendall(
         )
     )
     return out
+
+
+def holt_winters_additive(
+    per_period: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    season_len: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple-exponential smoothing per series
+    (Winters 1960) — holt_linear plus a season_len-slot additive
+    seasonal state, the operator that fits the weekly rhythm
+    holt_linear's straight line cannot. ONE output row per series:
+    (series, n_periods, level, trend, forecast_1, sse) where
+    forecast_1 = level + trend + the next period's seasonal term and
+    sse sums squared one-step-ahead errors over the smoothed steps.
+
+    Initialization is the textbook two-season scheme, chosen for
+    engine replayability: level = mean(first season), trend =
+    (mean(second season) - mean(first season)) / season_len, seasonal
+    slot i = y_i - level; smoothing starts at t = season_len + 1.
+    Series with fewer than 2·season_len periods are NOT emitted (a
+    seasonal fit from under two seasons is noise — filter upstream or
+    use holt_linear). Every state write rounds half-AWAY to
+    `round_decimals` (timeseries._round_away — Python's bare round is
+    half-even and diverges from Spark/DuckDB), so the recursive-CTE
+    oracle walks an identical trajectory.
+
+    Scale: the same applyInPandas discipline as holt_linear — the
+    per-(series, period) frame is calendar-bounded, never row-sized;
+    the fit is O(n_periods) per series with season_len doubles of
+    state."""
+    m = int(season_len)
+    series_type = per_period.schema[series_col].dataType.simpleString()
+    out_schema = (
+        f"{series_col} {series_type}, n_periods long, level double, "
+        "trend double, forecast_1 double, sse double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        y = [float(x) for x in pdf[value_col]]
+        n = len(y)
+        if n < 2 * m:
+            return pd.DataFrame(
+                {
+                    series_col: pd.Series([], dtype=pdf[series_col].dtype),
+                    "n_periods": pd.Series([], dtype="int64"),
+                    "level": pd.Series([], dtype="float64"),
+                    "trend": pd.Series([], dtype="float64"),
+                    "forecast_1": pd.Series([], dtype="float64"),
+                    "sse": pd.Series([], dtype="float64"),
+                }
+            )
+        key = pdf[series_col].iloc[0]
+        mean1 = _round_away(sum(y[:m]) / m, round_decimals)
+        mean2 = _round_away(sum(y[m : 2 * m]) / m, round_decimals)
+        lev = mean1
+        tr = _round_away((mean2 - mean1) / m, round_decimals)
+        s = [_round_away(y[i] - mean1, round_decimals) for i in range(m)]
+        sse = 0.0
+        for t in range(m, n):
+            slot = t % m
+            pred = lev + tr + s[slot]
+            err = y[t] - pred
+            sse = _round_away(sse + err * err, round_decimals)
+            new_lev = _round_away(
+                alpha * (y[t] - s[slot]) + (1.0 - alpha) * (lev + tr),
+                round_decimals,
+            )
+            tr = _round_away(
+                beta * (new_lev - lev) + (1.0 - beta) * tr, round_decimals
+            )
+            s[slot] = _round_away(
+                gamma * (y[t] - new_lev) + (1.0 - gamma) * s[slot],
+                round_decimals,
+            )
+            lev = new_lev
+        return pd.DataFrame(
+            {
+                series_col: [key],
+                "n_periods": [n],
+                "level": [lev],
+                "trend": [tr],
+                "forecast_1": [
+                    _round_away(lev + tr + s[n % m], round_decimals)
+                ],
+                "sse": [sse],
+            }
+        )
+
+    return per_period.groupBy(series_col).applyInPandas(fit, out_schema)

@@ -193,3 +193,49 @@ class TestEbShrunkRates:
         out = eb_shrunk_rates(df, "g", "y").collect()
         for r in out:  # v == 0 -> K = 0 -> raw rate preserved
             assert r["shrunk_rate"] == r["raw_rate"] == 0.5
+
+
+class TestHoltWinters:
+    def _seasonal(self, spark, periods=28):
+        # value = 100 + 2*t + strong weekly shape
+        season = [30, -20, -10, 0, 10, 20, -30]
+        rows = [
+            ("s", f"d{t:03d}", float(100 + 2 * t + season[t % 7]))
+            for t in range(periods)
+        ]
+        return spark.createDataFrame(rows, "series string, day string, y double")
+
+    def test_fits_seasonal_series_better_than_holt(self, spark):
+        from azure_data_engineering_spark.operators.timeseries import (
+            holt_linear,
+            holt_winters_additive,
+        )
+
+        df = self._seasonal(spark)
+        hw = holt_winters_additive(df, "series", "day", "y").first()
+        h = holt_linear(df, "series", "day", "y").first()
+        assert hw["n_periods"] == 28
+        assert hw["sse"] < h["sse"]  # the seasonal state earns its keep
+        assert hw["trend"] > 0  # upward drift detected
+        # one-step forecast lands near the true next value (186);
+        # holt_linear's straight line cannot see the +30 seasonal slot
+        assert hw["forecast_1"] == pytest.approx(186.0, abs=10.0)
+
+    def test_short_series_not_emitted(self, spark):
+        from azure_data_engineering_spark.operators.timeseries import (
+            holt_winters_additive,
+        )
+
+        rows = [("short", f"d{t}", float(t)) for t in range(10)]
+        df = spark.createDataFrame(rows, "series string, day string, y double")
+        assert holt_winters_additive(df, "series", "day", "y").count() == 0
+
+    def test_deterministic(self, spark):
+        from azure_data_engineering_spark.operators.timeseries import (
+            holt_winters_additive,
+        )
+
+        df = self._seasonal(spark)
+        a = holt_winters_additive(df, "series", "day", "y").first()
+        b = holt_winters_additive(df, "series", "day", "y").first()
+        assert a == b
