@@ -124,6 +124,19 @@ HEADLINE = [
     "q_skew_diagnostics",
     "q_ndcg_quantized",
     "q_holt_linear",
+    # round-7 additions: TWS event-time timers (live RocksDB session
+    # timeout), rank-k ALS normal-equation solves, ordered funnel +
+    # cohort matrix, AMS join-size sketch, HBOS screen, EB shrinkage,
+    # Holt-Winters seasonal
+    "q_tws_session_timeout",
+    "q_als_rankk",
+    "q_funnel_rates",
+    "q_cohort_matrix",
+    "q_woe_encoding",
+    "q_join_size_ams",
+    "q_hbos_outliers",
+    "q_eb_rates",
+    "q_holt_winters",
 ]
 
 ROUND = 7
