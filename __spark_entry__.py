@@ -3201,7 +3201,7 @@ def q_tws_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_TWS_SESSION_TIMEOUT_SQL = """
 WITH e AS MATERIALIZED (
-  SELECT user_id, CAST(floor(epoch_ns(ts) / 1000000.0) AS BIGINT) AS ts_ms, value
+  SELECT user_id, CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms, value
   FROM events
 ), wm AS (
   SELECT max(ts_ms) AS w FROM e

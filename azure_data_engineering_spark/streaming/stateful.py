@@ -218,9 +218,16 @@ def session_timeouts(
     `value`; emits one Append-mode row per closed session."""
     from pyspark.sql import functions as F
 
+    # INTEGER division micros -> ms: a double quotient (unix_micros/
+    # 1000) can round .9999995 up before the bigint cast truncates,
+    # shifting a timestamp by 1 ms vs exact integer arithmetic (seen
+    # once in ~15k rows at sf0.1) — and the other engines' ns-based
+    # double paths disagree in their own way (epoch_ns exceeds 2^53).
     prepared = (
         events.withWatermark(ts_col, watermark_delay)
-        .withColumn("ts_ms", (F.unix_micros(F.col(ts_col)) / 1000).cast("bigint"))
+        .withColumn(
+            "ts_ms", F.expr(f"unix_micros({ts_col}) div 1000").cast("bigint")
+        )
     )
     return prepared.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=SessionTimeoutProcessor(gap_ms),
