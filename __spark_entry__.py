@@ -14500,6 +14500,61 @@ ORDER BY hw.event_type
 """
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency between consecutive funnel steps
+    (operators/funnel.funnel_latency): for users who chain
+    signup→view→click→purchase under strict ordering, the
+    median / p90 / max gap per transition — the "where do users
+    stall" companion to q_funnel_rates, on the same user-sized
+    min-ts frames with exact interpolated percentiles
+    (quantile_cont's twin)."""
+    from azure_data_engineering_spark.operators.funnel import funnel_latency
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_latency(ev, ["signup", "view", "click", "purchase"])
+
+
+Q_FUNNEL_LATENCY_SQL = """
+WITH s1 AS MATERIALIZED (
+  SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1
+), s2 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'view' GROUP BY 1
+), s3 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON s2.u = e.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'click' GROUP BY 1
+), s4 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s3 ON s3.u = e.user_id AND e.ts > s3.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+), l2 AS (
+  SELECT (epoch_ns(s2.t) // 1000 - epoch_ns(s1.t) // 1000) * 1.0 AS lat_us FROM s2 JOIN s1 USING (u)
+), l3 AS (
+  SELECT (epoch_ns(s3.t) // 1000 - epoch_ns(s2.t) // 1000) * 1.0 AS lat_us FROM s3 JOIN s2 USING (u)
+), l4 AS (
+  SELECT (epoch_ns(s4.t) // 1000 - epoch_ns(s3.t) // 1000) * 1.0 AS lat_us FROM s4 JOIN s3 USING (u)
+), a AS (
+  SELECT CAST(2 AS BIGINT) AS step, 'view' AS event_type, CAST(count(*) AS BIGINT) AS n_converted,
+         round(quantile_cont(lat_us, 0.5) / 1e6, 4) AS median_sec,
+         round(quantile_cont(lat_us, 0.9) / 1e6, 4) AS p90_sec,
+         round(max(lat_us) / 1e6, 4) AS max_sec
+  FROM l2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'click', CAST(count(*) AS BIGINT),
+         round(quantile_cont(lat_us, 0.5) / 1e6, 4),
+         round(quantile_cont(lat_us, 0.9) / 1e6, 4),
+         round(max(lat_us) / 1e6, 4)
+  FROM l3
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT),
+         round(quantile_cont(lat_us, 0.5) / 1e6, 4),
+         round(quantile_cont(lat_us, 0.9) / 1e6, 4),
+         round(max(lat_us) / 1e6, 4)
+  FROM l4
+)
+SELECT * FROM a ORDER BY step
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r7 prefix holds 5 pins — core aggregation (q1), streaming
@@ -14849,6 +14904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hbos_outliers": q_hbos_outliers,
         "q_eb_rates": q_eb_rates,
         "q_holt_winters": q_holt_winters,
+        "q_funnel_latency": q_funnel_latency,
     }
 
 
@@ -15177,4 +15233,5 @@ def oracle_sql() -> dict[str, str]:
         "q_hbos_outliers": Q_HBOS_OUTLIERS_SQL,
         "q_eb_rates": Q_EB_RATES_SQL,
         "q_holt_winters": Q_HOLT_WINTERS_SQL,
+        "q_funnel_latency": Q_FUNNEL_LATENCY_SQL,
     }

@@ -146,3 +146,70 @@ def cohort_retention(
         )
         .orderBy("cohort_start", "period_offset")
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    out_decimals: int = 4,
+) -> DataFrame:
+    """Conversion LATENCY between consecutive funnel steps, under the
+    same strict ordering as funnel_conversion: for each user who
+    chains step i-1 → i, the gap is (first qualifying step-i event −
+    step i-1 completion). One row per transition: (step, event_type,
+    n_converted, median_sec, p90_sec, max_sec) — the "where do users
+    stall" companion to the conversion-rate funnel.
+
+    Same plan discipline: per step one groupBy to a user-sized
+    (user, min ts) frame + a co-partitioned user-key join; the
+    percentile aggregations run per transition over user-sized
+    latency frames (exact interpolated percentile, quantile_cont's
+    twin)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    prev = None
+    out = None
+    for idx, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if prev is None:
+            cur = ev.groupBy("u").agg(F.min("t").alias("t"))
+        else:
+            cur = (
+                ev.join(prev.select("u", F.col("t").alias("t_prev")), "u")
+                .filter(F.col("t") > F.col("t_prev"))
+                .groupBy("u")
+                .agg(F.min("t").alias("t"))
+            )
+            lat = (
+                cur.join(prev.select("u", F.col("t").alias("t_prev")), "u")
+                .select(
+                    (
+                        F.unix_micros(F.col("t")) - F.unix_micros(F.col("t_prev"))
+                    ).cast("double").alias("lat_us")
+                )
+            )
+            row = lat.agg(
+                F.count(F.lit(1)).cast("long").alias("n_converted"),
+                F.round(
+                    F.expr("percentile(lat_us, 0.5)") / 1e6, out_decimals
+                ).alias("median_sec"),
+                F.round(
+                    F.expr("percentile(lat_us, 0.9)") / 1e6, out_decimals
+                ).alias("p90_sec"),
+                F.round(F.max("lat_us") / 1e6, out_decimals).alias("max_sec"),
+            ).select(
+                F.lit(idx + 1).cast("long").alias("step"),
+                F.lit(step).alias("event_type"),
+                "n_converted",
+                "median_sec",
+                "p90_sec",
+                "max_sec",
+            )
+            out = row if out is None else out.unionByName(row)
+        prev = cur
+    return out.orderBy("step")

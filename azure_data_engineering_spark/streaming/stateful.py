@@ -235,3 +235,55 @@ def session_timeouts(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+class IdleKeyFlushProcessor(StatefulProcessor):
+    """PROCESSING-time twin of SessionTimeoutProcessor: flush a key's
+    accumulated count when no input has arrived for `idle_ms` of WALL
+    time (timeMode ProcessingTime — the timer half that needs no
+    event-time column: cache eviction, stale-key flush, liveness
+    watchdogs). Same lifecycle discipline: one pending timer per key,
+    re-armed at currentProcessingTime + idle_ms on every input batch;
+    emission only from handleExpiredTimer, which also clears state.
+    Wall-clock timers are inherently non-replayable, so this operator
+    is live-tested (tests/test_transform_with_state.TestLiveTimers)
+    rather than oracle-gated."""
+
+    def __init__(self, idle_ms: int):
+        self._idle = int(idle_ms)
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._cnt = handle.getValueState("cnt", "n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = self._cnt.get()[0] if self._cnt.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + self._idle
+        )
+        self._cnt.update((n,))
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._cnt.exists():
+            n = self._cnt.get()[0]
+            self._cnt.clear()
+            yield pd.DataFrame({"user_id": [int(key[0])], "n_events": [int(n)]})
+
+    def close(self) -> None:
+        pass
+
+
+def idle_key_flush(events: DataFrame, idle_ms: int) -> DataFrame:
+    """Streaming: emit (user_id, n_events) when a key has seen no
+    input for `idle_ms` of processing time, then forget it."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=IdleKeyFlushProcessor(idle_ms),
+        outputStructType="user_id bigint, n_events bigint",
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

@@ -239,3 +239,22 @@ class TestHoltWinters:
         a = holt_winters_additive(df, "series", "day", "y").first()
         b = holt_winters_additive(df, "series", "day", "y").first()
         assert a == b
+
+
+class TestFunnelLatency:
+    def test_transition_gaps(self, spark):
+        from azure_data_engineering_spark.operators.funnel import funnel_latency
+
+        rows = [
+            # u1: A@10 -> B@40 (30s) ; u2: A@10 -> B@110 (100s)
+            (1, "A", 10), (1, "B", 40),
+            (2, "A", 10), (2, "B", 110),
+            # u3 never converts: B before A only
+            (3, "B", 5), (3, "A", 10),
+        ]
+        out = funnel_latency(_ev(spark, rows), ["A", "B"]).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["step"], r["event_type"], r["n_converted"]) == (2, "B", 2)
+        assert r["median_sec"] == pytest.approx(65.0, abs=1e-4)  # interp of 30,100
+        assert r["max_sec"] == pytest.approx(100.0, abs=1e-4)

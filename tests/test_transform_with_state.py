@@ -320,3 +320,75 @@ class TestLiveTimers:
         # user 1: both events merged, closed by the watermark jump
         assert (r["user_id"], r["n_events"], r["total_value"]) == (1, 2, 12.0)
         assert (r["first_ts_ms"], r["last_ts_ms"]) == (1_000_000, 1_010_000)
+
+
+class TestLiveProcessingTimeTimers:
+    def test_idle_key_flushes_on_wall_clock(self, spark, tmp_path):
+        """REAL engine, ProcessingTime timers: key 1 gets input only in
+        batch 0; a foreachBatch sink sleeps 4s per batch (idle_ms=3s),
+        so by the time batch 1 (key 2 only) runs, key 1's timer has
+        wall-expired and its count must flush. Key 2 re-arms on its
+        own input; whether the trailing availableNow batch fires it
+        depends on wall timing, so the test asserts key 1's row
+        exactly and, for key 2, only that any flush carries its full
+        total."""
+        import glob
+        import shutil
+        import time
+
+        from azure_data_engineering_spark.compat import ensure_protobuf
+        from azure_data_engineering_spark.streaming.stateful import idle_key_flush
+
+        ensure_protobuf(spark)
+        provider_conf = "spark.sql.streaming.stateStore.providerClass"
+        old_provider = spark.conf.get(provider_conf, None)
+        spark.conf.set(
+            provider_conf,
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        rows0 = [(1, 1.0), (1, 2.0), (2, 3.0)]
+        rows1 = [(2, 4.0)]
+        for i, rows in enumerate([rows0, rows1]):
+            df = spark.createDataFrame(rows, "user_id long, value double")
+            staging = tmp_path / f"stage{i}"
+            df.coalesce(1).write.parquet(str(staging))
+            part = glob.glob(str(staging / "part-*.parquet"))[0]
+            shutil.move(part, str(src / f"b{i}.parquet"))
+            if i == 0:
+                time.sleep(1.05)
+        schema = spark.read.parquet(str(src)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        results = []
+
+        def sink(df, batch_id):
+            results.extend(df.collect())
+            time.sleep(4.0)  # wall time so PT timers expire between batches
+
+        try:
+            q = (
+                idle_key_flush(stream, idle_ms=3_000)
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        finally:
+            if old_provider is None:
+                spark.conf.unset(provider_conf)
+            else:
+                spark.conf.set(provider_conf, old_provider)
+        by_key = {}
+        for r in results:
+            by_key.setdefault(r["user_id"], []).append(r["n_events"])
+        assert by_key.get(1) == [2]  # flushed once, both batch-0 rows
+        for n in by_key.get(2, []):
+            assert n == 2  # a key-2 flush must carry its full total
