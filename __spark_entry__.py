@@ -3166,22 +3166,25 @@ def q_tws_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_protobuf(spark)
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     work = tempfile.mkdtemp(prefix="tws_timer_gate_")
-    src = os.path.join(work, "src")
-    os.makedirs(src)
-    for i, pred in enumerate([F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]):
-        staging = os.path.join(work, f"stage{i}")
-        e.filter(pred).coalesce(1).write.parquet(staging)
-        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
-        _shutil.move(part, os.path.join(src, f"b{i}.parquet"))
-        if i == 0:
-            _time.sleep(1.05)
     provider_conf = "spark.sql.streaming.stateStore.providerClass"
     old_provider = spark.conf.get(provider_conf, None)
-    spark.conf.set(
-        provider_conf,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        for i, pred in enumerate(
+            [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]
+        ):
+            staging = os.path.join(work, f"stage{i}")
+            e.filter(pred).coalesce(1).write.parquet(staging)
+            part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+            _shutil.move(part, os.path.join(src, f"b{i}.parquet"))
+            if i == 0:
+                _time.sleep(1.05)
+        spark.conf.set(
+            provider_conf,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         out = run_stream_to_table(
             spark,
             src,
@@ -3190,12 +3193,14 @@ def q_tws_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             output_mode="append",
             max_files_per_trigger=1,
         ).cache()
+        # materialize before the source dir is removed below
         out.count()
     finally:
         if old_provider is None:
             spark.conf.unset(provider_conf)
         else:
             spark.conf.set(provider_conf, old_provider)
+        _shutil.rmtree(work, ignore_errors=True)
     return out.orderBy("user_id")
 
 
@@ -12963,27 +12968,39 @@ WITH v AS MATERIALIZED (
     JOIN dq c ON c.vec_id <> q.vec_id
   ) WHERE ann_rank <= 5
 ), ks AS (SELECT unnest([1, 3, 5]) AS k),
-pairs AS (
-  SELECT a.query_id, a.ann_rank, t.true_rank, ks.k
-  FROM ann a LEFT JOIN tru t
+trup AS MATERIALIZED (
+  -- the SAME re-ranked position feeds BOTH the DCG relevance gate and
+  -- the IDCG packing (operators/retrieval_eval.ndcg_at_k discipline):
+  -- with non-dense truth ranks a raw-rank gate would cap DCG below
+  -- IDCG's attainable maximum.
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY true_rank, neighbor_id
+         ) AS pos
+  FROM tru
+), pairs AS (
+  SELECT a.query_id, a.ann_rank, t.pos, ks.k
+  FROM ann a LEFT JOIN trup t
     ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id, ks
 ), per_q AS (
   SELECT query_id, k,
-         sum(CASE WHEN ann_rank <= k AND true_rank <= k
+         sum(CASE WHEN ann_rank <= k AND pos <= k
                   THEN CAST(round(1.0 / log2(CAST(ann_rank AS DOUBLE) + 1.0), 9) AS DECIMAL(20,9))
                   ELSE CAST(0 AS DECIMAL(20,9)) END) AS dcg
   FROM pairs GROUP BY 1, 2
 ), idcg AS (
-  SELECT ks.k,
-         sum(CASE WHEN r <= ks.k
-                  THEN CAST(round(1.0 / log2(CAST(r AS DOUBLE) + 1.0), 9) AS DECIMAL(20,9))
+  SELECT query_id, ks.k,
+         sum(CASE WHEN pos <= ks.k
+                  THEN CAST(round(1.0 / log2(CAST(pos AS DOUBLE) + 1.0), 9) AS DECIMAL(20,9))
                   ELSE CAST(0 AS DECIMAL(20,9)) END) AS idcg
-  FROM (SELECT DISTINCT true_rank AS r FROM tru), ks GROUP BY 1
+  FROM trup, ks GROUP BY 1, 2
 )
-SELECT CAST(p.k AS BIGINT) AS k,
-       round(CAST(sum(CAST(round(CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE)
+SELECT CAST(i.k AS BIGINT) AS k,
+       round(CAST(sum(CAST(round(
+               CAST(coalesce(p.dcg, CAST(0 AS DECIMAL(20,9))) AS DOUBLE)
+               / CAST(i.idcg AS DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE)
              / count(*), 6) AS ndcg
-FROM per_q p JOIN idcg i ON i.k = p.k
+FROM idcg i LEFT JOIN per_q p ON p.query_id = i.query_id AND p.k = i.k
 GROUP BY 1
 """
 
@@ -14326,6 +14343,9 @@ WITH f AS MATERIALIZED (
          CAST(l_extendedprice AS DOUBLE) AS f2,
          CAST(l_discount AS DOUBLE) AS f3
   FROM lineitem
+  -- hbos_scores NULL policy: any-NULL-feature rows are excluded
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
 ), r AS (
   SELECT min(f1) AS mn1, max(f1) AS mx1, min(f2) AS mn2, max(f2) AS mx2,
          min(f3) AS mn3, max(f3) AS mx3, count(*) AS n FROM f

@@ -198,6 +198,8 @@ def als_rank_k(
     already be an exact decimal type."""
     if k < 2:
         raise ValueError("use als_rank1 for k=1")
+    if rounds < 1:
+        raise ValueError("als_rank_k needs rounds >= 1")
     from .sampling import hash_unit
 
     r = ratings.select(
@@ -278,9 +280,20 @@ def als_rank_k(
             *[F.col(f"f{f}").cast("decimal(18,6)").alias(f"f{f}") for f in range(k)],
         )
 
+    # Broadcast the item-factor frame only under a VERIFIED size cap
+    # (same discipline as graph.link_prediction): the item vocabulary
+    # is fixed across rounds, so one count up front decides every
+    # round. A realistic catalog (millions of items × k decimal
+    # factors) must go through the shuffle join, not executor memory.
+    n_items = v.count()
+    broadcast_items = n_items <= 1_000_000
+
+    def item_side(frame: DataFrame) -> DataFrame:
+        return F.broadcast(frame) if broadcast_items else frame
+
     u = None
     for _ in range(rounds):
-        u = solve(moments(r.join(F.broadcast(v), "i"), "u"), "u")
+        u = solve(moments(r.join(item_side(v), "i"), "u"), "u")
         v = solve(moments(r.join(u, "u"), "i"), "i")
 
     pred = None
@@ -291,7 +304,7 @@ def als_rank_k(
     vf = v.select("i", *[F.col(f"f{f}").alias(f"vf{f}") for f in range(k)])
     resid = (
         r.join(uf, "u")
-        .join(F.broadcast(vf), "i")
+        .join(item_side(vf), "i")
         .select(
             F.round(
                 (F.col("r").cast("double") - pred)

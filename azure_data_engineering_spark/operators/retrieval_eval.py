@@ -123,15 +123,27 @@ def ndcg_at_k(
         F.lit(1.0) / F.log2(F.col("ann_rank").cast("double") + 1.0), 9
     ).cast("decimal(20,9)")
     a = ann.select("query_id", "neighbor_id", F.col("rank").alias("ann_rank"))
-    t = truth.select("query_id", "neighbor_id", F.col("rank").alias("true_rank"))
-    pairs = a.join(t, ["query_id", "neighbor_id"], "left").select(
-        "query_id", "ann_rank", "true_rank", kcol
-    )
+    # Re-rank truth by row_number over (true_rank, neighbor_id) ONCE
+    # and use that same re-ranked position `pos` for BOTH the DCG
+    # relevance gate and the IDCG packing. Gating DCG on the RAW
+    # true_rank while packing IDCG from re-ranked positions would make
+    # a perfect ranking score < 1.0 whenever truth ranks are non-dense
+    # (e.g. ranks {1,7} with k=3: raw-gated DCG can never credit the
+    # rank-7 row, but IDCG counts it at position 2).
+    w = Window.partitionBy("query_id").orderBy("true_rank", "neighbor_id")
+    t = truth.select(
+        "query_id", "neighbor_id", F.col("rank").alias("true_rank")
+    ).withColumn("pos", F.row_number().over(w))
+    pairs = a.join(
+        t.select("query_id", "neighbor_id", "pos"),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).select("query_id", "ann_rank", "pos", kcol)
     per_q = pairs.groupBy("query_id", "k").agg(
         F.sum(
             F.when(
                 (F.col("ann_rank") <= F.col("k"))
-                & (F.col("true_rank") <= F.col("k")),
+                & (F.col("pos") <= F.col("k")),
                 gain,
             ).otherwise(F.lit(0).cast("decimal(20,9)"))
         ).alias("dcg")
@@ -140,12 +152,11 @@ def ndcg_at_k(
     # ideal ordering packs the query's relevant items into positions
     # 1..min(n_truth_q, k), so a query with fewer than k truth rows is
     # normalized by its own shorter ideal list, not a global dense-1..k
-    # assumption. The row_number re-rank also tolerates non-dense truth
-    # ranks. The truth frame is panel-sized, so the window is bounded.
-    w = Window.partitionBy("query_id").orderBy("true_rank", "neighbor_id")
+    # assumption. Because DCG above gates on the SAME re-ranked `pos`,
+    # DCG's attainable maximum equals IDCG exactly, dense ranks or not.
+    # The truth frame is panel-sized, so the window is bounded.
     ideal = (
-        t.withColumn("pos", F.row_number().over(w))
-        .select("query_id", "pos", kcol)
+        t.select("query_id", "pos", kcol)
         .groupBy("query_id", "k")
         .agg(
             F.sum(

@@ -16,6 +16,7 @@ the join back is always a broadcast.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -664,7 +665,19 @@ def hbos_scores(
     TakeOrdered(top_n) on the ROUNDED score with the id tiebreak.
     Densities are exact integer ratios, so -ln sees identical
     rationals on every engine. Returns (id, score) for the top_n most
-    anomalous rows."""
+    anomalous rows.
+
+    NULL policy (explicit): rows with a NULL in ANY feature are
+    EXCLUDED before binning. Without this, NULL flows through floor()
+    as NULL and least/greatest skip NULLs, silently clamping the row
+    to the top bin — scoring a missing value as if it were extreme."""
+    df = df.filter(
+        F.lit(True)
+        if not feature_cols
+        else reduce(
+            lambda a, b: a & b, [F.col(c).isNotNull() for c in feature_cols]
+        )
+    )
     ranges = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in feature_cols],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in feature_cols],

@@ -182,6 +182,11 @@ class SessionTimeoutProcessor(StatefulProcessor):
             mn, mx = int(ts.min()), int(ts.max())
             first_ms = mn if first_ms is None else min(first_ms, mn)
             last_ms = mx if last_ms is None else max(last_ms, mx)
+        # Every Arrow chunk can be empty (the engine may invoke a key
+        # with no new rows); with no prior state there is nothing to
+        # time out, and last_ms + gap would be None + int.
+        if last_ms is None:
+            return iter(())
         for t in self._handle.listTimers():
             self._handle.deleteTimer(t)
         self._handle.registerTimer(last_ms + self._gap)
