@@ -23,9 +23,35 @@ Step 3 is the commit point. A crash before it leaves orphan data files
 and possibly an orphan manifest, but `_current` still resolves to the
 last complete snapshot — readers are never broken; `vacuum` removes
 the orphans. Readers go pointer → manifest → explicit file list, so
-they see one snapshot even while a writer is mid-commit (snapshot
-isolation for single-writer / many-reader; concurrent writers need the
-compare-and-swap a real table format provides — documented, not faked).
+they see one snapshot even while a writer is mid-commit.
+
+Concurrent writers — version-fenced compare-and-swap (the same idea
+Delta Lake's transaction log uses: the O_EXCL create of log file N IS
+the lock for commit N):
+
+    snapshot_write_cas(df, table, expected_version=P)
+        commits ONLY as version P+1, and only if no other writer got
+        there first. The manifest file v{P+1}.json is created with
+        O_CREAT|O_EXCL — exactly one writer can own a version slot —
+        and the pointer is re-checked against P immediately before the
+        claim. A loser raises ConcurrentCommitError with the table
+        untouched (its staged data files are orphans vacuum removes).
+
+    snapshot_merge_cas / snapshot_apply_cdc_cas
+        retry-with-REBASE helpers: on a lost race they re-read the NEW
+        current snapshot, recompute the merge against it, and try the
+        next slot — so a streaming CDC sink and a batch compaction job
+        pointed at the same table serialize instead of last-writer-wins
+        silently dropping one commit.
+
+Why this is safe on any FS with O_EXCL + atomic rename: the pointer
+can only move P→P+1 by the unique owner of slot P+1, whose result was
+computed against snapshot P; a second writer that read P must lose the
+O_EXCL claim on P+1 and rebase on the new current. A writer that
+crashes BETWEEN claiming the slot and swapping the pointer leaves the
+slot dead (indistinguishable from slow on a plain filesystem — the
+classic limitation Delta solves with storage-level mutual exclusion);
+`release_orphan_slot` frees it explicitly after operator review.
 """
 
 from __future__ import annotations
@@ -102,6 +128,182 @@ def _write_data(df: DataFrame, table: str, version: int) -> list[str]:
         os.path.relpath(p, table)
         for p in glob.glob(os.path.join(glob.escape(commit_dir), "part-*.parquet"))
     ]
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer claimed the next version slot, or the table moved
+    past expected_version. The losing commit left the table untouched;
+    rebase on the new current snapshot and retry."""
+
+
+def _commit_cas(table: str, expected_version: int | None, files: Sequence[str]) -> int:
+    """Version-fenced commit: claim slot expected+1 via O_EXCL manifest
+    create, then swap the pointer. Raises ConcurrentCommitError if the
+    pointer moved or the slot is already owned."""
+    cur = current_version(table)
+    if cur != expected_version:
+        raise ConcurrentCommitError(
+            f"{table}: expected version {expected_version}, found {cur} "
+            "(another writer committed first — rebase and retry)"
+        )
+    version = (expected_version or 0) + 1
+    os.makedirs(_manifest_dir(table), exist_ok=True)
+    manifest = os.path.join(_manifest_dir(table), f"v{version}.json")
+    try:
+        fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"{table}: version slot v{version} is already claimed "
+            "(a concurrent writer owns it, or a crashed commit left an "
+            "orphan slot — see release_orphan_slot)"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        json.dump({"version": version, "files": sorted(files)}, f)
+    fd2, tmp = tempfile.mkstemp(prefix="_current.tmp-", dir=table)
+    with os.fdopen(fd2, "w") as f:
+        f.write(str(version))
+    os.rename(tmp, _pointer_path(table))  # the commit point
+    return version
+
+
+def _write_data_unique(df: DataFrame, table: str, version: int) -> list[str]:
+    """CAS step 1: stage data files under a per-ATTEMPT unique dir so
+    two racers for the same slot never collide on a directory; the
+    loser's files are orphans vacuum removes."""
+    commit_dir = tempfile.mkdtemp(
+        prefix=f"commit-{version}-", dir=_ensure_data_root(table)
+    )
+    os.rmdir(commit_dir)  # parquet writer wants to create it itself
+    df.write.parquet(commit_dir)
+    return [
+        os.path.relpath(p, table)
+        for p in glob.glob(os.path.join(glob.escape(commit_dir), "part-*.parquet"))
+    ]
+
+
+def _ensure_data_root(table: str) -> str:
+    root = os.path.join(table, "data")
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def snapshot_write_cas(
+    df: DataFrame,
+    table: str,
+    expected_version: int | None,
+    mode: str = "overwrite",
+) -> int:
+    """Commit df as version expected+1 IFF the table is still at
+    `expected_version` (None = must still be empty) and no concurrent
+    writer owns that slot. Raises ConcurrentCommitError on a lost race
+    — the table is untouched and the caller must rebase (re-read the
+    new current snapshot, recompute, retry)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    os.makedirs(table, exist_ok=True)
+    version = (expected_version or 0) + 1
+    files = _write_data_unique(df, table, version)
+    if mode == "append" and expected_version is not None:
+        files = list(_read_manifest(table, expected_version)) + files
+    return _commit_cas(table, expected_version, files)
+
+
+def snapshot_merge_cas(
+    source: DataFrame,
+    table: str,
+    pk: Sequence[str],
+    dedup_order: Sequence | None = None,
+    max_retries: int = 5,
+) -> int:
+    """snapshot_merge with retry-and-REBASE under contention: each
+    attempt reads the CURRENT snapshot, computes the merge against it,
+    and commits with that version as the fence — a lost race recomputes
+    against the winner's result instead of silently overwriting it.
+    This is the commit discipline a streaming CDC sink and a batch
+    compaction job need to share one table."""
+    spark = source.sparkSession
+    order = (
+        list(dedup_order)
+        if dedup_order is not None
+        else default_dedup_order(source.columns, pk)
+    )
+    last: ConcurrentCommitError | None = None
+    for _ in range(max_retries):
+        expected = current_version(table)
+        if expected is None:
+            from azure_data_engineering_spark.operators.relational import (
+                dedup_keep_first,
+            )
+
+            merged = dedup_keep_first(source, pk, order)
+        else:
+            target = snapshot_read(spark, table, version=expected)
+            merged = merge_upsert(target, source, pk, dedup_order=order)
+        try:
+            return snapshot_write_cas(merged, table, expected, mode="overwrite")
+        except ConcurrentCommitError as exc:
+            last = exc
+            continue
+    raise ConcurrentCommitError(
+        f"{table}: lost {max_retries} consecutive commit races"
+    ) from last
+
+
+def snapshot_apply_cdc_cas(
+    changes: DataFrame,
+    table: str,
+    pk: Sequence[str],
+    op_col: str = "op",
+    dedup_order: Sequence | None = None,
+    max_retries: int = 5,
+) -> int:
+    """snapshot_apply_cdc with the same retry-and-rebase CAS discipline
+    as snapshot_merge_cas — the changelog batch re-applies cleanly
+    against whatever snapshot won the race, because I/U/D application
+    is computed fresh from the current table on every attempt."""
+    from azure_data_engineering_spark.operators.upsert import apply_cdc
+
+    spark = changes.sparkSession
+    payload = [c for c in changes.columns if c != op_col]
+    order = (
+        list(dedup_order)
+        if dedup_order is not None
+        else default_dedup_order(payload, pk)
+    )
+    last: ConcurrentCommitError | None = None
+    for _ in range(max_retries):
+        expected = current_version(table)
+        if expected is None:
+            target = spark.createDataFrame([], changes.select(*payload).schema)
+        else:
+            target = snapshot_read(spark, table, version=expected)
+        applied = apply_cdc(target, changes, pk, op_col=op_col, dedup_order=order)
+        try:
+            return snapshot_write_cas(applied, table, expected, mode="overwrite")
+        except ConcurrentCommitError as exc:
+            last = exc
+            continue
+    raise ConcurrentCommitError(
+        f"{table}: lost {max_retries} consecutive commit races"
+    ) from last
+
+
+def release_orphan_slot(table: str, version: int) -> None:
+    """Free a version slot claimed by a writer that died between the
+    O_EXCL manifest create and the pointer swap. DESTRUCTIVE if the
+    writer is merely slow — on a plain filesystem dead and slow are
+    indistinguishable (the limitation real table formats solve with
+    storage-level mutual exclusion), so this is an explicit operator
+    action, never called automatically. Refuses to touch a committed
+    version."""
+    cur = current_version(table)
+    if cur is not None and version <= cur:
+        raise ValueError(
+            f"v{version} is committed (current is v{cur}); refusing to release"
+        )
+    manifest = os.path.join(_manifest_dir(table), f"v{version}.json")
+    if os.path.exists(manifest):
+        os.remove(manifest)
 
 
 def snapshot_write(df: DataFrame, table: str, mode: str = "overwrite") -> int:

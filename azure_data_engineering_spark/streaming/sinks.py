@@ -115,8 +115,12 @@ def stream_upsert_to_snapshot(
     time-travelable. This is the object-store-safe variant of
     stream_upsert_to_parquet — the commit point is a single pointer
     rename, not a directory swap — and the closest filesystem analogue
-    of MERGE-per-batch on Delta/Iceberg."""
-    from azure_data_engineering_spark.sources.snapshot import snapshot_merge
+    of MERGE-per-batch on Delta/Iceberg. Commits go through the
+    version-fenced CAS path (snapshot_merge_cas), so this sink can
+    share the table with a concurrent batch writer (e.g. compaction)
+    without last-writer-wins dropping a commit — a lost race rebases
+    on the winner's snapshot and retries."""
+    from azure_data_engineering_spark.sources.snapshot import snapshot_merge_cas
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         order = (
@@ -124,7 +128,7 @@ def stream_upsert_to_snapshot(
             if dedup_order is not None
             else default_dedup_order(batch_df.columns, pk)
         )
-        snapshot_merge(batch_df, table, pk, dedup_order=order)
+        snapshot_merge_cas(batch_df, table, pk, dedup_order=order)
 
     writer = stream.writeStream.foreachBatch(upsert_batch).queryName(query_name)
     if checkpoint:
@@ -148,11 +152,16 @@ def stream_cdc_to_snapshot(
     as one atomic commit, so a delete that arrives in batch N is
     absent from version N but still visible when time-traveling to
     N-1. This is the Debezium-consumer shape: upstream row images
-    tagged I/U/D, downstream table always a consistent version."""
-    from azure_data_engineering_spark.sources.snapshot import snapshot_apply_cdc
+    tagged I/U/D, downstream table always a consistent version.
+    Commits are version-fenced (snapshot_apply_cdc_cas): a concurrent
+    batch writer on the same table costs this sink a rebase-and-retry,
+    never a silently dropped commit."""
+    from azure_data_engineering_spark.sources.snapshot import snapshot_apply_cdc_cas
 
     def cdc_batch(batch_df: DataFrame, batch_id: int) -> None:
-        snapshot_apply_cdc(batch_df, table, pk, op_col=op_col, dedup_order=dedup_order)
+        snapshot_apply_cdc_cas(
+            batch_df, table, pk, op_col=op_col, dedup_order=dedup_order
+        )
 
     writer = stream.writeStream.foreachBatch(cdc_batch).queryName(query_name)
     if checkpoint:
