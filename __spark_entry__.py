@@ -2641,6 +2641,105 @@ FROM px GROUP BY id, w, h, nw, nh
 """
 
 
+def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG marker-walk metadata + mixed-format crawl triage
+    (sources/media_codecs.jpeg_metadata, ITU-T T.81 §B marker stream +
+    EXIF IFD0; sources/multimodal.image_metadata_full): a mixed fixture
+    of real PNG bytes (odd ids), structurally valid JPEG containers
+    (even ids — SOF0/SOF2 dims+components, optional EXIF orientation,
+    some truncated mid-entropy-data), and non-image junk (ids % 50 == 0)
+    flows through ONE mapInPandas kernel that sniffs, parses, and
+    flags. `keep` is the dimension screen a crawl dedup pipeline runs
+    before ever decoding a pixel: non-corrupt, non-truncated, and at
+    least 8x8. The oracle recomputes every column from the generating
+    formulas — a marker-walk bug (segment lengths, endianness, EXIF
+    IFD layout, truncation detection) breaks the hash."""
+    import pandas as pd
+
+    from azure_data_engineering_spark.sources.media_codecs import (
+        jpeg_container,
+        png_encode,
+    )
+    from azure_data_engineering_spark.sources.multimodal import image_metadata_full
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select("doc_id")
+
+    def make_mixed(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                i = int(row["doc_id"])
+                if i % 50 == 0:
+                    payload = f"not an image {i}".encode()
+                elif i % 2 == 0:
+                    payload = jpeg_container(
+                        width=i % 61 + 1,
+                        height=i % 47 + 1,
+                        components=i % 3 + 1,
+                        progressive=(i % 4 == 0),
+                        orientation=i % 9,
+                        truncate=(i % 10 == 6),
+                    )
+                else:
+                    w, h = i % 31 + 1, i % 23 + 1
+                    px = bytes((i * 7 + k) % 256 for k in range(w * h))
+                    payload = png_encode(px, w, h, channels=1)
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = d.mapInPandas(make_mixed, schema="id bigint, payload binary")
+    meta = image_metadata_full(payloads)
+    return meta.withColumn(
+        "keep",
+        (
+            (F.col("format") != "corrupt")
+            & (F.col("truncated") == 0)
+            & (F.col("width") >= 8)
+            & (F.col("height") >= 8)
+        ).cast("int"),
+    )
+
+
+Q_IMAGE_METADATA_SQL = """
+WITH d AS (
+  SELECT doc_id AS id FROM documents WHERE doc_id < 400
+), m AS (
+  SELECT id,
+         CASE WHEN id % 50 = 0 THEN 'corrupt'
+              WHEN id % 2 = 0 THEN 'jpeg'
+              ELSE 'png' END AS format
+  FROM d
+), meta AS (
+  SELECT id, format,
+         CASE format WHEN 'corrupt' THEN 0
+                     WHEN 'jpeg' THEN id % 61 + 1
+                     ELSE id % 31 + 1 END AS width,
+         CASE format WHEN 'corrupt' THEN 0
+                     WHEN 'jpeg' THEN id % 47 + 1
+                     ELSE id % 23 + 1 END AS height,
+         CASE format WHEN 'corrupt' THEN 0
+                     WHEN 'jpeg' THEN id % 3 + 1
+                     ELSE 1 END AS components,
+         CASE WHEN format = 'jpeg' AND id % 4 = 0 THEN 1 ELSE 0 END AS progressive,
+         CASE WHEN format = 'jpeg' THEN id % 9 ELSE 0 END AS orientation,
+         CASE WHEN format = 'corrupt' THEN 1
+              WHEN format = 'jpeg' AND id % 10 = 6 THEN 1
+              ELSE 0 END AS truncated
+  FROM m
+)
+SELECT id, format,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(components AS BIGINT) AS components,
+       CAST(progressive AS INT) AS progressive,
+       CAST(orientation AS BIGINT) AS orientation,
+       CAST(truncated AS INT) AS truncated,
+       CAST(CASE WHEN format <> 'corrupt' AND truncated = 0
+                  AND width >= 8 AND height >= 8
+             THEN 1 ELSE 0 END AS INT) AS keep
+FROM meta
+"""
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV codec end-to-end on executors (stdlib wave): per doc, a
     deterministic mono 16-bit PCM clip (frame i = (id*31 + i*7) % 4001
@@ -14925,6 +15024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_eb_rates": q_eb_rates,
         "q_holt_winters": q_holt_winters,
         "q_funnel_latency": q_funnel_latency,
+        "q_image_metadata": q_image_metadata,
     }
 
 
@@ -15254,4 +15354,5 @@ def oracle_sql() -> dict[str, str]:
         "q_eb_rates": Q_EB_RATES_SQL,
         "q_holt_winters": Q_HOLT_WINTERS_SQL,
         "q_funnel_latency": Q_FUNNEL_LATENCY_SQL,
+        "q_image_metadata": Q_IMAGE_METADATA_SQL,
     }

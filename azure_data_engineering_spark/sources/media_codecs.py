@@ -1,4 +1,5 @@
-"""Pure-stdlib media codecs: PNG (zlib), BMP (struct), WAV (wave).
+"""Pure-stdlib media codecs: PNG (zlib), BMP (struct), WAV (wave),
+JPEG metadata (marker walk — ITU-T T.81 §B + EXIF orientation).
 
 The container has no PIL/ffmpeg/cv2 and installs are off-limits, but
 PNG's pixel model is just zlib-inflated filtered scanlines and WAV is
@@ -28,9 +29,11 @@ _PNG_SAMPLES = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff(payload: bytes) -> str | None:
-    """Magic-byte format detection: 'png' | 'bmp' | 'wav' | None."""
+    """Magic-byte format detection: 'png' | 'jpeg' | 'bmp' | 'wav' | None."""
     if payload[:8] == PNG_SIG:
         return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -222,6 +225,187 @@ def wav_encode(samples: bytes, sample_rate: int, channels: int = 1, sampwidth: i
         w.setframerate(sample_rate)
         w.writeframes(samples)
     return buf.getvalue()
+
+
+# ----------------------------------------------------------------- JPEG
+#
+# Real crawl corpora are overwhelmingly JPEG; a full stdlib baseline+
+# progressive DCT decoder is out of scope, but every size/aspect filter,
+# EXIF-orientation fix-up, and corrupt-file quarantine needs only the
+# MARKER STREAM (ITU-T T.81 §B) plus the EXIF TIFF IFD (orientation tag
+# 0x0112). jpeg_metadata walks markers without touching entropy-coded
+# data, so it is O(header bytes) per image regardless of pixel count.
+
+_JPEG_STANDALONE = frozenset(
+    [0x01, 0xD0, 0xD1, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9]
+)
+# SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC); progressive = SOF2/6/10/14
+_JPEG_SOF = frozenset(
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+)
+_JPEG_PROGRESSIVE = frozenset([0xC2, 0xC6, 0xCA, 0xCE])
+
+
+def _exif_orientation(app1: bytes) -> int:
+    """Orientation (1-8) from an APP1 EXIF payload, 0 if absent or
+    malformed. Parses the TIFF header + IFD0 per the public EXIF spec:
+    byte order II/MM, magic 42, then 12-byte IFD entries of
+    (tag, type, count, value); tag 0x0112 is a SHORT whose value sits
+    in the first two bytes of the inline value field."""
+    if not app1.startswith(b"Exif\x00\x00"):
+        return 0
+    t = app1[6:]
+    if len(t) < 8:
+        return 0
+    if t[:2] == b"II":
+        end = "<"
+    elif t[:2] == b"MM":
+        end = ">"
+    else:
+        return 0
+    try:
+        (magic,) = struct.unpack(end + "H", t[2:4])
+        if magic != 42:
+            return 0
+        (ifd0,) = struct.unpack(end + "I", t[4:8])
+        if ifd0 + 2 > len(t):
+            return 0
+        (n_entries,) = struct.unpack(end + "H", t[ifd0 : ifd0 + 2])
+        for i in range(n_entries):
+            off = ifd0 + 2 + 12 * i
+            if off + 12 > len(t):
+                return 0
+            tag, typ = struct.unpack(end + "HH", t[off : off + 4])
+            if tag == 0x0112 and typ == 3:  # SHORT
+                (val,) = struct.unpack(end + "H", t[off + 8 : off + 10])
+                return val if 1 <= val <= 8 else 0
+    except struct.error:
+        return 0
+    return 0
+
+
+def jpeg_metadata(payload: bytes) -> tuple[int, int, int, bool, int, bool]:
+    """(width, height, components, progressive, orientation, truncated)
+    from a JPEG payload via a marker walk — no entropy decoding.
+
+    - width/height/components from the first SOF segment (0 each if
+      the stream dies before one);
+    - progressive iff that SOF is SOF2/6/10/14;
+    - orientation from the EXIF APP1 IFD0 tag 0x0112 (0 = absent);
+    - truncated=True when a segment length overruns the buffer, a
+      marker byte is missing, or the entropy stream ends without EOI —
+      the corrupt-file quarantine signal.
+
+    Raises ValueError only when the payload is not JPEG at all (no SOI
+    signature)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    width = height = components = 0
+    progressive = False
+    orientation = 0
+    saw_sof = False
+    pos = 2
+    n = len(payload)
+    while True:
+        if pos >= n:
+            return width, height, components, progressive, orientation, True
+        if payload[pos] != 0xFF:
+            # garbage between segments — quarantine, don't guess
+            return width, height, components, progressive, orientation, True
+        while pos < n and payload[pos] == 0xFF:  # fill bytes are legal
+            pos += 1
+        if pos >= n:
+            return width, height, components, progressive, orientation, True
+        marker = payload[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI — complete stream
+            return width, height, components, progressive, orientation, False
+        if marker in _JPEG_STANDALONE:
+            continue
+        if pos + 2 > n:
+            return width, height, components, progressive, orientation, True
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seglen < 2 or pos + seglen > n:
+            return width, height, components, progressive, orientation, True
+        seg = payload[pos + 2 : pos + seglen]
+        if marker in _JPEG_SOF and not saw_sof:
+            if len(seg) < 6:
+                return width, height, components, progressive, orientation, True
+            height, width = struct.unpack(">HH", seg[1:5])
+            components = seg[5]
+            progressive = marker in _JPEG_PROGRESSIVE
+            saw_sof = True
+        elif marker == 0xE1 and orientation == 0:
+            orientation = _exif_orientation(seg)
+        pos += seglen
+        if marker == 0xDA:
+            # entropy-coded data: scan to the next real marker (FF
+            # followed by anything but 00-stuffing or RST0-7)
+            while pos + 1 < n:
+                if payload[pos] == 0xFF and payload[pos + 1] not in (
+                    0x00,
+                    0xD0,
+                    0xD1,
+                    0xD2,
+                    0xD3,
+                    0xD4,
+                    0xD5,
+                    0xD6,
+                    0xD7,
+                ):
+                    break
+                pos += 1
+            else:
+                return width, height, components, progressive, orientation, True
+
+
+def jpeg_container(
+    width: int,
+    height: int,
+    components: int = 3,
+    progressive: bool = False,
+    orientation: int = 0,
+    entropy_bytes: int = 16,
+    truncate: bool = False,
+) -> bytes:
+    """A structurally valid JPEG MARKER STREAM for fixtures and tests:
+    SOI, JFIF APP0, optional EXIF APP1 (orientation), DQT, SOF0/SOF2,
+    DHT, SOS, `entropy_bytes` of FF-free entropy filler, EOI. The
+    entropy data is filler (this module parses metadata, it does not
+    DCT-decode), but every header segment is spec-shaped, so any
+    marker-walking consumer sees a real JPEG container. truncate=True
+    chops the stream mid-entropy-data (no EOI) to model an interrupted
+    download."""
+    if not 1 <= components <= 255:
+        raise ValueError("components must fit one byte")
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    if orientation:
+        tiff = (
+            b"II" + struct.pack("<HI", 42, 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+            + struct.pack("<I", 0)
+        )
+        exif = b"Exif\x00\x00" + tiff
+        out += b"\xff\xe1" + struct.pack(">H", len(exif) + 2) + exif
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)  # DQT
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = struct.pack(">BHHB", 8, height, width, components)
+    sof += b"".join(
+        struct.pack(">BBB", c + 1, 0x11, 0) for c in range(components)
+    )
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+    out += b"\xff\xc4" + struct.pack(">H", 31) + b"\x00" + bytes(28)  # DHT
+    sos = struct.pack(">B", components)
+    sos += b"".join(struct.pack(">BB", c + 1, 0) for c in range(components))
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bytes((i * 37 + 11) % 255 for i in range(entropy_bytes))  # FF-free
+    if truncate:
+        return bytes(out[: len(out) - max(entropy_bytes // 2, 1)])
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def wav_decode(payload: bytes) -> tuple[int, int, int, int, bytes]:

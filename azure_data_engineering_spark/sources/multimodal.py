@@ -127,6 +127,12 @@ def decode_image_metadata(df: DataFrame) -> DataFrame:
                     if fmt == "png":
                         w, h, _depth, color = png_header(b)
                         channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color, 0)
+                    elif fmt == "jpeg":
+                        from azure_data_engineering_spark.sources.media_codecs import (
+                            jpeg_metadata,
+                        )
+
+                        w, h, channels, _p, _o, _t = jpeg_metadata(b)
                     elif fmt == "bmp":
                         w, h, bpp = bmp_header(b)
                         channels = max(bpp // 8, 1)
@@ -139,6 +145,73 @@ def decode_image_metadata(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id", "format", "width", "height", "channels"])
 
     return df.mapInPandas(kernel, schema=IMAGE_META_SCHEMA)
+
+
+IMAGE_META_FULL_SCHEMA = (
+    "id bigint, format string, width long, height long, components long, "
+    "progressive int, orientation long, truncated int"
+)
+
+
+def image_metadata_full(df: DataFrame) -> DataFrame:
+    """Crawl-grade image metadata over a MIXED PNG/JPEG binary column
+    (sources/media_codecs.jpeg_metadata marker walk for JPEG — SOF
+    dimensions/components, SOF2-family progressive flag, EXIF
+    orientation, truncation detection; PNG IHDR for PNG). Input:
+    (id, payload). Output one row per image with `truncated` = the
+    corrupt-file quarantine signal (a JPEG whose marker stream dies
+    before EOI — interrupted download / bit rot) and format='corrupt'
+    for payloads that are neither. progressive/truncated are ints so
+    the frame stays scalar-canonicalizable.
+
+    Scale shape: pure mapInPandas — bytes never visit the driver, work
+    is O(header bytes) per JPEG (entropy data is skipped by the marker
+    walk, not decoded), and the output frame is metadata-sized. This
+    is the filter step a 100 TB image-crawl pipeline runs FIRST:
+    size/aspect screens, EXIF-orientation fix-up routing, progressive
+    re-encode queues, and corrupt quarantine all come from this frame
+    without ever DCT-decoding a pixel."""
+    from azure_data_engineering_spark.sources.media_codecs import (
+        jpeg_metadata,
+        png_header,
+        sniff,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                b = bytes(row["payload"])
+                fmt = sniff(b)
+                try:
+                    if fmt == "jpeg":
+                        w, h, comp, prog, ori, trunc = jpeg_metadata(b)
+                        rows.append(
+                            (row["id"], "jpeg", w, h, comp, int(prog), ori, int(trunc))
+                        )
+                    elif fmt == "png":
+                        w, h, _depth, color = png_header(b)
+                        comp = {0: 1, 2: 3, 4: 2, 6: 4}.get(color, 0)
+                        rows.append((row["id"], "png", w, h, comp, 0, 0, 0))
+                    else:
+                        raise ValueError("unknown format")
+                except (ValueError, IndexError, KeyError):
+                    rows.append((row["id"], "corrupt", 0, 0, 0, 0, 0, 1))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "format",
+                    "width",
+                    "height",
+                    "components",
+                    "progressive",
+                    "orientation",
+                    "truncated",
+                ],
+            )
+
+    return df.mapInPandas(kernel, schema=IMAGE_META_FULL_SCHEMA)
 
 
 PIXEL_STATS_SCHEMA = (

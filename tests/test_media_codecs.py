@@ -228,3 +228,84 @@ class TestAudioFrameSampling:
             for r in sample_audio_frames(df, every_n=4).collect()
         )
         assert rows == [(0, 0), (1, 40), (2, 80)]  # frames 0,4,8 left channel
+
+
+class TestJpegMetadata:
+    """Marker-walk JPEG metadata (media_codecs.jpeg_metadata): ITU-T
+    T.81 §B segment structure + EXIF IFD0 orientation + truncation
+    detection, with zero entropy decoding."""
+
+    def test_round_trip_matrix(self):
+        for w, h, c, prog, ori, tr in [
+            (640, 480, 3, False, 0, False),
+            (1, 1, 1, False, 1, False),
+            (65535, 65535, 3, True, 8, False),
+            (31, 23, 2, True, 6, True),
+        ]:
+            b = M.jpeg_container(w, h, c, progressive=prog, orientation=ori, truncate=tr)
+            assert M.sniff(b) == "jpeg"
+            assert M.jpeg_metadata(b) == (w, h, c, prog, ori, tr)
+
+    def test_not_a_jpeg_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="SOI"):
+            M.jpeg_metadata(b"hello")
+
+    def test_header_truncation_detected(self):
+        full = M.jpeg_container(100, 50, 3)
+        # cut inside the APP0 segment: no SOF ever seen, flagged
+        assert M.jpeg_metadata(full[:10]) == (0, 0, 0, False, 0, True)
+        # cut right after SOF but before EOI: dims survive, truncated
+        w, h, c, prog, ori, tr = M.jpeg_metadata(full[: len(full) - 4])
+        assert (w, h, c, tr) == (100, 50, 3, True)
+
+    def test_garbage_between_segments_is_truncated_not_crash(self):
+        assert M.jpeg_metadata(b"\xff\xd8zzzz")[5] is True
+
+    def test_big_endian_exif(self):
+        # hand-build an MM (Motorola) EXIF block; container builder
+        # emits II, so this covers the other byte order
+        tiff = (
+            b"MM" + struct.pack(">HI", 42, 8)
+            + struct.pack(">H", 1)
+            + struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">HH", 5, 0)
+            + struct.pack(">I", 0)
+        )
+        assert M._exif_orientation(b"Exif\x00\x00" + tiff) == 5
+
+    def test_segment_length_overrun_is_truncated(self):
+        # SOI + APP0 claiming 1000 bytes but buffer ends
+        b = b"\xff\xd8\xff\xe0" + struct.pack(">H", 1000) + b"JFIF\x00"
+        assert M.jpeg_metadata(b)[5] is True
+
+    def test_restart_markers_in_entropy_stream(self):
+        # RST0-7 inside entropy data must not terminate the scan
+        base = M.jpeg_container(16, 16, 1, entropy_bytes=4)
+        # splice an RST2 marker into the entropy data (before EOI)
+        b = base[:-2] + b"\xff\xd2" + b"\x11\x22" + base[-2:]
+        assert M.jpeg_metadata(b) == (16, 16, 1, False, 0, False)
+
+
+class TestMixedImageMetadata:
+    def test_mixed_png_jpeg_corrupt_triage(self, spark):
+        from azure_data_engineering_spark.sources.multimodal import (
+            image_metadata_full,
+        )
+
+        rows = [
+            (1, M.png_encode(bytes(range(12)), 4, 3, channels=1)),
+            (2, M.jpeg_container(640, 480, 3, orientation=6)),
+            (3, M.jpeg_container(9, 9, 1, progressive=True, truncate=True)),
+            (4, b"plain text junk"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "payload"]))
+        got = {
+            r.id: (r.format, r.width, r.height, r.components, r.progressive,
+                   r.orientation, r.truncated)
+            for r in image_metadata_full(df).collect()
+        }
+        assert got[1] == ("png", 4, 3, 1, 0, 0, 0)
+        assert got[2] == ("jpeg", 640, 480, 3, 0, 6, 0)
+        assert got[3] == ("jpeg", 9, 9, 1, 1, 0, 1)
+        assert got[4] == ("corrupt", 0, 0, 0, 0, 0, 1)
