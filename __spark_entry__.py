@@ -14674,6 +14674,319 @@ SELECT * FROM a ORDER BY step
 """
 
 
+# ---------------------------------------------------------------- round 8
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Spearman rank correlation with tie midranks
+    (operators/stats.spearman_corr): quantity vs extendedprice within
+    each lineitem returnflag — the monotonic-association screen that
+    survives the heavy tails Pearson chokes on. Ranks come from the
+    DISTINCT-VALUE histogram (roc_auc's midrank discipline), doubled
+    so tie-average ranks are exact BIGINTs; five DECIMAL(38,0) moment
+    sums; ONE double evaluation of the Pearson-over-ranks formula —
+    identical expression tree in both engines. l_quantity has only 50
+    distinct values per group, so the tie runs are long and the
+    midrank math is genuinely load-bearing here."""
+    from azure_data_engineering_spark.operators.stats import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(
+        li, "l_returnflag", "l_quantity", "l_extendedprice"
+    ).orderBy("group")
+
+
+Q_SPEARMAN_SQL = """
+WITH r AS MATERIALIZED (
+  SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), hx AS (
+  SELECT g, x AS v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+), rx AS (
+  SELECT g, v,
+         2 * (sum(c) OVER (PARTITION BY g ORDER BY v) - c) + c + 1 AS dr
+  FROM hx
+), hy AS (
+  SELECT g, y AS v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+), ry AS (
+  SELECT g, v,
+         2 * (sum(c) OVER (PARTITION BY g ORDER BY v) - c) + c + 1 AS dr
+  FROM hy
+), ranked AS (
+  SELECT r.g, rx.dr AS drx, ry.dr AS dry
+  FROM r
+  JOIN rx ON rx.g = r.g AND rx.v = r.x
+  JOIN ry ON ry.g = r.g AND ry.v = r.y
+), mom AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(drx AS DECIMAL(38,0))) AS sx,
+         sum(CAST(dry AS DECIMAL(38,0))) AS sy,
+         sum(CAST(drx * drx AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(dry * dry AS DECIMAL(38,0))) AS syy,
+         sum(CAST(drx * dry AS DECIMAL(38,0))) AS sxy
+  FROM ranked GROUP BY 1
+)
+SELECT g AS "group", n,
+       round(
+         CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+              THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         END, 6) AS spearman_rho
+FROM mom ORDER BY "group"
+"""
+
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function + Ljung-Box portmanteau per event-type
+    daily series (operators/timeseries.acf_ljung_box, Ljung & Box
+    1978): r_1..r_7 and cumulative Q — the white-noise rejection test
+    run before fitting any forecaster, with the weekly seasonality the
+    synthetic event stream carries showing up at lag 7. Centered terms
+    are scaled by n so numerator/denominator are exact DECIMAL(38,0)
+    sums; Q summands are 12 dp decimals so the cumulative window sum
+    is accumulation-order-free across engines."""
+    from azure_data_engineering_spark.operators.timeseries import acf_ljung_box
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.date_format("ts", "yyyy-MM-dd").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return acf_ljung_box(daily, "g", "t", "x", max_lag=7).orderBy(
+        "group", "lag"
+    )
+
+
+Q_ACF_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS t,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx FROM d GROUP BY 1
+), c AS MATERIALIZED (
+  SELECT d.g, d.t, tot.n, tot.n * d.x - tot.sx AS c
+  FROM d JOIN tot USING (g)
+), led AS MATERIALIZED (
+  SELECT g, n, c,
+         lead(c, 1) OVER win AS l1, lead(c, 2) OVER win AS l2,
+         lead(c, 3) OVER win AS l3, lead(c, 4) OVER win AS l4,
+         lead(c, 5) OVER win AS l5, lead(c, 6) OVER win AS l6,
+         lead(c, 7) OVER win AS l7
+  FROM c WINDOW win AS (PARTITION BY g ORDER BY t)
+), denom AS (
+  SELECT g, sum(CAST(c * c AS DECIMAL(38,0))) AS dd FROM led GROUP BY 1
+), nums AS (
+  SELECT g, max(n) AS n,
+         sum(CAST(c * l1 AS DECIMAL(38,0))) AS s1,
+         sum(CAST(c * l2 AS DECIMAL(38,0))) AS s2,
+         sum(CAST(c * l3 AS DECIMAL(38,0))) AS s3,
+         sum(CAST(c * l4 AS DECIMAL(38,0))) AS s4,
+         sum(CAST(c * l5 AS DECIMAL(38,0))) AS s5,
+         sum(CAST(c * l6 AS DECIMAL(38,0))) AS s6,
+         sum(CAST(c * l7 AS DECIMAL(38,0))) AS s7
+  FROM led GROUP BY 1
+), stacked AS (
+  SELECT g, n,
+         unnest([1, 2, 3, 4, 5, 6, 7]) AS lag,
+         unnest([
+           round(CAST(s1 AS DOUBLE) / CAST(dd AS DOUBLE), 9),
+           round(CAST(s2 AS DOUBLE) / CAST(dd AS DOUBLE), 9),
+           round(CAST(s3 AS DOUBLE) / CAST(dd AS DOUBLE), 9),
+           round(CAST(s4 AS DOUBLE) / CAST(dd AS DOUBLE), 9),
+           round(CAST(s5 AS DOUBLE) / CAST(dd AS DOUBLE), 9),
+           round(CAST(s6 AS DOUBLE) / CAST(dd AS DOUBLE), 9),
+           round(CAST(s7 AS DOUBLE) / CAST(dd AS DOUBLE), 9)
+         ]) AS acf9
+  FROM nums JOIN denom USING (g)
+)
+SELECT g AS "group", CAST(lag AS BIGINT) AS lag, n,
+       round(acf9, 6) AS acf,
+       round(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+             * CAST(sum(CAST(round(acf9 * acf9 / CAST(n - lag AS DOUBLE), 12)
+                             AS DECIMAL(20,12)))
+                    OVER (PARTITION BY g ORDER BY lag) AS DOUBLE), 6) AS lb_q
+FROM stacked WHERE lag < n
+ORDER BY "group", lag
+"""
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event-type daily series
+    (operators/timeseries.seasonal_naive_eval): x̂_t = x_{t-7}, scored
+    as MAE / RMSE / sMAPE over every day with a week-old ancestor —
+    the Hyndman baseline any shipped forecaster must beat. Integer
+    error sums, 12 dp decimal sMAPE summands (order-free means), one
+    lag-7 window over the day frame — never over raw events."""
+    from azure_data_engineering_spark.operators.timeseries import (
+        seasonal_naive_eval,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.date_format("ts", "yyyy-MM-dd").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return seasonal_naive_eval(daily, "g", "t", "x", season=7).orderBy("group")
+
+
+Q_FORECAST_BACKTEST_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS t,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), e AS (
+  SELECT g, x, f, x - f AS e FROM (
+    SELECT g, x, lag(x, 7) OVER (PARTITION BY g ORDER BY t) AS f FROM d
+  ) WHERE f IS NOT NULL
+), terms AS (
+  SELECT g, e, x, f,
+         CAST(CASE WHEN abs(x) + abs(f) > 0
+                   THEN round(2.0 * CAST(abs(e) AS DOUBLE)
+                              / CAST(abs(x) + abs(f) AS DOUBLE), 12)
+                   ELSE 0.0 END AS DECIMAL(20,12)) AS smape_term
+  FROM e
+)
+SELECT g AS "group", CAST(count(*) AS BIGINT) AS n_eval,
+       round(CAST(sum(abs(e)) AS DOUBLE) / count(*), 6) AS mae,
+       round(sqrt(CAST(sum(CAST(e * e AS DECIMAL(38,0))) AS DOUBLE)
+                  / count(*)), 6) AS rmse,
+       round(CAST(sum(smape_term) AS DOUBLE) / count(*), 6) AS smape
+FROM terms GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup (functions/urls.
+    canonicalize_url — RFC 3986 §6 normalization subset + tracking-
+    param strip, pure JVM Column expressions): a deterministic fixture
+    of messy absolute URLs (mixed-case schemes/hosts, www., default
+    and explicit ports, trailing slashes, utm_*/gclid params in
+    shuffled positions, fragments) collapses to canonical keys, and
+    n_dups counts how many raw variants share each key — the dedup
+    group size a URL-keyed crawl pipeline shards on. The oracle
+    re-implements the same normalization in DuckDB SQL, so the two
+    independent regex/array implementations must agree byte-for-byte."""
+    from azure_data_engineering_spark.functions.urls import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    scheme = F.when(i % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("HtTp"))
+    www = F.when(i % 5 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    host = F.concat(F.lit("site"), (i % 13).cast("string"), F.lit(".Example.COM"))
+    port = (
+        F.when((i % 4 == 0) & (i % 3 == 0), F.lit(":443"))
+        .when(i % 4 == 0, F.lit(":80"))
+        .when(i % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(
+        i % 2 == 0, F.concat(F.lit("/A/b"), (i % 7).cast("string"), F.lit("/"))
+    ).otherwise(F.lit(""))
+    query = (
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=mail&b="),
+                (i % 3).cast("string"),
+                F.lit("&a=1&utm_campaign=x"),
+            ),
+        )
+        .when(i % 3 == 1, F.lit("?gclid=abc&z=9"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(i % 6 == 0, F.concat(F.lit("#sec"), i.cast("string"))).otherwise(
+        F.lit("")
+    )
+    raw = d.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), www, host, port, path, query, frag).alias(
+            "raw_url"
+        ),
+    )
+    canon = raw.select(
+        "doc_id", "raw_url", canonicalize_url(F.col("raw_url")).alias("canonical_url")
+    )
+    sizes = canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups")
+    )
+    return canon.join(sizes, "canonical_url").select(
+        "doc_id", "raw_url", "canonical_url", "n_dups"
+    )
+
+
+Q_URL_CANONICALIZE_SQL = """
+WITH raw AS MATERIALIZED (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'HtTp' END)
+         || '://'
+         || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+         || 'site' || CAST(doc_id % 13 AS VARCHAR) || '.Example.COM'
+         || (CASE WHEN doc_id % 4 = 0 AND doc_id % 3 = 0 THEN ':443'
+                  WHEN doc_id % 4 = 0 THEN ':80'
+                  WHEN doc_id % 4 = 1 THEN ':8080'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN '/A/b' || CAST(doc_id % 7 AS VARCHAR) || '/'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN '?utm_source=mail&b=' || CAST(doc_id % 3 AS VARCHAR)
+                       || '&a=1&utm_campaign=x'
+                  WHEN doc_id % 3 = 1 THEN '?gclid=abc&z=9'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0
+                  THEN '#sec' || CAST(doc_id AS VARCHAR)
+                  ELSE '' END) AS raw_url
+  FROM documents
+), parts AS (
+  SELECT doc_id, raw_url,
+         lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS authority,
+         regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path_raw,
+         regexp_extract(raw_url, '\\?([^#]*)', 1) AS query
+  FROM raw
+), norm AS (
+  SELECT doc_id, raw_url, scheme,
+         regexp_replace(lower(regexp_extract(authority, '^([^:]*)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_extract(authority, ':(\\d+)$', 1) AS port,
+         CASE WHEN path_raw = '' THEN '/'
+              WHEN length(path_raw) > 1 AND path_raw LIKE '%/'
+              THEN substring(path_raw, 1, length(path_raw) - 1)
+              ELSE path_raw END AS path,
+         coalesce(array_to_string(
+           list_sort(
+             list_filter(string_split(query, '&'),
+               p -> p <> '' AND NOT regexp_matches(
+                 p, '(?i)^(utm_[a-z0-9_]*|gclid|fbclid|ref|mc_eid)='))),
+           '&'), '') AS kept
+  FROM parts
+), canon AS (
+  SELECT doc_id, raw_url,
+         CASE WHEN scheme <> '' AND host <> '' THEN
+           scheme || '://' || host
+           || (CASE WHEN port = ''
+                      OR (scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443')
+                  THEN '' ELSE ':' || port END)
+           || path
+           || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END)
+         END AS canonical_url
+  FROM norm
+)
+SELECT doc_id, raw_url, canonical_url,
+       CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_dups
+FROM canon
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r7 prefix holds 5 pins — core aggregation (q1), streaming
@@ -15025,6 +15338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_holt_winters": q_holt_winters,
         "q_funnel_latency": q_funnel_latency,
         "q_image_metadata": q_image_metadata,
+        "q_spearman": q_spearman,
+        "q_acf": q_acf,
+        "q_forecast_backtest": q_forecast_backtest,
+        "q_url_canonicalize": q_url_canonicalize,
     }
 
 
@@ -15355,4 +15672,8 @@ def oracle_sql() -> dict[str, str]:
         "q_holt_winters": Q_HOLT_WINTERS_SQL,
         "q_funnel_latency": Q_FUNNEL_LATENCY_SQL,
         "q_image_metadata": Q_IMAGE_METADATA_SQL,
+        "q_spearman": Q_SPEARMAN_SQL,
+        "q_acf": Q_ACF_SQL,
+        "q_forecast_backtest": Q_FORECAST_BACKTEST_SQL,
+        "q_url_canonicalize": Q_URL_CANONICALIZE_SQL,
     }

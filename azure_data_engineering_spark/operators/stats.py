@@ -792,3 +792,80 @@ def eb_shrunk_rates(
             ).alias("shrunk_rate"),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with average ranks for ties
+    (Spearman 1904; the tie-corrected form is Pearson over midranks).
+    The monotonic-association screen that survives outliers and
+    nonlinearity — what you reach for before trusting Pearson on
+    heavy-tailed business metrics.
+
+    Scale shape (same discipline as roc_auc's midranks): ranks come
+    from the DISTINCT-VALUE histogram, not row windows — one groupBy
+    to (group, value, count), a prefix sum over each group's value
+    vocabulary, then two vocabulary-sized joins back to the rows and
+    one moment aggregation. No window ever spans corpus rows.
+
+    Exactness: the average rank of a tie run is (rows_before +
+    (run+1)/2), a half-integer — so DOUBLED ranks (2*rows_before +
+    run + 1) are exact BIGINTs. All five moment sums aggregate those
+    integers as DECIMAL(38,0); the final Pearson formula is evaluated
+    once in double from exact inputs, so both engines compute the
+    identical expression tree. Returns (group, n, spearman_rho)."""
+    from pyspark.sql import Window
+
+    r = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def doubled_ranks(col: str) -> DataFrame:
+        hist = r.groupBy("g", F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        w = Window.partitionBy("g").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return hist.select(
+            "g",
+            F.col("v").alias(col),
+            (
+                F.lit(2) * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1
+            ).alias(f"dr_{col}"),
+        )
+
+    ranked = r.join(doubled_ranks("x"), ["g", "x"]).join(
+        doubled_ranks("y"), ["g", "y"]
+    )
+    dec = "decimal(38,0)"
+    mom = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("dr_x").cast(dec)).alias("sx"),
+        F.sum(F.col("dr_y").cast(dec)).alias("sy"),
+        F.sum((F.col("dr_x") * F.col("dr_x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("dr_y") * F.col("dr_y")).cast(dec)).alias("syy"),
+        F.sum((F.col("dr_x") * F.col("dr_y")).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - sx * sx)
+        * (n * F.col("syy").cast("double") - sy * sy)
+    )
+    return mom.select(
+        F.col("g").alias("group"),
+        "n",
+        F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(None)), round_digits
+        ).alias("spearman_rho"),
+    )

@@ -470,3 +470,181 @@ def holt_winters_additive(
         )
 
     return per_period.groupBy(series_col).applyInPandas(fit, out_schema)
+
+
+def acf_ljung_box(
+    series: DataFrame,
+    group_col: str,
+    t_col: str,
+    v_col: str,
+    max_lag: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series autocorrelation function r_1..r_max_lag plus the
+    cumulative Ljung-Box portmanteau statistic (Ljung & Box,
+    Biometrika 1978):
+
+        r_k = Σ_{t=1..n-k} (x_t - x̄)(x_{t+k} - x̄) / Σ_t (x_t - x̄)²
+        Q_k = n(n+2) Σ_{j=1..k} r_j² / (n - j)
+
+    The "is this series white noise or does it remember itself"
+    screen — seasonality shows as a spike at its period, and a large
+    Q rejects independence before anyone fits a forecaster.
+
+    Exactness: multiplying every centered term by n makes it the
+    integer c_t = n·x_t - Σx; numerator and denominator both scale by
+    n², so r_k is a ratio of exact DECIMAL(38,0) sums, rounded to 9 dp
+    before the Q accumulation (both engines square identical doubles).
+
+    Scale shape: `series` must already be the (group, period, value)
+    aggregate frame (this module's standing discipline), so the lead()
+    windows and the lag-stack explode run over series·periods rows.
+    Output: (group, lag, n, acf, lb_q)."""
+    s = series.select(
+        F.col(group_col).alias("g"),
+        F.col(t_col).alias("t"),
+        F.col(v_col).cast("long").alias("x"),
+    )
+    tot = s.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+    )
+    c = (
+        s.join(F.broadcast(tot), "g")
+        .select(
+            "g",
+            "t",
+            "n",
+            (F.col("n") * F.col("x") - F.col("sx")).alias("c"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy("t")
+    lead_cols = [F.lead("c", k).over(w).alias(f"l{k}") for k in range(1, max_lag + 1)]
+    led = c.select("g", "n", "c", *lead_cols)
+    denom = led.groupBy("g").agg(
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("d")
+    )
+    nums = led.groupBy("g").agg(
+        F.max("n").alias("n"),
+        *[
+            F.sum((F.col("c") * F.col(f"l{k}")).cast("decimal(38,0)")).alias(f"s{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stacked = (
+        nums.join(denom, "g")
+        .select(
+            "g",
+            "n",
+            "d",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("lag"),
+                            F.col(f"s{k}").alias("num"),
+                        )
+                        for k in range(1, max_lag + 1)
+                    ]
+                )
+            ).alias("kv"),
+        )
+        .select(
+            "g",
+            "n",
+            F.col("kv.lag").alias("lag"),
+            F.round(
+                F.col("kv.num").cast("double") / F.col("d").cast("double"), 9
+            ).alias("acf9"),
+        )
+        .filter(F.col("lag") < F.col("n"))
+    )
+    wq = Window.partitionBy("g").orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # each Q summand is rounded to a 12 dp DECIMAL before the window
+    # sum: windowed double sums are accumulation-order-dependent across
+    # engines (segment trees vs sequential), exact decimals are not
+    summand = F.round(
+        F.col("acf9") * F.col("acf9") / (F.col("n") - F.col("lag")).cast("double"),
+        12,
+    ).cast("decimal(20,12)")
+    q = (
+        F.col("n").cast("double")
+        * (F.col("n") + 2).cast("double")
+        * F.sum(summand).over(wq).cast("double")
+    )
+    return stacked.select(
+        F.col("g").alias("group"),
+        "lag",
+        "n",
+        F.round("acf9", round_digits).alias("acf"),
+        F.round(q, round_digits).alias("lb_q"),
+    )
+
+
+def seasonal_naive_eval(
+    series: DataFrame,
+    group_col: str,
+    t_col: str,
+    v_col: str,
+    season: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster x̂_t = x_{t-season}
+    (the Hyndman-recommended baseline every real model must beat):
+    per series, MAE, RMSE and sMAPE over every period with a
+    season-old ancestor. Run this BEFORE shipping any forecaster — a
+    model that can't beat "same day last week" is negative value.
+
+    Exactness: errors are integer differences; |e| and e² sum as
+    exact integers, sMAPE summands round to 12 dp decimals so the
+    mean is accumulation-order-free; the 2|e|/(|x|+|x̂|) term is 0 by
+    convention when both sides are 0. Same series discipline as the
+    rest of this module: input is the (group, period, value) frame.
+    Output: (group, n_eval, mae, rmse, smape)."""
+    s = series.select(
+        F.col(group_col).alias("g"),
+        F.col(t_col).alias("t"),
+        F.col(v_col).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("g").orderBy("t")
+    e = (
+        s.withColumn("f", F.lag("x", season).over(w))
+        .filter(F.col("f").isNotNull())
+        .select(
+            "g",
+            (F.col("x") - F.col("f")).alias("e"),
+            F.col("x"),
+            F.col("f"),
+        )
+    )
+    smape_term = F.when(
+        F.abs(F.col("x")) + F.abs(F.col("f")) > 0,
+        F.round(
+            2.0
+            * F.abs(F.col("e")).cast("double")
+            / (F.abs(F.col("x")) + F.abs(F.col("f"))).cast("double"),
+            12,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(20,12)")
+    return e.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.round(
+            F.sum(F.abs("e")).cast("double") / F.count(F.lit(1)),
+            round_digits,
+        ).alias("mae"),
+        F.round(
+            F.sqrt(
+                F.sum((F.col("e") * F.col("e")).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ),
+            round_digits,
+        ).alias("rmse"),
+        F.round(
+            F.sum(smape_term).cast("double") / F.count(F.lit(1)),
+            round_digits,
+        ).alias("smape"),
+    ).select(F.col("g").alias("group"), "n_eval", "mae", "rmse", "smape")
