@@ -14987,6 +14987,169 @@ FROM canon
 """
 
 
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell aggregation (operators/spatial.geohash — Niemeyer
+    2008 base-32 bit interleave, pure Column bit arithmetic, verified
+    against the public u4pruy test vectors): customers get the same
+    deterministic pseudo-coordinates as q_spatial_join, are keyed to
+    precision-5 cells during the scan (codegen-resident, no UDF), and
+    roll up to per-cell count / balance / min key — the shard key +
+    density map a 100 TB point table uses for spatial partitioning.
+    The oracle replays the identical quantize-interleave-base32
+    arithmetic from generated SQL (spatial.geohash_sql_parts)."""
+    from azure_data_engineering_spark.operators.spatial import geohash
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        (30.0 + (F.col("c_custkey") * 7919 % 2000) / 100.0).alias("lat"),
+        (-120.0 + (F.col("c_custkey") * 104729 % 4000) / 100.0).alias("lon"),
+    )
+    cells = c.select(
+        "c_custkey",
+        "c_acctbal",
+        geohash(F.col("lat"), F.col("lon"), precision=5).alias("cell"),
+    )
+    return cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("c_acctbal").cast("double").alias("sum_acctbal"),
+        F.min("c_custkey").cast("long").alias("min_custkey"),
+    )
+
+
+def _geohash_oracle_sql() -> str:
+    from azure_data_engineering_spark.operators.spatial import geohash_sql_parts
+
+    p = geohash_sql_parts(5)
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT c_custkey, c_acctbal,
+         30.0 + (c_custkey * 7919 % 2000) / 100.0 AS lat,
+         -120.0 + (c_custkey * 104729 % 4000) / 100.0 AS lon
+  FROM customer
+), q AS (
+  SELECT c_custkey, c_acctbal,
+         {p["latq"].format(lat="lat")} AS latq,
+         {p["lonq"].format(lon="lon")} AS lonq
+  FROM pts
+), cmb AS (
+  SELECT c_custkey, c_acctbal, {p["combined"]} AS combined FROM q
+), g AS (
+  SELECT c_custkey, c_acctbal, {p["chars"]} AS cell FROM cmb
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(c_acctbal) AS DOUBLE) AS sum_acctbal,
+       CAST(min(c_custkey) AS BIGINT) AS min_custkey
+FROM g GROUP BY 1
+"""
+
+
+Q_GEOHASH_SQL = _geohash_oracle_sql()
+
+
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the co-purchase part
+    graph (operators/graph.sssp_weighted — 3 Bellman-Ford rounds with
+    frontier pruning): edge weight = (src*31 + dst) % 9 + 1, source =
+    min part key; exact integer distances for every part reachable in
+    <= 3 weighted hops. Each round is one edge join shuffled on the
+    frontier key + a keyed min merge, lineage cut per round; settled
+    nodes generate no further work. The oracle replays the identical
+    three relaxation rounds as materialized CTEs."""
+    from azure_data_engineering_spark.operators.graph import sssp_weighted
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .withColumn("w", (F.col("src") * 31 + F.col("dst")) % 9 + 1)
+    )
+    source = li.agg(F.min("l_partkey")).first()[0]
+    return sssp_weighted(edges, source, rounds=3).orderBy("node")
+
+
+Q_SSSP_WEIGHTED_SQL = """
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         (a.l_partkey * 31 + b.l_partkey) % 9 + 1 AS w
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+   AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2, 3
+), s AS (
+  SELECT min(l_partkey) AS node FROM li
+), d0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS dist FROM s
+), d1 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.dst, d0.dist + e.w FROM d0 JOIN e ON e.src = d0.node
+  ) GROUP BY 1
+), d2 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT e.dst, d1.dist + e.w FROM d1 JOIN e ON e.src = d1.node
+  ) GROUP BY 1
+), d3 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT e.dst, d2.dist + e.w FROM d2 JOIN e ON e.src = d2.node
+  ) GROUP BY 1
+)
+SELECT CAST(node AS BIGINT) AS node, dist FROM d3 ORDER BY node
+"""
+
+
+def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler verified linkage pairs (operators/linkage.
+    jaro_winkler_pairs — Jaro 1989 / Winkler 1990, the census string
+    comparator): part names blocked on (brand, size) — the same
+    quadratic-guard discipline as q_record_linkage — then candidate
+    pairs scored by an Arrow-batched kernel that matches DuckDB's
+    jaro_winkler_similarity BIT-FOR-BIT (window-limited matches,
+    half-transpositions, >0.7 boost gate, 4-char prefix cap), keeping
+    pairs >= 0.84. The typo-tolerant prefix-weighted alternative to
+    the Levenshtein verify."""
+    from azure_data_engineering_spark.operators.linkage import jaro_winkler_pairs
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+    a = p.select(
+        F.col("p_brand").alias("bk1"),
+        F.col("p_size").alias("bk2"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("bk1"),
+        F.col("p_size").alias("bk2"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(b, ["bk1", "bk2"]).filter(F.col("key_a") < F.col("key_b"))
+    return jaro_winkler_pairs(
+        pairs, "name_a", "name_b", min_similarity=0.84
+    ).select("key_a", "key_b", "name_a", "name_b", "jw")
+
+
+Q_JARO_WINKLER_SQL = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.84
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r7 prefix holds 5 pins — core aggregation (q1), streaming
@@ -15342,6 +15505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_acf": q_acf,
         "q_forecast_backtest": q_forecast_backtest,
         "q_url_canonicalize": q_url_canonicalize,
+        "q_geohash": q_geohash,
+        "q_sssp_weighted": q_sssp_weighted,
+        "q_jaro_winkler": q_jaro_winkler,
     }
 
 
@@ -15676,4 +15842,7 @@ def oracle_sql() -> dict[str, str]:
         "q_acf": Q_ACF_SQL,
         "q_forecast_backtest": Q_FORECAST_BACKTEST_SQL,
         "q_url_canonicalize": Q_URL_CANONICALIZE_SQL,
+        "q_geohash": Q_GEOHASH_SQL,
+        "q_sssp_weighted": Q_SSSP_WEIGHTED_SQL,
+        "q_jaro_winkler": Q_JARO_WINKLER_SQL,
     }

@@ -716,3 +716,60 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 3,
+) -> DataFrame:
+    """Single-source shortest paths with non-negative integer edge
+    weights — `rounds` Bellman-Ford relaxations (Bellman 1958), so the
+    result is exactly min-cost over paths of <= `rounds` edges: an
+    algebraic function of the edge set the oracle replays round by
+    round. The weighted upgrade of bfs_hops for routing-ish questions
+    ("cheapest 3-step substitution chain", weighted blast radius).
+
+    Frontier discipline: each round relaxes ONLY nodes whose distance
+    improved last round (joined onto edges, shuffle on the node key),
+    merges with a keyed min, and localCheckpoints to truncate lineage
+    — the BFS scale rules, plus a distance-improvement filter so
+    settled regions of the graph stop generating work. Early-exits
+    when a round improves nothing. Returns (node, dist), dist 0 at
+    the source; integer weights keep every distance exact."""
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("bigint").alias("w"),
+    ).localCheckpoint(eager=True)
+    spark = e.sparkSession
+    dist = spark.createDataFrame(
+        [(source, 0)], schema="node long, dist long"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("node", F.col("cand").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

@@ -222,3 +222,87 @@ def spatial_knn(
             "knn_rank",
         )
     )
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lat: Column, lon: Column, precision: int = 6) -> Column:
+    """Geohash cell key (Niemeyer 2008, public domain spec): quantize
+    lat/lon to (5·precision)//2 and (5·precision+1)//2 bits, interleave
+    starting with longitude's MSB, emit base-32 characters. Pure
+    integer bit arithmetic in Column expressions — whole-stage-codegen
+    resident, no UDF — so a 100 TB point table gets its spatial shard
+    key for free during the scan. Geohashes of a common prefix nest,
+    which is what makes the key useful for cell aggregation, prefix
+    range scans, and neighbor joins.
+
+    Quantization floor((x - min) / extent · 2^bits), clamped at the
+    top edge (+90/+180 land in the last cell, matching the reference
+    implementations). The double product is the IDENTICAL expression
+    in the DuckDB oracle, so cell keys are bit-identical cross-engine."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    latq = F.least(
+        F.floor((lat + 90.0) / 180.0 * float(2**lat_bits)),
+        F.lit(2**lat_bits - 1),
+    ).cast("bigint")
+    lonq = F.least(
+        F.floor((lon + 180.0) / 360.0 * float(2**lon_bits)),
+        F.lit(2**lon_bits - 1),
+    ).cast("bigint")
+    combined = F.lit(0).cast("bigint")
+    for j in range(bits):
+        if j % 2 == 0:
+            src, idx = lonq, lon_bits - 1 - j // 2
+        else:
+            src, idx = latq, lat_bits - 1 - (j - 1) // 2
+        combined = combined + F.shiftleft(
+            F.shiftright(src, idx).bitwiseAND(F.lit(1)), bits - 1 - j
+        )
+    alphabet = F.array(*[F.lit(ch) for ch in GEOHASH_ALPHABET])
+    chars = [
+        F.element_at(
+            alphabet,
+            (
+                F.shiftright(combined, bits - 5 * (k + 1)).bitwiseAND(F.lit(31))
+                + 1
+            ).cast("int"),
+        )
+        for k in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql_parts(precision: int = 6) -> dict[str, str]:
+    """DuckDB-SQL twins of geohash()'s stages, generated from the same
+    bit layout so oracle queries replay the identical arithmetic.
+    Returns fragments keyed latq/lonq (format with {lat}/{lon}),
+    combined (uses columns latq, lonq) and chars (uses column
+    combined) — embed each in its own CTE stage."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    latq = (
+        "CAST(least(floor(({lat} + 90.0) / 180.0 * " + str(float(2**lat_bits))
+        + "), " + str(2**lat_bits - 1) + ") AS BIGINT)"
+    )
+    lonq = (
+        "CAST(least(floor(({lon} + 180.0) / 360.0 * " + str(float(2**lon_bits))
+        + "), " + str(2**lon_bits - 1) + ") AS BIGINT)"
+    )
+    terms = []
+    for j in range(bits):
+        if j % 2 == 0:
+            src_col, idx = "lonq", lon_bits - 1 - j // 2
+        else:
+            src_col, idx = "latq", lat_bits - 1 - (j - 1) // 2
+        terms.append(f"((({src_col} >> {idx}) & 1) << {bits - 1 - j})")
+    combined = " + ".join(terms)
+    chars = " || ".join(
+        f"substring('{GEOHASH_ALPHABET}', "
+        f"CAST(((combined >> {bits - 5 * (k + 1)}) & 31) + 1 AS INT), 1)"
+        for k in range(precision)
+    )
+    return {"latq": latq, "lonq": lonq, "combined": combined, "chars": chars}
