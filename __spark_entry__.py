@@ -15150,6 +15150,208 @@ WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.84
 """
 
 
+def q_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class classifier report (operators/mlplan.confusion_f1):
+    a deterministic date-rule classifier predicts order status and is
+    scored against the real o_orderstatus — per-class precision /
+    recall / F1 plus __micro (pooled accuracy) and __macro (unweighted
+    mean F1) rows. The rule never predicts 'P', so the zero-fill path
+    for never-predicted classes is load-bearing. One groupBy to the
+    confusion matrix; everything else re-aggregates from |classes|²
+    rows; macro averages 9 dp decimals (order-free)."""
+    from azure_data_engineering_spark.operators.mlplan import confusion_f1
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("truth"),
+        F.when(F.col("o_orderdate") < F.lit("1995-06-17"), F.lit("F"))
+        .otherwise(F.lit("O"))
+        .alias("pred"),
+    )
+    return confusion_f1(o, "truth", "pred").orderBy("class")
+
+
+Q_CONFUSION_F1_SQL = """
+WITH cm AS MATERIALIZED (
+  SELECT o_orderstatus AS t,
+         CASE WHEN o_orderdate < DATE '1995-06-17' THEN 'F' ELSE 'O' END AS p,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+), classes AS (
+  SELECT t AS cls FROM cm UNION SELECT p FROM cm
+), per AS (
+  SELECT cls,
+         coalesce((SELECT sum(c) FROM cm WHERE cm.t = cls AND cm.p = cls), 0) AS tp,
+         coalesce((SELECT sum(c) FROM cm WHERE cm.t = cls), 0) AS n_true,
+         coalesce((SELECT sum(c) FROM cm WHERE cm.p = cls), 0) AS n_pred
+  FROM classes
+), scored AS (
+  SELECT cls,
+         CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred END AS prec,
+         CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true END AS rec,
+         tp, n_true, n_pred
+  FROM per
+), rows_out AS (
+  SELECT cls AS class, CAST(n_true AS BIGINT) AS n_true,
+         CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+         round(prec, 6) AS precision,
+         round(rec, 6) AS recall,
+         round(CASE WHEN coalesce(prec, 0) + coalesce(rec, 0) > 0
+                    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1
+  FROM scored
+  UNION ALL
+  SELECT '__micro', CAST(sum(n_true) AS BIGINT), CAST(sum(n_pred) AS BIGINT),
+         CAST(sum(tp) AS BIGINT),
+         round(CAST(sum(tp) AS DOUBLE) / sum(n_pred), 6),
+         round(CAST(sum(tp) AS DOUBLE) / sum(n_true), 6),
+         round(CAST(sum(tp) AS DOUBLE) / sum(n_true), 6)
+  FROM scored
+  UNION ALL
+  SELECT '__macro', NULL, NULL, NULL, NULL, NULL,
+         round(CAST(sum(CAST(round(
+             CASE WHEN coalesce(prec, 0) + coalesce(rec, 0) > 0
+                  THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 9)
+             AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6)
+  FROM scored
+)
+SELECT * FROM rows_out ORDER BY class
+"""
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document-quality raters
+    (operators/mlplan.cohens_kappa): rater A labels on raw length,
+    rater B on length plus a doc-keyed perturbation — correlated but
+    not identical, exactly the two-labeling-pipelines situation kappa
+    exists for. One groupBy to the agreement matrix; p_e's numerator
+    is an exact DECIMAL(38,0) marginal product sum."""
+    from azure_data_engineering_spark.operators.mlplan import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") > 600, F.lit("good"))
+        .otherwise(F.lit("bad"))
+        .alias("rater_a"),
+        F.when(
+            F.col("n_chars") + (F.col("doc_id") % 7) * 40 > 600, F.lit("good")
+        )
+        .otherwise(F.lit("bad"))
+        .alias("rater_b"),
+    )
+    return cohens_kappa(d, "rater_a", "rater_b")
+
+
+Q_COHENS_KAPPA_SQL = """
+WITH r AS MATERIALIZED (
+  SELECT CASE WHEN n_chars > 600 THEN 'good' ELSE 'bad' END AS a,
+         CASE WHEN n_chars + (doc_id % 7) * 40 > 600 THEN 'good' ELSE 'bad' END AS b
+  FROM documents
+), cm AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+  FROM cm
+), chance AS (
+  SELECT sum(CAST(ma.na * mb.nb AS DECIMAL(38,0))) AS chance_num
+  FROM (SELECT a AS cls, sum(c) AS na FROM cm GROUP BY 1) ma
+  JOIN (SELECT b AS cls, sum(c) AS nb FROM cm GROUP BY 1) mb USING (cls)
+)
+SELECT n,
+       round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_o,
+       round(CAST(chance_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_e,
+       round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(chance_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / (1.0 - CAST(chance_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+FROM tot, chance
+"""
+
+
+def q_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin' words corpus comparison (operators/keywords.
+    log_odds_terms — Monroe, Colaresi & Quinn 2008): the 15 terms most
+    characteristic of English documents vs everything else, scored by
+    log-odds-ratio with an informative Dirichlet prior (α0=500) so
+    rare terms shrink toward the pooled corpus instead of topping the
+    list. One tokenize+count pass; every z is arithmetic over exact
+    integer counts, identical in both engines."""
+    from azure_data_engineering_spark.operators.keywords import log_odds_terms
+
+    d = _t(spark, sf_dir, "documents").select(
+        "text", (F.col("lang") == "en").alias("is_en")
+    )
+    return log_odds_terms(d, "text", "is_en", alpha0=500.0, top_k=15)
+
+
+Q_LOG_ODDS_SQL = """
+WITH toks AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), pairs AS (
+  SELECT term, CAST(sum(ia) AS BIGINT) AS ya,
+         CAST(sum(1 - ia) AS BIGINT) AS yb
+  FROM toks WHERE term <> '' GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb FROM pairs
+), scored AS (
+  SELECT term, ya, yb,
+         500.0 * CAST(ya + yb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS alpha,
+         CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+  FROM pairs, tot WHERE ya + yb >= 5
+), zed AS (
+  SELECT term, ya, yb,
+         round(
+           (ln((CAST(ya AS DOUBLE) + alpha) / (nad + 500.0 - (CAST(ya AS DOUBLE) + alpha)))
+            - ln((CAST(yb AS DOUBLE) + alpha) / (nbd + 500.0 - (CAST(yb AS DOUBLE) + alpha))))
+           / sqrt(1.0 / (CAST(ya AS DOUBLE) + alpha) + 1.0 / (CAST(yb AS DOUBLE) + alpha)),
+           6) AS z
+  FROM scored
+)
+SELECT * FROM (
+  (SELECT 'A' AS side, term, ya, yb, z FROM zed ORDER BY z DESC, term ASC LIMIT 15)
+  UNION ALL
+  (SELECT 'B', term, ya, yb, z FROM zed ORDER BY z ASC, term ASC LIMIT 15)
+)
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across order-priority groups
+    (operators/features.quantile_normalize — Bolstad et al. 2003):
+    every priority class's totalprice distribution is forced onto the
+    cross-group rank-mean distribution, the alignment step before
+    comparing or mixing scores from differently-calibrated sources.
+    Strict (value, id) rank order; rank means from exact decimal sums.
+    Output slice: keys < 2000 to keep the gate frame bounded (the
+    rank-mean REFERENCE is computed from all rows)."""
+    from azure_data_engineering_spark.operators.features import quantile_normalize
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = quantile_normalize(o, "o_orderpriority", "o_orderkey", "o_totalprice")
+    return out.filter(F.col("id") < 2000)
+
+
+Q_QUANTILE_NORMALIZE_SQL = """
+WITH ranked AS MATERIALIZED (
+  SELECT o_orderkey AS id, o_orderpriority AS "group",
+         o_totalprice AS value,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+              AS BIGINT) AS rank
+  FROM orders
+), ref AS (
+  SELECT rank,
+         round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+           AS normalized
+  FROM ranked GROUP BY 1
+)
+SELECT r.id, r."group", CAST(r.value AS DOUBLE) AS value, r.rank, ref.normalized
+FROM ranked r JOIN ref USING (rank)
+WHERE r.id < 2000
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r7 prefix holds 5 pins — core aggregation (q1), streaming
@@ -15508,6 +15710,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geohash": q_geohash,
         "q_sssp_weighted": q_sssp_weighted,
         "q_jaro_winkler": q_jaro_winkler,
+        "q_confusion_f1": q_confusion_f1,
+        "q_cohens_kappa": q_cohens_kappa,
+        "q_log_odds": q_log_odds,
+        "q_quantile_normalize": q_quantile_normalize,
     }
 
 
@@ -15845,4 +16051,8 @@ def oracle_sql() -> dict[str, str]:
         "q_geohash": Q_GEOHASH_SQL,
         "q_sssp_weighted": Q_SSSP_WEIGHTED_SQL,
         "q_jaro_winkler": Q_JARO_WINKLER_SQL,
+        "q_confusion_f1": Q_CONFUSION_F1_SQL,
+        "q_cohens_kappa": Q_COHENS_KAPPA_SQL,
+        "q_log_odds": Q_LOG_ODDS_SQL,
+        "q_quantile_normalize": Q_QUANTILE_NORMALIZE_SQL,
     }

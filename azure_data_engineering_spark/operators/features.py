@@ -287,3 +287,52 @@ def woe_encoding(
         F.round(woe, out_decimals).alias("woe"),
         F.round((p_pos - p_neg) * woe, out_decimals).alias("iv"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Quantile normalization (Bolstad et al., Bioinformatics 2003 —
+    the microarray classic, equally at home aligning quality-score
+    distributions across corpus sources before mixing): rank values
+    within each group under a strict total order (value, id), average
+    the values sharing a rank ACROSS groups, and assign every row its
+    rank's cross-group mean. Afterwards every group has the identical
+    value distribution — only the ordering inside each group is its
+    own.
+
+    Ranks beyond a smaller group's size simply have fewer
+    contributors (mean over groups present at that rank) — the
+    standard unequal-n extension. The reference frame sums exact
+    decimals, divided once in double.
+
+    Scale shape: one per-group row_number window (groups partition
+    it), one rank-keyed aggregation whose output is max-group-size
+    rows, one rank-keyed join back. The window spans a group's rows —
+    size your groups (or pre-bucket scores) accordingly; for
+    vocabulary-sized data prefer the midrank-histogram trick
+    (stats.spearman_corr)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group").orderBy(
+        F.col("value").asc(), F.col("id").asc()
+    )
+    ranked = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).alias("value"),
+    ).withColumn("rank", F.row_number().over(w).cast("long"))
+    ref = ranked.groupBy("rank").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            round_digits,
+        ).alias("normalized")
+    )
+    return ranked.join(ref, "rank").select(
+        "id", "group", F.col("value").cast("double").alias("value"), "rank", "normalized"
+    )

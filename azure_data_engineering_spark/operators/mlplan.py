@@ -810,3 +810,147 @@ def gbm_stumps(
             ).alias("e"),
         )
     return out
+
+
+def confusion_f1(
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multi-class confusion-matrix scores: per-class precision /
+    recall / F1 plus micro- and macro-averaged rows (class = '__micro'
+    / '__macro') — the standard classifier report, computed as pure
+    aggregation so it runs on a full corpus instead of a sampled
+    sklearn frame.
+
+    Scale shape: ONE groupBy collapses the corpus to the confusion
+    matrix (|classes|² rows); per-class marginals, micro (global TP /
+    total), and macro (unweighted mean of per-class F1, zero-filled
+    for classes never predicted or never true) all re-aggregate from
+    that tiny frame. Ratios are exact-integer-derived doubles rounded
+    once; the macro mean averages 9 dp decimals so it is summation-
+    order-free."""
+    cm = df.groupBy(
+        F.col(truth_col).alias("t"), F.col(pred_col).alias("p")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    classes = (
+        cm.select(F.col("t").alias("cls"))
+        .union(cm.select(F.col("p").alias("cls")))
+        .distinct()
+    )
+    tp = cm.filter(F.col("t") == F.col("p")).select(
+        F.col("t").alias("cls"), F.col("c").alias("tp")
+    )
+    truth_n = cm.groupBy(F.col("t").alias("cls")).agg(F.sum("c").alias("n_true"))
+    pred_n = cm.groupBy(F.col("p").alias("cls")).agg(F.sum("c").alias("n_pred"))
+    per = (
+        classes.join(tp, "cls", "left")
+        .join(truth_n, "cls", "left")
+        .join(pred_n, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        )
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true"))
+    f1 = F.when(
+        F.coalesce(prec, F.lit(0.0)) + F.coalesce(rec, F.lit(0.0)) > 0,
+        2.0 * prec * rec / (prec + rec),
+    ).otherwise(F.lit(0.0))
+    scored = per.select(
+        F.col("cls").cast("string").alias("class"),
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(prec, round_digits).alias("precision"),
+        F.round(rec, round_digits).alias("recall"),
+        F.round(f1, round_digits).alias("f1"),
+    )
+    # micro: pooled counts (== accuracy in single-label classification);
+    # macro: unweighted mean of per-class F1 over the union of classes
+    micro = per.agg(
+        F.lit("__micro").alias("class"),
+        F.sum("n_true").cast("long").alias("n_true"),
+        F.sum("n_pred").cast("long").alias("n_pred"),
+        F.sum("tp").cast("long").alias("tp"),
+        F.round(F.sum("tp") / F.sum("n_pred"), round_digits).alias("precision"),
+        F.round(F.sum("tp") / F.sum("n_true"), round_digits).alias("recall"),
+        F.round(F.sum("tp") / F.sum("n_true"), round_digits).alias("f1"),
+    )
+    macro = per.select(
+        F.round(
+            F.when(
+                F.coalesce(prec, F.lit(0.0)) + F.coalesce(rec, F.lit(0.0)) > 0,
+                2.0 * prec * rec / (prec + rec),
+            ).otherwise(F.lit(0.0)),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("f1d")
+    ).agg(
+        F.lit("__macro").alias("class"),
+        F.lit(None).cast("long").alias("n_true"),
+        F.lit(None).cast("long").alias("n_pred"),
+        F.lit(None).cast("long").alias("tp"),
+        F.lit(None).cast("double").alias("precision"),
+        F.lit(None).cast("double").alias("recall"),
+        F.round(
+            F.sum("f1d").cast("double") / F.count(F.lit(1)), round_digits
+        ).alias("f1"),
+    )
+    return scored.unionByName(micro).unionByName(macro)
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement (Cohen 1960): observed
+    agreement p_o corrected for the agreement p_e two independent
+    raters with these marginals would reach by chance —
+    κ = (p_o - p_e) / (1 - p_e). THE sanity metric when two labeling
+    pipelines (or a model and a human pass) disagree less than it
+    seems: raw agreement flatters whenever one class dominates.
+
+    One groupBy to the |classes|² agreement matrix; marginals and both
+    probabilities re-aggregate from it. p_o and p_e are ratios of
+    exact integer sums (p_e's numerator is Σ_c n_a(c)·n_b(c), exact in
+    DECIMAL(38,0)), divided once in double. Returns one row:
+    (n, p_o, p_e, kappa)."""
+    cm = df.groupBy(
+        F.col(rater_a_col).alias("a"), F.col(rater_b_col).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ma = cm.groupBy(F.col("a").alias("cls")).agg(F.sum("c").alias("na"))
+    mb = cm.groupBy(F.col("b").alias("cls")).agg(F.sum("c").alias("nb"))
+    tot = cm.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("agree"),
+    )
+    chance = (
+        ma.join(mb, "cls")
+        .agg(
+            F.sum((F.col("na") * F.col("nb")).cast("decimal(38,0)")).alias(
+                "chance_num"
+            )
+        )
+    )
+    n = F.col("n").cast("double")
+    p_o = F.col("agree").cast("double") / n
+    p_e = F.col("chance_num").cast("double") / (n * n)
+    return (
+        tot.crossJoin(F.broadcast(chance))
+        .select(
+            "n",
+            F.round(p_o, round_digits).alias("p_o"),
+            F.round(p_e, round_digits).alias("p_e"),
+            F.round((p_o - p_e) / (1.0 - p_e), round_digits).alias("kappa"),
+        )
+    )
