@@ -137,6 +137,23 @@ HEADLINE = [
     "q_hbos_outliers",
     "q_eb_rates",
     "q_holt_winters",
+    "q_funnel_latency",
+    # round-8 additions: JPEG marker-walk metadata triage, rank-stat
+    # and time-series screens, URL canonicalization, geohash cells,
+    # weighted SSSP over the co-purchase graph, Jaro-Winkler verify,
+    # classifier report metrics, corpus log-odds, quantile norm
+    "q_image_metadata",
+    "q_spearman",
+    "q_acf",
+    "q_forecast_backtest",
+    "q_url_canonicalize",
+    "q_geohash",
+    "q_sssp_weighted",
+    "q_jaro_winkler",
+    "q_confusion_f1",
+    "q_cohens_kappa",
+    "q_log_odds",
+    "q_quantile_normalize",
 ]
 
 ROUND = 8
@@ -183,6 +200,9 @@ PROBE_QUERIES = [
     "q_k_core",
     "q_item_cf",
     "q_link_prediction",
+    # round-8: the frontier-pruned weighted SSSP shares the co-purchase
+    # edge build with bfs/link_prediction — ratio-track it
+    "q_sssp_weighted",
 ]
 
 
@@ -595,6 +615,16 @@ def main() -> None:
                     "(512 md5-sampled queries, Arrow pair kernel) so its "
                     "timing is not comparable to the r5 corpus-proportional "
                     "holdout",
+                    "new_in_r8": "q_funnel_latency q_image_metadata "
+                    "q_spearman q_acf q_forecast_backtest "
+                    "q_url_canonicalize q_geohash q_sssp_weighted "
+                    "q_jaro_winkler q_confusion_f1 q_cohens_kappa "
+                    "q_log_odds q_quantile_normalize have no prior-round "
+                    "comparison; UDF-bearing headline queries "
+                    "(q_grouped_map q_holt_linear q_knn_classifier "
+                    "q_ann_ivfpq) now get one discarded warmup run before "
+                    "the timed best-of-2 (the r7 q_grouped_map 1.47x blip "
+                    "was pandas-worker churn)",
                     "fault_isolation": "since r7 every timed unit is "
                     "individually guarded: a failing query records an "
                     "{error, traceback_tail} row in query_errors (or the "
