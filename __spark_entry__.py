@@ -15352,6 +15352,218 @@ WHERE r.id < 2000
 """
 
 
+def q_tws_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE transformWithState LIST-typed state (streaming/stateful.
+    RecentEventsProcessor) — the third state shape of the Spark 4
+    arbitrary-state API (ValueState: session timeout; MapState:
+    per-type totals; ListState: this): per-user 3-most-recent events
+    by (event time, event_id) across TWO deterministic micro-batches
+    (event_id % 2 file split) under RocksDB + the purepb wire shim.
+    The buffer is trimmed to k on every write, so state is bounded at
+    k rows per key BY CONSTRUCTION; top-k is stable under pruning, so
+    batch-1's emission over (trimmed batch-0 state ∪ batch-1 input)
+    equals top-k over all events — which is exactly what the oracle
+    replays per batch prefix."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from azure_data_engineering_spark.compat import ensure_protobuf
+    from azure_data_engineering_spark.streaming.stateful import recent_events
+
+    ensure_protobuf(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000").cast("bigint").alias("ts_ms"),
+        "value",
+    )
+    work = tempfile.mkdtemp(prefix="tws_list_gate_")
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_conf, None)
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        for i, pred in enumerate(
+            [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]
+        ):
+            staging = os.path.join(work, f"stage{i}")
+            e.filter(pred).coalesce(1).write.parquet(staging)
+            part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+            _shutil.move(part, os.path.join(src, f"b{i}.parquet"))
+            if i == 0:
+                _time.sleep(1.05)
+        spark.conf.set(
+            provider_conf,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        out = run_stream_to_table(
+            spark,
+            src,
+            lambda s: recent_events(s, k=3),
+            table_name="tws_list_sink",
+            output_mode="update",
+            max_files_per_trigger=1,
+        ).cache()
+        out.count()
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old_provider)
+        _shutil.rmtree(work, ignore_errors=True)
+    return out.orderBy("user_id", "rank", "ts_ms", "event_id")
+
+
+Q_TWS_LISTSTATE_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms, value
+  FROM events
+), b0 AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_ms DESC, event_id DESC) AS rank,
+         ts_ms, event_id, round(value, 2) AS value
+  FROM e WHERE event_id % 2 = 0
+), users1 AS (
+  SELECT DISTINCT user_id FROM e WHERE event_id % 2 = 1
+), b1 AS (
+  SELECT e.user_id,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY ts_ms DESC, event_id DESC) AS rank,
+         ts_ms, event_id, round(value, 2) AS value
+  FROM e JOIN users1 USING (user_id)
+)
+SELECT user_id, CAST(rank AS INT) AS rank, ts_ms, event_id, value
+FROM b0 WHERE rank <= 3
+UNION ALL
+SELECT user_id, CAST(rank AS INT) AS rank, ts_ms, event_id, value
+FROM b1 WHERE rank <= 3
+ORDER BY user_id, rank, ts_ms, event_id
+"""
+
+
+def q_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python WRITE connector round-trip (sources/pydatasource.
+    PipeTextSink — the write half of the Spark 4 Python DataSource
+    API; SequenceSource/SequenceStreamSource cover the read half):
+    an orders slice is STRING-FORMATTED in-plan, streamed through
+    per-task Python writers into headerless pipe-delimited text with
+    two-phase commit (staging names -> job-level atomic rename, so a
+    failed task can never leak a half-written part), then read back
+    with the engine's own read_pipe_csv. The oracle recomputes the
+    same formatted slice straight from orders — a writer bug
+    (delimiters, NULL handling, lost rows, double-committed parts)
+    breaks the round-trip hash."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from azure_data_engineering_spark.sources.csv_pipe import read_pipe_csv
+    from azure_data_engineering_spark.sources.pydatasource import register_sink
+
+    register_sink(spark)
+    work = tempfile.mkdtemp(prefix="pysink_gate_")
+    out_dir = _os.path.join(work, "orders_psv")
+    try:
+        o = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 7 == 0)
+            .select(
+                F.col("o_orderkey").cast("string").alias("c0"),
+                F.col("o_orderstatus").alias("c1"),
+                F.col("o_totalprice").cast("string").alias("c2"),
+            )
+        )
+        o.write.format("pipetext").option("path", out_dir).mode("append").save()
+        result = (
+            read_pipe_csv(spark, out_dir)
+            .select(
+                F.col("_c0").cast("long").alias("o_orderkey"),
+                F.col("_c1").alias("o_orderstatus"),
+                F.col("_c2").alias("total_str"),
+            )
+            .orderBy("o_orderkey")
+            .cache()
+        )
+        # materialize before the temp dir is removed below
+        result.count()
+        return result
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+Q_PYTHON_DATASINK_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS VARCHAR) AS total_str
+FROM orders WHERE o_orderkey % 7 = 0
+ORDER BY o_orderkey
+"""
+
+
+def q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-corpus quality screen (sources/multimodal.
+    audio_quality_stats): the q_audio_decode WAV fixture plus injected
+    junk payloads (id % 40 == 0) flows through the stdlib decoder to
+    per-clip RMS loudness, peak, clipping fraction (|s| >= 1900) and
+    silence fraction (|s| <= 150) — the triage before any speech
+    feature extraction; undecodable clips emit a quarantine row
+    (n_frames 0, NULL stats) instead of failing the batch. Exact
+    int64 sums divided once; the oracle recomputes everything from
+    the generating formula."""
+    import struct as _struct
+
+    import pandas as pd
+
+    from azure_data_engineering_spark.sources.media_codecs import wav_encode
+    from azure_data_engineering_spark.sources.multimodal import audio_quality_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def make_wavs(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                i = int(row["doc_id"])
+                if i % 40 == 0:
+                    rows.append((i, f"corrupt audio {i}".encode()))
+                    continue
+                n = i % 500 + 10
+                samples = [(i * 31 + k * 7) % 4001 - 2000 for k in range(n)]
+                raw = _struct.pack(f"<{n}h", *samples)
+                rows.append((i, wav_encode(raw, 8000, channels=1)))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = d.mapInPandas(make_wavs, schema="id bigint, payload binary")
+    return audio_quality_stats(payloads, clip_threshold=1900, silence_threshold=150)
+
+
+Q_AUDIO_QUALITY_SQL = """
+WITH d AS (
+  SELECT doc_id AS id, doc_id % 500 + 10 AS n FROM documents WHERE doc_id < 200
+), s AS (
+  SELECT id, n, abs((id * 31 + k * 7) % 4001 - 2000) AS a,
+         CAST((id * 31 + k * 7) % 4001 - 2000 AS BIGINT) AS v
+  FROM d, LATERAL unnest(range(n)) AS t(k)
+  WHERE id % 40 <> 0
+), stats AS (
+  SELECT id, CAST(n AS BIGINT) AS n_frames,
+         round(sqrt(CAST(sum(v * v) AS DOUBLE) / n), 6) AS rms,
+         CAST(max(a) AS BIGINT) AS peak,
+         round(CAST(count(*) FILTER (a >= 1900) AS DOUBLE) / n, 6) AS clip_frac,
+         round(CAST(count(*) FILTER (a <= 150) AS DOUBLE) / n, 6) AS silence_frac
+  FROM s GROUP BY id, n
+)
+SELECT * FROM stats
+UNION ALL
+SELECT id, CAST(0 AS BIGINT), NULL, NULL, NULL, NULL
+FROM d WHERE id % 40 = 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r8 prefix holds 2 pins for queries whose code CHANGED this
@@ -15400,6 +15612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohens_kappa": q_cohens_kappa,
         "q_log_odds": q_log_odds,
         "q_quantile_normalize": q_quantile_normalize,
+        "q_tws_liststate": q_tws_liststate,
+        "q_python_datasink": q_python_datasink,
+        "q_audio_quality": q_audio_quality,
         "q_stream_cdc_delete": q_stream_cdc_delete,
         "q_stream_chained_agg": q_stream_chained_agg,
         "q_stream_left_join": q_stream_left_join,
@@ -15423,10 +15638,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clustered_scan": q_clustered_scan,
         "q_zorder_scan": q_zorder_scan,
         "q_corrupt_quarantine": q_corrupt_quarantine,
+        # ---- end of driver sampling window ----
         "q_contrastive_negatives": q_contrastive_negatives,
         "q_chunk_content_defined": q_chunk_content_defined,
         "q_corpus_entropy": q_corpus_entropy,
-        # ---- end of driver sampling window ----
         "q1_pricing_summary": q1_pricing_summary,
         "q_stream_tumbling": q_stream_tumbling,
         "q_jdbc_roundtrip": q_jdbc_roundtrip,
@@ -16054,4 +16269,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cohens_kappa": Q_COHENS_KAPPA_SQL,
         "q_log_odds": Q_LOG_ODDS_SQL,
         "q_quantile_normalize": Q_QUANTILE_NORMALIZE_SQL,
+        "q_tws_liststate": Q_TWS_LISTSTATE_SQL,
+        "q_python_datasink": Q_PYTHON_DATASINK_SQL,
+        "q_audio_quality": Q_AUDIO_QUALITY_SQL,
     }

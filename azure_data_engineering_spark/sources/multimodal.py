@@ -477,3 +477,68 @@ def image_ahash(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id", "ahash"])
 
     return df.mapInPandas(kernel, schema="id bigint, ahash bigint")
+
+
+AUDIO_QUALITY_SCHEMA = (
+    "id bigint, n_frames long, rms double, peak long, "
+    "clip_frac double, silence_frac double"
+)
+
+
+def audio_quality_stats(
+    df: DataFrame,
+    clip_threshold: int = 32760,
+    silence_threshold: int = 100,
+) -> DataFrame:
+    """Audio-corpus quality screen over a WAV binary column: per clip,
+    RMS loudness, peak amplitude, clipping fraction (|s| >=
+    clip_threshold) and silence fraction (|s| <= silence_threshold) —
+    the triage every speech/audio training pipeline runs before
+    feature extraction, because clipped and near-silent clips poison
+    both codecs and models. Mono 16-bit PCM via the stdlib decoder
+    (media_codecs.wav_decode); undecodable payloads emit n_frames 0
+    and NULL stats (quarantine row) instead of failing the batch.
+
+    Scale shape: one mapInPandas kernel, bytes never on the driver;
+    per-clip stats are exact integer sums (numpy int64) divided once,
+    so the frame is engine-replayable."""
+    import wave
+
+    import numpy as np
+
+    # SQL-engine half-AWAY rounding: Python's round() is half-even on
+    # the exact binary value and diverges whenever a ratio lands on a
+    # representable .5 (e.g. 29/128 = 0.2265625 at 6 dp)
+    from azure_data_engineering_spark.operators.timeseries import _round_away
+    from azure_data_engineering_spark.sources.media_codecs import wav_decode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rid = row["id"]
+                try:
+                    channels, rate, n, width, frames = wav_decode(bytes(row["payload"]))
+                    if width != 2 or channels != 1 or n == 0:
+                        raise ValueError("quality screen expects mono 16-bit PCM")
+                    s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                    a = np.abs(s)
+                    ss = int(np.sum(s * s))
+                    rows.append(
+                        (
+                            rid,
+                            int(n),
+                            _round_away(float(np.sqrt(ss / n)), 6),
+                            int(a.max()),
+                            _round_away(float(np.sum(a >= clip_threshold)) / n, 6),
+                            _round_away(float(np.sum(a <= silence_threshold)) / n, 6),
+                        )
+                    )
+                except (ValueError, wave.Error, EOFError):
+                    rows.append((rid, 0, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "n_frames", "rms", "peak", "clip_frac", "silence_frac"],
+            )
+
+    return df.mapInPandas(kernel, schema=AUDIO_QUALITY_SCHEMA)

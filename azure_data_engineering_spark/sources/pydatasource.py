@@ -125,3 +125,90 @@ def register(spark) -> None:
     """Idempotently register the shipped custom sources."""
     spark.dataSource.register(SequenceSource)
     spark.dataSource.register(SequenceStreamSource)
+
+
+# ------------------------------------------------------------- writer
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class _PipeTextWriter(DataSourceWriter):
+    """Per-partition task writer: each executor task streams its rows
+    into one pipe-delimited text part under a staging name; commit()
+    runs ON THE DRIVER after every task reports success and atomically
+    renames the parts in — the standard two-phase file-sink protocol
+    (task outputs are invisible until the job-level commit), so a
+    failed/speculated task can never leak a half-written part.
+    abort() removes the staging files."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pipetext writer requires a path")
+        self.cols = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import os
+        import tempfile
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"_staging-part-{uuid.uuid4().hex}.psv"
+        full = os.path.join(self.path, name)
+        n = 0
+        with open(full, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write("|".join("" if v is None else str(v) for v in row) + "\n")
+                n += 1
+        return _PartFile(path=full, rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.psv")
+            os.replace(m.path, final)
+            total += m.rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"rows": total, "parts": len(messages)}, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+class PipeTextSink(DataSource):
+    """``df.write.format("pipetext").option("path", dir).save()`` —
+    a custom Python WRITE connector (the write half of the
+    extensibility story; SequenceSource/SequenceStreamSource are the
+    read half). Rows stream through per-task Python writers into
+    pipe-delimited text with two-phase commit; the header-free
+    pipe-separated layout matches the reference's CSV contract
+    (SharedCode/csv conventions), so the engine's own
+    read_pipe_csv round-trips it."""
+
+    @classmethod
+    def name(cls):
+        return "pipetext"
+
+    def writer(self, schema, overwrite):
+        return _PipeTextWriter(self.options, schema)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(PipeTextSink)

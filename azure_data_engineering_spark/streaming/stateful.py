@@ -292,3 +292,87 @@ def idle_key_flush(events: DataFrame, idle_ms: int) -> DataFrame:
         outputMode="Append",
         timeMode="ProcessingTime",
     )
+
+
+# ----------------------------------------------------- TWS ListState
+
+RECENT_EVENTS_SCHEMA = (
+    "user_id bigint, rank int, ts_ms bigint, event_id bigint, value double"
+)
+
+
+class RecentEventsProcessor(StatefulProcessor):
+    """Per-user bounded recent-events buffer on ListState — the third
+    state shape of the transformWithState API (ValueState and MapState
+    are exercised by UserTypeTotalsProcessor/SessionTimeoutProcessor;
+    this is the list-typed variant): keep the k most recent events by
+    (event time, event_id) across micro-batches, emit the current
+    buffer (rank 1 = newest) for every user with input in the batch.
+    The "last N actions before X" feature extractor — session replay,
+    churn context, fraud look-back — with state bounded at k rows per
+    key BY CONSTRUCTION, not by TTL.
+
+    ListState discipline: the buffer is read (bounded: <= k rows),
+    merged with the batch, trimmed to k under the deterministic
+    (ts_ms, event_id) order, and rewritten with ONE clear+appendList
+    — never an unbounded append. Deterministic batch boundaries make
+    the emission history replayable in plain SQL (the
+    UserTypeTotalsProcessor oracle pattern)."""
+
+    def __init__(self, k: int):
+        self._k = int(k)
+
+    def init(self, handle) -> None:
+        self._buf = handle.getListState(
+            "recent", "ts_ms bigint, event_id bigint, value double"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        user_id = int(key[0])
+        cur = (
+            [(int(t), int(e), float(v)) for t, e, v in self._buf.get()]
+            if self._buf.exists()
+            else []
+        )
+        got_input = False
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            got_input = True
+            cur.extend(
+                (int(t), int(e), float(v))
+                for t, e, v in zip(pdf["ts_ms"], pdf["event_id"], pdf["value"])
+            )
+        if not got_input:
+            return iter(())
+        cur.sort(key=lambda r: (-r[0], -r[1]))  # newest first, id tiebreak
+        cur = cur[: self._k]
+        self._buf.put(cur)  # one replace, never an unbounded append
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(cur),
+                "rank": list(range(1, len(cur) + 1)),
+                "ts_ms": [r[0] for r in cur],
+                "event_id": [r[1] for r in cur],
+                "value": [round(r[2], 2) for r in cur],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def recent_events(events: DataFrame, k: int = 3) -> DataFrame:
+    """Streaming: per-user k-most-recent events via ListState
+    (RecentEventsProcessor). Input needs ts_ms/event_id/value columns;
+    Update mode, timeMode None — emission is input-driven and
+    batch-replayable."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RecentEventsProcessor(k),
+        outputStructType=RECENT_EVENTS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

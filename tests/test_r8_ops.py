@@ -255,3 +255,57 @@ class TestQuantileNormalize:
         got = {r.id: r.normalized for r in quantile_normalize(df, "g", "id", "v").collect()}
         assert got[1] == 55.0   # rank 1 mean of (10, 100)
         assert got[2] == 20.0   # rank 2: only g1 present
+
+
+class TestPipeTextSink:
+    def test_roundtrip_with_nulls_and_success_marker(self, spark, tmp_path):
+        import json
+        import os
+
+        from azure_data_engineering_spark.sources.csv_pipe import read_pipe_csv
+        from azure_data_engineering_spark.sources.pydatasource import register_sink
+
+        register_sink(spark)
+        out = str(tmp_path / "sink")
+        df = spark.createDataFrame(
+            [(1, "a", 2.5), (2, None, 3.5), (3, "c", None)],
+            "k int, s string, v double",
+        ).repartition(2)
+        df.write.format("pipetext").option("path", out).mode("append").save()
+        # two-phase commit: no staging files survive, _SUCCESS names totals
+        names = os.listdir(out)
+        assert not [n for n in names if n.startswith("_staging")]
+        marker = json.load(open(os.path.join(out, "_SUCCESS")))
+        assert marker["rows"] == 3
+        back = read_pipe_csv(spark, out).collect()
+        got = sorted((r._c0, r._c1, r._c2) for r in back)
+        assert got == [("1", "a", "2.5"), ("2", None, "3.5"), ("3", "c", None)]
+
+
+class TestAudioQuality:
+    def test_known_clip_and_quarantine(self, spark):
+        import struct
+
+        import pandas as pd
+
+        from azure_data_engineering_spark.sources.media_codecs import wav_encode
+        from azure_data_engineering_spark.sources.multimodal import audio_quality_stats
+
+        samples = [0, 0, 1000, -32767, 32760, 50]  # 3 silent-ish, 2 clipped
+        raw = struct.pack("<6h", *samples)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"id": [1, 2], "payload": [wav_encode(raw, 8000, channels=1), b"junk"]}
+            )
+        )
+        got = {r.id: r for r in audio_quality_stats(df, 32000, 100).collect()}
+        r = got[1]
+        assert r.n_frames == 6
+        assert r.peak == 32767
+        assert r.clip_frac == pytest.approx(round(2 / 6, 6))
+        assert r.silence_frac == pytest.approx(0.5)
+        import math as _m
+
+        want_rms = round(_m.sqrt(sum(s * s for s in samples) / 6), 6)
+        assert r.rms == pytest.approx(want_rms)
+        assert got[2].n_frames == 0 and got[2].rms is None  # quarantine row
