@@ -15569,24 +15569,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r8 prefix holds 2 pins for queries whose code CHANGED this
     round (q_ndcg_quantized — pos-gated DCG fix; q_snapshot_merge —
     CAS commit path) followed by 48 entries no r1-r7 driver window
-    ever sampled: all 10 round-7 additions, the 12 round-8 additions
+    ever sampled: all 10 round-7 additions, the 15 round-8 additions
     (JPEG metadata, Spearman, ACF/Ljung-Box, seasonal-naive backtest,
     URL canonicalization, geohash, weighted SSSP, Jaro-Winkler,
     confusion F1, Cohen's kappa, log-odds terms, quantile
-    normalization), and 26 more from the never-sampled list, leading
+    normalization, TWS ListState, Python write connector, audio
+    quality screen), and 23 more from the never-sampled list, leading
     with the streaming/stateful/exotic surfaces (CDC delete, chained
     agg, stream-stream join, Python streaming datasource, state-store
     reader, recursive CTE, UDTF, SQL UDFs, VARIANT, observe metrics).
     Union of driver windows r1-r7 = 241/324-of-old; this window makes
     every round-7 and round-8 addition externally verified and leaves
-    47 never-sampled entries, which exactly fill the r9 window.
+    50 never-sampled entries for the r9 window.
     Rotation accumulates external verification instead of re-checking
     the same prefix; tools/check_oracle.py verifies the FULL registry
     every round."""
     return {
         # ---- driver sampling window (first 50), rotated per round:
         # ---- 2 changed-this-round pins + 48 first-time entries
-        # ---- (10 r7 adds, 12 r8 adds, 26 never-sampled; 47 remain
+        # ---- (10 r7 adds, 15 r8 adds, 23 never-sampled; 50 remain
         # ---- for r9). Full registry swept by tools/check_oracle.py.
         "q_ndcg_quantized": q_ndcg_quantized,
         "q_snapshot_merge": q_snapshot_merge,

@@ -154,6 +154,9 @@ HEADLINE = [
     "q_cohens_kappa",
     "q_log_odds",
     "q_quantile_normalize",
+    "q_tws_liststate",
+    "q_python_datasink",
+    "q_audio_quality",
 ]
 
 ROUND = 8
@@ -619,7 +622,8 @@ def main() -> None:
                     "q_spearman q_acf q_forecast_backtest "
                     "q_url_canonicalize q_geohash q_sssp_weighted "
                     "q_jaro_winkler q_confusion_f1 q_cohens_kappa "
-                    "q_log_odds q_quantile_normalize have no prior-round "
+                    "q_log_odds q_quantile_normalize q_tws_liststate "
+                    "q_python_datasink q_audio_quality have no prior-round "
                     "comparison; UDF-bearing headline queries "
                     "(q_grouped_map q_holt_linear q_knn_classifier "
                     "q_ann_ivfpq) now get one discarded warmup run before "
