@@ -136,10 +136,34 @@ class ConcurrentCommitError(RuntimeError):
     rebase on the new current snapshot and retry."""
 
 
-def _commit_cas(table: str, expected_version: int | None, files: Sequence[str]) -> int:
+def _claim_tag_of(manifest: str) -> str | None:
+    try:
+        with open(manifest) as f:
+            return json.load(f).get("claim_tag")
+    except (OSError, ValueError):
+        return None
+
+
+def _commit_cas(
+    table: str,
+    expected_version: int | None,
+    files: Sequence[str],
+    claim_tag: str | None = None,
+) -> int:
     """Version-fenced commit: claim slot expected+1 via O_EXCL manifest
     create, then swap the pointer. Raises ConcurrentCommitError if the
-    pointer moved or the slot is already owned."""
+    pointer moved or the slot is already owned.
+
+    `claim_tag` identifies the LOGICAL work unit (e.g. "<checkpoint>
+    #b<batch_id>" for a streaming sink). If the slot is already claimed
+    by a manifest carrying the SAME tag, the claimant was a prior
+    attempt of this very work that died between claim and pointer swap
+    — the caller's execution model must guarantee a single live attempt
+    per tag (Structured Streaming does, per query+batch; the same
+    invariant Spark's own FileStreamSink batch-manifest commit relies
+    on) — so the slot is RECLAIMED by an atomic manifest replace.
+    Untagged commits and foreign tags keep the strict behavior: dead
+    slots block until release_orphan_slot."""
     cur = current_version(table)
     if cur != expected_version:
         raise ConcurrentCommitError(
@@ -149,16 +173,26 @@ def _commit_cas(table: str, expected_version: int | None, files: Sequence[str]) 
     version = (expected_version or 0) + 1
     os.makedirs(_manifest_dir(table), exist_ok=True)
     manifest = os.path.join(_manifest_dir(table), f"v{version}.json")
+    payload: dict = {"version": version, "files": sorted(files)}
+    if claim_tag is not None:
+        payload["claim_tag"] = claim_tag
     try:
         fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        raise ConcurrentCommitError(
-            f"{table}: version slot v{version} is already claimed "
-            "(a concurrent writer owns it, or a crashed commit left an "
-            "orphan slot — see release_orphan_slot)"
-        ) from None
-    with os.fdopen(fd, "w") as f:
-        json.dump({"version": version, "files": sorted(files)}, f)
+        if claim_tag is not None and _claim_tag_of(manifest) == claim_tag:
+            fd2, tmp = tempfile.mkstemp(prefix="_reclaim.tmp-", dir=table)
+            with os.fdopen(fd2, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, manifest)  # reclaim our own dead attempt
+        else:
+            raise ConcurrentCommitError(
+                f"{table}: version slot v{version} is already claimed "
+                "(a concurrent writer owns it, or a crashed commit left an "
+                "orphan slot — see release_orphan_slot)"
+            ) from None
+    else:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
     fd2, tmp = tempfile.mkstemp(prefix="_current.tmp-", dir=table)
     with os.fdopen(fd2, "w") as f:
         f.write(str(version))
@@ -192,6 +226,7 @@ def snapshot_write_cas(
     table: str,
     expected_version: int | None,
     mode: str = "overwrite",
+    claim_tag: str | None = None,
 ) -> int:
     """Commit df as version expected+1 IFF the table is still at
     `expected_version` (None = must still be empty) and no concurrent
@@ -205,7 +240,7 @@ def snapshot_write_cas(
     files = _write_data_unique(df, table, version)
     if mode == "append" and expected_version is not None:
         files = list(_read_manifest(table, expected_version)) + files
-    return _commit_cas(table, expected_version, files)
+    return _commit_cas(table, expected_version, files, claim_tag=claim_tag)
 
 
 def snapshot_merge_cas(
@@ -214,6 +249,7 @@ def snapshot_merge_cas(
     pk: Sequence[str],
     dedup_order: Sequence | None = None,
     max_retries: int = 5,
+    claim_tag: str | None = None,
 ) -> int:
     """snapshot_merge with retry-and-REBASE under contention: each
     attempt reads the CURRENT snapshot, computes the merge against it,
@@ -240,7 +276,9 @@ def snapshot_merge_cas(
             target = snapshot_read(spark, table, version=expected)
             merged = merge_upsert(target, source, pk, dedup_order=order)
         try:
-            return snapshot_write_cas(merged, table, expected, mode="overwrite")
+            return snapshot_write_cas(
+                merged, table, expected, mode="overwrite", claim_tag=claim_tag
+            )
         except ConcurrentCommitError as exc:
             last = exc
             continue
@@ -256,6 +294,7 @@ def snapshot_apply_cdc_cas(
     op_col: str = "op",
     dedup_order: Sequence | None = None,
     max_retries: int = 5,
+    claim_tag: str | None = None,
 ) -> int:
     """snapshot_apply_cdc with the same retry-and-rebase CAS discipline
     as snapshot_merge_cas — the changelog batch re-applies cleanly
@@ -279,7 +318,9 @@ def snapshot_apply_cdc_cas(
             target = snapshot_read(spark, table, version=expected)
         applied = apply_cdc(target, changes, pk, op_col=op_col, dedup_order=order)
         try:
-            return snapshot_write_cas(applied, table, expected, mode="overwrite")
+            return snapshot_write_cas(
+                applied, table, expected, mode="overwrite", claim_tag=claim_tag
+            )
         except ConcurrentCommitError as exc:
             last = exc
             continue

@@ -128,7 +128,17 @@ def stream_upsert_to_snapshot(
             if dedup_order is not None
             else default_dedup_order(batch_df.columns, pk)
         )
-        snapshot_merge_cas(batch_df, table, pk, dedup_order=order)
+        # claim tag = (checkpoint, batch): a RESTARTED attempt of this
+        # same batch may reclaim the slot its dead predecessor left
+        # between claim and pointer swap (single live attempt per
+        # query+batch is Structured Streaming's own guarantee)
+        snapshot_merge_cas(
+            batch_df,
+            table,
+            pk,
+            dedup_order=order,
+            claim_tag=f"{checkpoint or query_name}#b{batch_id}",
+        )
 
     writer = stream.writeStream.foreachBatch(upsert_batch).queryName(query_name)
     if checkpoint:
@@ -159,8 +169,15 @@ def stream_cdc_to_snapshot(
     from azure_data_engineering_spark.sources.snapshot import snapshot_apply_cdc_cas
 
     def cdc_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # see upsert_batch: batch-keyed claim tag enables crash-restart
+        # self-recovery without weakening the foreign-writer fence
         snapshot_apply_cdc_cas(
-            batch_df, table, pk, op_col=op_col, dedup_order=dedup_order
+            batch_df,
+            table,
+            pk,
+            op_col=op_col,
+            dedup_order=dedup_order,
+            claim_tag=f"{checkpoint or query_name}#b{batch_id}",
         )
 
     writer = stream.writeStream.foreachBatch(cdc_batch).queryName(query_name)

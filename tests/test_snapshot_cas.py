@@ -77,14 +77,14 @@ class TestCasCommit:
         real_commit = sn._commit_cas
         state = {"raced": False}
 
-        def racing_commit(t, expected, files):
+        def racing_commit(t, expected, files, **kw):
             if not state["raced"]:
                 state["raced"] = True
                 # the interloper (e.g. the streaming CDC sink) commits
                 # an update to key 1 first, moving the table to v2
                 sn.snapshot_merge_cas(_df(spark, [(1, "a2")]), t, ["k"])
                 # W2's fence is now stale; this raises and forces rebase
-            return real_commit(t, expected, files)
+            return real_commit(t, expected, files, **kw)
 
         monkeypatch.setattr(sn, "_commit_cas", racing_commit)
         v = sn.snapshot_merge_cas(_df(spark, [(3, "c")]), table, ["k"])
@@ -99,11 +99,11 @@ class TestCasCommit:
         real_commit = sn._commit_cas
         state = {"raced": False}
 
-        def racing_commit(t, expected, files):
+        def racing_commit(t, expected, files, **kw):
             if not state["raced"]:
                 state["raced"] = True
                 sn.snapshot_merge_cas(_df(spark, [(4, "d")]), t, ["k"])
-            return real_commit(t, expected, files)
+            return real_commit(t, expected, files, **kw)
 
         monkeypatch.setattr(sn, "_commit_cas", racing_commit)
         changes = spark.createDataFrame(
@@ -117,7 +117,7 @@ class TestCasCommit:
     def test_retries_exhausted_raises(self, spark, table, monkeypatch):
         sn.snapshot_write_cas(_df(spark, [(1, "a")]), table, None)
 
-        def always_lose(t, expected, files):
+        def always_lose(t, expected, files, **kw):
             raise sn.ConcurrentCommitError("perpetual contention")
 
         monkeypatch.setattr(sn, "_commit_cas", always_lose)
@@ -144,3 +144,36 @@ class TestOrphanSlot:
         sn.snapshot_write_cas(_df(spark, [(1, "a")]), table, None)
         with pytest.raises(ValueError, match="committed"):
             sn.release_orphan_slot(table, 1)
+
+
+class TestClaimTags:
+    def test_same_tag_reclaims_dead_slot(self, spark, table):
+        sn.snapshot_write_cas(_df(spark, [(1, "a")]), table, None)
+        # attempt A claims slot 2 with a batch tag, dies before swap
+        files_a = sn._write_data_unique(_df(spark, [(2, "old-attempt")]), table, 2)
+        base = sn._read_manifest(table, 1)
+        manifest = os.path.join(sn._manifest_dir(table), "v2.json")
+        import json
+
+        with open(manifest, "w") as f:
+            json.dump(
+                {"version": 2, "files": sorted(base + files_a), "claim_tag": "ckpt#b1"},
+                f,
+            )
+        assert sn.current_version(table) == 1  # not committed
+        # the RETRY of the same logical batch reclaims the slot
+        files_b = sn._write_data_unique(_df(spark, [(2, "retry")]), table, 2)
+        v = sn._commit_cas(table, 1, list(base) + files_b, claim_tag="ckpt#b1")
+        assert v == 2
+        assert _rows(spark, table) == {(1, "a"), (2, "retry")}
+
+    def test_foreign_tag_still_fenced(self, spark, table):
+        sn.snapshot_write_cas(_df(spark, [(1, "a")]), table, None)
+        manifest = os.path.join(sn._manifest_dir(table), "v2.json")
+        with open(manifest, "w") as f:
+            f.write('{"version": 2, "files": [], "claim_tag": "other-writer#b9"}')
+        with pytest.raises(sn.ConcurrentCommitError):
+            sn._commit_cas(table, 1, [], claim_tag="ckpt#b1")
+        # untagged commits never reclaim either
+        with pytest.raises(sn.ConcurrentCommitError):
+            sn._commit_cas(table, 1, [])

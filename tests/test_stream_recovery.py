@@ -78,29 +78,32 @@ def test_crash_before_pointer_swap_then_resume(spark, tmp_path, monkeypatch):
         q2.awaitTermination()
     monkeypatch.setattr(S.os, "rename", real_rename)
 
-    # crash left an orphan manifest (v2 attempted) but readers still
-    # resolve the last committed snapshot
+    # crash left a CLAIMED-but-uncommitted slot (v2 manifest carrying
+    # this query's batch claim tag) but readers still resolve the last
+    # committed snapshot
     assert S.current_version(table) == 1
-    assert max(S.snapshot_versions(table)) > 1  # the orphan exists...
+    assert max(S.snapshot_versions(table)) == 2  # the dead claim exists...
     assert {r.k: r.v for r in S.snapshot_read(spark, table).collect()} == v1  # ...invisible
 
     # ---- run 3: restart from the same checkpoint. Only the failed
-    # batch replays (batch 0 must NOT re-ingest), and its commit lands
-    # PAST the orphan version instead of overwriting it.
+    # batch replays (batch 0 must NOT re-ingest), and because the dead
+    # slot carries the SAME (checkpoint, batch) claim tag, the retry
+    # RECLAIMS it instead of being fenced out (a FOREIGN writer's claim
+    # would still block — tests/test_snapshot_cas.py covers that side).
     applied = []
-    real_apply = S.snapshot_apply_cdc
+    real_apply = S.snapshot_apply_cdc_cas
 
     def counting_apply(changes, table_, pk, **kw):
         applied.append(changes.count())
         return real_apply(changes, table_, pk, **kw)
 
-    monkeypatch.setattr(S, "snapshot_apply_cdc", counting_apply)
+    monkeypatch.setattr(S, "snapshot_apply_cdc_cas", counting_apply)
     q3 = _start(spark, src, table, ckpt)
     q3.awaitTermination()
 
     assert applied == [3], f"expected exactly the 3-row failed batch, got {applied}"
     cur = S.current_version(table)
-    assert cur == max(S.snapshot_versions(table))  # orphan never reused
+    assert cur == max(S.snapshot_versions(table)) == 2  # slot reclaimed
     final = {r.k: r.v for r in S.snapshot_read(spark, table).collect()}
     assert final == {2: "B", 3: "c"}  # U applied, D applied, I applied
     # pre-crash snapshot still time-travelable
