@@ -482,9 +482,16 @@ def regen_tiers() -> int:
             rc = rc or 2
             continue
         print(f"[tiers] sweeping {sf_dir} -> {out}", flush=True)
+        # 16g heap for the sweep session (sandbox has 128 GiB): the
+        # default 8g OOMed mid-sf1 in r8 once the registry hit 339 —
+        # local[32] shares one JVM heap between driver and executors,
+        # and the wedge-heavy graph queries need the headroom
+        env = dict(os.environ)
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
         r = subprocess.run(
             [sys.executable, os.path.join(here, "tools", "check_oracle.py"),
              sf_dir, "--out", os.path.join(here, out)],
+            env=env,
         )
         rc = rc or r.returncode
     return rc

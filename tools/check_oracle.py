@@ -125,6 +125,13 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Drop cached frames the PREVIOUS query left behind: several
+        # gate queries .cache() their result (streaming sinks, snapshot
+        # round-trips) and have no after-hook to unpersist. Those dead
+        # caches accumulate across a 339-query sweep and OOMed the
+        # shared local[32] heap mid-sf1 in r8 (GCLocker retry, executor
+        # heap exhaustion on the wedge-heavy graph queries).
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
