@@ -15010,9 +15010,15 @@ def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         geohash(F.col("lat"), F.col("lon"), precision=5).alias("cell"),
     )
+    # c_acctbal is a money-valued DOUBLE in the test parquet: summing
+    # raw doubles is accumulation-order-dependent (1-ulp drift appeared
+    # at sf1 where cells hold ~38 addends). Cast to an exact 2dp
+    # decimal first — identical in both engines — and sum order-free.
     return cells.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_points"),
-        F.sum("c_acctbal").cast("double").alias("sum_acctbal"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias(
+            "sum_acctbal"
+        ),
         F.min("c_custkey").cast("long").alias("min_custkey"),
     )
 
@@ -15038,7 +15044,7 @@ WITH pts AS MATERIALIZED (
   SELECT c_custkey, c_acctbal, {p["chars"]} AS cell FROM cmb
 )
 SELECT cell, CAST(count(*) AS BIGINT) AS n_points,
-       CAST(sum(c_acctbal) AS DOUBLE) AS sum_acctbal,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
        CAST(min(c_custkey) AS BIGINT) AS min_custkey
 FROM g GROUP BY 1
 """
