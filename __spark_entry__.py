@@ -15570,30 +15570,67 @@ FROM d WHERE id % 40 = 0
 """
 
 
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness (operators/funnel.dau_mau_stickiness): daily
+    actives over rolling 28-day distinct actives — the canonical
+    "do actives come back" engagement ratio. The event stream
+    collapses to the distinct user-day frame first (the only
+    corpus-scale shuffle); the rolling DISTINCT count is a broadcast
+    range join of user-days onto the observed-day spine, O(user-days ×
+    28) regardless of event volume."""
+    from azure_data_engineering_spark.operators.funnel import dau_mau_stickiness
+
+    ev = _t(spark, sf_dir, "events")
+    return dau_mau_stickiness(ev, "user_id", "ts", window_days=28).orderBy("day")
+
+
+Q_DAU_MAU_SQL = """
+WITH ud AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u, strftime(ts, '%Y-%m-%d') AS day FROM events
+), spine AS (
+  SELECT DISTINCT day, CAST(day AS DATE) AS d FROM ud
+), windowed AS (
+  SELECT s.day, ud.u
+  FROM ud JOIN spine s
+    ON CAST(ud.day AS DATE) <= s.d AND CAST(ud.day AS DATE) > s.d - 28
+), mau AS (
+  SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS mau FROM windowed GROUP BY 1
+), dau AS (
+  SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS dau FROM ud GROUP BY 1
+)
+SELECT dau.day, dau.dau, mau.mau,
+       round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN mau USING (day)
+ORDER BY dau.day
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r8 prefix holds 2 pins for queries whose code CHANGED this
     round (q_ndcg_quantized — pos-gated DCG fix; q_snapshot_merge —
     CAS commit path) followed by 48 entries no r1-r7 driver window
-    ever sampled: all 10 round-7 additions, the 15 round-8 additions
+    ever sampled: all 10 round-7 additions, the 16 round-8 additions
     (JPEG metadata, Spearman, ACF/Ljung-Box, seasonal-naive backtest,
     URL canonicalization, geohash, weighted SSSP, Jaro-Winkler,
     confusion F1, Cohen's kappa, log-odds terms, quantile
     normalization, TWS ListState, Python write connector, audio
-    quality screen), and 23 more from the never-sampled list, leading
+    quality screen, DAU/MAU stickiness), and 22 more from the
+    never-sampled list, leading
     with the streaming/stateful/exotic surfaces (CDC delete, chained
     agg, stream-stream join, Python streaming datasource, state-store
     reader, recursive CTE, UDTF, SQL UDFs, VARIANT, observe metrics).
     Union of driver windows r1-r7 = 241/324-of-old; this window makes
     every round-7 and round-8 addition externally verified and leaves
-    50 never-sampled entries for the r9 window.
+    51 never-sampled entries for the r9 window (49 + 2 pins fit; the
+    spillover rides r10 or the full local sweep).
     Rotation accumulates external verification instead of re-checking
     the same prefix; tools/check_oracle.py verifies the FULL registry
     every round."""
     return {
         # ---- driver sampling window (first 50), rotated per round:
         # ---- 2 changed-this-round pins + 48 first-time entries
-        # ---- (10 r7 adds, 15 r8 adds, 23 never-sampled; 50 remain
+        # ---- (10 r7 adds, 16 r8 adds, 22 never-sampled; 51 remain
         # ---- for r9). Full registry swept by tools/check_oracle.py.
         "q_ndcg_quantized": q_ndcg_quantized,
         "q_snapshot_merge": q_snapshot_merge,
@@ -15622,6 +15659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tws_liststate": q_tws_liststate,
         "q_python_datasink": q_python_datasink,
         "q_audio_quality": q_audio_quality,
+        "q_dau_mau": q_dau_mau,
         "q_stream_cdc_delete": q_stream_cdc_delete,
         "q_stream_chained_agg": q_stream_chained_agg,
         "q_stream_left_join": q_stream_left_join,
@@ -16279,4 +16317,5 @@ def oracle_sql() -> dict[str, str]:
         "q_tws_liststate": Q_TWS_LISTSTATE_SQL,
         "q_python_datasink": Q_PYTHON_DATASINK_SQL,
         "q_audio_quality": Q_AUDIO_QUALITY_SQL,
+        "q_dau_mau": Q_DAU_MAU_SQL,
     }

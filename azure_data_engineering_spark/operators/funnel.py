@@ -213,3 +213,58 @@ def funnel_latency(
             out = row if out is None else out.unionByName(row)
         prev = cur
     return out.orderBy("step")
+
+
+def dau_mau_stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 28,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DAU / MAU stickiness per calendar day: daily active users,
+    rolling `window_days`-day distinct active users, and their ratio —
+    the canonical "how often do actives come back" product metric
+    (window_days=28 is the industry MAU convention).
+
+    Scale shape: the event stream collapses FIRST to the distinct
+    (user, day) frame (one groupBy — the only corpus-scale shuffle).
+    Rolling DISTINCT counts can't ride a window aggregate, so each
+    user-day is joined to the <= window_days spine days it supports
+    (a broadcast range join against the day spine — day-frame sized),
+    then one (day, user) distinct + count. Work is O(user-days ·
+    window_days), independent of raw event volume. Days with no
+    events in their trailing window emit nothing (they have no
+    user-day support rows) — the spine is observed days only."""
+    ud = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.date_format(ts_col, "yyyy-MM-dd").alias("day"),
+        )
+        .distinct()
+    )
+    spine = ud.select("day").distinct().select(
+        "day", F.to_date("day").alias("d")
+    )
+    support = ud.withColumn("ud_d", F.to_date("day")).alias("ud")
+    windowed = support.join(
+        F.broadcast(spine.alias("s")),
+        (F.col("ud.ud_d") <= F.col("s.d"))
+        & (F.col("ud.ud_d") > F.date_sub(F.col("s.d"), window_days)),
+    ).select(F.col("s.day").alias("day"), F.col("ud.u").alias("u"))
+    mau = windowed.groupBy("day").agg(
+        F.countDistinct("u").cast("long").alias("mau")
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("u").cast("long").alias("dau"))
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau").cast("double"),
+                round_digits,
+            ).alias("stickiness"),
+        )
+    )

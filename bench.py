@@ -157,6 +157,7 @@ HEADLINE = [
     "q_tws_liststate",
     "q_python_datasink",
     "q_audio_quality",
+    "q_dau_mau",
 ]
 
 ROUND = 8
@@ -630,7 +631,7 @@ def main() -> None:
                     "q_url_canonicalize q_geohash q_sssp_weighted "
                     "q_jaro_winkler q_confusion_f1 q_cohens_kappa "
                     "q_log_odds q_quantile_normalize q_tws_liststate "
-                    "q_python_datasink q_audio_quality have no prior-round "
+                    "q_python_datasink q_audio_quality q_dau_mau have no prior-round "
                     "comparison; UDF-bearing headline queries "
                     "(q_grouped_map q_holt_linear q_knn_classifier "
                     "q_ann_ivfpq) now get one discarded warmup run before "

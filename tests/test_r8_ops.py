@@ -309,3 +309,22 @@ class TestAudioQuality:
         want_rms = round(_m.sqrt(sum(s * s for s in samples) / 6), 6)
         assert r.rms == pytest.approx(want_rms)
         assert got[2].n_frames == 0 and got[2].rms is None  # quarantine row
+
+
+class TestDauMau:
+    def test_rolling_window_and_ratio(self, spark):
+        from azure_data_engineering_spark.operators.funnel import dau_mau_stickiness
+
+        rows = []
+        # day 1: users 1,2 ; day 2: user 1 ; day 31: user 3 (window
+        # excludes day 1-2 users at 28 days)
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        for u, d in [(1, 0), (2, 0), (1, 1), (3, 30)]:
+            rows.append((u, base + dt.timedelta(days=d)))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {r.day: (r.dau, r.mau, r.stickiness) for r in dau_mau_stickiness(df).collect()}
+        assert got["2024-01-01"] == (2, 2, 1.0)
+        assert got["2024-01-02"] == (1, 2, 0.5)   # MAU still {1,2}
+        assert got["2024-01-31"] == (1, 1, 1.0)   # 28-day window rolled off days 1-2
