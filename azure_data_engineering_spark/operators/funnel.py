@@ -230,12 +230,20 @@ def dau_mau_stickiness(
     Scale shape: the event stream collapses FIRST to the distinct
     (user, day) frame (one groupBy — the only corpus-scale shuffle).
     Rolling DISTINCT counts can't ride a window aggregate, so each
-    user-day is joined to the <= window_days spine days it supports
-    (a broadcast range join against the day spine — day-frame sized),
-    then one (day, user) distinct + count. Work is O(user-days ·
-    window_days), independent of raw event volume. Days with no
-    events in their trailing window emit nothing (they have no
-    user-day support rows) — the spine is observed days only."""
+    user-day row is EXPLODED over the window_days spine days it
+    supports (sequence(d, d + window_days - 1)) and equi-joined to the
+    observed-day spine — a broadcast HASH join on the day key (the
+    spine is day-frame sized), then one (day, user) distinct + count.
+    Work is O(user-days · window_days), independent of BOTH raw event
+    volume and history length. (The r8 version phrased the support
+    relation as a non-equi range join against the spine; with no
+    equi-key Catalyst planned a BroadcastNestedLoopJoin whose per-row
+    cost grew with |spine| — O(user-days · n_days) on a multi-year
+    corpus. The explode form is the same relation with a real hash
+    key; tests/test_plans.py asserts no BNLJ survives in this plan.)
+    Days with no events in their trailing window emit nothing (they
+    have no user-day support rows) — the spine is observed days
+    only."""
     ud = (
         events.select(
             F.col(user_col).alias("u"),
@@ -246,12 +254,16 @@ def dau_mau_stickiness(
     spine = ud.select("day").distinct().select(
         "day", F.to_date("day").alias("d")
     )
-    support = ud.withColumn("ud_d", F.to_date("day")).alias("ud")
-    windowed = support.join(
-        F.broadcast(spine.alias("s")),
-        (F.col("ud.ud_d") <= F.col("s.d"))
-        & (F.col("ud.ud_d") > F.date_sub(F.col("s.d"), window_days)),
-    ).select(F.col("s.day").alias("day"), F.col("ud.u").alias("u"))
+    support = ud.select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.to_date("day"),
+                F.date_add(F.to_date("day"), window_days - 1),
+            )
+        ).alias("d"),
+    )
+    windowed = support.join(F.broadcast(spine), "d").select("day", "u")
     mau = windowed.groupBy("day").agg(
         F.countDistinct("u").cast("long").alias("mau")
     )

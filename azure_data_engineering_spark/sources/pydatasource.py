@@ -140,6 +140,21 @@ class _PartFile(WriterCommitMessage):
     rows: int
 
 
+def _pipe_cell(v) -> str:
+    """Format one cell the way Spark's own CSV writer does for sep='|'
+    (so ``read_pipe_csv`` — a plain Spark CSV scan — parses it back
+    losslessly): values containing the delimiter, a quote, or a line
+    break are wrapped in double quotes with ``\\`` and ``"`` escaped
+    (univocity quote + quoteEscape defaults). Verified against Spark's
+    writer output byte-for-byte in tests/test_python_datasink.py."""
+    if v is None:
+        return ""
+    s = str(v)
+    if any(c in s for c in '|"\n\r'):
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return s
+
+
 class _PipeTextWriter(DataSourceWriter):
     """Per-partition task writer: each executor task streams its rows
     into one pipe-delimited text part under a staging name; commit()
@@ -147,17 +162,29 @@ class _PipeTextWriter(DataSourceWriter):
     renames the parts in — the standard two-phase file-sink protocol
     (task outputs are invisible until the job-level commit), so a
     failed/speculated task can never leak a half-written part.
-    abort() removes the staging files."""
+    abort() removes the staging files.
 
-    def __init__(self, options, schema):
+    Final part names carry a per-job token (``part-<token>-00000.psv``)
+    so an append job can never clobber a previous job's committed
+    parts; ``mode='overwrite'`` removes every previously committed
+    ``part-*.psv`` at commit time, after all of this job's tasks have
+    succeeded (readers of the old data are never left with a half
+    overwrite)."""
+
+    def __init__(self, options, schema, overwrite):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("pipetext writer requires a path")
         self.cols = [f.name for f in schema.fields]
+        self.overwrite = bool(overwrite)
+        # Job-level token, minted once on the driver and pickled to all
+        # tasks — uniquifies this job's committed part names.
+        self.token = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import os
-        import tempfile
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
@@ -166,17 +193,22 @@ class _PipeTextWriter(DataSourceWriter):
         n = 0
         with open(full, "w", encoding="utf-8") as f:
             for row in iterator:
-                f.write("|".join("" if v is None else str(v) for v in row) + "\n")
+                f.write("|".join(_pipe_cell(v) for v in row) + "\n")
                 n += 1
         return _PartFile(path=full, rows=n)
 
     def commit(self, messages):
+        import glob
         import json
         import os
 
+        stale = glob.glob(os.path.join(self.path, "part-*.psv"))
+        if self.overwrite:
+            for p in stale:
+                os.remove(p)
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.psv")
+            final = os.path.join(self.path, f"part-{self.token}-{i:05d}.psv")
             os.replace(m.path, final)
             total += m.rows
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
@@ -207,7 +239,7 @@ class PipeTextSink(DataSource):
         return "pipetext"
 
     def writer(self, schema, overwrite):
-        return _PipeTextWriter(self.options, schema)
+        return _PipeTextWriter(self.options, schema, overwrite)
 
 
 def register_sink(spark) -> None:

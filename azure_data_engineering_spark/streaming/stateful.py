@@ -14,6 +14,8 @@ from collections.abc import Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+from ..operators.timeseries import _round_away
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -32,7 +34,7 @@ def _update_user_totals(
         n += len(pdf)
         total += float(pdf["value"].sum())
     state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [_round_away(total, 2)]})
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -106,7 +108,7 @@ class UserTypeTotalsProcessor(StatefulProcessor):
                 "user_id": [user_id] * len(out),
                 "event_type": [o[0] for o in out],
                 "n_events": [o[1] for o in out],
-                "total_value": [round(o[2], 2) for o in out],
+                "total_value": [_round_away(o[2], 2) for o in out],
                 "lifetime_events": [seen] * len(out),
             }
         )
@@ -201,7 +203,7 @@ class SessionTimeoutProcessor(StatefulProcessor):
                 {
                     "user_id": [int(key[0])],
                     "n_events": [int(n)],
-                    "total_value": [round(float(total), 2)],
+                    "total_value": [_round_away(float(total), 2)],
                     "first_ts_ms": [int(first_ms)],
                     "last_ts_ms": [int(last_ms)],
                 }
@@ -354,7 +356,7 @@ class RecentEventsProcessor(StatefulProcessor):
                 "rank": list(range(1, len(cur) + 1)),
                 "ts_ms": [r[0] for r in cur],
                 "event_id": [r[1] for r in cur],
-                "value": [round(r[2], 2) for r in cur],
+                "value": [_round_away(r[2], 2) for r in cur],
             }
         )
 

@@ -281,6 +281,42 @@ class TestPipeTextSink:
         got = sorted((r._c0, r._c1, r._c2) for r in back)
         assert got == [("1", "a", "2.5"), ("2", None, "3.5"), ("3", "c", None)]
 
+    def test_delimiter_and_quote_values_roundtrip(self, spark, tmp_path):
+        """ADVICE r8: values containing the delimiter, quotes, or
+        backslashes must round-trip through read_pipe_csv (the sink
+        quotes exactly like Spark's own CSV writer for sep='|')."""
+        from azure_data_engineering_spark.sources.csv_pipe import read_pipe_csv
+        from azure_data_engineering_spark.sources.pydatasource import register_sink
+
+        register_sink(spark)
+        out = str(tmp_path / "sink_q")
+        vals = ["plain", "has|pipe", 'has"quote', "back\\slash", 'mix|"x\\', "\\"]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "k int, s string")
+        df.write.format("pipetext").option("path", out).mode("append").save()
+        back = {int(r._c0): r._c1 for r in read_pipe_csv(spark, out).collect()}
+        assert back == dict(enumerate(vals))
+
+    def test_overwrite_clears_stale_parts_append_never_clobbers(self, spark, tmp_path):
+        """ADVICE r8: save(mode='overwrite') must remove previously
+        committed parts (no phantom rows when the new job writes fewer
+        parts), and two append jobs must never clobber each other's
+        part files (job-token-uniquified names)."""
+        from azure_data_engineering_spark.sources.csv_pipe import read_pipe_csv
+        from azure_data_engineering_spark.sources.pydatasource import register_sink
+
+        register_sink(spark)
+        out = str(tmp_path / "sink_ow")
+        big = spark.createDataFrame([(i,) for i in range(8)], "k int").repartition(8)
+        big.write.format("pipetext").option("path", out).mode("append").save()
+        more = spark.createDataFrame([(100,), (101,)], "k int").repartition(2)
+        more.write.format("pipetext").option("path", out).mode("append").save()
+        got = sorted(int(r._c0) for r in read_pipe_csv(spark, out).collect())
+        assert got == list(range(8)) + [100, 101]  # append kept both jobs
+        small = spark.createDataFrame([(42,)], "k int").coalesce(1)
+        small.write.format("pipetext").option("path", out).mode("overwrite").save()
+        got = [int(r._c0) for r in read_pipe_csv(spark, out).collect()]
+        assert got == [42]  # no phantom rows from the earlier 10 parts
+
 
 class TestAudioQuality:
     def test_known_clip_and_quarantine(self, spark):
