@@ -15575,9 +15575,11 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     actives over rolling 28-day distinct actives — the canonical
     "do actives come back" engagement ratio. The event stream
     collapses to the distinct user-day frame first (the only
-    corpus-scale shuffle); the rolling DISTINCT count is a broadcast
-    range join of user-days onto the observed-day spine, O(user-days ×
-    28) regardless of event volume."""
+    corpus-scale shuffle); the rolling DISTINCT count explodes each
+    user-day over its 28 supported days and broadcast-HASH-equi-joins
+    the observed-day spine (r9 replan — the r8 range join planned a
+    BroadcastNestedLoopJoin), O(user-days × 28) regardless of event
+    volume and history length."""
     from azure_data_engineering_spark.operators.funnel import dau_mau_stickiness
 
     ev = _t(spark, sf_dir, "events")
@@ -15602,6 +15604,137 @@ SELECT dau.day, dau.dau, mau.mau,
        round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6) AS stickiness
 FROM dau JOIN mau USING (day)
 ORDER BY dau.day
+"""
+
+
+def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format crawl-audio triage (sources/multimodal.
+    audio_metadata_full; sources/media_codecs.mp3_metadata — ID3v2
+    syncsafe skip + MPEG frame-header walk per ISO/IEC 11172-3;
+    flac_streaminfo — FLAC STREAMINFO bit unpack): a mixed fixture of
+    real WAV bytes (ids ≡ 0 mod 3), MPEG-1 Layer III streams with
+    optional ID3v2 tags (ids ≡ 1, some truncated mid-frame), FLAC
+    headers (ids ≡ 2, some truncated mid-metadata-block), and junk
+    (ids % 50 == 0) flows through ONE mapInPandas kernel that sniffs
+    and parses headers only. `keep` is the pre-decode screen a speech
+    pipeline runs first: non-corrupt, non-truncated, ≥ 1 ms. The
+    oracle recomputes every column — rate/channel tables, syncsafe
+    sizes, CBR frame math, STREAMINFO packing — from the generating
+    formulas, so an endianness or table bug breaks the hash."""
+    import pandas as pd
+
+    from azure_data_engineering_spark.sources.media_codecs import (
+        flac_container,
+        mp3_container,
+        wav_encode,
+    )
+    from azure_data_engineering_spark.sources.multimodal import audio_metadata_full
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select("doc_id")
+
+    def make_mixed(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                i = int(row["doc_id"])
+                if i % 50 == 0:
+                    payload = f"not audio {i}".encode()
+                elif i % 3 == 0:
+                    n = i % 200 + 10
+                    payload = wav_encode(bytes(2 * n), 8000, channels=1)
+                elif i % 3 == 1:
+                    payload = mp3_container(
+                        bitrate_kbps=(64, 96, 128, 160, 192)[i % 5],
+                        sample_rate=(44100, 48000, 32000)[(i // 3) % 3],
+                        channels=1 if i % 10 < 5 else 2,
+                        n_frames=i % 7 + 2,
+                        id3_size=(i % 6) * 17,
+                        truncate=(i % 10 == 7),
+                    )
+                else:
+                    payload = flac_container(
+                        sample_rate=(8000, 16000, 44100)[(i // 3) % 3],
+                        channels=i % 2 + 1,
+                        bits_per_sample=(8, 16, 24)[(i // 5) % 3],
+                        total_samples=(i * 13) % 100000,
+                        truncate=(i % 10 == 8),
+                    )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = d.mapInPandas(make_mixed, schema="id bigint, payload binary")
+    meta = audio_metadata_full(payloads)
+    return meta.withColumn(
+        "keep",
+        (
+            (F.col("format") != "corrupt")
+            & (F.col("truncated") == 0)
+            & (F.col("duration_ms") >= 1)
+        ).cast("int"),
+    )
+
+
+Q_AUDIO_METADATA_SQL = """
+WITH d AS (
+  SELECT doc_id AS id FROM documents WHERE doc_id < 400
+), m AS (
+  SELECT id,
+         CASE WHEN id % 50 = 0 THEN 'corrupt'
+              WHEN id % 3 = 0 THEN 'wav'
+              WHEN id % 3 = 1 THEN 'mp3'
+              ELSE 'flac' END AS format
+  FROM d
+), meta AS (
+  SELECT id, format,
+         CASE format
+           WHEN 'wav' THEN 8000
+           WHEN 'mp3' THEN CASE (id // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+           WHEN 'flac' THEN CASE (id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+           ELSE 0 END AS sample_rate,
+         CASE format
+           WHEN 'wav' THEN 1
+           WHEN 'mp3' THEN CASE WHEN id % 10 < 5 THEN 1 ELSE 2 END
+           WHEN 'flac' THEN id % 2 + 1
+           ELSE 0 END AS channels,
+         CASE format
+           WHEN 'wav' THEN 16
+           WHEN 'flac' THEN CASE (id // 5) % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END
+           ELSE 0 END AS bit_depth,
+         CASE format
+           WHEN 'wav' THEN 128
+           WHEN 'mp3' THEN CASE id % 5 WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 128 WHEN 3 THEN 160 ELSE 192 END
+           ELSE 0 END AS bitrate_kbps,
+         CASE format
+           WHEN 'wav' THEN id % 200 + 10
+           WHEN 'mp3' THEN id % 7 + 2 - CASE WHEN id % 10 = 7 THEN 1 ELSE 0 END
+           WHEN 'flac' THEN (id * 13) % 100000
+           ELSE 0 END AS n_frames,
+         CASE WHEN format = 'corrupt' THEN 1
+              WHEN format = 'mp3' AND id % 10 = 7 THEN 1
+              WHEN format = 'flac' AND id % 10 = 8 THEN 1
+              ELSE 0 END AS truncated
+  FROM m
+), meta2 AS (
+  SELECT *,
+         CASE format
+           WHEN 'wav' THEN n_frames * 1000 // 8000
+           WHEN 'mp3' THEN n_frames * 1152 * 1000 // sample_rate
+           WHEN 'flac' THEN n_frames * 1000 // sample_rate
+           ELSE 0 END AS duration_ms
+  FROM meta
+)
+SELECT id, format,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(bit_depth AS BIGINT) AS bit_depth,
+       CAST(bitrate_kbps AS BIGINT) AS bitrate_kbps,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(truncated AS INT) AS truncated,
+       CAST(CASE WHEN format <> 'corrupt' AND truncated = 0
+                  AND duration_ms >= 1
+             THEN 1 ELSE 0 END AS INT) AS keep
+FROM meta2
 """
 
 
@@ -15971,6 +16104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_lang_id": q_lang_id,
         "q_edit_distance": q_edit_distance,
+        "q_audio_metadata": q_audio_metadata,
     }
 
 
@@ -16316,4 +16450,5 @@ def oracle_sql() -> dict[str, str]:
         "q_python_datasink": Q_PYTHON_DATASINK_SQL,
         "q_audio_quality": Q_AUDIO_QUALITY_SQL,
         "q_dau_mau": Q_DAU_MAU_SQL,
+        "q_audio_metadata": Q_AUDIO_METADATA_SQL,
     }

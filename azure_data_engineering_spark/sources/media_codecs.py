@@ -29,7 +29,8 @@ _PNG_SAMPLES = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff(payload: bytes) -> str | None:
-    """Magic-byte format detection: 'png' | 'jpeg' | 'bmp' | 'wav' | None."""
+    """Magic-byte format detection:
+    'png' | 'jpeg' | 'bmp' | 'wav' | 'mp3' | 'flac' | None."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:2] == b"\xff\xd8":
@@ -38,6 +39,12 @@ def sniff(payload: bytes) -> str | None:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
+    if payload[:3] == b"ID3":
+        return "mp3"
+    if len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        return "mp3"
     return None
 
 
@@ -419,3 +426,232 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, int, bytes]:
             w.getsampwidth(),
             w.readframes(w.getnframes()),
         )
+
+
+# ------------------------------------------------------- MP3 / FLAC
+# Crawl audio is MP3/FLAC, not WAV: the triage step (sources/
+# multimodal.audio_metadata_full) needs real header parsers for both.
+# Layouts are from the public MPEG-1/2 audio frame-header spec
+# (ISO/IEC 11172-3 / 13818-3) and the public FLAC format spec
+# (STREAMINFO metadata block). Same contract as jpeg_metadata: raise
+# ValueError only when the payload is not that format at all; report
+# mid-stream death via a truncated flag — the quarantine signal.
+
+# bitrate_kbps[version_group][layer][index]; index 0 = "free" and 15 =
+# "bad" are treated as invalid headers. Version group 0 = MPEG1,
+# 1 = MPEG2/2.5 (they share tables).
+_MP3_BITRATE = {
+    (0, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (0, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (0, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (1, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (1, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (1, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# sample_rate[version_id][index]; version_id bits: 0=MPEG2.5, 2=MPEG2,
+# 3=MPEG1 (1 is reserved); index 3 is reserved.
+_MP3_RATE = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame_header(b: bytes, pos: int):
+    """Parse one MPEG audio frame header at pos. Returns (version_id,
+    layer, bitrate_kbps, sample_rate, channels, frame_len,
+    samples_per_frame) or None if the 4 bytes are not a valid header."""
+    if pos + 4 > len(b):
+        return None
+    h0, h1, h2, h3 = b[pos : pos + 4]
+    if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+        return None
+    version_id = (h1 >> 3) & 0x03
+    layer_bits = (h1 >> 1) & 0x03
+    if version_id == 1 or layer_bits == 0:
+        return None  # reserved
+    layer = 4 - layer_bits  # 11->I, 10->II, 01->III
+    br_idx = (h2 >> 4) & 0x0F
+    sr_idx = (h2 >> 2) & 0x03
+    padding = (h2 >> 1) & 0x01
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    vgroup = 0 if version_id == 3 else 1
+    bitrate = _MP3_BITRATE[(vgroup, layer)][br_idx]
+    rate = _MP3_RATE[version_id][sr_idx]
+    channels = 1 if ((h3 >> 6) & 0x03) == 3 else 2
+    if layer == 1:
+        spf = 384
+        frame_len = (12 * bitrate * 1000 // rate + padding) * 4
+    elif layer == 2:
+        spf = 1152
+        frame_len = 144 * bitrate * 1000 // rate + padding
+    else:  # Layer III
+        spf = 1152 if version_id == 3 else 576
+        frame_len = (144 if version_id == 3 else 72) * bitrate * 1000 // rate + padding
+    return version_id, layer, bitrate, rate, channels, frame_len, spf
+
+
+def mp3_metadata(payload: bytes) -> tuple[str, int, int, int, int, int, int, bool]:
+    """(mpeg_version, layer, bitrate_kbps, sample_rate, channels,
+    n_frames, duration_ms, truncated) from an MPEG audio stream via a
+    frame walk — headers only, no audio decoding.
+
+    - Skips a leading ID3v2 tag (syncsafe 28-bit size; footer flag adds
+      10 bytes per the ID3v2.4 spec).
+    - First frame header after the tag defines version/layer/bitrate/
+      rate/channels; n_frames counts COMPLETE frames present (CBR frame
+      walk), duration_ms = n_frames · samples_per_frame · 1000 // rate.
+    - truncated=True when the ID3 tag or a frame overruns the buffer,
+      or a later frame position holds garbage — the quarantine signal.
+
+    Raises ValueError only when the payload is not MPEG audio at all
+    (no ID3v2 tag and no valid frame sync at offset 0)."""
+    pos = 0
+    n = len(payload)
+    if payload[:3] == b"ID3":
+        if n < 10:
+            raise ValueError("not MPEG audio (bare ID3 fragment)")
+        flags = payload[5]
+        size = (
+            ((payload[6] & 0x7F) << 21)
+            | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7)
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + size + (10 if flags & 0x10 else 0)
+        if pos >= n:
+            return "", 0, 0, 0, 0, 0, 0, True  # tag overruns: truncated
+        first = _mp3_frame_header(payload, pos)
+        if first is None:
+            return "", 0, 0, 0, 0, 0, 0, True  # tag ok, garbage after
+    else:
+        first = _mp3_frame_header(payload, 0)
+        if first is None:
+            raise ValueError("not MPEG audio (no ID3v2 tag or frame sync)")
+    version_id, layer, bitrate, rate, channels, _fl, spf = first
+    version = {3: "1", 2: "2", 0: "2.5"}[version_id]
+    n_frames = 0
+    truncated = False
+    while pos < n:
+        hdr = _mp3_frame_header(payload, pos)
+        if hdr is None:
+            truncated = True  # garbage mid-stream
+            break
+        frame_len = hdr[5]
+        if frame_len <= 0 or pos + frame_len > n:
+            truncated = True  # last frame cut off
+            break
+        n_frames += 1
+        pos += frame_len
+    duration_ms = n_frames * spf * 1000 // rate
+    return version, layer, bitrate, rate, channels, n_frames, duration_ms, truncated
+
+
+def mp3_container(
+    bitrate_kbps: int,
+    sample_rate: int,
+    channels: int = 2,
+    n_frames: int = 4,
+    id3_size: int = 0,
+    truncate: bool = False,
+) -> bytes:
+    """A structurally valid MPEG-1 Layer III CBR stream for fixtures:
+    optional ID3v2.4 tag of `id3_size` payload bytes, then `n_frames`
+    frames with spec-shaped headers and sync-free filler bodies.
+    truncate=True chops the final frame in half (an interrupted
+    download): parsers see n_frames-1 complete frames + truncated."""
+    br_idx = _MP3_BITRATE[(0, 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATE[3].index(sample_rate)
+    out = bytearray()
+    if id3_size:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        )
+        out += bytes((i * 13 + 7) % 128 for i in range(id3_size))  # sync-free
+    h1 = 0xE0 | (3 << 3) | (1 << 1) | 1  # MPEG1, Layer III, no CRC
+    h2 = (br_idx << 4) | (sr_idx << 2)  # padding 0
+    h3 = (3 << 6) if channels == 1 else 0  # mono vs stereo
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    body = bytes((i * 29 + 3) % 128 for i in range(frame_len - 4))  # sync-free
+    frame = bytes([0xFF, h1, h2, h3]) + body
+    out += frame * n_frames
+    if truncate:
+        return bytes(out[: len(out) - frame_len // 2])
+    return bytes(out)
+
+
+def flac_streaminfo(payload: bytes) -> tuple[int, int, int, int, int, int, bool]:
+    """(sample_rate, channels, bits_per_sample, total_samples,
+    min_blocksize, max_blocksize, truncated) from a FLAC stream's
+    STREAMINFO metadata block (public FLAC format spec: 'fLaC' magic,
+    then blocks of [last-flag|type, 24-bit length]; STREAMINFO is type
+    0 and always first, 34 bytes with sample_rate(20) | channels-1(3) |
+    bps-1(5) | total_samples(36) packed after the block/frame-size
+    fields). truncated=True when STREAMINFO itself or a later declared
+    metadata block overruns the buffer. Raises ValueError when the
+    payload is not FLAC (no magic or first block not STREAMINFO)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not FLAC (missing fLaC magic)")
+    n = len(payload)
+    if n < 8 or (payload[4] & 0x7F) != 0:
+        raise ValueError("not FLAC (first metadata block is not STREAMINFO)")
+    (blen,) = struct.unpack(">I", b"\x00" + payload[5:8])
+    if blen != 34 or 8 + blen > n:
+        return 0, 0, 0, 0, 0, 0, True
+    si = payload[8 : 8 + 34]
+    min_block, max_block = struct.unpack(">HH", si[0:4])
+    packed = int.from_bytes(si[10:18], "big")
+    sample_rate = packed >> 44
+    channels = ((packed >> 41) & 0x07) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total_samples = packed & ((1 << 36) - 1)
+    truncated = False
+    pos = 8 + 34
+    last = bool(payload[4] & 0x80)
+    while not last:
+        if pos + 4 > n:
+            truncated = True
+            break
+        last = bool(payload[pos] & 0x80)
+        (blen,) = struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+        pos += 4 + blen
+        if pos > n:
+            truncated = True
+            break
+    return sample_rate, channels, bps, total_samples, min_block, max_block, truncated
+
+
+def flac_container(
+    sample_rate: int,
+    channels: int,
+    bits_per_sample: int,
+    total_samples: int,
+    truncate: bool = False,
+) -> bytes:
+    """A structurally valid FLAC header for fixtures: magic, STREAMINFO
+    (block sizes 4096/4096, zero frame sizes, MD5 zeros), one PADDING
+    block, and 8 filler bytes standing in for audio frames.
+    truncate=True declares a 64-byte PADDING block but emits only 10
+    of it — a mid-metadata interrupted download."""
+    if not (1 <= channels <= 8 and 4 <= bits_per_sample <= 32):
+        raise ValueError("channels 1-8, bps 4-32")
+    if total_samples >= 1 << 36 or sample_rate >= 1 << 20:
+        raise ValueError("field overflow")
+    out = bytearray(b"fLaC")
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    si = struct.pack(">HH", 4096, 4096) + bytes(6) + packed.to_bytes(8, "big") + bytes(16)
+    assert len(si) == 34
+    out += b"\x00" + (34).to_bytes(3, "big") + si  # STREAMINFO, not last
+    if truncate:
+        out += b"\x81" + (64).to_bytes(3, "big") + bytes(10)  # declared 64, cut
+        return bytes(out)
+    out += b"\x81" + (16).to_bytes(3, "big") + bytes(16)  # last PADDING
+    out += bytes((i * 41 + 5) % 256 for i in range(8))  # frame filler
+    return bytes(out)

@@ -158,6 +158,9 @@ HEADLINE = [
     "q_python_datasink",
     "q_audio_quality",
     "q_dau_mau",
+    # round-9 additions: MP3/FLAC crawl-audio triage (the audio twin of
+    # the r8 JPEG marker walk)
+    "q_audio_metadata",
 ]
 
 ROUND = 9
@@ -648,6 +651,10 @@ def main() -> None:
                     "q_ann_ivfpq) now get one discarded warmup run before "
                     "the timed best-of-2 (the r7 q_grouped_map 1.47x blip "
                     "was pandas-worker churn)",
+                    "new_in_r9": "q_audio_metadata has no prior-round "
+                    "comparison; q_dau_mau's support join was replanned "
+                    "(sequence-explode broadcast hash equi-join replaces "
+                    "the r8 BroadcastNestedLoopJoin)",
                     "fault_isolation": "since r7 every timed unit is "
                     "individually guarded: a failing query records an "
                     "{error, traceback_tail} row in query_errors (or the "

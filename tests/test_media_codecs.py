@@ -309,3 +309,90 @@ class TestMixedImageMetadata:
         assert got[2] == ("jpeg", 640, 480, 3, 0, 6, 0)
         assert got[3] == ("jpeg", 9, 9, 1, 1, 0, 1)
         assert got[4] == ("corrupt", 0, 0, 0, 0, 0, 1)
+
+
+class TestMp3Metadata:
+    def test_header_walk_cbr(self):
+        b = M.mp3_container(128, 44100, channels=2, n_frames=5, id3_size=0)
+        ver, layer, kbps, rate, ch, n, dur, trunc = M.mp3_metadata(b)
+        assert (ver, layer, kbps, rate, ch, n, trunc) == ("1", 3, 128, 44100, 2, 5, False)
+        assert dur == 5 * 1152 * 1000 // 44100
+
+    def test_id3v2_syncsafe_skip(self):
+        # 200 > 127 forces the syncsafe 7-bit split across two bytes
+        b = M.mp3_container(96, 32000, channels=1, n_frames=3, id3_size=200)
+        assert b[:3] == b"ID3"
+        ver, layer, kbps, rate, ch, n, dur, trunc = M.mp3_metadata(b)
+        assert (kbps, rate, ch, n, trunc) == (96, 32000, 1, 3, False)
+
+    def test_truncated_last_frame(self):
+        b = M.mp3_container(160, 48000, n_frames=4, truncate=True)
+        ver, layer, kbps, rate, ch, n, dur, trunc = M.mp3_metadata(b)
+        assert n == 3 and trunc is True
+
+    def test_id3_tag_overrun_is_truncated_not_error(self):
+        b = b"ID3\x04\x00\x00" + bytes([0, 0, 7, 0x7F])  # declares ~1023B, absent
+        ver, layer, kbps, rate, ch, n, dur, trunc = M.mp3_metadata(b)
+        assert trunc is True and n == 0
+
+    def test_not_mp3_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            M.mp3_metadata(b"random junk bytes")
+
+    def test_mono_flag(self):
+        b = M.mp3_container(64, 44100, channels=1, n_frames=2)
+        assert M.mp3_metadata(b)[4] == 1
+
+
+class TestFlacStreaminfo:
+    def test_streaminfo_unpack(self):
+        b = M.flac_container(44100, 2, 16, 987654)
+        rate, ch, bps, total, minb, maxb, trunc = M.flac_streaminfo(b)
+        assert (rate, ch, bps, total, minb, maxb, trunc) == (
+            44100, 2, 16, 987654, 4096, 4096, False)
+
+    def test_block_overrun_truncated(self):
+        b = M.flac_container(8000, 1, 24, 500, truncate=True)
+        rate, ch, bps, total, _minb, _maxb, trunc = M.flac_streaminfo(b)
+        # STREAMINFO itself still parses; the padding block is cut
+        assert (rate, ch, bps, total, trunc) == (8000, 1, 24, 500, True)
+
+    def test_wide_fields(self):
+        # 36-bit total_samples and 20-bit rate boundaries
+        b = M.flac_container(655350, 8, 32, (1 << 36) - 1)
+        rate, ch, bps, total, *_ = M.flac_streaminfo(b)
+        assert (rate, ch, bps, total) == (655350, 8, 32, (1 << 36) - 1)
+
+    def test_not_flac_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            M.flac_streaminfo(b"OggS not flac")
+
+
+class TestMixedAudioMetadata:
+    def test_mixed_wav_mp3_flac_corrupt_triage(self, spark):
+        from azure_data_engineering_spark.sources.multimodal import (
+            audio_metadata_full,
+        )
+
+        rows = [
+            (1, M.wav_encode(bytes(2 * 80), 8000, channels=1)),
+            (2, M.mp3_container(128, 44100, channels=2, n_frames=4, id3_size=40)),
+            (3, M.mp3_container(96, 32000, channels=1, n_frames=3, truncate=True)),
+            (4, M.flac_container(16000, 2, 24, 32000)),
+            (5, b"plain text junk"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "payload"]))
+        got = {
+            r.id: (r.format, r.sample_rate, r.channels, r.bit_depth,
+                   r.bitrate_kbps, r.n_frames, r.duration_ms, r.truncated)
+            for r in audio_metadata_full(df).collect()
+        }
+        assert got[1] == ("wav", 8000, 1, 16, 128, 80, 10, 0)
+        assert got[2] == ("mp3", 44100, 2, 0, 128, 4, 4 * 1152 * 1000 // 44100, 0)
+        assert got[3] == ("mp3", 32000, 1, 0, 96, 2, 2 * 1152 * 1000 // 32000, 1)
+        assert got[4] == ("flac", 16000, 2, 24, 0, 32000, 2000, 0)
+        assert got[5] == ("corrupt", 0, 0, 0, 0, 0, 0, 1)
