@@ -15738,6 +15738,383 @@ FROM meta2
 """
 
 
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the four lineitem
+    measures in ONE scan + ONE reduce (operators/stats.pearson_matrix):
+    all p sums, squares and p(p-1)/2 cross products ride a single
+    global aggregate (map-side combine does the work — no melt, no
+    self-join), output is a 6-row pair frame. Exact DECIMAL moments;
+    each corr is one double expression replayed verbatim by the
+    oracle."""
+    from azure_data_engineering_spark.operators.stats import pearson_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pearson_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).orderBy("feature_x", "feature_y")
+
+
+Q_CORRELATION_MATRIX_SQL = """
+WITH mom AS (
+  SELECT count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,6))) AS s_q,
+         sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS s_e,
+         sum(CAST(l_discount AS DECIMAL(18,6))) AS s_d,
+         sum(CAST(l_tax AS DECIMAL(18,6))) AS s_t,
+         sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS ss_q,
+         sum(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS ss_e,
+         sum(CAST(l_discount AS DECIMAL(28,6)) * CAST(l_discount AS DECIMAL(18,6))) AS ss_d,
+         sum(CAST(l_tax AS DECIMAL(28,6)) * CAST(l_tax AS DECIMAL(18,6))) AS ss_t,
+         sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS sp_q_e,
+         sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_discount AS DECIMAL(18,6))) AS sp_q_d,
+         sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_tax AS DECIMAL(18,6))) AS sp_q_t,
+         sum(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_discount AS DECIMAL(18,6))) AS sp_e_d,
+         sum(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_tax AS DECIMAL(18,6))) AS sp_e_t,
+         sum(CAST(l_discount AS DECIMAL(28,6)) * CAST(l_tax AS DECIMAL(18,6))) AS sp_d_t
+  FROM lineitem
+), pairs AS (
+  SELECT 'l_quantity' AS feature_x, 'l_extendedprice' AS feature_y, n,
+         CAST(sp_q_e AS DOUBLE) AS sp, CAST(s_q AS DOUBLE) AS sa, CAST(s_e AS DOUBLE) AS sb,
+         CAST(ss_q AS DOUBLE) AS ssa, CAST(ss_e AS DOUBLE) AS ssb FROM mom
+  UNION ALL SELECT 'l_quantity', 'l_discount', n, CAST(sp_q_d AS DOUBLE), CAST(s_q AS DOUBLE), CAST(s_d AS DOUBLE), CAST(ss_q AS DOUBLE), CAST(ss_d AS DOUBLE) FROM mom
+  UNION ALL SELECT 'l_quantity', 'l_tax', n, CAST(sp_q_t AS DOUBLE), CAST(s_q AS DOUBLE), CAST(s_t AS DOUBLE), CAST(ss_q AS DOUBLE), CAST(ss_t AS DOUBLE) FROM mom
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', n, CAST(sp_e_d AS DOUBLE), CAST(s_e AS DOUBLE), CAST(s_d AS DOUBLE), CAST(ss_e AS DOUBLE), CAST(ss_d AS DOUBLE) FROM mom
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', n, CAST(sp_e_t AS DOUBLE), CAST(s_e AS DOUBLE), CAST(s_t AS DOUBLE), CAST(ss_e AS DOUBLE), CAST(ss_t AS DOUBLE) FROM mom
+  UNION ALL SELECT 'l_discount', 'l_tax', n, CAST(sp_d_t AS DOUBLE), CAST(s_d AS DOUBLE), CAST(s_t AS DOUBLE), CAST(ss_d AS DOUBLE), CAST(ss_t AS DOUBLE) FROM mom
+)
+SELECT feature_x, feature_y, CAST(n AS BIGINT) AS n,
+       CASE WHEN sqrt((CAST(n AS DOUBLE) * ssa - sa * sa) * (CAST(n AS DOUBLE) * ssb - sb * sb)) > 0
+            THEN round((CAST(n AS DOUBLE) * sp - sa * sb)
+                       / sqrt((CAST(n AS DOUBLE) * ssa - sa * sa) * (CAST(n AS DOUBLE) * ssb - sb * sb)), 6)
+       END AS corr
+FROM pairs
+ORDER BY feature_x, feature_y
+"""
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over order totals by priority class
+    (operators/stats.anova_oneway): one corpus groupBy to per-group
+    exact decimal moments, then a k-row reduce. Per-group Σ²/n
+    summands are rounded to 6 dp DECIMALs before the k-row sum so
+    both engines aggregate identical values; only O(1) normalized
+    statistics (F, eta²) are emitted — raw ~1e14 SS doubles drift by
+    conversion ulps across engines (the r6 large-magnitude lesson)."""
+    from azure_data_engineering_spark.operators.stats import anova_oneway
+
+    o = _t(spark, sf_dir, "orders")
+    return anova_oneway(o, "o_orderpriority", "o_totalprice")
+
+
+Q_ANOVA_F_SQL = """
+WITH g AS (
+  SELECT o_orderpriority AS g, count(*) AS ng,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sg,
+         sum(CAST(o_totalprice AS DECIMAL(28,6)) * CAST(o_totalprice AS DECIMAL(18,6))) AS ssg
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT count(*) AS k, sum(ng) AS n,
+         sum(CAST(sg AS DECIMAL(38,12))) AS s,
+         sum(CAST(ssg AS DECIMAL(38,12))) AS ss,
+         sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS DECIMAL(38,6))) AS sqn
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+       round((CAST(sqn AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / ((CAST(sqn AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                + (CAST(ss AS DOUBLE) - CAST(sqn AS DOUBLE))), 6) AS eta_sq,
+       round(((CAST(sqn AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((CAST(ss AS DOUBLE) - CAST(sqn AS DOUBLE)) / CAST(n - k AS DOUBLE)), 6) AS f_stat
+FROM tot
+"""
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b with tie correction between daily order volume
+    and daily revenue across 1996 (operators/stats.kendall_tau_b).
+    The O(n²) pair join runs over the AGGREGATE daily frame (≤366
+    rows — the module's standing discipline for pair statistics,
+    same as theil_sen), never corpus rows; concordant/discordant/tie
+    counts are exact integers."""
+    from azure_data_engineering_spark.operators.stats import kendall_tau_b
+
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y"),
+    )
+    return kendall_tau_b(daily, "x", "y")
+
+
+Q_KENDALL_TAU_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS x,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+), s AS MATERIALIZED (
+  SELECT x, y, row_number() OVER (ORDER BY x, y) AS i FROM daily
+), agg AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN (CASE WHEN a.x < b.x THEN 1 WHEN a.x > b.x THEN -1 ELSE 0 END)
+                     * (CASE WHEN a.y < b.y THEN 1 WHEN a.y > b.y THEN -1 ELSE 0 END) = 1 THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN (CASE WHEN a.x < b.x THEN 1 WHEN a.x > b.x THEN -1 ELSE 0 END)
+                     * (CASE WHEN a.y < b.y THEN 1 WHEN a.y > b.y THEN -1 ELSE 0 END) = -1 THEN 1 ELSE 0 END) AS d,
+         sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS tx,
+         sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS ty
+  FROM s a JOIN s b ON a.i < b.i
+), nn AS (SELECT count(*) AS n FROM s)
+SELECT CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+       CASE WHEN sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) > 0
+            THEN round(CAST(c - d AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)), 6)
+       END AS tau_b
+FROM agg, nn
+"""
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard + Fleming-Harrington survival
+    over the same churn-subject frame as q_kaplan_meier
+    (operators/stats.nelson_aalen): one aggregation to the
+    distinct-duration histogram, hazard increments d/n rounded to
+    12 dp DECIMALs before the cumulative window sum. The pair of
+    estimators (product-limit vs exp(-H)) is the standard survival
+    cross-check."""
+    from azure_data_engineering_spark.operators.stats import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events")
+    per_u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__first"), F.max("ts").alias("__last")
+    )
+    ref = ev.agg(F.max("ts").alias("__ref"))
+    subj = per_u.join(F.broadcast(ref)).select(
+        F.datediff(F.col("__last"), F.col("__first")).cast("long").alias("duration"),
+        (F.col("__last") < F.col("__ref") - F.expr("INTERVAL 7 DAYS"))
+        .cast("int")
+        .alias("churned"),
+    )
+    return nelson_aalen(subj, "duration", "churned")
+
+
+Q_NELSON_AALEN_SQL = """
+WITH per_u AS MATERIALIZED (
+  SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+), ref AS (SELECT max(ts) AS r FROM events),
+subj AS MATERIALIZED (
+  SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS duration,
+         CASE WHEN l < r - INTERVAL 7 DAY THEN 1 ELSE 0 END AS ev
+  FROM per_u, ref
+), per_t AS MATERIALIZED (
+  SELECT duration, sum(ev) AS d, count(*) AS c FROM subj GROUP BY 1
+), n AS (SELECT count(*) AS nn FROM subj),
+na AS MATERIALIZED (
+  SELECT duration, d, c,
+         nn - sum(c) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) + c AS n_risk
+  FROM per_t, n
+), na2 AS (
+  SELECT duration, n_risk, d,
+         sum(CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 12) AS DECIMAL(20,12)))
+           OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS h
+  FROM na
+)
+SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+       round(CAST(h AS DOUBLE), 6) AS cum_hazard,
+       round(exp(-CAST(h AS DOUBLE)), 6) AS survival_fh
+FROM na2
+"""
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng/Xu/Kohavi/Walker WSDM'13;
+    operators/stats.cuped_adjust) on a synthetic A/B over the events
+    stream: per user, pre-period metric = value sum in days 1-15,
+    post-period = days 16+, variant = user_id % 2. θ = cov/var from
+    one exact-moment pass; adjusted means per variant with the
+    expected (1-ρ²) variance ratio. θ, x̄ and each adjusted value are
+    rounded to 9 dp so both engines aggregate identical doubles."""
+    from azure_data_engineering_spark.operators.stats import cuped_adjust
+
+    ev = _t(spark, sf_dir, "events")
+    per_u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.dayofmonth("ts") <= 15, F.col("value")).cast("decimal(18,2)")
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        ).alias("pre"),
+        F.coalesce(
+            F.sum(
+                F.when(F.dayofmonth("ts") > 15, F.col("value")).cast("decimal(18,2)")
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        ).alias("post"),
+    )
+    unit = per_u.select(
+        (F.col("user_id") % 2).cast("long").alias("variant"), "pre", "post"
+    )
+    return cuped_adjust(unit, "variant", "pre", "post").orderBy("variant")
+
+
+Q_CUPED_SQL = """
+WITH per_u AS MATERIALIZED (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN day(ts) <= 15 THEN CAST(value AS DECIMAL(18,2)) END), 0) AS pre,
+         coalesce(sum(CASE WHEN day(ts) > 15 THEN CAST(value AS DECIMAL(18,2)) END), 0) AS post
+  FROM events GROUP BY 1
+), u AS MATERIALIZED (
+  SELECT user_id % 2 AS variant,
+         CAST(pre AS DECIMAL(18,6)) AS x, CAST(post AS DECIMAL(18,6)) AS y
+  FROM per_u
+), mom AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(18,6))) AS sxx,
+         sum(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(18,6))) AS sxy,
+         sum(CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(18,6))) AS syy
+  FROM u
+), params AS (
+  SELECT round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS theta,
+         round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9) AS xbar,
+         round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                     AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+               THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               ELSE 0.0 END, 9) AS rho2
+  FROM mom
+), adj AS MATERIALIZED (
+  SELECT variant, y,
+         CAST(round(CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - xbar), 9) AS DECIMAL(18,9)) AS ya,
+         theta, rho2
+  FROM u, params
+), per_v AS (
+  SELECT variant, count(*) AS n, sum(y) AS sy,
+         sum(CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(18,6))) AS syy,
+         sum(ya) AS sa,
+         sum(CAST(ya AS DECIMAL(28,9)) * CAST(ya AS DECIMAL(18,9))) AS saa,
+         max(theta) AS theta, max(rho2) AS rho2
+  FROM adj GROUP BY 1
+)
+SELECT CAST(variant AS BIGINT) AS variant, CAST(n AS BIGINT) AS n,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_post,
+       round(CAST(sa AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_adjusted,
+       round((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6) AS var_post,
+       round((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6) AS var_adjusted,
+       round(theta, 6) AS theta,
+       round(1.0 - rho2, 6) AS var_ratio_expected
+FROM per_v
+ORDER BY variant
+"""
+
+
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over 35 segment hypotheses
+    (operators/stats.bh_fdr): per (event_type, day%7) segment, a 2×2
+    chi-squared test of high-value rate (value ≥ 100) vs the
+    complement; p = erfc(√(χ²/2)) via the Abramowitz-Stegun 7.1.26
+    polynomial — the identical Horner expression in both engines, with
+    z and p rounded to 9 dp. BH ranks ascending (ties broken by key),
+    q_i = min tail of p·m/rank — the correction any metrics platform
+    needs once it tests dozens of segments at once."""
+    from azure_data_engineering_spark.operators.stats import bh_fdr
+
+    ev = _t(spark, sf_dir, "events")
+    seg = ev.groupBy(
+        F.concat_ws(
+            "_", F.col("event_type"), (F.dayofmonth("ts") % 7).cast("string")
+        ).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seg"),
+        F.sum((F.col("value") >= 100).cast("long")).alias("hi_seg"),
+    )
+    tot = seg.agg(
+        F.sum("n_seg").cast("long").alias("n_all"),
+        F.sum("hi_seg").cast("long").alias("hi_all"),
+    )
+    ct = seg.join(F.broadcast(tot)).select(
+        "segment",
+        F.col("hi_seg").alias("a"),
+        (F.col("n_seg") - F.col("hi_seg")).alias("b"),
+        (F.col("hi_all") - F.col("hi_seg")).alias("c"),
+        (F.col("n_all") - F.col("n_seg") - F.col("hi_all") + F.col("hi_seg")).alias("d"),
+        F.col("n_all"),
+    )
+    ad_bc = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    den = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    )
+    chi2 = F.when(den > 0, F.col("n_all").cast("double") * ad_bc * ad_bc / den).otherwise(
+        F.lit(0.0)
+    )
+    z = F.round(F.sqrt(chi2 / 2.0), 9)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    # Abramowitz & Stegun 7.1.26: erfc(z) ≈ poly(t)·exp(-z²), Horner form
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    pv = ct.select(
+        "segment", F.round(poly * F.exp(-(z * z)), 9).alias("p")
+    )
+    return bh_fdr(pv, "segment", "p", alpha=0.05).orderBy("bh_rank")
+
+
+Q_FDR_BH_SQL = """
+WITH seg AS MATERIALIZED (
+  SELECT event_type || '_' || CAST(day(ts) % 7 AS VARCHAR) AS segment,
+         count(*) AS n_seg,
+         sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS hi_seg
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(n_seg) AS n_all, sum(hi_seg) AS hi_all FROM seg
+), ct AS (
+  SELECT segment, hi_seg AS a, n_seg - hi_seg AS b,
+         hi_all - hi_seg AS c, n_all - n_seg - hi_all + hi_seg AS d, n_all
+  FROM seg, tot
+), chi AS (
+  SELECT segment,
+         CASE WHEN CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) > 0
+              THEN CAST(n_all AS DOUBLE) * CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+                   / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+              ELSE 0.0 END AS chi2
+  FROM ct
+), pv AS MATERIALIZED (
+  SELECT segment, round(z, 9) AS z FROM (SELECT segment, round(sqrt(chi2 / 2.0), 9) AS z FROM chi)
+), pvals AS MATERIALIZED (
+  SELECT segment,
+         round((1.0 / (1.0 + 0.3275911 * z))
+               * (0.254829592
+                  + (1.0 / (1.0 + 0.3275911 * z))
+                    * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * z))
+                       * (1.421413741 + (1.0 / (1.0 + 0.3275911 * z))
+                          * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * z)) * 1.061405429))))
+               * exp(-(z * z)), 9) AS p
+  FROM pv
+), m AS (SELECT count(*) AS m FROM pvals),
+ranked AS MATERIALIZED (
+  SELECT segment, p, row_number() OVER (ORDER BY p ASC, segment ASC) AS rnk,
+         least(1.0, round(p * CAST(m AS DOUBLE) / row_number() OVER (ORDER BY p ASC, segment ASC), 9)) AS raw_q
+  FROM pvals, m
+), adj AS (
+  SELECT segment, p, rnk,
+         min(raw_q) OVER (ORDER BY rnk DESC ROWS UNBOUNDED PRECEDING) AS bh_q
+  FROM ranked
+)
+SELECT segment AS key, round(p, 6) AS p_value, CAST(rnk AS BIGINT) AS bh_rank,
+       round(bh_q, 6) AS bh_q,
+       CAST(CASE WHEN bh_q <= 0.05 THEN 1 ELSE 0 END AS INT) AS reject
+FROM adj
+ORDER BY bh_rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -16105,6 +16482,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_edit_distance": q_edit_distance,
         "q_audio_metadata": q_audio_metadata,
+        "q_correlation_matrix": q_correlation_matrix,
+        "q_anova_f": q_anova_f,
+        "q_kendall_tau": q_kendall_tau,
+        "q_nelson_aalen": q_nelson_aalen,
+        "q_cuped": q_cuped,
+        "q_fdr_bh": q_fdr_bh,
     }
 
 
@@ -16451,4 +16834,10 @@ def oracle_sql() -> dict[str, str]:
         "q_audio_quality": Q_AUDIO_QUALITY_SQL,
         "q_dau_mau": Q_DAU_MAU_SQL,
         "q_audio_metadata": Q_AUDIO_METADATA_SQL,
+        "q_correlation_matrix": Q_CORRELATION_MATRIX_SQL,
+        "q_anova_f": Q_ANOVA_F_SQL,
+        "q_kendall_tau": Q_KENDALL_TAU_SQL,
+        "q_nelson_aalen": Q_NELSON_AALEN_SQL,
+        "q_cuped": Q_CUPED_SQL,
+        "q_fdr_bh": Q_FDR_BH_SQL,
     }

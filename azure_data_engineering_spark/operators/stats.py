@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -868,4 +868,352 @@ def spearman_corr(
         F.round(
             F.when(den > 0, num / den).otherwise(F.lit(None)), round_digits
         ).alias("spearman_rho"),
+    )
+
+
+def pearson_matrix(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    scale: int = 6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over p feature columns in
+    ONE scan and ONE reduce — the screen a feature pipeline runs
+    before model fitting (collinear features, leakage suspects).
+
+    Scale shape: no melt, no self-join — all p sums, p sums-of-squares
+    and p(p-1)/2 cross sums are computed as a single global aggregate
+    (map-side partial combine does the heavy lifting), so work is one
+    pass over the corpus and the result frame is p²-sized. At p
+    features that is p(p+3)/2 aggregate slots — fine for the tens of
+    engineered features this engine's mlplan family handles.
+
+    Exactness: values are cast to DECIMAL(18,scale) first, so products
+    (DECIMAL(38,2·scale)) and their sums are exact and
+    accumulation-order-free; each correlation is one double expression
+    from exact inputs. Returns (feature_x, feature_y, n, corr) for
+    x < y lexicographic pairs."""
+    p = list(feature_cols)
+    dec = f"decimal(18,{scale})"
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in p:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"s_{c}"))
+        aggs.append(F.sum((F.col(c).cast(dec) * F.col(c).cast(dec))).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(p) for b in p[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum((F.col(a).cast(dec) * F.col(b).cast(dec))).alias(f"sp_{a}_{b}"))
+    mom = df.agg(*aggs)
+
+    n = F.col("n").cast("double")
+
+    def corr(a: str, b: str):
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        num = n * F.col(f"sp_{a}_{b}").cast("double") - sa * sb
+        den = F.sqrt(
+            (n * F.col(f"ss_{a}").cast("double") - sa * sa)
+            * (n * F.col(f"ss_{b}").cast("double") - sb * sb)
+        )
+        return F.when(den > 0, F.round(num / den, round_digits))
+
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("feature_x"),
+                    F.lit(b).alias("feature_y"),
+                    corr(a, b).alias("corr"),
+                )
+                for a, b in pairs
+            ]
+        )
+    ).alias("kv")
+    return mom.select("n", kv).select(
+        F.col("kv.feature_x").alias("feature_x"),
+        F.col("kv.feature_y").alias("feature_y"),
+        "n",
+        F.col("kv.corr").alias("corr"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F statistic (Fisher): does the group factor
+    explain variance in the metric? SSB = Σ n_g(x̄_g - x̄)²,
+    SSW = Σ_g Σ (x - x̄_g)², F = (SSB/(k-1)) / (SSW/(n-k)).
+
+    Scale shape: one corpus-scale groupBy to per-group exact decimal
+    moments (n, Σx, Σx²), then a k-row reduce — the textbook
+    two-level aggregation; no row ever crosses the shuffle twice.
+    Exactness: the r6 large-magnitude lesson applies — raw SS values
+    are ~1e14 doubles whose decimal→double conversion can differ by
+    ulps across engines, so only O(1) NORMALIZED statistics are
+    emitted: F and eta² = SSB/SST (both ratios of same-source doubles,
+    relative drift ~1e-12, safe at 6 dp). Returns one row (k_groups,
+    n, eta_sq, f_stat)."""
+    dec = f"decimal(18,{scale})"
+    g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(F.col(value_col).cast(dec)).alias("sg"),
+        F.sum(F.col(value_col).cast(dec) * F.col(value_col).cast(dec)).alias("ssg"),
+    )
+    # each group's Σ²/n summand is rounded to a 6 dp DECIMAL before the
+    # k-row sum: double sums are accumulation-order-dependent across
+    # engines, exact decimals are not (the module's standing discipline)
+    sq_over_n = F.round(
+        (F.col("sg").cast("double") * F.col("sg").cast("double"))
+        / F.col("ng").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.col("sg").cast("decimal(38,12)")).alias("s"),
+        F.sum(F.col("ssg").cast("decimal(38,12)")).alias("ss"),
+        F.sum(sq_over_n).alias("sum_sq_over_n_d"),
+    )
+    sum_sq_over_n = F.col("sum_sq_over_n_d").cast("double")
+    grand_sq = F.col("s").cast("double") * F.col("s").cast("double") / F.col("n").cast("double")
+    ssb = sum_sq_over_n - grand_sq
+    ssw = F.col("ss").cast("double") - sum_sq_over_n
+    fstat = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (F.col("n") - F.col("k")).cast("double")
+    )
+    return tot.select(
+        F.col("k").alias("k_groups"),
+        "n",
+        F.round(ssb / (ssb + ssw), round_digits).alias("eta_sq"),
+        F.round(fstat, round_digits).alias("f_stat"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kendall tau-b rank correlation with tie correction (Kendall
+    1945): over all n(n-1)/2 observation pairs, tau_b =
+    (C - D) / sqrt((n0 - n1)(n0 - n2)) with n0 = n(n-1)/2, n1/n2 the
+    tied-pair counts in x/y.
+
+    Scale discipline: `df` must already be an AGGREGATE frame (a
+    daily/weekly series, a per-group summary — this module's standing
+    rule for O(n²)-pair statistics, same as theil_sen_mann_kendall);
+    the pair join is then bounded by construction. Concordant /
+    discordant / tie counts are exact integers, tau is one double
+    expression. Returns one row (n, concordant, discordant, tau_b)."""
+    s = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .withColumn("i", F.row_number().over(Window.orderBy("x", "y")))
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = a.join(b, F.col("a.i") < F.col("b.i"))
+    sgn = (
+        (F.col("a.x") < F.col("b.x")).cast("int") - (F.col("a.x") > F.col("b.x")).cast("int")
+    ) * (
+        (F.col("a.y") < F.col("b.y")).cast("int") - (F.col("a.y") > F.col("b.y")).cast("int")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum((sgn == 1).cast("long")).alias("c"),
+        F.sum((sgn == -1).cast("long")).alias("d"),
+        F.sum((F.col("a.x") == F.col("b.x")).cast("long")).alias("tx"),
+        F.sum((F.col("a.y") == F.col("b.y")).cast("long")).alias("ty"),
+    )
+    den = F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    n = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return agg.join(F.broadcast(n)).select(
+        "n",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(
+            F.when(den > 0, (F.col("c") - F.col("d")).cast("double") / den),
+            round_digits,
+        ).alias("tau_b"),
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972, Aalen
+    1978) over right-censored durations: H(t) = Σ_{t_i <= t} d_i/n_i,
+    with the Fleming-Harrington survival S̃(t) = exp(-H(t)) — the
+    estimator that behaves better than Kaplan-Meier in small risk
+    sets, and whose hazard increments are directly plottable.
+
+    Scale shape: identical to kaplan_meier's — ONE aggregation to the
+    distinct-duration histogram, then windows over that KB-sized frame
+    only. Each hazard increment d/n is rounded to a 12 dp DECIMAL
+    before the cumulative window sum (windowed double sums are
+    accumulation-order-dependent across engines; exact decimals are
+    not). Returns (duration, n_risk, n_events, cum_hazard,
+    survival_fh) per distinct leaving-duration."""
+    per_t = df.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.count(F.lit(1)).alias("n_leaving"),
+    )
+    n_total = df.agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    inc = F.round(
+        F.col("n_events").cast("double") / F.col("n_risk").cast("double"), 12
+    ).cast("decimal(20,12)")
+    na = (
+        per_t.join(F.broadcast(n_total))
+        .withColumn(
+            "n_risk", F.col("__n") - F.sum("n_leaving").over(w) + F.col("n_leaving")
+        )
+        .withColumn("cum_hazard_d", F.sum(inc).over(w))
+    )
+    return na.select(
+        "duration",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("cum_hazard_d").cast("double"), round_digits).alias("cum_hazard"),
+        F.round(F.exp(-F.col("cum_hazard_d").cast("double")), round_digits).alias(
+            "survival_fh"
+        ),
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+    scale: int = 6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction for experiments (Deng, Xu, Kohavi &
+    Walker, WSDM 2013): adjust each unit's post-period metric by its
+    pre-period covariate, ŷ = y - θ(x - x̄) with θ = cov(x,y)/var(x)
+    pooled across variants — the industry-standard way to shrink A/B
+    confidence intervals ~(1-ρ²)× without touching the point estimate
+    of the treatment effect.
+
+    Scale shape: one global exact-decimal moment aggregate fits θ; one
+    per-variant aggregate produces adjusted means and variances — two
+    scans, both with map-side combine, result frame variant-sized.
+    Exactness: θ and x̄ are rounded to 9 dp and the per-unit adjusted
+    value to 9 dp before the variant aggregation, so both engines
+    aggregate identical doubles. Returns per variant: (variant, n,
+    mean_post, mean_adjusted, var_post, var_adjusted, theta,
+    var_reduction)."""
+    dec = f"decimal(18,{scale})"
+    u = df.select(
+        F.col(variant_col).alias("variant"),
+        F.col(pre_col).cast(dec).alias("x"),
+        F.col(post_col).cast(dec).alias("y"),
+    )
+    mom = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    varx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vary = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    params = mom.select(
+        F.round(cov / varx, 9).alias("theta"),
+        F.round(F.col("sx").cast("double") / n, 9).alias("xbar"),
+        F.round(
+            F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary)).otherwise(0.0),
+            9,
+        ).alias("rho2"),
+    )
+    adj = u.join(F.broadcast(params)).withColumn(
+        "y_adj",
+        F.round(
+            F.col("y").cast("double")
+            - F.col("theta") * (F.col("x").cast("double") - F.col("xbar")),
+            9,
+        ),
+    )
+    per_v = adj.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        # (18,9) factors: their product is DECIMAL(37,18), inside
+        # Spark's p38 cap — (28,9)² would trip the silent
+        # scale-truncation path
+        F.sum(F.col("y_adj").cast("decimal(18,9)")).alias("sa"),
+        F.sum(
+            (F.col("y_adj").cast("decimal(18,9)") * F.col("y_adj").cast("decimal(18,9)"))
+        ).alias("saa"),
+        F.max("theta").alias("theta"),
+        F.max("rho2").alias("rho2"),
+    )
+    nv = F.col("n").cast("double")
+    var_post = (nv * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")) / (nv * (nv - 1))
+    var_adj = (nv * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa").cast("double")) / (nv * (nv - 1))
+    return per_v.select(
+        "variant",
+        "n",
+        F.round(F.col("sy").cast("double") / nv, round_digits).alias("mean_post"),
+        F.round(F.col("sa").cast("double") / nv, round_digits).alias("mean_adjusted"),
+        F.round(var_post, round_digits).alias("var_post"),
+        F.round(var_adj, round_digits).alias("var_adjusted"),
+        F.round("theta", round_digits).alias("theta"),
+        F.round(1.0 - F.col("rho2"), round_digits).alias("var_ratio_expected"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    key_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate adjustment (JRSS-B
+    1995) over a frame of per-hypothesis p-values: rank ascending,
+    q_i = min_{j >= i} p_j · m / j, reject where q <= alpha — the
+    correction every metrics platform needs once it tests hundreds of
+    segments at once (per-test α=0.05 would flag 5% of null segments).
+
+    Scale discipline: the input is a HYPOTHESIS frame (one row per
+    test — segments, features), never corpus rows; the two windows run
+    over that frame. Ties order deterministically by (p, key). Returns
+    (key, p_value, bh_rank, bh_q, reject)."""
+    m = df.count()
+    w_rank = Window.orderBy(F.col("p").asc(), F.col("k").asc())
+    w_tail = Window.orderBy(F.col("rnk").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = (
+        df.select(F.col(key_col).alias("k"), F.col(p_col).alias("p"))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn(
+            "raw_q",
+            F.least(
+                F.lit(1.0),
+                F.round(F.col("p") * F.lit(float(m)) / F.col("rnk"), 9),
+            ),
+        )
+        .withColumn("bh_q", F.min("raw_q").over(w_tail))
+    )
+    return ranked.select(
+        F.col("k").alias("key"),
+        F.round("p", round_digits).alias("p_value"),
+        F.col("rnk").cast("long").alias("bh_rank"),
+        F.round("bh_q", round_digits).alias("bh_q"),
+        (F.col("bh_q") <= F.lit(alpha)).cast("int").alias("reject"),
     )

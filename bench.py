@@ -159,8 +159,10 @@ HEADLINE = [
     "q_audio_quality",
     "q_dau_mau",
     # round-9 additions: MP3/FLAC crawl-audio triage (the audio twin of
-    # the r8 JPEG marker walk)
+    # the r8 JPEG marker walk), single-pass Pearson correlation matrix
+    # (p(p+3)/2 aggregate slots, one corpus scan, no melt/self-join)
     "q_audio_metadata",
+    "q_correlation_matrix",
 ]
 
 ROUND = 9

@@ -1,0 +1,210 @@
+"""Round-9 operators: Pearson correlation matrix, one-way ANOVA,
+Kendall tau-b, Nelson-Aalen, CUPED, Benjamini-Hochberg FDR."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+class TestPearsonMatrix:
+    def test_perfect_and_anti_correlation(self, spark):
+        from azure_data_engineering_spark.operators.stats import pearson_matrix
+
+        df = spark.createDataFrame(
+            [(float(i), float(2 * i + 1), float(10 - i)) for i in range(8)],
+            "a double, b double, c double",
+        )
+        got = {
+            (r.feature_x, r.feature_y): r.corr
+            for r in pearson_matrix(df, ["a", "b", "c"]).collect()
+        }
+        assert got[("a", "b")] == pytest.approx(1.0)
+        assert got[("a", "c")] == pytest.approx(-1.0)
+        assert got[("b", "c")] == pytest.approx(-1.0)
+        assert len(got) == 3
+
+    def test_constant_column_yields_null(self, spark):
+        from azure_data_engineering_spark.operators.stats import pearson_matrix
+
+        df = spark.createDataFrame(
+            [(float(i), 5.0) for i in range(5)], "a double, b double"
+        )
+        row = pearson_matrix(df, ["a", "b"]).collect()[0]
+        assert row.corr is None
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from azure_data_engineering_spark.operators.stats import pearson_matrix
+
+        rows = [(float(i % 7), float((i * 3) % 11), float((i * i) % 13)) for i in range(50)]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        got = {
+            (r.feature_x, r.feature_y): r.corr
+            for r in pearson_matrix(df, ["a", "b", "c"]).collect()
+        }
+        m = np.corrcoef(np.array(rows).T)
+        assert got[("a", "b")] == pytest.approx(m[0, 1], abs=1e-6)
+        assert got[("a", "c")] == pytest.approx(m[0, 2], abs=1e-6)
+        assert got[("b", "c")] == pytest.approx(m[1, 2], abs=1e-6)
+
+
+class TestAnovaOneway:
+    def test_hand_computed_f(self, spark):
+        from azure_data_engineering_spark.operators.stats import anova_oneway
+
+        # groups: x=[1,2], y=[5,6], z=[3,3.5] -> hand ANOVA
+        df = spark.createDataFrame(
+            [("x", 1.0), ("x", 2.0), ("y", 5.0), ("y", 6.0), ("z", 3.0), ("z", 3.5)],
+            "g string, v double",
+        )
+        r = anova_oneway(df, "g", "v").collect()[0]
+        # means 1.5, 5.5, 3.25; grand 3.4166667; ssb=16.0833, ssw=1.125
+        ssb, ssw = 16.083333, 1.125
+        assert r.k_groups == 3 and r.n == 6
+        assert r.f_stat == pytest.approx((ssb / 2) / (ssw / 3), abs=1e-4)
+        assert r.eta_sq == pytest.approx(ssb / (ssb + ssw), abs=1e-4)
+
+    def test_identical_groups_f_zero(self, spark):
+        from azure_data_engineering_spark.operators.stats import anova_oneway
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)], "g string, v double"
+        )
+        r = anova_oneway(df, "g", "v").collect()[0]
+        assert r.f_stat == pytest.approx(0.0)
+        assert r.eta_sq == pytest.approx(0.0)
+
+
+class TestKendallTauB:
+    def test_against_reference_implementation(self, spark):
+        from azure_data_engineering_spark.operators.stats import kendall_tau_b
+
+        xs = [1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 5.0, 7.0]
+        ys = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 4.0, 8.0]
+        # pure-python tau-b reference
+        n = len(xs)
+        c = d = tx = ty = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                sx = (xs[i] < xs[j]) - (xs[i] > xs[j])
+                sy = (ys[i] < ys[j]) - (ys[i] > ys[j])
+                if sx * sy > 0:
+                    c += 1
+                elif sx * sy < 0:
+                    d += 1
+                if xs[i] == xs[j]:
+                    tx += 1
+                if ys[i] == ys[j]:
+                    ty += 1
+        n0 = n * (n - 1) // 2
+        want = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+        df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+        r = kendall_tau_b(df, "x", "y").collect()[0]
+        assert (r.concordant, r.discordant) == (c, d)
+        assert r.tau_b == pytest.approx(want, abs=1e-6)
+
+    def test_perfect_concordance(self, spark):
+        from azure_data_engineering_spark.operators.stats import kendall_tau_b
+
+        df = spark.createDataFrame(
+            [(float(i), float(i * 2)) for i in range(6)], "x double, y double"
+        )
+        r = kendall_tau_b(df, "x", "y").collect()[0]
+        assert r.tau_b == pytest.approx(1.0)
+
+
+class TestNelsonAalen:
+    def test_hand_computed_hazard(self, spark):
+        from azure_data_engineering_spark.operators.stats import nelson_aalen
+
+        # durations (event): 3(1) 5(1) 5(0) 8(1) 10(0)
+        df = spark.createDataFrame(
+            [(3, 1), (5, 1), (5, 0), (8, 1), (10, 0)], "duration long, ev int"
+        )
+        got = {r.duration: r for r in nelson_aalen(df, "duration", "ev").collect()}
+        assert got[3].n_risk == 5 and got[3].cum_hazard == pytest.approx(1 / 5, abs=1e-6)
+        assert got[5].n_risk == 4 and got[5].cum_hazard == pytest.approx(
+            1 / 5 + 1 / 4, abs=1e-6
+        )
+        assert got[8].cum_hazard == pytest.approx(1 / 5 + 1 / 4 + 1 / 2, abs=1e-6)
+        assert got[8].survival_fh == pytest.approx(math.exp(-(1 / 5 + 1 / 4 + 1 / 2)), abs=1e-6)
+        # censored-only duration adds no hazard
+        assert got[10].cum_hazard == got[8].cum_hazard
+
+    def test_survival_dominates_kaplan_meier(self, spark):
+        """exp(-H) >= KM product-limit at every time (standard bound)."""
+        from azure_data_engineering_spark.operators.stats import kaplan_meier, nelson_aalen
+
+        rows = [(int(i % 13 + 1), int(i % 3 != 0)) for i in range(60)]
+        df = spark.createDataFrame(rows, "duration long, ev int")
+        km = {r.duration: r.survival for r in kaplan_meier(df, "duration", "ev").collect()}
+        na = {r.duration: r.survival_fh for r in nelson_aalen(df, "duration", "ev").collect()}
+        assert set(km) == set(na)
+        for t in km:
+            assert na[t] >= km[t] - 1e-9
+
+
+class TestCuped:
+    def test_variance_shrinks_and_effect_preserved(self, spark):
+        from azure_data_engineering_spark.operators.stats import cuped_adjust
+
+        # post strongly predicted by pre + small variant effect
+        rows = []
+        for i in range(200):
+            pre = float(i % 50)
+            variant = i % 2
+            post = 2.0 * pre + 5.0 * variant + float((i * 7) % 3)
+            rows.append((variant, pre, post))
+        df = spark.createDataFrame(rows, "variant int, pre double, post double")
+        got = {r.variant: r for r in cuped_adjust(df, "variant", "pre", "post").collect()}
+        for v in (0, 1):
+            assert got[v].var_adjusted < got[v].var_post * 0.2  # big reduction
+        # the fixture is pre-imbalanced (even i -> variant 0, so mean pre
+        # differs by 1 between variants): the RAW diff is confounded by
+        # 2*1 of covariate imbalance; CUPED removes exactly that and
+        # recovers the injected +5 effect
+        raw_diff = got[1].mean_post - got[0].mean_post
+        adj_diff = got[1].mean_adjusted - got[0].mean_adjusted
+        assert raw_diff == pytest.approx(7.0, abs=0.2)   # confounded
+        assert adj_diff == pytest.approx(5.0, abs=0.2)   # true effect
+
+    def test_uncorrelated_covariate_changes_nothing_much(self, spark):
+        from azure_data_engineering_spark.operators.stats import cuped_adjust
+
+        rows = [(i % 2, float(i % 7), float((i * 11) % 5)) for i in range(100)]
+        df = spark.createDataFrame(rows, "variant int, pre double, post double")
+        got = {r.variant: r for r in cuped_adjust(df, "variant", "pre", "post").collect()}
+        for v in (0, 1):
+            assert got[v].var_adjusted == pytest.approx(got[v].var_post, rel=0.2)
+
+
+class TestBhFdr:
+    def test_textbook_example(self, spark):
+        from azure_data_engineering_spark.operators.stats import bh_fdr
+
+        pv = spark.createDataFrame(
+            [("a", 0.001), ("b", 0.04), ("c", 0.03), ("d", 0.9), ("e", 0.2)],
+            "k string, p double",
+        )
+        got = {r.key: r for r in bh_fdr(pv, "k", "p").collect()}
+        assert got["a"].bh_q == pytest.approx(0.005)
+        assert got["c"].bh_q == pytest.approx(0.066667, abs=1e-6)
+        assert got["b"].bh_q == pytest.approx(0.066667, abs=1e-6)  # tail min
+        assert got["e"].bh_q == pytest.approx(0.25)
+        assert got["d"].bh_q == pytest.approx(0.9)
+        assert got["a"].reject == 1
+        assert sum(r.reject for r in got.values()) == 1
+
+    def test_monotone_in_rank(self, spark):
+        from azure_data_engineering_spark.operators.stats import bh_fdr
+
+        pv = spark.createDataFrame(
+            [(f"k{i}", float((i * 37 % 100) + 1) / 200.0) for i in range(20)],
+            "k string, p double",
+        )
+        rows = sorted(bh_fdr(pv, "k", "p").collect(), key=lambda r: r.bh_rank)
+        for a, b in zip(rows, rows[1:]):
+            assert a.bh_q <= b.bh_q + 1e-12
