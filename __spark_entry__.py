@@ -16115,6 +16115,277 @@ ORDER BY bh_rank
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText quality rule set (Rae et al. 2021 —
+    operators/quality.gopher_quality_rules): word-count bounds, mean
+    word length 3-10, symbol-to-word ratio, alpha-word fraction,
+    stop-word presence — the published heuristic floor most open LLM
+    data pipelines run first. Every rule flag is an INTEGER comparison
+    (no float decides a keep), all metrics are in-row Column HOFs
+    (zero shuffles — the floor runs as a scan at 100 TB). The oracle
+    recomputes every count and flag from the same tokenization."""
+    from azure_data_engineering_spark.operators.quality import gopher_quality_rules
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality_rules(d, "text", "doc_id", min_words=50).orderBy("doc_id")
+
+
+Q_GOPHER_RULES_SQL = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS total_len,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS symbols,
+         len(list_intersect(list_transform(ws, x -> lower(x)),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CASE WHEN n_words > 0
+            THEN round(CAST(total_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+       END AS mean_word_len,
+       CAST(alpha_words AS BIGINT) AS alpha_words,
+       CAST(symbols AS BIGINT) AS symbols,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS INT) AS rule_n_words,
+       CAST(CASE WHEN total_len >= 3 * n_words AND total_len <= 10 * n_words THEN 1 ELSE 0 END AS INT) AS rule_mean_len,
+       CAST(CASE WHEN 10 * symbols <= n_words THEN 1 ELSE 0 END AS INT) AS rule_symbol_ratio,
+       CAST(CASE WHEN 5 * alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS INT) AS rule_alpha_frac,
+       CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS rule_stopwords,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND total_len >= 3 * n_words AND total_len <= 10 * n_words
+                  AND 10 * symbols <= n_words
+                  AND 5 * alpha_words >= 4 * n_words
+                  AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TextRank keywords (Mihalcea & Tarau EMNLP'04;
+    operators/keywords.textrank_keywords): PageRank over the
+    word-adjacency graph of the filtered token stream — COMPOSES the
+    engine's own graph.pagerank (fixed damped rounds, dangling-mass
+    redistribution), so the oracle unrolls the identical four rounds
+    over the same edge CTE. Top-25 words under the deterministic
+    (rounded rank desc, word) order."""
+    from azure_data_engineering_spark.operators.keywords import textrank_keywords
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return textrank_keywords(d, "doc_id", "text", top_n=25).orderBy("position")
+
+
+def _textrank_oracle_sql(iters: int = 4, d: float = 0.85, top_n: int = 25) -> str:
+    """The word-graph twin of _pagerank_oracle_sql: tokenize + adjacency
+    edge CTEs, then the same unrolled damped rounds."""
+    stop = "','".join(
+        "a an and are as at be by for from has have he her his i in is it "
+        "its my not of on or our she that the their they this to was we "
+        "were will with you your".split()
+    )
+    sql = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+  FROM documents WHERE doc_id < 300
+), tk AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks
+), filt AS MATERIALIZED (
+  SELECT doc_id, pos, tok FROM tk
+  WHERE regexp_matches(tok, '^[a-z]{{3,}}$') AND tok NOT IN ('{stop}')
+), adj AS (
+  SELECT tok AS src, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+  FROM filt
+), pairs AS (SELECT src, dst FROM adj WHERE dst IS NOT NULL AND dst <> src),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
+  )
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""
+    for i in range(iters):
+        sql += f""",
+d{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r{i} WHERE node NOT IN (SELECT src FROM deg)),
+c{i} AS (SELECT e.dst, sum(r.rank / g.out_deg) AS in_mass
+         FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg g ON e.src = g.src GROUP BY e.dst),
+r{i + 1} AS MATERIALIZED (SELECT nodes.node,
+             (1.0 - {d}) / n + {d} * (coalesce(c.in_mass, 0.0) + dm / n) AS rank
+             FROM nodes LEFT JOIN c{i} c ON nodes.node = c.dst, nn, d{i})"""
+    sql += f"""
+SELECT word, rank, position FROM (
+  SELECT node AS word, round(rank, 6) AS rank,
+         row_number() OVER (ORDER BY round(rank, 6) DESC, node) AS position
+  FROM r{iters}
+) WHERE position <= {top_n}
+ORDER BY position"""
+    return sql
+
+
+Q_TEXTRANK_SQL = _textrank_oracle_sql()
+
+
+def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@{1,3,5} of the int8-quantized brute-force ranking against
+    full-precision truth (operators/retrieval_eval.map_at_k) — the
+    rank-sensitive companion to q_ndcg_quantized on the identical
+    panel: AP pays for putting right answers HIGH. P@r summands and
+    per-query APs are 9 dp decimals so panel means are
+    summation-order-free; the oracle replays quantization, both
+    searches, and the metric."""
+    from azure_data_engineering_spark.functions.vectors import (
+        dequantize_int8,
+        max_abs,
+        quantize_int8,
+    )
+    from azure_data_engineering_spark.operators.retrieval_eval import map_at_k
+    from azure_data_engineering_spark.operators.similarity import brute_force_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    deq = emb.select(
+        "vec_id",
+        dequantize_int8(
+            quantize_int8(F.col("embedding")), max_abs(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    truth = brute_force_top_k(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    ann = brute_force_top_k(deq.filter(F.col("vec_id") < 10), deq, k=5)
+    return map_at_k(ann, truth, ks=(1, 3, 5)).orderBy("k")
+
+
+_MAP_PANEL_CTES = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS sb FROM v
+), dq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(
+           list_transform(e, x -> CAST(trunc(x * (127.0 / sb)) AS BIGINT)),
+           q -> CAST(q AS DOUBLE) * (sb / 127.0)
+         ) AS e
+  FROM s
+), tru AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC, c.vec_id
+           ) AS true_rank
+    FROM (SELECT * FROM v WHERE vec_id < 10) q
+    JOIN v c ON c.vec_id <> q.vec_id
+  ) WHERE true_rank <= 5
+), ann AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC, c.vec_id
+           ) AS ann_rank
+    FROM (SELECT * FROM dq WHERE vec_id < 10) q
+    JOIN dq c ON c.vec_id <> q.vec_id
+  ) WHERE ann_rank <= 5
+)"""
+
+
+Q_MAP_AT_K_SQL = _MAP_PANEL_CTES + """, ks AS (SELECT unnest([1, 3, 5]) AS k),
+trup AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY true_rank, neighbor_id
+         ) AS pos
+  FROM tru
+), pairs AS (
+  SELECT a.query_id, a.ann_rank, t.pos, ks.k
+  FROM ann a LEFT JOIN trup t
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id, ks
+), scored AS (
+  SELECT query_id, k, ann_rank,
+         CASE WHEN pos <= k THEN 1 ELSE 0 END AS rel,
+         sum(CASE WHEN pos <= k THEN 1 ELSE 0 END)
+           OVER (PARTITION BY query_id, k ORDER BY ann_rank ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM pairs
+), per_q AS (
+  SELECT query_id, k,
+         sum(CAST(round(CAST(cum_rel AS DOUBLE) / CAST(ann_rank AS DOUBLE), 9) AS DECIMAL(20,9))) AS ap_num
+  FROM scored WHERE ann_rank <= k AND rel = 1 GROUP BY 1, 2
+), nrel AS (
+  SELECT query_id, ks.k,
+         sum(CASE WHEN pos <= ks.k THEN 1 ELSE 0 END) AS n_rel
+  FROM trup, ks GROUP BY 1, 2
+)
+SELECT CAST(n.k AS BIGINT) AS k,
+       round(CAST(sum(CAST(round(
+               CAST(coalesce(p.ap_num, CAST(0 AS DECIMAL(20,9))) AS DOUBLE)
+               / CAST(least(n.n_rel, n.k) AS DOUBLE), 9) AS DECIMAL(20,9))) AS DOUBLE)
+             / count(*), 6) AS map
+FROM nrel n LEFT JOIN per_q p ON p.query_id = n.query_id AND p.k = n.k
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al. SIGIR'09;
+    operators/retrieval_eval.reciprocal_rank_fusion) of the
+    full-precision and int8-quantized brute-force rankings on the
+    q_ndcg_quantized panel — the zero-training fusion every hybrid
+    (lexical + vector) retrieval stack ships. Summands 1/(60+rank)
+    are 9 dp decimals so the fused ORDER BY compares exact values;
+    the oracle replays both rankings and the fusion."""
+    from azure_data_engineering_spark.functions.vectors import (
+        dequantize_int8,
+        max_abs,
+        quantize_int8,
+    )
+    from azure_data_engineering_spark.operators.retrieval_eval import (
+        reciprocal_rank_fusion,
+    )
+    from azure_data_engineering_spark.operators.similarity import brute_force_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    deq = emb.select(
+        "vec_id",
+        dequantize_int8(
+            quantize_int8(F.col("embedding")), max_abs(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    exact = brute_force_top_k(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    quant = brute_force_top_k(deq.filter(F.col("vec_id") < 10), deq, k=5)
+    return reciprocal_rank_fusion([exact, quant], k0=60, top_k=5).orderBy(
+        "query_id", "fused_rank"
+    )
+
+
+Q_RANK_FUSION_SQL = _MAP_PANEL_CTES + """, un AS (
+  SELECT query_id, neighbor_id, true_rank AS rank FROM tru
+  UNION ALL
+  SELECT query_id, neighbor_id, ann_rank AS rank FROM ann
+), fused AS MATERIALIZED (
+  SELECT query_id, neighbor_id, count(*) AS n_lists,
+         sum(CAST(round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 9) AS DECIMAL(20,9))) AS sd
+  FROM un GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(n_lists AS BIGINT) AS n_lists,
+       round(CAST(sd AS DOUBLE), 6) AS rrf_score,
+       CAST(fused_rank AS BIGINT) AS fused_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, neighbor_id) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 5
+ORDER BY query_id, fused_rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -16488,6 +16759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nelson_aalen": q_nelson_aalen,
         "q_cuped": q_cuped,
         "q_fdr_bh": q_fdr_bh,
+        "q_gopher_rules": q_gopher_rules,
+        "q_textrank": q_textrank,
+        "q_map_at_k": q_map_at_k,
+        "q_rank_fusion": q_rank_fusion,
     }
 
 
@@ -16840,4 +17115,8 @@ def oracle_sql() -> dict[str, str]:
         "q_nelson_aalen": Q_NELSON_AALEN_SQL,
         "q_cuped": Q_CUPED_SQL,
         "q_fdr_bh": Q_FDR_BH_SQL,
+        "q_gopher_rules": Q_GOPHER_RULES_SQL,
+        "q_textrank": Q_TEXTRANK_SQL,
+        "q_map_at_k": Q_MAP_AT_K_SQL,
+        "q_rank_fusion": Q_RANK_FUSION_SQL,
     }

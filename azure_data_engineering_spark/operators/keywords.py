@@ -192,3 +192,69 @@ def log_odds_terms(
         .withColumn("side", F.lit("B"))
     )
     return top_a.unionByName(top_b).select("side", "term", "ya", "yb", "z")
+
+
+def textrank_word_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 3,
+) -> DataFrame:
+    """TextRank candidate graph (Mihalcea & Tarau, EMNLP 2004): nodes
+    are normalized content words (lowercase, ≥min_len letters, not a
+    stopword), edges connect words ADJACENT in the filtered token
+    sequence of any document, both directions, distinct. Corpus-level
+    (all docs vote into one graph), so the node set is
+    vocabulary-sized while the scan is one pass of corpus tokens."""
+    pat = "^[a-z]{%d,}$" % min_len
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "pos", "tok"
+            ),
+        )
+        .filter(F.col("tok").rlike(pat))
+        .filter(~F.col("tok").isin(list(RAKE_STOPWORDS)))
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    pairs = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("tok")))
+        .select(F.col("tok").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def textrank_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 25,
+    iterations: int = 4,
+    damping: float = 0.85,
+    min_len: int = 3,
+) -> DataFrame:
+    """Corpus TextRank keywords: PageRank over the word-adjacency
+    graph (textrank_word_edges) — the unsupervised keyword extractor
+    that beats frequency because a word matters when IMPORTANT words
+    co-occur with it, recursively. Composes the engine's own
+    operators/graph.pagerank (fixed damped rounds, dangling-mass
+    redistribution, one join + one aggregate per round,
+    localCheckpoint lineage truncation), so the result is a pure
+    algebraic function of the edge set that an oracle can replay by
+    unrolling the rounds. Returns the top_n words as (word, rank,
+    position) under the deterministic (round(rank,6) desc, word)
+    order."""
+    from azure_data_engineering_spark.operators.graph import pagerank
+
+    edges = textrank_word_edges(df, id_col, text_col, min_len=min_len)
+    pr = pagerank(edges, iterations=iterations, damping=damping)
+    w = Window.orderBy(F.col("rank").desc(), F.col("word").asc())
+    return (
+        pr.select(F.col("node").alias("word"), F.round("rank", 6).alias("rank"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .filter(F.col("position") <= top_n)
+    )

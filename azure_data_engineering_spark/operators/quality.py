@@ -312,3 +312,92 @@ def term_burstiness(
         .filter(F.col("rank") <= top_k)
         .select(F.col("rank").cast("long").alias("rank"), "term", "df", "total", "vmr")
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The Gopher corpus-quality rule set (Rae et al. 2021, table A1 —
+    the published heuristics behind MassiveText, reused by most
+    open-data pipelines since): per document,
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10] characters
+    - symbol-to-word ratio ('#' or '...') ≤ 0.1
+    - ≥ 80% of words contain at least one alphabetic character
+    - at least 2 of the 8 canonical stop words present
+
+    Scale shape: every metric is a pure Column HOF over the in-row
+    token array — zero shuffles, codegen-resident except the one
+    higher-order aggregate; the 100 TB quality floor runs as a scan.
+
+    Exactness: every rule flag is an INTEGER comparison (mean length
+    ≥ 3 ⇔ total_len ≥ 3·n_words, ratio ≤ 0.1 ⇔ 10·symbols ≤ n_words)
+    so no float ever decides a flag; mean_word_len is emitted rounded
+    for the dashboard only. Returns per doc: counts, mean_word_len,
+    the five rule flags, and keep = AND of all rules."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    n_words = F.size(words).cast("long")
+    total_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    alpha_words = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    hash_count = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    ell_count = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    symbols = (hash_count + ell_count).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        total_len.alias("total_len"),
+        alpha_words.alias("alpha_words"),
+        symbols.alias("symbols"),
+        stop_hits.alias("stop_hits"),
+    )
+    r_nwords = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    r_meanlen = (F.col("total_len") >= 3 * F.col("n_words")) & (
+        F.col("total_len") <= 10 * F.col("n_words")
+    )
+    r_symbol = 10 * F.col("symbols") <= F.col("n_words")
+    r_alpha = 5 * F.col("alpha_words") >= 4 * F.col("n_words")
+    r_stop = F.col("stop_hits") >= 2
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.col("total_len").cast("double") / F.col("n_words").cast("double"),
+            ),
+            round_digits,
+        ).alias("mean_word_len"),
+        "alpha_words",
+        "symbols",
+        "stop_hits",
+        r_nwords.cast("int").alias("rule_n_words"),
+        r_meanlen.cast("int").alias("rule_mean_len"),
+        r_symbol.cast("int").alias("rule_symbol_ratio"),
+        r_alpha.cast("int").alias("rule_alpha_frac"),
+        r_stop.cast("int").alias("rule_stopwords"),
+        (r_nwords & r_meanlen & r_symbol & r_alpha & r_stop)
+        .cast("int")
+        .alias("keep"),
+    )

@@ -191,3 +191,119 @@ def ndcg_at_k(
         )
         .select(F.col("k").cast("long").alias("k"), "ndcg")
     )
+
+
+def map_at_k(
+    ann: DataFrame,
+    truth: DataFrame,
+    ks: Sequence[int] = (1, 3, 5),
+    round_digits: int = 6,
+) -> DataFrame:
+    """MAP@k — mean average precision with binary relevance: an ANN
+    neighbor is relevant iff it sits in the query's truth top-k (the
+    same re-ranked-pos gate ndcg_at_k uses). Per query,
+
+        AP@k = Σ_{r≤k, rel(r)} P@r / min(n_rel_q, k),  P@r = cum_rel/r
+
+    and MAP is the mean over ALL truth queries (a query the candidate
+    list missed scores 0 instead of dropping out). The rank-sensitive
+    cousin of recall@k — it pays for putting the right answers high,
+    not just somewhere in the list.
+
+    Determinism: each P@r summand and each per-query AP is rounded to
+    a 9 dp DECIMAL before its sum, so panel means are
+    summation-order-free. Plan: one panel-sized equi-join + bounded
+    windows — nothing corpus-sized. One row per k: (k, map)."""
+    kcol = F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
+    w = Window.partitionBy("query_id").orderBy("true_rank", "neighbor_id")
+    t = truth.select(
+        "query_id", "neighbor_id", F.col("rank").alias("true_rank")
+    ).withColumn("pos", F.row_number().over(w))
+    a = ann.select("query_id", "neighbor_id", F.col("rank").alias("ann_rank"))
+    pairs = a.join(
+        t.select("query_id", "neighbor_id", "pos"),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).select("query_id", "ann_rank", "pos", kcol)
+    # cumulative relevant count along the candidate ranking (per k)
+    w_rank = Window.partitionBy("query_id", "k").orderBy("ann_rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rel = F.when(F.col("pos") <= F.col("k"), 1).otherwise(0)
+    scored = pairs.withColumn("rel", rel).withColumn(
+        "cum_rel", F.sum("rel").over(w_rank)
+    )
+    p_at_r = F.round(
+        F.col("cum_rel").cast("double") / F.col("ann_rank").cast("double"), 9
+    ).cast("decimal(20,9)")
+    per_q = (
+        scored.filter((F.col("ann_rank") <= F.col("k")) & (F.col("rel") == 1))
+        .groupBy("query_id", "k")
+        .agg(F.sum(p_at_r).alias("ap_num"))
+    )
+    n_rel = t.select("query_id", "pos", kcol).groupBy("query_id", "k").agg(
+        F.sum(F.when(F.col("pos") <= F.col("k"), 1).otherwise(0)).alias("n_rel")
+    )
+    per_q_ap = F.round(
+        F.coalesce(F.col("ap_num"), F.lit(0).cast("decimal(20,9)")).cast("double")
+        / F.least(F.col("n_rel"), F.col("k")).cast("double"),
+        9,
+    ).cast("decimal(20,9)")
+    return (
+        n_rel.join(per_q, ["query_id", "k"], "left")
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.sum(per_q_ap).cast("double") / F.count(F.lit(1)), round_digits
+            ).alias("map")
+        )
+        .select(F.col("k").cast("long").alias("k"), "map")
+    )
+
+
+def reciprocal_rank_fusion(
+    rankings: Sequence[DataFrame],
+    k0: int = 60,
+    top_k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009): combine N rankings of the same query panel by
+    score(q, d) = Σ_lists 1/(k0 + rank_list(q, d)) and re-rank — the
+    standard zero-training way to fuse lexical (BM25) and vector
+    retrieval, robust because it only consumes RANKS, never
+    incomparable raw scores.
+
+    Each input frame carries (query_id, neighbor_id, rank). Summands
+    1/(k0+rank) are rounded to 9 dp DECIMALs so the fused score is an
+    EXACT sum — the ORDER BY that produces the fused rank compares
+    exact decimals, not drift-prone doubles (ties then break on
+    neighbor_id). Plan: one unionByName + one (query, neighbor)
+    groupBy + one panel-sized top-k window (WindowGroupLimit prunes
+    during the sort). Returns (query_id, neighbor_id, n_lists,
+    rrf_score, fused_rank) for the top_k fused rows per query."""
+    tagged = None
+    for r in rankings:
+        cur = r.select("query_id", "neighbor_id", "rank")
+        tagged = cur if tagged is None else tagged.unionByName(cur)
+    contrib = F.round(
+        F.lit(1.0) / (F.lit(float(k0)) + F.col("rank").cast("double")), 9
+    ).cast("decimal(20,9)")
+    fused = tagged.groupBy("query_id", "neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.sum(contrib).alias("score_d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_d").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= top_k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "n_lists",
+            F.round(F.col("score_d").cast("double"), round_digits).alias("rrf_score"),
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )

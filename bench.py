@@ -163,6 +163,11 @@ HEADLINE = [
     # (p(p+3)/2 aggregate slots, one corpus scan, no melt/self-join)
     "q_audio_metadata",
     "q_correlation_matrix",
+    # the Gopher rule floor is the canonical 100 TB first-pass scan
+    # (pure Column HOFs, zero shuffles); TextRank composes the word
+    # graph + 4 pagerank rounds
+    "q_gopher_rules",
+    "q_textrank",
 ]
 
 ROUND = 9

@@ -208,3 +208,120 @@ class TestBhFdr:
         rows = sorted(bh_fdr(pv, "k", "p").collect(), key=lambda r: r.bh_rank)
         for a, b in zip(rows, rows[1:]):
             assert a.bh_q <= b.bh_q + 1e-12
+
+
+class TestGopherRules:
+    def test_counts_and_flags(self, spark):
+        from azure_data_engineering_spark.operators.quality import gopher_quality_rules
+
+        good = "the quick brown results are good and that they have come with " * 6
+        short = "too short to pass the gate with that have"
+        symbols = ("the and of that have with " + "#tag " * 20) * 4
+        df = spark.createDataFrame(
+            [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in gopher_quality_rules(df, "text", "doc_id", min_words=50).collect()}
+        assert got[1].keep == 1
+        assert got[2].rule_n_words == 0 and got[2].keep == 0
+        assert got[3].rule_symbol_ratio == 0 and got[3].keep == 0
+        # hand-check counts on the short doc
+        assert got[2].n_words == 9
+        assert got[2].stop_hits == 5  # to, the, with, that, have
+        assert got[2].alpha_words == 9
+
+    def test_mean_word_len_rule_integer_exact(self, spark):
+        from azure_data_engineering_spark.operators.quality import gopher_quality_rules
+
+        # 50 words of length exactly 2 -> mean 2 < 3 -> fails mean_len only
+        text = " ".join(["ab"] * 25 + ["the", "to", "of", "and"] * 6 + ["xy"])
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = gopher_quality_rules(df, "text", "doc_id", min_words=40).collect()[0]
+        assert r.rule_mean_len == 0 and r.rule_n_words == 1 and r.rule_stopwords == 1
+
+
+class TestTextRank:
+    def test_hub_word_ranks_first(self, spark):
+        from azure_data_engineering_spark.operators.keywords import textrank_keywords
+
+        # 'spark' is adjacent to every other content word
+        docs = [
+            (1, "spark engine spark cluster spark shuffle"),
+            (2, "spark catalyst spark tungsten"),
+            (3, "engine cluster shuffle catalyst tungsten"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = textrank_keywords(df, "doc_id", "text", top_n=10).collect()
+        by_pos = sorted(rows, key=lambda r: r.position)
+        assert by_pos[0].word == "spark"
+        total = sum(r.rank for r in rows)
+        assert total == pytest.approx(1.0, abs=0.01)  # rank mass conserved
+
+    def test_stopwords_and_short_tokens_excluded(self, spark):
+        from azure_data_engineering_spark.operators.keywords import textrank_word_edges
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat on a mat with it")], "doc_id long, text string"
+        )
+        edges = {(r.src, r.dst) for r in textrank_word_edges(df, "doc_id", "text").collect()}
+        words = {w for e in edges for w in e}
+        assert "the" not in words and "on" not in words and "it" not in words
+        assert ("cat", "sat") in edges and ("sat", "cat") in edges
+
+
+class TestMapAtK:
+    def test_perfect_and_worst_ranking(self, spark):
+        from azure_data_engineering_spark.operators.retrieval_eval import map_at_k
+
+        truth = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        got = {r.k: r.map for r in map_at_k(truth, truth, ks=(1, 3)).collect()}
+        assert got[1] == pytest.approx(1.0)
+        assert got[3] == pytest.approx(1.0)
+        # candidate list with zero overlap scores 0
+        miss = spark.createDataFrame(
+            [(1, 99, 1), (1, 98, 2), (1, 97, 3)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        got = {r.k: r.map for r in map_at_k(miss, truth, ks=(3,)).collect()}
+        assert got[3] == pytest.approx(0.0)
+
+    def test_hand_computed_ap(self, spark):
+        from azure_data_engineering_spark.operators.retrieval_eval import map_at_k
+
+        truth = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        # candidate: rel at ranks 2 and 3 only -> AP@3 = (1/2 + 2/3)/3
+        ann = spark.createDataFrame(
+            [(1, 99, 1), (1, 10, 2), (1, 11, 3)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        got = {r.k: r.map for r in map_at_k(ann, truth, ks=(3,)).collect()}
+        assert got[3] == pytest.approx((0.5 + 2 / 3) / 3, abs=1e-6)
+
+
+class TestReciprocalRankFusion:
+    def test_agreement_wins(self, spark):
+        from azure_data_engineering_spark.operators.retrieval_eval import (
+            reciprocal_rank_fusion,
+        )
+
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        b = spark.createDataFrame(
+            [(1, 11, 1), (1, 10, 2), (1, 13, 3)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        rows = sorted(
+            reciprocal_rank_fusion([a, b], k0=60, top_k=4).collect(),
+            key=lambda r: r.fused_rank,
+        )
+        # 10: 1/61+1/62 ; 11: 1/62+1/61 (tie, id order) ; 12: 1/63 ; 13: 1/63
+        assert [r.neighbor_id for r in rows] == [10, 11, 12, 13]
+        assert rows[0].n_lists == 2 and rows[2].n_lists == 1
+        assert rows[0].rrf_score == pytest.approx(1 / 61 + 1 / 62, abs=1e-6)
