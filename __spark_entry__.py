@@ -16386,6 +16386,219 @@ ORDER BY query_id, fused_rank
 """
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. ICDE'07; operators/privacy.
+    t_closeness_audit) over customers: QI = (market segment,
+    nationkey mod 5), ordered sensitive attribute = account-balance
+    bucket (exact integer cents mod 700, 7 ordinal levels). Ordered
+    EMD = mean |cumulative (p - q)| over the value order, each p-q a
+    12 dp decimal before the prefix sum — the leak screen k-anonymity
+    and l-diversity miss. The oracle replays histogram, completion,
+    and windows."""
+    from azure_data_engineering_spark.operators.privacy import t_closeness_audit
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.col("c_nationkey") % 5).cast("long").alias("nat_band"),
+        (
+            F.pmod((F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"), F.lit(700))
+            / 100
+        ).cast("long").alias("bal_bucket"),
+    )
+    return t_closeness_audit(
+        c, ["c_mktsegment", "nat_band"], "bal_bucket", t=0.05
+    ).orderBy("c_mktsegment", "nat_band")
+
+
+Q_T_CLOSENESS_SQL = """
+WITH c AS MATERIALIZED (
+  SELECT c_mktsegment, c_nationkey % 5 AS nat_band,
+         (((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) % 700) + 700) % 700) // 100 AS s
+  FROM customer
+), cell AS MATERIALIZED (
+  SELECT c_mktsegment, nat_band, s, count(*) AS cnt FROM c GROUP BY 1, 2, 3
+), gsize AS (SELECT c_mktsegment, nat_band, sum(cnt) AS n FROM cell GROUP BY 1, 2),
+gdist AS MATERIALIZED (SELECT s, sum(cnt) AS gc FROM cell GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM c),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM gdist),
+completed AS (
+  SELECT g.c_mktsegment, g.nat_band, g.n, v.s, coalesce(cell.cnt, 0) AS cnt, v.gc
+  FROM gsize g CROSS JOIN gdist v
+  LEFT JOIN cell ON cell.c_mktsegment = g.c_mktsegment
+                AND cell.nat_band = g.nat_band AND cell.s = v.s
+), cum AS (
+  SELECT c_mktsegment, nat_band, n,
+         sum(CAST(round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(gc AS DOUBLE) / n_total, 12) AS DECIMAL(20,12)))
+           OVER (PARTITION BY c_mktsegment, nat_band ORDER BY s
+                 ROWS UNBOUNDED PRECEDING) AS r
+  FROM completed, nt
+)
+SELECT c_mktsegment, CAST(nat_band AS BIGINT) AS nat_band, CAST(n AS BIGINT) AS n,
+       round(CAST(sum(abs(r)) AS DOUBLE) / (m - 1), 6) AS emd,
+       CAST(CASE WHEN round(CAST(sum(abs(r)) AS DOUBLE) / (m - 1), 6) <= 0.05
+             THEN 1 ELSE 0 END AS INT) AS t_ok
+FROM cum, m
+GROUP BY 1, 2, 3, m
+ORDER BY c_mktsegment, nat_band
+"""
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition by centered moving
+    average (operators/timeseries.seasonal_decompose_ma) of daily 1996
+    order counts, period 7: trend = centered 7-point MA (exact integer
+    sum / 7, 9 dp), seasonal = re-centered per-weekday mean of the
+    detrended values, residual = value − trend − seasonal — the
+    trend/seasonality split every ops dashboard draws. Edge rows
+    without a full window stay NULL, as every stats package does."""
+    from azure_data_engineering_spark.operators.timeseries import (
+        seasonal_decompose_ma,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return seasonal_decompose_ma(daily, "d", "n", period=7)
+
+
+Q_SEASONAL_DECOMPOSE_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS t, count(*) AS v
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+), trended AS MATERIALIZED (
+  SELECT t, v,
+         count(*) OVER w AS w_n, sum(v) OVER w AS w_sum,
+         (row_number() OVER (ORDER BY t) - 1) % 7 AS pos
+  FROM daily
+  WINDOW w AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), tr2 AS MATERIALIZED (
+  SELECT t, v, pos,
+         CASE WHEN w_n = 7
+              THEN CAST(round(CAST(w_sum AS DOUBLE) / 7.0, 9) AS DECIMAL(20,9))
+         END AS trend9
+  FROM trended
+), tr3 AS MATERIALIZED (
+  SELECT *, CASE WHEN trend9 IS NOT NULL
+                 THEN CAST(CAST(v AS DECIMAL(20,9)) - trend9 AS DECIMAL(20,9)) END AS detr
+  FROM tr2
+), per_pos AS MATERIALIZED (
+  SELECT pos, CAST(round(CAST(sum(detr) AS DOUBLE) / count(*), 9) AS DECIMAL(20,9)) AS s_raw
+  FROM tr3 WHERE detr IS NOT NULL GROUP BY 1
+), center AS (
+  SELECT CAST(round(CAST(sum(s_raw) AS DOUBLE) / count(*), 9) AS DECIMAL(20,9)) AS s_mean
+  FROM per_pos
+), seas AS (SELECT pos, s_raw - s_mean AS seas9 FROM per_pos, center)
+SELECT t, CAST(v AS BIGINT) AS value,
+       round(CAST(trend9 AS DOUBLE), 6) AS trend,
+       CASE WHEN trend9 IS NOT NULL THEN round(CAST(seas9 AS DOUBLE), 6) END AS seasonal,
+       CASE WHEN trend9 IS NOT NULL
+            THEN round(CAST(detr - seas9 AS DOUBLE), 6) END AS residual
+FROM tr3 LEFT JOIN seas USING (pos)
+ORDER BY t
+"""
+
+
+def q_speed_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS-jump trajectory screen (operators/spatial.
+    trajectory_speed_screen): events get deterministic pseudo-fixes
+    (the q_spatial_join coordinate recipe keyed by event_id), then
+    per-user consecutive legs carry haversine distance and implied
+    speed; legs over 900 km/h are physically impossible — the
+    telemetry-cleaning pass before any spatial aggregation. ONE lag
+    window + one groupBy; speeds compare on the ROUNDED value so trig
+    ulp drift cannot flip a flag. Oracle replays the lag, the
+    haversine, and the aggregate."""
+    from azure_data_engineering_spark.operators.spatial import (
+        trajectory_speed_screen,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        (30.0 + (F.col("event_id") * 7919 % 2000) / 100.0).alias("lat"),
+        (-120.0 + (F.col("event_id") * 104729 % 4000) / 100.0).alias("lon"),
+    )
+    return trajectory_speed_screen(
+        ev, "user_id", "ts", "lat", "lon", max_speed_kmh=900.0
+    ).orderBy("entity")
+
+
+Q_SPEED_SCREEN_SQL = """
+WITH pts AS MATERIALIZED (
+  SELECT user_id AS entity, epoch_us(ts) AS us,
+         30.0 + (event_id * 7919 % 2000) / 100.0 AS lat,
+         -120.0 + (event_id * 104729 % 4000) / 100.0 AS lon
+  FROM events
+), legs AS MATERIALIZED (
+  SELECT entity, us, lat, lon,
+         lag(us) OVER w AS p_us, lag(lat) OVER w AS p_lat, lag(lon) OVER w AS p_lon
+  FROM pts
+  WINDOW w AS (PARTITION BY entity ORDER BY us)
+), scored AS (
+  SELECT entity,
+         CAST(round((2.0 * 6371.0088) * asin(sqrt(
+                pow(sin(radians(lat - p_lat) / 2), 2)
+                + cos(radians(p_lat)) * cos(radians(lat))
+                  * pow(sin(radians(lon - p_lon) / 2), 2))), 9) AS DECIMAL(20,9)) AS d9,
+         round(round((2.0 * 6371.0088) * asin(sqrt(
+                pow(sin(radians(lat - p_lat) / 2), 2)
+                + cos(radians(p_lat)) * cos(radians(lat))
+                  * pow(sin(radians(lon - p_lon) / 2), 2))), 9)
+               * 3600.0 * 1000000.0 / CAST(us - p_us AS DOUBLE), 6) AS speed
+  FROM legs WHERE p_us IS NOT NULL AND us > p_us
+)
+SELECT entity, CAST(count(*) AS BIGINT) AS n_legs,
+       round(CAST(sum(d9) AS DOUBLE), 6) AS total_km,
+       max(speed) AS max_speed_kmh,
+       CAST(sum(CASE WHEN speed > 900.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_jumps
+FROM scored
+GROUP BY entity
+ORDER BY entity
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame UNPIVOT/melt surface (Spark 3.4+ df.unpivot —
+    the relational inverse of pivot): the four lineitem measures melt
+    to (measure, value) rows and aggregate per measure in one pass.
+    The API every feature pipeline uses to go wide→long before keyed
+    feature aggregation; the oracle mirrors it with DuckDB's UNPIVOT."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .orderBy("measure")
+    )
+
+
+Q_UNPIVOT_SQL = """
+WITH long AS (
+  UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE v
+)
+SELECT measure, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       min(v) AS min_v, max(v) AS max_v
+FROM long
+GROUP BY measure
+ORDER BY measure
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -16763,6 +16976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_textrank": q_textrank,
         "q_map_at_k": q_map_at_k,
         "q_rank_fusion": q_rank_fusion,
+        "q_t_closeness": q_t_closeness,
+        "q_seasonal_decompose": q_seasonal_decompose,
+        "q_speed_screen": q_speed_screen,
+        "q_unpivot": q_unpivot,
     }
 
 
@@ -17119,4 +17336,8 @@ def oracle_sql() -> dict[str, str]:
         "q_textrank": Q_TEXTRANK_SQL,
         "q_map_at_k": Q_MAP_AT_K_SQL,
         "q_rank_fusion": Q_RANK_FUSION_SQL,
+        "q_t_closeness": Q_T_CLOSENESS_SQL,
+        "q_seasonal_decompose": Q_SEASONAL_DECOMPOSE_SQL,
+        "q_speed_screen": Q_SPEED_SCREEN_SQL,
+        "q_unpivot": Q_UNPIVOT_SQL,
     }

@@ -306,3 +306,62 @@ def geohash_sql_parts(precision: int = 6) -> dict[str, str]:
         for k in range(precision)
     )
     return {"latq": latq, "lonq": lonq, "combined": combined, "chars": chars}
+
+
+def trajectory_speed_screen(
+    points: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    lat_col: str,
+    lon_col: str,
+    max_speed_kmh: float = 900.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """GPS-jump screen over entity trajectories: consecutive fixes per
+    entity (event-time order) become legs with haversine distance and
+    implied speed; a leg faster than max_speed_kmh (default: airliner
+    cruise) is physically impossible for ground data — the standard
+    tele­metry-cleaning pass before any spatial aggregation, because
+    one corrupted fix otherwise teleports an entity across the map.
+
+    Scale shape: ONE window (lag over the per-entity time order — the
+    same shuffle a sessionizer pays) and one groupBy; no joins. Speed
+    compares on the ROUNDED 6 dp value so an ulp of trig drift cannot
+    flip a flag cross-engine; per-leg distances sum as 9 dp decimals.
+    Time deltas are exact integer microseconds. Returns per entity:
+    (entity, n_legs, total_km, max_speed_kmh, n_jumps)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    legs = (
+        points.select(
+            F.col(entity_col).alias("entity"),
+            F.unix_micros(F.col(ts_col)).alias("us"),
+            F.col(lat_col).alias("lat"),
+            F.col(lon_col).alias("lon"),
+        )
+        .withColumn("p_us", F.lag("us").over(Window.partitionBy("entity").orderBy("us")))
+        .withColumn("p_lat", F.lag("lat").over(Window.partitionBy("entity").orderBy("us")))
+        .withColumn("p_lon", F.lag("lon").over(Window.partitionBy("entity").orderBy("us")))
+        .filter(F.col("p_us").isNotNull() & (F.col("us") > F.col("p_us")))
+    )
+    dist = F.round(
+        haversine_km(F.col("p_lat"), F.col("p_lon"), F.col("lat"), F.col("lon")),
+        9,
+    )
+    speed = F.round(
+        dist * F.lit(3600.0) * F.lit(1_000_000.0)
+        / (F.col("us") - F.col("p_us")).cast("double"),
+        round_digits,
+    )
+    scored = legs.select(
+        "entity",
+        dist.cast("decimal(20,9)").alias("d9"),
+        speed.alias("speed"),
+    )
+    return scored.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_legs"),
+        F.round(F.sum("d9").cast("double"), round_digits).alias("total_km"),
+        F.max("speed").alias("max_speed_kmh"),
+        F.sum((F.col("speed") > F.lit(max_speed_kmh)).cast("long")).alias("n_jumps"),
+    )

@@ -648,3 +648,87 @@ def seasonal_naive_eval(
             round_digits,
         ).alias("smape"),
     ).select(F.col("g").alias("group"), "n_eval", "mae", "rmse", "smape")
+
+
+def seasonal_decompose_ma(
+    series: DataFrame,
+    t_col: str,
+    v_col: str,
+    period: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition by moving averages
+    (the Macaulay/census 'method 1' every stats package ships as
+    `seasonal_decompose`): trend = centered `period`-point MA,
+    seasonal index = mean of the detrended values per position in the
+    period, re-centered to sum 0, residual = value − trend − seasonal.
+    `period` must be odd (the centered window is symmetric).
+
+    Scale discipline: `series` is already the per-period aggregate
+    frame (this module's standing rule), so every window runs over
+    series-length rows. Exactness: values enter as exact longs; the
+    trend is an exact integer sum / period rounded to 9 dp; detrended
+    values and the seasonal means are 9 dp decimals, so both engines
+    aggregate identical numbers. Rows without a full centered window
+    have NULL trend/seasonal/residual (the standard edge behavior).
+    Returns (t, value, trend, seasonal, residual)."""
+    if period % 2 == 0:
+        raise ValueError("period must be odd for a centered moving average")
+    half = period // 2
+    s = series.select(
+        F.col(t_col).alias("t"), F.col(v_col).cast("long").alias("v")
+    )
+    w = Window.orderBy("t").rowsBetween(-half, half)
+    wn = Window.orderBy("t")
+    trended = (
+        s.withColumn("w_n", F.count(F.lit(1)).over(w))
+        .withColumn("w_sum", F.sum("v").over(w))
+        .withColumn("pos", (F.row_number().over(wn) - 1) % period)
+        .withColumn(
+            "trend9",
+            F.when(
+                F.col("w_n") == period,
+                F.round(
+                    F.col("w_sum").cast("double") / F.lit(float(period)), 9
+                ).cast("decimal(20,9)"),
+            ),
+        )
+        .withColumn(
+            "detr",
+            F.when(
+                F.col("trend9").isNotNull(),
+                (F.col("v").cast("decimal(20,9)") - F.col("trend9")).cast(
+                    "decimal(20,9)"
+                ),
+            ),
+        )
+    )
+    per_pos = trended.filter(F.col("detr").isNotNull()).groupBy("pos").agg(
+        F.round(F.sum("detr").cast("double") / F.count(F.lit(1)), 9)
+        .cast("decimal(20,9)")
+        .alias("s_raw"),
+    )
+    center = per_pos.agg(
+        F.round(F.sum("s_raw").cast("double") / F.count(F.lit(1)), 9)
+        .cast("decimal(20,9)")
+        .alias("s_mean")
+    )
+    seasonal = per_pos.join(F.broadcast(center)).select(
+        "pos", (F.col("s_raw") - F.col("s_mean")).alias("seas9")
+    )
+    out = trended.join(F.broadcast(seasonal), "pos", "left")
+    return out.select(
+        "t",
+        F.col("v").alias("value"),
+        F.round(F.col("trend9").cast("double"), round_digits).alias("trend"),
+        F.when(
+            F.col("trend9").isNotNull(),
+            F.round(F.col("seas9").cast("double"), round_digits),
+        ).alias("seasonal"),
+        F.when(
+            F.col("trend9").isNotNull(),
+            F.round(
+                (F.col("detr") - F.col("seas9")).cast("double"), round_digits
+            ),
+        ).alias("residual"),
+    ).orderBy("t")

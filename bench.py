@@ -168,6 +168,8 @@ HEADLINE = [
     # graph + 4 pagerank rounds
     "q_gopher_rules",
     "q_textrank",
+    # GPS-jump screen: one corpus-scale lag window + groupBy
+    "q_speed_screen",
 ]
 
 ROUND = 9

@@ -325,3 +325,108 @@ class TestReciprocalRankFusion:
         assert [r.neighbor_id for r in rows] == [10, 11, 12, 13]
         assert rows[0].n_lists == 2 and rows[2].n_lists == 1
         assert rows[0].rrf_score == pytest.approx(1 / 61 + 1 / 62, abs=1e-6)
+
+
+class TestTCloseness:
+    def test_skewed_group_flagged(self, spark):
+        from azure_data_engineering_spark.operators.privacy import t_closeness_audit
+
+        rows = []
+        # group A mirrors the global distribution; group B is all-0
+        for i in range(60):
+            rows.append(("A", i % 3))
+        for i in range(30):
+            rows.append(("B", 0))
+        df = spark.createDataFrame(rows, "g string, s int")
+        got = {r.g: r for r in t_closeness_audit(df, ["g"], "s", t=0.2).collect()}
+        assert got["B"].emd > got["A"].emd
+        assert got["B"].t_ok == 0
+        # hand EMD for B: global q = (40+30)/90, 20/90, 20/90; p = (1,0,0)
+        q0 = 50 / 90
+        r1 = 1 - q0
+        r2 = r1 - 20 / 90
+        want = (abs(r1) + abs(r2) + 0.0) / 2  # cum after last value is 0
+        assert got["B"].emd == pytest.approx(want, abs=1e-5)
+
+    def test_identical_distribution_zero(self, spark):
+        from azure_data_engineering_spark.operators.privacy import t_closeness_audit
+
+        rows = [("A", i % 4) for i in range(40)] + [("B", i % 4) for i in range(80)]
+        df = spark.createDataFrame(rows, "g string, s int")
+        for r in t_closeness_audit(df, ["g"], "s", t=0.01).collect():
+            assert r.emd == pytest.approx(0.0, abs=1e-9)
+            assert r.t_ok == 1
+
+
+class TestSeasonalDecompose:
+    def test_pure_seasonal_recovered(self, spark):
+        from azure_data_engineering_spark.operators.timeseries import (
+            seasonal_decompose_ma,
+        )
+
+        # constant trend 100 + weekly pattern [-3..3] (sums to 0 over 7)
+        pat = [-3, -1, 0, 1, 3, 2, -2]
+        rows = [(f"d{i:03d}", 100 + pat[i % 7]) for i in range(28)]
+        df = spark.createDataFrame(rows, "t string, v long")
+        got = {r.t: r for r in seasonal_decompose_ma(df, "t", "v", period=7).collect()}
+        # interior rows: trend == 100, seasonal == pattern, residual == 0
+        r = got["d010"]
+        assert r.trend == pytest.approx(100.0, abs=1e-6)
+        assert r.seasonal == pytest.approx(pat[10 % 7], abs=1e-6)
+        assert r.residual == pytest.approx(0.0, abs=1e-6)
+        # edges have no full window
+        assert got["d000"].trend is None and got["d027"].trend is None
+
+    def test_even_period_rejected(self, spark):
+        from azure_data_engineering_spark.operators.timeseries import (
+            seasonal_decompose_ma,
+        )
+
+        df = spark.createDataFrame([("a", 1)], "t string, v long")
+        with pytest.raises(ValueError):
+            seasonal_decompose_ma(df, "t", "v", period=6)
+
+
+class TestTrajectorySpeedScreen:
+    def test_jump_flagged(self, spark):
+        import datetime as dt
+
+        from azure_data_engineering_spark.operators.spatial import (
+            trajectory_speed_screen,
+        )
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            # user 1: 3 fixes, ~1.11 km apart (0.01 deg lat), 1 hour gaps
+            (1, base, 40.00, -100.0),
+            (1, base + dt.timedelta(hours=1), 40.01, -100.0),
+            (1, base + dt.timedelta(hours=2), 40.02, -100.0),
+            # user 2: teleports ~550 km in one minute -> jump
+            (2, base, 40.0, -100.0),
+            (2, base + dt.timedelta(minutes=1), 45.0, -100.0),
+        ]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, lat double, lon double")
+        got = {
+            r.entity: r
+            for r in trajectory_speed_screen(df, "u", "ts", "lat", "lon").collect()
+        }
+        assert got[1].n_legs == 2 and got[1].n_jumps == 0
+        assert got[1].max_speed_kmh < 2.0
+        assert got[2].n_legs == 1 and got[2].n_jumps == 1
+        assert got[2].max_speed_kmh > 30000
+        # 0.01 deg latitude ~ 1.112 km
+        assert got[1].total_km == pytest.approx(2 * 1.112, abs=0.01)
+
+    def test_zero_dt_legs_dropped(self, spark):
+        import datetime as dt
+
+        from azure_data_engineering_spark.operators.spatial import (
+            trajectory_speed_screen,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [(1, base, 40.0, -100.0), (1, base, 41.0, -100.0),
+                (1, base + dt.timedelta(hours=1), 41.0, -100.0)]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, lat double, lon double")
+        r = trajectory_speed_screen(df, "u", "ts", "lat", "lon").collect()[0]
+        assert r.n_legs == 1  # the duplicate-timestamp leg is excluded
