@@ -16599,6 +16599,186 @@ ORDER BY measure
 """
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction (operators/preference.
+    preference_pairs): per (source, lang) candidate group over the
+    document corpus, chosen = highest readability score, rejected =
+    lowest (Flesch as the stand-in scorer — any model score drops
+    in), deterministic id tiebreaks, pairs gated on margin ≥ 5 so
+    near-ties never become noisy labels. Two row_number windows over
+    one partition — one shuffle. The oracle replays scorer, argmax/
+    argmin, and the margin gate."""
+    from azure_data_engineering_spark.functions.text import flesch_reading_ease
+    from azure_data_engineering_spark.operators.preference import preference_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat_ws("_", "source", "lang").alias("grp"),
+        "doc_id",
+        F.round(flesch_reading_ease(F.col("text")), 4).alias("score"),
+    )
+    return preference_pairs(d, "grp", "doc_id", "score", min_margin=5.0).orderBy(
+        "group"
+    )
+
+
+Q_PREFERENCE_PAIRS_SQL = """
+WITH scored AS MATERIALIZED (
+  SELECT source || '_' || lang AS grp, doc_id,
+         round(206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS score
+  FROM (
+    SELECT doc_id, source, lang,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences
+    FROM documents
+  )
+), s AS MATERIALIZED (
+  SELECT grp, doc_id, round(score, 6) AS score FROM scored WHERE score IS NOT NULL
+), ranked AS (
+  SELECT grp, doc_id, score,
+         row_number() OVER (PARTITION BY grp ORDER BY score DESC, doc_id ASC) AS r_hi,
+         row_number() OVER (PARTITION BY grp ORDER BY score ASC, doc_id ASC) AS r_lo,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM s
+), hi AS (SELECT grp, doc_id AS chosen_id, score AS chosen_score, n FROM ranked WHERE r_hi = 1),
+lo AS (SELECT grp, doc_id AS rejected_id, score AS rejected_score FROM ranked WHERE r_lo = 1)
+SELECT grp AS "group", chosen_id, rejected_id, chosen_score, rejected_score,
+       round(chosen_score - rejected_score, 6) AS margin
+FROM hi JOIN lo USING (grp)
+WHERE n >= 2 AND chosen_id <> rejected_id
+  AND round(chosen_score - rejected_score, 6) >= 5.0
+ORDER BY grp
+"""
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption transform (Raffel et al. JMLR'20;
+    operators/chunking.span_corruption): spans of 3 tokens at
+    positions ≡ r (mod 10) collapse to <extra_id_K> sentinels with
+    the matching targets string, r drawn per doc from the portable
+    md5 primitive — fully deterministic, so the denoising objective's
+    data prep is retry-safe and oracle-checkable. Pure in-row Column
+    HOFs (zero shuffles). The oracle rebuilds both strings token by
+    token with the same md5 draw."""
+    from azure_data_engineering_spark.operators.chunking import span_corruption
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return span_corruption(d, "doc_id", "text", span_len=3, stride=10).orderBy("id")
+
+
+Q_SPAN_CORRUPTION_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 AS r
+  FROM documents WHERE doc_id < 400
+), tk AS (
+  SELECT id, r, len(toks) AS n, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM base
+), cls AS MATERIALIZED (
+  SELECT id, r, n, tok, pos,
+         (pos >= r AND (pos - r) % 10 = 0 AND pos + 3 <= n) AS is_start,
+         (pos >= r AND (pos - r) % 10 < 3
+          AND pos - ((pos - r) % 10) + 3 <= n) AS in_span,
+         (pos - r) // 10 AS k
+  FROM tk
+), strings AS (
+  SELECT id,
+         string_agg(CASE WHEN is_start THEN '<extra_id_' || k || '>'
+                         WHEN in_span THEN NULL
+                         ELSE tok END, ' ' ORDER BY pos) AS corrupted,
+         string_agg(CASE WHEN is_start THEN '<extra_id_' || k || '> ' || tok
+                         WHEN in_span THEN tok
+                         ELSE NULL END, ' ' ORDER BY pos) AS targets,
+         CAST(sum(CASE WHEN is_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+  FROM cls GROUP BY id
+)
+SELECT b.id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       coalesce(s.n_spans, 0) AS n_spans,
+       coalesce(s.corrupted, '') AS corrupted,
+       coalesce(s.targets, '') AS targets
+FROM base b LEFT JOIN strings s ON b.id = s.id
+ORDER BY b.id
+"""
+
+
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-truss pruning (Cohen 2008; operators/graph.
+    k_truss_prune) on a fifth of the co-purchase part graph: edges
+    must close ≥ k-2 triangles to survive each peel — the edge-analog
+    of k-core that rejects stars and bridges, the community-core
+    primitive. Triangles per round ride the canonical-order wedge
+    join; fixed rounds keep the result algebraic so the oracle
+    unrolls them. Returns surviving edges with final support."""
+    from azure_data_engineering_spark.operators.graph import k_truss_prune
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    )
+    return k_truss_prune(edges, k=4, rounds=2).orderBy("a", "b")
+
+
+def _k_truss_oracle_sql(k: int = 4, rounds: int = 2) -> str:
+    """Unrolled k-truss rounds: per round a canonical-order triangle
+    enumeration votes support to each edge, then the truss filter."""
+    sql = """
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    for i in range(rounds):
+        sql += f""",
+t{i} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e{i} e1 JOIN e{i} e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN e{i} e3 ON e3.a = e1.b AND e3.b = e2.b
+), s{i} AS MATERIALIZED (
+  SELECT a, b, count(*) AS support FROM (
+    SELECT x AS a, y AS b FROM t{i}
+    UNION ALL SELECT x, z FROM t{i}
+    UNION ALL SELECT y, z FROM t{i}
+  ) GROUP BY 1, 2
+), e{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i} e LEFT JOIN s{i} s USING (a, b)
+  WHERE coalesce(s.support, 0) >= {k - 2}
+)"""
+    i = rounds
+    sql += f""",
+tf AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e{i} e1 JOIN e{i} e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN e{i} e3 ON e3.a = e1.b AND e3.b = e2.b
+), sf AS (
+  SELECT a, b, count(*) AS support FROM (
+    SELECT x AS a, y AS b FROM tf
+    UNION ALL SELECT x, z FROM tf
+    UNION ALL SELECT y, z FROM tf
+  ) GROUP BY 1, 2
+)
+SELECT e.a, e.b, CAST(coalesce(s.support, 0) AS BIGINT) AS support
+FROM e{i} e LEFT JOIN sf s USING (a, b)
+ORDER BY e.a, e.b"""
+    return sql
+
+
+Q_K_TRUSS_SQL = _k_truss_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -16803,6 +16983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_train_order": q_train_order,
         "q_vocab_topk": q_vocab_topk,
         "q_unpivot": q_unpivot,
+        "q_preference_pairs": q_preference_pairs,
+        "q_span_corruption": q_span_corruption,
+        "q_k_truss": q_k_truss,
         "q_histogram": q_histogram,
         "q_tpch_q3_style": q_tpch_q3_style,
         "q_user_profile_builtin": q_user_profile_builtin,
@@ -16980,6 +17163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_decompose": q_seasonal_decompose,
         "q_speed_screen": q_speed_screen,
         "q_unpivot": q_unpivot,
+        "q_preference_pairs": q_preference_pairs,
+        "q_span_corruption": q_span_corruption,
+        "q_k_truss": q_k_truss,
     }
 
 
@@ -17340,4 +17526,7 @@ def oracle_sql() -> dict[str, str]:
         "q_seasonal_decompose": Q_SEASONAL_DECOMPOSE_SQL,
         "q_speed_screen": Q_SPEED_SCREEN_SQL,
         "q_unpivot": Q_UNPIVOT_SQL,
+        "q_preference_pairs": Q_PREFERENCE_PAIRS_SQL,
+        "q_span_corruption": Q_SPAN_CORRUPTION_SQL,
+        "q_k_truss": Q_K_TRUSS_SQL,
     }

@@ -290,3 +290,102 @@ def fim_split(
         F.col("b").alias("split_b"),
         F.md5(fim).alias("fim_md5"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 3,
+    stride: int = 10,
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al., JMLR 2020): replace
+    token spans with ordinal sentinels and emit the (corrupted input,
+    target) pair — the denoising objective's data transform. Spans are
+    chosen DETERMINISTICALLY: each document draws one offset r from
+    the portable md5 primitive (the engine's standard cross-engine
+    unit draw) and corrupts the complete spans starting at token
+    positions ≡ r (mod stride); stride > span_len makes them
+    non-overlapping by construction, and determinism makes the whole
+    transform replayable (retry-safe, oracle-checkable) — no RNG state
+    anywhere.
+
+        input : tokens with each span collapsed to <extra_id_K>
+        target: <extra_id_K> followed by that span's tokens, in order
+
+    Scale shape: pure in-row Column HOFs over the token array — zero
+    shuffles, the transform runs as a scan. Whitespace is normalized
+    to single spaces (the tokenizer's view, same as chunk_by_tokens).
+    Returns (id, n_tokens, n_spans, corrupted, targets)."""
+    if stride <= span_len:
+        raise ValueError("stride must exceed span_len (non-overlap)")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    r = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(stride),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        n.cast("long").alias("n_tokens"),
+        r.alias("r"),
+    )
+
+    def is_start(i):
+        return (
+            (i >= F.col("r"))
+            & ((i - F.col("r")) % stride == 0)
+            & (i + span_len <= F.col("n_tokens"))
+        )
+
+    def in_span(i):
+        # start of the span i would belong to, if any
+        s = i - F.pmod(i - F.col("r"), F.lit(stride))
+        return (
+            (i >= F.col("r"))
+            & (F.pmod(i - F.col("r"), F.lit(stride)) < span_len)
+            & (s + span_len <= F.col("n_tokens"))
+        )
+
+    def k_of(i):
+        return ((i - F.col("r")) / stride).cast("long")
+
+    corrupted_arr = F.filter(
+        F.transform(
+            F.col("toks"),
+            lambda x, i: F.when(
+                is_start(i), F.concat(F.lit("<extra_id_"), k_of(i), F.lit(">"))
+            )
+            .when(in_span(i), F.lit(""))
+            .otherwise(x),
+        ),
+        lambda x: x != "",
+    )
+    target_arr = F.filter(
+        F.transform(
+            F.col("toks"),
+            lambda x, i: F.when(
+                is_start(i),
+                F.concat(F.lit("<extra_id_"), k_of(i), F.lit("> "), x),
+            )
+            .when(in_span(i), x)
+            .otherwise(F.lit("")),
+        ),
+        lambda x: x != "",
+    )
+    n_spans = F.size(
+        F.filter(
+            F.transform(F.col("toks"), lambda x, i: is_start(i).cast("int")),
+            lambda f: f == 1,
+        )
+    ).cast("long")
+    return base.select(
+        "id",
+        "n_tokens",
+        n_spans.alias("n_spans"),
+        F.array_join(corrupted_arr, " ").alias("corrupted"),
+        F.array_join(target_arr, " ").alias("targets"),
+    )

@@ -773,3 +773,71 @@ def sssp_weighted(
         )
         frontier = improved
     return dist
+
+
+def k_truss_prune(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-truss pruning (Cohen 2008 "Trusses: cohesive
+    subgraphs for social network analysis"): each round computes every
+    edge's SUPPORT (the number of triangles it closes in the current
+    graph) and drops edges with support < k-2, the truss condition.
+    The k-truss is the edge-analog of the k-core — strictly stronger
+    (every k-truss edge sits inside k-2 triangles, so it rejects the
+    star/bridge structures k-core keeps) — the standard community-core
+    primitive. A FIXED round count keeps the result an algebraic
+    function of the edge set (the oracle unrolls the same rounds);
+    2-3 peels isolate the stable truss on curation-scale graphs.
+
+    Per round: triangles are enumerated on the CANONICAL (a<b) edge
+    set via the two-sided wedge join e(a,b)·e(a,c)·e(b,c) with b<c —
+    the canonical ordering caps wedge fan-out the same way
+    triangle_count's degree orientation does on skew-free catalogs —
+    then each triangle votes support to its three edges and a
+    per-edge count + filter closes the round (localCheckpoint
+    lineage truncation, the module's iterative discipline). Returns
+    the surviving canonical edges with their FINAL-round support:
+    (a, b, support)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _support(cur: DataFrame) -> DataFrame:
+        e1 = cur.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = cur.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+        tris = wedges.join(
+            cur.select(F.col("a").alias("y"), F.col("b").alias("z")),
+            ["y", "z"],
+        )
+        votes = (
+            tris.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionByName(tris.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .unionByName(tris.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        )
+        return votes.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("support")
+        )
+
+    for _ in range(rounds):
+        sup = _support(e)
+        e = (
+            e.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    final = e.join(_support(e), ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support")
+    )
+    return final

@@ -170,6 +170,10 @@ HEADLINE = [
     "q_textrank",
     # GPS-jump screen: one corpus-scale lag window + groupBy
     "q_speed_screen",
+    # span corruption is a pure-scan HOF transform; k-truss is the new
+    # triangle-heavy iterative graph entry (2 peels + final support)
+    "q_span_corruption",
+    "q_k_truss",
 ]
 
 ROUND = 9

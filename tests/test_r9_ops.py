@@ -430,3 +430,87 @@ class TestTrajectorySpeedScreen:
         df = spark.createDataFrame(rows, "u long, ts timestamp, lat double, lon double")
         r = trajectory_speed_screen(df, "u", "ts", "lat", "lon").collect()[0]
         assert r.n_legs == 1  # the duplicate-timestamp leg is excluded
+
+
+class TestPreferencePairs:
+    def test_argmax_argmin_and_margin_gate(self, spark):
+        from azure_data_engineering_spark.operators.preference import preference_pairs
+
+        rows = [
+            ("g1", 1, 0.9), ("g1", 2, 0.1), ("g1", 3, 0.5),
+            ("g2", 4, 0.5), ("g2", 5, 0.45),      # margin 0.05 < 0.2 -> gated
+            ("g3", 6, 0.7),                        # singleton -> no pair
+        ]
+        df = spark.createDataFrame(rows, "g string, id long, score double")
+        got = {r.group: r for r in preference_pairs(df, "g", "id", "score", min_margin=0.2).collect()}
+        assert list(got) == ["g1"]
+        assert (got["g1"].chosen_id, got["g1"].rejected_id) == (1, 2)
+        assert got["g1"].margin == pytest.approx(0.8)
+
+    def test_tie_breaks_to_smallest_id(self, spark):
+        from azure_data_engineering_spark.operators.preference import preference_pairs
+
+        rows = [("g", 7, 1.0), ("g", 3, 1.0), ("g", 9, 0.0), ("g", 5, 0.0)]
+        df = spark.createDataFrame(rows, "g string, id long, score double")
+        r = preference_pairs(df, "g", "id", "score").collect()[0]
+        assert (r.chosen_id, r.rejected_id) == (3, 5)
+
+
+class TestSpanCorruption:
+    def test_spans_and_sentinels(self, spark):
+        from azure_data_engineering_spark.operators.chunking import span_corruption
+
+        text = " ".join(f"t{i}" for i in range(25))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = span_corruption(df, "doc_id", "text", span_len=3, stride=10).collect()[0]
+        assert r.n_tokens == 25 and r.n_spans == 3
+        # corrupted + targets together reconstruct the token multiset
+        corr_toks = [t for t in r.corrupted.split() if not t.startswith("<extra")]
+        targ_toks = [t for t in r.targets.split() if not t.startswith("<extra")]
+        assert sorted(corr_toks + targ_toks) == sorted(text.split())
+        # sentinels are ordinal and matched across the two strings
+        assert r.corrupted.count("<extra_id_") == 3
+        assert r.targets.count("<extra_id_") == 3
+        for k in range(3):
+            assert f"<extra_id_{k}>" in r.corrupted and f"<extra_id_{k}>" in r.targets
+
+    def test_short_doc_untouched(self, spark):
+        from azure_data_engineering_spark.operators.chunking import span_corruption
+
+        df = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+        r = span_corruption(df, "doc_id", "text", span_len=3, stride=10).collect()[0]
+        assert r.n_spans in (0, 1)  # depends on the md5 offset
+        if r.n_spans == 0:
+            assert r.corrupted == "a b c" and r.targets == ""
+
+    def test_stride_guard(self, spark):
+        from azure_data_engineering_spark.operators.chunking import span_corruption
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            span_corruption(df, "doc_id", "text", span_len=5, stride=5)
+
+
+class TestKTruss:
+    def test_triangle_clique_survives_bridge_dropped(self, spark):
+        from azure_data_engineering_spark.operators.graph import k_truss_prune
+
+        # K4 clique {1,2,3,4} (every edge in 2 triangles) + bridge 4-5
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {(r.a, r.b): r.support for r in k_truss_prune(df, k=4, rounds=2).collect()}
+        assert (4, 5) not in got           # bridge: support 0
+        assert set(got) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+        assert all(s == 2 for s in got.values())
+
+    def test_k_core_keeps_what_truss_rejects(self, spark):
+        """A 4-cycle is a 2-core everywhere but has NO triangles, so a
+        4-truss (support>=2) drops it entirely — the star/bridge
+        rejection that makes truss strictly stronger."""
+        from azure_data_engineering_spark.operators.graph import k_core_prune, k_truss_prune
+
+        cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+        df = spark.createDataFrame(cyc, "src long, dst long")
+        core = k_core_prune(df, k=2, rounds=2).collect()
+        truss = k_truss_prune(df, k=3, rounds=2).collect()
+        assert len(core) == 4 and len(truss) == 0
