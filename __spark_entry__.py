@@ -16779,6 +16779,50 @@ ORDER BY e.a, e.b"""
 Q_K_TRUSS_SQL = _k_truss_oracle_sql()
 
 
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-aware conversion funnel (operators/funnel.
+    window_funnel): of every 'view' event, the share followed by a
+    'purchase' from the same user within 30 minutes, plus the median
+    conversion latency — the "viewed → bought within the session"
+    product metric funnel_conversion's global ordering cannot
+    express. ONE per-user window (conditional running min over the
+    following frame) + one aggregate; no self-join, no pair
+    explosion. Exact integer-microsecond latencies (median emitted in
+    µs — a seconds division before rounding lands on .xx45 midpoints
+    where engine round() conventions diverge); exact percentile vs
+    DuckDB quantile_cont."""
+    from azure_data_engineering_spark.operators.funnel import window_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return window_funnel(
+        ev, "user_id", "ts", "event_type", "view", "purchase", within_seconds=1800
+    )
+
+
+Q_WINDOW_FUNNEL_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT user_id AS u, epoch_us(ts) AS us, event_type AS t
+  FROM events WHERE event_type IN ('view', 'purchase')
+), scored AS MATERIALIZED (
+  SELECT u, us, t,
+         min(CASE WHEN t = 'purchase' THEN us END)
+           OVER (PARTITION BY u ORDER BY us
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_to_us
+  FROM e
+), src AS (
+  SELECT CASE WHEN next_to_us IS NOT NULL
+               AND next_to_us - us <= 1800 * 1000000 THEN 1 ELSE 0 END AS converted,
+         next_to_us - us AS lat_us
+  FROM scored WHERE t = 'view'
+)
+SELECT CAST(count(*) AS BIGINT) AS n_source,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS conv_rate,
+       quantile_cont(CASE WHEN converted = 1 THEN lat_us END, 0.5) AS median_latency_us
+FROM src
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -16986,6 +17030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_preference_pairs": q_preference_pairs,
         "q_span_corruption": q_span_corruption,
         "q_k_truss": q_k_truss,
+        "q_window_funnel": q_window_funnel,
         "q_histogram": q_histogram,
         "q_tpch_q3_style": q_tpch_q3_style,
         "q_user_profile_builtin": q_user_profile_builtin,
@@ -17166,6 +17211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_preference_pairs": q_preference_pairs,
         "q_span_corruption": q_span_corruption,
         "q_k_truss": q_k_truss,
+        "q_window_funnel": q_window_funnel,
     }
 
 
@@ -17529,4 +17575,5 @@ def oracle_sql() -> dict[str, str]:
         "q_preference_pairs": Q_PREFERENCE_PAIRS_SQL,
         "q_span_corruption": Q_SPAN_CORRUPTION_SQL,
         "q_k_truss": Q_K_TRUSS_SQL,
+        "q_window_funnel": Q_WINDOW_FUNNEL_SQL,
     }

@@ -280,3 +280,78 @@ def dau_mau_stickiness(
             ).alias("stickiness"),
         )
     )
+
+
+def window_funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    within_seconds: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Time-constrained conversion funnel ("window funnel"): for every
+    `from_type` event, did the SAME user emit a `to_type` event within
+    `within_seconds` AFTER it? The product-analytics primitive behind
+    "viewed → purchased within 30 minutes" — funnel_conversion's
+    global step order can't express the deadline, and a naive
+    conversions × touches join explodes; this is the deadline-aware
+    form.
+
+    Plan: ONE window per user over the event-time order — each row
+    carries the timestamp of the NEXT `to_type` event at-or-after it
+    (a conditional running min over the following frame, the sessionize
+    cost envelope) — then one aggregate. No self-join, no pair
+    explosion: work is one shuffle of the two event types.
+
+    Exactness: latencies are exact integer microseconds; the median is
+    Spark's exact `percentile` over integers (DuckDB quantile_cont
+    twin) and is emitted in MICROSECONDS — an even-count median is
+    x.5 µs exactly, and dividing to seconds before rounding lands on
+    the .xx45 midpoints where engine round() conventions diverge (the
+    repo's standing divide-before-round lesson). Returns one row:
+    (n_source, n_converted, conv_rate, median_latency_us)."""
+    from pyspark.sql import Window
+
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(type_col).alias("t"),
+    ).filter(F.col("t").isin([from_type, to_type]))
+    w_next = (
+        Window.partitionBy("u")
+        .orderBy("us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scored = (
+        e.withColumn(
+            "next_to_us",
+            F.min(F.when(F.col("t") == to_type, F.col("us"))).over(w_next),
+        )
+        .filter(F.col("t") == from_type)
+        .select(
+            "u",
+            "us",
+            (
+                F.col("next_to_us").isNotNull()
+                & (
+                    F.col("next_to_us") - F.col("us")
+                    <= F.lit(int(within_seconds) * 1_000_000)
+                )
+            ).cast("int").alias("converted"),
+            (F.col("next_to_us") - F.col("us")).alias("lat_us"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_source"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("conv_rate"),
+        F.expr(
+            "percentile(CASE WHEN converted = 1 THEN lat_us END, 0.5)"
+        ).alias("median_latency_us"),
+    )

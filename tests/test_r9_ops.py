@@ -514,3 +514,47 @@ class TestKTruss:
         core = k_core_prune(df, k=2, rounds=2).collect()
         truss = k_truss_prune(df, k=3, rounds=2).collect()
         assert len(core) == 4 and len(truss) == 0
+
+
+class TestWindowFunnel:
+    def test_deadline_respected(self, spark):
+        import datetime as dt
+
+        from azure_data_engineering_spark.operators.funnel import window_funnel
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            # user 1: view -> purchase after 10 min (converts)
+            (1, base, "view"),
+            (1, base + dt.timedelta(minutes=10), "purchase"),
+            # user 2: view -> purchase after 45 min (misses the 30-min window)
+            (2, base, "view"),
+            (2, base + dt.timedelta(minutes=45), "purchase"),
+            # user 3: purchase BEFORE the view only (no conversion)
+            (3, base - dt.timedelta(minutes=5), "purchase"),
+            (3, base, "view"),
+            # user 4: two views, one purchase between them
+            (4, base, "view"),
+            (4, base + dt.timedelta(minutes=5), "purchase"),
+            (4, base + dt.timedelta(minutes=20), "view"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        r = window_funnel(df, "user_id", "ts", "event_type", "view", "purchase", 1800).collect()[0]
+        assert r.n_source == 5
+        assert r.n_converted == 2  # user 1 and user 4's first view
+        assert r.conv_rate == pytest.approx(0.4)
+        # latencies of converted: 600s and 300s -> median 450s
+        assert r.median_latency_us == pytest.approx(450 * 1e6)
+
+    def test_no_conversions_null_median(self, spark):
+        import datetime as dt
+
+        from azure_data_engineering_spark.operators.funnel import window_funnel
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, base, "view"), (2, base, "view")],
+            "user_id long, ts timestamp, event_type string",
+        )
+        r = window_funnel(df, "user_id", "ts", "event_type", "view", "purchase", 60).collect()[0]
+        assert r.n_converted == 0 and r.median_latency_us is None
