@@ -16559,46 +16559,6 @@ ORDER BY entity
 """
 
 
-def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DataFrame UNPIVOT/melt surface (Spark 3.4+ df.unpivot —
-    the relational inverse of pivot): the four lineitem measures melt
-    to (measure, value) rows and aggregate per measure in one pass.
-    The API every feature pipeline uses to go wide→long before keyed
-    feature aggregation; the oracle mirrors it with DuckDB's UNPIVOT."""
-    li = _t(spark, sf_dir, "lineitem")
-    long = li.unpivot(
-        ids=["l_orderkey"],
-        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        variableColumnName="measure",
-        valueColumnName="v",
-    )
-    return (
-        long.groupBy("measure")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("total"),
-            F.min("v").alias("min_v"),
-            F.max("v").alias("max_v"),
-        )
-        .orderBy("measure")
-    )
-
-
-Q_UNPIVOT_SQL = """
-WITH long AS (
-  UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
-  ON l_quantity, l_extendedprice, l_discount, l_tax
-  INTO NAME measure VALUE v
-)
-SELECT measure, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total,
-       min(v) AS min_v, max(v) AS max_v
-FROM long
-GROUP BY measure
-ORDER BY measure
-"""
-
-
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPO/RLHF preference-pair construction (operators/preference.
     preference_pairs): per (source, lang) candidate group over the
@@ -17027,10 +16987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_train_order": q_train_order,
         "q_vocab_topk": q_vocab_topk,
         "q_unpivot": q_unpivot,
-        "q_preference_pairs": q_preference_pairs,
-        "q_span_corruption": q_span_corruption,
-        "q_k_truss": q_k_truss,
-        "q_window_funnel": q_window_funnel,
         "q_histogram": q_histogram,
         "q_tpch_q3_style": q_tpch_q3_style,
         "q_user_profile_builtin": q_user_profile_builtin,
@@ -17207,7 +17163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_t_closeness": q_t_closeness,
         "q_seasonal_decompose": q_seasonal_decompose,
         "q_speed_screen": q_speed_screen,
-        "q_unpivot": q_unpivot,
         "q_preference_pairs": q_preference_pairs,
         "q_span_corruption": q_span_corruption,
         "q_k_truss": q_k_truss,
@@ -17571,7 +17526,6 @@ def oracle_sql() -> dict[str, str]:
         "q_t_closeness": Q_T_CLOSENESS_SQL,
         "q_seasonal_decompose": Q_SEASONAL_DECOMPOSE_SQL,
         "q_speed_screen": Q_SPEED_SCREEN_SQL,
-        "q_unpivot": Q_UNPIVOT_SQL,
         "q_preference_pairs": Q_PREFERENCE_PAIRS_SQL,
         "q_span_corruption": Q_SPAN_CORRUPTION_SQL,
         "q_k_truss": Q_K_TRUSS_SQL,
