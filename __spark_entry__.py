@@ -16739,6 +16739,92 @@ ORDER BY e.a, e.b"""
 Q_K_TRUSS_SQL = _k_truss_oracle_sql()
 
 
+def q_softmax_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass softmax regression by full-batch GD, in-plan
+    (operators/mlplan.softmax_gd — the K-class generalization of
+    q_logistic_gd): 3 order-value classes learned from scaled price +
+    customer-band features, 6 fixed rounds, every mean gradient
+    rounded to 9 dp so the trajectory is engine-identical; the
+    max-subtracted softmax, deterministic argmax (ties → smallest
+    class) and log-loss are pure algebraic expressions the oracle
+    unrolls round by round."""
+    from azure_data_engineering_spark.operators.mlplan import softmax_gd
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") / 100000.0).alias("x1"),
+        ((F.col("o_custkey") % 10) / 10.0).alias("x2"),
+        F.when(F.col("o_totalprice") < 50000, 0)
+        .when(F.col("o_totalprice") < 150000, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("cls"),
+    )
+    return softmax_gd(o, "x1", "x2", "cls", k_classes=3, iterations=6, lr=1.0)
+
+
+def _softmax_oracle_sql(k_classes: int = 3, iters: int = 6, lr: float = 1.0) -> str:
+    """Unroll softmax-GD rounds as chained CTEs mirroring
+    mlplan.softmax_gd's expression tree exactly (max-subtracted
+    softmax, left-associated denominator, 9 dp gradient rounding)."""
+    ks = list(range(k_classes))
+
+    def z(k):
+        return f"(w{k}_0 + w{k}_1 * x1 + w{k}_2 * x2)"
+
+    zmax = "greatest(" + ", ".join(z(k) for k in ks) + ")"
+    denom = " + ".join(f"exp({z(k)} - {zmax})" for k in ks)
+
+    def prob(k):
+        return f"(exp({z(k)} - {zmax}) / ({denom}))"
+
+    sql = """
+WITH base AS MATERIALIZED (
+  SELECT o_totalprice / 100000.0 AS x1,
+         (o_custkey % 10) / 10.0 AS x2,
+         CASE WHEN o_totalprice < 50000 THEN 0
+              WHEN o_totalprice < 150000 THEN 1 ELSE 2 END AS t
+  FROM orders
+),
+w0 AS (SELECT """ + ", ".join(
+        f"0.0 AS w{k}_{j}" for k in ks for j in (0, 1, 2)
+    ) + ")"
+    for i in range(iters):
+        gsel = []
+        for k in ks:
+            ind = f"CASE WHEN t = {k} THEN 1.0 ELSE 0.0 END"
+            gsel.append(f"round(avg({prob(k)} - {ind}), 9) AS g{k}_0")
+            gsel.append(f"round(avg(({prob(k)} - {ind}) * x1), 9) AS g{k}_1")
+            gsel.append(f"round(avg(({prob(k)} - {ind}) * x2), 9) AS g{k}_2")
+        wsel = ", ".join(
+            f"w{k}_{j} - {lr} * g{k}_{j} AS w{k}_{j}" for k in ks for j in (0, 1, 2)
+        )
+        sql += f""",
+g{i} AS (SELECT {", ".join(gsel)} FROM base, w{i}),
+w{i + 1} AS MATERIALIZED (SELECT {wsel} FROM w{i}, g{i})"""
+    # deterministic argmax: ties resolve to the smallest class
+    pred = str(k_classes - 1)
+    for k in range(k_classes - 2, -1, -1):
+        conds = " AND ".join(f"{z(k)} >= {z(j)}" for j in range(k + 1, k_classes))
+        pred = f"CASE WHEN {conds} THEN {k} ELSE {pred} END"
+    p_true = " + ".join(
+        f"{prob(k)} * (CASE WHEN t = {k} THEN 1.0 ELSE 0.0 END)" for k in ks
+    )
+    # max() over the 1-row weight frame sidesteps GROUP BY (the
+    # _logistic_oracle_sql convention)
+    wout = ", ".join(
+        f"round(max(w{k}_{j}), 6) AS w{k}_{j}" for k in ks for j in (0, 1, 2)
+    )
+    sql += f"""
+SELECT {wout},
+       round(avg(CASE WHEN ({pred}) = t THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+       round(avg(-ln(least(greatest({p_true}, 1e-12), 1.0 - 1e-12))), 6) AS log_loss
+FROM base, w{iters}"""
+    return sql
+
+
+Q_SOFTMAX_GD_SQL = _softmax_oracle_sql()
+
+
 def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deadline-aware conversion funnel (operators/funnel.
     window_funnel): of every 'view' event, the share followed by a
@@ -17167,6 +17253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_corruption": q_span_corruption,
         "q_k_truss": q_k_truss,
         "q_window_funnel": q_window_funnel,
+        "q_softmax_gd": q_softmax_gd,
     }
 
 
@@ -17530,4 +17617,5 @@ def oracle_sql() -> dict[str, str]:
         "q_span_corruption": Q_SPAN_CORRUPTION_SQL,
         "q_k_truss": Q_K_TRUSS_SQL,
         "q_window_funnel": Q_WINDOW_FUNNEL_SQL,
+        "q_softmax_gd": Q_SOFTMAX_GD_SQL,
     }

@@ -954,3 +954,103 @@ def cohens_kappa(
             F.round((p_o - p_e) / (1.0 - p_e), round_digits).alias("kappa"),
         )
     )
+
+
+def softmax_gd(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    k_classes: int,
+    iterations: int = 6,
+    lr: float = 1.0,
+    grad_decimals: int = 9,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Full-batch MULTICLASS (softmax / multinomial logistic)
+    regression by fixed-round gradient descent, entirely in-plan —
+    the K-class generalization of logistic_gd under the exact same
+    discipline: the 3K-weight vector is a 1-ROW broadcast frame, each
+    round is one corpus scan + a 3K-number reduce with every mean
+    gradient rounded to grad_decimals (pinning the trajectory to
+    identical doubles in any engine), lineage truncated per round.
+    Softmax is computed max-subtracted (the standard overflow guard —
+    also a pure algebraic expression the oracle replays verbatim).
+
+    Returns 1 row: the 3K weights w{k}_{b,1,2} (rounded), accuracy
+    under the deterministic argmax (ties → smallest class), and
+    multiclass log-loss at the final weights."""
+    ks = list(range(k_classes))
+    base = df.select(
+        F.col(x1).cast("double").alias("x1"),
+        F.col(x2).cast("double").alias("x2"),
+        F.col(y).cast("long").alias("t"),
+    )
+    spark = df.sparkSession
+    w_cols = [f"w{k}_{j}" for k in ks for j in (0, 1, 2)]
+    w = spark.createDataFrame(
+        [tuple(0.0 for _ in w_cols)], ", ".join(f"{c} double" for c in w_cols)
+    )
+
+    def z_of(k):
+        return (
+            F.col(f"w{k}_0")
+            + F.col(f"w{k}_1") * F.col("x1")
+            + F.col(f"w{k}_2") * F.col("x2")
+        )
+
+    def probs():
+        zs = [z_of(k) for k in ks]
+        zmax = F.greatest(*zs) if len(zs) > 1 else zs[0]
+        exps = [F.exp(z - zmax) for z in zs]
+        denom = exps[0]
+        for e in exps[1:]:
+            denom = denom + e
+        return [e / denom for e in exps]
+
+    for _ in range(iterations):
+        ps = probs()
+        aggs = []
+        for k in ks:
+            ind = (F.col("t") == k).cast("double")
+            aggs.append(F.round(F.avg(ps[k] - ind), grad_decimals).alias(f"g{k}_0"))
+            aggs.append(
+                F.round(F.avg((ps[k] - ind) * F.col("x1")), grad_decimals).alias(f"g{k}_1")
+            )
+            aggs.append(
+                F.round(F.avg((ps[k] - ind) * F.col("x2")), grad_decimals).alias(f"g{k}_2")
+            )
+        g = base.crossJoin(F.broadcast(w)).agg(*aggs)
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                *[
+                    (F.col(c) - lr * F.col("g" + c[1:])).alias(c)
+                    for c in w_cols
+                ]
+            )
+            .localCheckpoint(eager=True)
+        )
+    ps = probs()
+    # deterministic argmax on the z's: ties resolve to the smallest k
+    zs = [z_of(k) for k in ks]
+    pred = F.lit(k_classes - 1)
+    for k in range(k_classes - 2, -1, -1):
+        cond = zs[k] >= zs[k + 1]
+        for j in range(k + 2, k_classes):
+            cond = cond & (zs[k] >= zs[j])
+        pred = F.when(cond, F.lit(k)).otherwise(pred)
+    p_true = ps[0] * (F.col("t") == 0).cast("double")
+    for k in ks[1:]:
+        p_true = p_true + ps[k] * (F.col("t") == k).cast("double")
+    pc = F.least(F.greatest(p_true, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    return (
+        base.crossJoin(F.broadcast(w))
+        .agg(
+            *[F.round(F.first(c), out_decimals).alias(c) for c in w_cols],
+            F.round(
+                F.avg((pred == F.col("t")).cast("double")), out_decimals
+            ).alias("accuracy"),
+            F.round(F.avg(-F.log(pc)), out_decimals).alias("log_loss"),
+        )
+    )

@@ -558,3 +558,32 @@ class TestWindowFunnel:
         )
         r = window_funnel(df, "user_id", "ts", "event_type", "view", "purchase", 60).collect()[0]
         assert r.n_converted == 0 and r.median_latency_us is None
+
+
+class TestSoftmaxGd:
+    def test_separable_three_classes(self, spark):
+        from azure_data_engineering_spark.operators.mlplan import softmax_gd
+
+        # linearly separable: x1 orders class 0 vs 2, x2 marks class 1
+        rows = []
+        for i in range(120):
+            cls = i % 3
+            x1 = float((cls - 1) * 4 + (i * 7 % 5) * 0.2)
+            x2 = 1.0 if cls == 1 else 0.0
+            rows.append((x1, x2, cls))
+        df = spark.createDataFrame(rows, "x1 double, x2 double, cls long")
+        r = softmax_gd(df, "x1", "x2", "cls", k_classes=3, iterations=30, lr=1.0).collect()[0]
+        assert r.accuracy >= 0.95
+        assert r.log_loss < 0.6
+        # slope for the high class exceeds the low class (ordered boundary)
+        assert r.w2_1 > r.w0_1
+        # the middle class leans on its marker feature
+        assert r.w1_2 > max(r.w0_2, r.w2_2)
+
+    def test_two_class_reduces_to_logistic_shape(self, spark):
+        from azure_data_engineering_spark.operators.mlplan import softmax_gd
+
+        rows = [(float(i % 10), 0.0, int(i % 10 >= 5)) for i in range(100)]
+        df = spark.createDataFrame(rows, "x1 double, x2 double, cls long")
+        r = softmax_gd(df, "x1", "x2", "cls", k_classes=2, iterations=60, lr=2.0).collect()[0]
+        assert r.accuracy >= 0.9
