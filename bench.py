@@ -171,9 +171,11 @@ HEADLINE = [
     # GPS-jump screen: one corpus-scale lag window + groupBy
     "q_speed_screen",
     # span corruption is a pure-scan HOF transform; k-truss is the new
-    # triangle-heavy iterative graph entry (2 peels + final support)
+    # triangle-heavy iterative graph entry (2 peels + final support);
+    # softmax joins the in-plan ML bench family
     "q_span_corruption",
     "q_k_truss",
+    "q_softmax_gd",
 ]
 
 ROUND = 9
@@ -664,10 +666,16 @@ def main() -> None:
                     "q_ann_ivfpq) now get one discarded warmup run before "
                     "the timed best-of-2 (the r7 q_grouped_map 1.47x blip "
                     "was pandas-worker churn)",
-                    "new_in_r9": "q_audio_metadata has no prior-round "
-                    "comparison; q_dau_mau's support join was replanned "
-                    "(sequence-explode broadcast hash equi-join replaces "
-                    "the r8 BroadcastNestedLoopJoin)",
+                    "q_dau_mau": "r9 replan: sequence-explode broadcast "
+                    "hash equi-join replaces the r8 BroadcastNestedLoopJoin "
+                    "— ~0.4s slower on the 30-day local spine, O(window) "
+                    "instead of O(history) per row at scale",
+                    "new_in_r9": "q_audio_metadata q_correlation_matrix "
+                    "q_gopher_rules q_textrank q_speed_screen "
+                    "q_span_corruption q_k_truss q_softmax_gd have no "
+                    "prior-round comparison; q_dau_mau's support join was "
+                    "replanned (sequence-explode broadcast hash equi-join "
+                    "replaces the r8 BroadcastNestedLoopJoin)",
                     "fault_isolation": "since r7 every timed unit is "
                     "individually guarded: a failing query records an "
                     "{error, traceback_tail} row in query_errors (or the "
