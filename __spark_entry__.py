@@ -16825,6 +16825,148 @@ FROM base, w{iters}"""
 Q_SOFTMAX_GD_SQL = _softmax_oracle_sql()
 
 
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily 'view' and 'purchase'
+    volumes (operators/timeseries.cross_correlation): ccf(k) for k in
+    -5..5 — a positive peak at k>0 means views LEAD purchases by k
+    days, the metric-discovery tool acf can't provide. The acf integer
+    trick (centered terms scaled by n are exact ints) makes every ccf
+    a ratio of exact DECIMAL(38,0) sums; lead/lag windows run over the
+    30-row daily frame only. The oracle replays centering, windows,
+    and sums."""
+    from azure_data_engineering_spark.operators.timeseries import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    return cross_correlation(daily, "d", "x", "y", max_lag=5).orderBy("lag")
+
+
+def _ccf_oracle_sql(max_lag: int = 5) -> str:
+    lags = list(range(-max_lag, max_lag + 1))
+    led_cols = []
+    for k in lags:
+        fn = f"lead(cy, {k})" if k >= 0 else f"lag(cy, {-k})"
+        led_cols.append(f"{fn} OVER (ORDER BY t) AS cy_{k + max_lag}")
+    sum_cols = [
+        f"sum(CAST(cx * cy_{k + max_lag} AS DECIMAL(38,0))) AS s_{k + max_lag}"
+        for k in lags
+    ]
+    rows = "\n  UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, CASE WHEN sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)) > 0 "
+        f"THEN round(CAST(s_{k + max_lag} AS DOUBLE) / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6) END AS ccf FROM sums"
+        for k in lags
+    )
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m-%d') AS t,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1
+), tot AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy FROM daily),
+c AS MATERIALIZED (
+  SELECT t, n * x - sx AS cx, n * y - sy AS cy FROM daily, tot
+), led AS (
+  SELECT cx, cy, {", ".join(led_cols)} FROM c
+), sums AS MATERIALIZED (
+  SELECT sum(CAST(cx * cx AS DECIMAL(38,0))) AS dxx,
+         sum(CAST(cy * cy AS DECIMAL(38,0))) AS dyy,
+         {", ".join(sum_cols)}
+  FROM led
+)
+{rows}
+ORDER BY lag"""
+
+
+Q_CROSS_CORRELATION_SQL = _ccf_oracle_sql()
+
+
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966; operators/stats.
+    logrank_test) on the q_kaplan_meier churn-subject frame split by
+    user-id parity: are the two cohorts' survival curves statistically
+    different? O−E and variance summands accumulate as 12 dp DECIMALs
+    over the distinct-duration histogram; p = erfc(√(χ²/2)) via the
+    same A&S polynomial both engines evaluate identically. The
+    hypothesis-test companion to the KM/Nelson-Aalen estimators."""
+    from azure_data_engineering_spark.operators.stats import logrank_test
+
+    ev = _t(spark, sf_dir, "events")
+    per_u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__first"), F.max("ts").alias("__last")
+    )
+    ref = ev.agg(F.max("ts").alias("__ref"))
+    subj = per_u.join(F.broadcast(ref)).select(
+        (F.col("user_id") % 2).cast("long").alias("grp"),
+        F.datediff(F.col("__last"), F.col("__first")).cast("long").alias("duration"),
+        (F.col("__last") < F.col("__ref") - F.expr("INTERVAL 7 DAYS"))
+        .cast("int")
+        .alias("churned"),
+    )
+    return logrank_test(subj, "grp", "duration", "churned")
+
+
+Q_LOGRANK_SQL = """
+WITH per_u AS MATERIALIZED (
+  SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+), ref AS (SELECT max(ts) AS r FROM events),
+subj AS MATERIALIZED (
+  SELECT user_id % 2 AS g,
+         date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS duration,
+         CASE WHEN l < r - INTERVAL 7 DAY THEN 1 ELSE 0 END AS ev
+  FROM per_u, ref
+), per_t AS MATERIALIZED (
+  SELECT duration, g, sum(ev) AS d, count(*) AS c FROM subj GROUP BY 1, 2
+), wide AS MATERIALIZED (
+  SELECT duration,
+         sum(CASE WHEN g = 0 THEN d ELSE 0 END) AS d1,
+         sum(d) AS dt,
+         sum(CASE WHEN g = 0 THEN c ELSE 0 END) AS c1,
+         sum(c) AS ct
+  FROM per_t GROUP BY 1
+), tot AS (
+  SELECT sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n1_tot, count(*) AS n_tot
+  FROM subj
+), risk AS MATERIALIZED (
+  SELECT duration, d1, dt,
+         n1_tot - sum(c1) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) + c1 AS n1,
+         n_tot - sum(ct) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) + ct AS nt
+  FROM wide, tot
+), terms AS (
+  SELECT d1, dt, n1, nt,
+         CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE) AS frac1
+  FROM risk WHERE dt > 0
+), agg AS (
+  SELECT sum(d1) AS observed1,
+         round(CAST(sum(CAST(round(CAST(dt AS DOUBLE) * frac1, 12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS expected1,
+         sum(CAST(round(CAST(d1 AS DOUBLE) - CAST(dt AS DOUBLE) * frac1, 12) AS DECIMAL(24,12))) AS oe_d,
+         sum(CAST(round(CASE WHEN nt > 1
+                 THEN CAST(dt AS DOUBLE) * frac1 * (1.0 - frac1)
+                      * CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE)
+                 ELSE 0.0 END, 12) AS DECIMAL(24,12))) AS v_d
+  FROM terms
+), chi AS (
+  SELECT observed1, expected1,
+         CASE WHEN v_d > 0 THEN pow(CAST(oe_d AS DOUBLE), 2) / CAST(v_d AS DOUBLE) ELSE 0.0 END AS chi2
+  FROM agg
+), z AS (SELECT observed1, expected1, chi2, round(sqrt(chi2 / 2.0), 9) AS zz FROM chi)
+SELECT '0' AS group1, '1' AS group2,
+       CAST(n1_tot AS BIGINT) AS n1, CAST(n_tot - n1_tot AS BIGINT) AS n2,
+       CAST(observed1 AS BIGINT) AS observed1, expected1,
+       round(chi2, 6) AS chi2,
+       round((1.0 / (1.0 + 0.3275911 * zz))
+             * (0.254829592
+                + (1.0 / (1.0 + 0.3275911 * zz))
+                  * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * zz))
+                     * (1.421413741 + (1.0 / (1.0 + 0.3275911 * zz))
+                        * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * zz)) * 1.061405429))))
+             * exp(-(zz * zz)), 6) AS p_value
+FROM z, tot
+"""
+
+
 def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deadline-aware conversion funnel (operators/funnel.
     window_funnel): of every 'view' event, the share followed by a
@@ -17254,6 +17396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k_truss": q_k_truss,
         "q_window_funnel": q_window_funnel,
         "q_softmax_gd": q_softmax_gd,
+        "q_cross_correlation": q_cross_correlation,
+        "q_logrank": q_logrank,
     }
 
 
@@ -17618,4 +17762,6 @@ def oracle_sql() -> dict[str, str]:
         "q_k_truss": Q_K_TRUSS_SQL,
         "q_window_funnel": Q_WINDOW_FUNNEL_SQL,
         "q_softmax_gd": Q_SOFTMAX_GD_SQL,
+        "q_cross_correlation": Q_CROSS_CORRELATION_SQL,
+        "q_logrank": Q_LOGRANK_SQL,
     }

@@ -1217,3 +1217,106 @@ def bh_fdr(
         F.round("bh_q", round_digits).alias("bh_q"),
         (F.col("bh_q") <= F.lit(alpha)).cast("int").alias("reject"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966; Peto & Peto 1972): are two
+    survival curves the same? At each distinct event time t with d_t
+    total events, n_t at risk and n1_t at risk in group 1,
+
+        O-E  = Σ_t (d1_t − d_t·n1_t/n_t)
+        V    = Σ_t d_t·(n1_t/n_t)·(1 − n1_t/n_t)·(n_t − d_t)/(n_t − 1)
+        χ²   = (O-E)² / V,   p = erfc(√(χ²/2))  (A&S 7.1.26 polynomial)
+
+    — the hypothesis-test companion to kaplan_meier/nelson_aalen: the
+    curves SAY the cohorts differ, the log-rank says whether that
+    difference is noise.
+
+    Scale shape: the kaplan_meier discipline — one aggregation to the
+    per-(group, duration) histogram, risk sets from prefix-sum windows
+    over that KB-sized frame; each O-E and V summand is rounded to a
+    12 dp DECIMAL before its sum. Exactly two groups required (the
+    classic form). Returns one row: (group1, group2, n1, n2,
+    observed1, expected1, chi2, p_value)."""
+    import math as _math
+
+    groups = [r[0] for r in df.select(group_col).distinct().orderBy(group_col).collect()]
+    if len(groups) != 2:
+        raise ValueError(f"log-rank needs exactly 2 groups, got {groups}")
+    g1 = groups[0]
+    per_t = df.groupBy(
+        F.col(duration_col).alias("duration"),
+        F.col(group_col).alias("g"),
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    # complete per-duration rows per group (0 events / 0 leaving)
+    wide = per_t.groupBy("duration").agg(
+        F.sum(F.when(F.col("g") == g1, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum("d").alias("dt"),
+        F.sum(F.when(F.col("g") == g1, F.col("c")).otherwise(0)).alias("c1"),
+        F.sum("c").alias("ct"),
+    )
+    tot = df.groupBy().agg(
+        F.sum((F.col(group_col) == g1).cast("long")).alias("n1_tot"),
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+    )
+    w = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        wide.join(F.broadcast(tot))
+        .withColumn("n1", F.col("n1_tot") - F.sum("c1").over(w) + F.col("c1"))
+        .withColumn("nt", F.col("n_tot") - F.sum("ct").over(w) + F.col("ct"))
+        .filter(F.col("dt") > 0)
+    )
+    frac1 = F.col("n1").cast("double") / F.col("nt").cast("double")
+    oe = F.round(
+        F.col("d1").cast("double") - F.col("dt").cast("double") * frac1, 12
+    ).cast("decimal(24,12)")
+    v = F.round(
+        F.when(
+            F.col("nt") > 1,
+            F.col("dt").cast("double")
+            * frac1
+            * (1.0 - frac1)
+            * (F.col("nt") - F.col("dt")).cast("double")
+            / (F.col("nt") - 1).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        12,
+    ).cast("decimal(24,12)")
+    agg = risk.agg(
+        F.sum("d1").cast("long").alias("observed1"),
+        F.round(
+            F.sum(F.round(F.col("dt").cast("double") * frac1, 12).cast("decimal(24,12)"))
+            .cast("double"),
+            round_digits,
+        ).alias("expected1"),
+        F.sum(oe).alias("oe_d"),
+        F.sum(v).alias("v_d"),
+    )
+    chi2 = F.when(
+        F.col("v_d") > 0,
+        F.pow(F.col("oe_d").cast("double"), 2) / F.col("v_d").cast("double"),
+    ).otherwise(F.lit(0.0))
+    z = F.round(F.sqrt(chi2 / 2.0), 9)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return agg.join(F.broadcast(tot)).select(
+        F.lit(str(g1)).alias("group1"),
+        F.lit(str(groups[1])).alias("group2"),
+        F.col("n1_tot").alias("n1"),
+        (F.col("n_tot") - F.col("n1_tot")).alias("n2"),
+        "observed1",
+        "expected1",
+        F.round(chi2, round_digits).alias("chi2"),
+        F.round(poly * F.exp(-(z * z)), round_digits).alias("p_value"),
+    )

@@ -732,3 +732,82 @@ def seasonal_decompose_ma(
             ),
         ).alias("residual"),
     ).orderBy("t")
+
+
+def cross_correlation(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cross-correlation function between two aligned series — the
+    lead-lag discovery tool acf can't provide: ccf(k) > 0 at k=3 means
+    x today co-moves with y three periods LATER (x leads y). For each
+    lag k in -max_lag..max_lag,
+
+        ccf(k) = Σ_t c_x(t)·c_y(t+k) / sqrt(Σ c_x² · Σ c_y²)
+
+    with the standard full-series variance normalization.
+
+    Exactness: the acf trick — multiplying each centered term by n
+    makes it the exact integer c(t) = n·v(t) − Σv; numerator and the
+    two variance sums all scale by n², so every ccf is a ratio of
+    exact DECIMAL(38,0) sums. Scale discipline: `series` is the
+    per-period AGGREGATE frame; the lead/lag windows run over its
+    length only. Returns (lag, ccf)."""
+    s = series.select(
+        F.col(t_col).alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    c = s.join(F.broadcast(tot)).select(
+        "t",
+        (F.col("n") * F.col("x") - F.col("sx")).alias("cx"),
+        (F.col("n") * F.col("y") - F.col("sy")).alias("cy"),
+    )
+    w = Window.orderBy("t")
+    lags = list(range(-max_lag, max_lag + 1))
+    led = c.select(
+        "cx",
+        "cy",
+        *[
+            (
+                F.lead("cy", k).over(w) if k >= 0 else F.lag("cy", -k).over(w)
+            ).alias(f"cy_{k + max_lag}")
+            for k in lags
+        ],
+    )
+    dec = "decimal(38,0)"
+    sums = led.agg(
+        F.sum((F.col("cx") * F.col("cx")).cast(dec)).alias("dxx"),
+        F.sum((F.col("cy") * F.col("cy")).cast(dec)).alias("dyy"),
+        *[
+            F.sum((F.col("cx") * F.col(f"cy_{k + max_lag}")).cast(dec)).alias(
+                f"s_{k + max_lag}"
+            )
+            for k in lags
+        ],
+    )
+    den = F.sqrt(F.col("dxx").cast("double") * F.col("dyy").cast("double"))
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("long").alias("lag"),
+                    F.when(
+                        den > 0,
+                        F.round(F.col(f"s_{k + max_lag}").cast("double") / den, round_digits),
+                    ).alias("ccf"),
+                )
+                for k in lags
+            ]
+        )
+    ).alias("kv")
+    return sums.select(kv).select(F.col("kv.lag").alias("lag"), F.col("kv.ccf").alias("ccf"))

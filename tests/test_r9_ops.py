@@ -587,3 +587,62 @@ class TestSoftmaxGd:
         df = spark.createDataFrame(rows, "x1 double, x2 double, cls long")
         r = softmax_gd(df, "x1", "x2", "cls", k_classes=2, iterations=60, lr=2.0).collect()[0]
         assert r.accuracy >= 0.9
+
+
+class TestCrossCorrelation:
+    def test_known_lead_lag(self, spark):
+        from azure_data_engineering_spark.operators.timeseries import cross_correlation
+
+        # y is x shifted 2 periods later: ccf peaks at lag +2
+        xs = [float((i * 7) % 13) for i in range(40)]
+        rows = [(f"t{i:02d}", xs[i], xs[i - 2] if i >= 2 else 0.0) for i in range(40)]
+        df = spark.createDataFrame(rows, "t string, x double, y double")
+        got = {r.lag: r.ccf for r in cross_correlation(df, "t", "x", "y", max_lag=3).collect()}
+        assert got[2] == max(got.values())
+        assert got[2] > 0.8
+
+    def test_lag_zero_is_pearson(self, spark):
+        from azure_data_engineering_spark.operators.stats import pearson_matrix
+        from azure_data_engineering_spark.operators.timeseries import cross_correlation
+
+        rows = [(f"t{i:02d}", float(i % 9), float((i * 3) % 7)) for i in range(30)]
+        df = spark.createDataFrame(rows, "t string, x double, y double")
+        ccf0 = {r.lag: r.ccf for r in cross_correlation(df, "t", "x", "y", max_lag=1).collect()}[0]
+        corr = pearson_matrix(df, ["x", "y"]).collect()[0].corr
+        assert ccf0 == pytest.approx(corr, abs=1e-6)
+
+
+class TestLogrank:
+    def test_identical_groups_not_significant(self, spark):
+        from azure_data_engineering_spark.operators.stats import logrank_test
+
+        rows = []
+        for g in (0, 1):
+            for i in range(40):
+                rows.append((g, i % 8 + 1, int(i % 3 != 0)))
+        df = spark.createDataFrame(rows, "g int, duration long, ev int")
+        r = logrank_test(df, "g", "duration", "ev").collect()[0]
+        assert r.chi2 == pytest.approx(0.0, abs=1e-6)
+        assert r.p_value > 0.9
+        assert r.observed1 == pytest.approx(r.expected1, abs=1e-4)
+
+    def test_separated_groups_significant(self, spark):
+        from azure_data_engineering_spark.operators.stats import logrank_test
+
+        rows = []
+        for i in range(40):
+            rows.append((0, i % 3 + 1, 1))    # group 0 dies early
+            rows.append((1, i % 3 + 20, 1))   # group 1 survives long
+        df = spark.createDataFrame(rows, "g int, duration long, ev int")
+        r = logrank_test(df, "g", "duration", "ev").collect()[0]
+        assert r.chi2 > 10
+        assert r.p_value < 0.01
+
+    def test_three_groups_rejected(self, spark):
+        from azure_data_engineering_spark.operators.stats import logrank_test
+
+        df = spark.createDataFrame(
+            [(0, 1, 1), (1, 2, 1), (2, 3, 1)], "g int, duration long, ev int"
+        )
+        with pytest.raises(ValueError):
+            logrank_test(df, "g", "duration", "ev")
