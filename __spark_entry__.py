@@ -17011,6 +17011,519 @@ FROM src
 """
 
 
+
+
+def q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (operators/stats.welch_t_test)
+    on event value split by the user-parity A/B assignment: ONE
+    corpus-scale groupBy to per-arm exact DECIMAL moments (2-dp
+    inputs -> 4-dp squares, exact at both engines' product scales),
+    then a 2-row reduce. Means/variances become 9 dp doubles off the
+    exact moments; p is the two-sided normal approximation
+    erfc(|t|/sqrt(2)) via the shared A&S polynomial (Welch df in the
+    thousands here, where t and normal agree beyond the 6 dp
+    emitted); the Welch-Satterthwaite df is emitted so a consumer
+    can see when that approximation would be unsafe."""
+    from azure_data_engineering_spark.operators.stats import welch_t_test
+
+    ev = _t(spark, sf_dir, "events")
+    ab = ev.select((F.col("user_id") % 2).alias("grp"), "value")
+    return welch_t_test(ab, "grp", "value")
+
+
+Q_WELCH_T_SQL = """
+WITH g AS (
+  SELECT (user_id % 2 = 0) AS is1, count(*) AS n,
+         sum(CAST(value AS DECIMAL(28,6))) AS s,
+         sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS ss
+  FROM events GROUP BY 1
+), per AS (
+  SELECT is1, n,
+         round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS m,
+         round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(n - 1 AS DOUBLE), 9) AS v
+  FROM g
+), wide AS (
+  SELECT max(CASE WHEN is1 THEN n END) AS n1, max(CASE WHEN NOT is1 THEN n END) AS n2,
+         max(CASE WHEN is1 THEN m END) AS m1, max(CASE WHEN NOT is1 THEN m END) AS m2,
+         max(CASE WHEN is1 THEN v END) AS v1, max(CASE WHEN NOT is1 THEN v END) AS v2
+  FROM per
+), c AS (
+  SELECT n1, n2, m1, m2,
+         v1 / CAST(n1 AS DOUBLE) AS se1, v2 / CAST(n2 AS DOUBLE) AS se2
+  FROM wide
+), st AS (
+  SELECT n1, n2, m1, m2,
+         (m1 - m2) / sqrt(se1 + se2) AS t,
+         (se1 + se2) * (se1 + se2)
+           / (se1 * se1 / CAST(n1 - 1 AS DOUBLE) + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) AS nu
+  FROM c
+), z AS (SELECT *, round(abs(t) / 1.4142135623730951, 9) AS zz FROM st),
+zt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * zz) AS tt FROM z)
+SELECT '0' AS group1, '1' AS group2,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+       round(t, 6) AS t_stat, round(nu, 6) AS welch_df,
+       round(tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+             + tt * (-1.453152027 + tt * 1.061405429)))) * exp(-(zz * zz)), 6) AS p_value
+FROM zt
+"""
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (operators/stats.mann_whitney_u)
+    on event value between 'purchase' and 'error' events — the
+    non-parametric A/B test for skewed metrics where the mean test is
+    tail-dominated. Midranks come from ONE value-keyed aggregation +
+    a prefix window over the distinct-value frame (the roc_auc
+    discipline; 2-dp values make heavy ties, exercising the tie
+    correction); the DOUBLED midrank 2C-t+1 is an exact integer so
+    the rank sum accumulates as an exact long and halves once at the
+    end. p is the tie-corrected normal approximation, no continuity
+    correction (documented), via the shared A&S erfc polynomial."""
+    from azure_data_engineering_spark.operators.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    return mann_whitney_u(ev.select("event_type", "value"), "event_type", "value")
+
+
+Q_MANN_WHITNEY_SQL = """
+WITH e AS (
+  SELECT event_type AS g, value AS val FROM events
+  WHERE event_type IN ('purchase', 'error')
+), per_v AS (
+  SELECT val, sum(CASE WHEN g = 'error' THEN 1 ELSE 0 END) AS c1, count(*) AS ct
+  FROM e GROUP BY 1
+), ranked AS (
+  SELECT c1, ct,
+         2 * sum(ct) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ct + 1 AS m2x
+  FROM per_v
+), agg AS (
+  SELECT sum(c1 * m2x) AS r1x2, sum(c1) AS n1, sum(ct) AS n,
+         sum(ct * ct * ct - ct) AS tie3
+  FROM ranked
+), st AS (
+  SELECT n1, n - n1 AS n2, n,
+         CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+         CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0 AS mu,
+         CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
+           * ((CAST(n AS DOUBLE) + 1.0)
+              - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sig2
+  FROM agg
+), zs AS (
+  SELECT n1, n2, u1, (u1 - mu) / sqrt(sig2) AS z FROM st
+), z AS (SELECT *, round(abs(z) / 1.4142135623730951, 9) AS zz FROM zs),
+zt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * zz) AS tt FROM z)
+SELECT 'error' AS group1, 'purchase' AS group2,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(u1, 1) AS u1,
+       round(u1 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS auc,
+       round(z, 6) AS z_stat,
+       round(tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+             + tt * (-1.453152027 + tt * 1.061405429)))) * exp(-(zz * zz)), 6) AS p_value
+FROM zt
+"""
+
+
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (operators/stats.did_estimate):
+    treated arm = odd user ids, post period = H2 of the event span —
+    what did "treatment" change in event value net of the common time
+    trend? ONE corpus-scale 4-cell groupBy to exact DECIMAL moments,
+    then a 4-row reduce; cell means/variances are 9 dp doubles off
+    exact moments; SE is the unpooled Welch-style cell-variance sum;
+    p two-sided via the shared A&S erfc polynomial. Pre-period means
+    for both arms are emitted (the parallel-trends eyeball)."""
+    from azure_data_engineering_spark.operators.stats import did_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    panel = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("tr"),
+        (F.month("ts") >= 7).cast("int").alias("po"),
+        "value",
+    )
+    return did_estimate(panel, "tr", "po", "value")
+
+
+Q_DID_SQL = """
+WITH cells AS (
+  SELECT CAST(user_id % 2 AS INT) AS tr,
+         CASE WHEN month(ts) >= 7 THEN 1 ELSE 0 END AS po,
+         count(*) AS n,
+         sum(CAST(value AS DECIMAL(28,6))) AS s,
+         sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS ss
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT tr, po, n,
+         round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS m,
+         round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE), 12) AS vn
+  FROM cells
+), wide AS (
+  SELECT sum(n) AS n,
+         max(CASE WHEN tr = 0 AND po = 0 THEN m END) AS m_c_pre,
+         max(CASE WHEN tr = 0 AND po = 1 THEN m END) AS m_c_post,
+         max(CASE WHEN tr = 1 AND po = 0 THEN m END) AS m_t_pre,
+         max(CASE WHEN tr = 1 AND po = 1 THEN m END) AS m_t_post,
+         max(CASE WHEN tr = 0 AND po = 0 THEN vn END)
+           + max(CASE WHEN tr = 0 AND po = 1 THEN vn END)
+           + max(CASE WHEN tr = 1 AND po = 0 THEN vn END)
+           + max(CASE WHEN tr = 1 AND po = 1 THEN vn END) AS vsum
+  FROM per
+), st AS (
+  SELECT n, m_c_pre, m_c_post, m_t_pre, m_t_post,
+         (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did,
+         sqrt(vsum) AS se
+  FROM wide
+), zs AS (SELECT *, did / se AS z FROM st),
+z AS (SELECT *, round(abs(z) / 1.4142135623730951, 9) AS zz FROM zs),
+zt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * zz) AS tt FROM z)
+SELECT CAST(n AS BIGINT) AS n,
+       m_c_pre AS mean_c_pre, m_c_post AS mean_c_post,
+       m_t_pre AS mean_t_pre, m_t_post AS mean_t_post,
+       round(did, 6) AS did, round(se, 6) AS se, round(z, 6) AS z_stat,
+       round(tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+             + tt * (-1.453152027 + tt * 1.061405429)))) * exp(-(zz * zz)), 6) AS p_value
+FROM zt
+"""
+
+
+def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini / uplift-by-decile curve (operators/features.
+    qini_uplift_deciles): per-user frame (treatment = user-id parity,
+    outcome = ever purchased, uplift score = the user's event count),
+    sorted by score descending and cut into population deciles over
+    the distinct-score histogram — gain_chart's no-global-sort
+    discipline, treatment-aware: each cumulative slice reports
+    incremental responders over random (qini) and the treated-minus-
+    control response-rate gap (uplift). Exact integer counts feed
+    every ratio; integer scores tie heavily, exercising the
+    ties-share-a-decile rule."""
+    from azure_data_engineering_spark.operators.features import qini_uplift_deciles
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("score"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("y"),
+    ).select(
+        "score",
+        (F.col("user_id") % 2).cast("int").alias("tr"),
+        "y",
+    )
+    return qini_uplift_deciles(per_user, "score", "tr", "y").orderBy("decile")
+
+
+Q_QINI_UPLIFT_SQL = """
+WITH per_user AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS score,
+         CAST(user_id % 2 AS INT) AS tr,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+), h AS (
+  SELECT score AS s, count(*) AS cnt, sum(tr) AS nt,
+         sum(tr * y) AS rt, sum((1 - tr) * y) AS rc
+  FROM per_user GROUP BY 1
+), tot AS (SELECT sum(cnt) AS n_all FROM h),
+cum AS (
+  SELECT s, cnt, nt, rt, rc,
+         sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         n_all
+  FROM h, tot
+), dec AS (
+  SELECT least(CAST(ceil(CAST(cum_n * 10 AS DOUBLE) / n_all) AS INT), 10) AS decile,
+         cnt, nt, rt, rc
+  FROM cum
+), per AS (
+  SELECT decile, sum(cnt) AS n, sum(nt) AS n_t_d, sum(rt) AS r_t_d, sum(rc) AS r_c_d
+  FROM dec GROUP BY 1
+), cumd AS (
+  SELECT decile, n,
+         sum(n_t_d) OVER w AS cn_t,
+         sum(n) OVER w - sum(n_t_d) OVER w AS cn_c,
+         sum(r_t_d) OVER w AS cr_t,
+         sum(r_c_d) OVER w AS cr_c,
+         n_t_d AS n_t, n - n_t_d AS n_c, r_t_d AS resp_t, r_c_d AS resp_c
+  FROM per
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n,
+       CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+       CAST(resp_t AS BIGINT) AS resp_t, CAST(resp_c AS BIGINT) AS resp_c,
+       round(CASE WHEN cn_t > 0 AND cn_c > 0 THEN
+             CAST(cr_t AS DOUBLE) / CAST(cn_t AS DOUBLE)
+             - CAST(cr_c AS DOUBLE) / CAST(cn_c AS DOUBLE) END, 6) AS uplift,
+       round(CASE WHEN cn_t > 0 AND cn_c > 0 THEN
+             CAST(cr_t AS DOUBLE) - CAST(cr_c AS DOUBLE) * CAST(cn_t AS DOUBLE) / CAST(cn_c AS DOUBLE) END, 6) AS qini
+FROM cumd ORDER BY decile
+"""
+
+
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning rules (Raffel et al. JMLR'20 §2.2;
+    operators/quality.c4_quality_rules) over deterministically
+    synthesized crawl pages: each document's word stream is chunked
+    into 5-word lines (every third line left without terminal
+    punctuation — it must be dropped), and id-keyed poison lines are
+    appended — a "javascript" line (line-level drop), a "Lorem
+    ipsum" line (page-level drop), a curly-brace config line
+    (page-level drop). Every rule is an in-row Column HOF — zero
+    shuffles, the 100 TB cleaning floor as a pure scan; the cleaned
+    page is audited via md5 + length, byte-identical to the DuckDB
+    replay."""
+    from azure_data_engineering_spark.operators.quality import c4_quality_rules
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    nch = F.ceil(F.size(words) / F.lit(5)).cast("int")
+    lines = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(1), nch),
+            lambda i: F.concat(
+                F.array_join(F.slice(words, (i - 1) * 5 + 1, 5), " "),
+                F.when(i % 3 == 0, F.lit("")).otherwise(F.lit(".")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    page = F.array_join(lines, "\n")
+    page = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(page, F.lit("\nPlease enable javascript to continue viewing.")),
+    ).otherwise(page)
+    page = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(page, F.lit("\nLorem ipsum dolor sit amet consectetur.")),
+    ).otherwise(page)
+    page = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(page, F.lit('\nvar cfg = { "mode": 1 };')),
+    ).otherwise(page)
+    synth = d.select("doc_id", page.alias("page"))
+    return c4_quality_rules(synth, "page", "doc_id")
+
+
+Q_C4_RULES_SQL = """
+WITH w AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ws
+  FROM documents
+), pages0 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) > 0 THEN
+           array_to_string(
+             list_transform(generate_series(1, CAST(ceil(len(ws) / 5.0) AS INT)),
+               i -> array_to_string(list_slice(ws, (i-1)*5+1, least((i-1)*5+5, len(ws))), ' ')
+                    || CASE WHEN i % 3 = 0 THEN '' ELSE '.' END),
+             chr(10))
+         ELSE '' END AS page
+  FROM w
+), pages AS MATERIALIZED (
+  SELECT doc_id,
+         page
+         || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Please enable javascript to continue viewing.' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet consectetur.' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'var cfg = { "mode": 1 };' ELSE '' END AS page
+  FROM pages0
+), rules AS (
+  SELECT doc_id,
+         string_split(page, chr(10)) AS lines,
+         list_filter(list_transform(string_split(page, chr(10)), x -> trim(x)),
+           l -> regexp_matches(l, '[.!?"]$')
+                AND len(list_filter(regexp_split_to_array(l, '\\s+'), x -> x != '')) >= 3
+                AND NOT contains(lower(l), 'javascript')) AS kept,
+         contains(lower(page), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(page, '{') AS has_brace
+  FROM pages
+), scored AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         CAST(coalesce(list_sum(list_transform(kept,
+              l -> length(l) - length(regexp_replace(l, '[.!?]', '', 'g')))), 0) AS BIGINT) AS n_sentences,
+         has_lorem_ipsum, has_brace,
+         array_to_string(kept, chr(10)) AS clean
+  FROM rules
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem_ipsum, has_brace,
+       (n_sentences >= 5 AND NOT has_lorem_ipsum AND NOT has_brace AND n_kept_lines > 0) AS keep,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       md5(clean) AS clean_md5
+FROM scored
+"""
+
+
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup profile over part names
+    (operators/linkage.edit_distance_pairs): prefix-6 blocking key,
+    |len diff| ≤ 2 pre-filter as a join residual, JVM built-in
+    `levenshtein` verify — no Python anywhere, the whole verify in
+    whole-stage codegen (the edit-distance twin of the Jaro-Winkler
+    pair verifier, which needs a pandas UDF because that metric has
+    no built-in). The query aggregates the pair frame to a
+    per-distance profile (pair count + distinct left ids) so the
+    result is a 3-row audit, not a corpus-scale pair dump."""
+    from azure_data_engineering_spark.operators.linkage import edit_distance_pairs
+
+    part = _t(spark, sf_dir, "part")
+    pairs = edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2, prefix_len=6)
+    return (
+        pairs.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("id_a").cast("long").alias("n_left_ids"),
+        )
+        .orderBy("dist")
+    )
+
+
+Q_EDIT_DISTANCE_SQL = """
+WITH b AS MATERIALIZED (
+  SELECT p_partkey AS id, p_name AS t, substr(p_name, 1, 6) AS blk, length(p_name) AS ln
+  FROM part
+), pairs AS (
+  SELECT a.id AS id_a, c.id AS id_b, levenshtein(a.t, c.t) AS dist
+  FROM b a JOIN b c USING (blk)
+  WHERE a.id < c.id AND abs(a.ln - c.ln) <= 2
+)
+SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id_a) AS BIGINT) AS n_left_ids
+FROM pairs WHERE dist <= 2 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch distinct SET-OPERATION estimates between
+    event-type audiences (operators/kmv.kmv_set_ops) — the question
+    HLL sketches (q_sketches) cannot answer: how many distinct users
+    do 'view' and 'purchase' SHARE? Per group the k=256 smallest
+    48-bit md5 hashes of the distinct user set survive (one distinct
+    shuffle + a bounded top-k window — the sketch frame is KB-sized
+    at any corpus scale, mergeable by construction); pair estimates
+    combine sketches by keeping the k smallest of the union. The
+    sketch is the repo's deterministic md5 draw, so the DuckDB
+    oracle replays it bit-for-bit — estimates and all, no recall
+    gate needed."""
+    from azure_data_engineering_spark.operators.kmv import kmv_set_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_set_ops(ev, "event_type", "user_id", k=256).orderBy("g_a", "g_b")
+
+
+Q_KMV_SETOPS_SQL = """
+WITH hashed AS MATERIALIZED (
+  SELECT DISTINCT event_type AS g,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+  FROM events
+), sk AS MATERIALIZED (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM hashed
+  ) WHERE rk <= 256
+), est AS (
+  SELECT g, count(*) AS n_retained, max(h) AS h_k,
+         round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+               ELSE 255.0 / (CAST(max(h) AS DOUBLE) / 281474976710656.0) END, 6) AS distinct_est
+  FROM sk GROUP BY 1
+), gs AS (SELECT DISTINCT g FROM sk),
+pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b FROM gs a, gs b WHERE a.g < b.g
+), u AS (
+  SELECT g_a, g_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.g_a, p.g_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.g = p.g_a
+    UNION ALL
+    SELECT p.g_a, p.g_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.g = p.g_b
+  ) GROUP BY 1, 2, 3
+), topk AS (
+  SELECT * FROM (
+    SELECT g_a, g_b, h, in_a, in_b,
+           row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rk
+    FROM u
+  ) WHERE rk <= 256
+), per AS (
+  SELECT g_a, g_b, count(*) AS kc, max(h) AS h_k, sum(in_a * in_b) AS n_both
+  FROM topk GROUP BY 1, 2
+), stats AS (
+  SELECT g_a, g_b, kc, n_both,
+         CASE WHEN kc < 256 THEN CAST(kc AS DOUBLE)
+              ELSE 255.0 / (CAST(h_k AS DOUBLE) / 281474976710656.0) END AS union_est,
+         CAST(n_both AS DOUBLE) / CAST(kc AS DOUBLE) AS jac
+  FROM per
+)
+SELECT s.g_a, s.g_b, ea.distinct_est AS est_a, eb.distinct_est AS est_b,
+       round(s.union_est, 6) AS union_est,
+       round(s.jac, 6) AS jaccard_est,
+       round(s.jac * s.union_est, 6) AS intersect_est
+FROM stats s
+JOIN est ea ON ea.g = s.g_a
+JOIN est eb ON eb.g = s.g_b
+ORDER BY s.g_a, s.g_b
+"""
+
+
+def q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel despiking filter over the daily per-event-type count
+    series (operators/timeseries.hampel_filter): each point vs its
+    CENTERED ±3-row window's median, spike iff deviation >
+    3 × 1.4826 × window MAD, median emitted as the replacement. The
+    window MAD depends on the center row's own window median, so the
+    bounded 7-element window is collected per row and both medians
+    are in-row array HOFs (sorted middles, even counts average
+    exactly) — the robust twin of q_rolling_anomaly, over the same
+    aggregate-frame discipline (windows never touch corpus rows)."""
+    from azure_data_engineering_spark.operators.timeseries import hampel_filter
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("etype"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    return hampel_filter(daily, "etype", "d", "cnt", half_window=3).orderBy(
+        "series", "ord"
+    )
+
+
+Q_HAMPEL_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS series, CAST(ts AS DATE) AS ord, CAST(count(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT series, ord, value,
+         list_sort(list(value) OVER (PARTITION BY series ORDER BY ord
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS w
+  FROM daily
+), med AS (
+  SELECT series, ord, value, w, len(w) AS n,
+         CASE WHEN len(w) % 2 = 1 THEN w[CAST(len(w)/2 AS INT) + 1]
+              ELSE (w[CAST(len(w)/2 AS INT)] + w[CAST(len(w)/2 AS INT) + 1]) / 2.0 END AS median
+  FROM win
+), madc AS (
+  SELECT series, ord, value, n, median,
+         list_sort(list_transform(w, x -> abs(x - median))) AS dv
+  FROM med
+), mad2 AS (
+  SELECT series, ord, value, n, median,
+         CASE WHEN n % 2 = 1 THEN dv[CAST(n/2 AS INT) + 1]
+              ELSE (dv[CAST(n/2 AS INT)] + dv[CAST(n/2 AS INT) + 1]) / 2.0 END AS mad
+  FROM madc
+), scored AS (
+  SELECT series, ord, value, n, median, mad,
+         CASE WHEN n >= 4 AND round(1.4826 * mad, 9) > 0
+              THEN round(abs(value - median) / round(1.4826 * mad, 9), 6) END AS score
+  FROM mad2
+)
+SELECT series, ord, value, CAST(n AS INT) AS window_n,
+       round(median, 6) AS median, round(mad, 6) AS mad, score,
+       coalesce(score > 3.0, false) AS is_spike,
+       round(CASE WHEN coalesce(score > 3.0, false) THEN median ELSE value END, 6) AS replacement
+FROM scored ORDER BY series, ord
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -17398,6 +17911,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_softmax_gd": q_softmax_gd,
         "q_cross_correlation": q_cross_correlation,
         "q_logrank": q_logrank,
+        "q_welch_t": q_welch_t,
+        "q_mann_whitney": q_mann_whitney,
+        "q_did": q_did,
+        "q_qini_uplift": q_qini_uplift,
+        "q_c4_rules": q_c4_rules,
+        "q_edit_distance": q_edit_distance,
+        "q_kmv_setops": q_kmv_setops,
+        "q_hampel": q_hampel,
     }
 
 
@@ -17764,4 +18285,12 @@ def oracle_sql() -> dict[str, str]:
         "q_softmax_gd": Q_SOFTMAX_GD_SQL,
         "q_cross_correlation": Q_CROSS_CORRELATION_SQL,
         "q_logrank": Q_LOGRANK_SQL,
+        "q_welch_t": Q_WELCH_T_SQL,
+        "q_mann_whitney": Q_MANN_WHITNEY_SQL,
+        "q_did": Q_DID_SQL,
+        "q_qini_uplift": Q_QINI_UPLIFT_SQL,
+        "q_c4_rules": Q_C4_RULES_SQL,
+        "q_edit_distance": Q_EDIT_DISTANCE_SQL,
+        "q_kmv_setops": Q_KMV_SETOPS_SQL,
+        "q_hampel": Q_HAMPEL_SQL,
     }

@@ -336,3 +336,99 @@ def quantile_normalize(
     return ranked.join(ref, "rank").select(
         "id", "group", F.col("value").cast("double").alias("value"), "rank", "normalized"
     )
+
+
+def qini_uplift_deciles(
+    scored: DataFrame,
+    score_col: str,
+    treated_col: str,
+    outcome_col: str,
+    deciles: int = 10,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Qini / uplift-by-decile curve (Radcliffe 2007) — the treatment-
+    aware twin of gain_chart: sort by uplift score DESCENDING, cut
+    into population deciles, and for each cumulative slice report the
+    incremental responders the model's targeting captures over
+    random:
+
+        qini(k)   = R_T(k) − R_C(k) · N_T(k)/N_C(k)
+        uplift(k) = R_T(k)/N_T(k) − R_C(k)/N_C(k)
+
+    with R/N the cumulative responders/population per arm. gain_chart
+    answers "does the score find responders"; this answers the uplift
+    modeler's real question — "does it find people who respond
+    BECAUSE they were treated" (a score that targets sure things
+    scores high on gain and ~0 on qini).
+
+    Scale shape: gain_chart's discipline verbatim — the corpus
+    collapses to a distinct-(score)-value histogram carrying per-arm
+    counts and responders, a prefix window over that bounded grid
+    assigns deciles = ceil(deciles·cum_n/N) (ties share a decile, no
+    row-order dependence), per-decile stats re-aggregate from the
+    histogram, exact integer counts feed every ratio. Returns one row
+    per non-empty decile: (decile, n, n_t, n_c, resp_t, resp_c,
+    uplift, qini)."""
+    from pyspark.sql import Window
+
+    h = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(treated_col).cast("long")).alias("nt"),
+        F.sum((F.col(treated_col).cast("int") * F.col(outcome_col).cast("int")).cast("long")).alias("rt"),
+        F.sum(
+            ((1 - F.col(treated_col).cast("int")) * F.col(outcome_col).cast("int")).cast("long")
+        ).alias("rc"),
+    )
+    win = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = h.agg(F.sum("cnt").alias("n_all"))
+    cum = (
+        h.select("s", "cnt", "nt", "rt", "rc", F.sum("cnt").over(win).alias("cum_n"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "decile",
+            F.least(
+                F.ceil((F.col("cum_n") * deciles).cast("double") / F.col("n_all")).cast("int"),
+                F.lit(deciles),
+            ),
+        )
+    )
+    per = cum.groupBy("decile").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("nt").cast("long").alias("n_t_d"),
+        F.sum("rt").cast("long").alias("r_t_d"),
+        F.sum("rc").cast("long").alias("r_c_d"),
+    )
+    win2 = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cumd = per.select(
+        "decile",
+        "n",
+        F.sum("n_t_d").over(win2).cast("long").alias("cn_t"),
+        (F.sum("n").over(win2) - F.sum("n_t_d").over(win2)).cast("long").alias("cn_c"),
+        F.sum("r_t_d").over(win2).cast("long").alias("cr_t"),
+        F.sum("r_c_d").over(win2).cast("long").alias("cr_c"),
+        (F.col("n_t_d")).alias("n_t"),
+        (F.col("n") - F.col("n_t_d")).alias("n_c"),
+        F.col("r_t_d").alias("resp_t"),
+        F.col("r_c_d").alias("resp_c"),
+    )
+    # a cumulative slice with no control (or no treated) users yet has
+    # no defined uplift — NULL, not a divide-by-zero (tiny corpora hit
+    # this when the top score bucket holds a handful of one-arm users)
+    both_arms = (F.col("cn_t") > 0) & (F.col("cn_c") > 0)
+    rate_t = F.col("cr_t").cast("double") / F.col("cn_t").cast("double")
+    rate_c = F.col("cr_c").cast("double") / F.col("cn_c").cast("double")
+    qini = F.col("cr_t").cast("double") - F.col("cr_c").cast("double") * F.col(
+        "cn_t"
+    ).cast("double") / F.col("cn_c").cast("double")
+    return cumd.select(
+        "decile",
+        "n",
+        "n_t",
+        "n_c",
+        "resp_t",
+        "resp_c",
+        F.round(F.when(both_arms, rate_t - rate_c), out_decimals).alias("uplift"),
+        F.round(F.when(both_arms, qini), out_decimals).alias("qini"),
+    )

@@ -1320,3 +1320,242 @@ def logrank_test(
         F.round(chi2, round_digits).alias("chi2"),
         F.round(poly * F.exp(-(z * z)), round_digits).alias("p_value"),
     )
+
+
+def _erfc_two_sided(z_abs):
+    """Two-sided normal p-value erfc(|z|/√2) via the Abramowitz &
+    Stegun 7.1.26 polynomial — the module's standing portable-p
+    discipline (chi_squared, bh_fdr, logrank_test): the argument is
+    rounded to 9 dp BEFORE the polynomial so Spark and the DuckDB
+    oracle evaluate bit-identical inputs, and the polynomial itself is
+    plain double arithmetic both engines share."""
+    z = F.round(z_abs / F.lit(1.4142135623730951), 9)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return poly * F.exp(-(z * z))
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (Welch 1947) — the
+    default A/B mean-metric test (Student's equal-variance form is
+    unsafe when variants differ in spread, which treatment effects
+    routinely cause):
+
+        t  = (x̄1 − x̄2) / √(s1²/n1 + s2²/n2)
+        ν  = (s1²/n1 + s2²/n2)² / ((s1²/n1)²/(n1−1) + (s2²/n2)²/(n2−1))
+
+    p is two-sided via the NORMAL approximation erfc(|t|/√2) — at
+    experimentation scale ν is in the thousands, where t_ν and the
+    normal differ below the 6 dp emitted here; the Welch-Satterthwaite
+    ν is emitted alongside so a consumer with a small sample can see
+    when the approximation is unsafe (ν < 30, say) and look the exact
+    tail up themselves.
+
+    Scale shape: ONE corpus-scale groupBy to per-group exact DECIMAL
+    moments (n, Σx, Σx²) — map-side combinable — then a 2-row reduce;
+    sample variances come from the exact moments so no engine-order
+    drift enters before the final rounded doubles. Exactly two groups
+    required. Returns one row (group1, group2, n1, n2, mean1, mean2,
+    t_stat, welch_df, p_value)."""
+    groups = [r[0] for r in df.select(group_col).distinct().orderBy(group_col).collect()]
+    if len(groups) != 2:
+        raise ValueError(f"welch_t_test needs exactly 2 groups, got {groups}")
+    g1 = groups[0]
+    dec = "decimal(28,6)"
+    g = df.groupBy((F.col(group_col) == g1).alias("is1")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast(dec)).alias("s"),
+        F.sum(F.col(value_col).cast(dec) * F.col(value_col).cast(dec)).alias("ss"),
+    )
+    # sample variance from exact moments: (Σx² − (Σx)²/n) / (n−1),
+    # rounded to 9 dp so both engines carry the identical double onward
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = F.round(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n").cast("double")
+        )
+        / (F.col("n") - 1).cast("double"),
+        9,
+    )
+    per = g.select("is1", "n", F.round(mean, 9).alias("m"), var.alias("v"))
+    wide = per.groupBy().agg(
+        F.max(F.when(F.col("is1"), F.col("n"))).alias("n1"),
+        F.max(F.when(~F.col("is1"), F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("is1"), F.col("m"))).alias("m1"),
+        F.max(F.when(~F.col("is1"), F.col("m"))).alias("m2"),
+        F.max(F.when(F.col("is1"), F.col("v"))).alias("v1"),
+        F.max(F.when(~F.col("is1"), F.col("v"))).alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1").cast("double")
+    se2 = F.col("v2") / F.col("n2").cast("double")
+    se_sum = se1 + se2
+    tstat = (F.col("m1") - F.col("m2")) / F.sqrt(se_sum)
+    nu = (se_sum * se_sum) / (
+        se1 * se1 / (F.col("n1") - 1).cast("double")
+        + se2 * se2 / (F.col("n2") - 1).cast("double")
+    )
+    return wide.select(
+        F.lit(str(g1)).alias("group1"),
+        F.lit(str(groups[1])).alias("group2"),
+        "n1",
+        "n2",
+        F.round(F.col("m1"), round_digits).alias("mean1"),
+        F.round(F.col("m2"), round_digits).alias("mean2"),
+        F.round(tstat, round_digits).alias("t_stat"),
+        F.round(nu, round_digits).alias("welch_df"),
+        F.round(_erfc_two_sided(F.abs(tstat)), round_digits).alias("p_value"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) with the
+    tie-corrected normal approximation — the non-parametric A/B test
+    for skewed metrics (revenue, latency) where Welch's mean test is
+    dominated by the tail:
+
+        U1 = R1 − n1(n1+1)/2            (R1 = midrank sum, group 1)
+        μ  = n1·n2/2
+        σ² = n1·n2/12 · ((n+1) − Σ(t³−t)/(n(n−1)))   (t = tie sizes)
+        z  = (U1 − μ)/σ,   p = erfc(|z|/√2) two-sided
+
+    No continuity correction (scipy's `use_continuity=False` form) —
+    documented so the oracle and any consumer replicate the same
+    convention. The AUC identity U1/(n1·n2) is emitted as `auc` (this
+    is exactly operators/stats.roc_auc's statistic — the test is its
+    hypothesis-test companion).
+
+    Scale shape: midranks via ONE value-keyed aggregation (count per
+    distinct value per group) + prefix-sum windows over that
+    distinct-value frame — the roc_auc discipline; no per-row window,
+    tie sizes fall out of the same frame for free. Exactly two groups.
+    Returns one row (group1, group2, n1, n2, u1, auc, z_stat,
+    p_value)."""
+    groups = [r[0] for r in df.select(group_col).distinct().orderBy(group_col).collect()]
+    if len(groups) != 2:
+        raise ValueError(f"mann_whitney_u needs exactly 2 groups, got {groups}")
+    g1 = groups[0]
+    per_v = df.groupBy(F.col(value_col).alias("val")).agg(
+        F.sum((F.col(group_col) == g1).cast("long")).alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("ct"),
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    # midrank of a tie block ending at cumulative count C with size t is
+    # (C−t+1 + C)/2; DOUBLED it is the exact integer 2C−t+1, so the rank
+    # sum accumulates as an exact long and halves only once at the end —
+    # no decimal division semantics to match cross-engine
+    ranked = per_v.withColumn("cum", F.sum("ct").over(w)).withColumn(
+        "m2x", (2 * F.col("cum") - F.col("ct") + 1).cast("long")
+    )
+    agg = ranked.agg(
+        F.sum(F.col("c1") * F.col("m2x")).cast("long").alias("r1x2"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("ct").cast("long").alias("n"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")).cast("long").alias("tie3"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = (F.col("n") - F.col("n1")).cast("double")
+    n = F.col("n").cast("double")
+    u1 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2.0
+    mu = n1 * n2 / 2.0
+    sig2 = n1 * n2 / 12.0 * ((n + 1.0) - F.col("tie3").cast("double") / (n * (n - 1.0)))
+    z = (u1 - mu) / F.sqrt(sig2)
+    return agg.select(
+        F.lit(str(g1)).alias("group1"),
+        F.lit(str(groups[1])).alias("group2"),
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        F.round(u1, 1).alias("u1"),
+        F.round(u1 / (n1 * n2), round_digits).alias("auc"),
+        F.round(z, round_digits).alias("z_stat"),
+        F.round(_erfc_two_sided(F.abs(z)), round_digits).alias("p_value"),
+    )
+
+
+def did_estimate(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger 1994 design)
+    over a 2×2 (treated × post) panel:
+
+        DiD = (x̄_T,post − x̄_T,pre) − (x̄_C,post − x̄_C,pre)
+        SE  = √(Σ_cells s²_cell / n_cell)      (unpooled, Welch-style)
+        z   = DiD/SE,  p = erfc(|z|/√2) two-sided
+
+    — the workhorse quasi-experimental estimate when randomization
+    isn't available (feature launched to one region: what changed vs
+    the control region, net of the common time trend). The parallel-
+    trends assumption is the caller's to defend; the pre-period means
+    for both arms are emitted so a consumer can eyeball it.
+
+    Scale shape: ONE corpus-scale 4-cell groupBy to exact DECIMAL
+    moments, then a 4-row reduce. Cell means/variances are rounded to
+    9 dp doubles off the exact moments (cross-engine determinism).
+    Both flag columns must be 0/1-coercible. Returns one row
+    (n, mean_c_pre, mean_c_post, mean_t_pre, mean_t_post, did, se,
+    z_stat, p_value)."""
+    dec = "decimal(28,6)"
+    cells = df.groupBy(
+        F.col(treated_col).cast("int").alias("tr"),
+        F.col(post_col).cast("int").alias("po"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast(dec)).alias("s"),
+        F.sum(F.col(value_col).cast(dec) * F.col(value_col).cast(dec)).alias("ss"),
+    )
+    mean = F.round(F.col("s").cast("double") / F.col("n").cast("double"), 9)
+    var_over_n = F.round(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n").cast("double")
+        )
+        / (F.col("n") - 1).cast("double")
+        / F.col("n").cast("double"),
+        12,
+    )
+    per = cells.select("tr", "po", "n", mean.alias("m"), var_over_n.alias("vn"))
+
+    def _cell(tr, po, col):
+        return F.max(F.when((F.col("tr") == tr) & (F.col("po") == po), F.col(col)))
+
+    wide = per.groupBy().agg(
+        F.sum("n").cast("long").alias("n"),
+        _cell(0, 0, "m").alias("m_c_pre"),
+        _cell(0, 1, "m").alias("m_c_post"),
+        _cell(1, 0, "m").alias("m_t_pre"),
+        _cell(1, 1, "m").alias("m_t_post"),
+        (
+            _cell(0, 0, "vn") + _cell(0, 1, "vn") + _cell(1, 0, "vn") + _cell(1, 1, "vn")
+        ).alias("vsum"),
+    )
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (F.col("m_c_post") - F.col("m_c_pre"))
+    se = F.sqrt(F.col("vsum"))
+    z = did / se
+    return wide.select(
+        "n",
+        F.col("m_c_pre").alias("mean_c_pre"),
+        F.col("m_c_post").alias("mean_c_post"),
+        F.col("m_t_pre").alias("mean_t_pre"),
+        F.col("m_t_post").alias("mean_t_post"),
+        F.round(did, round_digits).alias("did"),
+        F.round(se, round_digits).alias("se"),
+        F.round(z, round_digits).alias("z_stat"),
+        F.round(_erfc_two_sided(F.abs(z)), round_digits).alias("p_value"),
+    )
