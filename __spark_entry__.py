@@ -17357,42 +17357,48 @@ FROM scored
 """
 
 
-def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked edit-distance near-dup profile over part names
-    (operators/linkage.edit_distance_pairs): prefix-6 blocking key,
-    |len diff| ≤ 2 pre-filter as a join residual, JVM built-in
-    `levenshtein` verify — no Python anywhere, the whole verify in
-    whole-stage codegen (the edit-distance twin of the Jaro-Winkler
-    pair verifier, which needs a pandas UDF because that metric has
-    no built-in). The query aggregates the pair frame to a
-    per-distance profile (pair count + distinct left ids) so the
-    result is a 3-row audit, not a corpus-scale pair dump."""
+def q_name_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs over the DISTINCT part-name
+    catalog (operators/linkage.edit_distance_pairs): the corpus
+    collapses to its distinct-name frame first (the vocabulary/catalog
+    dedup shape — pair work is then independent of corpus row count),
+    last-token blocking key (this catalog's typos are prefix
+    edits — "cold ring" vs "old ring" — which a prefix block misses
+    by design), |len diff| ≤ 2 pre-filter as a join
+    residual, JVM built-in `levenshtein` verify — no Python anywhere,
+    the whole verify in whole-stage codegen (the edit-distance twin of
+    the Jaro-Winkler pair verifier, which needs a pandas UDF because
+    that metric has no built-in)."""
     from azure_data_engineering_spark.operators.linkage import edit_distance_pairs
 
     part = _t(spark, sf_dir, "part")
-    pairs = edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2, prefix_len=6)
-    return (
-        pairs.groupBy("dist")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.countDistinct("id_a").cast("long").alias("n_left_ids"),
-        )
-        .orderBy("dist")
-    )
+    # dedup runs on the DISTINCT name frame (the catalog/vocabulary
+    # shape): 200k part rows collapse to the bounded distinct-name set
+    # first, so the pair stage is O(names²/blocks) — independent of
+    # corpus row count — and each name carries its smallest partkey as
+    # the stable representative id
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    # catalog typos here are PREFIX edits ("cold ring" vs "old ring"),
+    # so block on the last token instead of the prefix
+    last_word = F.element_at(F.split(F.col("p_name"), " "), -1)
+    return edit_distance_pairs(
+        names, "name_id", "p_name", max_dist=2, block_expr=last_word
+    ).orderBy("id_a", "id_b")
 
 
-Q_EDIT_DISTANCE_SQL = """
-WITH b AS MATERIALIZED (
-  SELECT p_partkey AS id, p_name AS t, substr(p_name, 1, 6) AS blk, length(p_name) AS ln
-  FROM part
+Q_NAME_EDIT_DEDUP_SQL = """
+WITH names AS MATERIALIZED (
+  SELECT p_name AS t, min(p_partkey) AS id FROM part GROUP BY 1
+), b AS (
+  SELECT id, t, string_split(t, ' ')[-1] AS blk, length(t) AS ln FROM names
 ), pairs AS (
-  SELECT a.id AS id_a, c.id AS id_b, levenshtein(a.t, c.t) AS dist
+  SELECT a.id AS id_a, c.id AS id_b, a.t AS text_a, c.t AS text_b,
+         levenshtein(a.t, c.t) AS dist
   FROM b a JOIN b c USING (blk)
   WHERE a.id < c.id AND abs(a.ln - c.ln) <= 2
 )
-SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(count(DISTINCT id_a) AS BIGINT) AS n_left_ids
-FROM pairs WHERE dist <= 2 GROUP BY 1 ORDER BY 1
+SELECT id_a, id_b, text_a, text_b, CAST(dist AS INT) AS dist
+FROM pairs WHERE dist <= 2 ORDER BY id_a, id_b
 """
 
 
@@ -17482,14 +17488,18 @@ def q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.col("event_type").alias("etype"), F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
-    return hampel_filter(daily, "etype", "d", "cnt", half_window=3).orderBy(
+    out = hampel_filter(daily, "etype", "d", "cnt", half_window=3)
+    # date emitted as a string: the cross-engine compare convention for
+    # date-typed keys (pandas reads DuckDB DATE as Timestamp)
+    return out.withColumn("ord", F.date_format("ord", "yyyy-MM-dd")).orderBy(
         "series", "ord"
     )
 
 
 Q_HAMPEL_SQL = """
 WITH daily AS MATERIALIZED (
-  SELECT event_type AS series, CAST(ts AS DATE) AS ord, CAST(count(*) AS DOUBLE) AS value
+  SELECT event_type AS series, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ord,
+         CAST(count(*) AS DOUBLE) AS value
   FROM events GROUP BY 1, 2
 ), win AS (
   SELECT series, ord, value,
@@ -17498,8 +17508,8 @@ WITH daily AS MATERIALIZED (
   FROM daily
 ), med AS (
   SELECT series, ord, value, w, len(w) AS n,
-         CASE WHEN len(w) % 2 = 1 THEN w[CAST(len(w)/2 AS INT) + 1]
-              ELSE (w[CAST(len(w)/2 AS INT)] + w[CAST(len(w)/2 AS INT) + 1]) / 2.0 END AS median
+         CASE WHEN len(w) % 2 = 1 THEN w[(len(w) // 2) + 1]
+              ELSE (w[(len(w) // 2)] + w[(len(w) // 2) + 1]) / 2.0 END AS median
   FROM win
 ), madc AS (
   SELECT series, ord, value, n, median,
@@ -17507,8 +17517,8 @@ WITH daily AS MATERIALIZED (
   FROM med
 ), mad2 AS (
   SELECT series, ord, value, n, median,
-         CASE WHEN n % 2 = 1 THEN dv[CAST(n/2 AS INT) + 1]
-              ELSE (dv[CAST(n/2 AS INT)] + dv[CAST(n/2 AS INT) + 1]) / 2.0 END AS mad
+         CASE WHEN n % 2 = 1 THEN dv[(n // 2) + 1]
+              ELSE (dv[(n // 2)] + dv[(n // 2) + 1]) / 2.0 END AS mad
   FROM madc
 ), scored AS (
   SELECT series, ord, value, n, median, mad,
@@ -17916,7 +17926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_did": q_did,
         "q_qini_uplift": q_qini_uplift,
         "q_c4_rules": q_c4_rules,
-        "q_edit_distance": q_edit_distance,
+        "q_name_edit_dedup": q_name_edit_dedup,
         "q_kmv_setops": q_kmv_setops,
         "q_hampel": q_hampel,
     }
@@ -18290,7 +18300,7 @@ def oracle_sql() -> dict[str, str]:
         "q_did": Q_DID_SQL,
         "q_qini_uplift": Q_QINI_UPLIFT_SQL,
         "q_c4_rules": Q_C4_RULES_SQL,
-        "q_edit_distance": Q_EDIT_DISTANCE_SQL,
+        "q_name_edit_dedup": Q_NAME_EDIT_DEDUP_SQL,
         "q_kmv_setops": Q_KMV_SETOPS_SQL,
         "q_hampel": Q_HAMPEL_SQL,
     }

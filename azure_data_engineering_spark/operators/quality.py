@@ -401,3 +401,81 @@ def gopher_quality_rules(
         .cast("int")
         .alias("keep"),
     )
+
+
+def c4_quality_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_sentences: int = 5,
+    min_words_per_line: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning rule set (Raffel et al. JMLR 2020
+    §2.2 — the filters that produced the Colossal Clean Crawled
+    Corpus, the other canonical published recipe next to the Gopher
+    document-level rules):
+
+    - keep only lines ending in a terminal punctuation mark (. ! ? ")
+    - drop lines with fewer than `min_words_per_line` words
+    - drop lines containing the word "javascript" (case-insensitive)
+    - drop the whole page if it contains "lorem ipsum" (case-insens)
+    - drop the whole page if it contains a curly brace "{"
+    - drop the whole page if fewer than `min_sentences` sentences
+      survive (sentences counted as terminal marks in kept lines)
+
+    Scale shape: gopher_quality_rules' twin — every rule is a pure
+    Column HOF over the in-row line array (split on newline), zero
+    shuffles, codegen-resident; the 100 TB cleaning floor runs as a
+    scan. Every flag is an integer/boolean comparison; the cleaned
+    page (kept lines re-joined) is emitted as md5 + length so the
+    keep decision AND the surviving text are both auditable without
+    shipping the corpus. Returns per doc: (doc_id, n_lines,
+    n_kept_lines, n_sentences, has_lorem_ipsum, has_brace, keep,
+    clean_len, clean_md5)."""
+    lines = F.split(F.col(text_col), "\n")
+    trimmed = F.transform(lines, F.trim)
+    line_words = lambda l: F.size(  # noqa: E731
+        F.filter(F.split(l, r"\s+"), lambda x: x != "")
+    )
+    kept = F.filter(
+        trimmed,
+        lambda l: l.rlike('[.!?"]$')
+        & (line_words(l) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    # sentences = terminal marks across kept lines (C4 counts sentences
+    # to apply its >= 5-sentence page floor)
+    n_sentences = F.aggregate(
+        kept,
+        F.lit(0).cast("long"),
+        lambda acc, l: acc
+        + (F.length(l) - F.length(F.regexp_replace(l, r"[.!?]", ""))).cast("long"),
+    )
+    clean = F.array_join(kept, "\n")
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        clean.alias("__clean"),
+    )
+    return base.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_lorem_ipsum",
+        "has_brace",
+        (
+            (F.col("n_sentences") >= min_sentences)
+            & ~F.col("has_lorem_ipsum")
+            & ~F.col("has_brace")
+            & (F.col("n_kept_lines") > 0)
+        ).alias("keep"),
+        F.length("__clean").cast("long").alias("clean_len"),
+        F.md5("__clean").alias("clean_md5"),
+    )

@@ -811,3 +811,86 @@ def cross_correlation(
         )
     ).alias("kv")
     return sums.select(kv).select(F.col("kv.lag").alias("lag"), F.col("kv.ccf").alias("ccf"))
+
+
+def hampel_filter(
+    per_period: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    half_window: int = 3,
+    n_sigmas: float = 3.0,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Hampel despiking filter (Hampel 1974; Pearson et al. 2016): flag
+    each point whose deviation from its CENTERED rolling median
+    exceeds n_sigmas × 1.4826 × rolling MAD, and emit the median as
+    the replacement value — the robust twin of
+    rolling_zscore_anomalies (mean/std get dragged by the very spike
+    being hunted; median/MAD do not, so Hampel catches isolated
+    telemetry spikes a z-screen under-scores).
+
+    The window MAD is median(|x_j − med_i|) where med_i is THIS
+    window's median — the deviations depend on the center row's own
+    window, so this cannot be two stacked window aggregates: instead
+    the bounded (2·half_window+1)-element window is collected per row
+    and the two medians are computed with in-row array HOFs
+    (sort + middle pick, even counts average the two middles ×
+    exactly — the engine-portable convention). `per_period` must
+    already be one row per (series, period) — the module's standing
+    aggregate-frame discipline, so the collected arrays are bounded
+    by construction (≤ 7 elements at the default), never corpus rows.
+    Rows whose window holds fewer than half_window+1 points, or whose
+    MAD is 0, emit NULL score / FALSE is_spike. Returns (series,
+    order, value, window_n, median, mad, score, is_spike,
+    replacement)."""
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(order_col)
+        .rowsBetween(-half_window, half_window)
+    )
+    v = F.col(value_col).cast("double")
+    arr = F.sort_array(F.collect_list(v).over(w))
+    n = F.size(arr)
+
+    def _median(sorted_arr, cnt):
+        mid = (cnt / 2).cast("int")
+        return F.when(
+            cnt % 2 == 1, F.element_at(sorted_arr, mid + 1)
+        ).otherwise(
+            (F.element_at(sorted_arr, mid) + F.element_at(sorted_arr, mid + 1)) / 2.0
+        )
+
+    base = per_period.select(
+        F.col(series_col).alias("series"),
+        F.col(order_col).alias("ord"),
+        v.alias("value"),
+        arr.alias("__w"),
+        n.alias("window_n"),
+    ).withColumn("median", _median(F.col("__w"), F.col("window_n")))
+    dev = F.sort_array(
+        F.transform(F.col("__w"), lambda x: F.abs(x - F.col("median")))
+    )
+    scored = base.withColumn("mad", _median(dev, F.col("window_n")))
+    # 1.4826 ≈ 1/Φ⁻¹(3/4): scales MAD to a consistent σ estimate
+    sigma = F.round(F.lit(1.4826) * F.col("mad"), 9)
+    score = F.when(
+        (F.col("window_n") >= half_window + 1) & (sigma > 0),
+        F.round(F.abs(F.col("value") - F.col("median")) / sigma, out_decimals),
+    )
+    return scored.select(
+        "series",
+        "ord",
+        "value",
+        "window_n",
+        F.round(F.col("median"), out_decimals).alias("median"),
+        F.round(F.col("mad"), out_decimals).alias("mad"),
+        score.alias("score"),
+        F.coalesce(score > n_sigmas, F.lit(False)).alias("is_spike"),
+        F.round(
+            F.when(
+                F.coalesce(score > n_sigmas, F.lit(False)), F.col("median")
+            ).otherwise(F.col("value")),
+            out_decimals,
+        ).alias("replacement"),
+    )

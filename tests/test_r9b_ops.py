@@ -321,3 +321,17 @@ class TestHampel:
         df = spark.createDataFrame(rows, "k string, t int, v double")
         out = {r.ord: r for r in hampel_filter(df, "k", "t", "v", half_window=3).collect()}
         assert out[0].median == pytest.approx(2.5)
+
+    def test_custom_block_expr_catches_prefix_edits(self, spark):
+        from pyspark.sql import functions as F
+
+        from azure_data_engineering_spark.operators.linkage import edit_distance_pairs
+
+        rows = [(1, "cold ring"), (2, "old ring"), (3, "red ring"), (4, "cold bolt")]
+        df = spark.createDataFrame(rows, "id long, name string")
+        # prefix block misses the cold/old pair entirely
+        assert edit_distance_pairs(df, "id", "name", max_dist=1).count() == 0
+        last = F.element_at(F.split(F.col("name"), " "), -1)
+        out = {(r.id_a, r.id_b): r.dist for r in edit_distance_pairs(
+            df, "id", "name", max_dist=1, block_expr=last).collect()}
+        assert out == {(1, 2): 1}
