@@ -17534,6 +17534,247 @@ FROM scored ORDER BY series, ord
 """
 
 
+
+
+def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger-causality F (operators/timeseries.granger_lag1_f)
+    between the daily 'view' and daily 'purchase' count series: does
+    yesterday's view volume improve today's purchase forecast beyond
+    yesterday's purchases? cross_correlation's integer-centering
+    discipline — every moment an exact DECIMAL(38,0) sum over the
+    lagged AGGREGATE frame, closed-form 2×2 solve on identical
+    doubles; F = t² under one restriction so p is the standing normal
+    approximation erfc(√(F/2)) via the shared A&S polynomial."""
+    from azure_data_engineering_spark.operators.timeseries import granger_lag1_f
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    return granger_lag1_f(daily, "d", "x", "y")
+
+
+Q_GRANGER_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT y AS z, lag(y) OVER (ORDER BY d) AS a, lag(x) OVER (ORDER BY d) AS b
+  FROM daily
+), lf AS (SELECT * FROM lagged WHERE a IS NOT NULL AND b IS NOT NULL),
+m AS (
+  SELECT count(*) AS n,
+         sum(a) AS sa, sum(b) AS sb, sum(z) AS sz,
+         sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab,
+         sum(a * z) AS saz, sum(b * z) AS sbz, sum(z * z) AS szz
+  FROM lf
+), c AS (
+  SELECT n,
+         CAST(n * saa - sa * sa AS DOUBLE) AS caa,
+         CAST(n * sbb - sb * sb AS DOUBLE) AS cbb,
+         CAST(n * sab - sa * sb AS DOUBLE) AS cab,
+         CAST(n * saz - sa * sz AS DOUBLE) AS caz,
+         CAST(n * sbz - sb * sz AS DOUBLE) AS cbz,
+         CAST(n * szz - sz * sz AS DOUBLE) AS czz
+  FROM m
+), st AS (
+  SELECT n, caa, cab, cbb, caz, cbz, czz,
+         caa * cbb - cab * cab AS det
+  FROM c
+), sol AS (
+  SELECT n,
+         (n >= 4 AND det <> 0 AND caa <> 0) AS ok,
+         (caz * cbb - cbz * cab) / det AS b1,
+         (cbz * caa - caz * cab) / det AS b2,
+         czz - ((caz * cbb - cbz * cab) / det) * caz
+             - ((cbz * caa - caz * cab) / det) * cbz AS sse_u,
+         czz - caz * caz / caa AS sse_r
+  FROM st
+), fs AS (
+  SELECT n, ok, b1, b2,
+         (sse_r - sse_u) / (sse_u / (CAST(n AS DOUBLE) - 3.0)) AS f
+  FROM sol
+), z AS (
+  SELECT n, ok, b1, b2, f,
+         round(sqrt(f) / 1.4142135623730951, 9) AS zz
+  FROM fs
+), zt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * zz) AS tt FROM z)
+SELECT CAST(n AS BIGINT) AS n_used,
+       round(CASE WHEN ok THEN b1 END, 6) AS beta_ylag,
+       round(CASE WHEN ok THEN b2 END, 6) AS beta_xlag,
+       round(CASE WHEN ok THEN f END, 6) AS f_stat,
+       round(CASE WHEN ok AND f >= 0 THEN
+             tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+             + tt * (-1.453152027 + tt * 1.061405429)))) * exp(-(zz * zz)) END, 6) AS p_value
+FROM zt
+"""
+
+
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted quantity quantiles (operators/stats.
+    weighted_quantiles): which order quantity marks the revenue
+    median — i.e. half the extended-price mass sits at or below it?
+    The corpus collapses to the distinct-quantity weight histogram
+    (one map-side-combinable shuffle), a prefix window over that
+    bounded frame, and a per-quantile min; quantiles are requested in
+    integer BASIS POINTS so the threshold compare is a product of
+    exact DECIMALs — no float boundary can flip a row across
+    engines."""
+    from azure_data_engineering_spark.operators.stats import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_quantiles(
+        li, "l_quantity", "l_extendedprice", quantiles_bp=(2500, 5000, 7500, 9000, 9900)
+    )
+
+
+Q_WEIGHTED_QUANTILES_SQL = """
+WITH h AS (
+  SELECT l_quantity AS v, sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS w
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT sum(CAST(w AS DECIMAL(38,6))) AS wtot FROM h),
+cum AS (
+  SELECT v, sum(CAST(w AS DECIMAL(38,6))) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+  FROM h
+), qs AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_bp)
+SELECT CAST(q_bp AS INT) AS q_bp, min(v) AS value
+FROM cum, tot, qs
+WHERE cumw * 10000 >= wtot * q_bp
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size pre-flight (operators/stats.ab_sample_size)
+    over a data-driven grid: each event type's observed share of
+    events becomes a baseline rate p0, crossed with three candidate
+    minimum detectable effects — how many users per arm would a test
+    on that rate need? Critical z values come from the IN-PLAN Acklam
+    Φ⁻¹ rational approximation (operators/stats.norm_ppf) evaluated
+    on 9 dp-rounded probabilities, so both engines take identical
+    branches and ceil() lands on the same integer."""
+    from azure_data_engineering_spark.operators.stats import ab_sample_size
+
+    ev = _t(spark, sf_dir, "events")
+    share = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = ev.agg(F.count(F.lit(1)).alias("n_all"))
+    mdes = spark.createDataFrame([(0.005,), (0.01,), (0.02,)], "mde double")
+    grid = (
+        share.join(F.broadcast(tot))
+        .select("event_type", F.round(F.col("c") / F.col("n_all"), 3).alias("p0"))
+        .crossJoin(F.broadcast(mdes))
+    )
+    return ab_sample_size(grid, "p0", "mde", keep_cols=("event_type",)).orderBy(
+        "event_type", "mde"
+    )
+
+
+Q_AB_POWER_SQL = """
+WITH share AS (
+  SELECT event_type, count(*) AS c FROM events GROUP BY 1
+), tot AS (SELECT count(*) AS n_all FROM events),
+grid AS (
+  SELECT event_type, round(CAST(c AS DOUBLE) / n_all, 3) AS p0, mde
+  FROM share, tot, (SELECT unnest([0.005, 0.01, 0.02]) AS mde)
+), zs AS (
+  -- Acklam central branch for q975 = 0.975 and q80 = 0.8 (both inside
+  -- [0.02425, 0.97575]); identical constants to the Spark plan
+  SELECT event_type, p0, CAST(mde AS DOUBLE) AS mde,
+    ((((((-3.969683028665376e+01 * ((0.975 - 0.5) * (0.975 - 0.5)) + 2.209460984245205e+02) * ((0.975 - 0.5) * (0.975 - 0.5)) + -2.759285104469687e+02) * ((0.975 - 0.5) * (0.975 - 0.5)) + 1.383577518672690e+02) * ((0.975 - 0.5) * (0.975 - 0.5)) + -3.066479806614716e+01) * ((0.975 - 0.5) * (0.975 - 0.5)) + 2.506628277459239e+00) * (0.975 - 0.5))
+    / (((((-5.447609879822406e+01 * ((0.975 - 0.5) * (0.975 - 0.5)) + 1.615858368580409e+02) * ((0.975 - 0.5) * (0.975 - 0.5)) + -1.556989798598866e+02) * ((0.975 - 0.5) * (0.975 - 0.5)) + 6.680131188771972e+01) * ((0.975 - 0.5) * (0.975 - 0.5)) + -1.328068155288572e+01) * ((0.975 - 0.5) * (0.975 - 0.5)) + 1.0) AS za,
+    ((((((-3.969683028665376e+01 * ((0.8 - 0.5) * (0.8 - 0.5)) + 2.209460984245205e+02) * ((0.8 - 0.5) * (0.8 - 0.5)) + -2.759285104469687e+02) * ((0.8 - 0.5) * (0.8 - 0.5)) + 1.383577518672690e+02) * ((0.8 - 0.5) * (0.8 - 0.5)) + -3.066479806614716e+01) * ((0.8 - 0.5) * (0.8 - 0.5)) + 2.506628277459239e+00) * (0.8 - 0.5))
+    / (((((-5.447609879822406e+01 * ((0.8 - 0.5) * (0.8 - 0.5)) + 1.615858368580409e+02) * ((0.8 - 0.5) * (0.8 - 0.5)) + -1.556989798598866e+02) * ((0.8 - 0.5) * (0.8 - 0.5)) + 6.680131188771972e+01) * ((0.8 - 0.5) * (0.8 - 0.5)) + -1.328068155288572e+01) * ((0.8 - 0.5) * (0.8 - 0.5)) + 1.0) AS zp
+  FROM grid
+), calc AS (
+  SELECT event_type, p0, mde, za, zp,
+         za * sqrt(2.0 * ((p0 + p0 + mde) / 2.0) * (1.0 - (p0 + p0 + mde) / 2.0))
+           + zp * sqrt(p0 * (1.0 - p0) + (p0 + mde) * (1.0 - (p0 + mde))) AS term
+  FROM zs
+)
+SELECT event_type, round(p0, 6) AS p0, round(mde, 6) AS mde,
+       round(za, 6) AS z_alpha, round(zp, 6) AS z_power,
+       CAST(ceil(round(term * term / (mde * mde), 9)) AS BIGINT) AS n_per_arm
+FROM calc ORDER BY event_type, mde
+"""
+
+
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofencing containment join (operators/spatial.
+    point_in_polygon_join): customers with the standing deterministic
+    pseudo-coordinates are assigned to two literal delivery zones — a
+    rectangle and a CONCAVE L (the case centroid-distance heuristics
+    get wrong) — by division-free ray casting over the broadcast
+    polygon dimension, entirely in Column HOFs over the vertex
+    arrays. The result aggregates to per-zone counts so the gate
+    compares a 2-row audit."""
+    from azure_data_engineering_spark.operators.spatial import point_in_polygon_join
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (30.0 + (F.col("c_custkey") * 7919 % 2000) / 100.0).alias("lat"),
+        (-120.0 + (F.col("c_custkey") * 104729 % 4000) / 100.0).alias("lon"),
+    )
+    polys = spark.createDataFrame(
+        [
+            ("rect", [-110.0, -100.0, -100.0, -110.0], [35.0, 35.0, 45.0, 45.0]),
+            (
+                "lzone",
+                [-95.0, -85.0, -85.0, -90.0, -90.0, -95.0],
+                [30.0, 30.0, 35.0, 35.0, 40.0, 40.0],
+            ),
+        ],
+        "poly_id string, xs array<double>, ys array<double>",
+    )
+    hits = point_in_polygon_join(c, polys)
+    return (
+        hits.groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("poly_id")
+    )
+
+
+Q_POINT_IN_POLYGON_SQL = """
+WITH pts AS (
+  SELECT c_custkey,
+         30.0 + (c_custkey * 7919 % 2000) / 100.0 AS y,
+         -120.0 + (c_custkey * 104729 % 4000) / 100.0 AS x
+  FROM customer
+), polys AS (
+  SELECT 'rect' AS poly_id,
+         [-110.0, -100.0, -100.0, -110.0] AS xs,
+         [35.0, 35.0, 45.0, 45.0] AS ys
+  UNION ALL
+  SELECT 'lzone',
+         [-95.0, -85.0, -85.0, -90.0, -90.0, -95.0],
+         [30.0, 30.0, 35.0, 35.0, 40.0, 40.0]
+), tested AS (
+  SELECT p.c_custkey, g.poly_id,
+         len(list_filter(generate_series(1, len(g.xs)), i ->
+           (g.ys[i] <= p.y AND p.y < g.ys[CASE WHEN i = len(g.xs) THEN 1 ELSE i + 1 END]
+            AND (p.x - g.xs[i]) * (g.ys[CASE WHEN i = len(g.xs) THEN 1 ELSE i + 1 END] - g.ys[i])
+              < (g.xs[CASE WHEN i = len(g.xs) THEN 1 ELSE i + 1 END] - g.xs[i]) * (p.y - g.ys[i]))
+           OR
+           (g.ys[CASE WHEN i = len(g.xs) THEN 1 ELSE i + 1 END] <= p.y AND p.y < g.ys[i]
+            AND (p.x - g.xs[i]) * (g.ys[CASE WHEN i = len(g.xs) THEN 1 ELSE i + 1 END] - g.ys[i])
+              > (g.xs[CASE WHEN i = len(g.xs) THEN 1 ELSE i + 1 END] - g.xs[i]) * (p.y - g.ys[i]))
+         )) AS crossings
+  FROM pts p, polys g
+)
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_points,
+       min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM tested WHERE crossings % 2 = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -17929,6 +18170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_name_edit_dedup": q_name_edit_dedup,
         "q_kmv_setops": q_kmv_setops,
         "q_hampel": q_hampel,
+        "q_granger": q_granger,
+        "q_weighted_quantiles": q_weighted_quantiles,
+        "q_ab_power": q_ab_power,
+        "q_point_in_polygon": q_point_in_polygon,
     }
 
 
@@ -18303,4 +18548,8 @@ def oracle_sql() -> dict[str, str]:
         "q_name_edit_dedup": Q_NAME_EDIT_DEDUP_SQL,
         "q_kmv_setops": Q_KMV_SETOPS_SQL,
         "q_hampel": Q_HAMPEL_SQL,
+        "q_granger": Q_GRANGER_SQL,
+        "q_weighted_quantiles": Q_WEIGHTED_QUANTILES_SQL,
+        "q_ab_power": Q_AB_POWER_SQL,
+        "q_point_in_polygon": Q_POINT_IN_POLYGON_SQL,
     }

@@ -365,3 +365,53 @@ def trajectory_speed_screen(
         F.max("speed").alias("max_speed_kmh"),
         F.sum((F.col("speed") > F.lit(max_speed_kmh)).cast("long")).alias("n_jumps"),
     )
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Point-in-polygon containment join by ray casting (the even-odd
+    rule, W. R. Franklin's PNPOLY): a point is inside iff a ray to +∞
+    crosses the polygon boundary an odd number of times — the
+    geofencing primitive (assign events to delivery zones, city
+    polygons, sales territories).
+
+    `polygons` is the DIMENSION side: (poly_id, xs array<double>,
+    ys array<double>) — vertex rings, closed implicitly. It is
+    broadcast and cross-joined (every point tests every polygon —
+    with P polygons the per-row cost is O(P·vertices), the correct
+    plan when P is dim-sized; for thousands of polygons compose with
+    the module's grid bucketing first). The crossing test is the
+    DIVISION-FREE form — up-cross: y_i ≤ y < y_j and
+    (x−x_i)(y_j−y_i) < (x_j−x_i)(y−y_i); down-cross mirrored — so no
+    edge can divide by zero and both engines compare identical
+    products. Runs entirely in Column HOFs over the vertex arrays.
+    Returns points columns + poly_id for each containing polygon
+    (points in no polygon are absent; points in several appear once
+    per polygon)."""
+    x, y = F.col("__px"), F.col("__py")
+    n = F.size(F.col("xs"))
+    idx = F.sequence(F.lit(1), n)
+
+    def edge_crosses(i):
+        xi, yi = F.element_at(F.col("xs"), i), F.element_at(F.col("ys"), i)
+        j = F.when(i == n, F.lit(1)).otherwise(i + 1)
+        xj, yj = F.element_at(F.col("xs"), j), F.element_at(F.col("ys"), j)
+        lhs = (x - xi) * (yj - yi)
+        rhs = (xj - xi) * (y - yi)
+        up = (yi <= y) & (y < yj) & (lhs < rhs)
+        down = (yj <= y) & (y < yi) & (lhs > rhs)
+        return up | down
+
+    crossings = F.size(F.filter(idx, edge_crosses))
+    p = points.withColumn("__px", F.col(x_col).cast("double")).withColumn(
+        "__py", F.col(y_col).cast("double")
+    )
+    joined = p.crossJoin(F.broadcast(polygons))
+    return (
+        joined.filter(crossings % 2 == 1)
+        .drop("xs", "ys", "__px", "__py")
+    )

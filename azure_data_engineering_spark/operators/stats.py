@@ -1559,3 +1559,135 @@ def did_estimate(
         F.round(z, round_digits).alias("z_stat"),
         F.round(_erfc_two_sided(F.abs(z)), round_digits).alias("p_value"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    quantiles_bp: Sequence[int] = (2500, 5000, 7500, 9000, 9900),
+    scale: int = 6,
+) -> DataFrame:
+    """Weighted quantiles (lower / left-continuous convention): the
+    q-quantile is the smallest value whose cumulative weight reaches
+    q·W — the survey-statistics primitive (unweighted percentiles lie
+    when rows carry importance weights: corpus mixing weights, survey
+    design weights, traffic multipliers).
+
+    Quantiles are requested in BASIS POINTS (integers) so the
+    threshold compare `10000·cumw ≥ q_bp·W` is a product of exact
+    DECIMALs — no float boundary can flip a row in/out of a quantile
+    across engines. Scale shape: corpus collapses to the
+    distinct-value weight histogram (one shuffle, map-side
+    combinable), a prefix-sum window over that bounded frame, then a
+    per-quantile min — never a global sort of corpus rows. Returns
+    one row per requested quantile: (q_bp, value)."""
+    dec = f"decimal(28,{scale})"
+    h = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.col(weight_col).cast(dec)).alias("w")
+    )
+    tot = h.agg(F.sum(F.col("w").cast(f"decimal(38,{scale})")).alias("wtot"))
+    win = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.withColumn(
+        "cumw", F.sum(F.col("w").cast(f"decimal(38,{scale})")).over(win)
+    ).join(F.broadcast(tot))
+    qs = F.explode(F.array(*[F.lit(int(q)) for q in quantiles_bp])).alias("q_bp")
+    hits = cum.select("v", "cumw", "wtot").select("v", "cumw", "wtot", qs)
+    return (
+        hits.filter(
+            F.col("cumw") * F.lit(10000).cast("decimal(5,0)")
+            >= F.col("wtot") * F.col("q_bp").cast("decimal(5,0)")
+        )
+        .groupBy("q_bp")
+        .agg(F.min("v").alias("value"))
+        .orderBy("q_bp")
+    )
+
+
+# Acklam's rational approximation to the standard normal inverse CDF
+# (Peter Acklam 2003, |rel err| < 1.15e-9 — the published portable
+# algorithm; pure double arithmetic both engines evaluate identically).
+_ACKLAM_A = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+             1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+_ACKLAM_B = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+             6.680131188771972e+01, -1.328068155288572e+01)
+_ACKLAM_C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+             -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+_ACKLAM_D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+             3.754408661907416e+00)
+_ACKLAM_PLOW = 0.02425
+
+
+def norm_ppf(p):
+    """Standard-normal inverse CDF Φ⁻¹(p) as a Column expression
+    (Acklam's rational approximation) — the portable quantile-z
+    primitive: the erfc polynomial gives both engines identical
+    p-values; this gives them identical CRITICAL VALUES (power
+    analysis, sample sizing, z-thresholds from data-driven alphas).
+    Branches split at p = 0.02425 on the (rounded) input, so branch
+    selection is identical cross-engine."""
+    a, b, c, d = _ACKLAM_A, _ACKLAM_B, _ACKLAM_C, _ACKLAM_D
+    pl = F.lit(_ACKLAM_PLOW)
+
+    def _tail(q):
+        # q = sqrt(-2 ln p_tail); Horner in q
+        num = ((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]
+        den = (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0
+        return num / den
+
+    def _central(p_):
+        q = p_ - 0.5
+        r = q * q
+        num = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q
+        den = ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1.0
+        return num / den
+
+    return (
+        # the tail rational form is negative-valued as published: the
+        # lower tail takes it directly, the upper tail negates it
+        F.when(p < pl, _tail(F.sqrt(-2.0 * F.log(p))))
+        .when(p > 1.0 - pl, -_tail(F.sqrt(-2.0 * F.log(1.0 - p))))
+        .otherwise(_central(p))
+    )
+
+
+def ab_sample_size(
+    grid: DataFrame,
+    baseline_col: str,
+    mde_col: str,
+    alpha: float = 0.05,
+    power: float = 0.8,
+    round_digits: int = 6,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Two-proportion A/B sample-size calculator — the pre-flight
+    every experimentation platform ships: per (baseline rate p0,
+    minimum detectable effect δ) row,
+
+        n/arm = ceil( (z_{1−α/2}·√(2p̄q̄) + z_{power}·√(p0·q0+p1·q1))²
+                      / δ² )          (p1 = p0+δ, p̄ = (p0+p1)/2)
+
+    — the standard unpooled-alternative form (Fleiss). z critical
+    values come from the in-plan Acklam Φ⁻¹ (norm_ppf), evaluated on
+    9 dp-rounded probabilities so both engines take identical
+    branches and produce identical doubles; the ceil then lands on
+    the same integer. Runs as a pure scan over the (tiny) grid frame.
+    Returns (p0, mde, z_alpha, z_power, n_per_arm)."""
+    p0 = F.col(baseline_col).cast("double")
+    mde = F.col(mde_col).cast("double")
+    p1 = p0 + mde
+    za = norm_ppf(F.round(F.lit(1.0 - alpha / 2.0), 9))
+    zp = norm_ppf(F.round(F.lit(power), 9))
+    pbar = (p0 + p1) / 2.0
+    term = za * F.sqrt(2.0 * pbar * (1.0 - pbar)) + zp * F.sqrt(
+        p0 * (1.0 - p0) + p1 * (1.0 - p1)
+    )
+    n = F.ceil(F.round(term * term / (mde * mde), 9)).cast("long")
+    return grid.select(
+        *[F.col(c) for c in keep_cols],
+        F.round(p0, round_digits).alias("p0"),
+        F.round(mde, round_digits).alias("mde"),
+        F.round(za, round_digits).alias("z_alpha"),
+        F.round(zp, round_digits).alias("z_power"),
+        n.alias("n_per_arm"),
+    )

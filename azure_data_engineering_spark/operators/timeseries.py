@@ -894,3 +894,93 @@ def hampel_filter(
             out_decimals,
         ).alias("replacement"),
     )
+
+
+def granger_lag1_f(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lag-1 Granger-causality F test (Granger 1969): does knowing
+    yesterday's x improve today's y forecast beyond yesterday's y?
+    Regress y_t on (1, y_{t−1}, x_{t−1}) and compare against the
+    restricted fit on (1, y_{t−1}):
+
+        F = (SSE_r − SSE_u) / (SSE_u / (n−3))
+
+    — the hypothesis-test companion to cross_correlation: ccf(k) says
+    x LEADS y, Granger says whether that lead adds predictive
+    information. One restriction ⇒ F = t², so the large-sample
+    p-value is the module's standing normal approximation
+    erfc(√(F/2)) (documented; per-period frames here have n in the
+    hundreds+ where t and normal agree beyond the 6 dp emitted).
+
+    Exactness: cross_correlation's integer-centering trick — integer-
+    valued series, every moment (Σa, Σab, …) an exact DECIMAL(38,0)
+    sum over the lagged frame, centered second moments n·Σab − Σa·Σb
+    exact decimals, so the closed-form 2×2 solve runs on identical
+    doubles in both engines. Scale discipline: `series` is the
+    per-period AGGREGATE frame; the lag window runs over its length
+    only. Returns one row (n_used, beta_ylag, beta_xlag, f_stat,
+    p_value); degenerate frames (constant regressors, n<4) emit
+    NULLs."""
+    s = series.select(
+        F.col(t_col).alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    w = Window.orderBy("t")
+    lagged = (
+        s.select(
+            F.col("y").alias("z"),
+            F.lag("y", 1).over(w).alias("a"),
+            F.lag("x", 1).over(w).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    dec = "decimal(38,0)"
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast(dec).alias("sa"),
+        F.sum("b").cast(dec).alias("sb"),
+        F.sum("z").cast(dec).alias("sz"),
+        F.sum((F.col("a") * F.col("a")).cast(dec)).alias("saa"),
+        F.sum((F.col("b") * F.col("b")).cast(dec)).alias("sbb"),
+        F.sum((F.col("a") * F.col("b")).cast(dec)).alias("sab"),
+        F.sum((F.col("a") * F.col("z")).cast(dec)).alias("saz"),
+        F.sum((F.col("b") * F.col("z")).cast(dec)).alias("sbz"),
+        F.sum((F.col("z") * F.col("z")).cast(dec)).alias("szz"),
+    )
+    n = F.col("n").cast("double")
+
+    def _c(sxy, sx, sy):
+        # n·Σxy − Σx·Σy : exact decimal, then one cast to double
+        return (
+            F.col("n").cast(dec) * F.col(sxy) - F.col(sx) * F.col(sy)
+        ).cast("double")
+
+    caa, cbb, cab = _c("saa", "sa", "sa"), _c("sbb", "sb", "sb"), _c("sab", "sa", "sb")
+    caz, cbz, czz = _c("saz", "sa", "sz"), _c("sbz", "sb", "sz"), _c("szz", "sz", "sz")
+    det = caa * cbb - cab * cab
+    ok = (F.col("n") >= 4) & (det != 0) & (caa != 0)
+    b1 = (caz * cbb - cbz * cab) / det
+    b2 = (cbz * caa - caz * cab) / det
+    # centered sums above carry an n² scale factor; it cancels in every
+    # ratio below (both SSEs share it)
+    sse_u = czz - b1 * caz - b2 * cbz
+    sse_r = czz - caz * caz / caa
+    fstat = (sse_r - sse_u) / (sse_u / (n - 3.0))
+    from .stats import _erfc_two_sided
+
+    return m.select(
+        F.col("n").alias("n_used"),
+        F.round(F.when(ok, b1), round_digits).alias("beta_ylag"),
+        F.round(F.when(ok, b2), round_digits).alias("beta_xlag"),
+        F.round(F.when(ok, fstat), round_digits).alias("f_stat"),
+        F.round(
+            F.when(ok & (fstat >= 0), _erfc_two_sided(F.sqrt(fstat))),
+            round_digits,
+        ).alias("p_value"),
+    )

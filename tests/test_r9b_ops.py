@@ -335,3 +335,150 @@ class TestHampel:
         out = {(r.id_a, r.id_b): r.dist for r in edit_distance_pairs(
             df, "id", "name", max_dist=1, block_expr=last).collect()}
         assert out == {(1, 2): 1}
+
+
+class TestGranger:
+    def test_x_leads_y_detected(self, spark):
+        from azure_data_engineering_spark.operators.timeseries import granger_lag1_f
+
+        # y_t = x_{t-1} + small drift: x strongly Granger-causes y
+        xs = [(i * 13) % 29 for i in range(60)]
+        rows = []
+        y_prev = 0
+        for t, xv in enumerate(xs):
+            y = (xs[t - 1] if t > 0 else 0) * 3 + (t % 2)
+            rows.append((t, xv, y))
+        df = spark.createDataFrame(rows, "t int, x long, y long")
+        r = granger_lag1_f(df, "t", "x", "y").collect()[0]
+        assert r.n_used == 59
+        assert r.beta_xlag == pytest.approx(3.0, abs=0.05)
+        assert r.f_stat > 100
+        assert r.p_value < 1e-6
+
+    def test_independent_series_not_significant(self, spark):
+        from azure_data_engineering_spark.operators.timeseries import granger_lag1_f
+
+        rows = [(t, (t * 7) % 11, (t * 5) % 13) for t in range(80)]
+        df = spark.createDataFrame(rows, "t int, x long, y long")
+        r = granger_lag1_f(df, "t", "x", "y").collect()[0]
+        assert r.p_value is None or r.p_value > 0.01
+
+    def test_matches_numpy_ols(self, spark):
+        import numpy as np
+
+        from azure_data_engineering_spark.operators.timeseries import granger_lag1_f
+
+        rows = [(t, (t * 17) % 23, ((t * t) % 19) + (t * 3) % 7) for t in range(50)]
+        df = spark.createDataFrame(rows, "t int, x long, y long")
+        r = granger_lag1_f(df, "t", "x", "y").collect()[0]
+        xs = np.array([v[1] for v in rows], float)
+        ys = np.array([v[2] for v in rows], float)
+        a, b, z = ys[:-1], xs[:-1], ys[1:]
+        X = np.column_stack([np.ones_like(a), a, b])
+        beta, *_ = np.linalg.lstsq(X, z, rcond=None)
+        sse_u = float(((z - X @ beta) ** 2).sum())
+        Xr = np.column_stack([np.ones_like(a), a])
+        br, *_ = np.linalg.lstsq(Xr, z, rcond=None)
+        sse_r = float(((z - Xr @ br) ** 2).sum())
+        f_ref = (sse_r - sse_u) / (sse_u / (len(z) - 3))
+        assert r.beta_xlag == pytest.approx(beta[2], abs=1e-4)
+        assert r.f_stat == pytest.approx(f_ref, rel=1e-4)
+
+
+class TestWeightedQuantiles:
+    def test_hand_computed(self, spark):
+        from azure_data_engineering_spark.operators.stats import weighted_quantiles
+
+        # values 1..4 with weights 1,1,1,7 -> W=10
+        rows = [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0)]
+        df = spark.createDataFrame(rows, "v double, w double")
+        out = {r.q_bp: r.value for r in
+               weighted_quantiles(df, "v", "w", quantiles_bp=(1000, 3000, 5000, 9900)).collect()}
+        assert out[1000] == 1.0   # cumw 1 >= 1.0
+        assert out[3000] == 3.0   # cumw at 2 is 2 < 3; at 3 is 3 >= 3
+        assert out[5000] == 4.0
+        assert out[9900] == 4.0
+
+    def test_unit_weights_match_exact_percentile(self, spark):
+        from azure_data_engineering_spark.operators.stats import weighted_quantiles
+
+        vals = [float((i * 7) % 100) for i in range(200)]
+        df = spark.createDataFrame([(v, 1.0) for v in vals], "v double, w double")
+        out = {r.q_bp: r.value for r in
+               weighted_quantiles(df, "v", "w", quantiles_bp=(5000,)).collect()}
+        sv = sorted(vals)
+        # lower quantile: smallest v with cum count >= 100
+        assert out[5000] == sv[99]
+
+
+class TestNormPpf:
+    def test_matches_stdlib(self, spark):
+        from statistics import NormalDist
+
+        from pyspark.sql import functions as F
+
+        from azure_data_engineering_spark.operators.stats import norm_ppf
+
+        ps = [0.01, 0.025, 0.2, 0.5, 0.8, 0.975, 0.995]
+        df = spark.createDataFrame([(p,) for p in ps], "p double")
+        got = {r.p: r.z for r in df.select("p", norm_ppf(F.col("p")).alias("z")).collect()}
+        for p in ps:
+            assert got[p] == pytest.approx(NormalDist().inv_cdf(p), abs=2e-8)
+
+
+class TestAbSampleSize:
+    def test_textbook_case(self, spark):
+        from azure_data_engineering_spark.operators.stats import ab_sample_size
+
+        # p0=0.10, mde=0.02, alpha=0.05, power=0.8 -> ~3841 per arm (Fleiss unpooled)
+        df = spark.createDataFrame([(0.10, 0.02)], "p0 double, mde double")
+        r = ab_sample_size(df, "p0", "mde").collect()[0]
+        assert r.z_alpha == pytest.approx(1.959964, abs=1e-5)
+        assert r.z_power == pytest.approx(0.841621, abs=1e-5)
+        assert 3700 <= r.n_per_arm <= 4000
+
+    def test_smaller_mde_needs_more(self, spark):
+        from azure_data_engineering_spark.operators.stats import ab_sample_size
+
+        df = spark.createDataFrame([(0.2, 0.01), (0.2, 0.05)], "p0 double, mde double")
+        out = {r.mde: r.n_per_arm for r in ab_sample_size(df, "p0", "mde").collect()}
+        assert out[0.01] > 20 * out[0.05] / 2
+
+
+class TestPointInPolygon:
+    def test_square_and_concave(self, spark):
+        from azure_data_engineering_spark.operators.spatial import point_in_polygon_join
+
+        polys = spark.createDataFrame(
+            [
+                ("sq", [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0]),
+                # concave "L": contains (1,1), NOT (3,3)
+                ("L", [0.0, 4.0, 4.0, 2.0, 2.0, 0.0], [0.0, 0.0, 2.0, 2.0, 4.0, 4.0]),
+            ],
+            "poly_id string, xs array<double>, ys array<double>",
+        )
+        pts = spark.createDataFrame(
+            [(1, 1.0, 1.0), (2, 3.0, 3.0), (3, 5.0, 5.0), (4, 3.0, 1.0)],
+            "pid long, lon double, lat double",
+        )
+        out = {(r.pid, r.poly_id) for r in
+               point_in_polygon_join(pts, polys).collect()}
+        assert (1, "sq") in out and (1, "L") in out
+        assert (2, "sq") in out and (2, "L") not in out
+        assert not any(pid == 3 for pid, _ in out)
+        assert (4, "sq") in out and (4, "L") in out
+
+    def test_boundary_convention_deterministic(self, spark):
+        from azure_data_engineering_spark.operators.spatial import point_in_polygon_join
+
+        polys = spark.createDataFrame(
+            [("sq", [0.0, 2.0, 2.0, 0.0], [0.0, 0.0, 2.0, 2.0])],
+            "poly_id string, xs array<double>, ys array<double>",
+        )
+        # bottom edge (y=0): y_i <= y < y_j convention includes it;
+        # top edge (y=2) excluded
+        pts = spark.createDataFrame(
+            [(1, 1.0, 0.0), (2, 1.0, 2.0)], "pid long, lon double, lat double"
+        )
+        got = {r.pid for r in point_in_polygon_join(pts, polys).collect()}
+        assert got == {1}
