@@ -17775,6 +17775,282 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014;
+    operators/funnel.markov_attribution) over user event journeys:
+    touches are the non-purchase events strictly before each user's
+    first purchase, and every channel is credited by how much total
+    conversion probability disappears when its inbound edges are
+    redirected to the NULL absorber. ONE per-user window builds the
+    transition counts; 30 fixed power-iteration rounds run in-plan
+    over the (chain, state) frame with 12 dp rounding each round (the
+    trajectory-pinning trick) and localCheckpoint every 8; the oracle
+    unrolls the identical 30 rounds. No collect anywhere."""
+    from azure_data_engineering_spark.operators.funnel import markov_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_attribution(
+        ev, "user_id", "ts", "event_type", "purchase",
+        rounds=30, order_tiebreak="event_id",
+    )
+
+
+def _markov_attribution_oracle_sql(rounds: int = 30) -> str:
+    head = """
+WITH ev AS MATERIALIZED (
+  SELECT user_id AS k, ts, event_id AS eid, event_type AS st,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id) AS conv_ts
+  FROM events
+), touches AS MATERIALIZED (
+  SELECT * FROM ev
+  WHERE st <> 'purchase' AND (conv_ts IS NULL OR ts < conv_ts)
+), seq AS MATERIALIZED (
+  SELECT k, st, conv_ts,
+         row_number() OVER (PARTITION BY k ORDER BY ts, eid) AS rn,
+         lead(st) OVER (PARTITION BY k ORDER BY ts, eid) AS nxt
+  FROM touches
+), mid AS (
+  SELECT st AS from_state,
+         coalesce(nxt, CASE WHEN conv_ts IS NOT NULL THEN '__conv' ELSE '__null' END) AS to_state
+  FROM seq
+), firsts AS (
+  SELECT '__start' AS from_state, st AS to_state FROM seq WHERE rn = 1
+), per_key AS (
+  SELECT k,
+         max(CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END) AS cv,
+         max(CASE WHEN st <> 'purchase' AND (conv_ts IS NULL OR ts < conv_ts)
+             THEN 1 ELSE 0 END) AS has_touch
+  FROM ev GROUP BY 1
+), direct AS (
+  SELECT '__start' AS from_state, '__conv' AS to_state
+  FROM per_key WHERE cv = 1 AND has_touch = 0
+), pairs AS MATERIALIZED (
+  SELECT from_state, to_state, count(*) AS n FROM (
+    SELECT * FROM mid UNION ALL SELECT * FROM firsts UNION ALL SELECT * FROM direct
+  ) GROUP BY 1, 2
+), totals AS (
+  SELECT from_state, sum(n) AS fn FROM pairs GROUP BY 1
+), pmat AS MATERIALIZED (
+  SELECT p.from_state, p.to_state, round(CAST(p.n AS DOUBLE) / t.fn, 12) AS p
+  FROM pairs p JOIN totals t USING (from_state)
+), channels AS MATERIALIZED (
+  SELECT DISTINCT from_state AS ch FROM pairs
+  WHERE from_state NOT IN ('__start', '__conv', '__null')
+), chains AS MATERIALIZED (
+  SELECT ch AS chain FROM channels UNION ALL SELECT '__base'
+), pc AS MATERIALIZED (
+  SELECT chain, from_state, to_state, round(sum(p), 12) AS p FROM (
+    SELECT c.chain, m.from_state,
+           CASE WHEN c.chain <> '__base' AND m.to_state = c.chain
+                THEN '__null' ELSE m.to_state END AS to_state,
+           m.p
+    FROM chains c, pmat m
+  ) GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT c.chain, a.s, a.s, 1.0
+  FROM chains c, (SELECT '__conv' AS s UNION ALL SELECT '__null') a
+), v0 AS (
+  SELECT chain, '__start' AS state, 1.0 AS mass FROM chains
+)"""
+    rounds_sql = []
+    prev = "v0"
+    for i in range(1, rounds + 1):
+        rounds_sql.append(
+            f", v{i} AS {'MATERIALIZED ' if i % 8 == 0 else ''}(\n"
+            f"  SELECT p.chain, p.to_state AS state,\n"
+            f"         round(sum(v.mass * p.p), 12) AS mass\n"
+            f"  FROM {prev} v JOIN pc p\n"
+            f"    ON v.chain = p.chain AND v.state = p.from_state\n"
+            f"  GROUP BY 1, 2\n)"
+        )
+        prev = f"v{i}"
+    tail = f"""
+, conv_p AS (
+  SELECT c.chain, coalesce(v.mass, 0.0) AS cp
+  FROM chains c LEFT JOIN (SELECT chain, mass FROM {prev} WHERE state = '__conv') v
+    ON v.chain = c.chain
+), base AS (SELECT cp AS base_cp FROM conv_p WHERE chain = '__base'),
+rem AS (
+  SELECT c.chain AS channel, b.base_cp, c.cp,
+         round(greatest(0.0, 1.0 - c.cp / b.base_cp), 9) AS re
+  FROM conv_p c, base b WHERE c.chain <> '__base'
+), tot AS (SELECT round(sum(re), 9) AS re_sum FROM rem)
+SELECT channel, round(base_cp, 6) AS base_conv_p, round(cp, 6) AS conv_p_removed,
+       round(re, 6) AS removal_effect,
+       round(CASE WHEN re_sum > 0 THEN re / re_sum END, 6) AS attribution_share
+FROM rem, tot ORDER BY channel
+"""
+    return head + "".join(rounds_sql) + tail
+
+
+Q_MARKOV_ATTRIBUTION_SQL = _markov_attribution_oracle_sql()
+
+
+def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (operators/mlplan.
+    brier_decomposition) for q_calibration_bins' deterministic
+    discount+tax linear score against the observed return flag:
+    reliability (calibration cost), resolution (discrimination) and
+    uncertainty from ONE corpus groupBy to per-bin exact DECIMAL
+    moments + a bins-row reduce; per-bin summands rounded to 9 dp
+    DECIMALs before the k-row sum. The binned identity
+    BS = REL − RES + UNC is checked by construction; the raw Brier
+    rides along from the same moments."""
+    from azure_data_engineering_spark.operators.mlplan import brier_decomposition
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_discount") * 5.0 + F.col("l_tax") * 5.0).alias("p"),
+        (F.col("l_returnflag") == "R").cast("double").alias("t"),
+    )
+    return brier_decomposition(d, "p", "t", bins=10)
+
+
+Q_BRIER_SQL = """
+WITH d AS (
+  SELECT l_discount * 5.0 + l_tax * 5.0 AS f,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+), per AS (
+  SELECT least(CAST(floor(f * 10) AS INT), 9) AS b,
+         count(*) AS nk,
+         sum(CAST(round(f, 9) AS DECIMAL(28,9))) AS sf,
+         sum(CAST(y AS DECIMAL(28,9))) AS sy,
+         sum(CAST(round(f * f, 9) AS DECIMAL(28,9))) AS sff,
+         sum(CAST(round(f * y, 9) AS DECIMAL(28,9))) AS sfy
+  FROM d GROUP BY 1
+), st AS (
+  SELECT nk, sy, sff, sfy,
+         round(CAST(sf AS DOUBLE) / nk, 9) AS fbar,
+         round(CAST(sy AS DOUBLE) / nk, 9) AS ok
+  FROM per
+), tot AS (
+  SELECT sum(nk) AS n,
+         sum(CAST(sy AS DECIMAL(38,9))) AS sy_all,
+         sum(CAST(round(nk * (fbar - ok) * (fbar - ok), 9) AS DECIMAL(38,9))) AS rel_num,
+         sum(CAST(sff AS DECIMAL(38,9))) AS sff_all,
+         sum(CAST(sfy AS DECIMAL(38,9))) AS sfy_all,
+         sum(CAST(round(CAST(nk AS DOUBLE) * ok * ok, 9) AS DECIMAL(38,9))) AS sok2
+  FROM st
+), calc AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(sy_all AS DOUBLE) / n AS obar,
+         CAST(rel_num AS DOUBLE) / n AS rel,
+         CAST(sok2 AS DOUBLE) / n - (CAST(sy_all AS DOUBLE) / n) * (CAST(sy_all AS DOUBLE) / n) AS res,
+         (CAST(sff_all AS DOUBLE) - 2.0 * CAST(sfy_all AS DOUBLE) + CAST(sy_all AS DOUBLE)) / n AS raw
+  FROM tot
+)
+SELECT n, 10 AS bins,
+       round(obar, 6) AS base_rate,
+       round(rel, 6) AS reliability,
+       round(res, 6) AS resolution,
+       round(obar * (1.0 - obar), 6) AS uncertainty,
+       round(rel - res + obar * (1.0 - obar), 6) AS bs_binned,
+       round(raw, 6) AS raw_brier
+FROM calc
+"""
+
+
+def q_ucb1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit allocation snapshot (operators/mlplan.
+    ucb1_allocation): event types as arms, high-value events
+    (value ≥ 100) as the reward signal — which arm would an adaptive
+    scheduler pull next? Per-arm exact DECIMAL moments + a bins-row
+    reduce; the exploration bonus √(2 ln N / n) runs on identical
+    doubles, and the chosen-arm argmax tiebreaks (rounded ucb DESC,
+    arm ASC) so both engines pick the same arm."""
+    from azure_data_engineering_spark.operators.mlplan import ucb1_allocation
+
+    ev = _t(spark, sf_dir, "events")
+    rewards = ev.select(
+        "event_type", (F.col("value") >= 100).cast("double").alias("r")
+    )
+    return ucb1_allocation(rewards, "event_type", "r")
+
+
+Q_UCB1_SQL = """
+WITH per AS (
+  SELECT event_type AS arm, count(*) AS n,
+         sum(CAST(CASE WHEN value >= 100 THEN 1.0 ELSE 0.0 END AS DECIMAL(28,6))) AS s
+  FROM events GROUP BY 1
+), tot AS (SELECT sum(n) AS n_all FROM per),
+scored AS (
+  SELECT arm, n,
+         round(CAST(s AS DOUBLE) / n, 9) AS m,
+         round(round(CAST(s AS DOUBLE) / n, 9)
+               + sqrt(2.0 * ln(CAST(n_all AS DOUBLE)) / n), 9) AS u
+  FROM per, tot
+)
+SELECT arm, CAST(n AS BIGINT) AS n,
+       round(m, 6) AS mean_reward, round(u, 6) AS ucb,
+       row_number() OVER (ORDER BY u DESC, arm ASC) = 1 AS chosen
+FROM scored ORDER BY arm
+"""
+
+
+def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation retrieval eval (operators/similarity.
+    matryoshka_eval): how much of the full-64-dim cosine top-10 does
+    each truncated prefix (8/16/32 dims) recover for a deterministic
+    md5-chosen 8-query panel? The measurement behind shrinking a
+    serving index (the storage twin of q_quantize_embeddings' int8
+    question). Panel discipline: one corpus scan per evaluated
+    dimension, per-query top-k windows, overlap joins on panel×k
+    rows; cosine sums run left-to-right over the array in both
+    engines and neighbors rank by (9 dp sim, id)."""
+    from azure_data_engineering_spark.operators.similarity import matryoshka_eval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_eval(
+        emb, "vec_id", "embedding", dims=(8, 16, 32), k=10, n_queries=8
+    )
+
+
+Q_MATRYOSHKA_SQL = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), panel AS MATERIALIZED (
+  SELECT id AS qid, vec AS qvec FROM (
+    SELECT id, vec, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR) || 'mrl')) AS prk
+    FROM v
+  ) WHERE prk <= 8
+), dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+scored AS MATERIALIZED (
+  SELECT dm.d, p.qid, c.id,
+         round(CASE WHEN sqrt(list_sum(list_transform(list_slice(p.qvec, 1, dm.d), x -> x * x))) > 0
+                     AND sqrt(list_sum(list_transform(list_slice(c.vec, 1, dm.d), x -> x * x))) > 0
+               THEN list_sum(list_transform(generate_series(1, dm.d),
+                      i -> p.qvec[i] * c.vec[i]))
+                    / (sqrt(list_sum(list_transform(list_slice(p.qvec, 1, dm.d), x -> x * x)))
+                       * sqrt(list_sum(list_transform(list_slice(c.vec, 1, dm.d), x -> x * x))))
+               ELSE -2.0 END, 9) AS sim
+  FROM dims dm, panel p, v c
+  WHERE c.id <> p.qid
+), topk AS MATERIALIZED (
+  SELECT d, qid, id FROM (
+    SELECT d, qid, id, row_number() OVER (PARTITION BY d, qid ORDER BY sim DESC, id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 10
+), truth AS (SELECT qid, id AS tid FROM topk WHERE d = 64),
+evals AS (SELECT d, qid, id FROM topk),
+flagged AS (
+  SELECT e.d, e.qid, (t.tid IS NOT NULL) AS hit
+  FROM evals e LEFT JOIN truth t ON t.qid = e.qid AND t.tid = e.id
+), per_q AS (
+  SELECT d, qid, CAST(round(sum(CASE WHEN hit THEN 1 ELSE 0 END) / 10.0, 9) AS DECIMAL(18,9)) AS ov
+  FROM flagged GROUP BY 1, 2
+)
+SELECT CASE WHEN d = 64 THEN NULL ELSE CAST(d AS INT) END AS dim,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(ov) AS DOUBLE) / count(*), 6) AS mean_overlap_at_k
+FROM per_q GROUP BY 1 ORDER BY dim ASC NULLS LAST
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -18174,6 +18450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_quantiles": q_weighted_quantiles,
         "q_ab_power": q_ab_power,
         "q_point_in_polygon": q_point_in_polygon,
+        "q_markov_attribution": q_markov_attribution,
+        "q_brier": q_brier,
+        "q_ucb1": q_ucb1,
+        "q_matryoshka": q_matryoshka,
     }
 
 
@@ -18552,4 +18832,8 @@ def oracle_sql() -> dict[str, str]:
         "q_weighted_quantiles": Q_WEIGHTED_QUANTILES_SQL,
         "q_ab_power": Q_AB_POWER_SQL,
         "q_point_in_polygon": Q_POINT_IN_POLYGON_SQL,
+        "q_markov_attribution": Q_MARKOV_ATTRIBUTION_SQL,
+        "q_brier": Q_BRIER_SQL,
+        "q_ucb1": Q_UCB1_SQL,
+        "q_matryoshka": Q_MATRYOSHKA_SQL,
     }

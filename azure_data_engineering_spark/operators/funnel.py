@@ -355,3 +355,193 @@ def window_funnel(
             "percentile(CASE WHEN converted = 1 THEN lat_us END, 0.5)"
         ).alias("median_latency_us"),
     )
+
+
+def markov_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    conv_state: str,
+    rounds: int = 30,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014) — the
+    data-driven alternative to the positional rules in
+    multi_touch_attribution: model journeys as a first-order Markov
+    chain over touch channels with absorbing CONV/NULL states, and
+    credit each channel by its REMOVAL EFFECT — how much total
+    conversion probability disappears when every edge into that
+    channel is redirected to NULL:
+
+        RE(c)    = 1 − P_c(conv)/P_base(conv)
+        share(c) = RE(c) / Σ RE
+
+    Journey construction: per key, touches are the non-conversion
+    states strictly BEFORE the key's first conversion event;
+    transitions are start→first, touch→touch, last→conv (converted
+    keys) / last→null (never-converted), plus start→conv for keys
+    converting with zero prior touches.
+
+    Scale shape: ONE per-key window over the event order builds the
+    pair counts (the fat-table shuffle); everything after runs on the
+    |states|²-sized transition frame. Absorption probabilities come
+    from `rounds` fixed in-plan power-iteration steps over ONE frame
+    keyed by (chain, state) — chain '__base' plus one chain per
+    channel with that channel's inbound edges redirected — with the
+    state vector rounded to 12 dp every round (the repo's
+    trajectory-pinning trick: float summation order can differ
+    across engines, identical rounded inputs cannot), and
+    localCheckpoint lineage truncation every 8 rounds (the pagerank
+    discipline). No collect anywhere — the chain frame is built by a
+    broadcast cross join of the distinct-state frame. Returns one
+    row per channel: (channel, base_conv_p, conv_p_removed,
+    removal_effect, attribution_share)."""
+    from pyspark.sql import Window
+
+    START, CONV, NULL = "__start", "__conv", "__null"
+    wk = Window.partitionBy("k")
+    ev = df.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.col(state_col).alias("st"),
+        *([F.col(order_tiebreak).alias("tb")] if order_tiebreak else []),
+    ).withColumn(
+        "conv_ts",
+        F.min(F.when(F.col("st") == conv_state, F.col("ts"))).over(wk),
+    )
+    touches = ev.filter(
+        (F.col("st") != conv_state)
+        & (F.col("conv_ts").isNull() | (F.col("ts") < F.col("conv_ts")))
+    )
+    worder = Window.partitionBy("k").orderBy(
+        *([F.col("ts").asc(), F.col("tb").asc()] if order_tiebreak else [F.col("ts").asc()])
+    )
+    seq = touches.withColumn("rn", F.row_number().over(worder)).withColumn(
+        "nxt", F.lead("st").over(worder)
+    )
+    converted = F.col("conv_ts").isNotNull()
+    mid = seq.select(
+        F.col("st").alias("from_state"),
+        F.coalesce(
+            F.col("nxt"), F.when(converted, F.lit(CONV)).otherwise(F.lit(NULL))
+        ).alias("to_state"),
+    )
+    firsts = seq.filter(F.col("rn") == 1).select(
+        F.lit(START).alias("from_state"), F.col("st").alias("to_state")
+    )
+    # keys converting with zero prior touches: start -> conv directly
+    per_key = ev.groupBy("k").agg(
+        F.max(converted.cast("int")).alias("cv"),
+        F.max(
+            (
+                (F.col("st") != conv_state)
+                & (F.col("conv_ts").isNull() | (F.col("ts") < F.col("conv_ts")))
+            ).cast("int")
+        ).alias("has_touch"),
+    )
+    direct = per_key.filter((F.col("cv") == 1) & (F.col("has_touch") == 0)).select(
+        F.lit(START).alias("from_state"), F.lit(CONV).alias("to_state")
+    )
+    pairs = (
+        mid.unionByName(firsts)
+        .unionByName(direct)
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("fn"))
+    pmat = pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        F.round(F.col("n") / F.col("fn"), 12).alias("p"),
+    )
+    channels = (
+        pairs.select(F.col("from_state").alias("ch"))
+        .filter(~F.col("ch").isin(START, CONV, NULL))
+        .distinct()
+    )
+    # chain list fully in-plan: the base chain plus one per channel
+    base_row = channels.select(F.lit("__base").alias("chain")).limit(1)
+    chains = channels.select(F.col("ch").alias("chain")).unionByName(base_row)
+    # per-chain matrix: edges INTO the removed channel go to __null
+    pc = chains.crossJoin(F.broadcast(pmat)).select(
+        "chain",
+        "from_state",
+        F.when(
+            (F.col("chain") != "__base") & (F.col("to_state") == F.col("chain")),
+            F.lit(NULL),
+        )
+        .otherwise(F.col("to_state"))
+        .alias("to_state"),
+        "p",
+    ).groupBy("chain", "from_state", "to_state").agg(
+        F.round(F.sum("p"), 12).alias("p")
+    )
+    # absorbing self-loops so mass at conv/null persists through rounds
+    absorbing_states = base_row.select(F.lit(CONV).alias("from_state")).unionByName(
+        base_row.select(F.lit(NULL).alias("from_state"))
+    )
+    absorb = chains.crossJoin(F.broadcast(absorbing_states)).select(
+        "chain", "from_state", F.col("from_state").alias("to_state"), F.lit(1.0).alias("p")
+    )
+    # the transition frame is |states|²·|chains| rows — KB-sized; pin it
+    # once so each round's join is a broadcast against a materialized
+    # frame, not a re-derived shuffle
+    pc = pc.unionByName(absorb).localCheckpoint(eager=True)
+    v = chains.select("chain", F.lit(START).alias("state"), F.lit(1.0).alias("mass"))
+    for i in range(rounds):
+        # rename the vector side before joining: v derives from pc after
+        # round one, and a raw self-join would be ambiguous
+        vr = v.select(
+            F.col("chain").alias("vchain"),
+            F.col("state").alias("vstate"),
+            "mass",
+        )
+        v = (
+            vr.join(
+                F.broadcast(pc),
+                (F.col("vchain") == F.col("chain"))
+                & (F.col("vstate") == F.col("from_state")),
+            )
+            .groupBy("chain", "to_state")
+            .agg(F.round(F.sum(F.col("mass") * F.col("p")), 12).alias("mass"))
+            .withColumnRenamed("to_state", "state")
+        )
+        if (i + 1) % 8 == 0:
+            v = v.localCheckpoint(eager=True)
+    # a chain whose conversions vanish entirely has NO __conv row —
+    # that is mass 0, not a missing chain: left-join back to the chain
+    # list and coalesce
+    conv_mass = v.filter(F.col("state") == CONV).select("chain", "mass")
+    conv_p = chains.join(conv_mass, "chain", "left").select(
+        "chain", F.coalesce(F.col("mass"), F.lit(0.0)).alias("cp")
+    )
+    base_p = conv_p.filter(F.col("chain") == "__base").select(
+        F.col("cp").alias("base_cp")
+    )
+    rem = (
+        conv_p.filter(F.col("chain") != "__base")
+        .join(F.broadcast(base_p))
+        .select(
+            F.col("chain").alias("channel"),
+            F.col("base_cp"),
+            F.col("cp"),
+            F.round(
+                F.greatest(F.lit(0.0), 1.0 - F.col("cp") / F.col("base_cp")), 9
+            ).alias("re"),
+        )
+    )
+    tot_re = rem.agg(F.round(F.sum("re"), 9).alias("re_sum"))
+    return (
+        rem.join(F.broadcast(tot_re))
+        .select(
+            "channel",
+            F.round("base_cp", 6).alias("base_conv_p"),
+            F.round("cp", 6).alias("conv_p_removed"),
+            F.round("re", 6).alias("removal_effect"),
+            F.round(
+                F.when(F.col("re_sum") > 0, F.col("re") / F.col("re_sum")), 6
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )

@@ -1054,3 +1054,139 @@ def softmax_gd(
             F.round(F.avg(-F.log(pc)), out_decimals).alias("log_loss"),
         )
     )
+
+
+def brier_decomposition(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over a binned
+    forecast — calibration_bins says WHERE the forecast is off; this
+    says HOW MUCH of the total loss that miscalibration costs:
+
+        BS_binned = RELIABILITY − RESOLUTION + UNCERTAINTY
+        REL = Σ n_k(f̄_k − ō_k)²/n     (calibration cost — want 0)
+        RES = Σ n_k(ō_k − ō)²/n       (discrimination — want big)
+        UNC = ō(1 − ō)                (irreducible base-rate noise)
+
+    with f̄_k/ō_k the bin's mean forecast / observed rate and ō the
+    global rate. The raw (unbinned) Brier mean((f−y)²) is emitted
+    alongside; the identity holds exactly for the binned forecast,
+    and raw_brier − bs_binned is the within-bin forecast variance.
+
+    Scale shape: ONE corpus groupBy to per-bin exact DECIMAL moments
+    (n, Σf, Σy, Σf², Σfy) + a bins-row reduce; every per-bin summand
+    is rounded to a 9 dp DECIMAL before the k-row sum (the module's
+    standing order-independence discipline). Bin ids from identical
+    double arithmetic in both engines. Returns one row: (n, bins,
+    base_rate, reliability, resolution, uncertainty, bs_binned,
+    raw_brier)."""
+    f = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(F.floor(f * bins).cast("int"), F.lit(bins - 1))
+    dec = "decimal(28,9)"
+    per = scored.select(b.alias("b"), f.alias("f"), y.alias("y")).groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum(F.round(F.col("f"), 9).cast(dec)).alias("sf"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.round(F.col("f") * F.col("f"), 9).cast(dec)).alias("sff"),
+        F.sum(F.round(F.col("f") * F.col("y"), 9).cast(dec)).alias("sfy"),
+    )
+    fbar = F.round(F.col("sf").cast("double") / F.col("nk").cast("double"), 9)
+    obar_k = F.round(F.col("sy").cast("double") / F.col("nk").cast("double"), 9)
+    stats = per.select(
+        "nk",
+        "sy",
+        "sff",
+        "sfy",
+        "sf",
+        F.round(F.col("nk") * (fbar - obar_k) * (fbar - obar_k), 9)
+        .cast("decimal(38,9)")
+        .alias("rel_k"),
+        obar_k.alias("ok"),
+    )
+    tot = stats.agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.sum(F.col("sy").cast("decimal(38,9)")).alias("sy_all"),
+        F.sum("rel_k").alias("rel_num"),
+        F.sum(F.col("sff").cast("decimal(38,9)")).alias("sff_all"),
+        F.sum(F.col("sfy").cast("decimal(38,9)")).alias("sfy_all"),
+        # Σ n_k·ō_k² as 9dp-decimal summands for RES
+        F.sum(
+            F.round(F.col("nk").cast("double") * F.col("ok") * F.col("ok"), 9).cast(
+                "decimal(38,9)"
+            )
+        ).alias("sok2"),
+    )
+    n = F.col("n").cast("double")
+    obar = F.col("sy_all").cast("double") / n
+    rel = F.col("rel_num").cast("double") / n
+    res = F.col("sok2").cast("double") / n - obar * obar
+    unc = obar * (1.0 - obar)
+    # raw Brier from exact moments: mean(f² − 2fy + y²); y² = y for 0/1
+    raw = (
+        F.col("sff_all").cast("double")
+        - 2.0 * F.col("sfy_all").cast("double")
+        + F.col("sy_all").cast("double")
+    ) / n
+    return tot.select(
+        "n",
+        F.lit(bins).alias("bins"),
+        F.round(obar, round_digits).alias("base_rate"),
+        F.round(rel, round_digits).alias("reliability"),
+        F.round(res, round_digits).alias("resolution"),
+        F.round(unc, round_digits).alias("uncertainty"),
+        F.round(rel - res + unc, round_digits).alias("bs_binned"),
+        F.round(raw, round_digits).alias("raw_brier"),
+    )
+
+
+def ucb1_allocation(
+    df: DataFrame,
+    arm_col: str,
+    reward_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """UCB1 bandit allocation snapshot (Auer et al. 2002): per arm,
+    the optimism-in-face-of-uncertainty index
+
+        ucb = x̄_arm + √(2·ln N / n_arm)
+
+    and a deterministic `chosen` flag on the argmax — the adaptive-
+    experimentation companion to ab_sample_size: fixed-horizon tests
+    size the experiment up front, a bandit reallocates as rewards
+    arrive, and this emits exactly the quantity a scheduler would
+    act on next. Pure two-level aggregation (per-arm exact DECIMAL
+    moments + bins-row reduce); the argmax tiebreak is (rounded ucb
+    DESC, arm ASC) so both engines choose identically. Returns one
+    row per arm: (arm, n, mean_reward, ucb, chosen)."""
+    from pyspark.sql import Window
+
+    dec = "decimal(28,6)"
+    per = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(reward_col).cast(dec)).alias("s"),
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("n_all"))
+    mean = F.round(F.col("s").cast("double") / F.col("n").cast("double"), 9)
+    scored = per.join(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        mean.alias("m"),
+        F.round(
+            mean
+            + F.sqrt(2.0 * F.log(F.col("n_all").cast("double")) / F.col("n").cast("double")),
+            9,
+        ).alias("u"),
+    )
+    w = Window.orderBy(F.col("u").desc(), F.col("arm").asc())
+    return scored.select(
+        "arm",
+        "n",
+        F.round(F.col("m"), round_digits).alias("mean_reward"),
+        F.round(F.col("u"), round_digits).alias("ucb"),
+        (F.row_number().over(w) == 1).alias("chosen"),
+    ).orderBy("arm")

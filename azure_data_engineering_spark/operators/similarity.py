@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import math
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -596,4 +598,110 @@ def k_center_greedy(
     spark = pool.sparkSession
     return spark.createDataFrame(
         picked, "rank long, pid long, dist_to_centers double"
+    )
+
+
+def matryoshka_eval(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: Sequence[int] = (8, 16, 32),
+    k: int = 10,
+    n_queries: int = 16,
+    salt: str = "mrl",
+) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. NeurIPS 2022):
+    how much top-k retrieval quality survives when embeddings are cut
+    to their first d dimensions? For a deterministic md5-chosen query
+    panel, full-dimension cosine top-k is the truth set; each
+    truncated dimension re-ranks with prefix-sliced, renormalized
+    vectors and reports mean overlap@k — the measurement that decides
+    how small a serving index can shrink (the storage twin of
+    quantize_int8's int8 question).
+
+    Scale shape: the panel discipline (brute_force_top_k) — the
+    bounded query panel broadcasts against the corpus once PER
+    EVALUATED DIMENSION (each a single scan + per-query top-k
+    window, no pair shuffle); overlap joins run on panel×k rows.
+    Determinism: cosine sums run left-to-right over the array in
+    both engines (fixed element order ⇒ identical doubles);
+    neighbors rank by (9 dp-rounded sim DESC, id ASC). Returns one
+    row per dim (full dim included as the self-check: overlap 1.0):
+    (dim, n_queries, mean_overlap_at_k)."""
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    full_dim = F.size(F.col("vec"))
+    # deterministic panel: smallest md5 draws
+    drawn = v.withColumn(
+        "draw", F.md5(F.concat(F.col("id").cast("string"), F.lit(salt)))
+    )
+    panel = (
+        drawn.withColumn("prk", F.row_number().over(Window.orderBy("draw")))
+        .filter(F.col("prk") <= n_queries)
+        .select(F.col("id").alias("qid"), F.col("vec").alias("qvec"))
+    )
+
+    def _norm_slice(col, d):
+        sl = F.slice(col, 1, d)
+        nrm = F.sqrt(
+            F.aggregate(sl, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        return sl, nrm
+
+    def topk_at(d_expr, dim_label):
+        qs, qn = _norm_slice(F.col("qvec"), d_expr)
+        cs, cn = _norm_slice(F.col("vec"), d_expr)
+        dot = F.aggregate(
+            F.zip_with(qs, cs, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        sim = F.round(
+            F.when((qn > 0) & (cn > 0), dot / (qn * cn)).otherwise(F.lit(-2.0)), 9
+        )
+        scored = (
+            panel.crossJoin(v)
+            .filter(F.col("id") != F.col("qid"))
+            .select("qid", "id", sim.alias("sim"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("id").asc())
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(F.lit(dim_label).alias("dim"), "qid", "id")
+        )
+    truth = topk_at(full_dim, -1).select("qid", F.col("id").alias("tid"))
+    evals = None
+    for d in list(dims):
+        e = topk_at(F.lit(int(d)), int(d))
+        evals = e if evals is None else evals.unionByName(e)
+    evals = evals.unionByName(topk_at(full_dim, 0))
+    # LEFT join so zero-overlap queries keep their k rows (a query whose
+    # truncated top-k misses the truth entirely is overlap 0, not absent)
+    flagged = evals.join(
+        truth,
+        (evals["qid"] == truth["qid"]) & (evals["id"] == truth["tid"]),
+        "left",
+    ).select(evals["dim"], evals["qid"], truth["tid"].isNotNull().alias("hit"))
+    per_q = flagged.groupBy("dim", "qid").agg(
+        F.sum(F.col("hit").cast("int")).alias("h")
+    )
+    # panel mean over 9dp-decimal per-query overlaps (order-free sum)
+    per_q = per_q.select(
+        "dim",
+        F.round(F.col("h") / F.lit(float(k)), 9).cast("decimal(18,9)").alias("ov"),
+    )
+    return (
+        per_q.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(
+                F.sum("ov").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_overlap_at_k"),
+        )
+        .withColumn(
+            "dim",
+            F.when(F.col("dim") == 0, F.lit(None).cast("int")).otherwise(F.col("dim")),
+        )
+        .orderBy(F.col("dim").asc_nulls_last())
     )
