@@ -18051,6 +18051,217 @@ FROM per_q GROUP BY 1 ORDER BY dim ASC NULLS LAST
 """
 
 
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-source approximate betweenness centrality (operators/graph.
+    betweenness_ksource) over the co-purchase part graph: which parts
+    BRIDGE purchasing communities? 6 deterministic md5-chosen
+    sources, forward BFS to depth 3 with exact-integer shortest-path
+    counts, backward Brandes dependency accumulation with 9 dp
+    rounding per level; the oracle unrolls the identical forward and
+    backward rounds. Top 500 nodes by (betweenness DESC, node) keep
+    the gate row count bounded."""
+    from azure_data_engineering_spark.operators.graph import betweenness_ksource
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    out = betweenness_ksource(edges, k_sources=6, max_depth=3)
+    return out.orderBy(F.col("betweenness").desc(), F.col("node").asc()).limit(500)
+
+
+def _betweenness_oracle_sql(k_sources: int = 6, max_depth: int = 3) -> str:
+    head = f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+), nodes AS (
+  SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+), sources AS MATERIALIZED (
+  SELECT n AS s FROM (
+    SELECT n, row_number() OVER (ORDER BY md5(CAST(n AS VARCHAR) || 'btw')) AS rk
+    FROM nodes
+  ) WHERE rk <= {k_sources}
+), v0 AS MATERIALIZED (
+  SELECT s, s AS node, 0 AS d, CAST(1 AS BIGINT) AS sigma FROM sources
+)"""
+    parts = []
+    prev_visited = "v0"
+    prev_frontier = "v0"
+    for lvl in range(1, max_depth + 1):
+        parts.append(f"""
+, f{lvl} AS MATERIALIZED (
+  SELECT g.s, g.node, {lvl} AS d, g.sigma FROM (
+    SELECT fr.s, e.dst AS node, CAST(sum(fr.sigma) AS BIGINT) AS sigma
+    FROM {prev_frontier} fr JOIN e ON e.src = fr.node
+    GROUP BY 1, 2
+  ) g
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_visited} vv WHERE vv.s = g.s AND vv.node = g.node)
+), vis{lvl} AS MATERIALIZED (
+  SELECT * FROM {prev_visited} UNION ALL SELECT * FROM f{lvl}
+)""")
+        prev_visited = f"vis{lvl}"
+        prev_frontier = f"f{lvl}"
+    # backward: deltas at max_depth are 0 (implicit via LEFT JOIN)
+    prev_delta = None
+    for lvl in range(max_depth - 1, -1, -1):
+        up = lvl + 1
+        if prev_delta is None:
+            wd = f"""(SELECT s, node, sigma, 0.0 AS delta FROM {prev_visited} WHERE d = {up})"""
+        else:
+            wd = f"""(SELECT v.s, v.node, v.sigma, coalesce(dl.delta, 0.0) AS delta
+         FROM (SELECT * FROM {prev_visited} WHERE d = {up}) v
+         LEFT JOIN {prev_delta} dl ON dl.s = v.s AND dl.node = v.node)"""
+        parts.append(f"""
+, d{lvl} AS MATERIALIZED (
+  SELECT v.s, v.node,
+         round(sum(CAST(v.sigma AS DOUBLE) / w.sigma * (1.0 + w.delta)), 9) AS delta
+  FROM (SELECT * FROM {prev_visited} WHERE d = {lvl}) v
+  JOIN e ON e.src = v.node
+  JOIN {wd} w ON w.s = v.s AND w.node = e.dst
+  GROUP BY 1, 2
+)""")
+        prev_delta = f"d{lvl}"
+    acc_union = " UNION ALL ".join(
+        f"SELECT * FROM d{lvl} WHERE delta > 0" for lvl in range(max_depth - 1, -1, -1)
+    )
+    tail = f"""
+, acc AS ({acc_union})
+SELECT node, betweenness FROM (
+  SELECT node, round(sum(delta), 6) AS betweenness
+  FROM acc WHERE node <> s GROUP BY 1
+) WHERE betweenness > 0
+ORDER BY betweenness DESC, node ASC LIMIT 500
+"""
+    return head + "".join(parts) + tail
+
+
+Q_BETWEENNESS_SQL = _betweenness_oracle_sql()
+
+
+def q_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (operators/
+    sampling.neyman_allocation): a 1000-row audit budget split across
+    order-priority strata in proportion to N_h·S_h of the order
+    total — variable strata earn more seats. Integer seats by the
+    largest-remainder method (floor + fractional-part ranking,
+    stratum tiebreak) so no round-half convention is in play; capped
+    at the stratum size. ONE corpus groupBy + two windows over the
+    strata frame."""
+    from azure_data_engineering_spark.operators.sampling import neyman_allocation
+
+    o = _t(spark, sf_dir, "orders")
+    return neyman_allocation(o, "o_orderpriority", "o_totalprice", 1000)
+
+
+Q_NEYMAN_SQL = """
+WITH g AS (
+  SELECT o_orderpriority AS stratum, count(*) AS nh,
+         sum(CAST(o_totalprice AS DECIMAL(28,6))) AS s,
+         sum(CAST(o_totalprice AS DECIMAL(28,6)) * CAST(o_totalprice AS DECIMAL(28,6))) AS ss
+  FROM orders GROUP BY 1
+), per AS (
+  SELECT stratum, nh,
+         sqrt(greatest(round(CASE WHEN nh > 1 THEN
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nh)
+             / CAST(nh - 1 AS DOUBLE) ELSE 0.0 END, 9), 0.0)) AS sh
+  FROM g
+), wt AS (
+  SELECT stratum, nh, sh, round(CAST(nh AS DOUBLE) * sh, 9) AS w FROM per
+), tot AS (SELECT sum(CAST(round(w, 9) AS DECIMAL(38,9))) AS wsum FROM wt),
+alloc AS (
+  SELECT stratum, nh, sh,
+         CASE WHEN CAST(wsum AS DOUBLE) > 0
+              THEN round(1000.0 * w / CAST(wsum AS DOUBLE), 9) ELSE 0.0 END AS exact
+  FROM wt, tot
+), base AS (
+  SELECT stratum, nh, sh, exact,
+         CAST(floor(exact) AS BIGINT) AS fl,
+         round(exact - floor(exact), 9) AS frac
+  FROM alloc
+), leftover AS (SELECT 1000 - sum(fl) AS rem FROM base),
+seated AS (
+  SELECT stratum, nh, sh, exact, fl, rem,
+         row_number() OVER (ORDER BY frac DESC, stratum ASC) AS rk
+  FROM base, leftover
+)
+SELECT stratum, CAST(nh AS BIGINT) AS n_rows,
+       round(sh, 6) AS stddev, round(exact, 6) AS alloc_exact,
+       CAST(least(fl + CASE WHEN rk <= rem THEN 1 ELSE 0 END, nh) AS BIGINT) AS n_alloc
+FROM seated ORDER BY stratum
+"""
+
+
+def q_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified association test
+    (operators/stats.cmh_test): does the user-parity A/B arm move
+    high-value event incidence once EVENT TYPE is held fixed? The
+    Simpson's-paradox-proof companion to q_ab_test: type mix differs
+    by arm, so the pooled 2×2 can mislead; CMH tests the common odds
+    ratio across the per-type 2×2 tables. Per-stratum exact integer
+    cells, 9 dp-decimal E/V/OR summands before the strata-row sum,
+    p via the shared A&S erfc polynomial."""
+    from azure_data_engineering_spark.operators.stats import cmh_test
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("e"),
+        (F.col("value") >= 100).cast("int").alias("y"),
+    )
+    return cmh_test(d, "event_type", "e", "y")
+
+
+Q_CMH_SQL = """
+WITH cells AS (
+  SELECT event_type AS h,
+         sum(CASE WHEN user_id % 2 = 1 AND value >= 100 THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN user_id % 2 = 1 AND value < 100 THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN user_id % 2 = 0 AND value >= 100 THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN user_id % 2 = 0 AND value < 100 THEN 1 ELSE 0 END) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1
+), st AS (
+  SELECT h, a, b, c, d, n,
+         CAST(a + b AS DOUBLE) * (a + c) / n AS e_h,
+         CASE WHEN n > 1 THEN
+           CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+           / (CAST(n AS DOUBLE) * n * (n - 1.0)) ELSE 0.0 END AS v_h
+  FROM cells
+), agg AS (
+  SELECT count(*) AS k_strata, sum(n) AS n_total,
+         sum(CAST(round(a - e_h, 9) AS DECIMAL(38,9))) AS num,
+         sum(CAST(round(v_h, 9) AS DECIMAL(38,9))) AS vsum,
+         sum(CAST(round(CAST(a AS DOUBLE) * d / n, 9) AS DECIMAL(38,9))) AS ad,
+         sum(CAST(round(CAST(b AS DOUBLE) * c / n, 9) AS DECIMAL(38,9))) AS bc
+  FROM st
+), chi AS (
+  SELECT k_strata, n_total, ad, bc,
+         CASE WHEN CAST(vsum AS DOUBLE) > 0
+              THEN pow(CAST(num AS DOUBLE), 2) / CAST(vsum AS DOUBLE) ELSE 0.0 END AS chi2
+  FROM agg
+), z AS (SELECT *, round(sqrt(chi2) / 1.4142135623730951, 9) AS zz FROM chi),
+zt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * zz) AS tt FROM z)
+SELECT CAST(k_strata AS BIGINT) AS k_strata, CAST(n_total AS BIGINT) AS n,
+       round(CASE WHEN CAST(bc AS DOUBLE) > 0
+             THEN CAST(ad AS DOUBLE) / CAST(bc AS DOUBLE) END, 6) AS or_mh,
+       round(chi2, 6) AS chi2,
+       round(tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+             + tt * (-1.453152027 + tt * 1.061405429)))) * exp(-(zz * zz)), 6) AS p_value
+FROM zt
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -18454,6 +18665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_brier": q_brier,
         "q_ucb1": q_ucb1,
         "q_matryoshka": q_matryoshka,
+        "q_betweenness": q_betweenness,
+        "q_neyman": q_neyman,
+        "q_cmh": q_cmh,
     }
 
 
@@ -18836,4 +19050,7 @@ def oracle_sql() -> dict[str, str]:
         "q_brier": Q_BRIER_SQL,
         "q_ucb1": Q_UCB1_SQL,
         "q_matryoshka": Q_MATRYOSHKA_SQL,
+        "q_betweenness": Q_BETWEENNESS_SQL,
+        "q_neyman": Q_NEYMAN_SQL,
+        "q_cmh": Q_CMH_SQL,
     }

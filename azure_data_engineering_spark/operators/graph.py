@@ -841,3 +841,129 @@ def k_truss_prune(
         "a", "b", F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support")
     )
     return final
+
+
+def betweenness_ksource(
+    edges: DataFrame,
+    k_sources: int = 8,
+    max_depth: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "btw",
+    round_digits: int = 6,
+) -> DataFrame:
+    """k-source approximate betweenness centrality (Brandes 2001
+    exact accumulation over a deterministic source sample — the
+    Brandes & Pich 2007 pivot strategy): which nodes sit on the most
+    shortest paths? The bridge-finding centrality degree/PageRank
+    cannot see — a low-degree node connecting two communities scores
+    high here and nowhere else.
+
+    Per source s (the k smallest md5 draws over the node set — the
+    repo's standing deterministic sample), a forward BFS to
+    `max_depth` computes hop distance d and shortest-path counts σ
+    as EXACT integer sums; the backward sweep accumulates dependency
+
+        δ(v) = Σ_{w: d(w)=d(v)+1, v→w}  σ(v)/σ(w) · (1 + δ(w))
+
+    level by level (max_depth−1 rounds), with δ rounded to 9 dp per
+    level (the trajectory-pinning discipline — float summation order
+    differs across engines, identical rounded inputs cannot).
+    Truncation at max_depth makes the result an algebraic function
+    of the edge set (bfs_hops' discipline), so the oracle replays
+    the identical rounds.
+
+    Scale shape: all k sources advance in ONE frame keyed by
+    (source, node) — each forward round is one frontier-onto-edges
+    equi-join + one anti-join, each backward round one level-to-level
+    equi-join; localCheckpoint truncates lineage per round. Directed
+    semantics (pass both directions for undirected). Returns
+    (node, betweenness) for every node with nonzero accumulated
+    dependency, betweenness = Σ_s δ_s(node) over non-source nodes."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    wdraw = Window.orderBy(F.md5(F.concat(F.col("node").cast("string"), F.lit(salt))))
+    sources = (
+        nodes.withColumn("rk", F.row_number().over(wdraw))
+        .filter(F.col("rk") <= k_sources)
+        .select(F.col("node").alias("s"))
+    )
+    visited = sources.select(
+        "s",
+        F.col("s").alias("node"),
+        F.lit(0).alias("d"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for level in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .groupBy("s", F.col("dst").alias("node2"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .withColumnRenamed("node2", "node")
+            .join(visited.select("s", "node"), ["s", "node"], "left_anti")
+            .withColumn("d", F.lit(level))
+            .select("s", "node", "d", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    # backward accumulation, deepest level first; deltas start at 0
+    deltas = visited.filter(F.col("d") == max_depth).select(
+        "s", "node", F.lit(0.0).alias("delta")
+    )
+    acc = None
+    for level in range(max_depth - 1, -1, -1):
+        vl = visited.filter(F.col("d") == level)
+        wl = visited.filter(F.col("d") == level + 1).select(
+            "s",
+            F.col("node").alias("wnode"),
+            F.col("sigma").alias("wsigma"),
+        )
+        wd = wl.join(
+            deltas.select(
+                "s", F.col("node").alias("wnode"), F.col("delta").alias("wdelta")
+            ),
+            ["s", "wnode"],
+            "left",
+        ).select(
+            "s", "wnode", "wsigma", F.coalesce("wdelta", F.lit(0.0)).alias("wdelta")
+        )
+        contrib = (
+            vl.join(e, vl["node"] == e["src"])
+            .join(
+                wd,
+                (vl["s"] == wd["s"]) & (e["dst"] == wd["wnode"]),
+            )
+            .groupBy(vl["s"].alias("s"), vl["node"].alias("node"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("sigma").cast("double")
+                        / F.col("wsigma").cast("double")
+                        * (1.0 + F.col("wdelta"))
+                    ),
+                    9,
+                ).alias("delta")
+            )
+        )
+        deltas = contrib.localCheckpoint(eager=True)
+        nonzero = deltas.filter(F.col("delta") > 0)
+        acc = nonzero if acc is None else acc.unionByName(nonzero)
+    # betweenness: sum dependencies over sources; Brandes excludes only
+    # each source's OWN row (delta_s(s)), not source nodes globally
+    out = (
+        acc.filter(F.col("node") != F.col("s"))
+        .groupBy("node")
+        .agg(F.round(F.sum("delta"), round_digits).alias("betweenness"))
+        .filter(F.col("betweenness") > 0)
+    )
+    return out

@@ -286,3 +286,83 @@ def weighted_sample_exact_k(
         .limit(k)
         .drop("__race")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+    scale: int = 6,
+) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman 1934): for
+    a fixed total budget, sample stratum h in proportion to N_h·S_h —
+    variable strata earn more of the budget, (near-)constant strata
+    almost none; the minimum-variance design for estimating the
+    population mean, and the principled alternative to proportional
+    allocation when strata differ in spread (they always do).
+
+    Integer seats come from the largest-remainder method over the
+    exact shares — floor every allocation, then hand the leftover
+    seats to the largest fractional parts (tiebreak: stratum ASC) —
+    so both engines land identical integers with no round-half
+    convention in sight; allocations are finally capped at N_h
+    (cannot sample more rows than the stratum holds). Scale shape:
+    ONE corpus groupBy to per-stratum exact DECIMAL moments + a
+    strata-row reduce and two windows over the strata frame. Returns
+    (stratum, n_rows, stddev, alloc_exact, n_alloc)."""
+    dec = f"decimal(28,{scale})"
+    g = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum(F.col(value_col).cast(dec)).alias("s"),
+        F.sum(F.col(value_col).cast(dec) * F.col(value_col).cast(dec)).alias("ss"),
+    )
+    var = F.round(
+        F.when(
+            F.col("nh") > 1,
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double") / F.col("nh").cast("double")
+            )
+            / (F.col("nh") - 1).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        9,
+    )
+    per = g.select(
+        "stratum", "nh", F.sqrt(F.greatest(var, F.lit(0.0))).alias("sh")
+    ).withColumn("w", F.round(F.col("nh").cast("double") * F.col("sh"), 9))
+    tot = per.agg(F.sum(F.round(F.col("w"), 9).cast("decimal(38,9)")).alias("wsum"))
+    alloc = per.join(F.broadcast(tot)).withColumn(
+        "exact",
+        F.when(
+            F.col("wsum").cast("double") > 0,
+            F.round(
+                F.lit(float(total_n)) * F.col("w") / F.col("wsum").cast("double"), 9
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    base = alloc.withColumn("fl", F.floor(F.col("exact")).cast("long")).withColumn(
+        "frac", F.round(F.col("exact") - F.col("fl"), 9)
+    )
+    leftover = base.agg(
+        (F.lit(total_n) - F.sum("fl")).cast("long").alias("rem")
+    )
+    wr = Window.orderBy(F.col("frac").desc(), F.col("stratum").asc())
+    seated = (
+        base.join(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(wr))
+        .withColumn(
+            "n_alloc",
+            F.least(
+                F.col("fl") + (F.col("rk") <= F.col("rem")).cast("long"),
+                F.col("nh"),
+            ),
+        )
+    )
+    return seated.select(
+        "stratum",
+        F.col("nh").alias("n_rows"),
+        F.round("sh", scale).alias("stddev"),
+        F.round("exact", scale).alias("alloc_exact"),
+        "n_alloc",
+    ).orderBy("stratum")

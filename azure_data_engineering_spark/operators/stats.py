@@ -1691,3 +1691,80 @@ def ab_sample_size(
         F.round(zp, round_digits).alias("z_power"),
         n.alias("n_per_arm"),
     )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col: str,
+    outcome_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2×2 association test
+    (Mantel & Haenszel 1959) — Simpson's-paradox-proof A/B analysis:
+    pooling strata with different base rates can reverse an effect
+    (the classic confounder trap); CMH tests the common odds ratio
+    ACROSS strata instead. Per stratum h with cells (a,b,c,d), n:
+
+        χ²  = (Σ_h (a_h − E_h))² / Σ_h V_h      (no continuity corr.)
+        E_h = (a+b)(a+c)/n
+        V_h = (a+b)(c+d)(a+c)(b+d) / (n²(n−1))
+        OR_MH = Σ(a·d/n) / Σ(b·c/n)
+
+    p = erfc(√(χ²/2)) via the shared A&S polynomial. Scale shape:
+    ONE corpus groupBy to per-stratum exact integer cells, every E/V/
+    OR summand rounded to a 9 dp DECIMAL before the strata-row sum
+    (the module's order-independence discipline). Both flag columns
+    0/1-coercible. Returns one row (k_strata, n, or_mh, chi2,
+    p_value)."""
+    ex = F.col(exposed_col).cast("int")
+    oc = F.col(outcome_col).cast("int")
+    cells = df.groupBy(F.col(stratum_col).alias("h")).agg(
+        F.sum((ex * oc).cast("long")).alias("a"),
+        F.sum((ex * (1 - oc)).cast("long")).alias("b"),
+        F.sum(((1 - ex) * oc).cast("long")).alias("c"),
+        F.sum(((1 - ex) * (1 - oc)).cast("long")).alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    n = F.col("n").cast("double")
+    e_h = (F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c")).cast(
+        "double"
+    ) / n
+    v_h = F.when(
+        F.col("n") > 1,
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+        / (n * n * (n - 1.0)),
+    ).otherwise(F.lit(0.0))
+    dec = "decimal(38,9)"
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.round(F.col("a").cast("double") - e_h, 9).cast(dec)).alias("num"),
+        F.sum(F.round(v_h, 9).cast(dec)).alias("vsum"),
+        F.sum(
+            F.round(F.col("a").cast("double") * F.col("d").cast("double") / n, 9).cast(dec)
+        ).alias("ad"),
+        F.sum(
+            F.round(F.col("b").cast("double") * F.col("c").cast("double") / n, 9).cast(dec)
+        ).alias("bc"),
+    )
+    chi2 = F.when(
+        F.col("vsum").cast("double") > 0,
+        F.pow(F.col("num").cast("double"), 2) / F.col("vsum").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "k_strata",
+        F.col("n_total").alias("n"),
+        F.round(
+            F.when(
+                F.col("bc").cast("double") > 0,
+                F.col("ad").cast("double") / F.col("bc").cast("double"),
+            ),
+            round_digits,
+        ).alias("or_mh"),
+        F.round(chi2, round_digits).alias("chi2"),
+        F.round(_erfc_two_sided(F.sqrt(chi2)), round_digits).alias("p_value"),
+    )

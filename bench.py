@@ -176,6 +176,22 @@ HEADLINE = [
     "q_span_corruption",
     "q_k_truss",
     "q_softmax_gd",
+    # round-9 session-2 additions: the experimentation family (Welch /
+    # Mann-Whitney / DiD / qini all share the exact-moment or
+    # distinct-histogram shape — cheap scans), the C4 floor (pure HOF
+    # scan like Gopher), KMV set-op sketches (distinct shuffle +
+    # bounded top-k window), the Markov removal-effect chain (30
+    # in-plan rounds over a KB frame — wall time is round scheduling,
+    # scale-invariant past the first aggregation), and the Matryoshka
+    # panel (one corpus scan per evaluated dim)
+    "q_welch_t",
+    "q_mann_whitney",
+    "q_qini_uplift",
+    "q_c4_rules",
+    "q_kmv_setops",
+    "q_markov_attribution",
+    "q_matryoshka",
+    "q_weighted_quantiles",
 ]
 
 ROUND = 9
