@@ -18262,6 +18262,215 @@ FROM zt
 """
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H rank test (operators/stats.kruskal_wallis):
+    does ANY order-priority class shift the order-value distribution?
+    The k-group generalization of q_mann_whitney and the
+    non-parametric companion to q_anova_f — revenue is heavy-tailed,
+    so the rank test is the defensible default. Midranks from ONE
+    value-keyed count frame (doubled midranks stay exact longs), tie
+    correction from the same frame, p via the Wilson-Hilferty
+    cube-root χ² approximation through the shared A&S erfc
+    polynomial."""
+    from azure_data_engineering_spark.operators.stats import kruskal_wallis
+
+    o = _t(spark, sf_dir, "orders")
+    return kruskal_wallis(o, "o_orderpriority", "o_totalprice")
+
+
+Q_KRUSKAL_WALLIS_SQL = """
+WITH pv AS (
+  SELECT o_totalprice AS val, count(*) AS ct FROM orders GROUP BY 1
+), ranked AS (
+  SELECT val, ct,
+         sum(ct) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pv
+), m AS (SELECT val, ct, 2 * cum - ct + 1 AS m2x FROM ranked),
+gv AS (
+  SELECT o_orderpriority AS g, o_totalprice AS val, count(*) AS cg
+  FROM orders GROUP BY 1, 2
+), per_g AS (
+  SELECT g, sum(cg * m.m2x) AS r2x, sum(cg) AS nh
+  FROM gv JOIN m USING (val) GROUP BY 1
+), ties AS (SELECT sum(ct * ct * ct - ct) AS tie3 FROM m),
+agg AS (
+  SELECT count(*) AS k_groups, sum(nh) AS n,
+         sum(CAST(round(CAST(r2x AS DOUBLE) * CAST(r2x AS DOUBLE)
+             / (4.0 * nh), 9) AS DECIMAL(38,9))) AS rsq
+  FROM per_g
+), h0 AS (
+  SELECT k_groups, n, tie3,
+         12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * CAST(rsq AS DOUBLE)
+           - 3.0 * (n + 1.0) AS h
+  FROM agg, ties
+), hc AS (
+  SELECT k_groups, n, h,
+         round(h / (1.0 - CAST(tie3 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n * n - n)), 9) AS hcorr,
+         CAST(k_groups - 1 AS DOUBLE) AS nu
+  FROM h0
+), z AS (
+  SELECT *, round((cbrt(greatest(hcorr, 0.0) / nu) - (1.0 - 2.0 / (9.0 * nu)))
+                  / sqrt(2.0 / (9.0 * nu)), 9) AS zwh
+  FROM hc
+), zz AS (
+  SELECT *, round(abs(zwh) / 1.4142135623730951, 9) AS za FROM z
+), poly AS (
+  SELECT *, 1.0 / (1.0 + 0.3275911 * za) AS t FROM zz
+), e AS (
+  SELECT *, t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+            + t * (-1.453152027 + t * 1.061405429)))) * exp(-(za * za)) AS erfc2
+  FROM poly
+)
+SELECT CAST(k_groups AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+       round(h, 6) AS h_stat, round(hcorr, 6) AS h_corrected,
+       round(CASE WHEN zwh >= 0 THEN erfc2 / 2.0 ELSE 1.0 - erfc2 / 2.0 END, 6)
+         AS p_value
+FROM e
+"""
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' multi-rater kappa (operators/stats.fleiss_kappa): treat
+    each order's first three lineitems as three raters assigning the
+    order a returnflag category; how much do they agree beyond
+    chance? The label-farm QA gate cohens_kappa can't provide past
+    two raters. The panel trim Fleiss' fixed-n statistic requires is
+    fully deterministic: the sort key is (l_linenumber, l_returnflag,
+    l_partkey, l_suppkey) — the synthetic lineitem does NOT key on
+    (orderkey, linenumber) alone, and putting the CATEGORY in the key
+    makes any residual tie rating-invariant. Exact integer cell sums
+    until the final divisions."""
+    from azure_data_engineering_spark.operators.stats import fleiss_kappa
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_returnflag", "l_partkey", "l_suppkey"
+    )
+    panel = (
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_partkey", "l_suppkey")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+    return fleiss_kappa(panel, "l_orderkey", "l_returnflag", n_raters=3)
+
+
+Q_FLEISS_KAPPA_SQL = """
+WITH panel AS (
+  SELECT l_orderkey AS item, l_returnflag AS cat
+  FROM (
+    SELECT l_orderkey, l_returnflag,
+           row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_returnflag, l_partkey, l_suppkey) AS rk
+    FROM lineitem
+  ) WHERE rk <= 3
+), cells0 AS (
+  SELECT item, cat, count(*) AS nij FROM panel GROUP BY 1, 2
+), cells AS (
+  SELECT * FROM (
+    SELECT item, cat, nij, sum(nij) OVER (PARTITION BY item) AS tot FROM cells0
+  ) WHERE tot = 3
+), items AS (
+  SELECT count(*) AS n_items, sum(sq) AS sqsum FROM (
+    SELECT item, sum(nij * nij) AS sq FROM cells GROUP BY 1
+  )
+), cats AS (
+  SELECT count(*) AS k_categories, sum(cj * cj) AS cj2 FROM (
+    SELECT cat, sum(nij) AS cj FROM cells GROUP BY 1
+  )
+), k AS (
+  SELECT n_items, k_categories,
+         (CAST(sqsum AS DOUBLE) - CAST(n_items AS DOUBLE) * 3.0)
+           / (CAST(n_items AS DOUBLE) * 3.0 * 2.0) AS p_bar,
+         CAST(cj2 AS DOUBLE)
+           / (CAST(n_items AS DOUBLE) * 3.0 * CAST(n_items AS DOUBLE) * 3.0) AS p_e
+  FROM items, cats
+)
+SELECT CAST(n_items AS BIGINT) AS n_items, CAST(3 AS BIGINT) AS n_raters,
+       CAST(k_categories AS BIGINT) AS k_categories,
+       round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+       round((p_bar - p_e) / (1.0 - p_e), 6) AS kappa
+FROM k
+"""
+
+
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep average precision (operators/mlplan.
+    average_precision): score = event value, positive = purchase.
+    The class-imbalance-aware companion to q_roc_auc — purchases are
+    the rare class, so AP is the number that moves when the ranking
+    degrades. Tie blocks enter the sweep as ONE threshold (the
+    scikit-learn threshold definition), prefix sums run over the
+    distinct-score frame only, each (ΔR·P) summand rounds to 9 dp
+    before the sum."""
+    from azure_data_engineering_spark.operators.mlplan import average_precision
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return average_precision(d, "score", "y")
+
+
+Q_PR_AUC_SQL = """
+WITH d AS (
+  SELECT value AS s, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), per_s AS (
+  SELECT s, sum(y) AS pos, count(*) AS ct FROM d GROUP BY 1
+), cum AS (
+  SELECT s, pos, ct,
+         sum(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cum_pos,
+         sum(ct) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cum_all
+  FROM per_s
+), tot AS (SELECT count(*) AS n, sum(y) AS n_pos FROM d)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(CAST(sum(CAST(round(CAST(pos AS DOUBLE) / n_pos
+             * (CAST(cum_pos AS DOUBLE) / cum_all), 9) AS DECIMAL(38,9)))
+             AS DOUBLE), 6) AS ap
+FROM cum, tot GROUP BY 1, 2
+"""
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release audit (operators/privacy.l_diversity_audit):
+    with customer as the quasi-identifier class and order priority as
+    the sensitive attribute, how exposed is a per-customer order
+    release to the homogeneity attack k-anonymity misses? Emits both
+    distinct-l and the stricter skew-aware entropy-l (effective
+    number of indistinguishable sensitive values); −p·ln p summands
+    round to 9 dp before the class sum."""
+    from azure_data_engineering_spark.operators.privacy import l_diversity_audit
+
+    o = _t(spark, sf_dir, "orders")
+    return l_diversity_audit(o, ["o_custkey"], "o_orderpriority", l=3)
+
+
+Q_L_DIVERSITY_SQL = """
+WITH cells AS (
+  SELECT o_custkey AS q, o_orderpriority AS sv, count(*) AS c
+  FROM orders GROUP BY 1, 2
+), wc AS (
+  SELECT q, sv, c, sum(c) OVER (PARTITION BY q) AS g_n FROM cells
+), classes AS (
+  SELECT q, any_value(g_n) AS g_n, count(*) AS g_l,
+         sum(CAST(round(-(CAST(c AS DOUBLE) / g_n) * ln(CAST(c AS DOUBLE) / g_n), 9)
+             AS DECIMAL(38,9))) AS h
+  FROM wc GROUP BY 1
+)
+SELECT CAST(sum(g_n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(g_l) AS BIGINT) AS min_distinct_l,
+       CAST(sum(CASE WHEN g_l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_l,
+       CAST(sum(CASE WHEN g_l < 3 THEN g_n ELSE 0 END) AS BIGINT) AS rows_below_l,
+       round(CAST(sum(CASE WHEN g_l < 3 THEN g_n ELSE 0 END) AS DOUBLE)
+             / sum(g_n), 6) AS pct_below_l,
+       round(min(round(exp(CAST(h AS DOUBLE)), 9)), 6) AS min_entropy_l
+FROM classes
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -18668,6 +18877,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_betweenness": q_betweenness,
         "q_neyman": q_neyman,
         "q_cmh": q_cmh,
+        "q_kruskal_wallis": q_kruskal_wallis,
+        "q_fleiss_kappa": q_fleiss_kappa,
+        "q_pr_auc": q_pr_auc,
+        "q_l_diversity": q_l_diversity,
     }
 
 
@@ -19053,4 +19266,8 @@ def oracle_sql() -> dict[str, str]:
         "q_betweenness": Q_BETWEENNESS_SQL,
         "q_neyman": Q_NEYMAN_SQL,
         "q_cmh": Q_CMH_SQL,
+        "q_kruskal_wallis": Q_KRUSKAL_WALLIS_SQL,
+        "q_fleiss_kappa": Q_FLEISS_KAPPA_SQL,
+        "q_pr_auc": Q_PR_AUC_SQL,
+        "q_l_diversity": Q_L_DIVERSITY_SQL,
     }

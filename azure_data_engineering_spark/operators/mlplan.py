@@ -1190,3 +1190,56 @@ def ucb1_allocation(
         F.round(F.col("u"), round_digits).alias("ucb"),
         (F.row_number().over(w) == 1).alias("chosen"),
     ).orderBy("arm")
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Threshold-sweep average precision — the PR-AUC companion to
+    roc_auc (which is blind to class imbalance; AP is the metric that
+    moves when the positive class is rare, the usual shape of quality-
+    classifier and retrieval gates):
+
+        AP = Σ_t (R_t − R_{t−1}) · P_t
+
+    over distinct score thresholds t descending, with P_t / R_t the
+    precision / recall of "predict positive at score ≥ t". This is
+    the tie-robust threshold definition (scikit-learn's
+    average_precision_score): a tie block enters the sweep as ONE
+    threshold, so no arbitrary within-tie order is invented — the
+    roc_auc discipline.
+
+    Scale shape: ONE score-keyed groupBy (map-side combinable) + a
+    prefix-sum window over the distinct-score frame only — the corpus
+    is never row-sorted. Per-threshold contributions (ratios of exact
+    longs) are rounded to 9 dp before the sum so accumulation order
+    cannot move the double. Returns one row (n, n_pos, ap)."""
+    lab = F.col(label_col).cast("int")
+    per_s = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(lab.cast("long")).alias("pos"),
+        F.count(F.lit(1)).cast("long").alias("ct"),
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_s.withColumn("cum_pos", F.sum("pos").over(w)).withColumn(
+        "cum_all", F.sum("ct").over(w)
+    )
+    tot = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(lab.cast("long")).alias("n_pos"),
+    )
+    contrib = cum.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.col("pos").cast("double")
+            / F.col("n_pos").cast("double")
+            * (F.col("cum_pos").cast("double") / F.col("cum_all").cast("double")),
+            9,
+        ).cast("decimal(38,9)").alias("c"),
+        "n",
+        "n_pos",
+    )
+    return contrib.groupBy("n", "n_pos").agg(
+        F.round(F.sum("c").cast("double"), round_digits).alias("ap")
+    )

@@ -208,3 +208,64 @@ def t_closeness_audit(
         )
     )
     return emd.withColumn("t_ok", (F.col("emd") <= F.lit(t)).cast("int"))
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 3,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    disclosure check k_anonymity_audit only summarizes: a class can be
+    k-anonymous yet reveal everyone's sensitive value when all k rows
+    share it (the homogeneity attack). Per quasi-identifier class this
+    computes BOTH diversity notions and reduces to one release-gate
+    row:
+
+    - distinct l:  count of distinct sensitive values in the class
+    - entropy l:   exp(−Σ_j p_j ln p_j) over the class's sensitive
+      distribution — the effective number of values an adversary must
+      still distinguish (entropy-l ≤ distinct-l, with equality only
+      at the uniform distribution; the stricter, skew-aware notion)
+
+    Returns one row: n_rows, n_classes, min_distinct_l,
+    classes_below_l / rows_below_l / pct_below_l (distinct-l < ``l``
+    — the population needing suppression or generalization), and
+    min_entropy_l.
+
+    Scale shape: ONE (QI…, sensitive) groupBy → ONE QI-class groupBy
+    → one reduce; each −p·ln p summand is a ratio of exact longs
+    rounded to 9 dp before the class sum, so the entropy double is
+    accumulation-order-independent. NULL QI values form their own
+    class (conservative, as in k_anonymity_audit); NULL sensitive
+    values count as one distinguishable value."""
+    qi = [F.col(c) for c in quasi_cols]
+    cells = df.groupBy(*qi, F.col(sensitive_col).alias("sv")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcls = Window.partitionBy(*[F.col(c) for c in quasi_cols])
+    cells = cells.withColumn("g_n", F.sum("c").over(wcls))
+    p = F.col("c").cast("double") / F.col("g_n").cast("double")
+    classes = cells.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.first("g_n").alias("g_n"),
+        F.count(F.lit(1)).cast("long").alias("g_l"),
+        F.sum(F.round(-p * F.log(p), 9).cast("decimal(38,9)")).alias("h"),
+    )
+    ent_l = F.round(F.exp(F.col("h").cast("double")), 9)
+    return classes.agg(
+        F.sum("g_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("g_l").cast("long").alias("min_distinct_l"),
+        F.sum((F.col("g_l") < l).cast("long")).cast("long").alias("classes_below_l"),
+        F.sum(F.when(F.col("g_l") < l, F.col("g_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_below_l"),
+        F.round(
+            F.sum(F.when(F.col("g_l") < l, F.col("g_n")).otherwise(F.lit(0)))
+            / F.sum("g_n"),
+            out_decimals,
+        ).alias("pct_below_l"),
+        F.round(F.min(ent_l), out_decimals).alias("min_entropy_l"),
+    )

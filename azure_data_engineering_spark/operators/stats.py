@@ -1768,3 +1768,154 @@ def cmh_test(
         F.round(chi2, round_digits).alias("chi2"),
         F.round(_erfc_two_sided(F.sqrt(chi2)), round_digits).alias("p_value"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis H rank test (Kruskal & Wallis 1952) — the
+    k-group generalization of mann_whitney_u and the non-parametric
+    companion to anova_oneway: does ANY of k groups shift the metric's
+    distribution, with no normality assumption?
+
+        H  = 12/(N(N+1)) · Σ_h R_h²/n_h − 3(N+1)
+        C  = 1 − Σ(t³−t)/(N³−N)          (tie correction, t = tie sizes)
+        H' = H / C
+
+    p via the Wilson-Hilferty cube-root normal approximation of the
+    χ²(k−1) upper tail — ((H'/ν)^⅓ − (1−2/9ν)) / √(2/9ν) pushed
+    through the shared A&S erfc polynomial (one-sided; the z<0 branch
+    reflects). The approximation (not an exact χ² CDF) is the
+    documented convention the oracle replicates.
+
+    Scale shape: mann_whitney_u's midrank discipline generalized —
+    midranks from ONE value-keyed count frame (doubled midrank
+    2C−t+1 stays an exact long), per-group rank sums from ONE
+    (group, value)-keyed frame joined to it, so no per-row window
+    ever sorts the corpus; tie sizes fall out of the value frame for
+    free. Returns one row (k_groups, n, h_stat, h_corrected,
+    p_value)."""
+    per_v = df.groupBy(F.col(value_col).alias("val")).agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_v.withColumn("cum", F.sum("ct").over(w)).withColumn(
+        "m2x", (2 * F.col("cum") - F.col("ct") + 1).cast("long")
+    )
+    gv = df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("val")).agg(
+        F.count(F.lit(1)).cast("long").alias("cg")
+    )
+    per_g = (
+        gv.join(ranked.select("val", "m2x"), "val")
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("cg") * F.col("m2x")).cast("long").alias("r2x"),
+            F.sum("cg").cast("long").alias("nh"),
+        )
+    )
+    # Σ R_h²/n_h with R_h = r2x/2 → Σ r2x²/(4 n_h); the summand is a
+    # ratio of exact longs, rounded to 9 dp before the k-row sum
+    ties = ranked.agg(
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("long")
+        .alias("tie3")
+    )
+    agg = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("nh").cast("long").alias("n"),
+        F.sum(
+            F.round(
+                F.col("r2x").cast("double") * F.col("r2x").cast("double")
+                / (4.0 * F.col("nh").cast("double")),
+                9,
+            ).cast("decimal(38,9)")
+        ).alias("rsq"),
+    ).crossJoin(ties)
+    n = F.col("n").cast("double")
+    h = 12.0 / (n * (n + 1.0)) * F.col("rsq").cast("double") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("tie3").cast("double") / (n * n * n - n)
+    hc = F.round(h / corr, 9)
+    nu = (F.col("k_groups") - 1).cast("double")
+    zwh = F.round(
+        (F.cbrt(F.greatest(hc, F.lit(0.0)) / nu) - (1.0 - 2.0 / (9.0 * nu)))
+        / F.sqrt(2.0 / (9.0 * nu)),
+        9,
+    )
+    p_up = F.when(zwh >= 0, _erfc_two_sided(zwh) / 2.0).otherwise(
+        1.0 - _erfc_two_sided(-zwh) / 2.0
+    )
+    return agg.select(
+        "k_groups",
+        "n",
+        F.round(h, round_digits).alias("h_stat"),
+        F.round(hc, round_digits).alias("h_corrected"),
+        F.round(p_up, round_digits).alias("p_value"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    n_raters: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among
+    a FIXED number of raters per item, the multi-rater generalization
+    of cohens_kappa and the standard QA gate for label-farm /
+    LLM-judge annotation pipelines: raw percent-agree overstates
+    quality whenever the category marginals are skewed.
+
+        P_i  = (Σ_j n_ij² − n) / (n(n−1))     per-item agreement
+        P̄    = mean_i P_i
+        p_j  = Σ_i n_ij / (N·n)               category marginals
+        P̄_e  = Σ_j p_j²
+        κ    = (P̄ − P̄_e) / (1 − P̄_e)
+
+    Items whose rating count ≠ ``n_raters`` are EXCLUDED (Fleiss'
+    statistic is undefined for ragged panels; the caller pre-trims,
+    e.g. first-n by a deterministic order). Every sum is an exact
+    integer until the final divisions, so the doubles are identical
+    cross-engine. Scale shape: ONE (item, category) groupBy + one
+    item-partition window for the panel filter + two k-row reduces.
+    Returns one row (n_items, n_raters, k_categories, p_bar, p_e,
+    kappa)."""
+    cells = df.groupBy(
+        F.col(item_col).alias("item"), F.col(category_col).alias("cat")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    wi = Window.partitionBy("item")
+    cells = cells.withColumn("tot", F.sum("nij").over(wi)).filter(
+        F.col("tot") == n_raters
+    )
+    per_item = cells.groupBy("item").agg(
+        F.sum(F.col("nij") * F.col("nij")).cast("long").alias("sq")
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("sq").cast("long").alias("sqsum"),
+    )
+    cats = cells.groupBy("cat").agg(F.sum("nij").cast("long").alias("cj"))
+    catagg = cats.agg(
+        F.count(F.lit(1)).cast("long").alias("k_categories"),
+        F.sum(F.col("cj") * F.col("cj")).cast("long").alias("cj2"),
+    )
+    out = items.crossJoin(catagg)
+    nn = F.col("n_items").cast("double")
+    n = float(n_raters)
+    p_bar = (F.col("sqsum").cast("double") - nn * n) / (nn * n * (n - 1.0))
+    p_e = F.col("cj2").cast("double") / (nn * n * nn * n)
+    return out.select(
+        "n_items",
+        F.lit(n_raters).cast("long").alias("n_raters"),
+        "k_categories",
+        F.round(p_bar, round_digits).alias("p_bar"),
+        F.round(p_e, round_digits).alias("p_e"),
+        # p_e = 1 (a single category across the whole panel) makes κ
+        # 0/0-undefined — emit NULL rather than divide by zero
+        F.when(
+            p_e < 1.0, F.round((p_bar - p_e) / (1.0 - p_e), round_digits)
+        ).alias("kappa"),
+    )
