@@ -18471,6 +18471,212 @@ FROM classes
 """
 
 
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streaks per user (operators/
+    window_ops.activity_streaks) — gaps-and-islands on the integer DAY
+    grid (q_sessionize detects islands in event-time gaps; retention
+    teams report streaks at day granularity). Epoch-day integer
+    arithmetic end to end; the longest island breaks length ties on
+    earliest start via the lexicographic max-struct. Top 200 users by
+    (longest_streak DESC, user_id)."""
+    from azure_data_engineering_spark.operators.window_ops import activity_streaks
+
+    ev = _t(spark, sf_dir, "events")
+    return activity_streaks(ev, "user_id", "ts", top_n=200)
+
+
+Q_ACTIVITY_STREAKS_SQL = """
+WITH kd AS (
+  SELECT DISTINCT user_id AS k,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+), anchored AS (
+  SELECT k, d, d - row_number() OVER (PARTITION BY k ORDER BY d) AS anchor
+  FROM kd
+), islands AS (
+  SELECT k, anchor, count(*) AS len, min(d) AS start
+  FROM anchored GROUP BY 1, 2
+), per_key AS (
+  SELECT k, sum(len) AS n_active_days, count(*) AS n_islands,
+         max(len) AS longest,
+         min(CASE WHEN len = mx THEN start END) AS l_start
+  FROM (SELECT *, max(len) OVER (PARTITION BY k) AS mx FROM islands)
+  GROUP BY 1
+)
+SELECT k AS key, CAST(n_active_days AS BIGINT) AS n_active_days,
+       CAST(n_islands AS BIGINT) AS n_islands,
+       CAST(longest AS BIGINT) AS longest_streak,
+       strftime(DATE '1970-01-01' + l_start * INTERVAL 1 DAY, '%Y-%m-%d')
+         AS longest_start
+FROM per_key
+ORDER BY longest_streak DESC, key ASC LIMIT 200
+"""
+
+
+def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch relative-error quantiles (operators/ddsketch): p50/p90/
+    p99 of lineitem extended price at α = 0.02, audited in the same
+    plan against the exact order statistic (the recall-gate
+    discipline) — the mergeable log-γ-bucket sketch whose error bound
+    is in VALUE terms, the guarantee latency/price SLOs are written
+    against (approx_percentile's Greenwald-Khanna bounds RANK error
+    instead). Bucket = ceil(round(lnx/lnγ, 9)); the sketch is a plain
+    (bucket, count) frame mergeable by groupBy-sum."""
+    from azure_data_engineering_spark.operators.ddsketch import ddsketch_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ddsketch_quantiles(li, "l_extendedprice", alpha=0.02)
+
+
+Q_DDSKETCH_SQL = """
+WITH pos AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+  WHERE l_extendedprice > 0
+), params AS (
+  SELECT ln((1.0 + 0.02) / (1.0 - 0.02)) AS lng,
+         (1.0 + 0.02) / (1.0 - 0.02) AS gamma
+), buckets AS (
+  SELECT CAST(ceil(round(ln(x) / (SELECT lng FROM params), 9)) AS BIGINT) AS b,
+         count(*) AS ct
+  FROM pos GROUP BY 1
+), bcum AS (
+  SELECT b, ct, sum(ct) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+  FROM buckets
+), vals AS (
+  SELECT x, count(*) AS ct FROM pos GROUP BY 1
+), vcum AS (
+  SELECT x, sum(ct) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum FROM vals
+), total AS (SELECT count(*) AS n FROM pos),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+ranks AS (
+  SELECT q, n, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS r FROM qs, total
+), pick_b AS (
+  SELECT q, n, min(cum) AS mcum FROM ranks JOIN bcum ON cum >= r GROUP BY 1, 2
+), pb AS (
+  SELECT pick_b.q, pick_b.n, bcum.b AS bucket
+  FROM pick_b JOIN bcum ON bcum.cum = pick_b.mcum
+), pick_v AS (
+  SELECT q, min(cum) AS mcum FROM ranks JOIN vcum ON cum >= r GROUP BY 1
+), pv AS (
+  SELECT pick_v.q, vcum.x AS exact_value
+  FROM pick_v JOIN vcum ON vcum.cum = pick_v.mcum
+)
+SELECT pb.q, CAST(pb.n AS BIGINT) AS n, CAST(pb.bucket AS BIGINT) AS bucket,
+       round(exp(CAST(pb.bucket AS DOUBLE) * (SELECT lng FROM params)) * 2.0
+             / ((SELECT gamma FROM params) + 1.0), 6) AS estimate,
+       round(pv.exact_value, 6) AS exact_value,
+       round(abs(round(exp(CAST(pb.bucket AS DOUBLE) * (SELECT lng FROM params)) * 2.0
+             / ((SELECT gamma FROM params) + 1.0), 6) - pv.exact_value)
+             / pv.exact_value, 6) AS rel_err,
+       0.02 AS alpha
+FROM pb JOIN pv ON pb.q = pv.q
+ORDER BY pb.q
+"""
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration by pool-adjacent-violators (operators/
+    mlplan.isotonic_calibration): the monotone fit of P(purchase)
+    against the event-value score, computed via the PAV minimax
+    identity max_{i≤b} min_{j≥b} avg(i..j) — pure joins over the
+    ≤20-row bin frame instead of the sequential pooling loop, which
+    is what makes PAV distributable. Caller-pinned equal-width bins
+    (lo=0, width=25, 20 bins) so no data-dependent tie convention
+    exists; interval averages are ratios of exact integer prefix
+    sums."""
+    from azure_data_engineering_spark.operators.mlplan import isotonic_calibration
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return isotonic_calibration(d, "score", "y", lo=0.0, width=25.0, n_bins=20)
+
+
+Q_ISOTONIC_SQL = """
+WITH d AS (
+  SELECT greatest(0, least(19, CAST(floor(round((value - 0.0) / 25.0, 9)) AS BIGINT)))
+           AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), bins AS (
+  SELECT bin, count(*) AS w, sum(y) AS s FROM d GROUP BY 1
+), cum AS (
+  SELECT bin, w, s,
+         row_number() OVER (ORDER BY bin) AS pos,
+         sum(w) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(s) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cs
+  FROM bins
+), pa AS (
+  SELECT a.pos AS i, b.pos AS j,
+         round(CAST(b.cs - (a.cs - a.s) AS DOUBLE)
+               / CAST(b.cw - (a.cw - a.w) AS DOUBLE), 9) AS avg
+  FROM cum a JOIN cum b ON a.pos <= b.pos
+), m1 AS (
+  SELECT p.pos AS p, pa.j, max(pa.avg) AS m
+  FROM pa JOIN cum p ON pa.i <= p.pos AND pa.j >= p.pos
+  GROUP BY 1, 2
+), iso AS (
+  SELECT p, min(m) AS iso FROM m1 GROUP BY 1
+)
+SELECT cum.bin, CAST(cum.w AS BIGINT) AS n,
+       round(CAST(cum.s AS DOUBLE) / cum.w, 6) AS rate,
+       round(iso.iso, 6) AS iso_rate
+FROM cum JOIN iso ON cum.pos = iso.p
+ORDER BY cum.bin
+"""
+
+
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-matching stratified ATE/ATT (operators/stats.
+    stratified_ate): the user-parity arm's effect on event value with
+    EVENT TYPE held fixed — the continuous-outcome companion to
+    q_cmh (same confounder, mean difference instead of odds ratio),
+    Simpson-proof where the pooled q_welch_t comparison is not.
+    Classes lacking either arm are dropped and reported (the overlap
+    assumption made visible); outcomes quantized to 6 dp decimals
+    per row, weighted-diff summands to 9 dp before the class sum."""
+    from azure_data_engineering_spark.operators.stats import stratified_ate
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        F.col("value").alias("y"),
+    )
+    return stratified_ate(d, "t", "y", "event_type")
+
+
+Q_STRATIFIED_ATE_SQL = """
+WITH cells AS (
+  SELECT event_type AS c,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN user_id % 2 = 1
+             THEN CAST(round(value, 6) AS DECIMAL(28,6)) END) AS s1,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN user_id % 2 = 0
+             THEN CAST(round(value, 6) AS DECIMAL(28,6)) END) AS s0,
+         count(*) AS n
+  FROM events GROUP BY 1
+), st AS (
+  SELECT *,
+         (n1 > 0 AND n0 > 0) AS hasboth,
+         round(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0, 9) AS diff
+  FROM cells
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN hasboth THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_used,
+       CAST(sum(CASE WHEN NOT hasboth THEN n ELSE 0 END) AS BIGINT) AS n_dropped_rows,
+       round(CAST(sum(CASE WHEN hasboth THEN CAST(round(diff * n, 9) AS DECIMAL(38,9)) END)
+             AS DOUBLE) / sum(CASE WHEN hasboth THEN n ELSE 0 END), 6) AS ate,
+       round(CAST(sum(CASE WHEN hasboth THEN CAST(round(diff * n1, 9) AS DECIMAL(38,9)) END)
+             AS DOUBLE) / sum(CASE WHEN hasboth THEN n1 ELSE 0 END), 6) AS att
+FROM st
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -18881,6 +19087,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fleiss_kappa": q_fleiss_kappa,
         "q_pr_auc": q_pr_auc,
         "q_l_diversity": q_l_diversity,
+        "q_activity_streaks": q_activity_streaks,
+        "q_ddsketch": q_ddsketch,
+        "q_isotonic_calibration": q_isotonic_calibration,
+        "q_stratified_ate": q_stratified_ate,
     }
 
 
@@ -19270,4 +19480,8 @@ def oracle_sql() -> dict[str, str]:
         "q_fleiss_kappa": Q_FLEISS_KAPPA_SQL,
         "q_pr_auc": Q_PR_AUC_SQL,
         "q_l_diversity": Q_L_DIVERSITY_SQL,
+        "q_activity_streaks": Q_ACTIVITY_STREAKS_SQL,
+        "q_ddsketch": Q_DDSKETCH_SQL,
+        "q_isotonic_calibration": Q_ISOTONIC_SQL,
+        "q_stratified_ate": Q_STRATIFIED_ATE_SQL,
     }

@@ -1243,3 +1243,99 @@ def average_precision(
     return contrib.groupBy("n", "n_pos").agg(
         F.round(F.sum("c").cast("double"), round_digits).alias("ap")
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Isotonic calibration via pool-adjacent-violators, computed as
+    the PAV minimax identity (Robertson-Wright-Dykstra 1988):
+
+        iso(b) = max_{i≤b} min_{j≥b} weighted-avg(rate, bins i..j)
+
+    — the monotone fit platt-free calibration pipelines apply when the
+    raw per-bin positive rate is non-monotone in the score. The
+    iterative pooling loop is NOT distributed-friendly; the minimax
+    form is pure joins over the BIN frame, which is what makes this
+    operator scale-safe: the corpus collapses to ≤``n_bins`` rows in
+    ONE map-side-combinable groupBy, and the O(B³) minimax runs on
+    broadcast-sized frames (B ≤ 64 enforced).
+
+    Binning is caller-pinned (``lo``/``width``/``n_bins`` constants,
+    index = clamp(floor(round((score−lo)/width, 9)))) so no data-
+    dependent quantile/ntile tie convention exists to diverge
+    cross-engine. Interval averages are ratios of exact integer
+    (cum-label, cum-count) prefix sums, rounded to 9 dp. Returns one
+    row per NON-EMPTY bin: (bin, n, rate, iso_rate) with iso_rate
+    non-decreasing in bin."""
+    if n_bins > 64:
+        raise ValueError(f"isotonic_calibration caps n_bins at 64, got {n_bins}")
+    idx = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(n_bins - 1).cast("long"),
+            F.floor(F.round((F.col(score_col) - lo) / width, 9)).cast("long"),
+        ),
+    )
+    lab = F.col(label_col).cast("long")
+    bins = (
+        df.select(idx.alias("bin"), lab.alias("y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"), F.sum("y").cast("long").alias("s"))
+    )
+    wp = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        bins.withColumn("pos", F.row_number().over(Window.orderBy("bin")))
+        .withColumn("cw", F.sum("w").over(wp))
+        .withColumn("cs", F.sum("s").over(wp))
+    )
+    a = cum.select(
+        F.col("pos").alias("i"),
+        (F.col("cw") - F.col("w")).alias("cw0"),
+        (F.col("cs") - F.col("s")).alias("cs0"),
+    )
+    b = cum.select(F.col("pos").alias("j"), F.col("cw").alias("cwj"), F.col("cs").alias("csj"))
+    pa = (
+        F.broadcast(a)
+        .join(F.broadcast(b), F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("csj") - F.col("cs0")).cast("double")
+                / (F.col("cwj") - F.col("cw0")).cast("double"),
+                9,
+            ).alias("avg"),
+        )
+    )
+    pos_frame = cum.select(F.col("pos").alias("p"))
+    # step 1: m1(p, j) = max over i ≤ p of avg(i..j), for j ≥ p
+    m1 = (
+        F.broadcast(pa)
+        .join(
+            F.broadcast(pos_frame),
+            (F.col("i") <= F.col("p")) & (F.col("j") >= F.col("p")),
+        )
+        .groupBy("p", "j")
+        .agg(F.max("avg").alias("m"))
+    )
+    # step 2: iso(p) = min over j ≥ p of m1(p, j)
+    iso = m1.groupBy("p").agg(F.min("m").alias("iso"))
+    return (
+        cum.join(F.broadcast(iso), cum["pos"] == iso["p"])
+        .select(
+            "bin",
+            F.col("w").alias("n"),
+            F.round(F.col("s").cast("double") / F.col("w").cast("double"), round_digits).alias(
+                "rate"
+            ),
+            F.round(F.col("iso"), round_digits).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -1919,3 +1919,76 @@ def fleiss_kappa(
             p_e < 1.0, F.round((p_bar - p_e) / (1.0 - p_e), round_digits)
         ).alias("kappa"),
     )
+
+
+def stratified_ate(
+    df: DataFrame,
+    treated_col: str,
+    outcome_col: str,
+    class_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact-matching stratified treatment-effect estimate
+    (subclassification, Cochran 1968) — the continuous-outcome
+    companion to cmh_test: when treatment assignment correlates with a
+    confounding class, the pooled mean difference is Simpson-biased;
+    stratify on the class, difference means WITHIN each stratum, and
+    reweight:
+
+        ATE = Σ_c (n_c / N_used) · (ȳ₁c − ȳ₀c)    (population weights)
+        ATT = Σ_c (n₁c / N₁,used) · (ȳ₁c − ȳ₀c)   (treated weights)
+
+    Classes lacking either arm carry no counterfactual and are DROPPED
+    (reported as dropped rows — the estimator's overlap assumption
+    made visible). Outcomes are quantized to 6 dp decimals per row
+    before summing (the module's exact-moment discipline) so the
+    per-class means are identical cross-engine; each weighted-diff
+    summand rounds to 9 dp before the class sum. ONE corpus groupBy +
+    one class-frame reduce. Returns one row: (n_total, n_classes,
+    n_classes_used, n_dropped_rows, ate, att)."""
+    t = F.col(treated_col).cast("int")
+    yq = F.round(F.col(outcome_col).cast("double"), 6).cast("decimal(28,6)")
+    cells = df.groupBy(F.col(class_col).alias("c")).agg(
+        F.sum(t.cast("long")).alias("n1"),
+        F.sum(F.when(t == 1, yq).otherwise(F.lit(None))).alias("s1"),
+        F.sum((1 - t).cast("long")).alias("n0"),
+        F.sum(F.when(t == 0, yq).otherwise(F.lit(None))).alias("s0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    used = F.col("n1") > 0
+    both = used & (F.col("n0") > 0)
+    diff = F.round(
+        F.col("s1").cast("double") / F.col("n1").cast("double")
+        - F.col("s0").cast("double") / F.col("n0").cast("double"),
+        9,
+    )
+    dec = "decimal(38,9)"
+    agg = cells.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(both.cast("long")).cast("long").alias("n_classes_used"),
+        F.sum(F.when(~both, F.col("n")).otherwise(F.lit(0))).cast("long").alias(
+            "n_dropped_rows"
+        ),
+        F.sum(F.when(both, F.col("n")).otherwise(F.lit(0))).cast("long").alias("n_used"),
+        F.sum(F.when(both, F.col("n1")).otherwise(F.lit(0))).cast("long").alias("n1_used"),
+        F.sum(F.when(both, F.round(diff * F.col("n").cast("double"), 9).cast(dec))).alias(
+            "ate_num"
+        ),
+        F.sum(
+            F.when(both, F.round(diff * F.col("n1").cast("double"), 9).cast(dec))
+        ).alias("att_num"),
+    )
+    return agg.select(
+        "n_total",
+        "n_classes",
+        "n_classes_used",
+        "n_dropped_rows",
+        F.round(
+            F.col("ate_num").cast("double") / F.col("n_used").cast("double"), round_digits
+        ).alias("ate"),
+        F.round(
+            F.col("att_num").cast("double") / F.col("n1_used").cast("double"),
+            round_digits,
+        ).alias("att"),
+    )

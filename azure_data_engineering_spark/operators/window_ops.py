@@ -420,3 +420,53 @@ def path_ngrams(
     return grams.groupBy(*[f"s{i + 1}" for i in range(n)]).agg(
         F.count(F.lit(1)).cast("long").alias("n_paths")
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    top_n: int = 200,
+) -> DataFrame:
+    """Longest-consecutive-day activity streaks per key — the classic
+    gaps-and-islands engagement metric (sessionize detects islands in
+    EVENT-TIME gaps; this detects them on the integer DAY grid, the
+    granularity retention teams actually report "streaks" at).
+
+    Method: collapse to the distinct (key, epoch-day) frame — the only
+    corpus-scale shuffle — then the island anchor is ``day −
+    row_number()`` per key (consecutive days share an anchor), one
+    groupBy per island, one per key. Epoch-day INTEGER arithmetic end
+    to end, so no date/interval convention can diverge cross-engine;
+    the longest island breaks length ties on EARLIEST start
+    (max-struct(len, −start) — the repo's lexicographic-extreme
+    discipline). Returns the top ``top_n`` keys by (longest_streak
+    DESC, key ASC): key, n_active_days, n_islands, longest_streak,
+    longest_start (ISO date string)."""
+    day = F.datediff(F.to_date(F.col(ts_col)), F.to_date(F.lit("1970-01-01")))
+    kd = df.select(F.col(key_col).alias("k"), day.alias("d")).distinct()
+    w = Window.partitionBy("k").orderBy("d")
+    anchored = kd.withColumn("anchor", F.col("d") - F.row_number().over(w))
+    islands = anchored.groupBy("k", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").alias("start"),
+    )
+    per_key = islands.groupBy("k").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max(F.struct(F.col("len"), (-F.col("start")).alias("negstart"))).alias("m"),
+    )
+    return (
+        per_key.select(
+            F.col("k").alias("key"),
+            "n_active_days",
+            "n_islands",
+            F.col("m.len").alias("longest_streak"),
+            F.date_format(
+                F.date_add(F.to_date(F.lit("1970-01-01")), -F.col("m.negstart")),
+                "yyyy-MM-dd",
+            ).alias("longest_start"),
+        )
+        .orderBy(F.col("longest_streak").desc(), F.col("key").asc())
+        .limit(top_n)
+    )
