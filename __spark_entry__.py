@@ -18677,6 +18677,247 @@ FROM st
 """
 
 
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-source harmonic closeness centrality (operators/graph.
+    closeness_ksource) over the co-purchase part graph — how quickly
+    do the sampled parts reach the rest of the graph? The
+    reach-speed companion to q_betweenness's bridge score, on the
+    same 6 deterministic md5-chosen sources and depth-3 truncation so
+    the oracle unrolls the identical forward BFS rounds; harmonic
+    (not classic) closeness so disconnection contributes 0 instead of
+    poisoning the mean."""
+    from azure_data_engineering_spark.operators.graph import closeness_ksource
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return closeness_ksource(edges, k_sources=6, max_depth=3).orderBy("node")
+
+
+def _closeness_oracle_sql(k_sources: int = 6, max_depth: int = 3) -> str:
+    head = f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+), nodes AS (
+  SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+), sources AS MATERIALIZED (
+  SELECT n AS s FROM (
+    SELECT n, row_number() OVER (ORDER BY md5(CAST(n AS VARCHAR) || 'cls')) AS rk
+    FROM nodes
+  ) WHERE rk <= {k_sources}
+), v0 AS MATERIALIZED (
+  SELECT s, s AS node, 0 AS d FROM sources
+)"""
+    parts = []
+    prev_visited = "v0"
+    prev_frontier = "v0"
+    for lvl in range(1, max_depth + 1):
+        parts.append(f"""
+, f{lvl} AS MATERIALIZED (
+  SELECT g.s, g.node, {lvl} AS d FROM (
+    SELECT DISTINCT fr.s, e.dst AS node
+    FROM {prev_frontier} fr JOIN e ON e.src = fr.node
+  ) g
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_visited} vv WHERE vv.s = g.s AND vv.node = g.node)
+), vis{lvl} AS MATERIALIZED (
+  SELECT * FROM {prev_visited} UNION ALL SELECT * FROM f{lvl}
+)""")
+        prev_visited = f"vis{lvl}"
+        prev_frontier = f"f{lvl}"
+    tail = f"""
+, lvl_counts AS (
+  SELECT s, d, count(*) AS ct FROM {prev_visited} WHERE d > 0 GROUP BY 1, 2
+), agg AS (
+  SELECT s, sum(ct) AS n_reached,
+         sum(CAST(round(CAST(ct AS DOUBLE) / d, 9) AS DECIMAL(38,9))) AS hsum
+  FROM lvl_counts GROUP BY 1
+)
+SELECT sources.s AS node,
+       CAST(coalesce(agg.n_reached, 0) AS BIGINT) AS n_reached,
+       round(coalesce(CAST(agg.hsum AS DOUBLE), 0.0), 6) AS harmonic
+FROM sources LEFT JOIN agg ON agg.s = sources.s
+ORDER BY node
+"""
+    return head + "".join(parts) + tail
+
+
+Q_CLOSENESS_SQL = _closeness_oracle_sql()
+
+
+def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity screen (operators/
+    lm.kneser_ney_bigram): the probabilistic upgrade of
+    q_bigram_logprob's stupid-backoff filter — absolute discounting
+    plus the CONTINUATION unigram ('francisco' is frequent but
+    follows almost nothing but 'san', so its backoff mass is tiny).
+    In-corpus scoring (the DSIR/CCNet setting): every bigram has
+    c ≥ 1, so no OOV path. Model on the bigram TYPE frame; scoring
+    is one equi-join of the pair stream onto it. Top 100 most
+    surprising documents."""
+    from azure_data_engineering_spark.functions.text import normalize_text
+    from azure_data_engineering_spark.operators.lm import kneser_ney_bigram
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text(F.col("text")), " "), lambda t: t != "")
+    docs = d.select("doc_id", toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    return kneser_ney_bigram(pairs, discount=0.75, top_n=100)
+
+
+Q_KN_BIGRAM_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS arr
+  FROM documents
+), pairs AS (
+  SELECT doc_id, arr[k + 1] AS w1, arr[k + 2] AS w2
+  FROM docs, LATERAL unnest(range(len(arr) - 1)) AS t(k)
+), c12 AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+), w1s AS (
+  SELECT w1, sum(c12) AS c1, count(*) AS fanout FROM c12 GROUP BY 1
+), w2s AS (
+  SELECT w2, count(*) AS fanin FROM c12 GROUP BY 1
+), nt AS (SELECT count(*) AS n_types FROM c12),
+model AS (
+  SELECT c12.w1, c12.w2,
+         greatest(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0) / c1
+           + 0.75 * fanout / c1 * (CAST(fanin AS DOUBLE) / n_types) AS p_kn
+  FROM c12 JOIN w1s USING (w1) JOIN w2s USING (w2) CROSS JOIN nt
+), scored AS (
+  SELECT pairs.doc_id,
+         CAST(round(-ln(model.p_kn), 9) AS DECIMAL(38,9)) AS nll
+  FROM pairs JOIN model ON pairs.w1 = model.w1 AND pairs.w2 = model.w2
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_nll,
+       round(exp(avg_nll), 6) AS ppl
+FROM per_doc
+ORDER BY avg_nll DESC, doc_id ASC LIMIT 100
+"""
+
+
+def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (operators/stats.
+    brown_forsythe_levene): do order-priority classes differ in
+    order-value SPREAD? The assumption check behind q_anova_f's
+    pooled comparison, and a drift alarm the mean tests cannot see.
+    W = ANOVA F on z = |x − median_g|; group medians use the
+    lower-median order statistic from the per-group distinct-value
+    cumulative frame (never an interpolated midpoint), z quantized
+    to 6 dp per row before the exact-decimal moment sums."""
+    from azure_data_engineering_spark.operators.stats import brown_forsythe_levene
+
+    o = _t(spark, sf_dir, "orders")
+    return brown_forsythe_levene(o, "o_orderpriority", "o_totalprice")
+
+
+Q_LEVENE_SQL = """
+WITH per_v AS (
+  SELECT o_orderpriority AS gg, CAST(o_totalprice AS DOUBLE) AS val, count(*) AS ct
+  FROM orders GROUP BY 1, 2
+), cum AS (
+  SELECT gg, val, ct,
+         sum(ct) OVER (PARTITION BY gg ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(ct) OVER (PARTITION BY gg) AS ng
+  FROM per_v
+), medians AS (
+  SELECT gg, min(val) AS med FROM cum
+  WHERE cum >= CAST(ceil(CAST(ng AS DOUBLE) / 2.0) AS BIGINT)
+  GROUP BY 1
+), z AS (
+  SELECT o.o_orderpriority AS gg,
+         round(abs(CAST(o.o_totalprice AS DOUBLE) - m.med), 6) AS z
+  FROM orders o JOIN medians m ON o.o_orderpriority = m.gg
+), g AS (
+  SELECT gg, count(*) AS ng,
+         sum(CAST(z AS DECIMAL(18,6))) AS sg,
+         sum(CAST(z AS DECIMAL(28,6)) * CAST(z AS DECIMAL(18,6))) AS ssg
+  FROM z GROUP BY 1
+), tot AS (
+  SELECT count(*) AS k, sum(ng) AS n,
+         sum(CAST(sg AS DECIMAL(38,12))) AS s,
+         sum(CAST(ssg AS DECIMAL(38,12))) AS ss,
+         sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS DECIMAL(38,6))) AS sqn
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+       round((CAST(sqn AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / ((CAST(sqn AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                + (CAST(ss AS DOUBLE) - CAST(sqn AS DOUBLE))), 6) AS eta_sq,
+       round(((CAST(sqn AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((CAST(ss AS DOUBLE) - CAST(sqn AS DOUBLE)) / CAST(n - k AS DOUBLE)), 6) AS w_stat
+FROM tot
+"""
+
+
+def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type overdispersion diagnostic for daily per-user event
+    counts (operators/stats.overdispersion_check): is per-user event
+    volume Poisson (dispersion ≈ 1) or clumped (dispersion > 1, the
+    usual reality)? The pre-flight check every Poisson-rate interval
+    assumes away; nb_size is the method-of-moments negative-binomial
+    shape to model the clumping with. Two map-side-combinable
+    groupBys total."""
+    from azure_data_engineering_spark.operators.stats import overdispersion_check
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return overdispersion_check(counts, "event_type", "cnt")
+
+
+Q_OVERDISPERSION_SQL = """
+WITH counts AS (
+  SELECT event_type AS g, user_id, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), moms AS (
+  SELECT g, count(*) AS n,
+         sum(CAST(cnt AS DECIMAL(18,6))) AS s,
+         sum(CAST(cnt AS DECIMAL(18,6)) * CAST(cnt AS DECIMAL(18,6))) AS ss
+  FROM counts GROUP BY 1
+), st AS (
+  SELECT g, n,
+         CAST(s AS DOUBLE) / n AS mean,
+         CASE WHEN n > 1 THEN
+           round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n))
+                 / (n - 1.0), 9) END AS var
+  FROM moms
+)
+SELECT g, CAST(n AS BIGINT) AS n,
+       round(mean, 6) AS mean,
+       round(var, 6) AS variance,
+       round(CASE WHEN mean > 0 THEN var / mean END, 6) AS dispersion_index,
+       round(CASE WHEN var > mean THEN mean * mean / (var - mean) END, 6) AS nb_size
+FROM st ORDER BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -19091,6 +19332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ddsketch": q_ddsketch,
         "q_isotonic_calibration": q_isotonic_calibration,
         "q_stratified_ate": q_stratified_ate,
+        "q_closeness": q_closeness,
+        "q_kn_bigram": q_kn_bigram,
+        "q_levene": q_levene,
+        "q_overdispersion": q_overdispersion,
     }
 
 
@@ -19484,4 +19729,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ddsketch": Q_DDSKETCH_SQL,
         "q_isotonic_calibration": Q_ISOTONIC_SQL,
         "q_stratified_ate": Q_STRATIFIED_ATE_SQL,
+        "q_closeness": Q_CLOSENESS_SQL,
+        "q_kn_bigram": Q_KN_BIGRAM_SQL,
+        "q_levene": Q_LEVENE_SQL,
+        "q_overdispersion": Q_OVERDISPERSION_SQL,
     }

@@ -967,3 +967,90 @@ def betweenness_ksource(
         .filter(F.col("betweenness") > 0)
     )
     return out
+
+
+def closeness_ksource(
+    edges: DataFrame,
+    k_sources: int = 8,
+    max_depth: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "cls",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Harmonic closeness centrality of k deterministic sample sources
+    (Marchiori & Latora 2000; Boldi & Vigna 2014 argue harmonic is THE
+    closeness for disconnected graphs — unreached nodes contribute 0
+    instead of poisoning the mean): how quickly can a node reach the
+    rest of the graph?
+
+        H(s) = Σ_{v ≠ s, d(s,v) ≤ max_depth} 1 / d(s,v)
+
+    Truncation at ``max_depth`` makes the score an algebraic function
+    of the edge set (the module's bfs_hops/betweenness discipline) so
+    the oracle can unroll the identical rounds; each level's
+    contribution count_l / l is a ratio of exact integers rounded to
+    9 dp before the level sum. Sources are the k smallest md5 draws
+    over the node set (the standing deterministic sample).
+
+    Scale shape: all k sources advance in ONE (source, node) frame —
+    per level one frontier-onto-edges equi-join + one anti-join,
+    localCheckpoint per round (betweenness_ksource's forward phase
+    without σ bookkeeping). Directed semantics (pass both directions
+    for undirected). Returns one row per source: (node, n_reached,
+    harmonic)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    from pyspark.sql import Window
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    wdraw = Window.orderBy(F.md5(F.concat(F.col("node").cast("string"), F.lit(salt))))
+    sources = (
+        nodes.withColumn("rk", F.row_number().over(wdraw))
+        .filter(F.col("rk") <= k_sources)
+        .select(F.col("node").alias("s"))
+    )
+    visited = sources.select("s", F.col("s").alias("node"), F.lit(0).alias("d"))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    level_counts = []
+    for level in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("s", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("s", "node"), ["s", "node"], "left_anti")
+            .withColumn("d", F.lit(level))
+            .localCheckpoint(eager=True)
+        )
+        level_counts.append(
+            nxt.groupBy("s").agg(
+                F.count(F.lit(1)).cast("long").alias("ct"),
+                F.first(F.lit(level)).alias("lvl"),
+            )
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    from functools import reduce as _reduce
+
+    per_level = _reduce(lambda a, b: a.unionByName(b), level_counts)
+    out = per_level.groupBy("s").agg(
+        F.sum("ct").cast("long").alias("n_reached"),
+        F.sum(
+            F.round(F.col("ct").cast("double") / F.col("lvl").cast("double"), 9).cast(
+                "decimal(38,9)"
+            )
+        ).alias("hsum"),
+    )
+    return sources.join(out, "s", "left").select(
+        F.col("s").alias("node"),
+        F.coalesce(F.col("n_reached"), F.lit(0)).cast("long").alias("n_reached"),
+        F.round(F.coalesce(F.col("hsum").cast("double"), F.lit(0.0)), round_digits).alias(
+            "harmonic"
+        ),
+    )

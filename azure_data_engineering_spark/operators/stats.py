@@ -1992,3 +1992,103 @@ def stratified_ate(
             round_digits,
         ).alias("att"),
     )
+
+
+def brown_forsythe_levene(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Brown-Forsythe test for variance homogeneity (Levene 1960 with
+    Brown & Forsythe 1974's median centering — the robust variant
+    recommended for skewed data): welch_t_test and anova_oneway test
+    MEANS; this tests whether the groups' SPREADS differ, the
+    assumption check behind pooled-variance procedures and a drift
+    alarm in its own right (a variance shift with stable mean is
+    invisible to the mean tests).
+
+    W is exactly the one-way ANOVA F computed on z = |x − median_g|,
+    so this delegates to anova_oneway (same exact-decimal moment
+    discipline, same normalized-statistic output; like anova_oneway
+    it emits the statistic without a p — no portable F CDF). The
+    group median uses the LOWER-median convention (the order statistic
+    at rank ⌈n_g/2⌉ from the per-group distinct-value cumulative
+    frame — an exact value both engines agree on, never an
+    interpolated midpoint). z is quantized to 6 dp per row before the
+    moment sums. Returns one row (k_groups, n, eta_sq, w_stat)."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    per_v = df.groupBy(g.alias("gg"), v.alias("val")).agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    wv = (
+        Window.partitionBy("gg").orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy("gg")
+    cum = per_v.withColumn("cum", F.sum("ct").over(wv)).withColumn(
+        "ng", F.sum("ct").over(wg)
+    )
+    med_rank = F.ceil(F.col("ng").cast("double") / 2.0).cast("long")
+    medians = (
+        cum.filter(F.col("cum") >= med_rank)
+        .groupBy("gg")
+        .agg(F.min("val").alias("med"))
+    )
+    z = (
+        df.select(g.alias("gg"), v.alias("val"))
+        .join(F.broadcast(medians), "gg")
+        .select("gg", F.round(F.abs(F.col("val") - F.col("med")), 6).alias("z"))
+    )
+    return anova_oneway(z, "gg", "z", round_digits=round_digits).withColumnRenamed(
+        "f_stat", "w_stat"
+    )
+
+
+def overdispersion_check(
+    df: DataFrame,
+    group_col: str,
+    count_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group overdispersion diagnostic for count data — the
+    pre-flight every Poisson-rate assumption needs: a Poisson column
+    has variance ≈ mean (dispersion index ≈ 1); real event counts are
+    almost always overdispersed, and modeling them as Poisson makes
+    every downstream interval too narrow. Emits per group:
+
+    - mean, variance (sample, n−1): from exact DECIMAL moments
+    - dispersion_index = var/mean (>1 ⇒ overdispersed)
+    - nb_size: the negative-binomial size (shape) by method of
+      moments, mean²/(var − mean) — NULL when var ≤ mean (no
+      overdispersion to absorb; Poisson or underdispersed)
+
+    ONE map-side-combinable groupBy; every emitted statistic is a
+    normalized O(1) ratio of same-source moments (the anova_oneway
+    large-magnitude discipline). Returns one row per group, ordered
+    by group."""
+    c = F.col(count_col).cast("decimal(18,6)")
+    gmoms = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.when(
+        F.col("n") > 1,
+        F.round(
+            (F.col("ss").cast("double") - F.col("s").cast("double") * mean) / (n - 1.0),
+            9,
+        ),
+    )
+    return gmoms.select(
+        "g",
+        "n",
+        F.round(mean, round_digits).alias("mean"),
+        F.round(var, round_digits).alias("variance"),
+        F.round(F.when(mean > 0, var / mean), round_digits).alias("dispersion_index"),
+        F.round(
+            F.when(var > mean, mean * mean / (var - mean)), round_digits
+        ).alias("nb_size"),
+    ).orderBy("g")
