@@ -18918,6 +18918,210 @@ FROM st ORDER BY g
 """
 
 
+def q_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (τ=0.5) linear quantile regression by in-plan pinball
+    subgradient descent (operators/mlplan.quantile_regression_gd):
+    the ROBUST line through (quantity, discount) → extended price
+    that least squares can't give — q_ridge_regression's fit follows
+    the outlier tail, the median fit ignores it. Same trajectory-
+    pinning discipline as q_logistic_gd (1-row broadcast weight
+    frame, 9 dp-rounded mean gradient per round, one corpus scan per
+    round); the oracle replays the identical 8 rounds as chained
+    CTEs. Coverage ≈ τ is emitted as the fit's own sanity check."""
+    from azure_data_engineering_spark.operators.mlplan import quantile_regression_gd
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        (F.col("l_extendedprice") / 100000.0).alias("t"),
+    )
+    return quantile_regression_gd(d, "x1", "x2", "t", tau=0.5, iterations=8)
+
+
+def _quantile_regression_oracle_sql(iters: int = 8, tau: float = 0.5, lr: float = 1.0) -> str:
+    parts = [
+        """WITH base AS MATERIALIZED (
+  SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
+         l_extendedprice / 100000.0 AS t
+  FROM lineitem
+), w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""", g{r} AS MATERIALIZED (
+  SELECT round(avg(ind - {tau}), 9) AS g0,
+         round(avg((ind - {tau}) * x1), 9) AS g1,
+         round(avg((ind - {tau}) * x2), 9) AS g2
+  FROM (SELECT b.x1, b.x2,
+               CASE WHEN b.t - (w.w0 + w.w1 * b.x1 + w.w2 * b.x2) < 0
+                    THEN 1.0 ELSE 0.0 END AS ind
+        FROM base b, w{r - 1} w)
+), w{r} AS MATERIALIZED (
+  SELECT w.w0 - {lr} * g.g0 AS w0, w.w1 - {lr} * g.g1 AS w1,
+         w.w2 - {lr} * g.g2 AS w2
+  FROM w{r - 1} w, g{r} g
+)"""
+        )
+    parts.append(
+        f""", scored AS (
+  SELECT w.w0, w.w1, w.w2,
+         b.t - (w.w0 + w.w1 * b.x1 + w.w2 * b.x2) AS r
+  FROM base b, w{iters} w
+)
+SELECT round(max(w0), 6) AS w0, round(max(w1), 6) AS w1,
+       round(max(w2), 6) AS w2,
+       round(avg(r * ({tau} - CASE WHEN r < 0 THEN 1.0 ELSE 0.0 END)), 6)
+         AS pinball_loss,
+       round(avg(CASE WHEN r < 0 THEN 1.0 ELSE 0.0 END), 6) AS coverage
+FROM scored"""
+    )
+    return "".join(parts)
+
+
+Q_QUANTILE_REGRESSION_SQL = _quantile_regression_oracle_sql()
+
+
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-mergeable exact distinct counts via Spark's bitmap aggregate
+    family (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count): distinct
+    parts per returnflag, PLUS the global distinct obtained by OR-ing
+    the per-flag bitmaps — NO corpus rescan, the pre-aggregation
+    property approx_count_distinct gives only approximately and
+    count(distinct) does not give at all (a 100 TB rollup re-counts;
+    a bitmap rollup ORs fixed-size buckets). Exact by construction;
+    the oracle is plain COUNT(DISTINCT) at both grains."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        F.col("l_returnflag").alias("grain"),
+        F.bitmap_bucket_number(F.col("l_partkey")).alias("bkt"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("l_partkey"))).alias("bm"))
+    per_flag = per_bucket.groupBy("grain").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_distinct")
+    )
+    merged = (
+        per_bucket.groupBy("bkt")
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_distinct"))
+        .select(F.lit("__all__").alias("grain"), "n_distinct")
+    )
+    return per_flag.unionByName(merged).orderBy("grain")
+
+
+Q_BITMAP_DISTINCT_SQL = """
+SELECT l_returnflag AS grain, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+FROM lineitem GROUP BY 1
+UNION ALL
+SELECT '__all__' AS grain, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+FROM lineitem
+ORDER BY grain
+"""
+
+
+def q_chi_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square post-hoc cell diagnostics (operators/stats.
+    chi_square_posthoc): q_chi_squared says order status and priority
+    associate; THIS says WHICH cells drive it (Haberman adjusted
+    residuals, each ≈ N(0,1) under independence) and how much it
+    matters once n is factored out (Cramér's V). Cell math from exact
+    integer margins on the R×C cell frame; χ² summands as 9 dp
+    DECIMALs."""
+    from azure_data_engineering_spark.operators.stats import chi_square_posthoc
+
+    o = _t(spark, sf_dir, "orders")
+    return chi_square_posthoc(o, "o_orderstatus", "o_orderpriority")
+
+
+Q_CHI_POSTHOC_SQL = """
+WITH cells AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS r, CAST(o_orderpriority AS VARCHAR) AS c,
+         count(*) AS nij
+  FROM orders GROUP BY 1, 2
+), rm AS (SELECT r, sum(nij) AS ri FROM cells GROUP BY 1),
+cm AS (SELECT c, sum(nij) AS cj FROM cells GROUP BY 1),
+tot AS (
+  SELECT sum(nij) AS n, count(DISTINCT r) AS nr, count(DISTINCT c) AS nc FROM cells
+), full_t AS (
+  SELECT cells.r, cells.c, nij, ri, cj, n, nr, nc,
+         CAST(ri AS DOUBLE) * cj / n AS e
+  FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot
+), chi AS (
+  SELECT round(sqrt(CAST(sum(CAST(round((nij - e) * (nij - e) / e, 9) AS DECIMAL(38,9)))
+               AS DOUBLE) / (CAST(max(n) AS DOUBLE) * (least(max(nr), max(nc)) - 1.0))), 6)
+           AS cramers_v
+  FROM full_t
+)
+SELECT r AS row_val, c AS col_val, CAST(nij AS BIGINT) AS n,
+       round(e, 6) AS expected,
+       round((nij - e) / sqrt(e * (1.0 - CAST(ri AS DOUBLE) / n)
+             * (1.0 - CAST(cj AS DOUBLE) / n)), 6) AS adj_residual,
+       cramers_v
+FROM full_t, chi
+ORDER BY row_val, col_val
+"""
+
+
+def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group effect-size panel (operators/stats.effect_size_panel)
+    between automobile and building market segments on account
+    balance: Cohen's d / Hedges' g from exact decimal moments,
+    Cliff's delta / CLES from mann_whitney's exact doubled-midrank
+    frame — the MAGNITUDE answer to q_welch_t/q_mann_whitney's
+    significance answer (at corpus scale everything is significant;
+    these say whether it matters)."""
+    from azure_data_engineering_spark.operators.stats import effect_size_panel
+
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    return effect_size_panel(c, "c_mktsegment", "c_acctbal")
+
+
+Q_EFFECT_SIZES_SQL = """
+WITH d AS (
+  SELECT c_mktsegment AS g, c_acctbal AS v FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+), moms AS (
+  SELECT sum(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS n1,
+         count(*) AS n,
+         sum(CASE WHEN g = 'AUTOMOBILE' THEN CAST(v AS DECIMAL(18,6)) END) AS s1,
+         sum(CASE WHEN g = 'AUTOMOBILE'
+             THEN CAST(v AS DECIMAL(28,6)) * CAST(v AS DECIMAL(18,6)) END) AS ss1,
+         sum(CASE WHEN g <> 'AUTOMOBILE' THEN CAST(v AS DECIMAL(18,6)) END) AS s0,
+         sum(CASE WHEN g <> 'AUTOMOBILE'
+             THEN CAST(v AS DECIMAL(28,6)) * CAST(v AS DECIMAL(18,6)) END) AS ss0
+  FROM d
+), per_v AS (
+  SELECT v AS val, sum(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS c1,
+         count(*) AS ct
+  FROM d GROUP BY 1
+), ranked AS (
+  SELECT c1, 2 * sum(ct) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) - ct + 1 AS m2x
+  FROM per_v
+), u AS (SELECT sum(c1 * m2x) AS r1x2 FROM ranked),
+st AS (
+  SELECT n1, n - n1 AS n2,
+         CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s0 AS DOUBLE) / (n - n1) AS m0,
+         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n1)) / (n1 - 1.0) AS var1,
+         (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * (CAST(s0 AS DOUBLE) / (n - n1))) / (n - n1 - 1.0) AS var0,
+         (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0 AS u1
+  FROM moms, u
+), eff AS (
+  SELECT n1, n2,
+         (m1 - m0) / sqrt(((n1 - 1.0) * var1 + (n2 - 1.0) * var0) / (n1 + n2 - 2.0)) AS d,
+         1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0) AS corr,
+         u1 / (CAST(n1 AS DOUBLE) * n2) AS cles
+  FROM st
+)
+SELECT 'AUTOMOBILE' AS group1, 'BUILDING' AS group2,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(d, 6) AS cohens_d, round(d * corr, 6) AS hedges_g,
+       round(2.0 * cles - 1.0, 6) AS cliffs_delta, round(cles, 6) AS cles
+FROM eff
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -19336,6 +19540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kn_bigram": q_kn_bigram,
         "q_levene": q_levene,
         "q_overdispersion": q_overdispersion,
+        "q_quantile_regression": q_quantile_regression,
+        "q_bitmap_distinct": q_bitmap_distinct,
+        "q_chi_posthoc": q_chi_posthoc,
+        "q_effect_sizes": q_effect_sizes,
     }
 
 
@@ -19733,4 +19941,8 @@ def oracle_sql() -> dict[str, str]:
         "q_kn_bigram": Q_KN_BIGRAM_SQL,
         "q_levene": Q_LEVENE_SQL,
         "q_overdispersion": Q_OVERDISPERSION_SQL,
+        "q_quantile_regression": Q_QUANTILE_REGRESSION_SQL,
+        "q_bitmap_distinct": Q_BITMAP_DISTINCT_SQL,
+        "q_chi_posthoc": Q_CHI_POSTHOC_SQL,
+        "q_effect_sizes": Q_EFFECT_SIZES_SQL,
     }

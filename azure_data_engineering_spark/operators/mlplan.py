@@ -1339,3 +1339,69 @@ def isotonic_calibration(
         )
         .orderBy("bin")
     )
+
+
+def quantile_regression_gd(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    tau: float = 0.5,
+    iterations: int = 8,
+    lr: float = 1.0,
+    grad_decimals: int = 9,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Linear τ-quantile regression (Koenker & Bassett 1978) by
+    fixed-round subgradient descent on the pinball loss — the ROBUST
+    regression companion to ridge/logistic_gd: the τ=0.5 fit is
+    median regression (immune to the outliers that drag least
+    squares), other τ give conditional-quantile lines (p90 latency vs
+    load, tail-price vs quantity).
+
+        L_τ(r) = r·(τ − 1{r<0}),  r = y − (w0 + w1·x1 + w2·x2)
+        ∂L/∂w  = −x·(τ − 1{r<0})     (subgradient; r = 0 takes the
+                                      r ≥ 0 branch — documented, both
+                                      engines evaluate r < 0 strictly)
+
+    Same trajectory-pinning discipline as logistic_gd: the weight
+    vector is a 1-row broadcast frame, each round is one corpus scan
+    + 3-number map-side-combinable reduce with the mean gradient
+    rounded to ``grad_decimals``, lineage truncated per round. Returns
+    1 row: (w0, w1, w2, pinball_loss, coverage) at the final weights —
+    coverage = fraction of residuals below the line, ≈ τ at the
+    optimum (the property tests assert)."""
+    base = df.select(
+        F.col(x1).cast("double").alias("x1"),
+        F.col(x2).cast("double").alias("x2"),
+        F.col(y).cast("double").alias("t"),
+    )
+    spark = df.sparkSession
+    w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
+    tau = float(tau)
+    for _ in range(iterations):
+        r = F.col("t") - (F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2"))
+        ind = (r < 0).cast("double")
+        g = base.crossJoin(F.broadcast(w)).agg(
+            F.round(F.avg(ind - tau), grad_decimals).alias("g0"),
+            F.round(F.avg((ind - tau) * F.col("x1")), grad_decimals).alias("g1"),
+            F.round(F.avg((ind - tau) * F.col("x2")), grad_decimals).alias("g2"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                (F.col("w0") - lr * F.col("g0")).alias("w0"),
+                (F.col("w1") - lr * F.col("g1")).alias("w1"),
+                (F.col("w2") - lr * F.col("g2")).alias("w2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    r = F.col("t") - (F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2"))
+    ind = (r < 0).cast("double")
+    return base.crossJoin(F.broadcast(w)).agg(
+        F.round(F.first("w0"), out_decimals).alias("w0"),
+        F.round(F.first("w1"), out_decimals).alias("w1"),
+        F.round(F.first("w2"), out_decimals).alias("w2"),
+        F.round(F.avg(r * (tau - ind)), out_decimals).alias("pinball_loss"),
+        F.round(F.avg(ind), out_decimals).alias("coverage"),
+    )

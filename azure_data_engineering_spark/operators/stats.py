@@ -2092,3 +2092,148 @@ def overdispersion_check(
             F.when(var > mean, mean * mean / (var - mean)), round_digits
         ).alias("nb_size"),
     ).orderBy("g")
+
+
+def chi_square_posthoc(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Chi-square post-hoc cell diagnostics — chi_squared says THAT a
+    contingency table deviates; this says WHERE and HOW MUCH:
+
+    - adjusted (Haberman 1973) standardized residual per cell,
+      (n − e)/√(e(1 − r/n)(1 − c/n)) — each ≈ N(0,1) under
+      independence, so |resid| > 2-3 localizes the association
+    - Cramér's V = √(χ²/(n·(min(R,C) − 1))) — the table-size-free
+      effect size (χ² grows with n even for trivial association)
+
+    All cell math is ratios of exact integer margins; χ² summands
+    round to 9 dp DECIMALs before the table sum. ONE corpus groupBy +
+    two margin frames joined back on the CELL frame (R·C rows, never
+    the corpus). Returns one row per observed cell: (row_val, col_val,
+    n, expected, adj_residual, cramers_v) — V repeated per row by
+    construction."""
+    cells = df.groupBy(
+        F.col(row_col).cast("string").alias("r"), F.col(col_col).cast("string").alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    rows = cells.groupBy("r").agg(F.sum("nij").cast("long").alias("ri"))
+    cols = cells.groupBy("c").agg(F.sum("nij").cast("long").alias("cj"))
+    tot = cells.agg(
+        F.sum("nij").cast("long").alias("n"),
+        F.countDistinct("r").cast("long").alias("nr"),
+        F.countDistinct("c").cast("long").alias("nc"),
+    )
+    full = (
+        cells.join(F.broadcast(rows), "r")
+        .join(F.broadcast(cols), "c")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n").cast("double")
+    e = F.col("ri").cast("double") * F.col("cj").cast("double") / n
+    adj = (F.col("nij").cast("double") - e) / F.sqrt(
+        e * (1.0 - F.col("ri").cast("double") / n) * (1.0 - F.col("cj").cast("double") / n)
+    )
+    chi = full.agg(
+        F.sum(
+            F.round(
+                (F.col("nij").cast("double") - e) * (F.col("nij").cast("double") - e) / e,
+                9,
+            ).cast("decimal(38,9)")
+        ).alias("chi2"),
+        F.first("n").alias("n_tot"),
+        F.first("nr").alias("nr"),
+        F.first("nc").alias("nc"),
+    ).select(
+        F.round(
+            F.sqrt(
+                F.col("chi2").cast("double")
+                / (
+                    F.col("n_tot").cast("double")
+                    * (F.least("nr", "nc").cast("double") - 1.0)
+                )
+            ),
+            round_digits,
+        ).alias("cramers_v")
+    )
+    return (
+        full.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("r").alias("row_val"),
+            F.col("c").alias("col_val"),
+            F.col("nij").alias("n"),
+            F.round(e, round_digits).alias("expected"),
+            F.round(adj, round_digits).alias("adj_residual"),
+            "cramers_v",
+        )
+        .orderBy("row_val", "col_val")
+    )
+
+
+def effect_size_panel(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-group effect-size panel — the MAGNITUDE companion to the
+    p-value tests (welch_t/mann_whitney tell you the difference is
+    unlikely under H0; at corpus scale EVERYTHING is significant, and
+    these say whether it matters):
+
+    - Cohen's d (pooled-SD standardized mean difference) and Hedges'
+      g (d × (1 − 3/(4n − 9)), the small-sample bias correction)
+    - Cliff's delta = 2·U1/(n1·n2) − 1 and CLES = U1/(n1·n2) — the
+      rank/probability effect sizes, exact from mann_whitney_u's
+      doubled-midrank frame (tie-aware, no corpus sort)
+
+    Moments as exact 6 dp DECIMALs, rank sums as exact longs; group1
+    is the lexicographically smaller group (documented — the signs of
+    d and delta follow it). Returns one row: (group1, group2, n1, n2,
+    cohens_d, hedges_g, cliffs_delta, cles)."""
+    groups = [r[0] for r in df.select(group_col).distinct().orderBy(group_col).collect()]
+    if len(groups) != 2:
+        raise ValueError(f"effect_size_panel needs exactly 2 groups, got {groups}")
+    g1 = groups[0]
+    dec = "decimal(18,6)"
+    v = F.col(value_col).cast(dec)
+    is1 = (F.col(group_col) == g1).cast("long")
+    moms = df.agg(
+        F.sum(is1).alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col(group_col) == g1, v)).alias("s1"),
+        F.sum(F.when(F.col(group_col) == g1, v * v)).alias("ss1"),
+        F.sum(F.when(F.col(group_col) != g1, v)).alias("s0"),
+        F.sum(F.when(F.col(group_col) != g1, v * v)).alias("ss0"),
+    )
+    per_v = df.groupBy(F.col(value_col).alias("val")).agg(
+        F.sum(is1).alias("c1"), F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_v.withColumn("cum", F.sum("ct").over(w)).withColumn(
+        "m2x", (2 * F.col("cum") - F.col("ct") + 1).cast("long")
+    )
+    u = ranked.agg(F.sum(F.col("c1") * F.col("m2x")).cast("long").alias("r1x2"))
+    out = moms.crossJoin(u)
+    n1 = F.col("n1").cast("double")
+    n2 = (F.col("n") - F.col("n1")).cast("double")
+    m1 = F.col("s1").cast("double") / n1
+    m0 = F.col("s0").cast("double") / n2
+    var1 = (F.col("ss1").cast("double") - F.col("s1").cast("double") * m1) / (n1 - 1.0)
+    var0 = (F.col("ss0").cast("double") - F.col("s0").cast("double") * m0) / (n2 - 1.0)
+    sp = F.sqrt(((n1 - 1.0) * var1 + (n2 - 1.0) * var0) / (n1 + n2 - 2.0))
+    d = (m1 - m0) / sp
+    g_corr = 1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)
+    u1 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2.0
+    cles = u1 / (n1 * n2)
+    return out.select(
+        F.lit(str(g1)).alias("group1"),
+        F.lit(str(groups[1])).alias("group2"),
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        F.round(d, round_digits).alias("cohens_d"),
+        F.round(d * g_corr, round_digits).alias("hedges_g"),
+        F.round(2.0 * cles - 1.0, round_digits).alias("cliffs_delta"),
+        F.round(cles, round_digits).alias("cles"),
+    )
