@@ -19122,6 +19122,235 @@ FROM eff
 """
 
 
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at a 60-day horizon (operators/
+    stats.rmst) over the same censored user-lifetime frame as
+    q_kaplan_meier — "expected active days within the first 60": the
+    absolute-time retention KPI that stays valid when hazards cross,
+    where a ratio summary misleads. Area under the KM step function,
+    9 dp-rounded segment contributions over the KB-sized duration
+    frame."""
+    from azure_data_engineering_spark.operators.stats import rmst
+
+    ev = _t(spark, sf_dir, "events")
+    per_u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__first"), F.max("ts").alias("__last")
+    )
+    ref = ev.agg(F.max("ts").alias("__ref"))
+    subj = per_u.join(F.broadcast(ref)).select(
+        F.datediff(F.col("__last"), F.col("__first")).cast("long").alias("duration"),
+        (F.col("__last") < F.col("__ref") - F.expr("INTERVAL 7 DAYS"))
+        .cast("int")
+        .alias("churned"),
+    )
+    return rmst(subj, "duration", "churned", horizon=60.0)
+
+
+Q_RMST_SQL = """
+WITH per_u AS MATERIALIZED (
+  SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+), ref AS (SELECT max(ts) AS r FROM events),
+subj AS MATERIALIZED (
+  SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS duration,
+         CASE WHEN l < r - INTERVAL 7 DAY THEN 1 ELSE 0 END AS ev
+  FROM per_u, ref
+), per_t AS MATERIALIZED (
+  SELECT duration, sum(ev) AS d, count(*) AS c FROM subj GROUP BY 1
+), n AS (SELECT count(*) AS nn FROM subj),
+km AS MATERIALIZED (
+  SELECT duration, d, c,
+         nn - sum(c) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) + c AS n_risk
+  FROM per_t, n
+), km2 AS MATERIALIZED (
+  SELECT duration, n_risk, d,
+         CASE WHEN d < n_risk THEN ln(1 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END AS ln_f,
+         max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS dead
+  FROM km
+), surv AS (
+  SELECT CAST(duration AS DOUBLE) AS t,
+         CASE WHEN dead = 1 THEN 0.0
+              ELSE round(exp(sum(ln_f) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)), 6)
+         END AS s
+  FROM km2
+), steps AS (
+  SELECT t, s,
+         least(coalesce(lead(t, 1) OVER (ORDER BY t), 60.0), 60.0) AS t_next
+  FROM surv WHERE t < 60.0
+), head AS (
+  SELECT CAST(round(least(coalesce(min(t), 60.0), 60.0), 9) AS DECIMAL(38,9)) AS head
+  FROM steps
+), tail AS (
+  SELECT coalesce(sum(CAST(round(s * (t_next - t), 9) AS DECIMAL(38,9))),
+                  CAST(0 AS DECIMAL(38,9))) AS tail
+  FROM steps
+)
+SELECT 60.0 AS horizon, CAST(nn AS BIGINT) AS n_subjects,
+       round(CAST(head AS DOUBLE) + CAST(tail AS DOUBLE), 6) AS rmst
+FROM n, head, tail
+"""
+
+
+def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation robust spatial center by fixed-round Weiszfeld
+    iteration (operators/spatial.geometric_median) over the engine's
+    deterministic synthetic customer coordinates (the q_spatial_knn
+    synthesis): the 2-D median that outliers barely move, where the
+    centroid chases them linearly. 8 pinned rounds — exact-decimal
+    centroid init, per-point x/d and 1/d contributions as 9 dp
+    DECIMALs (√ is IEEE-exact in both engines), k-row broadcast
+    state; the oracle replays the identical rounds."""
+    from azure_data_engineering_spark.operators.spatial import geometric_median
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("g"),
+        ((F.col("c_custkey") * 7919 % 2000) / 100.0).alias("x"),
+        ((F.col("c_custkey") * 104729 % 4000) / 100.0).alias("y"),
+    )
+    return geometric_median(c, "g", "x", "y", iterations=8)
+
+
+def _geometric_median_oracle_sql(iters: int = 8, eps: float = 1e-9) -> str:
+    head = """
+WITH pts AS MATERIALIZED (
+  SELECT c_nationkey AS g,
+         CAST((c_custkey * 7919 % 2000) / 100.0 AS DOUBLE) AS x,
+         CAST((c_custkey * 104729 % 4000) / 100.0 AS DOUBLE) AS y
+  FROM customer
+), m0 AS MATERIALIZED (
+  SELECT g,
+         round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 9) AS mx,
+         round(CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / count(*), 9) AS my
+  FROM pts GROUP BY 1
+)"""
+    parts = []
+    prev = "m0"
+    for r in range(1, iters + 1):
+        parts.append(f"""
+, u{r} AS MATERIALIZED (
+  SELECT p.g,
+         sum(CAST(round(p.x / greatest(sqrt((p.x - m.mx) * (p.x - m.mx)
+             + (p.y - m.my) * (p.y - m.my)), {eps}), 9) AS DECIMAL(38,9))) AS sx,
+         sum(CAST(round(p.y / greatest(sqrt((p.x - m.mx) * (p.x - m.mx)
+             + (p.y - m.my) * (p.y - m.my)), {eps}), 9) AS DECIMAL(38,9))) AS sy,
+         sum(CAST(round(1.0 / greatest(sqrt((p.x - m.mx) * (p.x - m.mx)
+             + (p.y - m.my) * (p.y - m.my)), {eps}), 9) AS DECIMAL(38,9))) AS sw
+  FROM pts p JOIN {prev} m USING (g) GROUP BY 1
+), m{r} AS MATERIALIZED (
+  SELECT g, round(CAST(sx AS DOUBLE) / CAST(sw AS DOUBLE), 9) AS mx,
+         round(CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE), 9) AS my
+  FROM u{r}
+)""")
+        prev = f"m{r}"
+    tail = f"""
+SELECT p.g AS "group", CAST(count(*) AS BIGINT) AS n_points,
+       round(max(m.mx), 6) AS median_x, round(max(m.my), 6) AS median_y,
+       round(CAST(sum(CAST(round(sqrt((p.x - m.mx) * (p.x - m.mx)
+             + (p.y - m.my) * (p.y - m.my)), 9) AS DECIMAL(38,9))) AS DOUBLE)
+             / count(*), 6) AS mean_dist
+FROM pts p JOIN {prev} m USING (g)
+GROUP BY 1 ORDER BY 1
+"""
+    return head + "".join(parts) + tail
+
+
+Q_GEOMETRIC_MEDIAN_SQL = _geometric_median_oracle_sql()
+
+
+def q_pairwise_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Welch z post-hoc with Bonferroni control (operators/
+    stats.pairwise_welch_bonferroni): q_anova_f says SOME order-
+    priority class moves order value; this says WHICH pairs differ,
+    with family-wise error held at the 10-look budget. Exact decimal
+    moments, pair frame = the 5-row moment frame self-joined — never
+    the corpus."""
+    from azure_data_engineering_spark.operators.stats import pairwise_welch_bonferroni
+
+    o = _t(spark, sf_dir, "orders")
+    return pairwise_welch_bonferroni(o, "o_orderpriority", "o_totalprice")
+
+
+Q_PAIRWISE_WELCH_SQL = """
+WITH moms AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS g, count(*) AS ng,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sg,
+         sum(CAST(o_totalprice AS DECIMAL(28,6)) * CAST(o_totalprice AS DECIMAL(18,6))) AS ssg
+  FROM orders GROUP BY 1
+), k AS (SELECT count(*) AS k FROM moms),
+pairs AS (
+  SELECT a.g AS g1, b.g AS g2, a.ng AS n1, b.ng AS n2,
+         CAST(a.sg AS DOUBLE) / a.ng AS m1, CAST(b.sg AS DOUBLE) / b.ng AS m2,
+         (CAST(a.ssg AS DOUBLE) - CAST(a.sg AS DOUBLE) * (CAST(a.sg AS DOUBLE) / a.ng)) / (a.ng - 1.0) AS v1,
+         (CAST(b.ssg AS DOUBLE) - CAST(b.sg AS DOUBLE) * (CAST(b.sg AS DOUBLE) / b.ng)) / (b.ng - 1.0) AS v2,
+         k.k
+  FROM moms a JOIN moms b ON a.g < b.g CROSS JOIN k
+), z AS (
+  SELECT g1, g2, n1, n2, m1 - m2 AS mean_diff, k,
+         round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 9) AS zz
+  FROM pairs
+), e AS (
+  SELECT *, round(abs(zz) / 1.4142135623730951, 9) AS za FROM z
+), poly AS (
+  SELECT *, 1.0 / (1.0 + 0.3275911 * za) AS t FROM e
+), p AS (
+  SELECT g1, g2, n1, n2, mean_diff, zz, k,
+         t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429)))) * exp(-(za * za)) AS praw
+  FROM poly
+)
+SELECT g1, g2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(mean_diff, 6) AS mean_diff, round(zz, 6) AS z_stat,
+       round(praw, 6) AS p_raw,
+       round(least(1.0, praw * (k * (k - 1) / 2.0)), 6) AS p_bonferroni
+FROM p ORDER BY g1, g2
+"""
+
+
+def q_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson revenue-total estimate from a deterministic
+    Poisson πps sample of ~2000 orders (operators/sampling.
+    horvitz_thompson): π ∝ order value (capped at 1), draw = the
+    standing md5 unit draw, estimate = Σ y/π with the Poisson-design
+    variance — and the TRUE total rides along so the output
+    self-audits the design-unbiasedness (ratio ≈ 1). The πps
+    up-weighting is exactly why size-biased samples of heavy-tailed
+    revenue beat uniform ones."""
+    from azure_data_engineering_spark.operators.sampling import horvitz_thompson
+
+    o = _t(spark, sf_dir, "orders")
+    return horvitz_thompson(o, "o_orderkey", "o_totalprice", n_target=2000)
+
+
+Q_HORVITZ_THOMPSON_SQL = """
+WITH tot AS (
+  SELECT count(*) AS n_population,
+         sum(CAST(o_totalprice AS DECIMAL(28,6))) AS tt
+  FROM orders
+), base AS (
+  SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS y, n_population, tt,
+         least(1.0, 2000.0 * CAST(o_totalprice AS DOUBLE) / CAST(tt AS DOUBLE)) AS pi
+  FROM orders, tot
+), sampled AS (
+  SELECT * FROM base
+  WHERE CAST('0x' || substr(md5(CAST(id AS VARCHAR) || 'ht'), 1, 8) AS BIGINT)
+        / 4294967296.0 < pi
+), agg AS (
+  SELECT max(n_population) AS n_population, max(tt) AS tt,
+         count(*) AS n_sampled,
+         sum(CAST(round(y / pi, 6) AS DECIMAL(38,6))) AS ht,
+         sum(CAST(round((1.0 - pi) / (pi * pi) * y * y, 6) AS DECIMAL(38,6))) AS vv
+  FROM sampled
+)
+SELECT CAST(n_population AS BIGINT) AS n_population,
+       CAST(n_sampled AS BIGINT) AS n_sampled,
+       round(CAST(tt AS DOUBLE) / 1e6, 6) AS true_total_m,
+       round(CAST(ht AS DOUBLE) / 1e6, 6) AS ht_estimate_m,
+       round(CAST(ht AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS ratio,
+       round(sqrt(CAST(vv AS DOUBLE)) / 1e6, 6) AS se_m
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -19544,6 +19773,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitmap_distinct": q_bitmap_distinct,
         "q_chi_posthoc": q_chi_posthoc,
         "q_effect_sizes": q_effect_sizes,
+        "q_rmst": q_rmst,
+        "q_geometric_median": q_geometric_median,
+        "q_pairwise_welch": q_pairwise_welch,
+        "q_horvitz_thompson": q_horvitz_thompson,
     }
 
 
@@ -19945,4 +20178,8 @@ def oracle_sql() -> dict[str, str]:
         "q_bitmap_distinct": Q_BITMAP_DISTINCT_SQL,
         "q_chi_posthoc": Q_CHI_POSTHOC_SQL,
         "q_effect_sizes": Q_EFFECT_SIZES_SQL,
+        "q_rmst": Q_RMST_SQL,
+        "q_geometric_median": Q_GEOMETRIC_MEDIAN_SQL,
+        "q_pairwise_welch": Q_PAIRWISE_WELCH_SQL,
+        "q_horvitz_thompson": Q_HORVITZ_THOMPSON_SQL,
     }

@@ -366,3 +366,66 @@ def neyman_allocation(
         F.round("exact", scale).alias("alloc_exact"),
         "n_alloc",
     ).orderBy("stratum")
+
+
+def horvitz_thompson(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    n_target: int,
+    salt: str = "ht",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Horvitz-Thompson total estimation from a deterministic Poisson
+    πps sample (Horvitz & Thompson 1952) — the design-unbiased way to
+    estimate a population total from a size-biased sample, and the
+    reason πps sampling beats uniform for heavy-tailed measures: big
+    units are (almost) always in, small units are up-weighted by
+    1/π exactly as often as they're missed.
+
+        π_i  = min(1, n_target · size_i / Σ size)
+        ŶHT  = Σ_{sampled} y_i / π_i
+        V̂    = Σ_{sampled} (1 − π_i)/π_i² · y_i²   (Poisson design)
+
+    The draw is the engine's standing md5 unit draw (hash_unit), so
+    the sample — and therefore the estimate — is a pure function of
+    (keys, salt) that both engines replay. Per-row ratios round to
+    6 dp DECIMALs before the sums. The TRUE total rides along (one
+    exact-decimal aggregate) so the output self-audits. Totals and SE
+    are emitted in MILLIONS: the exact decimal sums reach ~1e11 at
+    scale, where the decimal→double conversion itself can differ by
+    an ulp across engines (the anova_oneway large-magnitude lesson) —
+    scaling after the cast pushes that drift far below the 6 dp
+    display. Returns one row: (n_population, n_sampled, true_total_m,
+    ht_estimate_m, ratio, se_m)."""
+    y = F.col(size_col).cast("double")
+    tot = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_population"),
+        F.sum(F.col(size_col).cast("decimal(28,6)")).alias("tt"),
+    )
+    base = df.select(F.col(id_col).alias("id"), y.alias("y")).crossJoin(F.broadcast(tot))
+    pi = F.least(
+        F.lit(1.0), F.lit(float(n_target)) * F.col("y") / F.col("tt").cast("double")
+    )
+    sampled = base.filter(hash_unit(F.col("id"), salt) < pi)
+    dec = "decimal(38,6)"
+    agg = sampled.agg(
+        F.first("n_population").alias("n_population"),
+        F.first("tt").alias("tt"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum(F.round(F.col("y") / pi, 6).cast(dec)).alias("ht"),
+        F.sum(F.round((1.0 - pi) / (pi * pi) * F.col("y") * F.col("y"), 6).cast(dec)).alias(
+            "vv"
+        ),
+    )
+    m = 1e6
+    return agg.select(
+        "n_population",
+        "n_sampled",
+        F.round(F.col("tt").cast("double") / m, round_digits).alias("true_total_m"),
+        F.round(F.col("ht").cast("double") / m, round_digits).alias("ht_estimate_m"),
+        F.round(F.col("ht").cast("double") / F.col("tt").cast("double"), round_digits).alias(
+            "ratio"
+        ),
+        F.round(F.sqrt(F.col("vv").cast("double")) / m, round_digits).alias("se_m"),
+    )

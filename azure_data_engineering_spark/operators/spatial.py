@@ -415,3 +415,90 @@ def point_in_polygon_join(
         joined.filter(crossings % 2 == 1)
         .drop("xs", "ys", "__px", "__py")
     )
+
+
+def geometric_median(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    iterations: int = 8,
+    eps: float = 1e-9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group planar geometric median by fixed-round Weiszfeld
+    iteration (Weiszfeld 1937) — the ROBUST spatial center: the
+    centroid chases outlying points linearly, the geometric median
+    (the 2-D generalization of the median) barely moves; it is the
+    right "where is this group, really" answer for depot placement
+    and GPS-cluster summarization.
+
+        y_{t+1} = Σ x_i/d_i / Σ 1/d_i ,  d_i = ‖x_i − y_t‖
+
+    Determinism contract (the kmeans/logistic_gd trajectory-pinning
+    discipline): init = exact-decimal centroid rounded to 9 dp; each
+    round's per-point contributions x/d and 1/d round to 9 dp
+    DECIMALs before the group sum (√ is IEEE-exact in both engines,
+    so d is bit-identical); the updated coordinate rounds to 9 dp;
+    d < ``eps`` clamps (the iterate-on-a-point singularity). State is
+    a k-row broadcast frame; each round is ONE corpus scan +
+    map-side-combinable group reduce. Returns per group:
+    (group, n_points, median_x, median_y, mean_dist)."""
+    pts = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    dec = "decimal(38,9)"
+    med = pts.groupBy("g").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+            9,
+        ).alias("mx"),
+        F.round(
+            F.sum(F.col("y").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+            9,
+        ).alias("my"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        j = pts.join(F.broadcast(med), "g")
+        d = F.sqrt(
+            (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))
+            + (F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))
+        )
+        dc = F.greatest(d, F.lit(float(eps)))
+        upd = j.groupBy("g").agg(
+            F.sum(F.round(F.col("x") / dc, 9).cast(dec)).alias("sx"),
+            F.sum(F.round(F.col("y") / dc, 9).cast(dec)).alias("sy"),
+            F.sum(F.round(F.lit(1.0) / dc, 9).cast(dec)).alias("sw"),
+        )
+        med = upd.select(
+            "g",
+            F.round(F.col("sx").cast("double") / F.col("sw").cast("double"), 9).alias("mx"),
+            F.round(F.col("sy").cast("double") / F.col("sw").cast("double"), 9).alias("my"),
+        ).localCheckpoint(eager=True)
+    j = pts.join(F.broadcast(med), "g")
+    d = F.sqrt(
+        (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))
+        + (F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))
+    )
+    return (
+        j.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.first("mx").alias("__mx"),
+            F.first("my").alias("__my"),
+            F.sum(F.round(d, 9).cast(dec)).alias("sd"),
+        )
+        .select(
+            F.col("g").alias("group"),
+            "n_points",
+            F.round(F.col("__mx"), round_digits).alias("median_x"),
+            F.round(F.col("__my"), round_digits).alias("median_y"),
+            F.round(
+                F.col("sd").cast("double") / F.col("n_points").cast("double"),
+                round_digits,
+            ).alias("mean_dist"),
+        )
+        .orderBy("group")
+    )

@@ -2237,3 +2237,118 @@ def effect_size_panel(
         F.round(2.0 * cles - 1.0, round_digits).alias("cliffs_delta"),
         F.round(cles, round_digits).alias("cles"),
     )
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    horizon: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013 for the
+    case FOR it): the area under the Kaplan-Meier curve up to a fixed
+    ``horizon`` — "expected survival days within the first H days",
+    the absolute-time effect summary that stays valid when hazards
+    cross (where a hazard ratio is uninterpretable) and the natural
+    KPI form of a retention curve.
+
+    Built directly on kaplan_meier's distinct-duration histogram: the
+    step function integrates segment by segment, S(t_i)·(min(t_{i+1},
+    H) − t_i), plus the initial [0, t_min) segment at S = 1. Every
+    segment contribution is rounded to 9 dp before the sum (the
+    module's order-independence discipline); all windows run over the
+    KB-sized duration frame. Returns one row: (horizon, n_subjects,
+    rmst)."""
+    km = kaplan_meier(df, duration_col, event_col, round_digits=round_digits)
+    n_subj = df.agg(F.count(F.lit(1)).cast("long").alias("n_subjects"))
+    w = Window.orderBy("t")
+    steps = km.select(F.col("duration").cast("double").alias("t"), "survival").filter(
+        F.col("duration") < horizon
+    )
+    seg = steps.withColumn(
+        "t_next", F.least(F.coalesce(F.lead("t", 1).over(w), F.lit(float(horizon))), F.lit(float(horizon)))
+    ).select(
+        F.round(F.col("survival") * (F.col("t_next") - F.col("t")), 9)
+        .cast("decimal(38,9)")
+        .alias("contrib")
+    )
+    first_t = steps.agg(
+        F.round(
+            F.least(F.coalesce(F.min("t"), F.lit(float(horizon))), F.lit(float(horizon))),
+            9,
+        )
+        .cast("decimal(38,9)")
+        .alias("head")
+    )
+    area = seg.agg(F.coalesce(F.sum("contrib"), F.lit(0).cast("decimal(38,9)")).alias("tail"))
+    return (
+        n_subj.crossJoin(F.broadcast(first_t))
+        .crossJoin(F.broadcast(area))
+        .select(
+            F.lit(float(horizon)).alias("horizon"),
+            "n_subjects",
+            F.round(
+                F.col("head").cast("double") + F.col("tail").cast("double"), round_digits
+            ).alias("rmst"),
+        )
+    )
+
+
+def pairwise_welch_bonferroni(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All-pairs Welch z comparisons with Bonferroni control — the
+    post-hoc step after anova_oneway rejects: WHICH groups differ?
+    Each pair gets the Welch statistic z = (x̄_i − x̄_j)/√(s²_i/n_i +
+    s²_j/n_j) (normal approximation — group sizes at corpus scale
+    make the t/z distinction vacuous; documented convention), raw
+    two-sided p via the shared A&S erfc polynomial, and
+    p_bonferroni = min(1, p · k(k−1)/2) — the family-wise control
+    that keeps k(k−1)/2 looks honest.
+
+    ONE corpus groupBy to exact DECIMAL moments; the pair frame is
+    the k-row moment frame self-joined on g_i < g_j (k², never
+    corpus). Returns one row per pair: (group1, group2, n1, n2,
+    mean_diff, z_stat, p_raw, p_bonferroni)."""
+    dec = "decimal(18,6)"
+    v = F.col(value_col).cast(dec)
+    moms = df.groupBy(F.col(group_col).cast("string").alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(v).alias("sg"),
+        F.sum(v * v).alias("ssg"),
+    )
+    k = moms.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    a = moms.select(
+        F.col("g").alias("g1"), F.col("ng").alias("n1"),
+        F.col("sg").alias("s1"), F.col("ssg").alias("ss1"),
+    )
+    b = moms.select(
+        F.col("g").alias("g2"), F.col("ng").alias("n2"),
+        F.col("sg").alias("s2"), F.col("ssg").alias("ss2"),
+    )
+    pairs = F.broadcast(a).join(F.broadcast(b), F.col("g1") < F.col("g2")).crossJoin(
+        F.broadcast(k)
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    v1 = (F.col("ss1").cast("double") - F.col("s1").cast("double") * m1) / (n1 - 1.0)
+    v2 = (F.col("ss2").cast("double") - F.col("s2").cast("double") * m2) / (n2 - 1.0)
+    z = F.round((m1 - m2) / F.sqrt(v1 / n1 + v2 / n2), 9)
+    m_tests = (F.col("k") * (F.col("k") - 1) / 2).cast("double")
+    p = _erfc_two_sided(F.abs(z))
+    return pairs.select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        F.round(m1 - m2, round_digits).alias("mean_diff"),
+        F.round(z, round_digits).alias("z_stat"),
+        F.round(p, round_digits).alias("p_raw"),
+        F.round(F.least(F.lit(1.0), p * m_tests), round_digits).alias("p_bonferroni"),
+    ).orderBy("g1", "g2")
