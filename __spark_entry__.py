@@ -19351,6 +19351,281 @@ FROM agg
 """
 
 
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired-classifier test (operators/stats.mcnemar_test,
+    Dietterich 1998's recommendation): two urgency "models" — a
+    price rule and a customer-parity rule — scored on the SAME
+    orders against the true 1-URGENT label; accuracy deltas can't
+    see pairing, the b/c disagreement cells can. Exact integer cells
+    from one aggregate; continuity-corrected χ², p via the shared
+    A&S erfc."""
+    from azure_data_engineering_spark.operators.stats import mcnemar_test
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        (F.col("o_totalprice") > 150000).cast("int").alias("pa"),
+        (F.col("o_custkey") % 2 == 0).cast("int").alias("pb"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    return mcnemar_test(d, "pa", "pb", "y")
+
+
+Q_MCNEMAR_SQL = """
+WITH d AS (
+  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pa,
+         CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS pb,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+), cells AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END) AS both_right,
+         sum(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END) AS both_wrong,
+         sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS a_only,
+         sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS b_only
+  FROM d
+), chi AS (
+  SELECT *, CASE WHEN a_only + b_only > 0 THEN
+      pow(greatest(abs(CAST(a_only AS DOUBLE) - b_only) - 1.0, 0.0), 2)
+        / (a_only + b_only) END AS chi2
+  FROM cells
+), z AS (
+  SELECT *, round(sqrt(greatest(chi2, 0.0)) / 1.4142135623730951, 9) AS za FROM chi
+), poly AS (SELECT *, 1.0 / (1.0 + 0.3275911 * za) AS t FROM z)
+SELECT CAST(n AS BIGINT) AS n, CAST(both_right AS BIGINT) AS both_right,
+       CAST(both_wrong AS BIGINT) AS both_wrong,
+       CAST(a_only AS BIGINT) AS a_only, CAST(b_only AS BIGINT) AS b_only,
+       round(chi2, 6) AS chi2,
+       round(CASE WHEN a_only + b_only > 0 THEN
+         t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429)))) * exp(-(za * za)) END, 6)
+         AS p_value
+FROM poly
+"""
+
+
+def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B p-values by mixture SPRT
+    (operators/stats.msprt_always_valid, Johari et al. KDD 2017):
+    the user-parity experiment monitored DAILY on event value — the
+    p_t stream is valid at every look simultaneously, so peeking
+    every day is licensed (a fixed-horizon q_ab_test re-run daily is
+    not). Per-(day, arm) exact-moment frame in one corpus groupBy;
+    cumulative windows, pooled plug-in variance, log Λ rounded to
+    9 dp before exp."""
+    from azure_data_engineering_spark.operators.stats import msprt_always_valid
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.col("value").alias("v"),
+    )
+    return msprt_always_valid(d, "day", "arm", "v", tau=1.0)
+
+
+Q_MSPRT_SQL = """
+WITH d AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(user_id % 2 AS INT) AS arm, value AS v
+  FROM events
+), per_day AS (
+  SELECT day,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS d_n1,
+         sum(CASE WHEN arm = 1 THEN CAST(v AS DECIMAL(18,6)) END) AS d_s1,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS d_n0,
+         sum(CASE WHEN arm = 0 THEN CAST(v AS DECIMAL(18,6)) END) AS d_s0
+  FROM d GROUP BY 1
+), rho AS (
+  SELECT round((CAST(sum(CAST(v AS DECIMAL(28,6)) * CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+         - CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+           * (CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*)))
+         / (count(*) - 1.0), 9) AS rho2
+  FROM d
+), cum AS (
+  SELECT day,
+         sum(d_n1) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS n1,
+         sum(d_n0) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS n0,
+         sum(CAST(d_s1 AS DECIMAL(38,6))) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s1,
+         sum(CAST(d_s0 AS DECIMAL(38,6))) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s0,
+         rho2
+  FROM per_day, rho
+), scored AS (
+  SELECT day, n1, n0,
+         CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0 AS delta,
+         CAST(n1 AS DOUBLE) * n0 / (n1 + n0) AS n_eff, rho2
+  FROM cum WHERE n1 > 0 AND n0 > 0
+), lam AS (
+  SELECT day, n1, n0, delta,
+         round(0.5 * ln(rho2 / (rho2 + n_eff * 1.0))
+               + n_eff * n_eff * delta * delta * 1.0
+                 / (2.0 * rho2 * (rho2 + n_eff * 1.0)), 9) AS log_lam
+  FROM scored
+)
+SELECT day, CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+       round(delta, 6) AS mean_diff, round(log_lam, 6) AS log_lambda,
+       round(least(1.0, exp(-greatest(
+         max(log_lam) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0.0))), 6)
+         AS p_always_valid
+FROM lam ORDER BY day
+"""
+
+
+def q_poisson_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-link Poisson regression on lineitem quantity (operators/
+    mlplan.poisson_gd): λ = exp(w·x) over (discount, tax) — the
+    count-data regression a linear fit gets wrong at the low end
+    (negative counts) and logistic can't express. Same pinned-
+    trajectory GD as q_logistic_gd / q_quantile_regression; the
+    oracle replays the identical 12 rounds with the identical ±30
+    clamp. lr is 0.02 because the exp link makes GD stability
+    curvature-dependent (effective step ≈ lr·λ must stay under 2;
+    λ* ≈ 25 here — lr 0.5 diverged violently at sf1, caught by the
+    tier sweep). q_overdispersion is the companion check on whether
+    the implied Poisson intervals can be trusted."""
+    from azure_data_engineering_spark.operators.mlplan import poisson_gd
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_discount") * 10.0).alias("x1"),
+        (F.col("l_tax") * 10.0).alias("x2"),
+        F.col("l_quantity").alias("t"),
+    )
+    return poisson_gd(d, "x1", "x2", "t", iterations=12, lr=0.02)
+
+
+def _poisson_gd_oracle_sql(iters: int = 12, lr: float = 0.02) -> str:
+    parts = [
+        """WITH base AS MATERIALIZED (
+  SELECT l_discount * 10.0 AS x1, l_tax * 10.0 AS x2,
+         CAST(l_quantity AS DOUBLE) AS t
+  FROM lineitem
+), w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    ]
+    lam = "exp(least(greatest(w.w0 + w.w1 * b.x1 + w.w2 * b.x2, -30.0), 30.0))"
+    for r in range(1, iters + 1):
+        parts.append(
+            f""", g{r} AS MATERIALIZED (
+  SELECT round(avg(l - t), 9) AS g0,
+         round(avg((l - t) * x1), 9) AS g1,
+         round(avg((l - t) * x2), 9) AS g2
+  FROM (SELECT b.t, b.x1, b.x2, {lam} AS l FROM base b, w{r - 1} w)
+), w{r} AS MATERIALIZED (
+  SELECT w.w0 - {lr} * g.g0 AS w0, w.w1 - {lr} * g.g1 AS w1,
+         w.w2 - {lr} * g.g2 AS w2
+  FROM w{r - 1} w, g{r} g
+)"""
+        )
+    parts.append(
+        f""", scored AS (
+  SELECT w.w0, w.w1, w.w2, b.t, {lam} AS l,
+         least(greatest(w.w0 + w.w1 * b.x1 + w.w2 * b.x2, -30.0), 30.0) AS zc
+  FROM base b, w{iters} w
+)
+SELECT round(max(w0), 6) AS w0, round(max(w1), 6) AS w1,
+       round(max(w2), 6) AS w2,
+       round(avg(l - t * zc), 6) AS mean_nll,
+       round(avg(l), 6) AS pred_mean
+FROM scored"""
+    )
+    return "".join(parts)
+
+
+Q_POISSON_GD_SQL = _poisson_gd_oracle_sql()
+
+
+def q_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet top-k compression of the per-type daily event-
+    count series (operators/timeseries.haar_wavelet_topk): 64 zero-
+    filled days → one global average + the 10 largest details per
+    event type, each (level, idx) localizing WHERE the series
+    changes at WHICH scale. Dyadic average-difference convention —
+    every coefficient is a dyadic rational of the counts, no √2 to
+    diverge; each level is ONE groupBy on a frame that halves."""
+    from azure_data_engineering_spark.operators.timeseries import haar_wavelet_topk
+
+    ev = _t(spark, sf_dir, "events")
+    mind = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    counts = (
+        ev.crossJoin(F.broadcast(mind))
+        .select(
+            F.col("event_type").alias("k"),
+            F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("p"),
+        )
+        .filter((F.col("p") >= 0) & (F.col("p") < 64))
+        .groupBy("k", "p")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    keys = counts.select("k").distinct()
+    spine = keys.crossJoin(
+        spark.range(64).select(F.col("id").cast("long").alias("p"))
+    )
+    filled = spine.join(counts, ["k", "p"], "left").select(
+        "k", "p", F.coalesce(F.col("v"), F.lit(0.0)).alias("v")
+    )
+    return haar_wavelet_topk(filled, "k", "p", "v", levels=6, top_k=10)
+
+
+Q_HAAR_WAVELET_SQL = """
+WITH mind AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+counts AS (
+  SELECT event_type AS k,
+         datediff('day', d0, CAST(ts AS DATE)) AS p,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events, mind
+  WHERE datediff('day', d0, CAST(ts AS DATE)) BETWEEN 0 AND 63
+  GROUP BY 1, 2
+), keys AS (SELECT DISTINCT k FROM counts),
+spine AS (
+  SELECT k, CAST(r.range AS BIGINT) AS p FROM keys, range(64) r
+), l6 AS MATERIALIZED (
+  SELECT s.k, s.p, coalesce(c.v, 0.0) AS v
+  FROM spine s LEFT JOIN counts c ON c.k = s.k AND c.p = s.p
+), s6 AS MATERIALIZED (
+  SELECT k, p // 2 AS p2, round(sum(v) / 2.0, 9) AS a,
+         round(sum(v * (1 - 2 * (p % 2))) / 2.0, 9) AS d
+  FROM l6 GROUP BY 1, 2
+), s5 AS MATERIALIZED (
+  SELECT k, p2 // 2 AS p2b, round(sum(a) / 2.0, 9) AS a,
+         round(sum(a * (1 - 2 * (p2 % 2))) / 2.0, 9) AS d
+  FROM s6 GROUP BY 1, 2
+), s4 AS MATERIALIZED (
+  SELECT k, p2b // 2 AS p2c, round(sum(a) / 2.0, 9) AS a,
+         round(sum(a * (1 - 2 * (p2b % 2))) / 2.0, 9) AS d
+  FROM s5 GROUP BY 1, 2
+), s3 AS MATERIALIZED (
+  SELECT k, p2c // 2 AS p2d, round(sum(a) / 2.0, 9) AS a,
+         round(sum(a * (1 - 2 * (p2c % 2))) / 2.0, 9) AS d
+  FROM s4 GROUP BY 1, 2
+), s2 AS MATERIALIZED (
+  SELECT k, p2d // 2 AS p2e, round(sum(a) / 2.0, 9) AS a,
+         round(sum(a * (1 - 2 * (p2d % 2))) / 2.0, 9) AS d
+  FROM s3 GROUP BY 1, 2
+), s1 AS MATERIALIZED (
+  SELECT k, p2e // 2 AS p2f, round(sum(a) / 2.0, 9) AS a,
+         round(sum(a * (1 - 2 * (p2e % 2))) / 2.0, 9) AS d
+  FROM s2 GROUP BY 1, 2
+), details AS (
+  SELECT k, 6 AS level, p2 AS idx, d AS coeff FROM s6
+  UNION ALL SELECT k, 5, p2b, d FROM s5
+  UNION ALL SELECT k, 4, p2c, d FROM s4
+  UNION ALL SELECT k, 3, p2d, d FROM s3
+  UNION ALL SELECT k, 2, p2e, d FROM s2
+  UNION ALL SELECT k, 1, p2f, d FROM s1
+), top AS (
+  SELECT k, level, idx, round(coeff, 6) AS coeff FROM (
+    SELECT *, row_number() OVER (PARTITION BY k
+      ORDER BY abs(round(coeff, 6)) DESC, level, idx) AS rk
+    FROM details
+  ) WHERE rk <= 10
+), base AS (
+  SELECT k, 0 AS level, p2f AS idx, round(a, 6) AS coeff FROM s1
+)
+SELECT k, CAST(level AS INT) AS level, CAST(idx AS BIGINT) AS idx, coeff
+FROM (SELECT * FROM base UNION ALL SELECT * FROM top)
+ORDER BY k, level, idx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -19777,6 +20052,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geometric_median": q_geometric_median,
         "q_pairwise_welch": q_pairwise_welch,
         "q_horvitz_thompson": q_horvitz_thompson,
+        "q_mcnemar": q_mcnemar,
+        "q_msprt": q_msprt,
+        "q_poisson_gd": q_poisson_gd,
+        "q_haar_wavelet": q_haar_wavelet,
     }
 
 
@@ -20182,4 +20461,8 @@ def oracle_sql() -> dict[str, str]:
         "q_geometric_median": Q_GEOMETRIC_MEDIAN_SQL,
         "q_pairwise_welch": Q_PAIRWISE_WELCH_SQL,
         "q_horvitz_thompson": Q_HORVITZ_THOMPSON_SQL,
+        "q_mcnemar": Q_MCNEMAR_SQL,
+        "q_msprt": Q_MSPRT_SQL,
+        "q_poisson_gd": Q_POISSON_GD_SQL,
+        "q_haar_wavelet": Q_HAAR_WAVELET_SQL,
     }

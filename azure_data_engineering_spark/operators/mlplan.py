@@ -1405,3 +1405,66 @@ def quantile_regression_gd(
         F.round(F.avg(r * (tau - ind)), out_decimals).alias("pinball_loss"),
         F.round(F.avg(ind), out_decimals).alias("coverage"),
     )
+
+
+def poisson_gd(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    iterations: int = 8,
+    lr: float = 0.5,
+    grad_decimals: int = 9,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Log-link Poisson regression by fixed-round gradient descent —
+    the COUNT-data regression (events/day, items/order) where a
+    linear fit predicts negative counts and logistic predicts
+    nothing: λ = exp(w·x), NLL = Σ λ − y·(w·x), gradient
+    avg((λ − y)·x). Pair with stats.overdispersion_check: if the
+    dispersion index ≫ 1, the rates are right but the implied
+    intervals are not.
+
+    Same trajectory-pinning discipline as logistic_gd /
+    quantile_regression_gd (1-row broadcast weights, 9 dp-rounded
+    mean gradient, one corpus scan per round); z clamps to ±30
+    before exp so a divergent intermediate iterate cannot overflow
+    (documented — the oracle clamps identically). Returns 1 row:
+    (w0, w1, w2, mean_nll, pred_mean) at the final weights."""
+    base = df.select(
+        F.col(x1).cast("double").alias("x1"),
+        F.col(x2).cast("double").alias("x2"),
+        F.col(y).cast("double").alias("t"),
+    )
+    spark = df.sparkSession
+    w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
+
+    def _lam():
+        z = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+        zc = F.least(F.greatest(z, F.lit(-30.0)), F.lit(30.0))
+        return F.exp(zc), zc
+
+    for _ in range(iterations):
+        lam, _zc = _lam()
+        g = base.crossJoin(F.broadcast(w)).agg(
+            F.round(F.avg(lam - F.col("t")), grad_decimals).alias("g0"),
+            F.round(F.avg((lam - F.col("t")) * F.col("x1")), grad_decimals).alias("g1"),
+            F.round(F.avg((lam - F.col("t")) * F.col("x2")), grad_decimals).alias("g2"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                (F.col("w0") - lr * F.col("g0")).alias("w0"),
+                (F.col("w1") - lr * F.col("g1")).alias("w1"),
+                (F.col("w2") - lr * F.col("g2")).alias("w2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    lam, zc = _lam()
+    return base.crossJoin(F.broadcast(w)).agg(
+        F.round(F.first("w0"), out_decimals).alias("w0"),
+        F.round(F.first("w1"), out_decimals).alias("w1"),
+        F.round(F.first("w2"), out_decimals).alias("w2"),
+        F.round(F.avg(lam - F.col("t") * zc), out_decimals).alias("mean_nll"),
+        F.round(F.avg(lam), out_decimals).alias("pred_mean"),
+    )

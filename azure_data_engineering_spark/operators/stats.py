@@ -2352,3 +2352,140 @@ def pairwise_welch_bonferroni(
         F.round(p, round_digits).alias("p_raw"),
         F.round(F.least(F.lit(1.0), p * m_tests), round_digits).alias("p_bonferroni"),
     ).orderBy("g1", "g2")
+
+
+def mcnemar_test(
+    df: DataFrame,
+    pred_a_col: str,
+    pred_b_col: str,
+    label_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """McNemar's test on paired classifier correctness (McNemar 1947;
+    Dietterich 1998 names it THE test for comparing two classifiers on
+    one test set): accuracy deltas ignore that both models score the
+    SAME rows — what matters is the DISAGREEMENT asymmetry, the b/c
+    cells of the paired table:
+
+        b = #(A right, B wrong),  c = #(A wrong, B right)
+        χ² = (|b − c| − 1)² / (b + c)      (continuity-corrected)
+        p  = erfc(√(χ²/2))  via the shared A&S polynomial
+
+    Exact integer cells from ONE corpus aggregate; χ²/p NULL-guarded
+    at b + c = 0 (identical models — no evidence either way). Returns
+    one row: (n, both_right, both_wrong, a_only, b_only, chi2,
+    p_value)."""
+    a_ok = (F.col(pred_a_col) == F.col(label_col)).cast("long")
+    b_ok = (F.col(pred_b_col) == F.col(label_col)).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a_ok * b_ok).cast("long").alias("both_right"),
+        F.sum((1 - a_ok) * (1 - b_ok)).cast("long").alias("both_wrong"),
+        F.sum(a_ok * (1 - b_ok)).cast("long").alias("a_only"),
+        F.sum((1 - a_ok) * b_ok).cast("long").alias("b_only"),
+    )
+    bc = (F.col("a_only") + F.col("b_only")).cast("double")
+    num = F.abs(F.col("a_only").cast("double") - F.col("b_only").cast("double")) - 1.0
+    chi2 = F.when(bc > 0, F.greatest(num, F.lit(0.0)) * F.greatest(num, F.lit(0.0)) / bc)
+    return agg.select(
+        "n",
+        "both_right",
+        "both_wrong",
+        "a_only",
+        "b_only",
+        F.round(chi2, round_digits).alias("chi2"),
+        F.round(
+            F.when(bc > 0, _erfc_two_sided(F.sqrt(F.greatest(chi2, F.lit(0.0))))),
+            round_digits,
+        ).alias("p_value"),
+    )
+
+
+def msprt_always_valid(
+    df: DataFrame,
+    day_col: str,
+    arm_col: str,
+    value_col: str,
+    tau: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Always-valid sequential A/B inference by mixture SPRT (Johari,
+    Koomen, Pekelis & Walsh, KDD 2017 — the "peeking problem" fix):
+    a fixed-horizon p-value is invalidated by looking every day; the
+    mSPRT p-value is valid at EVERY look simultaneously, so the
+    dashboard can refresh daily and stop the moment it crosses α.
+
+    Per day t with cumulative per-arm counts/means, the normal-
+    mixture likelihood ratio against θ = 0 with mixing N(0, τ²):
+
+        Λ_t = √(ρ²/(ρ² + n_t τ²)) · exp(n_t² δ_t² τ² / (2ρ²(ρ² + n_t τ²)))
+        p_t = min(1, 1/max_{k≤t} Λ_k)        (running max ⇒ p monotone ↓)
+
+    with n_t the harmonic pair size n1n0/(n1+n0), δ_t the cumulative
+    mean difference, and ρ² the POOLED corpus variance (estimated
+    once from exact decimal moments — the documented plug-in
+    simplification; Λ is evaluated on identical doubles cross-engine
+    by rounding its log to 9 dp before exp). Scale shape: corpus →
+    per-(day, arm) exact-moment frame in ONE groupBy; every cumsum/
+    max runs over that day frame. Returns one row per day: (day, n1,
+    n0, mean_diff, log_lambda, p_always_valid)."""
+    per_day = df.groupBy(F.col(day_col).alias("day")).agg(
+        F.sum(F.col(arm_col).cast("long")).alias("d_n1"),
+        F.sum(
+            F.when(F.col(arm_col).cast("int") == 1, F.col(value_col).cast("decimal(18,6)"))
+        ).alias("d_s1"),
+        F.sum((1 - F.col(arm_col).cast("int")).cast("long")).alias("d_n0"),
+        F.sum(
+            F.when(F.col(arm_col).cast("int") == 0, F.col(value_col).cast("decimal(18,6)"))
+        ).alias("d_s0"),
+    )
+    dec = "decimal(38,6)"
+    rho = df.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("s"),
+        F.sum(
+            F.col(value_col).cast("decimal(28,6)") * F.col(value_col).cast("decimal(18,6)")
+        ).alias("ss"),
+    ).select(
+        F.round(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * (F.col("s").cast("double") / F.col("nn"))
+            )
+            / (F.col("nn").cast("double") - 1.0),
+            9,
+        ).alias("rho2")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per_day.withColumn("n1", F.sum("d_n1").over(w))
+        .withColumn("n0", F.sum("d_n0").over(w))
+        .withColumn("s1", F.sum(F.col("d_s1").cast(dec)).over(w))
+        .withColumn("s0", F.sum(F.col("d_s0").cast(dec)).over(w))
+        .crossJoin(F.broadcast(rho))
+    )
+    n1 = F.col("n1").cast("double")
+    n0 = F.col("n0").cast("double")
+    delta = F.col("s1").cast("double") / n1 - F.col("s0").cast("double") / n0
+    n_eff = n1 * n0 / (n1 + n0)
+    t2 = float(tau) * float(tau)
+    r2 = F.col("rho2")
+    log_lam = F.round(
+        0.5 * F.log(r2 / (r2 + n_eff * t2))
+        + n_eff * n_eff * delta * delta * t2 / (2.0 * r2 * (r2 + n_eff * t2)),
+        9,
+    )
+    scored = cum.filter((F.col("n1") > 0) & (F.col("n0") > 0)).withColumn(
+        "log_lam", log_lam
+    )
+    run_max = F.max("log_lam").over(w)
+    return scored.select(
+        "day",
+        "n1",
+        "n0",
+        F.round(delta, round_digits).alias("mean_diff"),
+        F.round(F.col("log_lam"), round_digits).alias("log_lambda"),
+        F.round(
+            F.least(F.lit(1.0), F.exp(-F.greatest(run_max, F.lit(0.0)))), round_digits
+        ).alias("p_always_valid"),
+    ).orderBy("day")

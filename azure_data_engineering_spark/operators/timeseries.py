@@ -984,3 +984,71 @@ def granger_lag1_f(
             round_digits,
         ).alias("p_value"),
     )
+
+
+def haar_wavelet_topk(
+    df: DataFrame,
+    key_col: str,
+    pos_col: str,
+    value_col: str,
+    levels: int,
+    top_k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Haar wavelet decomposition with top-k coefficient selection —
+    the classic series-compression / multi-resolution-anomaly
+    representation (Chan & Fu, ICDE 1999 for the similarity-search
+    use): a length-2^L series becomes one global average plus
+    details at L scales; keeping the k largest-magnitude
+    coefficients is the best k-term Haar approximation, and a large
+    coefficient at (level, idx) localizes WHERE the series changes
+    regime at WHICH scale.
+
+    Convention (documented for the oracle): the pairwise
+    average-difference form a = (v₀+v₁)/2, d = (v₀−v₁)/2 — not the
+    orthonormal /√2 scaling, so every coefficient stays a dyadic
+    rational of the inputs (exactly representable; no √2 to diverge
+    cross-engine). Positions must be 0..2^levels−1 per key (caller
+    zero-fills); each level is ONE groupBy on (key, pos div 2) —
+    L = log₂(n) map-side-combinable reduces over frames that HALVE
+    each round, never a corpus sort. Coefficients round to 9 dp per
+    level (pinning), final to ``round_digits``.
+
+    Returns ≤ top_k+1 rows per key: the level-0 global average (idx
+    0) plus the top_k details by (|coeff| DESC, level, idx) — ranked
+    on the ROUNDED coefficient so rank order is engine-stable."""
+    cur = df.select(
+        F.col(key_col).alias("k"),
+        F.col(pos_col).cast("long").alias("p"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    detail_frames = []
+    for lvl in range(levels, 0, -1):
+        sign = 1 - 2 * (F.col("p") % 2)
+        stepped = cur.groupBy("k", F.floor(F.col("p") / 2).alias("p2")).agg(
+            F.round(F.sum(F.col("v")) / 2.0, 9).alias("a"),
+            F.round(F.sum(F.col("v") * sign) / 2.0, 9).alias("d"),
+        )
+        detail_frames.append(
+            stepped.select(
+                "k", F.lit(lvl).alias("level"), F.col("p2").alias("idx"),
+                F.col("d").alias("coeff"),
+            )
+        )
+        cur = stepped.select("k", F.col("p2").alias("p"), F.col("a").alias("v"))
+    from functools import reduce as _reduce
+
+    details = _reduce(lambda a, b: a.unionByName(b), detail_frames)
+    w = Window.partitionBy("k").orderBy(
+        F.abs(F.round(F.col("coeff"), round_digits)).desc(), "level", "idx"
+    )
+    top = (
+        details.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("k", "level", "idx", F.round("coeff", round_digits).alias("coeff"))
+    )
+    base = cur.select(
+        "k", F.lit(0).alias("level"), F.col("p").alias("idx"),
+        F.round("v", round_digits).alias("coeff"),
+    )
+    return base.unionByName(top).orderBy("k", "level", "idx")
