@@ -19626,6 +19626,246 @@ ORDER BY k, level, idx
 """
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction fact×fact as-of (operators/relational.
+    asof_join_big, direction='nearest' — pandas merge_asof's third
+    mode): every event picks the purchase value with the CLOSEST
+    timestamp either side, backward winning exact-distance ties (the
+    pandas convention). Both directional fills run over the SAME
+    union frame — still ONE shuffle on user_id, two sorts, zero join
+    operators. The oracle composes DuckDB's backward and forward
+    ASOF joins and replays the tie rule."""
+    e = _t(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts", "value")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("ref_ts"))
+        .agg(F.max("value").alias("ref_value"))
+    )
+    out = asof_join_big(left, right, "ts", "ref_ts", ["user_id"], direction="nearest")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+        "ref_value",
+    )
+
+
+Q_ASOF_NEAREST_SQL = """
+WITH r AS (
+  SELECT user_id, ts AS ref_ts, max(value) AS ref_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), b AS (
+  SELECT l.event_id, l.user_id, l.ts, l.value,
+         r.ref_ts AS bt, r.ref_value AS bv
+  FROM events l ASOF LEFT JOIN r
+    ON l.user_id = r.user_id AND l.ts >= r.ref_ts
+), f AS (
+  SELECT l.event_id, r.ref_ts AS ft, r.ref_value AS fv
+  FROM events l ASOF LEFT JOIN r
+    ON l.user_id = r.user_id AND l.ts <= r.ref_ts
+)
+SELECT b.event_id, b.user_id, strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS ts, b.value,
+       CASE WHEN f.ft IS NULL THEN b.bv
+            WHEN b.bt IS NULL THEN f.fv
+            WHEN (b.ts - b.bt) <= (f.ft - b.ts) THEN b.bv
+            ELSE f.fv END AS ref_value
+FROM b JOIN f USING (event_id)
+"""
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase part graph (operators/
+    graph.degree_assortativity, Newman 2002): do popular parts link
+    to other hubs (r > 0) or to the long tail (r < 0)? The one-number
+    mixing summary that predicts failure modes and sampling bias.
+    All five moments are exact DECIMAL(38,0) integer sums — at corpus
+    scale Σ deg·deg overflows a long — so r is a ratio of
+    exactly-agreed terms."""
+    from azure_data_engineering_spark.operators.graph import degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return degree_assortativity(edges)
+
+
+Q_ASSORTATIVITY_SQL = """
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+), deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY 1),
+nn AS (
+  SELECT count(*) AS n_nodes FROM (
+    SELECT DISTINCT n FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+  )
+), moms AS (
+  SELECT count(*) AS m,
+         sum(CAST(dx.deg AS DECIMAL(38,0))) AS sx,
+         sum(CAST(dy.deg AS DECIMAL(38,0))) AS sy,
+         sum(CAST(dx.deg * dy.deg AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(dx.deg * dx.deg AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(dy.deg * dy.deg AS DECIMAL(38,0))) AS syy
+  FROM e JOIN deg dx ON dx.node = e.u JOIN deg dy ON dy.node = e.v
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(m AS BIGINT) AS n_edges,
+       round(CASE WHEN (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+             THEN (m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END, 6) AS assortativity
+FROM moms, nn
+"""
+
+
+def q_script_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-script / invisible-character crawl screen per source
+    (operators/quality.script_mixing_stats — the "Bad Characters"
+    audit): Cyrillic-in-Latin homoglyphs defeat exact dedup,
+    zero-width and bidi controls hide payloads every visible-text
+    filter passes. The synthetic corpus is ASCII, so the query
+    injects deterministic confusables (Cyrillic at doc_id%97=0,
+    zero-width at %89=0, a bidi override at %83=0 — identically in
+    both engines) to exercise every class. One JVM-side regexp pass
+    per class, no UDF."""
+    from azure_data_engineering_spark.operators.quality import script_mixing_stats
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 97 == 0, F.lit(" пример")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 89 == 0, F.lit("​​")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 83 == 0, F.lit("‮")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_mixing_stats(injected, "text", "source")
+
+
+Q_SCRIPT_MIXING_SQL = """
+WITH injected AS (
+  SELECT source,
+         text
+           || CASE WHEN doc_id % 97 = 0 THEN ' пример' ELSE '' END
+           || CASE WHEN doc_id % 89 = 0 THEN '​​' ELSE '' END
+           || CASE WHEN doc_id % 83 = 0 THEN '‮' ELSE '' END AS text
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         CASE WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0
+               AND len(regexp_extract_all(text, '[Ѐ-ӿͰ-Ͽ]')) > 0
+              THEN 1 ELSE 0 END AS mixed,
+         CASE WHEN len(regexp_extract_all(text, '[​‌‍﻿]')) > 0 THEN 1 ELSE 0 END AS has_zw,
+         CASE WHEN len(regexp_extract_all(text, '[‪-‮⁦-⁩]')) > 0 THEN 1 ELSE 0 END AS has_bidi
+  FROM injected
+)
+SELECT source AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(mixed) AS BIGINT) AS n_mixed_script,
+       CAST(sum(has_zw) AS BIGINT) AS n_zero_width,
+       CAST(sum(has_bidi) AS BIGINT) AS n_bidi,
+       round(1.0 - CAST(sum(greatest(mixed, has_zw, has_bidi)) AS DOUBLE)
+             / count(*), 6) AS pct_clean
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected reciprocal rank of the int8-quantized ranking against
+    full-precision truth (operators/retrieval_eval.err_at_k, Chapelle
+    2009) — the CASCADE-model companion to q_ndcg_quantized on the
+    same setup: a user stops at the first satisfying result, so a
+    quantization error at rank 1 costs what NDCG's discount hides.
+    Grades gmax+1−pos from the truth re-ranking; every stop
+    probability is a dyadic rational < 1 (no zero guard needed);
+    survival via the exp-of-summed-9dp-ln discipline."""
+    from azure_data_engineering_spark.functions.vectors import (
+        dequantize_int8,
+        max_abs,
+        quantize_int8,
+    )
+    from azure_data_engineering_spark.operators.retrieval_eval import err_at_k
+    from azure_data_engineering_spark.operators.similarity import brute_force_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    deq = emb.select(
+        "vec_id",
+        dequantize_int8(
+            quantize_int8(F.col("embedding")), max_abs(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    truth = brute_force_top_k(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    ann = brute_force_top_k(deq.filter(F.col("vec_id") < 10), deq, k=5)
+    return err_at_k(ann, truth, k=5, gmax=4)
+
+
+Q_ERR_SQL = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS sb FROM v
+), dq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(
+           list_transform(e, x -> CAST(trunc(x * (127.0 / sb)) AS BIGINT)),
+           q -> CAST(q AS DOUBLE) * (sb / 127.0)
+         ) AS e
+  FROM s
+), tru AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC, c.vec_id
+           ) AS true_rank
+    FROM (SELECT * FROM v WHERE vec_id < 10) q
+    JOIN v c ON c.vec_id <> q.vec_id
+  ) WHERE true_rank <= 5
+), ann AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC, c.vec_id
+           ) AS ann_rank
+    FROM (SELECT * FROM dq WHERE vec_id < 10) q
+    JOIN dq c ON c.vec_id <> q.vec_id
+  ) WHERE ann_rank <= 5
+), graded AS (
+  SELECT query_id, neighbor_id,
+         greatest(0, 5 - row_number() OVER (
+           PARTITION BY query_id ORDER BY true_rank, neighbor_id)) AS g
+  FROM tru
+), cand AS (
+  SELECT a.query_id, a.ann_rank,
+         (pow(2.0, CAST(coalesce(gr.g, 0) AS DOUBLE)) - 1.0) / 16.0 AS r
+  FROM ann a LEFT JOIN graded gr
+    ON gr.query_id = a.query_id AND gr.neighbor_id = a.neighbor_id
+), surv AS (
+  SELECT query_id, ann_rank, r,
+         coalesce(exp(sum(round(ln(1.0 - r), 9)) OVER (
+           PARTITION BY query_id ORDER BY ann_rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 1.0) AS sv
+  FROM cand
+)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_ranked,
+       round(CAST(sum(CAST(round(r / ann_rank * sv, 9) AS DECIMAL(38,9)))
+             AS DOUBLE), 6) AS err
+FROM surv GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -20056,6 +20296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_msprt": q_msprt,
         "q_poisson_gd": q_poisson_gd,
         "q_haar_wavelet": q_haar_wavelet,
+        "q_asof_nearest": q_asof_nearest,
+        "q_assortativity": q_assortativity,
+        "q_script_mixing": q_script_mixing,
+        "q_err": q_err,
     }
 
 
@@ -20465,4 +20709,8 @@ def oracle_sql() -> dict[str, str]:
         "q_msprt": Q_MSPRT_SQL,
         "q_poisson_gd": Q_POISSON_GD_SQL,
         "q_haar_wavelet": Q_HAAR_WAVELET_SQL,
+        "q_asof_nearest": Q_ASOF_NEAREST_SQL,
+        "q_assortativity": Q_ASSORTATIVITY_SQL,
+        "q_script_mixing": Q_SCRIPT_MIXING_SQL,
+        "q_err": Q_ERR_SQL,
     }

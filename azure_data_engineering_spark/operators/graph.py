@@ -1054,3 +1054,61 @@ def closeness_ksource(
             "harmonic"
         ),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) — the one-number
+    mixing summary: do high-degree nodes link to other hubs (r > 0,
+    social networks) or to leaves (r < 0, the hub-and-spoke shape of
+    catalogs and the web)? It predicts how the graph fails (r > 0:
+    resilient core) and whether degree-targeted sampling is biased.
+
+    r = Pearson correlation of (deg(u), deg(v)) over the edge list
+    (pass both directions for undirected graphs; excess-degree
+    variants differ by a constant shift and are documented out).
+    EVERYTHING is an exact integer sum — degrees are counts, the five
+    moments accumulate as DECIMAL(38,0) (Σxy at 100 TB overflows a
+    long) — so r is a ratio of exactly-agreed terms; the only doubles
+    are the final normalization. Two groupBys (degree frame, moment
+    reduce) + one edge-to-degree equi-join per endpoint. Returns one
+    row: (n_nodes, n_edges, assortativity)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    n_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .count()
+    )
+    dx = deg.select(F.col("node").alias("u"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("node").alias("v"), F.col("deg").alias("dy"))
+    j = e.join(dx, "u").join(dy, "v")
+    dec = "decimal(38,0)"
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(dec)).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(dec)).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast(dec)).alias("syy"),
+    )
+    mm = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = mm * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (mm * F.col("sxx").cast("double") - sx * sx)
+        * (mm * F.col("syy").cast("double") - sy * sy)
+    )
+    return m.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.col("m").alias("n_edges"),
+        F.round(F.when(den > 0, num / den), round_digits).alias("assortativity"),
+    )

@@ -479,3 +479,53 @@ def c4_quality_rules(
         F.length("__clean").cast("long").alias("clean_len"),
         F.md5("__clean").alias("clean_md5"),
     )
+
+
+def script_mixing_stats(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Mixed-script / invisible-character screen per source — the
+    homoglyph-spoof and adversarial-crawl audit (Boucher et al.,
+    IEEE S&P 2022 "Bad Characters"): Cyrillic/Greek letters inside
+    Latin text defeat exact dedup and poison tokenizers; zero-width
+    and bidi-control characters hide payloads that survive every
+    visible-text filter. Per document this counts Latin, Cyrillic and
+    Greek letters plus zero-width (U+200B-D, U+FEFF) and bidi-control
+    (U+202A-E, U+2066-69) characters; a doc is MIXED when Latin and a
+    confusable script co-occur. ONE regexp pass per class (JVM-side
+    regexp_count, no UDF), one group reduce. Returns per group:
+    (group, n_docs, n_mixed_script, n_zero_width, n_bidi,
+    pct_clean)."""
+    t = F.col(text_col)
+    latin = F.regexp_count(t, F.lit("[A-Za-z]"))
+    cyr = F.regexp_count(t, F.lit("[Ѐ-ӿ]"))
+    greek = F.regexp_count(t, F.lit("[Ͱ-Ͽ]"))
+    zw = F.regexp_count(t, F.lit("[​‌‍﻿]"))
+    bidi = F.regexp_count(t, F.lit("[‪-‮⁦-⁩]"))
+    per_doc = df.select(
+        F.col(group_col).alias("group"),
+        ((latin > 0) & ((cyr + greek) > 0)).cast("long").alias("mixed"),
+        (zw > 0).cast("long").alias("has_zw"),
+        (bidi > 0).cast("long").alias("has_bidi"),
+    )
+    return (
+        per_doc.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("mixed").cast("long").alias("n_mixed_script"),
+            F.sum("has_zw").cast("long").alias("n_zero_width"),
+            F.sum("has_bidi").cast("long").alias("n_bidi"),
+            F.round(
+                1.0
+                - F.sum(
+                    F.greatest(F.col("mixed"), F.col("has_zw"), F.col("has_bidi"))
+                ).cast("double")
+                / F.count(F.lit(1)),
+                out_decimals,
+            ).alias("pct_clean"),
+        )
+        .orderBy("group")
+    )

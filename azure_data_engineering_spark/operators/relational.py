@@ -193,6 +193,12 @@ def asof_join_big(
     tests/test_relational.py). Same tie semantics as asof_join: a right
     row at exactly left_on matches in both directions.
 
+    direction="nearest" (pandas merge_asof's third mode) computes the
+    backward AND forward fills over the SAME union frame — same single
+    shuffle, two sorts — and picks per row whichever right timestamp
+    is closer, preferring backward on exact distance ties (the pandas
+    convention, documented for the oracle).
+
     Requirements: non-empty partition_keys (the window would otherwise
     be single-partition); right payload column names must not collide
     with left columns (rename before calling); for deterministic output
@@ -204,7 +210,7 @@ def asof_join_big(
     variant); semantics follow the standard ASOF JOIN (DuckDB/Pandas
     merge_asof definition).
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
     if not partition_keys:
         raise ValueError("asof_join_big requires partition_keys; use asof_join for global as-of")
@@ -232,6 +238,35 @@ def asof_join_big(
         *right_payload,
     )
     u = l_side.unionByName(r_side)
+    if direction == "nearest":
+        u = u.withColumn(
+            "__rt", F.when(F.col("__src") == 0, F.col("__t"))
+        )
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__src").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__src").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        rt_b = F.last("__rt", ignorenulls=True).over(wb)
+        rt_f = F.first("__rt", ignorenulls=True).over(wf)
+        # backward wins on exact-distance ties (pandas convention)
+        use_b = F.when(rt_f.isNull(), F.lit(True)).otherwise(
+            rt_b.isNotNull()
+            & ((F.col("__t") - rt_b) <= (rt_f - F.col("__t")))
+        )
+        filled = [
+            F.when(use_b, F.last(c, ignorenulls=True).over(wb))
+            .otherwise(F.first(c, ignorenulls=True).over(wf))
+            .alias(c)
+            for c in right_payload
+        ]
+        out = u.select(*keys, *left_only, F.col("__src"), *filled)
+        return out.filter(F.col("__src") == 1).drop("__src")
     if direction == "backward":
         # right rows (__src=0) sort before left rows at the same __t,
         # so an exactly-equal right timestamp is inside the window

@@ -307,3 +307,75 @@ def reciprocal_rank_fusion(
             F.col("fused_rank").cast("long").alias("fused_rank"),
         )
     )
+
+
+def err_at_k(
+    ann: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+    gmax: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Expected reciprocal rank (Chapelle et al., CIKM 2009) — the
+    CASCADE-model metric the position-discount family (NDCG/MAP) is
+    not: a user scans down and STOPS at the first satisfying result,
+    so a near-perfect hit at rank 1 makes everything below it almost
+    worthless. ERR is the metric that says so; NDCG still credits the
+    tail.
+
+        R_i   = (2^{g_i} − 1) / 2^{gmax}         (stop probability)
+        ERR@k = Σ_{i≤k} (1/i) · R_i · Π_{j<i} (1 − R_j)
+
+    Grades come from the TRUTH ranking: its re-ranked position p maps
+    to g = gmax + 1 − p (clamped ≥ 0), so the exact top hit carries
+    gmax. Every R is a dyadic rational < 1 (no zero to guard), the
+    survival product uses the engine's exp-of-summed-ln discipline
+    with each ln term rounded to 9 dp, and per-position ERR summands
+    round to 9 dp DECIMALs. All windows run on the ≤k-rows-per-query
+    candidate frame. Returns one row per query: (query_id,
+    n_ranked, err)."""
+    wt = Window.partitionBy("query_id").orderBy("true_rank", "neighbor_id")
+    graded = truth.select(
+        "query_id", "neighbor_id", F.col("rank").alias("true_rank")
+    ).withColumn("pos", F.row_number().over(wt)).select(
+        "query_id",
+        "neighbor_id",
+        F.greatest(F.lit(0), F.lit(gmax + 1) - F.col("pos")).alias("g"),
+    )
+    cand = (
+        ann.select("query_id", "neighbor_id", F.col("rank").alias("ann_rank"))
+        .filter(F.col("ann_rank") <= k)
+        .join(graded, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "ann_rank",
+            (
+                (F.pow(F.lit(2.0), F.coalesce(F.col("g"), F.lit(0)).cast("double")) - 1.0)
+                / float(2**gmax)
+            ).alias("r"),
+        )
+    )
+    prior = (
+        Window.partitionBy("query_id")
+        .orderBy("ann_rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = cand.withColumn(
+        "surv",
+        F.coalesce(
+            F.exp(F.sum(F.round(F.log(1.0 - F.col("r")), 9)).over(prior)), F.lit(1.0)
+        ),
+    ).select(
+        "query_id",
+        F.round(F.col("r") / F.col("ann_rank") * F.col("surv"), 9)
+        .cast("decimal(38,9)")
+        .alias("c"),
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ranked"),
+            F.round(F.sum("c").cast("double"), round_digits).alias("err"),
+        )
+        .orderBy("query_id")
+    )
