@@ -19866,6 +19866,188 @@ FROM surv GROUP BY 1 ORDER BY 1
 """
 
 
+def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized-response estimation (operators/privacy.
+    randomized_response_estimate): the in-debt flag (acctbal < 0)
+    collected under local DP — each customer answers truthfully with
+    p=0.75, else flips a fair md5 coin — then the population rate is
+    deconvolved exactly and self-audited against the true rate.
+    Reproducible-simulation semantics exactly like q_dp_histogram:
+    the salt IS the privacy, publishing it (as this gate does,
+    deliberately) degrades the mechanism to a replay."""
+    from azure_data_engineering_spark.operators.privacy import (
+        randomized_response_estimate,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    d = c.select("c_custkey", (F.col("c_acctbal") < 0).alias("in_debt"))
+    return randomized_response_estimate(d, "c_custkey", "in_debt", q=0.75)
+
+
+Q_RANDOMIZED_RESPONSE_SQL = """
+WITH d AS (
+  SELECT c_custkey AS id, (c_acctbal < 0) AS flag FROM customer
+), coins AS (
+  SELECT id, flag,
+         CAST('0x' || substr(md5(CAST(id AS VARCHAR) || 'rr1'), 1, 8) AS BIGINT)
+           / 4294967296.0 < 0.75 AS honest,
+         CAST('0x' || substr(md5(CAST(id AS VARCHAR) || 'rr2'), 1, 8) AS BIGINT)
+           / 4294967296.0 < 0.5 AS coin
+  FROM d
+), agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN (CASE WHEN honest THEN flag ELSE coin END) THEN 1 ELSE 0 END) AS yes,
+         sum(CASE WHEN flag THEN 1 ELSE 0 END) AS true_yes
+  FROM coins
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(ln((0.75 + 0.125) / 0.125), 6) AS epsilon,
+       round(CAST(yes AS DOUBLE) / n, 6) AS obs_rate,
+       round((CAST(yes AS DOUBLE) / n - 0.125) / 0.75, 6) AS estimated_p,
+       round(CAST(true_yes AS DOUBLE) / n, 6) AS true_p,
+       round(sqrt((CAST(yes AS DOUBLE) / n) * (1.0 - CAST(yes AS DOUBLE) / n) / n)
+             / 0.75, 6) AS se
+FROM agg
+"""
+
+
+def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit (operators/mlplan.fairness_audit): the
+    price-rule urgency classifier from q_mcnemar audited across
+    order-status groups — selection rate, TPR, FPR per group plus
+    the demographic-parity gap, equalized-odds gap, and the EEOC
+    80%-rule disparate-impact ratio. The release gate a corpus-
+    filtering classifier needs: aggregate accuracy hides group-
+    systematic error. Exact integer confusion cells; summary
+    computed once on the k-row group frame."""
+    from azure_data_engineering_spark.operators.mlplan import fairness_audit
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderstatus",
+        (F.col("o_totalprice") > 150000).cast("int").alias("pred"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    return fairness_audit(d, "o_orderstatus", "pred", "y")
+
+
+Q_FAIRNESS_AUDIT_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS g,
+         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS p,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+), cells AS (
+  SELECT g, count(*) AS n, sum(p) AS n_sel, sum(p * y) AS tp,
+         sum(p * (1 - y)) AS fp, sum(y) AS n_pos, sum(1 - y) AS n_neg
+  FROM d GROUP BY 1
+), rates AS (
+  SELECT g, n,
+         round(CAST(n_sel AS DOUBLE) / n, 9) AS sel,
+         round(CASE WHEN n_pos > 0 THEN CAST(tp AS DOUBLE) / n_pos END, 9) AS tpr,
+         round(CASE WHEN n_neg > 0 THEN CAST(fp AS DOUBLE) / n_neg END, 9) AS fpr
+  FROM cells
+), summary AS (
+  SELECT round(max(sel) - min(sel), 6) AS dp_gap,
+         round(greatest(max(tpr) - min(tpr), max(fpr) - min(fpr)), 6) AS eo_gap,
+         round(CASE WHEN max(sel) > 0 THEN min(sel) / max(sel) END, 6) AS di_ratio
+  FROM rates
+)
+SELECT g AS "group", CAST(n AS BIGINT) AS n,
+       round(sel, 6) AS sel_rate, round(tpr, 6) AS tpr, round(fpr, 6) AS fpr,
+       dp_gap, eo_gap, di_ratio
+FROM rates, summary ORDER BY g
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary richness + Good-Turing coverage (operators/
+    quality.vocabulary_coverage) over the document token stream: how
+    much vocabulary does the corpus slice NOT show, and what mass
+    will the next document spend on unseen tokens — the "is this
+    slice big enough to freeze the tokenizer vocab" answer
+    q_zipf_heaps' curve fit can't give. Exact frequency-of-frequency
+    integer ratios; the same normalize_text tokenization as the LM
+    family."""
+    from azure_data_engineering_spark.functions.text import normalize_text
+    from azure_data_engineering_spark.operators.quality import vocabulary_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(normalize_text(F.col("text")), " "), lambda t: t != "")
+        ).alias("tok")
+    )
+    return vocabulary_coverage(toks, "tok")
+
+
+Q_VOCAB_COVERAGE_SQL = """
+WITH toks AS (
+  SELECT u.tok FROM (
+    SELECT list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x <> '') AS arr
+    FROM documents
+  ), LATERAL unnest(arr) AS u(tok)
+), counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+fof AS (SELECT c, count(*) AS ff FROM counts GROUP BY 1),
+agg AS (
+  SELECT sum(c * ff) AS n_tokens, sum(ff) AS n_types,
+         sum(CASE WHEN c = 1 THEN ff ELSE 0 END) AS f1,
+         sum(CASE WHEN c = 2 THEN ff ELSE 0 END) AS f2
+  FROM fof
+)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_types AS BIGINT) AS n_types,
+       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+       round(CASE WHEN f2 > 0
+             THEN n_types + CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
+             ELSE n_types + CAST(f1 AS DOUBLE) * (f1 - 1.0) / (2.0 * (f2 + 1.0))
+             END, 6) AS chao1,
+       round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage,
+       round(CAST(f1 AS DOUBLE) / n_tokens, 6) AS unseen_mass
+FROM agg
+"""
+
+
+def q_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation ICC(1) of order values within customers
+    (operators/stats.icc_oneway): are a customer's orders consistent
+    enough that per-customer averages mean anything? The continuous-
+    ratings reliability companion to q_cohens_kappa/q_fleiss_kappa,
+    with the unbalanced-group k̄ adjustment; exact-decimal moments,
+    one corpus groupBy + a G-row reduce."""
+    from azure_data_engineering_spark.operators.stats import icc_oneway
+
+    o = _t(spark, sf_dir, "orders")
+    return icc_oneway(o, "o_custkey", "o_totalprice")
+
+
+Q_ICC_SQL = """
+WITH g AS (
+  SELECT o_custkey AS g, count(*) AS ng,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sg,
+         sum(CAST(o_totalprice AS DECIMAL(28,6)) * CAST(o_totalprice AS DECIMAL(18,6))) AS ssg
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT count(*) AS k, sum(ng) AS n, sum(ng * ng) AS nsq,
+         sum(CAST(sg AS DECIMAL(38,12))) AS s,
+         sum(CAST(ssg AS DECIMAL(38,12))) AS ss,
+         sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng, 6) AS DECIMAL(38,6))) AS sqn
+  FROM g
+), st AS (
+  SELECT n, k,
+         (CAST(sqn AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1.0) AS msb,
+         (CAST(ss AS DOUBLE) - CAST(sqn AS DOUBLE)) / (n - k) AS msw,
+         (n - CAST(nsq AS DOUBLE) / n) / (k - 1.0) AS kbar
+  FROM tot
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+       round(kbar, 6) AS k_bar,
+       round(CASE WHEN msw > 0 THEN msb / msw END, 6) AS ms_ratio,
+       round((msb - msw) / (msb + (kbar - 1.0) * msw), 6) AS icc1
+FROM st
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -20300,6 +20482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_assortativity": q_assortativity,
         "q_script_mixing": q_script_mixing,
         "q_err": q_err,
+        "q_randomized_response": q_randomized_response,
+        "q_fairness_audit": q_fairness_audit,
+        "q_vocab_coverage": q_vocab_coverage,
+        "q_icc": q_icc,
     }
 
 
@@ -20713,4 +20899,8 @@ def oracle_sql() -> dict[str, str]:
         "q_assortativity": Q_ASSORTATIVITY_SQL,
         "q_script_mixing": Q_SCRIPT_MIXING_SQL,
         "q_err": Q_ERR_SQL,
+        "q_randomized_response": Q_RANDOMIZED_RESPONSE_SQL,
+        "q_fairness_audit": Q_FAIRNESS_AUDIT_SQL,
+        "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
+        "q_icc": Q_ICC_SQL,
     }

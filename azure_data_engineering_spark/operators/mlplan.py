@@ -1468,3 +1468,72 @@ def poisson_gd(
         F.round(F.avg(lam - F.col("t") * zc), out_decimals).alias("mean_nll"),
         F.round(F.avg(lam), out_decimals).alias("pred_mean"),
     )
+
+
+def fairness_audit(
+    df: DataFrame,
+    group_col: str,
+    pred_col: str,
+    label_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Group-fairness audit of a binary classifier (Hardt et al. 2016
+    for equalized odds; the EEOC 80 % rule for disparate impact) —
+    the release gate a quality/moderation classifier needs before it
+    filters a corpus that feeds everything downstream: aggregate
+    accuracy hides that a model can be simultaneously accurate and
+    systematically wrong about one group.
+
+    Per group, from exact integer confusion cells: selection rate
+    P(ŷ=1), TPR (equal opportunity), FPR. Each row also carries the
+    cross-group summary (computed once on the k-row group frame, then
+    broadcast back): demographic-parity gap = max−min selection rate,
+    equalized-odds gap = max pairwise max(|ΔTPR|, |ΔFPR|), and the
+    disparate-impact ratio min/max selection rate (< 0.8 fails the
+    80 % rule). Rates NULL-guard empty denominators. Returns one row
+    per group: (group, n, sel_rate, tpr, fpr, dp_gap, eo_gap,
+    di_ratio)."""
+    p = F.col(pred_col).cast("int")
+    y = F.col(label_col).cast("int")
+    cells = df.groupBy(F.col(group_col).cast("string").alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(p.cast("long")).alias("n_sel"),
+        F.sum((p * y).cast("long")).alias("tp"),
+        F.sum((p * (1 - y)).cast("long")).alias("fp"),
+        F.sum(y.cast("long")).alias("n_pos"),
+        F.sum((1 - y).cast("long")).alias("n_neg"),
+    )
+    sel = F.round(F.col("n_sel").cast("double") / F.col("n").cast("double"), 9)
+    tpr = F.round(
+        F.when(F.col("n_pos") > 0, F.col("tp").cast("double") / F.col("n_pos")), 9
+    )
+    fpr = F.round(
+        F.when(F.col("n_neg") > 0, F.col("fp").cast("double") / F.col("n_neg")), 9
+    )
+    rates = cells.select("group", "n", sel.alias("sel"), tpr.alias("tpr"), fpr.alias("fpr"))
+    summary = rates.agg(
+        F.round(F.max("sel") - F.min("sel"), round_digits).alias("dp_gap"),
+        F.round(
+            F.greatest(
+                F.max("tpr") - F.min("tpr"), F.max("fpr") - F.min("fpr")
+            ),
+            round_digits,
+        ).alias("eo_gap"),
+        F.round(
+            F.when(F.max("sel") > 0, F.min("sel") / F.max("sel")), round_digits
+        ).alias("di_ratio"),
+    )
+    return (
+        rates.crossJoin(F.broadcast(summary))
+        .select(
+            "group",
+            "n",
+            F.round(F.col("sel"), round_digits).alias("sel_rate"),
+            F.round(F.col("tpr"), round_digits).alias("tpr"),
+            F.round(F.col("fpr"), round_digits).alias("fpr"),
+            "dp_gap",
+            "eo_gap",
+            "di_ratio",
+        )
+        .orderBy("group")
+    )

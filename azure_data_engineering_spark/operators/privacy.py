@@ -269,3 +269,56 @@ def l_diversity_audit(
         ).alias("pct_below_l"),
         F.round(F.min(ent_l), out_decimals).alias("min_entropy_l"),
     )
+
+
+def randomized_response_estimate(
+    df: DataFrame,
+    id_col: str,
+    flag_col: str,
+    q: float = 0.75,
+    salt: str = "rr",
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Warner's randomized response (1965) — LOCAL differential
+    privacy's original mechanism, still the design behind RAPPOR-style
+    telemetry: each unit answers truthfully with probability ``q``,
+    otherwise flips a fair coin, so no individual report reveals the
+    sensitive bit, yet the population rate deconvolves exactly:
+
+        E[obs] = q·p + (1−q)/2   ⇒   p̂ = (obs − (1−q)/2) / q
+        SE(p̂)  = √(obs(1−obs)/n) / q
+        ε      = ln( (q + (1−q)/2) / ((1−q)/2) )     (per-report LDP)
+
+    Both coins are the engine's deterministic md5 unit draws keyed by
+    (id, salt) — REPRODUCIBLE SIMULATION semantics, exactly like
+    dp_noisy_counts: publish the salt and the mechanism degrades to a
+    replay, which is precisely what lets the oracle gate it. The TRUE
+    rate rides along as the self-audit. ONE corpus aggregate. Returns
+    one row: (n, epsilon, obs_rate, estimated_p, true_p, se)."""
+    from .sampling import hash_unit
+
+    honest = hash_unit(F.col(id_col), salt + "1") < q
+    coin = hash_unit(F.col(id_col), salt + "2") < 0.5
+    truth = F.col(flag_col).cast("boolean")
+    report = F.when(honest, truth).otherwise(coin).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(report).cast("long").alias("yes"),
+        F.sum(truth.cast("long")).cast("long").alias("true_yes"),
+    )
+    obs = F.col("yes").cast("double") / F.col("n").cast("double")
+    import math as _math
+
+    eps = _math.log((q + (1.0 - q) / 2.0) / ((1.0 - q) / 2.0))
+    return agg.select(
+        "n",
+        F.lit(round(eps, out_decimals)).alias("epsilon"),
+        F.round(obs, out_decimals).alias("obs_rate"),
+        F.round((obs - (1.0 - q) / 2.0) / q, out_decimals).alias("estimated_p"),
+        F.round(
+            F.col("true_yes").cast("double") / F.col("n").cast("double"), out_decimals
+        ).alias("true_p"),
+        F.round(
+            F.sqrt(obs * (1.0 - obs) / F.col("n").cast("double")) / q, out_decimals
+        ).alias("se"),
+    )

@@ -529,3 +529,56 @@ def script_mixing_stats(
         )
         .orderBy("group")
     )
+
+
+def vocabulary_coverage(
+    df: DataFrame,
+    token_col: str,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Unseen-vocabulary estimation from token frequency-of-frequencies
+    — Chao1 richness (Chao 1984) and Good-Turing coverage (Good 1953):
+    how much MORE vocabulary is out there than this sample shows, and
+    what probability mass the next document will spend on never-seen
+    tokens? The pair zipf_heaps' curve-fit can't give directly, and
+    the right answer to "is this corpus slice big enough to freeze the
+    tokenizer vocab?".
+
+        Chao1    = D + f₁²/(2 f₂)        (f₁ singletons, f₂ doubletons)
+        coverage = 1 − f₁/N              (Good-Turing; unseen mass = f₁/N)
+
+    Everything is a ratio of exact integer counts: one token groupBy
+    (vocabulary-sized), one frequency-of-frequency groupBy (tiny), one
+    reduce. Chao1's bias-corrected form uses f₁(f₁−1)/(2(f₂+1)) when
+    f₂ = 0 (documented; avoids the divide-by-zero). Returns one row:
+    (n_tokens, n_types, f1, f2, chao1, coverage, unseen_mass)."""
+    counts = df.groupBy(F.col(token_col).alias("tok")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    fof = counts.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("ff"))
+    agg = fof.agg(
+        F.sum(F.col("c") * F.col("ff")).cast("long").alias("n_tokens"),
+        F.sum("ff").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, F.col("ff")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, F.col("ff")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    d = F.col("n_types").cast("double")
+    chao1 = F.when(F.col("f2") > 0, d + f1 * f1 / (2.0 * f2)).otherwise(
+        d + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0))
+    )
+    unseen = f1 / F.col("n_tokens").cast("double")
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        F.round(chao1, out_decimals).alias("chao1"),
+        F.round(1.0 - unseen, out_decimals).alias("coverage"),
+        F.round(unseen, out_decimals).alias("unseen_mass"),
+    )

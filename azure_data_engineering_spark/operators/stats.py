@@ -2489,3 +2489,69 @@ def msprt_always_valid(
             F.least(F.lit(1.0), F.exp(-F.greatest(run_max, F.lit(0.0)))), round_digits
         ).alias("p_always_valid"),
     ).orderBy("day")
+
+
+def icc_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Intraclass correlation ICC(1) — one-way random-effects
+    (Shrout & Fleiss 1979's first case): what fraction of a
+    continuous measurement's variance is BETWEEN subjects rather than
+    within? The continuous-ratings reliability companion to
+    cohens_kappa/fleiss_kappa (categorical) and the standing
+    answer to "are repeated measurements of the same unit consistent
+    enough to average?".
+
+        ICC(1) = (MSB − MSW) / (MSB + (k̄ − 1)·MSW)
+
+    with MSB/MSW the between/within mean squares from the one-way
+    ANOVA decomposition and k̄ the average-group-size adjustment
+    k̄ = (N − Σn_g²/N)/(G − 1) for unbalanced groups (the standard
+    unbiased form). Same exact-decimal moment discipline as
+    anova_oneway — and the same OUTPUT discipline: only normalized
+    O(1) ratios are emitted (ICC and the MSB/MSW variance ratio);
+    the raw mean squares are ~1e10 doubles whose decimal→double
+    conversion can differ by an ulp across engines (the sf1 sweep
+    caught exactly that on a first draft that emitted them). Returns
+    one row: (n, n_groups, k_bar, ms_ratio, icc1)."""
+    dec = "decimal(18,6)"
+    g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(F.col(value_col).cast(dec)).alias("sg"),
+        F.sum(F.col(value_col).cast("decimal(28,6)") * F.col(value_col).cast(dec)).alias(
+            "ssg"
+        ),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.col("ng") * F.col("ng")).cast("long").alias("nsq"),
+        F.sum(F.col("sg").cast("decimal(38,12)")).alias("s"),
+        F.sum(F.col("ssg").cast("decimal(38,12)")).alias("ss"),
+        F.sum(
+            F.round(
+                F.col("sg").cast("double") * F.col("sg").cast("double")
+                / F.col("ng").cast("double"),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("sqn"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    ssb = F.col("sqn").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / n
+    ssw = F.col("ss").cast("double") - F.col("sqn").cast("double")
+    msb = ssb / (k - 1.0)
+    msw = ssw / (n - k)
+    kbar = (n - F.col("nsq").cast("double") / n) / (k - 1.0)
+    return tot.select(
+        "n",
+        F.col("k").alias("n_groups"),
+        F.round(kbar, round_digits).alias("k_bar"),
+        F.round(F.when(msw > 0, msb / msw), round_digits).alias("ms_ratio"),
+        F.round((msb - msw) / (msb + (kbar - 1.0) * msw), round_digits).alias("icc1"),
+    )

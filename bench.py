@@ -192,6 +192,20 @@ HEADLINE = [
     "q_markov_attribution",
     "q_matryoshka",
     "q_weighted_quantiles",
+    # round-9 session-3 additions: DDSketch (the mergeable value-error
+    # quantile pre-agg — one bucket groupBy + KB-frame windows),
+    # Kneser-Ney (bigram TYPE-frame model + one pair-stream equi-join
+    # — the perplexity screen's real cost shape), nearest as-of (the
+    # dual-fill union-merge plan: one shuffle, two sorts), activity
+    # streaks (distinct user-day frame + two tiny groupBys), Haar
+    # top-k (log2(n) halving groupBys), and the quantile-regression
+    # pinned-GD family member
+    "q_ddsketch",
+    "q_kn_bigram",
+    "q_asof_nearest",
+    "q_activity_streaks",
+    "q_haar_wavelet",
+    "q_quantile_regression",
 ]
 
 ROUND = 9
