@@ -20048,6 +20048,543 @@ FROM st
 """
 
 
+def q_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier with Greenwood confidence bands (operators/stats.
+    kaplan_meier_greenwood) over the q_kaplan_meier lifetime frame —
+    the error bars that make a retention curve decision-grade: bands
+    that overlap are not evidence of different retention. Greenwood
+    summands d/(n(n−d)) are exact-integer ratios rounded to 9 dp
+    before the cumulative window; bands NULL after survival hits 0."""
+    from azure_data_engineering_spark.operators.stats import kaplan_meier_greenwood
+
+    ev = _t(spark, sf_dir, "events")
+    per_u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__first"), F.max("ts").alias("__last")
+    )
+    ref = ev.agg(F.max("ts").alias("__ref"))
+    subj = per_u.join(F.broadcast(ref)).select(
+        F.datediff(F.col("__last"), F.col("__first")).cast("long").alias("duration"),
+        (F.col("__last") < F.col("__ref") - F.expr("INTERVAL 7 DAYS"))
+        .cast("int")
+        .alias("churned"),
+    )
+    return kaplan_meier_greenwood(subj, "duration", "churned")
+
+
+Q_KM_GREENWOOD_SQL = """
+WITH per_u AS MATERIALIZED (
+  SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+), ref AS (SELECT max(ts) AS r FROM events),
+subj AS MATERIALIZED (
+  SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS duration,
+         CASE WHEN l < r - INTERVAL 7 DAY THEN 1 ELSE 0 END AS ev
+  FROM per_u, ref
+), per_t AS MATERIALIZED (
+  SELECT duration, sum(ev) AS d, count(*) AS c FROM subj GROUP BY 1
+), n AS (SELECT count(*) AS nn FROM subj),
+km AS MATERIALIZED (
+  SELECT duration, d, c,
+         nn - sum(c) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) + c AS n_risk
+  FROM per_t, n
+), km2 AS MATERIALIZED (
+  SELECT duration, n_risk, d, c,
+         CASE WHEN d < n_risk THEN ln(1 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END AS ln_f,
+         max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS dead,
+         sum(CASE WHEN d < n_risk THEN
+             CAST(round(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * (n_risk - d)), 9)
+                  AS DECIMAL(38,9)) END)
+           OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS gsum
+  FROM km
+), surv AS (
+  SELECT duration, n_risk, d,
+         CASE WHEN dead = 1 THEN 0.0
+              ELSE round(exp(sum(ln_f) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)), 6)
+         END AS survival,
+         dead, gsum
+  FROM km2
+), se AS (
+  SELECT duration, n_risk, d, survival,
+         CASE WHEN dead = 0
+              THEN round(survival * sqrt(CAST(gsum AS DOUBLE)), 6) END AS se
+  FROM surv
+)
+SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+       survival, se,
+       round(greatest(0.0, survival - 1.959964 * se), 6) AS lo,
+       round(least(1.0, survival + 1.959964 * se), 6) AS hi
+FROM se
+"""
+
+
+def q_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W + Friedman test (operators/stats.
+    kendalls_w_friedman): do the years 1992-1997 AGREE on which
+    months are big? Judges = complete years, items = months, value =
+    exact-decimal monthly revenue; the ordinal member of the
+    rater-agreement family (κ categorical, ICC continuous). Doubled
+    midranks within each judge stay exact longs; p via the
+    Wilson-Hilferty χ²(n−1) convention shared with
+    q_kruskal_wallis."""
+    from azure_data_engineering_spark.operators.stats import kendalls_w_friedman
+
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") <= 1997)
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    return kendalls_w_friedman(monthly, "yr", "mo", "rev")
+
+
+Q_KENDALLS_W_SQL = """
+WITH monthly AS MATERIALIZED (
+  SELECT year(o_orderdate) AS j, month(o_orderdate) AS item,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS val
+  FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 1, 2
+), per_jv AS (
+  SELECT j, val, count(*) AS ct FROM monthly GROUP BY 1, 2
+), ranked AS (
+  SELECT j, val, ct,
+         2 * sum(ct) OVER (PARTITION BY j ORDER BY val ROWS UNBOUNDED PRECEDING)
+           - ct + 1 AS m2x
+  FROM per_jv
+), wr AS (
+  SELECT m.j, m.item, r.m2x
+  FROM monthly m JOIN ranked r ON r.j = m.j AND r.val = m.val
+), shape AS (
+  SELECT count(DISTINCT j) AS m, count(DISTINCT item) AS n FROM wr
+), per_item AS (
+  SELECT item, sum(m2x) AS r2x FROM wr GROUP BY 1
+), ties AS (
+  SELECT sum(ct * ct * ct - ct) AS tsum FROM per_jv
+), dev AS (
+  SELECT sum((r2x - (SELECT m * (n + 1) FROM shape))
+             * (r2x - (SELECT m * (n + 1) FROM shape))) AS ss4x
+  FROM per_item
+), calc AS (
+  SELECT m, n, CAST(ss4x AS DOUBLE) / 4.0 AS ssdev,
+         (CAST(m AS DOUBLE) * m * (CAST(n AS DOUBLE) * n * n - n)
+          - m * CAST(tsum AS DOUBLE)) / 12.0 AS denom
+  FROM shape, dev, ties
+), w AS (
+  SELECT m, n, round(ssdev / denom, 9) AS wstat FROM calc
+), chi AS (
+  SELECT m, n, wstat, round(m * (n - 1.0) * wstat, 9) AS chi2,
+         CAST(n - 1 AS DOUBLE) AS nu
+  FROM w
+), z AS (
+  SELECT *, round((cbrt(chi2 / nu) - (1.0 - 2.0 / (9.0 * nu)))
+                  / sqrt(2.0 / (9.0 * nu)), 9) AS zwh
+  FROM chi
+), zz AS (SELECT *, round(abs(zwh) / 1.4142135623730951, 9) AS za FROM z),
+poly AS (SELECT *, 1.0 / (1.0 + 0.3275911 * za) AS t FROM zz),
+e AS (
+  SELECT *, t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+            + t * (-1.453152027 + t * 1.061405429)))) * exp(-(za * za)) AS erfc2
+  FROM poly
+)
+SELECT CAST(m AS BIGINT) AS m_judges, CAST(n AS BIGINT) AS n_items,
+       round(wstat, 6) AS w, round(chi2, 6) AS chi2,
+       round(CASE WHEN zwh >= 0 THEN erfc2 / 2.0 ELSE 1.0 - erfc2 / 2.0 END, 6)
+         AS p_value
+FROM e
+"""
+
+
+def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel tail fit on daily block maxima of event value per type
+    (operators/stats.gumbel_block_maxima): "what's the worst day we
+    should expect in the next 100?" — capacity planning from the
+    distribution of MAXIMA, the tail question q_mad_outliers /
+    q_winsorize structurally can't answer. Method-of-moments EV1
+    (β = s√6/π), exact 6 dp-decimal moments of the daily-max frame,
+    normalized outputs only."""
+    from azure_data_engineering_spark.operators.stats import gumbel_block_maxima
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return gumbel_block_maxima(d, "event_type", "day", "value", return_period=100.0)
+
+
+Q_GUMBEL_MAXIMA_SQL = """
+WITH maxima AS (
+  SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS b,
+         max(CAST(value AS DOUBLE)) AS mx
+  FROM events GROUP BY 1, 2
+), moms AS (
+  SELECT g, count(*) AS n_blocks,
+         sum(CAST(round(mx, 6) AS DECIMAL(18,6))) AS s,
+         sum(CAST(round(mx, 6) AS DECIMAL(28,6)) * CAST(round(mx, 6) AS DECIMAL(18,6))) AS ss
+  FROM maxima GROUP BY 1
+), st AS (
+  SELECT g, n_blocks,
+         CAST(s AS DOUBLE) / n_blocks AS mean,
+         CASE WHEN n_blocks > 1 THEN
+           round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n_blocks))
+                 / (n_blocks - 1.0), 9) END AS var
+  FROM moms
+), fit AS (
+  SELECT g, n_blocks, mean,
+         sqrt(greatest(var, 0.0)) * (sqrt(6.0) / pi()) AS beta
+  FROM st
+)
+SELECT g AS "group", CAST(n_blocks AS BIGINT) AS n_blocks,
+       round(mean, 6) AS mean_max, round(beta, 6) AS beta,
+       round(mean - 0.5772156649015329 * beta, 6) AS mu,
+       round(mean - 0.5772156649015329 * beta
+             + beta * (-ln(-ln(1.0 - 1.0 / 100.0))), 6) AS return_level
+FROM fit ORDER BY 1
+"""
+
+
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative referential-integrity report over the TPC-H
+    constraint graph (operators/profiling.
+    referential_integrity_profile): orphaned children, NULL FKs,
+    duplicate parent keys, childless parents — per constraint, as
+    data. The constraint-level twin of q_profile's column stats and
+    the first thing a warehouse load gate should read. Each check is
+    one anti-join or groupBy (broadcast for dimension parents)."""
+    from azure_data_engineering_spark.operators.profiling import (
+        referential_integrity_profile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    return referential_integrity_profile(
+        [
+            ("customer.nation", c, "c_nationkey", n, "n_nationkey"),
+            ("lineitem.order", li, "l_orderkey", o, "o_orderkey"),
+            ("lineitem.part", li, "l_partkey", p, "p_partkey"),
+            ("orders.customer", o, "o_custkey", c, "c_custkey"),
+            ("supplier.nation", s, "s_nationkey", n, "n_nationkey"),
+        ]
+    )
+
+
+Q_REF_INTEGRITY_SQL = """
+WITH checks AS (
+  SELECT 'customer.nation' AS "constraint", count(*) AS n_child,
+         sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS null_fk,
+         sum(CASE WHEN c_nationkey IS NOT NULL
+                   AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+             THEN 1 ELSE 0 END) AS orphan_children,
+         (SELECT count(*) FROM nation) AS n_parent,
+         (SELECT count(*) FROM (SELECT n_nationkey FROM nation
+            GROUP BY 1 HAVING count(*) > 1)) AS dup_parent_keys,
+         (SELECT count(*) FROM nation WHERE n_nationkey NOT IN
+            (SELECT DISTINCT c_nationkey FROM customer WHERE c_nationkey IS NOT NULL))
+           AS childless_parents
+  FROM customer
+  UNION ALL
+  SELECT 'lineitem.order', count(*),
+         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN l_orderkey IS NOT NULL
+                   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+             THEN 1 ELSE 0 END),
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+            GROUP BY 1 HAVING count(*) > 1)),
+         (SELECT count(*) FROM orders WHERE o_orderkey NOT IN
+            (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL))
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.part', count(*),
+         sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN l_partkey IS NOT NULL
+                   AND l_partkey NOT IN (SELECT p_partkey FROM part)
+             THEN 1 ELSE 0 END),
+         (SELECT count(*) FROM part),
+         (SELECT count(*) FROM (SELECT p_partkey FROM part
+            GROUP BY 1 HAVING count(*) > 1)),
+         (SELECT count(*) FROM part WHERE p_partkey NOT IN
+            (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL))
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders.customer', count(*),
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN o_custkey IS NOT NULL
+                   AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+             THEN 1 ELSE 0 END),
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM (SELECT c_custkey FROM customer
+            GROUP BY 1 HAVING count(*) > 1)),
+         (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+            (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL))
+  FROM orders
+  UNION ALL
+  SELECT 'supplier.nation', count(*),
+         sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN s_nationkey IS NOT NULL
+                   AND s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+             THEN 1 ELSE 0 END),
+         (SELECT count(*) FROM nation),
+         (SELECT count(*) FROM (SELECT n_nationkey FROM nation
+            GROUP BY 1 HAVING count(*) > 1)),
+         (SELECT count(*) FROM nation WHERE n_nationkey NOT IN
+            (SELECT DISTINCT s_nationkey FROM supplier WHERE s_nationkey IS NOT NULL))
+  FROM supplier
+)
+SELECT "constraint", CAST(n_child AS BIGINT) AS n_child,
+       CAST(null_fk AS BIGINT) AS null_fk,
+       CAST(orphan_children AS BIGINT) AS orphan_children,
+       round(CAST(orphan_children AS DOUBLE)
+             / greatest(n_child - null_fk, 1), 6) AS orphan_pct,
+       CAST(n_parent AS BIGINT) AS n_parent,
+       CAST(dup_parent_keys AS BIGINT) AS dup_parent_keys,
+       CAST(childless_parents AS BIGINT) AS childless_parents
+FROM checks ORDER BY "constraint"
+"""
+
+
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between the
+    user-parity arms' event-value distributions (operators/stats.
+    wasserstein_1d): drift measured in VALUE units — q_ks_test
+    reports the largest CDF gap, q_psi_drift needs arbitrary bins,
+    W₁ integrates the whole CDF gap exactly (closed form in 1-D).
+    One value-keyed count frame over both arms, |ΔF|·Δx segments as
+    9 dp DECIMALs; the KS statistic rides along from the same
+    frame."""
+    from azure_data_engineering_spark.operators.stats import wasserstein_1d
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), F.col("value").alias("v")
+    )
+    return wasserstein_1d(d, "arm", "v")
+
+
+Q_WASSERSTEIN_SQL = """
+WITH d AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm, CAST(value AS DOUBLE) AS val FROM events
+), per_v AS (
+  SELECT val,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS c2
+  FROM d GROUP BY 1
+), tot AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS n2
+  FROM d
+), cum AS (
+  SELECT val,
+         sum(c1) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum1,
+         sum(c2) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum2,
+         lead(val, 1) OVER (ORDER BY val) AS nxt,
+         n1, n2
+  FROM per_v, tot
+), seg AS (
+  SELECT n1, n2,
+         CASE WHEN nxt IS NOT NULL THEN
+           CAST(round(abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)
+                * (nxt - val), 9) AS DECIMAL(38,9)) END AS s,
+         round(abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2), 9) AS fgap
+  FROM cum
+)
+SELECT '0' AS group1, '1' AS group2,
+       CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+       round(CAST(sum(s) AS DOUBLE), 6) AS w1_distance,
+       round(max(fgap), 6) AS ks_stat
+FROM seg
+"""
+
+
+def q_yuen_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's 10%-trimmed-mean test between the user-parity arms on
+    event value (operators/stats.yuen_trimmed_test): the robust
+    middle ground the A/B family needed — q_welch_t's mean question
+    with q_mann_whitney's outlier immunity. Exact integer rank
+    cutoffs on the per-arm distinct-value frames (no quantile
+    interpolation), winsorized 6 dp-decimal moments, p via the
+    shared A&S erfc."""
+    from azure_data_engineering_spark.operators.stats import yuen_trimmed_test
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), F.col("value").alias("v")
+    )
+    return yuen_trimmed_test(d, "arm", "v", trim=0.1)
+
+
+Q_YUEN_TRIMMED_SQL = """
+WITH d AS (
+  SELECT CAST(user_id % 2 AS INT) AS g, CAST(value AS DOUBLE) AS val FROM events
+), per_v AS (
+  SELECT g, val, count(*) AS ct FROM d GROUP BY 1, 2
+), cum AS (
+  SELECT g, val, ct,
+         sum(ct) OVER (PARTITION BY g ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(ct) OVER (PARTITION BY g) AS n
+  FROM per_v
+), cuts AS (
+  SELECT g, CAST(floor(0.1 * n) AS BIGINT) AS gc, n FROM cum GROUP BY 1, 3
+), lo AS (
+  SELECT cum.g, min(cum.val) AS lo_v FROM cum JOIN cuts ON cuts.g = cum.g
+  WHERE cum.cum >= cuts.gc + 1 GROUP BY 1
+), hi AS (
+  SELECT cum.g, min(cum.val) AS hi_v FROM cum JOIN cuts ON cuts.g = cum.g
+  WHERE cum.cum >= cuts.n - cuts.gc GROUP BY 1
+), winz AS (
+  SELECT cum.g, cum.n AS n, cum.ct AS ct, cum.cum AS cum,
+         cum.cum - cum.ct + 1 AS strt, cuts.gc AS gc,
+         least(greatest(cum.val, lo.lo_v), hi.hi_v) AS wv, cum.val AS val
+  FROM cum JOIN cuts ON cuts.g = cum.g
+  JOIN lo ON lo.g = cum.g JOIN hi ON hi.g = cum.g
+), per_g AS (
+  SELECT g, max(n) AS n,
+         sum(CAST(round(wv, 6) AS DECIMAL(28,6)) * ct) AS ws,
+         sum(CAST(round(wv, 6) AS DECIMAL(28,6)) * CAST(round(wv, 6) AS DECIMAL(18,6)) * ct) AS wss,
+         sum(CAST(round(val, 6) AS DECIMAL(28,6))
+             * greatest(0, least(cum, n - gc) - greatest(strt, gc + 1) + 1)) AS ts,
+         sum(greatest(0, least(cum, n - gc) - greatest(strt, gc + 1) + 1)) AS h
+  FROM winz GROUP BY 1
+), j AS (
+  SELECT a.n AS n1, a.ws AS ws1, a.wss AS wss1, a.ts AS ts1, a.h AS h1,
+         b.n AS n2, b.ws AS ws2, b.wss AS wss2, b.ts AS ts2, b.h AS h2
+  FROM (SELECT * FROM per_g WHERE g = 0) a, (SELECT * FROM per_g WHERE g = 1) b
+), st AS (
+  SELECT n1, n2,
+         CAST(ts1 AS DOUBLE) / h1 AS tm1, CAST(ts2 AS DOUBLE) / h2 AS tm2,
+         (CAST(n1 AS DOUBLE) - 1.0)
+           * ((CAST(wss1 AS DOUBLE) - CAST(ws1 AS DOUBLE) * (CAST(ws1 AS DOUBLE) / n1)) / (n1 - 1.0))
+           / (CAST(h1 AS DOUBLE) * (h1 - 1.0)) AS d1,
+         (CAST(n2 AS DOUBLE) - 1.0)
+           * ((CAST(wss2 AS DOUBLE) - CAST(ws2 AS DOUBLE) * (CAST(ws2 AS DOUBLE) / n2)) / (n2 - 1.0))
+           / (CAST(h2 AS DOUBLE) * (h2 - 1.0)) AS d2
+  FROM j
+), t AS (
+  SELECT n1, n2, tm1, tm2, round((tm1 - tm2) / sqrt(d1 + d2), 9) AS tt FROM st
+), z AS (SELECT *, round(abs(tt) / 1.4142135623730951, 9) AS za FROM t),
+poly AS (SELECT *, 1.0 / (1.0 + 0.3275911 * za) AS u FROM z)
+SELECT '0' AS group1, '1' AS group2,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(tm1, 6) AS trimmed_mean1, round(tm2, 6) AS trimmed_mean2,
+       round(tt, 6) AS t_stat,
+       round(u * (0.254829592 + u * (-0.284496736 + u * (1.421413741
+             + u * (-1.453152027 + u * 1.061405429)))) * exp(-(za * za)), 6)
+         AS p_value
+FROM poly
+"""
+
+
+def q_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient both ways between order status
+    and priority (operators/stats.theils_u): the ASYMMETRIC
+    association q_chi_posthoc's Cramér's V can't express — how much
+    of priority's entropy does status remove, and vice versa (they
+    differ). Entropy summands as 9 dp DECIMALs from exact integer
+    cells (the l_diversity discipline)."""
+    from azure_data_engineering_spark.operators.stats import theils_u
+
+    o = _t(spark, sf_dir, "orders")
+    return theils_u(o, "o_orderstatus", "o_orderpriority")
+
+
+Q_THEILS_U_SQL = """
+WITH cells AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS x, CAST(o_orderpriority AS VARCHAR) AS y,
+         count(*) AS c
+  FROM orders GROUP BY 1, 2
+), nt AS (SELECT sum(c) AS n FROM cells),
+hx AS (
+  SELECT sum(CAST(round(-(CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n), 9)
+             AS DECIMAL(38,9))) AS hx
+  FROM (SELECT x, sum(c) AS cx FROM cells GROUP BY 1), nt
+), hy AS (
+  SELECT sum(CAST(round(-(CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n), 9)
+             AS DECIMAL(38,9))) AS hy
+  FROM (SELECT y, sum(c) AS cy FROM cells GROUP BY 1), nt
+), hxy AS (
+  SELECT sum(CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+             AS DECIMAL(38,9))) AS hxy
+  FROM cells, nt
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CAST(hx AS DOUBLE), 6) AS h_x,
+       round(CAST(hy AS DOUBLE), 6) AS h_y,
+       round(CAST(hx AS DOUBLE) + CAST(hy AS DOUBLE) - CAST(hxy AS DOUBLE), 6)
+         AS mutual_info,
+       round(CASE WHEN CAST(hy AS DOUBLE) > 0 THEN
+         (CAST(hx AS DOUBLE) + CAST(hy AS DOUBLE) - CAST(hxy AS DOUBLE))
+           / CAST(hy AS DOUBLE) END, 6) AS u_y_given_x,
+       round(CASE WHEN CAST(hx AS DOUBLE) > 0 THEN
+         (CAST(hx AS DOUBLE) + CAST(hy AS DOUBLE) - CAST(hxy AS DOUBLE))
+           / CAST(hx AS DOUBLE) END, 6) AS u_x_given_y
+FROM nt, hx, hy, hxy
+"""
+
+
+def q_lmdi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LMDI-I growth accounting of monthly 1996 revenue (operators/
+    timeseries.lmdi_decomposition): each month-over-month revenue
+    change attributed EXACTLY additively to active customers ×
+    orders-per-customer × average order value — the "why did the
+    metric move" answer naive %-attribution leaves a residual on.
+    Per-month driver frame built in one groupBy; the decomposition
+    is a lag window over 12 rows; logarithmic means and ln ratios
+    rounded to 9 dp."""
+    from azure_data_engineering_spark.operators.timeseries import lmdi_decomposition
+
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    monthly = o.groupBy(F.month("o_orderdate").alias("mo")).agg(
+        F.countDistinct("o_custkey").cast("double").alias("users"),
+        (F.count(F.lit(1)) / F.countDistinct("o_custkey")).alias("orders_per_user"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("aov"),
+    )
+    return lmdi_decomposition(monthly, "mo", ["users", "orders_per_user", "aov"])
+
+
+Q_LMDI_SQL = """
+WITH monthly AS MATERIALIZED (
+  SELECT month(o_orderdate) AS mo,
+         CAST(count(DISTINCT o_custkey) AS DOUBLE) AS users,
+         CAST(count(*) AS DOUBLE) / count(DISTINCT o_custkey) AS orders_per_user,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS aov
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+), lagged AS (
+  SELECT mo, users * orders_per_user * aov AS v,
+         lag(users * orders_per_user * aov, 1) OVER (ORDER BY mo) AS v0,
+         users, orders_per_user, aov,
+         lag(users, 1) OVER (ORDER BY mo) AS p_users,
+         lag(orders_per_user, 1) OVER (ORDER BY mo) AS p_opu,
+         lag(aov, 1) OVER (ORDER BY mo) AS p_aov
+  FROM monthly
+), pairs AS (
+  SELECT *, CASE WHEN round(v, 9) = round(v0, 9) THEN v
+                 ELSE (v - v0) / (ln(v) - ln(v0)) END AS lmean
+  FROM lagged WHERE v0 IS NOT NULL
+), contribs AS (
+  SELECT mo, round(v - v0, 6) AS delta_v, 'users' AS factor,
+         CASE WHEN users > 0 AND p_users > 0 AND v > 0 AND v0 > 0
+              THEN round(lmean * round(ln(users / p_users), 9), 6) END AS contribution
+  FROM pairs
+  UNION ALL
+  SELECT mo, round(v - v0, 6), 'orders_per_user',
+         CASE WHEN orders_per_user > 0 AND p_opu > 0 AND v > 0 AND v0 > 0
+              THEN round(lmean * round(ln(orders_per_user / p_opu), 9), 6) END
+  FROM pairs
+  UNION ALL
+  SELECT mo, round(v - v0, 6), 'aov',
+         CASE WHEN aov > 0 AND p_aov > 0 AND v > 0 AND v0 > 0
+              THEN round(lmean * round(ln(aov / p_aov), 9), 6) END
+  FROM pairs
+)
+SELECT mo AS period, delta_v, factor, contribution
+FROM contribs ORDER BY period, factor
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -20486,6 +21023,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fairness_audit": q_fairness_audit,
         "q_vocab_coverage": q_vocab_coverage,
         "q_icc": q_icc,
+        "q_km_greenwood": q_km_greenwood,
+        "q_kendalls_w": q_kendalls_w,
+        "q_gumbel_maxima": q_gumbel_maxima,
+        "q_ref_integrity": q_ref_integrity,
+        "q_wasserstein": q_wasserstein,
+        "q_yuen_trimmed": q_yuen_trimmed,
+        "q_theils_u": q_theils_u,
+        "q_lmdi": q_lmdi,
     }
 
 
@@ -20903,4 +21448,12 @@ def oracle_sql() -> dict[str, str]:
         "q_fairness_audit": Q_FAIRNESS_AUDIT_SQL,
         "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
         "q_icc": Q_ICC_SQL,
+        "q_km_greenwood": Q_KM_GREENWOOD_SQL,
+        "q_kendalls_w": Q_KENDALLS_W_SQL,
+        "q_gumbel_maxima": Q_GUMBEL_MAXIMA_SQL,
+        "q_ref_integrity": Q_REF_INTEGRITY_SQL,
+        "q_wasserstein": Q_WASSERSTEIN_SQL,
+        "q_yuen_trimmed": Q_YUEN_TRIMMED_SQL,
+        "q_theils_u": Q_THEILS_U_SQL,
+        "q_lmdi": Q_LMDI_SQL,
     }

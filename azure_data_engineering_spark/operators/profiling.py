@@ -57,3 +57,70 @@ def profile(df: DataFrame, cols: list[str] | None = None, approx: bool = False) 
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def referential_integrity_profile(
+    constraints,
+    out_decimals: int = 6,
+) -> "DataFrame":
+    """Declarative referential-integrity report — the constraint-level
+    twin of profile_table's column stats: every warehouse load needs
+    "are the joins still sound?" answered as data, per constraint:
+
+    - orphan_children / orphan_pct: child rows whose FK matches no
+      parent key (left_anti — the broken joins)
+    - null_fk: child rows with a NULL FK (excluded from orphan math;
+      nullable FKs are a policy question, not a breakage)
+    - childless_parents: parent keys no child references (left_anti
+      the other way — usually fine, sometimes a load gap)
+    - dup_parent_keys: parent keys appearing more than once (a PK
+      violation that silently fans out every downstream join)
+
+    ``constraints`` is a list of (name, child_df, fk_col, parent_df,
+    pk_col). Each check is one anti-join or one groupBy — Catalyst
+    picks broadcast for dimension-sized parents; nothing is collected
+    except the per-constraint summary row. Returns one row per
+    constraint: (constraint, n_child, null_fk, orphan_children,
+    orphan_pct, n_parent, dup_parent_keys, childless_parents)."""
+    from functools import reduce as _reduce
+
+    rows = []
+    for name, child, fk, parent, pk in constraints:
+        c = child.select(F.col(fk).alias("fk"))
+        p = parent.select(F.col(pk).alias("pk"))
+        n_child = c.count()
+        null_fk = c.filter(F.col("fk").isNull()).count()
+        orphans = (
+            c.filter(F.col("fk").isNotNull())
+            .join(p, c["fk"] == p["pk"], "left_anti")
+            .count()
+        )
+        n_parent = p.count()
+        dup_parents = (
+            p.groupBy("pk").count().filter(F.col("count") > 1).count()
+        )
+        childless = p.join(
+            c.filter(F.col("fk").isNotNull()).distinct(),
+            p["pk"] == c["fk"],
+            "left_anti",
+        ).count()
+        denom = max(n_child - null_fk, 1)
+        rows.append(
+            (
+                name,
+                n_child,
+                null_fk,
+                orphans,
+                round(orphans / denom, out_decimals),
+                n_parent,
+                dup_parents,
+                childless,
+            )
+        )
+    spark = constraints[0][1].sparkSession
+    return spark.createDataFrame(
+        rows,
+        "constraint string, n_child long, null_fk long, orphan_children long, "
+        "orphan_pct double, n_parent long, dup_parent_keys long, "
+        "childless_parents long",
+    ).orderBy("constraint")

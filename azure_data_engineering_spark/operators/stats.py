@@ -2555,3 +2555,436 @@ def icc_oneway(
         F.round(F.when(msw > 0, msb / msw), round_digits).alias("ms_ratio"),
         F.round((msb - msw) / (msb + (kbar - 1.0) * msw), round_digits).alias("icc1"),
     )
+
+
+def kaplan_meier_greenwood(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    z: float = 1.959964,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier curve WITH Greenwood confidence bands (Greenwood
+    1926) — the error bars the bare q_kaplan_meier curve lacks, and
+    what turns a retention plot into a decision: two cohorts whose
+    bands overlap are not evidence of different retention.
+
+        V̂(S(t)) = S(t)² · Σ_{t_i ≤ t}  d_i / (n_i (n_i − d_i))
+        band     = S ± z·√V̂, clipped to [0, 1]  (plain Wald form —
+                   the log-log transform variant is documented out)
+
+    The Greenwood summand d/(n(n−d)) is a ratio of exact integers
+    rounded to 9 dp before its cumulative window sum — the same
+    KB-sized duration frame as kaplan_meier, one extra window. A
+    duration where d = n (survival hits 0) NULLs the band from there
+    on (the variance formula divides by zero; bands on a dead curve
+    are meaningless). Returns per duration: (duration, n_risk,
+    n_events, survival, se, lo, hi)."""
+    km = kaplan_meier(df, duration_col, event_col, round_digits=round_digits)
+    w = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    gsum = F.sum(
+        F.when(
+            F.col("n_events") < F.col("n_risk"),
+            F.round(
+                F.col("n_events").cast("double")
+                / (
+                    F.col("n_risk").cast("double")
+                    * (F.col("n_risk") - F.col("n_events")).cast("double")
+                ),
+                9,
+            ).cast("decimal(38,9)"),
+        )
+    ).over(w)
+    dead = F.max((F.col("n_events") == F.col("n_risk")).cast("int")).over(w)
+    se = F.when(
+        dead == 0, F.round(F.col("survival") * F.sqrt(gsum.cast("double")), round_digits)
+    )
+    return km.withColumn("se", se).select(
+        "duration",
+        "n_risk",
+        "n_events",
+        "survival",
+        "se",
+        F.round(F.greatest(F.lit(0.0), F.col("survival") - z * F.col("se")), round_digits).alias(
+            "lo"
+        ),
+        F.round(F.least(F.lit(1.0), F.col("survival") + z * F.col("se")), round_digits).alias(
+            "hi"
+        ),
+    )
+
+
+def kendalls_w_friedman(
+    df: DataFrame,
+    judge_col: str,
+    item_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W + Friedman's test
+    (Kendall & Babington Smith 1939; Friedman 1937) — agreement among
+    m JUDGES each ranking the same n ITEMS: the ordinal member of the
+    rater-agreement family (kappa = categorical, ICC = continuous).
+    "Do the years agree on which months are big?" is this statistic.
+
+        W  = 12 Σ_i (R_i − m(n+1)/2)² / (m²(n³−n) − m·ΣT_j)
+        χ² = m(n−1)·W   (Friedman), p via the Wilson-Hilferty
+             cube-root χ²(n−1) approximation through the shared
+             A&S erfc polynomial (the kruskal_wallis convention)
+
+    with T_j = Σ(t³−t) the per-judge tie correction. Within-judge
+    midranks use the doubled-midrank trick (2C−t+1 stays an exact
+    long) over a per-(judge, value) count frame — no corpus sort;
+    judges must rank every item (incomplete panels raise). Returns
+    one row: (m_judges, n_items, w, chi2, p_value)."""
+    per_jv = df.groupBy(
+        F.col(judge_col).alias("j"), F.col(value_col).alias("val")
+    ).agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    wj = Window.partitionBy("j").orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_jv.withColumn("cum", F.sum("ct").over(wj)).withColumn(
+        "m2x", (2 * F.col("cum") - F.col("ct") + 1).cast("long")
+    )
+    rows = df.select(
+        F.col(judge_col).alias("j"), F.col(item_col).alias("item"),
+        F.col(value_col).alias("val"),
+    )
+    with_rank = rows.join(ranked.select("j", "val", "m2x"), ["j", "val"])
+    shape = with_rank.agg(
+        F.countDistinct("j").cast("long").alias("m"),
+        F.countDistinct("item").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("cells"),
+    ).collect()[0]
+    if shape.cells != shape.m * shape.n:
+        raise ValueError(
+            f"kendalls_w_friedman needs a complete panel: {shape.m} judges x "
+            f"{shape.n} items != {shape.cells} rows"
+        )
+    m, n = int(shape.m), int(shape.n)
+    per_item = with_rank.groupBy("item").agg(
+        F.sum("m2x").cast("long").alias("r2x")
+    )
+    ties = ranked.groupBy("j").agg(
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("long")
+        .alias("tj")
+    ).agg(F.sum("tj").cast("long").alias("tsum"))
+    # Σ(R_i − mean)² with doubled ranks: Σ(r2x − m(n+1))²/4, exact ints
+    mean2x = m * (n + 1)
+    dev = per_item.agg(
+        F.sum(
+            (F.col("r2x") - F.lit(mean2x)) * (F.col("r2x") - F.lit(mean2x))
+        )
+        .cast("long")
+        .alias("ss4x")
+    )
+    out = dev.crossJoin(ties)
+    ssdev = F.col("ss4x").cast("double") / 4.0
+    denom = (
+        float(m * m) * (float(n) ** 3 - n) - m * F.col("tsum").cast("double")
+    ) / 12.0
+    wstat = F.round(ssdev / denom, 9)
+    chi2 = F.round(F.lit(float(m * (n - 1))) * wstat, 9)
+    import math as _math
+
+    nu = float(n - 1)
+    zwh = F.round(
+        (F.cbrt(chi2 / nu) - (1.0 - 2.0 / (9.0 * nu)))
+        / _math.sqrt(2.0 / (9.0 * nu)),
+        9,
+    )
+    p_up = F.when(zwh >= 0, _erfc_two_sided(zwh) / 2.0).otherwise(
+        1.0 - _erfc_two_sided(-zwh) / 2.0
+    )
+    return out.select(
+        F.lit(m).cast("long").alias("m_judges"),
+        F.lit(n).cast("long").alias("n_items"),
+        F.round(wstat, round_digits).alias("w"),
+        F.round(chi2, round_digits).alias("chi2"),
+        F.round(p_up, round_digits).alias("p_value"),
+    )
+
+
+def gumbel_block_maxima(
+    df: DataFrame,
+    group_col: str,
+    block_col: str,
+    value_col: str,
+    return_period: float = 100.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gumbel extreme-value fit on block maxima by the method of
+    moments (Gumbel 1958; the EV1 member of the Fisher-Tippett
+    family) — tail risk the mean/variance screens structurally miss:
+    capacity planning asks "what is the worst BLOCK we should expect
+    in the next T blocks?", and the answer comes from the
+    distribution of block MAXIMA, not of values.
+
+        β̂ = s·√6/π,   μ̂ = x̄ − γ·β̂        (γ = 0.5772156649…)
+        return level x_T = μ̂ − β̂·ln(−ln(1 − 1/T))
+
+    Two-level aggregation: corpus → per-(group, block) max — the only
+    corpus-scale shuffle — → per-group exact 6 dp-decimal moments of
+    the maxima (the anova discipline; only normalized outputs).
+    Blocks with any data count; the fit needs ≥ 2 blocks (else NULL).
+    Returns per group: (group, n_blocks, mean_max, beta, mu,
+    return_level)."""
+    maxima = df.groupBy(
+        F.col(group_col).alias("g"), F.col(block_col).alias("b")
+    ).agg(F.max(F.col(value_col).cast("double")).alias("mx"))
+    dec = "decimal(18,6)"
+    moms = maxima.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.round(F.col("mx"), 6).cast(dec)).alias("s"),
+        F.sum(
+            F.round(F.col("mx"), 6).cast("decimal(28,6)")
+            * F.round(F.col("mx"), 6).cast(dec)
+        ).alias("ss"),
+    )
+    import math as _math
+
+    gamma = 0.5772156649015329
+    n = F.col("n_blocks").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.when(
+        F.col("n_blocks") > 1,
+        F.round(
+            (F.col("ss").cast("double") - F.col("s").cast("double") * mean) / (n - 1.0),
+            9,
+        ),
+    )
+    beta = F.sqrt(F.greatest(var, F.lit(0.0))) * (_math.sqrt(6.0) / _math.pi)
+    mu = mean - gamma * beta
+    t_quantile = -_math.log(-_math.log(1.0 - 1.0 / float(return_period)))
+    return moms.select(
+        F.col("g").alias("group"),
+        "n_blocks",
+        F.round(mean, round_digits).alias("mean_max"),
+        F.round(beta, round_digits).alias("beta"),
+        F.round(mu, round_digits).alias("mu"),
+        F.round(mu + beta * t_quantile, round_digits).alias("return_level"),
+    ).orderBy("group")
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """1-D Wasserstein-1 distance (earth mover's distance) between two
+    groups' value distributions — the drift metric that reports HOW
+    FAR the distributions are in VALUE units, where ks_test reports
+    only the largest CDF gap and psi_drift needs arbitrary bins. The
+    1-D case is exact and closed-form (Vallender 1974):
+
+        W₁ = ∫ |F₁(x) − F₂(x)| dx
+           = Σ_consecutive-distinct-values |F₁ − F₂| · Δx
+
+    Scale shape: ONE value-keyed count frame over BOTH groups (the
+    mann_whitney discipline — no corpus sort), cumulative counts via
+    one window, each |ΔF|·Δx segment a ratio of exact longs times an
+    exact value gap, rounded to 9 dp before the sum. Exactly two
+    groups. Returns one row: (group1, group2, n1, n2, w1_distance,
+    ks_stat) — the KS statistic falls out of the same frame for
+    free."""
+    groups = [r[0] for r in df.select(group_col).distinct().orderBy(group_col).collect()]
+    if len(groups) != 2:
+        raise ValueError(f"wasserstein_1d needs exactly 2 groups, got {groups}")
+    g1 = groups[0]
+    per_v = df.groupBy(F.col(value_col).cast("double").alias("val")).agg(
+        F.sum((F.col(group_col) == g1).cast("long")).alias("c1"),
+        F.sum((F.col(group_col) != g1).cast("long")).alias("c2"),
+    )
+    tot = df.agg(
+        F.sum((F.col(group_col) == g1).cast("long")).alias("n1"),
+        F.sum((F.col(group_col) != g1).cast("long")).alias("n2"),
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("val")
+    cum = (
+        per_v.withColumn("cum1", F.sum("c1").over(w))
+        .withColumn("cum2", F.sum("c2").over(w))
+        .withColumn("nxt", F.lead("val", 1).over(wl))
+        .crossJoin(F.broadcast(tot))
+    )
+    f1 = F.col("cum1").cast("double") / F.col("n1").cast("double")
+    f2 = F.col("cum2").cast("double") / F.col("n2").cast("double")
+    seg = F.when(
+        F.col("nxt").isNotNull(),
+        F.round(F.abs(f1 - f2) * (F.col("nxt") - F.col("val")), 9).cast("decimal(38,9)"),
+    )
+    agg = cum.agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.sum(seg).alias("wsum"),
+        F.max(F.round(F.abs(f1 - f2), 9)).alias("ks"),
+    )
+    return agg.select(
+        F.lit(str(g1)).alias("group1"),
+        F.lit(str(groups[1])).alias("group2"),
+        "n1",
+        "n2",
+        F.round(F.col("wsum").cast("double"), round_digits).alias("w1_distance"),
+        F.round(F.col("ks"), round_digits).alias("ks_stat"),
+    )
+
+
+def yuen_trimmed_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim: float = 0.1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Yuen's trimmed-mean two-sample test (Yuen 1974) — the robust
+    middle ground between welch_t (efficient, outlier-fragile) and
+    mann_whitney (robust, answers a rank question): compare
+    γ-trimmed MEANS with winsorized variances, so the tails can't
+    drive the verdict but the estimand is still a mean.
+
+        h = n − 2g,  g = ⌊γn⌋     (per group)
+        t = (x̄_t1 − x̄_t2) / √(d₁ + d₂),
+        d = (n−1)·s²_w / (h(h−1))   (winsorized variance s²_w)
+
+    p via the normal approximation through the shared A&S erfc (the
+    corpus-scale convention — df correction is vacuous at these n).
+    Trimming uses EXACT rank cutoffs on the per-group distinct-value
+    cumulative frame: ranks ≤ g clamp to the (g+1)-th order statistic,
+    ranks > n−g clamp to the (n−g)-th — deterministic integer
+    arithmetic, no quantile interpolation to diverge. Winsorized
+    moments are 6 dp-decimal sums. Returns one row: (group1, group2,
+    n1, n2, trimmed_mean1, trimmed_mean2, t_stat, p_value)."""
+    groups = [r[0] for r in df.select(group_col).distinct().orderBy(group_col).collect()]
+    if len(groups) != 2:
+        raise ValueError(f"yuen_trimmed_test needs exactly 2 groups, got {groups}")
+    per_v = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("val")
+    ).agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    wg = Window.partitionBy("g").orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("g")
+    cum = per_v.withColumn("cum", F.sum("ct").over(wg)).withColumn(
+        "n", F.sum("ct").over(wn)
+    )
+    gcut = F.floor(F.lit(float(trim)) * F.col("n").cast("double")).cast("long")
+    lo_rank = gcut + 1
+    hi_rank = F.col("n") - gcut
+    # order-statistic clamps: value at rank lo / rank hi per group
+    lo_val = cum.filter(F.col("cum") >= lo_rank).groupBy("g").agg(
+        F.min("val").alias("lo_v")
+    )
+    hi_val = cum.filter(F.col("cum") >= hi_rank).groupBy("g").agg(
+        F.min("val").alias("hi_v")
+    )
+    start = F.col("cum") - F.col("ct") + 1
+    winz = (
+        cum.join(F.broadcast(lo_val), "g")
+        .join(F.broadcast(hi_val), "g")
+        .select(
+            "g",
+            "n",
+            "ct",
+            "cum",
+            start.alias("start"),
+            F.least(F.greatest(F.col("val"), F.col("lo_v")), F.col("hi_v")).alias("wv"),
+            "val",
+        )
+    )
+    # winsorized moments over ALL n rows; trimmed sum over ranks in
+    # (g, n−g]: per value-block, the number of its ranks inside the
+    # window is overlap([start, cum], (gcut, n−gcut])
+    inside = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), hi_rank) - F.greatest(F.col("start"), lo_rank) + 1,
+    )
+    dec = "decimal(28,6)"
+    per_g = winz.groupBy("g").agg(
+        F.first("n").alias("n"),
+        F.sum(F.round(F.col("wv"), 6).cast(dec) * F.col("ct")).alias("ws"),
+        F.sum(
+            F.round(F.col("wv"), 6).cast(dec)
+            * F.round(F.col("wv"), 6).cast("decimal(18,6)")
+            * F.col("ct")
+        ).alias("wss"),
+        F.sum(F.round(F.col("val"), 6).cast(dec) * inside).alias("ts"),
+        F.sum(inside).cast("long").alias("h"),
+    )
+    a = per_g.filter(F.col("g") == groups[0]).select(
+        F.col("n").alias("n1"), F.col("ws").alias("ws1"), F.col("wss").alias("wss1"),
+        F.col("ts").alias("ts1"), F.col("h").alias("h1"),
+    )
+    b = per_g.filter(F.col("g") == groups[1]).select(
+        F.col("n").alias("n2"), F.col("ws").alias("ws2"), F.col("wss").alias("wss2"),
+        F.col("ts").alias("ts2"), F.col("h").alias("h2"),
+    )
+    j = a.crossJoin(b)
+    def _d(nc, wsc, wssc, hc):
+        n = F.col(nc).cast("double")
+        h = F.col(hc).cast("double")
+        wmean = F.col(wsc).cast("double") / n
+        swin = (F.col(wssc).cast("double") - F.col(wsc).cast("double") * wmean) / (
+            n - 1.0
+        )
+        return (n - 1.0) * swin / (h * (h - 1.0))
+
+    tm1 = F.col("ts1").cast("double") / F.col("h1").cast("double")
+    tm2 = F.col("ts2").cast("double") / F.col("h2").cast("double")
+    t = F.round((tm1 - tm2) / F.sqrt(_d("n1", "ws1", "wss1", "h1") + _d("n2", "ws2", "wss2", "h2")), 9)
+    return j.select(
+        F.lit(str(groups[0])).alias("group1"),
+        F.lit(str(groups[1])).alias("group2"),
+        "n1",
+        "n2",
+        F.round(tm1, round_digits).alias("trimmed_mean1"),
+        F.round(tm2, round_digits).alias("trimmed_mean2"),
+        F.round(t, round_digits).alias("t_stat"),
+        F.round(_erfc_two_sided(F.abs(t)), round_digits).alias("p_value"),
+    )
+
+
+def theils_u(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(Y|X) (Theil 1970) — the
+    ASYMMETRIC categorical association chi-square can't give: how
+    much of Y's entropy does knowing X remove? U ∈ [0,1], and
+    U(Y|X) ≠ U(X|Y) — "status predicts priority" and "priority
+    predicts status" are different questions; Cramér's V answers
+    neither directionally.
+
+        U(Y|X) = (H(Y) − H(Y|X)) / H(Y) = I(X;Y)/H(Y)
+
+    Both directions are emitted from ONE (x, y) cell frame; every
+    −p·ln p summand is a ratio of exact integer counts rounded to
+    9 dp before its sum (the l_diversity entropy discipline).
+    Returns one row: (n, h_x, h_y, mutual_info, u_y_given_x,
+    u_x_given_y)."""
+    cells = df.groupBy(
+        F.col(x_col).cast("string").alias("x"), F.col(y_col).cast("string").alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_total = cells.agg(F.sum("c").cast("long").alias("n"))
+    dec = "decimal(38,9)"
+
+    def _ent(frame, cnt_col, n_col="n"):
+        p = F.col(cnt_col).cast("double") / F.col(n_col).cast("double")
+        return F.sum(F.round(-p * F.log(p), 9).cast(dec))
+
+    xm = cells.groupBy("x").agg(F.sum("c").cast("long").alias("cx"))
+    ym = cells.groupBy("y").agg(F.sum("c").cast("long").alias("cy"))
+    hx = xm.crossJoin(F.broadcast(n_total)).agg(_ent(None, "cx").alias("hx"))
+    hy = ym.crossJoin(F.broadcast(n_total)).agg(_ent(None, "cy").alias("hy"))
+    hxy = cells.crossJoin(F.broadcast(n_total)).agg(_ent(None, "c").alias("hxy"))
+    out = hx.crossJoin(hy).crossJoin(hxy).crossJoin(n_total)
+    hxd = F.col("hx").cast("double")
+    hyd = F.col("hy").cast("double")
+    mi = hxd + hyd - F.col("hxy").cast("double")
+    return out.select(
+        "n",
+        F.round(hxd, round_digits).alias("h_x"),
+        F.round(hyd, round_digits).alias("h_y"),
+        F.round(mi, round_digits).alias("mutual_info"),
+        F.round(F.when(hyd > 0, mi / hyd), round_digits).alias("u_y_given_x"),
+        F.round(F.when(hxd > 0, mi / hxd), round_digits).alias("u_x_given_y"),
+    )

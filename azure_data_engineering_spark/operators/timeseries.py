@@ -1052,3 +1052,73 @@ def haar_wavelet_topk(
         F.round("v", round_digits).alias("coeff"),
     )
     return base.unionByName(top).orderBy("k", "level", "idx")
+
+
+def lmdi_decomposition(
+    periods: DataFrame,
+    period_col: str,
+    factor_cols,
+    round_digits: int = 6,
+) -> DataFrame:
+    """LMDI-I growth-accounting decomposition (Ang 2005, the survey) —
+    the "WHY did the metric move" operator: when a KPI is a product
+    of drivers (revenue = users × orders/user × revenue/order), the
+    logarithmic-mean Divisia index attributes each period-over-period
+    change to its drivers EXACTLY additively — no residual term, the
+    property naive %-change attribution lacks:
+
+        ΔV = Σ_k L(V_t, V_{t−1}) · ln(x_{k,t}/x_{k,t−1}),
+        L(a,b) = (a−b)/(ln a − ln b),  L(a,a) = a
+
+    Input is the PER-PERIOD driver frame (one row per period, one
+    column per factor; V = Π factors by construction) — corpus-scale
+    work happens upstream in whatever groupBy built it. Per
+    consecutive pair: one lag window over the period frame; each
+    factor contribution is rounded to ``round_digits`` and the exact
+    ΔV rides along so additivity is auditable. Factors must be > 0
+    in both periods (ln) — violating pairs emit NULL contributions.
+    Returns one row per (period, factor): (period, delta_v, factor,
+    contribution)."""
+    from functools import reduce as _reduce
+    import operator as _op
+
+    v = _reduce(_op.mul, [F.col(c).cast("double") for c in factor_cols])
+    base = periods.select(
+        F.col(period_col).alias("period"),
+        v.alias("v"),
+        *[F.col(c).cast("double").alias(c) for c in factor_cols],
+    )
+    w = Window.orderBy("period")
+    lagged = base.select(
+        "period",
+        "v",
+        F.lag("v", 1).over(w).alias("v0"),
+        *[F.col(c) for c in factor_cols],
+        *[F.lag(c, 1).over(w).alias(f"__p_{c}") for c in factor_cols],
+    ).filter(F.col("v0").isNotNull())
+    lmean = F.when(
+        F.round(F.col("v"), 9) == F.round(F.col("v0"), 9), F.col("v")
+    ).otherwise(
+        (F.col("v") - F.col("v0")) / (F.log(F.col("v")) - F.log(F.col("v0")))
+    )
+    rows = []
+    for c in factor_cols:
+        ok = (F.col(c) > 0) & (F.col(f"__p_{c}") > 0) & (F.col("v") > 0) & (
+            F.col("v0") > 0
+        )
+        contrib = F.when(
+            ok,
+            F.round(lmean * F.round(F.log(F.col(c) / F.col(f"__p_{c}")), 9), round_digits),
+        )
+        rows.append(
+            F.struct(F.lit(c).alias("factor"), contrib.alias("contribution"))
+        )
+    return (
+        lagged.select(
+            "period",
+            F.round(F.col("v") - F.col("v0"), round_digits).alias("delta_v"),
+            F.explode(F.array(*rows)).alias("fc"),
+        )
+        .select("period", "delta_v", F.col("fc.factor").alias("factor"), F.col("fc.contribution").alias("contribution"))
+        .orderBy("period", "factor")
+    )
