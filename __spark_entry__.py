@@ -20585,6 +20585,264 @@ FROM contribs ORDER BY period, factor
 """
 
 
+def q_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPF survey raking (operators/sampling.ipf_raking): a
+    deliberately BIASED customer sample (AUTOMOBILE kept at 10%,
+    everyone else at 30% — deterministic md5 draws) reweighted so its
+    (segment × nation-bucket) cells match the full population's
+    marginals — the post-stratification step that makes estimates
+    from any non-uniform sample honest, and the dataset-rebalancing
+    primitive for skewed corpus cells. 8 pinned IPF rounds over the
+    25-cell frame; the oracle replays them."""
+    from azure_data_engineering_spark.operators.sampling import hash_unit, ipf_raking
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).cast("string").alias("nb"),
+    )
+    rate = F.when(F.col("seg") == "AUTOMOBILE", 0.1).otherwise(0.3)
+    sample = c.filter(hash_unit(F.col("c_custkey"), "rake") < rate)
+    row_t = c.groupBy("seg").agg(F.count(F.lit(1)).cast("double").alias("t"))
+    col_t = c.groupBy("nb").agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return ipf_raking(sample, "seg", "nb", row_t, col_t, iterations=8)
+
+
+def _raking_oracle_sql(iters: int = 8) -> str:
+    head = """
+WITH c AS MATERIALIZED (
+  SELECT c_custkey, c_mktsegment AS seg, CAST(c_nationkey % 5 AS VARCHAR) AS nb
+  FROM customer
+), sample AS MATERIALIZED (
+  SELECT * FROM c
+  WHERE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'rake'), 1, 8) AS BIGINT)
+        / 4294967296.0
+        < CASE WHEN seg = 'AUTOMOBILE' THEN 0.1 ELSE 0.3 END
+), rt AS (SELECT seg AS r, CAST(count(*) AS DOUBLE) AS rt FROM c GROUP BY 1),
+ct AS (SELECT nb AS cc, CAST(count(*) AS DOUBLE) AS ct_t FROM c GROUP BY 1),
+cells AS MATERIALIZED (
+  SELECT seg AS r, nb AS cc, count(*) AS n FROM sample GROUP BY 1, 2
+), w0 AS (SELECT r, cc, n, 1.0 AS w FROM cells)"""
+    parts = []
+    prev = "w0"
+    for i in range(1, iters + 1):
+        parts.append(f"""
+, rm{i} AS (
+  SELECT r, sum(CAST(round(w * n, 9) AS DECIMAL(38,9))) AS rm
+  FROM {prev} GROUP BY 1
+), wr{i} AS (
+  SELECT p.r, p.cc, p.n, round(p.w * rt.rt / CAST(rm{i}.rm AS DOUBLE), 9) AS w
+  FROM {prev} p JOIN rm{i} USING (r) JOIN rt USING (r)
+), cm{i} AS (
+  SELECT cc, sum(CAST(round(w * n, 9) AS DECIMAL(38,9))) AS cm
+  FROM wr{i} GROUP BY 1
+), w{i} AS MATERIALIZED (
+  SELECT p.r, p.cc, p.n, round(p.w * ct.ct_t / CAST(cm{i}.cm AS DOUBLE), 9) AS w
+  FROM wr{i} p JOIN cm{i} USING (cc) JOIN ct ON ct.cc = p.cc
+)""")
+        prev = f"w{i}"
+    tail = f"""
+SELECT r AS row_key, cc AS col_key, CAST(n AS BIGINT) AS n,
+       round(w, 6) AS weight, round(w * n, 6) AS weighted_n
+FROM {prev} ORDER BY row_key, col_key
+"""
+    return head + "".join(parts) + tail
+
+
+Q_RAKING_SQL = _raking_oracle_sql()
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths from daily revenue duels among the
+    five order priorities (operators/mlplan.bradley_terry): on each
+    day, priority A "beats" B if its daily revenue is higher (exact
+    decimal ties excluded); 15 Zermelo MM rounds recover the
+    leaderboard strengths — the model behind pairwise-preference /
+    LLM-arena ratings, with P(i beats j) = π_i/(π_i+π_j). Corpus
+    collapses to the (day, priority) frame in one groupBy; duels are
+    a day-frame self-join."""
+    from azure_data_engineering_spark.operators.mlplan import bradley_terry
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d"), F.col("o_orderpriority").alias("p")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    a = daily.select(F.col("d"), F.col("p").alias("a"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("d"), F.col("p").alias("b"), F.col("rev").alias("rb"))
+    duels = (
+        a.join(b, "d")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.col("ra") != F.col("rb"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum((F.col("ra") > F.col("rb")).cast("long")).alias("wins_a"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return bradley_terry(duels, iterations=15)
+
+
+def _bradley_terry_oracle_sql(iters: int = 15) -> str:
+    head = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority AS p,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2
+), duels AS MATERIALIZED (
+  SELECT a.p AS a, b.p AS b,
+         sum(CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END) AS wins_a,
+         count(*) AS n
+  FROM daily a JOIN daily b ON a.d = b.d AND a.p < b.p
+  WHERE a.rev <> b.rev
+  GROUP BY 1, 2
+), directed AS MATERIALIZED (
+  SELECT a AS i, b AS j, wins_a AS w, n FROM duels
+  UNION ALL
+  SELECT b, a, n - wins_a, n FROM duels
+), per_item AS MATERIALIZED (
+  SELECT i, sum(w) AS wins, sum(n) AS games FROM directed GROUP BY 1
+), k AS (SELECT count(*) AS k FROM per_item),
+pi0 AS (SELECT i, 1.0 AS pi FROM per_item)"""
+    parts = []
+    prev = "pi0"
+    for r in range(1, iters + 1):
+        parts.append(f"""
+, dn{r} AS (
+  SELECT d.i,
+         sum(CAST(round(CAST(d.n AS DOUBLE) / (pi_i.pi + pi_j.pi), 9)
+             AS DECIMAL(38,9))) AS dd
+  FROM directed d
+  JOIN {prev} pi_i ON pi_i.i = d.i
+  JOIN {prev} pi_j ON pi_j.i = d.j
+  GROUP BY 1
+), raw{r} AS (
+  SELECT per_item.i, CAST(per_item.wins AS DOUBLE) / CAST(dd AS DOUBLE) AS praw
+  FROM per_item JOIN dn{r} ON dn{r}.i = per_item.i
+), t{r} AS (SELECT sum(CAST(round(praw, 9) AS DECIMAL(38,9))) AS t FROM raw{r}),
+pi{r} AS MATERIALIZED (
+  SELECT i, round(praw * (SELECT k FROM k) / CAST((SELECT t FROM t{r}) AS DOUBLE), 9) AS pi
+  FROM raw{r}
+)""")
+        prev = f"pi{r}"
+    tail = f"""
+SELECT per_item.i AS item, CAST(wins AS BIGINT) AS wins,
+       CAST(games AS BIGINT) AS games,
+       round(pi, 6) AS pi, round(pi / (pi + 1.0), 6) AS p_vs_avg
+FROM per_item JOIN {prev} ON {prev}.i = per_item.i
+ORDER BY item
+"""
+    return head + "".join(parts) + tail
+
+
+Q_BRADLEY_TERRY_SQL = _bradley_terry_oracle_sql()
+
+
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip permutation test on the daily arm difference
+    (operators/stats.paired_permutation_test): the assumption-free
+    verdict on the user-parity experiment — under H0 each day's mean
+    difference is sign-exchangeable; 500 deterministic md5 sign
+    patterns over the ~30-day frame build the exact-form null, p
+    with the identity permutation included. The no-model companion
+    to q_welch_t / q_msprt on the same experiment."""
+    from azure_data_engineering_spark.operators.stats import paired_permutation_test
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.round(
+            F.sum(
+                F.when((F.col("user_id") % 2) == 1, F.col("value").cast("decimal(18,6)"))
+            ).cast("double")
+            / F.sum(((F.col("user_id") % 2) == 1).cast("long")),
+            9,
+        ).alias("m1"),
+        F.round(
+            F.sum(
+                F.when((F.col("user_id") % 2) == 0, F.col("value").cast("decimal(18,6)"))
+            ).cast("double")
+            / F.sum(((F.col("user_id") % 2) == 0).cast("long")),
+            9,
+        ).alias("m0"),
+    )
+    diffs = daily.select("day", F.round(F.col("m1") - F.col("m0"), 9).alias("d"))
+    return paired_permutation_test(diffs, "day", "d", n_perms=500)
+
+
+Q_PERMUTATION_TEST_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         round(CAST(sum(CASE WHEN user_id % 2 = 1
+                        THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+               / sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END), 9) AS m1,
+         round(CAST(sum(CASE WHEN user_id % 2 = 0
+                        THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+               / sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END), 9) AS m0
+  FROM events GROUP BY 1
+), diffs AS MATERIALIZED (
+  SELECT day AS u, round(m1 - m0, 9) AS d FROM daily
+), nu AS (SELECT count(*) AS n_units FROM diffs),
+obs AS (
+  SELECT round(CAST(sum(CAST(round(d, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / (SELECT n_units FROM nu), 9) AS obs
+  FROM diffs
+), grid AS (
+  SELECT u, d, CAST(r.range AS BIGINT) AS b FROM diffs, range(500) r
+), stats AS (
+  SELECT b,
+         round(CAST(sum(CAST(round(
+           CASE WHEN CAST('0x' || substr(md5(u || '|' || CAST(b AS VARCHAR) || 'perm'), 1, 8)
+                     AS BIGINT) / 4294967296.0 < 0.5
+                THEN d ELSE -d END, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / (SELECT n_units FROM nu), 9) AS stat
+  FROM grid GROUP BY 1
+)
+SELECT (SELECT CAST(n_units AS BIGINT) FROM nu) AS n_units,
+       CAST(500 AS BIGINT) AS n_perms,
+       round((SELECT obs FROM obs), 6) AS obs_diff,
+       round((sum(CASE WHEN abs(stat) >= abs((SELECT obs FROM obs))
+                  THEN 1 ELSE 0 END) + 1.0) / 501.0, 6) AS p_value
+FROM stats
+"""
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture population estimate (operators/
+    sampling.capture_recapture): two independent deterministic 30%
+    md5 "crawl passes" over the customer set; the overlap estimates
+    the TRUE entity count — how much the pipeline is missing without
+    ever seeing it — and the true count rides along as the
+    self-audit (ratio ≈ 1)."""
+    from azure_data_engineering_spark.operators.sampling import capture_recapture
+
+    c = _t(spark, sf_dir, "customer")
+    return capture_recapture(c, "c_custkey", p1=0.3, p2=0.3)
+
+
+Q_CAPTURE_RECAPTURE_SQL = """
+WITH draws AS (
+  SELECT c_custkey,
+         CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'cr1'), 1, 8) AS BIGINT)
+           / 4294967296.0 < 0.3 AS s1,
+         CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'cr2'), 1, 8) AS BIGINT)
+           / 4294967296.0 < 0.3 AS s2
+  FROM customer
+), agg AS (
+  SELECT count(*) AS n_true,
+         sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS m
+  FROM draws
+)
+SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2, CAST(m AS BIGINT) AS overlap,
+       round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 6) AS n_hat,
+       round(sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - CAST(m AS DOUBLE)) * (n2 - m)
+             / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 6) AS se,
+       round(((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) / n_true, 6) AS ratio
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -21031,6 +21289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_yuen_trimmed": q_yuen_trimmed,
         "q_theils_u": q_theils_u,
         "q_lmdi": q_lmdi,
+        "q_raking": q_raking,
+        "q_bradley_terry": q_bradley_terry,
+        "q_permutation_test": q_permutation_test,
+        "q_capture_recapture": q_capture_recapture,
     }
 
 
@@ -21456,4 +21718,8 @@ def oracle_sql() -> dict[str, str]:
         "q_yuen_trimmed": Q_YUEN_TRIMMED_SQL,
         "q_theils_u": Q_THEILS_U_SQL,
         "q_lmdi": Q_LMDI_SQL,
+        "q_raking": Q_RAKING_SQL,
+        "q_bradley_terry": Q_BRADLEY_TERRY_SQL,
+        "q_permutation_test": Q_PERMUTATION_TEST_SQL,
+        "q_capture_recapture": Q_CAPTURE_RECAPTURE_SQL,
     }

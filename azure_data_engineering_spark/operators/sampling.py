@@ -429,3 +429,135 @@ def horvitz_thompson(
         ),
         F.round(F.sqrt(F.col("vv").cast("double")) / m, round_digits).alias("se_m"),
     )
+
+
+def ipf_raking(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    iterations: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Iterative proportional fitting / survey raking (Deming &
+    Stephan 1940) — reweight a sample's (row, col) cell counts so the
+    weighted marginals match known population targets: the
+    post-stratification step every biased sample needs before its
+    estimates mean anything (and the classic dataset-rebalancing tool
+    when a corpus over-represents some source × language cell).
+
+    Each round scales every cell by target/current for the row margin,
+    then for the column margin; with strictly positive cells IPF
+    converges to the unique min-KL solution. Fixed ``iterations``
+    rounds with weights rounded to 9 dp per half-step (the engine's
+    trajectory-pinning discipline) make the run an algebraic function
+    the oracle replays. Scale shape: the corpus collapses to the cell
+    frame in ONE groupBy; every round is two margin groupBys + two
+    broadcast joins over THAT frame (cells × rounds work, zero corpus
+    re-scans). Targets are (key, target) frames. Returns per cell:
+    (row_key, col_key, n, weight, weighted_n)."""
+    cells = df.groupBy(
+        F.col(row_col).cast("string").alias("r"), F.col(col_col).cast("string").alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cur = cells.withColumn("w", F.lit(1.0)).localCheckpoint(eager=True)
+    rt = row_targets.select(
+        F.col(row_targets.columns[0]).cast("string").alias("r"),
+        F.col(row_targets.columns[1]).cast("double").alias("rt"),
+    )
+    ct = col_targets.select(
+        F.col(col_targets.columns[0]).cast("string").alias("c"),
+        F.col(col_targets.columns[1]).cast("double").alias("ct_t"),
+    )
+    for _ in range(iterations):
+        rm = cur.groupBy("r").agg(
+            F.sum(F.round(F.col("w") * F.col("n"), 9).cast("decimal(38,9)")).alias("rm")
+        )
+        cur = (
+            cur.join(F.broadcast(rm), "r")
+            .join(F.broadcast(rt), "r")
+            .select(
+                "r",
+                "c",
+                "n",
+                F.round(
+                    F.col("w") * F.col("rt") / F.col("rm").cast("double"), 9
+                ).alias("w"),
+            )
+        )
+        cm = cur.groupBy("c").agg(
+            F.sum(F.round(F.col("w") * F.col("n"), 9).cast("decimal(38,9)")).alias("cm")
+        )
+        cur = (
+            cur.join(F.broadcast(cm), "c")
+            .join(F.broadcast(ct), "c")
+            .select(
+                "r",
+                "c",
+                "n",
+                F.round(
+                    F.col("w") * F.col("ct_t") / F.col("cm").cast("double"), 9
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cur.select(
+        F.col("r").alias("row_key"),
+        F.col("c").alias("col_key"),
+        "n",
+        F.round("w", round_digits).alias("weight"),
+        F.round(F.col("w") * F.col("n"), round_digits).alias("weighted_n"),
+    ).orderBy("row_key", "col_key")
+
+
+def capture_recapture(
+    df: DataFrame,
+    id_col: str,
+    p1: float = 0.3,
+    p2: float = 0.3,
+    salt: str = "cr",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Chapman's capture-recapture estimator (Chapman 1951, the
+    bias-corrected Lincoln-Petersen) — estimate a population's TRUE
+    size from two independent samples and their overlap:
+
+        N̂ = (n₁+1)(n₂+1)/(m+1) − 1,
+        V̂ = (n₁+1)(n₂+1)(n₁−m)(n₂−m) / ((m+1)²(m+2))
+
+    The data-engineering reading: two independent dedup/crawl passes
+    each see a fraction of the true entity set; the overlap tells you
+    how many entities NEITHER pass saw — an estimate of what the
+    pipeline is missing without ever seeing it. Both draws are the
+    standing deterministic md5 unit draws (independent salts), so the
+    experiment replays exactly and the TRUE count rides along as the
+    self-audit. ONE aggregate over the key frame. Returns one row:
+    (n_true, n1, n2, overlap, n_hat, se, ratio)."""
+    u1 = hash_unit(F.col(id_col), salt + "1") < p1
+    u2 = hash_unit(F.col(id_col), salt + "2") < p2
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(u1.cast("long")).cast("long").alias("n1"),
+        F.sum(u2.cast("long")).cast("long").alias("n2"),
+        F.sum((u1 & u2).cast("long")).cast("long").alias("m"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m = F.col("m").cast("double")
+    n_hat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    var = (
+        (n1 + 1.0)
+        * (n2 + 1.0)
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    return agg.select(
+        "n_true",
+        "n1",
+        "n2",
+        F.col("m").alias("overlap"),
+        F.round(n_hat, round_digits).alias("n_hat"),
+        F.round(F.sqrt(var), round_digits).alias("se"),
+        F.round(n_hat / F.col("n_true").cast("double"), round_digits).alias("ratio"),
+    )

@@ -2988,3 +2988,72 @@ def theils_u(
         F.round(F.when(hyd > 0, mi / hyd), round_digits).alias("u_y_given_x"),
         F.round(F.when(hxd > 0, mi / hxd), round_digits).alias("u_x_given_y"),
     )
+
+
+def paired_permutation_test(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    n_perms: int = 500,
+    salt: str = "perm",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Paired permutation (sign-flip) test on per-unit differences
+    (Fisher 1935's randomization argument) — the assumption-free
+    hypothesis test: under H0 the sign of each unit's difference is
+    exchangeable, so the null distribution is the statistic over
+    random sign patterns, no normality or variance model anywhere.
+
+        p = (1 + #{b : |mean(s_b·d)| ≥ |mean(d)|}) / (B + 1)
+
+    The B sign patterns are deterministic md5 draws keyed by
+    (unit, salt, b) — reproducible-simulation semantics, the engine's
+    standing convention — and the +1 in numerator/denominator is the
+    identity permutation (guarantees p > 0, the exact-test form).
+    Both sides of the ≥ compare at 9 dp-rounded values so a boundary
+    ulp cannot flip the count. Scale shape: ``df`` is the PER-UNIT
+    difference frame (corpus work upstream); the permutation grid is
+    units × B rows — bounded by the unit frame, not the corpus — one
+    groupBy over it. Returns one row: (n_units, n_perms, obs_diff,
+    p_value)."""
+    units = df.select(
+        F.col(unit_col).cast("string").alias("u"),
+        F.col(value_col).cast("double").alias("d"),
+    )
+    n_units = units.count()
+    obs = units.agg(
+        F.round(
+            F.sum(F.round(F.col("d"), 9).cast("decimal(38,9)")).cast("double")
+            / float(n_units),
+            9,
+        ).alias("obs")
+    )
+    spark = df.sparkSession
+    perms = spark.range(int(n_perms)).select(F.col("id").alias("b"))
+    from .sampling import hash_unit
+
+    grid = units.crossJoin(perms)
+    sign = F.when(
+        hash_unit(F.concat(F.col("u"), F.lit("|"), F.col("b").cast("string")), salt)
+        < 0.5,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    stats = grid.groupBy("b").agg(
+        F.round(
+            F.sum(F.round(sign * F.col("d"), 9).cast("decimal(38,9)")).cast("double")
+            / float(n_units),
+            9,
+        ).alias("stat")
+    )
+    counted = stats.crossJoin(F.broadcast(obs)).agg(
+        F.sum((F.abs(F.col("stat")) >= F.abs(F.col("obs"))).cast("long")).alias("ge"),
+        F.first("obs").alias("obs"),
+    )
+    return counted.select(
+        F.lit(n_units).cast("long").alias("n_units"),
+        F.lit(int(n_perms)).cast("long").alias("n_perms"),
+        F.round(F.col("obs"), round_digits).alias("obs_diff"),
+        F.round(
+            (F.col("ge").cast("double") + 1.0) / (float(n_perms) + 1.0), round_digits
+        ).alias("p_value"),
+    )
