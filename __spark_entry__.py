@@ -20843,6 +20843,241 @@ FROM agg
 """
 
 
+def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable Wald estimate (operators/stats.
+    iv_wald_estimate): per-user event count (treatment intensity)
+    instrumented by the user-parity assignment, outcome = total
+    event value — the causal family's completion (q_did needs
+    parallel trends, q_stratified_ate needs observed confounders; IV
+    needs only instrument validity) WITH the Staiger-Stock
+    first-stage F riding along as the weak-instrument alarm. One
+    user-frame aggregate of exact quantized moments."""
+    from azure_data_engineering_spark.operators.stats import iv_wald_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    per_u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"),
+    )
+    d = per_u.select(
+        (F.col("user_id") % 2).cast("int").alias("z"), "x", "y"
+    )
+    return iv_wald_estimate(d, "z", "x", "y")
+
+
+Q_IV_WALD_SQL = """
+WITH per_u AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS z,
+         CAST(count(*) AS DOUBLE) AS x,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT count(*) AS n, sum(z) AS nz,
+         sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS sx,
+         sum(CAST(round(y, 6) AS DECIMAL(28,6))) AS sy,
+         sum(CASE WHEN z = 1 THEN CAST(round(x, 6) AS DECIMAL(28,6)) END) AS sxz,
+         sum(CASE WHEN z = 1 THEN CAST(round(y, 6) AS DECIMAL(28,6)) END) AS syz,
+         sum(CAST(round(x, 6) AS DECIMAL(28,6)) * CAST(round(x, 6) AS DECIMAL(18,6))) AS sxx
+  FROM per_u
+), st AS (
+  SELECT n, CAST(nz AS DOUBLE) / n AS pz,
+         round(CAST(sxz AS DOUBLE) / n
+               - (CAST(nz AS DOUBLE) / n) * CAST(sx AS DOUBLE) / n, 9) AS cov_zx,
+         round(CAST(syz AS DOUBLE) / n
+               - (CAST(nz AS DOUBLE) / n) * CAST(sy AS DOUBLE) / n, 9) AS cov_zy,
+         CAST(sxx AS DOUBLE) / n
+           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS var_x
+  FROM agg
+), calc AS (
+  SELECT n, cov_zx, cov_zy, pz * (1.0 - pz) AS var_z, var_x,
+         cov_zx / (pz * (1.0 - pz)) AS a
+  FROM st
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN abs(cov_zx) > 0 THEN cov_zy / cov_zx END, 6) AS beta_iv,
+       round(CASE WHEN var_x - a * a * var_z > 0
+             THEN round(a * a * var_z * (n - 2.0) / (var_x - a * a * var_z), 9)
+             END, 6) AS first_stage_f,
+       round(cov_zx, 6) AS cov_zx,
+       round(cov_zy / var_z, 6) AS itt
+FROM calc
+"""
+
+
+def q_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baron-Kenny mediation with the Sobel test (operators/stats.
+    mediation_sobel): does a line item's discount move its extended
+    price THROUGH the ordered quantity? Total effect decomposed into
+    indirect a·b and direct c′ from ONE aggregate of exact quantized
+    moments; Sobel z through the shared A&S erfc. The
+    mechanism-question companion to the causal estimators."""
+    from azure_data_engineering_spark.operators.stats import mediation_sobel
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_discount") * 10.0).alias("t"),
+        F.col("l_quantity").alias("m"),
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+    )
+    return mediation_sobel(d, "t", "m", "y")
+
+
+Q_MEDIATION_SQL = """
+WITH d AS (
+  SELECT l_discount * 10.0 AS t, CAST(l_quantity AS DOUBLE) AS m,
+         l_extendedprice / 1000.0 AS y
+  FROM lineitem
+), agg AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(t, 6) AS DECIMAL(28,6))) AS st,
+         sum(CAST(round(m, 6) AS DECIMAL(28,6))) AS sm,
+         sum(CAST(round(y, 6) AS DECIMAL(28,6))) AS sy,
+         sum(CAST(round(t, 6) AS DECIMAL(28,6)) * CAST(round(t, 6) AS DECIMAL(18,6))) AS stt,
+         sum(CAST(round(m, 6) AS DECIMAL(28,6)) * CAST(round(m, 6) AS DECIMAL(18,6))) AS smm,
+         sum(CAST(round(y, 6) AS DECIMAL(28,6)) * CAST(round(y, 6) AS DECIMAL(18,6))) AS syy,
+         sum(CAST(round(t, 6) AS DECIMAL(28,6)) * CAST(round(m, 6) AS DECIMAL(18,6))) AS stm,
+         sum(CAST(round(t, 6) AS DECIMAL(28,6)) * CAST(round(y, 6) AS DECIMAL(18,6))) AS sty,
+         sum(CAST(round(m, 6) AS DECIMAL(28,6)) * CAST(round(y, 6) AS DECIMAL(18,6))) AS smy
+  FROM d
+), cv AS (
+  SELECT n,
+         round(CAST(stt AS DOUBLE) / n - (CAST(st AS DOUBLE) / n) * (CAST(st AS DOUBLE) / n), 9) AS ctt,
+         round(CAST(smm AS DOUBLE) / n - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n), 9) AS cmm,
+         round(CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 9) AS cyy,
+         round(CAST(stm AS DOUBLE) / n - (CAST(st AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n), 9) AS ctm,
+         round(CAST(sty AS DOUBLE) / n - (CAST(st AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 9) AS cty,
+         round(CAST(smy AS DOUBLE) / n - (CAST(sm AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 9) AS cmy
+  FROM agg
+), fit AS (
+  SELECT n, ctt, cmm, cyy, ctm, cty, cmy,
+         ctm / ctt AS a, cty / ctt AS c,
+         (cmy * ctt - cty * ctm) / (cmm * ctt - ctm * ctm) AS b,
+         (cty * cmm - cmy * ctm) / (cmm * ctt - ctm * ctm) AS cprime
+  FROM cv
+), se AS (
+  SELECT *,
+         ((cmm - a * a * ctt) / (n - 2.0)) / (ctt * n) AS se_a2,
+         ((cyy - b * cmy - cprime * cty) / (n - 3.0)) * ctt
+           / ((cmm * ctt - ctm * ctm) * n) AS se_b2
+  FROM fit
+), z AS (
+  SELECT *, round(a * b / sqrt(b * b * se_a2 + a * a * se_b2), 9) AS sobel FROM se
+), zz AS (SELECT *, round(abs(sobel) / 1.4142135623730951, 9) AS za FROM z),
+poly AS (SELECT *, 1.0 / (1.0 + 0.3275911 * za) AS u FROM zz)
+SELECT CAST(n AS BIGINT) AS n, round(a, 6) AS a, round(b, 6) AS b,
+       round(c, 6) AS c_total, round(cprime, 6) AS c_direct,
+       round(a * b, 6) AS indirect,
+       round(CASE WHEN abs(c) > 0 THEN a * b / c END, 6) AS prop_mediated,
+       round(sobel, 6) AS sobel_z,
+       round(u * (0.254829592 + u * (-0.284496736 + u * (1.421413741
+             + u * (-1.453152027 + u * 1.061405429)))) * exp(-(za * za)), 6)
+         AS p_value
+FROM poly
+"""
+
+
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily event counts (operators/
+    timeseries.ewma_control_chart): the small-persistent-shift
+    monitor between Shewhart and CUSUM (q_changepoint), with
+    variance-correct widening limits. Closed-form EWMA — no
+    recursion — over the day frame; every (1−λ)^k factor rounded to
+    12 dp so pow's last-ulp spread can't compound; retrospective
+    phase-I baseline from the series' own exact moments."""
+    from azure_data_engineering_spark.operators.timeseries import ewma_control_chart
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    return ewma_control_chart(daily, "day", "cnt", lam=0.2, l_sigma=3.0)
+
+
+Q_EWMA_CHART_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m-%d') AS tk, CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+), mom AS (
+  SELECT count(*) AS n,
+         round(CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*), 9) AS mu,
+         round(sqrt(greatest(
+           (CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6)) * CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+            - CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+              * (CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*)))
+           / (count(*) - 1.0), 0.0)), 9) AS sigma
+  FROM daily
+), idx AS MATERIALIZED (
+  SELECT tk, x, row_number() OVER (ORDER BY tk) AS t FROM daily
+), pairs AS (
+  SELECT i.t, i.tk, i.x,
+         round(0.2 * pow(0.8, CAST(i.t - a.t AS DOUBLE)), 12) AS wgt, a.x AS xi
+  FROM idx i JOIN idx a ON a.t <= i.t
+), z AS (
+  SELECT t, tk, x,
+         sum(CAST(round(wgt * xi, 9) AS DECIMAL(38,9))) AS zs
+  FROM pairs GROUP BY 1, 2, 3
+), calc AS (
+  SELECT t, tk, x,
+         round(mu * round(pow(0.8, CAST(t AS DOUBLE)), 12) + CAST(zs AS DOUBLE), 9) AS ewma,
+         round(3.0 * sigma * sqrt(0.2 / 1.8
+               * (1.0 - round(pow(0.8, 2.0 * t), 12))), 9) AS width,
+         mu
+  FROM z, mom
+)
+SELECT CAST(t AS BIGINT) AS t_index, tk AS time_key, round(x, 6) AS x,
+       round(ewma, 6) AS ewma,
+       round(mu + width, 6) AS ucl, round(mu - width, 6) AS lcl,
+       (round(ewma, 6) > round(mu + width, 6)
+        OR round(ewma, 6) < round(mu - width, 6)) AS breach
+FROM calc ORDER BY t_index
+"""
+
+
+def q_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 diversity per source (operators/quality.
+    distinct_n_diversity): the generation-diversity metric — a
+    mode-collapsed generator or boilerplate-heavy crawl source scores
+    low. q_repetition_stats flags WITHIN-document loops; this flags
+    corpus-level sameness ACROSS documents. n-grams by the
+    shuffle-free zip_with idiom; ratios of exact longs."""
+    from azure_data_engineering_spark.operators.quality import distinct_n_diversity
+
+    d = _t(spark, sf_dir, "documents")
+    return distinct_n_diversity(d, "text", "source")
+
+
+Q_DISTINCT_N_SQL = """
+WITH docs AS MATERIALIZED (
+  SELECT source AS g,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS arr
+  FROM documents
+), g1 AS (
+  SELECT g, count(*) AS tot1, count(DISTINCT tok) AS dis1
+  FROM (SELECT g, u.tok FROM docs, LATERAL unnest(arr) AS u(tok))
+  GROUP BY 1
+), g2 AS (
+  SELECT g, count(*) AS tot2, count(DISTINCT gram) AS dis2
+  FROM (
+    SELECT g, arr[k + 1] || ' ' || arr[k + 2] AS gram
+    FROM docs, LATERAL unnest(range(len(arr) - 1)) AS t(k)
+  ) GROUP BY 1
+), g3 AS (
+  SELECT g, count(*) AS tot3, count(DISTINCT gram) AS dis3
+  FROM (
+    SELECT g, arr[k + 1] || ' ' || arr[k + 2] || ' ' || arr[k + 3] AS gram
+    FROM docs, LATERAL unnest(range(len(arr) - 2)) AS t(k)
+  ) GROUP BY 1
+)
+SELECT g1.g AS "group", CAST(tot1 AS BIGINT) AS n_tokens,
+       round(CAST(dis1 AS DOUBLE) / tot1, 6) AS distinct_1,
+       round(CAST(dis2 AS DOUBLE) / tot2, 6) AS distinct_2,
+       round(CAST(dis3 AS DOUBLE) / tot3, 6) AS distinct_3
+FROM g1 JOIN g2 ON g1.g = g2.g JOIN g3 ON g1.g = g3.g
+ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -21293,6 +21528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bradley_terry": q_bradley_terry,
         "q_permutation_test": q_permutation_test,
         "q_capture_recapture": q_capture_recapture,
+        "q_iv_wald": q_iv_wald,
+        "q_mediation": q_mediation,
+        "q_ewma_chart": q_ewma_chart,
+        "q_distinct_n": q_distinct_n,
     }
 
 
@@ -21722,4 +21961,8 @@ def oracle_sql() -> dict[str, str]:
         "q_bradley_terry": Q_BRADLEY_TERRY_SQL,
         "q_permutation_test": Q_PERMUTATION_TEST_SQL,
         "q_capture_recapture": Q_CAPTURE_RECAPTURE_SQL,
+        "q_iv_wald": Q_IV_WALD_SQL,
+        "q_mediation": Q_MEDIATION_SQL,
+        "q_ewma_chart": Q_EWMA_CHART_SQL,
+        "q_distinct_n": Q_DISTINCT_N_SQL,
     }

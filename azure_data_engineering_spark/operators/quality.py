@@ -582,3 +582,62 @@ def vocabulary_coverage(
         F.round(1.0 - unseen, out_decimals).alias("coverage"),
         F.round(unseen, out_decimals).alias("unseen_mass"),
     )
+
+
+def distinct_n_diversity(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Distinct-n diversity (Li et al., NAACL 2016) per group — the
+    generation-diversity metric: distinct n-grams / total n-grams for
+    n = 1, 2, 3. A mode-collapsed generator (or a boilerplate-heavy
+    crawl source) scores low; repetition_stats flags WITHIN-document
+    loops, this flags corpus-level sameness ACROSS documents.
+
+    Tokens via the engine's standing normalize_text split; n-grams by
+    the zip_with adjacent-slice idiom (shuffle-free construction).
+    Per (group, n): one distinct-count + one total-count aggregate of
+    the n-gram stream — ratios of exact longs. Returns per group:
+    (group, n_tokens, distinct_1, distinct_2, distinct_3)."""
+    from ..functions.text import normalize_text
+
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
+    base = df.select(F.col(group_col).alias("g"), toks.alias("toks"))
+    n = F.size(F.col("toks"))
+
+    def _grams(nn):
+        if nn == 1:
+            return F.col("toks")
+        parts = [
+            F.slice(F.col("toks"), i + 1, F.greatest(n - nn + 1, F.lit(0)))
+            for i in range(nn)
+        ]
+        g = parts[0]
+        for p in parts[1:]:
+            g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(" "), b))
+        return g
+
+    outs = []
+    for nn in (1, 2, 3):
+        grams = base.select("g", F.explode(_grams(nn)).alias("gram"))
+        agg = grams.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias(f"tot{nn}"),
+            F.countDistinct("gram").cast("long").alias(f"dis{nn}"),
+        )
+        outs.append(agg)
+    j = outs[0].join(outs[1], "g").join(outs[2], "g")
+    return j.select(
+        F.col("g").alias("group"),
+        F.col("tot1").alias("n_tokens"),
+        F.round(F.col("dis1").cast("double") / F.col("tot1"), out_decimals).alias(
+            "distinct_1"
+        ),
+        F.round(F.col("dis2").cast("double") / F.col("tot2"), out_decimals).alias(
+            "distinct_2"
+        ),
+        F.round(F.col("dis3").cast("double") / F.col("tot3"), out_decimals).alias(
+            "distinct_3"
+        ),
+    ).orderBy("group")

@@ -3057,3 +3057,151 @@ def paired_permutation_test(
             (F.col("ge").cast("double") + 1.0) / (float(n_perms) + 1.0), round_digits
         ).alias("p_value"),
     )
+
+
+def iv_wald_estimate(
+    df: DataFrame,
+    instrument_col: str,
+    treatment_col: str,
+    outcome_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Instrumental-variable effect by the Wald estimator (the
+    one-instrument 2SLS special case) with the first-stage strength
+    check — the causal tool when treatment is self-selected and no
+    stratification fixes it (did_estimate needs parallel trends,
+    stratified_ate needs observed confounders; IV needs neither,
+    only a valid instrument):
+
+        β_IV = cov(z, y) / cov(z, x)
+        F₁   = first-stage F = t² of x~z   (Staiger-Stock rule:
+               F₁ < 10 ⇒ weak instrument, β_IV unreliable)
+
+    Everything is a ratio of exact moments (z is 0/1, x and y are
+    6 dp-quantized decimals per row before summing — the module's
+    exact-moment discipline), ONE corpus aggregate. β_IV is
+    NULL-guarded when cov(z,x) = 0 (irrelevant instrument). Returns
+    one row: (n, beta_iv, first_stage_f, cov_zx, itt)."""
+    z = F.col(instrument_col).cast("int")
+    xq = F.round(F.col(treatment_col).cast("double"), 6).cast("decimal(28,6)")
+    yq = F.round(F.col(outcome_col).cast("double"), 6).cast("decimal(28,6)")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(z.cast("long")).alias("nz"),
+        F.sum(xq).alias("sx"),
+        F.sum(yq).alias("sy"),
+        F.sum(F.when(z == 1, xq)).alias("sxz"),
+        F.sum(F.when(z == 1, yq)).alias("syz"),
+        F.sum(xq * F.col(treatment_col).cast("decimal(18,6)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    nz = F.col("nz").cast("double")
+    pz = nz / n
+    # cov(z, v) = Σ_{z=1} v / n − p_z · Σv/n  (z binary)
+    cov_zx = F.round(
+        F.col("sxz").cast("double") / n - pz * F.col("sx").cast("double") / n, 9
+    )
+    cov_zy = F.round(
+        F.col("syz").cast("double") / n - pz * F.col("sy").cast("double") / n, 9
+    )
+    var_z = pz * (1.0 - pz)
+    var_x = F.col("sxx").cast("double") / n - (
+        F.col("sx").cast("double") / n
+    ) * (F.col("sx").cast("double") / n)
+    # first-stage slope a = cov/var_z; F = a² var_z (n−2) / (var_x − a² var_z)
+    a = cov_zx / var_z
+    resid_var = var_x - a * a * var_z
+    f1 = F.when(
+        resid_var > 0, F.round(a * a * var_z * (n - 2.0) / resid_var, 9)
+    )
+    return agg.select(
+        "n",
+        F.round(F.when(F.abs(cov_zx) > 0, cov_zy / cov_zx), round_digits).alias(
+            "beta_iv"
+        ),
+        F.round(f1, round_digits).alias("first_stage_f"),
+        F.round(cov_zx, round_digits).alias("cov_zx"),
+        F.round(cov_zy / var_z, round_digits).alias("itt"),
+    )
+
+
+def mediation_sobel(
+    df: DataFrame,
+    treatment_col: str,
+    mediator_col: str,
+    outcome_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Baron-Kenny mediation with the Sobel test (Baron & Kenny 1986;
+    Sobel 1982) — does the treatment move the outcome THROUGH the
+    mediator? Decomposes the total effect c into the indirect path
+    a·b (treatment→mediator→outcome) and the direct remainder c′:
+
+        a  = slope of m ~ t,   b = partial slope of y ~ m | t
+        indirect = a·b,  c = slope of y ~ t,  c′ = c − a·b
+        Sobel z  = a·b / √(b²·SE_a² + a²·SE_b²),  p via A&S erfc
+
+    All five regressions come from ONE corpus aggregate of exact
+    6 dp-quantized decimal moments (t, m, y and their products); the
+    partial slope uses the standard two-regressor normal equations.
+    Returns one row: (n, a, b, c_total, c_direct, indirect,
+    prop_mediated, sobel_z, p_value)."""
+    tq = F.round(F.col(treatment_col).cast("double"), 6).cast("decimal(28,6)")
+    mq = F.round(F.col(mediator_col).cast("double"), 6).cast("decimal(28,6)")
+    yq = F.round(F.col(outcome_col).cast("double"), 6).cast("decimal(28,6)")
+    t6 = F.round(F.col(treatment_col).cast("double"), 6).cast("decimal(18,6)")
+    m6 = F.round(F.col(mediator_col).cast("double"), 6).cast("decimal(18,6)")
+    y6 = F.round(F.col(outcome_col).cast("double"), 6).cast("decimal(18,6)")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(tq).alias("st"),
+        F.sum(mq).alias("sm"),
+        F.sum(yq).alias("sy"),
+        F.sum(tq * t6).alias("stt"),
+        F.sum(mq * m6).alias("smm"),
+        F.sum(yq * y6).alias("syy"),
+        F.sum(tq * m6).alias("stm"),
+        F.sum(tq * y6).alias("sty"),
+        F.sum(mq * y6).alias("smy"),
+    )
+    n = F.col("n").cast("double")
+
+    def _cov(spq, sp, sq):
+        return F.round(
+            F.col(spq).cast("double") / n
+            - (F.col(sp).cast("double") / n) * (F.col(sq).cast("double") / n),
+            9,
+        )
+
+    ctt = _cov("stt", "st", "st")
+    cmm = _cov("smm", "sm", "sm")
+    cyy = _cov("syy", "sy", "sy")
+    ctm = _cov("stm", "st", "sm")
+    cty = _cov("sty", "st", "sy")
+    cmy = _cov("smy", "sm", "sy")
+    a = ctm / ctt
+    c = cty / ctt
+    # y ~ m + t normal equations: b = (c_my·c_tt − c_ty·c_tm)/(c_mm·c_tt − c_tm²)
+    det = cmm * ctt - ctm * ctm
+    b = (cmy * ctt - cty * ctm) / det
+    cprime = (cty * cmm - cmy * ctm) / det
+    # residual variances for the SEs
+    sig_a2 = (cmm - a * a * ctt) / (n - 2.0)
+    se_a2 = sig_a2 / (ctt * n)
+    sig_b2 = (cyy - b * cmy - cprime * cty) / (n - 3.0)
+    se_b2 = sig_b2 * ctt / (det * n)
+    indirect = a * b
+    sobel = F.round(indirect / F.sqrt(b * b * se_a2 + a * a * se_b2), 9)
+    return agg.select(
+        "n",
+        F.round(a, round_digits).alias("a"),
+        F.round(b, round_digits).alias("b"),
+        F.round(c, round_digits).alias("c_total"),
+        F.round(cprime, round_digits).alias("c_direct"),
+        F.round(indirect, round_digits).alias("indirect"),
+        F.round(F.when(F.abs(c) > 0, indirect / c), round_digits).alias(
+            "prop_mediated"
+        ),
+        F.round(sobel, round_digits).alias("sobel_z"),
+        F.round(_erfc_two_sided(F.abs(sobel)), round_digits).alias("p_value"),
+    )

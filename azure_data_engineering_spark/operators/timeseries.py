@@ -1122,3 +1122,115 @@ def lmdi_decomposition(
         .select("period", "delta_v", F.col("fc.factor").alias("factor"), F.col("fc.contribution").alias("contribution"))
         .orderBy("period", "factor")
     )
+
+
+def ewma_control_chart(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    lam: float = 0.2,
+    l_sigma: float = 3.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959; Lucas & Saccucci 1990 for
+    the design tables) — the small-persistent-shift monitor between
+    Shewhart (misses small shifts) and CUSUM (needs a target shift
+    size): each point is an exponentially weighted running mean with
+    variance-correct control limits,
+
+        z_t  = λ·x_t + (1−λ)·z_{t−1},  z_0 = μ̂
+        UCLₜ = μ̂ + L·σ̂·√(λ/(2−λ)·(1−(1−λ)^{2t}))
+
+    computed CLOSED-FORM (no recursion): z_t = μ̂(1−λ)^t +
+    λ·Σᵢ(1−λ)^{t−i}x_i, with every (1−λ)^k factor rounded to 12 dp
+    so pow's last-ulp libm spread cannot compound cross-engine. μ̂/σ̂
+    are the series' own exact-decimal moments (retrospective phase-I
+    charting, documented). The window sum uses the numerically-safe
+    scaled form over the SERIES frame (time positions from a
+    row_number — the frame is an aggregate, days not events). Returns
+    per point: (t_index, time_key, x, ewma, ucl, lcl, breach)."""
+    import math as _math
+
+    series = df.select(
+        F.col(time_col).cast("string").alias("tk"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    mom = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)")).alias("s"),
+        F.sum(
+            F.round(F.col("x"), 6).cast("decimal(28,6)")
+            * F.round(F.col("x"), 6).cast("decimal(18,6)")
+        ).alias("ss"),
+    ).select(
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 9).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (
+                        F.col("ss").cast("double")
+                        - F.col("s").cast("double")
+                        * (F.col("s").cast("double") / F.col("n"))
+                    )
+                    / (F.col("n").cast("double") - 1.0),
+                    F.lit(0.0),
+                )
+            ),
+            9,
+        ).alias("sigma"),
+    )
+    w = Window.orderBy("tk")
+    idx = series.withColumn("t", F.row_number().over(w))
+    lam = float(lam)
+    one_m = 1.0 - lam
+    # (1−λ)^k rounded to 12 dp, k bounded by the series length; the
+    # scaled cumulative form z_t = (1−λ)^t·(μ̂ + λ·Σ x_i/(1−λ)^i)
+    # overflows for long series, so use the direct per-pair sum over
+    # the bounded series frame instead (t × t pairs of a day frame)
+    a = idx.select(F.col("t").alias("ti"), F.col("x").alias("xi"))
+    pairs = (
+        idx.select("t", "tk", "x")
+        .join(a, F.col("ti") <= F.col("t"))
+        .select(
+            "t",
+            "tk",
+            "x",
+            F.round(
+                F.lit(lam)
+                * F.pow(F.lit(one_m), (F.col("t") - F.col("ti")).cast("double")),
+                12,
+            ).alias("wgt"),
+            "xi",
+        )
+    )
+    z = pairs.groupBy("t", "tk", "x").agg(
+        F.sum(F.round(F.col("wgt") * F.col("xi"), 9).cast("decimal(38,9)")).alias("zs")
+    )
+    out = z.crossJoin(F.broadcast(mom))
+    decay_t = F.round(F.pow(F.lit(one_m), F.col("t").cast("double")), 12)
+    ewma = F.round(F.col("mu") * decay_t + F.col("zs").cast("double"), 9)
+    width = F.round(
+        F.lit(l_sigma)
+        * F.col("sigma")
+        * F.sqrt(
+            F.lit(lam / (2.0 - lam))
+            * (1.0 - F.round(F.pow(F.lit(one_m), 2.0 * F.col("t").cast("double")), 12))
+        ),
+        9,
+    )
+    # breach compares the ROUNDED chart values: the 12 dp weight
+    # rounding leaves ~1e-11 residue on ewma, which against a
+    # zero-width limit (constant series) would read as a breach
+    ew6 = F.round(ewma, round_digits)
+    ucl6 = F.round(F.col("mu") + width, round_digits)
+    lcl6 = F.round(F.col("mu") - width, round_digits)
+    return out.select(
+        F.col("t").alias("t_index"),
+        F.col("tk").alias("time_key"),
+        F.round("x", round_digits).alias("x"),
+        ew6.alias("ewma"),
+        ucl6.alias("ucl"),
+        lcl6.alias("lcl"),
+        ((ew6 > ucl6) | (ew6 < lcl6)).alias("breach"),
+    ).orderBy("t_index")
