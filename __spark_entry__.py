@@ -21078,6 +21078,271 @@ ORDER BY 1
 """
 
 
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-count series (operators/
+    timeseries.hurst_rescaled_range): do load deviations persist
+    across horizons (H > 0.5) or mean-revert? The long-memory answer
+    q_acf's few lags can't give — and the difference decides whether
+    capacity buffers may assume independent hours. Zero-filled
+    hourly spine; block ladder {8,16,32,64}; Ĥ = pinned OLS slope of
+    ln(R/S) on ln(s); the oracle replays every block."""
+    from azure_data_engineering_spark.operators.timeseries import hurst_rescaled_range
+
+    ev = _t(spark, sf_dir, "events")
+    mint = ev.agg(F.min("ts").alias("t0"))
+    hourly = (
+        ev.crossJoin(F.broadcast(mint))
+        .select(
+            F.floor(
+                (F.unix_timestamp("ts") - F.unix_timestamp("t0")) / 3600
+            ).cast("long").alias("p")
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    n_hours = hourly.agg(F.max("p").alias("mx")).collect()[0].mx + 1
+    spine = spark.range(int(n_hours)).select(F.col("id").cast("long").alias("p"))
+    filled = spine.join(hourly, "p", "left").select(
+        "p", F.coalesce(F.col("x"), F.lit(0.0)).alias("x")
+    )
+    return hurst_rescaled_range(filled, "p", "x", block_sizes=(8, 16, 32, 64))
+
+
+def _hurst_oracle_sql(sizes=(8, 16, 32, 64)) -> str:
+    head = """
+WITH t0 AS (SELECT min(ts) AS t0 FROM events),
+hourly AS (
+  SELECT CAST(floor(date_diff('second', t0, ts) / 3600) AS BIGINT) AS p,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events, t0 GROUP BY 1
+), nh AS (SELECT max(p) + 1 AS n FROM hourly),
+spine AS (
+  SELECT CAST(r.range AS BIGINT) AS p FROM range(20000) r
+  WHERE r.range < (SELECT n FROM nh)
+),
+filled AS MATERIALIZED (
+  SELECT s.p, coalesce(h.x, 0.0) AS x FROM spine s LEFT JOIN hourly h ON h.p = s.p
+)"""
+    parts = []
+    sels = []
+    for s in sizes:
+        parts.append(f"""
+, blk{s} AS (
+  SELECT p, x, p // {s} AS b FROM filled
+), cnt{s} AS (SELECT b FROM blk{s} GROUP BY b HAVING count(*) = {s}),
+rows{s} AS (SELECT blk{s}.* FROM blk{s} JOIN cnt{s} USING (b)),
+mom{s} AS (
+  SELECT b,
+         round(CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE) / {s}.0, 9) AS mean,
+         round(sqrt(greatest(
+           (CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6)) * CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+            - CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+              * (CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE) / {s}.0)) / {s}.0,
+           0.0)), 9) AS sd
+  FROM rows{s} GROUP BY 1
+), dev{s} AS (
+  SELECT r.b,
+         round(sum(round(r.x - m.mean, 9)) OVER (
+           PARTITION BY r.b ORDER BY r.p ROWS UNBOUNDED PRECEDING), 9) AS cum,
+         m.sd
+  FROM rows{s} r JOIN mom{s} m ON m.b = r.b
+), rng{s} AS (
+  SELECT b, max(cum) - min(cum) AS r, max(sd) AS sd FROM dev{s} GROUP BY 1
+), rs{s} AS (
+  SELECT CAST({s} AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_blocks,
+         round(CAST(sum(CAST(round(r / sd, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / count(*), 9) AS avg_rs
+  FROM rng{s} WHERE sd > 0
+)""")
+        sels.append(f"SELECT * FROM rs{s}")
+    ladder_union = " UNION ALL ".join(sels)
+    tail = f"""
+, ladder AS MATERIALIZED ({ladder_union}),
+lns AS (
+  SELECT size, n_blocks, avg_rs,
+         round(ln(CAST(size AS DOUBLE)), 9) AS lx, round(ln(avg_rs), 9) AS ly
+  FROM ladder
+), fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k,
+         sum(CAST(round(lx, 9) AS DECIMAL(38,9))) AS sx,
+         sum(CAST(round(ly, 9) AS DECIMAL(38,9))) AS sy,
+         sum(CAST(round(lx * ly, 9) AS DECIMAL(38,9))) AS sxy,
+         sum(CAST(round(lx * lx, 9) AS DECIMAL(38,9))) AS sxx
+  FROM lns
+)
+SELECT size, n_blocks, round(avg_rs, 6) AS avg_rs FROM ladder
+UNION ALL
+SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / k)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / k), 6)
+FROM fit
+ORDER BY size
+"""
+    return head + "".join(parts) + tail
+
+
+Q_HURST_SQL = _hurst_oracle_sql()
+
+
+def q_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over three comparably-scaled line-item
+    measurements (operators/stats.cronbach_alpha) — the
+    internal-consistency seat of the agreement family (κ, ICC, W):
+    do quantity, price-scale, and discount-scale move together as
+    one "order size" construct? One exact-moment aggregate; the
+    item-sum variance captures cross-item covariance exactly."""
+    from azure_data_engineering_spark.operators.stats import cronbach_alpha
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_quantity").cast("double").alias("i1"),
+        (F.col("l_extendedprice") / 1000.0).alias("i2"),
+        (F.col("l_discount") * 100.0).alias("i3"),
+    )
+    return cronbach_alpha(d, ["i1", "i2", "i3"])
+
+
+Q_CRONBACH_SQL = """
+WITH d AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS i1, l_extendedprice / 1000.0 AS i2,
+         l_discount * 100.0 AS i3,
+         CAST(l_quantity AS DOUBLE) + l_extendedprice / 1000.0
+           + l_discount * 100.0 AS tt
+  FROM lineitem
+), agg AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(i1, 6) AS DECIMAL(28,6))) AS s0,
+         sum(CAST(round(i1, 6) AS DECIMAL(28,6)) * CAST(round(i1, 6) AS DECIMAL(18,6))) AS ss0,
+         sum(CAST(round(i2, 6) AS DECIMAL(28,6))) AS s1,
+         sum(CAST(round(i2, 6) AS DECIMAL(28,6)) * CAST(round(i2, 6) AS DECIMAL(18,6))) AS ss1,
+         sum(CAST(round(i3, 6) AS DECIMAL(28,6))) AS s2,
+         sum(CAST(round(i3, 6) AS DECIMAL(28,6)) * CAST(round(i3, 6) AS DECIMAL(18,6))) AS ss2,
+         sum(CAST(round(tt, 6) AS DECIMAL(28,6))) AS st,
+         sum(CAST(round(tt, 6) AS DECIMAL(28,6)) * CAST(round(tt, 6) AS DECIMAL(18,6))) AS sst
+  FROM d
+), vars AS (
+  SELECT n,
+         round(CAST(ss0 AS DOUBLE) / n - (CAST(s0 AS DOUBLE) / n) * (CAST(s0 AS DOUBLE) / n), 9)
+           + round(CAST(ss1 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 9)
+           + round(CAST(ss2 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n), 9)
+           AS item_var,
+         round(CAST(sst AS DOUBLE) / n - (CAST(st AS DOUBLE) / n) * (CAST(st AS DOUBLE) / n), 9)
+           AS tot_var
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k_items,
+       round(item_var, 6) AS sum_item_var, round(tot_var, 6) AS total_var,
+       round(CASE WHEN tot_var > 0 THEN 1.5 * (1.0 - item_var / tot_var) END, 6)
+         AS alpha
+FROM vars
+"""
+
+
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices for parts, 1996 →
+    1997 (operators/relational.price_indices): did part prices move
+    holding the basket fixed — the deflator a revenue trend needs
+    before it means anything. Matched-model per-part unit prices and
+    quantities from exact decimal sums; L ≥ F ≥ P brackets the
+    substitution bias."""
+    from azure_data_engineering_spark.operators.relational import price_indices
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", F.year("o_orderdate").alias("yr"))
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+
+    def per_part(year):
+        return (
+            j.filter(F.col("yr") == year)
+            .groupBy("l_partkey")
+            .agg(
+                (
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                    / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                ).alias("price"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+            )
+        )
+
+    return price_indices(per_part(1996), per_part(1997), "l_partkey", "price", "qty")
+
+
+Q_PRICE_INDEX_SQL = """
+WITH j AS MATERIALIZED (
+  SELECT l.l_partkey, l.l_extendedprice, l.l_quantity, year(o.o_orderdate) AS yr
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE year(o.o_orderdate) IN (1996, 1997)
+), per AS MATERIALIZED (
+  SELECT yr, l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+  FROM j GROUP BY 1, 2
+), b AS (SELECT l_partkey AS k, price AS p0, qty AS q0 FROM per WHERE yr = 1996),
+c AS (SELECT l_partkey AS k, price AS p1, qty AS q1 FROM per WHERE yr = 1997),
+m AS (SELECT b.k, p0, q0, p1, q1 FROM b JOIN c USING (k)),
+agg AS (
+  SELECT count(*) AS n_matched,
+         sum(CAST(round(p1 * q0, 6) AS DECIMAL(38,6))) AS p1q0,
+         sum(CAST(round(p0 * q0, 6) AS DECIMAL(38,6))) AS p0q0,
+         sum(CAST(round(p1 * q1, 6) AS DECIMAL(38,6))) AS p1q1,
+         sum(CAST(round(p0 * q1, 6) AS DECIMAL(38,6))) AS p0q1
+  FROM m
+), onlys AS (
+  SELECT (SELECT count(*) FROM b WHERE k NOT IN (SELECT k FROM c)) AS n_base_only,
+         (SELECT count(*) FROM c WHERE k NOT IN (SELECT k FROM b)) AS n_current_only
+)
+SELECT CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(n_base_only AS BIGINT) AS n_base_only,
+       CAST(n_current_only AS BIGINT) AS n_current_only,
+       round(CAST(p1q0 AS DOUBLE) / CAST(p0q0 AS DOUBLE), 6) AS laspeyres,
+       round(CAST(p1q1 AS DOUBLE) / CAST(p0q1 AS DOUBLE), 6) AS paasche,
+       round(sqrt((CAST(p1q0 AS DOUBLE) / CAST(p0q0 AS DOUBLE))
+             * (CAST(p1q1 AS DOUBLE) / CAST(p0q1 AS DOUBLE))), 6) AS fisher
+FROM agg, onlys
+"""
+
+
+def q_kneedle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knee of the source-coverage curve (operators/diagnostics.
+    kneedle_point): rank document sources by character volume — how
+    many sources carry the corpus before diminishing returns? The
+    principled top-N cutoff behind domain capping and crawl budget
+    allocation; knee = max(y_norm − x_norm) on the cumulative-share
+    curve, engine-stable via 9 dp-pinned shares and rank
+    tiebreaks."""
+    from azure_data_engineering_spark.operators.diagnostics import kneedle_point
+
+    d = _t(spark, sf_dir, "documents")
+    return kneedle_point(d, "source", "n_chars")
+
+
+Q_KNEEDLE_SQL = """
+WITH g AS (
+  SELECT source AS gk, sum(CAST(round(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(38,6))) AS w
+  FROM documents GROUP BY 1
+), tot AS (SELECT sum(w) AS tw, count(*) AS n FROM g),
+ranked AS (
+  SELECT gk, w,
+         row_number() OVER (ORDER BY w DESC, gk ASC) AS rk,
+         sum(w) OVER (ORDER BY w DESC, gk ASC ROWS UNBOUNDED PRECEDING) AS cw,
+         n, tw
+  FROM g, tot
+), curve AS (
+  SELECT gk, rk, n,
+         round(CAST(cw AS DOUBLE) / CAST(tw AS DOUBLE), 9) AS y,
+         round(CAST(rk AS DOUBLE) / n, 9) AS x
+  FROM ranked
+), gapped AS (
+  SELECT *, round(y - x, 9) AS gap FROM curve
+)
+SELECT CAST(n AS BIGINT) AS n_groups, CAST(rk AS BIGINT) AS knee_rank,
+       gk AS knee_group, round(y, 6) AS coverage_at_knee,
+       round(gap, 6) AS max_gap
+FROM gapped ORDER BY gap DESC, rk ASC LIMIT 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -21532,6 +21797,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mediation": q_mediation,
         "q_ewma_chart": q_ewma_chart,
         "q_distinct_n": q_distinct_n,
+        "q_hurst": q_hurst,
+        "q_cronbach": q_cronbach,
+        "q_price_index": q_price_index,
+        "q_kneedle": q_kneedle,
     }
 
 
@@ -21965,4 +22234,8 @@ def oracle_sql() -> dict[str, str]:
         "q_mediation": Q_MEDIATION_SQL,
         "q_ewma_chart": Q_EWMA_CHART_SQL,
         "q_distinct_n": Q_DISTINCT_N_SQL,
+        "q_hurst": Q_HURST_SQL,
+        "q_cronbach": Q_CRONBACH_SQL,
+        "q_price_index": Q_PRICE_INDEX_SQL,
+        "q_kneedle": Q_KNEEDLE_SQL,
     }

@@ -272,3 +272,60 @@ def join_size_ams(
             out_decimals,
         ).alias("rel_error"),
     )
+
+
+def kneedle_point(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Knee-point detection on the rank-coverage curve (Satopää et
+    al. 2011, "Kneedle", specialized to the concave-increasing
+    cumulative-share curve) — the "where do diminishing returns
+    start" answer behind every top-N cutoff: how many
+    sources/domains/clusters carry the corpus before the tail stops
+    paying?
+
+    Groups are ranked by weight descending (ties broken by group key
+    — deterministic); the curve is (rank/n, cumulative share); the
+    knee is the point maximizing y_norm − x_norm (the Kneedle
+    difference curve for this curve family), tie broken by the
+    SMALLEST rank. Cumulative shares are ratios of exact decimal
+    sums rounded to 9 dp, so the argmax is engine-stable. One corpus
+    groupBy + windows over the group frame. Returns one row:
+    (n_groups, knee_rank, knee_group, coverage_at_knee, max_gap)."""
+    dec = "decimal(38,6)"
+    g = df.groupBy(F.col(group_col).cast("string").alias("g")).agg(
+        F.sum(F.round(F.col(weight_col).cast("double"), 6).cast(dec)).alias("w")
+    )
+    tot = g.agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wr = Window.orderBy(F.col("w").desc(), F.col("g").asc())
+    wc = wr.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        g.withColumn("rk", F.row_number().over(wr))
+        .withColumn("cw", F.sum("w").over(wc))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            "rk",
+            "n",
+            F.round(
+                F.col("cw").cast("double") / F.col("tw").cast("double"), 9
+            ).alias("y"),
+            F.round(F.col("rk").cast("double") / F.col("n").cast("double"), 9).alias(
+                "x"
+            ),
+        )
+        .withColumn("gap", F.round(F.col("y") - F.col("x"), 9))
+    )
+    best = ranked.orderBy(F.col("gap").desc(), F.col("rk").asc()).limit(1)
+    return best.select(
+        F.col("n").alias("n_groups"),
+        F.col("rk").alias("knee_rank"),
+        F.col("g").alias("knee_group"),
+        F.round(F.col("y"), round_digits).alias("coverage_at_knee"),
+        F.round(F.col("gap"), round_digits).alias("max_gap"),
+    )

@@ -287,3 +287,65 @@ def asof_join_big(
         filled = [F.first(c, ignorenulls=True).over(w).alias(c) for c in right_payload]
     out = u.select(*keys, *left_only, F.col("__src"), *filled)
     return out.filter(F.col("__src") == 1).drop("__src")
+
+
+def price_indices(
+    base: DataFrame,
+    current: DataFrame,
+    key_col: str,
+    price_col: str,
+    qty_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Classic bilateral price indices (Laspeyres 1871, Paasche 1874,
+    Fisher 1922) between a base and a current period — THE
+    index-number toolkit for "did prices move, holding the basket
+    fixed", and the deflator a revenue trend needs before it means
+    anything:
+
+        L = Σ p₁q₀ / Σ p₀q₀   (base-period basket)
+        P = Σ p₁q₁ / Σ p₀q₁   (current-period basket)
+        F = √(L·P)            (Fisher ideal; L ≥ F ≥ P typically —
+                               substitution bias brackets the truth)
+
+    Only keys present in BOTH periods enter (matched-model indexing,
+    the standard practice; dropped counts are reported). Every Σpq
+    is an exact DECIMAL sum of 6 dp-quantized per-row products; the
+    three indices are ratios of those exact totals. ONE inner join on
+    the key + one aggregate. Returns one row: (n_matched,
+    n_base_only, n_current_only, laspeyres, paasche, fisher)."""
+    b = base.select(
+        F.col(key_col).alias("k"),
+        F.col(price_col).cast("double").alias("p0"),
+        F.col(qty_col).cast("double").alias("q0"),
+    )
+    c = current.select(
+        F.col(key_col).alias("k"),
+        F.col(price_col).cast("double").alias("p1"),
+        F.col(qty_col).cast("double").alias("q1"),
+    )
+    matched = b.join(c, "k")
+    n_b_only = b.join(c.select("k"), "k", "left_anti").count()
+    n_c_only = c.join(b.select("k"), "k", "left_anti").count()
+    dec = "decimal(38,6)"
+
+    def _s(expr):
+        return F.sum(F.round(expr, 6).cast(dec))
+
+    agg = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        _s(F.col("p1") * F.col("q0")).alias("p1q0"),
+        _s(F.col("p0") * F.col("q0")).alias("p0q0"),
+        _s(F.col("p1") * F.col("q1")).alias("p1q1"),
+        _s(F.col("p0") * F.col("q1")).alias("p0q1"),
+    )
+    lasp = F.col("p1q0").cast("double") / F.col("p0q0").cast("double")
+    paas = F.col("p1q1").cast("double") / F.col("p0q1").cast("double")
+    return agg.select(
+        "n_matched",
+        F.lit(n_b_only).cast("long").alias("n_base_only"),
+        F.lit(n_c_only).cast("long").alias("n_current_only"),
+        F.round(lasp, round_digits).alias("laspeyres"),
+        F.round(paas, round_digits).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), round_digits).alias("fisher"),
+    )

@@ -3205,3 +3205,68 @@ def mediation_sobel(
         F.round(sobel, round_digits).alias("sobel_z"),
         F.round(_erfc_two_sided(F.abs(sobel)), round_digits).alias("p_value"),
     )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cronbach's alpha (Cronbach 1951) — internal-consistency
+    reliability of a k-item scale, the agreement family's last seat
+    (κ categorical raters, ICC continuous raters, W rankings, α
+    ITEMS): do the k columns measure one underlying thing?
+
+        α = k/(k−1) · (1 − Σᵢ σ²ᵢ / σ²_total)
+
+    with σ²_total the variance of the row-wise item SUM. All
+    variances from ONE aggregate of exact 6 dp-decimal moments
+    (population form, documented); the k-item sum is computed per
+    row before quantization so cross-item covariance is captured
+    exactly. Returns one row: (n, k_items, sum_item_var, total_var,
+    alpha)."""
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError("cronbach_alpha needs at least 2 items")
+    from functools import reduce as _reduce
+    import operator as _op
+
+    total = _reduce(_op.add, [F.col(c).cast("double") for c in item_cols])
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, c in enumerate(item_cols):
+        q = F.round(F.col(c).cast("double"), 6).cast("decimal(28,6)")
+        q6 = F.round(F.col(c).cast("double"), 6).cast("decimal(18,6)")
+        aggs.append(F.sum(q).alias(f"s{i}"))
+        aggs.append(F.sum(q * q6).alias(f"ss{i}"))
+    tq = F.round(total, 6).cast("decimal(28,6)")
+    tq6 = F.round(total, 6).cast("decimal(18,6)")
+    aggs.append(F.sum(tq).alias("st"))
+    aggs.append(F.sum(tq * tq6).alias("sst"))
+    m = df.agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def _var(s, ss):
+        return F.round(
+            F.col(ss).cast("double") / n
+            - (F.col(s).cast("double") / n) * (F.col(s).cast("double") / n),
+            9,
+        )
+
+    item_var = None
+    for i in range(k):
+        v = _var(f"s{i}", f"ss{i}")
+        item_var = v if item_var is None else item_var + v
+    tot_var = _var("st", "sst")
+    return m.select(
+        "n",
+        F.lit(k).cast("long").alias("k_items"),
+        F.round(item_var, round_digits).alias("sum_item_var"),
+        F.round(tot_var, round_digits).alias("total_var"),
+        F.round(
+            F.when(
+                tot_var > 0,
+                F.lit(float(k) / (k - 1.0)) * (1.0 - item_var / tot_var),
+            ),
+            round_digits,
+        ).alias("alpha"),
+    )

@@ -1234,3 +1234,135 @@ def ewma_control_chart(
         lcl6.alias("lcl"),
         ((ew6 > ucl6) | (ew6 < lcl6)).alias("breach"),
     ).orderBy("t_index")
+
+
+def hurst_rescaled_range(
+    df: DataFrame,
+    pos_col: str,
+    value_col: str,
+    block_sizes=(8, 16, 32, 64),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst 1951;
+    Mandelbrot-Wallis 1969) — LONG-memory detection: acf sees a few
+    lags, H sees whether deviations persist across ALL horizons
+    (H ≈ 0.5 random walk, > 0.5 trending/persistent, < 0.5 mean-
+    reverting). The difference decides whether a capacity buffer can
+    assume independent days or must plan for runs.
+
+    For each block size s: split the series into ⌊n/s⌋ complete
+    blocks; per block R = range of the mean-adjusted cumulative sum,
+    S = the block's own std; average R/S across blocks (R/S of an
+    s-block grows ∝ sᴴ). Ĥ = OLS slope of ln(avg R/S) on ln s over
+    the size ladder — closed form on |sizes| points.
+
+    Determinism: per-block moments are exact 6 dp-decimal sums;
+    cumulative deviations round to 9 dp before the running min/max;
+    per-size averages are 9 dp-decimal sums; the final OLS runs on
+    those pinned values. Scale shape: one window pass per block size
+    over the SERIES frame (positions from the caller — an aggregate
+    grid, not corpus rows); blocks with S = 0 are excluded
+    (documented). Returns the size ladder plus the fit: one row per
+    size (size, n_blocks, avg_rs) + one summary row (size = 0) with
+    avg_rs = Ĥ."""
+    base = df.select(
+        F.col(pos_col).cast("long").alias("p"), F.col(value_col).cast("double").alias("x")
+    )
+    rs_rows = []
+    for s in block_sizes:
+        blk = base.withColumn("b", F.floor(F.col("p") / F.lit(int(s))).cast("long"))
+        sizes = blk.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("bn"))
+        complete = sizes.filter(F.col("bn") == int(s)).select("b")
+        rows = blk.join(F.broadcast(complete), "b")
+        moms = rows.groupBy("b").agg(
+            F.round(
+                F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)")).cast("double")
+                / float(s),
+                9,
+            ).alias("mean"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        (
+                            F.sum(
+                                F.round(F.col("x"), 6).cast("decimal(28,6)")
+                                * F.round(F.col("x"), 6).cast("decimal(18,6)")
+                            ).cast("double")
+                            - F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)")).cast(
+                                "double"
+                            )
+                            * (
+                                F.sum(
+                                    F.round(F.col("x"), 6).cast("decimal(28,6)")
+                                ).cast("double")
+                                / float(s)
+                            )
+                        )
+                        / float(s),
+                        F.lit(0.0),
+                    )
+                ),
+                9,
+            ).alias("sd"),
+        )
+        wb = (
+            Window.partitionBy("b").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        dev = (
+            rows.join(F.broadcast(moms), "b")
+            .withColumn(
+                "cum", F.round(F.sum(F.round(F.col("x") - F.col("mean"), 9)).over(wb), 9)
+            )
+        )
+        rng = dev.groupBy("b").agg(
+            (F.max("cum") - F.min("cum")).alias("r"), F.first("sd").alias("sd")
+        )
+        per_size = rng.filter(F.col("sd") > 0).agg(
+            F.lit(int(s)).cast("long").alias("size"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.round(
+                F.sum(
+                    F.round(F.col("r") / F.col("sd"), 9).cast("decimal(38,9)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("avg_rs"),
+        )
+        rs_rows.append(per_size)
+    from functools import reduce as _reduce
+
+    ladder = _reduce(lambda a, b: a.unionByName(b), rs_rows).localCheckpoint(eager=True)
+    import math as _math
+
+    lns = ladder.select(
+        "size",
+        "n_blocks",
+        "avg_rs",
+        F.round(F.log(F.col("size").cast("double")), 9).alias("lx"),
+        F.round(F.log(F.col("avg_rs")), 9).alias("ly"),
+    )
+    fit = lns.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.round(F.col("lx"), 9).cast("decimal(38,9)")).alias("sx"),
+        F.sum(F.round(F.col("ly"), 9).cast("decimal(38,9)")).alias("sy"),
+        F.sum(F.round(F.col("lx") * F.col("ly"), 9).cast("decimal(38,9)")).alias("sxy"),
+        F.sum(F.round(F.col("lx") * F.col("lx"), 9).cast("decimal(38,9)")).alias("sxx"),
+    )
+    h = fit.select(
+        F.lit(0).cast("long").alias("size"),
+        F.lit(0).cast("long").alias("n_blocks"),
+        F.round(
+            (
+                F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("k")
+            )
+            / (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("k")
+            ),
+            round_digits,
+        ).alias("avg_rs"),
+    )
+    return ladder.select(
+        "size", "n_blocks", F.round("avg_rs", round_digits).alias("avg_rs")
+    ).unionByName(h).orderBy("size")
