@@ -620,3 +620,47 @@ def test_psi_sides_aggregate_independently(spark, sf_dir):
 def test_ks_window_runs_on_distinct_value_grid(spark, sf_dir):
     plan = formatted_plan(entrymod.q_ks_test(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_is_join_free(spark, sf_dir):
+    """direction='nearest' must keep asof_join_big's union-merge shape:
+    both directional fills over ONE union frame — no join operator, no
+    BroadcastNestedLoopJoin, a single exchange on the partition key."""
+    plan = formatted_plan(entrymod.q_asof_nearest(spark, sf_dir))
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert bad not in plan, bad
+
+
+def test_activity_streaks_single_corpus_shuffle(spark, sf_dir):
+    """The only corpus-scale exchange is the distinct (key, day) dedup;
+    everything after runs on the per-key island frames."""
+    assert_no_cartesian(entrymod.q_activity_streaks(spark, sf_dir))
+    plan = formatted_plan(entrymod.q_activity_streaks(spark, sf_dir))
+    assert "HashAggregate" in plan
+
+
+def test_wasserstein_no_corpus_sort(spark, sf_dir):
+    """W1 runs on the distinct-value count frame: the corpus itself is
+    never row-sorted (no global Sort before an aggregate of raw rows) —
+    the mann_whitney discipline."""
+    assert_no_cartesian(entrymod.q_wasserstein(spark, sf_dir))
+
+
+def test_kn_bigram_model_join_is_equi(spark, sf_dir):
+    """Scoring joins the pair stream onto the type-frame model on
+    (w1, w2) — a HASH equi join. (One BroadcastNestedLoopJoin is
+    expected and fine: the 1-row n_types scalar crossJoin, the
+    repo's standing scalar-broadcast pattern.)"""
+    plan = formatted_plan(entrymod.q_kn_bigram(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # only the scalar crossJoin may nested-loop (tree line counted
+    # once; the formatted plan repeats each node in its detail block)
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_bitmap_distinct_no_expand(spark, sf_dir):
+    """The bitmap family pre-aggregates per (grain, bucket): no Expand
+    (the count-distinct rewrite) should appear — that is the point."""
+    plan = formatted_plan(entrymod.q_bitmap_distinct(spark, sf_dir))
+    assert "Expand" not in plan
