@@ -206,6 +206,11 @@ HEADLINE = [
     "q_activity_streaks",
     "q_haar_wavelet",
     "q_quantile_regression",
+    # round-9 session-3 closers: W1 drift runs on the two-arm
+    # distinct-value frame (the mann_whitney shape); IPF raking is the
+    # newest pinned-rounds iterative member (cell-frame rounds)
+    "q_wasserstein",
+    "q_raking",
 ]
 
 ROUND = 9
