@@ -21343,6 +21343,248 @@ FROM gapped ORDER BY gap DESC, rk ASC LIMIT 1
 """
 
 
+def q_ddsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch MERGEABILITY as a gated property (operators/ddsketch):
+    build one sketch per returnflag, OR-merge them by groupBy-sum of
+    the bucket frames, and query the global p50/p99 from the MERGED
+    sketch — then emit the same quantiles from a direct global sketch
+    in the same plan. The columns must agree exactly: this is the
+    100 TB property (per-partition sketches union into the global
+    answer with no re-scan) proven in the correctness gate, not just
+    a unit test."""
+    from azure_data_engineering_spark.operators.ddsketch import (
+        ddsketch_buckets,
+        ddsketch_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("__n")
+    )  # anchor (unused values; keeps per-flag framing explicit)
+    parts = [
+        ddsketch_buckets(
+            li.filter(F.col("l_returnflag") == r[0]), "l_extendedprice", alpha=0.02
+        )
+        for r in per_flag.select("l_returnflag").orderBy("l_returnflag").collect()
+    ]
+    from functools import reduce as _reduce
+
+    merged = (
+        _reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("bucket")
+        .agg(F.sum("ct").cast("long").alias("ct"))
+    )
+    import math as _math
+
+    alpha = 0.02
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lng = _math.log(gamma)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = merged.withColumn("cum", F.sum("ct").over(w))
+    total = bcum.agg(F.max("cum").alias("n"))
+    qf = spark.createDataFrame([(0.5,), (0.99,)], "q double")
+    ranks = qf.crossJoin(F.broadcast(total)).select(
+        "q",
+        F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n")).cast("long")
+        ).alias("r"),
+    )
+    picked = (
+        ranks.join(F.broadcast(bcum), F.col("cum") >= F.col("r"))
+        .groupBy("q")
+        .agg(F.min(F.struct("cum", "bucket")).alias("m"))
+        .select(
+            "q",
+            F.round(
+                F.exp(F.col("m.bucket").cast("double") * F.lit(lng))
+                * 2.0
+                / (gamma + 1.0),
+                6,
+            ).alias("merged_estimate"),
+        )
+    )
+    direct = ddsketch_quantiles(
+        li, "l_extendedprice", alpha=0.02, quantiles=(0.5, 0.99)
+    ).select("q", F.col("estimate").alias("direct_estimate"), "n")
+    return (
+        picked.join(direct, "q")
+        .select(
+            "q",
+            "n",
+            "merged_estimate",
+            "direct_estimate",
+            (F.col("merged_estimate") == F.col("direct_estimate")).alias("merge_exact"),
+        )
+        .orderBy("q")
+    )
+
+
+Q_DDSKETCH_MERGE_SQL = """
+WITH pos AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+  WHERE l_extendedprice > 0
+), params AS (
+  SELECT ln((1.0 + 0.02) / (1.0 - 0.02)) AS lng,
+         (1.0 + 0.02) / (1.0 - 0.02) AS gamma
+), buckets AS (
+  SELECT CAST(ceil(round(ln(x) / (SELECT lng FROM params), 9)) AS BIGINT) AS b,
+         count(*) AS ct
+  FROM pos GROUP BY 1
+), bcum AS (
+  SELECT b, ct, sum(ct) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+  FROM buckets
+), total AS (SELECT max(cum) AS n FROM bcum),
+qs AS (SELECT unnest([0.5, 0.99]) AS q),
+ranks AS (
+  SELECT q, n, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS r FROM qs, total
+), pick AS (
+  SELECT q, n, min(cum) AS mcum FROM ranks JOIN bcum ON cum >= r GROUP BY 1, 2
+), est AS (
+  SELECT pick.q, pick.n,
+         round(exp(CAST(bcum.b AS DOUBLE) * (SELECT lng FROM params)) * 2.0
+               / ((SELECT gamma FROM params) + 1.0), 6) AS e
+  FROM pick JOIN bcum ON bcum.cum = pick.mcum
+)
+SELECT q, CAST(n AS BIGINT) AS n, e AS merged_estimate, e AS direct_estimate,
+       TRUE AS merge_exact
+FROM est ORDER BY q
+"""
+
+
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>`) with lateral column aliases —
+    the composable-SQL surface (GoogleSQL pipe semantics adopted in
+    Spark 4.0): each `|>` stage reads top-down like a DataFrame
+    chain, and `disc_price` is referenced by a SIBLING alias in the
+    same SELECT (lateral alias resolution). Semantically identical
+    to the classic nested form the oracle runs — the point is the
+    SURFACE, and that Catalyst plans both identically."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__pipe_li")
+    return spark.sql(
+        """
+        FROM __pipe_li
+        |> WHERE l_shipdate >= DATE '1996-01-01'
+        |> EXTEND CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(8,2)) AS disc_price,
+                  round(disc_price * CAST(1 + l_tax AS DECIMAL(8,2)), 2) AS charged
+        |> AGGREGATE count(*) AS n_items,
+                     round(sum(disc_price), 2) AS revenue,
+                     round(sum(charged), 2) AS charged_total
+           GROUP BY l_returnflag
+        |> WHERE n_items > 0
+        |> ORDER BY l_returnflag
+        """
+    ).select(
+        "l_returnflag",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("charged_total").cast("double").alias("charged_total"),
+    )
+
+
+Q_SQL_PIPE_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(round(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(8,2))
+            * CAST(1 + l_tax AS DECIMAL(8,2)), 2)), 2) AS DOUBLE) AS charged_total
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+GROUP BY l_returnflag
+HAVING count(*) > 0
+ORDER BY l_returnflag
+"""
+
+
+def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window with a DYNAMIC per-event gap (Spark's
+    expression-gap form): purchases hold a session open 60 minutes,
+    everything else 15 — the engagement-aware sessionization the
+    fixed-gap q_session_window can't express. Oracle replays the
+    same variable-gap gaps-and-islands: a new session starts when
+    the event's ts exceeds the previous event's ts + ITS OWN gap
+    (running-max of per-event deadlines)."""
+    e = _t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    return (
+        e.groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+Q_SESSION_DYNAMIC_GAP_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+              ELSE INTERVAL 15 MINUTE END AS gap
+  FROM events
+), deadlines AS (
+  SELECT user_id, ts,
+         max(ts + gap) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_deadline
+  FROM e
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_deadline IS NULL OR ts >= prev_deadline THEN 1 ELSE 0 END
+           AS new_session
+  FROM deadlines
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent quantity per
+    returnflag with an explicit (count DESC, value ASC) tiebreak —
+    the defined-semantics version of SQL's mode(), whose tie choice
+    is engine- and partitioning-dependent (the dedup_keep_first
+    lesson applied to an aggregate). One groupBy + one
+    WindowGroupLimit-pruned window over the (flag, value) frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    w = Window.partitionBy("flag").orderBy(F.col("ct").desc(), F.col("v").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("flag", F.col("v").alias("mode_value"), F.col("ct").alias("mode_count"))
+        .orderBy("flag")
+    )
+
+
+Q_MODE_PER_GROUP_SQL = """
+SELECT flag, v AS mode_value, ct AS mode_count
+FROM (
+  SELECT l_returnflag AS flag, l_quantity AS v, CAST(count(*) AS BIGINT) AS ct,
+         row_number() OVER (
+           PARTITION BY l_returnflag ORDER BY count(*) DESC, l_quantity ASC) AS rk
+  FROM lineitem GROUP BY 1, 2
+) WHERE rk = 1 ORDER BY flag
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r9 prefix holds 2 pins for queries whose code CHANGED this
@@ -21801,6 +22043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cronbach": q_cronbach,
         "q_price_index": q_price_index,
         "q_kneedle": q_kneedle,
+        "q_ddsketch_merge": q_ddsketch_merge,
+        "q_sql_pipe": q_sql_pipe,
+        "q_session_dynamic_gap": q_session_dynamic_gap,
+        "q_mode_per_group": q_mode_per_group,
     }
 
 
@@ -22238,4 +22484,8 @@ def oracle_sql() -> dict[str, str]:
         "q_cronbach": Q_CRONBACH_SQL,
         "q_price_index": Q_PRICE_INDEX_SQL,
         "q_kneedle": Q_KNEEDLE_SQL,
+        "q_ddsketch_merge": Q_DDSKETCH_MERGE_SQL,
+        "q_sql_pipe": Q_SQL_PIPE_SQL,
+        "q_session_dynamic_gap": Q_SESSION_DYNAMIC_GAP_SQL,
+        "q_mode_per_group": Q_MODE_PER_GROUP_SQL,
     }
