@@ -21351,34 +21351,34 @@ def q_ddsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the same plan. The columns must agree exactly: this is the
     100 TB property (per-partition sketches union into the global
     answer with no re-scan) proven in the correctness gate, not just
-    a unit test."""
-    from azure_data_engineering_spark.operators.ddsketch import (
-        ddsketch_buckets,
-        ddsketch_quantiles,
-    )
+    a unit test. ONE corpus scan builds ALL per-flag sketches (the
+    (flag, bucket) groupBy); the merge is a bucket groupBy-sum over
+    that KB-sized frame."""
+    from azure_data_engineering_spark.operators.ddsketch import ddsketch_quantiles
 
     li = _t(spark, sf_dir, "lineitem")
-    per_flag = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("__n")
-    )  # anchor (unused values; keeps per-flag framing explicit)
-    parts = [
-        ddsketch_buckets(
-            li.filter(F.col("l_returnflag") == r[0]), "l_extendedprice", alpha=0.02
-        )
-        for r in per_flag.select("l_returnflag").orderBy("l_returnflag").collect()
-    ]
-    from functools import reduce as _reduce
-
-    merged = (
-        _reduce(lambda a, b: a.unionByName(b), parts)
-        .groupBy("bucket")
-        .agg(F.sum("ct").cast("long").alias("ct"))
-    )
     import math as _math
 
     alpha = 0.02
     gamma = (1.0 + alpha) / (1.0 - alpha)
     lng = _math.log(gamma)
+    # ONE corpus scan builds every per-flag sketch at once — the
+    # (flag, bucket) frame IS the sharded sketch family; the global
+    # sketch is a groupBy-sum merge of it, no rescan (the property
+    # this query gates)
+    v = F.col("l_extendedprice").cast("double")
+    per_flag_sketches = (
+        li.filter(v > 0)
+        .select(
+            "l_returnflag",
+            F.ceil(F.round(F.log(v) / F.lit(lng), 9)).cast("long").alias("bucket"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    merged = per_flag_sketches.groupBy("bucket").agg(
+        F.sum("ct").cast("long").alias("ct")
+    )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     bcum = merged.withColumn("cum", F.sum("ct").over(w))
     total = bcum.agg(F.max("cum").alias("n"))
