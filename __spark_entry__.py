@@ -18305,8 +18305,10 @@ agg AS (
   FROM agg, ties
 ), hc AS (
   SELECT k_groups, n, h,
-         round(h / (1.0 - CAST(tie3 AS DOUBLE)
-               / (CAST(n AS DOUBLE) * n * n - n)), 9) AS hcorr,
+         CASE WHEN 1.0 - CAST(tie3 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n * n - n) > 0
+              THEN round(h / (1.0 - CAST(tie3 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n * n - n)), 9) END AS hcorr,
          CAST(k_groups - 1 AS DOUBLE) AS nu
   FROM h0
 ), z AS (
@@ -18324,7 +18326,9 @@ agg AS (
 )
 SELECT CAST(k_groups AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
        round(h, 6) AS h_stat, round(hcorr, 6) AS h_corrected,
-       round(CASE WHEN zwh >= 0 THEN erfc2 / 2.0 ELSE 1.0 - erfc2 / 2.0 END, 6)
+       round(CASE WHEN hcorr IS NULL THEN NULL
+                  WHEN zwh >= 0 THEN erfc2 / 2.0
+                  ELSE 1.0 - erfc2 / 2.0 END, 6)
          AS p_value
 FROM e
 """
@@ -20956,9 +20960,9 @@ WITH d AS (
   FROM cv
 ), se AS (
   SELECT *,
-         ((cmm - a * a * ctt) / (n - 2.0)) / (ctt * n) AS se_a2,
+         ((cmm - a * a * ctt) / (n - 2.0)) / ctt AS se_a2,
          ((cyy - b * cmy - cprime * cty) / (n - 3.0)) * ctt
-           / ((cmm * ctt - ctm * ctm) * n) AS se_b2
+           / (cmm * ctt - ctm * ctm) AS se_b2
   FROM fit
 ), z AS (
   SELECT *, round(a * b / sqrt(b * b * se_a2 + a * a * se_b2), 9) AS sobel FROM se
@@ -21071,9 +21075,11 @@ WITH docs AS MATERIALIZED (
 )
 SELECT g1.g AS "group", CAST(tot1 AS BIGINT) AS n_tokens,
        round(CAST(dis1 AS DOUBLE) / tot1, 6) AS distinct_1,
-       round(CAST(dis2 AS DOUBLE) / tot2, 6) AS distinct_2,
-       round(CAST(dis3 AS DOUBLE) / tot3, 6) AS distinct_3
-FROM g1 JOIN g2 ON g1.g = g2.g JOIN g3 ON g1.g = g3.g
+       round(CASE WHEN tot2 > 0 THEN CAST(dis2 AS DOUBLE) / tot2 END, 6)
+         AS distinct_2,
+       round(CASE WHEN tot3 > 0 THEN CAST(dis3 AS DOUBLE) / tot3 END, 6)
+         AS distinct_3
+FROM g1 LEFT JOIN g2 ON g1.g = g2.g LEFT JOIN g3 ON g1.g = g3.g
 ORDER BY 1
 """
 

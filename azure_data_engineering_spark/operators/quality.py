@@ -627,17 +627,27 @@ def distinct_n_diversity(
             F.countDistinct("gram").cast("long").alias(f"dis{nn}"),
         )
         outs.append(agg)
-    j = outs[0].join(outs[1], "g").join(outs[2], "g")
+    # left-join the 2/3-gram frames onto the 1-gram frame: a group whose
+    # documents are all shorter than n tokens has NO n-gram rows and
+    # would vanish under an inner join — it must still appear, with
+    # NULL distinct_2/distinct_3 (every non-empty group has 1-grams)
+    j = outs[0].join(outs[1], "g", "left").join(outs[2], "g", "left")
     return j.select(
         F.col("g").alias("group"),
         F.col("tot1").alias("n_tokens"),
         F.round(F.col("dis1").cast("double") / F.col("tot1"), out_decimals).alias(
             "distinct_1"
         ),
-        F.round(F.col("dis2").cast("double") / F.col("tot2"), out_decimals).alias(
-            "distinct_2"
-        ),
-        F.round(F.col("dis3").cast("double") / F.col("tot3"), out_decimals).alias(
-            "distinct_3"
-        ),
+        F.round(
+            F.when(
+                F.col("tot2") > 0, F.col("dis2").cast("double") / F.col("tot2")
+            ),
+            out_decimals,
+        ).alias("distinct_2"),
+        F.round(
+            F.when(
+                F.col("tot3") > 0, F.col("dis3").cast("double") / F.col("tot3")
+            ),
+            out_decimals,
+        ).alias("distinct_3"),
     ).orderBy("group")

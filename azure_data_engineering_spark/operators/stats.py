@@ -1836,8 +1836,11 @@ def kruskal_wallis(
     ).crossJoin(ties)
     n = F.col("n").cast("double")
     h = 12.0 / (n * (n + 1.0)) * F.col("rsq").cast("double") - 3.0 * (n + 1.0)
+    # degenerate guard: a single distinct value makes tie3 = n^3 - n,
+    # so corr = 0 and H/corr would be 0/0 = NaN — NULL instead (the
+    # module convention, cf. fleiss_kappa's p_e = 1 guard)
     corr = 1.0 - F.col("tie3").cast("double") / (n * n * n - n)
-    hc = F.round(h / corr, 9)
+    hc = F.when(corr > 0, F.round(h / corr, 9))
     nu = (F.col("k_groups") - 1).cast("double")
     zwh = F.round(
         (F.cbrt(F.greatest(hc, F.lit(0.0)) / nu) - (1.0 - 2.0 / (9.0 * nu)))
@@ -1852,7 +1855,8 @@ def kruskal_wallis(
         "n",
         F.round(h, round_digits).alias("h_stat"),
         F.round(hc, round_digits).alias("h_corrected"),
-        F.round(p_up, round_digits).alias("p_value"),
+        # greatest() skips NULLs, so NULL hc must gate p explicitly
+        F.round(F.when(hc.isNotNull(), p_up), round_digits).alias("p_value"),
     )
 
 
@@ -3185,11 +3189,15 @@ def mediation_sobel(
     det = cmm * ctt - ctm * ctm
     b = (cmy * ctt - cty * ctm) / det
     cprime = (cty * cmm - cmy * ctm) / det
-    # residual variances for the SEs
+    # residual variances for the SEs. The covariances above are per-n
+    # (population) moments, so RSS_a = n*(cmm - a^2*ctt) and
+    # sigma_a^2 = n*(cmm - a^2*ctt)/(n-2); SE_a^2 = sigma_a^2/(n*ctt).
+    # The n factors cancel: SE_a^2 = (cmm - a^2*ctt)/((n-2)*ctt), and
+    # likewise SE_b^2 = sigma_b^2 * ctt/(n*det) = (RSS_b/n)*ctt/((n-3)*det).
     sig_a2 = (cmm - a * a * ctt) / (n - 2.0)
-    se_a2 = sig_a2 / (ctt * n)
+    se_a2 = sig_a2 / ctt
     sig_b2 = (cyy - b * cmy - cprime * cty) / (n - 3.0)
-    se_b2 = sig_b2 * ctt / (det * n)
+    se_b2 = sig_b2 * ctt / det
     indirect = a * b
     sobel = F.round(indirect / F.sqrt(b * b * se_a2 + a * a * se_b2), 9)
     return agg.select(

@@ -41,6 +41,15 @@ class TestKruskalWallis:
         # ties present -> corrected H strictly larger than raw H
         assert r.h_corrected > r.h_stat
 
+    def test_all_values_tied_null_not_nan(self, spark):
+        # single distinct value: tie3 = n^3 - n so the correction is 0/0;
+        # the guard must emit NULL (not NaN) for h_corrected and p_value
+        rows = [("a", 5.0)] * 4 + [("b", 5.0)] * 4
+        r = self._run(spark, rows)
+        assert r.h_corrected is None
+        assert r.p_value is None
+        assert abs(r.h_stat) < 1e-9
+
 
 class TestFleissKappa:
     def _run(self, spark, ratings, n_raters):

@@ -76,6 +76,27 @@ class TestMediationSobel:
         r = self._run(spark, rows)
         assert abs(r.indirect) < 0.1
         assert abs(r.c_direct - 4.0) < 0.1
+        # the pure-noise mediator must NOT be significant — this is the
+        # assertion that catches a sqrt(n)-inflated Sobel z (numpy
+        # cross-check: z = -0.057, p = 0.955)
+        assert r.p_value > 0.5
+        assert abs(r.sobel_z) < 1.0
+
+    def test_moderate_mediation_z_band(self, spark):
+        # m = 0.5t + noise, y = 0.5m + 0.5t + noise: a real but partial
+        # indirect path. numpy cross-check of the corrected SEs gives
+        # sobel_z = 9.366; the pre-fix formula would report z ~ 209.
+        rows = []
+        for i in range(500):
+            t = (i % 10) / 2.0
+            m = 0.5 * t + float((i * 7) % 11) / 3.0
+            y = 0.5 * m + 0.5 * t + float((i * 13) % 7) / 2.0
+            rows.append((t, m, y))
+        r = self._run(spark, rows)
+        assert abs(r.a - 0.5133) < 0.01
+        assert abs(r.b - 0.4994) < 0.01
+        assert 5.0 < r.sobel_z < 15.0
+        assert r.p_value < 0.01
 
     def test_decomposition_identity(self, spark):
         rows = []
@@ -150,3 +171,20 @@ class TestDistinctN:
         rows = [("a", "one two three four"), ("a", "one two three four")]
         r = self._run(spark, rows)["a"]
         assert abs(r.distinct_1 - 0.5) < 1e-6
+
+    def test_short_group_survives_with_nulls(self, spark):
+        # a group whose docs all have < 2 tokens has no 2/3-gram rows;
+        # it must still appear (left join) with NULL distinct_2/3
+        rows = [("tiny", "hello"), ("tiny", "world"), ("big", "a b c d")]
+        out = self._run(spark, rows)
+        assert set(out) == {"tiny", "big"}
+        t = out["tiny"]
+        assert t.n_tokens == 2 and t.distinct_1 == 1.0
+        assert t.distinct_2 is None and t.distinct_3 is None
+        assert out["big"].distinct_2 == 1.0
+
+    def test_two_token_group_null_distinct_3_only(self, spark):
+        rows = [("g", "alpha beta")]
+        r = self._run(spark, rows)["g"]
+        assert r.distinct_2 == 1.0
+        assert r.distinct_3 is None
