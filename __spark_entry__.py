@@ -21593,27 +21593,129 @@ FROM (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
-    the r9 prefix holds 2 pins for queries whose code CHANGED this
-    round (q_dau_mau — the rolling-distinct support relation replanned
-    from a BroadcastNestedLoopJoin range join to a sequence-explode +
-    broadcast hash equi-join; q_tws_liststate — TWS processors now
-    emit through _round_away instead of Python's half-even round)
-    followed by 48 entries no r1-r8 driver window ever sampled — the
-    entire remaining backlog except 3 spillovers (q_set_ops_all,
-    q_calendar, q_month_arith — plain SQL surfaces, tier-verified
-    every round) which lead the remainder for the r10 window. Union
-    of driver windows r1-r8 = 289/340; after this window = 337/340.
-    Rotation accumulates external verification instead of re-checking
-    the same prefix; tools/check_oracle.py verifies the FULL registry
-    every round."""
+    the r10 prefix holds 3 pins for queries whose code CHANGED this
+    round (q_mediation — Sobel SEs were under-scaled by n, inflating z
+    by sqrt(n); q_kruskal_wallis — NULL instead of NaN when every value
+    is tied; q_distinct_n — short groups no longer dropped by an inner
+    join) followed by the 3 plain-SQL spillovers from r9 and 44 of the
+    96 never-driver-sampled r9 additions, newest-soak-free-first. Union
+    of driver windows r1-r9 = 337/436; after this window = 387/436.
+    The remaining never-sampled entries are staged directly after the
+    window for the r11 rotation. Rotation accumulates external
+    verification instead of re-checking the same prefix;
+    tools/check_oracle.py verifies the FULL registry every round."""
     return {
         # ---- driver sampling window (first 50), rotated per round:
-        # ---- 2 changed-this-round pins (q_dau_mau — explode equi-join
-        # ---- replan; q_tws_liststate — _round_away emissions) + 48
-        # ---- never-driver-sampled entries (the full r1-r8 backlog minus
-        # ---- 3 spillovers leading the remainder below for r10). Driver-
-        # ---- ever union after this window = 337/340. Full registry swept
-        # ---- by tools/check_oracle.py every round.
+        # ---- 3 changed-this-round pins (q_mediation — corrected Sobel
+        # ---- SEs; q_kruskal_wallis — tie-degenerate NULL guard;
+        # ---- q_distinct_n — short-group left-join fix) + the 3 plain-SQL
+        # ---- spillovers + 44 never-driver-sampled r9 additions,
+        # ---- newest-soak-free-first. Driver-ever union before this
+        # ---- window = 337/436; after = 387/436. Full registry swept by
+        # ---- tools/check_oracle.py every round.
+        "q_mediation": q_mediation,
+        "q_kruskal_wallis": q_kruskal_wallis,
+        "q_distinct_n": q_distinct_n,
+        "q_set_ops_all": q_set_ops_all,
+        "q_calendar": q_calendar,
+        "q_month_arith": q_month_arith,
+        "q_audio_metadata": q_audio_metadata,
+        "q_correlation_matrix": q_correlation_matrix,
+        "q_anova_f": q_anova_f,
+        "q_kendall_tau": q_kendall_tau,
+        "q_nelson_aalen": q_nelson_aalen,
+        "q_cuped": q_cuped,
+        "q_fdr_bh": q_fdr_bh,
+        "q_gopher_rules": q_gopher_rules,
+        "q_textrank": q_textrank,
+        "q_map_at_k": q_map_at_k,
+        "q_rank_fusion": q_rank_fusion,
+        "q_t_closeness": q_t_closeness,
+        "q_seasonal_decompose": q_seasonal_decompose,
+        "q_speed_screen": q_speed_screen,
+        "q_preference_pairs": q_preference_pairs,
+        "q_span_corruption": q_span_corruption,
+        "q_k_truss": q_k_truss,
+        "q_window_funnel": q_window_funnel,
+        "q_softmax_gd": q_softmax_gd,
+        "q_cross_correlation": q_cross_correlation,
+        "q_logrank": q_logrank,
+        "q_welch_t": q_welch_t,
+        "q_mann_whitney": q_mann_whitney,
+        "q_did": q_did,
+        "q_qini_uplift": q_qini_uplift,
+        "q_c4_rules": q_c4_rules,
+        "q_name_edit_dedup": q_name_edit_dedup,
+        "q_kmv_setops": q_kmv_setops,
+        "q_hampel": q_hampel,
+        "q_granger": q_granger,
+        "q_weighted_quantiles": q_weighted_quantiles,
+        "q_ab_power": q_ab_power,
+        "q_point_in_polygon": q_point_in_polygon,
+        "q_markov_attribution": q_markov_attribution,
+        "q_brier": q_brier,
+        "q_ucb1": q_ucb1,
+        "q_matryoshka": q_matryoshka,
+        "q_betweenness": q_betweenness,
+        "q_neyman": q_neyman,
+        "q_cmh": q_cmh,
+        "q_fleiss_kappa": q_fleiss_kappa,
+        "q_pr_auc": q_pr_auc,
+        "q_l_diversity": q_l_diversity,
+        "q_activity_streaks": q_activity_streaks,
+        # ---- end of driver sampling window ----
+        # ---- r11 window backlog: remaining never-driver-sampled r9
+        # ---- additions, in rotation order ----
+        "q_ddsketch": q_ddsketch,
+        "q_isotonic_calibration": q_isotonic_calibration,
+        "q_stratified_ate": q_stratified_ate,
+        "q_closeness": q_closeness,
+        "q_kn_bigram": q_kn_bigram,
+        "q_levene": q_levene,
+        "q_overdispersion": q_overdispersion,
+        "q_quantile_regression": q_quantile_regression,
+        "q_bitmap_distinct": q_bitmap_distinct,
+        "q_chi_posthoc": q_chi_posthoc,
+        "q_effect_sizes": q_effect_sizes,
+        "q_rmst": q_rmst,
+        "q_geometric_median": q_geometric_median,
+        "q_pairwise_welch": q_pairwise_welch,
+        "q_horvitz_thompson": q_horvitz_thompson,
+        "q_mcnemar": q_mcnemar,
+        "q_msprt": q_msprt,
+        "q_poisson_gd": q_poisson_gd,
+        "q_haar_wavelet": q_haar_wavelet,
+        "q_asof_nearest": q_asof_nearest,
+        "q_assortativity": q_assortativity,
+        "q_script_mixing": q_script_mixing,
+        "q_err": q_err,
+        "q_randomized_response": q_randomized_response,
+        "q_fairness_audit": q_fairness_audit,
+        "q_vocab_coverage": q_vocab_coverage,
+        "q_icc": q_icc,
+        "q_km_greenwood": q_km_greenwood,
+        "q_kendalls_w": q_kendalls_w,
+        "q_gumbel_maxima": q_gumbel_maxima,
+        "q_ref_integrity": q_ref_integrity,
+        "q_wasserstein": q_wasserstein,
+        "q_yuen_trimmed": q_yuen_trimmed,
+        "q_theils_u": q_theils_u,
+        "q_lmdi": q_lmdi,
+        "q_raking": q_raking,
+        "q_bradley_terry": q_bradley_terry,
+        "q_permutation_test": q_permutation_test,
+        "q_capture_recapture": q_capture_recapture,
+        "q_iv_wald": q_iv_wald,
+        "q_ewma_chart": q_ewma_chart,
+        "q_hurst": q_hurst,
+        "q_cronbach": q_cronbach,
+        "q_price_index": q_price_index,
+        "q_kneedle": q_kneedle,
+        "q_ddsketch_merge": q_ddsketch_merge,
+        "q_sql_pipe": q_sql_pipe,
+        "q_session_dynamic_gap": q_session_dynamic_gap,
+        "q_mode_per_group": q_mode_per_group,
+        # ---- rest of registry (driver-sampled in prior rounds) ----
         "q_dau_mau": q_dau_mau,
         "q_tws_liststate": q_tws_liststate,
         "q_corrupt_quarantine": q_corrupt_quarantine,
@@ -21664,12 +21766,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_golden_record": q_golden_record,
         "q_naive_bayes": q_naive_bayes,
         "q_ab_test": q_ab_test,
-        # ---- end of driver sampling window ----
-        # ---- r10 window backlog: the 3 never-sampled spillovers ----
-        "q_set_ops_all": q_set_ops_all,
-        "q_calendar": q_calendar,
-        "q_month_arith": q_month_arith,
-        # ---- rest of registry (driver-sampled in prior rounds) ----
         "q_ndcg_quantized": q_ndcg_quantized,
         "q_snapshot_merge": q_snapshot_merge,
         "q_als_rankk": q_als_rankk,
@@ -21957,102 +22053,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_lang_id": q_lang_id,
         "q_edit_distance": q_edit_distance,
-        "q_audio_metadata": q_audio_metadata,
-        "q_correlation_matrix": q_correlation_matrix,
-        "q_anova_f": q_anova_f,
-        "q_kendall_tau": q_kendall_tau,
-        "q_nelson_aalen": q_nelson_aalen,
-        "q_cuped": q_cuped,
-        "q_fdr_bh": q_fdr_bh,
-        "q_gopher_rules": q_gopher_rules,
-        "q_textrank": q_textrank,
-        "q_map_at_k": q_map_at_k,
-        "q_rank_fusion": q_rank_fusion,
-        "q_t_closeness": q_t_closeness,
-        "q_seasonal_decompose": q_seasonal_decompose,
-        "q_speed_screen": q_speed_screen,
-        "q_preference_pairs": q_preference_pairs,
-        "q_span_corruption": q_span_corruption,
-        "q_k_truss": q_k_truss,
-        "q_window_funnel": q_window_funnel,
-        "q_softmax_gd": q_softmax_gd,
-        "q_cross_correlation": q_cross_correlation,
-        "q_logrank": q_logrank,
-        "q_welch_t": q_welch_t,
-        "q_mann_whitney": q_mann_whitney,
-        "q_did": q_did,
-        "q_qini_uplift": q_qini_uplift,
-        "q_c4_rules": q_c4_rules,
-        "q_name_edit_dedup": q_name_edit_dedup,
-        "q_kmv_setops": q_kmv_setops,
-        "q_hampel": q_hampel,
-        "q_granger": q_granger,
-        "q_weighted_quantiles": q_weighted_quantiles,
-        "q_ab_power": q_ab_power,
-        "q_point_in_polygon": q_point_in_polygon,
-        "q_markov_attribution": q_markov_attribution,
-        "q_brier": q_brier,
-        "q_ucb1": q_ucb1,
-        "q_matryoshka": q_matryoshka,
-        "q_betweenness": q_betweenness,
-        "q_neyman": q_neyman,
-        "q_cmh": q_cmh,
-        "q_kruskal_wallis": q_kruskal_wallis,
-        "q_fleiss_kappa": q_fleiss_kappa,
-        "q_pr_auc": q_pr_auc,
-        "q_l_diversity": q_l_diversity,
-        "q_activity_streaks": q_activity_streaks,
-        "q_ddsketch": q_ddsketch,
-        "q_isotonic_calibration": q_isotonic_calibration,
-        "q_stratified_ate": q_stratified_ate,
-        "q_closeness": q_closeness,
-        "q_kn_bigram": q_kn_bigram,
-        "q_levene": q_levene,
-        "q_overdispersion": q_overdispersion,
-        "q_quantile_regression": q_quantile_regression,
-        "q_bitmap_distinct": q_bitmap_distinct,
-        "q_chi_posthoc": q_chi_posthoc,
-        "q_effect_sizes": q_effect_sizes,
-        "q_rmst": q_rmst,
-        "q_geometric_median": q_geometric_median,
-        "q_pairwise_welch": q_pairwise_welch,
-        "q_horvitz_thompson": q_horvitz_thompson,
-        "q_mcnemar": q_mcnemar,
-        "q_msprt": q_msprt,
-        "q_poisson_gd": q_poisson_gd,
-        "q_haar_wavelet": q_haar_wavelet,
-        "q_asof_nearest": q_asof_nearest,
-        "q_assortativity": q_assortativity,
-        "q_script_mixing": q_script_mixing,
-        "q_err": q_err,
-        "q_randomized_response": q_randomized_response,
-        "q_fairness_audit": q_fairness_audit,
-        "q_vocab_coverage": q_vocab_coverage,
-        "q_icc": q_icc,
-        "q_km_greenwood": q_km_greenwood,
-        "q_kendalls_w": q_kendalls_w,
-        "q_gumbel_maxima": q_gumbel_maxima,
-        "q_ref_integrity": q_ref_integrity,
-        "q_wasserstein": q_wasserstein,
-        "q_yuen_trimmed": q_yuen_trimmed,
-        "q_theils_u": q_theils_u,
-        "q_lmdi": q_lmdi,
-        "q_raking": q_raking,
-        "q_bradley_terry": q_bradley_terry,
-        "q_permutation_test": q_permutation_test,
-        "q_capture_recapture": q_capture_recapture,
-        "q_iv_wald": q_iv_wald,
-        "q_mediation": q_mediation,
-        "q_ewma_chart": q_ewma_chart,
-        "q_distinct_n": q_distinct_n,
-        "q_hurst": q_hurst,
-        "q_cronbach": q_cronbach,
-        "q_price_index": q_price_index,
-        "q_kneedle": q_kneedle,
-        "q_ddsketch_merge": q_ddsketch_merge,
-        "q_sql_pipe": q_sql_pipe,
-        "q_session_dynamic_gap": q_session_dynamic_gap,
-        "q_mode_per_group": q_mode_per_group,
     }
 
 
