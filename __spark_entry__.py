@@ -21591,6 +21591,125 @@ FROM (
 """
 
 
+def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format crawl-video triage (sources/multimodal.
+    video_metadata_full; sources/media_codecs.mp4_metadata — ISO/IEC
+    14496-12 box walk: ftyp brand, mvhd timescale+duration, per-trak
+    tkhd 16.16 dims / hdlr handler / stsd sample-entry fourcc): the
+    third and last modality beside the JPEG/PNG marker walks and the
+    MP3/FLAC header walks. A deterministic fixture of MP4 containers —
+    varying brand/timescale/duration, some audio-only (no 'vide'
+    trak), some with an over-declared mdat (interrupted download →
+    truncated=1), some junk bytes (ids ≡ 0 mod 40 → quarantine) —
+    flows through ONE mapInPandas kernel that walks box headers only;
+    sample data is never touched. `keep` is the pre-decode screen a
+    video pipeline runs first: parseable, complete, has a video track,
+    ≥ 1 s. The oracle recomputes every column — brand table, integer
+    duration·1000//timescale, track layout, dims/codec tables — from
+    the generating formulas, so an offset or endianness bug in the box
+    walk breaks the hash."""
+    import pandas as pd
+
+    from azure_data_engineering_spark.sources.media_codecs import mp4_container
+    from azure_data_engineering_spark.sources.multimodal import video_metadata_full
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select("doc_id")
+
+    def make_mixed(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                i = int(row["doc_id"])
+                if i % 40 == 0:
+                    payload = f"not a video container {i}".encode()
+                else:
+                    dims = ((640, 360), (1280, 720), (1920, 1080), (854, 480))[
+                        (i // 7) % 4
+                    ]
+                    payload = mp4_container(
+                        brand=("isom", "mp42", "avc1", "dash")[i % 4],
+                        timescale=(600, 1000, 90000)[i % 3],
+                        duration=(i * 977) % 600000,
+                        video=None
+                        if i % 7 == 3
+                        else (*dims, ("avc1", "hvc1", "vp09")[(i // 11) % 3]),
+                        audio=(i % 5 != 0),
+                        mdat_size=i % 64 + 8,
+                        truncate=(i % 10 == 6),
+                    )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = d.mapInPandas(make_mixed, schema="id bigint, payload binary")
+    meta = video_metadata_full(payloads)
+    return meta.withColumn(
+        "keep",
+        (
+            (F.col("format") != "corrupt")
+            & (F.col("truncated") == 0)
+            & (F.col("has_video") == 1)
+            & (F.col("duration_ms") >= 1000)
+        ).cast("int"),
+    )
+
+
+Q_VIDEO_METADATA_SQL = """
+WITH d AS (
+  SELECT doc_id AS id FROM documents WHERE doc_id < 400
+), m AS (
+  SELECT id,
+         CASE WHEN id % 40 = 0 THEN 'corrupt' ELSE 'mp4' END AS format,
+         CASE WHEN id % 40 = 0 THEN 0
+              WHEN id % 3 = 0 THEN 600
+              WHEN id % 3 = 1 THEN 1000
+              ELSE 90000 END AS timescale,
+         CASE WHEN id % 40 = 0 THEN 0 ELSE (id * 977) % 600000 END AS dur_units,
+         CASE WHEN id % 40 = 0 THEN 0
+              WHEN id % 7 = 3 THEN 0 ELSE 1 END AS has_video,
+         CASE WHEN id % 40 = 0 THEN 0
+              WHEN id % 5 <> 0 THEN 1 ELSE 0 END AS has_audio,
+         CASE WHEN id % 40 = 0 THEN 1
+              WHEN id % 10 = 6 THEN 1 ELSE 0 END AS truncated
+  FROM d
+), meta AS (
+  SELECT id, format, has_video, has_audio, truncated,
+         CASE WHEN format = 'corrupt' THEN ''
+              ELSE CASE id % 4 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                               WHEN 2 THEN 'avc1' ELSE 'dash' END END AS brand,
+         CASE WHEN timescale > 0 THEN dur_units * 1000 // timescale
+              ELSE 0 END AS duration_ms,
+         CASE WHEN format = 'corrupt' THEN 0
+              ELSE has_video + has_audio END AS n_tracks,
+         CASE WHEN has_video = 1 THEN
+           CASE (id // 7) % 4 WHEN 0 THEN 640 WHEN 1 THEN 1280
+                              WHEN 2 THEN 1920 ELSE 854 END
+           ELSE 0 END AS width,
+         CASE WHEN has_video = 1 THEN
+           CASE (id // 7) % 4 WHEN 0 THEN 360 WHEN 1 THEN 720
+                              WHEN 2 THEN 1080 ELSE 480 END
+           ELSE 0 END AS height,
+         CASE WHEN has_video = 1 THEN
+           CASE (id // 11) % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                               ELSE 'vp09' END
+           ELSE '' END AS video_codec
+  FROM m
+)
+SELECT id, format, brand,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(n_tracks AS BIGINT) AS n_tracks,
+       CAST(has_video AS INT) AS has_video,
+       CAST(has_audio AS INT) AS has_audio,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       video_codec,
+       CAST(truncated AS INT) AS truncated,
+       CAST(CASE WHEN format <> 'corrupt' AND truncated = 0
+                  AND has_video = 1 AND duration_ms >= 1000
+             THEN 1 ELSE 0 END AS INT) AS keep
+FROM meta
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r10 prefix holds 3 pins for queries whose code CHANGED this
@@ -21715,6 +21834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_pipe": q_sql_pipe,
         "q_session_dynamic_gap": q_session_dynamic_gap,
         "q_mode_per_group": q_mode_per_group,
+        # ---- r10 additions (never driver-sampled; join the r11 backlog) ----
+        "q_video_metadata": q_video_metadata,
         # ---- rest of registry (driver-sampled in prior rounds) ----
         "q_dau_mau": q_dau_mau,
         "q_tws_liststate": q_tws_liststate,
@@ -22494,4 +22615,5 @@ def oracle_sql() -> dict[str, str]:
         "q_sql_pipe": Q_SQL_PIPE_SQL,
         "q_session_dynamic_gap": Q_SESSION_DYNAMIC_GAP_SQL,
         "q_mode_per_group": Q_MODE_PER_GROUP_SQL,
+        "q_video_metadata": Q_VIDEO_METADATA_SQL,
     }

@@ -30,7 +30,7 @@ _PNG_SAMPLES = {0: 1, 2: 3, 4: 2, 6: 4}
 
 def sniff(payload: bytes) -> str | None:
     """Magic-byte format detection:
-    'png' | 'jpeg' | 'bmp' | 'wav' | 'mp3' | 'flac' | None."""
+    'png' | 'jpeg' | 'bmp' | 'wav' | 'mp3' | 'flac' | 'mp4' | None."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:2] == b"\xff\xd8":
@@ -41,6 +41,8 @@ def sniff(payload: bytes) -> str | None:
         return "wav"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     if payload[:3] == b"ID3":
         return "mp3"
     if len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
@@ -654,4 +656,187 @@ def flac_container(
         return bytes(out)
     out += b"\x81" + (16).to_bytes(3, "big") + bytes(16)  # last PADDING
     out += bytes((i * 41 + 5) % 256 for i in range(8))  # frame filler
+    return bytes(out)
+
+# ------------------------------------------------------- MP4 (ISO-BMFF)
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end, truncated_here) for each
+    ISO-BMFF box in payload[start:end] (ISO/IEC 14496-12 §4.2):
+    [size:u32 BE][type:4], size==1 -> u64 largesize follows, size==0 ->
+    box runs to the end of the enclosing scope. A declared size that
+    overruns the scope, or a sub-8-byte header fragment, stops the walk
+    with truncated_here=True on a sentinel row."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            yield b"", pos, end, True
+            return
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        fourcc = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                yield b"", pos, end, True
+                return
+            (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            yield fourcc, body, end, True
+            return
+        yield fourcc, body, pos + size, False
+        pos += size
+
+
+def mp4_metadata(
+    payload: bytes,
+) -> tuple[str, int, int, int, int, int, int, int, str, bool]:
+    """(brand, timescale, duration_ms, n_tracks, has_video, has_audio,
+    width, height, video_codec, truncated) from an MP4/ISO-BMFF
+    container via a box walk — headers only, no sample data touched
+    (the same O(header-bytes) discipline as jpeg_metadata's marker walk
+    and mp3_metadata's frame walk; reference parity: the ETL shim at
+    /root/reference/adffunction/__init__.py:117 never inspects binary
+    payloads at all — this is the crawl-triage capability it lacks).
+
+    - ftyp major_brand identifies the flavor (isom/mp42/...).
+    - moov/mvhd gives the presentation timescale + duration (version 0
+      u32 fields or version 1 u64 — both handled);
+      duration_ms = duration·1000 // timescale.
+    - each trak contributes: tkhd 16.16 fixed-point width/height,
+      mdia/hdlr handler ('vide'/'soun'), stbl/stsd first sample-entry
+      fourcc (avc1/hvc1/mp4a/...). width/height/video_codec come from
+      the FIRST video track; has_audio flags any 'soun' track.
+    - truncated=True when any declared box size overruns its enclosing
+      scope (interrupted download) — the quarantine signal, never an
+      exception.
+
+    Raises ValueError only when the payload is not ISO-BMFF at all (no
+    ftyp box at offset 0)."""
+    if payload[4:8] != b"ftyp" or len(payload) < 16:
+        raise ValueError("not ISO-BMFF (no ftyp box at offset 0)")
+    brand = payload[8:12].decode("latin-1")
+    timescale = duration = 0
+    n_tracks = 0
+    has_video = has_audio = 0
+    width = height = 0
+    video_codec = ""
+    truncated = False
+
+    def walk_trak(b0: int, b1: int):
+        nonlocal truncated
+        t_handler = b""
+        t_w = t_h = 0
+        t_codec = ""
+        stack = [(b0, b1)]
+        while stack:
+            s0, s1 = stack.pop()
+            for cc, c0, c1, trunc in _mp4_boxes(payload, s0, s1):
+                if trunc:
+                    truncated = True
+                    continue
+                if cc in _MP4_CONTAINERS:
+                    stack.append((c0, c1))
+                elif cc == b"tkhd" and c1 - c0 >= 4:
+                    ver = payload[c0]
+                    # ver0: 4 + cre4 + mod4 + id4 + res4 + dur4 + res8 +
+                    # layer2 + group2 + vol2 + res2 + matrix36 = 76 to w/h
+                    off = c0 + (76 if ver == 0 else 88)
+                    if off + 8 <= c1:
+                        t_w = struct.unpack(">I", payload[off : off + 4])[0] >> 16
+                        t_h = struct.unpack(">I", payload[off + 4 : off + 8])[0] >> 16
+                    else:
+                        truncated = True
+                elif cc == b"hdlr" and c1 - c0 >= 12:
+                    t_handler = payload[c0 + 8 : c0 + 12]
+                elif cc == b"stsd" and c1 - c0 >= 16:
+                    # fullbox(4) + entry_count(4) + first entry header
+                    t_codec = payload[c0 + 12 : c0 + 16].decode("latin-1")
+        return t_handler, t_w, t_h, t_codec
+
+    for cc, b0, b1, trunc in _mp4_boxes(payload, 0, len(payload)):
+        if trunc:
+            truncated = True
+            break
+        if cc == b"moov":
+            for mc, m0, m1, mtr in _mp4_boxes(payload, b0, b1):
+                if mtr:
+                    truncated = True
+                    break
+                if mc == b"mvhd" and m1 - m0 >= 4:
+                    ver = payload[m0]
+                    if ver == 1 and m0 + 32 <= m1:
+                        timescale = struct.unpack(">I", payload[m0 + 20 : m0 + 24])[0]
+                        duration = struct.unpack(">Q", payload[m0 + 24 : m0 + 32])[0]
+                    elif ver == 0 and m0 + 20 <= m1:
+                        timescale = struct.unpack(">I", payload[m0 + 12 : m0 + 16])[0]
+                        duration = struct.unpack(">I", payload[m0 + 16 : m0 + 20])[0]
+                    else:
+                        truncated = True
+                elif mc == b"trak":
+                    n_tracks += 1
+                    handler, t_w, t_h, t_codec = walk_trak(m0, m1)
+                    if handler == b"vide":
+                        if not has_video:
+                            width, height, video_codec = t_w, t_h, t_codec
+                        has_video = 1
+                    elif handler == b"soun":
+                        has_audio = 1
+    duration_ms = duration * 1000 // timescale if timescale else 0
+    return (
+        brand, timescale, duration_ms, n_tracks, has_video, has_audio,
+        width, height, video_codec, truncated,
+    )
+
+
+def _mp4_box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + fourcc + body
+
+
+def mp4_container(
+    brand: str = "isom",
+    timescale: int = 1000,
+    duration: int = 5000,
+    video: tuple[int, int, str] | None = (640, 480, "avc1"),
+    audio: bool = False,
+    mdat_size: int = 32,
+    truncate: bool = False,
+) -> bytes:
+    """A structurally valid ISO-BMFF container for fixtures: ftyp +
+    moov{mvhd, trak{tkhd, mdia{hdlr, minf{stbl{stsd}}}}...} + mdat.
+    `video` adds a 'vide' track with the given (width, height, fourcc);
+    `audio` adds a 'soun'/mp4a track. truncate=True declares the mdat
+    box 64 bytes larger than the emitted body — an interrupted
+    download: the box walk sees the overrun and flags truncated."""
+    mvhd = bytes(4) + bytes(8) + struct.pack(">II", timescale, duration) + bytes(80)
+    moov_children = _mp4_box(b"mvhd", mvhd)
+
+    def trak(handler: bytes, w: int, h: int, codec: bytes) -> bytes:
+        tkhd = bytes(4) + bytes(72) + struct.pack(">II", w << 16, h << 16)
+        hdlr = bytes(4) + bytes(4) + handler + bytes(12) + b"\x00"
+        entry = _mp4_box(codec, bytes(6) + struct.pack(">H", 1))
+        stsd = _mp4_box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        stbl = _mp4_box(b"stbl", stsd)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", _mp4_box(b"hdlr", hdlr) + minf)
+        return _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd) + mdia)
+
+    if video is not None:
+        w, h, codec = video
+        moov_children += trak(b"vide", w, h, codec.encode("latin-1"))
+    if audio:
+        moov_children += trak(b"soun", 0, 0, b"mp4a")
+    out = bytearray()
+    out += _mp4_box(b"ftyp", brand.encode("latin-1")[:4].ljust(4) + bytes(4))
+    out += _mp4_box(b"moov", moov_children)
+    body = bytes((i * 37 + 11) % 256 for i in range(mdat_size))
+    if truncate:
+        out += struct.pack(">I", mdat_size + 64 + 8) + b"mdat" + body
+    else:
+        out += _mp4_box(b"mdat", body)
     return bytes(out)

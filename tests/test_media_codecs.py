@@ -396,3 +396,80 @@ class TestMixedAudioMetadata:
         assert got[3] == ("mp3", 32000, 1, 0, 96, 2, 2 * 1152 * 1000 // 32000, 1)
         assert got[4] == ("flac", 16000, 2, 24, 0, 32000, 2000, 0)
         assert got[5] == ("corrupt", 0, 0, 0, 0, 0, 0, 1)
+
+
+class TestMp4Metadata:
+    def test_box_walk_full_container(self):
+        b = M.mp4_container(
+            brand="mp42", timescale=600, duration=3000,
+            video=(1280, 720, "hvc1"), audio=True,
+        )
+        assert M.sniff(b) == "mp4"
+        assert M.mp4_metadata(b) == (
+            "mp42", 600, 5000, 2, 1, 1, 1280, 720, "hvc1", False,
+        )
+
+    def test_duration_integer_floor(self):
+        b = M.mp4_container(timescale=90000, duration=123457, video=(640, 480, "avc1"))
+        meta = M.mp4_metadata(b)
+        assert meta[2] == 123457 * 1000 // 90000  # 1371, floored
+
+    def test_audio_only_no_video_track(self):
+        b = M.mp4_container(video=None, audio=True)
+        brand, _ts, _d, n_tracks, has_v, has_a, w, h, codec, trunc = M.mp4_metadata(b)
+        assert (n_tracks, has_v, has_a, w, h, codec, trunc) == (1, 0, 1, 0, 0, "", False)
+
+    def test_mdat_overrun_is_truncated_not_crash(self):
+        b = M.mp4_container(truncate=True)
+        meta = M.mp4_metadata(b)
+        assert meta[9] is True
+        # moov precedes mdat, so the metadata itself still parses
+        assert meta[0] == "isom" and meta[6] == 640
+
+    def test_largesize_box(self):
+        import struct
+        # hand-craft a 64-bit-size ftyp followed by a v1 mvhd inside moov
+        ftyp_body = b"isom" + bytes(4)
+        ftyp = struct.pack(">I", 1) + b"ftyp" + struct.pack(">Q", 16 + len(ftyp_body)) + ftyp_body
+        mvhd_v1 = b"\x01" + bytes(3) + bytes(16) + struct.pack(">IQ", 1000, 7500) + bytes(80)
+        moov = M._mp4_box(b"moov", M._mp4_box(b"mvhd", mvhd_v1))
+        meta = M.mp4_metadata(bytes(ftyp) + moov)
+        assert meta[1] == 1000 and meta[2] == 7500 and meta[9] is False
+
+    def test_not_mp4_raises(self):
+        with pytest.raises(ValueError):
+            M.mp4_metadata(b"RIFFxxxxWAVEfmt ")
+        with pytest.raises(ValueError):
+            M.mp4_metadata(b"short")
+
+    def test_garbage_declared_size_truncated(self):
+        import struct
+        good = M.mp4_container()
+        # a trailing box that declares 1 MB but provides 4 bytes
+        bad = good + struct.pack(">I", 1 << 20) + b"free" + bytes(4)
+        assert M.mp4_metadata(bad)[9] is True
+
+
+class TestMixedVideoMetadata:
+    def test_mixed_mp4_corrupt_triage(self, spark):
+        from azure_data_engineering_spark.sources.multimodal import (
+            video_metadata_full,
+        )
+
+        rows = [
+            (1, M.mp4_container(brand="dash", timescale=1000, duration=42000,
+                                video=(1920, 1080, "vp09"), audio=True)),
+            (2, M.mp4_container(video=None, audio=True)),
+            (3, M.mp4_container(truncate=True)),
+            (4, b"plain text junk"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "payload"]))
+        got = {
+            r.id: (r.format, r.brand, r.duration_ms, r.n_tracks, r.has_video,
+                   r.has_audio, r.width, r.height, r.video_codec, r.truncated)
+            for r in video_metadata_full(df).collect()
+        }
+        assert got[1] == ("mp4", "dash", 42000, 2, 1, 1, 1920, 1080, "vp09", 0)
+        assert got[2] == ("mp4", "isom", 5000, 1, 0, 1, 0, 0, "", 0)
+        assert got[3][9] == 1
+        assert got[4] == ("corrupt", "", 0, 0, 0, 0, 0, 0, "", 1)
