@@ -21710,6 +21710,96 @@ FROM meta
 """
 
 
+def q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-PDF text-layer triage (sources/multimodal.
+    pdf_metadata_full; sources/media_codecs.pdf_metadata — structural
+    scan: %PDF- header version, /Type /Page count, BT..Tj text-block
+    detection, /Subtype /Image, trailer /Encrypt, /Producer literal
+    string, %%EOF + startxref truncation check — no rendering): the
+    quality-floor pre-screen before costly text extraction. A
+    deterministic fixture of generated PDFs — varying page counts,
+    scanned-image-only (no text layer), encrypted, truncated-download,
+    junk bytes (ids ≡ 0 mod 40) — flows through ONE mapInPandas
+    kernel. `keep` = parseable, complete, unencrypted, text layer
+    present. The oracle recomputes every column from the generating
+    formulas, so a regex or offset bug in the scan breaks the hash."""
+    import pandas as pd
+
+    from azure_data_engineering_spark.sources.media_codecs import pdf_container
+    from azure_data_engineering_spark.sources.multimodal import pdf_metadata_full
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select("doc_id")
+
+    def make_mixed(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                i = int(row["doc_id"])
+                if i % 40 == 0:
+                    payload = f"plain text, not a pdf {i}".encode()
+                else:
+                    payload = pdf_container(
+                        n_pages=i % 9 + 1,
+                        with_text=(i % 4 != 1),
+                        with_image=(i % 3 == 0),
+                        encrypted=(i % 11 == 5),
+                        producer=("engine", "scanner-x", "word-proc", "latex")[
+                            (i // 5) % 4
+                        ],
+                        truncate=(i % 10 == 6),
+                    )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = d.mapInPandas(make_mixed, schema="id bigint, payload binary")
+    meta = pdf_metadata_full(payloads)
+    return meta.withColumn(
+        "keep",
+        (
+            (F.col("format") != "corrupt")
+            & (F.col("truncated") == 0)
+            & (F.col("encrypted") == 0)
+            & (F.col("has_text") == 1)
+        ).cast("int"),
+    )
+
+
+Q_PDF_METADATA_SQL = """
+WITH d AS (
+  SELECT doc_id AS id FROM documents WHERE doc_id < 400
+), m AS (
+  SELECT id,
+         CASE WHEN id % 40 = 0 THEN 'corrupt' ELSE 'pdf' END AS format,
+         CASE WHEN id % 40 = 0 THEN '' ELSE '1.7' END AS version,
+         CASE WHEN id % 40 = 0 THEN 0 ELSE id % 9 + 1 END AS n_pages,
+         CASE WHEN id % 40 = 0 THEN 0
+              WHEN id % 4 <> 1 THEN 1 ELSE 0 END AS has_text,
+         CASE WHEN id % 40 = 0 THEN 0
+              WHEN id % 3 = 0 THEN 1 ELSE 0 END AS has_images,
+         CASE WHEN id % 40 = 0 THEN 0
+              WHEN id % 11 = 5 THEN 1 ELSE 0 END AS encrypted,
+         CASE WHEN id % 40 = 0 THEN ''
+              ELSE CASE (id // 5) % 4 WHEN 0 THEN 'engine'
+                   WHEN 1 THEN 'scanner-x' WHEN 2 THEN 'word-proc'
+                   ELSE 'latex' END END AS producer,
+         CASE WHEN id % 40 = 0 THEN 1
+              WHEN id % 10 = 6 THEN 1 ELSE 0 END AS truncated
+  FROM d
+)
+SELECT id, format, version,
+       CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(has_text AS INT) AS has_text,
+       CAST(has_images AS INT) AS has_images,
+       CAST(encrypted AS INT) AS encrypted,
+       producer,
+       CAST(truncated AS INT) AS truncated,
+       CAST(CASE WHEN format <> 'corrupt' AND truncated = 0
+                  AND encrypted = 0 AND has_text = 1
+             THEN 1 ELSE 0 END AS INT) AS keep
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r10 prefix holds 3 pins for queries whose code CHANGED this
@@ -21836,6 +21926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mode_per_group": q_mode_per_group,
         # ---- r10 additions (never driver-sampled; join the r11 backlog) ----
         "q_video_metadata": q_video_metadata,
+        "q_pdf_metadata": q_pdf_metadata,
         # ---- rest of registry (driver-sampled in prior rounds) ----
         "q_dau_mau": q_dau_mau,
         "q_tws_liststate": q_tws_liststate,
@@ -22616,4 +22707,5 @@ def oracle_sql() -> dict[str, str]:
         "q_session_dynamic_gap": Q_SESSION_DYNAMIC_GAP_SQL,
         "q_mode_per_group": Q_MODE_PER_GROUP_SQL,
         "q_video_metadata": Q_VIDEO_METADATA_SQL,
+        "q_pdf_metadata": Q_PDF_METADATA_SQL,
     }

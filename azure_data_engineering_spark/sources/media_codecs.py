@@ -840,3 +840,149 @@ def mp4_container(
     else:
         out += _mp4_box(b"mdat", body)
     return bytes(out)
+
+# ---------------------------------------------------------------- PDF
+
+_PDF_TEXT_RE = None  # compiled lazily so import stays cheap
+
+
+def pdf_metadata(
+    payload: bytes,
+) -> tuple[str, int, int, int, int, str, bool]:
+    """(version, n_pages, has_text, has_images, encrypted, producer,
+    truncated) from a PDF via a structural scan — no rendering, no
+    decompression beyond looking at raw stream bytes. Crawl corpora
+    are full of PDFs; the quality floor needs to know which have a
+    usable text layer vs scanned-image-only, and which are encrypted
+    or cut off, BEFORE a costly extract step.
+
+    - version from the '%PDF-1.x' header comment.
+    - n_pages counts '/Type /Page' page objects (the standard triage
+      heuristic; object-stream-compressed pages are out of scope the
+      same way interlaced PNG is for png_decode — documented, caller
+      falls back).
+    - has_text: a BT...ET text block containing a Tj/TJ show operator.
+    - has_images: any '/Subtype /Image' XObject.
+    - encrypted: an '/Encrypt' entry in a trailer dictionary.
+    - producer: the literal-string '/Producer (...)' value, '' if
+      absent (escaped parens honored).
+    - truncated: no '%%EOF' marker in the final bytes, or 'startxref'
+      pointing past the end of the buffer — an interrupted download.
+
+    Raises ValueError only when the payload has no %PDF- header at
+    offset 0 (after an optional UTF-8 BOM)."""
+    import re
+
+    global _PDF_TEXT_RE
+    if _PDF_TEXT_RE is None:
+        _PDF_TEXT_RE = re.compile(
+            rb"BT(?:(?!ET).){0,2000}?(?:\)\s*Tj|\]\s*TJ)", re.S
+        )
+    b = payload[3:] if payload[:3] == b"\xef\xbb\xbf" else payload
+    if b[:5] != b"%PDF-":
+        raise ValueError("not PDF (missing %PDF- header)")
+    version = b[5:8].decode("latin-1", "replace")
+    n_pages = len(re.findall(rb"/Type\s*/Page(?![s\w])", b))
+    has_text = 1 if _PDF_TEXT_RE.search(b) else 0
+    has_images = 1 if re.search(rb"/Subtype\s*/Image(?!\w)", b) else 0
+    encrypted = 1 if re.search(rb"/Encrypt(?!\w)", b) else 0
+    producer = ""
+    mprod = re.search(rb"/Producer\s*\(((?:[^()\\]|\\.)*)\)", b)
+    if mprod:
+        producer = re.sub(rb"\\(.)", rb"\1", mprod.group(1)).decode(
+            "latin-1", "replace"
+        )
+    truncated = b.rstrip().endswith(b"%%EOF") is False
+    msx = None
+    for msx in re.finditer(rb"startxref\s+(\d+)", b):
+        pass
+    if msx is not None and int(msx.group(1)) >= len(b):
+        truncated = True
+    return version, n_pages, has_text, has_images, encrypted, producer, truncated
+
+
+def pdf_container(
+    n_pages: int = 1,
+    with_text: bool = True,
+    with_image: bool = False,
+    encrypted: bool = False,
+    producer: str = "engine",
+    truncate: bool = False,
+) -> bytes:
+    """A structurally valid single-xref PDF for fixtures: catalog,
+    page tree, `n_pages` page objects each with an uncompressed
+    content stream (a BT/Tj text block when `with_text`, a Do image
+    paint + 1x1 gray /Image XObject when `with_image`), an /Info
+    dictionary carrying /Producer, an optional stub /Encrypt entry in
+    the trailer, and a correct xref table. truncate=True drops the
+    trailer tail from 'startxref' on — the interrupted-download shape
+    pdf_metadata must flag, not crash on."""
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    page_ids = []
+    content_ids = []
+    img_id = None
+    if with_image:
+        img_id = add(
+            b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>"
+            b"\nstream\n\x80\nendstream"
+        )
+    for p in range(n_pages):
+        parts = []
+        if with_text:
+            parts.append(b"BT /F1 12 Tf 72 720 Td (page %d) Tj ET" % p)
+        if with_image:
+            parts.append(b"q 100 0 0 100 72 500 cm /Im0 Do Q")
+        stream = b" ".join(parts) if parts else b""
+        content_ids.append(
+            add(
+                b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(stream), stream)
+            )
+        )
+    pages_id = len(objs) + n_pages + 1  # page objs next, then tree
+    for p in range(n_pages):
+        res = b"/Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >>"
+        if with_image:
+            res += b" /XObject << /Im0 %d 0 R >>" % img_id
+        page_ids.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << %s >> /Contents %d 0 R >>"
+                % (pages_id, res, content_ids[p])
+            )
+        )
+    kids = b" ".join(b"%d 0 R" % i for i in page_ids)
+    assert add(
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages)
+    ) == pages_id
+    catalog_id = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
+    esc = producer.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    info_id = add(b"<< /Producer (%s) >>" % esc.encode("latin-1"))
+    enc_id = add(b"<< /Filter /Standard /V 1 /R 2 >>") if encrypted else None
+
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    trailer = b"<< /Size %d /Root %d 0 R /Info %d 0 R" % (
+        len(objs) + 1, catalog_id, info_id,
+    )
+    if enc_id:
+        trailer += b" /Encrypt %d 0 R" % enc_id
+    trailer += b" >>"
+    out += b"trailer\n" + trailer + b"\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    if truncate:
+        return bytes(out[: out.rindex(b"startxref")])
+    return bytes(out)

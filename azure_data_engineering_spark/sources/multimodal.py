@@ -674,3 +674,50 @@ def video_metadata_full(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, schema=VIDEO_META_FULL_SCHEMA)
+
+
+PDF_META_FULL_SCHEMA = (
+    "id bigint, format string, version string, n_pages bigint, "
+    "has_text int, has_images int, encrypted int, producer string, "
+    "truncated int"
+)
+
+
+def pdf_metadata_full(df: DataFrame) -> DataFrame:
+    """Crawl-grade PDF triage over a binary column — the document seat
+    beside image/audio/video metadata: a text-extraction pipeline must
+    know which PDFs have a usable text layer vs scanned-image-only,
+    and which are encrypted or cut off, BEFORE paying for extraction.
+    Input: (id, payload). One mapInPandas kernel runs
+    sources/media_codecs.pdf_metadata (structural scan: header
+    version, /Type /Page count, BT..Tj text blocks, /Subtype /Image,
+    trailer /Encrypt, /Producer literal, %%EOF + startxref truncation
+    check) — no rendering. Non-PDF bytes -> format='corrupt'
+    quarantine row, never a batch failure. Scale shape: one linear
+    scan per document on executors, bytes never on the driver."""
+    from azure_data_engineering_spark.sources.media_codecs import pdf_metadata
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rid = row["id"]
+                b = bytes(row["payload"])
+                try:
+                    (ver, n_pages, has_text, has_img, enc, producer,
+                     trunc) = pdf_metadata(b)
+                    rows.append((
+                        rid, "pdf", ver, n_pages, has_text, has_img,
+                        enc, producer, int(trunc),
+                    ))
+                except ValueError:
+                    rows.append((rid, "corrupt", "", 0, 0, 0, 0, "", 1))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "format", "version", "n_pages", "has_text",
+                    "has_images", "encrypted", "producer", "truncated",
+                ],
+            )
+
+    return df.mapInPandas(kernel, schema=PDF_META_FULL_SCHEMA)

@@ -473,3 +473,67 @@ class TestMixedVideoMetadata:
         assert got[2] == ("mp4", "isom", 5000, 1, 0, 1, 0, 0, "", 0)
         assert got[3][9] == 1
         assert got[4] == ("corrupt", "", 0, 0, 0, 0, 0, 0, "", 1)
+
+
+class TestPdfMetadata:
+    def test_full_featured(self):
+        b = M.pdf_container(n_pages=3, with_text=True, with_image=True,
+                            producer="unit (v1.2)")
+        assert M.pdf_metadata(b) == ("1.7", 3, 1, 1, 0, "unit (v1.2)", False)
+
+    def test_scanned_image_only_no_text_layer(self):
+        b = M.pdf_container(n_pages=2, with_text=False, with_image=True)
+        ver, n, has_text, has_img, enc, _p, trunc = M.pdf_metadata(b)
+        assert (n, has_text, has_img, enc, trunc) == (2, 0, 1, 0, False)
+
+    def test_encrypted_flag(self):
+        assert M.pdf_metadata(M.pdf_container(encrypted=True))[4] == 1
+
+    def test_truncated_download(self):
+        b = M.pdf_container(truncate=True)
+        assert M.pdf_metadata(b)[6] is True
+
+    def test_startxref_past_end_is_truncated(self):
+        b = M.pdf_container()
+        # rewrite startxref to point beyond the buffer
+        import re
+        bad = re.sub(rb"startxref\n\d+", b"startxref\n99999999", b)
+        assert M.pdf_metadata(bad)[6] is True
+
+    def test_pages_not_confused_with_page_tree(self):
+        # /Type /Pages (the tree node) must not count as a page
+        assert M.pdf_metadata(M.pdf_container(n_pages=1))[1] == 1
+
+    def test_escaped_producer_parens(self):
+        b = M.pdf_container(producer="a (b) c")
+        assert M.pdf_metadata(b)[5] == "a (b) c"
+
+    def test_not_pdf_raises(self):
+        with pytest.raises(ValueError):
+            M.pdf_metadata(b"hello world this is not a pdf")
+
+
+class TestMixedPdfMetadata:
+    def test_mixed_pdf_corrupt_triage(self, spark):
+        from azure_data_engineering_spark.sources.multimodal import (
+            pdf_metadata_full,
+        )
+
+        rows = [
+            (1, M.pdf_container(n_pages=4, with_text=True, producer="latex")),
+            (2, M.pdf_container(with_text=False, with_image=True)),
+            (3, M.pdf_container(encrypted=True)),
+            (4, M.pdf_container(truncate=True)),
+            (5, b"junk bytes"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "payload"]))
+        got = {
+            r.id: (r.format, r.n_pages, r.has_text, r.has_images,
+                   r.encrypted, r.producer, r.truncated)
+            for r in pdf_metadata_full(df).collect()
+        }
+        assert got[1] == ("pdf", 4, 1, 0, 0, "latex", 0)
+        assert got[2] == ("pdf", 1, 0, 1, 0, "engine", 0)
+        assert got[3][4] == 1
+        assert got[4][6] == 1
+        assert got[5] == ("corrupt", 0, 0, 0, 0, "", 1)
