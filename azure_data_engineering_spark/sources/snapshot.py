@@ -62,6 +62,7 @@ import os
 import re
 import shutil
 import tempfile
+import time as _time
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -144,11 +145,19 @@ def _claim_tag_of(manifest: str) -> str | None:
         return None
 
 
+def _claim_age(manifest: str) -> float | None:
+    try:
+        return _time.time() - os.path.getmtime(manifest)
+    except OSError:
+        return None
+
+
 def _commit_cas(
     table: str,
     expected_version: int | None,
     files: Sequence[str],
     claim_tag: str | None = None,
+    stale_claim_timeout: float | None = None,
 ) -> int:
     """Version-fenced commit: claim slot expected+1 via O_EXCL manifest
     create, then swap the pointer. Raises ConcurrentCommitError if the
@@ -162,8 +171,23 @@ def _commit_cas(
     per tag (Structured Streaming does, per query+batch; the same
     invariant Spark's own FileStreamSink batch-manifest commit relies
     on) — so the slot is RECLAIMED by an atomic manifest replace.
-    Untagged commits and foreign tags keep the strict behavior: dead
-    slots block until release_orphan_slot."""
+
+    `stale_claim_timeout` (seconds) is the age-based orphan policy for
+    FOREIGN claims: a claim manifest older than the timeout whose slot
+    never reached the pointer is treated as a dead writer and reclaimed
+    automatically — a crashed streaming sink can no longer wedge the
+    table until a human calls release_orphan_slot. UNSAFE WINDOW
+    (inherent to a plain filesystem, where dead and slow are
+    indistinguishable): if the original claimant is merely stalled
+    longer than the timeout and wakes up mid-reclaim, one of the two
+    commits can be lost — set the timeout to many multiples of the
+    slowest plausible claim-to-pointer-swap stall (the write itself
+    happens BEFORE the claim, so this gap is milliseconds of pointer
+    bookkeeping, not data-write time). The reclaim shrinks the race to
+    one pointer re-check: the displaced manifest is saved first and
+    atomically restored if the pointer moved mid-reclaim. None
+    (default) keeps the strict behavior: dead foreign slots block
+    until release_orphan_slot."""
     cur = current_version(table)
     if cur != expected_version:
         raise ConcurrentCommitError(
@@ -176,19 +200,50 @@ def _commit_cas(
     payload: dict = {"version": version, "files": sorted(files)}
     if claim_tag is not None:
         payload["claim_tag"] = claim_tag
+
+    def _replace_manifest() -> None:
+        fd2, tmp = tempfile.mkstemp(prefix="_reclaim.tmp-", dir=table)
+        with os.fdopen(fd2, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, manifest)
+
     try:
         fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
+        age = _claim_age(manifest)
         if claim_tag is not None and _claim_tag_of(manifest) == claim_tag:
-            fd2, tmp = tempfile.mkstemp(prefix="_reclaim.tmp-", dir=table)
-            with os.fdopen(fd2, "w") as f:
-                json.dump(payload, f)
-            os.replace(tmp, manifest)  # reclaim our own dead attempt
+            _replace_manifest()  # reclaim our own dead attempt
+        elif (
+            stale_claim_timeout is not None
+            and age is not None
+            and age > stale_claim_timeout
+        ):
+            # age-based orphan reclaim: save the displaced claim so the
+            # residual stalled-not-dead race can be rolled back
+            try:
+                with open(manifest, "rb") as f:
+                    displaced = f.read()
+            except OSError:
+                displaced = None
+            _replace_manifest()
+            if current_version(table) != expected_version:
+                # the claimant committed between our fence check and the
+                # replace — restore its manifest and lose the race
+                if displaced is not None:
+                    fd3, tmp3 = tempfile.mkstemp(prefix="_restore.tmp-", dir=table)
+                    with os.fdopen(fd3, "wb") as f:
+                        f.write(displaced)
+                    os.replace(tmp3, manifest)
+                raise ConcurrentCommitError(
+                    f"{table}: stale-claim reclaim of v{version} lost to the "
+                    "original claimant waking up — rebase and retry"
+                ) from None
         else:
             raise ConcurrentCommitError(
                 f"{table}: version slot v{version} is already claimed "
                 "(a concurrent writer owns it, or a crashed commit left an "
-                "orphan slot — see release_orphan_slot)"
+                "orphan slot — see release_orphan_slot, or pass "
+                "stale_claim_timeout for age-based auto-reclaim)"
             ) from None
     else:
         with os.fdopen(fd, "w") as f:
@@ -227,12 +282,15 @@ def snapshot_write_cas(
     expected_version: int | None,
     mode: str = "overwrite",
     claim_tag: str | None = None,
+    stale_claim_timeout: float | None = None,
 ) -> int:
     """Commit df as version expected+1 IFF the table is still at
     `expected_version` (None = must still be empty) and no concurrent
     writer owns that slot. Raises ConcurrentCommitError on a lost race
     — the table is untouched and the caller must rebase (re-read the
-    new current snapshot, recompute, retry)."""
+    new current snapshot, recompute, retry). `stale_claim_timeout`
+    enables age-based reclaim of a dead writer's orphan slot — see
+    _commit_cas for the policy and its documented unsafe window."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     os.makedirs(table, exist_ok=True)
@@ -240,7 +298,13 @@ def snapshot_write_cas(
     files = _write_data_unique(df, table, version)
     if mode == "append" and expected_version is not None:
         files = list(_read_manifest(table, expected_version)) + files
-    return _commit_cas(table, expected_version, files, claim_tag=claim_tag)
+    return _commit_cas(
+        table,
+        expected_version,
+        files,
+        claim_tag=claim_tag,
+        stale_claim_timeout=stale_claim_timeout,
+    )
 
 
 def snapshot_merge_cas(
@@ -250,6 +314,7 @@ def snapshot_merge_cas(
     dedup_order: Sequence | None = None,
     max_retries: int = 5,
     claim_tag: str | None = None,
+    stale_claim_timeout: float | None = None,
 ) -> int:
     """snapshot_merge with retry-and-REBASE under contention: each
     attempt reads the CURRENT snapshot, computes the merge against it,
@@ -277,7 +342,12 @@ def snapshot_merge_cas(
             merged = merge_upsert(target, source, pk, dedup_order=order)
         try:
             return snapshot_write_cas(
-                merged, table, expected, mode="overwrite", claim_tag=claim_tag
+                merged,
+                table,
+                expected,
+                mode="overwrite",
+                claim_tag=claim_tag,
+                stale_claim_timeout=stale_claim_timeout,
             )
         except ConcurrentCommitError as exc:
             last = exc
@@ -295,6 +365,7 @@ def snapshot_apply_cdc_cas(
     dedup_order: Sequence | None = None,
     max_retries: int = 5,
     claim_tag: str | None = None,
+    stale_claim_timeout: float | None = None,
 ) -> int:
     """snapshot_apply_cdc with the same retry-and-rebase CAS discipline
     as snapshot_merge_cas — the changelog batch re-applies cleanly
@@ -319,7 +390,12 @@ def snapshot_apply_cdc_cas(
         applied = apply_cdc(target, changes, pk, op_col=op_col, dedup_order=order)
         try:
             return snapshot_write_cas(
-                applied, table, expected, mode="overwrite", claim_tag=claim_tag
+                applied,
+                table,
+                expected,
+                mode="overwrite",
+                claim_tag=claim_tag,
+                stale_claim_timeout=stale_claim_timeout,
             )
         except ConcurrentCommitError as exc:
             last = exc

@@ -177,3 +177,94 @@ class TestClaimTags:
         # untagged commits never reclaim either
         with pytest.raises(sn.ConcurrentCommitError):
             sn._commit_cas(table, 1, [])
+
+
+class TestStaleClaimReclaim:
+    def _plant_dead_claim(self, table, version, age_s, tag=None):
+        import json
+        import time
+
+        os.makedirs(sn._manifest_dir(table), exist_ok=True)
+        dead = os.path.join(sn._manifest_dir(table), f"v{version}.json")
+        payload = {"version": version, "files": []}
+        if tag is not None:
+            payload["claim_tag"] = tag
+        with open(dead, "w") as f:
+            json.dump(payload, f)
+        old = time.time() - age_s
+        os.utime(dead, (old, old))
+        return dead
+
+    def test_stale_foreign_claim_auto_reclaimed(self, spark, table):
+        """A crashed streaming sink's orphan slot no longer wedges the
+        table: a live writer with an age policy recovers without
+        release_orphan_slot."""
+        sn.snapshot_write_cas(_df(spark, [(1, "a")]), table, None)
+        self._plant_dead_claim(table, 2, age_s=3600, tag="dead-sink#b7")
+        v = sn.snapshot_write_cas(
+            _df(spark, [(2, "b")]), table, 1, mode="append",
+            stale_claim_timeout=60.0,
+        )
+        assert v == 2
+        assert _rows(spark, table) == {(1, "a"), (2, "b")}
+
+    def test_fresh_claim_not_reclaimed(self, spark, table):
+        """A claim younger than the timeout is a live (slow) writer —
+        the age policy must NOT steal it."""
+        sn.snapshot_write_cas(_df(spark, [(1, "a")]), table, None)
+        self._plant_dead_claim(table, 2, age_s=5, tag="slow-writer#b1")
+        with pytest.raises(sn.ConcurrentCommitError, match="slot"):
+            sn.snapshot_write_cas(
+                _df(spark, [(2, "b")]), table, 1, stale_claim_timeout=60.0,
+            )
+        assert sn.current_version(table) == 1
+
+    def test_no_policy_keeps_strict_behavior(self, spark, table):
+        sn.snapshot_write_cas(_df(spark, [(1, "a")]), table, None)
+        self._plant_dead_claim(table, 2, age_s=3600)
+        with pytest.raises(sn.ConcurrentCommitError, match="slot"):
+            sn.snapshot_write_cas(_df(spark, [(2, "b")]), table, 1)
+
+    def test_merge_cas_recovers_through_stale_slot(self, spark, table):
+        """The retry-and-rebase path composes with the age policy: a
+        merge pointed at a wedged table self-heals."""
+        sn.snapshot_write_cas(_df(spark, [(1, "a"), (2, "b")]), table, None)
+        self._plant_dead_claim(table, 2, age_s=3600, tag="dead#b9")
+        v = sn.snapshot_merge_cas(
+            _df(spark, [(2, "B2"), (3, "c")]), table, pk=["k"],
+            stale_claim_timeout=60.0,
+        )
+        assert v == 2
+        assert _rows(spark, table) == {(1, "a"), (2, "B2"), (3, "c")}
+
+    def test_reclaim_rolls_back_if_claimant_committed(self, spark, table):
+        """The residual stalled-not-dead race: the claimant commits
+        between the fence check and the reclaim. The reclaim must
+        restore the displaced manifest and lose cleanly."""
+        import json
+
+        sn.snapshot_write_cas(_df(spark, [(1, "a")]), table, None)
+        dead = self._plant_dead_claim(table, 2, age_s=3600, tag="stalled#b3")
+        orig = open(dead).read()
+
+        real_cv = sn.current_version
+        calls = {"n": 0}
+
+        def racing_cv(t):
+            calls["n"] += 1
+            # 1st call: the fence check (report 1 = expected). The
+            # claimant then "wakes up" and swaps the pointer to 2
+            # before the post-replace re-check.
+            if calls["n"] == 2:
+                return 2
+            return real_cv(t)
+
+        sn.current_version = racing_cv
+        try:
+            with pytest.raises(sn.ConcurrentCommitError, match="waking up"):
+                sn._commit_cas(table, 1, ["data/x.parquet"],
+                               stale_claim_timeout=60.0)
+        finally:
+            sn.current_version = real_cv
+        # the displaced claim manifest was restored byte-for-byte
+        assert json.loads(open(dead).read()) == json.loads(orig)
