@@ -21802,12 +21802,14 @@ FROM m
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
-    the r10 prefix holds 3 pins for queries whose code CHANGED this
+    the r10 prefix holds 4 pins for queries whose code CHANGED this
     round (q_mediation — Sobel SEs were under-scaled by n, inflating z
     by sqrt(n); q_kruskal_wallis — NULL instead of NaN when every value
     is tied; q_distinct_n — short groups no longer dropped by an inner
-    join) followed by the 3 plain-SQL spillovers from r9 and 44 of the
-    96 never-driver-sampled r9 additions, newest-soak-free-first. Union
+    join; q_mutual_info — marginal joins replanned as window sums over
+    the joint frame, 22 exchanges -> 4) followed by the 3 plain-SQL
+    spillovers from r9 and 43 of the 96 never-driver-sampled r9
+    additions, newest-soak-free-first. Union
     of driver windows r1-r9 = 337/436; after this window = 387/436.
     The remaining never-sampled entries are staged directly after the
     window for the r11 rotation. Rotation accumulates external
@@ -21815,16 +21817,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_oracle.py verifies the FULL registry every round."""
     return {
         # ---- driver sampling window (first 50), rotated per round:
-        # ---- 3 changed-this-round pins (q_mediation — corrected Sobel
+        # ---- 4 changed-this-round pins (q_mediation — corrected Sobel
         # ---- SEs; q_kruskal_wallis — tie-degenerate NULL guard;
-        # ---- q_distinct_n — short-group left-join fix) + the 3 plain-SQL
-        # ---- spillovers + 44 never-driver-sampled r9 additions,
+        # ---- q_distinct_n — short-group left-join fix; q_mutual_info —
+        # ---- window-sum replan) + the 3 plain-SQL
+        # ---- spillovers + 43 never-driver-sampled r9 additions,
         # ---- newest-soak-free-first. Driver-ever union before this
         # ---- window = 337/436; after = 387/436. Full registry swept by
         # ---- tools/check_oracle.py every round.
         "q_mediation": q_mediation,
         "q_kruskal_wallis": q_kruskal_wallis,
         "q_distinct_n": q_distinct_n,
+        "q_mutual_info": q_mutual_info,
         "q_set_ops_all": q_set_ops_all,
         "q_calendar": q_calendar,
         "q_month_arith": q_month_arith,
@@ -21871,10 +21875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fleiss_kappa": q_fleiss_kappa,
         "q_pr_auc": q_pr_auc,
         "q_l_diversity": q_l_diversity,
-        "q_activity_streaks": q_activity_streaks,
         # ---- end of driver sampling window ----
         # ---- r11 window backlog: remaining never-driver-sampled r9
         # ---- additions, in rotation order ----
+        "q_activity_streaks": q_activity_streaks,
         "q_ddsketch": q_ddsketch,
         "q_isotonic_calibration": q_isotonic_calibration,
         "q_stratified_ate": q_stratified_ate,
@@ -22089,7 +22093,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_random_project": q_random_project,
         "q_cv_ridge": q_cv_ridge,
         "q_conformal_interval": q_conformal_interval,
-        "q_mutual_info": q_mutual_info,
         "q_k_anonymity": q_k_anonymity,
         "q_linear_shap": q_linear_shap,
         "q_gbm_stumps": q_gbm_stumps,

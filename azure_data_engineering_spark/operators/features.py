@@ -132,28 +132,31 @@ def mutual_information(
 
     The input is the melted long frame (one row per original row per
     feature — stack() in the caller keeps it one scan); all marginals
-    re-aggregate from the joint count table, so the plan is one
-    shuffle on (feature, value, label) plus broadcast-sized joins of
-    the per-feature and per-label marginals. MI terms use EXACT
-    integer counts — log2((c_vl * n) / (c_v * c_l)) sees an exact
-    integer product ratio, so both engines feed libm identical
-    doubles; the sum is rounded to out_decimals to absorb
-    accumulation-order drift. Also emits H(X) bits (the normalizer
-    for an information-gain-ratio view).
+    re-aggregate from the joint count table as WINDOW sums over the
+    already-shuffled joint frame (partitionBy (feature,value) /
+    (feature,label) / (feature)) — no marginal-join materialization,
+    and the per-feature window reuses the (feature,value) exchange
+    since its key is a prefix. MI terms use EXACT integer counts —
+    log2((c_vl * n) / (c_v * c_l)) sees an exact integer product
+    ratio, so both engines feed libm identical doubles; the sum is
+    rounded to out_decimals to absorb accumulation-order drift. Also
+    emits H(X) bits (the normalizer for an information-gain-ratio
+    view).
 
     Returns one row per feature: (feature, n, mi_bits, h_bits)."""
+    from pyspark.sql.window import Window
+
     joint = melted.groupBy(
         F.col(feature_col).alias("feature"),
         F.col(value_col).alias("value"),
         F.col(label_col).alias("label"),
     ).agg(F.count(F.lit(1)).alias("c_vl"))
-    f_tot = joint.groupBy("feature").agg(F.sum("c_vl").alias("n"))
-    v_marg = joint.groupBy("feature", "value").agg(F.sum("c_vl").alias("c_v"))
-    l_marg = joint.groupBy("feature", "label").agg(F.sum("c_vl").alias("c_l"))
-    terms = (
-        joint.join(v_marg, ["feature", "value"])
-        .join(l_marg, ["feature", "label"])
-        .join(F.broadcast(f_tot), "feature")
+    terms = joint.select(
+        "feature",
+        "c_vl",
+        F.sum("c_vl").over(Window.partitionBy("feature", "value")).alias("c_v"),
+        F.sum("c_vl").over(Window.partitionBy("feature", "label")).alias("c_l"),
+        F.sum("c_vl").over(Window.partitionBy("feature")).alias("n"),
     )
     mi_term = (F.col("c_vl") / F.col("n")) * F.log2(
         (F.col("c_vl") * F.col("n")) / (F.col("c_v") * F.col("c_l"))
