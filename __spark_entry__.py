@@ -21800,6 +21800,452 @@ FROM m
 """
 
 
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per order priority
+    (operators/diagnostics.herfindahl_index): Σ share² of customer-
+    bucket revenue + the normalized cross-market form — the "is one
+    source dominating this slice?" corpus diagnostic beside
+    q_lorenz_gini. Two shuffles; shares are exact decimal-sum ratios
+    rounded before squaring so both engines square identical
+    doubles."""
+    from azure_data_engineering_spark.operators.diagnostics import herfindahl_index
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_orderpriority").alias("market"),
+        (F.col("o_custkey") % 25).alias("firm"),
+        F.col("o_totalprice").alias("v"),
+    )
+    return herfindahl_index(d, "market", "firm", "v").orderBy("market")
+
+
+Q_HHI_SQL = """
+WITH per_firm AS (
+  SELECT o_orderpriority AS market, o_custkey % 25 AS firm,
+         sum(CAST(o_totalprice AS DECIMAL(28,6))) AS v
+  FROM orders GROUP BY 1, 2
+), shared AS (
+  SELECT market, v,
+         sum(v) OVER (PARTITION BY market) AS tot
+  FROM per_firm
+), sh AS (
+  SELECT market, tot,
+         round(CAST(v AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS share
+  FROM shared
+), agg AS (
+  SELECT market, count(*) AS n_firms, max(CAST(tot AS DOUBLE)) AS total_value,
+         round(sum(round(share * share, 12)), 9) AS hhi
+  FROM sh GROUP BY 1
+)
+SELECT market, CAST(n_firms AS BIGINT) AS n_firms,
+       round(total_value, 6) AS total_value,
+       round(hhi, 6) AS hhi,
+       round(CASE WHEN n_firms > 1
+             THEN (hhi - 1.0 / n_firms) / (1.0 - 1.0 / n_firms)
+             ELSE 1.0 END, 6) AS hhi_normalized
+FROM agg ORDER BY market
+"""
+
+
+def q_deming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming errors-in-variables regression of extended price (k$) on
+    quantity (operators/stats.deming_regression, δ=1 orthogonal case):
+    both axes noisy → OLS attenuates; the closed-form ML slope from
+    one aggregate of exact decimal moments, with the OLS slope riding
+    along so the attenuation is visible. Oracle replays the quadratic
+    root verbatim."""
+    from azure_data_engineering_spark.operators.stats import deming_regression
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_quantity").alias("x"),
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+    )
+    return deming_regression(d, "x", "y", delta=1.0)
+
+
+Q_DEMING_SQL = """
+WITH d AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x, l_extendedprice / 1000.0 AS y
+  FROM lineitem
+), agg AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS sx,
+         sum(CAST(round(y, 6) AS DECIMAL(28,6))) AS sy,
+         sum(CAST(round(x, 6) AS DECIMAL(28,6)) * CAST(round(x, 6) AS DECIMAL(18,6))) AS sxx,
+         sum(CAST(round(y, 6) AS DECIMAL(28,6)) * CAST(round(y, 6) AS DECIMAL(18,6))) AS syy,
+         sum(CAST(round(x, 6) AS DECIMAL(28,6)) * CAST(round(y, 6) AS DECIMAL(18,6))) AS sxy
+  FROM d
+), cv AS (
+  SELECT n,
+         round(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 9) AS cxx,
+         round(CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 9) AS cyy,
+         round(CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 9) AS cxy,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my
+  FROM agg
+), fit AS (
+  SELECT n, mx, my, cxx, cxy,
+         round(CASE WHEN abs(cxy) > 0 THEN
+           (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx) + 4.0 * cxy * cxy))
+             / (2.0 * cxy) END, 9) AS slope
+  FROM cv
+)
+SELECT CAST(n AS BIGINT) AS n, round(slope, 6) AS slope,
+       round(my - slope * mx, 6) AS intercept,
+       round(1.0, 6) AS delta,
+       round(CASE WHEN cxx > 0 THEN cxy / cxx END, 6) AS ols_slope
+FROM fit
+"""
+
+
+def q_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity (operators/stats.rdd_sharp,
+    Imbens & Lemieux 2008): running score = customer-key bucket 0-99,
+    cutoff 50, rectangular bandwidth 30; τ = intercept jump of
+    side-local linear fits of order value (k$). The causal family's
+    threshold seat beside q_did / q_iv_wald / q_stratified_ate — on
+    this synthetic score the true jump is ≈ 0, which is exactly what
+    the estimator must report. Closed-form per-side OLS from one
+    grouped aggregate of exact decimal moments."""
+    from azure_data_engineering_spark.operators.stats import rdd_sharp
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        (F.col("o_custkey") % 100).cast("double").alias("score"),
+        (F.col("o_totalprice") / 1000.0).alias("y"),
+    )
+    return rdd_sharp(d, "score", "y", cutoff=50.0, bandwidth=30.0)
+
+
+Q_RDD_SQL = """
+WITH d AS (
+  SELECT CAST(o_custkey % 100 AS DOUBLE) AS score, o_totalprice / 1000.0 AS y
+  FROM orders
+  WHERE CAST(o_custkey % 100 AS DOUBLE) >= 20.0
+    AND CAST(o_custkey % 100 AS DOUBLE) < 80.0
+), sided AS (
+  SELECT CASE WHEN score >= 50.0 THEN 1 ELSE 0 END AS side,
+         round(score - 50.0, 6) AS x, y
+  FROM d
+), per_side AS (
+  SELECT side, count(*) AS n,
+         sum(CAST(x AS DECIMAL(28,6))) AS sx,
+         sum(CAST(round(y, 6) AS DECIMAL(28,6))) AS sy,
+         sum(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(18,6))) AS sxx,
+         sum(CAST(x AS DECIMAL(28,6)) * CAST(round(y, 6) AS DECIMAL(18,6))) AS sxy
+  FROM sided GROUP BY 1
+), fit0 AS (
+  SELECT side, n,
+         round(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 9) AS cxx,
+         round(CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 9) AS cxy,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my
+  FROM per_side
+), fit AS (
+  SELECT side, n,
+         round(CASE WHEN cxx > 0 THEN cxy / cxx END, 9) AS b,
+         round(my - round(CASE WHEN cxx > 0 THEN cxy / cxx END, 9) * mx, 9) AS a
+  FROM fit0
+), wide AS (
+  SELECT max(CASE WHEN side = 0 THEN n END) AS n_left,
+         max(CASE WHEN side = 1 THEN n END) AS n_right,
+         max(CASE WHEN side = 0 THEN a END) AS a_left,
+         max(CASE WHEN side = 1 THEN a END) AS a_right,
+         max(CASE WHEN side = 0 THEN b END) AS slope_left,
+         max(CASE WHEN side = 1 THEN b END) AS slope_right
+  FROM fit
+)
+SELECT CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+       round(a_left, 6) AS a_left, round(a_right, 6) AS a_right,
+       round(slope_left, 6) AS slope_left, round(slope_right, 6) AS slope_right,
+       round(a_right - a_left, 6) AS tau_rdd
+FROM wide
+"""
+
+
+def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate (operators/stats.srm_check): the
+    experimentation pipeline's FIRST check — chi-square GOF of the
+    user-parity assignment counts against the 50/50 design before any
+    metric is read. Exact integer counts, Wilson-Hilferty + A&S erfc
+    p (the module's kruskal/chi-square discipline), alarm at the
+    community-standard p < 0.001."""
+    from azure_data_engineering_spark.operators.stats import srm_check
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm")
+    )
+    return srm_check(d, "arm")
+
+
+Q_SRM_SQL = """
+WITH arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+  FROM events
+), per_arm AS (
+  SELECT arm, count(*) AS o FROM arms GROUP BY 1
+), shared AS (
+  SELECT arm, o,
+         1.0 / count(*) OVER () AS ratio,
+         sum(o) OVER () AS n_tot
+  FROM per_arm
+), ex AS (
+  SELECT arm, o, n_tot, round(ratio * n_tot, 9) AS e FROM shared
+), agg AS (
+  SELECT max(n_tot) AS n, count(*) AS k_arms,
+         round(sum(round((o - e) * (o - e) / e, 9)), 9) AS chi2
+  FROM ex
+), z AS (
+  SELECT n, k_arms, chi2, CAST(k_arms - 1 AS DOUBLE) AS nu,
+         round((cbrt(chi2 / (k_arms - 1.0)) - (1.0 - 2.0 / (9.0 * (k_arms - 1.0))))
+               / sqrt(2.0 / (9.0 * (k_arms - 1.0))), 9) AS zwh
+  FROM agg
+), zz AS (SELECT *, round(abs(zwh) / 1.4142135623730951, 9) AS za FROM z),
+poly AS (SELECT *, 1.0 / (1.0 + 0.3275911 * za) AS t FROM zz),
+e2 AS (
+  SELECT *, t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+            + t * (-1.453152027 + t * 1.061405429)))) * exp(-(za * za)) AS erfc2
+  FROM poly
+), pv AS (
+  SELECT n, k_arms, chi2,
+         CASE WHEN zwh >= 0 THEN erfc2 / 2.0 ELSE 1.0 - erfc2 / 2.0 END AS p
+  FROM e2
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k_arms AS BIGINT) AS k_arms,
+       round(chi2, 6) AS chi2, round(p, 6) AS p_value,
+       CAST(CASE WHEN p < 0.001 THEN 1 ELSE 0 END AS INT) AS srm_flag
+FROM pv
+"""
+
+
+def q_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule-Walker fit of the daily event-count series
+    (operators/timeseries.yule_walker_ar2): once q_acf rejects white
+    noise, this quantifies how much two lags explain — φ₁, φ₂ from
+    the lag-1/2 autocorrelations, innovation variance, and the
+    stationarity-triangle check. Lags via ROW-frame windows; exact
+    decimal moments; the oracle replays every covariance."""
+    from azure_data_engineering_spark.operators.timeseries import yule_walker_ar2
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    return yule_walker_ar2(daily, "day", "cnt")
+
+
+Q_YULE_WALKER_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS t, CAST(count(*) AS DOUBLE) AS x0
+  FROM events GROUP BY 1
+), base AS (
+  SELECT t, round(x0, 6) AS x FROM daily
+), lagged AS (
+  SELECT x,
+         lag(x, 1) OVER (ORDER BY t) AS x1,
+         lag(x, 2) OVER (ORDER BY t) AS x2
+  FROM base
+), agg AS (
+  SELECT count(*) AS n,
+         sum(CAST(x AS DECIMAL(28,6))) AS sx,
+         sum(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(18,6))) AS sxx,
+         count(x1) AS n1,
+         sum(CAST(x AS DECIMAL(28,6)) * CAST(x1 AS DECIMAL(18,6))) AS sx1,
+         sum(CAST(x1 AS DECIMAL(28,6))) AS sa1,
+         sum(CASE WHEN x1 IS NOT NULL THEN CAST(x AS DECIMAL(28,6)) END) AS sb1,
+         count(x2) AS n2,
+         sum(CAST(x AS DECIMAL(28,6)) * CAST(x2 AS DECIMAL(18,6))) AS sx2,
+         sum(CAST(x2 AS DECIMAL(28,6))) AS sa2,
+         sum(CASE WHEN x2 IS NOT NULL THEN CAST(x AS DECIMAL(28,6)) END) AS sb2
+  FROM lagged
+), mv AS (
+  SELECT n, CAST(sx AS DOUBLE) / n AS mu,
+         round(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 9) AS c0,
+         round((CAST(sx1 AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * CAST(sa1 AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / n) * CAST(sb1 AS DOUBLE)
+                + n1 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / n, 9) AS c1,
+         round((CAST(sx2 AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * CAST(sa2 AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / n) * CAST(sb2 AS DOUBLE)
+                + n2 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / n, 9) AS c2
+  FROM agg
+), rr AS (
+  SELECT n, c0,
+         round(CASE WHEN c0 > 0 THEN c1 / c0 END, 9) AS r1,
+         round(CASE WHEN c0 > 0 THEN c2 / c0 END, 9) AS r2
+  FROM mv
+), fit AS (
+  SELECT n, c0, r1, r2, 1.0 - r1 * r1 AS den,
+         round(CASE WHEN abs(1.0 - r1 * r1) > 0
+               THEN r1 * (1.0 - r2) / (1.0 - r1 * r1) END, 9) AS phi1,
+         round(CASE WHEN abs(1.0 - r1 * r1) > 0
+               THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END, 9) AS phi2
+  FROM rr
+)
+SELECT CAST(n AS BIGINT) AS n, round(phi1, 6) AS phi1, round(phi2, 6) AS phi2,
+       round(round(c0 * (1.0 - phi1 * r1 - phi2 * r2), 9), 6) AS sigma2,
+       round(r1, 6) AS r1, round(r2, 6) AS r2,
+       CAST(CASE WHEN phi2 > -1.0 AND phi2 < 1.0 AND phi1 + phi2 < 1.0
+                  AND phi2 - phi1 < 1.0 THEN 1 ELSE 0 END AS INT) AS ar2_stationary
+FROM fit
+"""
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-shift monitor over the daily event-count
+    series (operators/timeseries.page_hinkley): the causal,
+    stream-replayable cousin of q_changepoint's retrospective CUSUM —
+    every term uses only the RUNNING mean, so this batch frame is the
+    exact backtest of the streaming monitor at λ=50. ROW-frame window
+    sums only; the 9 dp-rounded running mean keeps both engines'
+    accumulations identical."""
+    from azure_data_engineering_spark.operators.timeseries import page_hinkley
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    return page_hinkley(daily, "day", "cnt", delta=0.0, lam=50.0).orderBy("t")
+
+
+Q_PAGE_HINKLEY_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS t, CAST(count(*) AS DOUBLE) AS x0
+  FROM events GROUP BY 1
+), base AS (
+  SELECT t, round(x0, 6) AS x FROM daily
+), wm AS (
+  SELECT t, x,
+         round(CAST(sum(CAST(x AS DECIMAL(28,6))) OVER w AS DOUBLE)
+               / count(*) OVER w, 9) AS running_mean
+  FROM base
+  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+), mt AS (
+  SELECT t, x, running_mean,
+         round(CAST(sum(CAST(round(x - running_mean - 0.0, 9) AS DECIMAL(28,9)))
+               OVER w AS DOUBLE), 9) AS m_t
+  FROM wm
+  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+), ph AS (
+  SELECT t, x, running_mean, m_t,
+         round(m_t - min(m_t) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 9) AS ph_t
+  FROM mt
+)
+SELECT t, round(x, 6) AS x, round(running_mean, 6) AS running_mean,
+       round(m_t, 6) AS m_t, round(ph_t, 6) AS ph_t,
+       CAST(CASE WHEN ph_t > 50.0 THEN 1 ELSE 0 END AS INT) AS alarm
+FROM ph ORDER BY t
+"""
+
+
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line union length of overlapping per-user activity
+    intervals (operators/relational.interval_union_length): each event
+    opens a [ts, ts + 1-7 min] window; the union is true engaged time
+    (double-counting overlaps is the classic session-math bug). One
+    sort shuffle + island aggregates — no self-join, no explode; the
+    oracle replays the same prev-max-end island construction."""
+    from azure_data_engineering_spark.operators.relational import (
+        interval_union_length,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("user_id") % 50).alias("grp"),
+        F.unix_timestamp("ts").cast("double").alias("s"),
+        (
+            F.unix_timestamp("ts") + (F.col("event_id") % 7 + 1) * 60
+        ).cast("double").alias("e"),
+    )
+    return interval_union_length(d, "grp", "s", "e").orderBy("group")
+
+
+Q_INTERVAL_UNION_SQL = """
+WITH d AS (
+  SELECT user_id % 50 AS g,
+         CAST(floor(epoch(ts)) AS DOUBLE) AS s,
+         CAST(floor(epoch(ts)) + (event_id % 7 + 1) * 60 AS DOUBLE) AS e
+  FROM events
+), flagged AS (
+  SELECT g, s, e,
+         max(e) OVER (PARTITION BY g ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+  FROM d
+), isl AS (
+  SELECT g, s, e,
+         CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END AS new_island
+  FROM flagged
+), numbered AS (
+  SELECT g, s, e,
+         sum(new_island) OVER (PARTITION BY g ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM isl
+), per_island AS (
+  SELECT g, island_id, count(*) AS ni, min(s) AS i_start, max(e) AS i_end
+  FROM numbered GROUP BY 1, 2
+), agg AS (
+  SELECT g, sum(ni) AS n_intervals, count(*) AS n_islands,
+         round(CAST(sum(CAST(round(i_end - i_start, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS union_length,
+         round(max(i_end) - min(i_start), 6) AS span_length
+  FROM per_island GROUP BY 1
+)
+SELECT g AS "group", CAST(n_intervals AS BIGINT) AS n_intervals,
+       CAST(n_islands AS BIGINT) AS n_islands, union_length, span_length,
+       round(CASE WHEN span_length > 0 THEN union_length / span_length END, 6)
+         AS coverage_ratio
+FROM agg ORDER BY 1
+"""
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV curve by acquisition cohort (operators/funnel.
+    cohort_ltv_curve): users cohorted by first event month; per
+    cohort age, cumulative event value per acquired user — the
+    revenue twin of q_cohort_matrix and the payback-age read-out. One
+    user-frame window + one cell aggregate + one running-sum window +
+    a broadcast cohort-size join."""
+    from azure_data_engineering_spark.operators.funnel import cohort_ltv_curve
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_ltv_curve(ev, "user_id", "ts", "value", period="week")
+
+
+Q_COHORT_LTV_SQL = """
+WITH base AS (
+  SELECT user_id AS u, date_trunc('week', ts) AS month_start,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+), wc AS (
+  SELECT u, month_start, v,
+         min(month_start) OVER (PARTITION BY u) AS cohort_start
+  FROM base
+), aged AS (
+  SELECT strftime(cohort_start, '%Y-%m-%d') AS cohort_month,
+         date_diff('day', cohort_start, month_start) // 7 AS age_months, u, v
+  FROM wc
+), per_cell AS (
+  SELECT cohort_month, age_months, sum(v) AS rev,
+         count(DISTINCT u) AS active_users
+  FROM aged GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_month, count(DISTINCT u) AS cohort_users
+  FROM aged WHERE age_months = 0 GROUP BY 1
+), curve AS (
+  SELECT c.cohort_month, c.age_months, s.cohort_users, c.rev,
+         sum(c.rev) OVER (PARTITION BY c.cohort_month ORDER BY c.age_months
+                          ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM per_cell c JOIN sizes s ON c.cohort_month = s.cohort_month
+)
+SELECT cohort_month, CAST(age_months AS BIGINT) AS age_months,
+       CAST(cohort_users AS BIGINT) AS cohort_users,
+       round(CAST(rev AS DOUBLE), 6) AS revenue,
+       round(CAST(cum_rev AS DOUBLE), 6) AS cum_revenue,
+       round(CAST(cum_rev AS DOUBLE) / cohort_users, 6) AS cum_ltv_per_user
+FROM curve ORDER BY cohort_month, age_months
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r10 prefix holds 4 pins for queries whose code CHANGED this
@@ -21931,6 +22377,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- r10 additions (never driver-sampled; join the r11 backlog) ----
         "q_video_metadata": q_video_metadata,
         "q_pdf_metadata": q_pdf_metadata,
+        "q_hhi": q_hhi,
+        "q_deming": q_deming,
+        "q_rdd": q_rdd,
+        "q_srm": q_srm,
+        "q_yule_walker": q_yule_walker,
+        "q_page_hinkley": q_page_hinkley,
+        "q_interval_union": q_interval_union,
+        "q_cohort_ltv": q_cohort_ltv,
         # ---- rest of registry (driver-sampled in prior rounds) ----
         "q_dau_mau": q_dau_mau,
         "q_tws_liststate": q_tws_liststate,
@@ -22711,4 +23165,12 @@ def oracle_sql() -> dict[str, str]:
         "q_mode_per_group": Q_MODE_PER_GROUP_SQL,
         "q_video_metadata": Q_VIDEO_METADATA_SQL,
         "q_pdf_metadata": Q_PDF_METADATA_SQL,
+        "q_hhi": Q_HHI_SQL,
+        "q_deming": Q_DEMING_SQL,
+        "q_rdd": Q_RDD_SQL,
+        "q_srm": Q_SRM_SQL,
+        "q_yule_walker": Q_YULE_WALKER_SQL,
+        "q_page_hinkley": Q_PAGE_HINKLEY_SQL,
+        "q_interval_union": Q_INTERVAL_UNION_SQL,
+        "q_cohort_ltv": Q_COHORT_LTV_SQL,
     }

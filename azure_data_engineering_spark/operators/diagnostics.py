@@ -329,3 +329,54 @@ def kneedle_point(
         F.round(F.col("y"), round_digits).alias("coverage_at_knee"),
         F.round(F.col("gap"), round_digits).alias("max_gap"),
     )
+
+
+def herfindahl_index(
+    df: DataFrame,
+    market_col: str,
+    firm_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per market — the
+    antitrust-standard companion to lorenz_deciles' Gini: HHI =
+    Σ share², share = firm value / market value. Also emits the
+    normalized form (HHI − 1/n)/(1 − 1/n) that is 0 for perfect
+    competition at any firm count and 1 for monopoly — the cross-
+    market comparable. In a data-engine context this is the corpus
+    diagnostic "is one source/domain dominating this slice?" (a
+    dedup or cap decision rides on it; cf. sampling.cap_per_source).
+
+    Scale shape: one (market, firm) aggregate then one market
+    aggregate — two shuffles, output market-sized. Shares are exact
+    decimal-sum ratios rounded to 9 dp before squaring so both
+    engines square identical doubles. Returns per market: (market,
+    n_firms, total_value, hhi, hhi_normalized)."""
+    per_firm = df.groupBy(
+        F.col(market_col).alias("market"), F.col(firm_col).alias("firm")
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("v")
+    )
+    wm = Window.partitionBy("market")
+    shared = per_firm.withColumn("tot", F.sum("v").over(wm)).withColumn(
+        "share", F.round(F.col("v").cast("double") / F.col("tot").cast("double"), 9)
+    )
+    agg = shared.groupBy("market").agg(
+        F.count(F.lit(1)).cast("long").alias("n_firms"),
+        F.max(F.col("tot").cast("double")).alias("total_value"),
+        F.sum(F.round(F.col("share") * F.col("share"), 12)).alias("hhi_raw"),
+    )
+    n = F.col("n_firms").cast("double")
+    hhi = F.round(F.col("hhi_raw"), 9)
+    return agg.select(
+        "market",
+        "n_firms",
+        F.round(F.col("total_value"), round_digits).alias("total_value"),
+        F.round(hhi, round_digits).alias("hhi"),
+        F.round(
+            F.when(F.col("n_firms") > 1, (hhi - 1.0 / n) / (1.0 - 1.0 / n)).otherwise(
+                F.lit(1.0)
+            ),
+            round_digits,
+        ).alias("hhi_normalized"),
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -545,3 +545,76 @@ def markov_attribution(
         )
         .orderBy("channel")
     )
+
+
+def cohort_ltv_curve(
+    events: DataFrame,
+    user_col: str,
+    time_col: str,
+    value_col: str,
+    period: str = "month",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cumulative lifetime-value curve by acquisition cohort — the
+    revenue twin of cohort_retention: users are cohorted by their
+    FIRST event month, and for each cohort age (months since
+    acquisition) the curve reports cumulative revenue per acquired
+    user. Reading down a column compares cohort quality at equal age;
+    the row where a cohort's curve crosses acquisition cost is its
+    payback age.
+
+    Plan: one user-frame window for the cohort month (no self-join),
+    one (cohort, age) aggregate, one cohort-partition running-sum
+    window over ages, and a broadcast-sized cohort-size frame joined
+    back. Ages are exact month diffs; per-user normalization uses the
+    DISTINCT acquired-user count, so returning users do not inflate
+    the denominator. Returns (cohort_month, age_months, cohort_users,
+    revenue, cum_revenue, cum_ltv_per_user)."""
+    if period not in ("month", "week"):
+        raise ValueError(f"period must be month|week, got {period!r}")
+    fmt = "yyyy-MM" if period == "month" else "yyyy-MM-dd"
+    wu = Window.partitionBy("u")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc(period, F.col(time_col)).alias("month_start"),
+        F.col(value_col).cast("decimal(18,6)").alias("v"),
+    )
+    with_cohort = base.withColumn(
+        "cohort_start", F.min("month_start").over(wu)
+    ).withColumn(
+        "cohort_month", F.date_format("cohort_start", fmt)
+    ).withColumn(
+        "age_months",
+        F.months_between(F.col("month_start"), F.col("cohort_start")).cast("long")
+        if period == "month"
+        else (F.datediff(F.col("month_start"), F.col("cohort_start")) / 7).cast(
+            "long"
+        ),
+    )
+    per_cell = with_cohort.groupBy("cohort_month", "age_months").agg(
+        F.sum("v").alias("rev"),
+        F.countDistinct("u").cast("long").alias("active_users"),
+    )
+    sizes = (
+        with_cohort.filter(F.col("age_months") == 0)
+        .groupBy("cohort_month")
+        .agg(F.countDistinct("u").cast("long").alias("cohort_users"))
+    )
+    wc = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = per_cell.join(F.broadcast(sizes), "cohort_month").withColumn(
+        "cum_rev", F.sum("rev").over(wc)
+    )
+    return curve.select(
+        "cohort_month",
+        "age_months",
+        "cohort_users",
+        F.round(F.col("rev").cast("double"), round_digits).alias("revenue"),
+        F.round(F.col("cum_rev").cast("double"), round_digits).alias("cum_revenue"),
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("cohort_users"), round_digits
+        ).alias("cum_ltv_per_user"),
+    ).orderBy("cohort_month", "age_months")

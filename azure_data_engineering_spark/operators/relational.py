@@ -349,3 +349,96 @@ def price_indices(
         F.round(paas, round_digits).alias("paasche"),
         F.round(F.sqrt(lasp * paas), round_digits).alias("fisher"),
     )
+
+
+def interval_union_length(
+    df: DataFrame,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Union length of possibly-overlapping [start, end] intervals per
+    group — the sweep-line classic (total machine uptime from
+    overlapping job runs, total listened-time from overlapping play
+    sessions, covered-span of annotation highlights). Naive
+    pairwise-overlap subtraction is O(n²) per group and wrong past
+    two-way overlaps; the island construction is one sort:
+
+        prev_max_end = max(end) over rows BEFORE this one (row frame)
+        new island  ⟺ start > prev_max_end
+        island_id    = running count of new-island flags
+        union        = Σ_islands (max(end) − min(start))
+
+    Scale shape: one (group, start) sort shuffle + one (group,
+    island) aggregate + one group aggregate — no self-join, no
+    explode. Returns per group: (group, n_intervals, n_islands,
+    union_length, span_length, coverage_ratio) where span is
+    max(end)−min(start) overall and coverage = union/span."""
+    w_prev = (
+        Window.partitionBy("g")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("g")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(start_col).cast("double").alias("s"),
+        F.col(end_col).cast("double").alias("e"),
+    )
+    flagged = base.withColumn(
+        "prev_max_e", F.max("e").over(w_prev)
+    ).withColumn(
+        "new_island",
+        (
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e"))
+        ).cast("int"),
+    )
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(w_run)
+    )
+    per_island = islands.groupBy("g", "island_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.min("s").alias("i_start"),
+        F.max("e").alias("i_end"),
+    )
+    return (
+        per_island.groupBy("g")
+        .agg(
+            F.sum("ni").cast("long").alias("n_intervals"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.round(
+                F.sum(
+                    F.round(F.col("i_end") - F.col("i_start"), 9).cast(
+                        "decimal(28,9)"
+                    )
+                ).cast("double"),
+                round_digits,
+            ).alias("union_length"),
+            F.round(F.max("i_end") - F.min("i_start"), round_digits).alias(
+                "span_length"
+            ),
+        )
+        .withColumn(
+            "coverage_ratio",
+            F.round(
+                F.when(
+                    F.col("span_length") > 0,
+                    F.col("union_length") / F.col("span_length"),
+                ),
+                round_digits,
+            ),
+        )
+        .select(
+            F.col("g").alias("group"),
+            "n_intervals",
+            "n_islands",
+            "union_length",
+            "span_length",
+            "coverage_ratio",
+        )
+    )

@@ -3278,3 +3278,217 @@ def cronbach_alpha(
             round_digits,
         ).alias("alpha"),
     )
+
+
+def deming_regression(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    delta: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deming (errors-in-variables) regression — OLS assumes x is
+    measured without error; when BOTH axes carry measurement noise
+    (two instruments, two pipelines, two annotators scoring the same
+    items) OLS attenuates the slope toward zero. Deming's maximum-
+    likelihood line with error-variance ratio δ = σ²_y/σ²_x:
+
+        b = (s_yy − δ·s_xx + √((s_yy − δ·s_xx)² + 4δ·s_xy²)) / (2 s_xy)
+        a = ȳ − b·x̄
+
+    (Deming 1943; the δ=1 case is orthogonal regression.) One
+    aggregate of exact 6 dp-decimal moments (the module's mediation/
+    pearson discipline); covariances rounded to 9 dp so both engines
+    feed identical doubles into the closed form. Returns one row:
+    (n, slope, intercept, delta, ols_slope) — the OLS slope rides
+    along so the attenuation is visible."""
+    xq = F.round(F.col(x_col).cast("double"), 6).cast("decimal(28,6)")
+    yq = F.round(F.col(y_col).cast("double"), 6).cast("decimal(28,6)")
+    x6 = F.round(F.col(x_col).cast("double"), 6).cast("decimal(18,6)")
+    y6 = F.round(F.col(y_col).cast("double"), 6).cast("decimal(18,6)")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xq).alias("sx"),
+        F.sum(yq).alias("sy"),
+        F.sum(xq * x6).alias("sxx"),
+        F.sum(yq * y6).alias("syy"),
+        F.sum(xq * y6).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+
+    def _cov(spq, sp, sq):
+        return F.round(
+            F.col(spq).cast("double") / n
+            - (F.col(sp).cast("double") / n) * (F.col(sq).cast("double") / n),
+            9,
+        )
+
+    cxx = _cov("sxx", "sx", "sx")
+    cyy = _cov("syy", "sy", "sy")
+    cxy = _cov("sxy", "sx", "sy")
+    d = F.lit(float(delta))
+    disc = F.sqrt((cyy - d * cxx) * (cyy - d * cxx) + 4.0 * d * cxy * cxy)
+    slope = F.round(
+        F.when(F.abs(cxy) > 0, (cyy - d * cxx + disc) / (2.0 * cxy)), 9
+    )
+    intercept = F.col("sy").cast("double") / n - slope * (
+        F.col("sx").cast("double") / n
+    )
+    return agg.select(
+        "n",
+        F.round(slope, round_digits).alias("slope"),
+        F.round(intercept, round_digits).alias("intercept"),
+        F.round(d, round_digits).alias("delta"),
+        F.round(F.when(cxx > 0, cxy / cxx), round_digits).alias("ols_slope"),
+    )
+
+
+def rdd_sharp(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    cutoff: float,
+    bandwidth: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate — the causal family's
+    threshold seat (q_did needs parallel trends, q_iv_wald an
+    instrument; RDD needs only that treatment flips deterministically
+    at a cutoff on a running score): fit y = a + b·(score − c) by OLS
+    SEPARATELY within the bandwidth on each side of c, and read the
+    treatment effect as the intercept jump τ = a_right − a_left
+    (Imbens & Lemieux 2008, rectangular kernel). One grouped
+    aggregate of exact 6 dp-decimal moments keyed by side; the
+    closed-form per-side OLS replays verbatim in the oracle. Returns
+    one row: (n_left, n_right, a_left, a_right, slope_left,
+    slope_right, tau_rdd)."""
+    c = float(cutoff)
+    h = float(bandwidth)
+    xr = F.col(score_col).cast("double") - F.lit(c)
+    d = df.filter(
+        (F.col(score_col).cast("double") >= c - h)
+        & (F.col(score_col).cast("double") < c + h)
+    ).select(
+        F.when(F.col(score_col).cast("double") >= c, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("side"),
+        F.round(xr, 6).cast("decimal(28,6)").alias("xq"),
+        F.round(xr, 6).cast("decimal(18,6)").alias("x6"),
+        F.round(F.col(outcome_col).cast("double"), 6)
+        .cast("decimal(28,6)")
+        .alias("yq"),
+        F.round(F.col(outcome_col).cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("y6"),
+    )
+    per_side = d.groupBy("side").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum(F.col("yq")).alias("sy"),
+        F.sum(F.col("xq") * F.col("x6")).alias("sxx"),
+        F.sum(F.col("xq") * F.col("y6")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cxx = F.round(
+        F.col("sxx").cast("double") / n
+        - (F.col("sx").cast("double") / n) * (F.col("sx").cast("double") / n),
+        9,
+    )
+    cxy = F.round(
+        F.col("sxy").cast("double") / n
+        - (F.col("sx").cast("double") / n) * (F.col("sy").cast("double") / n),
+        9,
+    )
+    slope = F.round(F.when(cxx > 0, cxy / cxx), 9)
+    fit = per_side.select(
+        "side",
+        "n",
+        slope.alias("b"),
+        F.round(
+            F.col("sy").cast("double") / n
+            - slope * (F.col("sx").cast("double") / n),
+            9,
+        ).alias("a"),
+    )
+    wide = fit.groupBy().agg(
+        F.max(F.when(F.col("side") == 0, F.col("n"))).cast("long").alias("n_left"),
+        F.max(F.when(F.col("side") == 1, F.col("n"))).cast("long").alias("n_right"),
+        F.max(F.when(F.col("side") == 0, F.col("a"))).alias("a_left"),
+        F.max(F.when(F.col("side") == 1, F.col("a"))).alias("a_right"),
+        F.max(F.when(F.col("side") == 0, F.col("b"))).alias("slope_left"),
+        F.max(F.when(F.col("side") == 1, F.col("b"))).alias("slope_right"),
+    )
+    return wide.select(
+        "n_left",
+        "n_right",
+        F.round(F.col("a_left"), round_digits).alias("a_left"),
+        F.round(F.col("a_right"), round_digits).alias("a_right"),
+        F.round(F.col("slope_left"), round_digits).alias("slope_left"),
+        F.round(F.col("slope_right"), round_digits).alias("slope_right"),
+        F.round(F.col("a_right") - F.col("a_left"), round_digits).alias("tau_rdd"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected_ratios: dict | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the experimentation pipeline's
+    FIRST gate (Fabijan et al., KDD 2019 practice): before reading any
+    metric, verify the assignment counts match the design ratios with
+    a chi-square goodness-of-fit; an SRM means the randomizer,
+    logging, or bot filtering is broken and every downstream p-value
+    is garbage. `expected_ratios` maps arm → design share (None =
+    equal split over observed arms). Exact integer counts; chi² =
+    Σ(o−e)²/e with e from the design shares; p through the module's
+    Wilson-Hilferty + A&S erfc discipline (k−1 df). Returns one row:
+    (n, k_arms, chi2, p_value, srm_flag) with srm_flag = p < 0.001
+    (the community's standard alarm threshold)."""
+    per_arm = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    if expected_ratios is not None:
+        ratio = None
+        for k, v in expected_ratios.items():
+            clause = F.when(F.col("arm") == F.lit(k), F.lit(float(v)))
+            ratio = clause if ratio is None else ratio.when(
+                F.col("arm") == F.lit(k), F.lit(float(v))
+            )
+        per_arm = per_arm.withColumn("ratio", ratio)
+    else:
+        wk = Window.partitionBy()
+        per_arm = per_arm.withColumn(
+            "ratio", 1.0 / F.count(F.lit(1)).over(wk)
+        )
+    wk = Window.partitionBy()
+    per_arm = per_arm.withColumn("n_tot", F.sum("o").over(wk)).withColumn(
+        "e", F.round(F.col("ratio") * F.col("n_tot"), 9)
+    )
+    agg = per_arm.groupBy().agg(
+        F.max("n_tot").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_arms"),
+        F.sum(
+            F.round(
+                (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"),
+                9,
+            )
+        ).alias("chi2_raw"),
+    )
+    chi2 = F.round(F.col("chi2_raw"), 9)
+    nu = (F.col("k_arms") - 1).cast("double")
+    zwh = F.round(
+        (F.cbrt(chi2 / nu) - (1.0 - 2.0 / (9.0 * nu))) / F.sqrt(2.0 / (9.0 * nu)),
+        9,
+    )
+    p_up = F.when(zwh >= 0, _erfc_two_sided(zwh) / 2.0).otherwise(
+        1.0 - _erfc_two_sided(-zwh) / 2.0
+    )
+    return agg.select(
+        "n",
+        "k_arms",
+        F.round(chi2, round_digits).alias("chi2"),
+        F.round(p_up, round_digits).alias("p_value"),
+        (p_up < 0.001).cast("int").alias("srm_flag"),
+    )

@@ -1366,3 +1366,149 @@ def hurst_rescaled_range(
     return ladder.select(
         "size", "n_blocks", F.round("avg_rs", round_digits).alias("avg_rs")
     ).unionByName(h).orderBy("size")
+
+
+def yule_walker_ar2(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """AR(2) fit by the Yule-Walker equations — the parametric
+    completion of acf_ljung_box's diagnostics: once the ACF says the
+    series has memory, this says HOW MUCH of it two lags explain.
+
+        φ₁ = r₁(1 − r₂)/(1 − r₁²),  φ₂ = (r₂ − r₁²)/(1 − r₁²)
+        σ²  = c₀·(1 − φ₁r₁ − φ₂r₂)
+
+    with rₖ = cₖ/c₀ the lag-k autocorrelations computed the module's
+    standing ACF way: full-series mean, lag products via ROW-frame
+    window lags, population covariances of exact 6 dp-quantized
+    values rounded to 9 dp. Also emits the stationarity check
+    (φ₂ ∈ (−1, 1), φ₁+φ₂ < 1, φ₂−φ₁ < 1) as ar2_stationary. Returns
+    one row: (n, phi1, phi2, sigma2, r1, r2, ar2_stationary)."""
+    w = Window.orderBy("t")
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.round(F.col(value_col).cast("double"), 6).alias("x"),
+    )
+    lagged = base.select(
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+    )
+    q = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
+    q6 = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q("x")).alias("sx"),
+        F.sum(q("x") * q6("x")).alias("sxx"),
+        F.count("x1").cast("long").alias("n1"),
+        F.sum(q("x") * q6("x1")).alias("sx1"),
+        F.sum(q("x1")).alias("sa1"),
+        F.sum(F.when(F.col("x1").isNotNull(), q("x"))).alias("sb1"),
+        F.count("x2").cast("long").alias("n2"),
+        F.sum(q("x") * q6("x2")).alias("sx2"),
+        F.sum(q("x2")).alias("sa2"),
+        F.sum(F.when(F.col("x2").isNotNull(), q("x"))).alias("sb2"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("sx").cast("double") / n
+    c0 = F.round(
+        F.col("sxx").cast("double") / n - mu * mu, 9
+    )
+
+    def _ck(spq, sa, sb, nk):
+        nkd = F.col(nk).cast("double")
+        return F.round(
+            (
+                F.col(spq).cast("double")
+                - mu * F.col(sa).cast("double")
+                - mu * F.col(sb).cast("double")
+                + nkd * mu * mu
+            )
+            / n,
+            9,
+        )
+
+    c1 = _ck("sx1", "sa1", "sb1", "n1")
+    c2 = _ck("sx2", "sa2", "sb2", "n2")
+    r1 = F.round(F.when(c0 > 0, c1 / c0), 9)
+    r2 = F.round(F.when(c0 > 0, c2 / c0), 9)
+    den = 1.0 - r1 * r1
+    phi1 = F.round(F.when(F.abs(den) > 0, r1 * (1.0 - r2) / den), 9)
+    phi2 = F.round(F.when(F.abs(den) > 0, (r2 - r1 * r1) / den), 9)
+    sigma2 = F.round(c0 * (1.0 - phi1 * r1 - phi2 * r2), 9)
+    stationary = (
+        (phi2 > -1.0) & (phi2 < 1.0) & (phi1 + phi2 < 1.0) & (phi2 - phi1 < 1.0)
+    ).cast("int")
+    return agg.select(
+        "n",
+        F.round(phi1, round_digits).alias("phi1"),
+        F.round(phi2, round_digits).alias("phi2"),
+        F.round(sigma2, round_digits).alias("sigma2"),
+        F.round(r1, round_digits).alias("r1"),
+        F.round(r2, round_digits).alias("r2"),
+        stationary.alias("ar2_stationary"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 10.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Page-Hinkley upward-shift monitor (Page 1954; Hinkley 1971) —
+    the sequential cousin of cusum_changepoint built for STREAMS of
+    summaries: maintain mₜ = Σ(xᵢ − x̄ᵢ − δ) with x̄ᵢ the RUNNING mean
+    up to i, and alarm when PHₜ = mₜ − min_{s≤t} mₛ exceeds λ. Unlike
+    the retrospective CUSUM (which needs the full-series mean), every
+    term here is causally computable at time t — this frame is the
+    batch REPLAY of what the streaming monitor would have emitted,
+    which is exactly how you backtest a λ before deploying it.
+
+    All running quantities are ROW-frame window sums over the time
+    order (one sort shuffle, no iteration); the running mean is
+    rounded to 9 dp before entering mₜ so both engines accumulate
+    identical doubles. Returns the full monitor trace: (t, x,
+    running_mean, m_t, ph_t, alarm) with alarm = PHₜ > λ."""
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.round(F.col(value_col).cast("double"), 6).alias("x"),
+    )
+    with_mean = base.withColumn(
+        "running_mean",
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            9,
+        ),
+    )
+    with_m = with_mean.withColumn(
+        "m_t",
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("x") - F.col("running_mean") - F.lit(float(delta)), 9
+                ).cast("decimal(28,9)")
+            )
+            .over(w)
+            .cast("double"),
+            9,
+        ),
+    )
+    out = with_m.withColumn(
+        "ph_t", F.round(F.col("m_t") - F.min("m_t").over(w), 9)
+    )
+    return out.select(
+        "t",
+        F.round("x", round_digits).alias("x"),
+        F.round("running_mean", round_digits).alias("running_mean"),
+        F.round("m_t", round_digits).alias("m_t"),
+        F.round("ph_t", round_digits).alias("ph_t"),
+        (F.col("ph_t") > F.lit(float(lam))).cast("int").alias("alarm"),
+    )

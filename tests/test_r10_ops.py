@@ -1,0 +1,235 @@
+"""Round-10 wave-A operators: Herfindahl index, Deming regression,
+sharp RDD, SRM check, Yule-Walker AR(2), Page-Hinkley, interval
+union, cohort LTV curve."""
+
+from __future__ import annotations
+
+import pytest
+
+
+class TestHerfindahl:
+    def _run(self, spark, rows):
+        from azure_data_engineering_spark.operators.diagnostics import (
+            herfindahl_index,
+        )
+
+        df = spark.createDataFrame(rows, "m string, f int, v double")
+        return {r.market: r for r in herfindahl_index(df, "m", "f", "v").collect()}
+
+    def test_monopoly_is_one(self, spark):
+        r = self._run(spark, [("a", 1, 10.0), ("a", 1, 5.0)])["a"]
+        assert r.n_firms == 1 and r.hhi == 1.0 and r.hhi_normalized == 1.0
+
+    def test_equal_split_normalized_zero(self, spark):
+        rows = [("a", i, 10.0) for i in range(4)]
+        r = self._run(spark, rows)["a"]
+        assert abs(r.hhi - 0.25) < 1e-9
+        assert abs(r.hhi_normalized) < 1e-9
+
+    def test_skewed_market(self, spark):
+        # shares 0.8 / 0.2 -> hhi 0.68
+        r = self._run(spark, [("a", 1, 80.0), ("a", 2, 20.0)])["a"]
+        assert abs(r.hhi - 0.68) < 1e-9
+
+
+class TestDeming:
+    def _run(self, spark, rows, delta=1.0):
+        from azure_data_engineering_spark.operators.stats import deming_regression
+
+        df = spark.createDataFrame(rows, "x double, y double")
+        return deming_regression(df, "x", "y", delta=delta).collect()[0]
+
+    def test_exact_line_recovered(self, spark):
+        rows = [(float(i), 2.0 * i + 1.0) for i in range(20)]
+        r = self._run(spark, rows)
+        assert abs(r.slope - 2.0) < 1e-6
+        assert abs(r.intercept - 1.0) < 1e-6
+        assert abs(r.ols_slope - 2.0) < 1e-6
+
+    def test_symmetric_noise_beats_ols_attenuation(self, spark):
+        # true slope 1; noise on BOTH axes. Deming(delta=1) must sit
+        # closer to 1 than attenuated OLS.
+        rows = []
+        for i in range(200):
+            t = float(i % 50)
+            nx = ((i * 7) % 5 - 2.0) * 1.5
+            ny = ((i * 11) % 5 - 2.0) * 1.5
+            rows.append((t + nx, t + ny))
+        r = self._run(spark, rows)
+        assert r.ols_slope < r.slope <= 1.05
+        assert abs(r.slope - 1.0) < 0.05
+
+
+class TestRddSharp:
+    def _run(self, spark, rows, **kw):
+        from azure_data_engineering_spark.operators.stats import rdd_sharp
+
+        df = spark.createDataFrame(rows, "score double, y double")
+        return rdd_sharp(df, "score", "y", **kw).collect()[0]
+
+    def test_known_jump(self, spark):
+        # y = 0.5*x below 50, 0.5*x + 10 at/above: tau = 10
+        rows = [
+            (float(s), 0.5 * s + (10.0 if s >= 50 else 0.0))
+            for s in range(20, 80)
+            for _ in range(3)
+        ]
+        r = self._run(spark, rows, cutoff=50.0, bandwidth=30.0)
+        assert abs(r.tau_rdd - 10.0) < 1e-6
+        assert abs(r.slope_left - 0.5) < 1e-6
+        assert abs(r.slope_right - 0.5) < 1e-6
+
+    def test_no_jump_near_zero(self, spark):
+        rows = [(float(s), 2.0 * s) for s in range(20, 80) for _ in range(2)]
+        r = self._run(spark, rows, cutoff=50.0, bandwidth=30.0)
+        assert abs(r.tau_rdd) < 1e-6
+
+    def test_bandwidth_excludes_far_points(self, spark):
+        rows = [(float(s), 1.0) for s in range(0, 100)]
+        r = self._run(spark, rows, cutoff=50.0, bandwidth=10.0)
+        assert r.n_left == 10 and r.n_right == 10
+
+
+class TestSrmCheck:
+    def _run(self, spark, counts, expected=None):
+        from azure_data_engineering_spark.operators.stats import srm_check
+
+        rows = [(arm,) for arm, n in counts.items() for _ in range(n)]
+        df = spark.createDataFrame(rows, "arm string")
+        return srm_check(df, "arm", expected_ratios=expected).collect()[0]
+
+    def test_balanced_no_flag(self, spark):
+        r = self._run(spark, {"a": 500, "b": 500})
+        assert r.srm_flag == 0 and r.p_value > 0.5
+
+    def test_mismatch_flags(self, spark):
+        r = self._run(spark, {"a": 600, "b": 400})
+        assert r.srm_flag == 1 and r.p_value < 0.001
+
+    def test_design_ratios_respected(self, spark):
+        # 90/10 design observed exactly -> no alarm
+        r = self._run(spark, {"a": 900, "b": 100}, expected={"a": 0.9, "b": 0.1})
+        assert r.srm_flag == 0
+        assert abs(r.chi2) < 1e-9
+
+
+class TestYuleWalker:
+    def _run(self, spark, vals):
+        from azure_data_engineering_spark.operators.timeseries import yule_walker_ar2
+
+        rows = [(f"t{i:04d}", float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "t string, x double")
+        return yule_walker_ar2(df, "t", "x").collect()[0]
+
+    def test_alternating_series_negative_phi1(self, spark):
+        vals = [10.0, -10.0] * 40
+        r = self._run(spark, vals)
+        assert r.r1 < -0.9
+        assert r.phi1 < 0
+        assert r.ar2_stationary == 1
+
+    def test_ar1_series_recovers_phi1_zero_phi2(self, spark):
+        # x_t = 0.6 x_{t-1} + deterministic md5 noise: Yule-Walker must
+        # put the memory on phi1 and leave phi2 ~ 0 (pure-python
+        # cross-check: phi1 = 0.545, phi2 = -0.003)
+        import hashlib
+
+        def noise(i):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            return (h % 1000) / 1000.0 - 0.5
+
+        x = [0.0]
+        for i in range(1, 150):
+            x.append(round(0.6 * x[-1] + noise(i), 6))
+        r = self._run(spark, x)
+        assert abs(r.phi1 - 0.545) < 0.01
+        assert abs(r.phi2) < 0.05
+        assert r.ar2_stationary == 1
+
+    def test_sigma2_nonnegative_and_leq_c0(self, spark):
+        vals = [float(i % 9) for i in range(100)]
+        r = self._run(spark, vals)
+        assert r.sigma2 >= 0
+
+
+class TestPageHinkley:
+    def _run(self, spark, vals, lam=10.0):
+        from azure_data_engineering_spark.operators.timeseries import page_hinkley
+
+        rows = [(f"t{i:04d}", float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "t string, x double")
+        return page_hinkley(df, "t", "x", lam=lam).orderBy("t").collect()
+
+    def test_flat_series_never_alarms(self, spark):
+        out = self._run(spark, [5.0] * 50)
+        assert all(r.alarm == 0 for r in out)
+        assert all(abs(r.ph_t) < 1e-9 for r in out)
+
+    def test_upward_shift_alarms_after_shift(self, spark):
+        vals = [10.0] * 30 + [25.0] * 20
+        out = self._run(spark, vals, lam=20.0)
+        assert all(r.alarm == 0 for r in out[:30])
+        assert any(r.alarm == 1 for r in out[30:])
+
+    def test_running_mean_is_causal(self, spark):
+        out = self._run(spark, [2.0, 4.0, 6.0])
+        assert [r.running_mean for r in out] == [2.0, 3.0, 4.0]
+
+
+class TestIntervalUnion:
+    def _run(self, spark, rows):
+        from azure_data_engineering_spark.operators.relational import (
+            interval_union_length,
+        )
+
+        df = spark.createDataFrame(rows, "g string, s double, e double")
+        return {
+            r.group: r for r in interval_union_length(df, "g", "s", "e").collect()
+        }
+
+    def test_disjoint_intervals_sum(self, spark):
+        r = self._run(spark, [("a", 0.0, 10.0), ("a", 20.0, 25.0)])["a"]
+        assert r.union_length == 15.0 and r.n_islands == 2
+        assert r.span_length == 25.0
+        assert abs(r.coverage_ratio - 0.6) < 1e-9
+
+    def test_overlap_not_double_counted(self, spark):
+        r = self._run(spark, [("a", 0.0, 10.0), ("a", 5.0, 15.0)])["a"]
+        assert r.union_length == 15.0 and r.n_islands == 1
+
+    def test_contained_interval_absorbed(self, spark):
+        r = self._run(spark, [("a", 0.0, 20.0), ("a", 5.0, 8.0), ("a", 25.0, 30.0)])["a"]
+        assert r.union_length == 25.0 and r.n_islands == 2
+
+    def test_three_way_chain(self, spark):
+        # a->b->c chained overlaps: one island despite c not touching a
+        r = self._run(
+            spark, [("a", 0.0, 10.0), ("a", 8.0, 18.0), ("a", 16.0, 26.0)]
+        )["a"]
+        assert r.union_length == 26.0 and r.n_islands == 1
+
+
+class TestCohortLtv:
+    def test_tiny_cohorts(self, spark):
+        from azure_data_engineering_spark.operators.funnel import cohort_ltv_curve
+
+        rows = [
+            # user 1 acquired 2024-01, spends in jan + feb
+            (1, "2024-01-05", 10.0),
+            (1, "2024-02-10", 20.0),
+            # user 2 acquired 2024-01, spends in jan only
+            (2, "2024-01-20", 30.0),
+            # user 3 acquired 2024-02
+            (3, "2024-02-15", 40.0),
+        ]
+        df = spark.createDataFrame(rows, "u long, d string, v double").select(
+            "u", F := None or __import__("pyspark.sql.functions", fromlist=["x"]).to_timestamp("d").alias("ts"), "v"
+        )
+        out = cohort_ltv_curve(df, "u", "ts", "v").collect()
+        got = {(r.cohort_month, r.age_months): r for r in out}
+        jan0 = got[("2024-01", 0)]
+        assert jan0.cohort_users == 2 and jan0.revenue == 40.0
+        jan1 = got[("2024-01", 1)]
+        assert jan1.cum_revenue == 60.0 and jan1.cum_ltv_per_user == 30.0
+        feb0 = got[("2024-02", 0)]
+        assert feb0.cohort_users == 1 and feb0.cum_ltv_per_user == 40.0
