@@ -22246,6 +22246,281 @@ FROM curve ORDER BY cohort_month, age_months
 """
 
 
+def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU (operators/texteval.bleu_corpus, Papineni ACL'02):
+    score a synthetically degraded hypothesis corpus (every 5th token
+    dropped, every 11th substituted — the deterministic stand-in for a
+    model rewrite) against the original documents as references.
+    Clipped n-gram precisions ride (doc, gram) equi-joins of exact
+    long counts; geometric mean + brevity penalty replayed by the
+    oracle through the same 9 dp-rounded ln/exp chain. The eval-side
+    companion to the corpus-shaping operators: a distillation or
+    augmentation pipeline gates on exactly this number."""
+    from azure_data_engineering_spark.functions.text import normalize_text
+    from azure_data_engineering_spark.operators.texteval import bleu_corpus
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda t: t != ""
+    )
+    idx = F.transform(toks, lambda x, i: F.struct(x.alias("t"), i.alias("k")))
+    kept = F.filter(idx, lambda s: s["k"] % 5 != 4)
+    hyp = F.transform(
+        kept,
+        lambda s: F.when(
+            s["k"] % 11 == 10,
+            F.concat(F.lit("tokx"), (s["k"] % 3).cast("string")),
+        ).otherwise(s["t"]),
+    )
+    base = d.select(
+        F.col("doc_id").alias("id"), toks.alias("ref"), hyp.alias("hyp")
+    )
+    return bleu_corpus(base, "id", "hyp", "ref", max_n=4)
+
+
+Q_BLEU_SQL = """
+WITH docs AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS arr
+  FROM documents WHERE doc_id < 300
+), ref_stream AS MATERIALIZED (
+  SELECT id, k, arr[k + 1] AS tok
+  FROM docs, LATERAL unnest(range(len(arr))) AS t(k)
+), hyp_stream AS MATERIALIZED (
+  SELECT id, k,
+         CASE WHEN k % 11 = 10 THEN 'tokx' || CAST(k % 3 AS VARCHAR)
+              ELSE tok END AS tok,
+         row_number() OVER (PARTITION BY id ORDER BY k) - 1 AS rn
+  FROM ref_stream WHERE k % 5 <> 4
+), lens AS (
+  SELECT count(DISTINCT r.id) AS n_docs,
+         (SELECT count(*) FROM hyp_stream) AS hyp_len,
+         (SELECT count(*) FROM ref_stream) AS ref_len
+  FROM ref_stream r
+), hgrams AS MATERIALIZED (
+  SELECT id, rn,
+         tok AS g1,
+         tok || ' ' || lead(tok, 1) OVER w AS g2,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g3,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w AS g4,
+         lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2,
+         lead(tok, 3) OVER w AS l3
+  FROM hyp_stream
+  WINDOW w AS (PARTITION BY id ORDER BY rn)
+), rgrams AS MATERIALIZED (
+  SELECT id, k,
+         tok AS g1,
+         tok || ' ' || lead(tok, 1) OVER w AS g2,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g3,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w AS g4,
+         lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2,
+         lead(tok, 3) OVER w AS l3
+  FROM ref_stream
+  WINDOW w AS (PARTITION BY id ORDER BY k)
+), pn AS (
+  SELECT n,
+         (SELECT sum(least(hc, coalesce(rc, 0)))
+          FROM (SELECT id, gram, count(*) AS hc FROM (
+                  SELECT id, CASE n WHEN 1 THEN g1 WHEN 2 THEN g2
+                                    WHEN 3 THEN g3 ELSE g4 END AS gram
+                  FROM hgrams
+                  WHERE CASE n WHEN 1 THEN TRUE WHEN 2 THEN l1 IS NOT NULL
+                               WHEN 3 THEN l2 IS NOT NULL ELSE l3 IS NOT NULL END
+                ) GROUP BY 1, 2) h
+          LEFT JOIN (SELECT id, gram, count(*) AS rc FROM (
+                  SELECT id, CASE n WHEN 1 THEN g1 WHEN 2 THEN g2
+                                    WHEN 3 THEN g3 ELSE g4 END AS gram
+                  FROM rgrams
+                  WHERE CASE n WHEN 1 THEN TRUE WHEN 2 THEN l1 IS NOT NULL
+                               WHEN 3 THEN l2 IS NOT NULL ELSE l3 IS NOT NULL END
+                ) GROUP BY 1, 2) r USING (id, gram)) AS m,
+         (SELECT count(*) FROM hgrams
+          WHERE CASE n WHEN 1 THEN TRUE WHEN 2 THEN l1 IS NOT NULL
+                       WHEN 3 THEN l2 IS NOT NULL ELSE l3 IS NOT NULL END) AS t
+  FROM (SELECT unnest(ARRAY[1, 2, 3, 4]) AS n)
+), wide AS (
+  SELECT
+    round(max(CASE WHEN n = 1 AND t > 0 THEN CAST(m AS DOUBLE) / t ELSE 0.0 END), 9) AS p1,
+    round(max(CASE WHEN n = 2 AND t > 0 THEN CAST(m AS DOUBLE) / t ELSE 0.0 END), 9) AS p2,
+    round(max(CASE WHEN n = 3 AND t > 0 THEN CAST(m AS DOUBLE) / t ELSE 0.0 END), 9) AS p3,
+    round(max(CASE WHEN n = 4 AND t > 0 THEN CAST(m AS DOUBLE) / t ELSE 0.0 END), 9) AS p4
+  FROM pn
+), bpcalc AS (
+  SELECT n_docs, hyp_len, ref_len, p1, p2, p3, p4,
+         round(CASE WHEN hyp_len >= ref_len THEN 1.0
+               ELSE exp(round(1.0 - CAST(ref_len AS DOUBLE) / hyp_len, 9)) END, 9) AS bp
+  FROM lens, wide
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(hyp_len AS BIGINT) AS hyp_len,
+       CAST(ref_len AS BIGINT) AS ref_len,
+       round(p1, 6) AS p1, round(p2, 6) AS p2,
+       round(p3, 6) AS p3, round(p4, 6) AS p4,
+       round(bp, 6) AS brevity_penalty,
+       round(CASE WHEN p1 <= 0 OR p2 <= 0 OR p3 <= 0 OR p4 <= 0 THEN 0.0
+             ELSE round(bp * exp(round((round(ln(greatest(p1, 1e-300)), 9)
+                  + round(ln(greatest(p2, 1e-300)), 9)
+                  + round(ln(greatest(p3, 1e-300)), 9)
+                  + round(ln(greatest(p4, 1e-300)), 9)) / 4.0, 9)), 9) END, 6) AS bleu
+FROM bpcalc
+"""
+
+
+def _chat_transcripts(spark: SparkSession, sf_dir: str):
+    """Deterministic chat-transcript fixture shared by q_turn_stats
+    and q_chat_loss_mask: each document's normalized tokens are cut
+    into 4-token turns; roles alternate user/assistant (docs ≡ 3 mod
+    7 start with assistant; docs ≡ 5 mod 13 make every 3rd turn
+    'system'). The construction is pure codegen (sequence/transform),
+    so the oracle can recompute every statistic from the formulas
+    while Spark must PARSE the rendered transcript back — a real
+    parser gate."""
+    from azure_data_engineering_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda t: t != ""
+    )
+    base = d.select(F.col("doc_id").alias("id"), toks.alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    L = F.size("toks")
+    n_turns = F.floor((L + 3) / 4).cast("int")
+    off = F.when(F.col("id") % 7 == 3, F.lit(1)).otherwise(F.lit(0))
+    sys_doc = F.col("id") % 13 == 5
+
+    def role(t):
+        return F.when(sys_doc & (t % 3 == 2), F.lit("system")).otherwise(
+            F.when((t + off) % 2 == 0, F.lit("user")).otherwise(
+                F.lit("assistant")
+            )
+        )
+
+    lines = F.transform(
+        F.sequence(F.lit(0), n_turns - 1),
+        lambda t: F.concat(
+            role(t),
+            F.lit(": "),
+            F.array_join(F.slice(F.col("toks"), t * 4 + 1, 4), " "),
+        ),
+    )
+    return base.select("id", F.array_join(lines, "\n").alias("transcript"))
+
+
+_CHAT_FIXTURE_SQL = """
+WITH docs AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS arr
+  FROM documents WHERE doc_id < 400
+), sized AS (
+  SELECT id, len(arr) AS L, (len(arr) + 3) // 4 AS n_turns,
+         CASE WHEN id % 7 = 3 THEN 1 ELSE 0 END AS off,
+         CASE WHEN id % 13 = 5 THEN 1 ELSE 0 END AS sys_doc
+  FROM docs WHERE len(arr) >= 1
+), turns AS MATERIALIZED (
+  SELECT id, L, t,
+         CASE WHEN sys_doc = 1 AND t % 3 = 2 THEN 'system'
+              WHEN (t + off) % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role,
+         least(4, L - 4 * t) AS n_toks,
+         4 * t AS start_pos
+  FROM sized, LATERAL unnest(range(n_turns)) AS u(t)
+)
+"""
+
+
+def q_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-transcript structure validation (operators/chat.
+    chat_turn_stats): turn/role counts, who speaks first,
+    alternation-violation count, and the assistant token share — the
+    SFT-corpus pre-screen run before any transcript becomes a
+    training batch. Spark PARSES the rendered 'role: ...' transcript
+    (regex line walk + per-doc window); the oracle recomputes every
+    number from the generating formulas, so a parser offset bug
+    breaks the hash."""
+    from azure_data_engineering_spark.operators.chat import chat_turn_stats
+
+    tr = _chat_transcripts(spark, sf_dir)
+    return chat_turn_stats(tr, "id", "transcript")
+
+
+Q_TURN_STATS_SQL = (
+    _CHAT_FIXTURE_SQL
+    + """
+, lagged AS (
+  SELECT id, role, n_toks, t,
+         lag(role) OVER (PARTITION BY id ORDER BY t) AS prev_role
+  FROM turns
+)
+SELECT id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+       CAST(0 AS BIGINT) AS n_malformed,
+       CAST(max(CASE WHEN t = 0 THEN CASE WHEN role = 'user' THEN 1 ELSE 0 END END) AS INT)
+         AS starts_with_user,
+       CAST(sum(CASE WHEN role = prev_role AND role <> 'system' THEN 1 ELSE 0 END) AS BIGINT)
+         AS alternation_violations,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN role = 'assistant' THEN n_toks ELSE 0 END) AS BIGINT)
+         AS assistant_tokens,
+       round(CASE WHEN sum(n_toks) > 0
+             THEN CAST(sum(CASE WHEN role = 'assistant' THEN n_toks ELSE 0 END) AS DOUBLE)
+                  / sum(n_toks) END, 6) AS assistant_share
+FROM lagged GROUP BY id
+"""
+)
+
+
+def q_chat_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant-only loss-mask summary (operators/chat.
+    assistant_loss_mask): token spans of the flattened sequence that
+    SFT actually trains on, adjacent assistant turns merged by the
+    island construction — n/loss token counts, span count, first/last
+    offsets, loss ratio. Same parse-vs-formula gate as
+    q_turn_stats."""
+    from azure_data_engineering_spark.operators.chat import assistant_loss_mask
+
+    tr = _chat_transcripts(spark, sf_dir)
+    return assistant_loss_mask(tr, "id", "transcript")
+
+
+Q_CHAT_LOSS_MASK_SQL = (
+    _CHAT_FIXTURE_SQL
+    + """
+, flagged AS (
+  SELECT id, t, n_toks, start_pos,
+         CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN role = 'assistant'
+               AND coalesce(lag(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY id ORDER BY t), 0) = 0
+              THEN 1 ELSE 0 END AS new_span
+  FROM turns
+), spanned AS (
+  SELECT id, t, n_toks, start_pos, is_a,
+         CASE WHEN is_a = 1
+              THEN sum(new_span) OVER (PARTITION BY id ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING) END AS span_id
+  FROM flagged
+)
+SELECT id,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN is_a = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS n_loss_tokens,
+       CAST(count(DISTINCT span_id) AS BIGINT) AS n_spans,
+       CAST(min(CASE WHEN is_a = 1 THEN start_pos END) AS BIGINT) AS first_span_start,
+       CAST(max(CASE WHEN is_a = 1 THEN start_pos + n_toks END) AS BIGINT) AS last_span_end,
+       round(CASE WHEN sum(n_toks) > 0
+             THEN CAST(sum(CASE WHEN is_a = 1 THEN n_toks ELSE 0 END) AS DOUBLE)
+                  / sum(n_toks) END, 6) AS loss_ratio
+FROM spanned GROUP BY id
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r10 prefix holds 4 pins for queries whose code CHANGED this
@@ -22385,6 +22660,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_page_hinkley": q_page_hinkley,
         "q_interval_union": q_interval_union,
         "q_cohort_ltv": q_cohort_ltv,
+        "q_bleu": q_bleu,
+        "q_turn_stats": q_turn_stats,
+        "q_chat_loss_mask": q_chat_loss_mask,
         # ---- rest of registry (driver-sampled in prior rounds) ----
         "q_dau_mau": q_dau_mau,
         "q_tws_liststate": q_tws_liststate,
@@ -23173,4 +23451,7 @@ def oracle_sql() -> dict[str, str]:
         "q_page_hinkley": Q_PAGE_HINKLEY_SQL,
         "q_interval_union": Q_INTERVAL_UNION_SQL,
         "q_cohort_ltv": Q_COHORT_LTV_SQL,
+        "q_bleu": Q_BLEU_SQL,
+        "q_turn_stats": Q_TURN_STATS_SQL,
+        "q_chat_loss_mask": Q_CHAT_LOSS_MASK_SQL,
     }

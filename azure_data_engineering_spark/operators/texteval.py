@@ -1,0 +1,134 @@
+"""Generation-quality text evaluation: corpus BLEU.
+
+The training-data engine's output is consumed by models whose quality
+is read back through n-gram overlap metrics; scoring a candidate
+corpus (distilled rewrites, machine-translated augmentations, OCR
+re-extractions) against references IS a corpus-scale join+aggregate
+problem, not a driver loop. BLEU here is the Papineni et al. (ACL
+2002) corpus formulation: modified (clipped) n-gram precision summed
+over documents, geometric mean over n = 1..max_n, times the brevity
+penalty.
+
+Scale shape: per n, one explode + one (doc, gram) count aggregate per
+side and one equi-join on (doc, gram) — everything rides the (doc,
+gram) key, embarrassingly parallel, no driver round-trips. Counts stay
+exact longs until the final log/exp, whose inputs are exact integer
+ratios rounded to 9 dp so both engines feed libm identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _grams(col, nn):
+    """Adjacent n-gram array from a token array (the zip_with slice
+    idiom shared with quality.distinct_n_diversity — shuffle-free)."""
+    if nn == 1:
+        return col
+    n = F.size(col)
+    parts = [
+        F.slice(col, i + 1, F.greatest(n - nn + 1, F.lit(0))) for i in range(nn)
+    ]
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return g
+
+
+def bleu_corpus(
+    df: DataFrame,
+    id_col: str,
+    hyp_col: str,
+    ref_col: str,
+    max_n: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus BLEU of a hypothesis token-array column against a
+    reference token-array column (single reference per document).
+
+        p_n  = Σ_docs clipped_matches_n / Σ_docs hyp_ngrams_n
+        BP   = 1 if hyp_len ≥ ref_len else exp(1 − ref_len/hyp_len)
+        BLEU = BP · exp(Σ_n (1/max_n)·ln p_n)
+
+    Clipping: per (doc, gram), matches = min(count_hyp, count_ref) —
+    the standard defense against "the the the". Returns ONE row:
+    (n_docs, hyp_len, ref_len, p1..p{max_n}, brevity_penalty, bleu);
+    BLEU is 0 when any p_n is 0 (the corpus-level convention)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(hyp_col).alias("hyp"),
+        F.col(ref_col).alias("ref"),
+    )
+    lens = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("hyp")).cast("long").alias("hyp_len"),
+        F.sum(F.size("ref")).cast("long").alias("ref_len"),
+    )
+    out = lens
+    for nn in range(1, max_n + 1):
+        h = (
+            base.select("id", F.explode(_grams(F.col("hyp"), nn)).alias("gram"))
+            .groupBy("id", "gram")
+            .agg(F.count(F.lit(1)).cast("long").alias("ch"))
+        )
+        r = (
+            base.select("id", F.explode(_grams(F.col("ref"), nn)).alias("gram"))
+            .groupBy("id", "gram")
+            .agg(F.count(F.lit(1)).cast("long").alias("cr"))
+        )
+        joined = h.join(r, ["id", "gram"], "left").select(
+            F.col("ch"), F.coalesce(F.col("cr"), F.lit(0)).alias("cr")
+        )
+        stats = joined.agg(
+            F.sum(F.least(F.col("ch"), F.col("cr"))).cast("long").alias(f"m{nn}"),
+            F.sum("ch").cast("long").alias(f"t{nn}"),
+        )
+        out = out.crossJoin(F.broadcast(stats))
+    ps = [
+        F.round(
+            F.when(
+                F.col(f"t{nn}") > 0,
+                F.col(f"m{nn}").cast("double") / F.col(f"t{nn}").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        )
+        for nn in range(1, max_n + 1)
+    ]
+    bp = F.round(
+        F.when(F.col("hyp_len") >= F.col("ref_len"), F.lit(1.0)).otherwise(
+            F.exp(
+                F.round(
+                    1.0
+                    - F.col("ref_len").cast("double")
+                    / F.col("hyp_len").cast("double"),
+                    9,
+                )
+            )
+        ),
+        9,
+    )
+    any_zero = None
+    for p in ps:
+        z = p <= 0.0
+        any_zero = z if any_zero is None else (any_zero | z)
+    log_sum = None
+    for p in ps:
+        term = F.round(F.log(F.greatest(p, F.lit(1e-300))), 9)
+        log_sum = term if log_sum is None else log_sum + term
+    bleu = F.when(any_zero, F.lit(0.0)).otherwise(
+        F.round(bp * F.exp(F.round(log_sum / float(max_n), 9)), 9)
+    )
+    cols = [
+        "n_docs",
+        "hyp_len",
+        "ref_len",
+        *[
+            F.round(p, round_digits).alias(f"p{nn}")
+            for nn, p in zip(range(1, max_n + 1), ps)
+        ],
+        F.round(bp, round_digits).alias("brevity_penalty"),
+        F.round(bleu, round_digits).alias("bleu"),
+    ]
+    return out.select(*cols)
