@@ -22521,6 +22521,203 @@ FROM spanned GROUP BY id
 )
 
 
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPW causal effect with an IN-PLAN propensity fit (operators/
+    stats.ipw_ate): per-customer frame where treatment assignment is
+    deterministically CONFOUNDED with order count (heavier customers
+    are treated more often), outcome is average spend. The naive diff
+    is biased by construction; the Hajek-stabilized IPW estimate
+    reweights it away, and the per-arm effective sample sizes report
+    the price. Propensity via the logistic_gd fixed-round discipline
+    — 6 rounds, 9 dp-rounded mean gradients — so the oracle replays
+    the exact weight trajectory."""
+    from azure_data_engineering_spark.operators.stats import ipw_ate
+
+    o = _t(spark, sf_dir, "orders")
+    per_c = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.avg(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("avg_price"),
+    )
+    d = per_c.select(
+        (F.col("cnt") / 10.0).alias("x1"),
+        (F.col("avg_price") / 100000.0).alias("x2"),
+        (
+            (F.col("o_custkey") * 37 % 100)
+            < (20 + 6 * F.least(F.col("cnt"), F.lit(10.0)))
+        ).cast("double").alias("treat"),
+        (F.col("avg_price") / 1000.0).alias("y"),
+    )
+    return ipw_ate(d, "treat", "y", "x1", "x2", iterations=6, lr=1.0)
+
+
+def _ipw_oracle_sql(iters: int = 6, lr: float = 1.0) -> str:
+    parts = [
+        """WITH per_c AS MATERIALIZED (
+  SELECT o_custkey, CAST(count(*) AS DOUBLE) AS cnt,
+         CAST(avg(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS avg_price
+  FROM orders GROUP BY 1
+), base AS MATERIALIZED (
+  SELECT cnt / 10.0 AS x1, avg_price / 100000.0 AS x2,
+         CASE WHEN (o_custkey * 37) % 100 < 20 + 6 * least(cnt, 10.0)
+              THEN 1.0 ELSE 0.0 END AS t,
+         avg_price / 1000.0 AS y
+  FROM per_c
+), w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""", g{r} AS MATERIALIZED (
+  SELECT round(avg(p - t), 9) AS g0,
+         round(avg((p - t) * x1), 9) AS g1,
+         round(avg((p - t) * x2), 9) AS g2
+  FROM (SELECT b.t, b.x1, b.x2,
+               1.0 / (1.0 + exp(-(w.w0 + w.w1 * b.x1 + w.w2 * b.x2))) AS p
+        FROM base b, w{r - 1} w)
+), w{r} AS MATERIALIZED (
+  SELECT w.w0 - {lr} * g.g0 AS w0, w.w1 - {lr} * g.g1 AS w1,
+         w.w2 - {lr} * g.g2 AS w2
+  FROM w{r - 1} w, g{r} g
+)"""
+        )
+    parts.append(
+        f""", scored AS (
+  SELECT b.t, b.y, w.w0, w.w1, w.w2,
+         round(CASE WHEN b.t = 1.0
+               THEN 1.0 / least(greatest(1.0 / (1.0 + exp(-(w.w0 + w.w1 * b.x1 + w.w2 * b.x2))), 0.01), 0.99)
+               ELSE 1.0 / (1.0 - least(greatest(1.0 / (1.0 + exp(-(w.w0 + w.w1 * b.x1 + w.w2 * b.x2))), 0.01), 0.99))
+               END, 9) AS wt
+  FROM base b, w{iters} w
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(max(w0), 6) AS w0, round(max(w1), 6) AS w1, round(max(w2), 6) AS w2,
+       round(sum(CASE WHEN t = 1.0 THEN wt * y END) / sum(CASE WHEN t = 1.0 THEN wt END)
+             - sum(CASE WHEN t = 0.0 THEN wt * y END) / sum(CASE WHEN t = 0.0 THEN wt END), 6) AS ate_ipw,
+       round(avg(CASE WHEN t = 1.0 THEN y END) - avg(CASE WHEN t = 0.0 THEN y END), 6) AS naive_diff,
+       round(sum(CASE WHEN t = 1.0 THEN wt END) * sum(CASE WHEN t = 1.0 THEN wt END)
+             / sum(CASE WHEN t = 1.0 THEN wt * wt END), 6) AS ess_treated,
+       round(sum(CASE WHEN t = 0.0 THEN wt END) * sum(CASE WHEN t = 0.0 THEN wt END)
+             / sum(CASE WHEN t = 0.0 THEN wt * wt END), 6) AS ess_control
+FROM scored"""
+    )
+    return "".join(parts)
+
+
+Q_IPW_ATE_SQL = _ipw_oracle_sql(6, 1.0)
+
+
+def q_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards churn model (operators/stats.
+    cox_ph_newton): does per-user activity intensity predict the
+    churn hazard? Same subject frame as q_kaplan_meier (duration =
+    first→last event days, churn = last event >7 days before the
+    global max) plus covariate x = events/10. Four in-plan Newton
+    rounds on the Breslow partial likelihood, risk sets as suffix
+    sums over the distinct-duration histogram; the oracle replays
+    the full β trajectory, SE, and Wald p."""
+    from azure_data_engineering_spark.operators.stats import cox_ph_newton
+
+    ev = _t(spark, sf_dir, "events")
+    per_u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__first"),
+        F.max("ts").alias("__last"),
+        F.count(F.lit(1)).cast("double").alias("__cnt"),
+    )
+    ref = ev.agg(F.max("ts").alias("__ref"))
+    subj = per_u.join(F.broadcast(ref)).select(
+        F.datediff(F.col("__last"), F.col("__first")).cast("long").alias("duration"),
+        (F.col("__last") < F.col("__ref") - F.expr("INTERVAL 7 DAYS"))
+        .cast("int")
+        .alias("churned"),
+        (F.col("__cnt") / 10.0).alias("x"),
+    )
+    return cox_ph_newton(subj, "duration", "churned", "x", iterations=4)
+
+
+def _cox_oracle_sql(iters: int = 4) -> str:
+    head = """WITH per_u AS MATERIALIZED (
+  SELECT user_id, min(ts) AS f, max(ts) AS l, count(*) AS cnt
+  FROM events GROUP BY 1
+), ref AS (SELECT max(ts) AS r FROM events),
+base AS MATERIALIZED (
+  SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS dur,
+         CASE WHEN l < r - INTERVAL 7 DAY THEN 1 ELSE 0 END AS ev,
+         round(cnt / 10.0, 6) AS x
+  FROM per_u, ref
+), b0 AS (SELECT 0.0 AS b)"""
+    parts = [head]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""", pt{r} AS MATERIALIZED (
+  SELECT dur,
+         sum(CAST(round(exp(b.b * x), 9) AS DECIMAL(28,9))) AS c0,
+         sum(CAST(round(exp(b.b * x), 9) AS DECIMAL(28,9)) * CAST(x AS DECIMAL(18,6))) AS c1,
+         sum(CAST(round(exp(b.b * x), 9) AS DECIMAL(28,9)) * CAST(round(x * x, 6) AS DECIMAL(18,6))) AS c2,
+         sum(ev) AS d_t,
+         sum(CASE WHEN ev = 1 THEN CAST(x AS DECIMAL(18,6)) END) AS sx_t
+  FROM base, b{r - 1} b GROUP BY dur
+), cum{r} AS (
+  SELECT dur, d_t, sx_t,
+         round(CAST(sum(c0) OVER w AS DOUBLE), 9) AS s0,
+         round(CAST(sum(c1) OVER w AS DOUBLE), 9) AS s1,
+         round(CAST(sum(c2) OVER w AS DOUBLE), 9) AS s2
+  FROM pt{r}
+  WINDOW w AS (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+), gh{r} AS MATERIALIZED (
+  SELECT round(CAST(sum(CAST(round(CAST(sx_t AS DOUBLE) - d_t * round(s1 / s0, 9), 9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS grad,
+         round(CAST(sum(CAST(round(d_t * (round(s2 / s0, 9) - round(s1 / s0, 9) * round(s1 / s0, 9)), 9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS hess
+  FROM cum{r} WHERE d_t > 0
+), b{r} AS MATERIALIZED (
+  SELECT round(b.b + CASE WHEN g.hess > 0 THEN g.grad / g.hess ELSE 0.0 END, 9) AS b
+  FROM b{r - 1} b, gh{r} g
+)"""
+        )
+    fin = iters + 1
+    parts.append(
+        f""", ptf AS MATERIALIZED (
+  SELECT dur,
+         sum(CAST(round(exp(b.b * x), 9) AS DECIMAL(28,9))) AS c0,
+         sum(CAST(round(exp(b.b * x), 9) AS DECIMAL(28,9)) * CAST(x AS DECIMAL(18,6))) AS c1,
+         sum(CAST(round(exp(b.b * x), 9) AS DECIMAL(28,9)) * CAST(round(x * x, 6) AS DECIMAL(18,6))) AS c2,
+         sum(ev) AS d_t,
+         sum(CASE WHEN ev = 1 THEN CAST(x AS DECIMAL(18,6)) END) AS sx_t
+  FROM base, b{iters} b GROUP BY dur
+), cumf AS (
+  SELECT dur, d_t, sx_t,
+         round(CAST(sum(c0) OVER w AS DOUBLE), 9) AS s0,
+         round(CAST(sum(c1) OVER w AS DOUBLE), 9) AS s1,
+         round(CAST(sum(c2) OVER w AS DOUBLE), 9) AS s2
+  FROM ptf
+  WINDOW w AS (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+), ghf AS (
+  SELECT round(CAST(sum(CAST(round(CAST(sx_t AS DOUBLE) - d_t * round(s1 / s0, 9), 9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS grad,
+         round(CAST(sum(CAST(round(d_t * (round(s2 / s0, 9) - round(s1 / s0, 9) * round(s1 / s0, 9)), 9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS hess
+  FROM cumf WHERE d_t > 0
+), cts AS (SELECT count(*) AS n, sum(ev) AS n_events FROM base),
+sez AS (
+  SELECT n, n_events, b.b, g.hess,
+         round(CASE WHEN g.hess > 0 THEN 1.0 / sqrt(g.hess) END, 9) AS se
+  FROM cts, b{iters} b, ghf g
+), zc AS (
+  SELECT *, round(CASE WHEN se IS NOT NULL THEN b / se END, 9) AS z FROM sez
+), zz AS (SELECT *, round(abs(z) / 1.4142135623730951, 9) AS za FROM zc),
+poly AS (SELECT *, 1.0 / (1.0 + 0.3275911 * za) AS u FROM zz)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_events AS BIGINT) AS n_events,
+       round(b, 6) AS beta, round(exp(b), 6) AS hazard_ratio,
+       round(se, 6) AS se_beta, round(z, 6) AS z,
+       round(CASE WHEN z IS NULL THEN NULL
+             ELSE u * (0.254829592 + u * (-0.284496736 + u * (1.421413741
+                  + u * (-1.453152027 + u * 1.061405429)))) * exp(-(za * za))
+             END, 6) AS p_value
+FROM poly"""
+    )
+    return "".join(parts)
+
+
+Q_COX_PH_SQL = _cox_oracle_sql(4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r10 prefix holds 4 pins for queries whose code CHANGED this
@@ -22663,6 +22860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bleu": q_bleu,
         "q_turn_stats": q_turn_stats,
         "q_chat_loss_mask": q_chat_loss_mask,
+        "q_ipw_ate": q_ipw_ate,
+        "q_cox_ph": q_cox_ph,
         # ---- rest of registry (driver-sampled in prior rounds) ----
         "q_dau_mau": q_dau_mau,
         "q_tws_liststate": q_tws_liststate,
@@ -23454,4 +23653,6 @@ def oracle_sql() -> dict[str, str]:
         "q_bleu": Q_BLEU_SQL,
         "q_turn_stats": Q_TURN_STATS_SQL,
         "q_chat_loss_mask": Q_CHAT_LOSS_MASK_SQL,
+        "q_ipw_ate": Q_IPW_ATE_SQL,
+        "q_cox_ph": Q_COX_PH_SQL,
     }

@@ -3492,3 +3492,218 @@ def srm_check(
         F.round(p_up, round_digits).alias("p_value"),
         (p_up < 0.001).cast("int").alias("srm_flag"),
     )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    x1: str,
+    x2: str,
+    iterations: int = 6,
+    lr: float = 1.0,
+    clip: float = 0.01,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Inverse-propensity-weighted ATE (Horvitz-Thompson weighting
+    applied to causal inference; Hajek-stabilized form) — the
+    observational-confounding seat of the causal family: q_did needs
+    parallel trends, q_iv_wald an instrument, q_rdd a threshold,
+    stratified_ate discrete confounders; IPW handles CONTINUOUS
+    confounders by modeling treatment assignment itself.
+
+    The propensity e(x) = σ(w0 + w1·x1 + w2·x2) is fit IN-PLAN by the
+    module's fixed-round full-batch GD (the mlplan.logistic_gd
+    trajectory discipline: mean gradient rounded to 9 dp per round, so
+    every engine walks identical weights). Propensities are clipped to
+    [clip, 1−clip] (positivity), weights are Hajek-normalized per arm,
+    and the effective sample sizes (Σw)²/Σw² report how much the
+    weighting cost. Returns one row: (n, w0, w1, w2, ate_ipw,
+    naive_diff, ess_treated, ess_control)."""
+    base = df.select(
+        F.col(x1).cast("double").alias("x1"),
+        F.col(x2).cast("double").alias("x2"),
+        F.col(treat_col).cast("double").alias("t"),
+        F.col(outcome_col).cast("double").alias("y"),
+    )
+    spark = df.sparkSession
+    w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
+    for _ in range(iterations):
+        z = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = base.crossJoin(F.broadcast(w)).agg(
+            F.round(F.avg(p - F.col("t")), 9).alias("g0"),
+            F.round(F.avg((p - F.col("t")) * F.col("x1")), 9).alias("g1"),
+            F.round(F.avg((p - F.col("t")) * F.col("x2")), 9).alias("g2"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                (F.col("w0") - lr * F.col("g0")).alias("w0"),
+                (F.col("w1") - lr * F.col("g1")).alias("w1"),
+                (F.col("w2") - lr * F.col("g2")).alias("w2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    z = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    e = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    ec = F.round(
+        F.least(F.greatest(e, F.lit(float(clip))), F.lit(1.0 - float(clip))), 9
+    )
+    wt = F.round(
+        F.when(F.col("t") == 1.0, 1.0 / ec).otherwise(1.0 / (1.0 - ec)), 9
+    )
+    scored = base.crossJoin(F.broadcast(w)).select(
+        "t", "y", "w0", "w1", "w2", wt.alias("wt")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("w0").alias("w0"),
+        F.max("w1").alias("w1"),
+        F.max("w2").alias("w2"),
+        F.sum(F.when(F.col("t") == 1.0, F.col("wt") * F.col("y"))).alias("swy1"),
+        F.sum(F.when(F.col("t") == 1.0, F.col("wt"))).alias("sw1"),
+        F.sum(F.when(F.col("t") == 1.0, F.col("wt") * F.col("wt"))).alias("sww1"),
+        F.sum(F.when(F.col("t") == 0.0, F.col("wt") * F.col("y"))).alias("swy0"),
+        F.sum(F.when(F.col("t") == 0.0, F.col("wt"))).alias("sw0"),
+        F.sum(F.when(F.col("t") == 0.0, F.col("wt") * F.col("wt"))).alias("sww0"),
+        F.avg(F.when(F.col("t") == 1.0, F.col("y"))).alias("my1"),
+        F.avg(F.when(F.col("t") == 0.0, F.col("y"))).alias("my0"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("w0"), round_digits).alias("w0"),
+        F.round(F.col("w1"), round_digits).alias("w1"),
+        F.round(F.col("w2"), round_digits).alias("w2"),
+        F.round(
+            F.col("swy1") / F.col("sw1") - F.col("swy0") / F.col("sw0"),
+            round_digits,
+        ).alias("ate_ipw"),
+        F.round(F.col("my1") - F.col("my0"), round_digits).alias("naive_diff"),
+        F.round(
+            F.col("sw1") * F.col("sw1") / F.col("sww1"), round_digits
+        ).alias("ess_treated"),
+        F.round(
+            F.col("sw0") * F.col("sw0") / F.col("sww0"), round_digits
+        ).alias("ess_control"),
+    )
+
+
+def cox_ph_newton(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col: str,
+    iterations: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cox proportional-hazards fit, single covariate, Breslow ties,
+    by fixed-round NEWTON iteration entirely in-plan — the regression
+    seat of the survival family (kaplan_meier describes, nelson_aalen
+    accumulates, logrank_test compares two groups; Cox quantifies a
+    continuous risk factor). Partial-likelihood score and information
+    at β:
+
+        U(β) = Σ_deaths [x_i − S1(t_i)/S0(t_i)]
+        I(β) = Σ_deaths d_t·[S2/S0 − (S1/S0)²]
+        Sk(t) = Σ_{j: T_j ≥ t} x_jᵏ·exp(β x_j)
+
+    Each round: one exp-scoring pass collapsed to the distinct-time
+    histogram (the kaplan_meier collapse — risk sets are SUFFIX
+    cumulative sums over that KB-sized frame, not row-scale), one
+    window, one 2-number reduce, β ← β + U/I rounded to 9 dp (the
+    logistic_gd trajectory discipline). Returns one row: (n, n_events,
+    beta, hazard_ratio, se_beta, z, p_value) with SE = 1/√I(β̂) from a
+    final pass and p through the shared A&S erfc."""
+    base = df.select(
+        F.col(time_col).cast("long").alias("dur"),
+        F.col(event_col).cast("int").alias("ev"),
+        F.round(F.col(x_col).cast("double"), 6).alias("x"),
+    )
+    spark = df.sparkSession
+    beta = spark.createDataFrame([(0.0,)], "b double")
+    w_suffix = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def _pass(b_frame):
+        """One scoring pass at β: per-distinct-time histogram with
+        suffix risk sums; returns the (grad, hess) 1-row frame."""
+        exb = F.round(F.exp(F.col("b") * F.col("x")), 9).cast("decimal(28,9)")
+        x6 = F.col("x").cast("decimal(18,6)")
+        u2 = F.round(F.col("x") * F.col("x"), 6).cast("decimal(18,6)")
+        per_t = (
+            base.crossJoin(F.broadcast(b_frame))
+            .groupBy("dur")
+            .agg(
+                F.sum(exb).alias("c0"),
+                F.sum(exb * x6).alias("c1"),
+                F.sum(exb * u2).alias("c2"),
+                F.sum("ev").cast("long").alias("d_t"),
+                F.sum(F.when(F.col("ev") == 1, x6)).alias("sx_t"),
+            )
+        )
+        cum = per_t.select(
+            "dur",
+            "d_t",
+            "sx_t",
+            F.round(F.sum("c0").over(w_suffix).cast("double"), 9).alias("s0"),
+            F.round(F.sum("c1").over(w_suffix).cast("double"), 9).alias("s1"),
+            F.round(F.sum("c2").over(w_suffix).cast("double"), 9).alias("s2"),
+        ).filter(F.col("d_t") > 0)
+        ratio1 = F.round(F.col("s1") / F.col("s0"), 9)
+        ratio2 = F.round(F.col("s2") / F.col("s0"), 9)
+        return cum.agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("sx_t").cast("double") - F.col("d_t") * ratio1, 9
+                    ).cast("decimal(28,9)")
+                ).cast("double"),
+                9,
+            ).alias("grad"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("d_t") * (ratio2 - ratio1 * ratio1), 9
+                    ).cast("decimal(28,9)")
+                ).cast("double"),
+                9,
+            ).alias("hess"),
+        )
+
+    for _ in range(iterations):
+        gh = _pass(beta)
+        beta = (
+            beta.crossJoin(F.broadcast(gh))
+            .select(
+                F.round(
+                    F.col("b")
+                    + F.when(
+                        F.col("hess") > 0, F.col("grad") / F.col("hess")
+                    ).otherwise(F.lit(0.0)),
+                    9,
+                ).alias("b")
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = _pass(beta)
+    counts = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ev").cast("long").alias("n_events"),
+    )
+    out = counts.crossJoin(F.broadcast(beta)).crossJoin(F.broadcast(final))
+    se = F.round(F.when(F.col("hess") > 0, 1.0 / F.sqrt(F.col("hess"))), 9)
+    z = F.round(F.when(se.isNotNull(), F.col("b") / se), 9)
+    return out.select(
+        "n",
+        "n_events",
+        F.round(F.col("b"), round_digits).alias("beta"),
+        F.round(F.exp(F.col("b")), round_digits).alias("hazard_ratio"),
+        F.round(se, round_digits).alias("se_beta"),
+        F.round(z, round_digits).alias("z"),
+        F.round(
+            F.when(z.isNotNull(), _erfc_two_sided(F.abs(z))), round_digits
+        ).alias("p_value"),
+    )
