@@ -22718,6 +22718,369 @@ FROM poly"""
 Q_COX_PH_SQL = _cox_oracle_sql(4)
 
 
+def q_svm_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear SVM on the logistic_gd feature pair (operators/mlplan.
+    svm_gd): max-margin hinge-loss twin of q_logistic_gd — same
+    fixed-round in-plan trajectory discipline (8 rounds, 9 dp-rounded
+    mean subgradients, unregularized bias), so the two classifiers'
+    decision boundaries are directly comparable on identical
+    features. Oracle replays the unrolled subgradient walk."""
+    from azure_data_engineering_spark.operators.mlplan import svm_gd
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("t"),
+    )
+    return svm_gd(d, "x1", "x2", "t", iterations=8, lr=0.5, reg=0.01)
+
+
+def _svm_oracle_sql(iters: int = 8, lr: float = 0.5, reg: float = 0.01) -> str:
+    parts = [
+        """WITH base AS MATERIALIZED (
+  SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE -1.0 END AS t
+  FROM lineitem
+), w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""", g{r} AS MATERIALIZED (
+  SELECT round(avg(-v * t), 9) AS g0,
+         round(max(w1) * {reg} - avg(v * t * x1), 9) AS g1,
+         round(max(w2) * {reg} - avg(v * t * x2), 9) AS g2
+  FROM (SELECT b.t, b.x1, b.x2, w.w1, w.w2,
+               CASE WHEN b.t * (w.w0 + w.w1 * b.x1 + w.w2 * b.x2) < 1.0
+                    THEN 1.0 ELSE 0.0 END AS v
+        FROM base b, w{r - 1} w)
+), w{r} AS MATERIALIZED (
+  SELECT round(w.w0 - {lr} * g.g0, 9) AS w0,
+         round(w.w1 - {lr} * g.g1, 9) AS w1,
+         round(w.w2 - {lr} * g.g2, 9) AS w2
+  FROM w{r - 1} w, g{r} g
+)"""
+        )
+    parts.append(
+        f""", scored AS (
+  SELECT b.t, w.w0, w.w1, w.w2,
+         b.t * (w.w0 + w.w1 * b.x1 + w.w2 * b.x2) AS m,
+         CASE WHEN w.w0 + w.w1 * b.x1 + w.w2 * b.x2 >= 0 THEN 1.0 ELSE -1.0 END AS pred
+  FROM base b, w{iters} w
+)
+SELECT round(max(w0), 6) AS w0, round(max(w1), 6) AS w1, round(max(w2), 6) AS w2,
+       round(avg(CASE WHEN pred = t THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+       round(avg(greatest(0.0, 1.0 - m)), 6) AS hinge_loss,
+       CAST(sum(CASE WHEN m < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS margin_violations
+FROM scored"""
+    )
+    return "".join(parts)
+
+
+Q_SVM_GD_SQL = _svm_oracle_sql(8, 0.5, 0.01)
+
+
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per order priority
+    (operators/timeseries.croston_forecast): daily demand = orders
+    from the sparse 1-in-37 customer cohort, zero-filled over the
+    full order-date spine — the mostly-zeros shape plain SES smears.
+    Closed-form SES chains for demand size and inter-demand interval
+    (12 dp-rounded pow factors), SBA bias correction alongside."""
+    from azure_data_engineering_spark.operators.timeseries import croston_forecast
+
+    o = _t(spark, sf_dir, "orders")
+    days = o.select(F.col("o_orderdate").alias("d")).distinct()
+    groups = o.select(F.col("o_orderpriority").alias("g")).distinct()
+    spine = groups.crossJoin(days)
+    demand = (
+        o.filter(F.col("o_custkey") % 37 == 0)
+        .groupBy(
+            F.col("o_orderpriority").alias("g"), F.col("o_orderdate").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    series = spine.join(demand, ["g", "d"], "left").select(
+        "g", "d", F.coalesce(F.col("x"), F.lit(0.0)).alias("x")
+    )
+    return croston_forecast(series, "g", "d", "x", alpha=0.2).orderBy("group")
+
+
+Q_CROSTON_SQL = """
+WITH days AS (SELECT DISTINCT o_orderdate AS d FROM orders),
+grps AS (SELECT DISTINCT o_orderpriority AS g FROM orders),
+spine AS (SELECT g, d FROM grps CROSS JOIN days),
+demand AS (
+  SELECT o_orderpriority AS g, o_orderdate AS d,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM orders WHERE o_custkey % 37 = 0 GROUP BY 1, 2
+), series AS (
+  SELECT s.g, s.d, round(coalesce(m.x, 0.0), 6) AS x,
+         row_number() OVER (PARTITION BY s.g ORDER BY s.d) AS idx
+  FROM spine s LEFT JOIN demand m ON s.g = m.g AND s.d = m.d
+), totals AS (
+  SELECT g, count(*) AS n_periods FROM series GROUP BY 1
+), nz AS (
+  SELECT g, d, x, idx,
+         row_number() OVER (PARTITION BY g ORDER BY d) AS i,
+         lag(idx) OVER (PARTITION BY g ORDER BY d) AS prev_idx
+  FROM series WHERE x > 0
+), nn AS (
+  SELECT g, x, i, max(i) OVER (PARTITION BY g) AS N,
+         CAST(idx - prev_idx AS DOUBLE) AS gap
+  FROM nz
+), terms AS (
+  SELECT g, i, N,
+         round(CASE WHEN i = 1
+               THEN round(pow(0.8, CAST(N - i AS DOUBLE)), 12) * x
+               ELSE 0.2 * round(pow(0.8, CAST(N - i AS DOUBLE)), 12) * x END, 9) AS z_term,
+         CASE WHEN i >= 2 THEN
+           round(CASE WHEN i = 2
+                 THEN round(pow(0.8, CAST(N - i AS DOUBLE)), 12) * gap
+                 ELSE 0.2 * round(pow(0.8, CAST(N - i AS DOUBLE)), 12) * gap END, 9)
+         END AS p_term
+  FROM nn
+), agg AS (
+  SELECT g, max(N) AS n_demands,
+         round(CAST(sum(CAST(z_term AS DECIMAL(28,9))) AS DOUBLE), 9) AS z_hat,
+         round(CAST(sum(CAST(p_term AS DECIMAL(28,9))) AS DOUBLE), 9) AS p_hat
+  FROM terms GROUP BY 1
+), joined AS (
+  SELECT t.g, t.n_periods, coalesce(a.n_demands, 0) AS n_demands,
+         a.z_hat, a.p_hat,
+         round(CASE WHEN a.p_hat > 0 THEN a.z_hat / a.p_hat END, 9) AS fc
+  FROM totals t LEFT JOIN agg a ON t.g = a.g
+)
+SELECT g AS "group", CAST(n_periods AS BIGINT) AS n_periods,
+       CAST(n_demands AS BIGINT) AS n_demands,
+       round(z_hat, 6) AS z_hat, round(p_hat, 6) AS p_hat,
+       round(fc, 6) AS croston_forecast,
+       round(0.9 * fc, 6) AS sba_forecast
+FROM joined ORDER BY 1
+"""
+
+
+def q_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration screen between the daily view and
+    click series (operators/timeseries.engle_granger_coint): step-1
+    OLS on levels, step-2 no-constant Dickey-Fuller on the residual,
+    DF stat vs the MacKinnon 5% critical value — the spurious-
+    regression guard q_granger's short-lag F test can't provide.
+    Zero-filled shared day spine; every moment exact-decimal."""
+    from azure_data_engineering_spark.operators.timeseries import (
+        engle_granger_coint,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(F.date_format("ts", "yyyy-MM-dd").alias("t")).distinct()
+    per = (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("t"),
+            F.col("event_type").alias("et"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    wide = (
+        days.join(
+            per.filter(F.col("et") == "click").select("t", F.col("c").alias("y")),
+            "t",
+            "left",
+        )
+        .join(
+            per.filter(F.col("et") == "view").select("t", F.col("c").alias("x")),
+            "t",
+            "left",
+        )
+        .select(
+            "t",
+            F.coalesce(F.col("y"), F.lit(0.0)).alias("y"),
+            F.coalesce(F.col("x"), F.lit(0.0)).alias("x"),
+        )
+    )
+    return engle_granger_coint(wide, "t", "y", "x")
+
+
+Q_COINTEGRATION_SQL = """
+WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS t FROM events),
+per AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS t, event_type AS et,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+), wide AS (
+  SELECT d.t,
+         round(coalesce(y.c, 0.0), 6) AS y,
+         round(coalesce(x.c, 0.0), 6) AS x
+  FROM days d
+  LEFT JOIN (SELECT t, c FROM per WHERE et = 'click') y ON d.t = y.t
+  LEFT JOIN (SELECT t, c FROM per WHERE et = 'view') x ON d.t = x.t
+), mom AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS sx,
+         sum(CAST(round(y, 6) AS DECIMAL(28,6))) AS sy,
+         sum(CAST(round(x, 6) AS DECIMAL(28,6)) * CAST(round(x, 6) AS DECIMAL(18,6))) AS sxx,
+         sum(CAST(round(x, 6) AS DECIMAL(28,6)) * CAST(round(y, 6) AS DECIMAL(18,6))) AS sxy
+  FROM wide
+), fit AS (
+  SELECT n,
+         round(round(CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 9)
+               / round(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 9), 9) AS b,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my
+  FROM mom
+), fit2 AS (
+  SELECT n, b, round(my - b * mx, 9) AS a FROM fit
+), resid AS (
+  SELECT w.t, f.n, f.a, f.b,
+         round(w.y - f.a - f.b * w.x, 9) AS e
+  FROM wide w, fit2 f
+), lagged AS (
+  SELECT t, n, a, b, e,
+         lag(e) OVER (ORDER BY t) AS e1
+  FROM resid
+), dd AS (
+  SELECT n, a, b, count(*) AS m,
+         round(CAST(sum(CAST(round(e1 * round(e - e1, 9), 9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS s_ed,
+         round(CAST(sum(CAST(round(e1 * e1, 9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS s_ee,
+         round(CAST(sum(CAST(round(round(e - e1, 9) * round(e - e1, 9), 9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS s_dd
+  FROM lagged WHERE e1 IS NOT NULL GROUP BY 1, 2, 3
+), calc AS (
+  SELECT n, a, b, m, round(s_ed / s_ee, 9) AS rho, s_ed, s_ee, s_dd FROM dd
+), calc2 AS (
+  SELECT n, a, b, rho,
+         round((s_dd - rho * s_ed) / (m - 1.0), 9) AS sig2, s_ee
+  FROM calc
+), final AS (
+  SELECT n, a, b, rho,
+         round(rho / sqrt(sig2 / s_ee), 9) AS df_stat
+  FROM calc2
+)
+SELECT CAST(n AS BIGINT) AS n, round(b, 6) AS slope, round(a, 6) AS intercept,
+       round(rho, 6) AS rho, round(df_stat, 6) AS df_stat,
+       CAST(CASE WHEN df_stat < -3.34 THEN 1 ELSE 0 END AS INT) AS coint_flag
+FROM final
+"""
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity audit of a given partition
+    (operators/graph.modularity_score): per-community intra-edge
+    counts, total degree, and Q contribution — the score every
+    community detector optimizes, factored out so ANY assignment
+    (here the deterministic residue partition of the synthetic
+    customer graph) can be audited. Two assignment joins + two
+    aggregates, no iteration."""
+    from azure_data_engineering_spark.operators.graph import modularity_score
+
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            (F.col("o_custkey") % 120).alias("src"),
+            ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 120).alias("dst"),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    assign = nodes.select("node", (F.col("node") % 5).alias("community"))
+    return modularity_score(edges, assign).orderBy("community")
+
+
+Q_MODULARITY_SQL = """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 120 AS u,
+         (o_custkey * 7 + o_orderkey) % 120 AS v
+  FROM orders WHERE o_custkey % 120 < (o_custkey * 7 + o_orderkey) % 120
+), m AS (SELECT count(*) AS m FROM edges),
+nodes AS (
+  SELECT DISTINCT n FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+), assign AS (
+  SELECT n, n % 5 AS c FROM nodes
+), deg AS (
+  SELECT n, count(*) AS k
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) GROUP BY 1
+), comm_deg AS (
+  SELECT a.c AS community, count(*) AS n_nodes,
+         sum(coalesce(d.k, 0)) AS total_degree
+  FROM assign a LEFT JOIN deg d ON a.n = d.n GROUP BY 1
+), intra AS (
+  SELECT au.c AS community, count(*) AS internal_edges
+  FROM edges e
+  JOIN assign au ON e.u = au.n
+  JOIN assign av ON e.v = av.n
+  WHERE au.c = av.c GROUP BY 1
+)
+SELECT cd.community, CAST(cd.n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+       CAST(cd.total_degree AS BIGINT) AS total_degree,
+       round(CAST(coalesce(i.internal_edges, 0) AS DOUBLE) / m.m
+             - round(CAST(cd.total_degree AS DOUBLE) / (2.0 * m.m), 9)
+               * round(CAST(cd.total_degree AS DOUBLE) / (2.0 * m.m), 9), 6)
+         AS q_contrib
+FROM comm_deg cd LEFT JOIN intra i ON cd.community = i.community, m
+ORDER BY cd.community
+"""
+
+
+def q_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path DAG layering (operators/graph.
+    dag_longest_path_layers): the critical-path / dependency-depth
+    computation over a synthetic acyclic order graph (edges always
+    point to a node ≥40 ids ahead, bounding depth ≤ 12 — the
+    structural bound the fixed 12 relaxation rounds ride). The
+    oracle replays all 12 unrolled relax-max rounds, so an
+    off-by-one in the join-aggregate loop breaks the hash."""
+    from azure_data_engineering_spark.operators.graph import (
+        dag_longest_path_layers,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            (F.col("o_orderkey") % 400).alias("src"),
+            (
+                F.col("o_orderkey") % 400 + 40 + F.col("o_custkey") % 30
+            ).alias("dst"),
+        )
+        .filter(F.col("dst") <= 450)
+        .distinct()
+    )
+    return dag_longest_path_layers(edges, iterations=12).orderBy("node")
+
+
+def _topo_oracle_sql(iters: int = 12) -> str:
+    head = """WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o_orderkey % 400 AS u,
+         o_orderkey % 400 + 40 + o_custkey % 30 AS v
+  FROM orders WHERE o_orderkey % 400 + 40 + o_custkey % 30 <= 450
+), l0 AS (
+  SELECT n AS node, CAST(0 AS BIGINT) AS layer
+  FROM (SELECT DISTINCT n FROM
+        (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges))
+)"""
+    parts = [head]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""", l{r} AS MATERIALIZED (
+  SELECT node, CAST(max(layer) AS BIGINT) AS layer FROM (
+    SELECT node, layer FROM l{r - 1}
+    UNION ALL
+    SELECT e.v AS node, l.layer + 1 AS layer
+    FROM edges e JOIN l{r - 1} l ON l.node = e.u
+  ) GROUP BY node
+)"""
+        )
+    parts.append(f"\nSELECT node, layer FROM l{iters} ORDER BY node")
+    return "".join(parts)
+
+
+Q_TOPO_LAYERS_SQL = _topo_oracle_sql(12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r10 prefix holds 4 pins for queries whose code CHANGED this
@@ -22862,6 +23225,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chat_loss_mask": q_chat_loss_mask,
         "q_ipw_ate": q_ipw_ate,
         "q_cox_ph": q_cox_ph,
+        "q_svm_gd": q_svm_gd,
+        "q_croston": q_croston,
+        "q_cointegration": q_cointegration,
+        "q_modularity": q_modularity,
+        "q_topo_layers": q_topo_layers,
         # ---- rest of registry (driver-sampled in prior rounds) ----
         "q_dau_mau": q_dau_mau,
         "q_tws_liststate": q_tws_liststate,
@@ -23655,4 +24023,9 @@ def oracle_sql() -> dict[str, str]:
         "q_chat_loss_mask": Q_CHAT_LOSS_MASK_SQL,
         "q_ipw_ate": Q_IPW_ATE_SQL,
         "q_cox_ph": Q_COX_PH_SQL,
+        "q_svm_gd": Q_SVM_GD_SQL,
+        "q_croston": Q_CROSTON_SQL,
+        "q_cointegration": Q_COINTEGRATION_SQL,
+        "q_modularity": Q_MODULARITY_SQL,
+        "q_topo_layers": Q_TOPO_LAYERS_SQL,
     }

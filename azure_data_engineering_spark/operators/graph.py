@@ -1112,3 +1112,122 @@ def degree_assortativity(
         F.col("m").alias("n_edges"),
         F.round(F.when(den > 0, num / den), round_digits).alias("assortativity"),
     )
+
+
+def modularity_score(
+    edges: DataFrame,
+    assign: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    comm_col: str = "community",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Newman-Girvan modularity of a GIVEN partition (Newman & Girvan
+    2004) — the quality score every community detector (this module's
+    label_propagation included) is implicitly optimizing, factored
+    out as its own operator so ANY assignment (LPA, k-means on
+    embeddings, a business taxonomy) can be audited on the same
+    scale:
+
+        Q = Σ_c [ e_c/m − (d_c/2m)² ]
+
+    with m undirected edges, e_c intra-community edges, d_c the total
+    degree of community c. Scale shape: two broadcast-sized joins of
+    the edge list against the assignment (on src, then dst), one
+    community aggregate, one degree aggregate — no iteration, no
+    all-pairs. Returns per community: (community, n_nodes,
+    internal_edges, total_degree, q_contrib); Σ q_contrib is the
+    partition's modularity."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    a = assign.select(
+        F.col(node_col).alias("n"), F.col(comm_col).alias("c")
+    )
+    m = e.count()
+    tagged = (
+        e.join(a.withColumnRenamed("n", "u").withColumnRenamed("c", "cu"), "u")
+        .join(a.withColumnRenamed("n", "v").withColumnRenamed("c", "cv"), "v")
+    )
+    intra = (
+        tagged.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    comm_deg = (
+        a.join(deg, "n", "left")
+        .groupBy(F.col("c").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("long").alias(
+                "total_degree"
+            ),
+        )
+    )
+    out = comm_deg.join(intra, "community", "left").select(
+        "community",
+        "n_nodes",
+        F.coalesce(F.col("internal_edges"), F.lit(0)).alias("internal_edges"),
+        "total_degree",
+        F.round(
+            F.coalesce(F.col("internal_edges"), F.lit(0)).cast("double")
+            / F.lit(float(m))
+            - F.round(
+                F.col("total_degree").cast("double") / F.lit(2.0 * m), 9
+            )
+            ** 2,
+            round_digits,
+        ).alias("q_contrib"),
+    )
+    return out
+
+
+def dag_longest_path_layers(
+    edges: DataFrame,
+    iterations: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Longest-path layering of a DAG (the critical-path / topological
+    -level computation behind build schedulers, lineage depth, and
+    dependency-aware batching): layer(v) = 1 + max layer over v's
+    predecessors, sources at 0. Computed by `iterations` rounds of
+    edge relaxation — each round one join of the current layer frame
+    with the edge list + one max-aggregate (the bfs_hops/sssp
+    fixed-round discipline; lineage truncated every 4 rounds).
+    `iterations` must be ≥ the DAG's depth for a fixed point — the
+    caller's structural bound, same contract as bfs_hops' max_hops.
+    Returns (node, layer) for every node appearing in the edge
+    list."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    layers = nodes.select("node", F.lit(0).cast("long").alias("layer"))
+    for r in range(iterations):
+        relaxed = (
+            e.join(
+                layers.withColumnRenamed("node", "u").withColumnRenamed(
+                    "layer", "lu"
+                ),
+                "u",
+            )
+            .select(F.col("v").alias("node"), (F.col("lu") + 1).alias("layer"))
+        )
+        layers = (
+            layers.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.max("layer").cast("long").alias("layer"))
+        )
+        if (r + 1) % 4 == 0:
+            layers = layers.localCheckpoint(eager=True)
+    return layers

@@ -1643,3 +1643,80 @@ def bradley_terry(
         )
         .orderBy("item")
     )
+
+
+def svm_gd(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    iterations: int = 8,
+    lr: float = 0.5,
+    reg: float = 0.01,
+    grad_decimals: int = 9,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Linear SVM by full-batch subgradient descent on the L2-
+    regularized hinge loss — the max-margin counterpart of
+    logistic_gd (same fixed-round in-plan trajectory discipline:
+    1-row weight frame broadcast per round, mean subgradient rounded
+    to grad_decimals, localCheckpoint truncating lineage).
+
+        g_w = λw − mean(y_i·x_i · 1[y_i·(w·x_i) < 1])
+        (bias unregularized, the standard convention)
+
+    `y` must be ±1. Returns 1 row: (w0, w1, w2, accuracy, hinge_loss,
+    margin_violations) at the final weights."""
+    base = df.select(
+        F.col(x1).cast("double").alias("x1"),
+        F.col(x2).cast("double").alias("x2"),
+        F.col(y).cast("double").alias("t"),
+    )
+    spark = df.sparkSession
+    w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
+    for _ in range(iterations):
+        m = F.col("t") * (
+            F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+        )
+        viol = (m < 1.0).cast("double")
+        g = base.crossJoin(F.broadcast(w)).agg(
+            F.round(F.avg(-viol * F.col("t")), grad_decimals).alias("g0"),
+            F.round(
+                F.first("w1") * F.lit(float(reg))
+                - F.avg(viol * F.col("t") * F.col("x1")),
+                grad_decimals,
+            ).alias("g1"),
+            F.round(
+                F.first("w2") * F.lit(float(reg))
+                - F.avg(viol * F.col("t") * F.col("x2")),
+                grad_decimals,
+            ).alias("g2"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                F.round(F.col("w0") - lr * F.col("g0"), grad_decimals).alias("w0"),
+                F.round(F.col("w1") - lr * F.col("g1"), grad_decimals).alias("w1"),
+                F.round(F.col("w2") - lr * F.col("g2"), grad_decimals).alias("w2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    m = F.col("t") * (
+        F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    )
+    pred = F.when(
+        F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2") >= 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    return base.crossJoin(F.broadcast(w)).agg(
+        F.round(F.first("w0"), out_decimals).alias("w0"),
+        F.round(F.first("w1"), out_decimals).alias("w1"),
+        F.round(F.first("w2"), out_decimals).alias("w2"),
+        F.round(F.avg((pred == F.col("t")).cast("double")), out_decimals).alias(
+            "accuracy"
+        ),
+        F.round(
+            F.avg(F.greatest(F.lit(0.0), 1.0 - m)), out_decimals
+        ).alias("hinge_loss"),
+        F.sum((m < 1.0).cast("long")).alias("margin_violations"),
+    )

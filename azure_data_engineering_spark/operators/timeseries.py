@@ -1512,3 +1512,192 @@ def page_hinkley(
         F.round("ph_t", round_digits).alias("ph_t"),
         (F.col("ph_t") > F.lit(float(lam))).cast("int").alias("alarm"),
     )
+
+
+def croston_forecast(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972; the
+    SBA bias correction of Syntetos & Boylan 2005 rides along) — the
+    forecaster for series that are mostly zeros (spare parts, long-
+    tail SKU demand, rare event classes), where plain SES smears mass
+    across the zero gaps. Separate SES estimates for nonzero demand
+    SIZE ẑ and inter-demand INTERVAL p̂, updated only at demand
+    points; forecast per period = ẑ/p̂, SBA = (1−α/2)·ẑ/p̂.
+
+    Both SES chains are computed CLOSED-FORM (the ewma_control_chart
+    discipline — no recursion): after N demands,
+    ẑ = (1−α)^{N−1}z₁ + α·Σ_{i≥2}(1−α)^{N−i}zᵢ, each pow factor
+    rounded to 12 dp so libm's last-ulp spread cannot compound, each
+    product rounded to 9 dp and summed as decimals. Intervals are
+    position gaps between consecutive demand periods (first demand
+    seeds no interval). Series with <2 demands emit NULL p̂/forecast.
+    Returns per group: (group, n_periods, n_demands, z_hat, p_hat,
+    croston_forecast, sba_forecast)."""
+    a = float(alpha)
+    wg = Window.partitionBy("g").orderBy("t")
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(time_col).alias("t"),
+        F.round(F.col(value_col).cast("double"), 6).alias("x"),
+    ).withColumn("idx", F.row_number().over(wg))
+    totals = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods")
+    )
+    nz = base.filter(F.col("x") > 0).withColumn(
+        "i", F.row_number().over(wg)
+    ).withColumn("prev_idx", F.lag("idx").over(wg))
+    wn = Window.partitionBy("g")
+    nz = nz.withColumn("N", F.max("i").over(wn)).withColumn(
+        "gap", (F.col("idx") - F.col("prev_idx")).cast("double")
+    )
+    # demand-size SES: weight (1-a)^(N-i), alpha factor except i=1
+    powz = F.round(F.pow(F.lit(1.0 - a), (F.col("N") - F.col("i")).cast("double")), 12)
+    z_term = F.round(
+        F.when(F.col("i") == 1, powz * F.col("x")).otherwise(
+            F.lit(a) * powz * F.col("x")
+        ),
+        9,
+    )
+    # interval SES over gaps j = i-1 = 1..N-1 (rows with i >= 2)
+    powp = F.round(
+        F.pow(F.lit(1.0 - a), (F.col("N") - F.col("i")).cast("double")), 12
+    )
+    p_term = F.round(
+        F.when(F.col("i") == 2, powp * F.col("gap")).otherwise(
+            F.lit(a) * powp * F.col("gap")
+        ),
+        9,
+    )
+    agg = nz.groupBy("g").agg(
+        F.max("N").cast("long").alias("n_demands"),
+        F.round(
+            F.sum(z_term.cast("decimal(28,9)")).cast("double"), 9
+        ).alias("z_hat"),
+        F.round(
+            F.sum(
+                F.when(F.col("i") >= 2, p_term).cast("decimal(28,9)")
+            ).cast("double"),
+            9,
+        ).alias("p_hat"),
+    )
+    out = totals.join(agg, "g", "left")
+    fc = F.round(
+        F.when(F.col("p_hat") > 0, F.col("z_hat") / F.col("p_hat")), 9
+    )
+    return out.select(
+        F.col("g").alias("group"),
+        "n_periods",
+        F.coalesce(F.col("n_demands"), F.lit(0)).alias("n_demands"),
+        F.round(F.col("z_hat"), round_digits).alias("z_hat"),
+        F.round(F.col("p_hat"), round_digits).alias("p_hat"),
+        F.round(fc, round_digits).alias("croston_forecast"),
+        F.round(F.lit(1.0 - a / 2.0) * fc, round_digits).alias("sba_forecast"),
+    )
+
+
+def engle_granger_coint(
+    df: DataFrame,
+    time_col: str,
+    y_col: str,
+    x_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Engle-Granger two-step cointegration screen (Engle & Granger
+    1987) — do two trending series share a long-run equilibrium?
+    Correlation on levels lies under common trends (the classic
+    spurious-regression trap this module's pearson/granger seats
+    can't see); cointegration asks whether the RESIDUAL of y~x is
+    stationary. Step 1: OLS y = a + b·x on levels (exact decimal
+    moments). Step 2: Dickey-Fuller regression Δe_t = ρ·e_{t−1}
+    (no-constant form), DF statistic = ρ̂/SE(ρ̂); ρ̂ significantly
+    below 0 → residual mean-reverts → cointegrated. The DF stat is
+    reported against the Engle-Granger 5% critical value −3.34
+    (2-variable case, MacKinnon 1991) as coint_flag. Lags via ROW
+    windows over the aligned series frame. Returns one row: (n,
+    slope, intercept, rho, df_stat, coint_flag)."""
+    w = Window.orderBy("t")
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.round(F.col(y_col).cast("double"), 6).alias("y"),
+        F.round(F.col(x_col).cast("double"), 6).alias("x"),
+    )
+    q = lambda c: F.round(F.col(c), 6).cast("decimal(28,6)")  # noqa: E731
+    q6 = lambda c: F.round(F.col(c), 6).cast("decimal(18,6)")  # noqa: E731
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q("x")).alias("sx"),
+        F.sum(q("y")).alias("sy"),
+        F.sum(q("x") * q6("x")).alias("sxx"),
+        F.sum(q("x") * q6("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cxx = F.round(
+        F.col("sxx").cast("double") / n
+        - (F.col("sx").cast("double") / n) * (F.col("sx").cast("double") / n),
+        9,
+    )
+    cxy = F.round(
+        F.col("sxy").cast("double") / n
+        - (F.col("sx").cast("double") / n) * (F.col("sy").cast("double") / n),
+        9,
+    )
+    slope = F.round(cxy / cxx, 9)
+    fit = mom.select(
+        "n",
+        slope.alias("b"),
+        F.round(
+            F.col("sy").cast("double") / n - slope * (F.col("sx").cast("double") / n),
+            9,
+        ).alias("a"),
+    )
+    resid = base.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n",
+        "a",
+        "b",
+        F.round(F.col("y") - F.col("a") - F.col("b") * F.col("x"), 9).alias("e"),
+    )
+    lagged = resid.withColumn("e1", F.lag("e").over(w)).filter(
+        F.col("e1").isNotNull()
+    )
+    # DF no-constant regression: rho = Σ e1·Δe / Σ e1², SE from the
+    # regression residual variance
+    de = F.round(F.col("e") - F.col("e1"), 9)
+    dfagg = lagged.groupBy("n", "a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.round(
+            F.sum(
+                F.round(F.col("e1") * de, 9).cast("decimal(28,9)")
+            ).cast("double"),
+            9,
+        ).alias("s_ed"),
+        F.round(
+            F.sum(
+                F.round(F.col("e1") * F.col("e1"), 9).cast("decimal(28,9)")
+            ).cast("double"),
+            9,
+        ).alias("s_ee"),
+        F.round(
+            F.sum(F.round(de * de, 9).cast("decimal(28,9)")).cast("double"), 9
+        ).alias("s_dd"),
+    )
+    rho = F.round(F.col("s_ed") / F.col("s_ee"), 9)
+    sig2 = F.round(
+        (F.col("s_dd") - rho * F.col("s_ed")) / (F.col("m") - 1.0), 9
+    )
+    se = F.sqrt(sig2 / F.col("s_ee"))
+    dfstat = F.round(rho / se, 9)
+    return dfagg.select(
+        "n",
+        F.round(F.col("b"), round_digits).alias("slope"),
+        F.round(F.col("a"), round_digits).alias("intercept"),
+        F.round(rho, round_digits).alias("rho"),
+        F.round(dfstat, round_digits).alias("df_stat"),
+        (dfstat < -3.34).cast("int").alias("coint_flag"),
+    )

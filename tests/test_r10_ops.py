@@ -305,3 +305,162 @@ class TestCoxPh:
         r = self._run(spark, rows)
         assert abs(r.beta) < 0.6
         assert r.p_value > 0.05
+
+
+class TestSvmGd:
+    def test_separable_perfect_accuracy(self, spark):
+        from azure_data_engineering_spark.operators.mlplan import svm_gd
+
+        rows = [
+            (float(i % 10) - 4.5, 0.0, 1.0 if i % 10 >= 5 else -1.0)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "x1 double, x2 double, t double")
+        r = svm_gd(df, "x1", "x2", "t", iterations=20, lr=0.5, reg=0.001).collect()[0]
+        assert r.accuracy == 1.0
+        assert r.hinge_loss == 0.0 and r.margin_violations == 0
+        assert r.w1 > 0  # larger x1 -> positive class
+
+    def test_hinge_loss_nonnegative(self, spark):
+        from azure_data_engineering_spark.operators.mlplan import svm_gd
+
+        rows = [(float(i % 4), float(i % 3), 1.0 if (i * 7) % 2 else -1.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "x1 double, x2 double, t double")
+        r = svm_gd(df, "x1", "x2", "t", iterations=5).collect()[0]
+        assert r.hinge_loss >= 0
+        assert 0 <= r.margin_violations <= 100
+
+
+class TestCroston:
+    def _run(self, spark, series, alpha=0.2):
+        from azure_data_engineering_spark.operators.timeseries import croston_forecast
+
+        rows = [("s", f"t{i:04d}", float(v)) for i, v in enumerate(series)]
+        df = spark.createDataFrame(rows, "g string, t string, x double")
+        return croston_forecast(df, "g", "t", "x", alpha=alpha).collect()[0]
+
+    def test_regular_intermittent_pattern(self, spark):
+        # demand 6 every 3rd period: z_hat -> 6, p_hat -> 3, fc -> 2
+        series = [0.0, 0.0, 6.0] * 10
+        r = self._run(spark, series)
+        assert abs(r.z_hat - 6.0) < 1e-6
+        assert abs(r.p_hat - 3.0) < 1e-6
+        assert abs(r.croston_forecast - 2.0) < 1e-6
+        assert abs(r.sba_forecast - 1.8) < 1e-6
+
+    def test_single_demand_null_interval(self, spark):
+        series = [0.0, 5.0, 0.0, 0.0]
+        r = self._run(spark, series)
+        assert r.n_demands == 1 and abs(r.z_hat - 5.0) < 1e-9
+        assert r.p_hat is None and r.croston_forecast is None
+
+    def test_all_zero_series(self, spark):
+        r = self._run(spark, [0.0] * 8)
+        assert r.n_demands == 0 and r.z_hat is None
+
+    def test_ses_weights_recent_demand_more(self, spark):
+        # sizes 2,2,...,10 (last demand bigger): z_hat between 2 and 10,
+        # above the plain mean because alpha favors recency
+        series = ([0.0, 2.0] * 6) + [0.0, 10.0]
+        r = self._run(spark, series, alpha=0.5)
+        assert 2.0 < r.z_hat < 10.0
+        assert r.z_hat > 3.1  # mean of sizes is ~3.14; SES(0.5) ~ 6
+
+
+class TestEngleGranger:
+    def _run(self, spark, ys, xs):
+        from azure_data_engineering_spark.operators.timeseries import (
+            engle_granger_coint,
+        )
+
+        rows = [(f"t{i:04d}", float(y), float(x)) for i, (y, x) in enumerate(zip(ys, xs))]
+        df = spark.createDataFrame(rows, "t string, y double, x double")
+        return engle_granger_coint(df, "t", "y", "x").collect()[0]
+
+    def test_cointegrated_pair_flags(self, spark):
+        # shared trend + mean-reverting spread: cointegrated
+        import hashlib
+
+        def noise(i, salt):
+            h = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+            return (h % 1000) / 1000.0 - 0.5
+
+        xs, ys = [], []
+        for i in range(120):
+            trend = i * 1.0
+            xs.append(trend + noise(i, "x"))
+            ys.append(2.0 * trend + 5.0 + noise(i, "y"))
+        r = self._run(spark, ys, xs)
+        assert abs(r.slope - 2.0) < 0.01
+        assert r.coint_flag == 1 and r.df_stat < -3.34
+
+    def test_independent_walks_not_flagged(self, spark):
+        # two independent random walks: residual itself a walk -> rho ~ 0
+        import hashlib
+
+        def noise(i, salt):
+            h = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+            return (h % 1000) / 1000.0 - 0.5
+
+        x, y = 0.0, 0.0
+        xs, ys = [], []
+        for i in range(120):
+            x += noise(i, "a")
+            y += noise(i, "b")
+            xs.append(x)
+            ys.append(y)
+        r = self._run(spark, ys, xs)
+        assert r.coint_flag == 0
+
+
+class TestModularity:
+    def _run(self, spark, edges, assign):
+        from azure_data_engineering_spark.operators.graph import modularity_score
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        a = spark.createDataFrame(assign, "node long, community long")
+        return modularity_score(e, a).collect()
+
+    def test_two_cliques_good_partition(self, spark):
+        # two triangles joined by one bridge edge; perfect partition
+        edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+        assign = [(n, 0 if n < 3 else 1) for n in range(6)]
+        out = self._run(spark, edges, assign)
+        q = sum(r.q_contrib for r in out)
+        # known value: e_c=3/7 each, d_c=7/(2*7) each -> Q = 2*(3/7 - 0.25^2)... 
+        # hand: m=7, d_c = 3*2+1 = 7, Q = 2*(3/7 - (7/14)^2) = 6/7 - 0.5
+        assert abs(q - (6.0 / 7.0 - 0.5)) < 1e-6
+
+    def test_random_partition_lower_q(self, spark):
+        edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+        good = [(n, 0 if n < 3 else 1) for n in range(6)]
+        bad = [(n, n % 2) for n in range(6)]
+        q_good = sum(r.q_contrib for r in self._run(spark, edges, good))
+        q_bad = sum(r.q_contrib for r in self._run(spark, edges, bad))
+        assert q_good > q_bad
+
+
+class TestTopoLayers:
+    def _run(self, spark, edges, iters):
+        from azure_data_engineering_spark.operators.graph import (
+            dag_longest_path_layers,
+        )
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r.node: r.layer
+            for r in dag_longest_path_layers(e, iterations=iters).collect()
+        }
+
+    def test_chain(self, spark):
+        got = self._run(spark, [(0, 1), (1, 2), (2, 3)], 3)
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_longest_path_wins_over_short_cut(self, spark):
+        # 0->1->2->3 and a shortcut 0->3: layer(3) = 3, not 1
+        got = self._run(spark, [(0, 1), (1, 2), (2, 3), (0, 3)], 4)
+        assert got[3] == 3
+
+    def test_diamond(self, spark):
+        got = self._run(spark, [(0, 1), (0, 2), (1, 3), (2, 3)], 3)
+        assert got == {0: 0, 1: 1, 2: 1, 3: 2}
