@@ -23081,6 +23081,102 @@ def _topo_oracle_sql(iters: int = 12) -> str:
 Q_TOPO_LAYERS_SQL = _topo_oracle_sql(12)
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming top-k leaderboard via transformWithState
+    MapState (streaming/stateful.StreamingTopKProcessor): per event
+    type, the top-5 user buckets by cumulative event count, emitted
+    per micro-batch across TWO deterministic batches (event_id % 2
+    file split) under RocksDB + the purepb wire shim — the fourth
+    MapState exercise and the first RANKED emission (count DESC, item
+    ASC total order). Exact counts over a bounded item domain
+    (user_id % 50), so the oracle replays each batch-prefix
+    cumulative ranking in plain SQL."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from azure_data_engineering_spark.compat import ensure_protobuf
+    from azure_data_engineering_spark.streaming.stateful import streaming_top_k
+
+    ensure_protobuf(spark)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 50).cast("bigint").alias("item"),
+    )
+    work = tempfile.mkdtemp(prefix="tws_topk_gate_")
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_conf, None)
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        for i, pred in enumerate(
+            [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]
+        ):
+            staging = os.path.join(work, f"stage{i}")
+            e.filter(pred).coalesce(1).write.parquet(staging)
+            part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+            _shutil.move(part, os.path.join(src, f"b{i}.parquet"))
+            if i == 0:
+                _time.sleep(1.05)
+        spark.conf.set(
+            provider_conf,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        out = run_stream_to_table(
+            spark,
+            src,
+            lambda s: streaming_top_k(s, k=5),
+            table_name="tws_topk_sink",
+            output_mode="update",
+            max_files_per_trigger=1,
+        ).cache()
+        out.count()
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old_provider)
+        _shutil.rmtree(work, ignore_errors=True)
+    return out.orderBy("event_type", "rank", "item")
+
+
+Q_STREAM_TOPK_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT event_id, event_type, user_id % 50 AS item FROM events
+), b0 AS (
+  SELECT event_type, item, count(*) AS cnt
+  FROM e WHERE event_id % 2 = 0 GROUP BY 1, 2
+), r0 AS (
+  SELECT event_type, item, cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, item ASC) AS rank
+  FROM b0
+), types1 AS (
+  SELECT DISTINCT event_type FROM e WHERE event_id % 2 = 1
+), cum1 AS (
+  SELECT e.event_type, e.item, count(*) AS cnt
+  FROM e JOIN types1 USING (event_type) GROUP BY 1, 2
+), r1 AS (
+  SELECT event_type, item, cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, item ASC) AS rank
+  FROM cum1
+)
+SELECT event_type, CAST(rank AS INT) AS rank, CAST(item AS BIGINT) AS item,
+       CAST(cnt AS BIGINT) AS cnt
+FROM r0 WHERE rank <= 5
+UNION ALL
+SELECT event_type, CAST(rank AS INT) AS rank, CAST(item AS BIGINT) AS item,
+       CAST(cnt AS BIGINT) AS cnt
+FROM r1 WHERE rank <= 5
+ORDER BY event_type, rank, item
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r10 prefix holds 4 pins for queries whose code CHANGED this
@@ -23230,6 +23326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cointegration": q_cointegration,
         "q_modularity": q_modularity,
         "q_topo_layers": q_topo_layers,
+        "q_stream_topk": q_stream_topk,
         # ---- rest of registry (driver-sampled in prior rounds) ----
         "q_dau_mau": q_dau_mau,
         "q_tws_liststate": q_tws_liststate,
@@ -24028,4 +24125,5 @@ def oracle_sql() -> dict[str, str]:
         "q_cointegration": Q_COINTEGRATION_SQL,
         "q_modularity": Q_MODULARITY_SQL,
         "q_topo_layers": Q_TOPO_LAYERS_SQL,
+        "q_stream_topk": Q_STREAM_TOPK_SQL,
     }

@@ -378,3 +378,79 @@ def recent_events(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+STREAM_TOPK_SCHEMA = (
+    "event_type string, rank int, item bigint, cnt bigint"
+)
+
+
+class StreamingTopKProcessor(StatefulProcessor):
+    """Per-key streaming top-k leaderboard on MapState — the live
+    "most active items right now" view (top users per event type, top
+    SKUs per region, hottest shards per tenant) that a dashboard
+    polls from the sink table instead of rescanning history.
+
+    State: MapState(item -> cumulative count). PRECONDITION (the
+    state-size contract, same spirit as RecentEventsProcessor's k
+    bound): the item domain per key is BOUNDED (buckets, enums,
+    capped ids) — this processor keeps exact counts, which is what
+    makes its emission history replayable in plain SQL per batch
+    prefix; for unbounded domains compose with a hash bucket or use
+    the batch Misra-Gries operator (operators/heavy_hitters).
+
+    Emission per micro-batch, for every key WITH input in the batch:
+    the current top-k by (count DESC, item ASC) — a deterministic
+    total order, so the sink table is hash-comparable across
+    engines."""
+
+    def __init__(self, k: int):
+        self._k = int(k)
+
+    def init(self, handle) -> None:
+        self._counts = handle.getMapState("counts", "item bigint", "cnt bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        etype = key[0]
+        got = False
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            got = True
+            for item, grp in pdf.groupby("item"):
+                it = (int(item),)
+                prev = self._counts.getValue(it)[0] if self._counts.containsKey(it) else 0
+                self._counts.updateValue(it, (prev + len(grp),))
+        if not got:
+            return iter(())
+        top = sorted(
+            ((k2[0], v[0]) for k2, v in self._counts.iterator()),
+            key=lambda r: (-r[1], r[0]),
+        )[: self._k]
+        yield pd.DataFrame(
+            {
+                "event_type": [etype] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "item": [t[0] for t in top],
+                "cnt": [t[1] for t in top],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_top_k(events: DataFrame, k: int = 5) -> DataFrame:
+    """Streaming: per-event-type top-k item leaderboard via MapState
+    (StreamingTopKProcessor). Input needs event_type/item columns;
+    Update mode, timeMode None — emission is input-driven and
+    batch-replayable."""
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=StreamingTopKProcessor(k),
+        outputStructType=STREAM_TOPK_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

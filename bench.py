@@ -211,9 +211,31 @@ HEADLINE = [
     # newest pinned-rounds iterative member (cell-frame rounds)
     "q_wasserstein",
     "q_raking",
+    # round-10 additions: MP4/PDF triage complete the marker-walk
+    # family (mapInPandas kernels — UDF warmup set); corpus BLEU is
+    # the (doc,gram) clipped-join eval shape; the chat pair is a
+    # parse+window scan; IPW/Cox/SVM join the pinned-iteration ML
+    # family (6 GD / 4 Newton / 8 subgradient rounds over 1-row
+    # broadcast frames); interval union + cohort LTV are sort-window
+    # shapes; Croston is a closed-form SES over the zero-filled
+    # spine; topo layering is the new bounded-depth relaxation entry
+    "q_video_metadata",
+    "q_pdf_metadata",
+    "q_bleu",
+    "q_turn_stats",
+    "q_chat_loss_mask",
+    "q_ipw_ate",
+    "q_cox_ph",
+    "q_svm_gd",
+    "q_interval_union",
+    "q_cohort_ltv",
+    "q_hhi",
+    "q_croston",
+    "q_topo_layers",
+    "q_page_hinkley",
 ]
 
-ROUND = 9
+ROUND = 10
 
 # Headline queries whose hot path runs Arrow/pandas Python workers:
 # worker fork + Arrow init variance showed up as a phantom 1.47x
@@ -225,6 +247,8 @@ UDF_HEADLINE = {
     "q_holt_linear",
     "q_knn_classifier",
     "q_ann_ivfpq",
+    "q_video_metadata",
+    "q_pdf_metadata",
 }
 
 
