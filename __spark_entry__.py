@@ -23177,6 +23177,114 @@ ORDER BY event_type, rank, item
 """
 
 
+def q_mkv_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM crawl-video triage (sources/media_codecs.
+    mkv_metadata — EBML element walk: DocType, Info TimestampScale +
+    float Duration, TrackEntry type/CodecID/PixelWidth/PixelHeight;
+    Clusters never entered): the second video container beside
+    q_video_metadata's ISO-BMFF walk, sharing ONE kernel
+    (sources/multimodal.video_metadata_full sniffs and routes). A
+    mixed MKV/WebM fixture — audio-only podcasts, truncated Clusters,
+    junk rows — with every column recomputed by the oracle from the
+    generating formulas; with the 1 ms-per-unit TimestampScale the
+    float Duration carries integral ms, so duration recovery is
+    exact."""
+    import pandas as pd
+
+    from azure_data_engineering_spark.sources.media_codecs import mkv_container
+    from azure_data_engineering_spark.sources.multimodal import video_metadata_full
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select("doc_id")
+
+    def make_mixed(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                i = int(row["doc_id"])
+                if i % 40 == 0:
+                    payload = f"not an ebml stream {i}".encode()
+                else:
+                    dims = ((640, 360), (1280, 720), (1920, 1080), (854, 480))[
+                        (i // 7) % 4
+                    ]
+                    payload = mkv_container(
+                        doctype="webm" if i % 3 == 0 else "matroska",
+                        duration_ms=(i * 977) % 600000,
+                        video=None
+                        if i % 7 == 3
+                        else (
+                            *dims,
+                            ("V_VP9", "V_AV1", "V_MPEG4/ISO/AVC")[(i // 11) % 3],
+                        ),
+                        audio=(i % 5 != 0),
+                        truncate=(i % 10 == 6),
+                    )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    payloads = d.mapInPandas(make_mixed, schema="id bigint, payload binary")
+    meta = video_metadata_full(payloads)
+    return meta.withColumn(
+        "keep",
+        (
+            (F.col("format") != "corrupt")
+            & (F.col("truncated") == 0)
+            & (F.col("has_video") == 1)
+            & (F.col("duration_ms") >= 1000)
+        ).cast("int"),
+    )
+
+
+Q_MKV_METADATA_SQL = """
+WITH d AS (
+  SELECT doc_id AS id FROM documents WHERE doc_id < 400
+), m AS (
+  SELECT id,
+         CASE WHEN id % 40 = 0 THEN 'corrupt' ELSE 'mkv' END AS format,
+         CASE WHEN id % 40 = 0 THEN 0 ELSE (id * 977) % 600000 END AS duration_ms,
+         CASE WHEN id % 40 = 0 THEN 0
+              WHEN id % 7 = 3 THEN 0 ELSE 1 END AS has_video,
+         CASE WHEN id % 40 = 0 THEN 0
+              WHEN id % 5 <> 0 THEN 1 ELSE 0 END AS has_audio,
+         CASE WHEN id % 40 = 0 THEN 1
+              WHEN id % 10 = 6 THEN 1 ELSE 0 END AS truncated
+  FROM d
+), meta AS (
+  SELECT id, format, duration_ms, has_video, has_audio, truncated,
+         CASE WHEN format = 'corrupt' THEN ''
+              WHEN id % 3 = 0 THEN 'webm' ELSE 'matroska' END AS brand,
+         CASE WHEN format = 'corrupt' THEN 0
+              ELSE has_video + has_audio END AS n_tracks,
+         CASE WHEN has_video = 1 THEN
+           CASE (id // 7) % 4 WHEN 0 THEN 640 WHEN 1 THEN 1280
+                              WHEN 2 THEN 1920 ELSE 854 END
+           ELSE 0 END AS width,
+         CASE WHEN has_video = 1 THEN
+           CASE (id // 7) % 4 WHEN 0 THEN 360 WHEN 1 THEN 720
+                              WHEN 2 THEN 1080 ELSE 480 END
+           ELSE 0 END AS height,
+         CASE WHEN has_video = 1 THEN
+           CASE (id // 11) % 3 WHEN 0 THEN 'V_VP9' WHEN 1 THEN 'V_AV1'
+                               ELSE 'V_MPEG4/ISO/AVC' END
+           ELSE '' END AS video_codec
+  FROM m
+)
+SELECT id, format, brand,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(n_tracks AS BIGINT) AS n_tracks,
+       CAST(has_video AS INT) AS has_video,
+       CAST(has_audio AS INT) AS has_audio,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       video_codec,
+       CAST(truncated AS INT) AS truncated,
+       CAST(CASE WHEN format <> 'corrupt' AND truncated = 0
+                  AND has_video = 1 AND duration_ms >= 1000
+             THEN 1 ELSE 0 END AS INT) AS keep
+FROM meta
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's ~50-entry CORRECTNESS sampling window:
     the r10 prefix holds 4 pins for queries whose code CHANGED this
@@ -23327,6 +23435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_modularity": q_modularity,
         "q_topo_layers": q_topo_layers,
         "q_stream_topk": q_stream_topk,
+        "q_mkv_metadata": q_mkv_metadata,
         # ---- rest of registry (driver-sampled in prior rounds) ----
         "q_dau_mau": q_dau_mau,
         "q_tws_liststate": q_tws_liststate,
@@ -24126,4 +24235,5 @@ def oracle_sql() -> dict[str, str]:
         "q_modularity": Q_MODULARITY_SQL,
         "q_topo_layers": Q_TOPO_LAYERS_SQL,
         "q_stream_topk": Q_STREAM_TOPK_SQL,
+        "q_mkv_metadata": Q_MKV_METADATA_SQL,
     }

@@ -30,7 +30,8 @@ _PNG_SAMPLES = {0: 1, 2: 3, 4: 2, 6: 4}
 
 def sniff(payload: bytes) -> str | None:
     """Magic-byte format detection:
-    'png' | 'jpeg' | 'bmp' | 'wav' | 'mp3' | 'flac' | 'mp4' | None."""
+    'png' | 'jpeg' | 'bmp' | 'wav' | 'mp3' | 'flac' | 'mp4' | 'mkv'
+    | None."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:2] == b"\xff\xd8":
@@ -43,6 +44,8 @@ def sniff(payload: bytes) -> str | None:
         return "flac"
     if payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return "mkv"
     if payload[:3] == b"ID3":
         return "mp3"
     if len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
@@ -986,3 +989,255 @@ def pdf_container(
     if truncate:
         return bytes(out[: out.rindex(b"startxref")])
     return bytes(out)
+
+# ------------------------------------------------------ MKV (EBML)
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+
+def _ebml_vint(b: bytes, pos: int, keep_marker: bool):
+    """Parse one EBML variable-length integer at pos. Returns
+    (value, next_pos) or None on truncation/invalid. IDs keep the
+    length-marker bit (keep_marker=True); sizes strip it. A size
+    whose value bits are ALL ones means 'unknown size' -> returned
+    as -1."""
+    if pos >= len(b):
+        return None
+    first = b[pos]
+    if first == 0:
+        return None
+    length = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > len(b):
+        return None
+    if keep_marker:
+        val = int.from_bytes(b[pos : pos + length], "big")
+    else:
+        val = first & (mask - 1)
+        for i in range(1, length):
+            val = (val << 8) | b[pos + i]
+        if val == (1 << (7 * length)) - 1:  # all value bits set
+            val = -1  # 'unknown size' per the EBML spec
+    return val, pos + length
+
+
+
+def mkv_metadata(
+    payload: bytes,
+) -> tuple[str, int, int, int, int, int, int, str, bool]:
+    """(doctype, duration_ms, n_tracks, has_video, has_audio, width,
+    height, video_codec, truncated) from a Matroska/WebM container
+    via an EBML element walk — headers only, Clusters never entered
+    (the same O(header-bytes) discipline as mp4_metadata's box walk).
+
+    - EBML header DocType ('matroska'/'webm') identifies the flavor.
+    - Segment/Info: TimestampScale (ns per unit, default 1e6) +
+      Duration (float units); duration_ms = duration·scale // 1e6.
+    - Segment/Tracks/TrackEntry: TrackType (1=video, 2=audio),
+      CodecID, Video/PixelWidth+PixelHeight. width/height/codec from
+      the FIRST video track.
+    - truncated=True when a declared element size overruns the
+      buffer (unknown-size elements at top level are tolerated —
+      live-streamed Segments use them).
+
+    Raises ValueError only when the payload has no EBML magic at
+    offset 0."""
+    if payload[:4] != _EBML_MAGIC:
+        raise ValueError("not EBML (missing \\x1aE\\xdf\\xa3 magic)")
+    n = len(payload)
+    doctype = ""
+    timescale = 1000000
+    duration_units = 0.0
+    n_tracks = 0
+    has_video = has_audio = 0
+    width = height = 0
+    video_codec = ""
+    truncated = False
+
+    # TrackEntry bodies carry dims nested under Video settings (0xE0);
+    # a dedicated local parser keeps the routing explicit
+    def walk_track(b0: int, b1: int):
+        nonlocal truncated
+        t_type = 0
+        t_codec = ""
+        t_w = t_h = 0
+        pos = b0
+        while pos < b1:
+            rid = _ebml_vint(payload, pos, keep_marker=True)
+            if rid is None:
+                truncated = True
+                break
+            eid, p2 = rid
+            rsz = _ebml_vint(payload, p2, keep_marker=False)
+            if rsz is None:
+                truncated = True
+                break
+            size, body = rsz
+            data_end = b1 if size == -1 else body + size
+            if data_end > b1:
+                truncated = True
+                break
+            if eid == 0x83:
+                t_type = int.from_bytes(payload[body:data_end], "big")
+            elif eid == 0x86:
+                t_codec = payload[body:data_end].split(b"\x00")[0].decode(
+                    "latin-1"
+                )
+            elif eid == 0xE0:
+                q = body
+                while q < data_end:
+                    rid2 = _ebml_vint(payload, q, keep_marker=True)
+                    if rid2 is None:
+                        truncated = True
+                        break
+                    eid2, q2 = rid2
+                    rsz2 = _ebml_vint(payload, q2, keep_marker=False)
+                    if rsz2 is None:
+                        truncated = True
+                        break
+                    sz2, bd2 = rsz2
+                    de2 = data_end if sz2 == -1 else bd2 + sz2
+                    if de2 > data_end:
+                        truncated = True
+                        break
+                    if eid2 == 0xB0:
+                        t_w = int.from_bytes(payload[bd2:de2], "big")
+                    elif eid2 == 0xBA:
+                        t_h = int.from_bytes(payload[bd2:de2], "big")
+                    q = de2
+            pos = data_end
+        return t_type, t_codec, t_w, t_h
+
+    # top-level walk with explicit TrackEntry handling
+    def walk_top(start: int, end: int):
+        nonlocal doctype, timescale, duration_units, n_tracks
+        nonlocal has_video, has_audio, width, height, video_codec, truncated
+        pos = start
+        while pos < end:
+            rid = _ebml_vint(payload, pos, keep_marker=True)
+            if rid is None:
+                truncated = True
+                break
+            eid, p2 = rid
+            rsz = _ebml_vint(payload, p2, keep_marker=False)
+            if rsz is None:
+                truncated = True
+                break
+            size, body = rsz
+            data_end = end if size == -1 else body + size
+            if data_end > end:
+                truncated = True
+                break
+            if eid == 0x1A45DFA3 or eid in (0x18538067, 0x1549A966, 0x1654AE6B):
+                walk_top(body, data_end)
+            elif eid == 0x4282:
+                doctype = payload[body:data_end].split(b"\x00")[0].decode(
+                    "latin-1"
+                )
+            elif eid == 0x2AD7B1:
+                timescale = int.from_bytes(payload[body:data_end], "big")
+            elif eid == 0x4489:
+                raw = payload[body:data_end]
+                if len(raw) == 4:
+                    duration_units = struct.unpack(">f", raw)[0]
+                elif len(raw) == 8:
+                    duration_units = struct.unpack(">d", raw)[0]
+            elif eid == 0xAE:
+                n_tracks += 1
+                t_type, t_codec, t_w, t_h = walk_track(body, data_end)
+                if t_type == 1:
+                    if not has_video:
+                        width, height, video_codec = t_w, t_h, t_codec
+                    has_video = 1
+                elif t_type == 2:
+                    has_audio = 1
+            pos = data_end
+
+    walk_top(0, n)
+    duration_ms = int(duration_units * timescale) // 1000000
+    return (
+        doctype, duration_ms, n_tracks, has_video, has_audio,
+        width, height, video_codec, truncated,
+    )
+
+
+def _ebml_id(eid: int) -> bytes:
+    out = []
+    v = eid
+    while v:
+        out.append(v & 0xFF)
+        v >>= 8
+    return bytes(reversed(out))
+
+
+def _ebml_size(n: int) -> bytes:
+    """Encode n as a minimal EBML size varint."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            val = n | (1 << (7 * length))
+            return val.to_bytes(length, "big")
+    raise ValueError("size too large")
+
+
+def _ebml_elem(eid: int, body: bytes) -> bytes:
+    return _ebml_id(eid) + _ebml_size(len(body)) + body
+
+
+def mkv_container(
+    doctype: str = "matroska",
+    timescale: int = 1000000,
+    duration_ms: int = 5000,
+    video: tuple[int, int, str] | None = (640, 480, "V_VP9"),
+    audio: bool = False,
+    truncate: bool = False,
+) -> bytes:
+    """A structurally valid Matroska/WebM header for fixtures: EBML
+    header (DocType), Segment{Info{TimestampScale, Duration},
+    Tracks{TrackEntry...}}, and a Cluster stub. With the default
+    1 ms-per-unit TimestampScale the float Duration carries integral
+    ms, so parsers recover duration_ms exactly. truncate=True
+    declares the Cluster 64 bytes longer than emitted."""
+    header = _ebml_elem(
+        0x1A45DFA3, _ebml_elem(0x4282, doctype.encode("latin-1"))
+    )
+    info = _ebml_elem(
+        0x1549A966,
+        _ebml_elem(0x2AD7B1, timescale.to_bytes(4, "big"))
+        + _ebml_elem(
+            0x4489,
+            struct.pack(">d", float(duration_ms * 1000000 // timescale)),
+        ),
+    )
+    tracks_body = b""
+    if video is not None:
+        w, h, codec = video
+        tracks_body += _ebml_elem(
+            0xAE,
+            _ebml_elem(0x83, b"\x01")
+            + _ebml_elem(0x86, codec.encode("latin-1"))
+            + _ebml_elem(
+                0xE0,
+                _ebml_elem(0xB0, w.to_bytes(2, "big"))
+                + _ebml_elem(0xBA, h.to_bytes(2, "big")),
+            ),
+        )
+    if audio:
+        tracks_body += _ebml_elem(
+            0xAE,
+            _ebml_elem(0x83, b"\x02") + _ebml_elem(0x86, b"A_OPUS"),
+        )
+    tracks = _ebml_elem(0x1654AE6B, tracks_body)
+    cluster_body = bytes((i * 31 + 9) % 256 for i in range(24))
+    if truncate:
+        cluster = (
+            _ebml_id(0x1F43B675)
+            + _ebml_size(len(cluster_body) + 64)
+            + cluster_body
+        )
+    else:
+        cluster = _ebml_elem(0x1F43B675, cluster_body)
+    segment = _ebml_elem(0x18538067, info + tracks + cluster)
+    return header + segment

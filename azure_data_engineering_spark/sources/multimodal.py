@@ -638,16 +638,23 @@ def video_metadata_full(df: DataFrame) -> DataFrame:
     """Crawl-grade video-container triage over a binary column — the
     video seat beside image_metadata_full (PNG/BMP/JPEG) and
     audio_metadata_full (WAV/MP3/FLAC), closing the third modality.
-    Input: (id, payload). One mapInPandas kernel walks ISO-BMFF boxes
-    only (sources/media_codecs.mp4_metadata — ftyp brand, mvhd
-    timescale+duration, per-trak tkhd dims / hdlr handler / stsd sample
-    fourcc): sample data (mdat) is never touched, so cost is O(header
-    bytes) per clip regardless of clip size. A declared box size
-    overrunning the buffer -> truncated=1 (interrupted download);
-    non-ISO-BMFF bytes -> format='corrupt' quarantine row, never a
-    batch failure. Scale shape: embarrassingly parallel, bytes never
+    Input: (id, payload). One mapInPandas kernel sniffs and walks
+    container headers only — ISO-BMFF boxes (media_codecs.
+    mp4_metadata: ftyp brand, mvhd timescale+duration, per-trak tkhd
+    dims / hdlr handler / stsd fourcc) or Matroska/WebM EBML elements
+    (media_codecs.mkv_metadata: DocType, Info duration, TrackEntry
+    type/codec/dims); sample data (mdat/Cluster) is never touched, so
+    cost is O(header bytes) per clip regardless of clip size. The
+    `brand` column carries the ftyp brand for MP4 and the EBML
+    DocType for MKV. A declared size overrunning the buffer ->
+    truncated=1 (interrupted download); unrecognized bytes ->
+    format='corrupt' quarantine row, never a batch failure. Scale shape: embarrassingly parallel, bytes never
     on the driver, output is metadata-sized."""
-    from azure_data_engineering_spark.sources.media_codecs import mp4_metadata
+    from azure_data_engineering_spark.sources.media_codecs import (
+        mkv_metadata,
+        mp4_metadata,
+        sniff,
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -656,12 +663,21 @@ def video_metadata_full(df: DataFrame) -> DataFrame:
                 rid = row["id"]
                 b = bytes(row["payload"])
                 try:
-                    (brand, _ts, dur_ms, n_tracks, has_v, has_a,
-                     w, h, codec, trunc) = mp4_metadata(b)
-                    rows.append((
-                        rid, "mp4", brand, dur_ms, n_tracks, has_v,
-                        has_a, w, h, codec, int(trunc),
-                    ))
+                    fmt = sniff(b)
+                    if fmt == "mkv":
+                        (doctype, dur_ms, n_tracks, has_v, has_a,
+                         w, h, codec, trunc) = mkv_metadata(b)
+                        rows.append((
+                            rid, "mkv", doctype, dur_ms, n_tracks, has_v,
+                            has_a, w, h, codec, int(trunc),
+                        ))
+                    else:
+                        (brand, _ts, dur_ms, n_tracks, has_v, has_a,
+                         w, h, codec, trunc) = mp4_metadata(b)
+                        rows.append((
+                            rid, "mp4", brand, dur_ms, n_tracks, has_v,
+                            has_a, w, h, codec, int(trunc),
+                        ))
                 except ValueError:
                     rows.append((rid, "corrupt", "", 0, 0, 0, 0, 0, 0, "", 1))
             yield pd.DataFrame(

@@ -537,3 +537,57 @@ class TestMixedPdfMetadata:
         assert got[3][4] == 1
         assert got[4][6] == 1
         assert got[5] == ("corrupt", 0, 0, 0, 0, "", 1)
+
+
+class TestMkvMetadata:
+    def test_full_container(self):
+        b = M.mkv_container(doctype="webm", duration_ms=42000,
+                            video=(1920, 1080, "V_VP9"), audio=True)
+        assert M.sniff(b) == "mkv"
+        assert M.mkv_metadata(b) == (
+            "webm", 42000, 2, 1, 1, 1920, 1080, "V_VP9", False,
+        )
+
+    def test_audio_only(self):
+        b = M.mkv_container(video=None, audio=True)
+        doctype, dur, n_tracks, has_v, has_a, w, h, codec, trunc = M.mkv_metadata(b)
+        assert (n_tracks, has_v, has_a, w, h, codec) == (1, 0, 1, 0, 0, "")
+
+    def test_truncated_cluster_flagged_metadata_intact(self):
+        b = M.mkv_container(truncate=True)
+        meta = M.mkv_metadata(b)
+        assert meta[8] is True
+        assert meta[0] == "matroska" and meta[5] == 640
+
+    def test_nondefault_timescale(self):
+        # 100us units: duration field carries duration_ms*10 units
+        b = M.mkv_container(timescale=100000, duration_ms=7000)
+        assert M.mkv_metadata(b)[1] == 7000
+
+    def test_unknown_size_vint(self):
+        # a size varint of all ones means unknown-size
+        assert M._ebml_vint(b"\xff", 0, keep_marker=False)[0] == -1
+        assert M._ebml_vint(b"\x01\xff\xff\xff\xff\xff\xff\xff", 0,
+                            keep_marker=False)[0] == -1
+
+    def test_not_ebml_raises(self):
+        with pytest.raises(ValueError):
+            M.mkv_metadata(b"RIFF....WEBP")
+
+    def test_mixed_kernel_routes_both_containers(self, spark):
+        from azure_data_engineering_spark.sources.multimodal import (
+            video_metadata_full,
+        )
+
+        rows = [
+            (1, M.mp4_container(brand="isom", video=(640, 480, "avc1"))),
+            (2, M.mkv_container(doctype="webm", duration_ms=9000,
+                                video=(854, 480, "V_AV1"))),
+            (3, b"garbage"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "payload"]))
+        got = {r.id: (r.format, r.brand, r.video_codec)
+               for r in video_metadata_full(df).collect()}
+        assert got[1] == ("mp4", "isom", "avc1")
+        assert got[2] == ("mkv", "webm", "V_AV1")
+        assert got[3][0] == "corrupt"
