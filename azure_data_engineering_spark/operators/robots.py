@@ -1,0 +1,81 @@
+"""robots.txt parsing and URL admission for crawl pipelines.
+
+A crawl corpus is only usable if provenance respected exclusion rules;
+re-checking admission is also a standard compliance audit before
+training. Semantics follow the public REP spec (RFC 9309): rules are
+(allow|disallow, path-prefix); the LONGEST matching prefix wins, and
+on a length tie allow beats disallow. No rule matching a URL means
+allowed (default-allow). Group selection by user-agent is the caller's
+concern — pass the rule group that applies.
+
+Scale shape: the ruleset is robots.txt-sized (broadcast); admission is
+one broadcast join with a prefix predicate + one per-URL top-1 window
+over matched rules. The URL table is never shuffled beyond the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def robots_rules_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Parse robots.txt bodies into (id, line_idx, directive, path)
+    rule rows: 'Allow:'/'Disallow:' lines (case-insensitive keys,
+    values trimmed, comments after '#' stripped); empty-path Disallow
+    (the spec's allow-all idiom) and non-rule lines (User-agent,
+    Sitemap, junk) are dropped."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("line"), r"#.*$", ""))
+    directive = F.lower(F.regexp_extract(clean, r"^(?i)(allow|disallow)\s*:", 1))
+    path = F.trim(F.regexp_replace(clean, r"^(?i)(allow|disallow)\s*:", ""))
+    return (
+        lines.select("id", "line_idx", directive.alias("directive"), path.alias("path"))
+        .filter((F.col("directive") != "") & (F.col("path") != ""))
+    )
+
+
+def robots_evaluate(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Admit or exclude each URL against a rule group. `rules` has
+    (directive in {'allow','disallow'}, path) — prefix rules, longest
+    match wins, allow wins length ties, default allow. Returns per
+    URL: (id, url, path, matched_directive, matched_path, allowed)
+    with matched_* NULL for default-allowed URLs."""
+    r = F.broadcast(
+        rules.select(
+            F.col("directive").alias("r_directive"), F.col("path").alias("r_path")
+        )
+    )
+    path = F.regexp_replace(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    base = urls.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("url"),
+        F.when(path == "", F.lit("/")).otherwise(path).alias("path"),
+    )
+    joined = base.join(r, F.col("path").startswith(F.col("r_path")), "left")
+    w = Window.partitionBy("id").orderBy(
+        F.length("r_path").desc(),
+        # allow first on equal length: 'allow' < 'disallow' lexically
+        F.col("r_directive").asc(),
+    )
+    ranked = joined.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return ranked.select(
+        "id",
+        "url",
+        "path",
+        F.col("r_directive").alias("matched_directive"),
+        F.col("r_path").alias("matched_path"),
+        (
+            F.col("r_directive").isNull() | (F.col("r_directive") == "allow")
+        ).cast("int").alias("allowed"),
+    )

@@ -561,3 +561,99 @@ def capture_recapture(
         F.round(F.sqrt(var), round_digits).alias("se"),
         F.round(n_hat / F.col("n_true").cast("double"), round_digits).alias("ratio"),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    budget: float,
+    max_epochs: float = 4.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023): split a
+    token budget across sources as UNIFORMLY as possible, capping
+    each source at `max_epochs` passes over its data — the principled
+    alternative to temperature_mix's power-law thinning (temperature
+    needs a tuned α and still over-samples mid-sized sources; UniMax
+    has one interpretable knob, the repeat ceiling).
+
+    Waterfill, closed form over the SORTED source frame (no
+    iteration): with sources sorted by capacity cap_s = max_epochs ·
+    n_s ascending, the water level for the suffix after i capped
+    sources is λ_i = (B − Σ_{j≤i} cap_j)/(K−i); the first i where
+    cap_{i+1} ≥ λ_i freezes the level, and alloc_s = min(cap_s, λ).
+    All from one source aggregate + prefix-sum windows — the frame is
+    source-count-sized regardless of corpus size. Returns per source:
+    (source, n_tokens, capacity, allocation, epochs) with epochs =
+    allocation/n_tokens ≤ max_epochs; Σ allocation = min(B, Σ cap)."""
+    per_s = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens")
+    )
+    capped = per_s.withColumn(
+        "capacity", F.round(F.col("n_tokens") * F.lit(float(max_epochs)), 9)
+    )
+    w_ord = Window.orderBy("capacity", "source")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = (
+        capped.withColumn("i", F.row_number().over(w_ord))
+        .withColumn("k", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "cum_cap",
+            F.sum(F.col("capacity").cast("decimal(28,9)")).over(w_cum).cast(
+                "double"
+            ),
+        )
+    )
+    # level if every source up to AND INCLUDING i is capped (guarded:
+    # undefined when i = K, the all-capped case handled by the prefix)
+    lam_after = F.when(
+        F.col("k") > F.col("i"),
+        F.round(
+            (F.lit(float(budget)) - F.col("cum_cap"))
+            / (F.col("k") - F.col("i")),
+            9,
+        ),
+    )
+    # a source is capped iff its capacity <= the level computed after
+    # capping the PRECEDING sources: cap_i <= lam_{i-1}, i.e. filling
+    # uniformly over the remaining suffix would overflow it
+    lam_before = F.round(
+        (
+            F.lit(float(budget))
+            - (F.col("cum_cap") - F.col("capacity"))
+        )
+        / (F.col("k") - F.col("i") + 1),
+        9,
+    )
+    flagged = ranked.withColumn(
+        "is_capped", (F.col("capacity") <= lam_before).cast("int")
+    )
+    # water level = lam_after at the LAST capped index; the candidates
+    # INCREASE along the capped prefix (filling a capped source frees
+    # budget for the suffix), so the last is the max. 0 capped ->
+    # uniform budget/k.
+    level_frame = flagged.withColumn(
+        "level_candidate",
+        F.when(F.col("is_capped") == 1, lam_after),
+    ).withColumn(
+        "level",
+        F.coalesce(
+            F.max("level_candidate").over(w_all),
+            F.lit(float(budget)) / F.col("k"),
+        ),
+    )
+    alloc = F.round(
+        F.greatest(
+            F.lit(0.0), F.least(F.col("capacity"), F.col("level"))
+        ),
+        9,
+    )
+    return level_frame.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("capacity"), round_digits).alias("capacity"),
+        F.round(alloc, round_digits).alias("allocation"),
+        F.round(alloc / F.col("n_tokens"), round_digits).alias("epochs"),
+    )

@@ -118,3 +118,92 @@ class TestAssistantLossMask:
         r = self._run(spark, [(1, tr)])[1]
         assert r.n_loss_tokens == 0 and r.n_spans == 0
         assert r.first_span_start is None and r.last_span_end is None
+
+
+class TestUnimax:
+    def _run(self, spark, sizes, budget, max_epochs=2.0):
+        from azure_data_engineering_spark.operators.sampling import (
+            unimax_allocation,
+        )
+
+        rows = [(s, n) for s, n in sizes.items()]
+        df = spark.createDataFrame(rows, "source string, n long")
+        return {
+            r.source: r
+            for r in unimax_allocation(
+                df, "source", "n", budget=budget, max_epochs=max_epochs
+            ).collect()
+        }
+
+    def test_uniform_when_budget_fits(self, spark):
+        # budget 300, three big sources: everyone gets 100
+        got = self._run(spark, {"a": 1000, "b": 2000, "c": 3000}, 300.0)
+        assert all(abs(got[s].allocation - 100.0) < 1e-6 for s in "abc")
+
+    def test_small_source_capped_surplus_redistributed(self, spark):
+        # caps (2 epochs): a=20, b=2000, c=2000; budget 620:
+        # a capped at 20, remaining 600 split 300/300
+        got = self._run(spark, {"a": 10, "b": 1000, "c": 1000}, 620.0)
+        assert abs(got["a"].allocation - 20.0) < 1e-6
+        assert abs(got["a"].epochs - 2.0) < 1e-6
+        assert abs(got["b"].allocation - 300.0) < 1e-6
+        assert abs(got["c"].allocation - 300.0) < 1e-6
+
+    def test_budget_exceeds_total_capacity(self, spark):
+        got = self._run(spark, {"a": 10, "b": 20}, 1000.0)
+        assert abs(got["a"].allocation - 20.0) < 1e-6
+        assert abs(got["b"].allocation - 40.0) < 1e-6
+
+    def test_cascading_caps(self, spark):
+        # caps: a=2, b=8, c=100; budget 30: a capped (2), b capped (8),
+        # c gets 20
+        got = self._run(spark, {"a": 1, "b": 4, "c": 50}, 30.0)
+        assert abs(got["a"].allocation - 2.0) < 1e-6
+        assert abs(got["b"].allocation - 8.0) < 1e-6
+        assert abs(got["c"].allocation - 20.0) < 1e-6
+
+
+class TestRobots:
+    def _eval(self, spark, rules, urls):
+        from azure_data_engineering_spark.operators.robots import robots_evaluate
+
+        r = spark.createDataFrame(rules, "directive string, path string")
+        u = spark.createDataFrame(urls, "id long, url string")
+        return {row.id: row for row in robots_evaluate(u, r).collect()}
+
+    def test_longest_match_wins(self, spark):
+        rules = [("disallow", "/private"), ("allow", "/private/press")]
+        urls = [(1, "https://x.com/private/hr"), (2, "https://x.com/private/press/a")]
+        got = self._eval(spark, rules, urls)
+        assert got[1].allowed == 0 and got[1].matched_path == "/private"
+        assert got[2].allowed == 1 and got[2].matched_path == "/private/press"
+
+    def test_default_allow_unmatched(self, spark):
+        got = self._eval(spark, [("disallow", "/x")], [(1, "https://a.b/ok")])
+        assert got[1].allowed == 1 and got[1].matched_directive is None
+
+    def test_allow_wins_length_tie(self, spark):
+        rules = [("disallow", "/p/a"), ("allow", "/p/b")]
+        # craft a tie: both rules length 4; only one matches each url,
+        # so instead tie on the SAME prefix with both directives
+        rules = [("disallow", "/page"), ("allow", "/page")]
+        got = self._eval(spark, rules, [(1, "https://a.b/page/1")])
+        assert got[1].allowed == 1
+
+    def test_empty_path_is_root(self, spark):
+        rules = [("disallow", "/")]
+        got = self._eval(spark, rules, [(1, "https://a.b")])
+        assert got[1].path == "/" and got[1].allowed == 0
+
+    def test_parser_strips_comments_and_junk(self, spark):
+        from azure_data_engineering_spark.operators.robots import (
+            robots_rules_from_text,
+        )
+
+        body = "User-agent: *\nDisallow: /a # comment\nallow: /a/b\nDisallow:\nnoise"
+        df = spark.createDataFrame([(1, body)], "id int, body string")
+        rules = {
+            (r.directive, r.path)
+            for r in robots_rules_from_text(df, "id", "body").collect()
+        }
+        assert rules == {("disallow", "/a"), ("allow", "/a/b")}
