@@ -389,3 +389,42 @@ def span_corruption(
         F.array_join(corrupted_arr, " ").alias("corrupted"),
         F.array_join(target_arr, " ").alias("targets"),
     )
+
+
+def packing_efficiency(
+    packed: DataFrame,
+    seq_cols,
+    token_len_col: str,
+    capacity: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Packing-efficiency audit of a pack_sequences result — the
+    acceptance gate a training-batch pipeline runs before shipping:
+    wasted pad tokens ARE wasted accelerator hours, and a fill ratio
+    that drifts down signals the chunker and the packer have come
+    apart. Per packed sequence (keyed by `seq_cols`): item count,
+    used tokens, fill ratio vs `capacity`, overflow flag (the
+    streaming packer admits at most one straddling chunk past the
+    budget — anything overflowing by MORE than that is a packing
+    bug), and pad waste (0 for overflowed sequences). One aggregate
+    on the sequence key; output is sequence-count-sized."""
+    gcols = list(seq_cols)
+    agg = packed.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col(token_len_col).cast("long")).cast("long").alias("used_tokens"),
+        F.max(F.col(token_len_col).cast("long")).cast("long").alias("max_item"),
+    )
+    cap = F.lit(int(capacity))
+    return agg.select(
+        *gcols,
+        "n_items",
+        "used_tokens",
+        cap.cast("long").alias("capacity"),
+        F.round(F.col("used_tokens").cast("double") / cap, round_digits).alias(
+            "fill_ratio"
+        ),
+        (F.col("used_tokens") > cap).cast("int").alias("overflowed"),
+        F.greatest(cap - F.col("used_tokens"), F.lit(0)).cast("long").alias(
+            "pad_waste"
+        ),
+    )

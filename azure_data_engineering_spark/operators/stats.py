@@ -3707,3 +3707,103 @@ def cox_ph_newton(
             F.when(z.isNotNull(), _erfc_two_sided(F.abs(z))), round_digits
         ).alias("p_value"),
     )
+
+
+def aalen_johansen_cif(
+    df: DataFrame,
+    duration_col: str,
+    cause_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence functions under COMPETING
+    risks (Aalen & Johansen 1978) — the estimator kaplan_meier cannot
+    be: when a subject can fail from cause 1 OR cause 2 (churn vs
+    upgrade, hardware vs software failure, dedup-removed vs
+    quality-removed), 1−KM per cause OVERSTATES every incidence
+    because it treats competing failures as censoring. The CIF for
+    cause k accumulates
+
+        CIF_k(t) = Σ_{t_i ≤ t} S(t_i^-) · d_{k,i}/n_i
+
+    with S the ALL-CAUSE Kaplan-Meier survival just before t_i.
+    `cause_col`: 0 = censored, 1..K = failure cause.
+
+    Scale shape: the kaplan_meier collapse — one aggregation to the
+    distinct-duration histogram with per-cause event counts, then
+    windows over that KB-sized frame (at-risk prefix, lagged
+    all-cause KM via exp-sum-ln with the exact-zero guard, cumulative
+    CIF sums as 12 dp decimals). Returns one row per (duration,
+    cause) with d_k > 0: (duration, cause, n_risk, d_cause, d_all,
+    surv_before, cif)."""
+    base = df.select(
+        F.col(duration_col).cast("long").alias("dur"),
+        F.col(cause_col).cast("int").alias("cause"),
+    )
+    hist = base.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.sum((F.col("cause") > 0).cast("long")).alias("d_all"),
+    )
+    w_ord = Window.orderBy("dur")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    n_total = base.count()
+    at_risk = hist.withColumn(
+        "n_risk",
+        F.lit(n_total) - F.sum("c_all").over(w_cum) + F.col("c_all"),
+    )
+    # all-cause KM survival THROUGH each duration, then lag for S(t^-)
+    ln_term = F.when(
+        F.col("d_all") < F.col("n_risk"),
+        F.round(
+            F.log(1.0 - F.col("d_all").cast("double") / F.col("n_risk")), 12
+        ),
+    ).otherwise(F.lit(None))
+    km = at_risk.withColumn(
+        "any_zero",
+        F.max((F.col("d_all") == F.col("n_risk")).cast("int")).over(w_cum),
+    ).withColumn(
+        "surv",
+        F.when(F.col("any_zero") == 1, F.lit(0.0)).otherwise(
+            F.round(
+                F.exp(
+                    F.sum(ln_term.cast("decimal(28,12)")).over(w_cum).cast(
+                        "double"
+                    )
+                ),
+                9,
+            )
+        ),
+    ).withColumn(
+        "surv_before", F.coalesce(F.lag("surv").over(w_ord), F.lit(1.0))
+    )
+    per_cause = (
+        base.filter(F.col("cause") > 0)
+        .groupBy("dur", "cause")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_cause"))
+    )
+    joined = per_cause.join(
+        km.select("dur", "n_risk", "d_all", "surv_before"), "dur"
+    )
+    w_cause = (
+        Window.partitionBy("cause")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inc = F.round(
+        F.col("surv_before") * F.col("d_cause").cast("double") / F.col("n_risk"),
+        12,
+    )
+    out = joined.withColumn(
+        "cif",
+        F.round(
+            F.sum(inc.cast("decimal(28,12)")).over(w_cause).cast("double"), 9
+        ),
+    )
+    return out.select(
+        "dur",
+        "cause",
+        "n_risk",
+        "d_cause",
+        "d_all",
+        F.round(F.col("surv_before"), round_digits).alias("surv_before"),
+        F.round(F.col("cif"), round_digits).alias("cif"),
+    ).orderBy("cause", "dur")

@@ -1701,3 +1701,100 @@ def engle_granger_coint(
         F.round(dfstat, round_digits).alias("df_stat"),
         (dfstat < -3.34).cast("int").alias("coint_flag"),
     )
+
+
+def periodogram_power(
+    df: DataFrame,
+    time_index_col: str,
+    value_col: str,
+    periods: list,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Periodicity-strength screen at CANDIDATE periods — the Goertzel
+    /single-bin-DFT answer to "is there a weekly cycle?" that
+    seasonal_decompose_ma assumes and q_acf only hints at. For each
+    candidate period P (in time-index units), the normalized spectral
+    power
+
+        p(P) = ((Σ x̃·cos(2πt/P))² + (Σ x̃·sin(2πt/P))²) · 2/(n·Σx̃²)
+
+    with x̃ the mean-centered series — p ≈ 1 means a pure sinusoid at
+    that period, p ≈ 0 white noise; a zero-variance series has no
+    spectrum and emits NULL power. One aggregate evaluates ALL
+    candidate bins (two slots per period); no window, no FFT,
+    engine-replayable because cos/sin arguments are exact integer
+    ratios rounded to 12 dp before libm. Returns one row per period:
+    (period, n, power, dominant) with dominant flagging the argmax."""
+    t = F.col(time_index_col).cast("double")
+    base = df.select(
+        t.alias("t"), F.round(F.col(value_col).cast("double"), 6).alias("x")
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double"), 9
+        ).alias("sx"),
+    )
+    centered = base.crossJoin(F.broadcast(mom)).select(
+        "t",
+        "n",
+        F.round(F.col("x") - F.col("sx") / F.col("n"), 9).alias("xc"),
+    )
+    two_pi = 6.283185307179586
+    aggs = [
+        F.max("n").alias("n"),
+        F.round(
+            F.sum(
+                F.round(F.col("xc") * F.col("xc"), 9).cast("decimal(28,9)")
+            ).cast("double"),
+            9,
+        ).alias("ss"),
+    ]
+    for p in periods:
+        ang = F.round(F.lit(two_pi) * F.col("t") / F.lit(float(p)), 12)
+        aggs.append(
+            F.round(
+                F.sum(
+                    F.round(F.col("xc") * F.cos(ang), 9).cast("decimal(28,9)")
+                ).cast("double"),
+                9,
+            ).alias(f"c_{int(p)}")
+        )
+        aggs.append(
+            F.round(
+                F.sum(
+                    F.round(F.col("xc") * F.sin(ang), 9).cast("decimal(28,9)")
+                ).cast("double"),
+                9,
+            ).alias(f"s_{int(p)}")
+        )
+    wide = centered.groupBy().agg(*aggs)
+    rows = None
+    for p in periods:
+        power = F.round(
+            F.when(
+                F.col("ss") > 0,
+                (
+                    F.col(f"c_{int(p)}") * F.col(f"c_{int(p)}")
+                    + F.col(f"s_{int(p)}") * F.col(f"s_{int(p)}")
+                )
+                * 2.0
+                / (F.col("n") * F.col("ss")),
+            ),
+            9,
+        )
+        one = wide.select(
+            F.lit(int(p)).alias("period"),
+            F.col("n"),
+            power.alias("power"),
+        )
+        rows = one if rows is None else rows.unionAll(one)
+    w_all = Window.partitionBy()
+    return rows.withColumn(
+        "dominant", (F.col("power") == F.max("power").over(w_all)).cast("int")
+    ).select(
+        "period",
+        "n",
+        F.round(F.col("power"), round_digits).alias("power"),
+        "dominant",
+    ).orderBy("period")

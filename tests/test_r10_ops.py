@@ -464,3 +464,95 @@ class TestTopoLayers:
     def test_diamond(self, spark):
         got = self._run(spark, [(0, 1), (0, 2), (1, 3), (2, 3)], 3)
         assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+class TestAalenJohansen:
+    def _run(self, spark, rows):
+        from azure_data_engineering_spark.operators.stats import aalen_johansen_cif
+
+        df = spark.createDataFrame(rows, "duration long, cause int")
+        return aalen_johansen_cif(df, "duration", "cause").collect()
+
+    def test_hand_computed_two_causes(self, spark):
+        # t=1: n=4, cause1 death; t=2: n=3, cause2 death; t=3 censored;
+        # t=4: n=1, cause1 death
+        rows = [(1, 1), (2, 2), (3, 0), (4, 1)]
+        out = {(r.cause, r.dur): r for r in self._run(spark, rows)}
+        # CIF1(1) = S(0)*1/4 = 0.25
+        assert abs(out[(1, 1)].cif - 0.25) < 1e-6
+        # S(1) = 3/4; CIF2(2) = 0.75 * 1/3 = 0.25
+        assert abs(out[(2, 2)].cif - 0.25) < 1e-6
+        # S(2) = 3/4*2/3 = 0.5; censoring at 3; CIF1(4) = 0.25 + S(3^-)*1/1
+        # S(3) = 0.5 (no event at 3); CIF1(4) = 0.25 + 0.5 = 0.75
+        assert abs(out[(1, 4)].cif - 0.75) < 1e-6
+
+    def test_cifs_sum_below_one(self, spark):
+        rows = [(d, (d % 3)) for d in range(1, 30)]
+        out = self._run(spark, rows)
+        last = {}
+        for r in sorted(out, key=lambda r: (r.cause, r.dur)):
+            last[r.cause] = r.cif
+        assert sum(last.values()) <= 1.0 + 1e-9
+
+    def test_single_cause_matches_one_minus_km(self, spark):
+        from azure_data_engineering_spark.operators.stats import kaplan_meier
+
+        rows = [(d, 1 if d % 2 else 0) for d in range(1, 21)]
+        aj = {r.dur: r.cif for r in self._run(spark, rows)}
+        df = spark.createDataFrame(rows, "duration long, cause int")
+        km = {
+            r.duration: r.survival
+            for r in kaplan_meier(df, "duration", "cause").collect()
+        }
+        for d, cif in aj.items():
+            assert abs(cif - (1.0 - km[d])) < 1e-6
+
+
+class TestPeriodogram:
+    def _run(self, spark, vals, periods):
+        from azure_data_engineering_spark.operators.timeseries import (
+            periodogram_power,
+        )
+
+        rows = [(i, float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "t long, x double")
+        return {
+            r.period: r
+            for r in periodogram_power(df, "t", "x", periods=periods).collect()
+        }
+
+    def test_pure_sinusoid_dominant(self, spark):
+        import math
+
+        vals = [10.0 + 5.0 * math.cos(2 * math.pi * i / 7.0) for i in range(84)]
+        got = self._run(spark, vals, [3, 5, 7, 14])
+        assert got[7].dominant == 1
+        assert got[7].power > 0.95
+        assert got[3].power < 0.05 and got[5].power < 0.05
+
+    def test_flat_series_zero_power(self, spark):
+        got = self._run(spark, [4.0] * 30, [3, 7])
+        # zero variance -> ss = 0 -> power NULL (0/0 guarded by round->None)
+        assert all(g.power is None or g.power == 0 for g in got.values())
+
+
+class TestPackingEfficiency:
+    def test_fill_and_overflow(self, spark):
+        from azure_data_engineering_spark.operators.chunking import (
+            packing_efficiency,
+        )
+
+        rows = [(0, 0, 100), (0, 0, 120), (0, 1, 300), (1, 0, 64)]
+        df = spark.createDataFrame(rows, "bucket long, seq_id long, token_len long")
+        got = {
+            (r.bucket, r.seq_id): r
+            for r in packing_efficiency(
+                df, ["bucket", "seq_id"], "token_len", capacity=256
+            ).collect()
+        }
+        a = got[(0, 0)]
+        assert a.used_tokens == 220 and a.pad_waste == 36 and a.overflowed == 0
+        assert abs(a.fill_ratio - 220 / 256) < 1e-9
+        b = got[(0, 1)]
+        assert b.overflowed == 1 and b.pad_waste == 0
+        assert got[(1, 0)].n_items == 1
