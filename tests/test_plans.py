@@ -581,14 +581,14 @@ def test_link_prediction_top_k_never_global_sorts(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_mutual_info_no_cartesian_no_row_explosion_joins(spark, sf_dir):
-    """Marginals re-aggregate from the joint count table and join back
-    on (feature, value/label) keys — never a cartesian; the broadcast
-    of the 4-row per-feature totals is the only nested-loop risk and
-    it is hash-joinable."""
+def test_mutual_info_windows_not_joins(spark, sf_dir):
+    """r10 replan: marginals are WINDOW sums over the shuffled joint
+    frame — the plan must contain no join operator at all (the r9
+    version materialized three marginal joins; 22 exchanges -> 4)."""
     plan = formatted_plan(entrymod.q_mutual_info(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_gbm_per_round_is_histogram_plus_broadcast(spark, sf_dir):
@@ -664,3 +664,68 @@ def test_bitmap_distinct_no_expand(spark, sf_dir):
     (the count-distinct rewrite) should appear — that is the point."""
     plan = formatted_plan(entrymod.q_bitmap_distinct(spark, sf_dir))
     assert "Expand" not in plan
+
+
+def test_video_pdf_triage_are_pure_scans(spark, sf_dir):
+    """The r10 marker-walk kernels (MP4/MKV/PDF) must stream through
+    mapInPandas with no shuffle at all — the O(header-bytes)
+    embarrassingly-parallel contract."""
+    for q in ("q_video_metadata", "q_mkv_metadata", "q_pdf_metadata"):
+        plan = formatted_plan(getattr(entrymod, q)(spark, sf_dir))
+        assert "Exchange" not in plan, q
+
+
+def test_robots_ruleset_is_broadcast(spark, sf_dir):
+    """The prefix-match admission join must broadcast the robots.txt-
+    sized ruleset (non-equi predicate -> BNLJ is expected and fine at
+    ruleset scale); the URL table must never shuffle for the join."""
+    plan = formatted_plan(entrymod.q_robots_filter(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bleu_joins_are_equi(spark, sf_dir):
+    """Clipped-count joins ride the (id, gram) key — the LeftOuter
+    hyp-vs-ref joins must be HASH joins; the only nested loops are
+    the 1-row broadcast stat frames (the repo's crossJoin
+    discipline), never a loop over the gram streams."""
+    plan = formatted_plan(entrymod.q_bleu(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin LeftOuter" in plan or "SortMergeJoin LeftOuter" in plan
+    # nested loops may only be Cross builds of 1-row frames
+    import re
+    for m in re.findall(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m == "Cross"
+
+
+def test_interval_union_single_sort_no_join(spark, sf_dir):
+    """The sweep line is windows over one (group, start) sort — no
+    self-join, no explode."""
+    plan = formatted_plan(entrymod.q_interval_union(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode
+
+
+def test_cox_risk_sets_ride_duration_histogram(spark, sf_dir):
+    """Each Newton round reaches the corpus only through the
+    distinct-duration groupBy; no corpus-scale join."""
+    plan = formatted_plan(entrymod.q_cox_ph(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chat_ops_single_shuffle(spark, sf_dir):
+    """Turn stats and loss mask are parse + per-doc window: exactly
+    one exchange family (the id hash partitioning), no joins."""
+    for q in ("q_turn_stats", "q_chat_loss_mask"):
+        plan = formatted_plan(getattr(entrymod, q)(spark, sf_dir))
+        assert "Join" not in plan, q
+
+
+def test_unimax_frame_is_source_sized(spark, sf_dir):
+    """Waterfill runs on the per-source aggregate: the corpus is
+    touched by ONE groupBy; everything after is windows on the
+    source-count frame."""
+    plan = formatted_plan(entrymod.q_unimax(spark, sf_dir))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
