@@ -569,9 +569,13 @@ def cohort_ltv_curve(
     back. Ages are exact month diffs; per-user normalization uses the
     DISTINCT acquired-user count, so returning users do not inflate
     the denominator. Returns (cohort_month, age_months, cohort_users,
-    revenue, cum_revenue, cum_ltv_per_user)."""
+    revenue, cum_revenue, cum_ltv_per_user) for period='month'; with
+    period='week' the first two columns are named (cohort_week,
+    age_weeks) so the schema states its own grain (ADVICE r10)."""
     if period not in ("month", "week"):
         raise ValueError(f"period must be month|week, got {period!r}")
+    cohort_name = "cohort_month" if period == "month" else "cohort_week"
+    age_name = "age_months" if period == "month" else "age_weeks"
     fmt = "yyyy-MM" if period == "month" else "yyyy-MM-dd"
     wu = Window.partitionBy("u")
     base = events.select(
@@ -609,12 +613,12 @@ def cohort_ltv_curve(
         "cum_rev", F.sum("rev").over(wc)
     )
     return curve.select(
-        "cohort_month",
-        "age_months",
+        F.col("cohort_month").alias(cohort_name),
+        F.col("age_months").alias(age_name),
         "cohort_users",
         F.round(F.col("rev").cast("double"), round_digits).alias("revenue"),
         F.round(F.col("cum_rev").cast("double"), round_digits).alias("cum_revenue"),
         F.round(
             F.col("cum_rev").cast("double") / F.col("cohort_users"), round_digits
         ).alias("cum_ltv_per_user"),
-    ).orderBy("cohort_month", "age_months")
+    ).orderBy(cohort_name, age_name)

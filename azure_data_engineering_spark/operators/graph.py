@@ -1144,6 +1144,10 @@ def modularity_score(
         F.col(node_col).alias("n"), F.col(comm_col).alias("c")
     )
     m = e.count()
+    if m == 0:
+        # modularity is undefined at m=0 (every term divides by m);
+        # fail loudly instead of emitting NULL q_contrib rows
+        raise ValueError("modularity_score: edge list is empty (m=0)")
     tagged = (
         e.join(a.withColumnRenamed("n", "u").withColumnRenamed("c", "cu"), "u")
         .join(a.withColumnRenamed("n", "v").withColumnRenamed("c", "cv"), "v")

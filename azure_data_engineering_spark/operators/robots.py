@@ -65,6 +65,9 @@ def robots_evaluate(
         F.length("r_path").desc(),
         # allow first on equal length: 'allow' < 'disallow' lexically
         F.col("r_directive").asc(),
+        # total order: equal-length same-directive rules would otherwise
+        # make matched_path nondeterministic across runs (ADVICE r10)
+        F.col("r_path").asc(),
     )
     ranked = joined.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") == 1

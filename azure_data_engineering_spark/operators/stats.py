@@ -3450,13 +3450,35 @@ def srm_check(
         F.count(F.lit(1)).cast("long").alias("o")
     )
     if expected_ratios is not None:
-        ratio = None
-        for k, v in expected_ratios.items():
-            clause = F.when(F.col("arm") == F.lit(k), F.lit(float(v)))
-            ratio = clause if ratio is None else ratio.when(
-                F.col("arm") == F.lit(k), F.lit(float(v))
+        # Full-outer-join the DESIGN frame with observed counts: a
+        # design arm with zero observed rows must contribute its full
+        # e-sized (o-e)^2/e term, and an observed arm missing from the
+        # design is a hard error (mislabeled assignment) — both cases
+        # are exactly what an SRM gate exists to catch (ADVICE r10).
+        total_ratio = sum(float(v) for v in expected_ratios.values())
+        if abs(total_ratio - 1.0) > 1e-6:
+            raise ValueError(
+                f"expected_ratios must sum to 1 (got {total_ratio!r})"
             )
-        per_arm = per_arm.withColumn("ratio", ratio)
+        design = F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(str(k), float(v)) for k, v in expected_ratios.items()],
+                "arm string, ratio double",
+            )
+        )
+        joined = design.join(per_arm, "arm", "full_outer")
+        stray = [
+            r["arm"]
+            for r in joined.filter(F.col("ratio").isNull())
+            .select("arm")
+            .collect()
+        ]
+        if stray:
+            raise ValueError(
+                "observed arm(s) not in the experiment design: "
+                f"{sorted(stray)!r}"
+            )
+        per_arm = joined.withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
     else:
         wk = Window.partitionBy()
         per_arm = per_arm.withColumn(

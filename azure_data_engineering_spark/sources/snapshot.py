@@ -225,6 +225,16 @@ def _commit_cas(
                     displaced = f.read()
             except OSError:
                 displaced = None
+            # Reject reclaim if the slot's version already reached the
+            # pointer: overwriting a COMMITTED manifest, even briefly,
+            # would serve readers the reclaimer's file list under the
+            # claimant's committed version (ADVICE r10). Only an
+            # uncommitted orphan may be displaced.
+            if current_version(table) != expected_version:
+                raise ConcurrentCommitError(
+                    f"{table}: v{version} committed while evaluating "
+                    "stale-claim reclaim — rebase and retry"
+                ) from None
             _replace_manifest()
             if current_version(table) != expected_version:
                 # the claimant committed between our fence check and the

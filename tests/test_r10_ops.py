@@ -112,6 +112,32 @@ class TestSrmCheck:
         assert r.srm_flag == 0
         assert abs(r.chi2) < 1e-9
 
+    def test_starved_design_arm_alarms(self, spark):
+        # a design arm with ZERO observed rows must contribute its full
+        # e-sized chi2 term — the broken-randomizer case the gate
+        # exists for (ADVICE r10)
+        r = self._run(
+            spark,
+            {"a": 500, "b": 500},
+            expected={"a": 0.45, "b": 0.45, "c": 0.10},
+        )
+        assert r.k_arms == 3
+        assert r.srm_flag == 1 and r.p_value < 0.001
+        # the starved arm's term alone is e = 0.10 * 1000 = 100
+        assert r.chi2 > 100.0 - 1e-6
+
+    def test_stray_observed_arm_raises(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not in the experiment design"):
+            self._run(spark, {"a": 500, "zz": 500}, expected={"a": 1.0})
+
+    def test_ratios_must_sum_to_one(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="must sum to 1"):
+            self._run(spark, {"a": 500}, expected={"a": 0.5})
+
 
 class TestYuleWalker:
     def _run(self, spark, vals):
@@ -233,6 +259,21 @@ class TestCohortLtv:
         assert jan1.cum_revenue == 60.0 and jan1.cum_ltv_per_user == 30.0
         feb0 = got[("2024-02", 0)]
         assert feb0.cohort_users == 1 and feb0.cum_ltv_per_user == 40.0
+
+    def test_week_mode_schema_is_truthful(self, spark):
+        # period='week' emits (cohort_week, age_weeks), not month-named
+        # columns carrying week-grained numbers (ADVICE r10)
+        from azure_data_engineering_spark.operators.funnel import cohort_ltv_curve
+
+        Fn = __import__("pyspark.sql.functions", fromlist=["x"])
+        rows = [(1, "2024-01-01", 10.0), (1, "2024-01-10", 20.0)]
+        df = spark.createDataFrame(rows, "u long, d string, v double").select(
+            "u", Fn.to_timestamp("d").alias("ts"), "v"
+        )
+        out = cohort_ltv_curve(df, "u", "ts", "v", period="week")
+        assert out.columns[:2] == ["cohort_week", "age_weeks"]
+        got = {r.age_weeks: r for r in out.collect()}
+        assert got[0].revenue == 10.0 and got[1].cum_revenue == 30.0
 
 
 class TestIpwAte:
@@ -438,6 +479,16 @@ class TestModularity:
         q_good = sum(r.q_contrib for r in self._run(spark, edges, good))
         q_bad = sum(r.q_contrib for r in self._run(spark, edges, bad))
         assert q_good > q_bad
+
+    def test_empty_edges_raise(self, spark):
+        # modularity is undefined at m=0 — a clear error, not NULL
+        # q_contrib rows (ADVICE r10)
+        from azure_data_engineering_spark.operators.graph import modularity_score
+
+        e = spark.createDataFrame([], "src long, dst long")
+        a = spark.createDataFrame([(0, 0)], "node long, community long")
+        with pytest.raises(ValueError, match="m=0"):
+            modularity_score(e, a)
 
 
 class TestTopoLayers:

@@ -195,6 +195,19 @@ class TestRobots:
         got = self._eval(spark, rules, [(1, "https://a.b")])
         assert got[1].path == "/" and got[1].allowed == 0
 
+    def test_equal_length_same_directive_deterministic(self, spark):
+        # two distinct matching rules of equal length and the same
+        # directive: matched_path must be a total order — the lexically
+        # smallest path — not whichever partition arrives first
+        # (ADVICE r10)
+        rules = [("disallow", "/zz/a"), ("disallow", "/zz/b"),
+                 ("disallow", "/zz")]
+        urls = [(1, "https://a.b/zz/a"), (2, "https://a.b/zz/b3")]
+        for _ in range(3):
+            got = self._eval(spark, rules, urls)
+            assert got[1].matched_path == "/zz/a"
+            assert got[2].matched_path == "/zz/b"
+
     def test_parser_strips_comments_and_junk(self, spark):
         from azure_data_engineering_spark.operators.robots import (
             robots_rules_from_text,

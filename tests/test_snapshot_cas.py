@@ -237,10 +237,12 @@ class TestStaleClaimReclaim:
         assert v == 2
         assert _rows(spark, table) == {(1, "a"), (2, "B2"), (3, "c")}
 
-    def test_reclaim_rolls_back_if_claimant_committed(self, spark, table):
-        """The residual stalled-not-dead race: the claimant commits
-        between the fence check and the reclaim. The reclaim must
-        restore the displaced manifest and lose cleanly."""
+    def test_reclaim_rejected_if_claimant_committed(self, spark, table):
+        """The claimant commits between the fence check and the
+        reclaim: the pre-replace pointer re-check must REJECT the
+        reclaim without ever touching the committed manifest — readers
+        following the pointer must never see the reclaimer's file list
+        under the claimant's version (ADVICE r10)."""
         import json
 
         sn.snapshot_write_cas(_df(spark, [(1, "a")]), table, None)
@@ -254,8 +256,44 @@ class TestStaleClaimReclaim:
             calls["n"] += 1
             # 1st call: the fence check (report 1 = expected). The
             # claimant then "wakes up" and swaps the pointer to 2
-            # before the post-replace re-check.
+            # before the pre-replace re-check (2nd call).
             if calls["n"] == 2:
+                return 2
+            return real_cv(t)
+
+        sn.current_version = racing_cv
+        try:
+            with pytest.raises(sn.ConcurrentCommitError,
+                               match="committed while evaluating"):
+                sn._commit_cas(table, 1, ["data/x.parquet"],
+                               stale_claim_timeout=60.0)
+        finally:
+            sn.current_version = real_cv
+        # the committed manifest was never overwritten, not even briefly
+        assert json.loads(open(dead).read()) == json.loads(orig)
+
+    def test_reclaim_rolls_back_if_claimant_committed_mid_replace(
+        self, spark, table
+    ):
+        """The residual stalled-not-dead race: the claimant commits
+        between the pre-replace re-check and the replace itself. The
+        post-replace check must restore the displaced manifest and
+        lose cleanly."""
+        import json
+
+        sn.snapshot_write_cas(_df(spark, [(1, "a")]), table, None)
+        dead = self._plant_dead_claim(table, 2, age_s=3600, tag="stalled#b3")
+        orig = open(dead).read()
+
+        real_cv = sn.current_version
+        calls = {"n": 0}
+
+        def racing_cv(t):
+            calls["n"] += 1
+            # 1st call: fence check (1 = expected); 2nd: pre-replace
+            # re-check (still 1); 3rd: post-replace check — the
+            # claimant committed in the replace window.
+            if calls["n"] == 3:
                 return 2
             return real_cv(t)
 
