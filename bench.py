@@ -163,6 +163,10 @@ HEADLINE = [
     # (p(p+3)/2 aggregate slots, one corpus scan, no melt/self-join)
     "q_audio_metadata",
     "q_correlation_matrix",
+    # round-11 addition: the unigram-LM tokenizer trainer (in-plan
+    # oracle-replayable Viterbi-EM; heavy by design like q_bpe_encode —
+    # the production encode path is timed in operator_only)
+    "q_unigram_train",
     # the Gopher rule floor is the canonical 100 TB first-pass scan
     # (pure Column HOFs, zero shuffles); TextRank composes the word
     # graph + 4 pagerank rounds
@@ -583,6 +587,31 @@ def _operator_only(spark, sf_dir: str) -> dict[str, float]:
         out["bpe_encode_op"] = _error_row(exc)
         return out
     _put(out, "bpe_encode_op", lambda: bpe_encode_replay(d, "text", merges, num_merges=12))
+    # PRODUCTION unigram encode: q_unigram_train's headline cost is the
+    # in-plan oracle-replayable EM trajectory; production encodes run
+    # the Arrow-batched pandas-UDF Viterbi over distinct words against
+    # a persisted vocab (same artifact discipline as bpe_encode_op).
+    from azure_data_engineering_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    uart = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchdata",
+        f"unigram_vocab_sf{sf_tag}",
+    )
+    try:
+        if not os.path.exists(uart):
+            unigram_train(
+                d, "text", vocab_size=40, max_piece_len=4, max_word_len=8,
+                em_rounds=2, seed_size=300,
+            ).select("piece", "logp").write.parquet(uart)
+        uvocab = spark.read.parquet(uart)
+    except BaseException as exc:  # noqa: BLE001
+        out["unigram_encode_op"] = _error_row(exc)
+        return out
+    _put(out, "unigram_encode_op", lambda: unigram_encode(d, "text", uvocab))
     return out
 
 
