@@ -82,3 +82,64 @@ def robots_evaluate(
             F.col("r_directive").isNull() | (F.col("r_directive") == "allow")
         ).cast("int").alias("allowed"),
     )
+
+
+def robots_evaluate_multihost(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "id",
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Host-keyed admission — the form a 100 TB crawl actually runs
+    (VERDICT r10): `rules` carries (host, directive, path) for ALL
+    hosts, so broadcasting it as one group (robots_evaluate's shape)
+    stops scaling. Each URL's host is extracted and lower-cased, then
+    the rule lookup is a HOST EQUI-JOIN with the prefix predicate as a
+    join residual: Spark hash-partitions (or broadcasts) on the host
+    key — never a nested-loop over the full rule table — and the
+    within-host longest-match/allow-tie/total-order window is
+    unchanged from robots_evaluate. URLs whose host has no rule group
+    are default-allowed (RFC 9309 no-robots semantics). Returns
+    (id, url, host, path, matched_directive, matched_path, allowed).
+    Plan shape asserted in tests/test_r10_text.py."""
+    r = rules.select(
+        F.lower(F.col(host_col)).alias("r_host"),
+        F.col("directive").alias("r_directive"),
+        F.col("path").alias("r_path"),
+    )
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/]*)", 1)
+    )
+    path = F.regexp_replace(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    base = urls.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        F.when(path == "", F.lit("/")).otherwise(path).alias("path"),
+    )
+    joined = base.join(
+        r,
+        (F.col("host") == F.col("r_host"))
+        & F.col("path").startswith(F.col("r_path")),
+        "left",
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.length("r_path").desc(),
+        F.col("r_directive").asc(),
+        F.col("r_path").asc(),
+    )
+    ranked = joined.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return ranked.select(
+        "id",
+        "url",
+        "host",
+        "path",
+        F.col("r_directive").alias("matched_directive"),
+        F.col("r_path").alias("matched_path"),
+        (
+            F.col("r_directive").isNull() | (F.col("r_directive") == "allow")
+        ).cast("int").alias("allowed"),
+    )
