@@ -3829,3 +3829,322 @@ def aalen_johansen_cif(
         F.round(F.col("surv_before"), round_digits).alias("surv_before"),
         F.round(F.col("cif"), round_digits).alias("cif"),
     ).orderBy("cause", "dur")
+
+
+def _norm_cdf(z):
+    """Standard-normal CDF Φ(z) through the module's A&S 7.1.26 erfc
+    polynomial (_erfc_two_sided), branch split on the sign so both
+    engines evaluate identical expressions."""
+    return F.when(
+        z >= 0, 1.0 - _erfc_two_sided(z) / 2.0
+    ).otherwise(_erfc_two_sided(-z) / 2.0)
+
+
+def anderson_darling_normal(
+    df: DataFrame,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Anderson-Darling normality test, case 4 (mean and variance
+    estimated; Anderson & Darling 1954, Stephens 1974) — the
+    distribution-shape gate with the most power in the TAILS, where
+    KS barely looks: metric residuals that pass KS can still fail AD
+    on heavy tails, exactly the failure mode that breaks z-based
+    alerting downstream.
+
+        A² = −n − (1/n) Σᵢ (2i−1)[ln F(z₍ᵢ₎) + ln(1 − F(z₍ₙ₊₁₋ᵢ₎))]
+
+    re-indexed so each SORTED row carries one closed-form summand
+    (2i−1)·lnF(zᵢ) + (2(n−i)+1)·ln(1−F(zᵢ)); A²* = A²(1 + 0.75/n +
+    2.25/n²) compares against Stephens' published 5% critical value
+    0.752. Scale shape: ONE exact-decimal moment aggregate (mean,
+    variance), one rank window over the value frame, one reduce. Φ via
+    the shared erfc polynomial; F clamped to [1e-12, 1−1e-12] before
+    ln so extreme z cannot produce ±inf (deterministic both engines).
+    Returns one row (n, a2, a2_star, nonnormal_5pct)."""
+    base = df.select(F.round(F.col(value_col).cast("double"), 6).alias("x"))
+    dsum = "decimal(38,6)"
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dsum)).alias("s"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(dsum)).alias("ss"),
+    )
+    mean = F.round(F.col("s").cast("double") / F.col("n").cast("double"), 9)
+    var = F.round(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        / (F.col("n") - 1).cast("double"),
+        9,
+    )
+    m = mom.select("n", mean.alias("m"), var.alias("v"))
+    w = Window.orderBy(F.col("x").asc())
+    ranked = base.crossJoin(F.broadcast(m)).withColumn(
+        "i", F.row_number().over(w)
+    )
+    z = F.round((F.col("x").cast("double") - F.col("m")) / F.sqrt("v"), 9)
+    fz = _norm_cdf(z)
+    fz_c = F.least(F.greatest(fz, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    contrib = F.round(
+        (2.0 * F.col("i") - 1.0) * F.log(fz_c)
+        + (2.0 * (F.col("n") - F.col("i")) + 1.0) * F.log(1.0 - fz_c),
+        9,
+    )
+    agg = ranked.select("n", contrib.alias("c")).groupBy("n").agg(
+        F.sum(F.col("c").cast("decimal(28,9)")).alias("csum")
+    )
+    a2 = -F.col("n").cast("double") - F.col("csum").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    nn = F.col("n").cast("double")
+    a2s = F.round(a2 * (1.0 + 0.75 / nn + 2.25 / (nn * nn)), 9)
+    return agg.select(
+        "n",
+        F.round(a2, round_digits).alias("a2"),
+        F.round(a2s, round_digits).alias("a2_star"),
+        # Stephens (1974) case-4 5% critical value
+        (a2s > 0.752).cast("int").alias("nonnormal_5pct"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Jarque-Bera normality test (Jarque & Bera 1980) — the
+    MOMENT-based normality screen: skewness and excess kurtosis fold
+    into one χ²(2) statistic, so the p-value is the exact closed form
+    exp(−JB/2), no polynomial approximation at all.
+
+        S = m₃/m₂^1.5,  K = m₄/m₂²,  JB = n/6 · (S² + (K−3)²/4)
+
+    Scale shape: ONE map-side-combinable aggregate of exact decimal
+    power sums (Σx..Σx⁴), central moments by the binomial expansion on
+    the 2-row... on the single moment row, everything else scalar.
+    Returns one row (n, skewness, kurtosis, jb_stat, p_value)."""
+    # per-row 6 dp-quantized double powers summed as exact decimals —
+    # chained DECIMAL multiplies would hit engine-specific precision
+    # clamps at the 4th power; quantize-then-sum keeps both engines on
+    # identical values at any aggregation order
+    xd = F.round(F.col(value_col).cast("double"), 6)
+    dsum = "decimal(38,6)"
+    mom = df.select(xd.alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dsum)).alias("s1"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(dsum)).alias("s2"),
+        F.sum(
+            F.round(F.col("x") * F.col("x") * F.col("x"), 6).cast(dsum)
+        ).alias("s3"),
+        F.sum(
+            F.round(
+                F.col("x") * F.col("x") * F.col("x") * F.col("x"), 6
+            ).cast(dsum)
+        ).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    # central moments from raw power sums (König-Huygens expansions)
+    m2 = F.round(F.col("s2").cast("double") / n - mu * mu, 9)
+    m3 = F.round(
+        F.col("s3").cast("double") / n
+        - 3.0 * mu * F.col("s2").cast("double") / n
+        + 2.0 * mu * mu * mu,
+        9,
+    )
+    m4 = F.round(
+        F.col("s4").cast("double") / n
+        - 4.0 * mu * F.col("s3").cast("double") / n
+        + 6.0 * mu * mu * F.col("s2").cast("double") / n
+        - 3.0 * mu * mu * mu * mu,
+        9,
+    )
+    skew = F.round(m3 / F.pow(m2, 1.5), 9)
+    kurt = F.round(m4 / (m2 * m2), 9)
+    jb = F.round(
+        n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 9
+    )
+    return mom.select(
+        "n",
+        F.round(skew, round_digits).alias("skewness"),
+        F.round(kurt, round_digits).alias("kurtosis"),
+        F.round(jb, round_digits).alias("jb_stat"),
+        # χ²(2) upper tail is exactly exp(−x/2)
+        F.round(F.exp(-jb / 2.0), round_digits).alias("p_value"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    time_col: str,
+    y_col: str,
+    x_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Durbin-Watson residual-autocorrelation statistic (Durbin &
+    Watson 1950) on the OLS fit y ~ a + b·x over a time-ordered frame
+    — the regression-diagnostic sibling of acf_ljung_box: DW ≈ 2 means
+    independent residuals, → 0 positive serial correlation (the usual
+    time-series OLS sin), → 4 negative.
+
+        DW = Σₜ (eₜ − eₜ₋₁)² / Σₜ eₜ²
+
+    Scale shape: ONE exact-moment aggregate for the OLS coefficients,
+    residuals in codegen with the 9 dp-rounded slope/intercept
+    broadcast back, one lag window ordered by `time_col`, one reduce.
+    Returns one row (n, slope, intercept, dw)."""
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.round(F.col(y_col).cast("double"), 6).alias("y"),
+        F.round(F.col(x_col).cast("double"), 6).alias("x"),
+    )
+    dsum = "decimal(38,6)"
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dsum)).alias("sx"),
+        F.sum(F.col("y").cast(dsum)).alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(dsum)).alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast(dsum)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / n
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / n
+    b = F.round(F.when(cxx > 0, cxy / cxx).otherwise(F.lit(0.0)), 9)
+    a = F.round(F.col("sy").cast("double") / n - b * F.col("sx").cast("double") / n, 9)
+    fit = mom.select("n", b.alias("b"), a.alias("a"))
+    wlag = Window.orderBy("t")
+    resid = base.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n",
+        "a",
+        "b",
+        F.round(
+            F.col("y").cast("double")
+            - F.col("a")
+            - F.col("b") * F.col("x").cast("double"),
+            9,
+        ).alias("e"),
+    )
+    with_lag = resid.withColumn("e_prev", F.lag("e").over(wlag))
+    agg = with_lag.groupBy("n", "a", "b").agg(
+        F.sum(
+            F.when(
+                F.col("e_prev").isNotNull(),
+                F.round(
+                    (F.col("e") - F.col("e_prev"))
+                    * (F.col("e") - F.col("e_prev")),
+                    9,
+                ).cast("decimal(28,9)"),
+            )
+        ).alias("num"),
+        F.sum(
+            F.round(F.col("e") * F.col("e"), 9).cast("decimal(28,9)")
+        ).alias("den"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("b"), round_digits).alias("slope"),
+        F.round(F.col("a"), round_digits).alias("intercept"),
+        F.round(
+            F.when(
+                F.col("den").cast("double") > 0,
+                F.col("num").cast("double") / F.col("den").cast("double"),
+            ),
+            round_digits,
+        ).alias("dw"),
+    )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    delta: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-one-sided-tests equivalence (Schuirmann 1987) — the test
+    that can CONFIRM "no meaningful difference", which a
+    non-significant Welch t cannot (absence of evidence ≠ evidence of
+    absence; the standard non-inferiority gate for a refactor/model
+    swap A/B): both H₀ diff ≤ −δ and H₀ diff ≥ +δ must be rejected.
+
+        z_lower = (d̄ + δ)/se,  z_upper = (δ − d̄)/se,
+        p_tost  = max(P(Z > z_lower), P(Z > z_upper))
+
+    Normal approximation on the Welch standard error (the module's
+    welch_t_test contract — ν emitted for small-sample consumers).
+    Scale shape: the welch moment aggregate + a 1-row reduce. Returns
+    one row (group1, group2, n1, n2, mean_diff, se, delta, p_lower,
+    p_upper, p_tost, equivalent_5pct)."""
+    if delta <= 0:
+        raise ValueError(f"delta must be > 0, got {delta!r}")
+    groups = [
+        r[0] for r in df.select(group_col).distinct().orderBy(group_col).collect()
+    ]
+    if len(groups) != 2:
+        raise ValueError(f"tost_equivalence needs exactly 2 groups, got {groups}")
+    g1 = groups[0]
+    dec = "decimal(28,6)"
+    g = df.groupBy((F.col(group_col) == g1).alias("is1")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast(dec)).alias("s"),
+        F.sum(F.col(value_col).cast(dec) * F.col(value_col).cast(dec)).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = F.round(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        / (F.col("n") - 1).cast("double"),
+        9,
+    )
+    per = g.select("is1", "n", F.round(mean, 9).alias("m"), var.alias("v"))
+    wide = per.groupBy().agg(
+        F.max(F.when(F.col("is1"), F.col("n"))).alias("n1"),
+        F.max(F.when(~F.col("is1"), F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("is1"), F.col("m"))).alias("m1"),
+        F.max(F.when(~F.col("is1"), F.col("m"))).alias("m2"),
+        F.max(F.when(F.col("is1"), F.col("v"))).alias("v1"),
+        F.max(F.when(~F.col("is1"), F.col("v"))).alias("v2"),
+    )
+    se = F.round(
+        F.sqrt(
+            F.col("v1") / F.col("n1").cast("double")
+            + F.col("v2") / F.col("n2").cast("double")
+        ),
+        9,
+    )
+    d = F.round(F.col("m1") - F.col("m2"), 9)
+    z_lower = F.round((d + F.lit(float(delta))) / se, 9)
+    z_upper = F.round((F.lit(float(delta)) - d) / se, 9)
+
+    def _upper_p(z):
+        # P(Z > z) through the shared erfc polynomial
+        return F.when(z >= 0, _erfc_two_sided(z) / 2.0).otherwise(
+            1.0 - _erfc_two_sided(-z) / 2.0
+        )
+
+    p_lo = F.round(_upper_p(z_lower), 9)
+    p_up = F.round(_upper_p(z_upper), 9)
+    p_tost = F.greatest(p_lo, p_up)
+    return wide.select(
+        F.lit(str(g1)).alias("group1"),
+        F.lit(str(groups[1])).alias("group2"),
+        "n1",
+        "n2",
+        F.round(d, round_digits).alias("mean_diff"),
+        F.round(se, round_digits).alias("se"),
+        F.lit(float(delta)).alias("delta"),
+        F.round(p_lo, round_digits).alias("p_lower"),
+        F.round(p_up, round_digits).alias("p_upper"),
+        F.round(p_tost, round_digits).alias("p_tost"),
+        (p_tost < 0.05).cast("int").alias("equivalent_5pct"),
+    )

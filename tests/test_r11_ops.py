@@ -1,0 +1,135 @@
+"""Round-11 operator tests: Anderson-Darling, Jarque-Bera,
+Durbin-Watson, TOST equivalence."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from azure_data_engineering_spark.operators.stats import (
+    anderson_darling_normal,
+    durbin_watson,
+    jarque_bera,
+    tost_equivalence,
+)
+
+
+class TestAndersonDarling:
+    def test_normal_sample_passes(self, spark):
+        random.seed(123)
+        d = spark.createDataFrame(
+            [(random.gauss(0.0, 1.0),) for _ in range(800)], "v double"
+        )
+        r = anderson_darling_normal(d, "v").collect()[0]
+        assert r.nonnormal_5pct == 0
+        assert r.a2_star < 0.752
+
+    def test_exponential_sample_rejected(self, spark):
+        random.seed(7)
+        d = spark.createDataFrame(
+            [(random.expovariate(0.5),) for _ in range(400)], "v double"
+        )
+        r = anderson_darling_normal(d, "v").collect()[0]
+        assert r.nonnormal_5pct == 1
+        assert r.a2_star > 5.0
+
+    def test_matches_exact_phi_reference(self, spark):
+        """Definition-level check with math.erf's exact Φ (the A&S
+        polynomial's 1.5e-7 error is invisible at this tolerance)."""
+        random.seed(42)
+        vals = [random.gauss(5.0, 3.0) for _ in range(200)]
+        n = len(vals)
+        m = sum(vals) / n
+        sd = math.sqrt(sum((x - m) ** 2 for x in vals) / (n - 1))
+
+        def phi(z):
+            return 0.5 * (1 + math.erf(z / math.sqrt(2)))
+
+        s = 0.0
+        for i, x in enumerate(sorted(vals), start=1):
+            f = min(max(phi((x - m) / sd), 1e-12), 1 - 1e-12)
+            s += (2 * i - 1) * math.log(f) + (2 * (n - i) + 1) * math.log(1 - f)
+        a2_ref = -n - s / n
+        d = spark.createDataFrame([(x,) for x in vals], "v double")
+        r = anderson_darling_normal(d, "v").collect()[0]
+        assert abs(r.a2 - a2_ref) < 1e-4, (r.a2, a2_ref)
+
+
+class TestJarqueBera:
+    def test_normal_sample_high_p(self, spark):
+        random.seed(123)
+        d = spark.createDataFrame(
+            [(random.gauss(0.0, 1.0),) for _ in range(800)], "v double"
+        )
+        r = jarque_bera(d, "v").collect()[0]
+        assert r.p_value > 0.05
+        assert abs(r.skewness) < 0.3 and abs(r.kurtosis - 3.0) < 0.6
+
+    def test_skewed_sample_rejected(self, spark):
+        random.seed(7)
+        d = spark.createDataFrame(
+            [(random.expovariate(0.5),) for _ in range(400)], "v double"
+        )
+        r = jarque_bera(d, "v").collect()[0]
+        assert r.p_value < 0.001 and r.skewness > 1.0
+
+    def test_hand_moments(self, spark):
+        # symmetric two-point mass {−1,+1}: skew 0, kurtosis exactly 1,
+        # JB = n/6 · (0 + 4/4) = n/6
+        d = spark.createDataFrame([(-1.0,), (1.0,)] * 30, "v double")
+        r = jarque_bera(d, "v").collect()[0]
+        assert abs(r.skewness) < 1e-9
+        assert abs(r.kurtosis - 1.0) < 1e-9
+        assert abs(r.jb_stat - 10.0) < 1e-6
+
+
+class TestDurbinWatson:
+    def test_iid_residuals_near_two(self, spark):
+        random.seed(11)
+        rows = [(i, 2.0 * i + random.gauss(0, 1), float(i)) for i in range(200)]
+        d = spark.createDataFrame(rows, "t long, y double, x double")
+        r = durbin_watson(d, "t", "y", "x").collect()[0]
+        assert 1.6 < r.dw < 2.4, r.dw
+        assert abs(r.slope - 2.0) < 0.05
+
+    def test_smooth_residuals_near_zero(self, spark):
+        rows = [
+            (i, 2.0 * i + 5.0 * math.sin(i / 3.0), float(i)) for i in range(100)
+        ]
+        d = spark.createDataFrame(rows, "t long, y double, x double")
+        r = durbin_watson(d, "t", "y", "x").collect()[0]
+        assert r.dw < 0.5, r.dw
+
+    def test_alternating_residuals_near_four(self, spark):
+        rows = [(i, (1.0 if i % 2 else -1.0), 0.0) for i in range(100)]
+        d = spark.createDataFrame(rows, "t long, y double, x double")
+        r = durbin_watson(d, "t", "y", "x").collect()[0]
+        assert r.dw > 3.5, r.dw
+
+
+class TestTost:
+    def _arms(self, spark, shift):
+        random.seed(3)
+        rows = [("a", random.gauss(10, 1)) for _ in range(400)] + [
+            ("b", random.gauss(10 + shift, 1)) for _ in range(400)
+        ]
+        return spark.createDataFrame(rows, "g string, v double")
+
+    def test_null_difference_equivalent(self, spark):
+        r = tost_equivalence(self._arms(spark, 0.0), "g", "v", delta=0.5).collect()[0]
+        assert r.equivalent_5pct == 1 and r.p_tost < 0.05
+
+    def test_large_difference_not_equivalent(self, spark):
+        r = tost_equivalence(self._arms(spark, 2.0), "g", "v", delta=0.5).collect()[0]
+        assert r.equivalent_5pct == 0 and r.p_tost > 0.5
+
+    def test_difference_at_bound_not_equivalent(self, spark):
+        # diff ≈ δ sits ON the margin: one one-sided p ≈ 0.5
+        r = tost_equivalence(self._arms(spark, 0.5), "g", "v", delta=0.5).collect()[0]
+        assert r.equivalent_5pct == 0
+
+    def test_bad_delta_raises(self, spark):
+        with pytest.raises(ValueError, match="delta"):
+            tost_equivalence(self._arms(spark, 0.0), "g", "v", delta=0.0)
