@@ -1241,3 +1241,227 @@ def mkv_container(
         cluster = _ebml_elem(0x1F43B675, cluster_body)
     segment = _ebml_elem(0x18538067, info + tracks + cluster)
     return header + segment
+
+
+# --------------------------------------------------------------- GIF triage
+
+
+def gif_metadata(payload: bytes) -> tuple[str, int, int, int, int, int, bool]:
+    """(version, width, height, n_frames, animated, loop_count,
+    truncated) from a GIF87a/GIF89a stream via a block walk — headers
+    and block framing only, LZW pixel data skipped sub-block by
+    sub-block (the jpeg_metadata marker-walk discipline; reference
+    parity: /root/reference/adffunction/__init__.py:117 never inspects
+    binary payloads — this is crawl-triage capability it lacks).
+
+    - logical screen descriptor: width/height u16 LE, global color
+      table skipped by its declared 2^(N+1)·3 size;
+    - 0x21 extensions: NETSCAPE2.0 application extension supplies the
+      animation loop count (0 = infinite); all sub-blocks walked by
+      length byte;
+    - 0x2C image descriptors counted as frames (local color tables
+      skipped by declared size);
+    - 0x3B trailer ends the stream; running out of bytes first →
+      truncated=True (interrupted download), never an exception.
+    animated = NETSCAPE extension present or more than one frame.
+
+    Raises ValueError only when the payload is not GIF at all."""
+    if len(payload) < 13 or payload[:3] != b"GIF" or payload[3:6] not in (
+        b"87a", b"89a",
+    ):
+        raise ValueError("not a GIF stream")
+    version = payload[3:6].decode("latin-1")
+    width, height = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+    loop_count = -1
+    has_netscape = False
+    truncated = False
+    saw_trailer = False
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                return -1
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return p
+            if p + ln > len(payload):
+                return -1
+            p += ln
+
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:
+            saw_trailer = True
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                truncated = True
+                break
+            label = payload[pos]
+            pos += 1
+            if label == 0xFF and pos < len(payload) and payload[pos] == 11:
+                app = payload[pos + 1 : pos + 12]
+                if app == b"NETSCAPE2.0" and pos + 15 < len(payload):
+                    has_netscape = True
+                    loop_count = struct.unpack(
+                        "<H", payload[pos + 14 : pos + 16]
+                    )[0]
+            pos = skip_subblocks(pos)
+        elif b == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                truncated = True
+                break
+            ipacked = payload[pos + 8]
+            pos += 9
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW minimum code size
+            n_frames += 1
+            pos = skip_subblocks(pos)
+        else:
+            truncated = True
+            break
+        if pos < 0:
+            truncated = True
+            break
+    if not saw_trailer and not truncated:
+        truncated = True
+    animated = int(has_netscape or n_frames > 1)
+    return version, width, height, n_frames, animated, loop_count, truncated
+
+
+def gif_container(
+    version: str = "89a",
+    width: int = 64,
+    height: int = 64,
+    n_frames: int = 1,
+    netscape_loop: int | None = None,
+    gct_bits: int = 1,
+    truncate: bool = False,
+) -> bytes:
+    """Deterministic GIF fixture builder for gif_metadata's
+    differential tests: header + LSD with a global color table,
+    optional NETSCAPE2.0 loop extension, n_frames full-size image
+    descriptors each carrying one 4-byte LZW sub-block."""
+    out = bytearray()
+    out += b"GIF" + version.encode("latin-1")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (gct_bits & 0x07), 0, 0])
+    n_colors = 2 << (gct_bits & 0x07)
+    out += bytes((3 * j) % 256 for j in range(3 * n_colors))
+    if netscape_loop is not None:
+        out += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0"
+        out += bytes([3, 1]) + struct.pack("<H", netscape_loop) + bytes([0])
+    for k in range(n_frames):
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0])  # no local color table
+        out += bytes([2])  # LZW minimum code size
+        out += bytes([4, (k + 1) % 256, (k + 7) % 256, 0x44, 0x01, 0])
+    out += bytes([0x3B])
+    if truncate:
+        return bytes(out[: max(14, len(out) - 10)])
+    return bytes(out)
+
+
+# ----------------------------------------------------- ZIP / OOXML triage
+
+
+def zip_metadata(
+    payload: bytes,
+) -> tuple[str, int, int, int, int, bool]:
+    """(kind, n_entries, total_uncompressed, total_compressed,
+    has_content_types, truncated) from a ZIP archive via the central
+    directory — the container walk a DOCUMENT pipeline needs before
+    extraction: modern office formats (docx/xlsx/pptx) are ZIP
+    archives, and the central directory names classify them without
+    decompressing a byte.
+
+    - EOCD record (PK\\x05\\x06) located from the tail (its comment is
+      bounded at 64 KiB by the format); a stream that starts with a
+      local header (PK\\x03\\x04) but lost its EOCD is an interrupted
+      download → truncated=True with zeroed stats, never an exception;
+    - central headers (PK\\x01\\x02) supply per-entry compressed /
+      uncompressed sizes and names; a header overrunning the buffer →
+      truncated=True;
+    - kind: 'docx' / 'xlsx' / 'pptx' when [Content_Types].xml is
+      present with the corresponding part prefix (word/, xl/, ppt/),
+      else 'zip'.
+
+    Raises ValueError only when the payload is not ZIP at all."""
+    eocd = payload.rfind(b"PK\x05\x06", max(0, len(payload) - 66000))
+    if eocd < 0:
+        if payload[:4] == b"PK\x03\x04":
+            return "zip", 0, 0, 0, 0, True
+        raise ValueError("not a ZIP archive")
+    if eocd + 22 > len(payload):
+        return "zip", 0, 0, 0, 0, True
+    n_entries = struct.unpack("<H", payload[eocd + 10 : eocd + 12])[0]
+    cd_off = struct.unpack("<I", payload[eocd + 16 : eocd + 20])[0]
+    pos = cd_off
+    total_unc = total_comp = 0
+    names = []
+    truncated = False
+    for _ in range(n_entries):
+        if pos + 46 > len(payload) or payload[pos : pos + 4] != b"PK\x01\x02":
+            truncated = True
+            break
+        comp = struct.unpack("<I", payload[pos + 20 : pos + 24])[0]
+        unc = struct.unpack("<I", payload[pos + 24 : pos + 28])[0]
+        fnlen, extlen, cmtlen = struct.unpack("<HHH", payload[pos + 28 : pos + 34])
+        if pos + 46 + fnlen > len(payload):
+            truncated = True
+            break
+        names.append(payload[pos + 46 : pos + 46 + fnlen].decode("latin-1"))
+        total_comp += comp
+        total_unc += unc
+        pos += 46 + fnlen + extlen + cmtlen
+    has_ct = int("[Content_Types].xml" in names)
+    kind = "zip"
+    if has_ct:
+        if any(n.startswith("word/") for n in names):
+            kind = "docx"
+        elif any(n.startswith("xl/") for n in names):
+            kind = "xlsx"
+        elif any(n.startswith("ppt/") for n in names):
+            kind = "pptx"
+    return kind, n_entries, total_unc, total_comp, has_ct, truncated
+
+
+def zip_container(
+    kind: str = "zip",
+    n_extra: int = 2,
+    seed: int = 0,
+    truncate: bool = False,
+) -> bytes:
+    """Deterministic ZIP fixture builder (stdlib zipfile, STORED
+    entries, pinned timestamps) for zip_metadata's differential tests.
+    kind 'docx'/'xlsx'/'pptx' adds [Content_Types].xml plus the
+    classifying part; n_extra numbered payload entries follow, each
+    with formula-derived content f'content {seed} {j}'."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        def put(name: str, data: bytes) -> None:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            z.writestr(zi, data)
+
+        if kind in ("docx", "xlsx", "pptx"):
+            put("[Content_Types].xml", b"<Types/>")
+            part = {"docx": "word/document.xml", "xlsx": "xl/workbook.xml",
+                    "pptx": "ppt/presentation.xml"}[kind]
+            put(part, f"<root seed='{seed}'/>".encode())
+        for j in range(n_extra):
+            put(f"data/part{j}.txt", f"content {seed} {j}".encode())
+    raw = buf.getvalue()
+    if truncate:
+        return raw[: max(8, len(raw) - 30)]
+    return raw

@@ -737,3 +737,93 @@ def pdf_metadata_full(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, schema=PDF_META_FULL_SCHEMA)
+
+
+GIF_META_FULL_SCHEMA = (
+    "id bigint, format string, version string, width bigint, "
+    "height bigint, n_frames bigint, animated int, loop_count bigint, "
+    "truncated int"
+)
+
+
+def gif_metadata_full(df: DataFrame) -> DataFrame:
+    """Crawl-grade GIF triage over a binary column — fills the
+    animated-image seat beside the PNG/BMP/JPEG walks: a multimodal
+    pipeline treats a 300-frame looping GIF as video-like (frame
+    sampling) and a single-frame GIF as an image, and this split must
+    happen BEFORE any decode. Input: (id, payload). One mapInPandas
+    kernel runs sources/media_codecs.gif_metadata (block walk: LSD
+    dims, NETSCAPE2.0 loop count, image-descriptor frame count; LZW
+    data skipped by sub-block framing). Non-GIF bytes →
+    format='corrupt' quarantine row, never a batch failure. Scale
+    shape: O(block headers) per image, bytes never on the driver."""
+    from azure_data_engineering_spark.sources.media_codecs import gif_metadata
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rid = row["id"]
+                b = bytes(row["payload"])
+                try:
+                    ver, w, h, nf, anim, loop, trunc = gif_metadata(b)
+                    rows.append(
+                        (rid, "gif", ver, w, h, nf, anim, loop, int(trunc))
+                    )
+                except ValueError:
+                    rows.append((rid, "corrupt", "", 0, 0, 0, 0, -1, 1))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "format", "version", "width", "height",
+                    "n_frames", "animated", "loop_count", "truncated",
+                ],
+            )
+
+    return df.mapInPandas(kernel, schema=GIF_META_FULL_SCHEMA)
+
+
+ZIP_META_FULL_SCHEMA = (
+    "id bigint, format string, kind string, n_entries bigint, "
+    "total_uncompressed bigint, total_compressed bigint, "
+    "has_content_types int, truncated int"
+)
+
+
+def zip_metadata_full(df: DataFrame) -> DataFrame:
+    """Crawl-grade ZIP/OOXML container triage over a binary column —
+    the archive seat of the modality matrix: office documents
+    (docx/xlsx/pptx) ARE ZIP archives, and a document pipeline
+    classifies them (and budgets their decompressed size) from the
+    central directory alone, no decompression. Input: (id, payload).
+    One mapInPandas kernel runs sources/media_codecs.zip_metadata
+    (EOCD locate from the tail, central-header walk for names +
+    sizes, OOXML classification by [Content_Types].xml + part
+    prefixes; lost EOCD → truncated, not an exception). Non-ZIP bytes
+    → format='corrupt' quarantine row. Scale shape: O(central
+    directory) per archive, bytes never on the driver."""
+    from azure_data_engineering_spark.sources.media_codecs import zip_metadata
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rid = row["id"]
+                b = bytes(row["payload"])
+                try:
+                    kind, ne, unc, comp, hct, trunc = zip_metadata(b)
+                    rows.append(
+                        (rid, "zip", kind, ne, unc, comp, hct, int(trunc))
+                    )
+                except ValueError:
+                    rows.append((rid, "corrupt", "", 0, 0, 0, 0, 1))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "format", "kind", "n_entries",
+                    "total_uncompressed", "total_compressed",
+                    "has_content_types", "truncated",
+                ],
+            )
+
+    return df.mapInPandas(kernel, schema=ZIP_META_FULL_SCHEMA)
