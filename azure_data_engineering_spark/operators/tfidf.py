@@ -161,3 +161,101 @@ def bm25_search(
         .agg(F.sum("term_score").alias("bm25"))
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def query_likelihood_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    mu: float = 2000.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty,
+    SIGIR 2001) — the language-modeling retrieval scorer beside
+    bm25_search (Indri/Galago's default; LM retrieval is also the
+    probabilistic ancestor of the Kneser-Ney quality screens in
+    operators/lm):
+
+        score(d) = Σ_t qtf_t · ln( (tf_{t,d} + μ·p(t|C)) / (len_d + μ) )
+
+    with p(t|C) the collection unigram model cf_t/|C| and μ the
+    Dirichlet prior mass. Candidates are documents matching ≥ 1 query
+    term (the standard inverted-index restriction); for those, EVERY
+    query term contributes — missing terms through the background
+    model alone, so long documents are not rewarded for padding.
+
+    Scale plan mirrors bm25_search: the (doc, term) tf table filters
+    to the query's terms BEFORE any join (per-query work =
+    |postings|, not |corpus|); collection stats ride a broadcast
+    term-frame; candidates × query-terms is |candidates|·|q| rows.
+    Per-term log arguments are exact ratios rounded to 9 dp before
+    ln. Final top-k is TakeOrderedAndProject. Query normalization is
+    the index's own pipeline (the bm25_search contract). Returns
+    (id, ql_score) for the top k, ties broken by id."""
+    import re as _re
+
+    from ..functions.text import normalize_text as _norm
+
+    qtf: dict[str, int] = {}
+    for raw in query_terms:
+        for t in _re.sub(r"[^a-z0-9]+", " ", raw.lower()).split():
+            qtf[t] = qtf.get(t, 0) + 1
+    if not qtf:
+        return df.select(id_col).limit(0).withColumn(
+            "ql_score", F.lit(None).cast("double")
+        )
+    spark = df.sparkSession
+
+    toks = F.split(_norm(F.col(text_col)), " ")
+    lens = df.select(
+        F.col(id_col),
+        F.size(F.filter(toks, lambda t: t != "")).cast("long").alias("dl"),
+    )
+    coll_len = lens.agg(F.sum("dl").cast("long").alias("cl"))
+    tf = term_frequencies(df, text_col, id_col).filter(
+        F.col("term").isin(list(qtf))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    qterms = F.broadcast(
+        spark.createDataFrame(
+            sorted(qtf.items()), "term string, q_tf int"
+        )
+        .join(cf, "term", "left")
+        .crossJoin(F.broadcast(coll_len))
+        .select(
+            "term",
+            "q_tf",
+            # background model p(t|C); an unseen term would zero every
+            # candidate, so it is floored at 1/|C| (epsilon smoothing)
+            F.round(
+                F.greatest(F.coalesce(F.col("cf"), F.lit(0)), F.lit(1)).cast(
+                    "double"
+                )
+                / F.col("cl").cast("double"),
+                12,
+            ).alias("p_c"),
+        )
+    )
+    cands = tf.select(id_col).distinct().join(lens, id_col)
+    grid = cands.crossJoin(qterms).join(
+        tf.withColumnRenamed("tf", "tf_d"), [id_col, "term"], "left"
+    )
+    term_score = F.col("q_tf").cast("double") * F.round(
+        F.log(
+            F.round(
+                (
+                    F.coalesce(F.col("tf_d"), F.lit(0)).cast("double")
+                    + float(mu) * F.col("p_c")
+                )
+                / (F.col("dl").cast("double") + float(mu)),
+                12,
+            )
+        ),
+        9,
+    )
+    scored = grid.groupBy(id_col).agg(
+        F.round(F.sum(F.round(term_score, 9)), round_digits).alias("ql_score")
+    )
+    return scored.orderBy(F.col("ql_score").desc(), F.col(id_col).asc()).limit(k)

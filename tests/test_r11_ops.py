@@ -133,3 +133,111 @@ class TestTost:
     def test_bad_delta_raises(self, spark):
         with pytest.raises(ValueError, match="delta"):
             tost_equivalence(self._arms(spark, 0.0), "g", "v", delta=0.0)
+
+
+class TestRougeChrf:
+    def _df(self, spark, pairs):
+        return spark.createDataFrame(pairs, "id long, hyp array<string>, ref array<string>")
+
+    def test_identity_hypothesis_scores_one(self, spark):
+        from azure_data_engineering_spark.operators.texteval import rouge_n_corpus
+
+        d = self._df(spark, [(1, ["a", "b", "c"], ["a", "b", "c"])])
+        r = rouge_n_corpus(d, "id", "hyp", "ref", max_n=2).collect()[0]
+        assert r.r1_f1 == 1.0 and r.r2_f1 == 1.0
+
+    def test_rouge_recall_vs_precision_direction(self, spark):
+        from azure_data_engineering_spark.operators.texteval import rouge_n_corpus
+
+        # hypothesis covers half the reference exactly: recall 0.5,
+        # precision 1.0
+        d = self._df(spark, [(1, ["a", "b"], ["a", "b", "c", "d"])])
+        r = rouge_n_corpus(d, "id", "hyp", "ref", max_n=1).collect()[0]
+        assert abs(r.r1_recall - 0.5) < 1e-9
+        assert abs(r.r1_precision - 1.0) < 1e-9
+
+    def test_rouge_clipping(self, spark):
+        from azure_data_engineering_spark.operators.texteval import rouge_n_corpus
+
+        # "the the the" vs one "the": clipped matches = 1
+        d = self._df(spark, [(1, ["the", "the", "the"], ["the", "cat"])])
+        r = rouge_n_corpus(d, "id", "hyp", "ref", max_n=1).collect()[0]
+        assert abs(r.r1_precision - 1.0 / 3.0) < 1e-6
+        assert abs(r.r1_recall - 0.5) < 1e-9
+
+    def test_chrf_identity_and_degradation(self, spark):
+        from azure_data_engineering_spark.operators.texteval import chrf_corpus
+
+        d = spark.createDataFrame(
+            [(1, "the cat sat", "the cat sat"), (2, "spark", "spark")],
+            "id long, hyp string, ref string",
+        )
+        r = chrf_corpus(d, "id", "hyp", "ref", max_n=3).collect()[0]
+        assert r.chrf == 1.0
+        d2 = spark.createDataFrame(
+            [(1, "the cat sat", "the dog sat")], "id long, hyp string, ref string"
+        )
+        r2 = chrf_corpus(d2, "id", "hyp", "ref", max_n=3).collect()[0]
+        assert 0.0 < r2.chrf < 1.0
+
+    def test_chrf_ignores_whitespace(self, spark):
+        from azure_data_engineering_spark.operators.texteval import chrf_corpus
+
+        d = spark.createDataFrame(
+            [(1, "thecatsat", "the cat sat")], "id long, hyp string, ref string"
+        )
+        r = chrf_corpus(d, "id", "hyp", "ref", max_n=3).collect()[0]
+        assert r.chrf == 1.0
+
+
+class TestQueryLikelihood:
+    def _docs(self, spark):
+        rows = [
+            (1, "spark join spark join spark"),
+            (2, "spark window table"),
+            (3, "table scan filter group"),
+            (4, "join join join window window table scan filter agg sort"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_term_heavy_doc_ranks_first(self, spark):
+        from azure_data_engineering_spark.operators.tfidf import (
+            query_likelihood_search,
+        )
+
+        r = query_likelihood_search(
+            self._docs(spark), ["spark", "join"], "text", "doc_id", k=4, mu=10.0
+        ).collect()
+        assert r[0].doc_id == 1
+        # doc 3 has no query term -> not a candidate
+        assert all(row.doc_id != 3 for row in r)
+
+    def test_duplicate_query_terms_weight(self, spark):
+        from azure_data_engineering_spark.operators.tfidf import (
+            query_likelihood_search,
+        )
+
+        single = query_likelihood_search(
+            self._docs(spark), ["join"], "text", "doc_id", k=4, mu=10.0
+        ).collect()
+        doubled = query_likelihood_search(
+            self._docs(spark), ["join", "join"], "text", "doc_id", k=4, mu=10.0
+        ).collect()
+        s1 = {r.doc_id: r.ql_score for r in single}
+        s2 = {r.doc_id: r.ql_score for r in doubled}
+        for d in s1:
+            # both sides round to 6 dp independently: 2x a rounded
+            # value can differ from the rounded 2x by one ulp of 1e-6
+            assert abs(s2[d] - 2 * s1[d]) < 2.1e-6
+
+    def test_empty_query_returns_empty(self, spark):
+        from azure_data_engineering_spark.operators.tfidf import (
+            query_likelihood_search,
+        )
+
+        assert (
+            query_likelihood_search(
+                self._docs(spark), ["!!!"], "text", "doc_id"
+            ).count()
+            == 0
+        )
