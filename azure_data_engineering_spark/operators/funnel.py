@@ -622,3 +622,157 @@ def cohort_ltv_curve(
             F.col("cum_rev").cast("double") / F.col("cohort_users"), round_digits
         ).alias("cum_ltv_per_user"),
     ).orderBy(cohort_name, age_name)
+
+
+def shapley_attribution(
+    events: DataFrame,
+    user_col: str,
+    channel_col: str,
+    time_col: str,
+    conversion_value: str,
+    max_channels: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT Shapley-value conversion attribution (Shapley 1953; the
+    coalition-game alternative to markov_attribution's removal
+    effects — Shapley is the scheme ad platforms standardized on
+    because it is the unique allocation that is efficient, symmetric,
+    and dummy-free):
+
+        φ_c = Σ_{S ⊆ K\\{c}} |S|!·(k−|S|−1)!/k! · (v(S∪{c}) − v(S))
+
+    with the characteristic function v(S) = conversions of users whose
+    touched-channel set is contained in S (the standard
+    "coalition-reach" game on observed journeys).
+
+    Scale shape: the corpus collapses in ONE pass to per-user
+    (channel-bitmask, converted) rows, then to a ≤2^k-row mask
+    histogram; everything after runs on coalition frames of size 2^k
+    and 2^k·k — k is the CHANNEL count (≤ max_channels enforced), so
+    the exponential lives on a frame the size of a lookup table, never
+    on users. Channel indexing is a bounded driver collect (the
+    welch/bm25 contract). Popcount and subset tests are plain integer
+    arithmetic (portable to any SQL engine — no bit_count builtin
+    assumed). Returns one row per channel: (channel, shapley_value,
+    share) with Σ shapley_value = v(K) (total attributable
+    conversions), the Shapley efficiency identity."""
+    import math as _math
+
+    u = F.col(user_col)
+    conv_user = (
+        events.filter(F.col(channel_col) == conversion_value)
+        .select(u.alias("uid"))
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    touches = (
+        events.filter(F.col(channel_col) != conversion_value)
+        .select(u.alias("uid"), F.col(channel_col).alias("ch"))
+        .distinct()
+    )
+    channels = sorted(
+        r["ch"] for r in touches.select("ch").distinct().collect()
+    )
+    k = len(channels)
+    if k == 0:
+        raise ValueError("no touch channels besides the conversion event")
+    if k > max_channels:
+        raise ValueError(
+            f"{k} channels exceeds max_channels={max_channels}; exact "
+            "Shapley is 2^k — group channels first"
+        )
+    bit_of = {c: 1 << i for i, c in enumerate(channels)}
+    bit_expr = None
+    for c, b in bit_of.items():
+        clause = F.when(F.col("ch") == c, F.lit(b))
+        bit_expr = clause if bit_expr is None else bit_expr.when(
+            F.col("ch") == c, F.lit(b)
+        )
+    user_masks = (
+        touches.withColumn("bit", bit_expr)
+        .groupBy("uid")
+        .agg(F.sum(F.col("bit")).cast("long").alias("mask"))
+        .join(conv_user, "uid", "left")
+        .groupBy("mask")
+        .agg(
+            F.sum(F.coalesce(F.col("converted"), F.lit(0)))
+            .cast("long")
+            .alias("n_conv")
+        )
+    ).localCheckpoint(eager=True)
+    spark = events.sparkSession
+    coalitions = spark.range(0, 2**k).select(F.col("id").alias("s"))
+    # v(S) = conversions of users whose mask ⊆ S; subset test via
+    # portable integer arithmetic: every bit of mask present in S
+    sub = user_masks.crossJoin(coalitions)
+    contained = None
+    for j in range(k):
+        bit_in_mask = (F.col("mask") / (1 << j)).cast("long") % 2
+        bit_in_s = (F.col("s") / (1 << j)).cast("long") % 2
+        ok = (bit_in_mask == 0) | (bit_in_s == 1)
+        contained = ok if contained is None else (contained & ok)
+    v = (
+        sub.filter(contained)
+        .groupBy("s")
+        .agg(F.sum("n_conv").cast("long").alias("v"))
+    )
+    # Shapley sum: channels × coalitions not containing the channel
+    ch_frame = spark.createDataFrame(
+        [(c, bit_of[c]) for c in channels], "channel string, bit long"
+    )
+    pairs = ch_frame.crossJoin(coalitions).filter(
+        (F.col("s") / F.col("bit")).cast("long") % 2 == 0
+    )
+    v_s = v.select(F.col("s").alias("s0"), F.col("v").alias("v_without"))
+    v_sc = v.select(F.col("s").alias("s1"), F.col("v").alias("v_with"))
+    joined = (
+        pairs.join(v_s, F.col("s") == F.col("s0"), "left")
+        .join(v_sc, (F.col("s") + F.col("bit")) == F.col("s1"), "left")
+        .select(
+            "channel",
+            "s",
+            F.coalesce(F.col("v_without"), F.lit(0)).alias("v0"),
+            F.coalesce(F.col("v_with"), F.lit(0)).alias("v1"),
+        )
+    )
+    popcount = None
+    for j in range(k):
+        term = (F.col("s") / (1 << j)).cast("long") % 2
+        popcount = term if popcount is None else popcount + term
+    weight = None
+    for size in range(k):
+        wgt = (
+            _math.factorial(size)
+            * _math.factorial(k - size - 1)
+            / _math.factorial(k)
+        )
+        clause = F.when(popcount == size, F.lit(wgt))
+        weight = clause if weight is None else weight.when(
+            popcount == size, F.lit(wgt)
+        )
+    scored = joined.select(
+        "channel",
+        F.round(weight * (F.col("v1") - F.col("v0")).cast("double"), 9).alias(
+            "term"
+        ),
+    )
+    per_channel = scored.groupBy("channel").agg(
+        F.round(F.sum("term"), round_digits).alias("shapley_value")
+    )
+    total = per_channel.agg(
+        F.sum("shapley_value").alias("__tot")
+    )
+    return (
+        per_channel.crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "shapley_value",
+            F.round(
+                F.when(
+                    F.col("__tot") > 0, F.col("shapley_value") / F.col("__tot")
+                ),
+                round_digits,
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )

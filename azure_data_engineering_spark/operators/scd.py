@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,3 +77,48 @@ def scd2_apply(
         F.lit(None).cast(open_cur.schema[valid_to].dataType).alias(valid_to),
     )
     return closed_cur.select(kept.columns).unionByName(kept).unionByName(opened)
+
+
+def bitemporal_asof(
+    log: DataFrame,
+    pk_cols: list[str],
+    valid_from_col: str,
+    tx_col: str,
+    valid_at,
+    known_at,
+) -> DataFrame:
+    """BITEMPORAL as-of query over an append-only correction log —
+    the two-clock question scd2_apply's single valid-time axis cannot
+    answer: "what did we BELIEVE at transaction time T was effective
+    at valid time V?" (Snodgrass, "Developing Time-Oriented Database
+    Applications"; the audit/restatement primitive: late-arriving
+    corrections rewrite history without destroying what was reported
+    at the time).
+
+    `log` rows are assertions: (pk, valid_from, tx, attributes...) —
+    "as of transaction time `tx`, the entity's state effective from
+    `valid_from` is these attributes". The query:
+
+      1. keep assertions with tx ≤ known_at (what was known at T);
+      2. per (pk, valid_from): the LATEST tx wins (corrections
+         supersede earlier assertions about the same effective date);
+      3. per pk: the largest valid_from ≤ valid_at wins (the version
+         effective at V).
+
+    Two windows over the pk-hashed log — no interval materialization,
+    no self-join; cost tracks |log|, and both windows reuse ONE
+    partitioning by pk. Returns one row per pk visible at (V, T) with
+    all attribute columns plus (valid_from, tx)."""
+    vf, tx = F.col(valid_from_col), F.col(tx_col)
+    known = log.filter(tx <= F.lit(known_at))
+    w_corr = Window.partitionBy(*pk_cols, valid_from_col).orderBy(tx.desc())
+    latest_belief = known.withColumn(
+        "__rn", F.row_number().over(w_corr)
+    ).filter(F.col("__rn") == 1)
+    effective = latest_belief.filter(vf <= F.lit(valid_at))
+    w_eff = Window.partitionBy(*pk_cols).orderBy(vf.desc())
+    return (
+        effective.withColumn("__rk", F.row_number().over(w_eff))
+        .filter(F.col("__rk") == 1)
+        .drop("__rn", "__rk")
+    )

@@ -241,3 +241,117 @@ class TestQueryLikelihood:
             ).count()
             == 0
         )
+
+
+class TestShapleyAttribution:
+    def test_hand_computed_two_channel_game(self, spark):
+        # v({})=0, v({A})=10, v({B})=0, v({A,B})=30 ->
+        # phi_A = (10+30)/2 = 20, phi_B = (0+20)/2 = 10
+        rows = []
+        uid = 0
+
+        def add(chs, conv, n):
+            nonlocal uid
+            for _ in range(n):
+                uid += 1
+                for i, c in enumerate(chs):
+                    rows.append((uid, c, i))
+                if conv:
+                    rows.append((uid, "buy", 99))
+
+        add(["A"], True, 10)
+        add(["A"], False, 10)
+        add(["B"], False, 10)
+        add(["A", "B"], True, 20)
+        add(["A", "B"], False, 10)
+        from azure_data_engineering_spark.operators.funnel import (
+            shapley_attribution,
+        )
+
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+        got = {
+            r.channel: r.shapley_value
+            for r in shapley_attribution(
+                df, "user_id", "event_type", "ts", "buy"
+            ).collect()
+        }
+        assert got == {"A": 20.0, "B": 10.0}
+
+    def test_efficiency_identity(self, spark):
+        # sum of shapley values == v(K) == total conversions of
+        # users with at least one touch
+        rows = [
+            (1, "A", 0), (1, "buy", 1),
+            (2, "B", 0), (2, "C", 1), (2, "buy", 2),
+            (3, "A", 0), (3, "C", 1),
+            (4, "C", 0), (4, "buy", 1),
+        ]
+        from azure_data_engineering_spark.operators.funnel import (
+            shapley_attribution,
+        )
+
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+        out = shapley_attribution(df, "user_id", "event_type", "ts", "buy").collect()
+        assert abs(sum(r.shapley_value for r in out) - 3.0) < 1e-6
+
+    def test_dummy_channel_gets_zero(self, spark):
+        # a channel only touched by non-converters is a dummy player
+        rows = [
+            (1, "A", 0), (1, "buy", 1),
+            (2, "D", 0),
+            (3, "D", 0),
+        ]
+        from azure_data_engineering_spark.operators.funnel import (
+            shapley_attribution,
+        )
+
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+        got = {
+            r.channel: r.shapley_value
+            for r in shapley_attribution(
+                df, "user_id", "event_type", "ts", "buy"
+            ).collect()
+        }
+        assert got["D"] == 0.0 and got["A"] == 1.0
+
+    def test_too_many_channels_raise(self, spark):
+        from azure_data_engineering_spark.operators.funnel import (
+            shapley_attribution,
+        )
+
+        rows = [(1, f"c{j}", j) for j in range(9)] + [(1, "buy", 99)]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+        with pytest.raises(ValueError, match="max_channels"):
+            shapley_attribution(df, "user_id", "event_type", "ts", "buy")
+
+
+class TestBitemporalAsof:
+    LOG = [
+        (1, "2024-01-01", 5, "v1"),
+        (1, "2024-02-01", 23, "v2"),
+        (1, "2024-01-01", 40, "v1fix"),
+        (2, "2024-01-15", 16, "w1"),
+    ]
+
+    def _asof(self, spark, v, t):
+        from azure_data_engineering_spark.operators.scd import bitemporal_asof
+
+        df = spark.createDataFrame(
+            self.LOG, "pk long, valid_from string, tx long, val string"
+        )
+        return {
+            r.pk: r.val
+            for r in bitemporal_asof(df, ["pk"], "valid_from", "tx", v, t).collect()
+        }
+
+    def test_belief_before_correction(self, spark):
+        assert self._asof(spark, "2024-01-20", 30) == {1: "v1", 2: "w1"}
+
+    def test_correction_rewrites_history(self, spark):
+        assert self._asof(spark, "2024-01-20", 99) == {1: "v1fix", 2: "w1"}
+
+    def test_later_effective_version_wins_at_later_v(self, spark):
+        assert self._asof(spark, "2024-02-15", 99) == {1: "v2", 2: "w1"}
+
+    def test_nothing_known_before_first_tx(self, spark):
+        assert self._asof(spark, "2024-02-15", 4) == {}
