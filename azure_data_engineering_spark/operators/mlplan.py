@@ -1720,3 +1720,126 @@ def svm_gd(
         ).alias("hinge_loss"),
         F.sum((m < 1.0).cast("long")).alias("margin_violations"),
     )
+
+
+def gmm_em_1d(
+    df: DataFrame,
+    value_col: str,
+    rounds: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-component 1-D Gaussian mixture by fixed-round EM
+    (Dempster-Laird-Rubin 1977), entirely in-plan — the soft
+    clustering member of the module's GD family (kmeans is the hard
+    limit of exactly this at equal variances): the bimodality screen
+    that tells a metric pipeline "this distribution is two populations
+    pretending to be one" and hands it the split.
+
+    Trajectory (the logistic_gd discipline): deterministic init (μ =
+    exact p25/p75, shared σ² = sample variance, w = 0.5); each round
+    is ONE corpus pass computing per-row responsibilities from the
+    broadcast 1-row parameter frame — exponent arguments and
+    responsibilities rounded to 9 dp so both engines feed libm
+    identical doubles — followed by 6 dp-quantized weighted-moment
+    sums carried as exact decimals. Parameter updates round to 9 dp,
+    pinning the trajectory; components stay ordered μ1 ≤ μ2 by the
+    p25/p75 init and monotone EM. Returns one row:
+    (n, w1, mu1, sigma1, w2, mu2, sigma2, avg_loglik)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    base = df.select(
+        F.round(F.col(value_col).cast("double"), 6).alias("x")
+    ).localCheckpoint(eager=True)
+    dsum0 = "decimal(38,6)"
+    init = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.expr("percentile(x, 0.25)"), 9).alias("mu1"),
+        F.round(F.expr("percentile(x, 0.75)"), 9).alias("mu2"),
+        F.sum(F.col("x").cast(dsum0)).alias("sx"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(dsum0)).alias("sxx"),
+    ).withColumn(
+        "v0",
+        F.round(
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+                / F.col("n").cast("double")
+            )
+            / (F.col("n") - 1).cast("double"),
+            9,
+        ),
+    )
+    params = init.select(
+        "n",
+        F.lit(0.5).alias("w1"),
+        "mu1",
+        F.col("v0").alias("v1"),
+        "mu2",
+        F.col("v0").alias("v2"),
+    ).localCheckpoint(eager=True)
+    dsum = "decimal(38,6)"
+    two_pi = 6.283185307179586
+    for _ in range(rounds):
+        x = F.col("x")
+        e1 = F.round(-(x - F.col("mu1")) * (x - F.col("mu1")) / (2.0 * F.col("v1")), 9)
+        e2 = F.round(-(x - F.col("mu2")) * (x - F.col("mu2")) / (2.0 * F.col("v2")), 9)
+        a1 = F.col("w1") * F.exp(e1) / F.sqrt(two_pi * F.col("v1"))
+        a2 = (1.0 - F.col("w1")) * F.exp(e2) / F.sqrt(two_pi * F.col("v2"))
+        r1 = F.round(a1 / (a1 + a2), 9)
+        scored = base.crossJoin(F.broadcast(params)).select(
+            "n", "x", r1.alias("r1"),
+            F.round(F.log(a1 + a2), 9).alias("ll"),
+        )
+        mom = scored.groupBy("n").agg(
+            F.sum(F.round(F.col("r1"), 6).cast(dsum)).alias("s_r1"),
+            F.sum(F.round(F.col("r1") * F.col("x"), 6).cast(dsum)).alias("s_r1x"),
+            F.sum(
+                F.round(F.col("r1") * F.col("x") * F.col("x"), 6).cast(dsum)
+            ).alias("s_r1xx"),
+            F.sum(F.round((1.0 - F.col("r1")) * F.col("x"), 6).cast(dsum)).alias(
+                "s_r2x"
+            ),
+            F.sum(
+                F.round((1.0 - F.col("r1")) * F.col("x") * F.col("x"), 6).cast(
+                    dsum
+                )
+            ).alias("s_r2xx"),
+            F.sum(F.col("ll").cast("decimal(28,9)")).alias("s_ll"),
+        )
+        n1 = F.col("s_r1").cast("double")
+        n2 = F.col("n").cast("double") - n1
+        mu1 = F.round(F.col("s_r1x").cast("double") / n1, 9)
+        mu2 = F.round(F.col("s_r2x").cast("double") / n2, 9)
+        v1 = F.round(
+            F.greatest(
+                F.col("s_r1xx").cast("double") / n1 - mu1 * mu1, F.lit(1e-6)
+            ),
+            9,
+        )
+        v2 = F.round(
+            F.greatest(
+                F.col("s_r2xx").cast("double") / n2 - mu2 * mu2, F.lit(1e-6)
+            ),
+            9,
+        )
+        params = mom.select(
+            "n",
+            F.round(n1 / F.col("n").cast("double"), 9).alias("w1"),
+            mu1.alias("mu1"),
+            v1.alias("v1"),
+            mu2.alias("mu2"),
+            v2.alias("v2"),
+            F.round(
+                F.col("s_ll").cast("double") / F.col("n").cast("double"), 9
+            ).alias("avg_ll"),
+        ).localCheckpoint(eager=True)
+    return params.select(
+        "n",
+        F.round(F.col("w1"), round_digits).alias("w1"),
+        F.round(F.col("mu1"), round_digits).alias("mu1"),
+        F.round(F.sqrt(F.col("v1")), round_digits).alias("sigma1"),
+        F.round(1.0 - F.col("w1"), round_digits).alias("w2"),
+        F.round(F.col("mu2"), round_digits).alias("mu2"),
+        F.round(F.sqrt(F.col("v2")), round_digits).alias("sigma2"),
+        F.round(F.col("avg_ll"), round_digits).alias("avg_loglik"),
+    )

@@ -355,3 +355,51 @@ class TestBitemporalAsof:
 
     def test_nothing_known_before_first_tx(self, spark):
         assert self._asof(spark, "2024-02-15", 4) == {}
+
+
+class TestGmmEm:
+    def test_recovers_bimodal_mixture(self, spark):
+        from azure_data_engineering_spark.operators.mlplan import gmm_em_1d
+
+        random.seed(5)
+        vals = [random.gauss(10, 2) for _ in range(500)] + [
+            random.gauss(40, 4) for _ in range(300)
+        ]
+        d = spark.createDataFrame([(v,) for v in vals], "v double")
+        r = gmm_em_1d(d, "v", rounds=5).collect()[0]
+        assert abs(r.mu1 - 10.0) < 0.5 and abs(r.mu2 - 40.0) < 1.0
+        assert abs(r.w1 - 0.625) < 0.02
+        assert abs(r.sigma1 - 2.0) < 0.3 and abs(r.sigma2 - 4.0) < 0.6
+
+    def test_loglik_monotone_nondecreasing(self, spark):
+        # EM's defining property: average log-likelihood never drops
+        from azure_data_engineering_spark.operators.mlplan import gmm_em_1d
+
+        random.seed(9)
+        vals = [random.gauss(0, 1) for _ in range(300)] + [
+            random.gauss(8, 2) for _ in range(300)
+        ]
+        d = spark.createDataFrame([(v,) for v in vals], "v double")
+        lls = [
+            gmm_em_1d(d, "v", rounds=k).collect()[0].avg_loglik
+            for k in (1, 3, 5)
+        ]
+        assert lls[0] <= lls[1] + 1e-6 and lls[1] <= lls[2] + 1e-6, lls
+
+    def test_components_ordered(self, spark):
+        from azure_data_engineering_spark.operators.mlplan import gmm_em_1d
+
+        random.seed(2)
+        vals = [random.gauss(-5, 1) for _ in range(200)] + [
+            random.gauss(5, 1) for _ in range(200)
+        ]
+        d = spark.createDataFrame([(v,) for v in vals], "v double")
+        r = gmm_em_1d(d, "v", rounds=4).collect()[0]
+        assert r.mu1 < r.mu2
+
+    def test_bad_rounds_raise(self, spark):
+        from azure_data_engineering_spark.operators.mlplan import gmm_em_1d
+
+        d = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError, match="rounds"):
+            gmm_em_1d(d, "v", rounds=0)
