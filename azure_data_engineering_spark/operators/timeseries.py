@@ -1798,3 +1798,102 @@ def periodogram_power(
         F.round(F.col("power"), round_digits).alias("power"),
         "dominant",
     ).orderBy("period")
+
+
+def theta_forecast(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    horizon: int = 7,
+    alpha: float = 0.2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 —
+    the M3-competition winner and the strongest simple univariate
+    baseline after seasonal-naive): decompose the series into the
+    θ=0 line (the pure least-squares trend, carrying long-run
+    direction) and the θ=2 line (2·y − trend, doubling local
+    curvature), forecast the first by extrapolation and the second by
+    SES, and average:
+
+        ŷ(n+h) = ½·[ (a + b·(n+h)) + ℓ_n ]
+
+    with ℓ_n the SES level of the θ=2 line. SES is CLOSED-FORM (the
+    croston/ewma discipline — no recursion): weights (1−α)^{n−i}
+    rounded to 12 dp, products to 9 dp, summed as exact decimals, so
+    the oracle replays the identical arithmetic. The trend comes from
+    one exact-moment aggregate per group over the row index. Returns
+    one row per (group, h): (group, h, trend_component,
+    ses_component, forecast)."""
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    a = float(alpha)
+    wg = Window.partitionBy("g").orderBy("t")
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(time_col).alias("t"),
+        F.round(F.col(value_col).cast("double"), 6).alias("x"),
+    ).withColumn("i", F.row_number().over(wg).cast("double"))
+    dsum = "decimal(38,6)"
+    mom = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("i").cast(dsum)).alias("si"),
+        F.sum(F.col("x").cast(dsum)).alias("sx"),
+        F.sum(F.round(F.col("i") * F.col("i"), 6).cast(dsum)).alias("sii"),
+        F.sum(F.round(F.col("i") * F.col("x"), 6).cast(dsum)).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    cii = F.col("sii").cast("double") - F.col("si").cast("double") * F.col(
+        "si"
+    ).cast("double") / n
+    cix = F.col("six").cast("double") - F.col("si").cast("double") * F.col(
+        "sx"
+    ).cast("double") / n
+    b = F.round(F.when(cii > 0, cix / cii).otherwise(F.lit(0.0)), 9)
+    fit = mom.select(
+        "g",
+        "n",
+        b.alias("b"),
+        F.round(
+            F.col("sx").cast("double") / n - b * F.col("si").cast("double") / n, 9
+        ).alias("a"),
+    )
+    # θ=2 line and its closed-form SES level
+    theta2 = base.join(fit, "g").select(
+        "g",
+        "i",
+        F.col("n"),
+        F.round(
+            2.0 * F.col("x") - (F.col("a") + F.col("b") * F.col("i")), 9
+        ).alias("z"),
+    )
+    pw = F.round(
+        F.pow(F.lit(1.0 - a), F.col("n").cast("double") - F.col("i")), 12
+    )
+    term = F.round(
+        F.when(F.col("i") == 1.0, pw * F.col("z")).otherwise(
+            F.lit(a) * pw * F.col("z")
+        ),
+        9,
+    )
+    ses = theta2.select("g", term.cast("decimal(28,9)").alias("term")).groupBy(
+        "g"
+    ).agg(F.round(F.sum("term").cast("double"), 9).alias("level"))
+    spark = df.sparkSession
+    hs = F.broadcast(
+        spark.range(1, int(horizon) + 1).select(F.col("id").alias("h"))
+    )
+    out = fit.join(ses, "g").crossJoin(hs)
+    trend_c = F.round(
+        F.col("a") + F.col("b") * (F.col("n").cast("double") + F.col("h")), 9
+    )
+    return out.select(
+        "g",
+        F.col("h").cast("long").alias("h"),
+        F.round(trend_c, round_digits).alias("trend_component"),
+        F.round(F.col("level"), round_digits).alias("ses_component"),
+        F.round(0.5 * (trend_c + F.col("level")), round_digits).alias(
+            "forecast"
+        ),
+    ).orderBy("g", "h")

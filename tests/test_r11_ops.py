@@ -403,3 +403,57 @@ class TestGmmEm:
         d = spark.createDataFrame([(1.0,)], "v double")
         with pytest.raises(ValueError, match="rounds"):
             gmm_em_1d(d, "v", rounds=0)
+
+
+class TestThetaForecast:
+    def _run(self, spark, vals, horizon=3, alpha=0.2):
+        from azure_data_engineering_spark.operators.timeseries import (
+            theta_forecast,
+        )
+
+        rows = [("s", f"t{i:03d}", float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "g string, t string, x double")
+        return theta_forecast(df, "g", "t", "x", horizon=horizon, alpha=alpha).collect()
+
+    def test_pure_trend_extrapolates_exactly(self, spark):
+        # y = 3 + 2t: theta2 line equals the series, SES converges to
+        # values near the end; forecast ~ trend for h=1
+        out = self._run(spark, [3 + 2 * t for t in range(1, 41)], horizon=2)
+        f1 = [r for r in out if r.h == 1][0]
+        # trend component is exact: a=3, b=2 -> 3 + 2*41 = 85
+        assert abs(f1.trend_component - 85.0) < 1e-6
+        # SES of the theta2 line (== y) lags the trend -> forecast
+        # between the SES level and the trend line
+        assert f1.ses_component < f1.trend_component
+        assert f1.ses_component < f1.forecast < f1.trend_component
+
+    def test_flat_series_forecasts_level(self, spark):
+        out = self._run(spark, [10.0] * 30, horizon=3)
+        for r in out:
+            assert abs(r.forecast - 10.0) < 1e-6
+
+    def test_closed_form_matches_recursive_ses(self, spark):
+        # definition-level check: replay the theta decomposition +
+        # recursive SES in pure python
+        vals = [5.0, 7.0, 6.0, 9.0, 8.0, 12.0, 11.0, 13.0, 15.0, 14.0]
+        n = len(vals)
+        ts = list(range(1, n + 1))
+        mi = sum(ts) / n
+        mx = sum(vals) / n
+        b = sum((t - mi) * (x - mx) for t, x in zip(ts, vals)) / sum(
+            (t - mi) ** 2 for t in ts
+        )
+        b = round(b, 9)
+        a = round(mx - b * mi, 9)
+        z = [round(2 * x - (a + b * t), 9) for t, x in zip(ts, vals)]
+        lvl = z[0]
+        for zz in z[1:]:
+            lvl = 0.2 * zz + 0.8 * lvl
+        out = self._run(spark, vals, horizon=1)
+        r = out[0]
+        assert abs(r.ses_component - lvl) < 1e-5, (r.ses_component, lvl)
+        assert abs(r.trend_component - (a + b * (n + 1))) < 1e-6
+
+    def test_bad_horizon_raises(self, spark):
+        with pytest.raises(ValueError, match="horizon"):
+            self._run(spark, [1.0, 2.0], horizon=0)
