@@ -380,3 +380,88 @@ def herfindahl_index(
             round_digits,
         ).alias("hhi_normalized"),
     )
+
+
+def histogram_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_bins: int = 10,
+    y_bins: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Equal-width 2-D histogram (heatmap binning) over two numeric
+    columns — the joint-distribution profile a scatter plot cannot
+    deliver at corpus scale (1e11 points overplot; a bins×bins count
+    grid is what the dashboard actually renders) and the visual twin
+    of the mutual-information / chi-squared association operators.
+
+    Bin edges come from the EXACT min/max (one aggregate, broadcast
+    back); bin index = least(floor((v − min)/width), bins−1) so the
+    max lands in the last bin, the standard convention. Empty cells
+    are emitted with n=0 (the dense grid via a bins×bins cross join of
+    two tiny literal frames), so the output shape is
+    partitioning-independent. Degenerate axes (min == max) collapse to
+    one bin. Returns x_bins·y_bins rows: (x_bin, y_bin, x_lo, x_hi,
+    y_lo, y_hi, n, share)."""
+    if x_bins < 1 or y_bins < 1:
+        raise ValueError("bins must be >= 1")
+    spark = df.sparkSession
+    base = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    ext = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+    wx = F.round((F.col("x_max") - F.col("x_min")) / x_bins, 9)
+    wy = F.round((F.col("y_max") - F.col("y_min")) / y_bins, 9)
+    ext = ext.select("n_tot", "x_min", "x_max", "y_min", "y_max",
+                     wx.alias("wx"), wy.alias("wy"))
+    xb = F.when(F.col("wx") > 0, F.least(
+        F.floor((F.col("x") - F.col("x_min")) / F.col("wx")).cast("int"),
+        F.lit(x_bins - 1),
+    )).otherwise(F.lit(0))
+    yb = F.when(F.col("wy") > 0, F.least(
+        F.floor((F.col("y") - F.col("y_min")) / F.col("wy")).cast("int"),
+        F.lit(y_bins - 1),
+    )).otherwise(F.lit(0))
+    counts = (
+        base.crossJoin(F.broadcast(ext))
+        .select(xb.alias("x_bin"), yb.alias("y_bin"))
+        .groupBy("x_bin", "y_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    grid = (
+        spark.range(0, x_bins).select(F.col("id").cast("int").alias("x_bin"))
+        .crossJoin(
+            spark.range(0, y_bins).select(F.col("id").cast("int").alias("y_bin"))
+        )
+    )
+    return (
+        grid.join(counts, ["x_bin", "y_bin"], "left")
+        .crossJoin(F.broadcast(ext))
+        .select(
+            "x_bin",
+            "y_bin",
+            F.round(F.col("x_min") + F.col("x_bin") * F.col("wx"), round_digits
+                    ).alias("x_lo"),
+            F.round(F.col("x_min") + (F.col("x_bin") + 1) * F.col("wx"),
+                    round_digits).alias("x_hi"),
+            F.round(F.col("y_min") + F.col("y_bin") * F.col("wy"), round_digits
+                    ).alias("y_lo"),
+            F.round(F.col("y_min") + (F.col("y_bin") + 1) * F.col("wy"),
+                    round_digits).alias("y_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("n_tot").cast("double"),
+                round_digits,
+            ).alias("share"),
+        )
+        .orderBy("x_bin", "y_bin")
+    )

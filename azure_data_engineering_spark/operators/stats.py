@@ -4148,3 +4148,95 @@ def tost_equivalence(
         F.round(p_tost, round_digits).alias("p_tost"),
         (p_tost < 0.05).cast("int").alias("equivalent_5pct"),
     )
+
+
+def breusch_pagan(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test (Breusch & Pagan 1979,
+    Koenker's studentized form) on the OLS fit y ~ a + b·x — the
+    third member of the regression-diagnostic bench beside
+    durbin_watson (serial correlation) and anderson_darling
+    (residual shape): if residual VARIANCE grows with x, every OLS
+    standard error downstream is wrong.
+
+        LM = n · R²  of the auxiliary regression  e² ~ c + d·x,
+        p  = χ²(1) upper tail = erfc(√LM / √2)   (exact for df=1)
+
+    Scale shape: one exact-moment aggregate for the main fit, one
+    residual pass with the 9 dp-rounded coefficients broadcast back,
+    one exact-moment aggregate for the auxiliary fit — two corpus
+    passes, no windows, no joins beyond 1-row broadcasts. Returns one
+    row (n, slope, aux_r2, lm_stat, p_value, heteroscedastic_5pct)."""
+    base = df.select(
+        F.round(F.col(y_col).cast("double"), 6).alias("y"),
+        F.round(F.col(x_col).cast("double"), 6).alias("x"),
+    )
+    dsum = "decimal(38,6)"
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dsum)).alias("sx"),
+        F.sum(F.col("y").cast(dsum)).alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(dsum)).alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast(dsum)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / n
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / n
+    b = F.round(F.when(cxx > 0, cxy / cxx).otherwise(F.lit(0.0)), 9)
+    fit = mom.select(
+        "n",
+        b.alias("b"),
+        F.round(
+            F.col("sy").cast("double") / n - b * F.col("sx").cast("double") / n, 9
+        ).alias("a"),
+    )
+    resid = base.crossJoin(F.broadcast(fit)).select(
+        "n",
+        "b",
+        "x",
+        F.round(
+            (F.col("y") - F.col("a") - F.col("b") * F.col("x"))
+            * (F.col("y") - F.col("a") - F.col("b") * F.col("x")),
+            6,
+        ).alias("e2"),
+    )
+    aux = resid.groupBy("n", "b").agg(
+        F.sum(F.col("x").cast(dsum)).alias("sx"),
+        F.sum(F.col("e2").cast(dsum)).alias("se"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(dsum)).alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("e2"), 6).cast(dsum)).alias("sxe"),
+        F.sum(F.round(F.col("e2") * F.col("e2"), 6).cast(dsum)).alias("see"),
+    )
+    axx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / n
+    axe = F.col("sxe").cast("double") - F.col("sx").cast("double") * F.col(
+        "se"
+    ).cast("double") / n
+    aee = F.col("see").cast("double") - F.col("se").cast("double") * F.col(
+        "se"
+    ).cast("double") / n
+    r2 = F.round(
+        F.when(
+            (axx > 0) & (aee > 0), (axe * axe) / (axx * aee)
+        ).otherwise(F.lit(0.0)),
+        9,
+    )
+    lm = F.round(n * r2, 9)
+    p = F.round(_erfc_two_sided(F.round(F.sqrt(lm), 9)), round_digits)
+    return aux.select(
+        "n",
+        F.round(F.col("b"), round_digits).alias("slope"),
+        F.round(r2, round_digits).alias("aux_r2"),
+        F.round(lm, round_digits).alias("lm_stat"),
+        p.alias("p_value"),
+        (p < 0.05).cast("int").alias("heteroscedastic_5pct"),
+    )

@@ -457,3 +457,69 @@ class TestThetaForecast:
     def test_bad_horizon_raises(self, spark):
         with pytest.raises(ValueError, match="horizon"):
             self._run(spark, [1.0, 2.0], horizon=0)
+
+
+class TestBreuschPagan:
+    def test_heteroscedastic_flags(self, spark):
+        from azure_data_engineering_spark.operators.stats import breusch_pagan
+
+        random.seed(4)
+        # residual sd grows with x
+        rows = [
+            (float(x), 2.0 * x + random.gauss(0, 0.2 + 0.5 * x))
+            for x in range(1, 400)
+        ]
+        d = spark.createDataFrame(rows, "x double, y double")
+        r = breusch_pagan(d, "y", "x").collect()[0]
+        assert r.heteroscedastic_5pct == 1 and r.p_value < 0.01
+
+    def test_homoscedastic_passes(self, spark):
+        from azure_data_engineering_spark.operators.stats import breusch_pagan
+
+        random.seed(8)
+        rows = [
+            (float(x), 2.0 * x + random.gauss(0, 5.0)) for x in range(1, 400)
+        ]
+        d = spark.createDataFrame(rows, "x double, y double")
+        r = breusch_pagan(d, "y", "x").collect()[0]
+        assert r.heteroscedastic_5pct == 0 and r.p_value > 0.05
+
+
+class TestHistogram2d:
+    def test_counts_and_grid_shape(self, spark):
+        from azure_data_engineering_spark.operators.diagnostics import (
+            histogram_2d,
+        )
+
+        rows = [(float(i % 4), float((i // 4) % 2)) for i in range(80)]
+        d = spark.createDataFrame(rows, "x double, y double")
+        out = histogram_2d(d, "x", "y", x_bins=4, y_bins=2).collect()
+        assert len(out) == 8
+        assert sum(r.n for r in out) == 80
+        assert abs(sum(r.share for r in out) - 1.0) < 1e-6
+        # uniform by construction: every cell holds 10
+        assert all(r.n == 10 for r in out)
+
+    def test_max_value_lands_in_last_bin(self, spark):
+        from azure_data_engineering_spark.operators.diagnostics import (
+            histogram_2d,
+        )
+
+        d = spark.createDataFrame(
+            [(0.0, 0.0), (10.0, 10.0)], "x double, y double"
+        )
+        out = {(r.x_bin, r.y_bin): r.n for r in
+               histogram_2d(d, "x", "y", x_bins=5, y_bins=5).collect()}
+        assert out[(0, 0)] == 1 and out[(4, 4)] == 1
+
+    def test_degenerate_axis_single_bin(self, spark):
+        from azure_data_engineering_spark.operators.diagnostics import (
+            histogram_2d,
+        )
+
+        d = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
+        )
+        out = histogram_2d(d, "x", "y", x_bins=2, y_bins=3).collect()
+        assert sum(r.n for r in out) == 2
+        assert all(r.y_bin == 0 for r in out if r.n > 0)
