@@ -3854,20 +3854,26 @@ def anderson_darling_normal(
 
         A² = −n − (1/n) Σᵢ (2i−1)[ln F(z₍ᵢ₎) + ln(1 − F(z₍ₙ₊₁₋ᵢ₎))]
 
-    re-indexed so each SORTED row carries one closed-form summand
-    (2i−1)·lnF(zᵢ) + (2(n−i)+1)·ln(1−F(zᵢ)); A²* = A²(1 + 0.75/n +
-    2.25/n²) compares against Stephens' published 5% critical value
-    0.752. Scale shape: ONE exact-decimal moment aggregate (mean,
-    variance), one rank window over the value frame, one reduce. Φ via
-    the shared erfc polynomial; F clamped to [1e-12, 1−1e-12] before
-    ln so extreme z cannot produce ±inf (deterministic both engines).
-    Returns one row (n, a2, a2_star, nonnormal_5pct)."""
+    re-indexed so each DISTINCT VALUE carries one closed-form block
+    summand: tied values occupy ranks lo..hi, and Σ(2i−1) = hi²−(lo−1)²
+    and Σ(2(n−i)+1) = (2n+1)·c − (hi(hi+1) − (lo−1)·lo) are EXACT
+    integer coefficients from the cumulative-count window — the
+    mann_whitney value-histogram collapse, so the only window runs
+    over the distinct-value frame, never the corpus. A²* = A²(1 +
+    0.75/n + 2.25/n²) compares against Stephens' published 5% critical
+    value 0.752. Φ via the shared erfc polynomial; F clamped to
+    [1e-12, 1−1e-12] before ln so extreme z cannot produce ±inf
+    (deterministic both engines). Returns one row
+    (n, a2, a2_star, nonnormal_5pct)."""
     base = df.select(F.round(F.col(value_col).cast("double"), 6).alias("x"))
     dsum = "decimal(38,6)"
-    mom = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("x").cast(dsum)).alias("s"),
-        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(dsum)).alias("ss"),
+    hist = base.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    mom = hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.round(F.col("x") * F.col("c"), 6).cast(dsum)).alias("s"),
+        F.sum(
+            F.round(F.col("x") * F.col("x") * F.col("c"), 6).cast(dsum)
+        ).alias("ss"),
     )
     mean = F.round(F.col("s").cast("double") / F.col("n").cast("double"), 9)
     var = F.round(
@@ -3880,18 +3886,22 @@ def anderson_darling_normal(
         9,
     )
     m = mom.select("n", mean.alias("m"), var.alias("v"))
-    w = Window.orderBy(F.col("x").asc())
-    ranked = base.crossJoin(F.broadcast(m)).withColumn(
-        "i", F.row_number().over(w)
+    w = Window.orderBy(F.col("x").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
+    ranked = hist.withColumn("hi", F.sum("c").over(w)).crossJoin(
+        F.broadcast(m)
+    )
+    lo = F.col("hi") - F.col("c") + 1
+    s1 = (F.col("hi") * F.col("hi") - (lo - 1) * (lo - 1)).cast("double")
+    s2 = (
+        (2 * F.col("n") + 1) * F.col("c")
+        - (F.col("hi") * (F.col("hi") + 1) - (lo - 1) * lo)
+    ).cast("double")
     z = F.round((F.col("x").cast("double") - F.col("m")) / F.sqrt("v"), 9)
     fz = _norm_cdf(z)
     fz_c = F.least(F.greatest(fz, F.lit(1e-12)), F.lit(1.0 - 1e-12))
-    contrib = F.round(
-        (2.0 * F.col("i") - 1.0) * F.log(fz_c)
-        + (2.0 * (F.col("n") - F.col("i")) + 1.0) * F.log(1.0 - fz_c),
-        9,
-    )
+    contrib = F.round(s1 * F.log(fz_c) + s2 * F.log(1.0 - fz_c), 9)
     agg = ranked.select("n", contrib.alias("c")).groupBy("n").agg(
         F.sum(F.col("c").cast("decimal(28,9)")).alias("csum")
     )
