@@ -288,6 +288,12 @@ PROBE_QUERIES = [
     # round-8: the frontier-pruned weighted SSSP shares the co-purchase
     # edge build with bfs/link_prediction — ratio-track it
     "q_sssp_weighted",
+    # round-11: the unigram trainer's cost SHOULD be round-scheduling
+    # (scale-invariant past the histogram shuffle) — the ratio proves
+    # or refutes that; chrF's char-gram explode is the densest new
+    # (doc, gram) shape
+    "q_unigram_train",
+    "q_chrf",
 ]
 
 
