@@ -49,6 +49,13 @@ SWEEP = [
     "q_image_phash",
     "q_bigram_logprob",
     "q_bm25_search",
+    # round-11: the unigram trainer's whole trajectory (seed top-k,
+    # exact-decimal Viterbi argmaxes, backwalk tiebreaks) must be a
+    # pure function of the corpus; Shapley's mask histogram and the
+    # QL ranking are the other new order-sensitive shapes
+    "q_unigram_train",
+    "q_shapley_attribution",
+    "q_ql_search",
 ]
 
 
