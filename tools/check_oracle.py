@@ -78,6 +78,15 @@ def main() -> int:
     only = set(a for a in args if "/" not in a)
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # Single-threaded DuckDB (r11): the parallel window executor
+    # returned NONDETERMINISTIC results for running-max/lag frames over
+    # ~1M-row partitions (q_interval_union at sf1 flipped between the
+    # correct value and wrong ones across repeated executions of the
+    # same SQL on the same connection; Spark and a pure-python sweep
+    # agreed with each other every run). A correctness gate must be
+    # deterministic before it is fast — and the sweep's wall time is
+    # Spark-dominated anyway.
+    con.execute("SET threads TO 1")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
 
