@@ -1747,9 +1747,14 @@ def gmm_em_1d(
     (n, w1, mu1, sigma1, w2, mu2, sigma2, avg_loglik)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    base = df.select(
-        F.round(F.col(value_col).cast("double"), 6).alias("x")
-    ).localCheckpoint(eager=True)
+    # NULLs out before n: the moment sums skip them, so an unfiltered
+    # count would bias every weight/variance update (histogram_2d
+    # contract, shared with the stats.py moment operators).
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.round(F.col(value_col).cast("double"), 6).alias("x"))
+        .localCheckpoint(eager=True)
+    )
     dsum0 = "decimal(38,6)"
     init = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -108,10 +108,32 @@ def bitemporal_asof(
     Two windows over the pk-hashed log — no interval materialization,
     no self-join; cost tracks |log|, and both windows reuse ONE
     partitioning by pk. Returns one row per pk visible at (V, T) with
-    all attribute columns plus (valid_from, tx)."""
+    all attribute columns plus (valid_from, tx).
+
+    Determinism contract: (pk, valid_from, tx) SHOULD be unique — a
+    transaction asserting two different states for the same effective
+    date at the same instant is a contradiction. If duplicates do
+    occur, the winner is total-ordered by a payload digest (md5 over
+    the remaining attribute columns in sorted-name order, NULLs
+    sentinel-coded) so the result is identical across runs,
+    partitionings, and engines — never Spark's arbitrary
+    within-partition arrival order."""
     vf, tx = F.col(valid_from_col), F.col(tx_col)
     known = log.filter(tx <= F.lit(known_at))
-    w_corr = Window.partitionBy(*pk_cols, valid_from_col).orderBy(tx.desc())
+    keyed = set(pk_cols) | {valid_from_col, tx_col}
+    payload_cols = sorted(c for c in log.columns if c not in keyed)
+    tiebreak = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in payload_cols
+            ],
+        )
+    )
+    w_corr = Window.partitionBy(*pk_cols, valid_from_col).orderBy(
+        tx.desc(), tiebreak.asc()
+    )
     latest_belief = known.withColumn(
         "__rn", F.row_number().over(w_corr)
     ).filter(F.col("__rn") == 1)

@@ -3865,7 +3865,12 @@ def anderson_darling_normal(
     [1e-12, 1−1e-12] before ln so extreme z cannot produce ±inf
     (deterministic both engines). Returns one row
     (n, a2, a2_star, nonnormal_5pct)."""
-    base = df.select(F.round(F.col(value_col).cast("double"), 6).alias("x"))
+    # NULL values are excluded BEFORE n is counted — an unfiltered
+    # count(1) would inflate n while the moment sums skip NULLs,
+    # biasing mean/variance (same contract as histogram_2d).
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.round(F.col(value_col).cast("double"), 6).alias("x")
+    )
     dsum = "decimal(38,6)"
     hist = base.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
     mom = hist.agg(
@@ -3941,7 +3946,9 @@ def jarque_bera(
     # identical values at any aggregation order
     xd = F.round(F.col(value_col).cast("double"), 6)
     dsum = "decimal(38,6)"
-    mom = df.select(xd.alias("x")).agg(
+    # NULLs out before n: count(1) over NULL-bearing rows would
+    # inflate n while the power sums skip them (histogram_2d contract)
+    mom = df.filter(F.col(value_col).isNotNull()).select(xd.alias("x")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("x").cast(dsum)).alias("s1"),
         F.sum(F.round(F.col("x") * F.col("x"), 6).cast(dsum)).alias("s2"),
@@ -4005,7 +4012,16 @@ def durbin_watson(
     residuals in codegen with the 9 dp-rounded slope/intercept
     broadcast back, one lag window ordered by `time_col`, one reduce.
     Returns one row (n, slope, intercept, dw)."""
-    base = df.select(
+    # Rows with a NULL y, x, or t are excluded before n: the moment
+    # sums would skip them anyway (biasing the fit), and a NULL t has
+    # no defined position in the lag chain — Spark orders NULLs first
+    # while ANSI engines default NULLS LAST, so admitting them would
+    # make DW itself engine-dependent.
+    base = df.filter(
+        F.col(time_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(x_col).isNotNull()
+    ).select(
         F.col(time_col).alias("t"),
         F.round(F.col(y_col).cast("double"), 6).alias("y"),
         F.round(F.col(x_col).cast("double"), 6).alias("x"),
@@ -4101,10 +4117,18 @@ def tost_equivalence(
         raise ValueError(f"tost_equivalence needs exactly 2 groups, got {groups}")
     g1 = groups[0]
     dec = "decimal(28,6)"
+    # Quantize each square to 6 dp before summing (the module's
+    # quantize-then-sum discipline, as in jarque_bera). Spark clamps
+    # the decimal(28,6)×decimal(28,6) product to decimal(38,6) —
+    # silently rounding each square to 6 dp — while an unclamped
+    # oracle sum stays DECIMAL(38,12)-exact; the explicit round makes
+    # the per-term quantization part of the CONTRACT so the oracle
+    # can mirror it (sum(CAST(round(v*v, 6) AS DECIMAL(38,6)))).
+    v6 = F.col(value_col).cast(dec)
     g = df.groupBy((F.col(group_col) == g1).alias("is1")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col(value_col).cast(dec)).alias("s"),
-        F.sum(F.col(value_col).cast(dec) * F.col(value_col).cast(dec)).alias("ss"),
+        F.sum(v6).alias("s"),
+        F.sum(F.round(v6 * v6, 6).cast("decimal(38,6)")).alias("ss"),
     )
     mean = F.col("s").cast("double") / F.col("n").cast("double")
     var = F.round(
@@ -4181,7 +4205,12 @@ def breusch_pagan(
     one exact-moment aggregate for the auxiliary fit — two corpus
     passes, no windows, no joins beyond 1-row broadcasts. Returns one
     row (n, slope, aux_r2, lm_stat, p_value, heteroscedastic_5pct)."""
-    base = df.select(
+    # NULL y or x rows are excluded before n is counted — the moment
+    # sums skip them, so counting them would bias both fits
+    # (histogram_2d contract).
+    base = df.filter(
+        F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(
         F.round(F.col(y_col).cast("double"), 6).alias("y"),
         F.round(F.col(x_col).cast("double"), 6).alias("x"),
     )

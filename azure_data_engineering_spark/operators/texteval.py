@@ -268,11 +268,16 @@ def chrf_corpus(
     p_terms, r_terms = [], []
     for nn in range(1, max_n + 1):
         def side(col_name: str, alias: str):
+            # Guard the bound: Spark's sequence(1, 0) yields the
+            # DESCENDING array [1, 0], so an unguarded len-nn+1 <= 0
+            # would emit two spurious partial grams per short/empty
+            # doc (DuckDB's generate_series(1, 0) is empty). Same
+            # clamp-to-empty discipline as dedup._shingles.
             pos = F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length(col_name) - nn + 1, F.lit(0)),
-                )
+                F.when(
+                    F.length(col_name) >= nn,
+                    F.sequence(F.lit(1), F.length(col_name) - nn + 1),
+                ).otherwise(F.array().cast("array<int>"))
             ).alias("pos")
             g = base.select("id", F.col(col_name), pos).select(
                 "id",

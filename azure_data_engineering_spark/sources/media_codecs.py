@@ -1310,9 +1310,16 @@ def gif_metadata(payload: bytes) -> tuple[str, int, int, int, int, int, bool]:
                 app = payload[pos + 1 : pos + 12]
                 if app == b"NETSCAPE2.0" and pos + 15 < len(payload):
                     has_netscape = True
-                    loop_count = struct.unpack(
-                        "<H", payload[pos + 14 : pos + 16]
-                    )[0]
+                    # loop count lives in the FIRST data sub-block only
+                    # when that sub-block is the looping variant: length
+                    # byte 3, sub-block id 1. A conforming GIF may carry
+                    # a different first sub-block (e.g. the buffering
+                    # variant, id 2) — report loop_count = -1 (unknown)
+                    # rather than unpacking garbage at a fixed offset.
+                    if payload[pos + 12] == 3 and payload[pos + 13] == 1:
+                        loop_count = struct.unpack(
+                            "<H", payload[pos + 14 : pos + 16]
+                        )[0]
             pos = skip_subblocks(pos)
         elif b == 0x2C:  # image descriptor
             if pos + 9 > len(payload):

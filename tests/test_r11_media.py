@@ -40,6 +40,26 @@ class TestGifMetadata:
         )
         assert trunc and nf == 3
 
+    def test_netscape_buffering_variant_reports_unknown_loop(self):
+        # A conforming NETSCAPE2.0 extension whose FIRST data sub-block
+        # is the buffering variant (length 5, id 2) not the looping one
+        # (length 3, id 1): has_netscape still marks it animated, but
+        # loop_count must be -1 (unknown), never bytes read at a fixed
+        # offset inside the wrong sub-block.
+        import struct as _s
+
+        out = bytearray()
+        out += b"GIF89a" + _s.pack("<HH", 8, 8) + bytes([0x80 | 1, 0, 0])
+        out += bytes(12)  # 4-color global table
+        out += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0"
+        out += bytes([5, 2]) + _s.pack("<I", 4096) + bytes([0])
+        out += bytes([0x2C]) + _s.pack("<HHHH", 0, 0, 8, 8)
+        out += bytes([0, 2, 4, 1, 7, 0x44, 0x01, 0])
+        out += bytes([0x3B])
+        ver, w, h, nf, anim, loop, trunc = gif_metadata(bytes(out))
+        assert (ver, w, h, nf) == ("89a", 8, 8, 1)
+        assert anim == 1 and loop == -1 and not trunc
+
     def test_non_gif_raises(self):
         with pytest.raises(ValueError, match="not a GIF"):
             gif_metadata(b"RIFF....WEBP")

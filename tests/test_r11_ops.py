@@ -189,6 +189,29 @@ class TestRougeChrf:
         r = chrf_corpus(d, "id", "hyp", "ref", max_n=3).collect()[0]
         assert r.chrf == 1.0
 
+    def test_chrf_short_and_empty_docs_emit_no_partial_grams(self, spark):
+        # strings shorter than n must contribute ZERO n-grams for that
+        # n: Spark's sequence(1, 0) yields the DESCENDING [1, 0], so an
+        # unguarded bound would fabricate two empty-substring grams per
+        # short doc. With hyp='' and a 2-char hyp, every gram count must
+        # come from the real strings only.
+        from azure_data_engineering_spark.operators.texteval import chrf_corpus
+
+        d = spark.createDataFrame(
+            [(1, "", "abcd"), (2, "ab", "abcd"), (3, "abcd", "abcd")],
+            "id long, hyp string, ref string",
+        )
+        r = chrf_corpus(d, "id", "hyp", "ref", max_n=4).collect()[0]
+        assert r.n_docs == 3
+        # recall per n: m/r = 6/12, 4/9, 2/6, 1/3 (doc2 contributes NO
+        # n>=3 grams; doc1 none at all)
+        exp_recall = (6 / 12 + 4 / 9 + 2 / 6 + 1 / 3) / 4
+        assert r.chr_recall == pytest.approx(exp_recall, abs=1e-6)
+        # every emitted hyp gram matches, so each precision term is 1;
+        # the buggy descending sequence(1,0) would add two fabricated
+        # ''-grams per short side and drag precision below 1
+        assert r.chr_precision == pytest.approx(1.0, abs=1e-6)
+
 
 class TestQueryLikelihood:
     def _docs(self, spark):
@@ -523,3 +546,119 @@ class TestHistogram2d:
         out = histogram_2d(d, "x", "y", x_bins=2, y_bins=3).collect()
         assert sum(r.n for r in out) == 2
         assert all(r.y_bin == 0 for r in out if r.n > 0)
+
+
+class TestMomentOperatorsExcludeNulls:
+    """A NULL value row must be invisible: excluded before n is
+    counted, not silently skipped by the sums while still inflating n
+    (the histogram_2d contract, applied to every moment-based
+    operator in the family)."""
+
+    def _pair(self, spark, vals):
+        clean = spark.createDataFrame([(v,) for v in vals], "v double")
+        dirty = spark.createDataFrame(
+            [(v,) for v in vals] + [(None,), (None,), (None,)], "v double"
+        )
+        return clean, dirty
+
+    def test_jarque_bera_ignores_nulls(self, spark):
+        random.seed(11)
+        clean, dirty = self._pair(
+            spark, [random.gauss(5, 2) for _ in range(200)]
+        )
+        a = jarque_bera(clean, "v").collect()[0]
+        b = jarque_bera(dirty, "v").collect()[0]
+        assert a == b and a.n == 200
+
+    def test_anderson_darling_ignores_nulls(self, spark):
+        random.seed(12)
+        clean, dirty = self._pair(
+            spark, [random.gauss(0, 1) for _ in range(150)]
+        )
+        a = anderson_darling_normal(clean, "v").collect()[0]
+        b = anderson_darling_normal(dirty, "v").collect()[0]
+        assert a == b and a.n == 150
+
+    def test_gmm_em_ignores_nulls(self, spark):
+        from azure_data_engineering_spark.operators.mlplan import gmm_em_1d
+
+        random.seed(13)
+        vals = [random.gauss(3, 1) for _ in range(80)] + [
+            random.gauss(30, 2) for _ in range(80)
+        ]
+        clean, dirty = self._pair(spark, vals)
+        a = gmm_em_1d(clean, "v", rounds=2).collect()[0]
+        b = gmm_em_1d(dirty, "v", rounds=2).collect()[0]
+        assert a == b and a.n == 160
+
+    def test_durbin_watson_ignores_null_rows(self, spark):
+        rows = [(float(t), 2.0 * t + (1 if t % 2 else -1), float(t))
+                for t in range(1, 40)]
+        clean = spark.createDataFrame(rows, "t double, y double, x double")
+        dirty = spark.createDataFrame(
+            rows + [(99.0, None, 99.0), (None, 5.0, 5.0)],
+            "t double, y double, x double",
+        )
+        a = durbin_watson(clean, "t", "y", "x").collect()[0]
+        b = durbin_watson(dirty, "t", "y", "x").collect()[0]
+        assert a == b and a.n == 39
+
+    def test_breusch_pagan_ignores_null_rows(self, spark):
+        from azure_data_engineering_spark.operators.stats import breusch_pagan
+
+        random.seed(14)
+        rows = [
+            (x, 3.0 * x + random.gauss(0, 1 + x / 10))
+            for x in [float(i % 25 + 1) for i in range(200)]
+        ]
+        clean = spark.createDataFrame(rows, "x double, y double")
+        dirty = spark.createDataFrame(
+            rows + [(None, 4.0), (7.0, None)], "x double, y double"
+        )
+        a = breusch_pagan(clean, "y", "x").collect()[0]
+        b = breusch_pagan(dirty, "y", "x").collect()[0]
+        assert a == b and a.n == 200
+
+
+class TestBitemporalTiebreak:
+    def test_duplicate_assertions_resolve_deterministically(self, spark):
+        # Two contradictory assertions with IDENTICAL (pk, valid_from,
+        # tx): the winner must be the payload-digest total order —
+        # stable across runs and partitionings — not partition arrival
+        # order.
+        import hashlib
+
+        from azure_data_engineering_spark.operators.scd import bitemporal_asof
+
+        rows = [
+            (1, "2024-01-01", 10, "alpha"),
+            (1, "2024-01-01", 10, "beta"),
+            (2, "2024-01-01", 10, "gamma"),
+        ]
+        expected = min(
+            ["alpha", "beta"], key=lambda v: hashlib.md5(v.encode()).hexdigest()
+        )
+        for parts in (1, 7):
+            df = spark.createDataFrame(
+                rows, "pk long, valid_from string, tx long, val string"
+            ).repartition(parts)
+            got = {
+                r.pk: r.val
+                for r in bitemporal_asof(
+                    df, ["pk"], "valid_from", "tx", "2024-06-01", 99
+                ).collect()
+            }
+            assert got == {1: expected, 2: "gamma"}
+
+    def test_real_correction_still_beats_digest_order(self, spark):
+        # the digest only breaks EXACT tx ties; a later tx always wins
+        from azure_data_engineering_spark.operators.scd import bitemporal_asof
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01", 10, "zzz"), (1, "2024-01-01", 11, "aaa")],
+            "pk long, valid_from string, tx long, val string",
+        )
+        got = bitemporal_asof(
+            df, ["pk"], "valid_from", "tx", "2024-06-01", 99
+        ).collect()
+        assert got[0].val == "aaa"
