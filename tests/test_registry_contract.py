@@ -56,3 +56,20 @@ def test_oracle_keys_subset_of_queries():
     qs = set(entrymod.queries())
     os_ = set(entrymod.oracle_sql())
     assert os_ <= qs, f"orphan oracle entries: {sorted(os_ - qs)}"
+
+
+def test_every_registry_query_documented_in_coverage():
+    """SURVEY.md §2B / COVERAGE.md drift gate (the r10 and r11 verdicts
+    both caught operators implemented and registry-green but invisible
+    to the declared blueprint): every `queries()` key must appear in
+    COVERAGE.md. New operators ship with their documentation row, not
+    as a next-round cleanup item."""
+    import pathlib
+
+    cov = pathlib.Path(__file__).resolve().parent.parent / "COVERAGE.md"
+    text = cov.read_text(encoding="utf-8")
+    missing = sorted(q for q in entrymod.queries() if q not in text)
+    assert not missing, (
+        "registry queries absent from COVERAGE.md — add their operator "
+        f"rows (and the SURVEY.md §2B sibling): {missing}"
+    )
