@@ -1,0 +1,128 @@
+"""WARC source tests (sources/warc): record walk on both layouts,
+truncation semantics, quarantine, HTTP split, file-based read, and the
+partition-parallel plan contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from azure_data_engineering_spark.sources.warc import (
+    _page_body,
+    _status_for,
+    parse_warc,
+    read_warc,
+    warc_container,
+    warc_records,
+)
+
+
+class TestParseWarc:
+    @pytest.mark.parametrize("gz", [True, False])
+    def test_record_walk_both_layouts(self, gz):
+        recs, trunc = parse_warc(warc_container(11, 3, gzip_members=gz))
+        assert not trunc and len(recs) == 7
+        assert recs[0]["rec_type"] == "warcinfo"
+        assert recs[0]["mime"] == "application/warc-fields"
+        for j in range(3):
+            req, resp = recs[1 + 2 * j], recs[2 + 2 * j]
+            assert req["rec_type"] == "request"
+            assert req["http_status"] == 0
+            assert req["mime"] == "application/http"
+            assert resp["rec_type"] == "response"
+            assert resp["http_status"] == _status_for(11, j)[0]
+            assert resp["mime"] == "text/html"
+            assert resp["body"].decode() == _page_body(11, j)
+            assert resp["target_uri"] == f"https://site11.example.com/page/{j}"
+
+    @pytest.mark.parametrize("gz", [True, False])
+    def test_tail_cut_drops_exactly_last_record(self, gz):
+        recs, trunc = parse_warc(
+            warc_container(11, 3, gzip_members=gz, truncate=True)
+        )
+        assert trunc and len(recs) == 6  # warcinfo + 3 req + 2 resp
+        assert recs[-1]["rec_type"] == "request"
+
+    def test_mid_stream_corrupt_member_stops_walk(self):
+        # overwrite the SECOND gzip member's magic: records before it
+        # survive, the walk stops, truncated flags
+        full = warc_container(5, 2, gzip_members=True)
+        second = full.find(b"\x1f\x8b", 2)
+        corrupted = full[:second] + b"XX" + full[second + 2 :]
+        recs, trunc = parse_warc(corrupted)
+        assert trunc and len(recs) == 1  # only warcinfo survives
+        # flipping bytes INSIDE the member (bad CRC) also stops cleanly
+        inner = full[:second + 20] + b"ZZ" + full[second + 22 :]
+        recs2, trunc2 = parse_warc(inner)
+        assert trunc2 and len(recs2) == 1
+
+    def test_non_warc_raises(self):
+        with pytest.raises(ValueError, match="not a WARC"):
+            parse_warc(b"PK\x03\x04 not a warc")
+
+    def test_http_status_variants(self):
+        # k % 9 == 0 -> 301 beats k % 5 == 0 -> 404 beats 200
+        assert _status_for(45, 0)[0] == 301   # 45 % 9 == 0 (and % 5)
+        assert _status_for(5, 0)[0] == 404
+        assert _status_for(1, 0)[0] == 200
+
+
+class TestWarcRecordsSpark:
+    def _files(self, spark, specs):
+        import pandas as pd
+
+        rows = [
+            (i, warc_container(i, n, gzip_members=gz, truncate=tr))
+            for (i, n, gz, tr) in specs
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["id", "payload"]),
+            "id bigint, payload binary",
+        )
+
+    def test_body_md5_matches_generating_text(self, spark):
+        df = self._files(spark, [(7, 2, True, False)])
+        out = {r.rec_idx: r for r in warc_records(df).collect()}
+        assert len(out) == 5
+        body1 = _page_body(7, 1).encode()
+        assert out[4].body_md5 == hashlib.md5(body1).hexdigest()
+        assert out[4].body_len == len(body1)
+        assert out[4].file_format == "warc.gz"
+
+    def test_quarantine_row_for_junk(self, spark):
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame([(1, b"garbage")], columns=["id", "payload"]),
+            "id bigint, payload binary",
+        )
+        rows = warc_records(df).collect()
+        assert len(rows) == 1
+        assert rows[0].malformed == 1 and rows[0].file_format == "corrupt"
+
+    def test_extraction_plan_is_shuffle_free(self, spark, sf_dir):
+        """The record explode must stay embarrassingly parallel:
+        scan → mapInPandas, zero Exchange."""
+        import __spark_entry__ as entrymod
+        from azure_data_engineering_spark.plans.inspect import formatted_plan
+
+        plan = formatted_plan(entrymod.q_warc_ingest(spark, sf_dir))
+        assert "Exchange" not in plan
+        assert "MapInPandas" in plan
+
+
+class TestReadWarcFiles:
+    def test_binary_file_round_trip(self, spark, tmp_path):
+        for i in (3, 4):
+            (tmp_path / f"f{i}.warc.gz").write_bytes(
+                warc_container(i, 2, gzip_members=True)
+            )
+        out = read_warc(spark, str(tmp_path / "*.warc.gz"))
+        rows = out.collect()
+        assert len(rows) == 10 and all(r.path for r in rows)
+        by_file = {}
+        for r in rows:
+            by_file.setdefault(r.path.rsplit("/", 1)[-1], []).append(r)
+        assert sorted(by_file) == ["f3.warc.gz", "f4.warc.gz"]
+        assert all(len(v) == 5 for v in by_file.values())
