@@ -237,9 +237,15 @@ HEADLINE = [
     "q_croston",
     "q_topo_layers",
     "q_page_hinkley",
+    # round-12 additions: WARC crawl-archive ingestion (gzip-member
+    # record walk + per-record body md5 through one mapInPandas
+    # kernel) and HTML main-content extraction (block density
+    # classifier, pure codegen HOFs)
+    "q_warc_ingest",
+    "q_main_content",
 ]
 
-ROUND = 11
+ROUND = 12
 
 # Headline queries whose hot path runs Arrow/pandas Python workers:
 # worker fork + Arrow init variance showed up as a phantom 1.47x
@@ -775,6 +781,27 @@ def main() -> None:
                     "pure-JVM canary tracked CPU speed, not scheduler/shuffle/"
                     "scan cost, and diverged 1.6x-vs-8% from the suite in r10. "
                     "Normalize cross-round suite comparisons by THIS value.",
+                    "r12_no_new_probes": "q_warc_ingest and q_main_content are "
+                    "deliberately NOT in PROBE_QUERIES: both plans are "
+                    "scan -> per-row kernel with zero Exchange (plan-asserted "
+                    "in test_warc/test_html_extract), so cost is linear in "
+                    "input by construction, and their gate fixtures are "
+                    "bounded (250/200 docs) for tier-stable oracle artifacts "
+                    "— a probe ratio over a bounded fixture measures only "
+                    "session noise.",
+                    "watch_protocol_r12": "codified triangulation rule "
+                    "(VERDICT r11 What's-wrong #3): a cross-round per-query "
+                    "delta on UNCHANGED code is actionable only above the "
+                    "measured same-code session envelope — ~1.7x on "
+                    "sub-second queries, ~1.15x on the suite median (the "
+                    "driver's r11 re-run of byte-identical code sat a median "
+                    "1.09x, max 1.74x, above the builder run while both "
+                    "canaries agreed). Adjudication evidence = (1) git diff "
+                    "of the operator since the baseline round and (2) a "
+                    "second-session re-run; the canaries normalize median "
+                    "machine speed but NOT tail scheduler/UDF-worker noise. "
+                    "No r12 watch list: every r11 'regression' fell inside "
+                    "the envelope with code untouched.",
                     "watch_r11": "r10 watch queries adjudicated VARIANCE, not "
                     "regression: q_als_rankk / q_ndcg_quantized / q_gbm_stumps "
                     "all run code git-unchanged since r8 (als.py last touched "
