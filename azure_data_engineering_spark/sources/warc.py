@@ -239,6 +239,49 @@ def warc_records(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, schema=WARC_RECORDS_SCHEMA)
 
 
+def warc_response_texts(df: DataFrame, mime_prefix: str = "text/") -> DataFrame:
+    """HTTP RESPONSE records of (id, payload) WARC files, with the
+    response body decoded as text: (id, rec_idx, target_uri,
+    http_status, mime, html). The body DOES ride the row here — this
+    is the extraction feed (main_content, quality scoring, language
+    ID all consume the page text), still one scan → mapInPandas with
+    no shuffle; everything non-response (warcinfo, requests,
+    non-matching mimes, malformed files) is dropped, because the
+    quarantine/accounting surface is `warc_records`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "rec_idx", "target_uri", "http_status", "mime", "html"]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rid = row["id"]
+                try:
+                    recs, _trunc = parse_warc(bytes(row["payload"]))
+                except ValueError:
+                    continue
+                for k, r in enumerate(recs):
+                    if r["rec_type"] != "response":
+                        continue
+                    if not r["mime"].startswith(mime_prefix):
+                        continue
+                    rows.append(
+                        (
+                            rid, k, r["target_uri"], r["http_status"],
+                            r["mime"],
+                            r["body"].decode("utf-8", errors="replace"),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(
+        kernel,
+        schema=(
+            "id bigint, rec_idx int, target_uri string, http_status int, "
+            "mime string, html string"
+        ),
+    )
+
+
 def read_warc(spark, path: str) -> DataFrame:
     """WARC files on disk → record rows, via the binaryFile source
     (whole-file payloads — correct for member-per-record .warc.gz,

@@ -126,3 +126,43 @@ class TestReadWarcFiles:
             by_file.setdefault(r.path.rsplit("/", 1)[-1], []).append(r)
         assert sorted(by_file) == ["f3.warc.gz", "f4.warc.gz"]
         assert all(len(v) == 5 for v in by_file.values())
+
+
+class TestWarcResponseTexts:
+    def test_response_bodies_decode(self, spark):
+        import pandas as pd
+
+        from azure_data_engineering_spark.sources.warc import (
+            warc_response_texts,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [(9, warc_container(9, 2, gzip_members=True)),
+                 (2, b"junk")],
+                columns=["id", "payload"],
+            ),
+            "id bigint, payload binary",
+        )
+        rows = warc_response_texts(df).collect()
+        # junk file contributes nothing; 2 responses from file 9
+        assert len(rows) == 2
+        assert {r.rec_idx for r in rows} == {2, 4}
+        assert all(r.mime == "text/html" for r in rows)
+        assert rows[0].html.startswith("<html><head><title>p9-")
+
+    def test_pipeline_query_matches_formula(self, spark, sf_dir):
+        import __spark_entry__ as entrymod
+
+        out = {r.host: r for r in
+               entrymod.q_crawl_pipeline(spark, sf_dir).collect()}
+        assert len(out) == 50
+        # host site1: ids 1, 51, 101, 151, 201, 251 (none junk)
+        r = out["site1.example.com"]
+        total = r.n_ok + r.n_redirect + r.n_notfound
+        # pages: sum over ids of n_pages minus truncation cuts
+        ids = [1, 51, 101, 151, 201, 251]
+        expect = sum(1 + i % 4 for i in ids) - sum(
+            1 for i in ids if i % 10 == 7
+        )
+        assert total == expect
