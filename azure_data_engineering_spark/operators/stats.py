@@ -4279,3 +4279,79 @@ def breusch_pagan(
         p.alias("p_value"),
         (p < 0.05).cast("int").alias("heteroscedastic_5pct"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness (Wald & Wolfowitz
+    1940) — the ORDER-sensitive companion of the distribution-shape
+    screens (AD/JB look at WHAT values occur, Durbin-Watson at linear
+    serial correlation; runs catches ANY departure from random
+    ordering — clustering, oscillation, regime blocks — with no model
+    at all). The series is dichotomized against its own exact median
+    (values equal to the median drop, the standard treatment),
+    R = number of runs of consecutive same-side values, and
+
+        E[R] = 2·n1·n2/n + 1
+        Var  = 2·n1·n2·(2·n1·n2 − n) / (n²·(n−1)),  n = n1+n2
+        z    = (R − E[R]) / √Var,  p two-sided via the shared erfc
+
+    Scale shape: the caller supplies the (already aggregate) series
+    frame — one exact-percentile reduce for the median broadcast
+    back, one lag window ordered by `time_col`, one reduce. NULL
+    value/time rows are excluded before anything is counted (the
+    module's moment-operator contract). Degenerate splits (n1 = 0 or
+    n2 = 0, or n < 2) emit NULL z/p rather than a division blow-up.
+    Returns one row: (n1, n2, runs, expected_runs, z_stat, p_value,
+    nonrandom_5pct)."""
+    base = df.filter(
+        F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(time_col).alias("t"),
+        F.round(F.col(value_col).cast("double"), 6).alias("x"),
+    )
+    med = base.agg(F.round(F.expr("percentile(x, 0.5)"), 9).alias("med"))
+    signed = (
+        base.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("med"))
+        .select("t", (F.col("x") > F.col("med")).cast("int").alias("s"))
+    )
+    w = Window.orderBy("t")
+    lagged = signed.withColumn("prev", F.lag("s").over(w))
+    agg = lagged.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("long").alias("runs"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = n1 + n2
+    e = F.round(2.0 * n1 * n2 / n + 1.0, 9)
+    v = F.round(
+        (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (n * n * (n - 1.0)), 9
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n1") + F.col("n2") > 1)
+    z = F.round((F.col("runs").cast("double") - e) / F.sqrt(v), 9)
+    p = F.round(_erfc_two_sided(F.abs(z)), round_digits)
+    return agg.select(
+        "n1",
+        "n2",
+        "runs",
+        F.round(F.when(ok, e), round_digits).alias("expected_runs"),
+        F.round(F.when(ok & (v > 0), z), round_digits).alias("z_stat"),
+        F.when(ok & (v > 0), p).alias("p_value"),
+        F.when(ok & (v > 0), (p < 0.05).cast("int")).alias("nonrandom_5pct"),
+    )

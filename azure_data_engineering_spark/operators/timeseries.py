@@ -1897,3 +1897,117 @@ def theta_forecast(
             "forecast"
         ),
     ).orderBy("g", "h")
+
+
+# Shewhart X̄-R constants (ASTM E2587 / Montgomery, "Introduction to
+# Statistical Quality Control", Appendix VI): subgroup size n ->
+# (A2, D3, D4). Published values, pinned — the same
+# table every SPC implementation ships.
+_XBAR_R_CONSTANTS = {
+    2: (1.880, 0.0, 3.267),
+    3: (1.023, 0.0, 2.574),
+    4: (0.729, 0.0, 2.282),
+    5: (0.577, 0.0, 2.114),
+    6: (0.483, 0.0, 2.004),
+    7: (0.419, 0.076, 1.924),
+    8: (0.373, 0.136, 1.864),
+    9: (0.337, 0.184, 1.816),
+    10: (0.308, 0.223, 1.777),
+}
+
+
+def xbar_r_chart(
+    df: DataFrame,
+    subgroup_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Shewhart X̄-R control chart (Shewhart 1931; constants from the
+    published ASTM/Montgomery tables) — the rational-subgroup SPC
+    chart the EWMA chart (ewma_control_chart) and CUSUM cousins sit
+    beside: X̄ catches mean shifts between subgroups, R catches
+    spread changes within them, and the A2/D3/D4 constants convert
+    the average range into 3σ limits without ever estimating σ
+    directly:
+
+        X̄ chart: X̿ ± A2·R̄        R chart: [D3·R̄, D4·R̄]
+
+    Phase-I retrospective charting: limits come from the data itself.
+    Subgroups must share ONE size n ∈ [2, 10] (the constants are
+    n-specific) — mixed sizes raise. Scale shape: one
+    map-side-combinable groupBy collapses rows to the subgroup frame
+    (exact-decimal sums, exact min/max), one 1-row reduce computes
+    X̿/R̄/limits, broadcast back; the only corpus-scale work is the
+    first groupBy. Returns per subgroup: (subgroup, n, xbar, r,
+    xbar_ucl, xbar_lcl, r_ucl, r_lcl, out_xbar, out_r)."""
+    sub = (
+        df.groupBy(F.col(subgroup_col).alias("subgroup"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.round(F.col(value_col).cast("double"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("s"),
+            F.max(F.round(F.col(value_col).cast("double"), 6)).alias("vmax"),
+            F.min(F.round(F.col(value_col).cast("double"), 6)).alias("vmin"),
+        )
+        .select(
+            "subgroup",
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n").cast("double"), 9)
+            .alias("xbar"),
+            F.round(F.col("vmax") - F.col("vmin"), 9).alias("r"),
+        )
+    )
+    sizes = [
+        r[0]
+        for r in sub.select("n").distinct().orderBy("n").limit(3).collect()
+    ]
+    if len(sizes) != 1:
+        raise ValueError(
+            f"xbar_r_chart needs one uniform subgroup size, got {sizes}"
+        )
+    n = int(sizes[0])
+    if n not in _XBAR_R_CONSTANTS:
+        raise ValueError(f"subgroup size {n} outside the published 2..10 table")
+    a2, d3, d4 = _XBAR_R_CONSTANTS[n]
+    center = sub.groupBy().agg(
+        F.round(
+            F.sum(F.round(F.col("xbar"), 9).cast("decimal(28,9)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("xbarbar"),
+        F.round(
+            F.sum(F.round(F.col("r"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("rbar"),
+    )
+    lim = center.select(
+        "xbarbar",
+        "rbar",
+        F.round(F.col("xbarbar") + a2 * F.col("rbar"), 9).alias("xucl"),
+        F.round(F.col("xbarbar") - a2 * F.col("rbar"), 9).alias("xlcl"),
+        F.round(d4 * F.col("rbar"), 9).alias("rucl"),
+        F.round(d3 * F.col("rbar"), 9).alias("rlcl"),
+    )
+    out = sub.crossJoin(F.broadcast(lim))
+    return out.select(
+        "subgroup",
+        "n",
+        F.round(F.col("xbar"), round_digits).alias("xbar"),
+        F.round(F.col("r"), round_digits).alias("r"),
+        F.round(F.col("xucl"), round_digits).alias("xbar_ucl"),
+        F.round(F.col("xlcl"), round_digits).alias("xbar_lcl"),
+        F.round(F.col("rucl"), round_digits).alias("r_ucl"),
+        F.round(F.col("rlcl"), round_digits).alias("r_lcl"),
+        (
+            (F.col("xbar") > F.col("xucl")) | (F.col("xbar") < F.col("xlcl"))
+        ).cast("int").alias("out_xbar"),
+        ((F.col("r") > F.col("rucl")) | (F.col("r") < F.col("rlcl")))
+        .cast("int")
+        .alias("out_r"),
+    )
