@@ -143,3 +143,29 @@ def robots_evaluate_multihost(
             F.col("r_directive").isNull() | (F.col("r_directive") == "allow")
         ).cast("int").alias("allowed"),
     )
+
+
+def robots_sitemaps(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Extract `Sitemap:` directives from robots.txt bodies — the
+    DISCOVERY half of RFC 9309 (§2.3: Sitemap lines live OUTSIDE
+    user-agent groups and must carry an absolute URL), feeding
+    operators/sitemap.sitemap_entries with what to fetch next. Pure
+    codegen (posexplode + regexps, same shape as
+    robots_rules_from_text). Returns (id, line_idx, sitemap_url,
+    absolute) — relative URLs are spec violations a crawler should
+    count, so they surface with absolute = 0 instead of vanishing."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("line"), r"#.*$", ""))
+    url = F.trim(F.regexp_extract(clean, r"^(?i)sitemap\s*:\s*(.*)$", 1))
+    return (
+        lines.select(
+            "id",
+            "line_idx",
+            url.alias("sitemap_url"),
+            url.rlike("^https?://").cast("int").alias("absolute"),
+        )
+        .filter(F.col("sitemap_url") != "")
+    )

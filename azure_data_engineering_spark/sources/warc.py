@@ -300,7 +300,86 @@ def read_warc(spark, path: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------------- fixture builder
+# ------------------------------------------- record/fixture builders
+
+_WARC_DATE = "2024-01-15T00:00:00Z"
+WET_INFO = "software: ade-spark-crawler/1.0\r\nformat: WARC File Format 1.0\r\n"
+
+
+def build_record(
+    rec_type: str,
+    file_id: int,
+    idx: int,
+    content: bytes,
+    uri: str = "",
+    http: str | None = None,
+    content_type: str | None = None,
+) -> bytes:
+    """One serialized WARC record (version line, headers, content,
+    terminating CRLFs). `http` sets the application/http msgtype
+    content type; `content_type` overrides it (e.g. text/plain for
+    WET conversion records); neither -> application/warc-fields."""
+    h = [
+        b"WARC/1.0",
+        b"WARC-Type: " + rec_type.encode(),
+        f"WARC-Record-ID: <urn:uuid:{file_id:08d}-{idx:04d}>".encode(),
+        b"WARC-Date: " + _WARC_DATE.encode(),
+    ]
+    if uri:
+        h.append(b"WARC-Target-URI: " + uri.encode())
+    if content_type is not None:
+        h.append(b"Content-Type: " + content_type.encode())
+    elif http:
+        h.append(f"Content-Type: application/http; msgtype={http}".encode())
+    else:
+        h.append(b"Content-Type: application/warc-fields")
+    h.append(b"Content-Length: " + str(len(content)).encode())
+    return _CRLF.join(h) + _CRLF + _CRLF + content + _CRLF + _CRLF
+
+
+def wet_write_bytes(
+    df: DataFrame,
+    file_col: str,
+    uri_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Serialize extracted page texts into WET files — the
+    conversion-record WARC layout Common Crawl publishes beside every
+    archive (one `warcinfo` then one `conversion` record per page,
+    Content-Type text/plain, each its own gzip member): the EXPORT
+    half of the crawl chain, so a corpus refined here round-trips
+    through the same `parse_warc` walk any consumer runs.
+
+    One shuffle on `file_col` (the file is the atomic output unit),
+    then applyInPandas serializes each group with records ordered by
+    target URI — a DETERMINISTIC layout: same rows → byte-identical
+    file regardless of partitioning. Returns (id, payload)."""
+
+    def serialize(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf[file_col].iloc[0])
+        out = [
+            gzip.compress(
+                build_record("warcinfo", fid, 0, WET_INFO.encode()),
+                compresslevel=6,
+                mtime=0,
+            )
+        ]
+        rows = pdf.sort_values(uri_col)
+        for k, (_, row) in enumerate(rows.iterrows(), start=1):
+            rec = build_record(
+                "conversion",
+                fid,
+                k,
+                str(row[text_col]).encode("utf-8"),
+                uri=str(row[uri_col]),
+                content_type="text/plain",
+            )
+            out.append(gzip.compress(rec, compresslevel=6, mtime=0))
+        return pd.DataFrame({"id": [fid], "payload": [b"".join(out)]})
+
+    return df.groupBy(file_col).applyInPandas(
+        serialize, schema="id bigint, payload binary"
+    )
 
 
 def warc_container(
@@ -315,24 +394,10 @@ def warc_container(
     exact body text — an offset bug anywhere in the walk breaks the
     md5. `truncate` cuts the final 20 bytes (interrupted download):
     the last record must drop and the file must flag truncated."""
-    date = "2024-01-15T00:00:00Z"
 
     def rec(rec_type: str, idx: int, content: bytes, uri: str = "",
             http: str | None = None) -> bytes:
-        h = [
-            b"WARC/1.0",
-            b"WARC-Type: " + rec_type.encode(),
-            f"WARC-Record-ID: <urn:uuid:{file_id:08d}-{idx:04d}>".encode(),
-            b"WARC-Date: " + date.encode(),
-        ]
-        if uri:
-            h.append(b"WARC-Target-URI: " + uri.encode())
-        if http:
-            h.append(f"Content-Type: application/http; msgtype={http}".encode())
-        else:
-            h.append(b"Content-Type: application/warc-fields")
-        h.append(b"Content-Length: " + str(len(content)).encode())
-        return _CRLF.join(h) + _CRLF + _CRLF + content + _CRLF + _CRLF
+        return build_record(rec_type, file_id, idx, content, uri, http)
 
     out_recs = []
     info = b"software: ade-spark-crawler/1.0\r\nformat: WARC File Format 1.0\r\n"

@@ -166,3 +166,63 @@ class TestWarcResponseTexts:
             1 for i in ids if i % 10 == 7
         )
         assert total == expect
+
+
+class TestWetExport:
+    def test_roundtrip_and_deterministic_layout(self, spark):
+        from azure_data_engineering_spark.sources.warc import (
+            parse_warc,
+            wet_write_bytes,
+        )
+
+        rows = [
+            (1, "https://a.example.com/2", "beta text two"),
+            (1, "https://a.example.com/10", "alpha text ten"),
+            (2, "https://b.example.com/1", "gamma"),
+        ]
+        schema = "bucket long, uri string, txt string"
+        outs = []
+        for parts in (1, 5):
+            df = spark.createDataFrame(rows, schema).repartition(parts)
+            outs.append({
+                r.id: bytes(r.payload)
+                for r in wet_write_bytes(df, "bucket", "uri", "txt").collect()
+            })
+        # byte-identical files regardless of partitioning
+        assert outs[0] == outs[1]
+        recs, trunc = parse_warc(outs[0][1])
+        assert not trunc
+        assert [r["rec_type"] for r in recs] == [
+            "warcinfo", "conversion", "conversion",
+        ]
+        # records ordered by URI string: '/10' < '/2'
+        assert recs[1]["target_uri"].endswith("/10")
+        assert recs[1]["body"] == b"alpha text ten"
+        assert recs[1]["mime"] == "text/plain"
+
+
+class TestRobotsSitemaps:
+    def test_directive_extraction(self, spark):
+        from azure_data_engineering_spark.operators.robots import (
+            robots_sitemaps,
+        )
+
+        body = (
+            "# header\nUser-agent: *\nDisallow: /x\n"
+            "Sitemap: https://h.example.com/s1.xml\n"
+            "sitemap: https://h.example.com/s2.xml # nightly\n"
+            "SITEMAP: /relative.xml\n"
+            "Crawl-delay: 5\n"
+        )
+        df = spark.createDataFrame([(1, body)], "id long, robots string")
+        rows = sorted(
+            robots_sitemaps(df, "id", "robots").collect(),
+            key=lambda r: r.line_idx,
+        )
+        assert [r.sitemap_url for r in rows] == [
+            "https://h.example.com/s1.xml",
+            "https://h.example.com/s2.xml",
+            "/relative.xml",
+        ]
+        assert [r.absolute for r in rows] == [1, 1, 0]
+        assert [r.line_idx for r in rows] == [3, 4, 5]
