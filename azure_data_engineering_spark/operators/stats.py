@@ -4355,3 +4355,151 @@ def runs_test(
         F.when(ok & (v > 0), p).alias("p_value"),
         F.when(ok & (v > 0), (p < 0.05).cast("int")).alias("nonrandom_5pct"),
     )
+
+
+def fisher_exact_2x2(
+    df: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    max_n: int = 10000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fisher's exact test for a 2×2 table (Fisher 1935) — the
+    small-sample companion of chi_squared: when expected cell counts
+    are small the χ² approximation lies, and the conditional
+    hypergeometric p is exact at ANY n. Two-sided by the standard
+    conditional method (sum the probabilities of all tables with
+    pmf ≤ pmf(observed), with the usual 1e-7 relative tolerance —
+    the same convention scipy documents):
+
+        pmf(k) = C(r1,k)·C(r2,c1−k) / C(n,c1)
+
+    Expressed RELATIONALLY: one corpus groupBy collapses rows to the
+    4 cells; ln-factorials come from a running-sum window over the
+    0..n integer frame (ln i rounded to 12 dp BEFORE accumulation,
+    the cumulative rounded again, so both engines sum identical
+    quantized values in identical order); the support k-frame
+    (≤ min(r1,c1)+1 rows) computes each ln pmf in codegen and the
+    two-sided mass in one reduce. Both flag columns must be
+    0/1-coercible. Exact-test contract: n must stay ≤ `max_n`
+    (Fisher's test is a small-sample tool; beyond that use
+    chi_squared) — larger tables raise. Returns one row:
+    (a, b, c, d, n, odds_ratio, p_value, significant_5pct)."""
+    cells = df.groupBy(
+        F.col(group_col).cast("int").alias("g"),
+        F.col(outcome_col).cast("int").alias("o"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wide = cells.groupBy().agg(
+        F.coalesce(
+            F.max(F.when((F.col("g") == 1) & (F.col("o") == 1), F.col("cnt"))),
+            F.lit(0),
+        ).alias("a"),
+        F.coalesce(
+            F.max(F.when((F.col("g") == 1) & (F.col("o") == 0), F.col("cnt"))),
+            F.lit(0),
+        ).alias("b"),
+        F.coalesce(
+            F.max(F.when((F.col("g") == 0) & (F.col("o") == 1), F.col("cnt"))),
+            F.lit(0),
+        ).alias("c"),
+        F.coalesce(
+            F.max(F.when((F.col("g") == 0) & (F.col("o") == 0), F.col("cnt"))),
+            F.lit(0),
+        ).alias("d"),
+    )
+    marg = wide.select(
+        "a", "b", "c", "d",
+        (F.col("a") + F.col("b")).alias("r1"),
+        (F.col("c") + F.col("d")).alias("r2"),
+        (F.col("a") + F.col("c")).alias("c1"),
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"),
+    )
+    n_val = marg.select("n").collect()[0][0]  # bounded: one scalar
+    if n_val > max_n:
+        raise ValueError(
+            f"fisher_exact_2x2 is a small-sample exact test: n={n_val} "
+            f"exceeds max_n={max_n}; use chi_squared instead"
+        )
+    # ln k! for k = 0..n: quantize ln i to 12 dp, accumulate in index
+    # order (single bounded partition), quantize the cumulative
+    lnf = (
+        marg.select(F.explode(F.sequence(F.lit(0), F.col("n"))).alias("i"))
+        .withColumn(
+            "lni",
+            F.when(F.col("i") >= 2, F.round(F.log(F.col("i")), 12)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "lf",
+            F.round(
+                F.sum("lni").over(
+                    Window.orderBy("i").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                ),
+                12,
+            ),
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("lf")))
+            ).alias("lfs")
+        )
+    )
+    base = marg.crossJoin(F.broadcast(lnf))
+
+    def lf(idx):
+        return F.element_at(F.col("lfs"), (idx + 1).cast("int"))["lf"]
+
+    kmin = F.greatest(F.lit(0).cast("long"), F.col("c1") - F.col("r2"))
+    kmax = F.least(F.col("r1"), F.col("c1"))
+    supp = base.select(
+        "a", "b", "c", "d", "n", "r1", "r2", "c1", "lfs",
+        F.explode(F.sequence(kmin, kmax)).alias("k"),
+    )
+    denom = lf(F.col("n")) - lf(F.col("c1")) - lf(F.col("n") - F.col("c1"))
+
+    def lnpmf(k):
+        return F.round(
+            lf(F.col("r1")) - lf(k) - lf(F.col("r1") - k)
+            + lf(F.col("r2")) - lf(F.col("c1") - k)
+            - lf(F.col("r2") - F.col("c1") + k)
+            - denom,
+            9,
+        )
+
+    scored = supp.select(
+        "a", "b", "c", "d", "n",
+        lnpmf(F.col("k")).alias("lnp"),
+        lnpmf(F.col("a")).alias("lnp_obs"),
+    )
+    agg = scored.groupBy("a", "b", "c", "d", "n").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("lnp") <= F.col("lnp_obs") + 1e-7,
+                    F.exp(F.col("lnp")),
+                ).otherwise(F.lit(0.0))
+            ),
+            9,
+        ).alias("p")
+    )
+    p = F.least(F.col("p"), F.lit(1.0))
+    orat = F.when(
+        (F.col("b") > 0) & (F.col("c") > 0),
+        F.round(
+            (F.col("a") * F.col("d")).cast("double")
+            / (F.col("b") * F.col("c")).cast("double"),
+            9,
+        ),
+    )
+    return agg.select(
+        "a", "b", "c", "d", "n",
+        F.round(orat, round_digits).alias("odds_ratio"),
+        F.round(p, round_digits).alias("p_value"),
+        (F.round(p, round_digits) < 0.05).cast("int").alias(
+            "significant_5pct"
+        ),
+    )

@@ -113,3 +113,58 @@ class TestMapInArrow:
         r = entrymod.q_map_in_arrow(spark, sf_dir).collect()[0]
         assert r.n_docs > 0
         assert r.n_char_mismatch == 0 and r.n_token_mismatch == 0
+
+
+class TestFisherExact:
+    def _df(self, spark, a, b, c, d):
+        rows = (
+            [(1, 1)] * a + [(1, 0)] * b + [(0, 1)] * c + [(0, 0)] * d
+        )
+        return spark.createDataFrame(rows, "g int, o int")
+
+    def test_scipy_published_example(self, spark):
+        from azure_data_engineering_spark.operators.stats import (
+            fisher_exact_2x2,
+        )
+
+        # scipy.stats.fisher_exact doc example: [[8,2],[1,5]] ->
+        # two-sided p = 0.0349650..., odds ratio 20
+        r = fisher_exact_2x2(self._df(spark, 8, 2, 1, 5), "g", "o").collect()[0]
+        assert r.p_value == pytest.approx(0.034965, abs=1e-6)
+        assert r.odds_ratio == 20.0
+
+    def test_fisher_tea_tasting(self, spark):
+        from azure_data_engineering_spark.operators.stats import (
+            fisher_exact_2x2,
+        )
+
+        # Fisher's lady-tasting-tea table [[3,1],[1,3]]: p = 34/70
+        r = fisher_exact_2x2(self._df(spark, 3, 1, 1, 3), "g", "o").collect()[0]
+        assert r.p_value == pytest.approx(34 / 70, abs=1e-6)
+
+    def test_independent_table_p_one(self, spark):
+        from azure_data_engineering_spark.operators.stats import (
+            fisher_exact_2x2,
+        )
+
+        r = fisher_exact_2x2(self._df(spark, 5, 5, 5, 5), "g", "o").collect()[0]
+        assert r.p_value == 1.0 and r.odds_ratio == 1.0
+
+    def test_zero_cell_odds_ratio_null(self, spark):
+        from azure_data_engineering_spark.operators.stats import (
+            fisher_exact_2x2,
+        )
+
+        r = fisher_exact_2x2(self._df(spark, 5, 0, 2, 6), "g", "o").collect()[0]
+        assert r.odds_ratio is None
+        assert 0.0 < r.p_value <= 1.0
+
+    def test_large_n_raises(self, spark):
+        from azure_data_engineering_spark.operators.stats import (
+            fisher_exact_2x2,
+        )
+
+        with pytest.raises(ValueError, match="small-sample"):
+            fisher_exact_2x2(
+                self._df(spark, 40, 40, 40, 40), "g", "o", max_n=100
+            )
