@@ -87,7 +87,12 @@ def dsir_select(
     curated target); both estimates are n_buckets-row aggregates that
     broadcast to the scoring pass.
     """
-    counts = _doc_bucket_counts(df, text_col, id_col, n_buckets)
+    # counts is consumed twice (the distribution estimate AND the
+    # scoring pass); materialize it once so the gram explosion — the
+    # expensive subtree — runs one time, not two
+    counts = _doc_bucket_counts(df, text_col, id_col, n_buckets).localCheckpoint(
+        eager=True
+    )
     ids = df.select(F.col(id_col).alias("doc_id"), target_pred.alias("is_target"))
     # BOTH distribution estimates in ONE conditional-aggregate pass
     # over the doc-bucket counts (not a pass per distribution — the

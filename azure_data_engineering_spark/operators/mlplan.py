@@ -274,11 +274,16 @@ def logistic_gd(
     Returns 1 row: (w0, w1, w2, accuracy, log_loss) at the final
     weights (one extra scoring pass).
     """
+    # materialize the projected corpus ONCE: every GD round (and the
+    # final scoring pass) re-reads this frame, and without the
+    # checkpoint each round re-runs the upstream scan + projection
+    # (guide: cache what is reused; the 3-column frame is the cheap
+    # proxy, never the raw table)
     base = df.select(
         F.col(x1).cast("double").alias("x1"),
         F.col(x2).cast("double").alias("x2"),
         F.col(y).cast("double").alias("t"),
-    )
+    ).localCheckpoint(eager=True)
     spark = df.sparkSession
     w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
     for _ in range(iterations):
@@ -708,10 +713,13 @@ def gbm_stumps(
     squared-residual total entering the round and gain_frac the
     fraction of it the split removes, so the row sequence IS the
     training curve."""
+    # materialized once: every round's histogram re-reads this frame
+    # (with r lazily chained residual updates on top); without the
+    # checkpoint each round also re-runs the upstream scan/projection
     base = df.select(
         F.round(F.col(x), 0).cast("long").alias("xv"),
         F.round(F.col(y) * y_scale, 0).cast("decimal(38,0)").alias("t"),
-    )
+    ).localCheckpoint(eager=True)
     f0 = (
         base.agg(
             F.round(F.sum("t").cast("double") / F.count(F.lit(1)), 0)
@@ -985,7 +993,7 @@ def softmax_gd(
         F.col(x1).cast("double").alias("x1"),
         F.col(x2).cast("double").alias("x2"),
         F.col(y).cast("long").alias("t"),
-    )
+    ).localCheckpoint(eager=True)
     spark = df.sparkSession
     w_cols = [f"w{k}_{j}" for k in ks for j in (0, 1, 2)]
     w = spark.createDataFrame(
@@ -1371,11 +1379,16 @@ def quantile_regression_gd(
     1 row: (w0, w1, w2, pinball_loss, coverage) at the final weights —
     coverage = fraction of residuals below the line, ≈ τ at the
     optimum (the property tests assert)."""
+    # materialize the projected corpus ONCE: every GD round (and the
+    # final scoring pass) re-reads this frame, and without the
+    # checkpoint each round re-runs the upstream scan + projection
+    # (guide: cache what is reused; the 3-column frame is the cheap
+    # proxy, never the raw table)
     base = df.select(
         F.col(x1).cast("double").alias("x1"),
         F.col(x2).cast("double").alias("x2"),
         F.col(y).cast("double").alias("t"),
-    )
+    ).localCheckpoint(eager=True)
     spark = df.sparkSession
     w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
     tau = float(tau)
@@ -1431,11 +1444,16 @@ def poisson_gd(
     before exp so a divergent intermediate iterate cannot overflow
     (documented — the oracle clamps identically). Returns 1 row:
     (w0, w1, w2, mean_nll, pred_mean) at the final weights."""
+    # materialize the projected corpus ONCE: every GD round (and the
+    # final scoring pass) re-reads this frame, and without the
+    # checkpoint each round re-runs the upstream scan + projection
+    # (guide: cache what is reused; the 3-column frame is the cheap
+    # proxy, never the raw table)
     base = df.select(
         F.col(x1).cast("double").alias("x1"),
         F.col(x2).cast("double").alias("x2"),
         F.col(y).cast("double").alias("t"),
-    )
+    ).localCheckpoint(eager=True)
     spark = df.sparkSession
     w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
 
@@ -1667,11 +1685,16 @@ def svm_gd(
 
     `y` must be ±1. Returns 1 row: (w0, w1, w2, accuracy, hinge_loss,
     margin_violations) at the final weights."""
+    # materialize the projected corpus ONCE: every GD round (and the
+    # final scoring pass) re-reads this frame, and without the
+    # checkpoint each round re-runs the upstream scan + projection
+    # (guide: cache what is reused; the 3-column frame is the cheap
+    # proxy, never the raw table)
     base = df.select(
         F.col(x1).cast("double").alias("x1"),
         F.col(x2).cast("double").alias("x2"),
         F.col(y).cast("double").alias("t"),
-    )
+    ).localCheckpoint(eager=True)
     spark = df.sparkSession
     w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
     for _ in range(iterations):

@@ -460,7 +460,6 @@ def ipf_raking(
     cells = df.groupBy(
         F.col(row_col).cast("string").alias("r"), F.col(col_col).cast("string").alias("c")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    cur = cells.withColumn("w", F.lit(1.0)).localCheckpoint(eager=True)
     rt = row_targets.select(
         F.col(row_targets.columns[0]).cast("string").alias("r"),
         F.col(row_targets.columns[1]).cast("double").alias("rt"),
@@ -469,38 +468,39 @@ def ipf_raking(
         F.col(col_targets.columns[0]).cast("string").alias("c"),
         F.col(col_targets.columns[1]).cast("double").alias("ct_t"),
     )
+    # Targets never change across rounds — attach them to the cell
+    # frame ONCE (two broadcast joins at init), and compute each
+    # half-step's margin as a WINDOW sum over the same partition key
+    # instead of a groupBy + broadcast-join round-trip. Per round this
+    # replaces 2 margin aggregations + 4 broadcast builds + 4 joins
+    # with 2 window exchanges over the cell frame; the summed terms
+    # (9 dp-rounded decimals) and the scaling arithmetic are
+    # unchanged, so the weight trajectory is identical. The inner
+    # target joins drop unmatched cells exactly as the per-round
+    # inner joins did (idempotent after round 1).
+    cur = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .withColumn("w", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window as _W
+
+    w_r = _W.partitionBy("r")
+    w_c = _W.partitionBy("c")
     for _ in range(iterations):
-        rm = cur.groupBy("r").agg(
-            F.sum(F.round(F.col("w") * F.col("n"), 9).cast("decimal(38,9)")).alias("rm")
+        rm = F.sum(
+            F.round(F.col("w") * F.col("n"), 9).cast("decimal(38,9)")
+        ).over(w_r)
+        cur = cur.withColumn(
+            "w", F.round(F.col("w") * F.col("rt") / rm.cast("double"), 9)
         )
-        cur = (
-            cur.join(F.broadcast(rm), "r")
-            .join(F.broadcast(rt), "r")
-            .select(
-                "r",
-                "c",
-                "n",
-                F.round(
-                    F.col("w") * F.col("rt") / F.col("rm").cast("double"), 9
-                ).alias("w"),
-            )
-        )
-        cm = cur.groupBy("c").agg(
-            F.sum(F.round(F.col("w") * F.col("n"), 9).cast("decimal(38,9)")).alias("cm")
-        )
-        cur = (
-            cur.join(F.broadcast(cm), "c")
-            .join(F.broadcast(ct), "c")
-            .select(
-                "r",
-                "c",
-                "n",
-                F.round(
-                    F.col("w") * F.col("ct_t") / F.col("cm").cast("double"), 9
-                ).alias("w"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        cm = F.sum(
+            F.round(F.col("w") * F.col("n"), 9).cast("decimal(38,9)")
+        ).over(w_c)
+        cur = cur.withColumn(
+            "w", F.round(F.col("w") * F.col("ct_t") / cm.cast("double"), 9)
+        ).localCheckpoint(eager=True)
     return cur.select(
         F.col("r").alias("row_key"),
         F.col("c").alias("col_key"),

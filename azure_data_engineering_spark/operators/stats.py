@@ -709,23 +709,41 @@ def hbos_scores(
     hist = melted.groupBy("feature", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    # each feature's -ln term is rounded to 9 dp and summed as an
-    # exact decimal: a bare double sum over the k feature rows is
-    # accumulation-order-dependent, and a last-ulp flip at the rounded
-    # 6 dp score could move the top_n cut between engines
-    scored = (
-        melted.join(F.broadcast(hist), ["feature", "bin"])
-        .groupBy("id")
-        .agg(
-            F.round(
-                F.sum(
-                    F.round(-F.log(F.col("cnt") / F.col("n_rows")), 9).cast(
-                        "decimal(20,9)"
-                    )
-                ).cast("double"),
-                out_decimals,
-            ).alias("score")
+    # The histogram is features×bins rows — KB-sized at any scale — so
+    # instead of broadcast-JOINING it back onto the melted corpus
+    # (which shuffles a |features|·n-row frame through the per-id agg),
+    # collapse it to a ONE-ROW map and look bins up per corpus ROW in
+    # codegen: no explode on the scoring path, no join, and the per-id
+    # shuffle carries one skinny (id, decimal) row per input row.
+    # Each feature's -ln term is still rounded to 9 dp and summed as
+    # an exact decimal (a bare double sum is accumulation-order-
+    # dependent and a last-ulp flip at the rounded 6 dp score could
+    # move the top_n cut between engines); decimal addition is
+    # associative, so per-row partial sums + the per-id sum equal the
+    # old flat per-id sum term-for-term.
+    hmap = hist.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.concat_ws("\x1f", F.col("feature"), F.col("bin")).alias("k"),
+                    F.col("cnt").alias("v"),
+                )
+            )
+        ).alias("hmap")
+    )
+    def term(c: str):
+        cnt = F.element_at(
+            F.col("hmap"), F.concat_ws("\x1f", F.lit(c), bin_expr(c))
         )
+        return F.round(-F.log(cnt / F.col("n_rows")), 9).cast("decimal(20,9)")
+    row_scores = wide.crossJoin(F.broadcast(hmap)).select(
+        "id",
+        reduce(lambda a, b: a + b, [term(c) for c in feature_cols]).alias(
+            "row_score"
+        ),
+    )
+    scored = row_scores.groupBy("id").agg(
+        F.round(F.sum("row_score").cast("double"), out_decimals).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(top_n)
 
@@ -3542,12 +3560,16 @@ def ipw_ate(
     and the effective sample sizes (Σw)²/Σw² report how much the
     weighting cost. Returns one row: (n, w0, w1, w2, ate_ipw,
     naive_diff, ess_treated, ess_control)."""
+    # materialize the projected frame ONCE: every GD round and the
+    # final weighting pass re-read it, and q_ipw_ate's input is itself
+    # a groupBy — without the checkpoint each round would re-run that
+    # upstream shuffle (6 extra shuffles for a 4-column proxy frame)
     base = df.select(
         F.col(x1).cast("double").alias("x1"),
         F.col(x2).cast("double").alias("x2"),
         F.col(treat_col).cast("double").alias("t"),
         F.col(outcome_col).cast("double").alias("y"),
-    )
+    ).localCheckpoint(eager=True)
     spark = df.sparkSession
     w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
     for _ in range(iterations):
@@ -3637,11 +3659,13 @@ def cox_ph_newton(
     logistic_gd trajectory discipline). Returns one row: (n, n_events,
     beta, hazard_ratio, se_beta, z, p_value) with SE = 1/√I(β̂) from a
     final pass and p through the shared A&S erfc."""
+    # materialized once: 4 Newton passes + the final pass + the count
+    # agg all re-read this 3-column frame
     base = df.select(
         F.col(time_col).cast("long").alias("dur"),
         F.col(event_col).cast("int").alias("ev"),
         F.round(F.col(x_col).cast("double"), 6).alias("x"),
-    )
+    ).localCheckpoint(eager=True)
     spark = df.sparkSession
     beta = spark.createDataFrame([(0.0,)], "b double")
     w_suffix = (
