@@ -58,11 +58,15 @@ def als_rank1(
     final factors (same value on every row — a dashboard frame).
 
     `rating_col` must already be an exact decimal type."""
+    # same consumer count as als_rank_k: r feeds every half-round plus
+    # the residual/item passes; checkpoint once. Factor frames are
+    # checkpointed per half-round so lineage does not re-derive
+    # earlier rounds.
     r = ratings.select(
         F.col(user_col).alias("u"),
         F.col(item_col).alias("i"),
         F.col(rating_col).alias("r"),
-    )
+    ).localCheckpoint(eager=True)
     v = r.select("i").distinct().withColumn(
         "v", F.lit(1.0).cast("decimal(18,6)")
     )
@@ -83,6 +87,7 @@ def als_rank1(
                 .cast("decimal(18,6)")
                 .alias("uf")
             )
+            .localCheckpoint(eager=True)
         )
         v = (
             r.join(u, "u")
@@ -99,6 +104,7 @@ def als_rank1(
                 .cast("decimal(18,6)")
                 .alias("v")
             )
+            .localCheckpoint(eager=True)
         )
     resid = (
         r.join(u, "u")
@@ -202,11 +208,15 @@ def als_rank_k(
         raise ValueError("als_rank_k needs rounds >= 1")
     from .sampling import hash_unit
 
+    # materialize the ratings frame ONCE: it is re-joined every
+    # half-round plus the residual and item-count passes (6 consumers
+    # for rounds=2) and is often itself an upstream aggregation —
+    # without the checkpoint that whole subtree re-executes per use
     r = ratings.select(
         F.col(user_col).alias("u"),
         F.col(item_col).alias("i"),
         F.col(rating_col).alias("r"),
-    )
+    ).localCheckpoint(eager=True)
 
     def init_col(f: int):
         return (
@@ -292,9 +302,14 @@ def als_rank_k(
         return F.broadcast(frame) if broadcast_items else frame
 
     u = None
+    # checkpoint each half-round's factor frame: u/v are entity-sized,
+    # and without truncation round N's plan re-derives every previous
+    # round's joins+solves (lineage doubles per half-round)
     for _ in range(rounds):
-        u = solve(moments(r.join(item_side(v), "i"), "u"), "u")
-        v = solve(moments(r.join(u, "u"), "i"), "i")
+        u = solve(moments(r.join(item_side(v), "i"), "u"), "u").localCheckpoint(
+            eager=True
+        )
+        v = solve(moments(r.join(u, "u"), "i"), "i").localCheckpoint(eager=True)
 
     pred = None
     for f in range(k):

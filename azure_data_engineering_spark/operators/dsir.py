@@ -87,12 +87,7 @@ def dsir_select(
     curated target); both estimates are n_buckets-row aggregates that
     broadcast to the scoring pass.
     """
-    # counts is consumed twice (the distribution estimate AND the
-    # scoring pass); materialize it once so the gram explosion — the
-    # expensive subtree — runs one time, not two
-    counts = _doc_bucket_counts(df, text_col, id_col, n_buckets).localCheckpoint(
-        eager=True
-    )
+    counts = _doc_bucket_counts(df, text_col, id_col, n_buckets)
     ids = df.select(F.col(id_col).alias("doc_id"), target_pred.alias("is_target"))
     # BOTH distribution estimates in ONE conditional-aggregate pass
     # over the doc-bucket counts (not a pass per distribution — the

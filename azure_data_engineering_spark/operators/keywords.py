@@ -223,25 +223,9 @@ def textrank_word_edges(
         .filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("tok")))
         .select(F.col("tok").alias("src"), F.col("nxt").alias("dst"))
     )
-    # both directions via ONE explode instead of a union of the pair
-    # subtree with its reversal — the union form re-executed the whole
-    # tokenize + lead-window subtree twice (Spark re-runs unreferenced
-    # subtrees per consumer); the explode emits the same row set from
-    # a single pass
-    return (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("src"), F.col("dst")),
-                    F.struct(
-                        F.col("dst").alias("src"), F.col("src").alias("dst")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
-    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
 
 
 def textrank_keywords(

@@ -516,7 +516,10 @@ def ridge_cv(
         F.sum(F.col("a") * F.col("t")).alias("rat"),
         F.sum(F.col("b") * F.col("t")).alias("rbt"),
         F.sum(F.col("t") * F.col("t")).alias("rtt"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ per is consumed twice (the grand-total agg AND the per-fold
+    # join) — without the checkpoint the corpus-wide decimal-moment
+    # pass, the whole cost of this operator, executes twice
     tot = per.agg(
         *[F.sum(c).alias("T" + c) for c in
           ("cnt", "ra", "rb", "rt", "raa", "rab", "rbb", "rat", "rbt", "rtt")]

@@ -50,16 +50,9 @@ def retrieval_metrics(
     t = truth.select(
         "query_id", "neighbor_id", F.col("rank").alias("true_rank")
     )
-    # hits is consumed twice (MRR + per-k recall) and truth three
-    # times including the query count; materialize the panel-sized
-    # join once so the (often expensive, brute-force) truth leg runs
-    # once. n_queries comes from hits' rank-1 rows — identical to
-    # distinct(query_id) because input ranks are dense 1-based per
-    # query (the contract stated above).
-    hits = t.join(a, ["query_id", "neighbor_id"], "left").localCheckpoint(
-        eager=True
-    )
-    n_queries = hits.filter(F.col("true_rank") == 1).count()
+    hits = t.join(a, ["query_id", "neighbor_id"], "left")
+
+    n_queries = truth.select("query_id").distinct().count()
     mrr_frame = (
         hits.filter(F.col("true_rank") == 1)
         .agg(
@@ -138,13 +131,9 @@ def ndcg_at_k(
     # (e.g. ranks {1,7} with k=3: raw-gated DCG can never credit the
     # rank-7 row, but IDCG counts it at position 2).
     w = Window.partitionBy("query_id").orderBy("true_rank", "neighbor_id")
-    # t is consumed twice (the relevance join AND the per-query truth
-    # rollup); the truth frame is often an expensive exact brute-force
-    # pass, so materialize the panel-sized re-ranked frame once instead
-    # of running that pass twice
     t = truth.select(
         "query_id", "neighbor_id", F.col("rank").alias("true_rank")
-    ).withColumn("pos", F.row_number().over(w)).localCheckpoint(eager=True)
+    ).withColumn("pos", F.row_number().over(w))
     pairs = a.join(
         t.select("query_id", "neighbor_id", "pos"),
         ["query_id", "neighbor_id"],
@@ -227,13 +216,9 @@ def map_at_k(
     windows — nothing corpus-sized. One row per k: (k, map)."""
     kcol = F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
     w = Window.partitionBy("query_id").orderBy("true_rank", "neighbor_id")
-    # t is consumed twice (the relevance join AND the per-query truth
-    # rollup); the truth frame is often an expensive exact brute-force
-    # pass, so materialize the panel-sized re-ranked frame once instead
-    # of running that pass twice
     t = truth.select(
         "query_id", "neighbor_id", F.col("rank").alias("true_rank")
-    ).withColumn("pos", F.row_number().over(w)).localCheckpoint(eager=True)
+    ).withColumn("pos", F.row_number().over(w))
     a = ann.select("query_id", "neighbor_id", F.col("rank").alias("ann_rank"))
     pairs = a.join(
         t.select("query_id", "neighbor_id", "pos"),
