@@ -67,7 +67,20 @@ def user_event_profile(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
+    # Explicit REPARTITION_BY_NUM on the group key: AQE coalesces the
+    # pre-grouped-map shuffle by BYTES, and this frame is small enough
+    # that every group lands in ONE post-shuffle partition — which
+    # serializes all per-group Python calls into a single task
+    # (measured 4.5 s -> 1.2 s at sf0.1). AQE is forbidden to coalesce
+    # a user-specified numPartitions exchange, and groupBy reuses it,
+    # so this stays one shuffle. Same reasoning as the r7
+    # link_prediction wedge fix: partition count must track DOWNSTREAM
+    # per-row cost (a Python call per group), which byte-based
+    # coalescing cannot see — true at any scale.
+    n = events.sparkSession.sparkContext.defaultParallelism
+    return events.select("user_id", "ts", "value").repartition(
+        n, "user_id"
+    ).groupBy("user_id").applyInPandas(
         profile, schema="user_id bigint, n_events bigint, total_value double, mean_gap_sec double"
     )
 

@@ -712,38 +712,58 @@ def hbos_scores(
     # The histogram is features×bins rows — KB-sized at any scale — so
     # instead of broadcast-JOINING it back onto the melted corpus
     # (which shuffles a |features|·n-row frame through the per-id agg),
-    # collapse it to a ONE-ROW map and look bins up per corpus ROW in
-    # codegen: no explode on the scoring path, no join, and the per-id
-    # shuffle carries one skinny (id, decimal) row per input row.
-    # Each feature's -ln term is still rounded to 9 dp and summed as
-    # an exact decimal (a bare double sum is accumulation-order-
-    # dependent and a last-ulp flip at the rounded 6 dp score could
-    # move the top_n cut between engines); decimal addition is
-    # associative, so per-row partial sums + the per-id sum equal the
-    # old flat per-id sum term-for-term.
-    hmap = hist.agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.concat_ws("\x1f", F.col("feature"), F.col("bin")).alias("k"),
-                    F.col("cnt").alias("v"),
-                )
+    # precompute each (feature, bin)'s FINAL 9 dp term on the tiny
+    # hist frame and look it up per corpus ROW in codegen: no explode
+    # on the scoring path, no join, and — the measured hot spot — no
+    # per-row ln/round/decimal allocation (1.8M of each at sf0.1;
+    # rowscore pass 3.6 s with per-row decimals vs <1 s with longs).
+    # Terms are carried as UNSCALED 1e-9 longs: the per-row sum is
+    # exact integer addition, so per-row partials + the per-id sum
+    # equal the old flat decimal per-id sum term-for-term, and
+    # long_sum/1e9 in double is the same correctly-rounded value as
+    # decimal(sum).cast(double) (sums stay far below 2^53).
+    n_terms = hist.crossJoin(F.broadcast(ranges.select("n_rows"))).select(
+        "feature",
+        "bin",
+        (
+            F.round(-F.log(F.col("cnt") / F.col("n_rows")), 9).cast(
+                "decimal(20,9)"
             )
-        ).alias("hmap")
-    )
-    def term(c: str):
-        cnt = F.element_at(
-            F.col("hmap"), F.concat_ws("\x1f", F.lit(c), bin_expr(c))
+            * 1_000_000_000
         )
-        return F.round(-F.log(cnt / F.col("n_rows")), 9).cast("decimal(20,9)")
-    row_scores = wide.crossJoin(F.broadcast(hmap)).select(
+        .cast("long")
+        .alias("term"),
+    )
+    per_feature = n_terms.groupBy("feature").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bin"), F.col("term")))
+        ).alias("m")
+    )
+    hrow = per_feature.agg(
+        *[
+            F.first(
+                F.when(F.col("feature") == c, F.col("m")), ignorenulls=True
+            ).alias(f"__m_{i}")
+            for i, c in enumerate(feature_cols)
+        ]
+    )
+    # every probed (feature, bin) exists by construction (the
+    # histogram was built from the same bin_expr over the same rows),
+    # so element_at never returns NULL here
+    row_scores = wide.crossJoin(F.broadcast(hrow)).select(
         "id",
-        reduce(lambda a, b: a + b, [term(c) for c in feature_cols]).alias(
-            "row_score"
-        ),
+        reduce(
+            lambda a, b: a + b,
+            [
+                F.element_at(F.col(f"__m_{i}"), bin_expr(c))
+                for i, c in enumerate(feature_cols)
+            ],
+        ).alias("row_score"),
     )
     scored = row_scores.groupBy("id").agg(
-        F.round(F.sum("row_score").cast("double"), out_decimals).alias("score")
+        F.round(
+            F.sum("row_score").cast("double") / 1_000_000_000.0, out_decimals
+        ).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(top_n)
 
