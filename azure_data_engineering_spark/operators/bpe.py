@@ -228,30 +228,46 @@ def bpe_encode_replay(
         )
     from ..functions.text import normalize_text
 
-    out = df.withColumn("__seq", _wrap_chars(normalize_text(F.col(text_col))))
-    for rank in range(num_merges):
-        b = F.broadcast(
-            merges.filter(F.col("merge_rank") == rank).select(
-                F.col("lhs").alias("__l"),
-                F.col("rhs").alias("__r"),
-                F.col("pair_count").alias("__c"),
+    # r12: ONE broadcast of the whole rank-sorted merge table as a
+    # 1-row array, applied as an in-row fold — instead of num_merges
+    # separate crossJoin(broadcast(1-row)) steps, each of which costs
+    # a broadcast-exchange build job before the chain even runs. The
+    # fold applies the identical F.replace in the identical rank
+    # order with the identical min_freq gate, so the emitted token
+    # arrays are byte-identical.
+    marr = merges.filter(F.col("merge_rank") < F.lit(int(num_merges))).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("merge_rank", "lhs", "rhs", "pair_count")
             )
+        ).alias("__ms")
+    )
+    out = (
+        df.withColumn("__seq", _wrap_chars(normalize_text(F.col(text_col))))
+        .crossJoin(F.broadcast(marr))
+        .withColumn(
+            "__seq",
+            F.aggregate(
+                F.col("__ms"),
+                F.col("__seq"),
+                lambda acc, m: F.when(
+                    m["pair_count"] >= F.lit(int(min_freq)),
+                    F.replace(
+                        acc,
+                        F.concat(
+                            F.lit(SEP),
+                            m["lhs"],
+                            F.lit(SEP + SEP),
+                            m["rhs"],
+                            F.lit(SEP),
+                        ),
+                        F.concat(F.lit(SEP), m["lhs"], m["rhs"], F.lit(SEP)),
+                    ),
+                ).otherwise(acc),
+            ),
         )
-        pat = F.concat(
-            F.lit(SEP), F.col("__l"), F.lit(SEP + SEP), F.col("__r"), F.lit(SEP)
-        )
-        rep = F.concat(F.lit(SEP), F.col("__l"), F.col("__r"), F.lit(SEP))
-        out = (
-            out.crossJoin(b)
-            .withColumn(
-                "__seq",
-                F.when(
-                    F.col("__c") >= F.lit(int(min_freq)),
-                    F.replace(F.col("__seq"), pat, rep),
-                ).otherwise(F.col("__seq")),
-            )
-            .drop("__l", "__r", "__c")
-        )
+        .drop("__ms")
+    )
     return out.withColumn(
         out_col,
         F.when(F.col("__seq") == "", F.array().cast("array<string>")).otherwise(

@@ -47,8 +47,6 @@ Encode ships as a twin pair (the bpe_encode discipline):
 
 from __future__ import annotations
 
-from functools import reduce
-
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -92,89 +90,114 @@ def _viterbi_best_path(
     max_word_len: int,
     max_piece_len: int = 8,
 ) -> DataFrame:
-    """Relational Viterbi: forward dp over positions 1..max_word_len,
-    then a deterministic backwalk emitting the best segmentation's
-    spans. `words` = (w, freq); `scored` = (w, s, e, piece, lp exact
-    decimal). Every char must be coverable (single-char pieces present
-    for every char of every word), which train/encode guarantee.
-    Returns (w, piece, s) — one row per used piece occurrence."""
-    spark = words.sparkSession
-    dp_frames = [
-        words.select("w", F.lit(0).alias("pos"), F.lit(0).cast(_DP).alias("dp"))
-        .localCheckpoint(eager=True)
-    ]
-    for i in range(1, max_word_len + 1):
-        # union only the dp levels a span ending at i can start from
-        # (s >= i - max_piece_len by construction) and join under
-        # renamed columns — dp_i derives from scored, so qualified
-        # self-join refs would be ambiguous from round 2 on
-        lo = max(0, i - max_piece_len)
-        prefix = reduce(
-            DataFrame.unionByName,
-            [f.select("w", F.col("dp").cast(_DP).alias("dp"), "pos")
-             for f in dp_frames[lo:i]],
-        ).select(F.col("w").alias("pw"), F.col("pos").alias("ppos"), "dp")
-        cand = (
-            scored.filter(F.col("e") == i)
-            .join(
-                prefix,
-                (F.col("pw") == F.col("w")) & (F.col("ppos") == F.col("s")),
-            )
-            .select("w", (F.col("dp") + F.col("lp")).alias("v"))
-        )
-        dp_i = (
-            cand.groupBy("w")
-            .agg(F.max("v").alias("dp"))
-            .select("w", F.lit(i).alias("pos"), "dp")
-            # lazy: the logical plan truncates immediately (LogicalRDD)
-            # but materialization folds into the dp-union job below —
-            # one job for the whole forward pass instead of one per level
-            .localCheckpoint(eager=False)
-        )
-        dp_frames.append(dp_i)
-    dp = reduce(DataFrame.unionByName, dp_frames).localCheckpoint(eager=True)
-    # rename-before-join discipline: cur/scored/dp share lineage after
-    # the first backwalk step, so every side joins under its own names
-    sc = scored.select(
-        F.col("w").alias("sw"), "s", "e", "piece", "lp"
-    ).localCheckpoint(eager=True)
-    dp_r = dp.select(
-        F.col("w").alias("dw"), F.col("pos").alias("dpos"), "dp"
+    """Relational Viterbi: forward dp over positions 1..len(w), then a
+    deterministic backwalk emitting the best segmentation's spans.
+    `words` = (w, freq); `scored` = (w, s, e, piece, lp exact decimal).
+    Every char must be coverable (single-char pieces present for every
+    char of every word), which train/encode guarantee.
+    Returns (w, piece, s) — one row per used piece occurrence.
+
+    Execution shape (r12): each word's dp table is bounded
+    (max_word_len positions × max_piece_len spans), so the whole
+    forward pass + backwalk run IN-ROW over one per-word span array —
+    ONE exchange (the per-word collect_list) + one codegen stage —
+    instead of max_word_len scheduled join+max rounds followed by
+    max_word_len join+window backwalk rounds (~0.25 s of pure stage
+    scheduling per round on a KB-sized histogram; the markov /
+    hbos_scores r12 discipline). Numerics are unchanged: lp lives on
+    the 1e-9 decimal grid, so dp values are carried as UNSCALED 1e-9
+    longs — integer adds reproduce the old decimal(28,9) sums
+    term-for-term, and the backwalk argmax sorts by
+    (-score, s, piece), the exact (score DESC, s ASC, piece ASC)
+    total tie-break the window form used (UTF8-binary piece order on
+    both paths)."""
+    edges = scored.select(
+        "w",
+        F.struct(
+            F.col("e").cast("int").alias("e"),
+            F.col("s").cast("int").alias("s"),
+            "piece",
+            (F.col("lp") * 1_000_000_000).cast("long").alias("lp"),
+        ).alias("ed"),
+    ).groupBy("w").agg(F.collect_list("ed").alias("E"))
+    n = F.length("w")
+    # forward: dp[0..len] as a growing array<long>; dp[i] = max over
+    # spans ending at i of dp[s] + lp (candidates whose dp[s] is
+    # unreachable are skipped, matching the join form's semantics)
+    dp = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, i: F.concat(
+            acc,
+            F.array(
+                F.array_max(
+                    F.filter(
+                        F.transform(
+                            F.filter(F.col("E"), lambda ed: ed["e"] == i),
+                            lambda ed: F.element_at(acc, ed["s"] + 1)
+                            + ed["lp"],
+                        ),
+                        lambda v: v.isNotNull(),
+                    )
+                )
+            ),
+        ),
     )
-    cur = words.select("w", F.length("w").alias("cur")).localCheckpoint(eager=True)
-    picked_frames: list[DataFrame] = []
-    for _ in range(max_word_len):
-        active = cur.filter(F.col("cur") > 0)
-        joined = (
-            active.join(
-                sc,
-                (F.col("w") == F.col("sw")) & (F.col("e") == F.col("cur")),
-            )
-            .join(
-                dp_r,
-                (F.col("dw") == F.col("sw")) & (F.col("dpos") == F.col("s")),
-            )
-            .select(
-                "w",
-                "s",
-                "piece",
-                (F.col("dp") + F.col("lp")).alias("score"),
-            )
+    withdp = edges.withColumn("dp", dp)
+    # backwalk: fold over at most len(w) steps; each step picks the
+    # span ending at `cur` with the best (score DESC, s ASC, piece
+    # ASC) — encoded as an ascending struct sort on (-score, s, piece)
+    # — and moves cur to its start. Unreachable-score candidates are
+    # filtered exactly as the join form dropped them.
+    def _step(acc, _r):
+        best = F.element_at(
+            F.array_sort(
+                F.filter(
+                    F.transform(
+                        F.filter(
+                            F.col("E"), lambda ed: ed["e"] == acc["cur"]
+                        ),
+                        lambda ed: F.struct(
+                            (
+                                -(
+                                    F.element_at(F.col("dp"), ed["s"] + 1)
+                                    + ed["lp"]
+                                )
+                            ).alias("neg"),
+                            ed["s"].alias("s"),
+                            ed["piece"].alias("piece"),
+                        ),
+                    ),
+                    lambda c: c["neg"].isNotNull(),
+                )
+            ),
+            1,
         )
-        wpick = Window.partitionBy("w").orderBy(
-            F.col("score").desc(), F.col("s").asc(), F.col("piece").asc()
+        nxt = F.struct(
+            best["s"].alias("cur"),
+            F.concat(
+                acc["picked"],
+                F.array(
+                    F.struct(best["s"].alias("s"), best["piece"].alias("piece"))
+                ),
+            ).alias("picked"),
         )
-        picked = (
-            joined.withColumn("rn", F.row_number().over(wpick))
-            .filter(F.col("rn") == 1)
-            .select("w", "s", "piece")
-            .localCheckpoint(eager=False)
-        )
-        picked_frames.append(picked)
-        cur = picked.select("w", F.col("s").alias("cur")).localCheckpoint(
-            eager=False
-        )
-    return reduce(DataFrame.unionByName, picked_frames)
+        return F.when((acc["cur"] > 0) & best.isNotNull(), nxt).otherwise(acc)
+
+    picked = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(
+            n.cast("int").alias("cur"),
+            F.array().cast("array<struct<s:int,piece:string>>").alias("picked"),
+        ),
+        _step,
+        lambda acc: acc["picked"],
+    )
+    return (
+        withdp.select("w", F.explode(picked).alias("p"))
+        .select("w", F.col("p.s").alias("s"), F.col("p.piece").alias("piece"))
+        .select("w", "piece", "s")
+    )
 
 
 def unigram_train(
@@ -235,9 +258,11 @@ def unigram_train(
         "piece", "cnt", _logp(F.col("cnt"), F.sum("cnt").over(wtot)).alias("lp")
     ).localCheckpoint(eager=True)
     for _ in range(em_rounds):
+        # single consumer since the in-row Viterbi rewrite — no
+        # checkpoint needed (it would only add a serial job per round)
         scored = spans.join(pieces.select("piece", "lp"), "piece").select(
             "w", "s", "e", "piece", "lp"
-        ).localCheckpoint(eager=True)
+        )
         used = _viterbi_best_path(words, scored, max_word_len, max_piece_len)
         counts = (
             used.join(words, "w")
@@ -297,7 +322,6 @@ def unigram_encode_replay(
         doc_words.filter(F.length("w") <= max_word_len)
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .localCheckpoint(eager=True)
     )
     p = pieces.select(
         "piece", F.round(F.col("logp"), 9).cast(_DP).alias("lp")
@@ -306,7 +330,6 @@ def unigram_encode_replay(
         _spans(words, max_piece_len)
         .join(p, "piece")
         .select("w", "s", "e", "piece", "lp")
-        .localCheckpoint(eager=True)
     )
     used = _viterbi_best_path(words, scored, max_word_len, max_piece_len)
     per_word = used.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
