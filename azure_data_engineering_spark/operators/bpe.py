@@ -172,7 +172,11 @@ def bpe_train(
                 ).otherwise(F.col("seq")),
             )
             .select("freq", "seq")
-            .localCheckpoint(eager=True)
+            # lazy: materializes inside the NEXT round's broadcast-build
+            # job (which is the first thing that touches it) instead of
+            # spawning a second scheduled job per round — still truncates
+            # lineage, so round N never re-derives rounds 1..N-1
+            .localCheckpoint(eager=False)
         )
     merges = reduce(DataFrame.unionByName, best_frames)
     return merges.select(
@@ -229,12 +233,16 @@ def bpe_encode_replay(
     from ..functions.text import normalize_text
 
     # r12: ONE broadcast of the whole rank-sorted merge table as a
-    # 1-row array, applied as an in-row fold — instead of num_merges
-    # separate crossJoin(broadcast(1-row)) steps, each of which costs
-    # a broadcast-exchange build job before the chain even runs. The
-    # fold applies the identical F.replace in the identical rank
-    # order with the identical min_freq gate, so the emitted token
-    # arrays are byte-identical.
+    # 1-row array — instead of num_merges separate
+    # crossJoin(broadcast(1-row)) steps, each of which costs a
+    # broadcast-exchange build job before the chain even runs. The
+    # replace chain itself stays STATICALLY UNROLLED over literal
+    # array indexes (element_at/getField are whole-stage-codegen; an
+    # F.aggregate fold is interpreted per row and measured SLOWER
+    # over a corpus-sized frame than the 12 broadcasts it saves).
+    # Identical F.replace patterns in identical rank order under the
+    # identical min_freq gate, so the emitted token arrays are
+    # byte-identical.
     marr = merges.filter(F.col("merge_rank") < F.lit(int(num_merges))).agg(
         F.array_sort(
             F.collect_list(
@@ -242,32 +250,29 @@ def bpe_encode_replay(
             )
         ).alias("__ms")
     )
-    out = (
-        df.withColumn("__seq", _wrap_chars(normalize_text(F.col(text_col))))
-        .crossJoin(F.broadcast(marr))
-        .withColumn(
+    out = df.withColumn(
+        "__seq", _wrap_chars(normalize_text(F.col(text_col)))
+    ).crossJoin(F.broadcast(marr))
+    for rank in range(num_merges):
+        m = F.col("__ms")[rank]
+        out = out.withColumn(
             "__seq",
-            F.aggregate(
-                F.col("__ms"),
-                F.col("__seq"),
-                lambda acc, m: F.when(
-                    m["pair_count"] >= F.lit(int(min_freq)),
-                    F.replace(
-                        acc,
-                        F.concat(
-                            F.lit(SEP),
-                            m["lhs"],
-                            F.lit(SEP + SEP),
-                            m["rhs"],
-                            F.lit(SEP),
-                        ),
-                        F.concat(F.lit(SEP), m["lhs"], m["rhs"], F.lit(SEP)),
+            F.when(
+                m["pair_count"] >= F.lit(int(min_freq)),
+                F.replace(
+                    F.col("__seq"),
+                    F.concat(
+                        F.lit(SEP),
+                        m["lhs"],
+                        F.lit(SEP + SEP),
+                        m["rhs"],
+                        F.lit(SEP),
                     ),
-                ).otherwise(acc),
-            ),
+                    F.concat(F.lit(SEP), m["lhs"], m["rhs"], F.lit(SEP)),
+                ),
+            ).otherwise(F.col("__seq")),
         )
-        .drop("__ms")
-    )
+    out = out.drop("__ms")
     return out.withColumn(
         out_col,
         F.when(F.col("__seq") == "", F.array().cast("array<string>")).otherwise(
