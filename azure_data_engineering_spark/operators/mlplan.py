@@ -140,7 +140,9 @@ def pca_power(
                 F.col("i").alias("pos"),
                 F.round(F.col("w") / F.col("nrm"), vec_decimals).alias("vv"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r12): materializes inside the next consumer job
+            # (broadcast build / final union) instead of its own
+            .localCheckpoint(eager=False)
         )
     lam = (
         cov.join(F.broadcast(v.select(F.col("pos").alias("i"), F.col("vv").alias("vi"))), "i")
@@ -304,7 +306,9 @@ def logistic_gd(
                 (F.col("w1") - lr * F.col("g1")).alias("w1"),
                 (F.col("w2") - lr * F.col("g2")).alias("w2"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r12): materializes inside the next consumer job
+            # (broadcast build / final union) instead of its own
+            .localCheckpoint(eager=False)
         )
     z = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
@@ -803,7 +807,9 @@ def gbm_stumps(
             .orderBy(F.col("__g").desc(), F.col("threshold").asc())
             .limit(1)
             .drop("__g")
-            .localCheckpoint(eager=True)
+            # lazy (r12): materializes inside the next consumer job
+            # (broadcast build / final union) instead of its own
+            .localCheckpoint(eager=False)
         )
         out = stump if out is None else out.unionByName(stump)
         upd = stump.select(
@@ -1040,7 +1046,9 @@ def softmax_gd(
                     for c in w_cols
                 ]
             )
-            .localCheckpoint(eager=True)
+            # lazy (r12): materializes inside the next consumer job
+            # (broadcast build / final union) instead of its own
+            .localCheckpoint(eager=False)
         )
     ps = probs()
     # deterministic argmax on the z's: ties resolve to the smallest k
@@ -1410,7 +1418,9 @@ def quantile_regression_gd(
                 (F.col("w1") - lr * F.col("g1")).alias("w1"),
                 (F.col("w2") - lr * F.col("g2")).alias("w2"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r12): materializes inside the next consumer job
+            # (broadcast build / final union) instead of its own
+            .localCheckpoint(eager=False)
         )
     r = F.col("t") - (F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2"))
     ind = (r < 0).cast("double")
@@ -1479,7 +1489,9 @@ def poisson_gd(
                 (F.col("w1") - lr * F.col("g1")).alias("w1"),
                 (F.col("w2") - lr * F.col("g2")).alias("w2"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r12): materializes inside the next consumer job
+            # (broadcast build / final union) instead of its own
+            .localCheckpoint(eager=False)
         )
     lam, zc = _lam()
     return base.crossJoin(F.broadcast(w)).agg(
@@ -1651,7 +1663,9 @@ def bradley_terry(
                 ).alias("pi"),
             )
             .coalesce(1)
-            .localCheckpoint(eager=True)
+            # lazy (r12): materializes inside the next consumer job
+            # (broadcast build / final union) instead of its own
+            .localCheckpoint(eager=False)
         )
     return (
         per_item.join(F.broadcast(pi), "i")
@@ -1725,7 +1739,9 @@ def svm_gd(
                 F.round(F.col("w1") - lr * F.col("g1"), grad_decimals).alias("w1"),
                 F.round(F.col("w2") - lr * F.col("g2"), grad_decimals).alias("w2"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r12): materializes inside the next consumer job
+            # (broadcast build / final union) instead of its own
+            .localCheckpoint(eager=False)
         )
     m = F.col("t") * (
         F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
@@ -1863,7 +1879,9 @@ def gmm_em_1d(
             F.round(
                 F.col("s_ll").cast("double") / F.col("n").cast("double"), 9
             ).alias("avg_ll"),
-        ).localCheckpoint(eager=True)
+        # lazy (r12): materializes inside the next consumer job
+        # (broadcast build / final union) instead of its own
+        ).localCheckpoint(eager=False)
     return params.select(
         "n",
         F.round(F.col("w1"), round_digits).alias("w1"),
