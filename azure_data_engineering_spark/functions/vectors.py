@@ -31,6 +31,18 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine_similarity with the two l2_norms HOISTED to per-row
+    columns computed BEFORE a join (r12): inside an |Q|x|C| pair
+    expansion the inline form re-folds each side's norm once per PAIR
+    (the HOF fold is interpreted, so 2 of the 3 folds per pair are
+    redundant recomputation); projecting ||a||/||b|| onto the join
+    inputs leaves one fold (the dot) per pair. Same doubles, same
+    zero-norm guard — bit-identical to cosine_similarity."""
+    denom = na * nb
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
 def max_abs(a: Column) -> Column:
     """max(|x_i|) — the symmetric-quantization scale basis."""
     return F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))

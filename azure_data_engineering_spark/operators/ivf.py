@@ -24,7 +24,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from azure_data_engineering_spark.functions.vectors import cosine_similarity, dot
+from azure_data_engineering_spark.functions.vectors import (
+    cosine_from_norms,
+    dot,
+    l2_norm,
+)
 
 
 def train_centroids(corpus: DataFrame, vec_col: str, nlist: int, seed: int = 42) -> list[list[float]]:
@@ -70,21 +74,33 @@ def ivf_top_k(
     cell; each query probes its nprobe nearest cells. Work per query
     ≈ nprobe/nlist of the corpus, reached via a hash equi-join on
     cell — never a cartesian."""
+    # norms hoisted to the join inputs: one interpreted fold per
+    # candidate pair, not three — see vectors.cosine_from_norms (r12)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
     )
     scored = (
         F.broadcast(q)
         .join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), round_digits))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_from_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("__qn"), F.col("__cn")
+                ),
+                round_digits,
+            ),
+        )
         .groupBy("query_id", "neighbor_id")
         .agg(F.first("cosine").alias("cosine"))
     )
@@ -130,11 +146,17 @@ def train_pq_codebooks(
             "train_pq_codebooks requires id_col: the bounded driver sample "
             "must be ordered to be deterministic across partitionings"
         )
-    sel = corpus.select(
-        l2_normalize(F.col(vec_col)).alias("v"),
-        F.col(id_col).alias("__id"),
-    ).orderBy("__id")
-    rows = sel.limit(int(max_train)).collect()
+    # limit FIRST on the raw (vec, id) projection, then normalize only
+    # the max_train survivors: TakeOrdered otherwise evaluates the
+    # interpreted normalize HOF over EVERY corpus row just to discard
+    # it (r12). Same rows, same doubles.
+    sel = (
+        corpus.select(F.col(vec_col).alias("__v"), F.col(id_col).alias("__id"))
+        .orderBy("__id")
+        .limit(int(max_train))
+        .select(l2_normalize(F.col("__v")).alias("v"))
+    )
+    rows = sel.collect()
     X = np.array([r.v for r in rows], dtype=np.float64)
     sub = dim // m
     books: list[list[list[float]]] = []
@@ -237,12 +259,14 @@ def ivfpq_top_k(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
         enc(l2_normalize(F.col(vec_col))).alias("codes"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         l2_normalize(F.col(vec_col)).alias("qn"),
         F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
     )
@@ -260,7 +284,12 @@ def ivfpq_top_k(
     )
     refined = shortlist.withColumn(
         "cosine",
-        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), round_digits),
+        F.round(
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("__qn"), F.col("__cn")
+            ),
+            round_digits,
+        ),
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -374,7 +403,7 @@ def ivfpq_search_index(
     rows instead of recomputing codes from raw vectors, which is the
     whole point of maintaining the index incrementally."""
     from azure_data_engineering_spark.functions.vectors import (
-        cosine_similarity,
+        cosine_from_norms,
         l2_normalize,
     )
     from azure_data_engineering_spark.sources.snapshot import snapshot_read
@@ -386,6 +415,7 @@ def ivfpq_search_index(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         l2_normalize(F.col(vec_col)).alias("qn"),
         F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
     )
@@ -402,11 +432,18 @@ def ivfpq_search_index(
         F.col("__r") <= int(refine_factor) * k
     )
     vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
     refined = shortlist.join(vecs, "neighbor_id").withColumn(
         "cosine",
-        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), round_digits),
+        F.round(
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("__qn"), F.col("__cn")
+            ),
+            round_digits,
+        ),
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -28,7 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from azure_data_engineering_spark.functions.vectors import cosine_similarity
+from azure_data_engineering_spark.functions.vectors import (
+    cosine_from_norms,
+    l2_norm,
+)
 from azure_data_engineering_spark.operators.ivf import _nearest_cells
 
 
@@ -50,16 +53,27 @@ def semdedup(
     assigned = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        # norm hoisted: one interpreted fold per in-cell pair, not
+        # three — see vectors.cosine_from_norms (r12)
+        l2_norm(F.col(vec_col)).alias("__n"),
         _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
     )
     earlier = assigned.select(
-        F.col("id").alias("e_id"), F.col("v").alias("e_v"), F.col("cell")
+        F.col("id").alias("e_id"),
+        F.col("v").alias("e_v"),
+        F.col("__n").alias("__e_n"),
+        F.col("cell"),
     )
     dropped = (
         assigned.join(earlier, "cell")
         .filter(F.col("e_id") < F.col("id"))
         .filter(
-            F.round(cosine_similarity(F.col("v"), F.col("e_v")), round_digits)
+            F.round(
+                cosine_from_norms(
+                    F.col("v"), F.col("e_v"), F.col("__n"), F.col("__e_n")
+                ),
+                round_digits,
+            )
             >= threshold
         )
         .select("id")

@@ -19,7 +19,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from azure_data_engineering_spark.functions.vectors import cosine_similarity
+from azure_data_engineering_spark.functions.vectors import (
+    cosine_from_norms,
+    cosine_similarity,
+    l2_norm,
+)
 
 
 def _topk_pairs(scored: DataFrame, query_id: str, k: int, round_digits: int | None) -> DataFrame:
@@ -51,12 +55,27 @@ def brute_force_top_k(
     WindowGroupLimit push-down each partition keeps k rows per query).
     Returns (query_id, neighbor_id, cosine, rank).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # norms hoisted to the join inputs: one interpreted fold per pair
+    # (the dot), not three — see vectors.cosine_from_norms (r12)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("__qn"), F.col("__cn")
+            ),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     return _topk_pairs(scored, "query_id", k, round_digits)
@@ -267,6 +286,7 @@ def lsh_bucketed_top_k(
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
+            l2_norm(F.col(vec_col)).alias(out_vec + "_n"),
             F.posexplode(buckets).alias("table", "bucket"),
         )
 
@@ -276,7 +296,13 @@ def lsh_bucketed_top_k(
         F.broadcast(q)
         .join(c, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        # hoisted norms: one fold per candidate pair (r12)
+        .withColumn(
+            "cosine",
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_vec_n"), F.col("c_vec_n")
+            ),
+        )
         # a pair colliding in several tables appears several times;
         # cosine is identical, so dedupe by key
         .groupBy("query_id", "neighbor_id")
