@@ -87,7 +87,8 @@ def als_rank1(
                 .cast("decimal(18,6)")
                 .alias("uf")
             )
-            .localCheckpoint(eager=True)
+            # lazy (r12): materializes inside the next consumer job
+            .localCheckpoint(eager=False)
         )
         v = (
             r.join(u, "u")
@@ -104,7 +105,8 @@ def als_rank1(
                 .cast("decimal(18,6)")
                 .alias("v")
             )
-            .localCheckpoint(eager=True)
+            # lazy (r12): materializes inside the next consumer job
+            .localCheckpoint(eager=False)
         )
     resid = (
         r.join(u, "u")
@@ -309,7 +311,8 @@ def als_rank_k(
         u = solve(moments(r.join(item_side(v), "i"), "u"), "u").localCheckpoint(
             eager=True
         )
-        v = solve(moments(r.join(u, "u"), "i"), "i").localCheckpoint(eager=True)
+        # lazy (r12): materializes inside the next consumer job
+        v = solve(moments(r.join(u, "u"), "i"), "i").localCheckpoint(eager=False)
 
     pred = None
     for f in range(k):

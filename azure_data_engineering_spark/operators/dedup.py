@@ -507,6 +507,12 @@ def ppjoin_pairs(
         .select(F.col(id_col).alias("id"), mk(F.col(text_col), k).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
         .filter(F.col("n_sh") > 0)
+        # materialize once (r12): base feeds the freq agg, the ranked
+        # join, AND both verify sides — four consumers whose joins are
+        # keyed differently (s / id_a / id_b), so AQE exchange reuse
+        # never applies and the regexp-heavy shingling would re-run
+        # per consumer
+        .localCheckpoint(eager=True)
     )
     ex = base.select("id", "n_sh", F.explode("sh").alias("s"))
     freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))

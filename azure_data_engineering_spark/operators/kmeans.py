@@ -93,7 +93,8 @@ def lloyd_kmeans(
             ex.join(assigned.select("id", "cid"), "id")
             .groupBy("cid", "pos")
             .agg(F.round(F.avg("x"), round_decimals).alias("c"))
-            .localCheckpoint(eager=True)
+            # lazy (r12): materializes inside the next consumer job
+            .localCheckpoint(eager=False)
         )
     final = (
         ex.join(F.broadcast(cents), "pos")

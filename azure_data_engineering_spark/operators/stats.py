@@ -3607,7 +3607,8 @@ def ipw_ate(
                 (F.col("w1") - lr * F.col("g1")).alias("w1"),
                 (F.col("w2") - lr * F.col("g2")).alias("w2"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r12): materializes inside the next consumer job
+            .localCheckpoint(eager=False)
         )
     z = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
     e = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
@@ -3752,7 +3753,8 @@ def cox_ph_newton(
                     9,
                 ).alias("b")
             )
-            .localCheckpoint(eager=True)
+            # lazy (r12): materializes inside the next consumer job
+            .localCheckpoint(eager=False)
         )
     final = _pass(beta)
     counts = base.agg(
