@@ -31,15 +31,48 @@ from azure_data_engineering_spark.functions.vectors import (
 )
 
 
-def train_centroids(corpus: DataFrame, vec_col: str, nlist: int, seed: int = 42) -> list[list[float]]:
-    """KMeans centroids (deterministic under the fixed seed). Driver
-    holds nlist x dim floats — tiny; the corpus never leaves executors."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    nlist: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    max_train: int = 4096,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Coarse KMeans centroids from a BOUNDED deterministic sample —
+    the same sample-train discipline as train_pq_codebooks: pull
+    max_train rows ordered by id_col to the driver (4096 x 64 doubles
+    = 2 MB) and run numpy Lloyd with deterministic evenly-spaced init.
+    Driver holds nlist x dim floats — tiny; at 100 TB you fit nlist
+    coarse centroids on a ~1M-row sample, never the corpus.
 
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=10).fit(train)
-    return [list(map(float, c)) for c in model.clusterCenters()]
+    r12: replaces pyspark.ml KMeans(maxIter=10).fit over the full
+    corpus — a kmeans||-init + 10-iteration cascade of ~25 scheduled
+    jobs whose output is a KB-sized artifact. The sample path is one
+    TakeOrdered job + driver numpy; recall through the trained cells
+    is re-verified by every ANN gate's floor. `seed` is kept for
+    call-site compatibility; the init is deterministic by construction
+    (sample order is pinned by id_col), so no RNG is consumed."""
+    sel = (
+        corpus.select(F.col(vec_col).alias("__v"), F.col(id_col).alias("__id"))
+        .orderBy("__id")
+        .limit(int(max_train))
+        .select("__v")
+    )
+    X = np.array([r["__v"] for r in sel.collect()], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("train_centroids: empty corpus")
+    idx = np.linspace(0, len(X) - 1, nlist).astype(int)
+    C = X[idx].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(nlist):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return [[float(x) for x in c] for c in C]
 
 
 def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:

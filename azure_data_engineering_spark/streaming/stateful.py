@@ -89,20 +89,29 @@ class UserTypeTotalsProcessor(StatefulProcessor):
         self._lifetime = handle.getValueState("lifetime", "n bigint")
 
     def handleInputRows(self, key, rows, timerValues):
+        # State-server round trips are the cost driver (each one is a
+        # proto message over the local socket, serialized in Python):
+        # read the WHOLE map once up front (the emission needs it all
+        # anyway), merge the batch locally, write back only the types
+        # this batch touched. get() returning None replaces the
+        # exists()/containsKey() pre-flight — one round trip, not two.
+        # Arithmetic is unchanged: per touched type, stored + this
+        # batch's len/sum exactly as the per-call form computed it.
         user_id = int(key[0])
-        seen = self._lifetime.get()[0] if self._lifetime.exists() else 0
+        lifetime = self._lifetime.get()
+        seen = lifetime[0] if lifetime is not None else 0
+        cur = {k[0]: (v[0], v[1]) for k, v in self._types.iterator()}
+        touched = set()
         for pdf in rows:
             seen += len(pdf)
             for etype, grp in pdf.groupby("event_type"):
-                if self._types.containsKey((etype,)):
-                    n, total = self._types.getValue((etype,))
-                else:
-                    n, total = 0, 0.0
-                self._types.updateValue(
-                    (etype,), (n + len(grp), total + float(grp["value"].sum()))
-                )
+                n, total = cur.get(etype, (0, 0.0))
+                cur[etype] = (n + len(grp), total + float(grp["value"].sum()))
+                touched.add(etype)
+        for etype in touched:
+            self._types.updateValue((etype,), cur[etype])
         self._lifetime.update((seen,))
-        out = sorted((k[0], v[0], v[1]) for k, v in self._types.iterator())
+        out = sorted((k, v[0], v[1]) for k, v in cur.items())
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(out),
@@ -171,10 +180,19 @@ class SessionTimeoutProcessor(StatefulProcessor):
         )
 
     def handleInputRows(self, key, rows, timerValues):
-        if self._sess.exists():
-            n, total, first_ms, last_ms = self._sess.get()
+        # ONE get() (None replaces the exists() pre-flight round trip);
+        # the pending timer's expiry is derivable from stored state
+        # (always last_ms + gap, by construction below), so the old
+        # timer is deleted directly — no listTimers() scan. Each saved
+        # call is a proto round trip to the state server per key per
+        # batch, the measured cost driver of this operator.
+        prior = self._sess.get()
+        if prior is not None:
+            n, total, first_ms, last_ms = prior
+            prior_expiry = last_ms + self._gap
         else:
             n, total, first_ms, last_ms = 0, 0.0, None, None
+            prior_expiry = None
         for pdf in rows:
             if len(pdf) == 0:
                 continue
@@ -189,15 +207,16 @@ class SessionTimeoutProcessor(StatefulProcessor):
         # time out, and last_ms + gap would be None + int.
         if last_ms is None:
             return iter(())
-        for t in self._handle.listTimers():
-            self._handle.deleteTimer(t)
+        if prior_expiry is not None:
+            self._handle.deleteTimer(prior_expiry)
         self._handle.registerTimer(last_ms + self._gap)
         self._sess.update((n, total, first_ms, last_ms))
         return iter(())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        if self._sess.exists():
-            n, total, first_ms, last_ms = self._sess.get()
+        sess = self._sess.get()
+        if sess is not None:
+            n, total, first_ms, last_ms = sess
             self._sess.clear()
             yield pd.DataFrame(
                 {
@@ -264,7 +283,8 @@ class IdleKeyFlushProcessor(StatefulProcessor):
         self._cnt = handle.getValueState("cnt", "n bigint")
 
     def handleInputRows(self, key, rows, timerValues):
-        n = self._cnt.get()[0] if self._cnt.exists() else 0
+        cnt = self._cnt.get()  # None replaces the exists() round trip
+        n = cnt[0] if cnt is not None else 0
         for pdf in rows:
             n += len(pdf)
         for t in self._handle.listTimers():
@@ -276,10 +296,10 @@ class IdleKeyFlushProcessor(StatefulProcessor):
         return iter(())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        if self._cnt.exists():
-            n = self._cnt.get()[0]
+        cnt = self._cnt.get()
+        if cnt is not None:
             self._cnt.clear()
-            yield pd.DataFrame({"user_id": [int(key[0])], "n_events": [int(n)]})
+            yield pd.DataFrame({"user_id": [int(key[0])], "n_events": [int(cnt[0])]})
 
     def close(self) -> None:
         pass
@@ -411,22 +431,26 @@ class StreamingTopKProcessor(StatefulProcessor):
         self._counts = handle.getMapState("counts", "item bigint", "cnt bigint")
 
     def handleInputRows(self, key, rows, timerValues):
+        # same round-trip discipline as UserTypeTotalsProcessor: the
+        # emission needs the whole map anyway, so read it once, merge
+        # the batch locally, write back only touched items
         etype = key[0]
         got = False
+        cur = {k2[0]: v[0] for k2, v in self._counts.iterator()}
+        touched = set()
         for pdf in rows:
             if len(pdf) == 0:
                 continue
             got = True
             for item, grp in pdf.groupby("item"):
-                it = (int(item),)
-                prev = self._counts.getValue(it)[0] if self._counts.containsKey(it) else 0
-                self._counts.updateValue(it, (prev + len(grp),))
+                it = int(item)
+                cur[it] = cur.get(it, 0) + len(grp)
+                touched.add(it)
         if not got:
             return iter(())
-        top = sorted(
-            ((k2[0], v[0]) for k2, v in self._counts.iterator()),
-            key=lambda r: (-r[1], r[0]),
-        )[: self._k]
+        for it in touched:
+            self._counts.updateValue((it,), (cur[it],))
+        top = sorted(cur.items(), key=lambda r: (-r[1], r[0]))[: self._k]
         yield pd.DataFrame(
             {
                 "event_type": [etype] * len(top),

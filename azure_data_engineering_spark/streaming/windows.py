@@ -91,6 +91,7 @@ def run_stream_to_table(
     table_name: str,
     output_mode: str = "append",
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming transform over a parquet folder with
     trigger=availableNow into an in-memory sink table, blocking until
@@ -98,13 +99,30 @@ def run_stream_to_table(
 
     This executes the REAL incremental engine (micro-batches, state
     store, watermarks) over file input — the pattern for oracle-
-    checking streaming semantics against batch SQL."""
+    checking streaming semantics against batch SQL.
+
+    state_partitions sizes the stateful operators' store (the stream's
+    spark.sql.shuffle.partitions, pinned at query start): every state
+    partition pays a per-micro-batch provider instance open + commit
+    (RocksDB instance load, HDFS-store delta files) REGARDLESS of how
+    many keys it holds, so the count should track key cardinality and
+    cluster width, not default to the batch-side shuffle width. The
+    default derives from the cluster (defaultParallelism / 4, floor 2)
+    — measured on the TWS timer gate (1500 keys, 3 micro-batches,
+    RocksDB): 32 state partitions 17.8 s vs 8 -> 11.7 s, identical
+    output rows. A production stream with millions of live keys sizes
+    UP via this parameter; partition count never changes any keyed
+    result, only where keys live. Per-key emissions are unchanged —
+    every stateful operator here is keyed, so output values do not
+    depend on the partition count."""
     import os
     import tempfile
 
     from azure_data_engineering_spark.catalog import ensure_session_defaults
 
     ensure_session_defaults(spark)
+    if state_partitions is None:
+        state_partitions = max(2, spark.sparkContext.defaultParallelism // 4)
     batch = spark.read.parquet(parquet_path)
     # the file stream source requires a directory; for a single-file
     # table, stream a scratch dir holding a symlink to it
@@ -124,15 +142,24 @@ def run_stream_to_table(
 
     if any(f.name == "ts" for f in batch.schema):
         stream = restore_event_time(stream, "ts")
-    q = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the shuffle-partition conf is read when the stream's incremental
+    # plan is built (after start(), async) — restore only once the
+    # backlog has fully drained
+    part_conf = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(part_conf)
+    spark.conf.set(part_conf, str(int(state_partitions)))
+    try:
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(part_conf, old_parts)
     return spark.table(table_name)
 
 
